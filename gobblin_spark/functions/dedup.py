@@ -1,0 +1,255 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+These are the training-data-pipeline dedup families, built Spark-first:
+
+- Exact: fingerprint (md5 of normalized text) → hash groupBy. One
+  shuffle keyed on a 128-bit digest; at 100 TB the shuffle carries only
+  (fingerprint, doc_id), not document bodies.
+- N-gram Jaccard: shingle → inverted-index self-join on shingle →
+  per-pair intersection counts → |A∩B|/(|A|+|B|-|A∩B|). Exact but
+  quadratic in docs-per-shingle; use for verification and small/medium
+  corpora, or as the re-rank stage after LSH candidate generation.
+- MinHash+LSH: k permutation min-hashes over shingles, banded into b
+  bands of r rows (k = b·r); equal band-hash → candidate pair; candidates
+  verified by signature agreement (estimated Jaccard). Scale path:
+  candidate generation is a groupBy on (band, band_hash) — linear, no
+  all-pairs anywhere.
+- SimHash: 64-bit sign-aggregated token-hash fingerprint; near-dups =
+  Hamming distance ≤ t, found by pigeonhole banding (4×16-bit chunks
+  catches every pair with distance ≤ 3 without an all-pairs join).
+
+Everything is built-in Column expressions (xxhash64, bitwise ops,
+higher-order array functions) — no Python in the hot path. Permutation
+parameters use a fixed Mersenne prime so ``a·h + b`` stays within int64
+under ANSI arithmetic.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from gobblin_spark.functions.text import fingerprint, normalize_text, word_shingles
+
+MERSENNE_P = (1 << 31) - 1  # 2^31-1, prime; keeps a*h+b < 2^62 (no int64 overflow)
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact near-identical dedup: keep the min-id doc per fingerprint.
+
+    Returns (kept id, fingerprint, dup_count). Single hash shuffle on the
+    digest; map-side partial aggregation applies.
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(id_col, "fp", "dup_count")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Inverted-index join: explode distinct shingles, self-join on shingle,
+    count co-occurrences, combine with per-doc shingle counts. The join
+    key is the shingle (high cardinality → well-distributed shuffle);
+    hot shingles are the skew risk — AQE skew-join handles moderate skew,
+    and ``df.filter`` on document frequency can drop stop-shingles first.
+    """
+    sh = word_shingles(df.select(id_col, text_col), text_col, n).select(id_col, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _permutation_params(k: int, seed: int = 42) -> tuple[list[int], list[int]]:
+    rng = random.Random(seed)
+    a = [rng.randrange(1, MERSENNE_P) for _ in range(k)]
+    b = [rng.randrange(0, MERSENNE_P) for _ in range(k)]
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-doc MinHash signature: array<num_perm> of min permuted hashes.
+
+    Base hash = xxhash64(shingle) folded into [0, P); permutation i is
+    (a_i·h + b_i) mod P. All JVM-side: one explode + one groupBy with
+    ``num_perm`` min() aggregates (map-side combined).
+    """
+    a_par, b_par = _permutation_params(num_perm, seed)
+    sh = word_shingles(df.select(id_col, text_col), text_col, n)
+    h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    mins = [
+        F.min(F.pmod(F.lit(a_par[i]) * h + F.lit(b_par[i]), F.lit(MERSENNE_P))).alias(
+            f"_m{i}"
+        )
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[f"_m{i}" for i in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs (id_a < id_b, est_jaccard ≥ threshold).
+
+    Banding: signature split into ``bands`` bands of num_perm/bands rows;
+    docs sharing any band-hash become candidates (generated by a groupBy
+    on (band, hash) — never an all-pairs join). Candidates are scored by
+    signature agreement (unbiased Jaccard estimate) and thresholded.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.lit(bi), *[F.col("signature")[bi * rows + r] for r in range(rows)]
+            )
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select(
+        id_col, "signature", F.posexplode(band_hashes).alias("band", "bhash")
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bhash"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bhash"
+    )
+    cand = (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    est = agree.cast("double") / F.lit(float(num_perm))
+    return (
+        cand.withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document over normalized word tokens.
+
+    For each bit position, sum +1/-1 over token hashes; bit = sign.
+    Returned as bigint ``simhash`` (bit 63 included — value may be
+    negative; it is a fingerprint, not a number).
+    """
+    toks = df.select(
+        id_col, F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+        ).alias(f"_b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    val = F.lit(0).cast("long")
+    for i in range(64):
+        val = val + F.when(
+            F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select(id_col, val.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding on 4×16-bit chunks: any pair within distance 3
+    agrees on at least one chunk, so candidates come from equality joins
+    on chunk values — linear candidate generation, then exact popcount
+    verification. (max_hamming ≤ 3 is guaranteed complete; larger values
+    would need more/smaller chunks.)
+    """
+    sh = simhash64(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ]
+    )
+    banded = sh.select(id_col, "simhash", F.posexplode(chunks).alias("chunk", "cval"))
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cval"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cval"
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        left.join(right, ["chunk", "cval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,226 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed ANN.
+
+Embeddings are ``array<float>`` columns. Two tiers:
+
+- ``cosine_topk``: exact brute force — broadcast the (small) query set,
+  one pass over the corpus computing dot products with higher-order
+  array functions (zip_with + aggregate, JVM-side), per-query top-k via
+  window. Cost O(|Q|·|C|·d) with NO shuffle of the corpus: the heavy
+  side streams, the light side broadcasts. This is the correct exact
+  plan at 100 TB as long as |Q| is bounded.
+- ``lsh_cosine_topk``: approximate scale path — random-hyperplane LSH:
+  sign-bit signature per vector, banded; candidates share a band bucket
+  and are re-ranked exactly. Candidate generation is equality joins on
+  band hashes (linear), so corpus×corpus near-dup search avoids the
+  quadratic cross join.
+- ``embedding_near_dup_pairs``: corpus self near-dup via the same LSH
+  bucketing with exact cosine verification.
+
+Hyperplanes are generated from a seeded NumPy RNG and shipped as plan
+literals (a few KB) — deterministic across runs and engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns (double, JVM-side)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (brute force).
+
+    Output: (query_id, neighbor_id, cosine, rank). Deterministic order:
+    cosine desc, neighbor_id asc. The query side is broadcast — corpus
+    is scanned once, never shuffled (ranking shuffles only |Q|·|C| slim
+    rows of ids+scores, AQE-coalesced).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    pairs = q.crossJoin(c)
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def rh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane sign signature as array<int> of 0/1 bits."""
+    plane_lits = F.array(
+        *[F.array(*[F.lit(float(w)) for w in p]) for p in planes]
+    )
+    return F.transform(
+        plane_lits,
+        lambda p: F.when(_dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: LSH band-bucket candidates, exact re-rank.
+
+    Recall rises with bands (each band is an independent chance to
+    collide); cost is candidates·d instead of |Q|·|C|·d.
+    """
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
+    rows = n_planes // bands
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        sig = rh_signature(F.col(vec_col), planes)
+        bh = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(bi), *[sig[bi * rows + r] for r in range(rows)]
+                )
+                for bi in range(bands)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.posexplode(bh).alias("band", "bhash"),
+        )
+
+    qb = banded(queries, "query_id", "_qv")
+    cb = banded(corpus, "neighbor_id", "_cv")
+    cand = (
+        qb.join(cb, ["band", "bhash"])
+        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("_cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus self near-duplicates: cosine ≥ threshold, id_a < id_b.
+
+    LSH buckets generate candidates; exact cosine verifies. High
+    thresholds collide in most bands, so recall is high exactly where
+    the operator is used (near-dup removal).
+    """
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
+    rows = n_planes // bands
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = rh_signature(F.col(vec_col), planes)
+    bh = F.array(
+        *[
+            F.xxhash64(F.lit(bi), *[sig[bi * rows + r] for r in range(rows)])
+            for bi in range(bands)
+        ]
+    )
+    banded = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(bh).alias("band", "bhash"),
+    )
+    a = banded.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("_va"), "band", "bhash"
+    )
+    b = banded.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("_vb"), "band", "bhash"
+    )
+    cand = (
+        a.join(b, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

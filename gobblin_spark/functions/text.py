@@ -1,0 +1,133 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, whole-stage-codegen) — no Python
+UDFs anywhere, so these run at scan speed over 100 TB of documents.
+Each has an exact ANSI-SQL equivalent used as the DuckDB oracle in
+``__spark_entry__.py``.
+
+Ops: token counting (whitespace + BPE-ish regex), quality scoring
+(length/punct/stopword/alpha ratios), language ID (stopword-hit
+heuristic), document fingerprinting (normalize + md5), shingling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword marker lists for the n-gram/stopword
+# language-ID heuristic. Word-boundary regexes keep this expressible in
+# both Spark and DuckDB SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "y", "es"],
+}
+
+# Rough BPE-ish tokenizer: word pieces, numbers, or single non-space
+# punctuation — a portable stand-in for a real subword vocab.
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Number of whitespace-separated tokens (0 for empty/blank)."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Count of BPE-ish tokens (letters runs + digit runs + punct chars)."""
+    return F.regexp_count(col, F.lit(BPE_ISH_REGEX))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty)."""
+    n = F.length(col)
+    p = F.regexp_count(col, F.lit(r"[^A-Za-z0-9\s]"))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n.cast("double"))
+
+
+def alpha_ratio(col: Column) -> Column:
+    """Alphabetic chars / total chars (0 for empty)."""
+    n = F.length(col)
+    a = F.regexp_count(col, F.lit(r"[A-Za-z]"))
+    return F.when(n == 0, F.lit(0.0)).otherwise(a.cast("double") / n.cast("double"))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Stopword tokens / whitespace tokens (0 for empty)."""
+    pattern = r"\b(" + "|".join(LANG_MARKERS[lang]) + r")\b"
+    hits = F.regexp_count(F.lower(col), F.lit(pattern))
+    toks = whitespace_token_count(col)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / toks.cast("double")
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite doc-quality heuristic in [0,1]:
+    mean of (alpha_ratio, 1 - punct_ratio, min(1, tokens/20)).
+    Deterministic arithmetic — identical in the SQL oracle."""
+    toks = whitespace_token_count(col).cast("double")
+    length_term = F.least(F.lit(1.0), toks / F.lit(20.0))
+    return F.round(
+        (alpha_ratio(col) + (F.lit(1.0) - punct_ratio(col)) + length_term) / F.lit(3.0),
+        6,
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: most stopword-marker hits wins; ties and
+    zero hits → 'und' (undetermined). Deterministic tie order = sorted
+    language codes."""
+    lowered = F.lower(col)
+    scores = {
+        lang: F.regexp_count(
+            lowered, F.lit(r"\b(" + "|".join(words) + r")\b")
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = sorted(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    out = F.lit("und")
+    # reversed so that earlier (alphabetically smaller) languages win ties
+    for lang in reversed(langs):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum to
+    spaces, collapse whitespace, trim."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), r"[^a-z0-9\s]", " "), r"\s+", " "
+        )
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint = md5 of normalized text (content-defined id).
+
+    A portable stand-in for a rolling hash: any engine computing the
+    same normalization + md5 produces the same id, which is what makes
+    cross-run / cross-engine dedup joins possible.
+    """
+    return F.md5(normalize_text(col))
+
+
+def word_shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingle") -> DataFrame:
+    """Distinct word n-gram shingles per row (for Jaccard / MinHash).
+
+    Adds ``out_col``; one output row per (row, distinct shingle).
+    Documents with fewer than n words produce one shingle of all words.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n_words = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n_words - n, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return df.withColumn(out_col, F.explode(F.array_distinct(shingles)))

@@ -1,0 +1,124 @@
+"""Compaction operators: key-based dedup and snapshot/delta merge.
+
+Gobblin runs these as dedicated MapReduce / Hive jobs; here they are plain
+shuffles that Catalyst plans (map-side partial aggregation, AQE skew
+splitting). Reference semantics:
+
+- Key-dedup: project each record onto a *key schema* (fields marked
+  "primarykey", else all comparable fields) and keep exactly ONE record
+  per key, tie-broken by a *delta* comparator keeping the max (e.g.
+  latest scn/timestamp).
+  (gobblin-compaction/.../avro/AvroKeyMapper.java:48,63;
+  RecordKeyDedupReducerBase.java:35,74; AvroKeyDedupReducer.java:39,89;
+  MRCompactorAvroKeyDedupJobRunner.java:84,127,169-177)
+- Snapshot/delta merge: rows of the snapshot not updated by the delta =
+  ``snapshot LEFT OUTER JOIN delta ON pk WHERE delta.pk IS NULL``; result
+  is that set ``UNION ALL delta``; multiple deltas merge pairwise
+  newest-wins. (gobblin-compaction/.../hive/SerialCompactor.java:268-271,
+  331-334,201-247)
+- Late data: records arriving after compaction land in ``_late`` paths and
+  trigger recompaction when ratio/count thresholds are exceeded.
+  (gobblin-compaction/.../mapreduce/MRCompactor.java:133,174-189;
+  conditions/RecompactionConditionBasedOnRatio.java)
+
+Scale notes (100 TB):
+- ``dedup_by_key`` is a single hash shuffle on the key columns. We use
+  ``max_by(struct(all), struct(delta...))`` where possible: one
+  aggregation with map-side partial combine — strictly less data moved
+  than a row_number() window (which must shuffle *all* rows, sort each
+  partition, then filter). The window variant is kept for
+  ``keep='all_ranked'`` debugging output.
+- ``snapshot_delta_merge`` broadcast-joins when the delta is small
+  (the common nightly case: delta << snapshot), else shuffles both sides
+  on the pk; AQE picks the strategy at runtime from actual sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def _delta_ordering(delta_cols: Sequence[str]) -> list[Column]:
+    return [F.col(c).desc_nulls_last() for c in delta_cols]
+
+
+def dedup_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    delta_cols: Sequence[str],
+    strategy: str = "max_by",
+) -> DataFrame:
+    """Keep exactly one record per ``key_cols``, the max by ``delta_cols``.
+
+    Mirrors AvroKeyDedupReducer.java:89 (keep record with the greatest
+    delta-field tuple). ``delta_cols`` must form a deterministic total
+    order within each key (include a unique id as the last tiebreaker).
+
+    strategy='max_by' → single agg with map-side combine (preferred at
+    scale); strategy='window' → row_number() window (same result, more
+    shuffle+sort; kept for parity testing).
+    """
+    if strategy == "max_by":
+        payload = F.struct(*[F.col(c) for c in df.columns])
+        rank = F.struct(*[F.col(c) for c in delta_cols])
+        best = df.groupBy(*key_cols).agg(F.max_by(payload, rank).alias("_best"))
+        return best.select("_best.*")
+    if strategy == "window":
+        w = Window.partitionBy(*key_cols).orderBy(*_delta_ordering(delta_cols))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    raise ValueError(f"unknown dedup strategy: {strategy}")
+
+
+def duplicate_stats(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Per-key duplicate counts (recompaction-condition input).
+
+    Mirrors InputRecordCountHelper-style audit counts
+    (gobblin-compaction/.../verify/InputRecordCountHelper.java).
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("record_count"))
+        .filter(F.col("record_count") > 1)
+    )
+
+
+def snapshot_delta_merge(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    pk_cols: Sequence[str],
+    delta_order_cols: Sequence[str] | None = None,
+    broadcast_delta: bool = False,
+) -> DataFrame:
+    """Upsert: snapshot rows not touched by delta, plus the delta.
+
+    SerialCompactor.java:268-271 (left outer + null filter ≡ left_anti)
+    and :331-334 (union all). If ``delta_order_cols`` is given the delta
+    is first deduped newest-wins (the pairwise multi-delta merge of
+    SerialCompactor.java:201-247 collapses to one dedup in Spark).
+    """
+    if delta_order_cols:
+        delta = dedup_by_key(delta, pk_cols, delta_order_cols)
+    d = F.broadcast(delta) if broadcast_delta else delta
+    untouched = snapshot.join(d, on=list(pk_cols), how="left_anti")
+    return untouched.unionByName(delta)
+
+
+def needs_recompaction(
+    total_count: int,
+    late_count: int,
+    ratio_threshold: float = 0.05,
+    count_threshold: int | None = None,
+) -> bool:
+    """RecompactionConditionBasedOnRatio / BasedOnCount analog."""
+    if total_count <= 0:
+        return late_count > 0
+    if late_count / total_count > ratio_threshold:
+        return True
+    return count_threshold is not None and late_count >= count_threshold

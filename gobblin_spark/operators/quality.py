@@ -1,0 +1,152 @@
+"""Data-quality layer: row-level policies with quarantine, task-level checks.
+
+Reference semantics:
+- Row-level: ``RowLevelPolicy.executePolicy(record) → PASSED|FAILED``
+  (gobblin-api/.../row/RowLevelPolicy.java:33,68) with result handling
+  FAIL (abort) or ERR_FILE (quarantine failures to an err file, sampled)
+  (gobblin-core/.../row/RowLevelPolicyChecker.java:94-127).
+- Task-level: RowCountPolicy (extracted == written), RowCountRangePolicy
+  (within ±range of previous run), SchemaCompatibilityPolicy, FileSizePolicy
+  (gobblin-core/.../policies/**), each FAIL or OPTIONAL
+  (gobblin-api/.../task/TaskLevelPolicy.java:24,52).
+
+Spark design: policies are boolean ``Column`` expressions. One pass
+computes a ``_ok`` conjunction; the pass branch and the quarantine branch
+are two filters over the SAME scan (cache or foreachBatch persist makes
+it literally one read). No Python runs per record — every policy is a
+codegen'd predicate, so a 100 TB quality pass is scan-speed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class RowPolicy:
+    """A named row predicate. type='ERR_FILE' quarantines failures;
+    type='FAIL' means any failure aborts the job (RowLevelPolicy.Type)."""
+
+    name: str
+    predicate: Column
+    type: str = "ERR_FILE"  # or "FAIL"
+
+
+def not_null_policy(cols: Sequence[str], name: str = "not_null") -> RowPolicy:
+    """AvroHeaderGuidPolicy-style presence check
+    (gobblin-core/.../policies/avro/AvroHeaderGuidPolicy.java)."""
+    pred = F.lit(True)
+    for c in cols:
+        pred = pred & F.col(c).isNotNull()
+    return RowPolicy(name, pred)
+
+
+def timestamp_lower_bound_policy(ts_col: str, bound, name: str = "ts_lower_bound") -> RowPolicy:
+    """RecordTimestampLowerBoundPolicy — drop records older than bound
+    (gobblin-core/.../policies/time/RecordTimestampLowerBoundPolicy.java)."""
+    return RowPolicy(name, F.col(ts_col) >= F.lit(bound))
+
+
+def range_policy(col: str, lo, hi, name: str | None = None) -> RowPolicy:
+    """Value-in-range predicate (closed interval)."""
+    return RowPolicy(name or f"{col}_range", F.col(col).between(lo, hi))
+
+
+def with_ok_flag(df: DataFrame, policies: Sequence[RowPolicy], flag: str = "_ok") -> DataFrame:
+    """Annotate each row with the conjunction of all policies."""
+    pred = F.lit(True)
+    for p in policies:
+        pred = pred & F.coalesce(p.predicate, F.lit(False))
+    return df.withColumn(flag, pred)
+
+
+def check_rows(
+    df: DataFrame, policies: Sequence[RowPolicy]
+) -> tuple[DataFrame, DataFrame]:
+    """Single-pass split into (passed, quarantined).
+
+    RowLevelPolicyChecker.java:103-127: passing records continue down the
+    pipeline; failures go to the err file. Caller is expected to persist
+    ``df`` (or run inside foreachBatch) so the scan happens once.
+    """
+    flagged = with_ok_flag(df, policies)
+    passed = flagged.filter(F.col("_ok")).drop("_ok")
+    quarantined = flagged.filter(~F.col("_ok")).drop("_ok")
+    return passed, quarantined
+
+
+def quarantine_sampled(quarantined: DataFrame, max_ratio: float = 0.1, seed: int = 42) -> DataFrame:
+    """FrontLoadedSampler analog: keep only a sample of error records
+    (gobblin-utility/.../FrontLoadedSampler.java, used at
+    RowLevelPolicyChecker.java:94). A plain Bernoulli sample replaces the
+    front-loaded decay — at scale the err file is a diagnostic, not a log."""
+    return quarantined.sample(False, max_ratio, seed)
+
+
+# ---------------- task-level policies (post-write assertions) ----------------
+
+
+@dataclass
+class TaskPolicyResult:
+    name: str
+    passed: bool
+    detail: str = ""
+    optional: bool = False  # TaskLevelPolicy.Type.OPTIONAL
+
+
+def row_count_policy(extracted: int, written: int) -> TaskPolicyResult:
+    """RowCountPolicy — extracted == written
+    (gobblin-core/.../policies/count/RowCountPolicy.java)."""
+    return TaskPolicyResult(
+        "row_count", extracted == written, f"extracted={extracted} written={written}"
+    )
+
+
+def row_count_range_policy(
+    current: int, previous: int, max_deviation: float
+) -> TaskPolicyResult:
+    """RowCountRangePolicy — |current-previous|/previous <= deviation
+    (gobblin-core/.../policies/count/RowCountRangePolicy.java)."""
+    if previous == 0:
+        ok = current == 0
+        ratio = float("inf") if current else 0.0
+    else:
+        ratio = abs(current - previous) / previous
+        ok = ratio <= max_deviation
+    return TaskPolicyResult("row_count_range", ok, f"deviation={ratio:.4f}")
+
+
+def schema_compatibility_policy(actual: DataFrame, expected_schema) -> TaskPolicyResult:
+    """SchemaCompatibilityPolicy — produced schema contains every expected
+    field with an identical type (gobblin-core/.../policies/schema/
+    SchemaCompatibilityPolicy.java). Extra columns are compatible."""
+    actual_types = {f.name: f.dataType for f in actual.schema.fields}
+    missing = [
+        f.name
+        for f in expected_schema.fields
+        if actual_types.get(f.name) != f.dataType
+    ]
+    return TaskPolicyResult(
+        "schema_compatibility", not missing, f"missing_or_mismatched={missing}"
+    )
+
+
+def audit_count_verifier(
+    source_count: int, dest_count: int, threshold: float = 0.999
+) -> TaskPolicyResult:
+    """KafkaAuditCountVerifier / CompactionAuditCountVerifier — dest tier
+    must contain >= threshold of source-tier records
+    (gobblin-completeness/.../verifier/KafkaAuditCountVerifier.java:44)."""
+    completeness = 1.0 if source_count == 0 else dest_count / source_count
+    return TaskPolicyResult(
+        "audit_count", completeness >= threshold, f"completeness={completeness:.6f}"
+    )
+
+
+def evaluate_task_policies(results: Sequence[TaskPolicyResult]) -> bool:
+    """True iff all non-optional policies passed (TaskLevelPolicy FAIL
+    semantics gate the publish step — see sinks/publish.py)."""
+    return all(r.passed or r.optional for r in results)

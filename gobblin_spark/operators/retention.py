@@ -1,0 +1,110 @@
+"""Retention & compliance-purge operators.
+
+Gobblin's retention framework selects dataset *versions* to delete via
+composable policies, and its compliance module purges rows whose id
+appears in a (small) compliance-id table. References:
+
+- Newest-K: keep the newest K versions, delete the rest
+  (gobblin-data-management/.../retention/policy/NewestKRetentionPolicy.java:39,
+  .../policy/NewestKSelectionPolicy.java).
+- Time-based: select versions by timestamp predicate
+  (.../retention/policy/TimeBasedRetentionPolicy.java:48,
+  .../policy/SelectBetweenTimeBasedPolicy.java:51).
+- Combine: UNION / INTERSECT of per-policy delete sets
+  (.../retention/policy/CombineRetentionPolicy.java:80-82,162-164).
+- GDPR purge: ``a LEFT JOIN ids b ON a.cid=b.cid WHERE b.cid IS NULL``
+  with a ``/*+MAPJOIN(b)*/`` broadcast hint
+  (gobblin-modules/gobblin-compliance/.../purger/HivePurgerQueryTemplate.java:35,83-89).
+
+Scale notes: newest-K is a window over the *version inventory* (small —
+one row per dataset version, not per data row), so the sort-per-key is
+cheap. The purge id-table is small by construction (ids to forget), so it
+is always broadcast: a 100 TB fact table is purged with zero shuffle —
+each scan task filters against the broadcast hash set, and partition
+pruning on the fact side still applies.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def newest_k_deletable(
+    versions: DataFrame,
+    partition_cols: Sequence[str],
+    version_cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Rows beyond the newest K versions per partition → the delete set.
+
+    NewestKRetentionPolicy.java:39: retain newest K, delete the rest.
+    ``version_cols`` must totally order versions (add a unique id last).
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(
+        *[F.col(c).desc_nulls_last() for c in version_cols]
+    )
+    return (
+        versions.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > k)
+        .drop("_rn")
+    )
+
+
+def select_before(versions: DataFrame, ts_col: str, cutoff) -> DataFrame:
+    """Versions strictly older than ``cutoff`` (SelectBeforeTimeBasedPolicy)."""
+    return versions.filter(F.col(ts_col) < F.lit(cutoff))
+
+
+def select_after(versions: DataFrame, ts_col: str, cutoff) -> DataFrame:
+    """Versions at/after ``cutoff`` (SelectAfterTimeBasedPolicy)."""
+    return versions.filter(F.col(ts_col) >= F.lit(cutoff))
+
+
+def select_between(versions: DataFrame, ts_col: str, lo, hi) -> DataFrame:
+    """SelectBetweenTimeBasedPolicy.java:51 — [lo, hi) half-open window."""
+    return versions.filter((F.col(ts_col) >= F.lit(lo)) & (F.col(ts_col) < F.lit(hi)))
+
+
+def combine_delete_sets(
+    sets: Sequence[DataFrame], mode: str = "union"
+) -> DataFrame:
+    """CombineRetentionPolicy.java:80-82,162-164 — UNION/INTERSECT of delete sets."""
+    if not sets:
+        raise ValueError("need at least one delete set")
+    out = sets[0]
+    for s in sets[1:]:
+        if mode == "union":
+            out = out.unionByName(s).dropDuplicates()
+        elif mode == "intersect":
+            out = out.intersect(s)
+        else:
+            raise ValueError(f"unknown combine mode: {mode}")
+    return out
+
+
+def purge_by_id(
+    data: DataFrame,
+    ids: DataFrame,
+    id_col: str,
+    data_id_col: str | None = None,
+) -> DataFrame:
+    """GDPR purge: keep rows whose id is NOT in ``ids`` — broadcast anti-join.
+
+    HivePurgerQueryTemplate.java:83-89 (LEFT JOIN + IS NULL with MAPJOIN
+    hint). Broadcast is forced: the forget-list is small by construction
+    and this keeps a full-table purge shuffle-free.
+    """
+    data_id_col = data_id_col or id_col
+    ids_small = F.broadcast(ids.select(F.col(id_col).alias(data_id_col)).dropDuplicates())
+    return data.join(ids_small, on=data_id_col, how="left_anti")
+
+
+def purge_partition_predicate(retained: DataFrame, partition_col: str) -> Column:
+    """Helper: restrict a purge rewrite to partitions that actually contain
+    affected ids (HivePurgerQueryTemplate writes partition-wise INSERT
+    OVERWRITEs). Returns a Column usable for partition pruning."""
+    parts = [r[0] for r in retained.select(partition_col).distinct().collect()]
+    return F.col(partition_col).isin(parts)

@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets large clusters (100 TB inputs, ~1000 executors); tests
+run on ``local[N]``. All knobs that matter at scale are set here in one
+place so a cluster deployment only overrides sizes, not semantics:
+
+- AQE on (runtime coalesce, skew-join splitting, dynamic broadcast).
+- Arrow on (every pandas-UDF path is Arrow-batched, never row-at-a-time).
+- Shuffle partition count is a parameter: ~2-3x total cores on a real
+  cluster; small fixed number locally so unit tests don't create 200
+  tiny tasks.
+- ``maxPartitionBytes`` 128 MiB: scan parallelism at TB scale comes from
+  file splits, not repartition().
+
+Reference context: Gobblin sizes work with bin-packing heuristics
+(gobblin-api/.../workunit/WorkUnitBinPacker.java:25,
+gobblin-modules/gobblin-kafka-common/.../packer/KafkaBiLevelWorkUnitPacker.java:56);
+on Spark, AQE + file-split planning replace all of that.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_LOCAL_CORES = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "gobblin-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    master = master or f"local[{DEFAULT_LOCAL_CORES}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_LOCAL_CORES
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- deterministic semantics ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: runtime re-plan beats static guesses ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle / scan sizing ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.files.openCostInBytes", "4194304")
+        # --- broadcast: dims up to 64 MiB stay map-side ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- python interchange is always Arrow ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,150 @@
+"""File-based sources: format readers, testdata loader, date-partitioned
+scans with lookback pruning, snapshot-diff incremental file listing.
+
+Reference mapping:
+- FileBasedSource/FileBasedExtractor (gobblin-core/.../filebased/
+  FileBasedSource.java:58, FileBasedExtractor.java:52): list files, diff
+  against the previous run's snapshot, read only the new ones.
+- CsvFileDownloader / GZIPFileDownloader: ``spark.read.csv`` handles
+  codecs + delimiters natively.
+- PartitionedFileSourceBase / DatePartitionedAvroFileSource
+  (gobblin-core/.../source/PartitionedFileSourceBase.java:69,
+  DatePartitionedAvroFileSource.java:57): scan yyyy/MM/dd layouts within
+  a lookback window → here a partition-pruned filter that Catalyst turns
+  into directory pruning (zero I/O outside the window).
+
+The testdata loader also normalizes TIMESTAMP(NANOS) parquet columns
+(Spark reads them only as long via the legacy flag; we convert back to
+TimestampType at µs precision so downstream semantics are standard).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# nanosecond-timestamp columns in the synthetic testdata (TESTDATA.md)
+_NANO_TS_COLS = {"o_orderdate", "l_shipdate", "ts"}
+
+
+def _enable_nano_reads(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # older/newer Spark without the flag — reads may still work
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet reader with nano-timestamp normalization."""
+    _enable_nano_reads(spark)
+    df = spark.read.parquet(path)
+    for f in df.schema.fields:
+        if f.name in _NANO_TS_COLS and isinstance(f.dataType, LongType):
+            df = df.withColumn(
+                f.name, F.timestamp_micros((F.col(f.name) / 1000).cast("long"))
+            )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table from a scale-factor dir (TESTDATA.md)."""
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    sep: str = ",",
+    header: bool = False,
+) -> DataFrame:
+    """CSV source (CsvFileDownloader / CsvToJsonConverter path). Gzip and
+    other codecs are transparent to Spark."""
+    reader = spark.read.option("sep", sep).option("header", str(header).lower())
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """JSON-lines source (SimpleJsonSource / DatePartitionedJsonFileSource)."""
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw line source (HadoopTextFileSource, TokenBasedFileInputStreamExtractor)."""
+    return spark.read.text(path)
+
+
+def date_partitioned_read(
+    spark: SparkSession,
+    base_path: str,
+    fmt: str = "parquet",
+    date_col: str = "date",
+    lookback_days: int | None = None,
+    now: _dt.date | None = None,
+) -> DataFrame:
+    """Read a date-partitioned layout (``.../date=yyyy-MM-dd/``) with an
+    optional lookback window.
+
+    PartitionedFileSourceBase.java:69 scans yyyy/MM/dd directories inside
+    the lookback; here the filter on the partition column is pruned by
+    Catalyst into directory-level pruning (check PartitionFilters in
+    .explain) — files outside the window are never opened.
+    """
+    df = spark.read.format(fmt).option("basePath", base_path).load(base_path)
+    if lookback_days is not None:
+        start = (now or _dt.date.today()) - _dt.timedelta(days=lookback_days)
+        df = df.filter(F.col(date_col) >= F.lit(str(start)))
+    return df
+
+
+def list_files(spark: SparkSession, base_path: str, glob: str = "*") -> DataFrame:
+    """File inventory as a DataFrame (path, size, mtime) — the unit the
+    snapshot-diff and copy-manifest sources operate on."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = path.getFileSystem(hconf)
+    rows = []
+    if fs.exists(path):
+        it = fs.listFiles(path, True)
+        while it.hasNext():
+            st = it.next()
+            rows.append(
+                (st.getPath().toString(), int(st.getLen()), int(st.getModificationTime()))
+            )
+    return spark.createDataFrame(rows, "path string, size long, mtime long")
+
+
+def new_files_only(current: DataFrame, previous_snapshot: DataFrame) -> DataFrame:
+    """FileBasedSource.java:58 snapshot diff: files not present in the
+    previous run's listing (by path) — the incremental file set."""
+    return current.join(
+        F.broadcast(previous_snapshot.select("path")), on="path", how="left_anti"
+    )
