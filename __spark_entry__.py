@@ -3,8 +3,13 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The actual catalog lives in ``gobblin_spark/queries.py`` — one entry
+per implemented operator from SURVEY.md §2 plus the LLM-pipeline
+operators (dedup / similarity / text / multimodal). Queries that
+depend on xxhash64 or LSH bucketing have no SQL oracle and get the
+driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +18,67 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gobblin_spark import queries as _catalog
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship pipeline on /root/testdata/sf0.001: the full Constructs
+    chain — source → converter chain → row-quality split → key-dedup
+    compaction → windowed rollup (SURVEY §0's pipeline restated on
+    DataFrames)."""
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.operators import compaction, converters as C, quality
+    from gobblin_spark.sources.files import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    li = load_table(spark, sf_dir, "lineitem")
+
+    # converter chain: project + filter (Catalyst pushes both to the scan)
+    staged = C.chain(
+        li,
+        lambda d: C.pick_fields(
+            d,
+            [
+                "l_orderkey",
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_returnflag",
+                "l_linestatus",
+                "l_shipdate",
+            ],
+        ),
+        lambda d: C.filter_regex(d, "l_returnflag", "^[ANR]$"),
+    )
+    # row-level quality: keep sane rows, quarantine the rest
+    passed, _quarantined = quality.check_rows(
+        staged,
+        [
+            quality.not_null_policy(["l_orderkey", "l_shipdate"]),
+            quality.range_policy("l_quantity", 0.0, 1e6),
+        ],
+    )
+    # compaction: one row per (orderkey, linenumber), newest ship date wins
+    deduped = compaction.dedup_by_key(
+        passed, ["l_orderkey", "l_linenumber"], ["l_shipdate"]
+    )
+    # rollup (the publish-side audit aggregate)
+    return deduped.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_catalog.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query."""
+    return dict(_catalog.ORACLES)

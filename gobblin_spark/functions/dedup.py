@@ -44,9 +44,15 @@ def dedup_exact(
 
     Returns (kept id, fingerprint, dup_count). Single hash shuffle on the
     digest; map-side partial aggregation applies.
+
+    Null-text documents have no content to compare — md5(null) is null
+    and grouping on it would collapse *distinct* empty docs into one
+    survivor. They pass through as singletons (fp null, dup_count 1)
+    instead of being deduped away.
     """
-    return (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    base = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    grouped = (
+        base.filter(F.col("fp").isNotNull())
         .groupBy("fp")
         .agg(
             F.min(id_col).alias(id_col),
@@ -54,6 +60,10 @@ def dedup_exact(
         )
         .select(id_col, "fp", "dup_count")
     )
+    singletons = base.filter(F.col("fp").isNull()).select(
+        id_col, "fp", F.lit(1).cast("long").alias("dup_count")
+    )
+    return grouped.unionByName(singletons)
 
 
 def ngram_jaccard_pairs(
@@ -62,17 +72,29 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ threshold).
 
     Inverted-index join: explode distinct shingles, self-join on shingle,
     count co-occurrences, combine with per-doc shingle counts. The join
     key is the shingle (high cardinality → well-distributed shuffle);
-    hot shingles are the skew risk — AQE skew-join handles moderate skew,
-    and ``df.filter`` on document frequency can drop stop-shingles first.
+    hot shingles are the skew risk — a shingle shared by d documents
+    contributes d² join rows, so a single stop-shingle in 1M docs means
+    10^12 rows. ``max_doc_freq`` caps that: shingles appearing in more
+    than that many documents are dropped from the *intersection* count
+    only (per-doc sizes keep them, so Jaccard becomes a conservative
+    lower bound — pairs are never over-reported). At scale this operator
+    is the re-rank stage after MinHash/LSH candidate generation, with
+    ``max_doc_freq`` as the mandatory guardrail.
     """
     sh = word_shingles(df.select(id_col, text_col), text_col, n).select(id_col, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    if max_doc_freq is not None:
+        doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        keep = doc_freq.filter(F.col("_df") <= max_doc_freq).select("shingle")
+        sh = sh.join(keep, "shingle")
 
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")

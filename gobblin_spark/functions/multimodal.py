@@ -125,10 +125,24 @@ def frame_sample_plan(df: DataFrame, every_n_seconds: int = 5) -> DataFrame:
     )
 
 
-def repartition_by_bytes(df: DataFrame, target_bytes_per_partition: int = 128 << 20) -> DataFrame:
-    """Spread large blobs evenly: repartition so each task handles about
-    ``target_bytes_per_partition`` of payload. Uses a running estimate
-    from the byte_len column (requires attach_binary_metadata first)."""
-    total = df.agg(F.sum("byte_len")).first()[0] or 0
-    n = max(1, int(total // target_bytes_per_partition) + 1)
+def repartition_by_bytes(
+    df: DataFrame,
+    target_bytes_per_partition: int = 128 << 20,
+    total_bytes: int | None = None,
+) -> DataFrame:
+    """Size the partition COUNT from total payload bytes and hash-spread
+    rows across it.
+
+    Pass ``total_bytes`` (e.g. summed from the file inventory that fed
+    the read — ``list_files`` returns sizes) to keep the plan lazy; if
+    omitted, one eager ``sum(byte_len)`` job runs and the upstream plan
+    is computed twice — acceptable only right after a scan, never
+    mid-pipeline. Hashing on the full row spreads blobs uniformly in
+    EXPECTATION; exact byte-balanced bin-packing is not attempted (it
+    would serialize planning on the driver). At read time prefer sizing
+    via ``spark.sql.files.maxPartitionBytes`` instead.
+    """
+    if total_bytes is None:
+        total_bytes = df.agg(F.sum("byte_len")).first()[0] or 0
+    n = max(1, int(total_bytes // target_bytes_per_partition) + 1)
     return df.repartition(n)

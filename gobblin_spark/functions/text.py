@@ -79,9 +79,9 @@ def quality_score(col: Column) -> Column:
 
 
 def lang_id(col: Column) -> Column:
-    """Heuristic language ID: most stopword-marker hits wins; ties and
-    zero hits → 'und' (undetermined). Deterministic tie order = sorted
-    language codes."""
+    """Heuristic language ID: most stopword-marker hits wins; zero hits
+    → 'und' (undetermined). Ties resolve to the alphabetically smallest
+    language code (deterministic; 'de' beats 'en' on a tie)."""
     lowered = F.lower(col)
     scores = {
         lang: F.regexp_count(
@@ -123,6 +123,9 @@ def word_shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shin
 
     Adds ``out_col``; one output row per (row, distinct shingle).
     Documents with fewer than n words produce one shingle of all words.
+    Empty/blank documents produce NO shingles (they would otherwise all
+    share the single '' shingle and read as Jaccard-1 duplicates of each
+    other); null-text rows likewise emit nothing.
     """
     words = F.split(normalize_text(F.col(text_col)), " ")
     n_words = F.size(words)
@@ -130,4 +133,6 @@ def word_shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shin
     shingles = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
     )
-    return df.withColumn(out_col, F.explode(F.array_distinct(shingles)))
+    return df.withColumn(
+        out_col, F.explode(F.array_distinct(shingles))
+    ).filter(F.col(out_col) != "")

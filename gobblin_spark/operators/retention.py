@@ -105,6 +105,12 @@ def purge_by_id(
 def purge_partition_predicate(retained: DataFrame, partition_col: str) -> Column:
     """Helper: restrict a purge rewrite to partitions that actually contain
     affected ids (HivePurgerQueryTemplate writes partition-wise INSERT
-    OVERWRITEs). Returns a Column usable for partition pruning."""
+    OVERWRITEs). Returns a Column usable for partition pruning.
+
+    Driver-side collect is intentional and bounded: the input is the
+    *partition inventory of rows containing forget-ids* (≤ total
+    partition count — thousands, not data rows). A literal IN-list is
+    what static partition pruning needs; a semi-join would shuffle and
+    not prune directories."""
     parts = [r[0] for r in retained.select(partition_col).distinct().collect()]
     return F.col(partition_col).isin(parts)

@@ -1,0 +1,927 @@
+"""Query catalog: one named query per implemented operator + its DuckDB oracle.
+
+This is the driver-contract surface (``__spark_entry__.py`` re-exports it):
+every operator family from SURVEY.md §2 gets a named callable
+``(spark, sf_dir) → DataFrame`` and, where ANSI-SQL-expressible, a DuckDB
+oracle string producing the same rows (same column NAMES and types — the
+driver sorts columns by name and hashes values).
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+- every timestamp column is ``timestamp_ntz`` (no session-timezone term);
+- double aggregates are ``round()``-ed with the same expression shape on
+  both sides (identical left-to-right arithmetic where bit-exactness
+  matters, e.g. ratios and cosines);
+- integer-ish columns are pinned to the same width (DuckDB ``len()``/
+  ``year()``/``row_number()`` return BIGINT → cast to INT to match Spark);
+- queries relying on xxhash64 / LSH bucketing (minhash, simhash,
+  embedding LSH) have NO oracle — the driver records rows-only checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gobblin_spark.functions import dedup, multimodal, similarity, text
+from gobblin_spark.operators import (
+    compaction,
+    converters as C,
+    fork,
+    limits,
+    quality,
+    retention,
+    windows,
+)
+from gobblin_spark.sources.files import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ------------------------------------------------------------------
+# §2.5 row-transform converters
+# ------------------------------------------------------------------
+
+
+@q(
+    "convert_pick_filter",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def convert_pick_filter(spark, sf_dir):
+    """AvroFieldsPickConverter + AvroFilterConverter chained (MultiConverter)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return C.chain(
+        li,
+        lambda d: C.pick_fields(
+            d, ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"]
+        ),
+        lambda d: C.filter_field_equals(d, "l_returnflag", "R"),
+    )
+
+
+@q(
+    "convert_drop_project",
+    "SELECT p_partkey, p_name, p_brand, p_type FROM part",
+)
+def convert_drop_project(spark, sf_dir):
+    """AvroProjectionConverter (drop listed fields)."""
+    return C.project_drop(
+        load_table(spark, sf_dir, "part"), ["p_retailprice", "p_size"]
+    )
+
+
+@q(
+    "convert_flatten_nested",
+    """
+    SELECT event_id, user_id AS meta_user_id, event_type AS meta_event_type, value
+    FROM events
+    """,
+)
+def convert_flatten_nested(spark, sf_dir):
+    """FlattenNestedKeyConverter / whole-schema flatten (struct → prefixed cols)."""
+    ev = load_table(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id", F.struct("user_id", "event_type").alias("meta"), "value"
+    )
+    return C.flatten_all(nested)
+
+
+@q(
+    "convert_split_explode",
+    r"""
+    SELECT doc_id, token FROM (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+      FROM documents WHERE doc_id % 20 = 0
+    ) WHERE token <> ''
+    """,
+)
+def convert_split_explode(spark, sf_dir):
+    """StringSplitterConverter — the canonical 1→N flatMap converter."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return C.split_explode(docs.select("doc_id", "text"), "text", r"\s+")
+
+
+@q(
+    "convert_sample_md5",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def convert_sample_md5(spark, sf_dir):
+    """SamplingConverter (deterministic engine-portable variant)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return C.sample_deterministic(o, "o_orderkey", ["0", "1"])
+
+
+@q(
+    "convert_json_parse",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+    FROM events
+    """,
+)
+def convert_json_parse(spark, sf_dir):
+    """JsonStringToJsonIntermediateConverter (from_json)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = C.parse_json_column(ev, "props", "k INT")
+    return parsed.select("event_id", F.col("parsed.k").alias("prop_k"))
+
+
+@q(
+    "convert_grok_parse",
+    """
+    SELECT doc_id, nullif(regexp_extract(text, '^([a-z]+)', 1), '') AS first_word
+    FROM documents
+    """,
+)
+def convert_grok_parse(spark, sf_dir):
+    """GrokToJsonConverter — regex field extraction with null-on-no-match."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return C.grok_parse(docs, "text", {"first_word": r"^([a-z]+)"}, drop_source=True)
+
+
+@q(
+    "convert_parse_timestamp",
+    """
+    SELECT event_id,
+           strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_parsed
+    FROM events
+    """,
+)
+def convert_parse_timestamp(spark, sf_dir):
+    """JsonElementConversionFactory date/time matrix: format → timestamp."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str")
+    )
+    return s.select(
+        "event_id",
+        F.to_timestamp_ntz(F.col("ts_str"), F.lit("yyyy-MM-dd HH:mm:ss")).alias(
+            "ts_parsed"
+        ),
+    )
+
+
+@q(
+    "convert_cast",
+    """
+    SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber
+    FROM lineitem
+    """,
+)
+def convert_cast(spark, sf_dir):
+    """Cast converters (TextToString/StringToBytes family)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return C.cast_columns(li, {"l_orderkey": "string", "l_linenumber": "long"})
+
+
+# ------------------------------------------------------------------
+# §2.7 quality
+# ------------------------------------------------------------------
+
+_QUALITY_COND = (
+    "coalesce(user_id IS NOT NULL, false) AND coalesce(value >= 0, false) "
+    "AND coalesce(ts >= TIMESTAMP '2024-01-05 00:00:00', false)"
+)
+
+
+def _quality_split(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    policies = [
+        quality.not_null_policy(["user_id"]),
+        quality.range_policy("value", 0.0, 1e9),
+        quality.timestamp_lower_bound_policy(
+            "ts", F.expr("TIMESTAMP_NTZ '2024-01-05 00:00:00'")
+        ),
+    ]
+    return quality.check_rows(ev, policies)
+
+
+@q(
+    "quality_passed",
+    f"SELECT event_id, user_id, ts, value FROM events WHERE {_QUALITY_COND}",
+)
+def quality_passed(spark, sf_dir):
+    """RowLevelPolicyChecker pass branch."""
+    return _quality_split(spark, sf_dir)[0]
+
+
+@q(
+    "quality_quarantined",
+    f"SELECT event_id, user_id, ts, value FROM events WHERE NOT ({_QUALITY_COND})",
+)
+def quality_quarantined(spark, sf_dir):
+    """RowLevelPolicyChecker ERR_FILE quarantine branch."""
+    return _quality_split(spark, sf_dir)[1]
+
+
+# ------------------------------------------------------------------
+# §2.9 compaction
+# ------------------------------------------------------------------
+
+
+@q(
+    "compaction_dedup_events",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC
+    ) = 1
+    """,
+)
+def compaction_dedup_events(spark, sf_dir):
+    """AvroKeyDedupReducer: keep-one-per-key, max delta (ts, id)."""
+    ev = load_table(spark, sf_dir, "events")
+    return compaction.dedup_by_key(
+        ev, ["user_id", "event_type"], ["ts", "event_id"]
+    )
+
+
+@q(
+    "compaction_merge_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 10 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice + 1000.0 AS o_totalprice, o_orderdate,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def compaction_merge_orders(spark, sf_dir):
+    """SerialCompactor snapshot-delta merge (left_anti + unionByName).
+
+    The delta mutation is a single double add (bit-identical in any
+    engine) — multiplicative+round mutations land on .005 half-points.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    delta = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+    )
+    return compaction.snapshot_delta_merge(o, delta, ["o_orderkey"])
+
+
+@q(
+    "compaction_dup_stats",
+    """
+    SELECT user_id, event_type, count(*) AS record_count
+    FROM events GROUP BY user_id, event_type HAVING count(*) > 1
+    """,
+)
+def compaction_dup_stats(spark, sf_dir):
+    """InputRecordCountHelper-style per-key duplicate counts."""
+    ev = load_table(spark, sf_dir, "events")
+    return compaction.duplicate_stats(ev, ["user_id", "event_type"])
+
+
+# ------------------------------------------------------------------
+# §2.9 retention + purge
+# ------------------------------------------------------------------
+
+
+@q(
+    "retention_newest_k",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+    QUALIFY row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) > 3
+    """,
+)
+def retention_newest_k(spark, sf_dir):
+    """NewestKRetentionPolicy — delete set beyond newest 3 per customer."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return retention.newest_k_deletable(
+        o, ["o_custkey"], ["o_orderdate", "o_orderkey"], k=3
+    )
+
+
+@q(
+    "retention_select_between",
+    """
+    SELECT o_orderkey, o_orderdate FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def retention_select_between(spark, sf_dir):
+    """SelectBetweenTimeBasedPolicy [lo, hi)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return retention.select_between(
+        o,
+        "o_orderdate",
+        F.expr("TIMESTAMP_NTZ '1996-01-01 00:00:00'"),
+        F.expr("TIMESTAMP_NTZ '1997-01-01 00:00:00'"),
+    )
+
+
+def _retention_sets(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    s1 = retention.select_before(
+        o, "o_orderdate", F.expr("TIMESTAMP_NTZ '1996-06-01 00:00:00'")
+    ).select("o_orderkey")
+    s2 = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return s1, s2
+
+
+@q(
+    "retention_combine_union",
+    """
+    SELECT DISTINCT o_orderkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-06-01' OR o_orderstatus = 'F'
+    """,
+)
+def retention_combine_union(spark, sf_dir):
+    """CombineRetentionPolicy UNION of delete sets."""
+    s1, s2 = _retention_sets(spark, sf_dir)
+    return retention.combine_delete_sets([s1, s2], "union")
+
+
+@q(
+    "retention_combine_intersect",
+    """
+    SELECT DISTINCT o_orderkey FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-06-01' AND o_orderstatus = 'F'
+    """,
+)
+def retention_combine_intersect(spark, sf_dir):
+    """CombineRetentionPolicy INTERSECT of delete sets."""
+    s1, s2 = _retention_sets(spark, sf_dir)
+    return retention.combine_delete_sets([s1, s2], "intersect")
+
+
+@q(
+    "purge_by_id",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey % 7 = 0 AND c.c_custkey = o.o_custkey
+    )
+    """,
+)
+def purge_by_id(spark, sf_dir):
+    """GDPR purge — broadcast anti-join against the forget-id table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    ids = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey")
+    )
+    return retention.purge_by_id(o, ids, "c_custkey", "o_custkey")
+
+
+# ------------------------------------------------------------------
+# §2.10 limits / top-k
+# ------------------------------------------------------------------
+
+
+@q(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def topk_orders(spark, sf_dir):
+    """NewestKSelectionPolicy-style top-k (TakeOrderedAndProject plan)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return limits.top_k(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 10
+    )
+
+
+# ------------------------------------------------------------------
+# §2.11 windows
+# ------------------------------------------------------------------
+
+
+@q(
+    "window_tumbling_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def window_tumbling_daily(spark, sf_dir):
+    """Tumbling 1-day window aggregation (TimeBasedWriterPartitioner analog)."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.tumbling_agg(
+        ev,
+        "ts",
+        "1 day",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+        keys=["event_type"],
+    )
+
+
+@q(
+    "window_session_user",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), grouped AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM grouped GROUP BY user_id, sid
+    """,
+)
+def window_session_user(spark, sf_dir):
+    """Session windows (parity-plus; gap = 5 minutes)."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.session_agg(
+        ev, "ts", "5 minutes", [F.count(F.lit(1)).alias("n_events")], keys=["user_id"]
+    )
+
+
+@q(
+    "window_time_partitions",
+    """
+    SELECT CAST(year(l_shipdate) AS INT) AS year,
+           CAST(month(l_shipdate) AS INT) AS month,
+           CAST(day(l_shipdate) AS INT) AS day,
+           count(*) AS n, round(sum(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY 1, 2, 3
+    """,
+)
+def window_time_partitions(spark, sf_dir):
+    """TimeBasedWriterPartitioner partition-key derivation + rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = windows.time_partition_columns(li, "l_shipdate")
+    return parts.groupBy("year", "month", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("sum_qty")
+    )
+
+
+# ------------------------------------------------------------------
+# §2.8 fork
+# ------------------------------------------------------------------
+
+
+@q(
+    "fork_branch_counts",
+    """
+    SELECT 0 AS branch, count(*) AS n FROM events WHERE value > 50
+    UNION ALL
+    SELECT 1 AS branch, count(*) AS n FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT 2 AS branch, count(*) AS n FROM events
+    WHERE NOT (value > 50) AND event_type <> 'click'
+    """,
+)
+def fork_branch_counts(spark, sf_dir):
+    """ForkOperator mask routing (overlapping masks allowed) — audited
+    via with_branch_ids + per-branch counts."""
+    ev = load_table(spark, sf_dir, "events")
+    masks = [
+        F.col("value") > 50,
+        F.col("event_type") == "click",
+        ~(F.col("value") > 50) & (F.col("event_type") != "click"),
+    ]
+    branched = fork.with_branch_ids(ev, masks)
+    return branched.groupBy("branch").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ------------------------------------------------------------------
+# LLM text analysis
+# ------------------------------------------------------------------
+
+_NORM_SQL = (
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+
+@q(
+    "text_token_stats",
+    rf"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT)
+             AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
+        text.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@q(
+    "text_quality_scores",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS n_punct,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE)
+               AS n_toks
+      FROM documents
+    )
+    SELECT doc_id,
+           round(CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_alpha / n_chars_d END, 6)
+             AS alpha_ratio,
+           round(CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_punct / n_chars_d END, 6)
+             AS punct_ratio,
+           round(((CASE WHEN n_chars_d = 0 THEN 0.0 ELSE n_alpha / n_chars_d END)
+                  + (1.0 - (CASE WHEN n_chars_d = 0 THEN 0.0
+                            ELSE n_punct / n_chars_d END))
+                  + least(1.0, n_toks / 20.0)) / 3.0, 6) AS quality_score
+    FROM m
+    """,
+)
+def text_quality_scores(spark, sf_dir):
+    """Quality scoring: alpha/punct ratios + composite score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(text.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
+        F.round(text.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        text.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = "|".join(text.LANG_MARKERS[lang])
+    return rf"len(regexp_extract_all(lower(text), '\b({words})\b'))"
+
+
+@q(
+    "text_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             {_lang_score_sql("de")} AS s_de, {_lang_score_sql("en")} AS s_en,
+             {_lang_score_sql("es")} AS s_es, {_lang_score_sql("fr")} AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Language ID heuristic (stopword-marker hits; alphabetical tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@q(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting (normalize + md5)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+
+
+# ------------------------------------------------------------------
+# LLM dedup
+# ------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact_docs",
+    f"""
+    WITH fps AS (SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents)
+    SELECT min(doc_id) AS doc_id, fp, count(*) AS dup_count
+    FROM fps WHERE fp IS NOT NULL GROUP BY fp
+    UNION ALL
+    SELECT doc_id, fp, CAST(1 AS BIGINT) AS dup_count FROM fps WHERE fp IS NULL
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup via content fingerprint (null-text rows pass as singletons)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, "doc_id", "text")
+
+
+@q(
+    "ngram_jaccard_docs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS words
+      FROM documents WHERE doc_id % 5 = 0
+    ), idx AS (
+      SELECT doc_id, words,
+             unnest(range(1, greatest(len(words) - 2, 0) + 2)) AS i
+      FROM norm
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+1], ' ') AS shingle
+      FROM idx WHERE array_to_string(words[i:i+1], ' ') <> ''
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE)
+                 / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+          >= 0.08
+    """,
+)
+def ngram_jaccard_docs(spark, sf_dir):
+    """Exact n-gram Jaccard pairs (inverted-index join) on a doc subset.
+
+    Bigrams (n=2) — the synthetic corpus has a tiny vocabulary, so
+    trigram Jaccard is ~0 everywhere; bigrams give a populated result.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
+
+
+@q("minhash_lsh_docs")  # xxhash64-based — no SQL oracle; rows-only check
+def minhash_lsh_docs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (banded, never all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
+    )
+
+
+@q("simhash_docs")  # xxhash64-based — rows-only check
+def simhash_docs(spark, sf_dir):
+    """SimHash64 + pigeonhole-banded near-dup pairs (Hamming ≤ 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# ------------------------------------------------------------------
+# similarity search
+# ------------------------------------------------------------------
+
+_COS_SQL = """
+    list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(c.embedding, x -> CAST(x AS DOUBLE)))
+    / (sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(q.embedding, x -> CAST(x AS DOUBLE))))
+       * sqrt(list_dot_product(list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                               list_transform(c.embedding, x -> CAST(x AS DOUBLE)))))
+"""
+
+
+@q(
+    "cosine_topk_embeddings",
+    f"""
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL} AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_SQL} DESC, c.vec_id ASC
+             ) AS rnk
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rnk <= 5
+    """,
+)
+def cosine_topk_embeddings(spark, sf_dir):
+    """Brute-force cosine top-k (broadcast queries, corpus streams)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(queries, emb, "vec_id", "embedding", k=5)
+
+
+@q("embedding_near_dup")  # LSH-bucketed (approximate) — rows-only check
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.2
+    )
+
+
+# ------------------------------------------------------------------
+# multimodal
+# ------------------------------------------------------------------
+
+
+@q(
+    "multimodal_metadata",
+    """
+    SELECT doc_id AS media_id, 'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def multimodal_metadata(spark, sf_dir):
+    """Binary-column metadata (length/sha256) computed JVM-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return media.select("media_id", "media_type", "byte_len", "sha256")
+
+
+@q(
+    "multimodal_frame_plan",
+    """
+    SELECT media_id, CAST(unnest(range(0, dur + 1, 5)) AS INT) AS frame_ts
+    FROM (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) % 120 + 1 AS INT) AS dur
+      FROM documents
+    )
+    """,
+)
+def multimodal_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: explode one row per planned frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.frame_sample_plan(media, every_n_seconds=5)
+
+
+@q("multimodal_decode_fake")  # mapInPandas plumbing — rows-only check
+def multimodal_decode_fake(spark, sf_dir):
+    """Arrow-batched decode stage (deterministic fake codec — env has no PIL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.decode_image_features(media, fake=True)
+
+
+# ------------------------------------------------------------------
+# headline relational queries (bench + parity with Catalyst plans)
+# ------------------------------------------------------------------
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — the flagship scan+agg plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.expr("TIMESTAMP_NTZ '1998-09-01 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_segment_revenue",
+    """
+    SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey
+    HAVING sum(l_extendedprice * (1 - l_discount)) > 100000
+    """,
+)
+def q3_segment_revenue(spark, sf_dir):
+    """TPC-H Q3-style: broadcast dim join chain + agg + selective having."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.round(rev, 4).alias("revenue"), rev.alias("_raw"))
+        .filter(F.col("_raw") > 100000)
+        .select("l_orderkey", "revenue")
+    )
+
+
+@q(
+    "q5_region_volume",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN supplier ON s_nationkey = n_nationkey
+                JOIN lineitem ON l_suppkey = s_suppkey
+    WHERE r_name IN ('ASIA', 'AMERICA')
+    GROUP BY n_name
+    """,
+)
+def q5_region_volume(spark, sf_dir):
+    """TPC-H Q5-style: star join over region/nation/supplier dims."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "AMERICA")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        supplier.join(
+            nation.join(region, F.col("n_regionkey") == F.col("r_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(dims, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# Queries whose wall-time bench.py reports (run at sf0.1).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_region_volume",
+    "compaction_dedup_events",
+    "compaction_merge_orders",
+    "purge_by_id",
+    "window_tumbling_daily",
+    "text_quality_scores",
+    "dedup_exact_docs",
+    "minhash_lsh_docs",
+    "simhash_docs",
+    "cosine_topk_embeddings",
+]

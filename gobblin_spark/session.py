@@ -55,8 +55,11 @@ def get_spark(
         # --- python interchange is always Arrow ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Applied only when *this python process* launches the JVM (pyspark
+        # passes it to spark-submit); a no-op if a session already exists
+        # or under spark-submit — set --driver-memory there instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

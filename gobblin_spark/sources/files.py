@@ -51,13 +51,28 @@ def _enable_nano_reads(spark: SparkSession) -> None:
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet reader with nano-timestamp normalization."""
+    """Parquet reader with nano-timestamp normalization.
+
+    TIMESTAMP(NANOS) columns arrive as epoch-nano longs (legacy flag);
+    they are converted to timestamp_ntz at µs precision with *integer*
+    division — ``/`` on longs is double division and epoch-nanos
+    (~1.7e18) exceed double's 53-bit mantissa, so the float path can be
+    off by ±1µs. ``div`` keeps the arithmetic in int64. The cast to
+    timestamp_ntz matches how Spark reads the MICROS-typed tables
+    (session tz is pinned UTC, so wall-clock is preserved).
+    """
     _enable_nano_reads(spark)
     df = spark.read.parquet(path)
     for f in df.schema.fields:
         if f.name in _NANO_TS_COLS and isinstance(f.dataType, LongType):
+            # timestampadd on an NTZ base stays NTZ end-to-end — no
+            # instant/session-timezone round-trip anywhere.
             df = df.withColumn(
-                f.name, F.timestamp_micros((F.col(f.name) / 1000).cast("long"))
+                f.name,
+                F.expr(
+                    f"timestampadd(MICROSECOND, `{f.name}` div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
             )
     return df
 
