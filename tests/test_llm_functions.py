@@ -1,0 +1,186 @@
+"""LLM-pipeline function tests: text metrics, dedup families, similarity,
+multimodal plumbing."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from gobblin_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the QUICK brown fox jumps over the lazy dog!!"),
+            Row(doc_id=3, text="completely different content about spark engines"),
+            Row(doc_id=4, text=None),
+            Row(doc_id=5, text="   "),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [Row(t="a b  c"), Row(t=""), Row(t="x1, y2!")], "t string"
+    )
+    out = df.select(
+        text.whitespace_token_count(F.col("t")).alias("ws"),
+        text.bpe_ish_token_count(F.col("t")).alias("bpe"),
+    ).collect()
+    assert [r.ws for r in out] == [3, 0, 2]
+    # 'x1, y2!' → x,1,',',y,2,'!' = 6 bpe-ish tokens
+    assert [r.bpe for r in out] == [3, 0, 6]
+
+
+def test_ratios_and_quality(spark):
+    df = spark.createDataFrame([Row(t="ab!?"), Row(t="")], "t string")
+    r = df.select(
+        text.alpha_ratio(F.col("t")).alias("a"),
+        text.punct_ratio(F.col("t")).alias("p"),
+        text.quality_score(F.col("t")).alias("q"),
+    ).collect()
+    assert r[0].a == 0.5 and r[0].p == 0.5
+    assert r[1].a == 0.0 and r[1].p == 0.0 and r[1].q == round(1.0 / 3, 6)
+
+
+def test_lang_id_ties_alpha_first(spark):
+    df = spark.createDataFrame(
+        [Row(t="the cat and dog"), Row(t="der hund ist nicht da"), Row(t="zzz qqq")],
+        "t string",
+    )
+    out = [r.l for r in df.select(text.lang_id(F.col("t")).alias("l")).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_fingerprint_normalization(docs):
+    fps = {
+        r.doc_id: r.fp
+        for r in docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[1] == fps[2]  # case/punct-insensitive
+    assert fps[1] != fps[3]
+
+
+def test_dedup_exact_nulls_are_singletons(docs):
+    out = dedup.dedup_exact(docs, "doc_id", "text").collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].dup_count == 2  # doc 2 collapsed into doc 1
+    assert 2 not in by_id
+    assert by_id[4].dup_count == 1 and by_id[4].fp is None  # null passes through
+    # blank doc normalizes to '' → still fingerprinted (a real value)
+    assert by_id[5].dup_count == 1
+
+
+def test_word_shingles_no_empty(docs):
+    sh = text.word_shingles(docs, "text", 3)
+    assert sh.filter(F.col("doc_id").isin(4, 5)).count() == 0
+    assert sh.filter(F.col("doc_id") == 1).count() > 0
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert rows == [(1, 2)]
+
+
+def test_ngram_jaccard_max_doc_freq_guardrail(docs):
+    # dropping every shingle (df<=0 impossible → keep none) yields no pairs
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.1, max_doc_freq=1
+    )
+    # shingles shared by docs 1+2 have doc_freq 2 > 1 → intersection empty
+    assert pairs.count() == 0
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.8
+    )
+    rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert (1, 2) in rows
+
+
+def test_simhash_near_dup(docs):
+    pairs = dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert (1, 2) in rows
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.99, 0.1, 0.0]),
+            Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+            Row(vec_id=4, embedding=[0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_topk_exact(vectors):
+    out = similarity.cosine_topk(
+        vectors.filter(F.col("vec_id") == 1), vectors, "vec_id", "embedding", k=2
+    ).collect()
+    assert [(r.neighbor_id, r.rank) for r in out] == [(2, 1), (3, 2)]
+    assert out[0].cosine > 0.99
+
+
+def test_embedding_near_dup_pairs(vectors):
+    pairs = similarity.embedding_near_dup_pairs(
+        vectors, "vec_id", "embedding", dim=3, threshold=0.95, n_planes=8, bands=4
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_lsh_topk_contains_true_neighbor(vectors):
+    out = similarity.lsh_cosine_topk(
+        vectors.filter(F.col("vec_id") == 1),
+        vectors,
+        "vec_id",
+        "embedding",
+        dim=3,
+        k=1,
+        n_planes=8,
+        bands=8,  # 1-plane bands → high recall on tiny corpus
+    ).collect()
+    assert out and out[0].neighbor_id == 2
+
+
+def test_multimodal_metadata_matches_hashlib(docs, spark):
+    media = multimodal.documents_as_media(docs.filter(F.col("doc_id") == 1))
+    row = media.first()
+    raw = "The quick brown fox jumps over the lazy dog".encode()
+    assert row.byte_len == len(raw)
+    assert row.sha256 == hashlib.sha256(raw).hexdigest()
+
+
+def test_multimodal_decode_fake_deterministic(docs):
+    media = multimodal.documents_as_media(docs.filter(F.col("text").isNotNull()))
+    feats = multimodal.decode_image_features(media, fake=True)
+    a = sorted((r.media_id, r.width, r.height, r.feature_hash) for r in feats.collect())
+    b = sorted((r.media_id, r.width, r.height, r.feature_hash) for r in feats.collect())
+    assert a == b
+    assert all(64 <= w < 256 for _, w, _, _ in a)
+
+
+def test_multimodal_decode_real_raises(docs):
+    media = multimodal.documents_as_media(docs.limit(1))
+    feats = multimodal.decode_image_features(media, fake=False)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):  # NotImplementedError inside the UDF
+        feats.collect()
+
+
+def test_frame_sample_plan(docs):
+    media = multimodal.documents_as_media(docs.filter(F.col("doc_id") == 1))
+    frames = multimodal.frame_sample_plan(media, every_n_seconds=5)
+    n = frames.count()
+    dur = media.first().byte_len % 120 + 1
+    assert n == len(range(0, dur + 1, 5))
