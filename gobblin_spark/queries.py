@@ -910,6 +910,47 @@ def q5_region_volume(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------
+# §2.3-2.4 sinks + atomic publish
+# ------------------------------------------------------------------
+
+
+@q(
+    "sink_roundtrip_partitioned",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS year,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+def sink_roundtrip_partitioned(spark, sf_dir):
+    """Full write-audit-publish round trip (FsDataWriter.java:58 +
+    BaseDataPublisher.java:100): stage orders partitioned by event-time
+    (TimeBasedWriterPartitioner.java:59), audit the staged row count,
+    publish via atomic rename + _SUCCESS, then aggregate the PUBLISHED
+    files — green iff layout + publish preserved every row."""
+    import tempfile
+
+    from gobblin_spark.operators import quality
+    from gobblin_spark.sinks import publish as P, writers as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    final = tempfile.mkdtemp(prefix="gobblin_sink_rt_") + "/orders"
+    part_df, cols = W.with_time_partitions(orders, "o_orderdate", "month")
+    staged = P.stage(part_df, final, partition_by=cols)
+    P.audit(staged, spark, [lambda df: quality.row_count_policy(n, df.count())])
+    report = P.commit([staged], spark)
+    if not (report.committed and P.is_published(spark, final)):
+        raise AssertionError(f"publish failed: {report}")
+    back = spark.read.parquet(final)
+    return back.groupBy(F.col("year").cast("int").alias("year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -1,0 +1,242 @@
+"""Atomic publish protocol: staging write → audit → rename to final →
+``_SUCCESS`` marker, with Gobblin's job-commit policies.
+
+Reference mapping (all relative to /root/reference/):
+- DataPublisher iface (gobblin-api/.../publisher/DataPublisher.java:36,75).
+- BaseDataPublisher (gobblin-core/.../publisher/BaseDataPublisher.java:100):
+  move task-output → final dir with parent creation and subpath
+  preservation; here ``publish_staged`` renames every child of the
+  staging dir into the final dir — O(children) metadata ops, zero data
+  movement on HDFS-like filesystems.
+- TimePartitionedDataPublisher (gobblin-core/.../publisher/
+  TimePartitionedDataPublisher.java:39): subpaths (partition dirs) are
+  preserved by the recursive merge-rename.
+- JobCommitPolicy (gobblin-core-base/.../extractor/JobCommitPolicy.java:35):
+  COMMIT_ON_FULL_SUCCESS / COMMIT_ON_PARTIAL_SUCCESS /
+  COMMIT_SUCCESSFUL_TASKS over a set of staged datasets.
+- SafeDatasetCommit (gobblin-runtime/.../SafeDatasetCommit.java:67):
+  per-dataset isolation — one dataset's audit failure never blocks
+  another's publish (except under FULL_SUCCESS).
+- Write-audit-publish: task-level policies (operators/quality.py) run
+  against the STAGED output before any rename — bad data never becomes
+  visible (TaskLevelPolicy.java:24 FAIL semantics).
+
+Scale notes: the data is written exactly once (to staging, fully
+parallel); publish is driver-side metadata work proportional to the
+number of partition directories, not bytes. On object stores without
+atomic rename, point staging and final at the same bucket and rely on
+the store's server-side rename/copy; the protocol is unchanged.
+"""
+
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gobblin_spark.operators.quality import TaskPolicyResult, evaluate_task_policies
+from gobblin_spark.sinks.writers import WriteResult, write_data
+
+SUCCESS_MARKER = "_SUCCESS"
+
+
+class JobCommitPolicy(Enum):
+    """JobCommitPolicy.java:35 — what to publish when some datasets fail."""
+
+    COMMIT_ON_FULL_SUCCESS = "full"
+    COMMIT_ON_PARTIAL_SUCCESS = "partial"
+    COMMIT_SUCCESSFUL_TASKS = "successful"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
+def _merge_rename(fs, jvm, src, dst) -> int:
+    """Recursively move children of *src* under *dst* (BaseDataPublisher's
+    addWritableDirToDatasetFiles behavior): existing final partition dirs
+    are merged, files are moved by rename. Returns files moved."""
+    if not fs.exists(dst):
+        fs.mkdirs(dst.getParent()) if dst.getParent() is not None else None
+        if fs.rename(src, dst):
+            return 1
+        raise IOError(f"rename failed: {src} -> {dst}")
+    if fs.getFileStatus(src).isFile():
+        # collision on a file: replace (staging is the new truth)
+        fs.delete(dst, False)
+        if not fs.rename(src, dst):
+            raise IOError(f"rename failed: {src} -> {dst}")
+        return 1
+    moved = 0
+    for st in fs.listStatus(src):
+        child = st.getPath()
+        moved += _merge_rename(fs, jvm, child, jvm.org.apache.hadoop.fs.Path(dst, child.getName()))
+    return moved
+
+
+@dataclass
+class StagedDataset:
+    """One dataset's staged write awaiting publish (SafeDatasetCommit's
+    unit of isolation)."""
+
+    name: str
+    staging_dir: str
+    final_dir: str
+    write: WriteResult | None = None
+    audits: list[TaskPolicyResult] = field(default_factory=list)
+
+    @property
+    def audit_ok(self) -> bool:
+        return evaluate_task_policies(self.audits)
+
+
+@dataclass
+class PublishReport:
+    published: list[str] = field(default_factory=list)
+    aborted: list[str] = field(default_factory=list)
+    committed: bool = False
+
+
+def staging_dir_for(final_dir: str, job_id: str | None = None) -> str:
+    """A unique sibling staging dir (FsDataWriter's task-staging idea at
+    job scope); sibling so rename stays same-filesystem."""
+    token = job_id or uuid.uuid4().hex[:12]
+    return final_dir.rstrip("/") + f"/_staging-{token}"
+
+
+def stage(
+    df: DataFrame,
+    final_dir: str,
+    name: str | None = None,
+    fmt: str = "parquet",
+    partition_by: Sequence[str] | None = None,
+    job_id: str | None = None,
+    options: dict[str, str] | None = None,
+) -> StagedDataset:
+    """Write *df* to a fresh staging dir next to *final_dir*."""
+    sdir = staging_dir_for(final_dir, job_id)
+    res = write_data(df, sdir, fmt=fmt, mode="overwrite",
+                     partition_by=partition_by, options=options)
+    return StagedDataset(name or final_dir, sdir, final_dir, write=res)
+
+
+def audit(
+    staged: StagedDataset,
+    spark: SparkSession,
+    policies: Sequence[Callable[[DataFrame], TaskPolicyResult]],
+) -> StagedDataset:
+    """Run task-level policies against the STAGED output (write-audit-
+    publish): each policy sees the re-read staged DataFrame, so what is
+    audited is exactly what would become visible."""
+    fmt = staged.write.fmt if staged.write else "parquet"
+    staged_df = spark.read.format(fmt).load(staged.staging_dir)
+    staged.audits.extend(p(staged_df) for p in policies)
+    return staged
+
+
+def publish_staged(staged: StagedDataset, spark: SparkSession) -> int:
+    """Rename staging children into final + write ``_SUCCESS``
+    (BaseDataPublisher.java:100 + publishMetadata). Returns files moved."""
+    fs, src, jvm = _fs(spark, staged.staging_dir)
+    _, dst, _ = _fs(spark, staged.final_dir)
+    fs.mkdirs(dst)
+    moved = 0
+    if fs.exists(src):
+        for st in fs.listStatus(src):
+            child = st.getPath()
+            name = child.getName()
+            if name == SUCCESS_MARKER:
+                continue
+            moved += _merge_rename(fs, jvm, child,
+                                   jvm.org.apache.hadoop.fs.Path(dst, name))
+        fs.delete(src, True)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(dst, SUCCESS_MARKER), True)
+    out.close()
+    return moved
+
+
+def abort_staged(staged: StagedDataset, spark: SparkSession) -> None:
+    """Delete the staging dir; final is untouched (cleanLeftoverStagingData,
+    gobblin-runtime/.../AbstractJobLauncher.java:530)."""
+    fs, src, _ = _fs(spark, staged.staging_dir)
+    if fs.exists(src):
+        fs.delete(src, True)
+
+
+def commit(
+    datasets: Sequence[StagedDataset],
+    spark: SparkSession,
+    policy: JobCommitPolicy = JobCommitPolicy.COMMIT_ON_FULL_SUCCESS,
+) -> PublishReport:
+    """Job-level commit over independently staged datasets
+    (JobCommitPolicy.java:35 × SafeDatasetCommit.java:67):
+
+    - FULL_SUCCESS: all audits green → publish all; any red → abort all.
+    - PARTIAL_SUCCESS: publish everything, audits notwithstanding.
+    - SUCCESSFUL_TASKS: publish green datasets, abort red ones.
+    """
+    report = PublishReport()
+    oks = [d.audit_ok for d in datasets]
+    if policy is JobCommitPolicy.COMMIT_ON_FULL_SUCCESS and not all(oks):
+        for d in datasets:
+            abort_staged(d, spark)
+            report.aborted.append(d.name)
+        return report
+    for d, ok in zip(datasets, oks):
+        if ok or policy is JobCommitPolicy.COMMIT_ON_PARTIAL_SUCCESS:
+            publish_staged(d, spark)
+            report.published.append(d.name)
+        else:
+            abort_staged(d, spark)
+            report.aborted.append(d.name)
+    report.committed = bool(report.published)
+    return report
+
+
+def write_audit_publish(
+    df: DataFrame,
+    final_dir: str,
+    spark: SparkSession,
+    policies: Sequence[Callable[[DataFrame], TaskPolicyResult]] = (),
+    fmt: str = "parquet",
+    partition_by: Sequence[str] | None = None,
+    policy: JobCommitPolicy = JobCommitPolicy.COMMIT_ON_FULL_SUCCESS,
+) -> PublishReport:
+    """The whole protocol for one dataset in one call: stage → audit →
+    commit. The canonical Gobblin write path."""
+    staged = stage(df, final_dir, fmt=fmt, partition_by=partition_by)
+    audit(staged, spark, policies)
+    return commit([staged], spark, policy)
+
+
+def is_published(spark: SparkSession, final_dir: str) -> bool:
+    """True iff *final_dir* carries the ``_SUCCESS`` marker."""
+    fs, base, jvm = _fs(spark, final_dir)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(base, SUCCESS_MARKER))
+
+
+def jdbc_staging_swap(
+    df: DataFrame,
+    url: str,
+    final_table: str,
+    options: dict[str, str] | None = None,
+) -> str:
+    """JdbcPublisher.java:52 — write to a staging table, then swap into
+    the final name in one transaction. Spark cannot run the swap DDL
+    itself; this stages the data and returns the SQL the caller executes
+    on the database (documented two-step, exactly the reference's
+    publish-by-rename applied to tables)."""
+    staging_table = f"{final_table}_staging_{uuid.uuid4().hex[:8]}"
+    from gobblin_spark.sinks.writers import write_jdbc
+
+    write_jdbc(df, url, staging_table, mode="overwrite", options=options)
+    return (
+        f"BEGIN; DROP TABLE IF EXISTS {final_table}; "
+        f"ALTER TABLE {staging_table} RENAME TO {final_table}; COMMIT;"
+    )

@@ -1,0 +1,125 @@
+"""Sink + publish protocol tests (reference analogs:
+gobblin-core/src/test/java/.../publisher/BaseDataPublisherTest.java —
+staging→final move + metadata; JobCommitPolicy semantics from
+gobblin-core-base/.../extractor/JobCommitPolicy.java:35)."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from gobblin_spark.operators import quality
+from gobblin_spark.sinks import publish as P
+from gobblin_spark.sinks import writers as W
+from gobblin_spark.sources.files import load_table
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+
+
+def test_write_data_stats(spark, lineitem, tmp_path):
+    out = str(tmp_path / "plain")
+    res = W.write_data(lineitem, out, fmt="parquet")
+    assert res.files >= 1
+    assert res.bytes_written > 0
+    assert spark.read.parquet(out).count() == lineitem.count()
+
+
+def test_time_partitioned_layout_and_roundtrip(spark, lineitem, tmp_path):
+    out = str(tmp_path / "bytime")
+    res = W.write_time_partitioned(lineitem, out, "l_shipdate", "month")
+    assert res.partitions == ["year", "month"]
+    years = [d for d in os.listdir(out) if d.startswith("year=")]
+    assert years, "expected year= partition dirs"
+    back = spark.read.parquet(out)
+    assert back.count() == lineitem.count()
+    # partition pruning survives the layout: one year only
+    y = int(years[0].split("=")[1])
+    pruned = back.filter(back.year == y)
+    assert 0 < pruned.count() <= lineitem.count()
+
+
+def test_write_audit_publish_green(spark, lineitem, tmp_path):
+    final = str(tmp_path / "final_ok")
+    n = lineitem.count()
+    report = P.write_audit_publish(
+        lineitem,
+        final,
+        spark,
+        policies=[lambda df: quality.row_count_policy(n, df.count())],
+    )
+    assert report.committed and report.published and not report.aborted
+    assert P.is_published(spark, final)
+    assert spark.read.parquet(final).count() == n
+    # staging dir cleaned up
+    assert not [d for d in os.listdir(final) if d.startswith("_staging-")]
+
+
+def test_write_audit_publish_red_aborts(spark, lineitem, tmp_path):
+    final = str(tmp_path / "final_bad")
+    report = P.write_audit_publish(
+        lineitem,
+        final,
+        spark,
+        policies=[lambda df: quality.row_count_policy(df.count() + 1, df.count())],
+    )
+    assert not report.committed and report.aborted
+    assert not P.is_published(spark, final)
+    # nothing visible beyond the (empty) final dir
+    leftover = [d for d in os.listdir(final)] if os.path.exists(final) else []
+    assert not [d for d in leftover if not d.startswith("_staging-")] or not leftover
+
+
+def _staged_pair(spark, lineitem, tmp_path, tag):
+    good = P.stage(lineitem.limit(10), str(tmp_path / f"{tag}_good"), name="good")
+    bad = P.stage(lineitem.limit(5), str(tmp_path / f"{tag}_bad"), name="bad")
+    good.audits.append(quality.TaskPolicyResult("always", True))
+    bad.audits.append(quality.TaskPolicyResult("always", False))
+    return good, bad
+
+
+def test_commit_full_success_aborts_all(spark, lineitem, tmp_path):
+    good, bad = _staged_pair(spark, lineitem, tmp_path, "full")
+    report = P.commit([good, bad], spark, P.JobCommitPolicy.COMMIT_ON_FULL_SUCCESS)
+    assert set(report.aborted) == {"good", "bad"} and not report.published
+    assert not P.is_published(spark, good.final_dir)
+
+
+def test_commit_successful_tasks_publishes_green_only(spark, lineitem, tmp_path):
+    good, bad = _staged_pair(spark, lineitem, tmp_path, "succ")
+    report = P.commit([good, bad], spark, P.JobCommitPolicy.COMMIT_SUCCESSFUL_TASKS)
+    assert report.published == ["good"] and report.aborted == ["bad"]
+    assert P.is_published(spark, good.final_dir)
+    assert not P.is_published(spark, bad.final_dir)
+    assert spark.read.parquet(good.final_dir).count() == 10
+
+
+def test_commit_partial_publishes_everything(spark, lineitem, tmp_path):
+    good, bad = _staged_pair(spark, lineitem, tmp_path, "part")
+    report = P.commit([good, bad], spark, P.JobCommitPolicy.COMMIT_ON_PARTIAL_SUCCESS)
+    assert set(report.published) == {"good", "bad"} and not report.aborted
+    assert P.is_published(spark, bad.final_dir)
+
+
+def test_publish_merges_into_existing_partitions(spark, tmp_path):
+    """TimePartitionedDataPublisher: second publish merges new partition
+    dirs into final without clobbering existing ones."""
+    final = str(tmp_path / "merged")
+    df1 = spark.createDataFrame([Row(k=1, p="a")], "k long, p string")
+    df2 = spark.createDataFrame([Row(k=2, p="b"), Row(k=3, p="a")], "k long, p string")
+    P.write_audit_publish(df1, final, spark, partition_by=["p"])
+    P.write_audit_publish(df2, final, spark, partition_by=["p"])
+    back = spark.read.parquet(final)
+    assert back.count() == 3
+    assert {r.p for r in back.select("p").distinct().collect()} == {"a", "b"}
+
+
+def test_schema_partition_column(spark):
+    df = spark.createDataFrame([Row(a=1)], "a long")
+    out = W.with_schema_partition(df)
+    vals = out.select("schema_id").distinct().collect()
+    assert len(vals) == 1 and len(vals[0].schema_id) == 8
