@@ -951,6 +951,61 @@ def sink_roundtrip_partitioned(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------
+# §2.1/§2.11 incremental state: watermark store + bounded pulls
+# ------------------------------------------------------------------
+
+
+@q(
+    "incremental_pull_union",
+    """
+    SELECT pull_no, count(*) AS n_orders, count(DISTINCT o_orderkey) AS n_keys
+    FROM (
+      SELECT o_orderkey,
+             CASE WHEN wm <= mn + (mx - mn) // 3 THEN 1
+                  WHEN wm <= mn + ((mx - mn) * 2) // 3 THEN 2
+                  ELSE 3 END AS pull_no
+      FROM (SELECT o_orderkey, epoch_us(o_orderdate) AS wm FROM orders),
+           (SELECT min(epoch_us(o_orderdate)) AS mn,
+                   max(epoch_us(o_orderdate)) AS mx FROM orders)
+    ) GROUP BY pull_no
+    """,
+)
+def incremental_pull_union(spark, sf_dir):
+    """QueryBasedSource incremental contract (QueryBasedExtractor.java:
+    382-394 + StateStoreBasedWatermarkStorage): three successive runs
+    over orders.o_orderdate, each pulling the half-open interval
+    (prev_hwm, hwm]. Green iff the three pulls are DISJOINT and their
+    union is the FULL table — the oracle assigns every row to exactly
+    one interval, so any overlap or gap breaks the per-pull counts."""
+    import tempfile
+
+    from gobblin_spark import state
+
+    import datetime as _dt
+
+    orders = load_table(spark, sf_dir, "orders")
+    store = state.WatermarkStore(spark, tempfile.mkdtemp(prefix="gobblin_wm_"))
+    lo, hi = orders.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    # integer-µs cut math, mirrored exactly by the oracle's epoch_us//3
+    span_us = (hi - lo) // _dt.timedelta(microseconds=1)
+    cuts = [
+        lo + _dt.timedelta(microseconds=span_us // 3),
+        lo + _dt.timedelta(microseconds=(span_us * 2) // 3),
+        hi,
+    ]
+    pulls = []
+    for i, hwm in enumerate(cuts, start=1):
+        p = state.pull_incremental(orders, "o_orderdate", store, "orders", hwm=hwm)
+        pulls.append(p.df.select(F.lit(i).alias("pull_no"), "o_orderkey"))
+        p.commit()
+    merged = pulls[0].unionByName(pulls[1]).unionByName(pulls[2])
+    return merged.groupBy("pull_no").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

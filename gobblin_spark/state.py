@@ -1,0 +1,296 @@
+"""Watermark state store + incremental pull: the machinery that makes a
+source *incremental* across runs.
+
+Reference mapping (all relative to /root/reference/):
+- StateStoreBasedWatermarkStorage (gobblin-runtime/.../StateStoreBasedWatermarkStorage.java):
+  committed watermarks persisted in a state store keyed by source/dataset.
+- QueryBasedSource low-watermark handling (gobblin-core/.../extract/
+  QueryBasedSource.java:171,216): previous run's HWM becomes this run's
+  LWM; first run falls back to a configured default.
+- QueryBasedExtractor predicate construction (gobblin-core/.../extract/
+  QueryBasedExtractor.java:382-394): the pull is bounded as
+  ``wm > LWM AND wm <= HWM`` so successive runs partition the keyspace
+  into disjoint half-open intervals — no row is pulled twice, none is
+  skipped.
+- FsStateStore versioned job-state files (gobblin-metastore/.../
+  FsStateStore.java): each commit is a NEW sequenced file (create is
+  atomic on HDFS-like stores); the current watermark is the max
+  sequence. History is retained for audit/rollback.
+- Exactly-once ordering (gobblin-runtime/.../SafeDatasetCommit.java:67):
+  the watermark is committed ONLY after the data publish succeeds —
+  ``IncrementalPull.commit()`` is handed to the caller to invoke
+  post-publish. A crash between publish and commit re-pulls one
+  interval (at-least-once), which the idempotent staging→rename publish
+  absorbs.
+
+Scale notes: state is O(datasets × runs) tiny JSON files of driver-side
+metadata — never row data. The pull predicate is a plain Column
+comparison, so Catalyst pushes it into the parquet/JDBC scan
+(PushedFilters) and partition-prunes date-partitioned layouts; the
+incremental read touches only the new interval's files.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import uuid
+from dataclasses import dataclass
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+_WM_PREFIX = "wm-"
+
+
+def _encode(value) -> dict:
+    """Watermark value → JSON-safe {kind, value}. Timestamps serialize as
+    ISO-8601 at microsecond precision (naive == session-UTC wall clock)."""
+    if isinstance(value, _dt.datetime):
+        return {"kind": "timestamp", "value": value.isoformat(sep=" ", timespec="microseconds")}
+    if isinstance(value, _dt.date):
+        return {"kind": "date", "value": value.isoformat()}
+    if isinstance(value, bool):  # before int: bool is an int subclass
+        raise TypeError("boolean watermarks are not orderable state")
+    if isinstance(value, int):
+        return {"kind": "long", "value": value}
+    if isinstance(value, float):
+        return {"kind": "double", "value": value}
+    if isinstance(value, str):
+        return {"kind": "string", "value": value}
+    raise TypeError(f"unsupported watermark type: {type(value).__name__}")
+
+
+def _decode(payload: dict):
+    kind, value = payload["kind"], payload["value"]
+    if kind == "timestamp":
+        return _dt.datetime.fromisoformat(value)
+    if kind == "date":
+        return _dt.date.fromisoformat(value)
+    return value
+
+
+def _lit(value) -> Column:
+    """Watermark value → Column literal. Naive datetimes become
+    TIMESTAMP_NTZ literals so comparisons against ntz-normalized columns
+    (sources/files.py) never route through the session timezone."""
+    if isinstance(value, _dt.datetime) and value.tzinfo is None:
+        return F.expr(
+            f"TIMESTAMP_NTZ '{value.isoformat(sep=' ', timespec='microseconds')}'"
+        )
+    return F.lit(value)
+
+
+class WatermarkStore:
+    """Versioned per-dataset watermark store on any Hadoop filesystem.
+
+    Layout: ``<root>/<dataset>/wm-<seq:010d>-<token>.json``. Each commit
+    creates a new file (atomic create, no read-modify-write race on the
+    current pointer); the live watermark is the max sequence. The store
+    is driver-side metadata — O(bytes), not O(rows).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    # -- Hadoop FS plumbing -------------------------------------------
+    def _fs(self):
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.root)
+        return path.getFileSystem(self.spark._jsc.hadoopConfiguration()), jvm
+
+    def _dataset_path(self, jvm, dataset: str):
+        return jvm.org.apache.hadoop.fs.Path(f"{self.root}/{dataset}")
+
+    def _entries(self, dataset: str) -> list[tuple[int, str]]:
+        fs, jvm = self._fs()
+        dpath = self._dataset_path(jvm, dataset)
+        if not fs.exists(dpath):
+            return []
+        out = []
+        for st in fs.listStatus(dpath):
+            name = st.getPath().getName()
+            if name.startswith(_WM_PREFIX) and name.endswith(".json"):
+                seq = int(name[len(_WM_PREFIX):].split("-", 1)[0])
+                out.append((seq, st.getPath().toString()))
+        return sorted(out)
+
+    def _read_json(self, path: str) -> dict:
+        fs, jvm = self._fs()
+        stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+        try:
+            raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return json.loads(bytes(raw).decode("utf-8"))
+        finally:
+            stream.close()
+
+    # -- public API ----------------------------------------------------
+    def get(self, dataset: str, default=None):
+        """Current (highest-sequence) committed watermark, or *default*."""
+        entries = self._entries(dataset)
+        if not entries:
+            return default
+        return _decode(self._read_json(entries[-1][1]))
+
+    def commit(self, dataset: str, value, run_id: str | None = None) -> int:
+        """Persist *value* as the new watermark; returns its sequence."""
+        entries = self._entries(dataset)
+        seq = (entries[-1][0] + 1) if entries else 1
+        fs, jvm = self._fs()
+        dpath = self._dataset_path(jvm, dataset)
+        fs.mkdirs(dpath)
+        token = run_id or uuid.uuid4().hex[:8]
+        fname = f"{_WM_PREFIX}{seq:010d}-{token}.json"
+        payload = dict(_encode(value), dataset=dataset, seq=seq, run_id=token)
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(dpath, fname), False)
+        try:
+            out.write(bytearray(json.dumps(payload).encode("utf-8")))
+        finally:
+            out.close()
+        return seq
+
+    def history(self, dataset: str) -> list:
+        """All committed watermarks, oldest first (FsStateStore versions)."""
+        return [_decode(self._read_json(p)) for _, p in self._entries(dataset)]
+
+    def rollback(self, dataset: str, to_seq: int) -> None:
+        """Drop commits with seq > *to_seq* (re-pull from an older HWM)."""
+        fs, jvm = self._fs()
+        for seq, path in self._entries(dataset):
+            if seq > to_seq:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(path), False)
+
+
+def incremental_predicate(wm_col: str, lwm, hwm) -> Column:
+    """QueryBasedExtractor.java:382-394 — the half-open pull interval
+    ``wm > LWM AND wm <= HWM``. ``lwm=None`` (first run) opens the lower
+    bound. Plain Column comparisons → pushed to the scan by Catalyst."""
+    upper = F.col(wm_col) <= _lit(hwm)
+    if lwm is None:
+        return upper
+    return (F.col(wm_col) > _lit(lwm)) & upper
+
+
+@dataclass
+class IncrementalPull:
+    """One bounded incremental extraction. ``df`` holds only rows in
+    ``(lwm, hwm]``; call ``commit()`` AFTER the downstream publish
+    succeeds so the watermark never runs ahead of published data."""
+
+    df: DataFrame
+    dataset: str
+    wm_col: str
+    lwm: object
+    hwm: object
+    commit: Callable[[], int]
+
+
+def pull_incremental(
+    source_df: DataFrame,
+    wm_col: str,
+    store: WatermarkStore,
+    dataset: str,
+    hwm=None,
+    default_lwm=None,
+) -> IncrementalPull:
+    """One QueryBasedSource run: LWM from the store, HWM given or
+    discovered as ``max(wm_col)`` over the unpulled tail (one slim
+    min/max-style agg — the same probe the reference issues as
+    ``SELECT MAX(wm)``), then the bounded pull.
+
+    Successive runs yield disjoint half-open intervals whose union is
+    the full table — the FIXTURES §4 invariant.
+    """
+    lwm = store.get(dataset, default=default_lwm)
+    if hwm is None:
+        tail = source_df if lwm is None else source_df.filter(F.col(wm_col) > _lit(lwm))
+        hwm = tail.agg(F.max(wm_col)).first()[0]
+    if hwm is None:  # nothing new — empty pull, watermark unchanged
+        empty = source_df.filter(F.lit(False))
+        return IncrementalPull(empty, dataset, wm_col, lwm, lwm, lambda: -1)
+    bounded = source_df.filter(incremental_predicate(wm_col, lwm, hwm))
+    return IncrementalPull(
+        bounded, dataset, wm_col, lwm, hwm, lambda: store.commit(dataset, hwm)
+    )
+
+
+def jdbc_incremental_query(
+    table: str, wm_col: str, lwm, hwm, columns: str = "*"
+) -> str:
+    """JdbcExtractor.java:85 — the pushed-down incremental SQL for
+    ``spark.read.format('jdbc').option('query', ...)``: the WHERE clause
+    runs ON the database, so only the interval crosses the wire."""
+
+    def sql_lit(v):
+        if isinstance(v, (_dt.datetime, _dt.date)):
+            return f"TIMESTAMP '{v}'" if isinstance(v, _dt.datetime) else f"DATE '{v}'"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    bounds = [f"{wm_col} <= {sql_lit(hwm)}"]
+    if lwm is not None:
+        bounds.insert(0, f"{wm_col} > {sql_lit(lwm)}")
+    return f"SELECT {columns} FROM {table} WHERE {' AND '.join(bounds)}"
+
+
+def read_jdbc_incremental(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    wm_col: str,
+    store: WatermarkStore,
+    dataset: str,
+    hwm,
+    num_partitions: int = 1,
+    partition_column: str | None = None,
+    partition_bounds: tuple | None = None,
+    options: dict[str, str] | None = None,
+) -> IncrementalPull:
+    """Incremental JDBC source: interval predicate pushed into the
+    database query; optional ``partitionColumn`` splits the interval
+    into *num_partitions* parallel range reads (the reference's
+    partitioned WorkUnits, QueryBasedSource.java:216). Requires a JDBC
+    driver on the Spark classpath; untested in this sandbox (no DB
+    endpoint) — the query construction is covered by tests."""
+    lwm = store.get(dataset)
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", jdbc_incremental_query(table, wm_col, lwm, hwm))
+    )
+    if partition_column and partition_bounds and num_partitions > 1:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(partition_bounds[0]))
+            .option("upperBound", str(partition_bounds[1]))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    return IncrementalPull(
+        df, dataset, wm_col, lwm, hwm, lambda: store.commit(dataset, hwm)
+    )
+
+
+def snapshot_store_path(root: str, dataset: str) -> str:
+    """Where a FileBasedSource persists its file-listing snapshot."""
+    return f"{root.rstrip('/')}/{dataset}/_file_snapshot"
+
+
+def persist_file_snapshot(listing: DataFrame, root: str, dataset: str) -> None:
+    """FileBasedSource.java:58 — persist this run's listing so the next
+    run's ``new_files_only`` diff is against durable state."""
+    listing.write.mode("overwrite").parquet(snapshot_store_path(root, dataset))
+
+
+def load_file_snapshot(spark: SparkSession, root: str, dataset: str) -> DataFrame | None:
+    path = snapshot_store_path(root, dataset)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return None
+    return spark.read.parquet(path)

@@ -1,0 +1,138 @@
+"""Watermark store + incremental pull (FIXTURES §4): successive pulls
+are disjoint half-open intervals whose union is the full table."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from gobblin_spark import state
+from gobblin_spark.sources import files
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return state.WatermarkStore(spark, str(tmp_path / "wm"))
+
+
+def test_store_roundtrip_types(store):
+    assert store.get("ds") is None
+    assert store.get("ds", default=0) == 0
+    store.commit("ds", 42)
+    assert store.get("ds") == 42
+    ts = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    store.commit("ds", ts)
+    assert store.get("ds") == ts
+    store.commit("ds", "2024-04-01")
+    assert store.get("ds") == "2024-04-01"
+    assert store.history("ds") == [42, ts, "2024-04-01"]
+
+
+def test_store_rollback(store):
+    for v in (1, 2, 3):
+        store.commit("ds", v)
+    store.rollback("ds", to_seq=1)
+    assert store.get("ds") == 1
+    assert store.history("ds") == [1]
+
+
+def test_successive_pulls_disjoint_union_full(spark, sf_dir, store):
+    """Three runs over orders.o_orderdate: each pull bounded (lwm, hwm],
+    pairwise disjoint, union == full table."""
+    orders = files.load_table(spark, sf_dir, "orders")
+    total = orders.count()
+    lo, hi = orders.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + 2 * span, hi]
+
+    pulled_keys = []
+    counts = []
+    for hwm in cuts:
+        pull = state.pull_incremental(orders, "o_orderdate", store, "orders", hwm=hwm)
+        keys = {r[0] for r in pull.df.select("o_orderkey").collect()}
+        counts.append(len(keys))
+        pulled_keys.append(keys)
+        assert pull.commit() > 0
+        assert store.get("orders") == hwm
+
+    # disjoint
+    assert not (pulled_keys[0] & pulled_keys[1])
+    assert not (pulled_keys[1] & pulled_keys[2])
+    assert not (pulled_keys[0] & pulled_keys[2])
+    # union == full table
+    assert sum(counts) == total
+    assert len(pulled_keys[0] | pulled_keys[1] | pulled_keys[2]) == total
+
+
+def test_empty_pull_keeps_watermark(spark, sf_dir, store):
+    orders = files.load_table(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderdate")).first()[0]
+    first = state.pull_incremental(orders, "o_orderdate", store, "orders")
+    assert first.hwm == hi
+    first.commit()
+    # nothing new: empty df, commit is a no-op, watermark unchanged
+    again = state.pull_incremental(orders, "o_orderdate", store, "orders")
+    assert again.df.count() == 0
+    assert again.commit() == -1
+    assert store.get("orders") == hi
+
+
+def test_watermark_commit_only_after_publish(spark, sf_dir, store, tmp_path):
+    """Exactly-once ordering: a failed publish leaves the watermark at its
+    previous value, so the next run re-pulls the same interval."""
+    from gobblin_spark.operators.quality import row_count_policy
+    from gobblin_spark.sinks import publish as P
+
+    orders = files.load_table(spark, sf_dir, "orders")
+    mid = orders.agg(F.min("o_orderdate")).first()[0] + dt.timedelta(days=100)
+    pull = state.pull_incremental(orders, "o_orderdate", store, "orders", hwm=mid)
+    n = pull.df.count()
+    # doomed audit -> abort -> do NOT commit the watermark
+    rep = P.write_audit_publish(
+        pull.df, str(tmp_path / "out"), spark,
+        policies=[lambda d: row_count_policy(n + 1, d.count())],
+    )
+    assert not rep.committed
+    assert store.get("orders") is None  # untouched
+
+    # retry: same interval re-pulled (at-least-once), publish ok -> commit
+    pull2 = state.pull_incremental(orders, "o_orderdate", store, "orders", hwm=mid)
+    assert pull2.df.count() == n
+    rep2 = P.write_audit_publish(
+        pull2.df, str(tmp_path / "out"), spark,
+        policies=[lambda d: row_count_policy(n, d.count())],
+    )
+    assert rep2.committed
+    pull2.commit()
+    assert store.get("orders") == mid
+
+
+def test_jdbc_incremental_query_sql():
+    q = state.jdbc_incremental_query("orders", "o_orderdate",
+                                     dt.date(2024, 1, 1), dt.date(2024, 2, 1))
+    assert q == ("SELECT * FROM orders WHERE o_orderdate > DATE '2024-01-01' "
+                 "AND o_orderdate <= DATE '2024-02-01'")
+    assert state.jdbc_incremental_query("t", "id", None, 100) == \
+        "SELECT * FROM t WHERE id <= 100"
+    # strings are quoted (and escaped)
+    assert "''" in state.jdbc_incremental_query("t", "name", "o'b", "z")
+
+
+def test_file_snapshot_persistence(spark, tmp_path):
+    """FileBasedSource snapshot diff against durable state."""
+    import os
+    data_dir = tmp_path / "in"
+    data_dir.mkdir()
+    (data_dir / "a.txt").write_text("1")
+    (data_dir / "b.txt").write_text("2")
+    root = str(tmp_path / "state")
+
+    listing = files.list_files(spark, str(data_dir))
+    assert state.load_file_snapshot(spark, root, "d") is None
+    state.persist_file_snapshot(listing, root, "d")
+
+    (data_dir / "c.txt").write_text("3")
+    now = files.list_files(spark, str(data_dir))
+    prev = state.load_file_snapshot(spark, root, "d")
+    new = files.new_files_only(now, prev)
+    assert [os.path.basename(r.path) for r in new.collect()] == ["c.txt"]
