@@ -1006,6 +1006,46 @@ def incremental_pull_union(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------
+# §2.2/§2.11 streaming: flush-epoch ingest with batch parity
+# ------------------------------------------------------------------
+
+
+@q(
+    "streaming_ingest_parity",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_ingest_parity(spark, sf_dir):
+    """FlushingExtractor.java:81 flush epochs: the events table arrives
+    as a multi-file stream (maxFilesPerTrigger=1 → several epochs), each
+    epoch appends through the runner with frontier commits; the
+    PUBLISHED output is aggregated. Green iff streaming ingest is
+    exactly row-preserving vs the batch table — the FIXTURES §8
+    stream==batch invariant, made hash-checkable."""
+    import tempfile
+
+    from gobblin_spark import state as S, streaming
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="gobblin_stream_")
+    indir, out = f"{tmp}/in", f"{tmp}/out"
+    ev.repartition(4).write.parquet(indir)
+    stream = streaming.file_stream(spark, indir, schema=ev.schema,
+                                   max_files_per_trigger=2)
+    spec = streaming.IngestSpec(final_dir=out, ts_col="ts",
+                                allowed_lateness=__import__("datetime").timedelta(days=10**5))
+    store = S.WatermarkStore(spark, f"{tmp}/wm")
+    streaming.run_ingest_blocking(stream, spec, store, f"{tmp}/ckpt")
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -1,0 +1,303 @@
+"""Streaming runner: flush epochs over Structured Streaming micro-batches,
+with per-epoch quality routing, late-data handling, and watermark commits.
+
+Reference mapping (all relative to /root/reference/):
+- StreamingExtractor / FlushingExtractor flush epochs (gobblin-core-base/
+  .../extractor/FlushingExtractor.java:81): a FlushControlMessage closes
+  an epoch, commits its data and its watermark together. Here every
+  micro-batch IS a flush epoch — ``foreachBatch`` gives the epoch id,
+  the batch commits through the atomic publish path, and the event-time
+  frontier is persisted per epoch via ``state.WatermarkStore``.
+- Checkpointing (gobblin-runtime/.../StateStoreBasedWatermarkStorage):
+  Spark's own checkpoint dir makes the source offsets replayable; the
+  event-time frontier store adds the Gobblin-visible watermark.
+- Late data routing (gobblin-compaction/.../mapreduce/MRCompactor.java:
+  133,174-189): records older than the committed frontier minus the
+  allowed lateness land in a ``_late`` subdirectory; compaction's
+  ``needs_recompaction`` (operators/compaction.py) then decides on a
+  late-merge. On-time/late is decided per epoch against the frontier as
+  of the PREVIOUS epoch — deterministic and replayable.
+- Per-batch quality + fork: RowLevelPolicyChecker quarantine and
+  ForkOperator branch routing run inside the epoch, so bad rows land in
+  ``_quarantine`` and branches in their own dirs, all flush-atomic.
+
+Scale notes: foreachBatch receives a normal DataFrame — every batch
+transformation stays whole-stage-codegen JVM work; the Python function
+only COMPOSES the plan. State (frontier) is O(datasets) driver metadata.
+Sinks append parquet per epoch; compaction (operators/compaction.py)
+owns small-file hygiene, exactly like the reference's compactor.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from gobblin_spark.state import WatermarkStore
+
+LATE_DIR = "_late"
+QUARANTINE_DIR = "_quarantine"
+
+
+# ------------------------------------------------------------------
+# streaming sources
+# ------------------------------------------------------------------
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-arrival stream (the reference's FileBasedSource run in
+    continuous mode). ``maxFilesPerTrigger`` bounds epoch size."""
+    reader = spark.readStream.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Synthetic load source (reference test harness's InfiniteSource)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """KafkaSource/KafkaStreamingExtractor (gobblin-modules/
+    gobblin-kafka-common/.../KafkaSource.java:89): offset tracking,
+    rebalancing and exactly-once source semantics are Spark's Kafka
+    connector's own machinery; columns arrive as (key, value, topic,
+    partition, offset, timestamp). Needs a broker — untestable in this
+    sandbox; covered by the file-stream path which shares the runner."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+    )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def kafka_batch_offsets(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "earliest",
+    ending_offsets: str = "latest",
+) -> DataFrame:
+    """KafkaExtractor batch mode (KafkaSource.java:89 work-unit offset
+    ranges): a bounded offset-interval read — Spark's batch Kafka source
+    with explicit starting/ending offsets."""
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .option("endingOffsets", ending_offsets)
+        .load()
+    )
+
+
+# ------------------------------------------------------------------
+# late-data routing
+# ------------------------------------------------------------------
+
+
+def split_late(
+    df: DataFrame, ts_col: str, frontier, allowed_lateness: _dt.timedelta
+) -> tuple[DataFrame, DataFrame]:
+    """(on_time, late): rows with ``ts < frontier - allowed_lateness``
+    are late (MRCompactor's late-record set). ``frontier=None`` (first
+    epoch) → nothing is late."""
+    if frontier is None:
+        return df, df.filter(F.lit(False))
+    try:
+        cutoff = frontier - allowed_lateness
+    except OverflowError:  # lateness beyond datetime.min ≡ infinite
+        return df, df.filter(F.lit(False))
+    lit = F.lit(cutoff)
+    if isinstance(cutoff, _dt.datetime) and cutoff.tzinfo is None:
+        lit = F.expr(
+            f"TIMESTAMP_NTZ '{cutoff.isoformat(sep=' ', timespec='microseconds')}'"
+        )
+    is_late = F.col(ts_col) < lit
+    return df.filter(~is_late), df.filter(is_late)
+
+
+# ------------------------------------------------------------------
+# the epoch runner
+# ------------------------------------------------------------------
+
+
+@dataclass
+class EpochStats:
+    epoch_id: int
+    rows: int = 0
+    late_rows: int = 0
+    quarantined: int = 0
+    frontier: object = None
+
+
+@dataclass
+class IngestSpec:
+    """One streaming ingest pipeline: stream → per-epoch transform →
+    quality split → late routing → append to final/_late/_quarantine →
+    frontier commit. The streaming twin of the batch Constructs chain."""
+
+    final_dir: str
+    ts_col: str
+    transform: Callable[[DataFrame], DataFrame] | None = None
+    row_policies: Sequence = ()  # operators.quality.RowPolicy
+    allowed_lateness: _dt.timedelta = _dt.timedelta(hours=1)
+    dataset: str = "stream"
+    fmt: str = "parquet"
+    partition_by: Sequence[str] | None = None
+    stats: list[EpochStats] = field(default_factory=list)
+
+
+def _epoch_fn(spec: IngestSpec, store: WatermarkStore):
+    from gobblin_spark.operators import quality
+
+    def run(batch_df: DataFrame, epoch_id: int) -> None:
+        df = spec.transform(batch_df) if spec.transform else batch_df
+        st = EpochStats(epoch_id)
+
+        if spec.row_policies:
+            df, bad = quality.check_rows(df, spec.row_policies)
+            st.quarantined = bad.count()
+            if st.quarantined:
+                bad.write.mode("append").format(spec.fmt).save(
+                    f"{spec.final_dir}/{QUARANTINE_DIR}"
+                )
+
+        frontier = store.get(spec.dataset)
+        on_time, late = split_late(df, spec.ts_col, frontier, spec.allowed_lateness)
+
+        writer = on_time.write.mode("append").format(spec.fmt)
+        if spec.partition_by:
+            writer = writer.partitionBy(*spec.partition_by)
+        writer.save(spec.final_dir)
+        st.rows = on_time.count()
+
+        st.late_rows = late.count()
+        if st.late_rows:
+            late.write.mode("append").format(spec.fmt).save(
+                f"{spec.final_dir}/{LATE_DIR}"
+            )
+
+        # flush-epoch watermark: frontier advances to max event time seen
+        batch_max = df.agg(F.max(spec.ts_col)).first()[0]
+        if batch_max is not None and (frontier is None or batch_max > frontier):
+            store.commit(spec.dataset, batch_max, run_id=f"epoch{epoch_id}")
+            st.frontier = batch_max
+        else:
+            st.frontier = frontier
+        spec.stats.append(st)
+
+    return run
+
+
+def run_ingest(
+    stream_df: DataFrame,
+    spec: IngestSpec,
+    store: WatermarkStore,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Launch the streaming ingest (FlushingExtractor.java:81 epochs).
+    ``available_now=True`` drains everything currently available then
+    stops — the batch-parity mode the tests and backfills use; give
+    ``processing_time`` (e.g. "10 seconds") for a continuous run."""
+    writer = (
+        stream_df.writeStream.foreachBatch(_epoch_fn(spec, store))
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def run_ingest_blocking(
+    stream_df: DataFrame,
+    spec: IngestSpec,
+    store: WatermarkStore,
+    checkpoint_dir: str,
+    timeout_sec: int = 300,
+) -> list[EpochStats]:
+    """availableNow ingest, awaited: drain the source, return stats."""
+    q = run_ingest(stream_df, spec, store, checkpoint_dir, available_now=True)
+    q.awaitTermination(timeout_sec)
+    return spec.stats
+
+
+# ------------------------------------------------------------------
+# windowed streaming aggregation (built-in watermark path)
+# ------------------------------------------------------------------
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Event-time windowed counts with a watermark: Spark drops rows
+    later than *watermark* and finalizes windows — the declarative twin
+    of the runner's explicit ``_late`` routing (use that when late rows
+    must be KEPT; use this when they may be dropped).
+
+    Spark's event-time machinery requires TIMESTAMP (an instant); NTZ
+    columns are cast — the session tz is pinned UTC (session.py) so the
+    wall clock is unchanged."""
+    stream_df = stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*keys, win.alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *keys,
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def stream_to_memory(df: DataFrame, name: str, timeout_sec: int = 300):
+    """Drain a streaming aggregation into an in-memory table (test sink)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

@@ -1,0 +1,123 @@
+"""Streaming runner (FIXTURES §8): flush epochs drain to batch parity,
+late rows route to _late, bad rows to _quarantine, frontier advances."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gobblin_spark import state, streaming
+from gobblin_spark.operators import quality
+from gobblin_spark.sources import files
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir, tmp_path):
+    """Events table split into 3 parquet files (3 arrival epochs)."""
+    ev = files.load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "in")
+    ev.repartition(3).write.parquet(path)
+    return path, ev.count(), ev.schema
+
+
+def test_stream_equals_batch(spark, events_dir, tmp_path):
+    path, total, schema = events_dir
+    out = str(tmp_path / "out")
+    stream = streaming.file_stream(spark, path, schema=schema,
+                                   max_files_per_trigger=1)
+    spec = streaming.IngestSpec(final_dir=out, ts_col="ts",
+                                allowed_lateness=dt.timedelta(days=10**6))
+    store = state.WatermarkStore(spark, str(tmp_path / "wm"))
+    stats = streaming.run_ingest_blocking(stream, spec, store,
+                                          str(tmp_path / "ckpt"))
+    assert len(stats) >= 2  # maxFilesPerTrigger=1 → multiple epochs
+    back = spark.read.parquet(out)
+    assert back.count() == total
+    assert sum(s.rows for s in stats) == total
+    assert all(s.late_rows == 0 for s in stats)
+    # frontier committed to the global max event time
+    assert store.get("stream") is not None
+
+
+def test_late_rows_routed(spark, tmp_path):
+    """Epoch 1 establishes the frontier; epoch 2's old rows land in _late."""
+    sch = "id INT, ts TIMESTAMP_NTZ"
+    t0 = dt.datetime(2024, 1, 10, 12, 0, 0)
+    fresh = [(i, t0 + dt.timedelta(minutes=i)) for i in range(10)]
+    stale = [(100 + i, t0 - dt.timedelta(days=2)) for i in range(3)]
+    indir = tmp_path / "in"
+    spark.createDataFrame(fresh, sch).coalesce(1).write.parquet(str(indir / "b1"))
+
+    out = str(tmp_path / "out")
+    store = state.WatermarkStore(spark, str(tmp_path / "wm"))
+    spec = streaming.IngestSpec(final_dir=out, ts_col="ts",
+                                allowed_lateness=dt.timedelta(hours=1))
+
+    # epoch 1: no frontier yet → all on-time, frontier = max(ts)
+    stream = streaming.file_stream(spark, str(indir / "b1"), schema=sch)
+    streaming.run_ingest_blocking(stream, spec, store, str(tmp_path / "c1"))
+    assert spec.stats[-1].late_rows == 0
+    frontier = store.get("stream")
+    assert frontier == t0 + dt.timedelta(minutes=9)
+
+    # epoch 2: stale rows are older than frontier - 1h → _late
+    spark.createDataFrame(stale, sch).coalesce(1).write.parquet(str(indir / "b2"))
+    spec2 = streaming.IngestSpec(final_dir=out, ts_col="ts",
+                                 allowed_lateness=dt.timedelta(hours=1))
+    stream2 = streaming.file_stream(spark, str(indir / "b2"), schema=sch)
+    streaming.run_ingest_blocking(stream2, spec2, store, str(tmp_path / "c2"))
+    assert spec2.stats[-1].late_rows == 3
+    late = spark.read.parquet(os.path.join(out, streaming.LATE_DIR))
+    assert {r.id for r in late.collect()} == {100, 101, 102}
+    # late rows must NOT be in the main dir; frontier unchanged by stale rows
+    main_ids = {r.id for r in spark.read.parquet(out).select("id").collect()}
+    assert main_ids == set(range(10))
+    assert store.get("stream") == frontier
+
+
+def test_quarantine_in_stream(spark, tmp_path):
+    sch = "id INT, v INT, ts TIMESTAMP_NTZ"
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [(i, (None if i % 4 == 0 else i), t0) for i in range(20)]
+    indir = str(tmp_path / "in")
+    spark.createDataFrame(rows, sch).coalesce(1).write.parquet(indir)
+
+    out = str(tmp_path / "out")
+    spec = streaming.IngestSpec(
+        final_dir=out, ts_col="ts",
+        row_policies=[quality.not_null_policy(["v"])],
+    )
+    store = state.WatermarkStore(spark, str(tmp_path / "wm"))
+    stream = streaming.file_stream(spark, indir, schema=sch)
+    stats = streaming.run_ingest_blocking(stream, spec, store, str(tmp_path / "c"))
+    assert sum(s.quarantined for s in stats) == 5
+    assert spark.read.parquet(out).count() == 15
+    q = spark.read.parquet(os.path.join(out, streaming.QUARANTINE_DIR))
+    assert q.count() == 5 and all(r.v is None for r in q.collect())
+
+
+def test_windowed_counts_watermark(spark, tmp_path):
+    """Built-in watermark path: hourly tumbling counts over a stream equal
+    the batch groupBy, rows later than the watermark dropped by Spark."""
+    sch = "id INT, ts TIMESTAMP_NTZ"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [(i, t0 + dt.timedelta(minutes=17 * i)) for i in range(40)]
+    indir = str(tmp_path / "in")
+    df = spark.createDataFrame(rows, sch)
+    df.coalesce(1).write.parquet(indir)
+
+    stream = streaming.file_stream(spark, indir, schema=sch)
+    agg = streaming.windowed_counts(stream, "ts", window="1 hour")
+    streaming.stream_to_memory(agg, "win_counts")
+    got = {
+        (r.window_start, r.n)
+        for r in spark.table("win_counts").collect()
+    }
+    expect = {
+        (r.ws, r.n)
+        for r in df.groupBy(F.date_trunc("hour", "ts").alias("ws"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == expect
