@@ -1,0 +1,137 @@
+"""Schema module: Avro JSON ↔ StructType, recursion elimination,
+compatibility (JsonElementConversionFactory.java:66-118 matrix,
+AvroRecursionEliminatingConverter.java:42)."""
+
+import json
+
+import pytest
+from pyspark.sql import types as T
+
+from gobblin_spark import schema as S
+
+USER = {
+    "type": "record",
+    "name": "User",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "props", "type": {"type": "map", "values": "long"}},
+        {"name": "color", "type": {"type": "enum", "name": "Color",
+                                   "symbols": ["RED", "GREEN"]}},
+        {"name": "born", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "at", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+                                    "precision": 12, "scale": 2}},
+        {
+            "name": "address",
+            "type": {
+                "type": "record",
+                "name": "Address",
+                "fields": [
+                    {"name": "city", "type": "string"},
+                    {"name": "zip", "type": ["null", "string"]},
+                ],
+            },
+        },
+    ],
+}
+
+
+def test_avro_to_struct_type_matrix():
+    st = S.avro_to_struct(json.dumps(USER))
+    by_name = {f.name: f for f in st.fields}
+    assert by_name["id"].dataType == T.LongType() and not by_name["id"].nullable
+    assert by_name["name"].dataType == T.StringType() and by_name["name"].nullable
+    assert by_name["tags"].dataType == T.ArrayType(T.StringType(), False)
+    assert by_name["props"].dataType == T.MapType(T.StringType(), T.LongType(), False)
+    assert by_name["color"].dataType == T.StringType()
+    assert by_name["born"].dataType == T.DateType()
+    assert by_name["at"].dataType == T.TimestampType()
+    assert by_name["amount"].dataType == T.DecimalType(12, 2)
+    addr = by_name["address"].dataType
+    assert isinstance(addr, T.StructType)
+    assert addr["zip"].nullable and not addr["city"].nullable
+
+
+def test_struct_to_avro_roundtrip():
+    st = S.avro_to_struct(USER)
+    back = S.struct_to_avro(st, "User")
+    # round-trip through avro again lands on the same Catalyst type
+    st2 = S.avro_to_struct(back)
+    # nullability markers survive; enums/decimals degrade as documented
+    assert [f.name for f in st2.fields] == [f.name for f in st.fields]
+    assert st2["name"].nullable and st2["id"].dataType == T.LongType()
+    assert st2["at"].dataType == T.TimestampType()
+
+
+def test_non_null_union_becomes_member_struct():
+    sch = {"type": "record", "name": "R",
+           "fields": [{"name": "u", "type": ["int", "string"]}]}
+    st = S.avro_to_struct(sch)
+    u = st["u"].dataType
+    assert isinstance(u, T.StructType)
+    assert {f.name for f in u.fields} == {"member_int", "member_string"}
+
+
+def test_recursion_elimination():
+    tree = {
+        "type": "record",
+        "name": "Node",
+        "fields": [
+            {"name": "value", "type": "long"},
+            {"name": "child", "type": ["null", "Node"]},
+        ],
+    }
+    with pytest.raises(RecursionError):
+        S.avro_to_struct(tree)
+    cleaned, dropped = S.eliminate_recursion(tree)
+    assert dropped == ["child"]
+    st = S.avro_to_struct(cleaned)
+    assert [f.name for f in st.fields] == ["value"]
+
+
+def test_recursion_depth_one_keeps_one_level():
+    tree = {
+        "type": "record",
+        "name": "Node",
+        "fields": [
+            {"name": "value", "type": "long"},
+            {"name": "child", "type": ["null", "Node"]},
+        ],
+    }
+    cleaned, dropped = S.eliminate_recursion(tree, max_depth=1)
+    assert dropped == ["child.child"]
+    st = S.avro_to_struct(cleaned)
+    child = st["child"].dataType
+    assert isinstance(child, T.StructType)
+    assert [f.name for f in child.fields] == ["value"]
+
+
+def test_compatibility_promotions():
+    assert S.is_compatible(T.LongType(), T.IntegerType())
+    assert S.is_compatible(T.DoubleType(), T.FloatType())
+    assert not S.is_compatible(T.IntegerType(), T.LongType())
+    r = T.StructType([
+        T.StructField("a", T.LongType(), False),
+        T.StructField("new", T.StringType(), True),
+    ])
+    w = T.StructType([T.StructField("a", T.IntegerType(), False)])
+    assert S.is_compatible(r, w)
+    r_bad = T.StructType([T.StructField("req", T.StringType(), False)])
+    assert not S.is_compatible(r_bad, w)
+
+
+def test_avro_serde_gated(spark):
+    """spark-avro isn't shipped here: the converter must fail with a
+    clear error, not a silent wrong answer."""
+    from gobblin_spark.operators import avro_serde
+
+    assert not avro_serde.avro_available(spark)
+    df = spark.range(3).selectExpr("id", "cast(id as string) s")
+    try:
+        avro_serde.record_to_avro_bytes(df).collect()
+        assert False, "expected failure without spark-avro"
+    except Exception:
+        pass
