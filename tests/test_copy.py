@@ -1,0 +1,83 @@
+"""Distributed copy executor (CopySource.java:111): byte-identical tree
+copy, incremental skip, atomic publish, failure abort."""
+
+import os
+
+import pytest
+
+from gobblin_spark.sources import copy as C
+
+
+@pytest.fixture()
+def tree(tmp_path):
+    src = tmp_path / "src"
+    (src / "a").mkdir(parents=True)
+    (src / "b" / "c").mkdir(parents=True)
+    (src / "root.txt").write_bytes(b"root-file")
+    (src / "a" / "one.bin").write_bytes(os.urandom(70_000))
+    (src / "a" / "two.txt").write_bytes(b"hello world")
+    (src / "b" / "c" / "deep.bin").write_bytes(os.urandom(9_000))
+    return str(src)
+
+
+def _tree_bytes(root):
+    out = {}
+    for dirpath, _, names in os.walk(root):
+        for n in names:
+            if n.startswith("_") or n.startswith("."):
+                continue
+            p = os.path.join(dirpath, n)
+            out[os.path.relpath(p, root)] = open(p, "rb").read()
+    return out
+
+
+def test_list_tree_distributed(spark, tree):
+    got = {os.path.relpath(r.path, tree): r.size for r in C.list_tree(spark, tree).collect()}
+    assert set(got) == {"root.txt", "a/one.bin", "a/two.txt", "b/c/deep.bin"}
+    assert got["a/two.txt"] == 11
+
+
+def test_distcp_byte_identical(spark, tree, tmp_path):
+    dst = str(tmp_path / "dst")
+    results, ok = C.distcp(spark, tree, dst)
+    assert ok and all(r.ok for r in results) and len(results) == 4
+    assert _tree_bytes(tree) == _tree_bytes(dst)
+    assert os.path.exists(os.path.join(dst, "_SUCCESS"))
+
+
+def test_incremental_skip_unchanged(spark, tree, tmp_path):
+    dst = str(tmp_path / "dst")
+    C.distcp(spark, tree, dst)
+    # second run: nothing changed -> empty manifest
+    again = C.plan_copy(spark, tree, dst)
+    assert again.count() == 0
+    # touch one file with different size -> only it re-copies
+    with open(os.path.join(tree, "a", "two.txt"), "ab") as f:
+        f.write(b"!!")
+    plan = C.plan_copy(spark, tree, dst)
+    assert [os.path.basename(r.src) for r in plan.collect()] == ["two.txt"]
+    results, ok = C.distcp(spark, tree, dst)
+    assert ok
+    assert _tree_bytes(tree) == _tree_bytes(dst)
+
+
+def test_copy_failure_isolated_and_atomic_abort(spark, tree, tmp_path):
+    """A missing source file fails its row; atomic mode aborts the whole
+    publish so the destination never half-appears."""
+    dst = str(tmp_path / "dst")
+    manifest = C.plan_copy(spark, tree, dst, skip_unchanged=False)
+    # sabotage one row to a nonexistent source
+    from pyspark.sql import functions as F
+
+    bad = manifest.withColumn(
+        "src",
+        F.when(F.col("src").endswith("two.txt"), F.lit(tree + "/GONE.txt"))
+        .otherwise(F.col("src")),
+    )
+    results = C.execute_copy(bad).collect()
+    assert sum(1 for r in results if not r.ok) == 1
+    assert sum(1 for r in results if r.ok) == 3
+
+    with pytest.raises(FileNotFoundError):  # missing src root fails fast
+        C.distcp(spark, tree + "/NOPE", dst)
+    assert not os.path.exists(os.path.join(dst, "_SUCCESS"))
