@@ -22,56 +22,63 @@ from gobblin_spark import queries as _catalog
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship pipeline on /root/testdata/sf0.001: the full Constructs
-    chain — source → converter chain → row-quality split → key-dedup
-    compaction → windowed rollup (SURVEY §0's pipeline restated on
-    DataFrames)."""
+    """Flagship pipeline on /root/testdata/sf0.001, declared as a
+    ``plans.Pipeline`` spec (Constructs.java:33-50 chain): source →
+    converter chain → row-quality split → key-dedup compaction →
+    rollup. The spec composes ONE lazy plan, so Catalyst pushes the
+    projection and filters into the parquet scan across stage
+    boundaries."""
     from pyspark.sql import functions as F
 
+    from gobblin_spark import plans
     from gobblin_spark.operators import compaction, converters as C, quality
     from gobblin_spark.sources.files import load_table
 
     sf_dir = "/root/testdata/sf0.001"
-    li = load_table(spark, sf_dir, "lineitem")
-
-    # converter chain: project + filter (Catalyst pushes both to the scan)
-    staged = C.chain(
-        li,
-        lambda d: C.pick_fields(
-            d,
-            [
-                "l_orderkey",
-                "l_linenumber",
-                "l_quantity",
-                "l_extendedprice",
-                "l_discount",
-                "l_returnflag",
-                "l_linestatus",
-                "l_shipdate",
-            ],
-        ),
-        lambda d: C.filter_regex(d, "l_returnflag", "^[ANR]$"),
-    )
-    # row-level quality: keep sane rows, quarantine the rest
-    passed, _quarantined = quality.check_rows(
-        staged,
-        [
+    pl = plans.Pipeline(
+        source=lambda s: load_table(s, sf_dir, "lineitem"),
+        transforms=[
+            lambda d: C.pick_fields(
+                d,
+                [
+                    "l_orderkey",
+                    "l_linenumber",
+                    "l_quantity",
+                    "l_extendedprice",
+                    "l_discount",
+                    "l_returnflag",
+                    "l_linestatus",
+                    "l_shipdate",
+                ],
+            ),
+            lambda d: C.filter_regex(d, "l_returnflag", "^[ANR]$"),
+        ],
+        row_policies=[
             quality.not_null_policy(["l_orderkey", "l_shipdate"]),
             quality.range_policy("l_quantity", 0.0, 1e6),
         ],
+        branches=[
+            plans.Branch(
+                "rollup",
+                mask=None,
+                transforms=[
+                    # compaction: one row per key, newest ship date wins
+                    lambda d: compaction.dedup_by_key(
+                        d, ["l_orderkey", "l_linenumber"], ["l_shipdate"]
+                    ),
+                    lambda d: d.groupBy("l_returnflag", "l_linestatus").agg(
+                        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                        F.round(
+                            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                            2,
+                        ).alias("sum_disc_price"),
+                        F.count(F.lit(1)).alias("count_order"),
+                    ),
+                ],
+            )
+        ],
     )
-    # compaction: one row per (orderkey, linenumber), newest ship date wins
-    deduped = compaction.dedup_by_key(
-        passed, ["l_orderkey", "l_linenumber"], ["l_shipdate"]
-    )
-    # rollup (the publish-side audit aggregate)
-    return deduped.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "sum_disc_price"
-        ),
-        F.count(F.lit(1)).alias("count_order"),
-    )
+    return plans.run(pl, spark, persist=False).dataframes["rollup"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,186 @@
+"""Declarative pipeline spec: the full Constructs chain — source →
+converters → quality → fork → writers → publish — as one executable
+plan, batch or streaming.
+
+Reference mapping (all relative to /root/reference/):
+- Constructs (gobblin-api/src/main/java/org/apache/gobblin/
+  Constructs.java:33-50): SOURCE, EXTRACTOR, CONVERTER, ROW_QUALITY_CHECKER,
+  TASK_QUALITY_CHECKER, FORK_OPERATOR, DATA_WRITER — the fixed stage
+  order every Gobblin task runs. ``Pipeline`` holds exactly those slots.
+- Task execution (gobblin-runtime/.../task/Task.java:173-260): per-fork
+  converter→quality→writer chains; here each ``Branch`` carries its own
+  transforms and sink over the shared, persisted parent.
+- JobLauncher commit (gobblin-runtime/.../AbstractJobLauncher.java:442):
+  stage everything, evaluate task-level policies, then the job-level
+  commit policy decides what publishes — delegated to sinks/publish.py.
+
+Spark design: a Pipeline never materializes intermediate rows — it
+COMPOSES one lazy DataFrame plan per branch, so Catalyst optimizes
+across stage boundaries (a converter's projection pushes into the scan
+even though the user declared it three stages later). The only barriers
+are the persist for multi-branch fan-out and the final writes. Running
+the same spec in streaming mode wraps the identical composition in a
+foreachBatch epoch (streaming/runner.py semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from gobblin_spark.operators import quality as Q
+from gobblin_spark.sinks import publish as P
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class Branch:
+    """One fork branch: mask → its own converter chain → its own sink
+    (Task.java's per-fork chain)."""
+
+    name: str
+    mask: Column | None = None  # None = identity branch (all rows)
+    transforms: Sequence[Transform] = ()
+    final_dir: str | None = None
+    fmt: str = "parquet"
+    partition_by: Sequence[str] | None = None
+    task_policies: Sequence[Callable[[DataFrame], Q.TaskPolicyResult]] = ()
+
+
+@dataclass
+class Pipeline:
+    """The declarative job spec. ``source`` is a callable producing the
+    extracted DataFrame; stages apply in Constructs order."""
+
+    source: Callable[[SparkSession], DataFrame]
+    transforms: Sequence[Transform] = ()
+    row_policies: Sequence[Q.RowPolicy] = ()
+    branches: Sequence[Branch] = ()
+    quarantine_dir: str | None = None
+    commit_policy: P.JobCommitPolicy = P.JobCommitPolicy.COMMIT_ON_FULL_SUCCESS
+    job_id: str | None = None
+
+
+@dataclass
+class PipelineResult:
+    report: P.PublishReport | None
+    quarantined: int = 0
+    branch_files: dict[str, int] = dc_field(default_factory=dict)
+    dataframes: dict[str, DataFrame] = dc_field(default_factory=dict)
+
+
+def compose(pipeline: Pipeline, spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    """Build the shared (passed, quarantined) plan up to the fork point —
+    pure composition, no action."""
+    df = pipeline.source(spark)
+    for t in pipeline.transforms:
+        df = t(df)
+    if pipeline.row_policies:
+        return Q.check_rows(df, pipeline.row_policies)
+    return df, df.filter(F.lit(False))
+
+
+def branch_frames(pipeline: Pipeline, spark: SparkSession) -> dict[str, DataFrame]:
+    """The per-branch DataFrames (post-mask, post-branch-transforms) —
+    the dry-run surface: inspect/.explain each branch without writing."""
+    passed, _ = compose(pipeline, spark)
+    out = {}
+    for b in pipeline.branches:
+        bdf = passed.filter(b.mask) if b.mask is not None else passed
+        for t in b.transforms:
+            bdf = t(bdf)
+        out[b.name] = bdf
+    return out
+
+
+def run(pipeline: Pipeline, spark: SparkSession, persist: bool = True) -> PipelineResult:
+    """Execute the spec: one source scan feeds every branch (persisted
+    fan-out), each branch stages through write-audit, then ONE job-level
+    commit publishes per the commit policy (AbstractJobLauncher.java:442).
+
+    Branches without a ``final_dir`` are returned as DataFrames instead
+    of written — a pipeline can end in further programmatic use."""
+    passed, quarantined = compose(pipeline, spark)
+    result = PipelineResult(report=None)
+
+    writing = [b for b in pipeline.branches if b.final_dir]
+    if persist and (len(pipeline.branches) > 1 or pipeline.quarantine_dir):
+        passed = passed.persist(StorageLevel.MEMORY_AND_DISK)
+
+    try:
+        if pipeline.quarantine_dir is not None:
+            result.quarantined = quarantined.count()
+            if result.quarantined:
+                quarantined.write.mode("append").parquet(pipeline.quarantine_dir)
+
+        staged: list[P.StagedDataset] = []
+        for b in pipeline.branches:
+            bdf = passed.filter(b.mask) if b.mask is not None else passed
+            for t in b.transforms:
+                bdf = t(bdf)
+            if b.final_dir:
+                s = P.stage(bdf, b.final_dir, name=b.name, fmt=b.fmt,
+                            partition_by=b.partition_by, job_id=pipeline.job_id)
+                if b.task_policies:
+                    P.audit(s, spark, b.task_policies)
+                staged.append(s)
+            else:
+                result.dataframes[b.name] = bdf
+        if not pipeline.branches:  # sink-less pipeline: expose the main frame
+            result.dataframes["main"] = passed
+
+        if staged:
+            result.report = P.commit(staged, spark, pipeline.commit_policy)
+            for s in staged:
+                if s.write:
+                    result.branch_files[s.name] = s.write.files
+    finally:
+        if persist and (len(pipeline.branches) > 1 or pipeline.quarantine_dir):
+            passed.unpersist()
+    return result
+
+
+def run_streaming(
+    pipeline: Pipeline,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+    timeout_sec: int | None = 300,
+):
+    """Run the SAME spec over a stream: every micro-batch is a flush
+    epoch executing the full stage→audit→commit protocol (staging dirs
+    are unique per epoch; part-file names are unique, so merge-rename
+    into the final dir is append-semantics across epochs). The batch and
+    streaming paths share every line of pipeline logic — the reference's
+    batch/streaming duality (Task.java vs StreamModelTaskRunner) without
+    a second implementation. Returns the accumulated PipelineResults."""
+    import dataclasses
+
+    results: list[PipelineResult] = []
+
+    def epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        epoch_pl = dataclasses.replace(
+            pipeline,
+            source=lambda s: batch_df,
+            job_id=f"{pipeline.job_id or 'stream'}-e{epoch_id}",
+        )
+        results.append(run(epoch_pl, batch_df.sparkSession))
+
+    writer = (
+        stream_df.writeStream.foreachBatch(epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    q = writer.start()
+    if timeout_sec is not None:
+        q.awaitTermination(timeout_sec)
+    return results

@@ -1046,6 +1046,68 @@ def streaming_ingest_parity(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------
+# plans layer: the declarative Constructs chain
+# ------------------------------------------------------------------
+
+
+@q(
+    "pipeline_fork_publish",
+    """
+    SELECT branch, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
+                  ELSE 'ops' END AS branch, value
+      FROM events WHERE value IS NOT NULL AND value BETWEEN 0 AND 100
+    ) GROUP BY branch
+    """,
+)
+def pipeline_fork_publish(spark, sf_dir):
+    """The whole Constructs chain as one spec (Constructs.java:33-50 +
+    Task.java:173-260): source → quality → 2-branch fork → per-branch
+    staged write → job-level FULL_SUCCESS commit; the PUBLISHED dirs are
+    read back and aggregated. Green iff routing + publish moved every
+    passing row to exactly one branch."""
+    import tempfile
+
+    from gobblin_spark import plans
+
+    out = tempfile.mkdtemp(prefix="gobblin_plan_")
+    pl = plans.Pipeline(
+        source=lambda s: load_table(s, sf_dir, "events"),
+        row_policies=[quality_range_0_100()],
+        branches=[
+            plans.Branch(
+                "engagement",
+                F.col("event_type").isin("click", "view"),
+                final_dir=f"{out}/engagement",
+            ),
+            plans.Branch(
+                "ops",
+                ~F.col("event_type").isin("click", "view"),
+                final_dir=f"{out}/ops",
+            ),
+        ],
+    )
+    res = plans.run(pl, spark)
+    if not (res.report and res.report.committed):
+        raise AssertionError(f"pipeline publish failed: {res.report}")
+    frames = [
+        spark.read.parquet(f"{out}/{b}").select(F.lit(b).alias("branch"), "value")
+        for b in ("engagement", "ops")
+    ]
+    return frames[0].unionByName(frames[1]).groupBy("branch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def quality_range_0_100():
+    from gobblin_spark.operators import quality
+
+    return quality.range_policy("value", 0, 100)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -1,0 +1,124 @@
+"""Pipeline spec layer: the Constructs chain end-to-end, batch and
+streaming, with fork + quality + commit-policy semantics."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gobblin_spark import plans
+from gobblin_spark.operators import converters as C, quality
+from gobblin_spark.sinks import publish as P
+from gobblin_spark.sources import files
+
+
+def events_source(sf_dir):
+    return lambda spark: files.load_table(spark, sf_dir, "events")
+
+
+def test_full_chain_batch(spark, sf_dir, tmp_path):
+    """source → converter → row quality → 2-branch fork → staged publish;
+    conservation: branch rows + quarantined == input rows."""
+    out = tmp_path
+    pl = plans.Pipeline(
+        source=events_source(sf_dir),
+        transforms=[lambda d: C.pick_fields(d, ["event_id", "event_type", "value", "ts"])],
+        row_policies=[quality.range_policy("value", 0, 80)],
+        quarantine_dir=str(out / "quar"),
+        branches=[
+            plans.Branch("clicks", F.col("event_type") == "click",
+                         final_dir=str(out / "clicks")),
+            plans.Branch("rest", F.col("event_type") != "click",
+                         final_dir=str(out / "rest")),
+        ],
+    )
+    res = plans.run(pl, spark)
+    assert res.report.committed
+    assert set(res.report.published) == {"clicks", "rest"}
+
+    total = files.load_table(spark, sf_dir, "events").count()
+    clicks = spark.read.parquet(str(out / "clicks")).count()
+    rest = spark.read.parquet(str(out / "rest")).count()
+    assert clicks + rest + res.quarantined == total
+    assert P.is_published(spark, str(out / "clicks"))
+    bad = spark.read.parquet(str(out / "quar"))
+    assert bad.filter(F.col("value").between(0, 80)).count() == 0
+
+
+def test_full_success_policy_aborts_all(spark, sf_dir, tmp_path):
+    """One branch's failing audit aborts BOTH branches under FULL_SUCCESS."""
+    out = tmp_path
+    pl = plans.Pipeline(
+        source=events_source(sf_dir),
+        branches=[
+            plans.Branch("a", F.col("value") >= 50, final_dir=str(out / "a")),
+            plans.Branch(
+                "b", F.col("value") < 50, final_dir=str(out / "b"),
+                task_policies=[lambda df: quality.row_count_policy(-1, df.count())],
+            ),
+        ],
+    )
+    res = plans.run(pl, spark)
+    assert not res.report.committed
+    assert set(res.report.aborted) == {"a", "b"}
+    assert not os.path.exists(str(out / "a" / "_SUCCESS"))
+
+
+def test_successful_tasks_policy_publishes_green(spark, sf_dir, tmp_path):
+    out = tmp_path
+    pl = plans.Pipeline(
+        source=events_source(sf_dir),
+        branches=[
+            plans.Branch("good", F.col("value") >= 50, final_dir=str(out / "good")),
+            plans.Branch(
+                "bad", F.col("value") < 50, final_dir=str(out / "bad"),
+                task_policies=[lambda df: quality.row_count_policy(-1, df.count())],
+            ),
+        ],
+        commit_policy=P.JobCommitPolicy.COMMIT_SUCCESSFUL_TASKS,
+    )
+    res = plans.run(pl, spark)
+    assert res.report.published == ["good"] and res.report.aborted == ["bad"]
+    assert P.is_published(spark, str(out / "good"))
+    assert not os.path.exists(str(out / "bad" / "_SUCCESS"))
+
+
+def test_sinkless_pipeline_returns_frames(spark, sf_dir):
+    pl = plans.Pipeline(
+        source=events_source(sf_dir),
+        transforms=[lambda d: d.filter(F.col("value") > 90)],
+    )
+    res = plans.run(pl, spark)
+    assert res.report is None
+    assert res.dataframes["main"].count() > 0
+
+
+def test_same_spec_streaming(spark, sf_dir, tmp_path):
+    """The identical spec runs per micro-batch; multi-epoch output equals
+    the batch run (stream==batch parity through the plans layer)."""
+    ev = files.load_table(spark, sf_dir, "events")
+    indir = str(tmp_path / "in")
+    ev.repartition(3).write.parquet(indir)
+    out = tmp_path / "out"
+
+    def mk(outdir):
+        return plans.Pipeline(
+            source=None,  # replaced per epoch / set for batch below
+            row_policies=[quality.range_policy("value", 0, 95)],
+            quarantine_dir=str(outdir / "quar"),
+            branches=[plans.Branch("main", None, final_dir=str(outdir / "main"))],
+        )
+
+    import dataclasses
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1").parquet(indir)
+    pl_s = dataclasses.replace(mk(out), source=None)
+    results = plans.run_streaming(pl_s, stream, str(tmp_path / "ckpt"))
+    assert len(results) >= 2  # several epochs
+
+    got = spark.read.parquet(str(out / "main")).count()
+    quar = spark.read.parquet(str(out / "quar")).count()
+    assert got + quar == ev.count()
+    expect_pass = ev.filter(F.col("value").between(0, 95)).count()
+    assert got == expect_pass
