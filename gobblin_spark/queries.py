@@ -33,7 +33,16 @@ from gobblin_spark.operators import (
     retention,
     windows,
 )
+from gobblin_spark.session import ensure_parallelism
 from gobblin_spark.sources.files import load_table
+
+
+def load_docs(spark, sf_dir):
+    """documents table widened to full parallelism: the text operators
+    are CPU-bound per row, and the small-SF table is a single file split
+    (ensure_parallelism is a no-op once scans have many splits)."""
+    return ensure_parallelism(load_table(spark, sf_dir, "documents"))
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -111,7 +120,7 @@ def convert_flatten_nested(spark, sf_dir):
 )
 def convert_split_explode(spark, sf_dir):
     """StringSplitterConverter — the canonical 1→N flatMap converter."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    docs = load_docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
     return C.split_explode(docs.select("doc_id", "text"), "text", r"\s+")
 
 
@@ -151,7 +160,7 @@ def convert_json_parse(spark, sf_dir):
 )
 def convert_grok_parse(spark, sf_dir):
     """GrokToJsonConverter — regex field extraction with null-on-no-match."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_docs(spark, sf_dir).select("doc_id", "text")
     return C.grok_parse(docs, "text", {"first_word": r"^([a-z]+)"}, drop_source=True)
 
 
@@ -544,7 +553,7 @@ _NORM_SQL = (
 )
 def text_token_stats(spark, sf_dir):
     """Token counting: whitespace + BPE-ish regex."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         text.whitespace_token_count(F.col("text")).alias("n_ws_tokens"),
@@ -579,7 +588,7 @@ def text_token_stats(spark, sf_dir):
 )
 def text_quality_scores(spark, sf_dir):
     """Quality scoring: alpha/punct ratios + composite score."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.round(text.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
@@ -613,7 +622,7 @@ def _lang_score_sql(lang: str) -> str:
 )
 def text_lang_id(spark, sf_dir):
     """Language ID heuristic (stopword-marker hits; alphabetical tie-break)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -623,7 +632,7 @@ def text_lang_id(spark, sf_dir):
 )
 def text_fingerprint(spark, sf_dir):
     """Document fingerprinting (normalize + md5)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -644,7 +653,7 @@ def text_fingerprint(spark, sf_dir):
 )
 def dedup_exact_docs(spark, sf_dir):
     """Exact dedup via content fingerprint (null-text rows pass as singletons)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return dedup.dedup_exact(docs, "doc_id", "text")
 
 
@@ -684,14 +693,14 @@ def ngram_jaccard_docs(spark, sf_dir):
     Bigrams (n=2) — the synthetic corpus has a tiny vocabulary, so
     trigram Jaccard is ~0 everywhere; bigrams give a populated result.
     """
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    docs = load_docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
 
 
 @q("minhash_lsh_docs")  # xxhash64-based — no SQL oracle; rows-only check
 def minhash_lsh_docs(spark, sf_dir):
     """MinHash+LSH near-dup candidate pairs (banded, never all-pairs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
     )
@@ -700,7 +709,7 @@ def minhash_lsh_docs(spark, sf_dir):
 @q("simhash_docs")  # xxhash64-based — rows-only check
 def simhash_docs(spark, sf_dir):
     """SimHash64 + pigeonhole-banded near-dup pairs (Hamming ≤ 3)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     return dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
@@ -766,7 +775,7 @@ def embedding_near_dup(spark, sf_dir):
 )
 def multimodal_metadata(spark, sf_dir):
     """Binary-column metadata (length/sha256) computed JVM-side."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     media = multimodal.documents_as_media(docs)
     return media.select("media_id", "media_type", "byte_len", "sha256")
 
@@ -784,7 +793,7 @@ def multimodal_metadata(spark, sf_dir):
 )
 def multimodal_frame_plan(spark, sf_dir):
     """Video frame-sampling plan: explode one row per planned frame."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     media = multimodal.documents_as_media(docs)
     return multimodal.frame_sample_plan(media, every_n_seconds=5)
 
@@ -792,7 +801,7 @@ def multimodal_frame_plan(spark, sf_dir):
 @q("multimodal_decode_fake")  # mapInPandas plumbing — rows-only check
 def multimodal_decode_fake(spark, sf_dir):
     """Arrow-batched decode stage (deterministic fake codec — env has no PIL)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_docs(spark, sf_dir)
     media = multimodal.documents_as_media(docs)
     return multimodal.decode_image_features(media, fake=True)
 

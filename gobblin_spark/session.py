@@ -64,3 +64,22 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Guarantee at least *min_partitions* (default: cluster parallelism)
+    input partitions before a CPU-heavy per-row stage.
+
+    At 100 TB scale a scan already yields thousands of file splits and
+    this is a NO-OP (checked via the plan's partitioning, no job runs).
+    The case it fixes is the small-file edge: one 25 MiB parquet file =
+    one split = one task, so a 32-core box runs single-threaded through
+    an expensive explode/UDF chain. A round-robin repartition of the
+    slim input projection costs one small shuffle and buys full-width
+    execution — only worth it BEFORE per-row work that dominates it.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
