@@ -214,3 +214,66 @@ def chain(df: DataFrame, *transforms) -> DataFrame:
     for t in transforms:
         df = t(df)
     return df
+
+
+def to_jdbc_entries(
+    df: DataFrame,
+    column_map: Mapping[str, str] | None = None,
+    type_overrides: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """AvroToJdbcEntryConverter (gobblin-modules/gobblin-sql/.../
+    AvroToJdbcEntryConverter.java:77): rename record fields to database
+    column names and normalize types for a JDBC sink (nested fields are
+    rejected there; flatten first with ``flatten_all``)."""
+    for f in df.schema.fields:
+        if f.dataType.typeName() in ("struct", "array", "map"):
+            raise ValueError(
+                f"JDBC entries must be flat; `{f.name}` is {f.dataType.simpleString()}"
+                " (apply flatten_all first)"
+            )
+    out = df
+    for src, dst in (column_map or {}).items():
+        out = out.withColumnRenamed(src, dst)
+    if type_overrides:
+        out = cast_columns(out, dict(type_overrides))
+    return out
+
+
+def object_store_delete_manifest(df: DataFrame, key_col: str) -> DataFrame:
+    """ObjectStoreDeleteConverter (gobblin-modules/gobblin-couchbase et
+    al.: converter emits delete operations keyed by object id). The
+    Spark shape: a slim distinct delete-manifest DataFrame; execution is
+    a separate, idempotent step (below) so the manifest can be audited
+    or published before any destructive action."""
+    return df.select(F.col(key_col).cast("string").alias("key")).distinct()
+
+
+def execute_object_deletes(manifest: DataFrame) -> DataFrame:
+    """Apply a delete manifest: each task deletes its keys via pyarrow
+    (file/HDFS/S3 URIs). Missing keys count as already-deleted
+    (idempotent). Returns (key, deleted, error) — run an action on it."""
+
+    def delete_batch(batches):
+        import pandas as pd
+        from pyarrow import fs as pafs
+
+        for pdf in batches:
+            out = []
+            for key in pdf["key"]:
+                deleted, err = True, None
+                try:
+                    if "://" in key:
+                        f, p = pafs.FileSystem.from_uri(key)
+                    else:
+                        f, p = pafs.LocalFileSystem(), key
+                    info = f.get_file_info([p])[0]
+                    if info.type == pafs.FileType.NotFound:
+                        deleted = False  # idempotent no-op
+                    else:
+                        f.delete_file(p)
+                except Exception as ex:  # noqa: BLE001 - per-key isolation
+                    deleted, err = False, f"{type(ex).__name__}: {ex}"
+                out.append((key, deleted, err))
+            yield pd.DataFrame(out, columns=["key", "deleted", "error"])
+
+    return manifest.mapInPandas(delete_batch, "key string, deleted boolean, error string")

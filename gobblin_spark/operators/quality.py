@@ -79,11 +79,36 @@ def check_rows(
 
 
 def quarantine_sampled(quarantined: DataFrame, max_ratio: float = 0.1, seed: int = 42) -> DataFrame:
-    """FrontLoadedSampler analog: keep only a sample of error records
-    (gobblin-utility/.../FrontLoadedSampler.java, used at
-    RowLevelPolicyChecker.java:94). A plain Bernoulli sample replaces the
-    front-loaded decay — at scale the err file is a diagnostic, not a log."""
+    """Bounded error sample for the err file (RowLevelPolicyChecker.java:94).
+    Plain Bernoulli — use ``front_loaded_sample`` when early records
+    should dominate the sample."""
     return quarantined.sample(False, max_ratio, seed)
+
+
+def front_loaded_sample(
+    df: DataFrame,
+    initial_ratio: float = 1.0,
+    half_life: int = 1000,
+    min_ratio: float = 0.001,
+    seed: int = 42,
+) -> DataFrame:
+    """FrontLoadedSampler (gobblin-utility/.../FrontLoadedSampler.java):
+    keep early records with high probability, decaying exponentially —
+    the first errors of a run are the diagnostic ones; a billion-row
+    failure shouldn't produce a billion-row err file.
+
+    Arrival order is per-partition (the only order that exists without a
+    sort): record i in its partition is kept with probability
+    ``max(min_ratio, initial_ratio · 2^(-i/half_life))``. The index is
+    the low 33 bits of ``monotonically_increasing_id`` (documented as
+    the within-partition record number) — no shuffle, no sort, no
+    window, no Python."""
+    i = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    p = F.greatest(
+        F.lit(float(min_ratio)),
+        F.lit(float(initial_ratio)) * F.pow(F.lit(2.0), -i / F.lit(float(half_life))),
+    )
+    return df.withColumn("_p", p).filter(F.rand(seed) < F.col("_p")).drop("_p")
 
 
 # ---------------- task-level policies (post-write assertions) ----------------
@@ -143,6 +168,23 @@ def audit_count_verifier(
     completeness = 1.0 if source_count == 0 else dest_count / source_count
     return TaskPolicyResult(
         "audit_count", completeness >= threshold, f"completeness={completeness:.6f}"
+    )
+
+
+def file_size_policy(
+    write_result,
+    min_avg_bytes: int = 1,
+    max_avg_bytes: int | None = None,
+) -> TaskPolicyResult:
+    """FileSizePolicy — written files' AVERAGE size within bounds
+    (guards against the small-files problem at publish time; pairs with
+    compaction). Takes a ``sinks.writers.WriteResult`` — counts come
+    from the committed listing, no data scan."""
+    files = max(write_result.files, 0)
+    avg = (write_result.bytes_written / files) if files else 0.0
+    ok = avg >= min_avg_bytes and (max_avg_bytes is None or avg <= max_avg_bytes)
+    return TaskPolicyResult(
+        "file_size", ok, f"files={files} avg_bytes={avg:.0f}"
     )
 
 

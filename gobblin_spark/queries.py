@@ -1117,6 +1117,60 @@ def quality_range_0_100():
     return quality.range_policy("value", 0, 100)
 
 
+@q(
+    "hive_register_query",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def hive_register_query(spark, sf_dir):
+    """HiveRegister.java:62 — publish a dir, register it as an external
+    catalog table, query THROUGH the catalog name. Green iff the
+    registered table serves exactly the published rows."""
+    import tempfile
+    import uuid
+
+    from gobblin_spark.sinks import hive, writers as W
+
+    ev = load_table(spark, sf_dir, "events")
+    loc = tempfile.mkdtemp(prefix="gobblin_hive_") + "/events"
+    W.write_data(ev, loc)
+    tname = f"gobblin_reg_{uuid.uuid4().hex[:8]}"
+    hive.register_external_table(spark, tname, loc)
+    out = spark.sql(f"SELECT event_type, count(*) AS n FROM {tname} GROUP BY event_type")
+    out = out.cache()
+    out.count()  # materialize before the table is dropped
+    hive.drop_table(spark, tname)
+    return out
+
+
+@q(
+    "format_convert_roundtrip",
+    """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def format_convert_roundtrip(spark, sf_dir):
+    """HiveSerDeConverter as a job (Avro→ORC materializer analog):
+    parquet → ORC conversion, aggregate read back from the ORC copy."""
+    import tempfile
+
+    from gobblin_spark.sinks import hive, writers as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    tmp = tempfile.mkdtemp(prefix="gobblin_fmt_")
+    W.write_data(li, f"{tmp}/src", fmt="parquet")
+    hive.convert_format(spark, f"{tmp}/src", f"{tmp}/dst", "parquet", "orc")
+    back = spark.read.orc(f"{tmp}/dst")
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

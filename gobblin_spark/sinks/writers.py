@@ -144,6 +144,31 @@ def with_schema_partition(df: DataFrame, col_name: str = "schema_id") -> DataFra
     return df.withColumn(col_name, F.substring(fingerprint, 1, 8))
 
 
+def retry_write(
+    df: DataFrame,
+    path: str,
+    attempts: int = 3,
+    backoff_sec: float = 1.0,
+    **write_kwargs,
+) -> WriteResult:
+    """RetryWriter (gobblin-core/.../writer/RetryWriter.java:48): retry a
+    failed write with exponential backoff. Spark already retries TASKS;
+    this guards the job-level write (e.g. transient object-store/DDL
+    failures). Writes go to a staging-style overwrite path, so a failed
+    attempt leaves no partial state the next attempt wouldn't overwrite."""
+    import time as _time
+
+    last: Exception | None = None
+    for attempt in range(attempts):
+        try:
+            return write_data(df, path, **write_kwargs)
+        except Exception as ex:  # noqa: BLE001 - deliberate catch-and-retry
+            last = ex
+            if attempt < attempts - 1:
+                _time.sleep(backoff_sec * (2 ** attempt))
+    raise last  # type: ignore[misc]
+
+
 def write_console(df: DataFrame, num_rows: int = 20, truncate: bool = True) -> None:
     """ConsoleWriter (gobblin-core/.../writer/ConsoleWriter.java)."""
     df.show(num_rows, truncate)
