@@ -255,3 +255,66 @@ def is_compatible(reader: T.DataType, writer: T.DataType) -> bool:
     if isinstance(reader, T.MapType) and isinstance(writer, T.MapType):
         return is_compatible(reader.valueType, writer.valueType)
     return False
+
+
+def conform_to(df, target: T.StructType, strict: bool = False):
+    """Evolve *df* to *target* (in-flight schema change, SURVEY §2.11):
+    missing nullable target fields are added as nulls, compatible types
+    are up-cast (int→long etc.), extra columns are dropped (or rejected
+    when ``strict``). The batch-boundary half of streaming schema
+    evolution — each epoch conforms to the registry's latest before
+    appending, so one directory holds one schema."""
+    from pyspark.sql import functions as F
+
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for tf in target.fields:
+        wf = have.get(tf.name)
+        if wf is None:
+            if not tf.nullable:
+                raise ValueError(f"missing required column `{tf.name}`")
+            cols.append(F.lit(None).cast(tf.dataType).alias(tf.name))
+            continue
+        if wf.dataType == tf.dataType:
+            cols.append(F.col(tf.name))
+        elif is_compatible(tf.dataType, wf.dataType):
+            cols.append(F.col(tf.name).cast(tf.dataType).alias(tf.name))
+        else:
+            raise ValueError(
+                f"column `{tf.name}`: {wf.dataType.simpleString()} cannot evolve "
+                f"to {tf.dataType.simpleString()}"
+            )
+    extras = [n for n in have if n not in {f.name for f in target.fields}]
+    if extras and strict:
+        raise ValueError(f"unexpected columns: {extras}")
+    return df.select(*cols)
+
+
+def evolve_union(frames, strict: bool = False):
+    """Union epochs/files with heterogeneous (but compatible) schemas:
+    the union target is the widest schema (every field, widest numeric
+    type); each frame is conformed then unioned by name."""
+    if not frames:
+        raise ValueError("no frames")
+    target_fields: dict[str, T.StructField] = {}
+    for df in frames:
+        for f in df.schema.fields:
+            prev = target_fields.get(f.name)
+            if prev is None:
+                target_fields[f.name] = T.StructField(f.name, f.dataType, True)
+            elif prev.dataType != f.dataType:
+                if is_compatible(prev.dataType, f.dataType):
+                    pass  # prev already the wider type
+                elif is_compatible(f.dataType, prev.dataType):
+                    target_fields[f.name] = T.StructField(f.name, f.dataType, True)
+                else:
+                    raise ValueError(
+                        f"column `{f.name}`: irreconcilable types "
+                        f"{prev.dataType.simpleString()} vs {f.dataType.simpleString()}"
+                    )
+    target = T.StructType(list(target_fields.values()))
+    out = None
+    for df in frames:
+        conformed = conform_to(df, target, strict=strict)
+        out = conformed if out is None else out.unionByName(conformed)
+    return out

@@ -240,3 +240,34 @@ def jdbc_staging_swap(
         f"BEGIN; DROP TABLE IF EXISTS {final_table}; "
         f"ALTER TABLE {staging_table} RENAME TO {final_table}; COMMIT;"
     )
+
+
+def write_publish_metadata(staged: StagedDataset, spark: SparkSession,
+                           extra: dict | None = None) -> str:
+    """MetadataWriterWrapper / BaseDataPublisher.publishMetadata — a
+    ``_metadata.json`` sidecar in the final dir recording what was
+    published (files, bytes, format, partitions, audit results). Driver-
+    side metadata only; written AFTER the rename so its presence implies
+    a complete publish."""
+    import json as _json
+
+    fs, dst, jvm = _fs(spark, staged.final_dir)
+    payload = {
+        "name": staged.name,
+        "format": staged.write.fmt if staged.write else None,
+        "files": staged.write.files if staged.write else None,
+        "bytes": staged.write.bytes_written if staged.write else None,
+        "partitions": staged.write.partitions if staged.write else [],
+        "audits": [
+            {"name": a.name, "passed": a.passed, "detail": a.detail}
+            for a in staged.audits
+        ],
+    }
+    payload.update(extra or {})
+    path = jvm.org.apache.hadoop.fs.Path(dst, "_metadata.json")
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(_json.dumps(payload, default=str).encode()))
+    finally:
+        out.close()
+    return path.toString()

@@ -1,0 +1,117 @@
+"""Schema registry: versioned schema lookup for envelope decoding and
+in-flight schema evolution.
+
+Reference mapping (all relative to /root/reference/):
+- KafkaSchemaRegistry (gobblin-modules/gobblin-kafka-common/.../
+  schemareg/KafkaSchemaRegistry.java): id→schema lookup used by
+  envelope converters; register returns the id for a schema.
+- SchemaRegistryVersionWriter: stamps the schema id into the payload
+  envelope so readers resolve the exact writer schema.
+- EnvelopeSchemaConverter (gobblin-modules/gobblin-kafka-common/.../
+  EnvelopePayloadConverter.java): looks up the payload schema by the
+  envelope's ``schema_id`` field before decode.
+
+Implementation: a filesystem-backed registry (one JSON file per
+version under ``<root>/<subject>/``), the same storage pattern as the
+watermark store — works on any Hadoop/posix path, no service
+dependency. The HTTP-backed registry (Confluent-style) is the same
+interface with a different transport; it needs a network endpoint and
+is therefore left to deployment.
+
+Schema ids are content hashes (md5 of the canonical JSON), so
+re-registering an identical schema is idempotent and ids are stable
+across registries — exactly how the reference's
+``register(schema) → id`` behaves for deduplicating registrations.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import types as T
+
+from gobblin_spark import schema as _schema
+
+
+def schema_id(avro_schema: dict | str) -> str:
+    """Stable content-hash id for a schema (md5 of canonical JSON)."""
+    if isinstance(avro_schema, str):
+        avro_schema = json.loads(avro_schema)
+    canon = json.dumps(avro_schema, sort_keys=True, separators=(",", ":"))
+    return hashlib.md5(canon.encode()).hexdigest()
+
+
+class FileSchemaRegistry:
+    """Filesystem-backed subject → versioned schemas registry."""
+
+    def __init__(self, root: str):
+        self.root = root.rstrip("/")
+
+    def _subject_dir(self, subject: str) -> str:
+        return os.path.join(self.root, subject)
+
+    def _versions(self, subject: str) -> list[tuple[int, str]]:
+        d = self._subject_dir(subject)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in os.listdir(d):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append((int(name[1:-5].split("-")[0]), os.path.join(d, name)))
+        return sorted(out)
+
+    def register(self, subject: str, avro_schema: dict | str,
+                 check_compat: bool = True) -> str:
+        """Register a schema version; returns its content-hash id.
+        Identical schemas are idempotent (same id, no new version).
+        ``check_compat``: the new schema must be able to READ data
+        written with the current latest (backward compatibility — the
+        registry-enforced evolution rule)."""
+        if isinstance(avro_schema, str):
+            avro_schema = json.loads(avro_schema)
+        sid = schema_id(avro_schema)
+        for _, path in self._versions(subject):
+            if json.load(open(path))["id"] == sid:
+                return sid  # already registered
+        latest = self.latest(subject)
+        if check_compat and latest is not None:
+            new_t = _schema.avro_to_struct(avro_schema)
+            old_t = _schema.avro_to_struct(latest)
+            if not _schema.is_compatible(new_t, old_t):
+                raise ValueError(
+                    f"schema for {subject} is not backward-compatible with "
+                    "the latest registered version"
+                )
+        versions = self._versions(subject)
+        v = (versions[-1][0] + 1) if versions else 1
+        os.makedirs(self._subject_dir(subject), exist_ok=True)
+        payload = {"id": sid, "version": v, "subject": subject,
+                   "schema": avro_schema}
+        path = os.path.join(self._subject_dir(subject), f"v{v:06d}-{sid[:8]}.json")
+        with open(path, "w") as f:
+            json.dump(payload, f)
+        return sid
+
+    def by_id(self, sid: str) -> dict | None:
+        """Exact writer schema for an envelope's schema_id."""
+        for subject in (os.listdir(self.root) if os.path.isdir(self.root) else []):
+            for _, path in self._versions(subject):
+                rec = json.load(open(path))
+                if rec["id"] == sid:
+                    return rec["schema"]
+        return None
+
+    def latest(self, subject: str) -> dict | None:
+        versions = self._versions(subject)
+        if not versions:
+            return None
+        return json.load(open(versions[-1][1]))["schema"]
+
+    def latest_struct(self, subject: str) -> T.DataType | None:
+        latest = self.latest(subject)
+        return None if latest is None else _schema.avro_to_struct(latest)
+
+    def history(self, subject: str) -> list[dict]:
+        return [json.load(open(p))["schema"] for _, p in self._versions(subject)]

@@ -1,0 +1,134 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+Reference mapping (all relative to /root/reference/):
+- Streaming dedup: the compaction key-dedup (gobblin-compaction/.../
+  AvroKeyDedupReducer.java) applied CONTINUOUSLY — the reference dedups
+  per compaction run; with keyed state the first occurrence of a key is
+  emitted and every later one is suppressed across epochs.
+- Sessionization: windows.session_windows (batch twin) with state —
+  the stateful runtime the reference lacks natively (its streaming is
+  record-at-a-time pass-through; SURVEY marks this parity-plus).
+
+Spark design: ``applyInPandasWithState`` keeps per-key state in the
+checkpointed state store — Arrow-batched, grouped by key, scales with
+the shuffle. State per key is O(1) (a flag / an open-session tuple),
+NOT a growing set: the key itself is the group, so "seen" is one
+boolean per distinct key, exactly like a streaming dedup should be.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def stateful_dedup_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Exactly-first-occurrence streaming dedup: group by *key_col*;
+    keyed state is a single seen-flag, so only the FIRST row per key —
+    across all epochs since the checkpoint began — is emitted.
+
+    Output: (key, first_seen_count) where first_seen_count is 1 for the
+    emitting epoch. State never grows per key; total state is O(distinct
+    keys), partitioned by the shuffle like any aggregation."""
+    out_schema = StructType([
+        StructField("key", stream_df.schema[key_col].dataType, True),
+        StructField("n_suppressed", LongType(), True),
+    ])
+    state_schema = StructType([StructField("seen", LongType(), True)])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.exists:
+            (seen,) = state.get
+            state.update((seen + n,))
+            return iter(())  # duplicate key: suppress
+        state.update((n,))
+        yield pd.DataFrame({"key": [key[0]], "n_suppressed": [n - 1]})
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Event-time sessionization with keyed state: rows within
+    *gap_seconds* of the session's current end extend it; a larger gap
+    closes the old session (emitted) and opens a new one. The batch twin
+    is ``operators.windows.session_windows``; this one is incremental.
+
+    Sessions are emitted when a LATER event closes them; the final open
+    session per key stays in state (drain it by sending a sentinel event
+    past the gap, or use the batch twin for bounded data)."""
+    out_schema = StructType([
+        StructField("key", stream_df.schema[key_col].dataType, True),
+        StructField("session_start", TimestampType(), True),
+        StructField("session_end", TimestampType(), True),
+        StructField("n_events", LongType(), True),
+    ])
+    state_schema = StructType([
+        StructField("start_us", LongType(), True),
+        StructField("end_us", LongType(), True),
+        StructField("n", LongType(), True),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.append(pd.to_datetime(pdf[ts_col]))
+        ts = pd.concat(ts_all).sort_values()
+        us = (ts.astype("int64") // 1000).tolist()
+        gap_us = gap_seconds * 1_000_000
+
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start, end, n = us[0], us[0], 0
+        closed = []
+        for t in us:
+            if t - end > gap_us:
+                closed.append((start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end = max(end, t)
+                n += 1
+        state.update((start, end, n))
+        if not closed:
+            return iter(())
+        out = pd.DataFrame(closed, columns=["s", "e", "n"])
+        yield pd.DataFrame({
+            "key": [key[0]] * len(out),
+            "session_start": pd.to_datetime(out["s"], unit="us"),
+            "session_end": pd.to_datetime(out["e"], unit="us"),
+            "n_events": out["n"],
+        })
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

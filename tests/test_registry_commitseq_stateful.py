@@ -1,0 +1,161 @@
+"""Schema registry, schema evolution, commit sequences, metadata
+sidecar, stateful streaming operators."""
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gobblin_spark import schema as S
+from gobblin_spark.sources.registry import FileSchemaRegistry, schema_id
+
+
+V1 = {"type": "record", "name": "E", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "v", "type": "int"},
+]}
+V2 = {"type": "record", "name": "E", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "v", "type": "long"},                      # promoted
+    {"name": "tag", "type": ["null", "string"]},         # added nullable
+]}
+BAD = {"type": "record", "name": "E", "fields": [
+    {"name": "id", "type": "string"},                   # long -> string: no
+]}
+
+
+def test_registry_register_lookup(tmp_path):
+    reg = FileSchemaRegistry(str(tmp_path))
+    sid1 = reg.register("events", V1)
+    assert sid1 == schema_id(V1)
+    assert reg.register("events", V1) == sid1       # idempotent
+    assert len(reg.history("events")) == 1
+    sid2 = reg.register("events", V2)               # backward-compatible
+    assert reg.latest("events") == V2
+    assert reg.by_id(sid1) == V1 and reg.by_id(sid2) == V2
+    with pytest.raises(ValueError):
+        reg.register("events", BAD)                 # incompatible rejected
+    assert isinstance(reg.latest_struct("events"), T.StructType)
+
+
+def test_conform_to_and_evolve_union(spark):
+    old = spark.createDataFrame([(1, 10)], "id LONG, v INT")
+    new_t = S.avro_to_struct(V2)
+    conformed = S.conform_to(old, new_t)
+    assert dict(conformed.dtypes) == {"id": "bigint", "v": "bigint", "tag": "string"}
+    assert conformed.first().tag is None
+
+    newer = spark.createDataFrame([(2, 20, "x")], "id LONG, v LONG, tag STRING")
+    merged = S.evolve_union([old, newer])
+    assert merged.count() == 2
+    assert dict(merged.dtypes)["v"] == "bigint"
+    with pytest.raises(ValueError):
+        S.conform_to(spark.createDataFrame([("a",)], "id STRING"), new_t)
+
+
+def test_commit_sequence_exec_and_replay(spark, sf_dir, tmp_path):
+    from gobblin_spark.sinks import publish as P
+    from gobblin_spark.sinks.commit_sequence import (
+        CommitSequenceStore, Sequence, marker_step, publish_step, watermark_step,
+    )
+    from gobblin_spark.sources import files
+    from gobblin_spark.state import WatermarkStore
+
+    ev = files.load_table(spark, sf_dir, "events").limit(100)
+    final = str(tmp_path / "out")
+    staged = P.stage(ev, final)
+    wm_root = str(tmp_path / "wm")
+    seq = Sequence("job1", [
+        publish_step(staged.staging_dir, final),
+        watermark_step(wm_root, "events",
+                       {"kind": "timestamp", "value": "2024-02-01T00:00:00"}),
+        marker_step(str(tmp_path / "done.marker")),
+    ])
+    store = CommitSequenceStore(spark, str(tmp_path / "seqs"))
+
+    # simulate crash: persist, execute only step 1 manually, "crash"
+    store.persist(seq)
+    store._run_step(seq.steps[0])
+    seq.steps[0].done = True
+    store.persist(seq)
+
+    # recovery: pending sequence found, replay finishes remaining steps;
+    # step 1 replay is a no-op (staging gone, final published)
+    assert [s.job_id for s in store.pending()] == ["job1"]
+    done = store.recover()
+    assert done == ["job1"] and store.pending() == []
+    assert P.is_published(spark, final)
+    assert WatermarkStore(spark, wm_root).get("events") == dt.datetime(2024, 2, 1)
+    assert os.path.exists(str(tmp_path / "done.marker"))
+
+    # full replay of an already-completed sequence is harmless
+    for s in seq.steps:
+        s.done = False
+    store.execute(seq)
+    assert WatermarkStore(spark, wm_root).history("events") == [dt.datetime(2024, 2, 1)]
+
+
+def test_publish_metadata_sidecar(spark, sf_dir, tmp_path):
+    from gobblin_spark.operators import quality
+    from gobblin_spark.sinks import publish as P
+    from gobblin_spark.sources import files
+
+    ev = files.load_table(spark, sf_dir, "events").limit(50)
+    final = str(tmp_path / "out")
+    staged = P.stage(ev, final)
+    P.audit(staged, spark, [lambda d: quality.row_count_policy(50, d.count())])
+    P.commit([staged], spark)
+    path = P.write_publish_metadata(staged, spark, extra={"job": "j1"})
+    meta = json.load(open(path.replace("file:", "")))
+    assert meta["files"] >= 1 and meta["audits"][0]["passed"] and meta["job"] == "j1"
+
+
+def test_stateful_dedup_stream(spark, tmp_path):
+    """Keys repeated across epochs are emitted exactly once."""
+    from gobblin_spark.streaming.stateful import stateful_dedup_stream
+
+    sch = "k STRING, v INT"
+    indir = tmp_path / "in"
+    spark.createDataFrame([("a", 1), ("b", 2), ("a", 3)], sch) \
+        .coalesce(1).write.parquet(str(indir / "b1"))
+    spark.createDataFrame([("b", 4), ("c", 5)], sch) \
+        .coalesce(1).write.parquet(str(indir / "b2"))
+
+    stream = spark.readStream.schema(sch).option("maxFilesPerTrigger", "1") \
+        .parquet(str(indir / "*"))
+    out = stateful_dedup_stream(stream, "k")
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append").option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("dedup_out").collect()
+    assert sorted(r.key for r in rows) == ["a", "b", "c"]  # each key once
+
+
+def test_sessionize_stream(spark, tmp_path):
+    from gobblin_spark.streaming.stateful import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    sch = "u STRING, ts TIMESTAMP"
+    rows1 = [("u1", t0), ("u1", t0 + dt.timedelta(seconds=10))]
+    rows2 = [("u1", t0 + dt.timedelta(hours=2)),  # closes session 1
+             ("u1", t0 + dt.timedelta(hours=2, seconds=5))]
+    indir = tmp_path / "in"
+    spark.createDataFrame(rows1, sch).coalesce(1).write.parquet(str(indir / "b1"))
+    spark.createDataFrame(rows2, sch).coalesce(1).write.parquet(str(indir / "b2"))
+
+    stream = spark.readStream.schema(sch).option("maxFilesPerTrigger", "1") \
+        .parquet(str(indir / "*"))
+    out = sessionize_stream(stream, "u", "ts", gap_seconds=600)
+    q = (out.writeStream.format("memory").queryName("sess_out")
+         .outputMode("append").option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("sess_out").collect()
+    assert len(rows) == 1  # first session closed by the hour-2 event
+    r = rows[0]
+    assert r.n_events == 2 and r.session_start == t0
+    assert r.session_end == t0 + dt.timedelta(seconds=10)
