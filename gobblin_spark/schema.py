@@ -318,3 +318,21 @@ def evolve_union(frames, strict: bool = False):
         conformed = conform_to(df, target, strict=strict)
         out = conformed if out is None else out.unionByName(conformed)
     return out
+
+
+def primary_key_fields(avro_schema) -> list[str]:
+    """AvroKeyMapper key discovery (gobblin-compaction/.../avro/
+    AvroKeyMapper.java + MRCompactorAvroKeyDedupJobRunner's
+    'primarykey' doc attribute): the dedup key columns declared in the
+    schema itself — a top-level ``primarykey`` attribute (string or
+    list), else any field whose ``doc`` contains ``primarykey``."""
+    if isinstance(avro_schema, str):
+        avro_schema = json.loads(avro_schema)
+    pk = avro_schema.get("primarykey") or avro_schema.get("primaryKey")
+    if pk:
+        return [pk] if isinstance(pk, str) else list(pk)
+    return [
+        f["name"]
+        for f in avro_schema.get("fields", [])
+        if "primarykey" in str(f.get("doc", "")).lower()
+    ]

@@ -172,6 +172,11 @@ class IngestSpec:
     dataset: str = "stream"
     fmt: str = "parquet"
     partition_by: Sequence[str] | None = None
+    # in-flight schema change (SURVEY §2.11): every epoch is conformed
+    # to this Catalyst schema (missing nullable cols filled, compatible
+    # types promoted) before anything else — one directory, one schema,
+    # even when upstream producers evolve mid-stream
+    target_schema: object | None = None
     stats: list[EpochStats] = field(default_factory=list)
 
 
@@ -179,6 +184,10 @@ def _epoch_fn(spec: IngestSpec, store: WatermarkStore):
     from gobblin_spark.operators import quality
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
+        if spec.target_schema is not None:
+            from gobblin_spark.schema import conform_to
+
+            batch_df = conform_to(batch_df, spec.target_schema)
         df = spec.transform(batch_df) if spec.transform else batch_df
         st = EpochStats(epoch_id)
 
