@@ -92,13 +92,21 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # self-contained closure: no module-global references, so the
+        # worker needs nothing on its PYTHONPATH
+        import hashlib as _hashlib
+
+        def fake_decode(payload):
+            d = _hashlib.sha256(payload or b"").digest()
+            return 64 + d[0] % 192, 64 + d[1] % 192, d.hex()[:16]
+
         for pdf in batches:
             if not fake:
                 raise NotImplementedError(
                     "image decode needs PIL/opencv; not installed in this "
                     "environment — pass fake=True for the deterministic stub"
                 )
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            feats = [fake_decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),

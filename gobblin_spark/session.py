@@ -37,6 +37,18 @@ def get_spark(
     master = master or f"local[{DEFAULT_LOCAL_CORES}]"
     shuffle_partitions = shuffle_partitions or DEFAULT_LOCAL_CORES
 
+    # Python workers inherit PYTHONPATH from the environment, not the
+    # driver's sys.path: make sure this package's root is visible so
+    # worker-side closures can resolve it even when the driver launched
+    # from another cwd. (Closures in this repo are written self-contained
+    # anyway; this is belt-and-braces for user code.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

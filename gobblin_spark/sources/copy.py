@@ -61,10 +61,14 @@ def list_tree(spark: SparkSession, base_path: str, min_parallel: int = 2) -> Dat
     dirs = [i.path for i in infos if i.type == pafs.FileType.Directory]
 
     def list_dir(it):
+        # self-contained (no module globals): runs in workers
         from pyarrow import fs as pafs2
 
         for d in it:
-            f2, p2 = _pa_fs(d)
+            if "://" in d:
+                f2, p2 = pafs2.FileSystem.from_uri(d)
+            else:
+                f2, p2 = pafs2.LocalFileSystem(), d
             for i in f2.get_file_info(pafs2.FileSelector(p2, recursive=True)):
                 if i.type == pafs2.FileType.File:
                     yield (i.path, i.size,
@@ -124,23 +128,34 @@ def execute_copy(manifest: DataFrame, tasks_hint: int | None = None) -> DataFram
     pyarrow in 8 MiB chunks (FileAwareInputStreamDataWriter). Returns a
     per-file result DataFrame; call an action on it to actually copy."""
 
+    chunk_size = _CHUNK  # captured by value in the closure
+
     def copy_batch(batches):
+        # self-contained: no module-global references (workers may not
+        # have this package on their PYTHONPATH)
+        import posixpath
         import pandas as pd
+        from pyarrow import fs as pafs
+
+        def pa_fs(path):
+            if "://" in path:
+                return pafs.FileSystem.from_uri(path)
+            return pafs.LocalFileSystem(), path
 
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
                 copied, ok, err = 0, True, None
                 try:
-                    sfs, spath = _pa_fs(r.src)
-                    dfs, dpath = _pa_fs(r.dst)
+                    sfs, spath = pa_fs(r.src)
+                    dfs, dpath = pa_fs(r.dst)
                     parent = posixpath.dirname(dpath)
                     if parent:
                         dfs.create_dir(parent, recursive=True)
                     with sfs.open_input_stream(spath) as src, \
                             dfs.open_output_stream(dpath) as dst:
                         while True:
-                            chunk = src.read(_CHUNK)
+                            chunk = src.read(chunk_size)
                             if not chunk:
                                 break
                             dst.write(chunk)
