@@ -1185,4 +1185,9 @@ HEADLINE = [
     "minhash_lsh_docs",
     "simhash_docs",
     "cosine_topk_embeddings",
+    # the engine-defining ingest paths (write+publish heavy)
+    "sink_roundtrip_partitioned",
+    "incremental_pull_union",
+    "streaming_ingest_parity",
+    "pipeline_fork_publish",
 ]
