@@ -194,21 +194,23 @@ def minhash_lsh_pairs(
             for bi in range(bands)
         ]
     )
-    banded = sig.select(
-        id_col, "signature", F.posexplode(band_hashes).alias("band", "bhash")
-    )
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"), "band", "bhash"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"), "band", "bhash"
-    )
+    # Candidate generation is SLIM: only (band, bhash, id) is exploded
+    # and self-joined — the ~0.5 KB signatures never ride the band
+    # shuffle (at 1M docs x 16 bands that's the difference between a
+    # ~100 MB and a ~10 GB exchange). Signatures are re-attached by two
+    # id-joins only for SURVIVING deduped candidate pairs.
+    banded = sig.select(id_col, F.posexplode(band_hashes).alias("band", "bhash"))
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "bhash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "bhash")
     cand = (
         left.join(right, ["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    scored = cand.join(sig_a, "id_a").join(sig_b, "id_b")
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
@@ -216,7 +218,7 @@ def minhash_lsh_pairs(
     )
     est = agree.cast("double") / F.lit(float(num_perm))
     return (
-        cand.withColumn("est_jaccard", F.round(est, 6))
+        scored.withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

@@ -149,21 +149,31 @@ def lsh_cosine_topk(
         )
         return df.select(
             F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
             F.posexplode(bh).alias("band", "bhash"),
         )
 
+    # slim candidate generation: only ids ride the band shuffle; the
+    # d-dim vectors are re-attached per surviving pair (same shuffle-
+    # weight argument as minhash_lsh_pairs)
+    wide_corpus = ensure_parallelism(corpus)
     qb = banded(queries, "query_id", "_qv")
-    cb = banded(ensure_parallelism(corpus), "neighbor_id", "_cv")
+    cb = banded(wide_corpus, "neighbor_id", "_cv")
     cand = (
         qb.join(cb, ["band", "bhash"])
-        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("_cos")
+    qv = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
+                                    F.col(vec_col).alias("_qv")))
+    cv = wide_corpus.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("_cv"))
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                cosine(F.col("_qv"), F.col("_cv")).alias("_cos"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("neighbor_id").asc()
@@ -207,24 +217,26 @@ def embedding_near_dup_pairs(
             for bi in range(bands)
         ]
     )
-    banded = ensure_parallelism(corpus).select(
+    wide = ensure_parallelism(corpus)
+    banded = wide.select(
         F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
         F.posexplode(bh).alias("band", "bhash"),
     )
-    a = banded.select(
-        F.col("vid").alias("id_a"), F.col("vec").alias("_va"), "band", "bhash"
-    )
-    b = banded.select(
-        F.col("vid").alias("id_b"), F.col("vec").alias("_vb"), "band", "bhash"
-    )
+    a = banded.select(F.col("vid").alias("id_a"), "band", "bhash")
+    b = banded.select(F.col("vid").alias("id_b"), "band", "bhash")
+    # ids-only band shuffle; vectors re-attached per surviving pair
     cand = (
         a.join(b, ["band", "bhash"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = wide.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = wide.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
-        cand.withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
