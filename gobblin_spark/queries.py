@@ -750,6 +750,36 @@ def cosine_topk_embeddings(spark, sf_dir):
     return similarity.cosine_topk(queries, emb, "vec_id", "embedding", k=5)
 
 
+@q(
+    "ivf_topk_embeddings",
+    f"""
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rnk AS INT) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL} AS cos,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_SQL} DESC, c.vec_id ASC
+             ) AS rnk
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 10
+    ) WHERE rnk <= 5
+    """,
+)
+def ivf_topk_embeddings(spark, sf_dir):
+    """IVF ANN (coarse k-means cells + probe search) run with probe-all,
+    which must EQUAL exact brute force — the oracle is the same top-k
+    SQL, so the cell partitioning + probe machinery is hash-verified
+    end-to-end. Production uses n_probe << n_centroids for the ~n_probe/
+    n_centroids cost reduction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = similarity.train_ivf_centroids(emb, "embedding", n_centroids=16,
+                                           sample_rows=2000, iters=5)
+    return similarity.ivf_topk(queries, emb, "vec_id", "embedding", k=5,
+                               centroids=cents, n_probe=len(cents))
+
+
 @q("embedding_near_dup")  # LSH-bucketed (approximate) — rows-only check
 def embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs via random-hyperplane LSH buckets."""

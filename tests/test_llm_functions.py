@@ -184,3 +184,39 @@ def test_frame_sample_plan(docs):
     n = frames.count()
     dur = media.first().byte_len % 120 + 1
     assert n == len(range(0, dur + 1, 5))
+
+
+def test_ivf_exact_when_probing_all_cells(spark, sf_dir):
+    """n_probe == n_centroids degenerates to exact brute force: results
+    must equal cosine_topk row for row."""
+    from gobblin_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    id_col, vec_col = emb.columns[0], emb.columns[1]
+    queries = emb.limit(5)
+    cents = similarity.train_ivf_centroids(emb, vec_col, n_centroids=8,
+                                           sample_rows=500, iters=5)
+    exact = similarity.cosine_topk(queries, emb, id_col, vec_col, k=3).collect()
+    ivf = similarity.ivf_topk(queries, emb, id_col, vec_col, k=3,
+                              centroids=cents, n_probe=len(cents)).collect()
+    key = lambda rows: sorted((r.query_id, r.rank, r.neighbor_id) for r in rows)
+    assert key(ivf) == key(exact)
+
+
+def test_ivf_probe_prunes_but_finds_close_neighbor(vectors):
+    """A near-identical vector lands in the same cell, so even 1-probe
+    search finds it."""
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    out = similarity.ivf_topk(
+        vectors.filter(F.col("vec_id") == 1), vectors, "vec_id", "embedding",
+        k=1, centroids=cents, n_probe=1,
+    ).collect()
+    assert [(r.query_id, r.neighbor_id) for r in out] == [(1, 2)]
+
+
+def test_ivf_assign_one_cell_per_vector(vectors):
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    inv = similarity.ivf_assign(vectors, "vec_id", "embedding", cents).collect()
+    assert len(inv) == 4
+    cells = {r.vec_id: r.cell for r in inv}
+    assert cells[1] == 0 and cells[2] == 0 and cells[3] == 1
