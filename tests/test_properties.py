@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) over the driver-side metadata
+surfaces — schema mapping, watermark encoding, SQL construction."""
+
+import datetime as dt
+import json
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import types as T
+
+from gobblin_spark import schema as S, state
+
+# -- strategies ------------------------------------------------------
+
+scalar_types = st.sampled_from([
+    T.BooleanType(), T.IntegerType(), T.LongType(), T.FloatType(),
+    T.DoubleType(), T.BinaryType(), T.StringType(), T.DateType(),
+    T.TimestampType(), T.TimestampNTZType(),
+])
+
+field_names = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+
+
+def struct_types(depth: int = 2):
+    base = scalar_types
+    if depth > 0:
+        inner = st.deferred(lambda: struct_types(depth - 1))
+        base = st.one_of(
+            scalar_types,
+            st.builds(T.ArrayType, inner, st.booleans()),
+            st.builds(lambda v, n: T.MapType(T.StringType(), v, n),
+                      inner, st.booleans()),
+            st.builds(
+                lambda fields: T.StructType(
+                    [T.StructField(n, t, nl) for (n, t, nl) in fields]
+                ),
+                st.lists(
+                    st.tuples(field_names, inner, st.booleans()),
+                    min_size=1, max_size=4,
+                    unique_by=lambda f: f[0],
+                ),
+            ),
+        )
+    return base
+
+
+structs = st.builds(
+    lambda fields: T.StructType([T.StructField(n, t, nl) for (n, t, nl) in fields]),
+    st.lists(st.tuples(field_names, struct_types(), st.booleans()),
+             min_size=1, max_size=5, unique_by=lambda f: f[0]),
+)
+
+
+@given(structs)
+@settings(max_examples=200, deadline=None)
+def test_schema_roundtrip_preserves_shape(struct):
+    """StructType → Avro JSON → StructType keeps names, nullability, and
+    types (modulo the documented float→float identity promotions)."""
+    avro = S.struct_to_avro(struct, "R")
+    json.dumps(avro)  # must be valid JSON
+    back = S.avro_to_struct(avro)
+    assert isinstance(back, T.StructType)
+    assert [f.name for f in back.fields] == [f.name for f in struct.fields]
+    for orig, rt in zip(struct.fields, back.fields):
+        assert rt.nullable == orig.nullable, orig.name
+        assert rt.dataType == orig.dataType, orig.name
+
+
+@given(structs)
+@settings(max_examples=100, deadline=None)
+def test_roundtrip_schema_self_compatible(struct):
+    back = S.avro_to_struct(S.struct_to_avro(struct, "R"))
+    assert S.is_compatible(back, back)
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_jdbc_query_escapes_strings(s):
+    q = state.jdbc_incremental_query("t", "name", None, s)
+    # the literal must contain the doubled-quote escape of every quote
+    assert q.count("'") % 2 == 0  # quotes balanced
+    assert q.startswith("SELECT * FROM t WHERE name <= '")
+
+
+@given(st.one_of(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=30),
+    st.datetimes(min_value=dt.datetime(1900, 1, 1),
+                 max_value=dt.datetime(2200, 1, 1)),
+    st.dates(min_value=dt.date(1900, 1, 1), max_value=dt.date(2200, 1, 1)),
+))
+@settings(max_examples=200, deadline=None)
+def test_watermark_encode_decode_roundtrip(v):
+    if isinstance(v, dt.datetime):
+        v = v.replace(microsecond=(v.microsecond // 1) )  # µs precision kept
+    payload = state._encode(v)
+    json.dumps(payload)
+    assert state._decode(payload) == v
+
+
+@given(st.lists(st.tuples(field_names, st.booleans()), min_size=1, max_size=6,
+                unique_by=lambda f: f[0]))
+@settings(max_examples=100, deadline=None)
+def test_recursion_elimination_idempotent(fields):
+    """eliminate_recursion on a non-recursive schema changes nothing and
+    drops nothing; on a self-referential wrap it terminates."""
+    sch = {"type": "record", "name": "R", "fields": [
+        {"name": n, "type": ["null", "long"] if nullable else "long"}
+        for n, nullable in fields
+    ]}
+    cleaned, dropped = S.eliminate_recursion(sch)
+    assert dropped == []
+    assert cleaned == sch
+
+    rec = {"type": "record", "name": "W", "fields": [
+        {"name": "payload", "type": sch},
+        {"name": "next", "type": ["null", "W"]},
+    ]}
+    cleaned2, dropped2 = S.eliminate_recursion(rec)
+    assert dropped2 == ["next"]
+    assert S.avro_to_struct(cleaned2)
