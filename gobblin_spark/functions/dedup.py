@@ -54,19 +54,25 @@ def dedup_exact(
     base = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
     )
-    grouped = (
-        base.filter(F.col("fp").isNotNull())
-        .groupBy("fp")
+    # ONE scan + ONE shuffle: null-fp rows get a unique synthetic group
+    # key ("\0id:<id>" cannot collide with 32-hex digests), so they come
+    # out as singleton groups instead of needing a second filtered scan
+    # unioned back in (the old shape read the text column twice).
+    gk = F.coalesce(
+        F.col("fp"), F.concat(F.lit("\0id:"), F.col(id_col).cast("string"))
+    )
+    return (
+        base.groupBy(gk.alias("_gk"))
         .agg(
             F.min(id_col).alias(id_col),
+            # fp is constant within a group (it IS the key, or null):
+            # min == first but keeps the aggregate hash-based instead of
+            # forcing a SortAggregate
+            F.min("fp").alias("fp"),
             F.count(F.lit(1)).alias("dup_count"),
         )
         .select(id_col, "fp", "dup_count")
     )
-    singletons = base.filter(F.col("fp").isNull()).select(
-        id_col, "fp", F.lit(1).cast("long").alias("dup_count")
-    )
-    return grouped.unionByName(singletons)
 
 
 def ngram_jaccard_pairs(
