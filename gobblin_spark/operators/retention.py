@@ -114,3 +114,42 @@ def purge_partition_predicate(retained: DataFrame, partition_col: str) -> Column
     not prune directories."""
     parts = [r[0] for r in retained.select(partition_col).distinct().collect()]
     return F.col(partition_col).isin(parts)
+
+
+def list_dataset_versions(spark, base_path: str) -> DataFrame:
+    """DatasetVersionFinder (gobblin-data-management/.../retention/
+    DatasetVersionFinder.java): the immediate child directories of a
+    dataset dir as its versions — (path, name, mtime). Driver-side
+    metadata (one listing RPC), O(versions)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    rows = []
+    if fs.exists(hpath):
+        for st in fs.listStatus(hpath):
+            if st.isDirectory():
+                name = st.getPath().getName()
+                if not name.startswith("_") and not name.startswith("."):
+                    rows.append((st.getPath().toString(), name,
+                                 int(st.getModificationTime())))
+    return spark.createDataFrame(rows or [], "path string, name string, mtime long")
+
+
+def apply_retention(spark, deletable: DataFrame, dry_run: bool = True) -> list[str]:
+    """Execute a retention selection: delete the version directories the
+    policy marked deletable (RetentionPolicy + CleanableDataset's
+    clean()). ``dry_run=True`` (default, like the reference's
+    simulate mode) only reports. Returns deleted (or would-delete)
+    paths. Deletion is driver-side recursive fs.delete per version dir —
+    O(versions) metadata ops."""
+    paths = [r.path for r in deletable.select("path").collect()]
+    if dry_run:
+        return paths
+    jvm = spark._jvm
+    out = []
+    for p in paths:
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.delete(hpath, True):
+            out.append(p)
+    return out

@@ -294,3 +294,21 @@ def load_file_snapshot(spark: SparkSession, root: str, dataset: str) -> DataFram
     if not fs.exists(hpath):
         return None
     return spark.read.parquet(path)
+
+
+def bounded_hwm(source_df: DataFrame, wm_col: str, lwm, max_rows: int):
+    """Work-unit sizing for incremental pulls (Gobblin's
+    ``maxWorkUnits``/partition-interval sizing, QueryBasedSource.java:216):
+    pick the HWM so the next pull covers at most ~max_rows rows — the
+    watermark of the max_rows-th unpulled row in watermark order.
+    Computed with TakeOrdered (orderBy+limit: per-partition top-N merge,
+    never a full sort). Rows sharing the boundary watermark are included
+    by the half-open pull, so a pull can exceed max_rows only by the
+    final watermark's tie count."""
+    tail = source_df if lwm is None else source_df.filter(F.col(wm_col) > _lit(lwm))
+    boundary = (
+        tail.select(wm_col).orderBy(F.col(wm_col).asc()).limit(max_rows)
+        .agg(F.max(wm_col))
+        .first()[0]
+    )
+    return boundary

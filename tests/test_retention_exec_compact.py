@@ -1,0 +1,72 @@
+"""Retention execution, small-file compaction, bounded work-unit pulls."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from gobblin_spark import state
+from gobblin_spark.operators import compaction, retention
+from gobblin_spark.sources import files
+
+
+def test_list_and_apply_retention(spark, tmp_path):
+    base = tmp_path / "ds"
+    for i, name in enumerate(["v1", "v2", "v3", "_staging-x"]):
+        d = base / name
+        d.mkdir(parents=True)
+        (d / "part.txt").write_text(str(i))
+        os.utime(d, (1000 + i, 1000 + i))
+
+    versions = retention.list_dataset_versions(spark, str(base))
+    names = {r.name for r in versions.collect()}
+    assert names == {"v1", "v2", "v3"}  # _staging hidden
+
+    deletable = retention.newest_k_deletable(versions, [], ["mtime", "name"], k=2)
+    # dry run reports without deleting
+    would = retention.apply_retention(spark, deletable, dry_run=True)
+    assert [os.path.basename(p) for p in would] == ["v1"]
+    assert (base / "v1").exists()
+    # real run deletes the old version only
+    deleted = retention.apply_retention(spark, deletable, dry_run=False)
+    assert len(deleted) == 1
+    assert not (base / "v1").exists() and (base / "v3").exists()
+
+
+def test_compact_small_files(spark, sf_dir, tmp_path):
+    ev = files.load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "frag")
+    ev.repartition(16).write.parquet(path)  # 16 fragments
+    before = ev.count()
+
+    res = compaction.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert res["compacted"] and res["files_before"] == 16 and res["files_after"] == 1
+    back = spark.read.parquet(path)
+    assert back.count() == before
+    assert back.columns == ev.columns
+
+    # idempotent: already compact -> no-op
+    res2 = compaction.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert not res2["compacted"] and res2["files_after"] == 1
+
+
+def test_bounded_hwm_sizes_pulls(spark, sf_dir, tmp_path):
+    orders = files.load_table(spark, sf_dir, "orders")
+    total = orders.count()
+    store = state.WatermarkStore(spark, str(tmp_path / "wm"))
+
+    pulled = 0
+    lwm = None
+    rounds = 0
+    while pulled < total:
+        hwm = state.bounded_hwm(orders, "o_orderdate", lwm, max_rows=600)
+        if hwm is None:
+            break
+        pull = state.pull_incremental(orders, "o_orderdate", store, "orders", hwm=hwm)
+        n = pull.df.count()
+        # ties on the boundary watermark may push past the cap slightly
+        assert n <= 600 + 50
+        pulled += n
+        pull.commit()
+        lwm = hwm
+        rounds += 1
+    assert pulled == total and rounds >= 2
