@@ -209,3 +209,33 @@ def write_kafka(
     for k, v in (options or {}).items():
         w = w.option(k, v)
     w.save()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    fmt: str = "parquet",
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed managed table for CO-LOCATED joins and aggregations.
+
+    At 100 TB the repeated cost isn't one shuffle — it's re-shuffling
+    the same fact table on the same key every day. Writing it bucketed
+    (hash-partitioned into fixed buckets, optionally sorted) lets every
+    later equi-join or groupBy on ``bucket_cols`` skip the Exchange
+    entirely (both sides report the same HashPartitioning). This is the
+    Spark analog of the reference pre-partitioning compacted output by
+    key (MRCompactor's partition-aligned outputs).
+
+    Bucketing requires the catalog (saveAsTable) — plain ``save(path)``
+    silently drops bucket metadata."""
+    w = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
