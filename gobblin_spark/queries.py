@@ -1045,6 +1045,42 @@ def incremental_pull_union(spark, sf_dir):
     )
 
 
+@q(
+    "jdbc_pull_partitioned",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey > 2000 AND o_orderkey <= 9000
+    """,
+)
+def jdbc_pull_partitioned(spark, sf_dir):
+    """Query-based JDBC extraction (JdbcExtractor.java:85,161 SQL
+    construction + Partitioner.java:167 interval splitting): the
+    (2000, 9000] watermark interval splits into 4 work units, each
+    executed as generated SQL through its own executor-side DB-API
+    connection (DuckDB stands in for the database — no JDBC jar in
+    this sandbox). Green iff the dialect SQL + partition bounds are
+    semantically exact: any gap/overlap/quoting bug changes the rows."""
+    from gobblin_spark.sources import jdbc as J
+
+    path = f"{sf_dir}/orders.parquet"
+
+    def connect():
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW orders AS SELECT * FROM read_parquet('{path}')")
+        return con
+
+    preds = J.partition_predicates("o_orderkey", 2000, 9000, 4,
+                                   dialect=J.DUCKDB)
+    sqls = [J.build_extract_sql("orders", ["o_orderkey", "o_totalprice"],
+                                [p], dialect=J.DUCKDB) for p in preds]
+    return J.read_via_dbapi(spark, connect, sqls,
+                            "o_orderkey long, o_totalprice double")
+
+
 # ------------------------------------------------------------------
 # §2.2/§2.11 streaming: flush-epoch ingest with batch parity
 # ------------------------------------------------------------------
