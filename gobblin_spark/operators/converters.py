@@ -277,3 +277,42 @@ def execute_object_deletes(manifest: DataFrame) -> DataFrame:
             yield pd.DataFrame(out, columns=["key", "deleted", "error"])
 
     return manifest.mapInPandas(delete_batch, "key string, deleted boolean, error string")
+
+
+def async_map_1to1(
+    df: DataFrame,
+    fn,
+    out_field: str,
+    out_type: str = "string",
+    max_concurrency: int = 16,
+    input_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """AsyncConverter1to1 (gobblin-core-base/.../converter/
+    AsyncConverter1to1.java): 1:1 conversion whose per-record work is
+    I/O-bound (REST enrichment, KV lookup), with a bounded number of
+    in-flight conversions.
+
+    Spark shape: ``mapInPandas`` — Arrow batches cross into Python once,
+    and inside each task a thread pool of *max_concurrency* workers
+    overlaps the I/O waits. ``fn(row_dict) → value`` is applied in
+    order (executor.map preserves input order), so the output is the
+    input plus one ``out_field`` column — strictly 1:1, like the
+    reference's completed-future stream. CPU-bound work does NOT belong
+    here (the GIL serializes it); use plain Column exprs or pandas ops.
+    """
+    cols = list(input_cols) if input_cols else [f.name for f in df.schema.fields]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{out_field}` {out_type}"]
+    )
+
+    def run(batches):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrency) as pool:
+            for pdf in batches:
+                rows = pdf[cols].to_dict("records")
+                pdf[out_field] = list(pool.map(fn, rows))
+                yield pdf
+
+    return df.mapInPandas(run, out_schema)

@@ -94,3 +94,25 @@ def test_cast_and_chain(spark):
     )
     assert dict(out.dtypes)["age"] == "string"
     assert out.columns == ["name", "age"]
+
+
+def test_async_map_1to1_order_and_schema(spark):
+    """AsyncConverter1to1 analog: bounded-concurrency I/O enrichment,
+    strictly 1:1 and order-preserving within each Arrow batch."""
+    df = spark.range(50).selectExpr("id", "CAST(id % 5 AS INT) AS grp")
+
+    def enrich(row):
+        return f"{row['grp']}#{row['id']}"
+
+    out = C.async_map_1to1(df, enrich, "tag", "string", max_concurrency=4)
+    assert [f.name for f in out.schema.fields] == ["id", "grp", "tag"]
+    got = {r.id: r.tag for r in out.collect()}
+    assert len(got) == 50
+    assert got[13] == "3#13"
+
+
+def test_async_map_1to1_input_cols_subset(spark):
+    df = spark.range(10).selectExpr("id", "id * 10 AS big")
+    out = C.async_map_1to1(
+        df, lambda r: r["id"] + 1, "nxt", "long", input_cols=["id"])
+    assert {r.id: r.nxt for r in out.collect()}[4] == 5
