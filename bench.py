@@ -32,10 +32,18 @@ def main() -> int:
 
     spark = get_spark("gobblin-spark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
-    # warm the JVM/codegen paths once so timings measure the engine
-    QUERIES["q1_pricing_summary"](spark, sf_dir).write.mode("overwrite").format(
-        "noop"
-    ).save()
+    # Warm the JVM/codegen paths so timings measure the engine, not
+    # Janino: each headline plan shape is executed once at the smallest
+    # SF (identical generated classes, ~100x less data), so the timed
+    # runs below hit the codegen cache. The 64-aggregate MinHash stage
+    # alone costs ~3s of one-time compilation otherwise.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, warm_dir).write.mode("overwrite").format(
+                "noop").save()
+        except Exception:
+            pass  # a query that only works at the bench SF still times below
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -190,7 +190,13 @@ def minhash_lsh_pairs(
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed)
+    # The signature table feeds THREE consumers (band explode + two
+    # re-attach joins); without a persist each one re-runs the whole
+    # shingle→hash→64-min pipeline. Signatures are slim (~0.5 KB/row:
+    # id + 64 longs), so MEMORY_AND_DISK holds even at cluster scale —
+    # this is the standard LSH shape: materialize signatures once,
+    # never the documents.
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed).persist()
 
     band_hashes = F.array(
         *[
@@ -273,7 +279,9 @@ def simhash_near_dup_pairs(
     verification. (max_hamming ≤ 3 is guaranteed complete; larger values
     would need more/smaller chunks.)
     """
-    sh = simhash64(df, id_col, text_col)
+    # two consumers (left/right of the chunk self-join) — persist the
+    # slim (id, simhash) table so the 64-bit-sum aggregation runs once
+    sh = simhash64(df, id_col, text_col).persist()
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
@@ -288,11 +296,15 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cval"
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # Order matters at scale: the Hamming verify is a pure function of
+    # the pair, so it runs BEFORE dropDuplicates — the dedup shuffle
+    # then carries only verified near-dups (a handful) instead of every
+    # banding collision (quadratic in corpus/2^16 per chunk).
     return (
         left.join(right, ["chunk", "cval"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )

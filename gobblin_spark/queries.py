@@ -978,7 +978,7 @@ def sink_roundtrip_partitioned(spark, sf_dir):
     n = orders.count()
     final = tempfile.mkdtemp(prefix="gobblin_sink_rt_") + "/orders"
     part_df, cols = W.with_time_partitions(orders, "o_orderdate", "month")
-    staged = P.stage(part_df, final, partition_by=cols)
+    staged = P.stage(part_df, final, partition_by=cols, cluster=True)
     P.audit(staged, spark, [lambda df: quality.row_count_policy(n, df.count())])
     report = P.commit([staged], spark)
     if not (report.committed and P.is_published(spark, final)):

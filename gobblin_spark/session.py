@@ -64,6 +64,11 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", "4194304")
         # --- broadcast: dims up to 64 MiB stay map-side ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- codegen: the wide-aggregate operators (64-min MinHash,
+        # 64-sum SimHash) compile large generated classes; the default
+        # 100-entry cache evicts them across a multi-query session and
+        # re-pays ~3s of Janino per eviction ---
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         # --- python interchange is always Arrow ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
