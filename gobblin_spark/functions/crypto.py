@@ -24,8 +24,14 @@ from pyspark.sql import Column, functions as F
 
 
 def base64_encode(col: Column) -> Column:
-    """Binary/string → base64 string (SimpleEncoder analog)."""
-    return F.base64(col.cast("binary"))
+    """Binary/string → base64 string (SimpleEncoder analog).
+
+    RFC 4648 unchunked: Spark's ``base64`` emits MIME chunking (CRLF
+    every 76 chars, Hive-compatible) under the default
+    ``spark.sql.legacy.chunkBase64String.enabled`` behavior; the
+    reference's commons-codec encoder and other engines (DuckDB,
+    Python) are unchunked, so strip the line breaks."""
+    return F.regexp_replace(F.base64(col.cast("binary")), "[\\r\\n]", "")
 
 
 def base64_decode(col: Column) -> Column:

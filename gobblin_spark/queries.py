@@ -1122,6 +1122,200 @@ def streaming_ingest_parity(spark, sf_dir):
 
 
 # ------------------------------------------------------------------
+# skew tooling / schema evolution / crypto / async / REST / stateful
+# ------------------------------------------------------------------
+
+
+@q(
+    "skew_salted_agg",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (functions/skew.py): phase 1
+    shuffles on (key, salt) so a hot key spreads across reducers,
+    phase 2 merges the salts-per-key partials. Green iff the rewrite is
+    algebraically exact vs the plain one-shuffle GROUP BY (sums kept in
+    int64 so association order cannot perturb the hash)."""
+    from gobblin_spark.functions import skew
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return skew.salted_agg(
+        li,
+        ["l_returnflag"],
+        [
+            (F.count(F.lit(1)), "_c", F.sum("_c").alias("n")),
+            (F.sum(F.col("l_quantity").cast("long")), "_s",
+             F.sum("_s").alias("sum_qty")),
+        ],
+        salts=16,
+    )
+
+
+@q(
+    "window_sliding_daily",
+    """
+    SELECT window_start,
+           window_start + INTERVAL 2 DAY AS window_end,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM (
+      SELECT date_trunc('day', ts) - to_days(k) AS window_start, value
+      FROM events, (SELECT unnest([0, 1]) AS k)
+    ) GROUP BY window_start
+    """,
+)
+def window_sliding_daily(spark, sf_dir):
+    """Sliding-window aggregation (parity-plus over the reference's
+    tumbling-only partitioner): 2-day windows sliding by 1 day — every
+    event lands in exactly two windows; the oracle materializes the
+    window membership explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return windows.sliding_agg(
+        ev, "ts", "2 days", "1 day",
+        [F.count(F.lit(1)).alias("n"),
+         F.round(F.sum("value"), 2).alias("sum_value")],
+    )
+
+
+@q(
+    "schema_evolution_union",
+    """
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def schema_evolution_union(spark, sf_dir):
+    """In-flight schema evolution (schema.py evolve_union — the batch
+    half of SURVEY §2.11 schema change): two epochs with different
+    schemas (v1: int key + price; v2: long key + a new priority column)
+    union under the widest schema, nulls filling the gaps, int→long
+    widened."""
+    from gobblin_spark import schema as SCH
+
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"), "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority")
+    return SCH.evolve_union([v1, v2])
+
+
+@q(
+    "crypto_roundtrip",
+    """
+    SELECT doc_id, base64(encode(text)) AS b64, text AS text_rt
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def crypto_roundtrip(spark, sf_dir):
+    """Crypto codecs (GPGCodec/RotatingAESCodec analogs, gobblin-modules/
+    gobblin-crypto): AES-GCM encrypt→decrypt must be identity (verified
+    against the plaintext the oracle selects directly), base64 must be
+    bit-compatible across engines."""
+    from gobblin_spark.functions import crypto
+
+    docs = load_docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    key = "0123456789abcdef"  # 16-byte AES-128 test key
+    return docs.select(
+        "doc_id",
+        crypto.base64_encode(F.col("text").cast("binary")).alias("b64"),
+        crypto.aes_decrypt_to_string(
+            crypto.aes_encrypt_col(F.col("text"), key), key).alias("text_rt"),
+    )
+
+
+@q(
+    "async_enrich",
+    """
+    SELECT s_suppkey, s_name || '|' || CAST(s_nationkey AS VARCHAR) AS tag
+    FROM supplier
+    """,
+)
+def async_enrich(spark, sf_dir):
+    """AsyncConverter1to1 (bounded-concurrency I/O enrichment over
+    Arrow batches): the callable is deterministic here so the oracle
+    can express it — what's verified is the 1:1 row mapping and
+    order/schema preservation of the async path."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name",
+                                                       "s_nationkey")
+    out = C.async_map_1to1(
+        sup, lambda r: f"{r['s_name']}|{r['s_nationkey']}", "tag",
+        max_concurrency=8)
+    return out.select("s_suppkey", "tag")
+
+
+@q(
+    "object_delete_manifest",
+    "SELECT DISTINCT CAST(doc_id AS VARCHAR) AS key FROM documents",
+)
+def object_delete_manifest(spark, sf_dir):
+    """ObjectStoreDeleteConverter manifest stage: records → slim
+    distinct delete-key manifest (execution is a separate idempotent
+    step, tested in pytest)."""
+    docs = load_docs(spark, sf_dir)
+    return C.object_store_delete_manifest(docs, "doc_id")
+
+
+@q(
+    "rest_source_pages",
+    """
+    SELECT CAST(r // 40 AS BIGINT) AS page_no, r AS rid,
+           r * 0.5 AS score
+    FROM (SELECT unnest(range(0, 250)) AS r)
+    """,
+)
+def rest_source_pages(spark, sf_dir):
+    """RestApiExtractor path (sources/rest.py): page manifest →
+    distributed fetch through an injectable transport (a deterministic
+    fake here — the sandbox has no egress) → JVM-side JSON decode.
+    Green iff pagination covers the record space exactly once and the
+    decode preserves values."""
+    import json as _json
+
+    from gobblin_spark.sources import rest
+
+    def transport(offset, limit):
+        return _json.dumps({
+            "records": [
+                {"rid": offset + i, "score": (offset + i) * 0.5}
+                for i in range(limit)
+            ]
+        })
+
+    return rest.read_rest_api(spark, 250, 40, transport,
+                              "rid BIGINT, score DOUBLE")
+
+
+@q("stateful_dedup_users")  # streaming stateful — rows-only check
+def stateful_dedup_users(spark, sf_dir):
+    """applyInPandasWithState exactly-first dedup over a multi-epoch
+    file stream: each user_id is emitted exactly once across epochs, so
+    the row count equals the batch-side distinct count."""
+    import tempfile
+
+    from gobblin_spark.streaming.stateful import stateful_dedup_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    tmp = tempfile.mkdtemp(prefix="gobblin_sdedup_")
+    ev.repartition(4).write.parquet(f"{tmp}/in")
+    stream = (spark.readStream.schema("user_id bigint")
+              .option("maxFilesPerTrigger", "2").parquet(f"{tmp}/in"))
+    out = stateful_dedup_stream(stream, "user_id")
+    q_ = (out.writeStream.format("memory").queryName("sdedup_out")
+          .outputMode("append").option("checkpointLocation", f"{tmp}/ckpt")
+          .trigger(availableNow=True).start())
+    q_.awaitTermination(120)
+    return spark.table("sdedup_out").select("key")
+
+
+# ------------------------------------------------------------------
 # plans layer: the declarative Constructs chain
 # ------------------------------------------------------------------
 
