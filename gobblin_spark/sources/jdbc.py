@@ -341,3 +341,49 @@ def pull_query_based(
     df = read_via_dbapi(spark, connect, plan.sqls, schema)
     return IncrementalPull(df, dataset, wm_col, plan.lwm, hwm,
                            lambda: store.commit(dataset, hwm))
+
+
+# ------------------------------------------------------------------
+# Dynamic (data-driven) partitioning — SalesforceSource's histogram
+# ------------------------------------------------------------------
+
+
+def quantile_bounds(
+    df: DataFrame, wm_col: str, num_partitions: int,
+    relative_error: float = 0.001,
+) -> list:
+    """SalesforceSource.java:78 dynamic watermark partitioning: instead
+    of equal-WIDTH intervals (which skew badly when activity clusters —
+    one day can hold 100x another's records), probe the DATA for
+    equal-COUNT cut points. One approx-quantile pass (Greenwald-Khanna,
+    single aggregation, no sort) yields boundaries such that each
+    (lo, hi] interval holds ~1/N of the rows."""
+    probs = [i / num_partitions for i in range(1, num_partitions)]
+    cuts = df.approxQuantile(wm_col, probs, relative_error)
+    # dedupe (heavy single values can repeat a quantile)
+    out, prev = [], None
+    for c in cuts:
+        if prev is None or c > prev:
+            out.append(c)
+            prev = c
+    return out
+
+
+def partition_interval_by_counts(
+    df: DataFrame, wm_col: str, lwm, hwm, num_partitions: int,
+    relative_error: float = 0.001,
+) -> list[tuple]:
+    """Equal-record split of (lwm, hwm]: quantile cut points from the
+    actual distribution, clamped to the pull interval. Intervals chain
+    half-open exactly like ``partition_interval``, so the same predicate
+    generation applies — but each work unit now carries a similar row
+    count even under heavy skew."""
+    from pyspark.sql import functions as _F
+
+    bounded = df.filter(
+        (_F.col(wm_col) > _F.lit(lwm)) & (_F.col(wm_col) <= _F.lit(hwm)))
+    cuts = [c for c in quantile_bounds(bounded, wm_col, num_partitions,
+                                       relative_error)
+            if lwm < c < hwm]
+    bounds = [lwm, *cuts, hwm]
+    return [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]

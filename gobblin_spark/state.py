@@ -312,3 +312,29 @@ def bounded_hwm(source_df: DataFrame, wm_col: str, lwm, max_rows: int):
         .first()[0]
     )
     return boundary
+
+
+def pending_work_units(
+    store: "WatermarkStore", dataset: str, unit_ids: list[str]
+) -> list[str]:
+    """AbstractSource's failed-work-unit retry merge (gobblin-core-base/
+    .../extract/AbstractSource.java): a new run plans the units the
+    previous run did NOT commit. Per-unit completion lives in the store
+    under ``<dataset>/_units``; publish marks a unit done via
+    ``commit_work_unit`` only after its output is published, so a crash
+    between write and publish re-runs the unit (idempotent staging
+    publish makes the re-run safe)."""
+    done = _decode_units(store.get(f"{dataset}/_units"))
+    return [u for u in unit_ids if u not in done]
+
+
+def commit_work_unit(store: "WatermarkStore", dataset: str, unit_id: str) -> None:
+    """Mark one work unit complete (call AFTER its publish succeeds)."""
+    done = _decode_units(store.get(f"{dataset}/_units"))
+    if unit_id not in done:
+        store.commit(f"{dataset}/_units",
+                     json.dumps(sorted(done | {unit_id})))
+
+
+def _decode_units(raw) -> set:
+    return set(json.loads(raw)) if raw else set()

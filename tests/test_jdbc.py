@@ -157,3 +157,36 @@ def test_read_jdbc_partitioned_requires_jar(spark):
         J.read_jdbc_partitioned(
             spark, "jdbc:postgresql://nohost/db", "t", ["id > 0"]
         ).count()
+
+
+def test_partition_by_counts_equalizes_skew(spark):
+    """Equal-count splits: a skewed distribution still yields balanced
+    work units (the equal-width splitter would put ~90% in one)."""
+    from pyspark.sql import functions as F
+
+    # 90% of rows clustered in [0, 10], tail spread to 1000
+    df = spark.range(10000).select(
+        F.when(F.col("id") < 9000, F.col("id") % 10)
+        .otherwise((F.col("id") - 9000) + 11).cast("double").alias("wm"))
+    parts = J.partition_interval_by_counts(df, "wm", -1.0, 1011.0, 4)
+    assert parts[0][0] == -1.0 and parts[-1][1] == 1011.0
+    counts = [df.filter((F.col("wm") > lo) & (F.col("wm") <= hi)).count()
+              for lo, hi in parts]
+    assert sum(counts) == 10000
+    assert max(counts) < 10000 * 0.6  # no single dominant unit
+
+
+def test_pending_work_units_retry(spark, tmp_path):
+    from gobblin_spark import state as S
+
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    units = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    assert S.pending_work_units(store, "ds", units) == units
+    S.commit_work_unit(store, "ds", "2024-01-02")
+    assert S.pending_work_units(store, "ds", units) == \
+        ["2024-01-01", "2024-01-03"]
+    # idempotent re-commit
+    S.commit_work_unit(store, "ds", "2024-01-02")
+    S.commit_work_unit(store, "ds", "2024-01-01")
+    S.commit_work_unit(store, "ds", "2024-01-03")
+    assert S.pending_work_units(store, "ds", units) == []
