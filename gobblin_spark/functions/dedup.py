@@ -308,3 +308,47 @@ def simhash_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "hamming")
     )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scan: per document, the fraction of its
+    n-gram shingles that appear anywhere in *benchmark* (the eval-set
+    decontamination step every pre-training pipeline runs before
+    training).
+
+    Output: (id, n_shingles, n_overlap, overlap_ratio), one row per
+    document INCLUDING zero-overlap docs. Scale shape: the benchmark's
+    distinct shingle set is tiny relative to the corpus (eval sets are
+    thousands of docs) → broadcast semi-ish join against it; the corpus
+    side streams, nothing quadratic. For a huge benchmark drop the
+    broadcast and it degrades to one shuffle on the shingle hash.
+    """
+    bcol = bench_text_col or text_col
+    doc_sh = word_shingles(
+        ensure_parallelism(docs.select(id_col, text_col)), text_col, n
+    ).select(id_col, "shingle").distinct()
+    bench_sh = (
+        word_shingles(benchmark.select(bcol), bcol, n)
+        .select("shingle").distinct()
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh.withColumn("_hit", F.lit(1))),
+                    "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
+        )
+    )
+    ratio = F.round(
+        F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double"), 6
+    )
+    return hits.select(id_col, "n_shingles", "n_overlap",
+                       ratio.alias("overlap_ratio"))

@@ -360,3 +360,30 @@ def ivf_topk(
         .select("query_id", "neighbor_id",
                 F.round(F.col("_cos"), 6).alias("cosine"), "rank")
     )
+
+
+def semantic_dedup_survivors(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: near-duplicate pairs by
+    embedding cosine (LSH candidates + exact verify), then greedy
+    keep-the-min-id — every id that appears as the GREATER member of a
+    near-dup pair is dropped.
+
+    Greedy-by-id matches the common implementation (cluster, drop all
+    but one exemplar above the threshold); it over-drops only on
+    chains a<b<c where sim(a,b) and sim(b,c) but not sim(a,c) — the
+    standard, documented approximation. Returns surviving (id) rows;
+    anti-join keeps the corpus scan single-pass and the dropped-id set
+    is a slim broadcastable column."""
+    pairs = embedding_near_dup_pairs(
+        corpus, id_col, vec_col, dim, threshold, n_planes, bands, seed)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return corpus.select(id_col).join(dropped, id_col, "left_anti")

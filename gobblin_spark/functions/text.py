@@ -142,3 +142,36 @@ def word_shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shin
         .filter(F.col(out_col) != "")
         .drop("_words")
     )
+
+
+# PII patterns kept RE2-portable (no lookaround) so the SAME regex runs
+# in Spark, DuckDB, and Python re — redaction must be oracle-checkable.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d().\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Training-data PII scrubbing: emails, IPv4s, and phone-shaped
+    digit runs replaced with typed placeholder tokens (the CCNet/Dolma
+    pre-training cleanup step). Chained ``regexp_replace`` — global
+    replacement, scan-speed, no Python."""
+    out = col
+    for pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def repetition_ratio(col: Column) -> Column:
+    """Repeated-token fraction: 1 − distinct_words/total_words over
+    whitespace tokens (0 for empty). High values flag boilerplate/spam
+    documents (the RefinedWeb/Gopher repetition filters); exactly
+    expressible in DuckDB list functions for the oracle."""
+    words = F.split(F.trim(col), r"\s+")
+    n = F.size(words)
+    d = F.size(F.array_distinct(words))
+    return F.when((F.trim(col) == "") | col.isNull(), F.lit(0.0)).otherwise(
+        F.lit(1.0) - d.cast("double") / n.cast("double")
+    )

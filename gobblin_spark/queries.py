@@ -789,6 +789,110 @@ def embedding_near_dup(spark, sf_dir):
     )
 
 
+@q("semantic_dedup_docs")  # LSH-bucketed (approximate) — rows-only check
+def semantic_dedup_docs(spark, sf_dir):
+    """SemDeDup-style semantic dedup: embedding near-dup pairs → greedy
+    keep-min-id survivors (dropped ids = greater member of any pair)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_survivors(
+        emb, "vec_id", "embedding", dim=64, threshold=0.2
+    )
+
+
+@q(
+    "text_redact_pii",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             'mail user' || CAST(doc_id AS VARCHAR)
+               || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.7 tel +1 (415) 555-01' || CAST(doc_id % 90 + 10 AS VARCHAR)
+               || ' ' || text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+?\d[\d().\- ]{7,}\d', '<PHONE>', 'g') AS redacted
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """PII scrubbing (emails/IPv4/phone runs → typed tokens): documents
+    are salted with synthetic PII derived from doc_id, then redacted —
+    green iff every planted instance is caught with identical spans on
+    both engines (the patterns are RE2-portable by construction)."""
+    docs = load_docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    salted = F.concat(
+        F.lit("mail user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel +1 (415) 555-01"),
+        (F.col("doc_id") % 90 + 10).cast("string"),
+        F.lit(" "), F.col("text"),
+    )
+    return docs.select(
+        "doc_id", text.redact_pii(salted).alias("redacted"))
+
+
+@q(
+    "text_repetition_ratio",
+    r"""
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
+                ELSE round(
+                  1.0 - CAST(len(list_distinct(
+                          regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+                      / CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                             AS DOUBLE), 6)
+           END AS rep_ratio
+    FROM documents
+    """,
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Repeated-token fraction (RefinedWeb/Gopher repetition filter):
+    1 − distinct/total whitespace tokens."""
+    docs = load_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", F.round(text.repetition_ratio(F.col("text")), 6
+                          ).alias("rep_ratio"))
+
+
+_SHINGLE2_CTE = """
+      SELECT doc_id, words, unnest(range(1, greatest(len(words) - 2, 0) + 2)) AS i
+      FROM (SELECT doc_id, regexp_split_to_array({norm}, ' ') AS words
+            FROM documents WHERE {pred})
+"""
+
+
+@q(
+    "contamination_check_docs",
+    f"""
+    WITH di AS ({_SHINGLE2_CTE.format(norm=_NORM_SQL, pred='doc_id % 50 <> 0')}),
+    ds AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+1], ' ') AS shingle
+      FROM di WHERE array_to_string(words[i:i+1], ' ') <> ''
+    ),
+    bi AS ({_SHINGLE2_CTE.format(norm=_NORM_SQL, pred='doc_id % 50 = 0')}),
+    bs AS (
+      SELECT DISTINCT array_to_string(words[i:i+1], ' ') AS shingle
+      FROM bi WHERE array_to_string(words[i:i+1], ' ') <> ''
+    )
+    SELECT ds.doc_id, count(*) AS n_shingles,
+           sum(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap,
+           round(CAST(sum(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS overlap_ratio
+    FROM ds LEFT JOIN bs ON ds.shingle = bs.shingle
+    GROUP BY ds.doc_id
+    """,
+)
+def contamination_check_docs(spark, sf_dir):
+    """Eval-set decontamination: every 50th document plays the held-out
+    benchmark; the rest are scanned for bigram overlap against it
+    (benchmark shingle set broadcast, corpus streams)."""
+    docs = load_docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return dedup.contamination_check(corpus, bench, "doc_id", "text", n=2)
+
+
 # ------------------------------------------------------------------
 # multimodal
 # ------------------------------------------------------------------

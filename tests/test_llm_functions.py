@@ -220,3 +220,62 @@ def test_ivf_assign_one_cell_per_vector(vectors):
     assert len(inv) == 4
     cells = {r.vec_id: r.cell for r in inv}
     assert cells[1] == 0 and cells[2] == 0 and cells[3] == 1
+
+
+def test_redact_pii(spark):
+    from gobblin_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(1, "write to bob.smith+x@corp.io or call +1 (415) 555-0199 now"),
+         (2, "server at 192.168.0.12 responded"),
+         (3, "no pii here")],
+        "id INT, t STRING")
+    out = {r.id: r.red for r in df.select(
+        "id", T.redact_pii(F.col("t")).alias("red")).collect()}
+    assert out[1] == "write to <EMAIL> or call <PHONE> now"
+    assert out[2] == "server at <IP> responded"
+    assert out[3] == "no pii here"
+
+
+def test_repetition_ratio(spark):
+    from gobblin_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, ""), (4, None), (5, "x x y y")],
+        "id INT, t STRING")
+    out = {r.id: r.rr for r in df.select(
+        "id", F.round(T.repetition_ratio(F.col("t")), 4).alias("rr")
+    ).collect()}
+    assert out[1] == 0.75   # 1 distinct of 4
+    assert out[2] == 0.0
+    assert out[3] == 0.0 and out[4] == 0.0
+    assert out[5] == 0.5
+
+
+def test_contamination_check(spark):
+    from gobblin_spark.functions import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "totally different words here")],
+        "doc_id INT, text STRING")
+    bench = spark.createDataFrame(
+        [("quick brown fox ran",)], "text STRING")
+    out = {r.doc_id: r for r in D.contamination_check(
+        docs, bench, "doc_id", "text", n=2).collect()}
+    # doc 1 bigrams: {the quick, quick brown, brown fox, fox jumps};
+    # bench has {quick brown, brown fox, fox ran} → overlap 2/4
+    assert out[1].n_shingles == 4 and out[1].n_overlap == 2
+    assert abs(out[1].overlap_ratio - 0.5) < 1e-9
+    assert out[2].n_overlap == 0
+
+
+def test_semantic_dedup_survivors(spark):
+    from gobblin_spark.functions import similarity as S
+
+    # two identical vectors + one orthogonal: the duplicate's greater id drops
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    kept = sorted(r.vec_id for r in S.semantic_dedup_survivors(
+        emb, "vec_id", "embedding", dim=4, threshold=0.99).collect())
+    assert kept == [1, 3]
