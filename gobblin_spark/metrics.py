@@ -1,0 +1,481 @@
+"""Instrumentation: hierarchical metric contexts, context-aware
+counters/meters/timers/histograms, tracking events, and reporters —
+the gobblin-metrics analog, wired to Spark's native observation
+machinery instead of per-record callbacks.
+
+Reference mapping (all relative to /root/reference/):
+- MetricContext (gobblin-metrics-libs/gobblin-metrics-base/src/main/
+  java/org/apache/gobblin/metrics/MetricContext.java:85): named,
+  tagged, hierarchical registry; children inherit tags.
+- RootMetricContext (RootMetricContext.java:51): the singleton root.
+- ContextAwareCounter (ContextAwareCounter.java:43): an update to a
+  child counter also updates the same-named counter in every ancestor
+  context — aggregation comes free at report time.
+- EventSubmitter (event/EventSubmitter.java:42,123-176) +
+  GobblinTrackingEvent (avro record: timestamp/namespace/name/
+  metadata): fire-and-forget structured events.
+- OutputStreamReporter (reporter/OutputStreamReporter.java:54):
+  periodic formatted snapshot of a context tree.
+
+Spark-first design — why this is NOT a port of the 13-ns-counter
+machinery (BASELINE.md rows 15-18): Gobblin needs nanosecond-cheap
+per-record counters because its runtime touches every record in Java.
+Under Spark, rows flow through the JVM/codegen and Python never sees
+them, so per-record driver-side counters would be both impossible and
+pointless. Instead:
+
+- Row-level counts/sums ride on ``pyspark.sql.Observation``
+  (``observe()``): metrics are computed INSIDE the codegen pipeline as
+  a side-effect of the action that was already running — zero extra
+  scans, zero shuffle, exactly-once per action (the Spark analog of
+  InputRecordCountHelper and the ROWS_WRITTEN task metrics).
+- Executor-side Python paths (Pandas UDFs, mapInPandas) use
+  ``spark.sparkContext.accumulator`` via :func:`accumulator_counter`.
+- Driver-side orchestration (work-unit planning, publish, commit) uses
+  the plain in-process metrics below; at 100 TB the driver emits a few
+  thousand updates per job, so a dict-based registry is ample — the
+  76 M-updates/s bar exists only because the reference's data plane
+  and control plane share one process.
+"""
+
+from __future__ import annotations
+
+import bisect
+import io
+import json
+import sys
+import threading
+import time as _time
+from collections.abc import Iterator, Mapping
+from contextlib import contextmanager
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation
+
+# --------------------------------------------------------------------------
+# Metrics (context-aware: updates propagate to ancestors)
+# --------------------------------------------------------------------------
+
+
+class Counter:
+    """Monotonic-ish count (inc/dec), propagated to ancestor contexts
+    (ContextAwareCounter.java:43 semantics)."""
+
+    def __init__(self) -> None:
+        self.count = 0
+        self._lock = threading.Lock()
+
+    def inc(self, n: int = 1) -> None:
+        with self._lock:
+            self.count += n
+
+    def dec(self, n: int = 1) -> None:
+        self.inc(-n)
+
+    def snapshot(self) -> dict[str, Any]:
+        return {"type": "counter", "count": self.count}
+
+
+class Meter:
+    """Event rate: count + mean rate since creation (the reference's
+    EWMA windows collapse to mean-rate here; report cadence is
+    per-job, not per-minute)."""
+
+    def __init__(self) -> None:
+        self.count = 0
+        self._start = _time.monotonic()
+        self._lock = threading.Lock()
+
+    def mark(self, n: int = 1) -> None:
+        with self._lock:
+            self.count += n
+
+    @property
+    def mean_rate(self) -> float:
+        elapsed = _time.monotonic() - self._start
+        return self.count / elapsed if elapsed > 0 else 0.0
+
+    def snapshot(self) -> dict[str, Any]:
+        return {"type": "meter", "count": self.count,
+                "mean_rate": round(self.mean_rate, 3)}
+
+
+class Histogram:
+    """Bounded-reservoir histogram (uniform downsample past ``cap``)."""
+
+    def __init__(self, cap: int = 4096) -> None:
+        self._values: list[float] = []
+        self._cap = cap
+        self.count = 0
+        self._lock = threading.Lock()
+
+    def update(self, value: float) -> None:
+        with self._lock:
+            self.count += 1
+            if len(self._values) < self._cap:
+                bisect.insort(self._values, value)
+            else:  # deterministic reservoir: replace by position hash
+                idx = hash((self.count, value)) % self._cap
+                self._values.pop(idx)
+                bisect.insort(self._values, value)
+
+    def quantile(self, q: float) -> float:
+        with self._lock:
+            if not self._values:
+                return 0.0
+            idx = min(len(self._values) - 1, int(q * len(self._values)))
+            return self._values[idx]
+
+    def snapshot(self) -> dict[str, Any]:
+        with self._lock:
+            vals = self._values
+            base = {"type": "histogram", "count": self.count}
+            if not vals:
+                return base
+        return {**base, "min": vals[0], "max": vals[-1],
+                "mean": round(sum(vals) / len(vals), 6),
+                "p50": self.quantile(0.5), "p95": self.quantile(0.95),
+                "p99": self.quantile(0.99)}
+
+
+class Timer:
+    """Duration histogram (seconds) + throughput meter."""
+
+    def __init__(self) -> None:
+        self.histogram = Histogram()
+        self.meter = Meter()
+
+    def update(self, seconds: float) -> None:
+        self.histogram.update(seconds)
+        self.meter.mark()
+
+    @contextmanager
+    def time(self) -> Iterator[None]:
+        t0 = _time.monotonic()
+        try:
+            yield
+        finally:
+            self.update(_time.monotonic() - t0)
+
+    def snapshot(self) -> dict[str, Any]:
+        return {"type": "timer",
+                "rate": round(self.meter.mean_rate, 3),
+                **{k: v for k, v in self.histogram.snapshot().items()
+                   if k != "type"}}
+
+
+_METRIC_TYPES = {"counter": Counter, "meter": Meter,
+                 "histogram": Histogram, "timer": Timer}
+
+
+class MetricContext:
+    """Named, tagged node in a context tree (MetricContext.java:85).
+
+    ``counter("rows")`` on a child returns a context-aware proxy whose
+    updates also hit the same-named counter in every ancestor — so
+    ``root.counter("rows").count`` is the job-wide total while each
+    task context keeps its own (ContextAwareCounter.java:43).
+    """
+
+    def __init__(self, name: str, parent: "MetricContext | None" = None,
+                 tags: Mapping[str, Any] | None = None) -> None:
+        self.name = name
+        self.parent = parent
+        self.tags: dict[str, Any] = dict(parent.tags) if parent else {}
+        self.tags.update(tags or {})
+        self.children: dict[str, MetricContext] = {}
+        self._metrics: dict[tuple[str, str], Any] = {}
+        if parent is not None:
+            parent.children[name] = self
+
+    def child(self, name: str, **tags: Any) -> "MetricContext":
+        return MetricContext(name, parent=self, tags=tags)
+
+    def _get(self, kind: str, name: str):
+        key = (kind, name)
+        m = self._metrics.get(key)
+        if m is None:
+            m = _METRIC_TYPES[kind]()
+            self._metrics[key] = m
+        return m
+
+    # -- context-aware accessors: updates fan up the ancestor chain ----
+    def counter(self, name: str) -> "_CtxCounter":
+        return _CtxCounter(self, name)
+
+    def meter(self, name: str) -> "_CtxMeter":
+        return _CtxMeter(self, name)
+
+    def histogram(self, name: str) -> "_CtxHistogram":
+        return _CtxHistogram(self, name)
+
+    def timer(self, name: str) -> "_CtxTimer":
+        return _CtxTimer(self, name)
+
+    def _chain(self) -> "list[MetricContext]":
+        out, node = [], self
+        while node is not None:
+            out.append(node)
+            node = node.parent
+        return out
+
+    def snapshot(self, recursive: bool = True) -> dict[str, Any]:
+        out: dict[str, Any] = {
+            "context": self.name, "tags": self.tags,
+            "metrics": {f"{k}:{n}": m.snapshot()
+                        for (k, n), m in sorted(self._metrics.items())},
+        }
+        if recursive and self.children:
+            out["children"] = [c.snapshot() for c in self.children.values()]
+        return out
+
+
+class _CtxMetric:
+    kind = ""
+
+    def __init__(self, ctx: MetricContext, name: str) -> None:
+        self._targets = [c._get(self.kind, name) for c in ctx._chain()]
+        self._own = self._targets[0]
+
+
+class _CtxCounter(_CtxMetric):
+    kind = "counter"
+
+    def inc(self, n: int = 1) -> None:
+        for t in self._targets:
+            t.inc(n)
+
+    def dec(self, n: int = 1) -> None:
+        self.inc(-n)
+
+    @property
+    def count(self) -> int:
+        return self._own.count
+
+
+class _CtxMeter(_CtxMetric):
+    kind = "meter"
+
+    def mark(self, n: int = 1) -> None:
+        for t in self._targets:
+            t.mark(n)
+
+    @property
+    def count(self) -> int:
+        return self._own.count
+
+    @property
+    def mean_rate(self) -> float:
+        return self._own.mean_rate
+
+
+class _CtxHistogram(_CtxMetric):
+    kind = "histogram"
+
+    def update(self, value: float) -> None:
+        for t in self._targets:
+            t.update(value)
+
+    @property
+    def count(self) -> int:
+        return self._own.count
+
+    def quantile(self, q: float) -> float:
+        return self._own.quantile(q)
+
+
+class _CtxTimer(_CtxMetric):
+    kind = "timer"
+
+    def update(self, seconds: float) -> None:
+        for t in self._targets:
+            t.update(seconds)
+
+    @contextmanager
+    def time(self) -> Iterator[None]:
+        t0 = _time.monotonic()
+        try:
+            yield
+        finally:
+            self.update(_time.monotonic() - t0)
+
+
+_root_lock = threading.Lock()
+_root: MetricContext | None = None
+
+
+def root_context() -> MetricContext:
+    """The process-wide root (RootMetricContext.java:51)."""
+    global _root
+    with _root_lock:
+        if _root is None:
+            _root = MetricContext("RootMetricContext")
+        return _root
+
+
+def reset_root_context() -> None:
+    """Test hook: drop the process root."""
+    global _root
+    with _root_lock:
+        _root = None
+
+
+# --------------------------------------------------------------------------
+# Tracking events (EventSubmitter.java:42 / GobblinTrackingEvent)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class TrackingEvent:
+    """GobblinTrackingEvent analog: timestamp/namespace/name/metadata."""
+
+    timestamp_ms: int
+    namespace: str
+    name: str
+    metadata: dict[str, str] = dc_field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+
+class EventSubmitter:
+    """Builds + delivers TrackingEvents to registered sinks
+    (EventSubmitter.java:123-176). Sinks are callables; a JSON-lines
+    file sink ships below."""
+
+    def __init__(self, namespace: str, context: MetricContext | None = None,
+                 **metadata: str) -> None:
+        self.namespace = namespace
+        self.context = context or root_context()
+        self.base_metadata = {k: str(v) for k, v in metadata.items()}
+        self._sinks: list[Any] = []
+
+    def add_sink(self, sink) -> None:
+        self._sinks.append(sink)
+
+    def submit(self, name: str, **metadata: str) -> TrackingEvent:
+        ev = TrackingEvent(
+            timestamp_ms=int(_time.time() * 1000),
+            namespace=self.namespace, name=name,
+            metadata={**self.base_metadata,
+                      **{k: str(v) for k, v in metadata.items()},
+                      "metricContextName": self.context.name},
+        )
+        self.context.meter(f"events.{name}").mark()
+        for sink in self._sinks:
+            sink(ev)
+        return ev
+
+
+def jsonl_event_sink(path: str):
+    """Append-only JSON-lines event sink (the file analog of the
+    reference's Kafka event reporter)."""
+
+    lock = threading.Lock()
+
+    def sink(ev: TrackingEvent) -> None:
+        with lock, open(path, "a", encoding="utf-8") as f:
+            f.write(ev.to_json() + "\n")
+
+    return sink
+
+
+# --------------------------------------------------------------------------
+# Reporters (reporter/OutputStreamReporter.java:54)
+# --------------------------------------------------------------------------
+
+
+class OutputStreamReporter:
+    """Formatted snapshot of a context subtree to a stream; call
+    ``report()`` per job/epoch, or ``start(interval)`` for a daemon."""
+
+    def __init__(self, context: MetricContext, stream=None) -> None:
+        self.context = context
+        self.stream = stream or sys.stderr
+        self._timer: threading.Timer | None = None
+
+    def report(self) -> str:
+        buf = io.StringIO()
+        self._fmt(self.context.snapshot(), buf, 0)
+        text = buf.getvalue()
+        self.stream.write(text)
+        return text
+
+    def _fmt(self, snap: dict[str, Any], buf: io.StringIO, depth: int) -> None:
+        pad = "  " * depth
+        tags = ",".join(f"{k}={v}" for k, v in snap["tags"].items())
+        buf.write(f"{pad}== {snap['context']}" + (f" [{tags}]" if tags else "") + "\n")
+        for mname, m in snap["metrics"].items():
+            body = ", ".join(f"{k}={v}" for k, v in m.items() if k != "type")
+            buf.write(f"{pad}  {mname}: {body}\n")
+        for c in snap.get("children", ()):
+            self._fmt(c, buf, depth + 1)
+
+    def start(self, interval_sec: float) -> None:
+        def tick() -> None:
+            self.report()
+            self.start(interval_sec)
+
+        self._timer = threading.Timer(interval_sec, tick)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def stop(self) -> None:
+        if self._timer:
+            self._timer.cancel()
+            self._timer = None
+
+
+class JsonFileReporter:
+    """One JSON document per ``report()`` call, appended as a line —
+    machine-readable job metrics for downstream auditing."""
+
+    def __init__(self, context: MetricContext, path: str) -> None:
+        self.context = context
+        self.path = path
+
+    def report(self) -> None:
+        with open(self.path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(self.context.snapshot(), sort_keys=True,
+                               default=str) + "\n")
+
+
+# --------------------------------------------------------------------------
+# Spark integration — the data-plane metrics
+# --------------------------------------------------------------------------
+
+
+def observe(df: DataFrame, name: str, *exprs) -> tuple[DataFrame, Observation]:
+    """Attach an in-plan observation: ``exprs`` are aggregate Columns
+    (F.count, F.sum, ...) evaluated inside codegen during whatever
+    action later runs — row counts without a second scan. Returns the
+    instrumented frame + the Observation handle (read ``obs.get``
+    AFTER an action).
+
+    This replaces the reference's per-record counter updates
+    (ContextAwareCounter in Task.java's record loop): at 100 TB the
+    count rides the existing job instead of re-scanning."""
+    obs = Observation(name)
+    return df.observe(obs, *exprs), obs
+
+
+def harvest(obs: Observation, ctx: MetricContext) -> dict[str, Any]:
+    """Copy a completed Observation's values into context counters
+    (ints) / histograms (floats)."""
+    values = obs.get
+    for key, val in values.items():
+        if isinstance(val, int):
+            c = ctx.counter(key)
+            c.inc(val - c.count)  # set-to semantics for re-harvest
+        elif isinstance(val, float):
+            ctx.histogram(key).update(val)
+    return dict(values)
+
+
+def accumulator_counter(spark, name: str = "counter"):
+    """A Spark accumulator for executor-side Python paths (Pandas
+    UDFs / mapInPandas), where driver-side counters can't see rows.
+    Add inside the UDF; read ``.value`` on the driver after the
+    action."""
+    return spark.sparkContext.accumulator(0)

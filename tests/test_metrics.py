@@ -1,0 +1,95 @@
+"""Metrics: context tree, context-aware propagation, events,
+reporters, and the Observation-based data-plane counters
+(MetricContextTest.java / OutputStreamReporterTest.java analogs)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from gobblin_spark import metrics as M
+
+
+def test_context_aware_counter_propagates():
+    root = M.MetricContext("root")
+    job = root.child("job", job_id="j1")
+    task = job.child("task", task_id="t1")
+    task.counter("rows").inc(5)
+    job.counter("rows").inc(2)
+    assert task.counter("rows").count == 5
+    assert job.counter("rows").count == 7  # own 2 + child 5
+    assert root.counter("rows").count == 7
+    assert task.tags == {"job_id": "j1", "task_id": "t1"}
+
+
+def test_timer_and_histogram_snapshot():
+    root = M.MetricContext("root")
+    h = root.histogram("lat")
+    for v in [1.0, 2.0, 3.0, 4.0, 100.0]:
+        h.update(v)
+    snap = root._get("histogram", "lat").snapshot()
+    assert snap["count"] == 5 and snap["min"] == 1.0 and snap["max"] == 100.0
+    t = root.timer("dur")
+    with t.time():
+        pass
+    assert root._get("timer", "dur").meter.count == 1
+
+
+def test_event_submitter_and_jsonl_sink(tmp_path):
+    root = M.MetricContext("root")
+    sub = M.EventSubmitter("gobblin.test", context=root, cluster="local")
+    path = str(tmp_path / "events.jsonl")
+    sub.add_sink(M.jsonl_event_sink(path))
+    ev = sub.submit("JobCommit", job_id="j1")
+    assert ev.namespace == "gobblin.test"
+    assert ev.metadata["cluster"] == "local" and ev.metadata["job_id"] == "j1"
+    rec = json.loads(open(path).read().strip())
+    assert rec["name"] == "JobCommit"
+    assert root.counter("rows").count == 0  # meters, not counters
+    assert root._get("meter", "events.JobCommit").count == 1
+
+
+def test_output_stream_reporter_formats():
+    import io
+
+    root = M.MetricContext("root")
+    root.child("task").counter("rows").inc(3)
+    text = M.OutputStreamReporter(root, stream=io.StringIO()).report()
+    assert "== root" in text and "== task" in text and "counter:rows: count=3" in text
+
+
+def test_json_file_reporter(tmp_path):
+    root = M.MetricContext("root")
+    root.counter("files").inc(2)
+    path = str(tmp_path / "metrics.jsonl")
+    M.JsonFileReporter(root, path).report()
+    snap = json.loads(open(path).read())
+    assert snap["metrics"]["counter:files"]["count"] == 2
+
+
+def test_observe_in_plan_counts(spark):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    inst, obs = M.observe(
+        df, "m",
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("v").cast("double").alias("v_sum"),
+    )
+    out = inst.filter(F.col("id") >= 0)
+    assert out.count() == 100  # the action that evaluates the observation
+    ctx = M.MetricContext("job")
+    vals = M.harvest(obs, ctx)
+    assert vals["rows"] == 100
+    assert ctx.counter("rows").count == 100
+    assert ctx._get("histogram", "v_sum").snapshot()["max"] == 9900.0
+
+
+def test_accumulator_counter_in_udf(spark):
+    acc = M.accumulator_counter(spark)
+
+    def f(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    df = spark.range(50).repartition(4)
+    assert df.mapInPandas(f, df.schema).count() == 50
+    assert acc.value == 50
