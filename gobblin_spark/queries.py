@@ -1612,6 +1612,60 @@ def format_convert_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "jobconf_pull_compile",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice BETWEEN 1000 AND 200000
+    """,
+)
+def jobconf_pull_compile(spark, sf_dir):
+    """.pull job file → compiled Pipeline frame (wikipedia.pull key
+    vocabulary; AbstractJobLauncher compile path). The config layer is
+    driver-side metadata only — the compiled plan is the same Catalyst
+    plan a hand-written query produces."""
+    from gobblin_spark.plans import jobconf as J
+
+    pull = f"""
+    job.name=OrdersUrgent
+    source.class=table
+    source.data.directory={sf_dir}
+    source.table.name=orders
+    converter.classes=pick_fields,filter_equals
+    converter.fields.to.pick=o_orderkey,o_custkey,o_totalprice,o_orderpriority
+    converter.filter.field=o_orderpriority
+    converter.filter.value=1-URGENT
+    qualitychecker.row.policies=range
+    qualitychecker.range.column=o_totalprice
+    qualitychecker.range.min=1000
+    qualitychecker.range.max=200000
+    """
+    return J.compile_frame(spark, pull)
+
+
+@q(
+    "metrics_observed_rollup",
+    """
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def metrics_observed_rollup(spark, sf_dir):
+    """Observation-instrumented aggregation (metrics.observe):
+    row-count metrics ride INSIDE the codegen pipeline of the action
+    that was already running — zero extra scans, identical results
+    (InputRecordCountHelper / ROWS_WRITTEN analog)."""
+    from gobblin_spark import metrics as M
+
+    orders = load_table(spark, sf_dir, "orders")
+    inst, _obs = M.observe(orders, "ingest", F.count(F.lit(1)).alias("records_read"))
+    return inst.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

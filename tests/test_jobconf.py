@@ -1,0 +1,102 @@
+"""Job-config layer: .pull parsing, interpolation, compilation to a
+Pipeline, and end-to-end execution (wikipedia.pull /
+example-parquet.pull key vocabulary)."""
+
+import os
+
+import pytest
+
+from gobblin_spark.plans import jobconf as J
+
+
+def test_parse_properties_basics():
+    props = J.parse_properties(
+        """
+# comment
+! also comment
+job.name=MyJob
+job.group: GroupA
+fs.uri=file:///
+state.store.fs.uri=${fs.uri}
+multi=a,\\
+b,c
+"""
+    )
+    assert props["job.name"] == "MyJob"
+    assert props["job.group"] == "GroupA"
+    assert props["state.store.fs.uri"] == "file:///"
+    assert props["multi"] == "a,b,c"
+
+
+def test_interpolation_chain_and_cycle():
+    props = J.parse_properties("a=${b}\nb=${c}\nc=x\nloop=${loop}")
+    assert props["a"] == "x"
+    assert props["loop"] == "${loop}"  # self-reference left verbatim
+
+
+def test_unknown_class_fails_fast():
+    spec = J.JobSpec(name="j", props={"source.class": "com.example.NoSuchSource"})
+    with pytest.raises(KeyError, match="NoSuchSource"):
+        J.to_pipeline(spec)
+
+
+PULL = """
+job.name=LineitemIngest
+job.group=test
+source.class=table
+source.data.directory={sf}
+source.table.name=lineitem
+converter.classes=AvroFieldsPickConverter,filter_regex
+converter.fields.to.pick=l_orderkey,l_quantity,l_returnflag,l_shipdate
+converter.filter.field=l_returnflag
+converter.filter.pattern=^[AR]$
+qualitychecker.row.policies=range
+qualitychecker.range.column=l_quantity
+qualitychecker.range.min=0
+qualitychecker.range.max=25
+job.commit.policy=full
+writer.output.format=parquet
+data.publisher.final.dir={out}
+"""
+
+
+def test_compile_and_run_pull_job(spark, tmp_path):
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "final")
+    text = PULL.format(sf=sf, out=out)
+
+    frame = J.compile_frame(spark, text)
+    assert set(frame.columns) == {"l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"}
+
+    res = J.run_job(spark, text)
+    assert res.report is not None and res.report.committed
+    back = spark.read.parquet(out)
+    n = back.count()
+    assert n == frame.count() == back.filter(
+        "l_returnflag IN ('A','R') AND l_quantity BETWEEN 0 AND 25"
+    ).count()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_pull_file_from_disk_with_partitioning(spark, tmp_path):
+    pull = tmp_path / "job.pull"
+    out = str(tmp_path / "bydate")
+    pull.write_text(
+        PULL.format(sf="/root/testdata/sf0.001", out=out)
+        + "writer.partition.columns=l_returnflag\n"
+    )
+    res = J.run_job(spark, str(pull))
+    assert res.report is not None and res.report.committed
+    dirs = {d for d in os.listdir(out) if d.startswith("l_returnflag=")}
+    assert dirs == {"l_returnflag=A", "l_returnflag=R"}
+
+
+def test_reference_pull_vocabulary_short_and_fqcn():
+    spec = J.load_job_spec(
+        "job.name=x\nsource.class=table\nsource.data.directory=/d\n"
+        "source.table.name=orders\n"
+        "converter.classes=org.apache.gobblin.converter.filter.AvroProjectionConverter\n"
+        "converter.fields.to.drop=o_comment\n"
+    )
+    pl = J.to_pipeline(spec)
+    assert len(pl.transforms) == 1 and pl.commit_policy.name == "COMMIT_ON_FULL_SUCCESS"
