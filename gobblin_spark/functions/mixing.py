@@ -1,0 +1,142 @@
+"""Training-data mixing: sample a corpus to target per-domain
+proportions, and assign documents to fixed-token packs — the two
+dataset-assembly steps between "cleaned corpus" and "training run".
+
+No reference analog (Gobblin stops at ingestion); this is part of the
+LLM-pipeline surface the engine adds on top. Related reference
+machinery: per-dataset sampling knobs (SamplingConverter,
+gobblin-core-base/.../converter/SamplingConverter.java) and dataset
+partitioning (WriterPartitioner) — mixing composes the same ideas
+corpus-wide.
+
+100 TB design:
+- Domain inventory is a tiny aggregate (one map-side-combined groupBy
+  over the domain column, ~thousands of rows); the per-domain sample
+  fraction joins back via BROADCAST, so the corpus itself is never
+  shuffled — sampling is a scan + filter.
+- Sampling is DETERMINISTIC (md5-prefix of the id vs a per-domain
+  hex threshold): re-runs pick the same rows, adding a domain doesn't
+  reshuffle others, and the oracle can reproduce the choice exactly.
+- Pack assignment is a cumulative sum window per (domain, shard) —
+  one shuffle on the partition key; packs never cross shards, so at
+  1000 executors each shard packs independently.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _hex_threshold(fraction: Column) -> Column:
+    """fraction in [0,1] → 8-hex-digit lowercase threshold string such
+    that P(md5_prefix < threshold) == fraction. String comparison keeps
+    the whole predicate engine-portable (Spark hex() is uppercase,
+    DuckDB to_hex lowercase — both sides lower + lpad to 8)."""
+    scaled = F.floor(F.least(fraction, F.lit(1.0)) * F.lit(4294967296.0)).cast("long")
+    # fraction >= 1 scales to 2^32 = 9 hex digits, which lpad would
+    # TRUNCATE to a tiny threshold; 'g' sorts above every hex prefix.
+    return F.when(fraction >= 1.0, F.lit("g")).otherwise(
+        F.lpad(F.lower(F.hex(scaled)), 8, "0")
+    )
+
+
+def domain_stats(df: DataFrame, domain_col: str = "source",
+                 weight_col: str | None = None) -> DataFrame:
+    """Per-domain inventory: document count and total weight (tokens /
+    chars / bytes). The planning input for mixture design."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(w).cast("long").alias("weight"),
+    )
+
+
+def sample_mixture(
+    df: DataFrame,
+    targets: Mapping[str, float],
+    budget: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministically sample ~``budget`` documents in the proportions
+    of ``targets`` (domain → relative weight; normalized internally).
+    Domains absent from ``targets`` are dropped. Per-domain fraction is
+    ``budget * share / domain_count`` capped at 1.0 (undersized domains
+    contribute everything they have — no upsampling).
+
+    Plan shape: tiny groupBy(domain) inventory → broadcast join of the
+    per-domain threshold → md5-prefix filter. The corpus is never
+    shuffled and never collected."""
+    total_w = float(sum(targets.values()))
+    tgt = df.sparkSession.createDataFrame(
+        [(d, w / total_w) for d, w in sorted(targets.items())],
+        f"{domain_col} string, _share double",
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    frac = counts.join(tgt, domain_col).select(
+        domain_col,
+        _hex_threshold(F.lit(float(budget)) * F.col("_share") / F.col("_cnt")).alias(
+            "_thresh"
+        ),
+    )
+    return (
+        df.join(F.broadcast(frac), domain_col)
+        .filter(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8) < F.col("_thresh"))
+        .drop("_thresh")
+    )
+
+
+def mixture_report(
+    sampled: DataFrame, targets: Mapping[str, float], domain_col: str = "source"
+) -> DataFrame:
+    """Achieved vs requested share per domain — the audit artifact a
+    mixture job publishes next to the sampled corpus."""
+    total_w = float(sum(targets.values()))
+    tgt = sampled.sparkSession.createDataFrame(
+        [(d, w / total_w) for d, w in sorted(targets.items())],
+        f"{domain_col} string, requested_share double",
+    )
+    got = sampled.groupBy(domain_col).agg(F.count(F.lit(1)).alias("docs"))
+    total = got.agg(F.sum("docs")).first()[0] or 1
+    return (
+        got.join(tgt, domain_col, "right")
+        .select(
+            domain_col,
+            F.coalesce(F.col("docs"), F.lit(0)).alias("docs"),
+            F.round(F.coalesce(F.col("docs"), F.lit(0)) / F.lit(float(total)), 4).alias(
+                "achieved_share"
+            ),
+            F.round("requested_share", 4).alias("requested_share"),
+        )
+    )
+
+
+def pack_assignments(
+    df: DataFrame,
+    token_col: str,
+    seq_len: int,
+    order_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget pack: documents are
+    laid out in ``order_col`` order (within ``shard_col`` if given) and
+    cut into consecutive bins of ``seq_len`` tokens — the distributed
+    form of greedy sequence packing. Oversized documents (> seq_len)
+    still get a deterministic pack via their cumulative position.
+
+    Adds ``pack_id`` (bin ordinal within shard) and ``pack_offset``
+    (tokens before this doc within its running total). One window
+    shuffle on the shard key; packs never span shards."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(order_col)
+    if shard_col is not None:
+        w = Window.partitionBy(shard_col).orderBy(order_col)
+    cum = F.sum(token_col).over(w)
+    return df.withColumn(
+        "pack_id", F.floor((cum - F.col(token_col)) / F.lit(seq_len)).cast("int")
+    ).withColumn(
+        "pack_offset", ((cum - F.col(token_col)) % F.lit(seq_len)).cast("int")
+    )

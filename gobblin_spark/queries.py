@@ -1666,6 +1666,56 @@ def metrics_observed_rollup(spark, sf_dir):
     )
 
 
+@q(
+    "mixing_sample_proportional",
+    """
+    WITH cnt AS (SELECT source, count(*) AS _cnt FROM documents GROUP BY source),
+    tgt(source, _share) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    frac AS (
+      SELECT c.source,
+             CASE WHEN 200.0 * CAST(t._share AS DOUBLE) / c._cnt >= 1.0 THEN 'g'
+                  ELSE lpad(lower(to_hex(CAST(floor(least(
+                    200.0 * CAST(t._share AS DOUBLE) / c._cnt, 1.0) * 4294967296.0)
+                    AS BIGINT))), 8, '0') END AS _thresh
+      FROM cnt c JOIN tgt t ON c.source = t.source)
+    SELECT d.source, d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN frac f ON d.source = f.source
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < f._thresh
+    """,
+)
+def mixing_sample_proportional(spark, sf_dir):
+    """Training-data mixing: deterministic md5-threshold sampling to
+    target per-domain shares. Plan: tiny domain inventory groupBy →
+    broadcast threshold join → scan-side filter; the corpus is never
+    shuffled (functions/mixing.py)."""
+    from gobblin_spark.functions import mixing as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = X.sample_mixture(docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, budget=200)
+    return out.select("source", "doc_id", "lang", "n_chars")
+
+
+@q(
+    "mixing_pack_assignments",
+    """
+    SELECT doc_id, lang, n_chars,
+           CAST(floor((cum - n_chars) / 512) AS INT) AS pack_id,
+           CAST((cum - n_chars) % 512 AS INT) AS pack_offset
+    FROM (SELECT doc_id, lang, n_chars,
+                 sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+          FROM documents)
+    """,
+)
+def mixing_pack_assignments(spark, sf_dir):
+    """Sequence packing: cut each shard's documents into consecutive
+    fixed-token bins via a cumulative-sum window — one shuffle on the
+    shard key, packs never span shards."""
+    from gobblin_spark.functions import mixing as X
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return X.pack_assignments(docs, "n_chars", seq_len=512, shard_col="lang")
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -1,0 +1,73 @@
+"""Data mixing: deterministic proportional sampling, broadcast-only
+plan shape, and sequence-pack assignment invariants."""
+
+from pyspark.sql import functions as F
+
+from gobblin_spark.functions import mixing as X
+from gobblin_spark.sources.files import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sample_mixture_proportions_and_determinism(spark):
+    docs = load_table(spark, SF, "documents")
+    targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    s1 = X.sample_mixture(docs, targets, budget=30)
+    s2 = X.sample_mixture(docs, targets, budget=30)
+    r1 = {(r.source, r.doc_id) for r in s1.select("source", "doc_id").collect()}
+    r2 = {(r.source, r.doc_id) for r in s2.select("source", "doc_id").collect()}
+    assert r1 == r2 and r1  # deterministic re-runs
+    assert {d for d, _ in r1} <= set(targets)  # non-target domains dropped
+    by_dom = {d: sum(1 for x, _ in r1 if x == d) for d in targets}
+    # src0 should get the most, src2 the least (proportional intent)
+    assert by_dom["src0"] >= by_dom["src1"] >= by_dom["src2"]
+
+
+def test_sample_mixture_caps_at_full_domain(spark):
+    docs = load_table(spark, SF, "documents")
+    n_src0 = docs.filter("source='src0'").count()
+    s = X.sample_mixture(docs, {"src0": 1.0}, budget=10_000)
+    assert s.count() == n_src0  # fraction capped at 1.0, no upsampling
+
+
+def test_sample_mixture_plan_broadcasts(spark):
+    docs = load_table(spark, SF, "documents")
+    plan = X.sample_mixture(docs, {"src0": 1.0}, budget=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffled
+
+
+def test_mixture_report_shares(spark):
+    docs = load_table(spark, SF, "documents")
+    targets = {"src0": 0.6, "src1": 0.4}
+    rep = {r.source: r for r in X.mixture_report(
+        X.sample_mixture(docs, targets, budget=20), targets).collect()}
+    assert abs(rep["src0"].requested_share - 0.6) < 1e-9
+    assert abs(sum(r.achieved_share for r in rep.values()) - 1.0) < 1e-6
+
+
+def test_pack_assignments_invariants(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang", "n_chars")
+    packed = X.pack_assignments(docs, "n_chars", seq_len=512, shard_col="lang")
+    rows = packed.orderBy("lang", "doc_id").collect()
+    assert all(0 <= r.pack_offset < 512 for r in rows)
+    # recompute cumulative per shard and check bin formula
+    cum: dict[str, int] = {}
+    for r in rows:
+        before = cum.get(r.lang, 0)
+        assert r.pack_id == before // 512
+        assert r.pack_offset == before % 512
+        cum[r.lang] = before + r.n_chars
+    # pack ids start at 0 and are monotone per shard (gaps are legal:
+    # a doc longer than seq_len spans multiple bins)
+    last: dict[str, int] = {}
+    for r in rows:
+        assert r.pack_id >= last.get(r.lang, 0)
+        last[r.lang] = r.pack_id
+    assert all(min(r.pack_id for r in rows if r.lang == lang) == 0 for lang in cum)
+
+
+def test_domain_stats(spark):
+    docs = load_table(spark, SF, "documents")
+    stats = {r.source: r for r in X.domain_stats(docs, weight_col="n_chars").collect()}
+    assert all(r.docs > 0 and r.weight > 0 for r in stats.values())
+    assert sum(r.docs for r in stats.values()) == docs.count()
