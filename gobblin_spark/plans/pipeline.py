@@ -25,6 +25,7 @@ foreachBatch epoch (streaming/runner.py semantics).
 
 from __future__ import annotations
 
+import time as _time
 from dataclasses import dataclass, field as dc_field
 from collections.abc import Callable, Sequence
 
@@ -71,6 +72,8 @@ class PipelineResult:
     quarantined: int = 0
     branch_files: dict[str, int] = dc_field(default_factory=dict)
     dataframes: dict[str, DataFrame] = dc_field(default_factory=dict)
+    metrics: "object | None" = None  # MetricContext for this run
+    events: list = dc_field(default_factory=list)  # TrackingEvents emitted
 
 
 def compose(pipeline: Pipeline, spark: SparkSession) -> tuple[DataFrame, DataFrame]:
@@ -103,17 +106,28 @@ def run(pipeline: Pipeline, spark: SparkSession, persist: bool = True) -> Pipeli
     commit publishes per the commit policy (AbstractJobLauncher.java:442).
 
     Branches without a ``final_dir`` are returned as DataFrames instead
-    of written — a pipeline can end in further programmatic use."""
+    of written — a pipeline can end in further programmatic use.
+
+    Every run is instrumented (gobblin-metrics analog): a per-job
+    MetricContext under the process root carries quarantined/rows/files
+    counters and the job timer, and a JobCommit TrackingEvent records
+    the lineage (branch → final_dir, rows, files) — metrics.py."""
+    from gobblin_spark import metrics as M
+
+    ctx = M.root_context().child(f"job.{pipeline.job_id or 'job'}")
     passed, quarantined = compose(pipeline, spark)
-    result = PipelineResult(report=None)
+    result = PipelineResult(report=None, metrics=ctx)
 
     writing = [b for b in pipeline.branches if b.final_dir]
     if persist and (len(pipeline.branches) > 1 or pipeline.quarantine_dir):
         passed = passed.persist(StorageLevel.MEMORY_AND_DISK)
 
+    job_timer = ctx.timer("job_duration")
+    t0 = _time.monotonic()
     try:
         if pipeline.quarantine_dir is not None:
             result.quarantined = quarantined.count()
+            ctx.counter("records_quarantined").inc(result.quarantined)
             if result.quarantined:
                 quarantined.write.mode("append").parquet(pipeline.quarantine_dir)
 
@@ -135,10 +149,28 @@ def run(pipeline: Pipeline, spark: SparkSession, persist: bool = True) -> Pipeli
 
         if staged:
             result.report = P.commit(staged, spark, pipeline.commit_policy)
+            sub = M.EventSubmitter("gobblin.pipeline", context=ctx,
+                                   job_id=str(pipeline.job_id or "job"))
+            lineage: dict[str, str] = {}
             for s in staged:
                 if s.write:
                     result.branch_files[s.name] = s.write.files
+                    ctx.counter("files_written").inc(s.write.files)
+                    if s.write.rows >= 0:
+                        ctx.counter("records_written").inc(s.write.rows)
+                    lineage[f"dest.{s.name}"] = s.final_dir
+                    lineage[f"rows.{s.name}"] = str(s.write.rows)
+            result.events.append(
+                sub.submit(
+                    "JobCommit" if result.report.committed else "JobAbort",
+                    committed=str(result.report.committed),
+                    published=",".join(result.report.published),
+                    aborted=",".join(result.report.aborted),
+                    **lineage,
+                )
+            )
     finally:
+        job_timer.update(_time.monotonic() - t0)
         if persist and (len(pipeline.branches) > 1 or pipeline.quarantine_dir):
             passed.unpersist()
     return result

@@ -49,6 +49,7 @@ class WriteResult:
     files: int
     bytes_written: int
     partitions: list[str] = field(default_factory=list)
+    rows: int = -1  # recordsWritten; -1 when the observation was unavailable
 
 
 def _output_stats(df: DataFrame, path: str) -> tuple[int, int]:
@@ -84,8 +85,16 @@ def write_data(
     ``df.write``). ``partition_by`` gives the PartitionedDataWriter
     layout in one pass; ``sort_within_partitions`` clusters rows inside
     each output file (no shuffle, task-local sort)."""
+    import uuid
+
+    from pyspark.sql import Observation
+
     if sort_within_partitions:
         df = df.sortWithinPartitions(*sort_within_partitions)
+    # recordsWritten rides the write action itself (DataWriter.
+    # recordsWritten) — an in-plan observation, never a second scan.
+    obs = Observation(f"write-{uuid.uuid4().hex[:8]}")
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     w = df.write.mode(mode)
     for k, v in (options or {}).items():
         w = w.option(k, v)
@@ -93,7 +102,11 @@ def write_data(
         w = w.partitionBy(*partition_by)
     w.format(fmt).save(path)
     files, nbytes = _output_stats(df, path)
-    return WriteResult(path, fmt, files, nbytes, list(partition_by or []))
+    try:
+        rows = int(obs.get["rows"])
+    except Exception:  # pragma: no cover - observation timing edge
+        rows = -1
+    return WriteResult(path, fmt, files, nbytes, list(partition_by or []), rows=rows)
 
 
 def with_time_partitions(

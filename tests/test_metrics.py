@@ -93,3 +93,24 @@ def test_accumulator_counter_in_udf(spark):
     df = spark.range(50).repartition(4)
     assert df.mapInPandas(f, df.schema).count() == 50
     assert acc.value == 50
+
+
+def test_pipeline_run_is_instrumented(spark, tmp_path):
+    """Every plans.run emits metrics + a lineage JobCommit event."""
+    from gobblin_spark import plans
+    from gobblin_spark.sources.files import load_table
+
+    out = str(tmp_path / "final")
+    pl = plans.Pipeline(
+        source=lambda s: load_table(s, "/root/testdata/sf0.001", "region"),
+        branches=[plans.Branch("regions", final_dir=out)],
+        job_id="metrics-e2e",
+    )
+    res = plans.run(pl, spark)
+    assert res.metrics is not None
+    assert res.metrics.counter("records_written").count == 5
+    assert res.metrics.counter("files_written").count >= 1
+    assert res.metrics._get("timer", "job_duration").meter.count == 1
+    [ev] = res.events
+    assert ev.name == "JobCommit" and ev.metadata["dest.regions"] == out
+    assert ev.metadata["rows.regions"] == "5"
