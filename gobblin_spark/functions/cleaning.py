@@ -1,0 +1,144 @@
+"""Corpus cleaning: line-level filtering and sub-document (paragraph /
+line) deduplication — the C4/RefinedWeb-style cleanup pass between raw
+web text and a training corpus.
+
+No reference analog (Gobblin stops at ingestion); public method
+sources: C4 (Raffel et al. 2020, "Exploring the Limits of Transfer
+Learning", §2.2 heuristics) and RefinedWeb (Penedo et al. 2023,
+line-wise corrections + exact substring dedup). Complements
+functions/dedup.py (document-level) with WITHIN- and ACROSS-document
+sub-unit dedup.
+
+100 TB design:
+- Line filtering is pure Column expressions (split → filter → rejoin
+  via higher-order functions): JVM-side, codegen, zero shuffles.
+- Line dedup explodes each document into (line_hash, doc_id, pos)
+  rows, keeps the first occurrence per hash (one md5-keyed shuffle —
+  bodies never shuffle, only 16-byte digests + ids), and reassembles
+  surviving lines per document with a partition-local sort. Two
+  shuffles total regardless of corpus size, both on slim rows; skewed
+  boilerplate lines (the whole point) collapse map-side before the
+  shuffle because the aggregation is a min() with partial combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# C4 §2.2: drop lines that don't end in terminal punctuation, short
+# lines, and boilerplate markers (javascript/cookies/lorem ipsum).
+_BOILERPLATE = "(?i)(javascript|cookie|lorem ipsum|terms of use|privacy policy)"
+
+
+def clean_lines(
+    col: Column,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    drop_boilerplate: bool = True,
+) -> Column:
+    """Rebuild a document keeping only lines that pass the C4 line
+    rules. Pure Column expression (split/filter/array_join) — runs in
+    codegen, no UDF, no shuffle."""
+    lines = F.split(col, "\n")
+
+    def keep(line: Column) -> Column:
+        t = F.trim(line)
+        cond = F.size(F.split(t, r"\s+")) >= F.lit(min_words)
+        if require_terminal_punct:
+            cond = cond & t.rlike(r"[.!?\"']$")
+        if drop_boilerplate:
+            cond = cond & ~t.rlike(_BOILERPLATE)
+        return cond
+
+    return F.array_join(F.filter(lines, keep), "\n")
+
+
+def line_stats(col: Column) -> Column:
+    """(total_lines, kept_lines) struct for auditing a cleaning run."""
+    lines = F.split(col, "\n")
+    return F.struct(
+        F.size(lines).cast("int").alias("total_lines"),
+        F.size(F.split(clean_lines(col), "\n")).cast("int").alias("kept_lines"),
+    )
+
+
+def explode_lines(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    unit: str = "\n", min_chars: int = 1,
+) -> DataFrame:
+    """Document → (id, pos, line) rows. ``posexplode`` keeps the
+    original position so documents can be reassembled in order."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), unit)).alias("pos", "line"),
+        )
+        .filter(F.length(F.trim(F.col("line"))) >= min_chars)
+    )
+
+
+def dedup_lines_global(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_dup_chars: int = 30,
+) -> DataFrame:
+    """Corpus-wide exact line dedup (RefinedWeb-style): every repeated
+    line (≥ ``min_dup_chars``, after trim) survives only in the
+    document where it first appears (smallest (doc_id, pos)); all
+    other occurrences are removed, and each document is rebuilt from
+    its surviving lines in order.
+
+    Returns (id_col, text_col) with the cleaned text. Shuffle budget:
+    one groupBy on the 16-byte line digest (slim rows), one groupBy on
+    doc_id to reassemble. Short lines (< min_dup_chars) are exempt —
+    they pass through untouched (headers, list bullets)."""
+    lines = explode_lines(df, id_col, text_col, min_chars=0)
+    keyed = lines.withColumn(
+        "_dig",
+        F.when(
+            F.length(F.trim(F.col("line"))) >= min_dup_chars,
+            F.md5(F.trim(F.col("line"))),
+        ),
+    )
+    # first occurrence per digest: min struct(doc, pos) — partial agg
+    # collapses boilerplate map-side before the shuffle
+    first = (
+        keyed.filter(F.col("_dig").isNotNull())
+        .groupBy("_dig")
+        .agg(F.min(F.struct(id_col, "pos")).alias("_first"))
+    )
+    kept = keyed.join(first, "_dig", "left").filter(
+        F.col("_dig").isNull()
+        | ((F.col("_first")[id_col] == F.col(id_col))
+           & (F.col("_first")["pos"] == F.col("pos")))
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )
+
+
+def duplicate_line_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_dup_chars: int = 30,
+) -> DataFrame:
+    """Per-line duplication census: (line digest, occurrences, docs) —
+    the audit artifact that surfaces boilerplate before deleting it."""
+    lines = explode_lines(df, id_col, text_col).filter(
+        F.length(F.trim(F.col("line"))) >= min_dup_chars
+    )
+    return (
+        lines.groupBy(F.md5(F.trim(F.col("line"))).alias("line_digest"))
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct(id_col).alias("docs"),
+        )
+        .filter(F.col("occurrences") > 1)
+    )

@@ -1716,6 +1716,77 @@ def mixing_pack_assignments(spark, sf_dir):
     return X.pack_assignments(docs, "n_chars", seq_len=512, shard_col="lang")
 
 
+@q(
+    "cleaning_c4_lines",
+    """
+    WITH d AS (SELECT doc_id,
+                      regexp_replace(text, ' a ', '.' || chr(10), 'g') AS t
+               FROM documents),
+    c AS (SELECT doc_id, t,
+                 coalesce(array_to_string(list_filter(string_split(t, chr(10)),
+                   x -> len(regexp_split_to_array(trim(x), '\\s+')) >= 3
+                        AND regexp_matches(trim(x), '[.!?"'']$')
+                        AND NOT regexp_matches(trim(x),
+                          '(?i)(javascript|cookie|lorem ipsum|terms of use|privacy policy)')),
+                   chr(10)), '') AS cleaned
+          FROM d)
+    SELECT doc_id, cleaned,
+           CAST(len(string_split(t, chr(10))) AS INT) AS total_lines,
+           CAST(len(string_split(cleaned, chr(10))) AS INT) AS kept_lines
+    FROM c
+    """,
+)
+def cleaning_c4_lines(spark, sf_dir):
+    """C4-style line filtering (Raffel et al. 2020 §2.2) as pure
+    Column expressions — split/filter/array_join run inside codegen,
+    zero shuffles. Line boundaries are synthesized deterministically
+    (documents.text is single-line) the same way in both engines."""
+    from gobblin_spark.functions import cleaning as CL
+
+    docs = load_docs(spark, sf_dir)
+    t = F.regexp_replace(F.col("text"), " a ", ".\n")
+    cleaned = CL.clean_lines(t)
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.size(F.split(t, "\n")).cast("int").alias("total_lines"),
+        F.size(F.split(cleaned, "\n")).cast("int").alias("kept_lines"),
+    )
+
+
+@q(
+    "cleaning_dedup_lines",
+    """
+    WITH d AS (SELECT doc_id,
+                      regexp_replace(text, ' a ', '.' || chr(10), 'g') AS text
+               FROM documents),
+    l AS (SELECT doc_id, u.s.line AS line, u.s.pos AS pos
+          FROM (SELECT doc_id,
+                       unnest(list_transform(string_split(text, chr(10)),
+                              (x, i) -> {'line': x, 'pos': i})) AS s
+                FROM d) u),
+    k AS (SELECT *, CASE WHEN len(trim(line)) >= 20 THEN md5(trim(line)) END AS dig
+          FROM l),
+    w AS (SELECT *, row_number() OVER (PARTITION BY dig ORDER BY doc_id, pos) AS rn
+          FROM k)
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM w WHERE dig IS NULL OR rn = 1
+    GROUP BY doc_id
+    """,
+)
+def cleaning_dedup_lines(spark, sf_dir):
+    """Corpus-wide exact line dedup (RefinedWeb-style): repeated lines
+    survive only at their first (doc_id, pos) occurrence; documents
+    are rebuilt in order. Only 16-byte digests + ids shuffle — line
+    bodies stay put until reassembly."""
+    from gobblin_spark.functions import cleaning as CL
+
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id", F.regexp_replace(F.col("text"), " a ", ".\n").alias("text")
+    )
+    return CL.dedup_lines_global(docs, min_dup_chars=20)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

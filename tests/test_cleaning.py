@@ -1,0 +1,77 @@
+"""Corpus cleaning: C4 line rules, corpus-wide line dedup (first
+occurrence survives), reassembly order, and the duplication census."""
+
+from pyspark.sql import functions as F
+
+from gobblin_spark.functions import cleaning as CL
+
+
+def make_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps.\nshort\nBuy cookies now here!\n"
+                "This boilerplate line is shared across documents okay.\n"
+                "Unique ending line for doc one."),
+            (2, "This boilerplate line is shared across documents okay.\n"
+                "Another perfectly fine sentence lives here.\nlorem ipsum dolor sit"),
+            (3, "This boilerplate line is shared across documents okay.\n"
+                "Third doc keeps its own content intact."),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_clean_lines_c4_rules(spark):
+    docs = make_docs(spark)
+    out = {r.doc_id: r.cleaned for r in docs.select(
+        "doc_id", CL.clean_lines(F.col("text")).alias("cleaned")).collect()}
+    kept1 = out[1].split("\n")
+    assert "The quick brown fox jumps." in kept1
+    assert "short" not in kept1  # < 3 words
+    assert all("cookies" not in ln for ln in kept1)  # boilerplate
+    assert "Unique ending line for doc one." in kept1
+    assert all("lorem ipsum" not in ln for ln in out[2].split("\n"))
+
+
+def test_line_stats(spark):
+    docs = make_docs(spark)
+    s = [x.s for x in docs.select(CL.line_stats(F.col("text")).alias("s")).collect()]
+    assert all(x.kept_lines <= x.total_lines for x in s)
+
+
+def test_dedup_lines_global_first_occurrence_wins(spark):
+    docs = make_docs(spark)
+    out = {r.doc_id: r.text for r in CL.dedup_lines_global(docs, min_dup_chars=20).collect()}
+    shared = "This boilerplate line is shared across documents okay."
+    assert shared in out[1]  # first occurrence (doc 1 has smallest id)
+    assert shared not in out[2] and shared not in out[3]
+    # untouched short lines survive everywhere
+    assert "short" in out[1]
+    # order preserved
+    assert out[1].index("The quick") < out[1].index("Unique ending")
+    # non-duplicated content intact
+    assert "Third doc keeps its own content intact." in out[3]
+
+
+def test_dedup_lines_short_lines_exempt(spark):
+    docs = spark.createDataFrame(
+        [(1, "same\nlong line repeated across both documents here."),
+         (2, "same\nlong line repeated across both documents here.")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.text for r in CL.dedup_lines_global(docs, min_dup_chars=20).collect()}
+    assert "same" in out[1] and "same" in out[2]  # short → exempt
+    assert "repeated" in out[1] and "repeated" not in out[2]
+
+
+def test_duplicate_line_stats_census(spark):
+    docs = make_docs(spark)
+    rows = CL.duplicate_line_stats(docs, min_dup_chars=20).collect()
+    assert len(rows) == 1
+    assert rows[0].occurrences == 3 and rows[0].docs == 3
+
+
+def test_explode_lines_positions(spark):
+    docs = spark.createDataFrame([(7, "a\nbb\nccc")], "doc_id int, text string")
+    rows = CL.explode_lines(docs).orderBy("pos").collect()
+    assert [(r.pos, r.line) for r in rows] == [(0, "a"), (1, "bb"), (2, "ccc")]
