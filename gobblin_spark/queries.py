@@ -1808,4 +1808,7 @@ HEADLINE = [
     "incremental_pull_union",
     "streaming_ingest_parity",
     "pipeline_fork_publish",
+    # training-data assembly
+    "mixing_sample_proportional",
+    "cleaning_dedup_lines",
 ]
