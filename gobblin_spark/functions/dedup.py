@@ -81,7 +81,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ threshold).
 
@@ -95,7 +95,8 @@ def ngram_jaccard_pairs(
     only (per-doc sizes keep them, so Jaccard becomes a conservative
     lower bound — pairs are never over-reported). At scale this operator
     is the re-rank stage after MinHash/LSH candidate generation, with
-    ``max_doc_freq`` as the mandatory guardrail.
+    ``max_doc_freq`` as the mandatory guardrail — it is therefore ON by
+    default (1000); pass ``None`` to disable for exact small-corpus runs.
     """
     slim = ensure_parallelism(df.select(id_col, text_col))
     sh = word_shingles(slim, text_col, n).select(id_col, "shingle")
@@ -323,8 +324,11 @@ def contamination_check(
     decontamination step every pre-training pipeline runs before
     training).
 
-    Output: (id, n_shingles, n_overlap, overlap_ratio), one row per
-    document INCLUDING zero-overlap docs. Scale shape: the benchmark's
+    Output: (id, n_shingles, n_overlap, overlap_ppm, overlap_ratio),
+    one row per document INCLUDING zero-overlap docs. ``overlap_ppm``
+    is the exact-integer form (floor of ratio·10⁶ as bigint) — use it
+    for cross-engine comparison; a rounded double's final ULP can
+    differ between engines even when the value is identical. Scale shape: the benchmark's
     distinct shingle set is tiny relative to the corpus (eval sets are
     thousands of docs) → broadcast semi-ish join against it; the corpus
     side streams, nothing quadratic. For a huge benchmark drop the
@@ -350,5 +354,11 @@ def contamination_check(
     ratio = F.round(
         F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double"), 6
     )
+    # multiply-then-divide in doubles, then floor: IEEE-deterministic on
+    # any engine, unlike round-half-up of a binary double
+    ppm = F.floor(
+        F.col("n_overlap").cast("double") * F.lit(1000000.0)
+        / F.col("n_shingles").cast("double")
+    ).cast("long")
     return hits.select(id_col, "n_shingles", "n_overlap",
-                       ratio.alias("overlap_ratio"))
+                       ppm.alias("overlap_ppm"), ratio.alias("overlap_ratio"))

@@ -119,21 +119,38 @@ def pack_assignments(
     seq_len: int,
     order_col: str = "doc_id",
     shard_col: str | None = None,
+    n_shards: int = 256,
+    allow_global: bool = False,
 ) -> DataFrame:
     """Assign each document to a fixed-token-budget pack: documents are
-    laid out in ``order_col`` order (within ``shard_col`` if given) and
-    cut into consecutive bins of ``seq_len`` tokens — the distributed
-    form of greedy sequence packing. Oversized documents (> seq_len)
-    still get a deterministic pack via their cumulative position.
+    laid out in ``order_col`` order within a shard and cut into
+    consecutive bins of ``seq_len`` tokens — the distributed form of
+    greedy sequence packing. Oversized documents (> seq_len) still get
+    a deterministic pack via their cumulative position.
+
+    Sharding is MANDATORY at scale: an unpartitioned ordered window
+    pulls the entire corpus through one reducer. With ``shard_col=None``
+    a deterministic hash shard ``pack_shard = pmod(xxhash64(order_col),
+    n_shards)`` is derived (stable across runs; adding documents only
+    perturbs their own shard), and pack identity is (pack_shard,
+    pack_id). ``allow_global=True`` is the explicit escape hatch for
+    driver-scale inputs that genuinely need one global order.
 
     Adds ``pack_id`` (bin ordinal within shard) and ``pack_offset``
     (tokens before this doc within its running total). One window
     shuffle on the shard key; packs never span shards."""
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(order_col)
     if shard_col is not None:
         w = Window.partitionBy(shard_col).orderBy(order_col)
+    elif allow_global:
+        w = Window.orderBy(order_col)
+    else:
+        df = df.withColumn(
+            "pack_shard",
+            F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards)).cast("int"),
+        )
+        w = Window.partitionBy("pack_shard").orderBy(order_col)
     cum = F.sum(token_col).over(w)
     return df.withColumn(
         "pack_id", F.floor((cum - F.col(token_col)) / F.lit(seq_len)).cast("int")

@@ -672,9 +672,15 @@ def dedup_exact_docs(spark, sf_dir):
       FROM idx WHERE array_to_string(words[i:i+1], ' ') <> ''
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), keep AS (
+      -- doc-freq cap (mirror of max_doc_freq=1000): hot shingles leave
+      -- the intersection only; sizes above keep them
+      SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+    ), shx AS (
+      SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
     ), inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shx a JOIN shx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
@@ -692,9 +698,13 @@ def ngram_jaccard_docs(spark, sf_dir):
 
     Bigrams (n=2) — the synthetic corpus has a tiny vocabulary, so
     trigram Jaccard is ~0 everywhere; bigrams give a populated result.
+    The mandatory-at-scale doc-freq cap is active (and mirrored in the
+    oracle's `keep` CTE): a hot shingle in d docs costs d² join rows.
     """
     docs = load_docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.08)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=2, threshold=0.08, max_doc_freq=1000
+    )
 
 
 @q("minhash_lsh_docs")  # xxhash64-based — no SQL oracle; rows-only check
@@ -875,22 +885,29 @@ _SHINGLE2_CTE = """
       SELECT DISTINCT array_to_string(words[i:i+1], ' ') AS shingle
       FROM bi WHERE array_to_string(words[i:i+1], ' ') <> ''
     )
-    SELECT ds.doc_id, count(*) AS n_shingles,
-           sum(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap,
-           round(CAST(sum(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END)
-                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS overlap_ratio
-    FROM ds LEFT JOIN bs ON ds.shingle = bs.shingle
-    GROUP BY ds.doc_id
+    SELECT doc_id, n_shingles, n_overlap,
+           CAST(floor(CAST(n_overlap AS DOUBLE) * 1000000.0
+                      / CAST(n_shingles AS DOUBLE)) AS BIGINT) AS overlap_ppm
+    FROM (
+      SELECT ds.doc_id, count(*) AS n_shingles,
+             sum(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_overlap
+      FROM ds LEFT JOIN bs ON ds.shingle = bs.shingle
+      GROUP BY ds.doc_id
+    )
     """,
 )
 def contamination_check_docs(spark, sf_dir):
     """Eval-set decontamination: every 50th document plays the held-out
     benchmark; the rest are scanned for bigram overlap against it
-    (benchmark shingle set broadcast, corpus streams)."""
+    (benchmark shingle set broadcast, corpus streams). The checked
+    output carries the ratio as exact-integer ppm — a rounded double's
+    last ULP is engine-dependent and broke the round-2 hash check."""
     docs = load_docs(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
-    return dedup.contamination_check(corpus, bench, "doc_id", "text", n=2)
+    return dedup.contamination_check(
+        corpus, bench, "doc_id", "text", n=2
+    ).drop("overlap_ratio")
 
 
 # ------------------------------------------------------------------

@@ -66,6 +66,36 @@ def test_pack_assignments_invariants(spark):
     assert all(min(r.pack_id for r in rows if r.lang == lang) == 0 for lang in cum)
 
 
+def test_pack_assignments_default_derives_shard_no_global_window(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    packed = X.pack_assignments(docs, "n_chars", seq_len=512, n_shards=16)
+    # derived hash shard appears in the output (pack identity is
+    # (pack_shard, pack_id)) and the window is partitioned by it
+    assert "pack_shard" in packed.columns
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan  # no global one-reducer window
+    assert "hashpartitioning(pack_shard" in plan
+    rows = packed.collect()
+    assert {r.pack_shard for r in rows} == set(range(16)) or len(rows) < 500
+    # invariants hold within each derived shard
+    cum: dict[int, int] = {}
+    for r in sorted(rows, key=lambda r: (r.pack_shard, r.doc_id)):
+        before = cum.get(r.pack_shard, 0)
+        assert r.pack_id == before // 512
+        assert r.pack_offset == before % 512
+        cum[r.pack_shard] = before + r.n_chars
+
+
+def test_pack_assignments_global_requires_opt_in(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    packed = X.pack_assignments(
+        docs, "n_chars", seq_len=512, allow_global=True
+    )
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in plan  # the explicit escape hatch
+    assert "pack_shard" not in packed.columns
+
+
 def test_domain_stats(spark):
     docs = load_table(spark, SF, "documents")
     stats = {r.source: r for r in X.domain_stats(docs, weight_col="n_chars").collect()}
