@@ -87,10 +87,14 @@ def dedup_lines_global(
     other occurrences are removed, and each document is rebuilt from
     its surviving lines in order.
 
-    Returns (id_col, text_col) with the cleaned text. Shuffle budget:
-    one groupBy on the 16-byte line digest (slim rows), one groupBy on
-    doc_id to reassemble. Short lines (< min_dup_chars) are exempt —
-    they pass through untouched (headers, list bullets)."""
+    Returns (id_col, text_col) with the cleaned text — one row per
+    INPUT document: a document whose every line was removed (or whose
+    text was null/empty) comes back with text '' rather than vanishing
+    from the corpus. Shuffle budget: one groupBy on the 16-byte line
+    digest (slim rows), one groupBy on doc_id to reassemble, plus a
+    slim id-only join to restore fully-emptied docs. Short lines
+    (< min_dup_chars) are exempt — they pass through untouched
+    (headers, list bullets)."""
     lines = explode_lines(df, id_col, text_col, min_chars=0)
     keyed = lines.withColumn(
         "_dig",
@@ -111,7 +115,7 @@ def dedup_lines_global(
         | ((F.col("_first")[id_col] == F.col(id_col))
            & (F.col("_first")["pos"] == F.col("pos")))
     )
-    return (
+    rebuilt = (
         kept.groupBy(id_col)
         .agg(
             F.array_join(
@@ -122,6 +126,12 @@ def dedup_lines_global(
                 "\n",
             ).alias(text_col)
         )
+    )
+    # docs with zero surviving lines have no reassembly rows — join the
+    # distinct input ids back so they return as empty documents
+    ids = df.select(id_col).distinct()
+    return ids.join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
 
 

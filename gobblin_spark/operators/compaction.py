@@ -35,6 +35,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -124,6 +125,76 @@ def needs_recompaction(
     return count_threshold is not None and late_count >= count_threshold
 
 
+_SPECIAL_PREFIXES = ("_staging-", "_trash-")
+
+
+def _is_special(name: str) -> bool:
+    return name.startswith(_SPECIAL_PREFIXES) or name == "_SUCCESS"
+
+
+def _trash_old_files(spark, path: str, token: str) -> int:
+    """Phase B of the compaction swap: rename every pre-existing data
+    file/dir (and the _SUCCESS marker) into a ``_trash-<token>`` sibling.
+    Metadata-only renames — the bytes never move; the old data stays
+    fully recoverable until phase D deletes the trash."""
+    from gobblin_spark.sinks import publish as P
+
+    fs, dst, jvm = P._fs(spark, path)
+    trash = jvm.org.apache.hadoop.fs.Path(dst, f"_trash-{token}")
+    fs.mkdirs(trash)
+    moved = 0
+    for st in fs.listStatus(dst):
+        name = st.getPath().getName()
+        if name.startswith(_SPECIAL_PREFIXES):
+            continue
+        if not fs.rename(st.getPath(),
+                         jvm.org.apache.hadoop.fs.Path(trash, name)):
+            raise IOError(f"trash rename failed: {st.getPath()}")
+        moved += 1
+    return moved
+
+
+def recover_compaction(spark, path: str) -> str:
+    """Make *path* fully readable after a compaction crash at any phase.
+
+    - trash exists + no published data (no ``_SUCCESS``): the crash hit
+      between trash-move and publish → restore every trashed file, drop
+      any partial staging. → "restored"
+    - trash exists + ``_SUCCESS`` present: the publish completed; only
+      the trash cleanup was lost → delete trash. → "cleaned"
+    - no trash: nothing to do (a leftover staging dir alone is inert;
+      abandoned stagings are cleaned lazily). → "noop"
+    """
+    from gobblin_spark.sinks import publish as P
+
+    fs, dst, jvm = P._fs(spark, path)
+    if not fs.exists(dst):
+        return "noop"
+    trash_dirs, staging_dirs, published = [], [], False
+    for st in fs.listStatus(dst):
+        name = st.getPath().getName()
+        if name.startswith("_trash-"):
+            trash_dirs.append(st.getPath())
+        elif name.startswith("_staging-"):
+            staging_dirs.append(st.getPath())
+        elif name == P.SUCCESS_MARKER:
+            published = True
+    if not trash_dirs:
+        return "noop"
+    if published:
+        for t in trash_dirs:
+            fs.delete(t, True)
+        return "cleaned"
+    for t in trash_dirs:
+        for st in fs.listStatus(t):
+            fs.rename(st.getPath(),
+                      jvm.org.apache.hadoop.fs.Path(dst, st.getPath().getName()))
+        fs.delete(t, True)
+    for s in staging_dirs:
+        fs.delete(s, True)
+    return "restored"
+
+
 def compact_small_files(
     spark,
     path: str,
@@ -133,9 +204,24 @@ def compact_small_files(
 ) -> dict:
     """Small-file compaction (the MRCompactor's other job: file-count
     hygiene, gobblin-compaction/.../mapreduce/MRCompactor.java). Rewrites
-    a directory into ~size-targeted files via coalesce (no shuffle) and
-    republishes atomically through the staging→rename protocol, so
-    readers never see a half-compacted dir.
+    a directory into ~size-targeted files and swaps them in via a
+    crash-safe two-phase protocol (BaseDataPublisher.java:100's rule:
+    publish is move-into-place, never delete-then-copy):
+
+      A. stage the compacted copy under ``_staging-<token>``
+      B. rename the old files into ``_trash-<token>`` (metadata-only)
+      C. publish staged (rename in + fresh ``_SUCCESS``)
+      D. delete the trash
+
+    A crash between B and C leaves the old data intact in the trash;
+    ``recover_compaction`` restores it (or finishes the cleanup if the
+    crash hit between C and D). The ``_SUCCESS`` marker is the reader
+    visibility signal: it is absent only during the B→C metadata window.
+
+    The rewrite reads with full parallelism: ``repartition(target_n)``
+    when collapsing many files (a ``coalesce`` would cap the SCAN at
+    target_n tasks), plain ``coalesce`` for small ratios where the
+    extra shuffle costs more than the lost parallelism.
 
     Returns {files_before, files_after, bytes}. No-op (files_before
     returned unchanged) when the dir is already compact."""
@@ -148,14 +234,14 @@ def compact_small_files(
     if files_before < min_files_to_compact or files_before <= target_n:
         return {"files_before": files_before, "files_after": files_before,
                 "bytes": nbytes, "compacted": False}
-    staged = P.stage(df.coalesce(target_n), path, fmt=fmt)
-    # replace: drop the old contents, then publish the compacted copy
-    fs, dst, jvm = P._fs(spark, path)
-    for st in fs.listStatus(dst):
-        name = st.getPath().getName()
-        if not name.startswith("_staging-"):
-            fs.delete(st.getPath(), True)
-    P.publish_staged(staged, spark)
+    compacted = (df.repartition(target_n) if files_before > 8 * target_n
+                 else df.coalesce(target_n))
+    token = uuid.uuid4().hex[:12]
+    staged = P.stage(compacted, path, fmt=fmt, job_id=token)      # A
+    _trash_old_files(spark, path, token)                          # B
+    P.publish_staged(staged, spark)                               # C
+    fs, dst, jvm = P._fs(spark, path)                             # D
+    fs.delete(jvm.org.apache.hadoop.fs.Path(dst, f"_trash-{token}"), True)
     files_after, _ = _output_stats(df, path)
     return {"files_before": files_before, "files_after": files_after,
             "bytes": nbytes, "compacted": True}

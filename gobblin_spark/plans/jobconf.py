@@ -125,9 +125,12 @@ SourceFactory = Callable[[JobSpec], Callable[[SparkSession], DataFrame]]
 ConverterFactory = Callable[[JobSpec], Callable[[DataFrame], DataFrame]]
 PolicyFactory = Callable[[JobSpec], Q.RowPolicy]
 
+TaskPolicyFactory = Callable[[JobSpec], Callable[[DataFrame], Q.TaskPolicyResult]]
+
 _SOURCES: dict[str, SourceFactory] = {}
 _CONVERTERS: dict[str, ConverterFactory] = {}
 _POLICIES: dict[str, PolicyFactory] = {}
+_TASK_POLICIES: dict[str, TaskPolicyFactory] = {}
 
 
 def register_source(name: str, factory: SourceFactory) -> None:
@@ -140,6 +143,10 @@ def register_converter(name: str, factory: ConverterFactory) -> None:
 
 def register_row_policy(name: str, factory: PolicyFactory) -> None:
     _POLICIES[name] = factory
+
+
+def register_task_policy(name: str, factory: TaskPolicyFactory) -> None:
+    _TASK_POLICIES[name] = factory
 
 
 def _short(cls: str) -> str:
@@ -307,14 +314,42 @@ for _name, _f in [
     register_row_policy(_name, _f)
 
 
+# -- built-in task-level (write-audit) policies ----------------------------
+
+
+def _task_policy_row_count_range(spec: JobSpec):
+    """RowCountRangePolicy.java analog against the STAGED output:
+    ``qualitychecker.rowcount.min`` / ``.max`` bound the published row
+    count — the audit that gates the publish under 'full'/'successful'
+    commit policies."""
+    lo = int(spec.get("qualitychecker.rowcount.min", "0"))
+    hi_raw = spec.get("qualitychecker.rowcount.max")
+    hi = int(hi_raw) if hi_raw is not None else None
+
+    def audit(staged_df: DataFrame) -> Q.TaskPolicyResult:
+        n = staged_df.count()
+        ok = n >= lo and (hi is None or n <= hi)
+        return Q.TaskPolicyResult("row_count_range", ok,
+                                  f"rows={n} min={lo} max={hi}")
+
+    return audit
+
+
+for _name in ("RowCountRangePolicy", "row_count_range"):
+    register_task_policy(_name, _task_policy_row_count_range)
+
+
 # --------------------------------------------------------------------------
 # Compile + run
 # --------------------------------------------------------------------------
 
 _COMMIT_POLICIES = {
-    # ConfigurationKeys.JOB_COMMIT_POLICY_KEY values (JobCommitPolicy.java:35)
+    # ConfigurationKeys.JOB_COMMIT_POLICY_KEY values (JobCommitPolicy.forName,
+    # JobCommitPolicy.java:35): 'successful' commits only datasets whose
+    # audits passed — mapping it to PARTIAL would publish datasets whose
+    # write-audit policies FAILED
     "full": P.JobCommitPolicy.COMMIT_ON_FULL_SUCCESS,
-    "successful": P.JobCommitPolicy.COMMIT_ON_PARTIAL_SUCCESS,
+    "successful": P.JobCommitPolicy.COMMIT_SUCCESSFUL_TASKS,
     "partial": P.JobCommitPolicy.COMMIT_ON_PARTIAL_SUCCESS,
 }
 
@@ -330,9 +365,18 @@ def to_pipeline(spec: JobSpec) -> PL.Pipeline:
     ]
     policies = [
         _resolve(_POLICIES, cls, "row_policy")(spec)
-        for cls in spec.get_list("qualitychecker.task.policies")
-        + spec.get_list("qualitychecker.row.policies")
+        for cls in spec.get_list("qualitychecker.row.policies")
     ]
+    # task-level policies audit the STAGED output (write-audit-publish);
+    # names resolve via the task-policy registry, falling back to the
+    # row-policy registry for configs that historically listed row
+    # policies under the task key
+    task_policies = []
+    for cls in spec.get_list("qualitychecker.task.policies"):
+        if cls in _TASK_POLICIES or _short(cls) in _TASK_POLICIES:
+            task_policies.append(_resolve(_TASK_POLICIES, cls, "task_policy")(spec))
+        else:
+            policies.append(_resolve(_POLICIES, cls, "row_policy")(spec))
 
     branches: list[PL.Branch] = []
     final_dir = spec.get("data.publisher.final.dir")
@@ -346,6 +390,7 @@ def to_pipeline(spec: JobSpec) -> PL.Pipeline:
                 final_dir=final_dir,
                 fmt=fmt,
                 partition_by=spec.get_list("writer.partition.columns") or None,
+                task_policies=task_policies,
             )
         )
 

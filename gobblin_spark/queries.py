@@ -1785,10 +1785,14 @@ def cleaning_c4_lines(spark, sf_dir):
     k AS (SELECT *, CASE WHEN len(trim(line)) >= 20 THEN md5(trim(line)) END AS dig
           FROM l),
     w AS (SELECT *, row_number() OVER (PARTITION BY dig ORDER BY doc_id, pos) AS rn
-          FROM k)
-    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
-    FROM w WHERE dig IS NULL OR rn = 1
-    GROUP BY doc_id
+          FROM k),
+    agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+            FROM w WHERE dig IS NULL OR rn = 1
+            GROUP BY doc_id)
+    -- fully-emptied docs come back as '' (one row per INPUT doc)
+    SELECT ids.doc_id, coalesce(agg.text, '') AS text
+    FROM (SELECT DISTINCT doc_id FROM documents) ids
+    LEFT JOIN agg ON agg.doc_id = ids.doc_id
     """,
 )
 def cleaning_dedup_lines(spark, sf_dir):

@@ -43,6 +43,24 @@ def _pa_fs(path: str):
     return pafs.LocalFileSystem(), path
 
 
+def _scheme_prefix(original: str, normalized: str) -> str:
+    """The URI prefix pyarrow strips: ``from_uri('s3://b/k')`` returns
+    path 'b/k' and ``from_uri('hdfs://h:9000/p')`` returns '/p' — worker
+    closures that re-infer a filesystem from such scheme-less paths pick
+    LocalFileSystem for remote files. Re-attaching this prefix keeps
+    every manifest path a full URI, so ``_pa_fs`` resolves the right
+    filesystem wherever the path travels."""
+    if "://" not in original:
+        return ""
+    trimmed = original.rstrip("/")
+    if trimmed.endswith(normalized):
+        return trimmed[: len(trimmed) - len(normalized)]
+    import re as _re
+
+    m = _re.match(r"^[A-Za-z0-9+.-]+://[^/]*", original)
+    return m.group(0) if m else ""
+
+
 def list_tree(spark: SparkSession, base_path: str, min_parallel: int = 2) -> DataFrame:
     """Distributed recursive listing → (path, size, mtime) DataFrame.
 
@@ -52,13 +70,16 @@ def list_tree(spark: SparkSession, base_path: str, min_parallel: int = 2) -> Dat
     from pyarrow import fs as pafs
 
     fs, root = _pa_fs(base_path)
+    prefix = _scheme_prefix(base_path, root)
     infos = fs.get_file_info(pafs.FileSelector(root, recursive=False))
     top_files = [
-        (i.path, i.size, int(i.mtime.timestamp() * 1000) if i.mtime else 0)
+        (prefix + i.path, i.size, int(i.mtime.timestamp() * 1000) if i.mtime else 0)
         for i in infos
         if i.type == pafs.FileType.File
     ]
-    dirs = [i.path for i in infos if i.type == pafs.FileType.Directory]
+    # dirs carry the scheme prefix so worker tasks resolve the SAME
+    # filesystem (a scheme-less S3 path would silently list the local FS)
+    dirs = [prefix + i.path for i in infos if i.type == pafs.FileType.Directory]
 
     def list_dir(it):
         # self-contained (no module globals): runs in workers
@@ -67,11 +88,13 @@ def list_tree(spark: SparkSession, base_path: str, min_parallel: int = 2) -> Dat
         for d in it:
             if "://" in d:
                 f2, p2 = pafs2.FileSystem.from_uri(d)
+                pfx = d.rstrip("/")[: len(d.rstrip("/")) - len(p2)] \
+                    if d.rstrip("/").endswith(p2) else ""
             else:
-                f2, p2 = pafs2.LocalFileSystem(), d
+                f2, p2, pfx = pafs2.LocalFileSystem(), d, ""
             for i in f2.get_file_info(pafs2.FileSelector(p2, recursive=True)):
                 if i.type == pafs2.FileType.File:
-                    yield (i.path, i.size,
+                    yield (pfx + i.path, i.size,
                            int(i.mtime.timestamp() * 1000) if i.mtime else 0)
 
     parts = max(min_parallel, len(dirs)) if dirs else 1
@@ -92,9 +115,10 @@ def plan_copy(
     to its destination path, minus files already present at the
     destination with the same size (incremental diff, a broadcast-able
     anti-join on the slim listing)."""
-    _, src_norm = _pa_fs(src_root)
+    # list_tree paths are full URIs (scheme preserved), so offsets are
+    # taken against the caller's root string itself
     src = list_tree(spark, src_root).withColumn(
-        "rel", F.expr(f"substring(path, {len(src_norm.rstrip('/')) + 2})")
+        "rel", F.expr(f"substring(path, {len(src_root.rstrip('/')) + 2})")
     )
     manifest = src.select(
         F.col("path").alias("src"),
@@ -107,11 +131,10 @@ def plan_copy(
             dst = list_tree(spark, dst_root)
         except FileNotFoundError:
             return manifest
-        _, dst_norm = _pa_fs(dst_root)
         existing = dst.select(
             F.concat(
                 F.lit(dst_root.rstrip("/") + "/"),
-                F.expr(f"substring(path, {len(dst_norm.rstrip('/')) + 2})"),
+                F.expr(f"substring(path, {len(dst_root.rstrip('/')) + 2})"),
             ).alias("dst"),
             F.col("size").alias("dst_size"),
         )

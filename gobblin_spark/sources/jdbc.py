@@ -77,7 +77,11 @@ class Dialect:
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
         if isinstance(v, _dt.datetime):
-            return self.ts_format.format(v=v.strftime("%Y-%m-%d %H:%M:%S"))
+            # microsecond precision: committed watermarks keep fractional
+            # seconds, so truncating here would re-pull boundary rows on
+            # the next run (and disagree with state.jdbc_incremental_query)
+            return self.ts_format.format(
+                v=v.isoformat(sep=" ", timespec="microseconds"))
         if isinstance(v, _dt.date):
             return self.date_format.format(v=v.isoformat())
         if isinstance(v, str):

@@ -24,8 +24,12 @@ Reference mapping (all relative to /root/reference/):
 Scale notes: foreachBatch receives a normal DataFrame — every batch
 transformation stays whole-stage-codegen JVM work; the Python function
 only COMPOSES the plan. State (frontier) is O(datasets) driver metadata.
-Sinks append parquet per epoch; compaction (operators/compaction.py)
-owns small-file hygiene, exactly like the reference's compactor.
+Each epoch writes its own ``gobblin_epoch=<token>-<id>`` partition via
+dynamic partition overwrite and commits an epoch marker LAST, so a
+re-delivered micro-batch either no-ops (marker present) or rewrites its
+own partition — exactly-once visible output without any read-modify-
+write. Compaction (operators/compaction.py) owns small-file hygiene,
+exactly like the reference's compactor.
 """
 
 from __future__ import annotations
@@ -41,6 +45,9 @@ from gobblin_spark.state import WatermarkStore
 
 LATE_DIR = "_late"
 QUARANTINE_DIR = "_quarantine"
+# Per-epoch partition column (NOT underscore-prefixed: Spark's listing
+# hides `_*` paths, which would make `_epoch=N` dirs invisible to readers)
+EPOCH_COL = "gobblin_epoch"
 
 
 # ------------------------------------------------------------------
@@ -156,6 +163,7 @@ class EpochStats:
     late_rows: int = 0
     quarantined: int = 0
     frontier: object = None
+    replayed: bool = False  # epoch was already committed; writes skipped
 
 
 @dataclass
@@ -180,39 +188,72 @@ class IngestSpec:
     stats: list[EpochStats] = field(default_factory=list)
 
 
-def _epoch_fn(spec: IngestSpec, store: WatermarkStore):
+def _run_token(checkpoint_dir: str) -> str:
+    """Epoch ids restart at 0 for every new checkpoint lineage; this
+    token namespaces the epoch ledger and the epoch partition values so
+    two runs over the same final_dir never collide."""
+    import hashlib
+
+    return hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()[:8]
+
+
+def _epoch_marker(spec: IngestSpec, token: str, epoch_id: int) -> str:
+    return f"{spec.dataset}/epochs/{token}-e{epoch_id}"
+
+
+def _epoch_write(df: DataFrame, spec: IngestSpec, epoch_value: str, path: str,
+                 partition_by: Sequence[str] = ()) -> None:
+    """Idempotent epoch write: rows land in a ``gobblin_epoch=<token>-<id>``
+    partition via DYNAMIC partition overwrite, so a replayed epoch
+    REWRITES its own partition instead of appending duplicate rows.
+    (Structured Streaming re-delivers a batch after a failure; plain
+    mode('append') would double those rows — the reference's flush
+    epoch commits idempotently, FlushingExtractor.java:81.)"""
+    (df.withColumn(EPOCH_COL, F.lit(epoch_value))
+       .write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy(*partition_by, EPOCH_COL)
+       .format(spec.fmt)
+       .save(path))
+
+
+def _epoch_fn(spec: IngestSpec, store: WatermarkStore, token: str):
     from gobblin_spark.operators import quality
 
     def run(batch_df: DataFrame, epoch_id: int) -> None:
+        st = EpochStats(epoch_id)
+        epoch_value = f"{token}-{epoch_id}"
+        # replay of a fully committed epoch (its marker was the LAST step)
+        # is a pure no-op — data, late, quarantine and frontier all landed
+        if store.get(_epoch_marker(spec, token, epoch_id)) is not None:
+            st.replayed = True
+            st.frontier = store.get(spec.dataset)
+            spec.stats.append(st)
+            return
+
         if spec.target_schema is not None:
             from gobblin_spark.schema import conform_to
 
             batch_df = conform_to(batch_df, spec.target_schema)
         df = spec.transform(batch_df) if spec.transform else batch_df
-        st = EpochStats(epoch_id)
 
         if spec.row_policies:
             df, bad = quality.check_rows(df, spec.row_policies)
             st.quarantined = bad.count()
             if st.quarantined:
-                bad.write.mode("append").format(spec.fmt).save(
-                    f"{spec.final_dir}/{QUARANTINE_DIR}"
-                )
+                _epoch_write(bad, spec, epoch_value,
+                             f"{spec.final_dir}/{QUARANTINE_DIR}")
 
         frontier = store.get(spec.dataset)
         on_time, late = split_late(df, spec.ts_col, frontier, spec.allowed_lateness)
 
-        writer = on_time.write.mode("append").format(spec.fmt)
-        if spec.partition_by:
-            writer = writer.partitionBy(*spec.partition_by)
-        writer.save(spec.final_dir)
+        _epoch_write(on_time, spec, epoch_value, spec.final_dir,
+                     partition_by=spec.partition_by or ())
         st.rows = on_time.count()
 
         st.late_rows = late.count()
         if st.late_rows:
-            late.write.mode("append").format(spec.fmt).save(
-                f"{spec.final_dir}/{LATE_DIR}"
-            )
+            _epoch_write(late, spec, epoch_value, f"{spec.final_dir}/{LATE_DIR}")
 
         # flush-epoch watermark: frontier advances to max event time seen
         batch_max = df.agg(F.max(spec.ts_col)).first()[0]
@@ -221,6 +262,10 @@ def _epoch_fn(spec: IngestSpec, store: WatermarkStore):
             st.frontier = batch_max
         else:
             st.frontier = frontier
+        # marker commits LAST: a crash anywhere above replays the epoch,
+        # and the dynamic-partition rewrite makes that replay idempotent
+        store.commit(_epoch_marker(spec, token, epoch_id), int(epoch_id),
+                     run_id=f"epoch{epoch_id}")
         spec.stats.append(st)
 
     return run
@@ -239,7 +284,8 @@ def run_ingest(
     stops — the batch-parity mode the tests and backfills use; give
     ``processing_time`` (e.g. "10 seconds") for a continuous run."""
     writer = (
-        stream_df.writeStream.foreachBatch(_epoch_fn(spec, store))
+        stream_df.writeStream.foreachBatch(
+            _epoch_fn(spec, store, _run_token(checkpoint_dir)))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

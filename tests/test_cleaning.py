@@ -64,6 +64,21 @@ def test_dedup_lines_short_lines_exempt(spark):
     assert "repeated" in out[1] and "repeated" not in out[2]
 
 
+def test_dedup_lines_fully_emptied_doc_survives_as_empty(spark):
+    """A document whose every line is removed (all lines are duplicates
+    first seen elsewhere, or text is null) must come back with text ''
+    — not silently disappear from the corpus."""
+    dup = "this exact long line appears in both documents verbatim."
+    docs = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, None)], "doc_id int, text string")
+    out = {r.doc_id: r.text for r in
+           CL.dedup_lines_global(docs, min_dup_chars=20).collect()}
+    assert set(out) == {1, 2, 3}  # one row per input doc
+    assert out[1] == dup          # first occurrence survives
+    assert out[2] == ""           # fully deduped, not dropped
+    assert out[3] == ""           # null text → empty doc
+
+
 def test_duplicate_line_stats_census(spark):
     docs = make_docs(spark)
     rows = CL.duplicate_line_stats(docs, min_dup_chars=20).collect()

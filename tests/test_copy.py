@@ -61,6 +61,34 @@ def test_incremental_skip_unchanged(spark, tree, tmp_path):
     assert _tree_bytes(tree) == _tree_bytes(dst)
 
 
+def test_uri_scheme_threads_through_listing_and_copy(spark, tree, tmp_path):
+    """URI roots (file://) must keep their scheme on every manifest path
+    so worker closures resolve the SAME filesystem — a scheme-less path
+    re-inferred in a task silently falls back to LocalFileSystem for
+    remote stores (S3/HDFS)."""
+    src_uri = "file://" + tree
+    listed = C.list_tree(spark, src_uri).collect()
+    assert listed and all(r.path.startswith("file:///") for r in listed)
+
+    dst = str(tmp_path / "dst_uri")
+    manifest = C.plan_copy(spark, src_uri, dst, skip_unchanged=False)
+    rows = manifest.collect()
+    assert all(r.src.startswith("file:///") for r in rows)
+    # relative layout preserved despite the scheme prefix
+    assert {r.dst[len(dst) + 1:] for r in rows} == {
+        "root.txt", "a/one.bin", "a/two.txt", "b/c/deep.bin"}
+    results, ok = C.distcp(spark, src_uri, dst)
+    assert ok and _tree_bytes(tree) == _tree_bytes(dst)
+
+
+def test_scheme_prefix_helper():
+    assert C._scheme_prefix("s3://bucket/key/x", "bucket/key/x") == "s3://"
+    assert C._scheme_prefix("hdfs://nn:9000/data", "/data") == "hdfs://nn:9000"
+    assert C._scheme_prefix("file:///tmp/x", "/tmp/x") == "file://"
+    assert C._scheme_prefix("s3://bucket/x/", "bucket/x") == "s3://"
+    assert C._scheme_prefix("/plain/local", "/plain/local") == ""
+
+
 def test_copy_failure_isolated_and_atomic_abort(spark, tree, tmp_path):
     """A missing source file fails its row; atomic mode aborts the whole
     publish so the destination never half-appears."""

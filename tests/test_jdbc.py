@@ -55,10 +55,14 @@ def test_dialect_sql_text():
 def test_watermark_predicate_literals():
     p = J.watermark_predicate("ts", dt.datetime(2024, 1, 1, 12, 0),
                               dt.date(2024, 2, 1))
-    assert p == '"ts" > TIMESTAMP \'2024-01-01 12:00:00\'' \
+    assert p == '"ts" > TIMESTAMP \'2024-01-01 12:00:00.000000\'' \
                 ' AND "ts" <= DATE \'2024-02-01\''
     assert J.watermark_predicate("id", None, 100) == '"id" <= 100'
     assert J.watermark_predicate("s", "o'x", None) == '"s" > \'o\'\'x\''
+    # fractional seconds survive: truncation would re-pull boundary rows
+    frac = J.watermark_predicate(
+        "ts", dt.datetime(2024, 1, 1, 12, 0, 0, 123456), None)
+    assert frac == '"ts" > TIMESTAMP \'2024-01-01 12:00:00.123456\''
 
 
 def test_partition_interval_simple_int_disjoint_covering():

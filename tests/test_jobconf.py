@@ -91,6 +91,36 @@ def test_pull_file_from_disk_with_partitioning(spark, tmp_path):
     assert dirs == {"l_returnflag=A", "l_returnflag=R"}
 
 
+def test_commit_policy_successful_aborts_failed_audit(spark, tmp_path):
+    """job.commit.policy=successful maps to COMMIT_SUCCESSFUL_TASKS
+    (JobCommitPolicy.forName): a dataset whose write-audit FAILS must be
+    aborted, not published — mapping it to PARTIAL would publish it."""
+    out = str(tmp_path / "audited")
+    text = PULL.format(sf="/root/testdata/sf0.001", out=out) + (
+        "qualitychecker.task.policies=row_count_range\n"
+        "qualitychecker.rowcount.min=999999999\n"  # cannot be satisfied
+        "job.commit.policy=successful\n"
+    )
+    spec = J.load_job_spec(text)
+    assert J.to_pipeline(spec).commit_policy.name == "COMMIT_SUCCESSFUL_TASKS"
+    res = J.run_job(spark, text)
+    assert res.report is not None and not res.report.committed
+    assert res.report.aborted and not res.report.published
+    assert not os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
+def test_commit_policy_successful_publishes_green_audit(spark, tmp_path):
+    out = str(tmp_path / "audited_ok")
+    text = PULL.format(sf="/root/testdata/sf0.001", out=out) + (
+        "qualitychecker.task.policies=row_count_range\n"
+        "qualitychecker.rowcount.min=1\n"
+        "job.commit.policy=successful\n"
+    )
+    res = J.run_job(spark, text)
+    assert res.report is not None and res.report.committed
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
 def test_reference_pull_vocabulary_short_and_fqcn():
     spec = J.load_job_spec(
         "job.name=x\nsource.class=table\nsource.data.directory=/d\n"

@@ -49,6 +49,53 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     assert not res2["compacted"] and res2["files_after"] == 1
 
 
+def test_compact_crash_between_trash_and_publish_recovers(spark, sf_dir, tmp_path):
+    """Simulate a crash after phase B (old files trashed) but before
+    phase C (publish): recover_compaction must restore the original
+    files so the dataset reads fully."""
+    from gobblin_spark.sinks import publish as P
+
+    ev = files.load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    path = str(tmp_path / "crashB")
+    ev.repartition(8).write.parquet(path)
+    before = spark.read.parquet(path).count()
+
+    token = "deadbeef0001"
+    df = spark.read.parquet(path)
+    P.stage(df.coalesce(1), path, job_id=token)       # phase A
+    compaction._trash_old_files(spark, path, token)   # phase B — then "crash"
+
+    assert compaction.recover_compaction(spark, path) == "restored"
+    assert spark.read.parquet(path).count() == before
+    # staging was discarded; a rerun compacts cleanly
+    res = compaction.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert res["compacted"] and spark.read.parquet(path).count() == before
+
+
+def test_compact_crash_between_publish_and_cleanup_recovers(spark, sf_dir, tmp_path):
+    """Crash after phase C (published) but before phase D (trash
+    delete): the published files must win and recovery drops the trash
+    (no double-read of old + new)."""
+    from gobblin_spark.sinks import publish as P
+
+    ev = files.load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    path = str(tmp_path / "crashC")
+    ev.repartition(8).write.parquet(path)
+    before = spark.read.parquet(path).count()
+
+    token = "deadbeef0002"
+    df = spark.read.parquet(path)
+    staged = P.stage(df.coalesce(1), path, job_id=token)  # A
+    compaction._trash_old_files(spark, path, token)       # B
+    P.publish_staged(staged, spark)                       # C — then "crash"
+
+    # dataset is already fully readable (published copy), trash ignored
+    assert spark.read.parquet(path).count() == before
+    assert compaction.recover_compaction(spark, path) == "cleaned"
+    assert spark.read.parquet(path).count() == before
+    assert compaction.recover_compaction(spark, path) == "noop"
+
+
 def test_bounded_hwm_sizes_pulls(spark, sf_dir, tmp_path):
     orders = files.load_table(spark, sf_dir, "orders")
     total = orders.count()

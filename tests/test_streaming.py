@@ -97,6 +97,40 @@ def test_quarantine_in_stream(spark, tmp_path):
     assert q.count() == 5 and all(r.v is None for r in q.collect())
 
 
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch can re-deliver an epoch after a failure. A replayed
+    epoch must not duplicate rows: a fully-committed epoch no-ops on its
+    marker; a partially-written epoch REWRITES its own partition via
+    dynamic partition overwrite."""
+    sch = "id INT, ts TIMESTAMP_NTZ"
+    t0 = dt.datetime(2024, 3, 1)
+    batch = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(minutes=i)) for i in range(8)], sch)
+    out = str(tmp_path / "out")
+    spec = streaming.IngestSpec(final_dir=out, ts_col="ts")
+    store = state.WatermarkStore(spark, str(tmp_path / "wm"))
+    from gobblin_spark.streaming import runner as _R
+    fn = _R._epoch_fn(spec, store, "tok00001")
+
+    # crash-before-marker: the data landed but the marker didn't
+    _R._epoch_write(batch, spec, "tok00001-0", out)
+    assert spark.read.parquet(out).count() == 8
+    fn(batch, 0)  # re-delivery — no marker yet, partition rewritten
+    assert spark.read.parquet(out).count() == 8
+    assert not spec.stats[-1].replayed and spec.stats[-1].rows == 8
+
+    # crash-after-marker: second delivery must be a pure no-op
+    fn(batch, 0)
+    assert spark.read.parquet(out).count() == 8
+    assert spec.stats[-1].replayed
+
+    # a different epoch still appends (new partition)
+    batch2 = spark.createDataFrame(
+        [(100 + i, t0 + dt.timedelta(hours=1, minutes=i)) for i in range(3)], sch)
+    fn(batch2, 1)
+    assert spark.read.parquet(out).count() == 11
+
+
 def test_windowed_counts_watermark(spark, tmp_path):
     """Built-in watermark path: hourly tumbling counts over a stream equal
     the batch groupBy, rows later than the watermark dropped by Spark."""
