@@ -10,19 +10,22 @@ Reference mapping:
   as Avro bytes; decode = ``from_avro`` on the payload column.
 
 Spark design: ``pyspark.sql.avro.functions.to_avro/from_avro`` are
-JVM-side Catalyst expressions (vectorized, codegen-friendly) — never a
-Python UDF. They live in the external ``spark-avro`` module
-(``--packages org.apache.spark:spark-avro_2.13:<version>``); this
-sandbox does not ship it, so ``require_avro`` raises a clear error
-at call time. Schema derivation (``gobblin_spark.schema``) is pure
-metadata and fully tested regardless.
+JVM-side Catalyst expressions (vectorized, codegen-friendly) and are
+used when the external ``spark-avro`` module is on the classpath
+(``--packages org.apache.spark:spark-avro_2.13:<version>``). When it
+is not (this sandbox does not ship it), the same transforms run as
+Arrow-batched ``mapInPandas`` over the pure-Python wire-format codec
+in ``operators/avro_codec.py`` — slower (Python per record), but
+byte-compatible and fully functional; engine='auto' picks JVM when
+available. The JVM path is the 100 TB path; the Python path makes
+Avro-bound pipelines runnable and testable anywhere.
 """
 
 from __future__ import annotations
 
 import json
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 from gobblin_spark import schema as _schema
 
@@ -52,43 +55,122 @@ def _fns():
         ) from ex
 
 
+def _resolve_engine(df: DataFrame, engine: str) -> str:
+    if engine in ("jvm", "python"):
+        return engine
+    return "jvm" if avro_available(df.sparkSession) else "python"
+
+
 def record_to_avro_bytes(df: DataFrame, out_col: str = "value",
-                         keep: list[str] | None = None) -> DataFrame:
+                         keep: list[str] | None = None,
+                         engine: str = "auto") -> DataFrame:
     """AvroToBytesConverter.java:41 — pack the whole row into one Avro
     binary column (writer schema derived from the Catalyst schema).
-    Needs the spark-avro package on the session classpath."""
-    _, to_avro = _fns()
-    packed = F.struct(*df.columns)
-    cols = [F.col(c) for c in (keep or [])]
-    return df.select(*cols, to_avro(packed).alias(out_col))
+    engine='jvm' needs the spark-avro package; 'python' runs the
+    wire-format codec in mapInPandas; 'auto' prefers the JVM."""
+    if _resolve_engine(df, engine) == "jvm":
+        _, to_avro = _fns()
+        packed = F.struct(*df.columns)
+        cols = [F.col(c) for c in (keep or [])]
+        return df.select(*cols, to_avro(packed).alias(out_col))
+
+    import pandas as pd  # noqa: F401 (documents the worker dependency)
+
+    avro_schema = json.dumps(_schema.struct_to_avro(df.schema))
+    data_cols = list(df.columns)
+    keep_cols = list(keep or [])
+    out_fields = [df.schema[c] for c in keep_cols]
+    out_schema = T.StructType(
+        out_fields + [T.StructField(out_col, T.BinaryType(), False)])
+
+    def enc(batches):
+        import pandas as pd2
+
+        from gobblin_spark.operators import avro_codec as AC
+
+        sch = AC.parse_schema(avro_schema)
+
+        def norm(v):
+            # scalar null spellings only — containers pass through
+            if v is None or v is pd2.NaT or v is pd2.NA:
+                return None
+            if isinstance(v, float) and pd2.isna(v):
+                return None
+            return v
+
+        for pdf in batches:
+            recs = pdf[data_cols].to_dict("records")
+            payload = [
+                AC.encode({k: norm(v) for k, v in r.items()}, sch) for r in recs
+            ]
+            out = pdf[keep_cols].copy() if keep_cols else pd2.DataFrame(index=pdf.index)
+            out[out_col] = payload
+            yield out
+
+    return df.mapInPandas(enc, out_schema)
 
 
 def avro_bytes_to_record(df: DataFrame, bytes_col: str = "value",
                          avro_schema: str | dict | None = None,
-                         spark_schema=None, flatten: bool = True) -> DataFrame:
+                         spark_schema=None, flatten: bool = True,
+                         engine: str = "auto") -> DataFrame:
     """BytesToAvroConverter — decode an Avro binary column. Give either
     the Avro writer schema JSON (preferred: exact resolution) or a
     Catalyst schema (converted via schema.struct_to_avro)."""
-    from_avro, _ = _fns()
     if avro_schema is None:
         if spark_schema is None:
             raise ValueError("need avro_schema or spark_schema")
         avro_schema = _schema.struct_to_avro(spark_schema)
     if isinstance(avro_schema, dict):
         avro_schema = json.dumps(avro_schema)
-    decoded = df.withColumn("_rec", from_avro(F.col(bytes_col), avro_schema))
-    if not flatten:
-        return decoded
+
+    if _resolve_engine(df, engine) == "jvm":
+        from_avro, _ = _fns()
+        decoded = df.withColumn("_rec", from_avro(F.col(bytes_col), avro_schema))
+        if not flatten:
+            return decoded
+        others = [c for c in df.columns if c != bytes_col]
+        return decoded.select(*others, "_rec.*")
+
+    rec_type = _schema.avro_to_struct(avro_schema)
+    if not isinstance(rec_type, T.StructType):
+        raise ValueError("python engine decodes record schemas only")
     others = [c for c in df.columns if c != bytes_col]
-    return decoded.select(*others, "_rec.*")
+    other_fields = [df.schema[c] for c in others]
+    if flatten:
+        out_schema = T.StructType(other_fields + list(rec_type.fields))
+    else:
+        out_schema = T.StructType(
+            other_fields + [T.StructField("_rec", rec_type, True)])
+
+    def dec(batches):
+        import pandas as pd2
+
+        from gobblin_spark.operators import avro_codec as AC
+
+        sch = AC.parse_schema(avro_schema)
+        names = [f.name for f in rec_type.fields]
+        for pdf in batches:
+            recs = [AC.decode(b, sch) if b is not None else None
+                    for b in pdf[bytes_col]]
+            out = pdf[others].copy() if others else pd2.DataFrame(index=pdf.index)
+            if flatten:
+                for n in names:
+                    out[n] = [r.get(n) if r is not None else None for r in recs]
+            else:
+                out["_rec"] = recs
+            yield out
+
+    return df.mapInPandas(dec, out_schema)
 
 
 def decode_envelope(df: DataFrame, payload_col: str, payload_avro_schema: str | dict,
-                    keep: list[str] | None = None) -> DataFrame:
+                    keep: list[str] | None = None, engine: str = "auto") -> DataFrame:
     """EnvelopePayloadConverter — decode the nested payload bytes column
     of an envelope record, keeping selected envelope columns."""
     return avro_bytes_to_record(
         df.select(*(keep or []), F.col(payload_col).alias("_payload")),
         bytes_col="_payload",
         avro_schema=payload_avro_schema,
+        engine=engine,
     )

@@ -1630,6 +1630,29 @@ def format_convert_roundtrip(spark, sf_dir):
 
 
 @q(
+    "avro_binary_roundtrip",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def avro_binary_roundtrip(spark, sf_dir):
+    """AvroToBytesConverter.java:41 → BytesToAvroConverter roundtrip:
+    rows pack into Avro *binary wire format* and decode back. With no
+    spark-avro jar in this sandbox the transform runs on the pure-Python
+    codec (operators/avro_codec.py) inside Arrow-batched mapInPandas;
+    green iff the roundtrip is value-exact (longs, strings, doubles,
+    date logical type) vs the identity oracle."""
+    from gobblin_spark.operators import avro_serde
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    enc = avro_serde.record_to_avro_bytes(orders)
+    return avro_serde.avro_bytes_to_record(enc, spark_schema=orders.schema)
+
+
+@q(
     "jobconf_pull_compile",
     """
     SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
