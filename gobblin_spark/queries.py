@@ -1685,6 +1685,49 @@ def jobconf_pull_compile(spark, sf_dir):
 
 
 @q(
+    "flow_multihop_compile",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def flow_multihop_compile(spark, sf_dir):
+    """MultiHopFlowCompiler.java:258 end-to-end: a FlowGraph (lake →
+    staging → mart) is path-searched by BFS, each edge's job template
+    instantiates into a .pull job, and the compiled 2-hop flow executes
+    on run_flow — hop 2 reads hop 1's published dir. The returned frame
+    is the mart dataset, hash-checked against doing both hops in SQL."""
+    import tempfile
+
+    from gobblin_spark.plans import flow as FL, flowgraph as FG
+
+    tmp = tempfile.mkdtemp(prefix="gobblin_flow_")
+    g = FG.FlowGraph()
+    g.add_node(FG.DataNode("lake", props={"sf": sf_dir}))
+    g.add_node(FG.DataNode("staging", props={"dir": f"{tmp}/staging"}))
+    g.add_node(FG.DataNode("mart", props={"dir": f"{tmp}/mart"}))
+    g.add_edge(FG.FlowEdge("pull", "lake", "staging", (
+        "job.name=pull\nsource.class=table\n"
+        "source.data.directory={src.sf}\nsource.table.name=orders\n"
+        "converter.classes=filter_equals\n"
+        "converter.filter.field=o_orderpriority\n"
+        "converter.filter.value=1-URGENT\n"
+        "data.publisher.final.dir={dst.dir}\n"), output_format="parquet"))
+    g.add_edge(FG.FlowEdge("project", "staging", "mart", (
+        "job.name=project\nsource.class=parquet\n"
+        "source.filebased.data.directory={src.dir}\n"
+        "converter.classes=pick_fields\n"
+        "converter.fields.to.pick=o_orderkey,o_custkey,o_totalprice\n"
+        "data.publisher.final.dir={dst.dir}\n"),
+        input_format="parquet", output_format="parquet"))
+    spec = FG.compile_flow(g, "urgent", "lake", "mart")
+    res = FL.run_flow(spec, spark)
+    assert res.succeeded, res.errors
+    return spark.read.parquet(f"{tmp}/mart").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+
+
+@q(
     "metrics_observed_rollup",
     """
     SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
