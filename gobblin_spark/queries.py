@@ -1319,6 +1319,43 @@ def streaming_ingest_parity(spark, sf_dir):
     )
 
 
+@q(
+    "kafka_offsets_pull",
+    """
+    WITH m AS (
+      SELECT 't' || CAST(user_id % 2 AS VARCHAR) AS topic,
+             CAST(event_id % 4 AS INT) AS "partition",
+             event_id AS "offset", event_type
+      FROM events
+    )
+    SELECT topic, "partition", "offset", event_type FROM m
+    WHERE (topic = 't0' AND "offset" >= 5000) OR topic = 't1'
+    """,
+)
+def kafka_offsets_pull(spark, sf_dir):
+    """KafkaSource.getWorkunits (KafkaSource.java:198,498) without a
+    broker: the events table plays a two-topic four-partition message
+    log; the planner fetches earliest/latest from the file-backed stub,
+    resumes topic t0 from the committed offset 5000 and bootstraps t1
+    from earliest, then the pull is a broadcast interval join — the
+    same [start, end) watermark contract the real connector receives
+    via startingOffsets/endingOffsets JSON."""
+    from gobblin_spark.sources import kafka_offsets as K
+
+    ev = load_table(spark, sf_dir, "events")
+    messages = ev.select(
+        F.concat(F.lit("t"), (F.col("user_id") % 2).cast("string")).alias("topic"),
+        (F.col("event_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        "event_type",
+    )
+    stub = K.FileBackedKafkaStub(messages)
+    prev = {K.TopicPartition("t0", p): 5000 for p in range(4)}
+    units = K.plan_work_units(stub, previous_offsets=prev,
+                              bootstrap_with_offset=K.EARLIEST)
+    return K.read_intervals(messages, units)
+
+
 # ------------------------------------------------------------------
 # skew tooling / schema evolution / crypto / async / REST / stateful
 # ------------------------------------------------------------------
