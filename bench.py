@@ -5,10 +5,16 @@ Runs every ``gobblin_spark.queries.HEADLINE`` query against
 ``local[$SPARK_GRAFT_CPUS]`` and prints:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1,
+     "query_details": {"q1_pricing_summary":
+         {"sec": s, "input_rows": n, "shuffle_write_bytes": b,
+          "rows_per_sec": r}, ...}}
 
 Each query executes through a ``noop`` write — full distributed
-execution, no driver collect skew in the timing.
+execution, no driver collect skew in the timing. ``query_details``
+comes from Spark's own status REST API (per-stage input records and
+shuffle write bytes, diffed between queries) so round-over-round
+regressions show up as *shuffle growth*, not just wall time.
 """
 
 from __future__ import annotations
@@ -18,6 +24,48 @@ import os
 import re
 import sys
 import time
+import urllib.request
+
+
+class _StatusApi:
+    """Minimal client for the local Spark UI REST API; every method
+    degrades to None when the UI is unreachable."""
+
+    def __init__(self, spark):
+        self.base = None
+        self.seen_stages: set[int] = set()
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            if ui:
+                app_id = spark.sparkContext.applicationId
+                self.base = f"{ui}/api/v1/applications/{app_id}"
+        except Exception:
+            pass
+
+    def _stages(self):
+        if not self.base:
+            return None
+        try:
+            with urllib.request.urlopen(f"{self.base}/stages?status=complete",
+                                        timeout=5) as r:
+                return json.loads(r.read())
+        except Exception:
+            return None
+
+    def snapshot(self):
+        """Metrics of stages completed since the previous snapshot."""
+        stages = self._stages()
+        if stages is None:
+            return None
+        fresh = [s for s in stages
+                 if (s["stageId"], s["attemptId"]) not in self.seen_stages]
+        for s in stages:
+            self.seen_stages.add((s["stageId"], s["attemptId"]))
+        return {
+            "input_rows": sum(s.get("inputRecords", 0) for s in fresh),
+            "shuffle_write_bytes": sum(
+                s.get("shuffleWriteBytes", 0) for s in fresh),
+        }
 
 
 def main() -> int:
@@ -31,7 +79,9 @@ def main() -> int:
     from gobblin_spark.session import get_spark
 
     spark = get_spark("gobblin-spark-bench", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=cpus,
+                      extra_conf={"spark.ui.enabled": "true",
+                                  "spark.ui.port": "4049"})
     # Warm the JVM/codegen paths so timings measure the engine, not
     # Janino: each headline plan shape is executed once at the smallest
     # SF (identical generated classes, ~100x less data), so the timed
@@ -45,11 +95,24 @@ def main() -> int:
         except Exception:
             pass  # a query that only works at the bench SF still times below
 
+    api = _StatusApi(spark)
+    api.snapshot()  # drain warm-up stages
+
     timings: dict[str, float] = {}
+    details: dict[str, dict] = {}
     for name in HEADLINE:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        sec = round(time.time() - t0, 3)
+        timings[name] = sec
+        snap = api.snapshot()
+        if snap is not None:
+            details[name] = {
+                "sec": sec,
+                "input_rows": snap["input_rows"],
+                "shuffle_write_bytes": snap["shuffle_write_bytes"],
+                "rows_per_sec": round(snap["input_rows"] / sec) if sec else None,
+            }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -60,6 +123,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "query_details": details,
             }
         )
     )

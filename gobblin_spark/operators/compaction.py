@@ -195,6 +195,95 @@ def recover_compaction(spark, path: str) -> str:
     return "restored"
 
 
+_PERIOD_RE = __import__("re").compile(
+    r"^(?:(\d+)m)?(?:(\d+)d)?(?:(\d+)h)?$")
+
+
+def parse_lookback(spec: str) -> tuple[int, int, int]:
+    """'1m2d3h' → (months, days, hours) — the period grammar of
+    CompactionTimeRangeVerifier.java:63-69 (months/days/hours suffixes,
+    each optional, in that order)."""
+    m = _PERIOD_RE.match(spec.strip())
+    if not m or not any(m.groups()):
+        raise ValueError(f"bad lookback period: {spec!r}")
+    return tuple(int(g or 0) for g in m.groups())  # type: ignore[return-value]
+
+
+def _minus_period(dt, months: int, days: int, hours: int):
+    """Calendar-aware dt - (months, days, hours) (Joda Period.minus:
+    months walk the calendar, day-of-month clamped)."""
+    import calendar
+    import datetime as _dt
+
+    if months:
+        total = dt.year * 12 + (dt.month - 1) - months
+        y, mo = divmod(total, 12)
+        day = min(dt.day, calendar.monthrange(y, mo + 1)[1])
+        dt = dt.replace(year=y, month=mo + 1, day=day)
+    return dt - _dt.timedelta(days=days, hours=hours)
+
+
+def matched_lookback(dataset_name: str, spec_list: str | None,
+                     default: str) -> str:
+    """Per-dataset lookback resolution (CompactionTimeRangeVerifier.
+    getMatchedLookbackTime): ';'-joined entries, each '[regex]:[period]'
+    or a bare period that overrides the default; first regex full-match
+    wins. Example: 'Identity.*:1d2h;22h;BizProfile.BizCompany:3h'."""
+    import re as _re
+
+    if not spec_list:
+        return default
+    chosen_default = default
+    for entry in (e.strip() for e in spec_list.split(";") if e.strip()):
+        if ":" in entry:
+            pattern, period = entry.rsplit(":", 1)
+            if _re.fullmatch(pattern, dataset_name):
+                return period
+        else:
+            chosen_default = entry
+    return chosen_default
+
+
+def verify_compaction_time_range(
+    dataset_name: str,
+    folder_time,
+    compaction_start,
+    max_time_ago: str = "3d",
+    min_time_ago: str = "1d",
+    last_run_start=None,
+    min_recompaction_duration: str | None = None,
+) -> tuple[bool, str]:
+    """CompactionTimeRangeVerifier.verify (gobblin-compaction/.../verify/
+    CompactionTimeRangeVerifier.java:53,111): a dataset folder time is
+    compactable iff ``start - max_time_ago < folder_time <
+    start - min_time_ago`` (too old → retention's problem; too recent →
+    late data may still arrive), and — when a minimum recompaction
+    duration is configured — the previous compaction of this dataset
+    started before ``start - min_duration``. ``max_time_ago`` /
+    ``min_time_ago`` / ``min_recompaction_duration`` accept the
+    per-dataset '[regex]:[period];...' list form."""
+    earliest = _minus_period(
+        compaction_start,
+        *parse_lookback(matched_lookback(dataset_name, max_time_ago, "3d")))
+    latest = _minus_period(
+        compaction_start,
+        *parse_lookback(matched_lookback(dataset_name, min_time_ago, "1d")))
+    if min_recompaction_duration is not None and last_run_start is not None:
+        eligible = _minus_period(
+            compaction_start,
+            *parse_lookback(matched_lookback(
+                dataset_name, min_recompaction_duration, "1h")))
+        if last_run_start > eligible:
+            return False, (
+                f"last compaction for {dataset_name} at {last_run_start} "
+                f"is not before {eligible}")
+    if earliest < folder_time < latest:
+        return True, ""
+    return False, (
+        f"{dataset_name} folder time {folder_time} is not between "
+        f"{earliest} and {latest}")
+
+
 def compact_small_files(
     spark,
     path: str,

@@ -1935,4 +1935,7 @@ HEADLINE = [
     # training-data assembly
     "mixing_sample_proportional",
     "cleaning_dedup_lines",
+    # round-3 additions: decontamination + capped inverted-index jaccard
+    "contamination_check_docs",
+    "ngram_jaccard_docs",
 ]

@@ -2,6 +2,7 @@
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from gobblin_spark import state
@@ -30,6 +31,45 @@ def test_list_and_apply_retention(spark, tmp_path):
     deleted = retention.apply_retention(spark, deletable, dry_run=False)
     assert len(deleted) == 1
     assert not (base / "v1").exists() and (base / "v3").exists()
+
+
+def test_compaction_time_range_verifier():
+    import datetime as dt
+
+    start = dt.datetime(2024, 6, 10, 12, 0)
+    ok, _ = compaction.verify_compaction_time_range(
+        "PageViewEvent", dt.datetime(2024, 6, 8, 12, 0), start,
+        max_time_ago="3d", min_time_ago="1d")
+    assert ok
+    # too recent: late data may still arrive
+    ok, why = compaction.verify_compaction_time_range(
+        "PageViewEvent", dt.datetime(2024, 6, 10, 6, 0), start,
+        max_time_ago="3d", min_time_ago="1d")
+    assert not ok and "not between" in why
+    # too old: outside the compaction window
+    ok, _ = compaction.verify_compaction_time_range(
+        "PageViewEvent", dt.datetime(2024, 6, 1), start,
+        max_time_ago="3d", min_time_ago="1d")
+    assert not ok
+    # per-dataset regex lookback: Identity.* gets 1d2h, default 22h
+    spec = "Identity.*:1d2h;22h;BizProfile.BizCompany:3h"
+    assert compaction.matched_lookback("Identity/MemberAccount", spec, "3d") == "1d2h"
+    assert compaction.matched_lookback("PageViewEvent", spec, "3d") == "22h"
+    assert compaction.matched_lookback("BizProfile.BizCompany", spec, "3d") == "3h"
+    # min recompaction duration: a too-recent previous run blocks
+    ok, why = compaction.verify_compaction_time_range(
+        "PageViewEvent", dt.datetime(2024, 6, 8, 12, 0), start,
+        max_time_ago="3d", min_time_ago="1d",
+        last_run_start=dt.datetime(2024, 6, 10, 11, 30),
+        min_recompaction_duration="2h")
+    assert not ok and "not before" in why
+    # calendar month arithmetic: 1m before Mar 31 clamps to Feb 29 (2024)
+    assert compaction._minus_period(dt.datetime(2024, 3, 31), 1, 0, 0) \
+        == dt.datetime(2024, 2, 29)
+    assert compaction.parse_lookback("1m2d3h") == (1, 2, 3)
+    assert compaction.parse_lookback("22h") == (0, 0, 22)
+    with pytest.raises(ValueError):
+        compaction.parse_lookback("nope")
 
 
 def test_compact_small_files(spark, sf_dir, tmp_path):
