@@ -99,6 +99,8 @@ def mixture_report(
         f"{domain_col} string, requested_share double",
     )
     got = sampled.groupBy(domain_col).agg(F.count(F.lit(1)).alias("docs"))
+    # driver-side action on a tiny aggregate (one row: the domain-count
+    # sum) — O(domains) input, fine at any corpus scale
     total = got.agg(F.sum("docs")).first()[0] or 1
     return (
         got.join(tgt, domain_col, "right")

@@ -136,5 +136,7 @@ def test_streaming_schema_conformance(spark, tmp_path):
     stream = streaming.file_stream(spark, str(indir), schema="id INT, ts TIMESTAMP_NTZ")
     streaming.run_ingest_blocking(stream, spec, store, str(tmp_path / "ck"))
     back = spark.read.parquet(str(tmp_path / "out"))
-    assert dict(back.dtypes) == {"id": "bigint", "ts": "timestamp_ntz", "tag": "string"}
+    # gobblin_epoch is the runner's idempotent-replay partition column
+    assert dict(back.dtypes) == {"id": "bigint", "ts": "timestamp_ntz",
+                                 "tag": "string", "gobblin_epoch": "string"}
     assert back.first().tag is None
