@@ -200,6 +200,94 @@ def convert_cast(spark, sf_dir):
     return C.cast_columns(li, {"l_orderkey": "string", "l_linenumber": "long"})
 
 
+@q(
+    "convert_regex_filter",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders
+    WHERE regexp_matches(o_orderpriority, '^[12]-')
+    """,
+)
+def convert_regex_filter(spark, sf_dir):
+    """StringFilterConverter.java:40 — regex row filter (pattern kept
+    RE2/Java-portable by construction)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    return C.filter_regex(orders, "o_orderpriority", "^[12]-")
+
+
+@q(
+    "convert_field_retrieve",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def convert_field_retrieve(spark, sf_dir):
+    """AvroFieldRetrieverConverter.java:43 — extract one nested field
+    as the whole record (the record is first packed into a struct, so
+    the dotted-path traversal is exercised)."""
+    orders = load_table(spark, sf_dir, "orders")
+    packed = orders.select(
+        F.struct("o_orderkey", "o_custkey", "o_totalprice").alias("rec"))
+    return C.retrieve_field(packed, "rec.o_custkey", alias="custkey")
+
+
+@q(
+    "convert_csv_roundtrip",
+    """
+    SELECT o_orderkey, o_orderpriority, o_custkey FROM orders
+    """,
+)
+def convert_csv_roundtrip(spark, sf_dir):
+    """CsvToJsonConverterV2.java:68 — a CSV line parses into a typed
+    struct; built from the orders table and parsed back, so the check
+    is roundtrip identity (delimiter-free columns by construction)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.concat_ws(",", "o_orderkey", "o_orderpriority", "o_custkey")
+        .alias("line"))
+    parsed = C.parse_csv_column(
+        lines, "line",
+        "o_orderkey bigint, o_orderpriority string, o_custkey bigint")
+    return parsed.select("parsed.*")
+
+
+@q(
+    "convert_json_roundtrip",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    """,
+)
+def convert_json_roundtrip(spark, sf_dir):
+    """AvroToRestJsonEntry / JsonStringToJsonIntermediate pair: rows
+    serialize through to_json and parse back typed — roundtrip
+    identity across the string boundary."""
+    orders = load_table(spark, sf_dir, "orders")
+    j = C.to_json_column(
+        orders, ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    parsed = C.parse_json_column(
+        j.select("json"), "json",
+        "o_orderkey bigint, o_orderpriority string, o_totalprice double")
+    return parsed.select("parsed.*")
+
+
+@q(
+    "quality_ts_lower_bound",
+    """
+    SELECT event_id, ts FROM events
+    WHERE coalesce(ts >= TIMESTAMP '2024-01-03 00:00:00', false)
+    """,
+)
+def quality_ts_lower_bound(spark, sf_dir):
+    """RecordTimestampLowerBoundPolicy (gobblin-core/.../
+    RecordTimestampLowerBoundPolicy.java) standalone: rows at or after
+    the bound pass; nulls and older rows drop."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    pol = quality.timestamp_lower_bound_policy(
+        "ts", F.expr("TIMESTAMP_NTZ '2024-01-03 00:00:00'"))
+    passed, _ = quality.check_rows(ev, [pol])
+    return passed
+
+
 # ------------------------------------------------------------------
 # §2.7 quality
 # ------------------------------------------------------------------
