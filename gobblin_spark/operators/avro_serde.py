@@ -174,3 +174,175 @@ def decode_envelope(df: DataFrame, payload_col: str, payload_avro_schema: str | 
         avro_schema=payload_avro_schema,
         engine=engine,
     )
+
+
+# ------------------------------------------------------------------
+# .avro object-container files (AvroHdfsDataWriter / Avro file source)
+# ------------------------------------------------------------------
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite",
+               partition_by: list[str] | None = None,
+               codec: str = "null") -> list:
+    """Write *df* as ``.avro`` object-container files — the
+    AvroHdfsDataWriter output format (gobblin-core/.../writer/
+    AvroHdfsDataWriter.java), runnable without the spark-avro jar.
+
+    Each task streams its Arrow batches into one container file per
+    partition-value combination it holds (``part-<task>-<uuid>.avro``),
+    so memory is bounded by one Arrow batch, not the task's split.
+    ``partition_by`` first repartitions on the keys (whole partition
+    values per task — same clustering rationale as publish.stage) and
+    lays files out hive-style ``key=value/``. Returns the collected
+    manifest [(file, rows, bytes)] — O(files) driver metadata.
+
+    With spark-avro on the classpath prefer ``df.write.format('avro')``;
+    this path exists so Avro-bound pipelines run (and are testable)
+    anywhere, at Arrow-batch Python encode throughput."""
+    import uuid as _uuid
+
+    avro_schema = json.dumps(_schema.struct_to_avro(
+        T.StructType([f for f in df.schema.fields
+                      if f.name not in (partition_by or [])])))
+    data_cols = [c for c in df.columns if c not in (partition_by or [])]
+    pcols = list(partition_by or [])
+    token = _uuid.uuid4().hex[:8]
+
+    fs_path = path
+    if pcols:
+        df = df.repartition(*[F.col(c) for c in pcols])
+
+    def writer(batches):
+        import pandas as pd2
+        from pyarrow import fs as pafs
+        from pyspark import TaskContext
+
+        from gobblin_spark.operators import avro_codec as AC2
+        from gobblin_spark.operators import avro_container as ACF
+
+        sch = AC2.parse_schema(avro_schema)
+        tid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        if "://" in fs_path:
+            fsys, root = pafs.FileSystem.from_uri(fs_path)
+        else:
+            fsys, root = pafs.LocalFileSystem(), fs_path
+        open_files: dict[tuple, tuple] = {}  # key -> (stream, sync, counts)
+
+        def norm(v):
+            if v is None or v is pd2.NaT or v is pd2.NA:
+                return None
+            if isinstance(v, float) and pd2.isna(v):
+                return None
+            return v
+
+        def stream_for(key: tuple):
+            if key not in open_files:
+                sub = "/".join(f"{c}={v}" for c, v in zip(pcols, key))
+                d = f"{root}/{sub}" if sub else root
+                fsys.create_dir(d, recursive=True)
+                fname = f"{d}/part-{tid:05d}-{token}.avro"
+                stream = fsys.open_output_stream(fname)
+                sync = ACF.new_sync()
+                ACF.write_header(stream, avro_schema, sync, codec)
+                open_files[key] = [stream, sync, fname, 0]
+            return open_files[key]
+
+        for pdf in batches:
+            if pcols:
+                groups = pdf.groupby(pcols, dropna=False, sort=False)
+            else:
+                groups = [((), pdf)]
+            for key, grp in groups:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                ent = stream_for(key)
+                encoded = [
+                    AC2.encode({k: norm(v) for k, v in r.items()}, sch)
+                    for r in grp[data_cols].to_dict("records")
+                ]
+                ACF.write_block(ent[0], encoded, ent[1], codec)
+                ent[3] += len(encoded)
+        out = []
+        for stream, _sync, fname, rows in open_files.values():
+            stream.close()
+            info = fsys.get_file_info(fname)
+            out.append((fname, rows, info.size))
+        yield pd2.DataFrame(out, columns=["file", "rows", "bytes"])
+
+    if mode == "overwrite":
+        from pyarrow import fs as pafs
+
+        if "://" in fs_path:
+            fsys, root = pafs.FileSystem.from_uri(fs_path)
+        else:
+            fsys, root = pafs.LocalFileSystem(), fs_path
+        try:
+            fsys.delete_dir_contents(root)
+        except FileNotFoundError:
+            pass
+    return df.mapInPandas(writer, "file string, rows long, bytes long").collect()
+
+
+def read_avro(spark, path: str, avro_schema: str | None = None) -> DataFrame:
+    """Distributed ``.avro`` container read: list the files (hive-style
+    partition dirs included), take the writer schema from the first
+    header (one bounded driver read), then decode one file per task via
+    mapInPandas. Partition-dir ``key=value`` columns are re-attached as
+    strings. The python twin of ``spark.read.format('avro')``."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        fsys, root = pafs.FileSystem.from_uri(path)
+    else:
+        fsys, root = pafs.LocalFileSystem(), path
+    infos = fsys.get_file_info(pafs.FileSelector(root, recursive=True))
+    files = sorted(i.path for i in infos
+                   if i.type == pafs.FileType.File and i.path.endswith(".avro"))
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    if avro_schema is None:
+        from gobblin_spark.operators import avro_container as ACF
+
+        with fsys.open_input_stream(files[0]) as f:
+            avro_schema = ACF.read_header_schema(f.read(64 << 10))
+    rec_type = _schema.avro_to_struct(avro_schema)
+
+    # partition columns from key=value dir segments
+    rel = [f[len(root.rstrip("/")) + 1:] for f in files]
+    pcols: list[str] = []
+    for seg in rel[0].split("/")[:-1]:
+        if "=" in seg:
+            pcols.append(seg.split("=", 1)[0])
+    out_schema = T.StructType(
+        list(rec_type.fields)
+        + [T.StructField(c, T.StringType(), True) for c in pcols])
+
+    fdf = spark.createDataFrame([(f, r) for f, r in zip(files, rel)],
+                                "file string, rel string")
+    fdf = fdf.repartition(min(len(files), 64))
+    names = [f.name for f in rec_type.fields]
+    schema_json = avro_schema
+
+    def reader(batches):
+        import pandas as pd2
+        from pyarrow import fs as pafs2
+
+        from gobblin_spark.operators import avro_container as ACF2
+
+        for pdf in batches:
+            for file, rel_p in zip(pdf["file"], pdf["rel"]):
+                if "://" in file:
+                    f2, p2 = pafs2.FileSystem.from_uri(file)
+                else:
+                    f2, p2 = pafs2.LocalFileSystem(), file
+                with f2.open_input_stream(p2) as fh:
+                    _, records = ACF2.read_container(fh.read())
+                cols = {n: [r.get(n) for r in records] for n in names}
+                for seg in rel_p.split("/")[:-1]:
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        cols[k] = [v] * len(records)
+                yield pd2.DataFrame(cols)
+
+    _ = schema_json  # documents that the writer schema resolved above
+    return fdf.mapInPandas(reader, out_schema)

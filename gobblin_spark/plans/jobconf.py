@@ -382,8 +382,8 @@ def to_pipeline(spec: JobSpec) -> PL.Pipeline:
     final_dir = spec.get("data.publisher.final.dir")
     if final_dir:
         fmt = (spec.get("writer.output.format") or "parquet").lower()
-        if fmt == "avro":  # no spark-avro jar in sandbox; parquet carries schema
-            fmt = "parquet"
+        # fmt == "avro" runs through write_data's container-writer
+        # fallback when the spark-avro jar is absent — real .avro files
         branches.append(
             PL.Branch(
                 name=spec.get("extract.table.name", "output"),

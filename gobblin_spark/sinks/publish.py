@@ -145,7 +145,9 @@ def audit(
     publish): each policy sees the re-read staged DataFrame, so what is
     audited is exactly what would become visible."""
     fmt = staged.write.fmt if staged.write else "parquet"
-    staged_df = spark.read.format(fmt).load(staged.staging_dir)
+    from gobblin_spark.sinks.writers import read_data
+
+    staged_df = read_data(spark, staged.staging_dir, fmt)
     staged.audits.extend(p(staged_df) for p in policies)
     return staged
 

@@ -72,6 +72,18 @@ def _output_stats(df: DataFrame, path: str) -> tuple[int, int]:
     return files, nbytes
 
 
+def read_data(spark, path: str, fmt: str = "parquet"):
+    """Format-symmetric reader for write_data output: delegates to the
+    Spark datasource, except .avro containers read through the python
+    container reader when the spark-avro jar is absent."""
+    if fmt == "avro":
+        from gobblin_spark.operators import avro_serde as _AS
+
+        if not _AS.avro_available(spark):
+            return _AS.read_avro(spark, path)
+    return spark.read.format(fmt).load(path)
+
+
 def write_data(
     df: DataFrame,
     path: str,
@@ -91,6 +103,18 @@ def write_data(
 
     if sort_within_partitions:
         df = df.sortWithinPartitions(*sort_within_partitions)
+    if fmt == "avro":
+        from gobblin_spark.operators import avro_serde as _AS
+
+        if not _AS.avro_available(df.sparkSession):
+            # no spark-avro jar: the pure-Python container writer
+            # (AvroHdfsDataWriter analog) keeps Avro sinks functional
+            manifest = _AS.write_avro(df, path, mode=mode,
+                                      partition_by=list(partition_by or []))
+            files, nbytes = _output_stats(df, path)
+            return WriteResult(path, fmt, files, nbytes,
+                               list(partition_by or []),
+                               rows=sum(m.rows for m in manifest))
     # recordsWritten rides the write action itself (DataWriter.
     # recordsWritten) — an in-plan observation, never a second scan.
     obs = Observation(f"write-{uuid.uuid4().hex[:8]}")
