@@ -164,6 +164,71 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+def gopher_quality_metrics(col: Column) -> dict[str, Column]:
+    """The Gopher document-quality rule inputs (Rae et al. 2021,
+    "Scaling Language Models", Table A1 heuristics), each as a pure
+    Column expression so the whole filter runs at scan speed:
+
+    - word_count: whitespace tokens
+    - mean_word_len: characters per token (0 for empty)
+    - symbol_word_ratio: '#'/'…'/'...' occurrences per word
+    - alpha_word_ratio: fraction of words containing a letter
+    - stopword_hits: count of common-English-stopword occurrences
+
+    Engine-portable by construction (same regexes run in DuckDB) —
+    every metric is oracle-checkable. Null text counts as empty (fails
+    the word-count floor) rather than poisoning downstream AND chains
+    with SQL nulls."""
+    col = F.coalesce(col, F.lit(""))
+    trimmed = F.trim(col)
+    words = F.split(trimmed, r"\s+")
+    wc = F.when(trimmed == "", F.lit(0)).otherwise(F.size(words))
+    wc_d = wc.cast("double")
+    # mean word length over non-space characters
+    nonspace = F.length(F.regexp_replace(trimmed, r"\s+", ""))
+    mean_len = F.when(wc == 0, F.lit(0.0)).otherwise(
+        nonspace.cast("double") / wc_d)
+    symbols = (F.regexp_count(col, F.lit(r"#")) +
+               F.regexp_count(col, F.lit(r"\.\.\.")) +
+               F.regexp_count(col, F.lit("…")))
+    sym_ratio = F.when(wc == 0, F.lit(0.0)).otherwise(
+        symbols.cast("double") / wc_d)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio_w = F.when(wc == 0, F.lit(0.0)).otherwise(
+        alpha_words.cast("double") / wc_d)
+    stop_hits = F.regexp_count(
+        F.lower(col), F.lit(r"\b(the|be|to|of|and|that|have|with)\b"))
+    return {
+        "word_count": wc,
+        "mean_word_len": mean_len,
+        "symbol_word_ratio": sym_ratio,
+        "alpha_word_ratio": alpha_ratio_w,
+        "stopword_hits": stop_hits,
+    }
+
+
+def gopher_quality_pass(
+    col: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Gopher rules as one boolean (document survives the filter).
+    Thresholds are the published defaults; tune per corpus."""
+    m = gopher_quality_metrics(col)
+    return (
+        m["word_count"].between(min_words, max_words)
+        & m["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (m["symbol_word_ratio"] <= max_symbol_word_ratio)
+        & (m["alpha_word_ratio"] >= min_alpha_word_ratio)
+        & (m["stopword_hits"] >= min_stopword_hits)
+    )
+
+
 def repetition_ratio(col: Column) -> Column:
     """Repeated-token fraction: 1 − distinct_words/total_words over
     whitespace tokens (0 for empty). High values flag boilerplate/spam

@@ -931,6 +931,80 @@ def text_redact_pii(spark, sf_dir):
 
 
 @q(
+    "text_gopher_quality",
+    r"""
+    WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS wc,
+        len(regexp_replace(trim(text), '\s+', '', 'g')) AS nonspace,
+        len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\.\.\.'))
+          + len(regexp_extract_all(text, '…')) AS sym,
+        CASE WHEN trim(text) = '' THEN 0
+             ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  w -> regexp_matches(w, '[A-Za-z]'))) END AS aw,
+        len(regexp_extract_all(lower(text),
+            '\b(the|be|to|of|and|that|have|with)\b')) AS stops
+      FROM t),
+    p AS (
+      -- ratio first, then *1e6, then floor — the SAME IEEE operation
+      -- order as the Spark side (a*1e6/b can differ in the last ULP)
+      SELECT doc_id, wc AS word_count, stops AS stopword_hits,
+        CAST(CASE WHEN wc = 0 THEN 0 ELSE floor(
+          (CAST(nonspace AS DOUBLE) / CAST(wc AS DOUBLE)) * 1000000.0)
+          END AS BIGINT) AS mean_word_len_ppm,
+        CAST(CASE WHEN wc = 0 THEN 0 ELSE floor(
+          (CAST(sym AS DOUBLE) / CAST(wc AS DOUBLE)) * 1000000.0)
+          END AS BIGINT) AS symbol_word_ppm,
+        CAST(CASE WHEN wc = 0 THEN 0 ELSE floor(
+          (CAST(aw AS DOUBLE) / CAST(wc AS DOUBLE)) * 1000000.0)
+          END AS BIGINT) AS alpha_word_ppm
+      FROM m)
+    SELECT *,
+      (word_count BETWEEN 10 AND 100000
+       AND mean_word_len_ppm BETWEEN 3000000 AND 10000000
+       AND symbol_word_ppm <= 100000
+       AND alpha_word_ppm >= 800000
+       AND stopword_hits >= 2) AS pass
+    FROM p
+    """,
+)
+def text_gopher_quality(spark, sf_dir):
+    """Gopher document-quality rules (Rae et al. 2021 Table A1): word
+    count bounds, mean word length, symbol-to-word ratio, alphabetic
+    word fraction, stopword floor — all pure Column expressions over
+    one scan. Ratios are compared as exact-integer ppm so the pass
+    flag hashes identically across engines (the word-count floor is
+    lowered to 10 here so the synthetic corpus yields a real mix)."""
+    docs = load_docs(spark, sf_dir)
+    m = text.gopher_quality_metrics(F.col("text"))
+    wc = m["word_count"]
+
+    def ppm(x):
+        return F.when(wc == 0, F.lit(0)).otherwise(
+            F.floor(x * F.lit(1000000.0))).cast("long")
+
+    out = docs.select(
+        "doc_id",
+        wc.alias("word_count"),
+        m["stopword_hits"].alias("stopword_hits"),
+        ppm(m["mean_word_len"]).alias("mean_word_len_ppm"),
+        ppm(m["symbol_word_ratio"]).alias("symbol_word_ppm"),
+        ppm(m["alpha_word_ratio"]).alias("alpha_word_ppm"),
+    )
+    return out.withColumn(
+        "pass",
+        F.col("word_count").between(10, 100000)
+        & F.col("mean_word_len_ppm").between(3000000, 10000000)
+        & (F.col("symbol_word_ppm") <= 100000)
+        & (F.col("alpha_word_ppm") >= 800000)
+        & (F.col("stopword_hits") >= 2),
+    )
+
+
+@q(
     "text_repetition_ratio",
     r"""
     SELECT doc_id,

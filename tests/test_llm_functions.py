@@ -252,6 +252,31 @@ def test_repetition_ratio(spark):
     assert out[5] == 0.5
 
 
+def test_gopher_quality_rules(spark):
+    """Gopher filter rules (Rae et al. 2021): each rule individually
+    rejects its pathological document; a normal document passes."""
+    good = ("the quick brown foxes have been jumping over many lazy dogs "
+            "and that fact should surprise nobody with working eyes today")
+    df = spark.createDataFrame(
+        [
+            (1, good),                               # passes
+            (2, "tiny doc"),                         # too few words
+            (3, "### " * 20 + good),                 # symbol ratio
+            (4, ("1 2 3 4 5 6 7 8 9 10 " * 3) + "the have"),  # alpha ratio
+            (5, None),                               # null → empty → fails
+        ],
+        "id int, text string")
+    out = {r.id: r.ok for r in df.select(
+        "id", text.gopher_quality_pass(F.col("text"), min_words=10)
+        .alias("ok")).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+    m = text.gopher_quality_metrics(F.lit(good))
+    row = spark.range(1).select(
+        m["word_count"].alias("wc"), m["stopword_hits"].alias("sh")).first()
+    assert row.wc == 21 and row.sh >= 2
+
+
 def test_contamination_check(spark):
     from gobblin_spark.functions import dedup as D
 
