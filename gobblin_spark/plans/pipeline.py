@@ -187,21 +187,47 @@ def run_streaming(
     """Run the SAME spec over a stream: every micro-batch is a flush
     epoch executing the full stage→audit→commit protocol (staging dirs
     are unique per epoch; part-file names are unique, so merge-rename
-    into the final dir is append-semantics across epochs). The batch and
-    streaming paths share every line of pipeline logic — the reference's
-    batch/streaming duality (Task.java vs StreamModelTaskRunner) without
-    a second implementation. Returns the accumulated PipelineResults."""
+    into the final dir is append-semantics across epochs). Replay
+    safety: after an epoch commits, a ``_epoch-<ckpt>-<id>.done``
+    marker lands in each published branch dir; a re-delivered
+    micro-batch whose marker exists is skipped, so replay-after-commit
+    never publishes a second copy (the foreachBatch twin of
+    streaming/runner.py's epoch ledger). The remaining window is a
+    crash BETWEEN commit and marker write — bounded by driver-side
+    metadata ops; for strict per-epoch idempotence use the runner's
+    dynamic-partition path. The batch and streaming paths
+    share every line of pipeline logic — the reference's
+    batch/streaming duality (Task.java vs StreamModelTaskRunner)
+    without a second implementation. Returns the accumulated
+    PipelineResults."""
     import dataclasses
+    import hashlib
 
     results: list[PipelineResult] = []
+    ck_token = hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()[:8]
+    marked_dirs = [b.final_dir for b in pipeline.branches if b.final_dir]
+
+    def _marker_paths(spark, epoch_id: int):
+        for d in marked_dirs:
+            fs, base, jvm = P._fs(spark, d)
+            yield fs, jvm.org.apache.hadoop.fs.Path(
+                base, f"_epoch-{ck_token}-{epoch_id}.done")
 
     def epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        markers = list(_marker_paths(spark, epoch_id))
+        if markers and all(fs.exists(p) for fs, p in markers):
+            return  # replayed epoch: everything already published
         epoch_pl = dataclasses.replace(
             pipeline,
             source=lambda s: batch_df,
             job_id=f"{pipeline.job_id or 'stream'}-e{epoch_id}",
         )
-        results.append(run(epoch_pl, batch_df.sparkSession))
+        res = run(epoch_pl, spark)
+        if res.report is None or res.report.committed:
+            for fs, p in markers:
+                fs.create(p, True).close()
+        results.append(res)
 
     writer = (
         stream_df.writeStream.foreachBatch(epoch)

@@ -122,3 +122,36 @@ def test_same_spec_streaming(spark, sf_dir, tmp_path):
     assert got + quar == ev.count()
     expect_pass = ev.filter(F.col("value").between(0, 95)).count()
     assert got == expect_pass
+    # committed epochs leave replay markers in the published branch dir
+    import os as _os
+
+    assert any(f.startswith("_epoch-") and f.endswith(".done")
+               for f in _os.listdir(out / "main"))
+
+
+def test_streaming_epoch_marker_skips_replay(spark, sf_dir, tmp_path):
+    """A marker planted for an epoch makes the replayed micro-batch a
+    no-op: foreachBatch re-delivery after a failure must not publish a
+    second copy of the epoch."""
+    import hashlib
+
+    ev = files.load_table(spark, sf_dir, "events").limit(50)
+    indir = str(tmp_path / "in")
+    ev.coalesce(1).write.parquet(indir)
+    out = tmp_path / "out"
+    (out / "main").mkdir(parents=True)
+    ckpt = str(tmp_path / "ckpt")
+    token = hashlib.md5(ckpt.rstrip("/").encode()).hexdigest()[:8]
+    # plant the epoch-0 marker BEFORE the (single-epoch) stream runs
+    (out / "main" / f"_epoch-{token}-0.done").write_text("")
+
+    stream = spark.readStream.schema(ev.schema).parquet(indir)
+    pl = plans.Pipeline(
+        source=None,
+        branches=[plans.Branch("main", None, final_dir=str(out / "main"))],
+    )
+    results = plans.run_streaming(pl, stream, ckpt)
+    assert results == []  # the epoch was skipped wholesale
+    data_files = [f for f in __import__("os").listdir(out / "main")
+                  if not f.startswith(("_", "."))]
+    assert data_files == []  # nothing published twice
