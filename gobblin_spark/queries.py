@@ -1852,6 +1852,33 @@ def avro_binary_roundtrip(spark, sf_dir):
 
 
 @q(
+    "iceberg_snapshot_read",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderkey % 4 = 0
+    """,
+)
+def iceberg_snapshot_read(spark, sf_dir):
+    """IcebergMetadataWriter.java:141 end-to-end without the runtime
+    jar: create a v2 table (metadata.json + version-hint), append the
+    rows as a snapshot whose Avro manifest chain records per-file
+    counts from parquet footers, then read back by resolving
+    current-snapshot → manifest list → manifests → parquet paths.
+    Green iff the snapshot read is value-exact."""
+    import tempfile
+
+    from gobblin_spark.sinks import iceberg as I
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 == 0
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    loc = tempfile.mkdtemp(prefix="gobblin_ice_")
+    t = I.IcebergTable.create(spark, f"{loc}/tbl", orders.schema)
+    t.append_dataframe(orders)
+    return t.read()
+
+
+@q(
     "avro_container_roundtrip",
     """
     SELECT o_orderkey, o_orderpriority, o_totalprice, o_orderdate

@@ -111,10 +111,12 @@ def convert_format(
                       options=options)
 
 
-def register_iceberg(*_args, **_kwargs):  # pragma: no cover
-    """IcebergMetadataWriter — requires the iceberg-spark-runtime jar and
-    a configured Iceberg catalog; not shipped in this sandbox."""
-    raise NotImplementedError(
-        "Iceberg registration needs iceberg-spark-runtime on the session "
-        "classpath (spark.sql.catalog.* config); unavailable here"
-    )
+def register_iceberg(spark, location, df_schema):
+    """IcebergMetadataWriter — catalog-integrated registration needs the
+    iceberg-spark-runtime jar (spark.sql.catalog.* config). Without it,
+    ``sinks.iceberg.IcebergTable`` writes the v2 metadata + Avro
+    manifest chain directly per the public table spec (HadoopTables
+    layout); this creates such a table and returns it."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    return IcebergTable.create(spark, location, df_schema)
