@@ -229,6 +229,80 @@ def gopher_quality_pass(
     )
 
 
+def gopher_repetition_metrics(col: Column, gram_n: int = 2) -> dict[str, Column]:
+    """Gopher repetition-rule inputs (Rae et al. 2021, Table A1 lower
+    half), computed ROW-LOCALLY with higher-order array functions — no
+    explode, no shuffle; the whole filter stays inside one codegen
+    stage over the scan:
+
+    - dup_line_fraction: 1 − distinct/total non-blank lines
+    - dup_line_char_fraction: characters sitting on duplicate line
+      occurrences / total line characters
+    - top_ngram_char_fraction: characters covered by the single most
+      frequent word n-gram / non-space characters (array_sort + one
+      linear run-length fold — O(g log g) row-local, zero exchange)
+
+    Null text counts as empty (all metrics 0)."""
+    col = F.coalesce(col, F.lit(""))
+    lines = F.filter(F.split(col, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    d_lines = F.size(F.array_distinct(lines))
+    dup_line_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - d_lines.cast("double") / n_lines.cast("double"))
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l))
+    # chars on occurrences beyond each line's first appearance
+    dup_chars = line_chars - F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"),
+        lambda acc, l: acc + F.length(l))
+    dup_line_char_frac = F.when(line_chars == 0, F.lit(0.0)).otherwise(
+        dup_chars.cast("double") / line_chars.cast("double"))
+
+    words = F.split(normalize_text(col), " ")
+    nw = F.size(F.filter(words, lambda w: w != ""))
+    idx = F.sequence(F.lit(0), F.greatest(nw - gram_n, F.lit(0)))
+    grams = F.when(nw < gram_n, F.array().cast("array<string>")).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, gram_n))))
+    # most frequent gram: sort the grams so equal grams are adjacent,
+    # then one linear fold tracking (prev, run_len, best). best packs
+    # count·10⁶ + gram_len — count-major with longer-gram tiebreak;
+    # decode → chars = count × letters-in-gram (joiner spaces excluded)
+    def _step(acc, g):
+        run = (
+            F.when(g == acc.prev, acc.run + F.lit(1).cast("long"))
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(
+                acc.best, run * F.lit(1000000) + F.length(g)
+            ).alias("best"),
+        )
+
+    packed = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _step,
+        lambda acc: acc.best,
+    )
+    top_chars = F.when(packed == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(packed / F.lit(1000000)).cast("long")
+        * (F.pmod(packed, F.lit(1000000)) - F.lit(gram_n - 1)))
+    nonspace = F.length(F.regexp_replace(normalize_text(col), " ", ""))
+    top_frac = F.when(nonspace == 0, F.lit(0.0)).otherwise(
+        top_chars.cast("double") / nonspace.cast("double"))
+    return {
+        "dup_line_fraction": dup_line_frac,
+        "dup_line_char_fraction": dup_line_char_frac,
+        "top_ngram_char_fraction": top_frac,
+    }
+
+
 def repetition_ratio(col: Column) -> Column:
     """Repeated-token fraction: 1 − distinct_words/total_words over
     whitespace tokens (0 for empty). High values flag boilerplate/spam

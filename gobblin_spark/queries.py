@@ -1005,6 +1005,82 @@ def text_gopher_quality(spark, sf_dir):
 
 
 @q(
+    "text_gopher_repetition",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      regexp_replace(coalesce(text, ''), ' a ', '.' || chr(10), 'g') AS text
+               FROM documents),
+    l AS (SELECT doc_id, text,
+                 list_filter(string_split(text, chr(10)),
+                             x -> trim(x) <> '') AS lines
+          FROM t),
+    lm AS (SELECT doc_id, text,
+                  len(lines) AS nl, len(list_distinct(lines)) AS dl,
+                  coalesce(list_aggregate(list_transform(lines,
+                      x -> length(x)), 'sum'), 0) AS line_chars,
+                  coalesce(list_aggregate(list_transform(list_distinct(lines),
+                      x -> length(x)), 'sum'), 0) AS d_line_chars
+           FROM l),
+    g AS (SELECT doc_id, nl, dl, line_chars, d_line_chars,
+                 CASE WHEN trim(regexp_replace(lower(regexp_replace(
+                        regexp_replace(text, '[^a-zA-Z0-9\s]', ' ', 'g'),
+                        '\s+', ' ', 'g')), '^\s+|\s+$', '', 'g')) = ''
+                      THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(regexp_replace(
+                        lower(regexp_replace(text, '[^a-zA-Z0-9\s]', ' ', 'g')),
+                        '\s+', ' ', 'g')), ' ') END AS words
+          FROM lm),
+    gg AS (SELECT *, CASE WHEN len(words) < 2 THEN []::VARCHAR[]
+                          ELSE list_transform(range(1, len(words)),
+                               i -> array_to_string(words[i:i+1], ' ')) END AS grams
+           FROM g),
+    p AS (SELECT doc_id, nl, dl, line_chars, d_line_chars,
+                 coalesce(list_aggregate(list_transform(list_distinct(grams),
+                   gr -> len(list_filter(grams, x -> x = gr)) * 1000000
+                         + length(gr)), 'max'), 0) AS packed,
+                 length(array_to_string(words, '')) AS nonspace
+          FROM gg)
+    SELECT doc_id,
+      CAST(CASE WHEN nl = 0 THEN 0 ELSE floor(
+        (1.0 - CAST(dl AS DOUBLE) / CAST(nl AS DOUBLE)) * 1000000.0)
+        END AS BIGINT) AS dup_line_ppm,
+      CAST(CASE WHEN line_chars = 0 THEN 0 ELSE floor(
+        (CAST(line_chars - d_line_chars AS DOUBLE)
+         / CAST(line_chars AS DOUBLE)) * 1000000.0) END AS BIGINT)
+        AS dup_line_char_ppm,
+      CAST(CASE WHEN packed = 0 OR nonspace = 0 THEN 0 ELSE floor(
+        (CAST((packed // 1000000) * ((packed % 1000000) - 1) AS DOUBLE)
+         / CAST(nonspace AS DOUBLE)) * 1000000.0) END AS BIGINT)
+        AS top_gram_char_ppm
+    FROM p
+    """,
+)
+def text_gopher_repetition(spark, sf_dir):
+    """Gopher repetition rules (Rae et al. 2021 Table A1 lower half):
+    duplicate-line fraction, duplicate-line character fraction, and
+    most-frequent-bigram character fraction — all ROW-LOCAL array
+    folds (no explode, no shuffle; the O(grams²) top-gram scan is
+    bounded by document length). Line boundaries are synthesized the
+    same deterministic way as the cleaning queries; ratios compare as
+    exact-integer ppm."""
+    docs = load_docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                         " a ", ".\n").alias("text"))
+    m = text.gopher_repetition_metrics(F.col("text"), gram_n=2)
+
+    def ppm(x):
+        return F.floor(x * F.lit(1000000.0)).cast("long")
+
+    return docs.select(
+        "doc_id",
+        ppm(m["dup_line_fraction"]).alias("dup_line_ppm"),
+        ppm(m["dup_line_char_fraction"]).alias("dup_line_char_ppm"),
+        ppm(m["top_ngram_char_fraction"]).alias("top_gram_char_ppm"),
+    )
+
+
+@q(
     "text_repetition_ratio",
     r"""
     SELECT doc_id,
