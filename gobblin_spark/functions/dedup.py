@@ -136,6 +136,25 @@ def _permutation_params(k: int, seed: int = 42) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def md5_60(col: Column | str) -> Column:
+    """60-bit integer hash: first 15 hex chars of md5, parsed base-16.
+
+    ~2-3x slower than xxhash64 but REPLICABLE BY ANY ENGINE (DuckDB:
+    ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)``) — the cross-engine
+    verification hash. 60 bits keeps the value signed-int64-positive on
+    both sides; use it when an external oracle must reproduce signatures
+    bit-for-bit, xxhash64 everywhere else."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _base_hash(col: Column | str, kind: str) -> Column:
+    if kind == "xxhash64":
+        return F.xxhash64(col)
+    if kind == "md5_60":
+        return md5_60(col)
+    raise ValueError(f"unknown base_hash: {kind}")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -143,12 +162,15 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 64,
     seed: int = 42,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc MinHash signature: array<num_perm> of min permuted hashes.
 
     Base hash = xxhash64(shingle) folded into [0, P); permutation i is
     (a_i·h + b_i) mod P. All JVM-side: one explode + one groupBy with
     ``num_perm`` min() aggregates (map-side combined).
+    ``base_hash='md5_60'`` swaps in the engine-portable md5 hash so an
+    external SQL oracle can reproduce signatures exactly.
     """
     a_par, b_par = _permutation_params(num_perm, seed)
     sh = word_shingles(ensure_parallelism(df.select(id_col, text_col)), text_col, n)
@@ -156,7 +178,7 @@ def minhash_signatures(
     # xxhash64 expression inside each of the num_perm aggregates would
     # re-hash the string num_perm times (CSE doesn't span aggregates)
     hashed = sh.select(
-        id_col, F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("_h")
+        id_col, F.pmod(_base_hash("shingle", base_hash), F.lit(MERSENNE_P)).alias("_h")
     )
     h = F.col("_h")
     mins = [
@@ -180,13 +202,21 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    base_hash: str = "xxhash64",
+    band_key: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs (id_a < id_b, est_jaccard ≥ threshold).
+    """MinHash+LSH near-dup pairs (id_a < id_b, n_agree, est_jaccard ≥
+    threshold).
 
     Banding: signature split into ``bands`` bands of num_perm/bands rows;
     docs sharing any band-hash become candidates (generated by a groupBy
     on (band, hash) — never an all-pairs join). Candidates are scored by
     signature agreement (unbiased Jaccard estimate) and thresholded.
+
+    ``band_key='concat'`` keys bands on the concatenated signature
+    values instead of their xxhash64 (a wider shuffle key, but one an
+    external SQL engine can reproduce — pair with base_hash='md5_60'
+    for a fully oracle-checkable run).
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -197,16 +227,20 @@ def minhash_lsh_pairs(
     # id + 64 longs), so MEMORY_AND_DISK holds even at cluster scale —
     # this is the standard LSH shape: materialize signatures once,
     # never the documents.
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm, seed).persist()
+    sig = minhash_signatures(
+        df, id_col, text_col, n, num_perm, seed, base_hash
+    ).persist()
 
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.lit(bi), *[F.col("signature")[bi * rows + r] for r in range(rows)]
-            )
-            for bi in range(bands)
-        ]
-    )
+    def _bkey(bi: int) -> Column:
+        vals = [F.col("signature")[bi * rows + r] for r in range(rows)]
+        if band_key == "xxhash64":
+            return F.xxhash64(F.lit(bi), *vals)
+        if band_key == "concat":
+            return F.concat_ws("_", F.lit(bi).cast("string"),
+                               *[v.cast("string") for v in vals])
+        raise ValueError(f"unknown band_key: {band_key}")
+
+    band_hashes = F.array(*[_bkey(bi) for bi in range(bands)])
     # Candidate generation is SLIM: only (band, bhash, id) is exploded
     # and self-joined — the ~0.5 KB signatures never ride the band
     # shuffle (at 1M docs x 16 bands that's the difference between a
@@ -229,37 +263,46 @@ def minhash_lsh_pairs(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
         )
     )
-    est = agree.cast("double") / F.lit(float(num_perm))
+    est = F.col("n_agree").cast("double") / F.lit(float(num_perm))
     return (
-        scored.withColumn("est_jaccard", F.round(est, 6))
+        scored.withColumn("n_agree", agree)
+        .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .select("id_a", "id_b", "n_agree", "est_jaccard")
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document over normalized word tokens.
+def simhash64(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    base_hash: str = "xxhash64",
+    bits: int = 64,
+) -> DataFrame:
+    """``bits``-bit SimHash per document over normalized word tokens.
 
     For each bit position, sum +1/-1 over token hashes; bit = sign.
-    Returned as bigint ``simhash`` (bit 63 included — value may be
-    negative; it is a fingerprint, not a number).
+    Returned as bigint ``simhash`` (with bits=64, bit 63 included —
+    value may be negative; it is a fingerprint, not a number).
+    ``base_hash='md5_60'`` + ``bits=60`` gives the engine-portable
+    variant an external SQL oracle can reproduce bit-for-bit.
     """
     toks = ensure_parallelism(df.select(id_col, text_col)).select(
         id_col, F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    # hash each token ONCE; the 64 per-bit aggregates reference the
+    # hash each token ONCE; the per-bit aggregates reference the
     # materialized column (xxhash64 inline would re-hash 64x per token)
-    hashed = toks.select(id_col, F.xxhash64("tok").alias("_h"))
+    hashed = toks.select(id_col, _base_hash("tok", base_hash).alias("_h"))
     h = F.col("_h")
     bit_sums = [
         F.sum(
             (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
         ).alias(f"_b{i}")
-        for i in range(64)
+        for i in range(bits)
     ]
     agg = hashed.groupBy(id_col).agg(*bit_sums)
     val = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(bits):
         val = val + F.when(
             F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
@@ -271,21 +314,28 @@ def simhash_near_dup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    base_hash: str = "xxhash64",
+    bits: int = 64,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
-    Pigeonhole banding on 4×16-bit chunks: any pair within distance 3
-    agrees on at least one chunk, so candidates come from equality joins
-    on chunk values — linear candidate generation, then exact popcount
-    verification. (max_hamming ≤ 3 is guaranteed complete; larger values
-    would need more/smaller chunks.)
+    Pigeonhole banding on 4×(bits/4)-bit chunks: any pair within
+    distance 3 agrees on at least one chunk, so candidates come from
+    equality joins on chunk values — linear candidate generation, then
+    exact popcount verification. (max_hamming ≤ 3 is guaranteed
+    complete; larger values would need more/smaller chunks.)
     """
+    if bits % 4:
+        raise ValueError("bits must be divisible by 4 (pigeonhole chunks)")
+    cw = bits // 4
     # two consumers (left/right of the chunk self-join) — persist the
-    # slim (id, simhash) table so the 64-bit-sum aggregation runs once
-    sh = simhash64(df, id_col, text_col).persist()
+    # slim (id, simhash) table so the per-bit-sum aggregation runs once
+    sh = simhash64(df, id_col, text_col, base_hash, bits).persist()
     chunks = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col("simhash"), cw * i).bitwiseAND(
+                F.lit((1 << cw) - 1)
+            )
             for i in range(4)
         ]
     )

@@ -37,9 +37,13 @@ class AvroNotAvailable(RuntimeError):
 def avro_available(spark) -> bool:
     """True iff the spark-avro datasource is loaded in this session."""
     try:
+        # .schema forces analysis only — AVRO_NOT_LOADED surfaces here
+        # synchronously, without launching a job (a .collect() probe
+        # additionally fails inside the ExecutionListenerBus and spams
+        # an ERROR stack trace into every session log)
         spark.range(1).select(
             __import__("pyspark.sql.avro.functions", fromlist=["to_avro"]).to_avro(F.col("id"))
-        ).collect()
+        ).schema
         return True
     except Exception:
         return False

@@ -811,6 +811,157 @@ def simhash_docs(spark, sf_dir):
     return dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+# --- fully oracle-checked LSH variants -----------------------------------
+# base_hash='md5_60' (conv(substr(md5,1,15),16,10) ≡ DuckDB
+# CAST('0x'||substr(md5,1,15) AS BIGINT)) makes every signature value
+# reproducible by the SQL oracle, upgrading the LSH family from the
+# rows-only check to full value-hash verification.
+
+_MH_PERM = 64
+_MH_BANDS = 16
+_MH_ROWS = _MH_PERM // _MH_BANDS
+_MH_A, _MH_B = dedup._permutation_params(_MH_PERM, seed=42)
+_MH_P = dedup.MERSENNE_P
+
+_MH_MINS = ",\n             ".join(
+    f"min(({_MH_A[i]} * h + {_MH_B[i]}) % {_MH_P}) AS m{i}"
+    for i in range(_MH_PERM)
+)
+_MH_BKEYS = ",\n               ".join(
+    "concat_ws('_', '{bi}', {cols})".format(
+        bi=bi,
+        cols=", ".join(f"m{bi * _MH_ROWS + r}" for r in range(_MH_ROWS)),
+    )
+    for bi in range(_MH_BANDS)
+)
+_MH_AGREE = "\n             + ".join(
+    f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_MH_PERM)
+)
+
+# word_shingles(n=3) mirror: 1-based inclusive slice of 3 words; short
+# docs yield one all-words shingle; '' shingles dropped; DISTINCT set
+_SHINGLE3_CTE = f"""
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+      FROM (
+        SELECT doc_id, words,
+               unnest(range(1, greatest(len(words) - 3, 0) + 2)) AS i
+        FROM (SELECT doc_id, regexp_split_to_array({{norm}}, ' ') AS words
+              FROM documents)
+      ) WHERE array_to_string(words[i:i+2], ' ') <> ''
+"""
+
+
+@q(
+    "minhash_lsh_checked",
+    f"""
+    WITH sh AS ({_SHINGLE3_CTE.format(norm=_NORM_SQL)}),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {_MH_P} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_MH_MINS}
+      FROM h GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id,
+             unnest([{_MH_BKEYS}]) AS bkey
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(n_agree AS INT) AS n_agree
+    FROM (
+      SELECT c.id_a, c.id_b,
+             {_MH_AGREE}
+             AS n_agree
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.id_a
+      JOIN sig b ON b.doc_id = c.id_b
+    ) WHERE n_agree >= CAST(ceil(0.5 * {_MH_PERM}) AS INT)
+    """,
+)
+def minhash_lsh_checked(spark, sf_dir):
+    """MinHash+LSH near-dup pairs with the engine-portable md5_60 base
+    hash and concat band keys — the SQL oracle reproduces every
+    signature value, so this run of the LSH pipeline is verified
+    bit-for-bit (value-hash), not just by row count. Same banded,
+    never-all-pairs plan shape as minhash_lsh_docs."""
+    docs = load_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=_MH_PERM, bands=_MH_BANDS,
+        threshold=0.5, seed=42, base_hash="md5_60", band_key="concat",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("n_agree").cast("int").alias("n_agree")
+    )
+
+
+_SH_BITS = 60
+_SH_CHUNK = _SH_BITS // 4
+_SH_MASK = (1 << _SH_CHUNK) - 1
+_SH_BITSUMS = ",\n             ".join(
+    f"sum((((h >> {i}) & 1) * 2 - 1)) AS b{i}" for i in range(_SH_BITS)
+)
+_SH_VALUE = "\n               + ".join(
+    f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+    for i in range(_SH_BITS)
+)
+_SH_CKEYS = ", ".join(
+    f"concat_ws('_', '{c}', (sh >> {c * _SH_CHUNK}) & {_SH_MASK})"
+    for c in range(4)
+)
+
+
+@q(
+    "simhash_checked",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM toks WHERE tok <> ''
+    ),
+    bs AS (
+      SELECT doc_id,
+             {_SH_BITSUMS}
+      FROM h GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id,
+             {_SH_VALUE}
+             AS sh
+      FROM bs
+    ),
+    banded AS (
+      SELECT doc_id, sh, unnest([{_SH_CKEYS}]) AS ckey FROM sh
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM banded a JOIN banded b ON a.ckey = b.ckey AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def simhash_checked(spark, sf_dir):
+    """SimHash near-dup pairs with the engine-portable md5_60 token
+    hash at 60 bits (4×15-bit pigeonhole chunks) — fully value-hash
+    verified against the SQL oracle, unlike the xxhash64 default."""
+    docs = load_docs(spark, sf_dir)
+    pairs = dedup.simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=3, base_hash="md5_60",
+        bits=_SH_BITS,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 # ------------------------------------------------------------------
 # similarity search
 # ------------------------------------------------------------------

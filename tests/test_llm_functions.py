@@ -110,6 +110,27 @@ def test_simhash_near_dup(docs):
     assert (1, 2) in rows
 
 
+def test_md5_60_matches_python(spark):
+    import hashlib
+
+    df = spark.createDataFrame([("hello world",), ("", ), ("Gobblin",)], ["s"])
+    got = {r.s: r.h for r in df.select("s", dedup.md5_60("s").alias("h")).collect()}
+    for s in got:
+        assert got[s] == int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_md5_variants_find_near_dup(docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.8,
+        base_hash="md5_60", band_key="concat",
+    )
+    assert (1, 2) in [(r.id_a, r.id_b) for r in pairs.collect()]
+    spairs = dedup.simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=3, base_hash="md5_60", bits=60
+    )
+    assert (1, 2) in [(r.id_a, r.id_b) for r in spairs.collect()]
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     return spark.createDataFrame(
