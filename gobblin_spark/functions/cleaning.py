@@ -152,3 +152,32 @@ def duplicate_line_stats(
         )
         .filter(F.col("occurrences") > 1)
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blockwords: list[str],
+    text_col: str = "text",
+    mode: str = "drop",
+) -> DataFrame:
+    """C4-style blocklist filter: documents whose text contains any
+    blocklisted word (word-boundary match, case-insensitive) are
+    dropped (``mode='drop'``) or kept-and-flagged (``mode='flag'``,
+    adds boolean ``blocked``).
+
+    One compiled alternation regex evaluated at scan speed — the
+    blocklist ships inside the plan, nothing is broadcast or joined.
+    RE2-portable (no lookaround) so the same pattern is the oracle.
+    Reference: the "bad words" filter of C4 (Raffel et al. 2020 §2.2);
+    Gobblin's nearest construct is StringFilterConverter
+    (gobblin-core/.../converter/string/StringFilterConverter.java:39).
+    """
+    if not blockwords:
+        raise ValueError("blockwords must be non-empty")
+    pattern = r"\b(" + "|".join(blockwords) + r")\b"
+    hit = F.lower(F.coalesce(F.col(text_col), F.lit(""))).rlike(pattern)
+    if mode == "drop":
+        return df.filter(~hit)
+    if mode == "flag":
+        return df.withColumn("blocked", hit)
+    raise ValueError(f"unknown mode: {mode}")

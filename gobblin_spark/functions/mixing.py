@@ -159,3 +159,30 @@ def pack_assignments(
     ).withColumn(
         "pack_offset", ((cum - F.col(token_col)) % F.lit(seq_len)).cast("int")
     )
+
+
+def length_histogram(
+    df: DataFrame,
+    len_col: str = "n_chars",
+    group_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Power-of-two length histogram per group: (group..., bucket,
+    n_docs, total_chars) where bucket = floor(log2(len)) for len ≥ 1
+    and -1 for empty. The corpus-composition report every training-data
+    pipeline prints before sampling (token budgets per length band).
+
+    bucket is computed as length(bin(len)) - 1 — integer-exact, unlike
+    floor(log2(x)) whose last-ulp behavior differs between engines'
+    libm. One groupBy; output is |groups|·64 rows at most."""
+    c = F.col(len_col)
+    bucket = F.when(c <= 0, F.lit(-1)).otherwise(
+        (F.length(F.bin(c)) - F.lit(1)).cast("int")
+    )
+    return (
+        df.withColumn("bucket", bucket)
+        .groupBy(*group_cols, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.greatest(c, F.lit(0))).alias("total_chars"),
+        )
+    )

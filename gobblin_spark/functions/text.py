@@ -314,3 +314,70 @@ def repetition_ratio(col: Column) -> Column:
     return F.when((F.trim(col) == "") | col.isNull(), F.lit(0.0)).otherwise(
         F.lit(1.0) - d.cast("double") / n.cast("double")
     )
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """Corpus vocabulary: (token, n) over normalized whitespace tokens.
+
+    The canonical map-side-combined word count: explode + groupBy; the
+    shuffle carries one (token, partial_count) row per distinct token
+    per task, not per occurrence. At 100 TB the output is vocabulary-
+    sized (millions of rows), never corpus-sized."""
+    toks = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    out = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    if min_count > 1:
+        out = out.filter(F.col("n") >= min_count)
+    return out
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: (id, token, tf, df_t, score_ppb).
+
+    score = (tf / doc_tokens) · (N / df_t), emitted as exact-comparable
+    floor(score·10⁹) — products and divisions of doubles are IEEE-
+    deterministic across engines, unlike ln(): the classic ln-damped idf
+    would make the output engine-dependent in the last ulp, so the raw
+    rational form is used for the checked surface. Ties break on token
+    order. Shuffle budget: one groupBy on (id, token), one on token
+    (doc-frequency — vocabulary-sized), one window by id for top-k.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = tf.groupBy(id_col).agg(F.sum("tf").alias("doc_tokens"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(id_col).distinct().count()
+    scored = (
+        tf.join(doc_len, id_col)
+        .join(dfreq, "token")
+        .withColumn(
+            "score_ppb",
+            F.floor(
+                (F.col("tf").cast("double") / F.col("doc_tokens").cast("double"))
+                * (F.lit(float(n_docs)) / F.col("df_t").cast("double"))
+                * F.lit(1000000000.0)
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_ppb").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "token", "tf", "df_t", "score_ppb",
+                F.col("rank").cast("int").alias("rank"))
+    )

@@ -1501,6 +1501,204 @@ def q10_returned_items(spark, sf_dir):
 
 
 @q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (priority count over orders with a late-shipped
+    line; the synthetic lineitem has no commit/receipt dates, so
+    l_shipdate > o_orderdate plays the late predicate). The EXISTS
+    compiles to a LEFT SEMI join — lineitem is deduplicated by the semi
+    semantics, never multiplied into the count, and the orderdate
+    filter pushes to the orders scan."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01'"))
+        & (F.col("o_orderdate") < F.expr("TIMESTAMP_NTZ '1997-04-01'"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@q(
+    "q12_priority_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_by_flag(spark, sf_dir):
+    """TPC-H Q12 shape (shipmode → returnflag: the synthetic lineitem
+    has no shipmode column): per flag, how many 1997-shipped lines
+    belong to high- vs low-priority orders. Conditional-aggregate join;
+    the shipdate filter prunes lineitem at the scan and orders ships
+    only (orderkey, priority) into the join."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-01-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1998-01-01'"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q14_promo_effect",
+    """
+    SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_effect(spark, sf_dir):
+    """TPC-H Q14: promo revenue share for one month. part broadcasts
+    (dimension), the month filter reaches the lineitem scan, and the
+    two sums fold in a single aggregate pass."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.expr("TIMESTAMP_NTZ '1997-09-01'"))
+        & (F.col("l_shipdate") < F.expr("TIMESTAMP_NTZ '1997-10-01'"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+            / F.sum(rev),
+            2,
+        ).alias("promo_pct")
+    )
+
+
+@q(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice,
+           CAST(sum_qty AS BIGINT) AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 350
+    ) big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18: customers with orders whose total quantity exceeds
+    the threshold. The HAVING aggregate runs FIRST and shrinks the
+    orderkey set to a sliver before any join — orders/customer then
+    join against the sliver (broadcast-able), and the top-100 is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 350)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    j = (
+        F.broadcast(big)
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+    )
+    return (
+        j.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            "c_custkey", "o_orderkey", "o_totalprice",
+            F.col("_sq").cast("long").alias("sum_qty"),
+        )
+    )
+
+
+@q(
+    "q19_bracketed_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+)
+def q19_bracketed_revenue(spark, sf_dir):
+    """TPC-H Q19: OR-of-AND bracket predicates across the part join.
+    The part-only conjuncts (brand+size) are implied on the build side
+    and the quantity bounds on the probe side, so both scans prune
+    before the join; part broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+
+    def bracket(brand, s_lo, s_hi, q_lo, q_hi):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+
+    f = j.filter(
+        bracket("Brand#1", 1, 15, 1, 20)
+        | bracket("Brand#2", 10, 30, 10, 30)
+        | bracket("Brand#3", 20, 50, 20, 50)
+    )
+    return f.agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
     "q5_region_volume",
     """
     SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1917,11 +2115,15 @@ def rest_source_pages(spark, sf_dir):
                               "rid BIGINT, score DOUBLE")
 
 
-@q("stateful_dedup_users")  # streaming stateful — rows-only check
+@q(
+    "stateful_dedup_users",
+    "SELECT DISTINCT user_id AS key FROM events",
+)
 def stateful_dedup_users(spark, sf_dir):
     """applyInPandasWithState exactly-first dedup over a multi-epoch
-    file stream: each user_id is emitted exactly once across epochs, so
-    the row count equals the batch-side distinct count."""
+    file stream: each user_id is emitted exactly once across epochs —
+    the emitted key set is therefore exactly the batch-side DISTINCT,
+    which is the oracle (full value-hash check, not rows-only)."""
     import tempfile
 
     from gobblin_spark.streaming.stateful import stateful_dedup_stream
@@ -2351,6 +2553,141 @@ def cleaning_dedup_lines(spark, sf_dir):
         "doc_id", F.regexp_replace(F.col("text"), " a ", ".\n").alias("text")
     )
     return CL.dedup_lines_global(docs, min_dup_chars=20)
+
+
+@q(
+    "cleaning_blocklist",
+    rf"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE NOT regexp_matches(lower(coalesce(text, '')),
+                             '\b(slow|flaky|broken)\b')
+    """,
+)
+def cleaning_blocklist(spark, sf_dir):
+    """C4-style blocklist filter: drop documents containing any
+    blocklisted word (word-boundary, case-insensitive). One alternation
+    regex at scan speed — no join, no shuffle, no Python."""
+    from gobblin_spark.functions import cleaning as CL
+
+    docs = load_docs(spark, sf_dir)
+    return CL.blocklist_filter(docs, ["slow", "flaky", "broken"]).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@q(
+    "text_vocab_counts",
+    rf"""
+    SELECT token, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS token
+      FROM documents
+    ) WHERE token <> ''
+    GROUP BY token HAVING count(*) >= 5
+    """,
+)
+def text_vocab_counts(spark, sf_dir):
+    """Corpus vocabulary with counts (min_count=5): the map-side-
+    combined word count whose shuffle carries one row per distinct
+    token per task. Vocabulary-sized output regardless of corpus
+    size."""
+    docs = load_docs(spark, sf_dir)
+    return text.token_counts(docs, "text", min_count=5)
+
+
+@q(
+    "text_tfidf_top_terms",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE token <> '' GROUP BY doc_id, token
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS doc_tokens FROM tf GROUP BY doc_id),
+    dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY token),
+    nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfq.df_t,
+             CAST(floor((CAST(tf.tf AS DOUBLE) / CAST(dl.doc_tokens AS DOUBLE))
+                  * (CAST(nd.n AS DOUBLE) / CAST(dfq.df_t AS DOUBLE))
+                  * 1000000000.0) AS BIGINT) AS score_ppb
+      FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), nd
+    )
+    SELECT doc_id, token, tf, df_t, score_ppb, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_ppb DESC, token ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms with integer-exact scores
+    (floor(score·10⁹); products/quotients of doubles are IEEE-portable,
+    ln() is not). Three vocabulary-or-doc-sized shuffles, one windowed
+    top-k."""
+    docs = load_docs(spark, sf_dir)
+    out = text.tf_idf_top_terms(docs, "doc_id", "text", top_k=3)
+    # window ranks on score_ppb (already floored) so Spark and the
+    # oracle order identically, including ties
+    return out
+
+
+@q(
+    "mixing_length_histogram",
+    """
+    SELECT lang,
+           CAST(CASE WHEN n_chars <= 0 THEN -1
+                     ELSE length(bin(n_chars)) - 1 END AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(greatest(n_chars, 0)) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, bucket
+    """,
+)
+def mixing_length_histogram(spark, sf_dir):
+    """Power-of-two document-length histogram per language — the
+    corpus-composition report before mixture sampling. Bucket =
+    length(bin(x))-1 (integer-exact floor(log2), no libm). One
+    groupBy."""
+    from gobblin_spark.functions import mixing as X
+
+    docs = load_docs(spark, sf_dir)
+    return X.length_histogram(docs, "n_chars", ("lang",))
+
+
+@q(
+    "bloom_incremental_dedup",
+    """
+    SELECT e.event_id, e.user_id
+    FROM events e
+    WHERE e.event_id % 50 <> 0
+      AND e.user_id NOT IN (
+        SELECT user_id FROM events WHERE event_id % 50 = 0
+      )
+    """,
+)
+def bloom_incremental_dedup(spark, sf_dir):
+    """Sketch-prefiltered incremental dedup: new-batch rows whose user
+    was never seen in history. History folds into a broadcast Bloom
+    sketch; only the maybe-seen sliver takes the exact anti-join, so
+    the output is EXACT while history is never shuffled against the
+    batch. The oracle is the plain anti-join — bit-for-bit equality
+    proves the sketch path loses nothing."""
+    from gobblin_spark.functions import bloom
+
+    ev = load_table(spark, sf_dir, "events")
+    history = ev.filter(F.col("event_id") % 50 == 0)
+    new = ev.filter(F.col("event_id") % 50 != 0)
+    out = bloom.bloom_incremental_dedup(
+        new, history, "user_id", num_bits=1 << 20, k=5
+    )
+    return out.select("event_id", "user_id")
 
 
 # Queries whose wall-time bench.py reports (run at sf0.1).
