@@ -11,8 +11,10 @@ Reference mapping (all relative to /root/reference/):
   expressions — JVM-side, whole-stage-codegen, GCM by default (random
   IV per value: ciphertext is non-deterministic, round-trips exactly).
 - GPGCodec (gobblin-modules/gobblin-crypto-provider/.../GPGCodec.java):
-  needs an OpenPGP implementation; not available in this sandbox →
-  explicit NotImplementedError gate.
+  password-based symmetric mode implemented from the public RFC 4880
+  spec in functions/pgp.py (AES-CFB via the 'cryptography' package),
+  interoperable with the gpg binary in both directions; public-key
+  keyring mode is the remaining gate.
 
 Key handling: pass the key as bytes/str; 16/24/32-byte keys select
 AES-128/192/256 exactly as the underlying expression does.
@@ -57,9 +59,19 @@ def aes_decrypt_to_string(col: Column, key: str | bytes, mode: str = "GCM") -> C
     return aes_decrypt_col(col, key, mode).cast("string")
 
 
-def gpg_encrypt_col(col: Column, key_ring: str) -> Column:  # pragma: no cover
-    """GPGCodec.java — OpenPGP is unavailable in this environment."""
-    raise NotImplementedError(
-        "GPG codec requires an OpenPGP provider (e.g. Bouncy Castle on the "
-        "JVM or python-gnupg); not shipped in this sandbox"
-    )
+def gpg_encrypt_col(col: Column, passphrase: str, keylen: int = 16) -> Column:
+    """GPGCodec.java password-based symmetric mode: OpenPGP (RFC 4880)
+    encryption interoperable with ``gpg -c`` — see functions/pgp.py for
+    the packet-level implementation and the gpg-binary interop tests.
+    Public-key (keyring) mode remains unimplemented: it would need full
+    RFC 4880 public-key packets, which nothing in this sandbox can
+    generate or consume end-to-end."""
+    from gobblin_spark.functions import pgp
+
+    return pgp.gpg_encrypt_col(col, passphrase, keylen)
+
+
+def gpg_decrypt_col(col: Column, passphrase: str) -> Column:
+    from gobblin_spark.functions import pgp
+
+    return pgp.gpg_decrypt_col(col, passphrase)

@@ -2054,6 +2054,32 @@ def crypto_roundtrip(spark, sf_dir):
 
 
 @q(
+    "pgp_roundtrip",
+    """
+    SELECT doc_id, text AS text_rt
+    FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+    """,
+)
+def pgp_roundtrip(spark, sf_dir):
+    """GPGCodec password-symmetric mode: OpenPGP (RFC 4880) encrypt →
+    decrypt must be identity. The codec is gpg-binary-interoperable
+    (tests/test_pgp.py proves both directions); the oracle verifies the
+    Spark-side identity on a 10% document sample — AES work is the
+    cost, so the checked sample stays small."""
+    from gobblin_spark.functions import crypto
+
+    docs = load_docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.col("doc_id") % 10 == 0)
+    )
+    return docs.select(
+        "doc_id",
+        crypto.gpg_decrypt_col(
+            crypto.gpg_encrypt_col(F.col("text").cast("binary"), "pw-q"), "pw-q"
+        ).cast("string").alias("text_rt"),
+    )
+
+
+@q(
     "async_enrich",
     """
     SELECT s_suppkey, s_name || '|' || CAST(s_nationkey AS VARCHAR) AS tag

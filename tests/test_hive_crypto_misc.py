@@ -75,9 +75,16 @@ def test_base64_roundtrip(spark):
     assert out.first().s == "hello"
 
 
-def test_gpg_gated():
-    with pytest.raises(NotImplementedError):
-        crypto.gpg_encrypt_col(F.lit("x"), "ring")
+def test_gpg_column_roundtrip(spark):
+    df = spark.createDataFrame([(b"payload-1",), (b"payload-2",), (None,)], "b BINARY")
+    out = df.select(
+        crypto.gpg_decrypt_col(
+            crypto.gpg_encrypt_col(F.col("b"), "pw-123"), "pw-123"
+        ).alias("b")
+    )
+    got = sorted((bytes(r.b) if r.b is not None else None for r in out.collect()),
+                 key=lambda v: (v is None, v))
+    assert got == [b"payload-1", b"payload-2", None]
 
 
 def test_retry_write_succeeds_after_failures(spark, tmp_path, monkeypatch):
