@@ -115,6 +115,14 @@ def main() -> int:
             }
 
     total = round(sum(timings.values()), 3)
+    # The driver tail-captures only ~2 KB of stdout: keep the final line
+    # compact (metric/value/queries/sf) and park the per-query REST
+    # telemetry in a sidecar file (round 3's inline details pushed the
+    # line past the buffer and the whole bench was lost as parsed:null).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAILS.json"), "w") as f:
+        json.dump({"sf": sf, "total_sec": total, "query_details": details},
+                  f, indent=1)
     print(
         json.dumps(
             {
@@ -123,7 +131,6 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "query_details": details,
             }
         )
     )

@@ -10,6 +10,7 @@ Usage: python scripts/check_oracles.py [name ...]
 
 from __future__ import annotations
 
+import hashlib
 import math
 import sys
 import time
@@ -23,6 +24,47 @@ from gobblin_spark.sources.files import TABLES  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
+
+
+# DuckDB result type → the Spark dtype it must line up with. Anything
+# absent (HUGEINT above all — DuckDB's default for integer SUM) has no
+# Spark twin and will hash-mismatch at the driver even when every value
+# prints identically, so it is reported as a type problem here.
+DUCK_TO_SPARK = {
+    "BOOLEAN": "boolean",
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BLOB": "binary",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp_ntz",
+    "TIMESTAMP_NS": "timestamp_ntz",
+}
+
+
+def type_problems(scols, sdtypes, ocols, otypes):
+    """Pair output columns by name and require the DuckDB type to map
+    exactly onto the Spark dtype (scalars only; list/struct compared
+    loosely since both engines print them differently)."""
+    sd = dict(sdtypes)
+    probs = []
+    for col, dt in zip(ocols, otypes):
+        duck = str(dt).upper()
+        if col not in sd:
+            continue
+        spark = sd[col]
+        if duck.startswith(("DECIMAL", "STRUCT", "MAP")) or "[]" in duck:
+            continue  # complex/decimal: value compare still applies
+        want = DUCK_TO_SPARK.get(duck)
+        if want is None:
+            probs.append(f"{col}: oracle type {duck} has no Spark twin")
+        elif want != spark:
+            probs.append(f"{col}: oracle {duck}→{want} but spark {spark}")
+    return probs
 
 
 def norm_cell(v):
@@ -79,9 +121,20 @@ def main(only: list[str]) -> int:
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        try:
+            desc = con.execute(
+                "DESCRIBE " + oracles[name]).fetchall()
+            otypes = {r[0]: r[1] for r in desc}
+        except Exception:
+            otypes = {}
+        problems.extend(
+            type_problems(scols, sdf.dtypes, list(otypes), list(otypes.values()))
+        )
+        vhash = ""
         if not problems:
             sk = table_key([tuple(r) for r in srows], scols)
             ok = table_key(orows, ocols)
+            vhash = hashlib.md5(repr(sk).encode()).hexdigest()[:12]
             if sk != ok:
                 for i, (a, b) in enumerate(zip(sk, ok)):
                     if a != b:
@@ -93,7 +146,10 @@ def main(only: list[str]) -> int:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
-            print(f"ok {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(
+                f"ok {name}: {len(srows)} rows hash={vhash} "
+                f"[{time.time()-t0:.1f}s]"
+            )
     spark.stop()
     print(f"\n{failures} failures / {len(queries)} queries")
     return 1 if failures else 0
