@@ -91,10 +91,14 @@ def dedup_lines_global(
     INPUT document: a document whose every line was removed (or whose
     text was null/empty) comes back with text '' rather than vanishing
     from the corpus. Shuffle budget: one groupBy on the 16-byte line
-    digest (slim rows), one groupBy on doc_id to reassemble, plus a
-    slim id-only join to restore fully-emptied docs. Short lines
-    (< min_dup_chars) are exempt — they pass through untouched
-    (headers, list bullets)."""
+    digest (slim rows) and one groupBy on doc_id to reassemble —
+    removed lines ride to the reassembly with a boolean keep-flag and
+    are dropped INSIDE the aggregate, so fully-emptied docs fall out
+    of the same groupBy (no distinct + restore join; that variant
+    doubled the query's wall time in round 3). Null-text docs, the one
+    case with no exploded rows at all, come back via a pushed-down
+    IS NULL scan unioned on. Short lines (< min_dup_chars) are exempt
+    — they pass through untouched (headers, list bullets)."""
     lines = explode_lines(df, id_col, text_col, min_chars=0)
     keyed = lines.withColumn(
         "_dig",
@@ -110,29 +114,33 @@ def dedup_lines_global(
         .groupBy("_dig")
         .agg(F.min(F.struct(id_col, "pos")).alias("_first"))
     )
-    kept = keyed.join(first, "_dig", "left").filter(
+    flagged = keyed.join(first, "_dig", "left").withColumn(
+        "_keep",
         F.col("_dig").isNull()
         | ((F.col("_first")[id_col] == F.col(id_col))
-           & (F.col("_first")["pos"] == F.col("pos")))
+           & (F.col("_first")["pos"] == F.col("pos"))),
     )
     rebuilt = (
-        kept.groupBy(id_col)
+        flagged.groupBy(id_col)
         .agg(
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "line", "_keep"))
+                        ),
+                        lambda s: s["_keep"],
+                    ),
                     lambda s: s["line"],
                 ),
                 "\n",
             ).alias(text_col)
         )
     )
-    # docs with zero surviving lines have no reassembly rows — join the
-    # distinct input ids back so they return as empty documents
-    ids = df.select(id_col).distinct()
-    return ids.join(rebuilt, id_col, "left").select(
-        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    nulls = df.filter(F.col(text_col).isNull()).select(
+        F.col(id_col), F.lit("").alias(text_col)
     )
+    return rebuilt.unionByName(nulls)
 
 
 def duplicate_line_stats(

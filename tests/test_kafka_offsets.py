@@ -124,3 +124,38 @@ def test_read_intervals_incremental_pull(spark, messages):
     done = {K.TopicPartition(u.topic, u.partition): u.end_offset for u in units}
     units2 = K.plan_work_units(stub, previous_offsets=done)
     assert all(u.empty for u in units2)
+
+
+def test_offsets_json_connector_parity(spark, messages):
+    """The broker path is wired even though no broker runs here: the
+    intervals read_intervals() executes must equal what Spark's real
+    Kafka batch source would return for the same plan, i.e. rows with
+    startingOffsets <= offset < endingOffsets per topic-partition
+    (the [start, end) contract of the connector's offset JSON —
+    KafkaSource.java:577-650 plans, streaming/runner.py hands off)."""
+    import json
+
+    stub = K.FileBackedKafkaStub(messages)
+    prev = {K.TopicPartition("tA", 0): 90, K.TopicPartition("tB", 0): 45}
+    units = K.plan_work_units(stub, previous_offsets=prev,
+                              bootstrap_with_offset=K.EARLIEST)
+    start_json, end_json = K.offsets_json(units)
+    start, end = json.loads(start_json), json.loads(end_json)
+
+    # connector-semantics reference: filter by the JSON intervals
+    rows = messages.collect()
+    expect = sorted(
+        (r.topic, r.partition, r.offset) for r in rows
+        if str(r.partition) in start.get(r.topic, {})
+        and start[r.topic][str(r.partition)] <= r.offset
+        < end[r.topic][str(r.partition)]
+    )
+    got = sorted(
+        (r.topic, r.partition, r.offset)
+        for r in K.read_intervals(messages, units).collect()
+    )
+    assert got == expect and len(got) > 0
+    # every planned unit appears in both encodings with identical bounds
+    for u in units:
+        assert start[u.topic][str(u.partition)] == u.start_offset
+        assert end[u.topic][str(u.partition)] == u.end_offset
