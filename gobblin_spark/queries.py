@@ -2743,6 +2743,65 @@ def bloom_incremental_dedup(spark, sf_dir):
 
 
 @q(
+    "iceberg_evolve_delete_read",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    s1 AS (SELECT o_orderkey, o_totalprice,
+                  CAST(NULL AS VARCHAR) AS o_orderpriority
+           FROM base WHERE o_orderkey % 8 = 0),
+    s2 AS (SELECT * FROM base WHERE o_orderkey % 8 <> 0),
+    survivors AS (
+      SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+      WHERE o_orderkey % 5 <> 0
+    ),
+    reinserted AS (
+      SELECT o_orderkey, o_totalprice, 'REINSERT' AS o_orderpriority
+      FROM base WHERE o_orderkey % 40 = 0
+    )
+    SELECT * FROM survivors UNION ALL SELECT * FROM reinserted
+    """,
+)
+def iceberg_evolve_delete_read(spark, sf_dir):
+    """Iceberg v2 schema evolution + equality deletes, end-to-end from
+    the public table spec (no runtime jar): snapshot 1 writes the
+    2-column schema, add_column evolves it (new field-id, old files
+    null-fill on read), snapshot 2 writes 3 columns, an equality-delete
+    snapshot removes every key divisible by 5 (content=2 delete file +
+    equality field-ids in the manifest), and snapshot 4 RE-INSERTS the
+    keys divisible by 40 — which must survive because a delete applies
+    only to data files with a strictly lower sequence number. Green iff
+    the merge-on-read scan reproduces exactly that algebra."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark.sinks import iceberg as I
+
+    base = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 == 0
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    first = base.filter(F.col("o_orderkey") % 8 == 0).drop("o_orderpriority")
+    second = base.filter(F.col("o_orderkey") % 8 != 0)
+    loc = tempfile.mkdtemp(prefix="gobblin_ice2_")
+    t = I.IcebergTable.create(spark, f"{loc}/tbl", first.schema)
+    t.append_dataframe(first)
+    t.add_column("o_orderpriority", T.StringType())
+    t.append_dataframe(second)
+    t.delete_equality(
+        base.filter(F.col("o_orderkey") % 5 == 0).select("o_orderkey")
+    )
+    t.append_dataframe(
+        base.filter(F.col("o_orderkey") % 40 == 0).withColumn(
+            "o_orderpriority", F.lit("REINSERT")
+        )
+    )
+    return t.read()
+
+
+@q(
     "envelope_decode_registry",
     """
     SELECT c_custkey, c_name, c_acctbal, c_mktsegment
@@ -2914,9 +2973,10 @@ DRIVER_FIRST = [
     "multimodal_decode_fake",
     # new in round 4
     "envelope_decode_registry", "quality_task_policies",
+    "iceberg_evolve_delete_read",
     # cross-round canaries (green in r2/r3; contamination fixed r4)
     "contamination_check_docs", "dedup_exact_docs",
-    "compaction_dedup_events", "purge_by_id", "window_tumbling_daily",
+    "compaction_dedup_events", "purge_by_id",
 ]
 assert len(DRIVER_FIRST) == 50, len(DRIVER_FIRST)
 assert set(DRIVER_FIRST) <= set(QUERIES), sorted(set(DRIVER_FIRST) - set(QUERIES))

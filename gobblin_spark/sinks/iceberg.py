@@ -14,13 +14,21 @@ Reference mapping:
 What is implemented: table create (schema + identity partition spec),
 append commits (one snapshot per commit, sequence numbers, snapshot
 log), manifest list/manifest files with the spec's field names and
-field-ids, snapshot expiration, time-travel reads, and a Spark-side
-``read()`` that resolves current-snapshot → manifest list → manifests
-→ parquet paths. Schema evolution, row-level deletes, and catalog
-integration are out of scope — with the iceberg-spark-runtime jar on
-the classpath use the real catalog instead (sinks/hive.register_iceberg
-documents that path). Metadata here is O(files) driver-side work,
-exactly like the reference's writer."""
+field-ids, snapshot expiration, time-travel reads, ADD-COLUMN schema
+evolution (spec "Schema Evolution": new field-id, old data files
+null-fill on read via an explicit read schema), v2 EQUALITY DELETES
+(spec "Equality Delete Files": content=2 delete files carrying the
+equality field-ids; a delete applies to rows in data files whose
+sequence number is STRICTLY LOWER, so re-inserted rows survive), and
+a Spark-side ``read()`` that resolves snapshot → manifest list →
+manifests → parquet paths and applies pending deletes as a broadcast
+anti-join keyed on the equality columns + a sequence-number guard.
+Column rename/drop (needs parquet field-id resolution our writers
+don't emit), position deletes, and catalog integration are out of
+scope — with the iceberg-spark-runtime jar on the classpath use the
+real catalog instead (sinks/hive.register_iceberg documents that
+path). Metadata here is O(files) driver-side work, exactly like the
+reference's writer."""
 
 from __future__ import annotations
 
@@ -45,6 +53,26 @@ _SPARK_TO_ICEBERG = {
     T.TimestampType(): "timestamptz",
     T.TimestampNTZType(): "timestamp",
 }
+
+_ICEBERG_TO_SPARK = {v: k for k, v in _SPARK_TO_ICEBERG.items()}
+
+
+def _spark_struct(ice_schema: dict) -> T.StructType:
+    """Iceberg struct schema → Catalyst StructType (primitives +
+    decimal, the same subset _iceberg_schema writes)."""
+    fields = []
+    for f in ice_schema["fields"]:
+        t = f["type"]
+        if t in _ICEBERG_TO_SPARK:
+            dt = _ICEBERG_TO_SPARK[t]
+        elif isinstance(t, str) and t.startswith("decimal"):
+            p, s = t[t.index("(") + 1:t.index(")")].split(",")
+            dt = T.DecimalType(int(p), int(s))
+        else:
+            raise TypeError(f"unsupported iceberg type {t}")
+        fields.append(T.StructField(f["name"], dt, not f["required"]))
+    return T.StructType(fields)
+
 
 # Avro schemas for the manifest list and manifest entries, with the
 # spec's field names and field-ids (Appendix: Avro manifest schemas).
@@ -79,6 +107,12 @@ _MANIFEST_ENTRY_SCHEMA = {
                 {"name": "file_format", "type": "string", "field-id": 101},
                 {"name": "record_count", "type": "long", "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                # equality field-ids (spec field 135/136); null for
+                # content=0 data files
+                {"name": "equality_ids", "field-id": 135,
+                 "type": ["null", {"type": "array", "items": "int",
+                                   "element-id": 136}],
+                 "default": None},
             ]}},
     ],
 }
@@ -199,6 +233,13 @@ class IcebergTable:
     def append_files(self, files: list[DataFileInfo]) -> int:
         """AppendFiles.appendFile + commit (IcebergMetadataWriter.java:578):
         one new snapshot whose manifest lists exactly these files."""
+        return self._commit_files(files, content=0, equality_ids=None,
+                                  operation="append")
+
+    def _commit_files(self, files: list[DataFileInfo], *, content: int,
+                      equality_ids: list[int] | None, operation: str) -> int:
+        """One snapshot committing *files* as DATA (content=0) or
+        EQUALITY DELETES (content=2, with the equality field-ids)."""
         md = self.metadata()
         seq = md["last-sequence-number"] + 1
         snap_id = int(uuid.uuid4().int % (1 << 62))
@@ -210,11 +251,12 @@ class IcebergTable:
             "sequence_number": seq,
             "file_sequence_number": seq,
             "data_file": {
-                "content": 0,  # DATA
+                "content": content,
                 "file_path": f.path,
                 "file_format": f.file_format,
                 "record_count": f.record_count,
                 "file_size_in_bytes": f.size_bytes,
+                "equality_ids": equality_ids,
             },
         } for f in files]
         manifest_path = (f"{self.location}/metadata/"
@@ -231,7 +273,8 @@ class IcebergTable:
             _, prior = ACF.read_container(self._read_bytes(cur["manifest-list"]))
         new_entry = {
             "manifest_path": manifest_path, "manifest_length": mlen,
-            "partition_spec_id": 0, "content": 0,
+            # manifest_file.content: 0 = data manifest, 1 = deletes
+            "partition_spec_id": 0, "content": 0 if content == 0 else 1,
             "sequence_number": seq, "min_sequence_number": seq,
             "added_snapshot_id": snap_id,
             "added_files_count": len(files), "existing_files_count": 0,
@@ -248,7 +291,7 @@ class IcebergTable:
             "snapshot-id": snap_id, "sequence-number": seq,
             "timestamp-ms": now, "manifest-list": mlist_path,
             "schema-id": md["current-schema-id"],
-            "summary": {"operation": "append",
+            "summary": {"operation": operation,
                         "added-data-files": str(len(files)),
                         "added-records":
                             str(sum(f.record_count for f in files))},
@@ -286,7 +329,9 @@ class IcebergTable:
     def snapshots(self) -> list[dict]:
         return self.metadata()["snapshots"]
 
-    def data_files(self, snapshot_id: int | None = None) -> list[DataFileInfo]:
+    def _entries(self, snapshot_id: int | None = None) -> list[dict]:
+        """Live manifest entries of a snapshot: [{info: DataFileInfo,
+        content: 0|2, sequence_number, equality_ids}]."""
         md = self.metadata()
         sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
         if sid == -1:
@@ -299,21 +344,156 @@ class IcebergTable:
             for e in entries:
                 if e["status"] in (1, 0):  # ADDED / EXISTING
                     d = e["data_file"]
-                    out.append(DataFileInfo(d["file_path"],
-                                            d["file_size_in_bytes"],
-                                            d["record_count"],
-                                            d["file_format"]))
+                    out.append({
+                        "info": DataFileInfo(d["file_path"],
+                                             d["file_size_in_bytes"],
+                                             d["record_count"],
+                                             d["file_format"]),
+                        "content": d.get("content", 0),
+                        "sequence_number": e.get("sequence_number") or 0,
+                        "equality_ids": d.get("equality_ids"),
+                    })
         return out
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def data_files(self, snapshot_id: int | None = None) -> list[DataFileInfo]:
+        return [e["info"] for e in self._entries(snapshot_id)
+                if e["content"] == 0]
+
+    def _schema_for(self, snapshot_id: int | None) -> T.StructType:
+        md = self.metadata()
+        schema_id = md["current-schema-id"]
+        if snapshot_id is not None:
+            snap = next((s for s in md["snapshots"]
+                         if s["snapshot-id"] == snapshot_id), None)
+            if snap is not None and "schema-id" in snap:
+                schema_id = snap["schema-id"]
+        ice = next(s for s in md["schemas"] if s["schema-id"] == schema_id)
+        return _spark_struct(ice)
+
+    def _field_names(self, ids: list[int]) -> list[str]:
+        md = self.metadata()
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        by_id = {f["id"]: f["name"] for f in cur["fields"]}
+        return [by_id[i] for i in ids]
+
+    def read(self, snapshot_id: int | None = None,
+             apply_deletes: bool = True) -> DataFrame:
         """Time-travel read: snapshot → manifest list → manifests →
         parquet paths → one multi-path scan (partition pruning and
-        pushdown apply as for any parquet read)."""
-        files = self.data_files(snapshot_id)
-        if not files:
-            return self.spark.createDataFrame(
-                [], T.StructType([]))  # empty table, empty schema
-        return self.spark.read.parquet(*[f.path for f in files])
+        pushdown apply as for any parquet read). The scan uses the
+        snapshot's own schema, so files written before an add-column
+        evolution null-fill the new column. Pending equality deletes
+        apply as a BROADCAST anti-join on the equality columns with a
+        sequence-number guard: a delete removes only rows from data
+        files with a STRICTLY LOWER sequence number (spec "Scan
+        Planning"), so rows re-inserted after the delete survive."""
+        from pyspark.sql import functions as F
+
+        entries = self._entries(snapshot_id)
+        data = [e for e in entries if e["content"] == 0]
+        dels = [e for e in entries if e["content"] == 2]
+        st = (self._schema_for(snapshot_id)
+              if self._version() else T.StructType([]))
+        if not data:
+            return self.spark.createDataFrame([], st)
+        if not dels or not apply_deletes:
+            return self.spark.read.schema(st).parquet(
+                *[e["info"].path for e in data])
+
+        # group data paths by commit sequence so the guard column is a
+        # literal per scan (no per-row file-name parsing)
+        by_seq: dict[int, list[str]] = {}
+        for e in data:
+            by_seq.setdefault(e["sequence_number"], []).append(e["info"].path)
+        df = None
+        for seq, paths in sorted(by_seq.items()):
+            part = self.spark.read.schema(st).parquet(*paths).withColumn(
+                "_data_seq", F.lit(seq))
+            df = part if df is None else df.unionByName(part)
+
+        # one anti-join per distinct equality-id set (normally one)
+        by_ids: dict[tuple, list[dict]] = {}
+        for e in dels:
+            by_ids.setdefault(tuple(e["equality_ids"] or ()), []).append(e)
+        for ids, dfiles in by_ids.items():
+            cols = self._field_names(list(ids))
+            dd = None
+            for e in dfiles:
+                one = self.spark.read.parquet(e["info"].path).select(
+                    *cols).withColumn(
+                        "_del_seq", F.lit(e["sequence_number"]))
+                dd = one if dd is None else dd.unionByName(one)
+            dd = dd.alias("_del")
+            df = df.alias("_dat")
+            cond = F.col("_del._del_seq") > F.col("_dat._data_seq")
+            for c in cols:
+                cond = cond & (F.col(f"_dat.{c}") == F.col(f"_del.{c}"))
+            df = df.join(F.broadcast(dd), cond, "left_anti")
+        return df.drop("_data_seq")
+
+    # -- schema evolution ------------------------------------------------
+    def add_column(self, name: str, dtype: T.DataType) -> int:
+        """Add an optional column (spec "Schema Evolution"): a fresh
+        field-id from last-column-id, a new schema entry, and the
+        current-schema-id flips — data files never rewrite; readers
+        null-fill. Returns the new schema-id."""
+        md = self.metadata()
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        if any(f["name"] == name for f in cur["fields"]):
+            raise ValueError(f"column {name} already exists")
+        t = _SPARK_TO_ICEBERG.get(dtype)
+        if t is None:
+            raise TypeError(f"no iceberg primitive for {dtype.simpleString()}")
+        new_id = md["last-column-id"] + 1
+        new_schema_id = max(s["schema-id"] for s in md["schemas"]) + 1
+        md["schemas"].append({
+            "type": "struct", "schema-id": new_schema_id,
+            "fields": cur["fields"] + [
+                {"id": new_id, "name": name, "required": False, "type": t}],
+        })
+        md["current-schema-id"] = new_schema_id
+        md["last-column-id"] = new_id
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(md)
+        return new_schema_id
+
+    # -- row-level deletes -----------------------------------------------
+    def delete_equality(self, keys: DataFrame) -> int:
+        """Commit an equality-delete snapshot: *keys* (one column per
+        equality key, e.g. the GDPR id list) is written as a parquet
+        delete file whose manifest entry carries content=2 + the
+        equality field-ids (spec "Equality Delete Files"). O(deleted
+        keys) written; no data file rewrites — the merge happens at
+        read (merge-on-read v2 semantics)."""
+        import pyarrow.parquet as pq
+
+        md = self.metadata()
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        by_name = {f["name"]: f["id"] for f in cur["fields"]}
+        missing = [c for c in keys.columns if c not in by_name]
+        if missing:
+            raise ValueError(f"equality columns not in schema: {missing}")
+        eq_ids = [by_name[c] for c in keys.columns]
+
+        sub = f"{self.location}/data/{uuid.uuid4().hex[:12]}-deletes"
+        keys.dropDuplicates().write.mode("overwrite").parquet(sub)
+        fs, base, _ = self._fs(sub)
+        files = []
+        it = fs.listFiles(base, True)
+        while it.hasNext():
+            stt = it.next()
+            nm = stt.getPath().getName()
+            if nm.startswith(("_", ".")) or not nm.endswith(".parquet"):
+                continue
+            local = stt.getPath().toUri().getPath()
+            rows = pq.ParquetFile(local).metadata.num_rows
+            files.append(DataFileInfo(stt.getPath().toString(),
+                                      stt.getLen(), rows))
+        return self._commit_files(files, content=2, equality_ids=eq_ids,
+                                  operation="delete")
 
     def expire_snapshots(self, older_than_ms: int) -> int:
         """ExpireSnapshots.expireOlderThan + commit

@@ -73,3 +73,51 @@ def test_expire_snapshots_keeps_current(spark, sf_dir, tmp_path):
     assert dropped == 1
     assert [s["snapshot-id"] for s in t.snapshots()] == [snap2]
     assert t.read().count() == 2 * region.count()  # current data intact
+
+
+def test_add_column_null_fills_old_files(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    df1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    t = I.IcebergTable.create(spark, str(tmp_path / "evo"), df1.schema)
+    s1 = t.append_dataframe(df1)
+    t.add_column("tag", T.StringType())
+    t.append_dataframe(
+        spark.createDataFrame([(3, 30.0, "x")], "k long, v double, tag string"))
+    cur = {r.k: r.tag for r in t.read().collect()}
+    assert cur == {1: None, 2: None, 3: "x"}
+    # metadata: fresh field-id, current-schema-id flipped, old schema kept
+    md = t.metadata()
+    assert md["last-column-id"] == 3 and len(md["schemas"]) == 2
+    # time-travel to s1 uses the snapshot's OWN schema (2 columns)
+    assert t.read(snapshot_id=s1).columns == ["k", "v"]
+
+
+def test_equality_delete_sequence_semantics(spark, tmp_path):
+    df1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string")
+    t = I.IcebergTable.create(spark, str(tmp_path / "del"), df1.schema)
+    t.append_dataframe(df1)
+    before_delete = t.metadata()["current-snapshot-id"]
+    t.delete_equality(spark.createDataFrame([(2,), (3,)], "k long"))
+    t.append_dataframe(  # re-insert k=3 AFTER the delete
+        spark.createDataFrame([(3, "c2")], "k long, s string"))
+    assert {r.k: r.s for r in t.read().collect()} == {1: "a", 3: "c2"}
+    # reading the pre-delete snapshot still sees all three rows
+    assert sorted(r.k for r in t.read(snapshot_id=before_delete).collect()) \
+        == [1, 2, 3]
+    # apply_deletes=False exposes the raw merge-on-read data files
+    assert sorted(r.k for r in t.read(apply_deletes=False).collect()) \
+        == [1, 2, 3, 3]
+    # manifest carries content=2 + the equality field-id of k
+    dels = [e for e in t._entries() if e["content"] == 2]
+    assert len(dels) == 1 and dels[0]["equality_ids"] == [1]
+
+
+def test_delete_unknown_column_rejected(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = I.IcebergTable.create(spark, str(tmp_path / "bad"), df.schema)
+    t.append_dataframe(df)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="equality columns"):
+        t.delete_equality(spark.createDataFrame([(1,)], "nope long"))
