@@ -2907,6 +2907,80 @@ def quality_task_policies(spark, sf_dir):
     )
 
 
+@q(
+    "asof_join_events",
+    """
+    WITH marks AS (
+      SELECT user_id, ts AS mark_ts, max(value) AS mark_value
+      FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_id % 10 <> 0 AND event_id % 3 = 0
+    )
+    SELECT event_id, clicks.user_id AS user_id, ts, mark_ts,
+           round(mark_value, 6) AS mark_value
+    FROM clicks ASOF LEFT JOIN marks
+      ON clicks.user_id = marks.user_id AND clicks.ts >= marks.mark_ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """AS-OF join (DuckDB ASOF JOIN / pandas merge_asof semantics,
+    which Spark lacks as a primitive): every click event picks up the
+    most recent mark event of the same user at-or-before its
+    timestamp; clicks before any mark keep nulls. One shuffle on the
+    user key — union + last(ignorenulls) window — no per-row lookups,
+    no broadcast requirement (functions/joins.py design notes)."""
+    from gobblin_spark.functions import joins as JN
+
+    ev = load_table(spark, sf_dir, "events")
+    marks = (
+        ev.filter(F.col("event_id") % 10 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("mark_value"))
+        .select("user_id", "ts", F.col("ts").alias("mark_ts"), "mark_value")
+    )
+    clicks = ev.filter(
+        (F.col("event_id") % 10 != 0) & (F.col("event_id") % 3 == 0)
+    ).select("event_id", "user_id", "ts")
+    out = JN.asof_join(clicks, marks, on="ts", by=["user_id"])
+    return out.select(
+        "event_id", "user_id", "ts", "mark_ts",
+        F.round("mark_value", 6).alias("mark_value"),
+    )
+
+
+@q(
+    "range_join_events",
+    """
+    SELECT l.event_id, l.ts, r.win_id, r.lo, r.hi
+    FROM (SELECT event_id, ts FROM events WHERE event_id % 7 = 0) l
+    JOIN (SELECT event_id AS win_id, ts AS lo,
+                 ts + INTERVAL 2 HOUR AS hi
+          FROM events WHERE event_id % 100 = 0) r
+      ON l.ts BETWEEN r.lo AND r.hi
+    """,
+)
+def range_join_events(spark, sf_dir):
+    """Interval RANGE join: events falling inside any 2-hour
+    maintenance window. A naive BETWEEN join has no equi-key and plans
+    as a nested-loop cartesian; functions/joins.range_join explodes
+    each interval onto a coarse bucket grid (here 1 h) and hash-joins
+    on the bucket before the exact predicate, so the plan shuffles
+    instead of broadcasting the world."""
+    from gobblin_spark.functions import joins as JN
+
+    ev = load_table(spark, sf_dir, "events")
+    wins = ev.filter(F.col("event_id") % 100 == 0).select(
+        F.col("event_id").alias("win_id"),
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
+    )
+    left = ev.filter(F.col("event_id") % 7 == 0).select("event_id", "ts")
+    out = JN.range_join(left, wins, "ts", "lo", "hi", bucket=3600)
+    return out.select("event_id", "ts", "win_id", "lo", "hi")
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
