@@ -381,3 +381,60 @@ def tf_idf_top_terms(
         .select(id_col, "token", "tf", "df_t", "score_ppb",
                 F.col("rank").cast("int").alias("rank"))
     )
+
+
+def unigram_lm(train: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram language model from a reference corpus: one row per
+    word with its count and the corpus total (CCNet trains a KenLM on
+    Wikipedia and scores CommonCrawl by perplexity — Wenzek et al.
+    2020 §3.3; the unigram tier keeps the whole computation
+    SQL-exact). One explode + one groupBy; the total rides along as a
+    window-free cross-joinable 1-row aggregate folded in here so the
+    LM is a single self-contained DataFrame (word, n, total)."""
+    words = (
+        train.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return counts.crossJoin(F.broadcast(total))
+
+
+def perplexity_scores(
+    score: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Mean negative log-probability per token under *lm* (log-domain
+    perplexity; exp() of it is the conventional number — kept as the
+    log so the oracle's arithmetic is identical). Add-alpha smoothing
+    over the training vocabulary V handles OOV tokens:
+
+        p(w) = (n_w + alpha) / (total + alpha * (V + 1))
+
+    Plan: explode score tokens (slim (id, word) rows), LEFT join the
+    LM on word — broadcast when the vocab is small, hash join at
+    corpus scale — then one groupBy(id) avg. Low scores = fluent
+    in-domain text; filter on a threshold downstream."""
+    vocab_total = lm.select(
+        F.count("*").alias("v"), F.first("total").alias("total"))
+    toks = (
+        score.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    joined = toks.join(lm.select("word", "n"), "word", "left").crossJoin(
+        F.broadcast(vocab_total))
+    neglog = -F.log(
+        (F.coalesce(F.col("n"), F.lit(0)) + F.lit(alpha))
+        / (F.col("total") + F.lit(alpha) * (F.col("v") + F.lit(1)))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.round(F.avg(neglog), 6).alias("neg_logprob"),
+             F.count("*").cast("long").alias("n_tokens"))
+    )

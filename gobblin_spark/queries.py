@@ -2908,6 +2908,43 @@ def quality_task_policies(spark, sf_dir):
 
 
 @q(
+    "text_perplexity_scores",
+    f"""
+    WITH tr AS (SELECT {_NORM_SQL} AS nt FROM documents WHERE doc_id % 3 = 0),
+    words AS (
+      SELECT unnest(regexp_split_to_array(nt, ' ')) AS word FROM tr
+      WHERE nt <> ''
+    ),
+    lm AS (SELECT word, count(*) AS n FROM words WHERE word <> '' GROUP BY word),
+    vt AS (SELECT count(*) AS v, sum(n) AS total FROM lm),
+    sc AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents
+           WHERE doc_id % 3 <> 0),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(nt, ' ')) AS word
+      FROM sc WHERE nt <> ''
+    )
+    SELECT doc_id,
+           round(avg(-ln((coalesce(n, 0) + 0.5)
+                         / (total + 0.5 * (v + 1)))), 6) AS neg_logprob,
+           count(*) AS n_tokens
+    FROM (SELECT t.doc_id, lm.n FROM toks t LEFT JOIN lm USING (word)
+          WHERE t.word <> '') CROSS JOIN vt
+    GROUP BY doc_id
+    """,
+)
+def text_perplexity_scores(spark, sf_dir):
+    """CCNet-style perplexity filtering (Wenzek et al. 2020 §3.3) at
+    the SQL-exact unigram tier: train a unigram LM on every third
+    document, score the rest by mean negative log-probability with
+    add-0.5 smoothing over the training vocabulary. Identical
+    arithmetic shape on both engines (ratio → ln → avg → round 6)."""
+    docs = load_docs(spark, sf_dir)
+    lm = text.unigram_lm(docs.filter(F.col("doc_id") % 3 == 0))
+    return text.perplexity_scores(
+        docs.filter(F.col("doc_id") % 3 != 0), lm)
+
+
+@q(
     "asof_join_events",
     """
     WITH marks AS (

@@ -325,3 +325,23 @@ def test_semantic_dedup_survivors(spark):
     kept = sorted(r.vec_id for r in S.semantic_dedup_survivors(
         emb, "vec_id", "embedding", dim=4, threshold=0.99).collect())
     assert kept == [1, 3]
+
+
+def test_perplexity_prefers_in_domain_text(spark):
+    from gobblin_spark.functions import text as TX
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 5) for i in range(10)],
+        "doc_id long, text string")
+    lm = TX.unigram_lm(train)
+    score = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),
+         (101, "zyx qwv jjkl plmo zzzz xxxx")],  # all OOV
+        "doc_id long, text string")
+    out = {r.doc_id: r.neg_logprob for r in
+           TX.perplexity_scores(score, lm).collect()}
+    assert out[100] < out[101]  # fluent in-domain text scores lower
+    # token counts are exact
+    nt = {r.doc_id: r.n_tokens for r in
+          TX.perplexity_scores(score, lm).collect()}
+    assert nt == {100: 6, 101: 6}
