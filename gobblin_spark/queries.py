@@ -3045,6 +3045,10 @@ HEADLINE = [
     # round-3 additions: decontamination + capped inverted-index jaccard
     "contamination_check_docs",
     "ngram_jaccard_docs",
+    # round-4 additions: temporal joins + perplexity filtering
+    "asof_join_events",
+    "range_join_events",
+    "text_perplexity_scores",
 ]
 
 
