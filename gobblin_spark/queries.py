@@ -2945,6 +2945,166 @@ def text_perplexity_scores(spark, sf_dir):
 
 
 @q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution via an outer
+    join whose FILTER LIVES IN THE JOIN CONDITION (not a post-filter —
+    that would drop the zero-order customers the query exists to
+    count), then a double aggregation. One join shuffle + two slim agg
+    shuffles; the second groupBy sees one row per customer."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@q(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'SMALL%'
+      AND p_size IN (1, 2, 3, 4, 5)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (lineitem stands in for partsupp): distinct
+    suppliers per part attribute. All part predicates reach the scan;
+    the part side broadcasts into the fact; COUNT(DISTINCT) expands to
+    a two-phase exact distinct aggregation (partial dedup map-side)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & ~F.col("p_type").startswith("SMALL")
+        & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: the correlated per-part average decorrelates
+    into a slim (partkey, threshold) aggregate joined back to the fact
+    — the same rewrite Catalyst's subquery decorrelation performs.
+    Safe to hash-check: l_quantity is integer-valued, so the per-part
+    sum is exact in double regardless of partition order and the
+    threshold is bit-identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    thr = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_thr"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@q(
+    "q22_dormant_customers",
+    """
+    WITH thr AS (
+      SELECT round(avg(c_acctbal), 6) AS t FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, thr
+    WHERE c_acctbal > t
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape: rich customers with no urgent orders — a
+    scalar average threshold (rounded to 6 dp so a last-ULP
+    difference in double summation order cannot flip boundary rows)
+    broadcast onto the scan, then a LEFT ANTI join against the
+    filtered orders before the aggregation. The anti join ships only
+    custkeys; the priority predicate is pushed to the orders scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 6).alias("t"))
+    rich = c.crossJoin(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("t"))
+    dormant = rich.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey",
+        "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+@q(
+    "stats_length_percentiles",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99
+    FROM documents GROUP BY lang
+    """,
+)
+def stats_length_percentiles(spark, sf_dir):
+    """Per-language document-length percentiles — the
+    corpus-composition report before threshold picking. Spark's exact
+    `percentile` uses the same linear interpolation as DuckDB's
+    quantile_cont, so the oracle is bit-matchable after round(4). At
+    100 TB swap `percentile` → `approx_percentile(col, p, 10000)`
+    (t-digest-style sketch, mergeable map-side, no per-group sort) —
+    same call shape, no longer oracle-exact by construction."""
+    docs = load_docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+    )
+
+
+@q(
     "asof_join_events",
     """
     WITH marks AS (
