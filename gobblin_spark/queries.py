@@ -3078,6 +3078,58 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "bucketed_join_revenue",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_revenue(spark, sf_dir):
+    """Co-located bucketed join, end-to-end: both tables are WRITTEN
+    bucketed on the join key (writers.write_bucketed — the Spark
+    analog of the reference pre-partitioning compacted output by key),
+    then joined with broadcast disabled. Both scans report the same
+    HashPartitioning so the join runs with ZERO Exchange operators —
+    asserted here, not just hoped: the query raises if a shuffle
+    appears. At 100 TB this is the lever that amortizes the fact
+    table's shuffle across every downstream join on the key."""
+    import uuid as _uuid
+
+    from gobblin_spark.sinks import writers as W
+
+    tag = _uuid.uuid4().hex[:8]
+    to, tc = f"bj_orders_{tag}", f"bj_cust_{tag}"
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    W.write_bucketed(orders, to, ["o_custkey"], num_buckets=8)
+    W.write_bucketed(cust, tc, ["c_custkey"], num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(to).join(
+            spark.table(tc),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        out = joined.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if plan.count("Exchange hashpartitioning") > 1:
+            raise RuntimeError("bucketed join still shuffled:\n" + plan[:800])
+        rows = out.collect()  # materialize before the tables drop
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        spark.sql(f"DROP TABLE IF EXISTS {tc}")
+    return spark.createDataFrame(rows, out.schema)
+
+
+@q(
     "stats_length_percentiles",
     """
     SELECT lang, count(*) AS n_docs,

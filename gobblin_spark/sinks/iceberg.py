@@ -20,15 +20,18 @@ null-fill on read via an explicit read schema), v2 EQUALITY DELETES
 (spec "Equality Delete Files": content=2 delete files carrying the
 equality field-ids; a delete applies to rows in data files whose
 sequence number is STRICTLY LOWER, so re-inserted rows survive), and
-a Spark-side ``read()`` that resolves snapshot → manifest list →
-manifests → parquet paths and applies pending deletes as a broadcast
-anti-join keyed on the equality columns + a sequence-number guard.
-Column rename/drop (needs parquet field-id resolution our writers
-don't emit), position deletes, and catalog integration are out of
-scope — with the iceberg-spark-runtime jar on the classpath use the
-real catalog instead (sinks/hive.register_iceberg documents that
-path). Metadata here is O(files) driver-side work, exactly like the
-reference's writer."""
+POSITION DELETES (spec "Position Delete Files": content=1 files of
+(file_path, pos) addressed via Spark's ``_metadata.file_path`` /
+``_metadata.row_index`` parquet columns, applied to data files with
+sequence number <= the delete's), and a Spark-side ``read()`` that
+resolves snapshot → manifest list → manifests → parquet paths and
+applies pending deletes of both flavors as broadcast anti-joins with
+the spec's sequence-number guards. Column rename/drop (needs parquet
+field-id resolution our writers don't emit) and catalog integration
+are out of scope — with the iceberg-spark-runtime jar on the
+classpath use the real catalog instead (sinks/hive.register_iceberg
+documents that path). Metadata here is O(files) driver-side work,
+exactly like the reference's writer."""
 
 from __future__ import annotations
 
@@ -392,12 +395,13 @@ class IcebergTable:
 
         entries = self._entries(snapshot_id)
         data = [e for e in entries if e["content"] == 0]
-        dels = [e for e in entries if e["content"] == 2]
+        dels_pos = [e for e in entries if e["content"] == 1]
+        dels_eq = [e for e in entries if e["content"] == 2]
         st = (self._schema_for(snapshot_id)
               if self._version() else T.StructType([]))
         if not data:
             return self.spark.createDataFrame([], st)
-        if not dels or not apply_deletes:
+        if not (dels_eq or dels_pos) or not apply_deletes:
             return self.spark.read.schema(st).parquet(
                 *[e["info"].path for e in data])
 
@@ -408,13 +412,24 @@ class IcebergTable:
             by_seq.setdefault(e["sequence_number"], []).append(e["info"].path)
         df = None
         for seq, paths in sorted(by_seq.items()):
-            part = self.spark.read.schema(st).parquet(*paths).withColumn(
-                "_data_seq", F.lit(seq))
+            part = self.spark.read.schema(st).parquet(*paths)
+            if dels_pos:
+                # Spark's parquet metadata columns give the (file, row)
+                # identity a position delete addresses; file_path here
+                # equals Hadoop Path.toString() (verified both are
+                # 'file:/...'), the same string the delete file stores.
+                part = part.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_fp"),
+                    F.col("_metadata.row_index").alias("_pos"),
+                )
+            part = part.withColumn("_data_seq", F.lit(seq))
             df = part if df is None else df.unionByName(part)
 
-        # one anti-join per distinct equality-id set (normally one)
+        # equality deletes: one anti-join per distinct field-id set
+        # (normally one); apply to STRICTLY earlier data files
         by_ids: dict[tuple, list[dict]] = {}
-        for e in dels:
+        for e in dels_eq:
             by_ids.setdefault(tuple(e["equality_ids"] or ()), []).append(e)
         for ids, dfiles in by_ids.items():
             cols = self._field_names(list(ids))
@@ -430,6 +445,25 @@ class IcebergTable:
             for c in cols:
                 cond = cond & (F.col(f"_dat.{c}") == F.col(f"_del.{c}"))
             df = df.join(F.broadcast(dd), cond, "left_anti")
+
+        # position deletes: (file_path, pos) anti-join; the spec applies
+        # them to data files with sequence number <= the delete's
+        if dels_pos:
+            pd_ = None
+            for e in dels_pos:
+                one = self.spark.read.parquet(e["info"].path).select(
+                    "file_path", "pos").withColumn(
+                        "_del_seq", F.lit(e["sequence_number"]))
+                pd_ = one if pd_ is None else pd_.unionByName(one)
+            pd_ = pd_.alias("_pdel")
+            df = df.alias("_dat")
+            cond = (
+                (F.col("_pdel._del_seq") >= F.col("_dat._data_seq"))
+                & (F.col("_dat._fp") == F.col("_pdel.file_path"))
+                & (F.col("_dat._pos") == F.col("_pdel.pos"))
+            )
+            df = df.join(F.broadcast(pd_), cond, "left_anti").drop(
+                "_fp", "_pos")
         return df.drop("_data_seq")
 
     # -- schema evolution ------------------------------------------------
@@ -493,6 +527,37 @@ class IcebergTable:
             files.append(DataFileInfo(stt.getPath().toString(),
                                       stt.getLen(), rows))
         return self._commit_files(files, content=2, equality_ids=eq_ids,
+                                  operation="delete")
+
+    def delete_positions(self, positions: DataFrame) -> int:
+        """Commit a POSITION-delete snapshot (spec "Position Delete
+        Files", content=1): *positions* must carry exactly
+        (file_path string, pos long) — the target data file's path as
+        stored in the manifest and the 0-based row index within it.
+        Produce it from a read with Spark's parquet metadata columns:
+        ``_metadata.file_path`` / ``_metadata.row_index``. Applied at
+        read as an anti-join on (file, row) against data files with
+        sequence number <= the delete's."""
+        import pyarrow.parquet as pq
+
+        if sorted(positions.columns) != ["file_path", "pos"]:
+            raise ValueError(
+                f"positions needs (file_path, pos), got {positions.columns}")
+        sub = f"{self.location}/data/{uuid.uuid4().hex[:12]}-posdeletes"
+        positions.dropDuplicates().write.mode("overwrite").parquet(sub)
+        fs, base, _ = self._fs(sub)
+        files = []
+        it = fs.listFiles(base, True)
+        while it.hasNext():
+            stt = it.next()
+            nm = stt.getPath().getName()
+            if nm.startswith(("_", ".")) or not nm.endswith(".parquet"):
+                continue
+            local = stt.getPath().toUri().getPath()
+            rows = pq.ParquetFile(local).metadata.num_rows
+            files.append(DataFileInfo(stt.getPath().toString(),
+                                      stt.getLen(), rows))
+        return self._commit_files(files, content=1, equality_ids=None,
                                   operation="delete")
 
     def expire_snapshots(self, older_than_ms: int) -> int:

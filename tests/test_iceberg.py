@@ -121,3 +121,35 @@ def test_delete_unknown_column_rejected(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="equality columns"):
         t.delete_equality(spark.createDataFrame([(1,)], "nope long"))
+
+
+def test_position_delete_by_file_and_row(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, s string")
+    t = I.IcebergTable.create(spark, str(tmp_path / "pos"), df.schema)
+    t.append_dataframe(df)
+    # address rows k in (2, 4) by their physical (file, row) identity
+    positions = t.read().select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "k",
+    ).filter(F.col("k").isin(2, 4)).drop("k")
+    t.delete_positions(positions)
+    assert sorted(r.k for r in t.read().collect()) == [1, 3]
+    # rows appended AFTER the position delete are untouched (seq guard)
+    t.append_dataframe(spark.createDataFrame([(9, "z")], "k long, s string"))
+    assert sorted(r.k for r in t.read().collect()) == [1, 3, 9]
+    # schema of the merged read is clean (no metadata helper columns)
+    assert t.read().columns == ["k", "s"]
+    # and both delete flavors coexist: equality-delete k=3 on top
+    t.delete_equality(spark.createDataFrame([(3,)], "k long"))
+    assert sorted(r.k for r in t.read().collect()) == [1, 9]
+
+
+def test_position_delete_rejects_bad_schema(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = I.IcebergTable.create(spark, str(tmp_path / "posbad"), df.schema)
+    t.append_dataframe(df)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="file_path"):
+        t.delete_positions(spark.createDataFrame([(1,)], "x long"))
