@@ -3078,6 +3078,88 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "scd2_user_event_type",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id % 25 = 0
+    ),
+    runs AS (
+      SELECT user_id, ts, event_type,
+             sum(CASE WHEN event_type IS DISTINCT FROM prev_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_type) AS valid_to
+    FROM (
+      SELECT user_id, event_type, run_id, min(ts) AS valid_from
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    """,
+)
+def scd2_user_event_type(spark, sf_dir):
+    """SCD-type-2 dimension build from an event stream: collapse each
+    user's consecutive runs of the same event_type into
+    (valid_from, valid_to) intervals — gaps-and-islands via a
+    change-flag running sum, then lead() for the closing bound (open
+    interval = NULL). Two window passes + one groupBy, all partitioned
+    by the user key; ties broken on event_id so both engines see the
+    same order."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 25 == 0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id", "ts", "event_type",
+        F.sum(
+            F.when(
+                ~F.col("event_type").eqNullSafe(
+                    F.lag("event_type").over(w)),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("run_id"),
+    )
+    intervals = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from")).drop("run_id")
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "event_type")
+    return intervals.select(
+        "user_id", "event_type", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+
+
+@q(
+    "rollup_revenue",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (CAST(year(o_orderdate) AS INTEGER), o_orderpriority)
+    """,
+)
+def rollup_revenue(spark, sf_dir):
+    """Hierarchical ROLLUP totals (year → priority → grand total) in
+    one pass: Spark expands the grouping sets map-side, so the shuffle
+    carries one partial row per (set, key) — no per-level rescans.
+    Null grouping keys in the super-aggregate rows match ANSI."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("yr", F.year("o_orderdate"))
+        .rollup("yr", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+@q(
     "bucketed_join_revenue",
     """
     SELECT o_orderpriority, count(*) AS n,
