@@ -3078,6 +3078,78 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "commit_sequence_replay",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+)
+def commit_sequence_replay(spark, sf_dir):
+    """Exactly-once commit sequence, REPLAYED (CommitSequence.java /
+    FsCommitSequenceStore.java): stage a parallel write, persist a
+    (publish → watermark → marker) sequence, execute it, then execute
+    the SAME sequence again as a crash-recovery replay — every step
+    must no-op on the second pass. Green iff the final directory holds
+    exactly one copy of the rows (a non-idempotent publish would
+    double them or fail) and the replay left the marker/watermark
+    unchanged."""
+    import tempfile
+
+    from gobblin_spark.sinks import commit_sequence as CS
+    from gobblin_spark.sinks import writers as W
+
+    high = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "2-HIGH"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="gobblin_cseq_")
+    staging, final = f"{root}/staging", f"{root}/final"
+    W.write_data(high, staging, fmt="parquet")
+    seq = CS.Sequence(job_id="replay_demo", steps=[
+        CS.publish_step(staging, final),
+        CS.watermark_step(f"{root}/wm", "orders", {"value": 42}),
+        CS.marker_step(f"{root}/_done"),
+    ])
+    store = CS.CommitSequenceStore(spark, f"{root}/store")
+    store.persist(seq)
+    store.execute(seq)
+    replayed = [s for s in store.pending() if s.job_id == "replay_demo"]
+    if replayed:  # crash-recovery path: re-execute from the store
+        store.execute(replayed[0])
+    store.execute(seq)  # and an explicit double-execute must no-op too
+    return W.read_data(spark, final, "parquet")
+
+
+@q(
+    "embedding_near_dup_checked",
+    f"""
+    WITH s AS (SELECT * FROM embeddings WHERE vec_id % 10 = 0)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+             round({_COS_SQL}, 6) AS cosine
+      FROM s q JOIN s c ON q.vec_id < c.vec_id
+    ) WHERE cosine >= 0.3
+    """,
+)
+def embedding_near_dup_checked(spark, sf_dir):
+    """Embedding near-duplicate pairs through the LSH machinery in its
+    recall-exhaustive configuration (bands = n_planes, one hyperplane
+    per band: a pair escapes candidacy only if EVERY plane separates
+    it — miss probability (angle/pi)^16, < 1e-6 at this threshold on
+    this data, and deterministic under the fixed seed), so the banded
+    candidate → exact-verify pipeline must reproduce brute force
+    bit-for-bit. Production uses bands << n_planes for the selectivity
+    that makes the band join sub-quadratic; the rows-only
+    `embedding_near_dup` entry exercises that configuration."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0)
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", dim=dim,
+        threshold=0.3, n_planes=16, bands=16,
+    )
+
+
+@q(
     "scd2_user_event_type",
     """
     WITH flagged AS (
