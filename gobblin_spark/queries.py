@@ -3078,6 +3078,71 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "q15_top_supplier",
+    """
+    WITH ship AS (
+      SELECT l_suppkey, count(*) AS n_ship
+      FROM lineitem WHERE l_shipdate >= DATE '1996-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_ship
+    FROM supplier JOIN ship ON s_suppkey = l_suppkey
+    WHERE n_ship = (SELECT max(n_ship) FROM ship)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: a derived revenue view joined against its own
+    scalar maximum (ties kept). The count metric keeps the comparison
+    integer-exact — max-equality on a floating revenue sum would be
+    ULP-fragile across engines. The 1-row max broadcasts; the view
+    computes once (Spark reuses the shuffle via exchange reuse)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+    ship = li.groupBy("l_suppkey").agg(F.count("*").alias("n_ship"))
+    mx = ship.agg(F.max("n_ship").alias("_mx"))
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        ship.crossJoin(F.broadcast(mx))
+        .filter(F.col("n_ship") == F.col("_mx"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_ship")
+    )
+
+
+@q(
+    "pivot_event_type_daily",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type NOT IN
+                            ('click', 'view', 'purchase')) AS other
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+)
+def pivot_event_type_daily(spark, sf_dir):
+    """Pivoted daily event-type matrix. Spark's pivot with an EXPLICIT
+    value list compiles to conditional aggregates in ONE pass (same
+    plan as the oracle's FILTER clauses); omitting the list would add
+    a driver-side distinct scan to discover values — never do that at
+    100 TB. Unlisted types fold into 'other' so the matrix is total."""
+    ev = load_table(spark, sf_dir, "events")
+    known = ["click", "view", "purchase"]
+    tagged = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        F.when(F.col("event_type").isin(known), F.col("event_type"))
+        .otherwise("other").alias("et"),
+    )
+    return (
+        tagged.groupBy("day")
+        .pivot("et", known + ["other"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, known + ["other"])
+    )
+
+
+@q(
     "commit_sequence_replay",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
