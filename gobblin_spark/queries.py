@@ -3488,12 +3488,14 @@ HEADLINE = [
 # ------------------------------------------------------------------
 # The driver's correctness gate evaluates only the FIRST 50 entries of
 # the queries() dict (list(QUERIES)[:50], confirmed rounds 2-3). The
-# catalog holds 95, so ordering decides which operators get a driver
-# row. Round 4 fronts the 43 entries that have never had one (all
-# locally green via scripts/check_oracles.py), the 2 new round-4
-# queries, and 5 cross-round canaries; everything else keeps its
+# catalog holds 111, so ordering decides which operators get a driver
+# row. Round 4 fronts the 43 entries that had never had one (all
+# locally green via scripts/check_oracles.py), three new round-4
+# queries, and 4 cross-round canaries; everything else keeps its
 # registration order behind the window. Rotate per round until every
-# entry has a green row in some CORRECTNESS_r*.json.
+# entry has a green row in some CORRECTNESS_r*.json —
+# scripts/rotate_window.py computes the next rotation from the
+# accumulated CORRECTNESS files.
 DRIVER_FIRST = [
     # TPC-H shapes — never driver-verified
     "q1_pricing_summary", "q3_segment_revenue", "q5_region_volume",
