@@ -3078,6 +3078,35 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "zorder_clustered_scan",
+    """
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_orderkey <= 3000 AND l_partkey <= 400
+    """,
+)
+def zorder_clustered_scan(spark, sf_dir):
+    """Z-order clustered write + selective read-back: lineitem is
+    rewritten with writers.write_zordered on (l_orderkey, l_partkey)
+    — range-partitioned on the Morton key so every file is a small
+    rectangle in the 2-column space — then scanned with a tight
+    predicate on BOTH columns. Values must survive the rewrite
+    exactly; the file-skipping property itself (either column's
+    predicate touches a minority of files) is plan-asserted in
+    tests/test_skew_bucketing.py."""
+    import tempfile
+
+    from gobblin_spark.sinks import writers as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    out = tempfile.mkdtemp(prefix="gobblin_zorder_") + "/li"
+    W.write_zordered(li, out, ["l_orderkey", "l_partkey"], n_files=16)
+    return spark.read.parquet(out).filter(
+        (F.col("l_orderkey") <= 3000) & (F.col("l_partkey") <= 400))
+
+
+@q(
     "q15_top_supplier",
     """
     WITH ship AS (

@@ -276,3 +276,55 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+def zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 16):
+    """Morton (Z-order) key over up to 4 numeric columns: each column
+    min-max-normalizes to ``bits`` levels (bounds = one tiny 2-value
+    aggregate per column, broadcast as literals), then the level bits
+    interleave into one long. Pure Column bitwise expressions — no UDF.
+    Returns (df_with__zval, bounds)."""
+    if not 1 <= len(cols) <= 4 or bits * len(cols) > 62:
+        raise ValueError("zorder: 1-4 columns, bits*ncols <= 62")
+    agg = df.agg(*[f(c) for c in cols
+                   for f in (F.min, F.max)]).collect()[0]
+    bounds = {c: (agg[2 * i], agg[2 * i + 1]) for i, c in enumerate(cols)}
+    levels = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        lo, hi = bounds[c]
+        span = float(hi - lo) or 1.0
+        q = F.least(
+            F.lit(levels),
+            F.floor((F.col(c).cast("double") - F.lit(float(lo)))
+                    / F.lit(span) * F.lit(levels)).cast("long"),
+        )
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(q, b).bitwiseAND(F.lit(1)),
+                            b * len(cols) + ci))
+    return df.withColumn("_zval", z), bounds
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int = 32,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write (the OPTIMIZE ZORDER analog for
+    this engine's lake-maintenance tier; complements compaction):
+    range-partition on the Morton key so each output file owns a
+    contiguous Z-range — i.e. a small rectangle in the column space —
+    then sort within partitions so parquet row-group min/max stats are
+    tight on EVERY z-ordered column. A later scan filtering on ANY of
+    the columns (not just a lexicographic prefix, the sort-order
+    failure mode) skips most files on footer stats alone. One range
+    shuffle; the per-file sort is partition-local."""
+    zdf, _ = zorder_value(df, cols, bits)
+    (zdf.repartitionByRange(n_files, "_zval")
+        .sortWithinPartitions("_zval")
+        .drop("_zval")
+        .write.mode(mode).parquet(path))

@@ -89,3 +89,48 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_zorder_write_skips_files_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-ordered files are rectangles in (orderkey, partkey) space: a
+    tight predicate on EITHER column must touch a minority of files —
+    the property a single-column sort cannot give for the second key."""
+    from gobblin_spark.sources import files
+
+    li = files.load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    out = str(tmp_path / "z")
+    W.write_zordered(li, out, ["l_orderkey", "l_partkey"], n_files=16)
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    plo, phi = li.agg(F.min("l_partkey"), F.max("l_partkey")).first()
+    total = back.select("_metadata.file_path").distinct().count()
+
+    def files_touched(pred):
+        return (back.filter(pred)
+                .select("_metadata.file_path").distinct().count())
+
+    span = (hi - lo) // 10
+    pspan = (phi - plo) // 10
+    touched_o = files_touched(F.col("l_orderkey").between(lo, lo + span))
+    touched_p = files_touched(F.col("l_partkey").between(plo, plo + pspan))
+    assert total >= 8
+    assert touched_o <= total // 2, (touched_o, total)
+    assert touched_p <= total // 2, (touched_p, total)
+
+
+def test_zorder_value_interleaves_locality(spark):
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x int, y int")
+    zdf, bounds = W.zorder_value(df, ["x", "y"], bits=3)
+    rows = {(r.x, r.y): r._zval for r in zdf.collect()}
+    # Morton basics: origin is 0, neighbors differ in low bits only
+    assert rows[(0, 0)] == 0
+    assert rows[(7, 7)] == 63
+    # z-curve locality: the max z-distance of 1-step neighbors is far
+    # below the 64-cell range midpoint
+    dx = max(abs(rows[(x + 1, y)] - rows[(x, y)])
+             for x in range(7) for y in range(8))
+    assert dx <= 32
