@@ -1,0 +1,61 @@
+"""Executed-plan shape invariants for the headline queries — the
+PLANS.md audit, enforced. A regression that adds a shuffle or drops a
+broadcast to one of these fails CI, not just the next human read of
+the plan. Counts are for sf0.001 with AQE on (the audit conditions)."""
+
+import pytest
+
+from gobblin_spark.queries import QUERIES
+
+
+def _plan(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan):
+    return plan.count("Exchange hashpartitioning")
+
+
+# (query, max hash-exchanges, must-not-contain)
+CASES = [
+    ("q6_forecast_revenue", 0, "BroadcastNestedLoop"),
+    ("q1_pricing_summary", 1, "BroadcastNestedLoop"),
+    ("q3_segment_revenue", 1, "CartesianProduct"),
+    ("q10_returned_items", 1, "CartesianProduct"),
+    ("compaction_dedup_events", 1, "SinglePartition"),
+    ("dedup_exact_docs", 1, "CartesianProduct"),
+    ("purge_by_id", 1, "CartesianProduct"),
+    ("window_tumbling_daily", 1, "SinglePartition"),
+    ("range_join_events", 1, "BroadcastNestedLoop"),
+    ("cleaning_dedup_lines", 3, "CartesianProduct"),
+    ("rollup_revenue", 1, "CartesianProduct"),
+    ("q13_customer_distribution", 3, "CartesianProduct"),
+]
+
+
+@pytest.mark.parametrize("name,max_shuffles,forbidden", CASES)
+def test_plan_shape(spark, sf_dir, name, max_shuffles, forbidden):
+    plan = _plan(spark, sf_dir, name)
+    assert _shuffles(plan) <= max_shuffles, \
+        f"{name}: {_shuffles(plan)} exchanges\n{plan[:1200]}"
+    assert forbidden not in plan, f"{name} grew a {forbidden}\n{plan[:1200]}"
+
+
+def test_q6_predicates_reach_scan(spark, sf_dir):
+    """The q6 scan must carry pushed data filters — a loader change
+    that breaks pushdown turns every scan into a full read at 100 TB."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    # at least one real (non-IsNotNull) filter reached the reader
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert any(tok and "IsNotNull" not in tok
+               for tok in pushed.split(",")), pushed
+
+
+def test_asof_join_stays_single_shuffle(spark, sf_dir):
+    """The as-of operator itself is one keyed window exchange; the
+    catalog query adds one more for the mark-dedup groupBy."""
+    plan = _plan(spark, sf_dir, "asof_join_events")
+    assert _shuffles(plan) <= 2, plan[:1200]
+    assert "BroadcastNestedLoop" not in plan
