@@ -3078,6 +3078,41 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "mixing_stratified_exact",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 40
+    """,
+)
+def mixing_stratified_exact(spark, sf_dir):
+    """Exact-n stratified sample: EXACTLY 40 documents per language,
+    chosen by md5-of-id order so the draw is deterministic, uniform
+    w.r.t. content, and identical on any engine — the train/eval-split
+    builder that complements the proportional (rate-based) sampler.
+    One keyed window; per-stratum rank never leaves its partition. At
+    100 TB prefer rank-within-stratum over a global sort: the window
+    partitions by the stratum key so no single reducer sees the
+    corpus."""
+    docs = load_docs(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", "lang",
+                    F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 40)
+        .select("doc_id", "lang")
+    )
+
+
+@q(
     "zorder_clustered_scan",
     """
     SELECT l_orderkey, l_partkey, l_quantity

@@ -529,6 +529,20 @@ class IcebergTable:
         return self._commit_files(files, content=2, equality_ids=eq_ids,
                                   operation="delete")
 
+    def upsert_dataframe(self, df: DataFrame, key_cols: list[str]) -> int:
+        """MERGE-style upsert as two v2 commits: an equality delete of
+        the incoming keys, then an append of the new rows — the append
+        outlives the delete because equality deletes apply only to
+        STRICTLY earlier sequence numbers. Matched keys are replaced,
+        unmatched keys inserted; unrelated rows never rewrite (the
+        merge-on-read trade: reads pay one broadcast anti-join until
+        compaction folds the deletes in). The real runtime's MERGE is
+        a single commit; two snapshots here means a reader between
+        them sees the delete-only state — acceptable for append-mostly
+        ingestion, documented for anything stronger."""
+        self.delete_equality(df.select(*key_cols))
+        return self.append_dataframe(df)
+
     def delete_positions(self, positions: DataFrame) -> int:
         """Commit a POSITION-delete snapshot (spec "Position Delete
         Files", content=1): *positions* must carry exactly

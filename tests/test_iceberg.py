@@ -153,3 +153,21 @@ def test_position_delete_rejects_bad_schema(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="file_path"):
         t.delete_positions(spark.createDataFrame([(1,)], "x long"))
+
+
+def test_upsert_replaces_matched_inserts_new(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "k long, s string, v double")
+    t = I.IcebergTable.create(spark, str(tmp_path / "up"), df.schema)
+    t.append_dataframe(df)
+    t.upsert_dataframe(spark.createDataFrame(
+        [(2, "B2", 20.0), (4, "d", 4.0)], "k long, s string, v double"),
+        key_cols=["k"])
+    got = {r.k: (r.s, r.v) for r in t.read().collect()}
+    assert got == {1: ("a", 1.0), 2: ("B2", 20.0),
+                   3: ("c", 3.0), 4: ("d", 4.0)}
+    # a second upsert of the same key wins again (latest sequence)
+    t.upsert_dataframe(spark.createDataFrame(
+        [(2, "B3", 200.0)], "k long, s string, v double"), key_cols=["k"])
+    assert {r.k: r.s for r in t.read().collect()}[2] == "B3"
