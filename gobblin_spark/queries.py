@@ -3078,6 +3078,111 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "filesource_snapshot_diff",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE year(o_orderdate) > 1997
+    """,
+)
+def filesource_snapshot_diff(spark, sf_dir):
+    """FileBasedSource.java:58 incremental file pickup, end-to-end: a
+    first batch lands and its listing is snapshotted; a second batch
+    adds files to the same directory; the snapshot diff selects ONLY
+    the new files and the pull reads just those paths. Green iff the
+    diffed read returns exactly the second batch's rows — a re-read of
+    batch 1 (the classic reprocessing bug) would double them."""
+    import tempfile
+
+    from gobblin_spark.sources import files as FS
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.year("o_orderdate").alias("_y"))
+    d = tempfile.mkdtemp(prefix="gobblin_snapdiff_")
+    orders.filter(F.col("_y") <= 1997).drop("_y").write.mode(
+        "append").parquet(d)
+    snapshot = FS.list_files(spark, d).filter(
+        F.col("path").endswith(".parquet"))
+    orders.filter(F.col("_y") > 1997).drop("_y").write.mode(
+        "append").parquet(d)
+    current = FS.list_files(spark, d).filter(
+        F.col("path").endswith(".parquet"))
+    new_paths = [r.path for r in FS.new_files_only(current, snapshot).collect()]
+    if not new_paths:
+        raise RuntimeError("snapshot diff found no new files")
+    return spark.read.parquet(*new_paths)
+
+
+@q(
+    "copy_distcp_roundtrip",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_custkey % 3 = 0
+    """,
+)
+def copy_distcp_roundtrip(spark, sf_dir):
+    """CopySource / distcp end-to-end (CopySource.java:85): a parquet
+    dataset is copied by the distributed listing → manifest →
+    Arrow-chunked executor copy → atomic staging publish, then read
+    back from the DESTINATION. Green iff the copied bytes decode to
+    exactly the source rows and the publish flip happened."""
+    import tempfile
+
+    from gobblin_spark.sources import copy as CP
+
+    src = tempfile.mkdtemp(prefix="gobblin_distcp_src_") + "/data"
+    dst = tempfile.mkdtemp(prefix="gobblin_distcp_dst_") + "/data"
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 3 == 0
+    ).select("c_custkey", "c_name", "c_acctbal")
+    cust.write.parquet(src)
+    results, published = CP.distcp(spark, src, dst, atomic=True)
+    if not published:
+        raise RuntimeError(f"distcp publish failed: {results[:3]}")
+    return spark.read.parquet(dst)
+
+
+@q(
+    "commit_policy_partial",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def commit_policy_partial(spark, sf_dir):
+    """COMMIT_SUCCESSFUL_TASKS isolation (JobCommitPolicy.java:35 ×
+    SafeDatasetCommit.java:67): two datasets stage; one passes its
+    row-count audit, the other is audited against an impossible count
+    and fails. The commit publishes ONLY the green dataset and aborts
+    the red one's staging. Green iff the good dataset's rows publish
+    exactly and the bad dataset's final dir does not exist — the
+    per-dataset isolation a FULL_SUCCESS policy would deny."""
+    import tempfile
+
+    from gobblin_spark.operators import quality
+    from gobblin_spark.sinks import publish as P
+
+    orders = load_table(spark, sf_dir, "orders")
+    good_df = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_totalprice")
+    bad_df = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_orderkey", "o_totalprice")
+    root = tempfile.mkdtemp(prefix="gobblin_policy_")
+    good = P.stage(good_df, f"{root}/good")
+    bad = P.stage(bad_df, f"{root}/bad")
+    n_good = good_df.count()
+    P.audit(good, spark, [lambda df: quality.row_count_policy(n_good, df.count())])
+    P.audit(bad, spark, [lambda df: quality.row_count_policy(-1, df.count())])
+    report = P.commit([good, bad], spark,
+                      policy=P.JobCommitPolicy.COMMIT_SUCCESSFUL_TASKS)
+    if ([p.rsplit("/", 1)[-1] for p in report.published] != ["good"]
+            or [p.rsplit("/", 1)[-1] for p in report.aborted] != ["bad"]):
+        raise RuntimeError(f"wrong commit isolation: {report}")
+    if P.is_published(spark, f"{root}/bad"):
+        raise RuntimeError("aborted dataset was published")
+    return spark.read.parquet(f"{root}/good")
+
+
+@q(
     "mixing_stratified_exact",
     """
     SELECT doc_id, lang FROM (
