@@ -3078,6 +3078,53 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "graph_components_chain",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    r AS (SELECT user_id,
+                 row_number() OVER (ORDER BY user_id) - 1 AS rk FROM u),
+    g AS (SELECT user_id, CAST(floor(rk / 10) AS INT) AS grp FROM r),
+    s AS (SELECT grp, min(user_id) AS mn, count(*) AS c
+          FROM g GROUP BY grp)
+    SELECT user_id AS id, mn AS component
+    FROM g JOIN s USING (grp) WHERE s.c > 1
+    """,
+)
+def graph_components_chain(spark, sf_dir):
+    """Connected components (functions/graph.py) on rank-adjacent user
+    chains: users sort into rank order, consecutive ranks within each
+    block of 10 link into a path — diameter 9, so min-label
+    propagation must genuinely iterate (one-hop joins converge only
+    for star graphs). The oracle knows each chain's answer in closed
+    form: every member labels to the block minimum. This is the
+    operator that turns near-dup PAIRS into transitive dedup GROUPS;
+    the pair-graph case is covered in tests against union-find."""
+    from pyspark.sql import Window as W
+
+    from gobblin_spark.functions import graph as G
+
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct()
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy("user_id")) - 1)
+    )
+    ranked = users.withColumn("grp", (F.col("rk") / 10).cast("int"))
+    nxt = ranked.select(
+        (F.col("rk") - 1).alias("rk"),
+        F.col("user_id").alias("id_b"),
+        F.col("grp").alias("_gb"),
+    )
+    edges = (
+        ranked.join(nxt, "rk")
+        .filter(F.col("grp") == F.col("_gb"))
+        .select(F.col("user_id").alias("id_a"), "id_b")
+    )
+    return G.connected_components(edges).select(
+        "id", F.col("component"))
+
+
+@q(
     "filesource_snapshot_diff",
     """
     SELECT o_orderkey, o_totalprice FROM orders
