@@ -3078,6 +3078,49 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "streaming_window_parity",
+    """
+    SELECT event_type,
+           CAST(time_bucket(INTERVAL 6 HOUR, ts) AS TIMESTAMP)
+             AS window_start,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_window_parity(spark, sf_dir):
+    """Structured-Streaming windowed aggregation parity: the events
+    table replays as a multi-epoch file stream through
+    ``windowed_counts`` (withWatermark + window groupBy — Spark's
+    declarative late-data path, the twin of the runner's explicit
+    ``_late`` routing) and the finalized windows must equal the batch
+    GROUP BY. The replay holds event-time order within the watermark,
+    so nothing drops and stream==batch is exact — the invariant that
+    certifies the watermark plumbing never loses on-time rows."""
+    import tempfile
+
+    from gobblin_spark import streaming
+    from gobblin_spark.streaming import runner as R
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="gobblin_swin_")
+    ev.repartition(4).write.parquet(f"{tmp}/in")
+    stream = streaming.file_stream(spark, f"{tmp}/in", schema=ev.schema,
+                                   max_files_per_trigger=2)
+    import uuid as _uuid
+
+    agg = R.windowed_counts(stream, "ts", window="6 hours",
+                            watermark="365 days", keys=["event_type"])
+    sink = f"swin_parity_{_uuid.uuid4().hex[:8]}"
+    R.stream_to_memory(agg, sink)
+    out = spark.table(sink)
+    return out.select(
+        "event_type",
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "n",
+    )
+
+
+@q(
     "graph_components_chain",
     """
     WITH u AS (SELECT DISTINCT user_id FROM events),
