@@ -3078,6 +3078,53 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "funnel_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts, click_id
+    FROM (
+      SELECT p.event_id, p.user_id, p.ts, c.click_ts, c.click_id
+      FROM purchases p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    )
+    WHERE click_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(click_ts) <= 7200000000
+    """,
+)
+def funnel_attribution(spark, sf_dir):
+    """Funnel / last-touch attribution, composed from the as-of join:
+    each purchase attributes to the user's most recent click at or
+    before it, kept only when the gap is within the 2-hour window. The
+    classic event-sequence question answered with ONE keyed shuffle —
+    no per-user collect, no self-join explosion over all
+    (click, purchase) pairs."""
+    from gobblin_spark.functions import joins as JN
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .select("user_id", "ts", F.col("ts").alias("click_ts"), "click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    out = JN.asof_join(purchases, clicks, on="ts", by=["user_id"])
+    gap_us = (F.unix_micros(F.col("ts").cast("timestamp"))
+              - F.unix_micros(F.col("click_ts").cast("timestamp")))
+    return out.filter(
+        F.col("click_ts").isNotNull() & (gap_us <= 7_200_000_000)
+    ).select("event_id", "user_id", "ts", "click_id")
+
+
+@q(
     "streaming_window_parity",
     """
     SELECT event_type,
