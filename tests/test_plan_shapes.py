@@ -31,6 +31,17 @@ CASES = [
     ("cleaning_dedup_lines", 3, "CartesianProduct"),
     ("rollup_revenue", 1, "CartesianProduct"),
     ("q13_customer_distribution", 3, "CartesianProduct"),
+    # round-4 TPC-H completion: dims must broadcast, one fact shuffle
+    # (q2 adds the decorrelated min agg + its join-back; q21 adds the
+    # per-order stats agg and its join-back; q11's 1-row threshold is
+    # a deliberate broadcast nested loop, counted not forbidden)
+    ("q2_min_cost_supplier", 3, "CartesianProduct"),
+    ("q7_volume_shipping", 1, "CartesianProduct"),
+    ("q8_market_share", 1, "CartesianProduct"),
+    ("q9_product_profit", 1, "CartesianProduct"),
+    ("q11_important_parts", 2, "CartesianProduct"),
+    ("q20_potential_promotion", 1, "CartesianProduct"),
+    ("q21_waiting_suppliers", 4, "CartesianProduct"),
 ]
 
 
