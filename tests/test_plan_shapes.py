@@ -32,16 +32,19 @@ CASES = [
     ("rollup_revenue", 1, "CartesianProduct"),
     ("q13_customer_distribution", 3, "CartesianProduct"),
     # round-4 TPC-H completion: dims must broadcast, one fact shuffle
-    # (q2 adds the decorrelated min agg + its join-back; q21 adds the
-    # per-order stats agg and its join-back; q11's 1-row threshold is
-    # a deliberate broadcast nested loop, counted not forbidden)
-    ("q2_min_cost_supplier", 3, "CartesianProduct"),
+    # (q2 adds a per-part window min; q21 adds per-order window stats
+    # reusing the join's partitioning; q11's 1-row threshold is a
+    # deliberate broadcast nested loop, counted not forbidden)
+    ("q2_min_cost_supplier", 2, "CartesianProduct"),
     ("q7_volume_shipping", 1, "CartesianProduct"),
     ("q8_market_share", 1, "CartesianProduct"),
     ("q9_product_profit", 1, "CartesianProduct"),
     ("q11_important_parts", 2, "CartesianProduct"),
     ("q20_potential_promotion", 1, "CartesianProduct"),
-    ("q21_waiting_suppliers", 4, "CartesianProduct"),
+    ("q21_waiting_suppliers", 2, "CartesianProduct"),
+    # grouping sets expand map-side: one exchange for all four levels
+    ("grouping_sets_revenue", 1, "CartesianProduct"),
+    ("topn_per_group_events", 1, "CartesianProduct"),
 ]
 
 
@@ -62,6 +65,14 @@ def test_q6_predicates_reach_scan(spark, sf_dir):
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert any(tok and "IsNotNull" not in tok
                for tok in pushed.split(",")), pushed
+
+
+def test_topn_pushes_group_limit_into_shuffle(spark, sf_dir):
+    """row_number + rnk<=k must trigger WindowGroupLimit so each map
+    task ships only its local top-k per key — without it the exchange
+    carries the whole fact table."""
+    plan = _plan(spark, sf_dir, "topn_per_group_events")
+    assert "WindowGroupLimit" in plan, plan[:1200]
 
 
 def test_asof_join_stays_single_shuffle(spark, sf_dir):
