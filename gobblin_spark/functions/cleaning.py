@@ -189,3 +189,76 @@ def blocklist_filter(
     if mode == "flag":
         return df.withColumn("blocked", hit)
     raise ValueError(f"unknown mode: {mode}")
+
+
+def dedup_spans_global(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    width: int = 12,
+) -> DataFrame:
+    """Corpus-wide exact repeated-SPAN removal (the substring-dedup
+    pass of RefinedWeb / Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better", suffix-array flavor re-expressed as
+    a distributed n-gram pass): every ``width``-token window that
+    occurs more than once in the corpus survives only at its first
+    occurrence (smallest (doc_id, start)); every OTHER occurrence
+    marks its ``width`` token positions for removal, and documents are
+    rebuilt from unmarked tokens.
+
+    Semantics are mark-then-remove with no cascade: the removal set is
+    decided from the ORIGINAL corpus in one pass (re-running on the
+    output may find new short repeats — same property the
+    suffix-array method has when spans partially overlap).
+
+    Returns (id_col, clean_text, n_removed) — one row per input
+    document; fully-emptied docs come back with ''.
+
+    100 TB shape: windows never materialize text beyond their md5 —
+    the duplicate-detection shuffle carries (16-byte digest, id,
+    start) rows with map-side partial min/count collapsing hot
+    boilerplate; removal starts ride back compressed as one array per
+    document (a second slim shuffle), and the rebuild is pure
+    higher-order Column expressions (transform + exists + filter), no
+    token explode, no per-position anti-join."""
+    arr = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+    d = df.select(F.col(id_col), arr.alias("_arr"))
+    n = F.size("_arr")
+    idx = F.when(
+        n >= width, F.sequence(F.lit(1), n - F.lit(width) + 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    occ = (
+        d.select(id_col, "_arr", F.explode(idx).alias("_i"))
+        .select(
+            id_col, "_i",
+            F.md5(F.concat_ws(" ", F.slice("_arr", F.col("_i"), width))
+                  ).alias("_h"))
+    )
+    first = occ.groupBy("_h").agg(
+        F.min(F.struct(id_col, "_i")).alias("_first"),
+        F.count(F.lit(1)).alias("_cnt"),
+    )
+    removals = (
+        occ.join(first.filter(F.col("_cnt") > 1), "_h")
+        .filter(~((F.col(f"_first.{id_col}") == F.col(id_col))
+                  & (F.col("_first._i") == F.col("_i"))))
+        .groupBy(id_col)
+        .agg(F.collect_set("_i").alias("_starts"))
+    )
+    last = width - 1
+    kept = F.expr(
+        f"filter(transform(_arr, (t, p) -> struct(t AS tok, p + 1 AS pos)),"
+        f" s -> NOT exists(_starts,"
+        f" st -> s.pos >= st AND s.pos <= st + {last}))"
+    )
+    return (
+        d.join(removals, id_col, "left")
+        .withColumn("_starts",
+                    F.coalesce("_starts", F.expr("array()").cast("array<int>")))
+        .withColumn("_kept", kept)
+        .select(
+            id_col,
+            F.concat_ws(
+                " ", F.transform("_kept", lambda s: s["tok"])
+            ).alias("clean_text"),
+            (F.size("_arr") - F.size("_kept")).cast("int").alias("n_removed"),
+        )
+    )

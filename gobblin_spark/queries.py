@@ -4268,6 +4268,49 @@ def sketch_distinct_daily(spark, sf_dir):
 
 
 @q(
+    "cleaning_span_dedup",
+    """
+    WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr
+               FROM documents),
+    occ AS (
+      SELECT doc_id, i, md5(array_to_string(arr[i:i+11], ' ')) AS h
+      FROM d, LATERAL (SELECT unnest(range(1, greatest(len(arr)-12+2, 1))) AS i)
+    ),
+    r AS (SELECT doc_id, i,
+                 row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+          FROM occ),
+    rem AS (SELECT DISTINCT doc_id, i + x AS pos
+            FROM (SELECT doc_id, i FROM r WHERE rn > 1),
+                 LATERAL (SELECT unnest(range(0, 12)) AS x)),
+    t AS (SELECT doc_id, unnest(arr) AS tok,
+                 generate_subscripts(arr, 1) AS pos FROM d),
+    kept AS (SELECT t.doc_id, t.tok, t.pos FROM t
+             WHERE NOT EXISTS (SELECT 1 FROM rem
+                               WHERE rem.doc_id = t.doc_id
+                                 AND rem.pos = t.pos)),
+    c AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS kc
+          FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(c.clean_text, '') AS clean_text,
+           CAST(len(d.arr) - coalesce(c.kc, 0) AS INT) AS n_removed
+    FROM d LEFT JOIN c ON d.doc_id = c.doc_id
+    """,
+)
+def cleaning_span_dedup(spark, sf_dir):
+    """Exact repeated-span (substring) dedup across the corpus: every
+    12-token window occurring >1 time survives only at its first
+    occurrence; other occurrences mark their positions and documents
+    are rebuilt from unmarked tokens (cleaning.dedup_spans_global —
+    the distributed n-gram re-expression of the suffix-array method).
+    The oracle rebuilds the same mark-then-remove semantics with
+    window row_number + lateral position expansion."""
+    from gobblin_spark.functions import cleaning
+
+    return cleaning.dedup_spans_global(
+        load_docs(spark, sf_dir), width=12)
+
+
+@q(
     "topn_per_group_events",
     """
     SELECT event_type, rnk, event_id, round(value, 6) AS value

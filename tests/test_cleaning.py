@@ -90,3 +90,52 @@ def test_explode_lines_positions(spark):
     docs = spark.createDataFrame([(7, "a\nbb\nccc")], "doc_id int, text string")
     rows = CL.explode_lines(docs).orderBy("pos").collect()
     assert [(r.pos, r.line) for r in rows] == [(0, "a"), (1, "bb"), (2, "ccc")]
+
+
+def test_span_dedup_first_occurrence_survives(spark):
+    """A repeated 4-token span survives only in the lexicographically
+    first (doc_id, pos) occurrence; other docs lose exactly those
+    tokens; unique surroundings are untouched."""
+    span = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [(1, f"intro {span} outro one"),
+         (2, f"other words here {span} trailing bits"),
+         (3, "completely unique text with no repeats at all")],
+        "doc_id int, text string")
+    out = {r.doc_id: r for r in
+           CL.dedup_spans_global(docs, width=4).collect()}
+    assert out[1].clean_text == f"intro {span} outro one"
+    assert out[1].n_removed == 0
+    assert out[2].clean_text == "other words here trailing bits"
+    assert out[2].n_removed == 4
+    assert out[3].n_removed == 0
+
+
+def test_span_dedup_short_and_empty_docs(spark):
+    """Docs shorter than the window produce no n-grams (and no
+    descending-sequence crash); null text comes back as ''."""
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, None), (3, "")],
+        "doc_id int, text string")
+    out = {r.doc_id: r for r in
+           CL.dedup_spans_global(docs, width=12).collect()}
+    assert out[1].clean_text == "tiny doc" and out[1].n_removed == 0
+    assert out[2].clean_text == "" and out[2].n_removed == 0
+    assert out[3].clean_text == "" and out[3].n_removed == 0
+
+
+def test_span_dedup_overlapping_marks_merge(spark):
+    """Two overlapping duplicated windows in the same doc mark the
+    union of their positions — tokens covered twice are removed once,
+    mark-then-remove without cascade."""
+    # doc 2 repeats a 5-token run; with width=4 the run yields two
+    # overlapping duplicated windows covering all 5 tokens
+    run = "v w x y z"
+    docs = spark.createDataFrame(
+        [(1, f"{run} first home"), (2, f"pre {run} post")],
+        "doc_id int, text string")
+    out = {r.doc_id: r for r in
+           CL.dedup_spans_global(docs, width=4).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].clean_text == "pre post"
+    assert out[2].n_removed == 5
