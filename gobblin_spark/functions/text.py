@@ -438,3 +438,52 @@ def perplexity_scores(
         .agg(F.round(F.avg(neglog), 6).alias("neg_logprob"),
              F.count("*").cast("long").alias("n_tokens"))
     )
+
+
+def hashed_pseudo_weights(vocab: DataFrame, word_col: str = "word") -> DataFrame:
+    """Deterministic stand-in for a trained linear model's weight
+    table: weight(word) = ((first 8 md5 hex digits as int) mod 2001
+    − 1000) / 1000 ∈ [−1, 1]. In production this DataFrame is simply
+    loaded from the trained model's (token, weight) parquet; deriving
+    it from the vocabulary keeps the scoring path testable — and
+    oracle-checkable, since DuckDB computes the identical expression —
+    without shipping a model."""
+    h = F.conv(F.substring(F.md5(F.col(word_col)), 1, 8), 16, 10).cast("long")
+    return vocab.select(
+        F.col(word_col),
+        ((h % 2001 - 1000) / 1000.0).alias("weight"),
+    )
+
+
+def classifier_score(
+    df: DataFrame, weights: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    word_col: str = "word",
+) -> DataFrame:
+    """Linear text-classifier scoring — the fastText-style quality
+    filter (CCNet / GPT-3 data work) as a Spark plan: tokens explode,
+    the (token, weight) table broadcast-joins on (hash-join beyond
+    broadcast size), and mean-pooled logits sigmoid into a score.
+    Unknown tokens contribute 0 (left join + coalesce).
+
+    100 TB shape: the shuffle carries (doc_id, weight-partials) — the
+    per-doc sum/count combine map-side; weight tables up to ~10M rows
+    broadcast, larger vocabularies degrade gracefully to a shuffle
+    hash join on the 16-byte-ish token key. Returns (id_col, score,
+    label) with score = round(sigmoid(mean logit), 6)."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(normalize_text(F.col(text_col)), " "))
+            .alias(word_col))
+        .filter(F.col(word_col) != "")
+    )
+    joined = toks.join(
+        F.broadcast(weights.select(word_col, "weight")), word_col, "left")
+    z = F.avg(F.coalesce(F.col("weight"), F.lit(0.0)))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        joined.groupBy(id_col)
+        .agg(F.round(score, 6).alias("score"))
+        .withColumn("label", (F.col("score") >= 0.5).alias("label"))
+    )

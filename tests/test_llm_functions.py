@@ -345,3 +345,37 @@ def test_perplexity_prefers_in_domain_text(spark):
     nt = {r.doc_id: r.n_tokens for r in
           TX.perplexity_scores(score, lm).collect()}
     assert nt == {100: 6, 101: 6}
+
+
+def test_classifier_score_known_weights(spark):
+    """With an explicit weight table the mean-pooled sigmoid score is
+    exact; unknown tokens contribute zero."""
+    import math
+
+    from gobblin_spark.functions import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "unknown words only")],
+        "doc_id int, text string")
+    weights = spark.createDataFrame(
+        [("good", 1.0), ("bad", -0.5)], "word string, weight double")
+    out = {r.doc_id: r for r in T.classifier_score(docs, weights).collect()}
+    z1 = (1.0 + 1.0 - 0.5) / 3
+    assert abs(out[1].score - round(1 / (1 + math.exp(-z1)), 6)) < 1e-9
+    assert out[1].label
+    assert abs(out[2].score - 0.5) < 1e-9  # all-unknown → z=0 → 0.5
+    assert out[2].label  # 0.5 >= 0.5
+
+
+def test_hashed_pseudo_weights_deterministic_range(spark):
+    from gobblin_spark.functions import text as T
+
+    vocab = spark.createDataFrame(
+        [("alpha",), ("beta",), ("alpha",)], "word string")
+    rows = T.hashed_pseudo_weights(vocab.distinct()).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert -1.0 <= r.weight <= 1.0
+    again = {r.word: r.weight
+             for r in T.hashed_pseudo_weights(vocab.distinct()).collect()}
+    assert all(again[r.word] == r.weight for r in rows)
