@@ -412,3 +412,47 @@ def contamination_check(
     ).cast("long")
     return hits.select(id_col, "n_shingles", "n_overlap",
                        ppm.alias("overlap_ppm"), ratio.alias("overlap_ratio"))
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Exact dedup keeping the BEST-scoring representative per group
+    (quality-aware curation: among identical documents, keep the copy
+    whose metadata/quality score is highest, not the arbitrary min-id).
+    Reference analogue: compaction keep-one-per-key with a dedupKey
+    comparator (gobblin-compaction
+    .../RecordKeyDedupReducerBase.java) — the comparator here is
+    (score DESC, id ASC).
+
+    One hash shuffle on the 16-byte fingerprint; the rnk=1 filter is a
+    per-group top-1, which Spark's WindowGroupLimit rule evaluates
+    partially BEFORE the exchange (each map task forwards only its
+    local best per group), so the shuffle carries ~one row per
+    distinct document even when duplication is heavy. Null-fp docs
+    pass through as singletons under a synthetic key, mirroring
+    ``dedup_exact``.
+    """
+    from pyspark.sql.window import Window
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.col(score_col),
+        fingerprint(F.col(text_col)).alias("fp"),
+    )
+    gk = F.coalesce(
+        F.col("fp"), F.concat(F.lit("\0id:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(gk).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("dup_count",
+                        F.count(F.lit(1)).over(Window.partitionBy(gk)))
+        .withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") == 1)
+        .select(id_col, "fp", score_col, F.col("dup_count"))
+    )

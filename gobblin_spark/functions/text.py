@@ -487,3 +487,50 @@ def classifier_score(
         .agg(F.round(score, 6).alias("score"))
         .withColumn("label", (F.col("score") >= 0.5).alias("label"))
     )
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window splitter of
+    a training-data pipeline (long documents -> overlapping
+    model-sized chunks, stride < window preserves cross-boundary
+    context). Reference analogue: the 1-to-N record splitter
+    (gobblin-core .../converter/MultiConverter.java iterables), with
+    token windows as the split rule.
+
+    Pure narrow plan: whitespace split -> posexplode over the stride
+    grid -> slice. No shuffle, no UDF; at 100 TB this runs at scan
+    speed and each output chunk row carries (id, chunk_idx, n_tokens,
+    md5) — emit the chunk text itself by selecting ``chunk`` before
+    the final projection when materializing a training shard.
+    """
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("_toks")) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunked = (
+        df.select(
+            F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_toks"))
+        .select(
+            id_col,
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+            F.col("_toks"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.slice(F.col("_toks"), F.col("_start") + 1, window).alias("_chunk"),
+        )
+    )
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        F.size("_chunk").cast("int").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "_chunk")).alias("chunk_hash"),
+    )

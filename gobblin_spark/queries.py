@@ -4383,6 +4383,84 @@ def topn_per_group_events(spark, sf_dir):
     )
 
 
+@q(
+    "text_chunk_windows",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 48)) AS start
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, start + 1, start + 64)) AS INT) AS n_tokens,
+           md5(array_to_string(list_slice(t, start + 1, start + 64), ' '))
+             AS chunk_hash
+    FROM starts
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Context-window chunking for training shards: 64-token windows,
+    stride 48 (adjacent chunks overlap 16 tokens). Zero-shuffle narrow
+    plan — split/posexplode/slice all inside one codegen stage, so at
+    100 TB this is a scan-speed map from the document corpus to the
+    chunk corpus."""
+    return text.chunk_token_windows(
+        load_docs(spark, sf_dir), window=64, stride=48)
+
+
+@q(
+    "dedup_keep_best_docs",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             md5({_NORM_SQL}) AS fp,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS n_alpha,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+               AS n_punct,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+               AS DOUBLE) AS n_toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, fp,
+             round(((CASE WHEN n_chars_d = 0 THEN 0.0
+                     ELSE n_alpha / n_chars_d END)
+                    + (1.0 - (CASE WHEN n_chars_d = 0 THEN 0.0
+                              ELSE n_punct / n_chars_d END))
+                    + least(1.0, n_toks / 20.0)) / 3.0, 6) AS quality_score
+      FROM m
+    ),
+    ranked AS (
+      SELECT doc_id, fp, quality_score,
+             count(*) OVER (PARTITION BY fp) AS dup_count,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY quality_score DESC, doc_id ASC) AS rnk
+      FROM scored WHERE fp IS NOT NULL
+    )
+    SELECT doc_id, fp, quality_score, dup_count FROM ranked WHERE rnk = 1
+    UNION ALL
+    SELECT doc_id, fp, quality_score, CAST(1 AS BIGINT) AS dup_count
+    FROM scored WHERE fp IS NULL
+    """,
+)
+def dedup_keep_best_docs(spark, sf_dir):
+    """Quality-aware exact dedup: among identical documents keep the
+    highest-quality copy (comparator score DESC, id ASC), not the
+    arbitrary min-id — the curation flavor of keep-one-per-key. One
+    fingerprint shuffle; WindowGroupLimit forwards only each map
+    task's local best per group."""
+    docs = load_docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "text",
+        text.quality_score(F.col("text")).alias("quality_score"))
+    return dedup.dedup_keep_best(scored, "doc_id", "text", "quality_score")
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

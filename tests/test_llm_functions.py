@@ -379,3 +379,52 @@ def test_hashed_pseudo_weights_deterministic_range(spark):
     again = {r.word: r.weight
              for r in T.hashed_pseudo_weights(vocab.distinct()).collect()}
     assert all(again[r.word] == r.weight for r in rows)
+
+
+def test_chunk_token_windows_shapes(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g"), Row(doc_id=2, text="x")],
+        "doc_id long, text string",
+    )
+    out = text.chunk_token_windows(df, window=3, stride=2)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # 7 tokens, stride 2 -> starts 0,2,4,6 -> 4 chunks; last is partial
+    assert sorted(k for k in rows if k[0] == 1) == [(1, i) for i in range(4)]
+    assert [rows[(1, i)].n_tokens for i in range(4)] == [3, 3, 3, 1]
+    import hashlib as _h
+    assert rows[(1, 0)].chunk_hash == _h.md5(b"a b c").hexdigest()
+    assert rows[(1, 3)].chunk_hash == _h.md5(b"g").hexdigest()
+    # single-token doc -> exactly one chunk
+    assert rows[(2, 0)].n_tokens == 1
+
+
+def test_chunk_token_windows_overlap(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(str(i) for i in range(100)))],
+        "doc_id long, text string",
+    )
+    out = text.chunk_token_windows(df, window=64, stride=48).collect()
+    # starts 0,48,96: two full-ish windows + one 4-token tail
+    assert [r.n_tokens for r in sorted(out, key=lambda r: r.chunk_idx)] == [
+        64, 52, 4]
+
+
+def test_dedup_keep_best_prefers_high_score(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="same doc", score=0.2),
+            Row(doc_id=2, text="same doc", score=0.9),
+            Row(doc_id=3, text="same doc", score=0.9),
+            Row(doc_id=4, text="other", score=0.1),
+            Row(doc_id=5, text=None, score=0.5),
+            Row(doc_id=6, text=None, score=0.6),
+        ],
+        "doc_id long, text string, score double",
+    )
+    out = {r.doc_id: r for r in
+           dedup.dedup_keep_best(df, "doc_id", "text", "score").collect()}
+    # highest score wins; doc_id ASC breaks the 2-vs-3 tie
+    assert set(out) == {2, 4, 5, 6}
+    assert out[2].dup_count == 3
+    # null-text docs survive as singletons, never merged together
+    assert out[5].dup_count == 1 and out[6].dup_count == 1
