@@ -428,16 +428,17 @@ def dedup_keep_best(
     .../RecordKeyDedupReducerBase.java) — the comparator here is
     (score DESC, id ASC).
 
-    One hash shuffle on the 16-byte fingerprint; the rnk=1 filter is a
-    per-group top-1, which Spark's WindowGroupLimit rule evaluates
-    partially BEFORE the exchange (each map task forwards only its
-    local best per group), so the shuffle carries ~one row per
-    distinct document even when duplication is heavy. Null-fp docs
-    pass through as singletons under a synthetic key, mirroring
-    ``dedup_exact``.
+    ONE aggregate shuffle on the 16-byte fingerprint: argmax is
+    expressed as ``max_by(struct(id, score), struct(score, -id))`` so
+    the partial aggregate combines map-side and the exchange carries
+    one candidate row per (mapper, distinct doc) — the
+    window/row_number formulation costs a second exchange because
+    each Window node re-projects its own partition key. The
+    struct-valued max_by buffer makes Spark pick SortAggregate over
+    HashAggregate; the map-side combine (the property that matters at
+    scale) still applies. Null-fp docs pass through as singletons
+    under a synthetic key, mirroring ``dedup_exact``.
     """
-    from pyspark.sql.window import Window
-
     base = ensure_parallelism(df).select(
         F.col(id_col),
         F.col(score_col),
@@ -446,13 +447,22 @@ def dedup_keep_best(
     gk = F.coalesce(
         F.col("fp"), F.concat(F.lit("\0id:"), F.col(id_col).cast("string"))
     )
-    w = Window.partitionBy(gk).orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+    # maximize (score, -id): highest score wins, smallest id breaks ties
+    best = F.max_by(
+        F.struct(F.col(id_col), F.col(score_col)),
+        F.struct(F.col(score_col), (-F.col(id_col)).alias("_neg_id")),
     )
     return (
-        base.withColumn("dup_count",
-                        F.count(F.lit(1)).over(Window.partitionBy(gk)))
-        .withColumn("_rnk", F.row_number().over(w))
-        .filter(F.col("_rnk") == 1)
-        .select(id_col, "fp", score_col, F.col("dup_count"))
+        base.groupBy(gk.alias("_gk"))
+        .agg(
+            best.alias("_best"),
+            F.min("fp").alias("fp"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .select(
+            F.col("_best")[id_col].alias(id_col),
+            "fp",
+            F.col("_best")[score_col].alias(score_col),
+            "dup_count",
+        )
     )

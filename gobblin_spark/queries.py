@@ -4452,8 +4452,8 @@ def dedup_keep_best_docs(spark, sf_dir):
     """Quality-aware exact dedup: among identical documents keep the
     highest-quality copy (comparator score DESC, id ASC), not the
     arbitrary min-id — the curation flavor of keep-one-per-key. One
-    fingerprint shuffle; WindowGroupLimit forwards only each map
-    task's local best per group."""
+    fingerprint aggregate shuffle; the max_by argmax combines
+    map-side so only per-mapper candidates cross the wire."""
     docs = load_docs(spark, sf_dir)
     scored = docs.select(
         "doc_id", "text",

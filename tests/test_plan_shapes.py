@@ -45,6 +45,12 @@ CASES = [
     # grouping sets expand map-side: one exchange for all four levels
     ("grouping_sets_revenue", 1, "CartesianProduct"),
     ("topn_per_group_events", 1, "CartesianProduct"),
+    # chunking is a pure narrow map: no hash exchange (the only
+    # allowed exchange is ensure_parallelism's round-robin widening,
+    # a no-op once the scan has real splits)
+    ("text_chunk_windows", 0, "Exchange hashpartitioning"),
+    # keep-best dedup: one fingerprint hash-aggregate shuffle
+    ("dedup_keep_best_docs", 1, "CartesianProduct"),
 ]
 
 
@@ -81,3 +87,16 @@ def test_asof_join_stays_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "asof_join_events")
     assert _shuffles(plan) <= 2, plan[:1200]
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_keep_best_aggregates_map_side(spark, sf_dir):
+    """dedup_keep_best's argmax must run as a partial+final hash
+    aggregate (map-side combine before the fingerprint exchange) —
+    the property that keeps the shuffle ~one row per distinct doc.
+    A window/row_number formulation would show Window nodes here and
+    cost a second exchange. (The struct-valued max_by buffer forces
+    SortAggregate rather than HashAggregate — acceptable; the combine
+    still happens before the exchange.)"""
+    plan = _plan(spark, sf_dir, "dedup_keep_best_docs")
+    assert "partial_max_by" in plan, plan[:1200]
+    assert "Window" not in plan, plan[:1200]
