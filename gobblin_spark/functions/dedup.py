@@ -193,6 +193,26 @@ def minhash_signatures(
     )
 
 
+def _band_key_array(num_perm: int, bands: int, band_key: str) -> Column:
+    """array<bands> of LSH band keys over a ``signature`` column.
+
+    ``xxhash64``: 8-byte keys (production). ``concat``: stringified
+    signature values (wider, but reproducible by any SQL engine —
+    pair with base_hash='md5_60' for oracle-checked runs)."""
+    rows = num_perm // bands
+
+    def _bkey(bi: int) -> Column:
+        vals = [F.col("signature")[bi * rows + r] for r in range(rows)]
+        if band_key == "xxhash64":
+            return F.xxhash64(F.lit(bi), *vals)
+        if band_key == "concat":
+            return F.concat_ws("_", F.lit(bi).cast("string"),
+                               *[v.cast("string") for v in vals])
+        raise ValueError(f"unknown band_key: {band_key}")
+
+    return F.array(*[_bkey(bi) for bi in range(bands)])
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -231,16 +251,7 @@ def minhash_lsh_pairs(
         df, id_col, text_col, n, num_perm, seed, base_hash
     ).persist()
 
-    def _bkey(bi: int) -> Column:
-        vals = [F.col("signature")[bi * rows + r] for r in range(rows)]
-        if band_key == "xxhash64":
-            return F.xxhash64(F.lit(bi), *vals)
-        if band_key == "concat":
-            return F.concat_ws("_", F.lit(bi).cast("string"),
-                               *[v.cast("string") for v in vals])
-        raise ValueError(f"unknown band_key: {band_key}")
-
-    band_hashes = F.array(*[_bkey(bi) for bi in range(bands)])
+    band_hashes = _band_key_array(num_perm, bands, band_key)
     # Candidate generation is SLIM: only (band, bhash, id) is exploded
     # and self-joined — the ~0.5 KB signatures never ride the band
     # shuffle (at 1M docs x 16 bands that's the difference between a
@@ -269,6 +280,74 @@ def minhash_lsh_pairs(
         .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "n_agree", "est_jaccard")
+    )
+
+
+def minhash_probe_corpus(
+    new_df: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+    base_hash: str = "xxhash64",
+    band_key: str = "xxhash64",
+) -> DataFrame:
+    """Incremental near-dup: probe a NEW batch of documents against a
+    PERSISTED corpus signature table — the standing workflow for a
+    growing 100 TB corpus (reference analogue: the incremental-pull
+    pattern of QueryBasedSource low/high watermarks, applied to
+    near-dup instead of rows; complements ``bloom.py``'s incremental
+    EXACT dedup).
+
+    ``corpus_sigs`` is ``minhash_signatures(corpus, ...)`` written
+    once and stored (id_col, signature). The corpus TEXT is never
+    re-read, re-shingled, or re-shuffled here: the corpus side ships
+    only its slim (id, band, bhash) band index, the new batch computes
+    signatures for itself alone, and the (band, bhash) equi-join makes
+    candidates without any all-pairs step. Signatures re-attach by id
+    for surviving candidates only; AQE broadcasts the new-batch side
+    when it is small (the common case of a daily increment).
+
+    Returns (new_id, corpus_id, n_agree, est_jaccard ≥ threshold).
+    Caller must have built corpus_sigs with the SAME n/num_perm/seed/
+    base_hash — signatures from different parameters never match.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    new_sig = minhash_signatures(
+        new_df, id_col, text_col, n, num_perm, seed, base_hash
+    ).persist()
+    bk = _band_key_array(num_perm, bands, band_key)
+    nb = new_sig.select(
+        F.col(id_col).alias("new_id"), F.posexplode(bk).alias("band", "bhash")
+    )
+    cb = corpus_sigs.select(
+        F.col(id_col).alias("corpus_id"),
+        F.posexplode(bk).alias("band", "bhash"),
+    )
+    cand = (
+        cb.join(nb, ["band", "bhash"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sa = new_sig.select(
+        F.col(id_col).alias("new_id"), F.col("signature").alias("sig_a"))
+    sb = corpus_sigs.select(
+        F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_b"))
+    scored = cand.join(sa, "new_id").join(sb, "corpus_id")
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    est = F.col("n_agree").cast("double") / F.lit(float(num_perm))
+    return (
+        scored.withColumn("n_agree", agree)
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "n_agree", "est_jaccard")
     )
 
 

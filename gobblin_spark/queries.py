@@ -4461,6 +4461,95 @@ def dedup_keep_best_docs(spark, sf_dir):
     return dedup.dedup_keep_best(scored, "doc_id", "text", "quality_score")
 
 
+@q(
+    "convert_jdbc_entries",
+    """
+    SELECT event_id AS id,
+           CAST(user_id AS VARCHAR) AS user_ref,
+           event_type AS type,
+           value AS amount
+    FROM events
+    """,
+)
+def convert_jdbc_entries(spark, sf_dir):
+    """AvroToJdbcEntryConverter (gobblin-modules/gobblin-sql/.../
+    AvroToJdbcEntryConverter.java:77): record fields renamed to
+    database column names with JDBC-friendly type normalization
+    (bigint key stringified for a varchar column). Pure projection —
+    codegen-only, no shuffle; the JdbcWriter staging swap consumes
+    this shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return C.to_jdbc_entries(
+        ev.select("event_id", "user_id", "event_type", "value"),
+        column_map={
+            "event_id": "id",
+            "user_id": "user_ref",
+            "event_type": "type",
+            "value": "amount",
+        },
+        type_overrides={"user_ref": "string"},
+    )
+
+
+@q(
+    "minhash_incremental_checked",
+    f"""
+    WITH sh AS ({_SHINGLE3_CTE.format(norm=_NORM_SQL)}),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {_MH_P} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_MH_MINS}
+      FROM h GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id,
+             unnest([{_MH_BKEYS}]) AS bkey
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM banded n JOIN banded c ON n.bkey = c.bkey
+      WHERE n.doc_id % 3 = 0 AND c.doc_id % 3 <> 0
+    )
+    SELECT new_id, corpus_id, CAST(n_agree AS INT) AS n_agree
+    FROM (
+      SELECT x.new_id, x.corpus_id,
+             {_MH_AGREE}
+             AS n_agree
+      FROM cand x
+      JOIN sig a ON a.doc_id = x.new_id
+      JOIN sig b ON b.doc_id = x.corpus_id
+    ) WHERE n_agree >= CAST(ceil(0.5 * {_MH_PERM}) AS INT)
+    """,
+)
+def minhash_incremental_checked(spark, sf_dir):
+    """Incremental near-dup probe of a new batch (doc_id % 3 == 0)
+    against the standing corpus (doc_id % 3 != 0), with the corpus
+    represented ONLY by its persisted signature table — the corpus
+    text is never re-read or re-shingled. Engine-portable md5_60 base
+    hash + concat band keys, so the oracle reproduces every signature
+    bit-for-bit."""
+    docs = load_docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus_sigs = dedup.minhash_signatures(
+        corpus, "doc_id", "text", n=3, num_perm=_MH_PERM, seed=42,
+        base_hash="md5_60",
+    )
+    hits = dedup.minhash_probe_corpus(
+        new, corpus_sigs, "doc_id", "text", n=3, num_perm=_MH_PERM,
+        bands=_MH_BANDS, threshold=0.5, seed=42, base_hash="md5_60",
+        band_key="concat",
+    )
+    return hits.select(
+        "new_id", "corpus_id", F.col("n_agree").cast("int").alias("n_agree")
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
@@ -4495,6 +4584,9 @@ HEADLINE = [
     # corpus span dedup + classifier scoring
     "cleaning_span_dedup",
     "text_classifier_score",
+    # context-window chunking + quality-aware keep-best dedup
+    "text_chunk_windows",
+    "dedup_keep_best_docs",
     # round-4 TPC-H completion (all 22 shapes now benched: the other
     # 15 appear above / run in the correctness window)
     "q2_min_cost_supplier",

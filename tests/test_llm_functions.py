@@ -428,3 +428,27 @@ def test_dedup_keep_best_prefers_high_score(spark):
     assert out[2].dup_count == 3
     # null-text docs survive as singletons, never merged together
     assert out[5].dup_count == 1 and out[6].dup_count == 1
+
+
+def test_minhash_probe_corpus_matches_pair_search(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=2, text="an entirely different document about spark shuffles"),
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy dog tonight"),
+        Row(doc_id=4, text="unrelated text with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus, new = df.filter("doc_id <= 2"), df.filter("doc_id >= 3")
+    sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_perm=16)
+    hits = dedup.minhash_probe_corpus(
+        new, sigs, "doc_id", "text", num_perm=16, bands=8, threshold=0.3
+    ).collect()
+    # doc 3 is a near-dup of corpus doc 1; doc 4 matches nothing
+    assert {(r.new_id, r.corpus_id) for r in hits} == {(3, 1)}
+    # parity with the batch pair search restricted to the split
+    pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", num_perm=16, bands=8, threshold=0.3
+    ).collect()
+    cross = {(max(r.id_a, r.id_b), min(r.id_a, r.id_b))
+             for r in pairs if (r.id_a <= 2) != (r.id_b <= 2)}
+    assert cross == {(r.new_id, r.corpus_id) for r in hits}
