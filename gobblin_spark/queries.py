@@ -23,7 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gobblin_spark.functions import dedup, multimodal, similarity, text
+from gobblin_spark.functions import dedup, multimodal, similarity, skew, text
 from gobblin_spark.operators import (
     compaction,
     converters as C,
@@ -4655,6 +4655,54 @@ def pipeline_corpus_curation(spark, sf_dir):
     return text.chunk_token_windows(curated, window=64, stride=48)
 
 
+@q(
+    "skew_heavy_hitters",
+    """
+    SELECT event_type,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM events), 6) AS est_share
+    FROM events GROUP BY event_type
+    HAVING CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) >= 0.05
+    """,
+)
+def skew_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter detection (the probe that decides WHERE salting is
+    worth it). Run here at sample_fraction=1.0 so the shares are exact
+    and oracle-checkable; production uses a 1% sample — same plan, one
+    cheap pass, tiny broadcastable output."""
+    ev = load_table(spark, sf_dir, "events")
+    hh = skew.heavy_hitters(ev, ["event_type"], min_share=0.05,
+                            sample_fraction=1.0)
+    return hh.select("event_type", F.round("est_share", 6).alias("est_share"))
+
+
+@q(
+    "skew_salted_join",
+    """
+    SELECT e.event_type, count(*) AS n, round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN (SELECT DISTINCT event_type, 1 AS weight FROM events) d
+      ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Manual salted join for when AQE skew splitting is unavailable:
+    the big (fact) side gets a random salt, the small side replicates
+    x salts, and the join key becomes (key, salt) — each hot key
+    spreads over `salts` reducers. The oracle is the PLAIN join
+    (salting must never change results); aggregation collapses the
+    salt so the check is value-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct().withColumn("weight", F.lit(1))
+    big_s, small_s, keys = skew.salt_join_key(ev, dim, "event_type", salts=8)
+    joined = big_s.join(small_s, keys)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
@@ -4709,7 +4757,7 @@ HEADLINE = [
 # ------------------------------------------------------------------
 # The driver's correctness gate evaluates only the FIRST 50 entries of
 # the queries() dict (list(QUERIES)[:50], confirmed rounds 2-3). The
-# catalog holds 137, so ordering decides which operators get a driver
+# catalog holds 139, so ordering decides which operators get a driver
 # row. Round 4 fronts the 43 entries that had never had one (all
 # locally green via scripts/check_oracles.py), three new round-4
 # queries, and 4 cross-round canaries; everything else keeps its

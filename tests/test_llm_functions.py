@@ -452,3 +452,29 @@ def test_minhash_probe_corpus_matches_pair_search(spark):
     cross = {(max(r.id_a, r.id_b), min(r.id_a, r.id_b))
              for r in pairs if (r.id_a <= 2) != (r.id_b <= 2)}
     assert cross == {(r.new_id, r.corpus_id) for r in hits}
+
+
+def test_minhash_probe_from_stored_signature_table(spark, tmp_path):
+    """The production workflow: corpus signatures written to parquet
+    once, read back later to probe a new batch — results must equal
+    probing the in-memory signature frame."""
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=2, text="an entirely different document about spark shuffles"),
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy dog tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus, new = df.filter("doc_id <= 2"), df.filter("doc_id = 3")
+    sigs = dedup.minhash_signatures(corpus, "doc_id", "text", num_perm=16)
+    store = str(tmp_path / "corpus_sigs")
+    sigs.write.parquet(store)
+    stored = spark.read.parquet(store)
+    live = dedup.minhash_probe_corpus(
+        new, sigs, "doc_id", "text", num_perm=16, bands=8, threshold=0.3
+    ).collect()
+    replay = dedup.minhash_probe_corpus(
+        new, stored, "doc_id", "text", num_perm=16, bands=8, threshold=0.3
+    ).collect()
+    key = lambda r: (r.new_id, r.corpus_id, r.n_agree)
+    assert sorted(map(key, live)) == sorted(map(key, replay))
+    assert {(r.new_id, r.corpus_id) for r in replay} == {(3, 1)}
