@@ -4935,9 +4935,11 @@ HEADLINE = [
     # corpus span dedup + classifier scoring
     "cleaning_span_dedup",
     "text_classifier_score",
-    # context-window chunking + quality-aware keep-best dedup
+    # context-window chunking + quality-aware keep-best dedup, and
+    # their end-to-end composition (filter -> dedup -> chunk)
     "text_chunk_windows",
     "dedup_keep_best_docs",
+    "pipeline_corpus_curation",
     # round-4 TPC-H completion (all 22 shapes now benched: the other
     # 15 appear above / run in the correctness window)
     "q2_min_cost_supplier",
