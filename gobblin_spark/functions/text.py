@@ -12,6 +12,8 @@ heuristic), document fingerprinting (normalize + md5), shingling.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Tiny per-language stopword marker lists for the n-gram/stopword
@@ -533,4 +535,80 @@ def chunk_token_windows(
         "chunk_idx",
         F.size("_chunk").cast("int").alias("n_tokens"),
         F.md5(F.concat_ws(" ", "_chunk")).alias("chunk_hash"),
+    )
+
+
+def _bigram_pairs(df: DataFrame, text_col: str, keep: Sequence[str] = ()):
+    """(keep..., w1, w2) rows — one per adjacent token pair. NARROW:
+    the successor array is the same token array shifted by one and
+    zip_with pairs them element-wise, so bigram extraction needs no
+    window function and no shuffle. zip_with pads the shorter side
+    with null; the null-w2 tail row (and with it every <2-token doc)
+    drops in the filter."""
+    t = F.split(normalize_text(F.col(text_col)), " ")
+    pairs = F.zip_with(
+        t, F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(1))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    return (
+        df.select(*keep, F.explode(pairs).alias("_bg"))
+        .select(*keep, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        .filter(F.col("w2").isNotNull() & (F.col("w1") != ""))
+    )
+
+
+def bigram_lm(train: DataFrame, text_col: str = "text") -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Bigram language model from a reference corpus — the SQL-exact
+    tier above ``unigram_lm`` on the way to CCNet's KenLM (Wenzek et
+    al. 2020 §3.3). Returns (bigram counts (w1, w2, n), prefix counts
+    (w1, n1), 1-row vocab size (v) over all training tokens). Two
+    groupBys over narrow bigram rows; at 100 TB both shuffle slim
+    (16-byte-ish word keys, counts combine map-side)."""
+    bi = _bigram_pairs(train, text_col)
+    lm = bi.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    pre = bi.groupBy("w1").agg(F.count("*").alias("n1"))
+    toks = (
+        train.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " "))
+            .alias("word"))
+        .filter(F.col("word") != "")
+    )
+    v = toks.agg(F.count_distinct("word").alias("v"))
+    return lm, pre, v
+
+
+def bigram_perplexity_scores(
+    score: DataFrame,
+    lm: DataFrame,
+    pre: DataFrame,
+    v: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Mean negative log-probability per BIGRAM with add-alpha
+    smoothing over the conditional distribution:
+
+        p(w2 | w1) = (c(w1,w2) + alpha) / (c(w1) + alpha * (V + 1))
+
+    Unseen prefixes coalesce to c(w1)=0 (the model backs off to the
+    uniform smoothed distribution). Docs with fewer than two tokens
+    have no bigrams and are absent from the output — mirror that in
+    any oracle. Plan: narrow bigram explode → two left hash joins on
+    word keys (broadcast when the LM fits) → one groupBy(id) avg."""
+    bi = _bigram_pairs(score, text_col, keep=[id_col])
+    joined = (
+        bi.join(lm, ["w1", "w2"], "left")
+        .join(pre, "w1", "left")
+        .crossJoin(F.broadcast(v))
+    )
+    neglog = -F.log(
+        (F.coalesce(F.col("n"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("n1"), F.lit(0))
+           + F.lit(alpha) * (F.col("v") + F.lit(1)))
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(F.round(F.avg(neglog), 6).alias("neg_logprob"),
+             F.count("*").cast("long").alias("n_bigrams"))
     )

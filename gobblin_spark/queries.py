@@ -4901,6 +4901,51 @@ def compaction_recompact_flags(spark, sf_dir):
     return per_day
 
 
+@q(
+    "text_bigram_perplexity",
+    f"""
+    WITH tr AS (SELECT {_NORM_SQL} AS nt FROM documents WHERE doc_id % 3 = 0),
+    tt AS (SELECT regexp_split_to_array(nt, ' ') AS t FROM tr WHERE nt <> ''),
+    bi AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tt WHERE len(t) >= 2)
+    ),
+    lm AS (SELECT w1, w2, count(*) AS n FROM bi GROUP BY 1, 2),
+    pre AS (SELECT w1, count(*) AS n1 FROM bi GROUP BY 1),
+    vt AS (SELECT count(DISTINCT word) AS v FROM (
+             SELECT unnest(regexp_split_to_array(nt, ' ')) AS word
+             FROM tr WHERE nt <> '')),
+    sc AS (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS t
+           FROM documents WHERE doc_id % 3 <> 0 AND {_NORM_SQL} <> ''),
+    sbi AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM sc WHERE len(t) >= 2)
+    )
+    SELECT doc_id,
+           round(avg(-ln((coalesce(n, 0) + 0.5)
+                         / (coalesce(n1, 0) + 0.5 * (v + 1)))), 6)
+             AS neg_logprob,
+           count(*) AS n_bigrams
+    FROM sbi LEFT JOIN lm USING (w1, w2) LEFT JOIN pre USING (w1)
+    CROSS JOIN vt
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity filtering — the SQL-exact tier above the
+    unigram filter on the way to CCNet's KenLM: train conditional
+    bigram counts on every third document, score the rest by mean
+    -ln p(w2|w1) with add-0.5 smoothing over the training vocabulary.
+    Bigram extraction is NARROW (token array zipped with its own
+    shift — no window function, no extra shuffle); scoring is two
+    slim word-key joins + one groupBy(doc)."""
+    docs = load_docs(spark, sf_dir)
+    lm, pre, v = text.bigram_lm(docs.filter(F.col("doc_id") % 3 == 0))
+    return text.bigram_perplexity_scores(
+        docs.filter(F.col("doc_id") % 3 != 0), lm, pre, v)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
@@ -4957,7 +5002,7 @@ HEADLINE = [
 # ------------------------------------------------------------------
 # The driver's correctness gate evaluates only the FIRST 50 entries of
 # the queries() dict (list(QUERIES)[:50], confirmed rounds 2-3). The
-# catalog holds 143, so ordering decides which operators get a driver
+# catalog holds 144, so ordering decides which operators get a driver
 # row. Round 4 fronts the 43 entries that had never had one (all
 # locally green via scripts/check_oracles.py), three new round-4
 # queries, and 4 cross-round canaries; everything else keeps its

@@ -478,3 +478,28 @@ def test_minhash_probe_from_stored_signature_table(spark, tmp_path):
     key = lambda r: (r.new_id, r.corpus_id, r.n_agree)
     assert sorted(map(key, live)) == sorted(map(key, replay))
     assert {(r.new_id, r.corpus_id) for r in replay} == {(3, 1)}
+
+
+def test_bigram_perplexity_known_values(spark):
+    import math
+
+    train = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c a b"), Row(doc_id=2, text="a b x")],
+        "doc_id long, text string",
+    )
+    lm, pre, v = text.bigram_lm(train)
+    assert {(r.w1, r.w2): r.n for r in lm.collect()} == {
+        ("a", "b"): 3, ("b", "c"): 1, ("b", "x"): 1, ("c", "a"): 1}
+    score = spark.createDataFrame(
+        [Row(doc_id=10, text="a b c"), Row(doc_id=11, text="z z"),
+         Row(doc_id=12, text="solo"), Row(doc_id=13, text="")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           text.bigram_perplexity_scores(score, lm, pre, v).collect()}
+    # V=4: p(b|a)=3.5/5.5, p(c|b)=1.5/4.5; unseen prefix z -> 0.5/2.5
+    exp10 = round((-math.log(3.5 / 5.5) - math.log(1.5 / 4.5)) / 2, 6)
+    assert out[10].neg_logprob == exp10 and out[10].n_bigrams == 2
+    assert out[11].neg_logprob == round(-math.log(0.5 / 2.5), 6)
+    # <2-token docs have no bigrams and drop out
+    assert set(out) == {10, 11}
