@@ -186,3 +186,46 @@ def length_histogram(
             F.sum(F.greatest(c, F.lit(0))).alias("total_chars"),
         )
     )
+
+
+def shuffle_seeded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "epoch0",
+    n_shards: int = 256,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    (shard, position) from a seeded hash of its id — change the seed
+    string, get an independent permutation (one per training epoch);
+    re-run the job, get the identical order. The conventional
+    alternative (orderBy(rand())) is neither reproducible nor
+    restartable.
+
+    Sharded like ``pack_assignments``: position is a row_number within
+    ``pmod(hash, n_shards)``, so no single reducer ever sees the whole
+    corpus — consumers read shards in order (shard-major, position
+    -minor) for the global permutation. ``hash_fn='md5'`` swaps the
+    order key to md5(seed || ':' || id), slower but reproducible by
+    any SQL engine for oracle checks.
+    """
+    from pyspark.sql.window import Window
+
+    if hash_fn == "xxhash64":
+        key = F.xxhash64(F.lit(seed), F.col(id_col))
+    elif hash_fn == "md5":
+        key = F.md5(F.concat(F.lit(seed), F.lit(":"),
+                             F.col(id_col).cast("string")))
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn}")
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)) \
+        if hash_fn == "xxhash64" else (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+               16, 10).cast("long") % n_shards)
+    w = Window.partitionBy("shuffle_shard").orderBy("_key", id_col)
+    return (
+        df.withColumn("_key", key)
+        .withColumn("shuffle_shard", shard.cast("int"))
+        .withColumn("shuffle_pos", F.row_number().over(w).cast("long"))
+        .drop("_key")
+    )

@@ -503,3 +503,32 @@ def test_bigram_perplexity_known_values(spark):
     assert out[11].neg_logprob == round(-math.log(0.5 / 2.5), 6)
     # <2-token docs have no bigrams and drop out
     assert set(out) == {10, 11}
+
+
+def test_chunk_token_windows_grid_invariants(spark):
+    """Exhaustive over doc lengths 0..200 (window 16, stride 5): chunk
+    count matches the stride grid, every chunk is non-empty and at
+    most window tokens, tokens are fully covered, and adjacent chunks
+    overlap by window - stride."""
+    W, S_ = 16, 5
+    rows = [Row(doc_id=n, text=" ".join(f"t{i}" for i in range(n)))
+            for n in range(0, 201)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.chunk_token_windows(df, window=W, stride=S_)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for n in range(0, 201):
+        chunks = sorted(by_doc[n], key=lambda r: r.chunk_idx)
+        # split('') yields one empty token, so n=0 behaves like n=1
+        eff = max(n, 1)
+        expected_starts = list(range(0, max(eff - 1, 0) + 1, S_))
+        assert [c.chunk_idx for c in chunks] == list(range(len(expected_starts)))
+        sizes = [c.n_tokens for c in chunks]
+        assert all(1 <= s <= W for s in sizes)
+        # coverage: sizes reconstruct the token count exactly
+        covered = set()
+        for start, size in zip(expected_starts, sizes):
+            assert size == min(W, eff - start)
+            covered.update(range(start, start + size))
+        assert covered == set(range(eff))
