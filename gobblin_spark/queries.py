@@ -5008,6 +5008,41 @@ def mixing_pack_manifest(spark, sf_dir):
     return X.pack_manifest(asg, "n_chars", shard_col="lang")
 
 
+@q(
+    "embedding_centroid_norms",
+    """
+    WITH comp AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS val
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos, avg(val) AS c FROM comp GROUP BY label, pos
+    )
+    SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm,
+           CAST(count(*) AS INT) AS n_dims
+    FROM cent GROUP BY label
+    """,
+)
+def embedding_centroid_norms(spark, sf_dir):
+    """Per-cluster centroid statistics over the embedding corpus —
+    the monitoring pass of an IVF/k-means index (cell centroid norms
+    reveal collapsed or drifting cells). Distributed array math with
+    no UDF: posexplode to (label, dim, value), per-dim avg (map-side
+    combined — the shuffle carries labels x dims partials, never
+    vectors), then a per-label fold. At 100 TB the first aggregate is
+    the only wide stage and its key space is labels x dims."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val"))
+    cent = comp.groupBy("label", "pos").agg(F.avg("val").alias("c"))
+    return cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6)
+        .alias("centroid_norm"),
+        F.count(F.lit(1)).cast("int").alias("n_dims"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
@@ -5064,7 +5099,7 @@ HEADLINE = [
 # ------------------------------------------------------------------
 # The driver's correctness gate evaluates only the FIRST 50 entries of
 # the queries() dict (list(QUERIES)[:50], confirmed rounds 2-3). The
-# catalog holds 146, so ordering decides which operators get a driver
+# catalog holds 147, so ordering decides which operators get a driver
 # row. Round 4 fronts the 43 entries that had never had one (all
 # locally green via scripts/check_oracles.py), three new round-4
 # queries, and 4 cross-round canaries; everything else keeps its
