@@ -5043,6 +5043,58 @@ def embedding_centroid_norms(spark, sf_dir):
     )
 
 
+@q(
+    "sink_schema_partitioned",
+    """
+    SELECT substr(md5('event_id:bigint,event_type:string'), 1, 8)
+             AS schema_id,
+           count(*) AS n, CAST(0 AS BIGINT) AS n_value_rows
+    FROM events
+    UNION ALL
+    SELECT substr(md5('event_id:bigint,event_type:string,value:double'),
+                  1, 8) AS schema_id,
+           count(*) AS n, count(value) AS n_value_rows
+    FROM events
+    """,
+)
+def sink_schema_partitioned(spark, sf_dir):
+    """SchemaBasedWriterPartitioner + RetryWriter, value-checked: two
+    schema generations of the same stream land through retried writes
+    into per-schema partitions of ONE dataset (schema_id = md5 prefix
+    of the field list, computed BEFORE the union conformed both sides
+    to the widest schema), and the read-back recovers each
+    generation's row count and null-filled columns exactly. The
+    oracle recomputes the md5 partition keys from the schema strings."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark import schema as S
+    from gobblin_spark.sinks import writers as W
+
+    ev = load_table(spark, sf_dir, "events")
+    v1 = ev.select("event_id", "event_type")
+    v2 = ev.select("event_id", "event_type", "value")
+    target = T.StructType([
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("schema_id", T.StringType(), True),
+    ])
+    out = tempfile.mkdtemp(prefix="gobblin_schema_part_") + "/data"
+    W.retry_write(
+        S.conform_to(W.with_schema_partition(v1), target), out,
+        mode="overwrite", partition_by=["schema_id"])
+    W.retry_write(
+        S.conform_to(W.with_schema_partition(v2), target), out,
+        mode="append", partition_by=["schema_id"])
+    back = spark.read.parquet(out)
+    return back.groupBy("schema_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("value").alias("n_value_rows"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
@@ -5099,7 +5151,7 @@ HEADLINE = [
 # ------------------------------------------------------------------
 # The driver's correctness gate evaluates only the FIRST 50 entries of
 # the queries() dict (list(QUERIES)[:50], confirmed rounds 2-3). The
-# catalog holds 147, so ordering decides which operators get a driver
+# catalog holds 148, so ordering decides which operators get a driver
 # row. Round 4 fronts the 43 entries that had never had one (all
 # locally green via scripts/check_oracles.py), three new round-4
 # queries, and 4 cross-round canaries; everything else keeps its
