@@ -612,3 +612,60 @@ def bigram_perplexity_scores(
         .agg(F.round(F.avg(neglog), 6).alias("neg_logprob"),
              F.count("*").cast("long").alias("n_bigrams"))
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs via an inverted index —
+    the lexical-similarity complement of MinHash (set overlap) and
+    embedding cosine (dense vectors): (id_a < id_b, cos ≥ threshold)
+    over the df-capped TF-IDF representation.
+
+    Scale shape mirrors ``ngram_jaccard_pairs``: terms with document
+    frequency above ``max_doc_freq`` are dropped BEFORE the term
+    self-join — a stopword-grade term would explode candidates
+    quadratically, and its idf makes it near-worthless anyway. The
+    join ships only (term, id, weight); partial products combine
+    map-side into per-pair dots. Weights use the rational idf
+    ``tf · (N / df_t)`` (engine-exact products, same convention as
+    ``tf_idf_top_terms``); norms are over the SAME capped vectors so
+    the metric is exactly cosine of the indexed representation.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = tf.select(id_col).distinct().count()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    kept = tf.join(
+        dfreq.filter(F.col("df_t") <= max_doc_freq), "token")
+    w = kept.withColumn(
+        "w",
+        F.col("tf").cast("double")
+        * (F.lit(float(n_docs)) / F.col("df_t").cast("double")),
+    ).select(id_col, "token", "w")
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    a = w.select(F.col(id_col).alias("id_a"), "token", F.col("w").alias("wa"))
+    b = w.select(F.col(id_col).alias("id_b"), "token", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(na, "id_a").join(nb, "id_b")
+        .withColumn("cosine",
+                    F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -5142,6 +5142,48 @@ def source_workunit_retry(spark, sf_dir):
     return back.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
+@q(
+    "tfidf_cosine_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+           WHERE token <> '' GROUP BY 1, 2),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+    dfreq AS (SELECT token, count(*) AS df_t FROM tf GROUP BY 1),
+    w AS (
+      SELECT doc_id, token,
+             CAST(tf AS DOUBLE)
+             * (CAST((SELECT n_docs FROM nd) AS DOUBLE)
+                / CAST(df_t AS DOUBLE)) AS w
+      FROM tf JOIN dfreq USING (token)
+      WHERE df_t <= 1000
+    ),
+    norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+      FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, round(dot / (na.norm * nb.norm), 6) AS cosine
+    FROM dots JOIN norms na ON na.doc_id = id_a
+              JOIN norms nb ON nb.doc_id = id_b
+    WHERE round(dot / (na.norm * nb.norm), 6) >= 0.9
+    """,
+)
+def tfidf_cosine_pairs(spark, sf_dir):
+    """Sparse lexical near-dup pairs by TF-IDF cosine over an
+    inverted index — the third similarity family next to MinHash (set
+    overlap) and embedding cosine (dense). Hot terms are df-capped
+    before the term self-join (the ngram_jaccard skew story); weights
+    use the rational idf so products are engine-exact."""
+    docs = load_docs(spark, sf_dir)
+    return text.tfidf_cosine_pairs(
+        docs, threshold=0.9, max_doc_freq=1000)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
@@ -5198,7 +5240,7 @@ HEADLINE = [
 # ------------------------------------------------------------------
 # The driver's correctness gate evaluates only the FIRST 50 entries of
 # the queries() dict (list(QUERIES)[:50], confirmed rounds 2-3). The
-# catalog holds 149, so ordering decides which operators get a driver
+# catalog holds 150, so ordering decides which operators get a driver
 # row. Round 4 fronts the 43 entries that had never had one (all
 # locally green via scripts/check_oracles.py), three new round-4
 # queries, and 4 cross-round canaries; everything else keeps its
