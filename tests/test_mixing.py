@@ -101,3 +101,47 @@ def test_domain_stats(spark):
     stats = {r.source: r for r in X.domain_stats(docs, weight_col="n_chars").collect()}
     assert all(r.docs > 0 and r.weight > 0 for r in stats.values())
     assert sum(r.docs for r in stats.values()) == docs.count()
+
+
+def test_shuffle_seeded_reproducible_and_complete(spark):
+    df = spark.range(50).withColumnRenamed("id", "doc_id")
+    key = lambda rows: sorted((r.shuffle_shard, r.shuffle_pos, r.doc_id)
+                              for r in rows)
+    a = key(X.shuffle_seeded(df, seed="e1", n_shards=4).collect())
+    b = key(X.shuffle_seeded(df, seed="e1", n_shards=4).collect())
+    c = key(X.shuffle_seeded(df, seed="e2", n_shards=4).collect())
+    assert a == b, "same seed must reproduce the same order"
+    assert a != c, "a new seed must permute differently"
+    # positions are dense 1..n within each shard; every row present
+    by_shard = {}
+    for shard, pos, _ in a:
+        by_shard.setdefault(shard, []).append(pos)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_shard.values())
+    assert sorted(x[2] for x in a) == list(range(50))
+    # md5 path agrees with itself and keeps the same invariants
+    m = key(X.shuffle_seeded(df, seed="e1", n_shards=4,
+                             hash_fn="md5").collect())
+    assert sorted(x[2] for x in m) == list(range(50))
+
+
+def test_pack_manifest_matches_assignments(spark):
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), 100) for i in range(10)],
+        "doc_id long, shard string, n_tok long",
+    )
+    asg = X.pack_assignments(df, "n_tok", seq_len=256, shard_col="shard")
+    man = X.pack_manifest(asg, "n_tok", shard_col="shard")
+    rows = {(r.shard, r.pack_id): r for r in man.collect()}
+    # 5 docs x 100 tokens per shard, 256-token packs: cum starts
+    # 0,100,200,300,400 -> pack 0 gets 3 docs, pack 1 gets 2
+    for s in ("s0", "s1"):
+        assert sum(r.pack_tokens for (sh, _), r in rows.items()
+                   if sh == s) == 500
+        assert [rows[(s, p)].n_docs for p in (0, 1)] == [3, 2]
+    # member lists are ordered and ship every doc exactly once
+    all_ids = [int(x) for r in rows.values() for x in r.doc_ids.split(",")]
+    assert sorted(all_ids) == list(range(10))
+    for r in rows.values():
+        ids = [int(x) for x in r.doc_ids.split(",")]
+        assert ids == sorted(ids) and len(ids) == r.n_docs
