@@ -440,6 +440,60 @@ def simhash_near_dup_pairs(
     )
 
 
+def simhash_probe_corpus(
+    new_df: DataFrame,
+    corpus_hashes: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    base_hash: str = "xxhash64",
+    bits: int = 64,
+) -> DataFrame:
+    """Incremental SimHash near-dup probe — completes the
+    growing-corpus family (Bloom = incremental EXACT dedup, MinHash
+    probe = set-overlap near-dup, this = bit-fingerprint near-dup):
+    a new batch checks against a PERSISTED (id, simhash) corpus table;
+    the corpus text is never re-read or re-tokenized.
+
+    Pigeonhole banding as in ``simhash_near_dup_pairs``: both sides
+    explode into 4 chunk keys, candidates come from the chunk
+    equality join (the corpus ships 4 slim rows per doc — at 100 TB
+    this index is materialized alongside the hash table), and exact
+    popcount verifies before the dedup shuffle. Returns
+    (new_id, corpus_id, hamming ≤ max_hamming). Build corpus_hashes
+    with the SAME base_hash/bits.
+    """
+    if bits % 4:
+        raise ValueError("bits must be divisible by 4 (pigeonhole chunks)")
+    cw = bits // 4
+    nh = simhash64(new_df, id_col, text_col, base_hash, bits)
+
+    def _chunks(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
+        arr = F.array(
+            *[
+                F.shiftrightunsigned(F.col("simhash"), cw * i).bitwiseAND(
+                    F.lit((1 << cw) - 1)
+                )
+                for i in range(4)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col("simhash").alias(out_sh),
+            F.posexplode(arr).alias("chunk", "cval"),
+        )
+
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        _chunks(corpus_hashes, "corpus_id", "sh_b")
+        .join(_chunks(nh, "new_id", "sh_a"), ["chunk", "cval"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["new_id", "corpus_id"])
+        .select("new_id", "corpus_id", "hamming")
+    )
+
+
 def contamination_check(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -532,3 +532,23 @@ def test_chunk_token_windows_grid_invariants(spark):
             assert size == min(W, eff - start)
             covered.update(range(start, start + size))
         assert covered == set(range(eff))
+
+
+def test_simhash_probe_corpus_matches_pair_search(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=2, text="an entirely different document about spark shuffles"),
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy dog tonight"),
+        Row(doc_id=4, text="wholly unrelated text with zero token overlap here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus, new = df.filter("doc_id <= 2"), df.filter("doc_id >= 3")
+    hashes = dedup.simhash64(corpus, "doc_id", "text")
+    hits = dedup.simhash_probe_corpus(
+        new, hashes, "doc_id", "text", max_hamming=10).collect()
+    pairs = dedup.simhash_near_dup_pairs(
+        df, "doc_id", "text", max_hamming=10).collect()
+    cross = {(max(r.id_a, r.id_b), min(r.id_a, r.id_b)): r.hamming
+             for r in pairs if (r.id_a <= 2) != (r.id_b <= 2)}
+    assert {(r.new_id, r.corpus_id): r.hamming for r in hits} == cross
+    assert (3, 1) in cross  # the near-dup is found through the store
