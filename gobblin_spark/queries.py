@@ -5236,6 +5236,76 @@ def simhash_incremental_checked(spark, sf_dir):
         "new_id", "corpus_id", F.col("hamming").cast("int").alias("hamming"))
 
 
+@q(
+    "dedup_fuzzy_survivors",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE3_CTE.format(norm=_NORM_SQL)}),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {_MH_P} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_MH_MINS}
+      FROM h GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id,
+             unnest([{_MH_BKEYS}]) AS bkey
+      FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT c.id_a, c.id_b,
+               {_MH_AGREE}
+               AS n_agree
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.id_a
+        JOIN sig b ON b.doc_id = c.id_b
+      ) WHERE n_agree >= CAST(ceil(0.5 * {_MH_PERM}) AS INT)
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u AS node, r.lab FROM edges e JOIN reach r ON r.node = e.v
+    ),
+    losers AS (
+      SELECT node AS doc_id FROM (
+        SELECT node, min(lab) AS component FROM reach GROUP BY node
+      ) WHERE node <> component
+    )
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def dedup_fuzzy_survivors(spark, sf_dir):
+    """The fuzzy-dedup chain taken all the way to the CURATED CORPUS:
+    LSH pairs → connected components → keep the min-id representative
+    per transitive group, everyone else anti-joins out. Ids only move
+    through the graph and the anti-join; document rows stream through
+    once at the end. The oracle replays components as a recursive CTE
+    and subtracts the same losers."""
+    from gobblin_spark.functions import graph
+
+    docs = load_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=_MH_PERM, bands=_MH_BANDS,
+        threshold=0.5, seed=42, base_hash="md5_60", band_key="concat",
+    )
+    kept = graph.keep_one_per_component(
+        docs.select("doc_id", "lang", "n_chars"), pairs, "doc_id")
+    return kept
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
@@ -5292,7 +5362,7 @@ HEADLINE = [
 # ------------------------------------------------------------------
 # The driver's correctness gate evaluates only the FIRST 50 entries of
 # the queries() dict (list(QUERIES)[:50], confirmed rounds 2-3). The
-# catalog holds 151, so ordering decides which operators get a driver
+# catalog holds 152, so ordering decides which operators get a driver
 # row. Round 4 fronts the 43 entries that had never had one (all
 # locally green via scripts/check_oracles.py), three new round-4
 # queries, and 4 cross-round canaries; everything else keeps its
