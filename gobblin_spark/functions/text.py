@@ -640,7 +640,12 @@ def tfidf_cosine_pairs(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
     ).filter(F.col("token") != "")
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds three consumers (doc count, doc-frequency, the index)
+    # and the index w feeds three more (norms + both join sides):
+    # persist both, or each consumer re-tokenizes the corpus — the
+    # same materialize-once shape as minhash_lsh_pairs' signatures
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")).persist()
     n_docs = tf.select(id_col).distinct().count()
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
     kept = tf.join(
@@ -649,7 +654,7 @@ def tfidf_cosine_pairs(
         "w",
         F.col("tf").cast("double")
         * (F.lit(float(n_docs)) / F.col("df_t").cast("double")),
-    ).select(id_col, "token", "w")
+    ).select(id_col, "token", "w").persist()
     norms = w.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
     a = w.select(F.col(id_col).alias("id_a"), "token", F.col("w").alias("wa"))
