@@ -564,7 +564,9 @@ def bigram_lm(train: DataFrame, text_col: str = "text") -> tuple[DataFrame, Data
     (w1, n1), 1-row vocab size (v) over all training tokens). Two
     groupBys over narrow bigram rows; at 100 TB both shuffle slim
     (16-byte-ish word keys, counts combine map-side)."""
-    bi = _bigram_pairs(train, text_col)
+    # the bigram rows feed BOTH count tables — persist, or each
+    # aggregate re-tokenizes and re-zips the training corpus
+    bi = _bigram_pairs(train, text_col).persist()
     lm = bi.groupBy("w1", "w2").agg(F.count("*").alias("n"))
     pre = bi.groupBy("w1").agg(F.count("*").alias("n1"))
     toks = (
