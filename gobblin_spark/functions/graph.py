@@ -36,10 +36,20 @@ def connected_components(
     """(node, component) for every node in *edges*; component = the
     smallest node id reachable through any chain of pairs. Undirected:
     each edge propagates labels both ways."""
+    # one scan of the (possibly expensive) edge plan: exploding both
+    # directions from the same row halves the upstream work vs a
+    # union of two selects, which would execute the edge pipeline
+    # twice before the checkpoint
     bi = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"),
-                                  F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
         .distinct()
         .localCheckpoint()
     )
