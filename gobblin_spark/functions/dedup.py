@@ -99,6 +99,10 @@ def ngram_jaccard_pairs(
     default (1000); pass ``None`` to disable for exact small-corpus runs.
     """
     slim = ensure_parallelism(df.select(id_col, text_col))
+    # deliberately NOT persisted: shingling is cheap narrow codegen,
+    # and caching the corpus-sized shingle table costs more than the
+    # recompute (A/B at sf0.1: 2.7 s recompute vs 3.2 s cached) —
+    # unlike the slim tf-idf/signature tables, which do persist
     sh = word_shingles(slim, text_col, n).select(id_col, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
