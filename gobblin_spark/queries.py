@@ -5345,6 +5345,9 @@ HEADLINE = [
     "text_chunk_windows",
     "dedup_keep_best_docs",
     "pipeline_corpus_curation",
+    # lexical similarity + LM-filter additions
+    "tfidf_cosine_pairs",
+    "text_bigram_perplexity",
     # round-4 TPC-H completion (all 22 shapes now benched: the other
     # 15 appear above / run in the correctness window)
     "q2_min_cost_supplier",
