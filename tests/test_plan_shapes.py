@@ -51,6 +51,21 @@ CASES = [
     ("text_chunk_windows", 0, "Exchange hashpartitioning"),
     # keep-best dedup: one fingerprint hash-aggregate shuffle
     ("dedup_keep_best_docs", 1, "CartesianProduct"),
+    # curation pipeline: keep-best agg + broadcast id re-attach
+    ("pipeline_corpus_curation", 1, "CartesianProduct"),
+    # seeded shuffle: one per-shard window exchange, never global
+    ("mixing_shuffle_seeded", 1, "SinglePartition"),
+    # centroid stats: (label, dim) agg + per-label fold
+    ("embedding_centroid_norms", 2, "CartesianProduct"),
+    # pack manifest: cum-sum window + manifest groupBy share the key
+    ("mixing_pack_manifest", 2, "CartesianProduct"),
+    # heavy-hitter probe: one sampled aggregate
+    ("skew_heavy_hitters", 1, "CartesianProduct"),
+    # late routing: frontier literal pushes into both branch scans
+    ("streaming_late_routing", 0, "CartesianProduct"),
+    # line census: digest-keyed agg; countDistinct(doc) expands into
+    # a second exchange on (digest, doc)
+    ("cleaning_line_census", 2, "CartesianProduct"),
 ]
 
 
