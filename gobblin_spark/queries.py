@@ -5334,6 +5334,67 @@ def cleaning_line_census(spark, sf_dir):
     return CL.duplicate_line_stats(docs, min_dup_chars=20)
 
 
+@q(
+    "text_perplexity_tiers",
+    f"""
+    WITH tr AS (SELECT {_NORM_SQL} AS nt FROM documents WHERE doc_id % 3 = 0),
+    words AS (
+      SELECT unnest(regexp_split_to_array(nt, ' ')) AS word FROM tr
+      WHERE nt <> ''
+    ),
+    lm AS (SELECT word, count(*) AS n FROM words WHERE word <> '' GROUP BY word),
+    vt AS (SELECT count(*) AS v, sum(n) AS total FROM lm),
+    sc AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents
+           WHERE doc_id % 3 <> 0),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(nt, ' ')) AS word
+      FROM sc WHERE nt <> ''
+    ),
+    scores AS (
+      SELECT doc_id,
+             round(avg(-ln((coalesce(n, 0) + 0.5)
+                           / (total + 0.5 * (v + 1)))), 6) AS nlp
+      FROM (SELECT t.doc_id, lm.n FROM toks t LEFT JOIN lm USING (word)
+            WHERE t.word <> '') CROSS JOIN vt
+      GROUP BY doc_id
+    ),
+    cuts AS (SELECT quantile_cont(nlp, 1.0/3) AS c1,
+                    quantile_cont(nlp, 2.0/3) AS c2 FROM scores)
+    SELECT doc_id, nlp AS neg_logprob,
+           CASE WHEN nlp <= (SELECT c1 FROM cuts) THEN 'head'
+                WHEN nlp <= (SELECT c2 FROM cuts) THEN 'middle'
+                ELSE 'tail' END AS tier
+    FROM scores
+    """,
+)
+def text_perplexity_tiers(spark, sf_dir):
+    """CCNet's head/middle/tail corpus partitioning (Wenzek et al.
+    2020 §3.3): score every document by LM perplexity, cut the corpus
+    at the P33/P66 perplexity quantiles, and label each doc's tier —
+    downstream training samples head-heavy. The cutoffs are a 2-value
+    aggregate broadcast back over the scores (never a global sort /
+    ntile window); at 100 TB swap the exact percentile for
+    approx_percentile and the plan is unchanged."""
+    docs = load_docs(spark, sf_dir)
+    lm = text.unigram_lm(docs.filter(F.col("doc_id") % 3 == 0))
+    # cutoffs computed on the ROUNDED scores on both sides — the
+    # round-6 values are the cross-engine-identical surface, so the
+    # quantile interpolation sees the same doubles
+    scores = text.perplexity_scores(
+        docs.filter(F.col("doc_id") % 3 != 0), lm).select(
+        "doc_id", F.col("neg_logprob"))
+    cuts = scores.agg(
+        F.percentile("neg_logprob", F.lit(1.0 / 3)).alias("c1"),
+        F.percentile("neg_logprob", F.lit(2.0 / 3)).alias("c2"))
+    tiered = scores.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "neg_logprob",
+        F.when(F.col("neg_logprob") <= F.col("c1"), "head")
+        .when(F.col("neg_logprob") <= F.col("c2"), "middle")
+        .otherwise("tail").alias("tier"),
+    )
+    return tiered
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
@@ -5393,7 +5454,7 @@ HEADLINE = [
 # ------------------------------------------------------------------
 # The driver's correctness gate evaluates only the FIRST 50 entries of
 # the queries() dict (list(QUERIES)[:50], confirmed rounds 2-3). The
-# catalog holds 153, so ordering decides which operators get a driver
+# catalog holds 154, so ordering decides which operators get a driver
 # row. Round 4 fronts the 43 entries that had never had one (all
 # locally green via scripts/check_oracles.py), three new round-4
 # queries, and 4 cross-round canaries; everything else keeps its
