@@ -552,3 +552,30 @@ def test_simhash_probe_corpus_matches_pair_search(spark):
              for r in pairs if (r.id_a <= 2) != (r.id_b <= 2)}
     assert {(r.new_id, r.corpus_id): r.hamming for r in hits} == cross
     assert (3, 1) in cross  # the near-dup is found through the store
+
+
+def test_tfidf_cosine_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta"),
+            Row(doc_id=2, text="alpha beta gamma delta"),
+            Row(doc_id=3, text="epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.cosine
+             for r in text.tfidf_cosine_pairs(df, threshold=0.5).collect()}
+    # identical docs -> cosine exactly 1; disjoint docs -> no pair
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_dedup_keep_best_order_invariant(spark):
+    rows = [Row(doc_id=i, text="dup" if i % 2 else "other%d" % i,
+                score=float(i % 7) / 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+    a = {r.doc_id for r in
+         dedup.dedup_keep_best(df, "doc_id", "text", "score").collect()}
+    shuffled = df.repartition(13).sortWithinPartitions(F.desc("doc_id"))
+    b = {r.doc_id for r in
+         dedup.dedup_keep_best(shuffled, "doc_id", "text", "score").collect()}
+    assert a == b, "argmax winners must not depend on physical row order"
