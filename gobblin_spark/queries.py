@@ -5453,6 +5453,50 @@ def corpus_dedup_report(spark, sf_dir):
     return counts.crossJoin(F.broadcast(rep))
 
 
+@q(
+    "decontaminate_corpus",
+    f"""
+    WITH di AS ({_SHINGLE2_CTE.format(norm=_NORM_SQL, pred='doc_id % 50 <> 0')}),
+    ds AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i+1], ' ') AS shingle
+      FROM di WHERE array_to_string(words[i:i+1], ' ') <> ''
+    ),
+    bi AS ({_SHINGLE2_CTE.format(norm=_NORM_SQL, pred='doc_id % 50 = 0')}),
+    bs AS (
+      SELECT DISTINCT array_to_string(words[i:i+1], ' ') AS shingle
+      FROM bi WHERE array_to_string(words[i:i+1], ' ') <> ''
+    ),
+    scored AS (
+      SELECT ds.doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_overlap
+      FROM ds LEFT JOIN bs ON ds.shingle = bs.shingle
+      GROUP BY ds.doc_id
+    )
+    SELECT doc_id,
+           CAST(floor(CAST(n_overlap AS DOUBLE) * 1000000.0
+                      / CAST(n_shingles AS DOUBLE)) AS BIGINT) AS overlap_ppm
+    FROM scored
+    WHERE floor(CAST(n_overlap AS DOUBLE) * 1000000.0
+                / CAST(n_shingles AS DOUBLE)) < 500000
+    """,
+)
+def decontaminate_corpus(spark, sf_dir):
+    """The decontamination ACTION downstream of the check: drop every
+    document whose benchmark-shingle overlap reaches 50% (these are
+    eval leaks), keep the rest — the filter runs on the same
+    exact-integer ppm the check emits, so the cut is engine-exact.
+    Same broadcast-benchmark plan; the drop adds no shuffle."""
+    docs = load_docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    scored = dedup.contamination_check(corpus, bench, "doc_id", "text", n=2)
+    return (
+        scored.filter(F.col("overlap_ppm") < 500000)
+        .select("doc_id", "overlap_ppm")
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
@@ -5512,7 +5556,7 @@ HEADLINE = [
 # ------------------------------------------------------------------
 # The driver's correctness gate evaluates only the FIRST 50 entries of
 # the queries() dict (list(QUERIES)[:50], confirmed rounds 2-3). The
-# catalog holds 155, so ordering decides which operators get a driver
+# catalog holds 156, so ordering decides which operators get a driver
 # row. Round 4 fronts the 43 entries that had never had one (all
 # locally green via scripts/check_oracles.py), three new round-4
 # queries, and 4 cross-round canaries; everything else keeps its
