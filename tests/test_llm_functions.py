@@ -579,3 +579,33 @@ def test_dedup_keep_best_order_invariant(spark):
     b = {r.doc_id for r in
          dedup.dedup_keep_best(shuffled, "doc_id", "text", "score").collect()}
     assert a == b, "argmax winners must not depend on physical row order"
+
+
+def test_chunk_token_windows_whitespace_variants(spark):
+    """Tabs / repeated spaces / newlines all split as one separator —
+    chunk hashes must match the single-space equivalent."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b\tc\nd   e"),
+         Row(doc_id=2, text="a b c d e")],
+        "doc_id long, text string",
+    )
+    out = text.chunk_token_windows(df, window=3, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_hash))
+    assert sorted(by_doc[1]) == sorted(by_doc[2])
+
+
+def test_perplexity_tiers_cover_corpus(spark, sf_dir):
+    from gobblin_spark.queries import QUERIES
+
+    rows = QUERIES["text_perplexity_tiers"](spark, sf_dir).collect()
+    tiers = {}
+    for r in rows:
+        tiers.setdefault(r.tier, []).append(r.neg_logprob)
+    assert set(tiers) == {"head", "middle", "tail"}
+    # tier boundaries are ordered: every head score <= every tail score
+    assert max(tiers["head"]) <= min(tiers["tail"])
+    # thirds within one doc of each other modulo quantile ties
+    sizes = sorted(len(v) for v in tiers.values())
+    assert sizes[-1] - sizes[0] <= max(3, len(rows) // 10)
