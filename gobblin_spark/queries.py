@@ -5497,6 +5497,51 @@ def decontaminate_corpus(spark, sf_dir):
     )
 
 
+@q(
+    "streaming_dedup_ingest",
+    f"""
+    WITH f AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS fp, doc_id % 3 AS ep
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, fp FROM (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY ep, doc_id) AS rn
+      FROM f
+    ) WHERE rn = 1
+    """,
+)
+def streaming_dedup_ingest(spark, sf_dir):
+    """The standing ingest-with-dedup loop, run for three epochs: each
+    arriving batch dedups within itself (min id per fingerprint), then
+    probes the ACCUMULATED store through the Bloom prefilter + exact
+    anti-join, and appends only first-ever-seen documents. The final
+    store must equal first-occurrence-wins over (epoch, id) order —
+    which is exactly what the oracle's one window computes. At 100 TB
+    the store is append-only parquet, each epoch reads it once for the
+    sketch + the sliver verify, and no epoch ever reshuffles history."""
+    import os
+    import tempfile
+
+    from gobblin_spark.functions import bloom
+
+    docs = (
+        load_docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+    )
+    tmp = tempfile.mkdtemp(prefix="gobblin_dedup_ingest_")
+    store = f"{tmp}/store"
+    for ep in (0, 1, 2):
+        batch = docs.filter(F.col("doc_id") % 3 == ep)
+        kept = batch.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        if os.path.exists(store):
+            hist = spark.read.parquet(store)
+            kept = bloom.bloom_incremental_dedup(kept, hist, "fp")
+        kept.select("doc_id", "fp").write.mode("append").parquet(store)
+    return spark.read.parquet(store)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
@@ -5556,7 +5601,7 @@ HEADLINE = [
 # ------------------------------------------------------------------
 # The driver's correctness gate evaluates only the FIRST 50 entries of
 # the queries() dict (list(QUERIES)[:50], confirmed rounds 2-3). The
-# catalog holds 156, so ordering decides which operators get a driver
+# catalog holds 157, so ordering decides which operators get a driver
 # row. Round 4 fronts the 43 entries that had never had one (all
 # locally green via scripts/check_oracles.py), three new round-4
 # queries, and 4 cross-round canaries; everything else keeps its
