@@ -5542,6 +5542,191 @@ def streaming_dedup_ingest(spark, sf_dir):
     return spark.read.parquet(store)
 
 
+@q(
+    "pagerank_partsupp",
+    """
+    WITH e AS (
+      SELECT DISTINCT CAST(l_partkey AS BIGINT)*2 AS u,
+                      CAST(l_suppkey AS BIGINT)*2+1 AS v
+      FROM lineitem
+    ), bi AS (
+      SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e
+    ), deg AS (
+      SELECT u AS id, CAST(count(*) AS DOUBLE) AS deg FROM bi GROUP BY u
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM deg
+    ), r0 AS (
+      SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM deg
+    ), c0 AS (
+      SELECT r0.id, r0.rank/deg.deg AS c FROM r0 JOIN deg USING (id)
+    ), r1 AS (
+      SELECT d.id,
+             (1 - CAST(0.85 AS DOUBLE))/(SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE)*COALESCE(sum(c0.c), 0) AS rank
+      FROM deg d LEFT JOIN bi ON bi.v = d.id LEFT JOIN c0 ON c0.id = bi.u
+      GROUP BY d.id
+    ), c1 AS (
+      SELECT r1.id, r1.rank/deg.deg AS c FROM r1 JOIN deg USING (id)
+    ), r2 AS (
+      SELECT d.id,
+             (1 - CAST(0.85 AS DOUBLE))/(SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE)*COALESCE(sum(c1.c), 0) AS rank
+      FROM deg d LEFT JOIN bi ON bi.v = d.id LEFT JOIN c1 ON c1.id = bi.u
+      GROUP BY d.id
+    ), c2 AS (
+      SELECT r2.id, r2.rank/deg.deg AS c FROM r2 JOIN deg USING (id)
+    ), r3 AS (
+      SELECT d.id,
+             (1 - CAST(0.85 AS DOUBLE))/(SELECT n FROM nn)
+             + CAST(0.85 AS DOUBLE)*COALESCE(sum(c2.c), 0) AS rank
+      FROM deg d LEFT JOIN bi ON bi.v = d.id LEFT JOIN c2 ON c2.id = bi.u
+      GROUP BY d.id
+    )
+    SELECT id, round(rank, 6) AS rank FROM r3
+    ORDER BY round(rank, 6) DESC, id LIMIT 100
+    """,
+)
+def pagerank_partsupp(spark, sf_dir):
+    """Fixed-3-iteration PageRank over the part↔supplier bipartite
+    graph distilled from lineitem (node id = 2*partkey / 2*suppkey+1),
+    top-100 by rounded rank. The oracle unrolls the same three
+    ``rank' = (1-d)/N + d*Σ rank/deg`` updates as CTEs — double
+    arithmetic is kept expression-identical on both sides so round(6)
+    hash-matches. Complements connected_components as the second
+    iterative graph operator (reference has no analog; Gobblin stops
+    at ingestion)."""
+    from gobblin_spark.functions import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_partkey").cast("long") * 2).alias("id_a"),
+        (F.col("l_suppkey").cast("long") * 2 + 1).alias("id_b"),
+    ).distinct()
+    pr = graph.pagerank_undirected(edges, iterations=3, damping=0.85)
+    return (
+        pr.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(100)
+    )
+
+
+@q(
+    "event_time_deltas",
+    """
+    WITH d AS (
+      SELECT user_id,
+             date_diff('microsecond', lag(ts) OVER w, ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           count(gap_us) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(sum(gap_us) AS BIGINT) AS total_gap_us
+    FROM d GROUP BY user_id
+    """,
+)
+def event_time_deltas(spark, sf_dir):
+    """Per-user inter-event gap statistics via lag() — the window-
+    function face of sessionization (gap distribution is how the
+    session timeout threshold gets CHOSEN before window_session_user
+    applies it). Gaps are exact integer microseconds so the oracle
+    hash-matches without float rounding. One shuffle on user_id serves
+    both the window sort and the groupBy (same partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr("timestampdiff(MICROSECOND, _prev, ts)")
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("_prev", F.lag("ts").over(w))
+        .withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+        )
+    )
+
+
+@q(
+    "user_value_deciles",
+    """
+    WITH uv AS (
+      SELECT user_id, round(sum(value), 4) AS total_value
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT user_id, total_value,
+             ntile(10) OVER (ORDER BY total_value DESC, user_id) AS decile
+      FROM uv
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           count(*) AS n_users,
+           round(sum(total_value), 4) AS decile_value
+    FROM d GROUP BY decile
+    """,
+)
+def user_value_deciles(spark, sf_dir):
+    """User lifetime-value deciles via ntile(10) — the rank-bucket
+    pattern (cohorting, quantile capping, stratified reporting).
+    Per-user totals are rounded BEFORE the ntile sort so both engines
+    order identically; ties break on user_id. The global sort is one
+    exchange over the already-aggregated (one row per user) table —
+    at 100 TB the heavy shuffle is the groupBy; the ntile input stays
+    small."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    uv = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value"))
+    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        uv.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("total_value"), 4).alias("decile_value"),
+        )
+    )
+
+
+@q(
+    "revenue_moving_avg",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, round(sum(value), 4) AS revenue
+      FROM events GROUP BY 1
+    )
+    SELECT day, revenue,
+           round(avg(revenue) OVER (ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+    FROM daily
+    """,
+)
+def revenue_moving_avg(spark, sf_dir):
+    """7-day trailing moving average over daily revenue — the sliding
+    window-FRAME pattern (ROWS BETWEEN), distinct from the tumbling/
+    sliding time-bucket windows in operators/windows.py. Daily totals
+    are rounded before the frame average so the ≤7-term double sums
+    are expression-identical across engines. The frame runs over the
+    tiny post-aggregation table; the one real shuffle is the daily
+    groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.sum("value"), 4).alias("revenue"))
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day", "revenue",
+        F.round(F.avg("revenue").over(w), 4).alias("ma7"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -65,3 +65,47 @@ def test_convergence_guard_raises(spark):
     import pytest as _pt
     with _pt.raises(RuntimeError, match="convergence"):
         G.connected_components(df, max_iter=2)
+
+
+def _pr_reference(edges, iterations=3, d=0.85):
+    # plain-Python reference: undirected, rank' = (1-d)/N + d*sum(in)/deg
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    rank = {x: 1.0 / n for x in adj}
+    for _ in range(iterations):
+        nxt = {}
+        for x in adj:
+            s = sum(rank[y] / len(adj[y]) for y in adj[x])
+            nxt[x] = (1.0 - d) / n + d * s
+        rank = nxt
+    return rank
+
+
+def test_pagerank_matches_python_reference(spark):
+    rng = random.Random(11)
+    edges = {(rng.randrange(40), rng.randrange(40)) for _ in range(60)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r["rank"] for r in G.pagerank_undirected(df).collect()}
+    want = _pr_reference(edges)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+
+
+def test_pagerank_mass_conserved_and_star_center_wins(spark):
+    # star: center 0 linked to 1..9 — center must outrank every leaf,
+    # total mass must stay 1.0 each round
+    edges = [(0, i) for i in range(1, 10)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    rows = G.pagerank_undirected(df, iterations=5).collect()
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-9
+    ranks = {r.id: r["rank"] for r in rows}
+    assert all(ranks[0] > ranks[i] for i in range(1, 10))
+    # leaves are symmetric -> identical ranks
+    leaf = {round(ranks[i], 12) for i in range(1, 10)}
+    assert len(leaf) == 1
