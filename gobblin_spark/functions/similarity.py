@@ -387,3 +387,84 @@ def semantic_dedup_survivors(
         corpus, id_col, vec_col, dim, threshold, n_planes, bands, seed)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return corpus.select(id_col).join(dropped, id_col, "left_anti")
+
+
+def kmeans_fit_predict(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 2,
+    round_decimals: int = 9,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the FULL corpus (squared-L2),
+    returning (id_col, cluster). The corpus-scale clustering step
+    SemDeDup/semantic curation needs — unlike ``train_ivf_centroids``
+    (a driver-side SAMPLE trainer for the IVF coarse quantizer), every
+    assignment and every centroid update here is a distributed pass.
+
+    Engine-portable determinism, so an external SQL engine reproduces
+    the integer assignments exactly:
+    - init = the vectors of the ``k`` smallest ids (no RNG);
+    - assignment = argmin squared distance, ties broken on the lower
+      cluster index (expressed as a lexicographic (dist, cid) sort);
+    - each updated centroid coordinate is ``round(avg, 9)`` — far
+      above double-summation noise (~1e-16 relative), far below any
+      real coordinate difference, so cross-engine assignment flips
+      cannot originate in the update step;
+    - ``iterations`` counts ASSIGNMENT passes (update runs between
+      them): assign -> update -> ... -> assign.
+    - a cluster that loses all members simply vanishes from the next
+      round's centroid list in both engines (no re-seeding — RNG-free
+      beats cluster-count preservation for reproducibility).
+
+    100 TB shape: centroids are k x dim doubles — inherently
+    driver-sized (the classic Spark k-means contract); they ship to
+    executors as plan literals. Per iteration: one narrow assignment
+    pass (argmin over k literal centroids, pure codegen) + one
+    (cluster, dim) groupBy whose shuffle carries k x dim x partitions
+    partial means, never vectors. Raise k beyond literal-plan comfort
+    (~thousands) and the assignment join flips to a broadcast table —
+    same plan ivf_assign uses.
+    """
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    ).persist()
+    init = vecs.orderBy(id_col).limit(k).collect()  # bounded: k rows
+    # (cid, coords) pairs — cids are STABLE across rounds even when a
+    # cluster empties and drops out (no renumbering, matching the
+    # oracle's behavior)
+    cents = [(i, [float(x) for x in r["_e"]]) for i, r in enumerate(init)]
+
+    def assign(cent_list):
+        choices = []
+        for cid, c in cent_list:
+            clit = F.array(*[F.lit(x) for x in c])
+            d = F.aggregate(
+                F.zip_with("_e", clit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            choices.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+        best = F.array_sort(F.array(*choices))[0]["cid"]
+        return vecs.select(id_col, best.alias("cluster"))
+
+    assigned = assign(cents)
+    for _ in range(iterations - 1):
+        upd = (
+            assigned.join(vecs, id_col)
+            .select("cluster", F.posexplode("_e").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("val"), round_decimals).alias("val"))
+            .collect()  # bounded: k x dim rows
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in upd:
+            by_cid.setdefault(r["cluster"], {})[r["dim"]] = r["val"]
+        cents = [
+            (cid, [by_cid[cid][i] for i in range(len(by_cid[cid]))])
+            for cid in sorted(by_cid)
+        ]
+        assigned = assign(cents)
+    return assigned.withColumn("cluster", F.col("cluster").cast("int"))

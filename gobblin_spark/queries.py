@@ -5727,6 +5727,60 @@ def revenue_moving_avg(spark, sf_dir):
     )
 
 
+@q(
+    "kmeans_clusters_embeddings",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e AS c
+      FROM v ORDER BY vec_id LIMIT 8
+    ), a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, i.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_distance(v.e, i.c), i.cid) AS rn
+        FROM v CROSS JOIN init i
+      ) WHERE rn = 1
+    ), dims AS (
+      SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS ord
+      FROM v
+    ), c1 AS (
+      SELECT cid, list(val ORDER BY ord) AS c FROM (
+        SELECT a0.cid, dims.ord, round(avg(dims.val), 9) AS val
+        FROM a0 JOIN dims USING (vec_id)
+        GROUP BY a0.cid, dims.ord
+      ) GROUP BY cid
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, i.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_distance(v.e, i.c), i.cid) AS rn
+        FROM v CROSS JOIN c1 i
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, CAST(cid AS INT) AS cluster FROM a1
+    """,
+)
+def kmeans_clusters_embeddings(spark, sf_dir):
+    """Distributed Lloyd's k-means over the full embedding corpus
+    (k=8, two assignment passes with one centroid update between) —
+    the corpus-scale clustering SemDeDup-style curation partitions by.
+    RNG-free recipe (init = k smallest ids, centroids rounded to 9
+    decimals each update, ties on the lower cluster index) makes the
+    integer assignments engine-exact; the oracle replays both
+    assignment rounds with list_distance ordering. Distance ordering
+    is metric-equivalent across engines (squared L2 vs L2) and the
+    round-9 update wall keeps double-summation noise out of the
+    argmin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_fit_predict(
+        emb, "vec_id", "embedding", k=8, iterations=2)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

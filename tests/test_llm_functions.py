@@ -609,3 +609,38 @@ def test_perplexity_tiers_cover_corpus(spark, sf_dir):
     # thirds within one doc of each other modulo quantile ties
     sizes = sorted(len(v) for v in tiers.values())
     assert sizes[-1] - sizes[0] <= max(3, len(rows) // 10)
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Three well-separated blobs: every point must land with its
+    blob's seed regardless of which blob ids seed which cluster."""
+    import random
+
+    rng = random.Random(3)
+    blobs = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    rows = []
+    for i in range(90):
+        b = i % 3
+        rows.append((i, [c + rng.uniform(-0.5, 0.5) for c in blobs[b]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_fit_predict(
+        df, "vec_id", "embedding", k=3, iterations=3)
+    got = {r.vec_id: r.cluster for r in out.collect()}
+    # same blob -> same cluster, different blob -> different cluster
+    for i in range(90):
+        assert got[i] == got[i % 3], (i, got[i], got[i % 3])
+    assert len({got[0], got[1], got[2]}) == 3
+
+
+def test_kmeans_deterministic_and_bounded(spark, sf_dir):
+    from gobblin_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = similarity.kmeans_fit_predict(emb, "vec_id", "embedding",
+                                      k=4, iterations=2).collect()
+    b = similarity.kmeans_fit_predict(emb, "vec_id", "embedding",
+                                      k=4, iterations=2).collect()
+    assert sorted((r.vec_id, r.cluster) for r in a) == \
+        sorted((r.vec_id, r.cluster) for r in b)
+    assert {r.cluster for r in a} <= set(range(4))
+    assert len(a) == emb.count()

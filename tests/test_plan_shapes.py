@@ -66,6 +66,19 @@ CASES = [
     # line census: digest-keyed agg; countDistinct(doc) expands into
     # a second exchange on (digest, doc)
     ("cleaning_line_census", 2, "CartesianProduct"),
+    # lag window + groupBy share ONE user_id exchange (the groupBy
+    # reuses the window sort's hashpartitioning)
+    ("event_time_deltas", 1, "CartesianProduct"),
+    # per-user agg is the only hash exchange; the global ntile runs on
+    # the one-row-per-user table (SinglePartition by design) and the
+    # decile rollup rides that partitioning with no further exchange
+    ("user_value_deciles", 1, "CartesianProduct"),
+    # daily agg exchange, then the 7-row frame over ~days rows
+    ("revenue_moving_avg", 1, "CartesianProduct"),
+    # iteration exchanges live behind per-round localCheckpoints (plan
+    # reset is the point); the visible tail is checkpoint scan + top-k
+    # range sort — no hash exchange, no cartesian
+    ("pagerank_partsupp", 0, "CartesianProduct"),
 ]
 
 
