@@ -468,3 +468,48 @@ def kmeans_fit_predict(
         ]
         assigned = assign(cents)
     return assigned.withColumn("cluster", F.col("cluster").cast("int"))
+
+
+def semantic_dedup_clustered(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Paper-shaped SemDeDup (Abbas et al. 2023): k-means the corpus,
+    compute pairwise cosine ONLY within each cluster, drop the greater
+    id of every pair at/above the threshold. Returns surviving
+    (id_col) rows.
+
+    This is the scale story the LSH variant
+    (``semantic_dedup_survivors``) approximates from the other
+    direction: here the quadratic pair step is confined to one
+    cluster's rows (the equi-join on the cluster id hash-partitions
+    the corpus; with k sized so clusters fit an executor, the pair
+    enumeration never crosses partitions), and the deterministic
+    k-means recipe keeps the whole operator engine-exact — unlike LSH
+    banding, an external SQL engine can replay it bit-for-bit.
+    Cross-cluster near-dups are missed by construction — the
+    documented SemDeDup trade; raise k for speed, lower it for
+    recall."""
+    clusters = kmeans_fit_predict(corpus, id_col, vec_col, k, iterations)
+    vecs = corpus.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+    ).join(clusters, id_col)
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col("_e").alias("ea"),
+                    "cluster")
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col("_e").alias("eb"),
+                    "cluster")
+    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb")))
+    dropped = (
+        pairs.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return corpus.select(id_col).join(dropped, id_col, "left_anti")

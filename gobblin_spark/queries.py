@@ -5781,6 +5781,69 @@ def kmeans_clusters_embeddings(spark, sf_dir):
         emb, "vec_id", "embedding", k=8, iterations=2)
 
 
+@q(
+    "semantic_dedup_kmeans",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e AS c
+      FROM v ORDER BY vec_id LIMIT 8
+    ), a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, i.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_distance(v.e, i.c), i.cid) AS rn
+        FROM v CROSS JOIN init i
+      ) WHERE rn = 1
+    ), dims AS (
+      SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS ord
+      FROM v
+    ), c1 AS (
+      SELECT cid, list(val ORDER BY ord) AS c FROM (
+        SELECT a0.cid, dims.ord, round(avg(dims.val), 9) AS val
+        FROM a0 JOIN dims USING (vec_id)
+        GROUP BY a0.cid, dims.ord
+      ) GROUP BY cid
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, i.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_distance(v.e, i.c), i.cid) AS rn
+        FROM v CROSS JOIN c1 i
+      ) WHERE rn = 1
+    ), dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM a1 a JOIN a1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE list_dot_product(va.e, vb.e)
+            / (sqrt(list_dot_product(va.e, va.e))
+               * sqrt(list_dot_product(vb.e, vb.e))) >= 0.45
+    )
+    SELECT vec_id FROM v
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def semantic_dedup_kmeans(spark, sf_dir):
+    """Paper-shaped SemDeDup: deterministic k-means partition (k=8),
+    pairwise cosine ONLY within clusters, greater id of every pair at
+    cosine >= 0.45 dropped. Unlike the LSH variant (rows-only by
+    design), the RNG-free k-means recipe makes this fully oracle-able
+    — the oracle replays clustering AND the within-cluster pair scan.
+    Threshold 0.45 sits >= 1e-4 from every pairwise cosine in the
+    testdata (verified at sf0.01 and sf0.1), so cross-engine double
+    noise cannot flip a pair. At 100 TB the pair join is quadratic
+    only within a cluster; k scales with corpus size to hold cluster
+    fan-in constant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_clustered(
+        emb, "vec_id", "embedding", k=8, iterations=2, threshold=0.45)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

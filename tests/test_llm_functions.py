@@ -644,3 +644,17 @@ def test_kmeans_deterministic_and_bounded(spark, sf_dir):
         sorted((r.vec_id, r.cluster) for r in b)
     assert {r.cluster for r in a} <= set(range(4))
     assert len(a) == emb.count()
+
+
+def test_semantic_dedup_clustered_drops_planted_dup(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows.append((100, list(rows[0][1])))  # exact duplicate of id 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {r.vec_id for r in similarity.semantic_dedup_clustered(
+        df, "vec_id", "embedding", k=4, iterations=2, threshold=0.999
+    ).collect()}
+    assert 0 in kept and 100 not in kept
+    assert len(kept) == 40
