@@ -495,19 +495,30 @@ def semantic_dedup_clustered(
     documented SemDeDup trade; raise k for speed, lower it for
     recall."""
     clusters = kmeans_fit_predict(corpus, id_col, vec_col, k, iterations)
-    vecs = corpus.select(
+    # normalize ONCE so the per-pair cosine is a single dot-product
+    # fold instead of dot + two norms (3x fewer interpreted HOF passes
+    # on the quadratic step — the hot loop of this operator), and
+    # persist: the normalized table feeds both sides of the self-join
+    raw = corpus.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
-    ).join(clusters, id_col)
-    a = vecs.select(F.col(id_col).alias("id_a"), F.col("_e").alias("ea"),
+    )
+    vecs = (
+        raw.select(id_col, "_e", _norm(F.col("_e")).alias("_n"))
+        .select(
+            id_col,
+            F.transform("_e", lambda x: x / F.col("_n")).alias("_u"),
+        )
+        .join(clusters, id_col)
+        .persist()
+    )
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col("_u").alias("ua"),
                     "cluster")
-    b = vecs.select(F.col(id_col).alias("id_b"), F.col("_e").alias("eb"),
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col("_u").alias("ub"),
                     "cluster")
     pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        _norm(F.col("ea")) * _norm(F.col("eb")))
     dropped = (
-        pairs.withColumn("_cos", cos)
+        pairs.withColumn("_cos", _dot(F.col("ua"), F.col("ub")))
         .filter(F.col("_cos") >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()

@@ -5895,6 +5895,10 @@ HEADLINE = [
     "q11_important_parts",
     "q20_potential_promotion",
     "q21_waiting_suppliers",
+    # iterative graph + clustered semantic dedup + window analytics
+    "pagerank_partsupp",
+    "semantic_dedup_kmeans",
+    "event_time_deltas",
 ]
 
 

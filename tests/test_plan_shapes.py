@@ -75,10 +75,11 @@ CASES = [
     ("user_value_deciles", 1, "CartesianProduct"),
     # daily agg exchange, then the 7-row frame over ~days rows
     ("revenue_moving_avg", 1, "CartesianProduct"),
-    # iteration exchanges live behind per-round localCheckpoints (plan
-    # reset is the point); the visible tail is checkpoint scan + top-k
-    # range sort — no hash exchange, no cartesian
-    ("pagerank_partsupp", 0, "CartesianProduct"),
+    # 3 fixed iterations in ONE lineage (per-round checkpoints cost a
+    # materialization round-trip each; shuffle-stage reuse already runs
+    # every round once): deg agg + 3x(contrib join, inbound agg, rank
+    # left-join) ~= 10 keyed exchanges, all on the node id
+    ("pagerank_partsupp", 12, "CartesianProduct"),
 ]
 
 
