@@ -258,3 +258,34 @@ def pack_manifest(
             ).alias("doc_ids"),
         )
     )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 hex prefix —
+    the content-stable holdout split of a training-data pipeline
+    (re-running over a GROWN corpus never moves an existing document
+    between splits, which leakage audits depend on).
+
+    The first two hex chars of md5(id) give 256 uniform buckets;
+    fractions quantize to 1/256 granularity (floor). Comparison is on
+    the HEX STRING (lowercase in every md5 implementation), so any
+    engine reproduces the assignment without integer-conversion
+    builtins. Pure narrow projection: no shuffle, no RNG, no state.
+    """
+    if not (0 < train < 1 and 0 <= val < 1 and train + val < 1):
+        raise ValueError("need 0<train, 0<=val, train+val<1")
+    b_train = format(int(256 * train), "02x")
+    b_val = format(int(256 * (train + val)), "02x")
+    bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    return df.withColumn(
+        split_col,
+        F.when(bucket < F.lit(b_train), F.lit("train"))
+        .when(bucket < F.lit(b_val), F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

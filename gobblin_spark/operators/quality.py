@@ -192,3 +192,54 @@ def evaluate_task_policies(results: Sequence[TaskPolicyResult]) -> bool:
     """True iff all non-optional policies passed (TaskLevelPolicy FAIL
     semantics gate the publish step — see sinks/publish.py)."""
     return all(r.passed or r.optional for r in results)
+
+
+def trailing_count_anomalies(
+    df: DataFrame,
+    bucket_col: str,
+    window_rows: int = 7,
+    z_threshold: float = 3.0,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Volume-anomaly detection over per-bucket row counts: each
+    bucket's count is z-scored against the TRAILING ``window_rows``
+    buckets (current bucket excluded), flagging ingest drops/spikes —
+    the continuous-monitoring face of the one-shot audit policies
+    above (row_count_range_policy gets its bounds from history instead
+    of configuration; reference analogue: the audit-count completeness
+    checks of KafkaAuditCountVerifier.java:44 applied along time).
+
+    All window arithmetic starts from EXACT integer counts, uses one
+    expression shape (sample variance = n/(n-1) * (E[c^2] - E[c]^2)),
+    and needs >= 3 trailing buckets — engine-portable without rounding
+    tricks. Output: keys + (bucket, n_rows, mean rounded 4, z rounded
+    4, is_anomaly). 100 TB shape: one groupBy on (keys, bucket) — the
+    z-scoring runs over the tiny per-bucket count table, partitioned
+    by keys when given (SinglePartition only for a global single
+    series, which is by then ~days long).
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(*keys, bucket_col).agg(
+        F.count(F.lit(1)).alias("n_rows"))
+    w = (
+        Window.partitionBy(*keys).orderBy(bucket_col)
+        .rowsBetween(-window_rows, -1)
+    )
+    n = F.count("n_rows").over(w)
+    mean = F.avg("n_rows").over(w)
+    m2 = F.avg(F.col("n_rows") * F.col("n_rows")).over(w)
+    var = (m2 - mean * mean) * n / (n - F.lit(1))
+    z = F.when(
+        (n >= 3) & (var > 0),
+        (F.col("n_rows") - mean) / F.sqrt(var),
+    )
+    return counts.select(
+        *keys,
+        bucket_col,
+        "n_rows",
+        F.round(mean, 4).alias("trailing_mean"),
+        F.round(z, 4).alias("z"),
+        F.when(z.isNotNull(), F.abs(z) > F.lit(z_threshold)).alias(
+            "is_anomaly"),
+    )

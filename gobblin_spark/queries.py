@@ -5844,6 +5844,76 @@ def semantic_dedup_kmeans(spark, sf_dir):
         emb, "vec_id", "embedding", k=8, iterations=2, threshold=0.45)
 
 
+@q(
+    "split_train_val_test",
+    """
+    WITH s AS (
+      SELECT source, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY source, split
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 holdout split by md5 hex prefix (256
+    buckets, content-stable as the corpus grows — a document never
+    migrates between splits on re-runs), reported per (source, split).
+    The assignment is a pure narrow projection; the only shuffle is
+    the reporting groupBy."""
+    from gobblin_spark.functions import mixing
+
+    docs = load_docs(spark, sf_dir)
+    s = mixing.assign_split(docs, "doc_id", train=0.8, val=0.1)
+    return s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@q(
+    "ingest_count_anomalies",
+    """
+    WITH c AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n_rows
+      FROM events GROUP BY 1
+    ), zz AS (
+      SELECT day, n_rows,
+             count(n_rows) OVER w AS n,
+             avg(n_rows) OVER w AS mean,
+             avg(n_rows * n_rows) OVER w AS m2
+      FROM c
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT day, n_rows,
+           round(mean, 4) AS trailing_mean,
+           round(CASE WHEN n >= 3 AND (m2 - mean*mean)*n/(n-1) > 0
+                 THEN (n_rows - mean)/sqrt((m2 - mean*mean)*n/(n-1))
+                 END, 4) AS z,
+           CASE WHEN n >= 3 AND (m2 - mean*mean)*n/(n-1) > 0
+                THEN abs((n_rows - mean)/sqrt((m2 - mean*mean)*n/(n-1)))
+                     > 3.0 END AS is_anomaly
+    FROM zz
+    """,
+)
+def ingest_count_anomalies(spark, sf_dir):
+    """Daily ingest-volume anomaly detection: each day's event count
+    z-scored against the trailing 7 days (history-derived bounds in
+    place of row_count_range_policy's configured ones). Exact integer
+    counts feed one shared expression shape (sample variance =
+    n/(n-1) * (E[c^2]-E[c]^2)), so z and the flag are engine-exact
+    without rounding tricks."""
+    ev = load_table(spark, sf_dir, "events")
+    return quality.trailing_count_anomalies(
+        ev.select(F.col("ts").cast("date").alias("day")), "day")
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -145,3 +145,34 @@ def test_pack_manifest_matches_assignments(spark):
     for r in rows.values():
         ids = [int(x) for x in r.doc_ids.split(",")]
         assert ids == sorted(ids) and len(ids) == r.n_docs
+
+
+def test_assign_split_stable_and_proportionate(spark):
+    from gobblin_spark.functions.mixing import assign_split
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    s = assign_split(df, "doc_id")
+    frac = {r["split"]: r["n"] for r in
+            s.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = 4000
+    assert abs(frac["train"] / n - 204 / 256) < 0.03
+    assert abs(frac["val"] / n - 26 / 256) < 0.02
+    assert abs(frac["test"] / n - 26 / 256) < 0.02
+    # growing the corpus never moves an existing id between splits
+    grown = assign_split(
+        spark.range(0, 8000).withColumnRenamed("id", "doc_id"), "doc_id")
+    a = {r.doc_id: r["split"] for r in s.collect()}
+    b = {r.doc_id: r["split"] for r in grown.collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_assign_split_rejects_bad_fractions(spark):
+    from gobblin_spark.functions.mixing import assign_split
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    for tr, va in [(0.0, 0.1), (0.9, 0.2), (1.0, 0.0)]:
+        try:
+            assign_split(df, "doc_id", train=tr, val=va)
+            assert False, (tr, va)
+        except ValueError:
+            pass

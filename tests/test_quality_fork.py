@@ -90,3 +90,22 @@ def test_write_branches_single_scan(events, tmp_path):
     na = spark.read.parquet(str(tmp_path / "a")).count()
     nb = spark.read.parquet(str(tmp_path / "b")).count()
     assert na + nb == events.count()
+
+
+def test_trailing_count_anomalies_flags_planted_spike(spark):
+    from gobblin_spark.operators.quality import trailing_count_anomalies
+
+    # 10 buckets of ~100 rows with jitter, bucket 8 spiking to 500
+    rows = []
+    counts = [100, 102, 98, 101, 99, 103, 97, 100, 500, 101]
+    for day, c in enumerate(counts):
+        rows += [(day,)] * c
+    df = spark.createDataFrame(rows, "day int")
+    out = {r.day: r for r in trailing_count_anomalies(df, "day").collect()}
+    assert out[8].is_anomaly is True and out[8].z > 3
+    # early buckets lack >=3 trailing points -> no verdict
+    assert out[0].is_anomaly is None and out[1].z is None
+    # normal buckets before the spike are quiet
+    assert out[7].is_anomaly is False
+    # the spike then inflates trailing variance; day 9 must not crash
+    assert out[9].n_rows == 101
