@@ -5914,6 +5914,115 @@ def ingest_count_anomalies(spark, sf_dir):
         ev.select(F.col("ts").cast("date").alias("day")), "day")
 
 
+@q(
+    "rolling_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM ud
+    ), support AS (
+      -- each (user, day) pair supports the 7 window-end days it falls in
+      SELECT d.day, ud.user_id
+      FROM ud JOIN days d
+        ON d.day >= ud.day AND d.day <= ud.day + INTERVAL 6 DAY
+    )
+    SELECT day, count(DISTINCT user_id) AS wau
+    FROM support GROUP BY day
+    """,
+)
+def rolling_active_users(spark, sf_dir):
+    """7-day rolling distinct active users (WAU per day) — the
+    count-distinct-over-sliding-window ask windows cannot express
+    directly. Distributed shape: distinct (user, day) pairs first
+    (the corpus-sized shuffle, events collapse ~events/users-fold),
+    then each pair EXPLODES onto the <=7 window-end days it supports
+    and one distinct-count groupBy finishes — linear in pairs x 7,
+    never a per-day self-scan. The oracle takes the equivalent
+    day-grid join route."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")).distinct()
+    support = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6))).alias("day"),
+    )
+    # clip to observed days so the trailing edge matches the oracle's
+    # day-grid (windows ending after the last observed day are not
+    # reported; broadcast the tiny distinct-day list)
+    days = ud.select("day").distinct()
+    return (
+        support.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+@q(
+    "cohort_retention",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), first AS (
+      SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id
+    ), sized AS (
+      SELECT first_day, count(*) AS cohort_users
+      FROM first GROUP BY first_day
+    ), act AS (
+      SELECT f.first_day,
+             CAST(date_diff('day', f.first_day, ud.day) // 7 AS INT)
+               AS week_offset,
+             ud.user_id
+      FROM ud JOIN first f USING (user_id)
+    ), ret AS (
+      SELECT first_day, week_offset,
+             count(DISTINCT user_id) AS active_users
+      FROM act GROUP BY first_day, week_offset
+    )
+    SELECT r.first_day AS cohort_day, r.week_offset, r.active_users,
+           s.cohort_users,
+           CAST(floor(r.active_users * 1000000.0 / s.cohort_users)
+                AS BIGINT) AS retention_ppm
+    FROM ret r JOIN sized s USING (first_day)
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day, distinct
+    activity counted per week offset, rate as exact integer ppm
+    (floor x1e6 — no float in the hash). Two keyed shuffles (first-day
+    groupBy, cohort-week distinct count) plus a broadcast of the tiny
+    per-cohort size table."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    sized = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("cohort_users"))
+    act = ud.join(first, "user_id").select(
+        "first_day",
+        (F.datediff("day", "first_day") / 7).cast("int")
+        .alias("week_offset"),
+        "user_id",
+    )
+    ret = act.groupBy("first_day", "week_offset").agg(
+        F.countDistinct("user_id").alias("active_users"))
+    return (
+        ret.join(F.broadcast(sized), "first_day")
+        .select(
+            F.col("first_day").alias("cohort_day"),
+            "week_offset",
+            "active_users",
+            "cohort_users",
+            F.floor(
+                F.col("active_users") * F.lit(1000000.0)
+                / F.col("cohort_users")
+            ).cast("long").alias("retention_ppm"),
+        )
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
