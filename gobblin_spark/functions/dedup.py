@@ -603,3 +603,58 @@ def dedup_keep_best(
             "dup_count",
         )
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Cross-SOURCE n-gram overlap matrix — the corpus diagnostic that
+    decides which crawls/dumps duplicate each other before mixing
+    (inter-source dedup planning, licensing provenance checks).
+
+    Shape is the reason this scales: shingles collapse to DISTINCT
+    (source, shingle) rows first, so the self-join on the shingle key
+    fans out to at most |sources| rows per shingle — join cost is
+    bounded by sources², never documents², and no doc-frequency cap is
+    needed (a boilerplate shingle in a million documents is still ONE
+    row per source). Returns one row per unordered source pair:
+    (source_a, source_b, n_inter, jaccard_ppm) with the Jaccard as
+    exact integer ppm (floor x1e6) so cross-engine comparison carries
+    no float.
+    """
+    from gobblin_spark.functions.text import word_shingles
+
+    sh = (
+        word_shingles(df.select(source_col, text_col), text_col, n)
+        .select(F.col(source_col).alias("src"), "shingle")
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("src").alias("source_a"), "shingle")
+    b = sh.select(F.col("src").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = F.broadcast(sizes.select(F.col("src").alias("source_a"),
+                                  F.col("n_sh").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("src").alias("source_b"),
+                                  F.col("n_sh").alias("n_b")))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a", "source_b", "n_inter",
+            F.floor(
+                F.col("n_inter") * F.lit(1000000.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).cast("long").alias("jaccard_ppm"),
+        )
+    )

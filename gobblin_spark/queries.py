@@ -6023,6 +6023,100 @@ def cohort_retention(spark, sf_dir):
     )
 
 
+@q(
+    "source_overlap_matrix",
+    f"""
+    WITH norm AS (
+      SELECT source, regexp_split_to_array({_NORM_SQL}, ' ') AS words
+      FROM documents
+    ), idx AS (
+      SELECT source, words,
+             unnest(range(1, greatest(len(words) - 2, 0) + 2)) AS i
+      FROM norm
+    ), sh AS (
+      SELECT DISTINCT source AS src,
+             array_to_string(words[i:i+1], ' ') AS shingle
+      FROM idx WHERE array_to_string(words[i:i+1], ' ') <> ''
+    ), sizes AS (
+      SELECT src, count(*) AS n_sh FROM sh GROUP BY src
+    ), inter AS (
+      SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_inter,
+           CAST(floor(n_inter * 1000000.0
+                      / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT)
+             AS jaccard_ppm
+    FROM inter
+    JOIN sizes sa ON sa.src = source_a
+    JOIN sizes sb ON sb.src = source_b
+    """,
+)
+def source_overlap_matrix(spark, sf_dir):
+    """Cross-source shingle-overlap matrix (which crawls duplicate each
+    other, pre-mixing). Shingles collapse to DISTINCT (source, shingle)
+    before the self-join, so fan-out is bounded by sources² per shingle
+    — no doc-frequency cap needed even at 100 TB. Jaccard as exact
+    integer ppm. Bigrams, as in ngram_jaccard_docs (the synthetic
+    vocabulary is tiny; trigram overlap is ~0 everywhere)."""
+    docs = load_docs(spark, sf_dir)
+    return dedup.source_overlap_matrix(docs, "doc_id", "text", "source",
+                                       n=2)
+
+
+@q(
+    "winsorize_event_values",
+    """
+    WITH bounds AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN e.value < b.p05 OR e.value > b.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           round(sum(e.value), 4) AS sum_raw,
+           round(sum(CASE WHEN e.value < b.p05 THEN b.p05
+                          WHEN e.value > b.p95 THEN b.p95
+                          ELSE e.value END), 4) AS sum_winsorized
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def winsorize_event_values(spark, sf_dir):
+    """Per-group winsorization: values clipped to the group's exact
+    [p05, p95] before aggregation — outlier-robust metrics without
+    dropping rows. Spark `percentile` interpolates like DuckDB
+    quantile_cont, and interpolated bounds either land exactly on a
+    data value (frac=0, bit-equal in both engines) or strictly
+    between two values, so the clip comparisons are engine-stable.
+    Plan: one per-type percentile aggregate (broadcast back into the
+    fact scan) + one reporting groupBy; at 100 TB swap percentile for
+    approx_percentile as stats_length_percentiles documents."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = F.when(F.col("value") < F.col("p05"), F.col("p05")).when(
+        F.col("value") > F.col("p95"), F.col("p95")
+    ).otherwise(F.col("value"))
+    is_out = (F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95"))
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(is_out.cast("long")).alias("n_clipped"),
+            F.round(F.sum("value"), 4).alias("sum_raw"),
+            F.round(F.sum(clipped), 4).alias("sum_winsorized"),
+        )
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
