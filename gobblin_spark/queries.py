@@ -6117,6 +6117,61 @@ def winsorize_event_values(spark, sf_dir):
     )
 
 
+@q(
+    "streaming_join_parity",
+    """
+    SELECT a.user_id,
+           a.ts AS view_ts,
+           b.ts AS buy_ts,
+           round(b.value, 4) AS buy_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+    """,
+)
+def streaming_join_parity(spark, sf_dir):
+    """Stream-stream interval-join parity: view and purchase events
+    replay as two file streams, joined continuously on user within a
+    1-hour attribution horizon (watermarked state, evictable by the
+    interval bound), and the drained append output must equal the
+    batch interval join — the invariant that certifies the join state
+    store neither drops nor duplicates matches. Watermark spans the
+    replay so nothing is late; at production horizons state is bounded
+    by rate x (watermark + delay)."""
+    import tempfile
+    import uuid as _uuid
+
+    from gobblin_spark import streaming
+    from gobblin_spark.streaming import runner as R
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="gobblin_sjoin_")
+    ev.filter(F.col("event_type") == "view").repartition(3).write.parquet(
+        f"{tmp}/views")
+    ev.filter(F.col("event_type") == "purchase").repartition(3).write.parquet(
+        f"{tmp}/buys")
+    schema = ev.schema
+    views = streaming.file_stream(
+        spark, f"{tmp}/views", schema=schema, max_files_per_trigger=2
+    ).select("user_id", "ts")
+    buys = streaming.file_stream(
+        spark, f"{tmp}/buys", schema=schema, max_files_per_trigger=2
+    ).select("user_id", "ts", "value")
+    joined = R.stream_stream_interval_join(
+        views, buys, "user_id", "ts", "ts",
+        max_delay="1 hour", watermark="365 days")
+    sink = f"sjoin_parity_{_uuid.uuid4().hex[:8]}"
+    R.stream_to_memory_append(joined, sink)
+    out = spark.table(sink)
+    return out.select(
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("view_ts"),
+        F.col("r_ts").cast("timestamp_ntz").alias("buy_ts"),
+        F.round("r_value", 4).alias("buy_value"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -356,3 +356,58 @@ def stream_to_memory(df: DataFrame, name: str, timeout_sec: int = 300):
     )
     q.awaitTermination(timeout_sec)
     return q
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER interval join: right-side events within
+    [left_ts, left_ts + max_delay] of a matching key — the attribution
+    join (view→purchase, request→response) run continuously. Beyond
+    the reference's streaming surface (Gobblin streams never join;
+    SURVEY §2.11 'stateful ops: none'); in Spark it is the built-in
+    watermarked stream-stream join, and the interval bound is what
+    lets the state store EVICT: both sides buffer only
+    watermark + max_delay of history, so state is bounded by arrival
+    rate x horizon, not by stream length.
+
+    Column names must be disjoint apart from ``key`` (the right side
+    is prefixed ``r_``). Event-time columns cast to TIMESTAMP (session
+    tz pinned UTC; same convention as windowed_counts).
+    """
+    l = left.withColumn(
+        left_ts, F.col(left_ts).cast("timestamp")
+    ).withWatermark(left_ts, watermark)
+    r = right.withColumn(
+        right_ts, F.col(right_ts).cast("timestamp")
+    ).withWatermark(right_ts, watermark)
+    r = r.select(
+        F.col(key).alias("_rkey"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
+    )
+    cond = (
+        (F.col(key) == F.col("_rkey"))
+        & (F.col(f"r_{right_ts}") >= F.col(left_ts))
+        & (F.col(f"r_{right_ts}")
+           <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner").drop("_rkey")
+
+
+def stream_to_memory_append(df: DataFrame, name: str, timeout_sec: int = 300):
+    """Drain an append-mode stream (joins, maps) into a memory table."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return q

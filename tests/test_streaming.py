@@ -155,3 +155,35 @@ def test_windowed_counts_watermark(spark, tmp_path):
         .collect()
     }
     assert got == expect
+
+
+def test_stream_stream_interval_join_bounds(spark, tmp_path):
+    """Matches inside the delay horizon join; outside-horizon and
+    wrong-key rows do not; no duplicates."""
+    import datetime as dt
+
+    from gobblin_spark.streaming import runner as R
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = [(1, t0), (2, t0)]
+    right = [
+        (1, t0 + dt.timedelta(minutes=30), 10.0),   # in window
+        (1, t0 + dt.timedelta(minutes=90), 20.0),   # past max_delay
+        (1, t0 - dt.timedelta(minutes=1), 30.0),    # before the view
+        (3, t0 + dt.timedelta(minutes=5), 40.0),    # wrong key
+    ]
+    spark.createDataFrame(left, "user_id long, ts timestamp_ntz") \
+        .write.parquet(f"{tmp_path}/l")
+    spark.createDataFrame(right, "user_id long, ts timestamp_ntz, value double") \
+        .write.parquet(f"{tmp_path}/r")
+    ldf = spark.readStream.schema("user_id long, ts timestamp_ntz") \
+        .parquet(f"{tmp_path}/l")
+    rdf = spark.readStream.schema(
+        "user_id long, ts timestamp_ntz, value double").parquet(f"{tmp_path}/r")
+    joined = R.stream_stream_interval_join(
+        ldf, rdf, "user_id", "ts", "ts",
+        max_delay="1 hour", watermark="10 days")
+    q = R.stream_to_memory_append(joined, "ssj_test")
+    rows = spark.table("ssj_test").collect()
+    assert len(rows) == 1
+    assert rows[0].user_id == 1 and rows[0].r_value == 10.0
