@@ -6172,6 +6172,64 @@ def streaming_join_parity(spark, sf_dir):
     )
 
 
+@q(
+    "streaming_session_parity",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), grouped AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM grouped GROUP BY user_id, sid
+    """,
+)
+def streaming_session_parity(spark, sf_dir):
+    """STREAMING session windows (stateful merging aggregation — the
+    one streaming aggregation whose windows are data-defined, not
+    clock-defined): events replay as a file stream through
+    ``session_window`` with a replay-spanning watermark, and the
+    drained sessions must equal both the batch session_agg AND the
+    gaps-and-islands SQL oracle window_session_user uses. Certifies
+    the session-merge state machine (out-of-epoch arrivals within the
+    watermark merge into existing sessions instead of opening new
+    ones)."""
+    import tempfile
+    import uuid as _uuid
+
+    from gobblin_spark import streaming
+    from gobblin_spark.streaming import runner as R
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="gobblin_ssess_")
+    ev.repartition(4).write.parquet(f"{tmp}/in")
+    stream = streaming.file_stream(
+        spark, f"{tmp}/in", schema=ev.schema, max_files_per_trigger=2
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", "365 days")
+    agg = windows.session_agg(
+        stream, "ts", "5 minutes",
+        [F.count(F.lit(1)).alias("n_events")], keys=["user_id"])
+    sink = f"ssess_parity_{_uuid.uuid4().hex[:8]}"
+    R.stream_to_memory(agg, sink)
+    return spark.table(sink).select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
