@@ -6230,6 +6230,50 @@ def streaming_session_parity(spark, sf_dir):
     )
 
 
+@q(
+    "streaming_dropdup_parity",
+    """
+    SELECT event_id, ts, user_id, event_type, round(value, 4) AS value
+    FROM events
+    """,
+)
+def streaming_dropdup_parity(spark, sf_dir):
+    """Streaming exact-dedup state parity: the events table replays
+    with ~1/7 of its rows DUPLICATED into a later epoch, the stream
+    dedups on event_id via dropDuplicatesWithinWatermark (keyed state
+    bounded by the watermark horizon — the built-in twin of the
+    runner's custom stateful dedup), and the drained output must equal
+    the original table exactly: every planted duplicate dropped, no
+    on-time row lost. At production horizons the state store holds one
+    key per event inside the watermark, not per stream lifetime."""
+    import tempfile
+    import uuid as _uuid
+
+    from gobblin_spark import streaming
+    from gobblin_spark.streaming import runner as R
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="gobblin_sdd_")
+    ev.repartition(3).write.parquet(f"{tmp}/in")
+    # duplicates land as a SEPARATE later file batch
+    ev.filter(F.col("event_id") % 7 == 0).repartition(1).write.mode(
+        "append").parquet(f"{tmp}/in")
+    stream = streaming.file_stream(
+        spark, f"{tmp}/in", schema=ev.schema, max_files_per_trigger=2
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", "365 days")
+    dedup_stream = stream.dropDuplicatesWithinWatermark(["event_id"])
+    sink = f"sdd_parity_{_uuid.uuid4().hex[:8]}"
+    R.stream_to_memory_append(dedup_stream, sink)
+    return spark.table(sink).select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
