@@ -130,3 +130,26 @@ def test_reference_pull_vocabulary_short_and_fqcn():
     )
     pl = J.to_pipeline(spec)
     assert len(pl.transforms) == 1 and pl.commit_policy.name == "COMMIT_ON_FULL_SUCCESS"
+
+
+def test_cli_run_and_list(spark, tmp_path, capsys):
+    """python -m gobblin_spark: run a .pull end-to-end, list catalog."""
+    import json as _json
+
+    from gobblin_spark.__main__ import main as cli_main
+
+    out = str(tmp_path / "cli_out")
+    pull = tmp_path / "job.pull"
+    pull.write_text(PULL.format(sf="/root/testdata/sf0.001", out=out))
+    rc = cli_main(["run", str(pull)], _spark=spark)
+    captured = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    rep = _json.loads(captured)
+    assert rep["published"] == ["output"] and rep["quarantined"] == 0
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    rc = cli_main(["list"], _spark=spark)
+    names = capsys.readouterr().out.split()
+    assert rc == 0 and "q1_pricing_summary" in names
+    rc = cli_main(["query", "no_such_query"], _spark=spark)
+    assert rc == 2
