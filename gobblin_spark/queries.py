@@ -6274,6 +6274,46 @@ def streaming_dropdup_parity(spark, sf_dir):
     )
 
 
+@q(
+    "rest_datasource_pull",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value,
+           CAST((row_number() OVER (ORDER BY event_id) - 1) // 500 AS INT)
+             AS page
+    FROM events
+    """,
+)
+def rest_datasource_pull(spark, sf_dir):
+    """The paged-REST source as a NATIVE Spark Python DataSource
+    (`spark.read.format("gobblin_rest")`): events persist as page
+    files (the offline stand-in for the HTTP transport), and the
+    DataSource read — one InputPartition per page, Catalyst-scheduled,
+    page filters pushed into partition pruning — must reproduce the
+    table exactly, page assignment included. The streaming face of the
+    same source (checkpointed {"page": n} offsets = the
+    QueryBasedSource LWM/HWM loop) is exercised in
+    tests/test_datasource.py."""
+    import tempfile
+
+    from gobblin_spark.sources import datasource as DS
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value").orderBy("event_id")
+    rows = [r.asDict() for r in ev.collect()]  # sf0.01-sized demo feed
+    tmp = tempfile.mkdtemp(prefix="gobblin_restds_")
+    DS.write_pages(rows, tmp, page_size=500)
+    DS.register(spark)
+    df = (
+        spark.read.format("gobblin_rest")
+        .schema("event_id long, user_id long, event_type string, "
+                "value double, page int")
+        .option("path", tmp).load()
+    )
+    return df.select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 4).alias("value"), "page")
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -71,6 +71,9 @@ def get_spark(
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         # --- python interchange is always Arrow ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- Python DataSource V2: let custom sources (gobblin_rest)
+        # receive pushed filters for partition pruning ---
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         # Applied only when *this python process* launches the JVM (pyspark

@@ -1,0 +1,80 @@
+"""Spark 4 Python DataSource (gobblin_rest): batch read, filter
+pushdown partition pruning, and checkpointed incremental streaming."""
+
+import os
+import time
+
+import pytest
+
+from gobblin_spark.sources import datasource as DS
+
+
+@pytest.fixture()
+def pages(tmp_path):
+    rows = [{"event_id": i, "user_id": i % 7, "value": i * 1.5}
+            for i in range(100)]
+    DS.write_pages(rows, str(tmp_path / "pages"), page_size=10)
+    return str(tmp_path / "pages")
+
+
+SCHEMA = "event_id long, user_id long, value double, page int"
+
+
+def test_batch_read_roundtrip(spark, pages):
+    DS.register(spark)
+    df = (spark.read.format("gobblin_rest").schema(SCHEMA)
+          .option("path", pages).load())
+    assert df.count() == 100
+    got = {(r.event_id, r.page) for r in df.collect()}
+    assert (0, 0) in got and (99, 9) in got
+    assert df.filter("page = 3").count() == 10
+
+
+def test_filter_pushdown_prunes_partitions(spark, pages):
+    DS.register(spark)
+    df = (spark.read.format("gobblin_rest").schema(SCHEMA)
+          .option("path", pages).load())
+    # page bounds prune whole partitions; non-page filters stay in Spark
+    assert df.filter("page >= 8").count() == 20
+    assert df.filter("page >= 8 AND user_id = 0").count() == 3
+    reader = DS._RestReader(pages, df.schema)
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, IsNotNull
+
+    remaining = list(reader.pushFilters(
+        [GreaterThanOrEqual(("page",), 8), IsNotNull(("user_id",))]))
+    assert len(remaining) == 1 and isinstance(remaining[0], IsNotNull)
+    assert [p.page for p in reader.partitions()] == [8, 9]
+    r2 = DS._RestReader(pages, df.schema)
+    assert list(r2.pushFilters([EqualTo(("page",), 4)])) == []
+    assert [p.page for p in r2.partitions()] == [4]
+
+
+def test_streaming_incremental_exactly_once(spark, pages, tmp_path):
+    DS.register(spark)
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    sdf = (spark.readStream.format("gobblin_rest").schema(SCHEMA)
+           .option("path", pages).load())
+
+    def drain():
+        q = (sdf.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(processingTime="1 second")
+             .start())
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            prog = q.lastProgress
+            if prog and prog["numInputRows"] == 0 and os.path.isdir(sink):
+                break
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(60)
+
+    drain()
+    assert spark.read.parquet(sink).count() == 100
+    DS.write_pages([{"event_id": 1000 + i, "user_id": 0, "value": 0.0}
+                    for i in range(10)], pages, page_size=10, start_page=10)
+    drain()
+    df = spark.read.parquet(sink)
+    assert df.count() == 110
+    assert df.filter("event_id >= 1000").count() == 10
+    assert df.groupBy("event_id").count().filter("count > 1").count() == 0
