@@ -40,6 +40,7 @@ from typing import Iterator, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -48,6 +49,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -189,6 +191,11 @@ class GobblinRestDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> _RestStreamReader:
         return _RestStreamReader(self.options["path"], schema)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "_RestWriter":
+        return _RestWriter(
+            self.options["path"], schema,
+            int(self.options.get("batch_size", "500")), overwrite)
+
 
 def register(spark) -> None:
     """Idempotent registration: spark.read.format('gobblin_rest')."""
@@ -208,3 +215,91 @@ def write_pages(df_rows: list[dict], path: str, page_size: int,
                 fh.write(json.dumps(r, default=str) + "\n")
         n += 1
     return n
+
+
+class _PageCommit(WriterCommitMessage):
+    def __init__(self, files: list[str], rows: int):
+        self.files = files
+        self.rows = rows
+
+
+class _RestWriter(DataSourceWriter):
+    """Write side of the V2 lifecycle — the FsDataWriter
+    stage→commit→publish contract (reference:
+    gobblin-core/.../writer/FsDataWriter.java:58) owned by the ENGINE:
+    every task stages its batch files under ``_staging/`` and reports
+    a commit message; only the driver-side ``commit`` (all tasks
+    succeeded — Gobblin's COMMIT_ON_FULL_SUCCESS) renames them into
+    place and stamps the ``_DELIVERED`` manifest; ``abort`` removes
+    the staging dir so a failed job leaves no partial output. A real
+    HTTP sink swaps the file write for the batched POST of
+    sinks/generic.py; the staging trick then becomes buffering with
+    idempotency keys."""
+
+    def __init__(self, path: str, schema: StructType, batch_size: int,
+                 overwrite: bool = False):
+        self.path = path
+        self.schema_ = schema
+        self.batch_size = batch_size
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _PageCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        task = ctx.partitionId() if ctx else 0
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        names = [f.name for f in self.schema_.fields]
+        files: list[str] = []
+        rows = 0
+        buf: list[str] = []
+
+        def flush():
+            nonlocal buf
+            if not buf:
+                return
+            fname = os.path.join(
+                staging, f"task-{task:05d}-batch-{len(files):05d}.json")
+            with open(fname, "w") as fh:
+                fh.write("\n".join(buf) + "\n")
+            files.append(fname)
+            buf = []
+
+        for row in iterator:
+            buf.append(json.dumps(dict(zip(names, row)), default=str))
+            rows += 1
+            if len(buf) >= self.batch_size:
+                flush()
+        flush()
+        return _PageCommit(files, rows)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.startswith("task-") and f.endswith(".json"):
+                    os.remove(os.path.join(self.path, f))
+        total = 0
+        n = 0
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                final = os.path.join(self.path, os.path.basename(f))
+                shutil.move(f, final)
+                n += 1
+            total += m.rows
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging) and not os.listdir(staging):
+            os.rmdir(staging)
+        with open(os.path.join(self.path, "_DELIVERED"), "w") as fh:
+            json.dump({"rows": total, "files": n}, fh)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        staging = os.path.join(self.path, "_staging")
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)

@@ -78,3 +78,26 @@ def test_streaming_incremental_exactly_once(spark, pages, tmp_path):
     assert df.count() == 110
     assert df.filter("event_id >= 1000").count() == 10
     assert df.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_writer_commit_lifecycle(spark, tmp_path):
+    """write() stages per task; commit() publishes + _DELIVERED; rows
+    survive a read-back through plain json."""
+    import glob
+    import json as _json
+
+    DS.register(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(0, 57).selectExpr(
+        "id AS event_id", "id % 3 AS user_id", "CAST(id AS DOUBLE) AS value")
+    (df.repartition(4).write.format("gobblin_rest")
+       .option("path", out).option("batch_size", "10").mode("append").save())
+    assert os.path.exists(os.path.join(out, "_DELIVERED"))
+    man = _json.load(open(os.path.join(out, "_DELIVERED")))
+    assert man["rows"] == 57
+    rows = []
+    for f in glob.glob(os.path.join(out, "task-*.json")):
+        rows += [_json.loads(ln) for ln in open(f) if ln.strip()]
+    assert len(rows) == 57
+    assert {r["event_id"] for r in rows} == set(range(57))
+    assert not os.path.isdir(os.path.join(out, "_staging"))
