@@ -6314,6 +6314,51 @@ def rest_datasource_pull(spark, sf_dir):
         F.round("value", 4).alias("value"), "page")
 
 
+@q(
+    "retry_write_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 4) AS o_totalprice
+    FROM orders
+    """,
+)
+def retry_write_roundtrip(spark, sf_dir):
+    """RetryWriter delivery-exactness under a REAL failure: the first
+    write attempt dies mid-flight leaving partial output, the retry
+    loop (RetryWriter.java:48 semantics) overwrites it, and the
+    published dataset must equal the input exactly — no lost rows, no
+    doubled rows from the failed attempt. The overwrite-staging design
+    is precisely what makes job-level retry idempotent; this row
+    value-checks it instead of trusting the unit test."""
+    import tempfile
+
+    from gobblin_spark.sinks import writers
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 4).alias("o_totalprice"))
+    tmp = tempfile.mkdtemp(prefix="gobblin_retry_") + "/out"
+    calls = {"n": 0}
+    orig = writers.write_data
+
+    def flaky(df, path, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # die mid-write: partial rows land, then the failure
+            df.limit(500).write.mode("overwrite").parquet(path)
+            raise RuntimeError("transient sink failure (injected)")
+        return orig(df, path, **kw)
+
+    writers.write_data = flaky
+    try:
+        writers.retry_write(orders, tmp, attempts=3, backoff_sec=0.01,
+                            mode="overwrite")
+    finally:
+        writers.write_data = orig
+    assert calls["n"] == 2, calls
+    return spark.read.parquet(tmp)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
