@@ -137,8 +137,28 @@ class _RestReader(DataSourceReader):
             parts.append(_PagePartition(page, fpath))
         return parts
 
-    def read(self, partition: _PagePartition) -> Iterator[Tuple]:
-        return _read_page(partition.path, partition.page, self.schema_)
+    def read(self, partition: _PagePartition):
+        """Yields ONE Arrow RecordBatch per page: the V2 reader's
+        columnar fast path (no per-row pickling between the source
+        worker and Spark — the same reason every pandas-UDF path in
+        this repo is Arrow-batched). Falls back to row tuples if
+        pyarrow is unavailable."""
+        try:
+            import pyarrow as pa
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            yield from _read_page(partition.path, partition.page,
+                                  self.schema_)
+            return
+        names = [f.name for f in self.schema_.fields]
+        rows = list(_read_page(partition.path, partition.page, self.schema_))
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self.schema_)
+        cols = [
+            pa.array([r[i] for r in rows], type=arrow_schema.field(n).type)
+            for i, n in enumerate(names)
+        ]
+        yield pa.RecordBatch.from_arrays(cols, schema=arrow_schema)
 
 
 class _RestStreamReader(SimpleDataSourceStreamReader):
