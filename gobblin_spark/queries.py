@@ -6359,6 +6359,67 @@ def retry_write_roundtrip(spark, sf_dir):
     return spark.read.parquet(tmp)
 
 
+@q(
+    "ngram_containment_docs",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS words
+      FROM documents WHERE doc_id % 5 = 0
+    ), idx AS (
+      SELECT doc_id, words,
+             unnest(range(1, greatest(len(words) - 1, 0) + 2)) AS i
+      FROM norm
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i], ' ') AS shingle
+      FROM idx WHERE array_to_string(words[i:i], ' ') <> ''
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+                         AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(floor(n_inter * 1000000.0 / sa.n_sh) AS BIGINT)
+             AS containment_ppm
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE floor(n_inter * 1000000.0 / sa.n_sh) >= 800000
+    """,
+)
+def ngram_containment_docs(spark, sf_dir):
+    """DIRECTED containment |A∩B| / |A| ≥ 0.8 — catches doc-inside-doc
+    (quotes, boilerplate-wrapped reposts) that symmetric Jaccard
+    misses: a small doc inside a big one scores high containment but
+    low Jaccard. Same inverted-index shape as the Jaccard pairs, but
+    ordered (id_a ≠ id_b, both directions kept) and normalized by the
+    CONTAINED side only. Unigram shingles here — the synthetic corpus
+    has a tiny vocabulary, and unigram containment is what populates;
+    production uses n≥5 with the doc-freq cap. Exact integer ppm."""
+    docs = load_docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    from gobblin_spark.functions.text import word_shingles
+
+    sh = word_shingles(
+        docs.select("doc_id", "text"), "text", n=1).select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    ppm = F.floor(F.col("n_inter") * F.lit(1000000.0) / F.col("n_a"))
+    return (
+        inter.join(sa, "id_a")
+        .withColumn("containment_ppm", ppm.cast("long"))
+        .filter(F.col("containment_ppm") >= 800000)
+        .select("id_a", "id_b", "containment_ppm")
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
