@@ -289,3 +289,60 @@ def assign_split(
         .when(bucket < F.lit(b_val), F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    target_total: int,
+    split_hex_chars: int = 4,
+) -> DataFrame:
+    """Temperature-weighted source rebalancing (T=2 ⇒ weights ∝
+    sqrt(n_s) — the multilingual/multi-source mixing rule of
+    mT5/XLM-R-style pipelines): abundant sources are downsampled
+    harder than rare ones, targeting ``target_total`` rows overall.
+
+    Everything that decides a row's fate is INTEGER arithmetic, so any
+    engine reproduces the exact same kept-set:
+    - weight_s   = floor(sqrt(n_s) * 1000)    (bigint; sqrt is
+      IEEE-correctly-rounded, the only float op, and its floor is
+      boundary-safe: perfect squares hit integers exactly)
+    - threshold_s = target * weight_s * 65536 // (Σ weights * n_s)
+      (pure bigint floor division)
+    - keep row  ⇔ first 4 md5 hex chars of the id, parsed base-16,
+      < threshold_s   (uniform 16-bit bucket, content-stable like
+      assign_split — rerunning over a grown corpus never flips an
+      existing row's fate for the same thresholds)
+
+    A threshold ≥ 65536 keeps the whole source (rare sources saturate
+    instead of upsampling — deterministic sampling cannot mint rows;
+    callers wanting true upsampling repeat epochs, cf. pack/shuffle).
+    Per-source counts collect to the driver (bounded by source
+    cardinality) and ship back as a broadcast threshold table; the
+    corpus itself is one scan + one broadcast join.
+    """
+    import math
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    weights = {r[source_col]: int(math.floor(math.sqrt(r["_n"]) * 1000))
+               for r in counts}
+    ns = {r[source_col]: r["_n"] for r in counts}
+    sum_w = sum(weights.values())
+    spark = df.sparkSession
+    thr_rows = [
+        (s, ns[s], (target_total * weights[s] * 65536) // (sum_w * ns[s]))
+        for s in sorted(ns)
+    ]
+    thr = spark.createDataFrame(
+        thr_rows, f"{source_col} string, n_docs long, threshold_64k long")
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, split_hex_chars),
+        16, 10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(thr), source_col)
+        .withColumn("_bucket", bucket)
+        .filter(F.col("_bucket") < F.col("threshold_64k"))
+        .drop("_bucket")
+    )

@@ -6420,6 +6420,68 @@ def ngram_containment_docs(spark, sf_dir):
     )
 
 
+@q(
+    "mixing_temperature_sample",
+    """
+    WITH c AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ), sq AS (
+      SELECT source, n, CAST(floor(sqrt(n) * 1000) AS BIGINT) AS w FROM c
+    ), tot AS (
+      SELECT sum(w) AS sum_w FROM sq
+    ), thr AS (
+      SELECT source, n AS n_docs,
+             CAST((400 * w * 65536) // ((SELECT sum_w FROM tot) * n)
+                  AS BIGINT) AS threshold_64k
+      FROM sq
+    ), kept AS (
+      SELECT d.source, count(*) AS n_kept
+      FROM documents d JOIN thr USING (source)
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                 AS BIGINT) < thr.threshold_64k
+      GROUP BY d.source
+    )
+    SELECT thr.source, thr.n_docs, thr.threshold_64k,
+           COALESCE(kept.n_kept, 0) AS n_kept
+    FROM thr LEFT JOIN kept USING (source)
+    """,
+)
+def mixing_temperature_sample(spark, sf_dir):
+    """Temperature mixing report (T=2, weights ∝ sqrt(n_s), target 400
+    rows): per source the exact integer threshold and how many rows it
+    kept. The keep decision is entirely bigint arithmetic + md5
+    buckets, so the oracle reproduces the exact kept-set — the one
+    float op (sqrt) is IEEE-correctly-rounded and floor-safe."""
+    from gobblin_spark.functions import mixing
+
+    docs = load_docs(spark, sf_dir)
+    kept = mixing.temperature_sample(docs, "doc_id", "source", 400)
+    return _temperature_report(docs, kept)
+
+
+def _temperature_report(docs, kept):
+    """Threshold table rebuilt from the full corpus (sources that kept
+    zero rows are absent from `kept` but still owe a report row),
+    left-joined with the kept counts."""
+    import math
+
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("_n")).collect()
+    weights = {r["source"]: int(math.floor(math.sqrt(r["_n"]) * 1000))
+               for r in counts}
+    ns = {r["source"]: r["_n"] for r in counts}
+    sum_w = sum(weights.values())
+    rows = [(s, ns[s], (400 * weights[s] * 65536) // (sum_w * ns[s]))
+            for s in sorted(ns)]
+    full_thr = docs.sparkSession.createDataFrame(
+        rows, "source string, n_docs long, threshold_64k long")
+    kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        full_thr.join(kc, "source", "left")
+        .select("source", "n_docs", "threshold_64k",
+                F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"))
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -176,3 +176,24 @@ def test_assign_split_rejects_bad_fractions(spark):
             assert False, (tr, va)
         except ValueError:
             pass
+
+
+def test_temperature_sample_flattens_imbalance(spark):
+    from gobblin_spark.functions.mixing import temperature_sample
+
+    # 2 sources, 9:1 imbalance; sqrt weighting must keep a HIGHER
+    # fraction of the rare source than the abundant one
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_sample(df, "doc_id", "source", target_total=500)
+    counts = {r.source: r.n for r in kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    frac_big = counts.get("big", 0) / 900
+    frac_small = counts.get("small", 0) / 100
+    assert frac_small > frac_big
+    total = sum(counts.values())
+    assert 350 < total < 650  # lands near the target
+    # determinism + content stability: same ids keep/drop on rerun
+    kept2 = temperature_sample(df, "doc_id", "source", target_total=500)
+    assert sorted(r.doc_id for r in kept.collect()) == \
+        sorted(r.doc_id for r in kept2.collect())
