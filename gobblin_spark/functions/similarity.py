@@ -524,3 +524,36 @@ def semantic_dedup_clustered(
         .distinct()
     )
     return corpus.select(id_col).join(dropped, id_col, "left_anti")
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the
+    standard 4x compression of a 100 TB embedding store (FAISS SQ8
+    shape): per vector, scale = max|x| / 127, q_i = round(x_i/scale)
+    ∈ [-127, 127]. Returns (id_col, qvec array<int>, scale double).
+
+    Pure narrow Column expressions (abs-max fold + one transform);
+    zero shuffle. Dequantize with ``transform(qvec, q -> q*scale)`` —
+    recall loss at top-k rerank depth is the documented SQ8 trade; the
+    exact-rerank tier (cosine_topk over float vectors on the candidate
+    sliver) composes downstream. All-zero vectors quantize to zeros
+    with scale 0.
+    """
+    e = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    m = F.array_max(F.transform(e, F.abs))
+    scale = m / F.lit(127.0)
+    q = F.when(
+        m > 0,
+        F.transform(e, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(e, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        q.alias("qvec"),
+        F.coalesce(
+            F.when(m > 0, scale), F.lit(0.0)
+        ).alias("scale"),
+    )

@@ -6482,6 +6482,61 @@ def _temperature_report(docs, kept):
     )
 
 
+@q(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), mx AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM v
+    ), q AS (
+      SELECT vec_id, m,
+             CASE WHEN m > 0
+                  THEN list_transform(
+                         e, x -> CAST(round(x / (m/127.0)) AS BIGINT))
+                  ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS qv
+      FROM mx
+    ), dims AS (
+      SELECT vec_id, unnest(qv) AS qval, generate_subscripts(qv, 1) AS ord
+      FROM q
+    )
+    SELECT q.vec_id,
+           CAST(sum(d.qval * d.ord) AS BIGINT) AS qsum,
+           CAST(max(abs(d.qval)) AS BIGINT) AS qmax,
+           CAST(floor(q.m * 1000000) AS BIGINT) AS m_ppm
+    FROM q JOIN dims d USING (vec_id)
+    GROUP BY q.vec_id, q.m
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (FAISS-SQ8 shape, the 4x
+    compression of a 100 TB embedding store), verified by exact
+    integer invariants per vector: the position-weighted checksum of
+    the quantized codes, the max |code| (must be exactly 127 for any
+    nonzero vector — the scale anchors the abs-max), and the abs-max
+    itself in ppm. Quantization is a zero-shuffle narrow pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = similarity.quantize_int8(emb, "vec_id", "embedding")
+    # abs-max recomputed from the raw vector: scale*127 would round-trip
+    # through the division and can land 1 ulp off the true max, flipping
+    # the ppm floor against the oracle
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    m = F.array_max(F.transform(e, F.abs))
+    raw = emb.select("vec_id", m.alias("_m"))
+    idx = F.sequence(F.lit(1), F.size("qvec"))
+    qsum = F.aggregate(
+        F.zip_with("qvec", idx, lambda q, i: q.cast("long") * i.cast("long")),
+        F.lit(0).cast("long"), lambda a, b: a + b)
+    qmax = F.array_max(F.transform("qvec", lambda x: F.abs(x).cast("long")))
+    return qdf.join(raw, "vec_id").select(
+        "vec_id",
+        qsum.alias("qsum"),
+        qmax.alias("qmax"),
+        F.floor(F.col("_m") * F.lit(1000000.0)).cast("long").alias("m_ppm"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

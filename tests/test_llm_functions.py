@@ -658,3 +658,31 @@ def test_semantic_dedup_clustered_drops_planted_dup(spark):
     ).collect()}
     assert 0 in kept and 100 not in kept
     assert len(kept) == 40
+
+
+def test_quantize_int8_invariants(spark):
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),      # all-zero vector
+        (3, [127.0, -63.5, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in similarity.quantize_int8(
+        df, "vec_id", "embedding").collect()}
+    assert out[1].qvec == [64, -127, 32, 0]          # round(x*127/max)
+    assert out[2].qvec == [0, 0, 0, 0] and out[2].scale == 0.0
+    assert out[3].qvec == [127, -64, 0, 1]
+    assert abs(out[3].scale - 1.0) < 1e-12
+    # dequantized cosine stays close on real embeddings
+    from gobblin_spark.sources.files import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    q = similarity.quantize_int8(emb, "vec_id", "embedding")
+    joined = emb.join(q, "vec_id")
+    err = joined.select(
+        similarity.cosine(
+            F.col("embedding"),
+            F.transform("qvec", lambda x: x.cast("double") * F.col("scale")),
+        ).alias("c")
+    ).agg(F.min("c")).first()[0]
+    assert err > 0.999  # SQ8 self-cosine barely moves
