@@ -676,3 +676,121 @@ def tfidf_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ----------------------------------------------------------------------
+# BPE subword tokenization — the honest pandas-UDF tier: a real
+# per-word merge loop no Column expression can express, run
+# Arrow-batched (never row-at-a-time Python in the executor protocol).
+# ----------------------------------------------------------------------
+
+def learn_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 200,
+    sample_rows: int = 10_000,
+    seed: int = 42,
+) -> list[tuple[str, str]]:
+    """Classic BPE merge-table learning (Sennrich et al. 2016) on a
+    bounded driver-side SAMPLE — like IVF centroid training, the model
+    artifact (a few KB of merge pairs) is inherently driver-sized
+    while the corpus never leaves the executors. Deterministic: word
+    frequencies from the sample, most-frequent pair wins, ties break
+    lexicographically. Words are normalized tokens + '</w>' end
+    marker."""
+    from collections import Counter
+
+    total = df.count()
+    frac = min(1.0, (sample_rows * 1.2) / max(total, 1))
+    texts = [
+        r[0] or ""
+        for r in df.select(normalize_text(F.col(text_col)))
+        .sample(False, frac, seed).limit(sample_rows).collect()
+    ]
+    word_freq = Counter(w for t in texts for w in t.split() if w)
+    vocab = {w: tuple(w) + ("</w>",) for w in word_freq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for w, freq in word_freq.items():
+            sym = vocab[w]
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += freq
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        merged = a + b
+        for w in vocab:
+            sym = vocab[w]
+            out = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            vocab[w] = tuple(out)
+    return merges
+
+
+def bpe_segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply a merge table to ONE word (chars + '</w>'), lowest-rank
+    merge first — the reference implementation the distributed path
+    must match."""
+    sym = list(word) + ["</w>"]
+    while len(sym) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_i < 0:
+            break
+        sym[best_i:best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Subword-tokenize a text column with a learned merge table.
+
+    The merge loop is genuinely imperative (data-dependent iteration
+    over adjacent symbol pairs), so this is the pandas-UDF tier —
+    Arrow-batched, with a per-batch word cache (Zipf makes the hit
+    rate high: each distinct word segments once per batch). The merge
+    table rides the closure as a ~KB broadcast. Output adds
+    ``out_col`` (array<string> of subword units)."""
+    import pandas as pd  # noqa: F401 - resolved by the UDF type hints
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def seg(texts):
+        # (annotation-free: `from __future__ import annotations` turns
+        # hints into strings pyspark cannot resolve for lazily-imported
+        # pandas; the decorator's returnType carries the schema)
+        cache: dict[str, list[str]] = {}
+
+        def run(t):
+            out: list[str] = []
+            for w in (t or "").split():
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = bpe_segment_word(w, ranks)
+                out.extend(hit)
+            return out
+
+        return texts.map(run)
+
+    return df.withColumn(out_col, seg(normalize_text(F.col(text_col))))

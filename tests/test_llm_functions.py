@@ -686,3 +686,25 @@ def test_quantize_int8_invariants(spark):
         ).alias("c")
     ).agg(F.min("c")).first()[0]
     assert err > 0.999  # SQ8 self-cosine barely moves
+
+
+def test_bpe_learn_and_tokenize_roundtrip(spark):
+    from gobblin_spark.functions.text import (
+        bpe_segment_word, bpe_tokenize, learn_bpe_merges)
+
+    rows = [(i, "the cat sat on the mat the cat") for i in range(20)]
+    rows += [(100 + i, "dogs chase the cat") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = learn_bpe_merges(df, "text", num_merges=50, sample_rows=100)
+    assert merges, "high-frequency corpus must learn merges"
+    # 'the' is the most frequent word: it must end up a single unit
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe_segment_word("the", ranks) == ["the</w>"]
+    out = bpe_tokenize(df, "text", merges).collect()
+    for r in out:
+        # concatenating subwords and stripping markers recovers the text
+        joined = "".join(r.bpe_tokens).replace("</w>", " ").strip()
+        assert joined == r.text
+    # determinism across calls
+    merges2 = learn_bpe_merges(df, "text", num_merges=50, sample_rows=100)
+    assert merges == merges2
