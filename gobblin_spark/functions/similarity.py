@@ -534,7 +534,9 @@ def quantize_int8(
     """Symmetric int8 quantization of an embedding column — the
     standard 4x compression of a 100 TB embedding store (FAISS SQ8
     shape): per vector, scale = max|x| / 127, q_i = round(x_i/scale)
-    ∈ [-127, 127]. Returns (id_col, qvec array<int>, scale double).
+    ∈ [-127, 127]. ADDS ``qvec`` (array<int>) and ``scale`` (double)
+    to the input columns (withColumn-style, so downstream metrics read
+    raw and quantized values from the same row without a self-join).
 
     Pure narrow Column expressions (abs-max fold + one transform);
     zero shuffle. Dequantize with ``transform(qvec, q -> q*scale)`` —
@@ -550,10 +552,6 @@ def quantize_int8(
         m > 0,
         F.transform(e, lambda x: F.round(x / scale).cast("int")),
     ).otherwise(F.transform(e, lambda x: F.lit(0)))
-    return df.select(
-        F.col(id_col),
-        q.alias("qvec"),
-        F.coalesce(
-            F.when(m > 0, scale), F.lit(0.0)
-        ).alias("scale"),
+    return df.withColumn("qvec", q).withColumn(
+        "scale", F.coalesce(F.when(m > 0, scale), F.lit(0.0))
     )

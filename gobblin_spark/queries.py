@@ -6517,23 +6517,23 @@ def embedding_quantize_int8(spark, sf_dir):
     nonzero vector — the scale anchors the abs-max), and the abs-max
     itself in ppm. Quantization is a zero-shuffle narrow pass."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # quantize_int8 is withColumn-style: raw vector and codes live in
+    # the same row — one narrow pass, zero joins. The abs-max is taken
+    # from the raw vector, NOT scale*127 — the round-trip through the
+    # division can land 1 ulp off and flip the ppm floor.
     qdf = similarity.quantize_int8(emb, "vec_id", "embedding")
-    # abs-max recomputed from the raw vector: scale*127 would round-trip
-    # through the division and can land 1 ulp off the true max, flipping
-    # the ppm floor against the oracle
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     m = F.array_max(F.transform(e, F.abs))
-    raw = emb.select("vec_id", m.alias("_m"))
     idx = F.sequence(F.lit(1), F.size("qvec"))
     qsum = F.aggregate(
         F.zip_with("qvec", idx, lambda q, i: q.cast("long") * i.cast("long")),
         F.lit(0).cast("long"), lambda a, b: a + b)
     qmax = F.array_max(F.transform("qvec", lambda x: F.abs(x).cast("long")))
-    return qdf.join(raw, "vec_id").select(
+    return qdf.select(
         "vec_id",
         qsum.alias("qsum"),
         qmax.alias("qmax"),
-        F.floor(F.col("_m") * F.lit(1000000.0)).cast("long").alias("m_ppm"),
+        F.floor(m * F.lit(1000000.0)).cast("long").alias("m_ppm"),
     )
 
 

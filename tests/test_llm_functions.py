@@ -678,8 +678,8 @@ def test_quantize_int8_invariants(spark):
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
     q = similarity.quantize_int8(emb, "vec_id", "embedding")
-    joined = emb.join(q, "vec_id")
-    err = joined.select(
+    # quantize_int8 is withColumn-style: raw + codes in the same row
+    err = q.select(
         similarity.cosine(
             F.col("embedding"),
             F.transform("qvec", lambda x: x.cast("double") * F.col("scale")),

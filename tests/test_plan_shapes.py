@@ -80,6 +80,21 @@ CASES = [
     # every round once): deg agg + 3x(contrib join, inbound agg, rank
     # left-join) ~= 10 keyed exchanges, all on the node id
     ("pagerank_partsupp", 12, "CartesianProduct"),
+    # per-type percentile aggregate broadcasts back into the fact scan
+    ("winsorize_event_values", 2, "CartesianProduct"),
+    # distinct (source, shingle) + sizes + shingle self-join + pair agg
+    ("source_overlap_matrix", 7, "CartesianProduct"),
+    # inverted-index join, directed normalization
+    ("ngram_containment_docs", 2, "CartesianProduct"),
+    # quantization is one narrow pass: no exchange, NO self-join (the
+    # withColumn-style operator keeps raw + codes in the same row)
+    ("embedding_quantize_int8", 0, "Join"),
+    # (user, day) distinct + explode-onto-window-ends distinct count
+    ("rolling_active_users", 4, "CartesianProduct"),
+    # first-day groupBy + cohort-week distinct count + broadcast sizes
+    ("cohort_retention", 6, "CartesianProduct"),
+    # md5-bucket split is a narrow projection; one reporting groupBy
+    ("split_train_val_test", 1, "CartesianProduct"),
 ]
 
 
