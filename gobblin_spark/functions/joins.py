@@ -134,3 +134,41 @@ def range_join(
         if c not in by:
             unmatched = unmatched.withColumn(c, F.lit(None).cast(rtypes[c]))
     return joined.unionByName(unmatched.select(*joined.columns))
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    max_distance: int = 3,
+) -> DataFrame:
+    """Blocked fuzzy self-match: pairs whose ``text_col`` values are
+    within ``max_distance`` Levenshtein edits, candidates drawn ONLY
+    from equal ``block_cols`` — the entity-resolution primitive
+    (dedup of titles/names/addresses) a data-integration engine owes
+    its users.
+
+    Blocking is what scales it: the quadratic edit-distance step runs
+    within a block's hash partition, so cost is Σ|block|², not
+    |corpus|² — choose block keys (phonetic code, length band,
+    sorted-token prefix) so blocks stay executor-sized; recall is
+    bounded by the blocking scheme, the standard ER trade (Fellegi-
+    Sunter blocking). Levenshtein itself is JVM codegen on both
+    engines, making the operator fully oracle-able.
+
+    Returns (id_a, id_b, distance), id_a < id_b, distance exact int.
+    """
+    slim = df.select(
+        F.col(id_col), F.col(text_col).alias("_t"), *block_cols)
+    a = slim.select(
+        F.col(id_col).alias("id_a"), F.col("_t").alias("ta"), *block_cols)
+    b = slim.select(
+        F.col(id_col).alias("id_b"), F.col("_t").alias("tb"), *block_cols)
+    return (
+        a.join(b, list(block_cols))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("ta", "tb"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
+    )

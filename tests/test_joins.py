@@ -88,3 +88,20 @@ def test_range_join_inclusive_bounds(spark):
     got = sorted(r.id for r in JN.range_join(
         left, right, "t", "lo", "hi", bucket=60).collect())
     assert got == [1, 2]
+
+
+def test_fuzzy_self_pairs_blocking_and_distance(spark):
+    from gobblin_spark.functions.joins import fuzzy_self_pairs
+
+    rows = [
+        (1, "kitten", "b1"), (2, "sitting", "b1"),   # dist 3, same block
+        (3, "kitten", "b2"),                          # same text, other block
+        (4, "kittenx", "b1"),                         # dist 1 from kitten
+        (5, "zzzzzzzzzz", "b1"),                      # far from all
+    ]
+    df = spark.createDataFrame(rows, "id long, t string, blk string")
+    got = {(r.id_a, r.id_b): r.distance for r in fuzzy_self_pairs(
+        df, "id", "t", ["blk"], max_distance=3).collect()}
+    assert got == {(1, 2): 3, (1, 4): 1, (2, 4): 3}
+    # cross-block identical strings never pair: blocking bounds recall
+    assert (1, 3) not in got
