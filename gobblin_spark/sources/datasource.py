@@ -65,16 +65,32 @@ def _page_files(path: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def _read_page(fpath: str, page: int, schema: StructType) -> Iterator[Tuple]:
+def _read_page(
+    fpath: str, page: int, schema: StructType, bad_records: str = "fail"
+) -> Iterator[Tuple]:
     """Transport: one page -> row tuples in schema field order. The
-    only function to replace for a real HTTP backend."""
+    only function to replace for a real HTTP backend.
+
+    ``bad_records``: 'fail' raises on the first malformed line (with
+    file/line context — a poisoned page should kill the work unit
+    loudly, reference RowLevelPolicy.FAIL); 'drop' skips malformed
+    lines (quarantine-style ingestion keeps flowing; pair with an
+    audit count when completeness matters)."""
     names = [f.name for f in schema.fields]
     with open(fpath) as fh:
-        for line in fh:
+        for lineno, line in enumerate(fh, 1):
             line = line.strip()
             if not line:
                 continue
-            obj = json.loads(line)
+            try:
+                obj = json.loads(line)
+                if not isinstance(obj, dict):
+                    raise ValueError("not a JSON object")
+            except ValueError as ex:
+                if bad_records == "drop":
+                    continue
+                raise ValueError(
+                    f"malformed page record {fpath}:{lineno}: {ex}") from ex
             obj["page"] = page
             yield tuple(obj.get(n) for n in names)
 
@@ -86,9 +102,11 @@ class _PagePartition(InputPartition):
 
 
 class _RestReader(DataSourceReader):
-    def __init__(self, path: str, schema: StructType):
+    def __init__(self, path: str, schema: StructType,
+                 bad_records: str = "fail"):
         self.path = path
         self.schema_ = schema
+        self.bad_records = bad_records
         # page-range bounds tightened by pushFilters: [lo, hi] inclusive
         self.lo: int | None = None
         self.hi: int | None = None
@@ -147,10 +165,11 @@ class _RestReader(DataSourceReader):
             import pyarrow as pa
         except ImportError:  # pragma: no cover - pyarrow is baked in
             yield from _read_page(partition.path, partition.page,
-                                  self.schema_)
+                                  self.schema_, self.bad_records)
             return
         names = [f.name for f in self.schema_.fields]
-        rows = list(_read_page(partition.path, partition.page, self.schema_))
+        rows = list(_read_page(partition.path, partition.page, self.schema_,
+                               self.bad_records))
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(self.schema_)
@@ -165,9 +184,11 @@ class _RestStreamReader(SimpleDataSourceStreamReader):
     """Offset = {"page": next_unread_index}: the LWM/HWM loop of
     QueryBasedSource run by Structured Streaming's checkpoint."""
 
-    def __init__(self, path: str, schema: StructType):
+    def __init__(self, path: str, schema: StructType,
+                 bad_records: str = "fail"):
         self.path = path
         self.schema_ = schema
+        self.bad_records = bad_records
 
     def initialOffset(self) -> dict:
         return {"page": 0}
@@ -175,7 +196,8 @@ class _RestStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, lo: int, hi: int) -> Iterator[Tuple]:
         for page, fpath in _page_files(self.path):
             if lo <= page < hi:
-                yield from _read_page(fpath, page, self.schema_)
+                yield from _read_page(fpath, page, self.schema_,
+                                      self.bad_records)
 
     def read(self, start: dict) -> tuple[Iterator[Tuple], dict]:
         pages = _page_files(self.path)
@@ -206,10 +228,12 @@ class GobblinRestDataSource(DataSource):
             "carry no self-describing schema to infer from")
 
     def reader(self, schema: StructType) -> _RestReader:
-        return _RestReader(self.options["path"], schema)
+        return _RestReader(self.options["path"], schema,
+                           self.options.get("bad_records", "fail"))
 
     def simpleStreamReader(self, schema: StructType) -> _RestStreamReader:
-        return _RestStreamReader(self.options["path"], schema)
+        return _RestStreamReader(self.options["path"], schema,
+                                 self.options.get("bad_records", "fail"))
 
     def writer(self, schema: StructType, overwrite: bool) -> "_RestWriter":
         return _RestWriter(

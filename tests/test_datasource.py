@@ -101,3 +101,24 @@ def test_writer_commit_lifecycle(spark, tmp_path):
     assert len(rows) == 57
     assert {r["event_id"] for r in rows} == set(range(57))
     assert not os.path.isdir(os.path.join(out, "_staging"))
+
+
+def test_bad_records_policies(spark, tmp_path):
+    """fail mode raises with file/line context; drop mode skips the
+    poisoned lines and keeps good rows flowing."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "poison")
+    DS.write_pages([{"event_id": i, "user_id": 0, "value": 1.0}
+                    for i in range(10)], path, page_size=5)
+    with open(f"{path}/page-00001.json", "a") as fh:
+        fh.write("{not json}\n")
+        fh.write('{"event_id": 99, "user_id": 0, "value": 2.0}\n')
+    DS.register(spark)
+    base = (spark.read.format("gobblin_rest").schema(SCHEMA)
+            .option("path", path))
+    with _pytest.raises(Exception, match="malformed page record"):
+        base.load().count()
+    dropped = base.option("bad_records", "drop").load()
+    assert dropped.count() == 11  # 10 good + the one after the poison
+    assert dropped.filter("event_id = 99").count() == 1
