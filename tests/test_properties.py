@@ -132,3 +132,54 @@ def test_driver_window_is_exactly_fifty_and_first():
     missing = [n for n in Q.DRIVER_FIRST if n not in Q.ORACLES]
     # at most the rows-only entries may lack an oracle
     assert len(missing) <= 2, missing
+
+
+# -- BPE segmentation ------------------------------------------------
+
+words = st.from_regex(r"[a-z]{1,12}", fullmatch=True)
+
+
+@given(st.lists(words, min_size=1, max_size=30),
+       st.lists(st.tuples(st.from_regex(r"[a-z]{1,3}", fullmatch=True),
+                          st.from_regex(r"[a-z</w>]{1,5}", fullmatch=True)),
+                max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_bpe_segment_always_reconstructs(ws, merge_pairs):
+    """For ANY merge table, concatenating a word's subwords and
+    stripping the end marker reproduces the word exactly — merges can
+    never lose or invent characters."""
+    from gobblin_spark.functions.text import bpe_segment_word
+
+    ranks = {p: i for i, p in enumerate(merge_pairs)}
+    for w in ws:
+        seg = bpe_segment_word(w, ranks)
+        assert "".join(seg).replace("</w>", "") == w
+        # the end marker survives in exactly one (final) symbol
+        assert "".join(seg).count("</w>") == 1
+
+
+@given(st.lists(st.tuples(st.integers(1, 10_000), st.integers(1, 50)),
+                min_size=1, max_size=12, unique_by=lambda t: t[1]),
+       st.integers(1, 20_000))
+@settings(max_examples=60, deadline=None)
+def test_temperature_thresholds_invariants(src_sizes, target):
+    """Threshold math (pure ints): monotone in weight/size ratio, zero
+    only when the formula says so, and the expected kept total is at
+    most the target plus quantization slack."""
+    import math
+
+    ns = {f"s{i}": n for i, (n, i_) in enumerate(src_sizes)}
+    weights = {s: int(math.floor(math.sqrt(n) * 1000)) for s, n in ns.items()}
+    sum_w = sum(weights.values())
+    thr = {s: (target * weights[s] * 65536) // (sum_w * ns[s]) for s in ns}
+    # expected kept rows: n * min(thr, 65536)/65536 — never overshoots
+    # target by more than the per-source quantization (1/65536 each)
+    expected = sum(ns[s] * min(thr[s], 65536) / 65536 for s in ns)
+    assert expected <= target + len(ns)
+    # rarer sources keep at a rate >= abundant ones (1/sqrt(n) is
+    # decreasing), modulo the two integer floors: the weight floor
+    # costs <= 1.3e-4 relative, the threshold floor costs 1 unit
+    by_n = sorted(ns, key=lambda s: ns[s])
+    for a, b in zip(by_n, by_n[1:]):
+        slack = 1 + (thr[b] + 999) // 1000  # threshold + weight floors
+        assert thr[a] + slack >= thr[b], (ns[a], ns[b], thr[a], thr[b])
