@@ -219,6 +219,34 @@ register_source("table", _table_source)
 register_source("TableSource", _table_source)
 
 
+def _rest_pages_source(spec: JobSpec):
+    """Paged-REST via the native Python DataSource (`gobblin_rest`):
+    `source.data.directory` = page dir, `source.schema` = read DDL
+    (must be explicit — pages are not self-describing). Optional
+    `source.bad.records` = fail|drop. The reference analog is
+    RestApiSource/RestApiExtractor wired through a .pull file."""
+    path = spec.get("source.data.directory")
+    ddl = spec.get("source.schema")
+    if not (path and ddl):
+        raise KeyError("source.data.directory and source.schema are required")
+    bad = spec.get("source.bad.records", "fail")
+
+    def load(spark: SparkSession) -> DataFrame:
+        from gobblin_spark.sources import datasource as DS
+
+        DS.register(spark)
+        return (
+            spark.read.format("gobblin_rest").schema(ddl)
+            .option("path", path).option("bad_records", bad).load()
+        )
+
+    return load
+
+
+register_source("rest_pages", _rest_pages_source)
+register_source("RestApiSource", _rest_pages_source)
+
+
 # -- built-in converters ---------------------------------------------------
 
 

@@ -153,3 +153,31 @@ def test_cli_run_and_list(spark, tmp_path, capsys):
     assert rc == 0 and "q1_pricing_summary" in names
     rc = cli_main(["query", "no_such_query"], _spark=spark)
     assert rc == 2
+
+
+def test_rest_pages_source_via_pull(spark, tmp_path):
+    """source.class=rest_pages runs the native DataSource through the
+    full .pull pipeline: pages -> filter -> audited publish."""
+    from gobblin_spark.sources import datasource as DS
+
+    pages = str(tmp_path / "pages")
+    DS.write_pages([{"event_id": i, "value": float(i)} for i in range(40)],
+                   pages, page_size=10)
+    out = str(tmp_path / "final")
+    text = f"""
+job.name=RestIngest
+source.class=rest_pages
+source.data.directory={pages}
+source.schema=event_id long, value double, page int
+converter.classes=filter_equals
+converter.filter.field=page
+converter.filter.value=2
+writer.output.format=parquet
+data.publisher.final.dir={out}
+"""
+    spec = J.load_job_spec(text)
+    res = J.run_job(spark, text)
+    assert res.report is not None and res.report.committed
+    back = spark.read.parquet(out)
+    assert back.count() == 10
+    assert {r.page for r in back.collect()} == {2}
