@@ -6597,6 +6597,54 @@ def fuzzy_match_docs(spark, sf_dir):
     return out.withColumn("distance", F.col("distance").cast("int"))
 
 
+@q(
+    "sql_datasource_pull",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 4) AS o_totalprice, o_orderdate
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def sql_datasource_pull(spark, sf_dir):
+    """The JdbcExtractor/QueryBasedSource contract run for REAL
+    against an embedded SQL database: orders lands in a DuckDB file,
+    `format("gobblin_sql")` pulls it back with range-partitioned
+    parallel reads (8 partitions on o_orderkey, open-ended edges) and
+    the status predicate pushed INTO the database (pushFilters → SQL
+    WHERE — rows are filtered before crossing the wire), Arrow
+    columnar end-to-end. Values must hash-match the parquet the
+    database was loaded from — the round trip certifies schema
+    inference, partition planning, and pushdown at once."""
+    import tempfile
+
+    import duckdb
+
+    orders = load_table(spark, sf_dir, "orders")
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    db = tempfile.mkdtemp(prefix="gobblin_sqlds_") + "/w.duckdb"
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE orders AS SELECT o_orderkey, o_custkey, "
+        "o_orderstatus, o_totalprice, o_orderdate FROM "
+        f"'{sf_dir}/orders.parquet'")
+    con.close()
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    df = (
+        spark.read.format("gobblin_sql")
+        .option("database", db).option("table", "orders")
+        .option("partition_column", "o_orderkey")
+        .option("lower_bound", "0").option("upper_bound", str(hi))
+        .option("num_partitions", "8").load()
+    )
+    return df.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -5,6 +5,7 @@ import os
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from gobblin_spark.sources import datasource as DS
 
@@ -122,3 +123,55 @@ def test_bad_records_policies(spark, tmp_path):
     dropped = base.option("bad_records", "drop").load()
     assert dropped.count() == 11  # 10 good + the one after the poison
     assert dropped.filter("event_id = 99").count() == 1
+
+
+def test_sql_source_partitions_filters_and_values(spark, tmp_path):
+    """gobblin_sql: range-partitioned parallel pull from an embedded
+    database with predicate pushdown — values must equal the source
+    table exactly, edge partitions open-ended."""
+    import duckdb
+
+    db = str(tmp_path / "t.duckdb")
+    con = duckdb.connect(db)
+    con.execute(
+        "CREATE TABLE ev AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'")
+    exact = con.execute("SELECT count(*) FROM ev").fetchone()[0]
+    con.close()
+    DS.register(spark)
+    base = (spark.read.format("gobblin_sql")
+            .option("database", db).option("table", "ev")
+            .option("partition_column", "event_id")
+            .option("lower_bound", "100")     # bounds tighter than data:
+            .option("upper_bound", "500")     # edge ranges stay open
+            .option("num_partitions", "3"))
+    df = base.load()
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == exact  # open edges never lose rows
+    got = df.filter("event_type = 'click'").agg(
+        F.sum("event_id").alias("s")).first().s
+    want = duckdb.connect(db, read_only=True).execute(
+        "SELECT sum(event_id) FROM ev WHERE event_type = 'click'"
+    ).fetchone()[0]
+    assert got == want
+    # reader-level: pushed filters leave Spark nothing to re-check
+    from pyspark.sql.datasource import EqualTo, StringContains
+
+    r = DS._SqlReader(
+        {"database": db, "table": "ev", "partition_column": "event_id",
+         "lower_bound": "0", "upper_bound": "100", "num_partitions": "2"},
+        df.schema)
+    rem = list(r.pushFilters([EqualTo(("event_type",), "click"),
+                              StringContains(("event_type",), "cli")]))
+    assert len(rem) == 1 and isinstance(rem[0], StringContains)
+    assert r.where == ["event_type = 'click'"]
+
+
+def test_sql_source_rejects_unsafe_identifiers(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsafe SQL identifier"):
+        DS._sql_ident("ev; DROP TABLE x")
+    assert DS._sql_literal("o'brien") == "'o''brien'"
+    assert DS._sql_literal(None) == "NULL"
+    assert DS._sql_literal(True) == "TRUE"
