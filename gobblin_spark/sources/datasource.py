@@ -516,3 +516,95 @@ class GobblinSqlDataSource(DataSource):
 
     def reader(self, schema: StructType) -> _SqlReader:
         return _SqlReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "_SqlWriter":
+        return _SqlWriter(self.options, schema, overwrite)
+
+
+class _SqlCommit(WriterCommitMessage):
+    def __init__(self, files: list[str], rows: int):
+        self.files = files
+        self.rows = rows
+
+
+class _SqlWriter(DataSourceWriter):
+    """JdbcWriter's staging-swap contract (reference:
+    gobblin-modules/gobblin-sql/.../writer/JdbcWriter.java:67 and the
+    task/job-level commit of AbstractJobLauncher), executable:
+
+    - tasks NEVER open write connections — each stages its rows as a
+      parquet file (Arrow, columnar) and reports a commit message;
+    - the driver-side ``commit`` opens the ONE writer connection,
+      loads every staged file into a staging table inside a single
+      transaction, and swaps: append = INSERT INTO final SELECT;
+      overwrite = CREATE OR REPLACE TABLE final AS SELECT. A failed
+      job never half-writes the target (abort just deletes files);
+    - this is exactly how a production JDBC sink wants to behave under
+      a 1000-task job: the database sees one bulk load, not a
+      thundering herd of row inserts.
+    """
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.db = options["database"]
+        self.table = _sql_ident(options["table"])
+        self.staging_dir = options.get(
+            "staging_dir", os.path.join(os.path.dirname(self.db),
+                                        f"_staging_{self.table}"))
+        self.schema_ = schema
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _SqlCommit:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        ctx = TaskContext.get()
+        task = ctx.partitionId() if ctx else 0
+        os.makedirs(self.staging_dir, exist_ok=True)
+        arrow_schema = to_arrow_schema(self.schema_)
+        names = [f.name for f in self.schema_.fields]
+        rows = [tuple(r) for r in iterator]
+        cols = [
+            pa.array([r[i] for r in rows], type=arrow_schema.field(n).type)
+            for i, n in enumerate(names)
+        ]
+        fpath = os.path.join(self.staging_dir, f"task-{task:05d}.parquet")
+        pq.write_table(pa.Table.from_arrays(cols, schema=arrow_schema), fpath)
+        return _SqlCommit([fpath], len(rows))
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        import duckdb
+
+        files = [f for m in messages if m is not None for f in m.files]
+        con = duckdb.connect(self.db)
+        try:
+            con.execute("BEGIN")
+            if files:
+                flist = ", ".join(_sql_literal(f) for f in files)
+                src = f"SELECT * FROM read_parquet([{flist}])"
+            else:
+                cols = ", ".join(
+                    f"NULL AS {_sql_ident(f.name)}"
+                    for f in self.schema_.fields)
+                src = f"SELECT {cols} WHERE FALSE"
+            if self.overwrite:
+                con.execute(
+                    f"CREATE OR REPLACE TABLE {self.table} AS {src}")
+            else:
+                con.execute(
+                    f"CREATE TABLE IF NOT EXISTS {self.table} AS "
+                    f"{src} LIMIT 0")
+                con.execute(f"INSERT INTO {self.table} {src}")
+            con.execute("COMMIT")
+        finally:
+            con.close()
+        shutil.rmtree(self.staging_dir, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging_dir, ignore_errors=True)

@@ -175,3 +175,37 @@ def test_sql_source_rejects_unsafe_identifiers(spark, tmp_path):
     assert DS._sql_literal("o'brien") == "'o''brien'"
     assert DS._sql_literal(None) == "NULL"
     assert DS._sql_literal(True) == "TRUE"
+
+
+def test_sql_writer_staging_swap(spark, tmp_path):
+    """Tasks stage parquet, ONE driver-side transaction loads + swaps:
+    append accumulates, overwrite replaces, rows exact."""
+    import duckdb
+
+    db = str(tmp_path / "w.duckdb")
+    duckdb.connect(db).close()  # create the database file
+    DS.register(spark)
+    df = spark.range(0, 40).selectExpr(
+        "id AS k", "CAST(id * 2 AS DOUBLE) AS v")
+
+    def write(mode, dframe):
+        (dframe.repartition(4).write.format("gobblin_sql")
+         .option("database", db).option("table", "sink")
+         .mode(mode).save())
+
+    write("append", df)
+    con = duckdb.connect(db, read_only=True)
+    assert con.execute("SELECT count(*), sum(k) FROM sink").fetchone() \
+        == (40, 780)
+    con.close()
+    write("append", df.filter("k < 10"))
+    con = duckdb.connect(db, read_only=True)
+    assert con.execute("SELECT count(*) FROM sink").fetchone()[0] == 50
+    con.close()
+    write("overwrite", df.filter("k >= 30"))
+    con = duckdb.connect(db, read_only=True)
+    assert con.execute("SELECT count(*), min(k) FROM sink").fetchone() \
+        == (10, 30)
+    con.close()
+    import glob
+    assert not glob.glob(f"{tmp_path}/_staging_*")  # staging cleaned
