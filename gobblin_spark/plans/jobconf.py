@@ -247,6 +247,45 @@ register_source("rest_pages", _rest_pages_source)
 register_source("RestApiSource", _rest_pages_source)
 
 
+def _sql_table_source(spec: JobSpec):
+    """Query-based SQL pull via the native `gobblin_sql` DataSource,
+    keyed with the reference's own vocabulary
+    (QueryBasedSource.java / JdbcExtractor.java key names):
+    `source.conn.database` (embedded db file standing in for
+    host/port), `source.entity` (table),
+    `source.querybased.partition.column` + `.start.value`/`.end.value`
+    and `source.max.number.of.partitions` for the parallel pull."""
+    db = spec.get("source.conn.database")
+    table = spec.get("source.entity") or spec.get("source.table.name")
+    pc = spec.get("source.querybased.partition.column")
+    lo = spec.get("source.querybased.start.value")
+    hi = spec.get("source.querybased.end.value")
+    if not all([db, table, pc, lo, hi]):
+        raise KeyError(
+            "source.conn.database, source.entity, "
+            "source.querybased.partition.column and "
+            "source.querybased.{start,end}.value are required")
+    n = spec.get("source.max.number.of.partitions", "4")
+
+    def load(spark: SparkSession) -> DataFrame:
+        from gobblin_spark.sources import datasource as DS
+
+        DS.register(spark)
+        return (
+            spark.read.format("gobblin_sql")
+            .option("database", db).option("table", table)
+            .option("partition_column", pc)
+            .option("lower_bound", lo).option("upper_bound", hi)
+            .option("num_partitions", n).load()
+        )
+
+    return load
+
+
+register_source("sql_table", _sql_table_source)
+register_source("QueryBasedSource", _sql_table_source)
+
+
 # -- built-in converters ---------------------------------------------------
 
 

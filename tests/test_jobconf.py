@@ -181,3 +181,32 @@ data.publisher.final.dir={out}
     back = spark.read.parquet(out)
     assert back.count() == 10
     assert {r.page for r in back.collect()} == {2}
+
+
+def test_sql_table_source_via_pull(spark, tmp_path):
+    """source.class=sql_table: query-based parallel pull from an
+    embedded database through the full .pull pipeline."""
+    import duckdb
+
+    db = str(tmp_path / "q.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE users AS SELECT * FROM "
+                "'/root/testdata/sf0.001/customer.parquet'")
+    n = con.execute("SELECT count(*), max(c_custkey) FROM users").fetchone()
+    con.close()
+    out = str(tmp_path / "final")
+    text = f"""
+job.name=SqlPull
+source.class=sql_table
+source.conn.database={db}
+source.entity=users
+source.querybased.partition.column=c_custkey
+source.querybased.start.value=0
+source.querybased.end.value={n[1]}
+source.max.number.of.partitions=3
+writer.output.format=parquet
+data.publisher.final.dir={out}
+"""
+    res = J.run_job(spark, text)
+    assert res.report is not None and res.report.committed
+    assert spark.read.parquet(out).count() == n[0]
