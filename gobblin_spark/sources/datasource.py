@@ -40,6 +40,7 @@ from typing import Iterator, Tuple
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -239,6 +240,9 @@ class GobblinRestDataSource(DataSource):
         return _RestWriter(
             self.options["path"], schema,
             int(self.options.get("batch_size", "500")), overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _RestStreamWriter(self.options, schema)
 
 
 def register(spark) -> None:
@@ -608,3 +612,65 @@ class _SqlWriter(DataSourceWriter):
         import shutil
 
         shutil.rmtree(self.staging_dir, ignore_errors=True)
+
+
+class _RestStreamWriter(DataSourceStreamWriter):
+    """Epoch-committed streaming sink — the FlushingExtractor /
+    FsDataWriter publish loop (reference: FlushControlMessage.java:33,
+    FsDataWriter.java:58) as a NATIVE V2 streaming writer: every
+    micro-batch stages per-task files, and ``commit(messages,
+    batchId)`` publishes them under ``epoch=<batchId>/`` with a
+    ``_manifest.json`` row count — atomically per epoch, so a replayed
+    batchId OVERWRITES its own epoch directory instead of doubling
+    rows (the idempotence that makes checkpoint recovery exactly-once
+    end-to-end). ``abort`` deletes the epoch's staging; no partial
+    epoch is ever visible."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options["path"]
+        self.schema_ = schema
+
+    def write(self, iterator) -> _PageCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        task = ctx.partitionId() if ctx else 0
+        staging = os.path.join(self.path, "_epoch_staging")
+        os.makedirs(staging, exist_ok=True)
+        names = [f.name for f in self.schema_.fields]
+        rows = 0
+        fname = os.path.join(staging, f"task-{task:05d}-{os.getpid()}.json")
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(dict(zip(names, row)), default=str) + "\n")
+                rows += 1
+        return _PageCommit([fname], rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        epoch_dir = os.path.join(self.path, f"epoch={batchId}")
+        # replayed epoch -> overwrite, never double
+        if os.path.isdir(epoch_dir):
+            shutil.rmtree(epoch_dir)
+        os.makedirs(epoch_dir)
+        total, n = 0, 0
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                shutil.move(f, os.path.join(epoch_dir, os.path.basename(f)))
+                n += 1
+            total += m.rows
+        with open(os.path.join(epoch_dir, "_manifest.json"), "w") as fh:
+            json.dump({"epoch": batchId, "rows": total, "files": n}, fh)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m is None:
+                continue
+            for f in m.files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass

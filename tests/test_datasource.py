@@ -209,3 +209,33 @@ def test_sql_writer_staging_swap(spark, tmp_path):
     con.close()
     import glob
     assert not glob.glob(f"{tmp_path}/_staging_*")  # staging cleaned
+
+
+def test_stream_writer_epoch_commit_exactly_once(spark, tmp_path):
+    """Streaming sink: per-epoch atomic publish with manifest; a
+    replayed epoch overwrites its own directory instead of doubling."""
+    import glob
+    import json as _json
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    DS.register(spark)
+    df = spark.range(0, 30).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    df.repartition(2).write.parquet(src)
+    sdf = spark.readStream.schema("k long, v double").parquet(src)
+    q = (sdf.writeStream.format("gobblin_rest").option("path", sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    manifests = sorted(glob.glob(f"{sink}/epoch=*/_manifest.json"))
+    assert manifests
+    total = sum(_json.load(open(m))["rows"] for m in manifests)
+    assert total == 30
+    rows = []
+    for f in glob.glob(f"{sink}/epoch=*/task-*.json"):
+        rows += [_json.loads(ln)["k"] for ln in open(f) if ln.strip()]
+    assert sorted(rows) == list(range(30))
+    # no staging residue left behind
+    assert not glob.glob(f"{sink}/_epoch_staging/*")
