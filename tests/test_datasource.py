@@ -239,3 +239,35 @@ def test_stream_writer_epoch_commit_exactly_once(spark, tmp_path):
     assert sorted(rows) == list(range(30))
     # no staging residue left behind
     assert not glob.glob(f"{sink}/_epoch_staging/*")
+
+
+def test_sql_writer_abort_leaves_target_untouched(spark, tmp_path):
+    """A task failure mid-job must abort the V2 write: the target
+    table keeps its prior contents and staging is cleaned."""
+    import glob
+
+    import duckdb
+
+    db = str(tmp_path / "a.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE sink AS SELECT 1 AS k, 1.0 AS v")
+    con.close()
+    DS.register(spark)
+    from pyspark.sql.functions import udf
+
+    @udf("long")
+    def boom(x):
+        if x == 17:
+            raise RuntimeError("injected task failure")
+        return x
+
+    df = spark.range(0, 40).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v") \
+        .withColumn("k", boom("k"))
+    with pytest.raises(Exception):
+        (df.repartition(4).write.format("gobblin_sql")
+         .option("database", db).option("table", "sink")
+         .mode("append").save())
+    con = duckdb.connect(db, read_only=True)
+    assert con.execute("SELECT count(*) FROM sink").fetchone()[0] == 1
+    con.close()
+    assert not glob.glob(f"{tmp_path}/_staging_*/*")
