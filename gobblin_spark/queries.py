@@ -6645,6 +6645,55 @@ def sql_datasource_pull(spark, sf_dir):
     )
 
 
+@q(
+    "http_sink_roundtrip",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    """,
+)
+def http_sink_roundtrip(spark, sf_dir):
+    """Batched-sender delivery exactness (the HTTP/Elasticsearch/
+    Couchbase writer family): events flow through write_batched's
+    per-partition chunked senders into a file endpoint (the sandbox
+    stand-in for the bulk API), every chunk must report success, and
+    the delivered records read back equal to the source exactly —
+    no chunk lost, none doubled. Certifies the operator itself rather
+    than the unreachable endpoints it fronts."""
+    import glob
+    import json as _json
+    import tempfile
+
+    from gobblin_spark.sinks import generic
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 4).alias("value"))
+    outdir = tempfile.mkdtemp(prefix="gobblin_httpsink_")
+
+    def sender_factory():
+        import os as _os
+        import uuid as _uuid
+
+        def send(records):
+            fname = f"{outdir}/chunk-{_uuid.uuid4().hex}.jsonl"
+            with open(fname + ".tmp", "w") as fh:
+                for r in records:
+                    fh.write(_json.dumps(r, default=str) + "\n")
+            _os.rename(fname + ".tmp", fname)  # atomic per chunk
+
+        return send
+
+    results = generic.write_batched(ev, sender_factory, batch_size=700)
+    failed = results.filter(F.col("error").isNotNull()).count()
+    assert failed == 0, f"{failed} chunks failed delivery"
+    back = spark.read.schema(
+        "event_id long, user_id long, event_type string, value double"
+    ).json(f"{outdir}/chunk-*.jsonl")
+    return back.select("event_id", "user_id", "event_type",
+                       F.round("value", 4).alias("value"))
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
