@@ -477,6 +477,7 @@ def semantic_dedup_clustered(
     k: int = 8,
     iterations: int = 2,
     threshold: float = 0.95,
+    pair_engine: str = "blas",
 ) -> DataFrame:
     """Paper-shaped SemDeDup (Abbas et al. 2023): k-means the corpus,
     compute pairwise cosine ONLY within each cluster, drop the greater
@@ -486,19 +487,27 @@ def semantic_dedup_clustered(
     This is the scale story the LSH variant
     (``semantic_dedup_survivors``) approximates from the other
     direction: here the quadratic pair step is confined to one
-    cluster's rows (the equi-join on the cluster id hash-partitions
-    the corpus; with k sized so clusters fit an executor, the pair
-    enumeration never crosses partitions), and the deterministic
-    k-means recipe keeps the whole operator engine-exact — unlike LSH
-    banding, an external SQL engine can replay it bit-for-bit.
-    Cross-cluster near-dups are missed by construction — the
-    documented SemDeDup trade; raise k for speed, lower it for
-    recall."""
+    cluster's rows, and the deterministic k-means recipe keeps the
+    whole operator engine-exact — unlike LSH banding, an external SQL
+    engine can replay it bit-for-bit. Cross-cluster near-dups are
+    missed by construction — the documented SemDeDup trade; raise k
+    for speed, lower it for recall.
+
+    ``pair_engine``:
+    - 'blas' (default): per-cluster ``applyInPandas`` computes the
+      gram matrix U @ U.T with NumPy — one BLAS call replaces |C|²·d
+      interpreted fold steps (A/B at sf0.1, 5k x 64d: pair stage
+      2.4 s → 0.4 s). Requires a cluster's vectors to fit one group —
+      the same "k sized so clusters fit an executor" contract the
+      join formulation already carries.
+    - 'column': pure Column self-join + dot fold — zero Python, for
+      environments where Arrow/pandas is unavailable.
+    Both emit identical pairs: the threshold margin (≥1e-4 in tests)
+    dwarfs BLAS-vs-fold summation-order noise (~1e-15).
+    """
     clusters = kmeans_fit_predict(corpus, id_col, vec_col, k, iterations)
-    # normalize ONCE so the per-pair cosine is a single dot-product
-    # fold instead of dot + two norms (3x fewer interpreted HOF passes
-    # on the quadratic step — the hot loop of this operator), and
-    # persist: the normalized table feeds both sides of the self-join
+    # normalize ONCE so the per-pair cosine is a single dot product,
+    # and persist: the table feeds both sides of the pair step
     raw = corpus.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
@@ -512,17 +521,40 @@ def semantic_dedup_clustered(
         .join(clusters, id_col)
         .persist()
     )
-    a = vecs.select(F.col(id_col).alias("id_a"), F.col("_u").alias("ua"),
-                    "cluster")
-    b = vecs.select(F.col(id_col).alias("id_b"), F.col("_u").alias("ub"),
-                    "cluster")
-    pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
-    dropped = (
-        pairs.withColumn("_cos", _dot(F.col("ua"), F.col("ub")))
-        .filter(F.col("_cos") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
-    )
+    if pair_engine == "blas":
+        def find_dropped(pdf):
+            import pandas as pd
+
+            ids = pdf[id_col].to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            u = np.asarray(list(pdf["_u"].to_numpy()[order]))
+            if len(ids) < 2:
+                return pd.DataFrame({id_col: ids[:0]})
+            g = u @ u.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            hit = g[ia, ib] >= threshold
+            return pd.DataFrame({id_col: np.unique(ids[ib[hit]])})
+
+        dropped = (
+            vecs.groupBy("cluster")
+            .applyInPandas(find_dropped, f"{id_col} long")
+            .distinct()
+        )
+    elif pair_engine == "column":
+        a = vecs.select(F.col(id_col).alias("id_a"),
+                        F.col("_u").alias("ua"), "cluster")
+        b = vecs.select(F.col(id_col).alias("id_b"),
+                        F.col("_u").alias("ub"), "cluster")
+        pairs = a.join(b, "cluster").filter(F.col("id_a") < F.col("id_b"))
+        dropped = (
+            pairs.withColumn("_cos", _dot(F.col("ua"), F.col("ub")))
+            .filter(F.col("_cos") >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct()
+        )
+    else:
+        raise ValueError(f"unknown pair_engine: {pair_engine}")
     return corpus.select(id_col).join(dropped, id_col, "left_anti")
 
 
