@@ -6694,6 +6694,67 @@ def http_sink_roundtrip(spark, sf_dir):
                        F.round("value", 4).alias("value"))
 
 
+@q(
+    "corpus_drift_kl",
+    """
+    WITH old AS (
+      SELECT lang, count(*) AS n FROM documents
+      WHERE doc_id % 3 <> 0 GROUP BY lang
+    ), new AS (
+      SELECT lang, count(*) AS n FROM documents
+      WHERE doc_id % 3 = 0 GROUP BY lang
+    ), tot AS (
+      SELECT (SELECT sum(n) FROM old) AS n_old,
+             (SELECT sum(n) FROM new) AS n_new
+    ), j AS (
+      SELECT o.lang,
+             o.n / CAST((SELECT n_old FROM tot) AS DOUBLE) AS p_old,
+             COALESCE(nw.n, 0) / CAST((SELECT n_new FROM tot) AS DOUBLE)
+               AS p_new
+      FROM old o LEFT JOIN new nw USING (lang)
+    )
+    SELECT lang,
+           round(p_old, 6) AS p_old,
+           round(p_new, 6) AS p_new,
+           round(CASE WHEN p_new > 0
+                 THEN p_new * ln(p_new / p_old) END, 6) AS kl_term,
+           round(abs(p_new - p_old) / 2, 6) AS tv_term
+    FROM j
+    """,
+)
+def corpus_drift_kl(spark, sf_dir):
+    """Distribution-drift monitoring between corpus snapshots: the
+    language mix of the NEW third of documents vs the standing
+    corpus, per-language KL terms (sum = KL(new||old), the alarm
+    quantity) and total-variation terms. Both snapshots aggregate in
+    one pass each; the per-lang table is tiny. Languages absent from
+    the new snapshot carry a NULL KL term (0·ln 0), matching the
+    oracle's CASE."""
+    docs = load_docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 3 != 0).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_old"))
+    new = docs.filter(F.col("doc_id") % 3 == 0).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new"))
+    tot_old = old.agg(F.sum("n_old")).first()[0]
+    tot_new = new.agg(F.sum("n_new")).first()[0]
+    j = old.join(new, "lang", "left").select(
+        "lang",
+        (F.col("n_old") / F.lit(float(tot_old))).alias("p_old"),
+        (F.coalesce(F.col("n_new"), F.lit(0))
+         / F.lit(float(tot_new))).alias("p_new"),
+    )
+    kl = F.when(F.col("p_new") > 0,
+                F.col("p_new") * F.log(F.col("p_new") / F.col("p_old")))
+    return j.select(
+        "lang",
+        F.round("p_old", 6).alias("p_old"),
+        F.round("p_new", 6).alias("p_new"),
+        F.round(kl, 6).alias("kl_term"),
+        F.round(F.abs(F.col("p_new") - F.col("p_old")) / 2, 6)
+        .alias("tv_term"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
