@@ -154,3 +154,34 @@ def repartition_by_bytes(
         total_bytes = df.agg(F.sum("byte_len")).first()[0] or 0
     n = max(1, int(total_bytes // target_bytes_per_partition) + 1)
     return df.repartition(n)
+
+
+def audio_segment_plan(
+    df: DataFrame,
+    segment_seconds: int = 10,
+    overlap_seconds: int = 2,
+) -> DataFrame:
+    """Audio segmentation *plan*: one row per overlapping window
+    (media_id, seg_start, seg_end) — the ASR/embedding pre-chunking
+    step (Whisper-style 10s windows with 2s overlap). Like
+    frame_sample_plan, the explode that fans one recording into
+    segment-task rows IS the distributed mechanic; the codec behind it
+    stays stubbed (no ffmpeg in this environment). Stride = segment −
+    overlap; the tail window is kept short rather than dropped (audio
+    endings matter), and every segment end is clipped to the duration.
+    """
+    if overlap_seconds >= segment_seconds:
+        raise ValueError("overlap must be smaller than the segment")
+    stride = segment_seconds - overlap_seconds
+    duration = (F.col("byte_len") % 120 + 1).cast("int")  # stub seconds
+    start = F.explode(
+        F.sequence(F.lit(0), duration - 1, F.lit(stride))).alias("seg_start")
+    return (
+        df.select("media_id", duration.alias("_dur"), start)
+        .select(
+            "media_id",
+            "seg_start",
+            F.least(F.col("seg_start") + segment_seconds, F.col("_dur"))
+            .cast("int").alias("seg_end"),
+        )
+    )

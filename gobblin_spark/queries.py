@@ -6755,6 +6755,30 @@ def corpus_drift_kl(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_audio_segments",
+    """
+    SELECT media_id,
+           CAST(seg_start AS INT) AS seg_start,
+           CAST(least(seg_start + 10, dur) AS INT) AS seg_end
+    FROM (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) % 120 + 1 AS INT) AS dur
+      FROM documents
+    ), unnest(range(0, dur, 8)) AS t(seg_start)
+    """,
+)
+def multimodal_audio_segments(spark, sf_dir):
+    """Audio segmentation plan: 10-second windows, 2-second overlap
+    (stride 8), tail clipped to the duration — the ASR pre-chunking
+    fan-out as a pure explode (the distributed mechanic; the codec
+    stays stubbed). Exact integer bounds."""
+    docs = load_docs(spark, sf_dir)
+    media = multimodal.documents_as_media(docs)
+    return multimodal.audio_segment_plan(
+        media, segment_seconds=10, overlap_seconds=2)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

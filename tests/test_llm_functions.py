@@ -708,3 +708,17 @@ def test_bpe_learn_and_tokenize_roundtrip(spark):
     # determinism across calls
     merges2 = learn_bpe_merges(df, "text", num_merges=50, sample_rows=100)
     assert merges == merges2
+
+
+def test_audio_segment_plan_bounds(docs):
+    media = multimodal.documents_as_media(docs.filter(F.col("doc_id") == 1))
+    segs = multimodal.audio_segment_plan(media, 10, 2).collect()
+    dur = media.first().byte_len % 120 + 1
+    starts = [r.seg_start for r in segs]
+    assert starts == list(range(0, dur, 8))
+    for r in segs:
+        assert r.seg_end == min(r.seg_start + 10, dur)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.audio_segment_plan(media, 5, 5)
