@@ -6779,6 +6779,77 @@ def multimodal_audio_segments(spark, sf_dir):
         media, segment_seconds=10, overlap_seconds=2)
 
 
+@q(
+    "csv_quoted_roundtrip",
+    """
+    SELECT doc_id,
+           'v,"' || substr(text, 1, 40) || '"
+x' AS tricky,
+           lang
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def csv_quoted_roundtrip(spark, sf_dir):
+    """CSV escaping torture: a column carrying embedded delimiters,
+    double quotes, AND a newline survives a write+read round trip
+    bit-for-bit (quote-all + escaped quotes + multiLine read). This is
+    the corner the reference's CsvToJson path and every flat-file
+    exchange lives or dies on; the oracle rebuilds the same tricky
+    value from the source table, so any quoting loss hash-fails."""
+    import tempfile
+
+    docs = load_docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    tricky = docs.select(
+        "doc_id",
+        F.concat(F.lit('v,"'), F.substring("text", 1, 40), F.lit('"\nx'))
+        .alias("tricky"),
+        "lang",
+    )
+    tmp = tempfile.mkdtemp(prefix="gobblin_csvq_")
+    (tricky.write.option("header", True).option("quoteAll", True)
+     .option("escape", '"').csv(f"{tmp}/out"))
+    return (
+        spark.read.option("header", True).option("multiLine", True)
+        .option("escape", '"')
+        .schema("doc_id long, tricky string, lang string")
+        .csv(f"{tmp}/out")
+    )
+
+
+@q(
+    "codec_roundtrip",
+    """
+    SELECT codec, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM (
+      SELECT 'snappy' AS codec, o_totalprice FROM orders
+      UNION ALL SELECT 'gzip', o_totalprice FROM orders
+      UNION ALL SELECT 'zstd', o_totalprice FROM orders
+    ) GROUP BY codec
+    """,
+)
+def codec_roundtrip(spark, sf_dir):
+    """Compression-codec matrix: the same table written as snappy,
+    gzip, and zstd parquet, read back, and aggregated — value
+    equality across codecs certifies the storage layer end-to-end
+    (the reference's writer.codec.type surface)."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    tmp = tempfile.mkdtemp(prefix="gobblin_codec_")
+    outs = []
+    for codec in ("snappy", "gzip", "zstd"):
+        path = f"{tmp}/{codec}"
+        orders.write.option("compression", codec).parquet(path)
+        outs.append(
+            spark.read.parquet(path).select(
+                F.lit(codec).alias("codec"), "o_totalprice"))
+    allc = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return allc.groupBy("codec").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
