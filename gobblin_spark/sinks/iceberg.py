@@ -240,9 +240,13 @@ class IcebergTable:
                                   operation="append")
 
     def _commit_files(self, files: list[DataFileInfo], *, content: int,
-                      equality_ids: list[int] | None, operation: str) -> int:
+                      equality_ids: list[int] | None, operation: str,
+                      carry_prior: bool = True) -> int:
         """One snapshot committing *files* as DATA (content=0) or
-        EQUALITY DELETES (content=2, with the equality field-ids)."""
+        EQUALITY DELETES (content=2, with the equality field-ids).
+        ``carry_prior=False`` makes it a REPLACE snapshot: the new
+        manifest list starts empty instead of carrying the previous
+        snapshot's manifests (rewrite_data_files)."""
         md = self.metadata()
         seq = md["last-sequence-number"] + 1
         snap_id = int(uuid.uuid4().int % (1 << 62))
@@ -268,9 +272,10 @@ class IcebergTable:
             entries, json.dumps(_MANIFEST_ENTRY_SCHEMA))
         mlen = self._write_bytes(manifest_path, mbytes)
 
-        # carry forward prior manifests (append-only table)
+        # carry forward prior manifests (append-only table); a REPLACE
+        # snapshot starts fresh instead
         prior = []
-        if md["current-snapshot-id"] != -1:
+        if carry_prior and md["current-snapshot-id"] != -1:
             cur = next(s for s in md["snapshots"]
                        if s["snapshot-id"] == md["current-snapshot-id"])
             _, prior = ACF.read_container(self._read_bytes(cur["manifest-list"]))
@@ -592,3 +597,38 @@ class IcebergTable:
                               if e["snapshot-id"] in kept_ids]
         self._commit_metadata(md)
         return dropped
+
+    def rewrite_data_files(self, target_partitions: int = 1) -> int:
+        """RewriteDataFiles (the Iceberg maintenance action Gobblin's
+        small-file compaction maps onto at the lakehouse layer): read
+        the CURRENT view (all delete files applied), write it back as
+        ``target_partitions`` compacted parquet files, and commit ONE
+        'replace' snapshot whose manifest list contains ONLY the new
+        data manifest — superseded data AND delete manifests drop out
+        together (their deletes are now materialized in the rewritten
+        data, so carrying them would re-delete rows).
+
+        Time travel keeps working: prior snapshots' manifest lists and
+        data files are untouched until ``expire_snapshots`` reclaims
+        them — the standard compact-then-expire maintenance pair.
+        """
+        import pyarrow.parquet as pq
+
+        before = self.read()
+        sub = f"{self.location}/data/compact-{uuid.uuid4().hex[:12]}"
+        before.repartition(target_partitions).write.mode(
+            "overwrite").parquet(sub)
+        fs, base, _ = self._fs(sub)
+        files = []
+        it = fs.listFiles(base, True)
+        while it.hasNext():
+            st = it.next()
+            nm = st.getPath().getName()
+            if nm.startswith(("_", ".")) or not nm.endswith(".parquet"):
+                continue
+            local = st.getPath().toUri().getPath()
+            rows = pq.ParquetFile(local).metadata.num_rows
+            files.append(DataFileInfo(st.getPath().toString(),
+                                      st.getLen(), rows))
+        return self._commit_files(files, content=0, equality_ids=None,
+                                  operation="replace", carry_prior=False)

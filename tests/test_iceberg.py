@@ -171,3 +171,34 @@ def test_upsert_replaces_matched_inserts_new(spark, tmp_path):
     t.upsert_dataframe(spark.createDataFrame(
         [(2, "B3", 200.0)], "k long, s string, v double"), key_cols=["k"])
     assert {r.k: r.s for r in t.read().collect()}[2] == "B3"
+
+
+def test_rewrite_data_files_compacts_and_preserves(spark, tmp_path):
+    """Compaction: N small files + deletes -> one replace snapshot with
+    a single compacted file; current read unchanged; time travel to the
+    pre-rewrite snapshot still sees the old view."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "ice_rw")
+    df0 = spark.range(0, 30).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    t = IcebergTable.create(spark, loc, df0.schema)
+    for lo in (0, 10, 20):  # three small appends -> >= 3 data files
+        t.append_dataframe(df0.filter(f"k >= {lo} AND k < {lo + 10}"))
+    t.delete_equality(spark.createDataFrame([(5,), (25,)], "k long"))
+    pre_snap = t.metadata()["current-snapshot-id"]
+    pre_rows = sorted(r.k for r in t.read().collect())
+    n_files_before = len(t.data_files())
+    assert n_files_before >= 3
+
+    t.rewrite_data_files(target_partitions=1)
+    assert len(t.data_files()) == 1
+    assert sorted(r.k for r in t.read().collect()) == pre_rows
+    assert 5 not in pre_rows and 25 not in pre_rows
+    # the replace snapshot is recorded as such
+    assert t.snapshots()[-1]["summary"]["operation"] == "replace"
+    # time travel: the pre-rewrite snapshot still reads identically
+    tt = sorted(r.k for r in t.read(snapshot_id=pre_snap).collect())
+    assert tt == pre_rows
+    # appending after the rewrite composes
+    t.append_dataframe(spark.createDataFrame([(100, 1.0)], "k long, v double"))
+    assert 100 in {r.k for r in t.read().collect()}
