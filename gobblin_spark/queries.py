@@ -6850,6 +6850,42 @@ def codec_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "iceberg_rewrite_read",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+    FROM customer WHERE c_custkey % 7 <> 0
+    """,
+)
+def iceberg_rewrite_read(spark, sf_dir):
+    """Lakehouse maintenance end-to-end: customers land in an Iceberg
+    v2 table across three small appends, every 7th key is equality-
+    deleted, rewrite_data_files compacts the table to ONE data file in
+    a replace snapshot (delete manifests drop — their effect is
+    materialized), and the post-compaction read must equal the
+    logical view exactly. Compact-then-expire is how Gobblin's
+    small-file compaction maps onto the table-format layer."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 4).alias("c_acctbal"))
+    loc = tempfile.mkdtemp(prefix="gobblin_icerw_") + "/t"
+    t = IcebergTable.create(spark, loc, cust.schema)
+    n = cust.count()
+    third = (n + 2) // 3
+    rows = cust.orderBy("c_custkey")
+    for i in range(3):
+        t.append_dataframe(
+            rows.limit((i + 1) * third).subtract(rows.limit(i * third)))
+    t.delete_equality(
+        cust.filter(F.col("c_custkey") % 7 == 0).select("c_custkey"))
+    t.rewrite_data_files(target_partitions=1)
+    assert len(t.data_files()) == 1, "compaction must leave one file"
+    return t.read()
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
