@@ -334,3 +334,59 @@ def compact_small_files(
     files_after, _ = _output_stats(df, path)
     return {"files_before": files_before, "files_after": files_after,
             "bytes": nbytes, "compacted": True}
+
+
+def merge_rollup_store(
+    spark,
+    store_path: str,
+    batch: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental aggregate-view maintenance: fold ONE new batch into
+    a persisted rollup store without rescanning history — the
+    aggregate twin of the Bloom/signature incremental-dedup loops
+    (reference analogue: recompaction folding late deltas into the
+    compacted output, RecompactionCondition* + MRCompactor late-data
+    paths, applied to sums/counts instead of rows).
+
+    The store holds one row per key group with additive state
+    (count + per-column sums) — sums and counts MERGE exactly, so
+    epoch-by-epoch maintenance equals the full recompute by algebra,
+    not approximation (averages/ratios derive downstream). Per epoch:
+    aggregate the batch (one shuffle over the batch only), union with
+    the store's one-row-per-group table, re-aggregate, and publish via
+    write-new-then-swap so a crashed merge leaves the previous store
+    intact. At 100 TB the batch shuffle dwarfs the store merge — the
+    store is keys-sized, not corpus-sized.
+
+    Returns the merged rollup DataFrame (also persisted to
+    ``store_path``).
+    """
+    import os
+    import shutil
+    import uuid as _uuid
+
+    aggs = [F.count(F.lit(1)).alias(count_col)] + [
+        F.sum(c).alias(f"sum_{c}") for c in sum_cols
+    ]
+    partial = batch.groupBy(*keys).agg(*aggs)
+    if os.path.exists(store_path):
+        prior = spark.read.parquet(store_path)
+        merge_aggs = [F.sum(count_col).alias(count_col)] + [
+            F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols
+        ]
+        merged = (
+            prior.unionByName(partial).groupBy(*keys).agg(*merge_aggs)
+        )
+    else:
+        merged = partial
+    tmp = f"{store_path}__swap_{_uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = f"{store_path}__old_{_uuid.uuid4().hex[:8]}"
+    if os.path.exists(store_path):
+        os.rename(store_path, old)
+    os.rename(tmp, store_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return spark.read.parquet(store_path)

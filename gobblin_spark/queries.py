@@ -6886,6 +6886,37 @@ def iceberg_rewrite_read(spark, sf_dir):
     return t.read()
 
 
+@q(
+    "incremental_rollup_merge",
+    """
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n_rows,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_rollup_merge(spark, sf_dir):
+    """Incremental aggregate-view maintenance run for three epochs:
+    each event batch folds into the persisted (day, event_type) rollup
+    store via additive merge — counts and sums combine exactly, so the
+    maintained store must equal the one-shot GROUP BY over all events
+    (the oracle) by algebra. History is never rescanned; each epoch
+    shuffles only its own batch plus the keys-sized store."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type", "value",
+        "event_id")
+    store = tempfile.mkdtemp(prefix="gobblin_rollup_") + "/store"
+    for ep in (0, 1, 2):
+        batch = ev.filter(F.col("event_id") % 3 == ep)
+        merged = compaction.merge_rollup_store(
+            spark, store, batch, ["day", "event_type"], ["value"])
+    return merged.select(
+        "day", "event_type", "n_rows",
+        F.round("sum_value", 4).alias("sum_value"))
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

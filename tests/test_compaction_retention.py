@@ -92,3 +92,33 @@ def test_purge_by_id(spark):
     ids = spark.createDataFrame([Row(user=2)], "user int")
     kept = retention.purge_by_id(data, ids, "user", "uid")
     assert [r.uid for r in kept.collect()] == [1]
+
+
+def test_merge_rollup_store_crash_safe_and_exact(spark, tmp_path):
+    """Epoch merges equal the one-shot aggregate; a crash mid-swap
+    leaves the previous store intact."""
+    import os
+
+    from gobblin_spark.operators import compaction as CP
+
+    df = spark.createDataFrame(
+        [(i % 4, float(i)) for i in range(100)], "k int, v double")
+    store = str(tmp_path / "store")
+    for ep in range(5):
+        CP.merge_rollup_store(
+            spark, store, df.filter(f"CAST(v AS INT) % 5 = {ep}"),
+            ["k"], ["v"])
+    got = {r.k: (r.n_rows, r.sum_v) for r in
+           spark.read.parquet(store).collect()}
+    want = {r.k: (r.n_rows, r.sum_v) for r in
+            df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("v").alias("sum_v")).collect()}
+    assert got == want
+    # crash safety: the swap uses rename — a stale __swap dir from a
+    # crashed run must not corrupt the next merge
+    os.makedirs(f"{store}__swap_deadbeef", exist_ok=True)
+    CP.merge_rollup_store(spark, store, df.limit(0), ["k"], ["v"])
+    got2 = {r.k: (r.n_rows, r.sum_v) for r in
+            spark.read.parquet(store).collect()}
+    assert got2 == want
