@@ -6917,6 +6917,104 @@ def incremental_rollup_merge(spark, sf_dir):
         F.round("sum_value", 4).alias("sum_value"))
 
 
+@q(
+    "profile_table_stats",
+    """
+    SELECT 'l_quantity' AS col,
+           count(*) AS n_rows,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+           count(DISTINCT l_quantity) AS n_distinct,
+           round(min(l_quantity), 4) AS min_v,
+           round(max(l_quantity), 4) AS max_v,
+           round(sum(l_quantity), 4) AS sum_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(*),
+           CAST(count(*) - count(l_discount) AS BIGINT),
+           count(DISTINCT l_discount),
+           round(min(l_discount), 4), round(max(l_discount), 4),
+           round(sum(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', count(*),
+           CAST(count(*) - count(l_tax) AS BIGINT),
+           count(DISTINCT l_tax),
+           round(min(l_tax), 4), round(max(l_tax), 4),
+           round(sum(l_tax), 4)
+    FROM lineitem
+    """,
+)
+def profile_table_stats(spark, sf_dir):
+    """Column profiling (the ANALYZE-TABLE face of ingestion QA): one
+    pass per column family computing rows / nulls / exact distinct /
+    min / max / sum. All three columns profile in a SINGLE scan with
+    grouping-free aggregates; at 100 TB swap exact ndv for
+    approx_count_distinct (the same trade the sketch query
+    documents)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def prof(c):
+        return li.agg(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.min(c), 4).alias("min_v"),
+            F.round(F.max(c), 4).alias("max_v"),
+            F.round(F.sum(c), 4).alias("sum_v"),
+        )
+
+    return (prof("l_quantity").unionByName(prof("l_discount"))
+            .unionByName(prof("l_tax")))
+
+
+@q(
+    "ri_audit_orphans",
+    """
+    SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans FROM (
+      SELECT l.l_orderkey FROM lineitem l
+      LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+    )
+    UNION ALL
+    SELECT 'orders->customer', count(*) FROM (
+      SELECT o.o_custkey FROM orders o
+      LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    )
+    UNION ALL
+    SELECT 'customer->nation', count(*) FROM (
+      SELECT c.c_custkey FROM customer c
+      LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_nationkey IS NULL
+    )
+    """,
+)
+def ri_audit_orphans(spark, sf_dir):
+    """Referential-integrity audit: orphan counts along the
+    lineitem→orders→customer→nation chain as broadcast anti-joins
+    (the dimension side broadcasts; the fact never reshuffles) — the
+    cross-TABLE face of the row-level quality policies, run exactly
+    the way a 100 TB integrity sweep would be."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def orphans(name, fact, key, dim, dkey):
+        bd = F.broadcast(dim.select(dkey))
+        cnt = fact.join(bd, fact[key] == bd[dkey], "left_anti").count()
+        return spark.createDataFrame([(name, cnt)], "fk string, n_orphans long")
+
+    return (
+        orphans("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(orphans("orders->customer", o, "o_custkey",
+                             c, "c_custkey"))
+        .unionByName(orphans("customer->nation", c, "c_nationkey",
+                             n, "n_nationkey"))
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
