@@ -7015,6 +7015,56 @@ def ri_audit_orphans(spark, sf_dir):
     )
 
 
+@q(
+    "snapshot_diff_rows",
+    """
+    WITH old AS (
+      SELECT event_id, user_id, round(value, 4) AS value FROM events
+      WHERE event_id % 10 <> 0
+    ), new AS (
+      SELECT event_id, user_id,
+             round(CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END,
+                   4) AS value
+      FROM events WHERE event_id % 10 <> 1
+    )
+    SELECT
+      CASE WHEN o.event_id IS NULL THEN 'added'
+           WHEN n.event_id IS NULL THEN 'removed'
+           WHEN o.value <> n.value THEN 'changed'
+           ELSE 'unchanged' END AS change,
+      count(*) AS n
+    FROM old o FULL OUTER JOIN new n USING (event_id)
+    GROUP BY 1
+    """,
+)
+def snapshot_diff_rows(spark, sf_dir):
+    """Row-level snapshot diff — the CDC derivation step (what changed
+    between yesterday's and today's extract): full outer join on the
+    key classifying added / removed / changed / unchanged. One keyed
+    shuffle; at 100 TB the classification compares row HASHES instead
+    of columns (same plan, narrower exchange). Snapshots here are two
+    deterministic slices of events with a planted mutation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 4).alias("value"))
+    old = ev.filter(F.col("event_id") % 10 != 0)
+    new = ev.filter(F.col("event_id") % 10 != 1).withColumn(
+        "value",
+        F.round(
+            F.when(F.col("event_id") % 7 == 0, F.col("value") + 1)
+            .otherwise(F.col("value")), 4))
+    o = old.select(F.col("event_id"), F.col("value").alias("v_old"))
+    n = new.select(F.col("event_id"), F.col("value").alias("v_new"))
+    j = o.join(n, "event_id", "full_outer")
+    change = (
+        F.when(F.col("v_old").isNull(), "added")
+        .when(F.col("v_new").isNull(), "removed")
+        .when(F.col("v_old") != F.col("v_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(change.alias("change")).groupBy("change").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -632,3 +632,42 @@ class IcebergTable:
                                       st.getLen(), rows))
         return self._commit_files(files, content=0, equality_ids=None,
                                   operation="replace", carry_prior=False)
+
+    def remove_orphan_files(self) -> list[str]:
+        """DeleteOrphanFiles (the third Iceberg maintenance action,
+        completing rewrite + expire): delete every file under
+        ``data/`` that NO retained snapshot references. Run AFTER
+        expire_snapshots — files referenced only by expired snapshots
+        become orphans and are reclaimed here; files referenced by any
+        retained snapshot (time travel) always survive. Returns the
+        deleted paths.
+
+        Referenced-set construction reads manifests (metadata-sized),
+        never data; the data/ listing is the only filesystem sweep —
+        at 100 TB both are driver-bounded metadata operations, the
+        same shape as the reference's retention cleaners
+        (gobblin-data-management/.../retention)."""
+        import os
+
+        referenced: set[str] = set()
+        for snap in self.metadata()["snapshots"]:
+            for e in self._entries(snap["snapshot-id"]):
+                referenced.add(e["info"].path)
+        fs, base, _ = self._fs(f"{self.location}/data")
+        deleted = []
+        if not fs.exists(base):
+            return deleted
+        it = fs.listFiles(base, True)
+        doomed = []
+        while it.hasNext():
+            st = it.next()
+            nm = st.getPath().getName()
+            if nm.startswith(("_", ".")):
+                continue
+            p = st.getPath().toString()
+            if p not in referenced:
+                doomed.append(st.getPath())
+        for p in doomed:
+            fs.delete(p, False)
+            deleted.append(p.toString())
+        return deleted

@@ -202,3 +202,28 @@ def test_rewrite_data_files_compacts_and_preserves(spark, tmp_path):
     # appending after the rewrite composes
     t.append_dataframe(spark.createDataFrame([(100, 1.0)], "k long, v double"))
     assert 100 in {r.k for r in t.read().collect()}
+
+
+def test_remove_orphan_files_after_expire(spark, tmp_path):
+    """compact -> expire -> orphan removal reclaims the superseded
+    small files; retained snapshots' files survive; reads intact."""
+    import time as _time
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "ice_orphan")
+    df0 = spark.range(0, 20).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    t = IcebergTable.create(spark, loc, df0.schema)
+    t.append_dataframe(df0.filter("k < 10"))
+    t.append_dataframe(df0.filter("k >= 10"))
+    pre = sorted(r.k for r in t.read().collect())
+    t.rewrite_data_files(target_partitions=1)
+    # nothing is orphaned yet: old snapshots still reference old files
+    assert t.remove_orphan_files() == []
+    # expire everything but the current snapshot -> old files orphan
+    t.expire_snapshots(older_than_ms=int(_time.time() * 1000) + 10_000)
+    deleted = t.remove_orphan_files()
+    assert len(deleted) >= 2  # the two pre-compaction data files
+    assert sorted(r.k for r in t.read().collect()) == pre
+    # idempotent
+    assert t.remove_orphan_files() == []
