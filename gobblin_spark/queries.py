@@ -7065,6 +7065,44 @@ def snapshot_diff_rows(spark, sf_dir):
         F.count(F.lit(1)).alias("n"))
 
 
+@q(
+    "sql_surface_q3",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """,
+)
+def sql_surface_q3(spark, sf_dir):
+    """The pure-SQL surface: TPC-H Q3 submitted as a SQL STRING over
+    register_tables views — the ANSI-join text Catalyst must plan into
+    the same broadcast-dim shape the DataFrame build gets. One entry
+    proving spark.sql + view registration is a first-class way in
+    (same oracle text on both engines, verbatim)."""
+    from gobblin_spark.sources.files import register_tables
+
+    register_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql("""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

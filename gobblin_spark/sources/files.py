@@ -86,6 +86,17 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES)
     return {n: load_table(spark, sf_dir, n) for n in names}
 
 
+def register_tables(
+    spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES
+) -> None:
+    """Register every testdata table as a temp view so the pure-SQL
+    surface works: ``spark.sql("SELECT ... FROM lineitem ...")``. The
+    views go through the same nano-timestamp normalization as
+    load_table, so SQL and DataFrame callers see identical schemas."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
