@@ -183,3 +183,26 @@ def test_temperature_thresholds_invariants(src_sizes, target):
     for a, b in zip(by_n, by_n[1:]):
         slack = 1 + (thr[b] + 999) // 1000  # threshold + weight floors
         assert thr[a] + slack >= thr[b], (ns[a], ns[b], thr[a], thr[b])
+
+
+def test_every_oracle_describes_in_duckdb():
+    """Planning-only validation of all oracle SQL: DESCRIBE each against
+    schema-only views of the real tables — catches column typos and
+    syntax errors in seconds, without executing anything."""
+    import duckdb
+
+    from gobblin_spark.queries import ORACLES
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'/root/testdata/sf0.001/{t}.parquet'")
+    bad = []
+    for name, sql in ORACLES.items():
+        try:
+            con.execute(f"DESCRIBE {sql}")
+        except Exception as ex:  # noqa: BLE001 - report all failures
+            bad.append((name, str(ex)[:120]))
+    assert not bad, bad
