@@ -380,6 +380,29 @@ def _sql_literal(v) -> str:
     return f"'{s}'"
 
 
+
+_SPARK_TO_DUCK = {
+    "long": "BIGINT", "int": "INTEGER", "short": "SMALLINT",
+    "byte": "TINYINT", "double": "DOUBLE", "float": "FLOAT",
+    "string": "VARCHAR", "boolean": "BOOLEAN", "date": "DATE",
+    "timestamp_ntz": "TIMESTAMP", "timestamp": "TIMESTAMP",
+    "binary": "BLOB",
+}
+
+
+def _select_cast_list(schema: StructType) -> str:
+    """SELECT list casting every column to the DECLARED read schema's
+    type — the database's own literal/decimal typing never leaks into
+    the Arrow transfer (a DECIMAL landing in a DOUBLE column would
+    otherwise fail batch conversion)."""
+    parts = []
+    for f in schema.fields:
+        name = _sql_ident(f.name)
+        duck = _SPARK_TO_DUCK.get(f.dataType.simpleString())
+        parts.append(f"CAST({name} AS {duck}) AS {name}" if duck else name)
+    return ", ".join(parts)
+
+
 class _RangePartition(InputPartition):
     def __init__(self, lo, hi, is_first: bool, is_last: bool):
         self.lo = lo
@@ -466,7 +489,7 @@ class _SqlReader(DataSourceReader):
     def read(self, partition: _RangePartition):
         import duckdb
 
-        cols = ", ".join(_sql_ident(f.name) for f in self.schema_.fields)
+        cols = _select_cast_list(self.schema_)
         conds = list(self.where)
         # open-ended edges: never lose rows outside the stated bounds
         if not partition.is_first:
@@ -523,6 +546,9 @@ class GobblinSqlDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> "_SqlWriter":
         return _SqlWriter(self.options, schema, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> "_SqlStreamReader":
+        return _SqlStreamReader(self.options, schema)
 
 
 class _SqlCommit(WriterCommitMessage):
@@ -674,3 +700,58 @@ class _RestStreamWriter(DataSourceStreamWriter):
                     os.remove(f)
                 except OSError:
                     pass
+
+
+class _SqlStreamReader(SimpleDataSourceStreamReader):
+    """Streaming incremental pull from the SQL source — the
+    QueryBasedSource low/high-watermark LOOP itself
+    (QueryBasedSource.java's LWM/HWM extract planning), run by
+    Structured Streaming: offset = {"wm": next_unread} on the
+    monotonically increasing ``partition_column``; each poll pulls
+    ``WHERE pc >= last AND pc < current_max + 1`` and advances. The
+    checkpoint replaces Gobblin's state store as the watermark's
+    durable home; replays re-read the same closed interval
+    (readBetweenOffsets), so delivery is exactly-once into any
+    idempotent sink."""
+
+    def __init__(self, options, schema: StructType):
+        self.db = options["database"]
+        self.table = _sql_ident(options["table"])
+        self.pc = _sql_ident(options["partition_column"])
+        self.start = int(options.get("lower_bound", "0"))
+        self.schema_ = schema
+
+    def initialOffset(self) -> dict:
+        return {"wm": self.start}
+
+    def _pull(self, lo: int, hi: int) -> list:
+        import duckdb
+
+        cols = _select_cast_list(self.schema_)
+        con = duckdb.connect(self.db, read_only=True)
+        try:
+            return con.execute(
+                f"SELECT {cols} FROM {self.table} "
+                f"WHERE {self.pc} >= {int(lo)} AND {self.pc} < {int(hi)}"
+            ).fetchall()
+        finally:
+            con.close()
+
+    def read(self, start: dict):
+        import duckdb
+
+        con = duckdb.connect(self.db, read_only=True)
+        try:
+            mx = con.execute(
+                f"SELECT max({self.pc}) FROM {self.table}").fetchone()[0]
+        finally:
+            con.close()
+        hi = (int(mx) + 1) if mx is not None else start["wm"]
+        hi = max(hi, start["wm"])
+        return iter(self._pull(start["wm"], hi)), {"wm": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._pull(start["wm"], end["wm"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # the checkpoint is the durable watermark store

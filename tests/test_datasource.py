@@ -271,3 +271,46 @@ def test_sql_writer_abort_leaves_target_untouched(spark, tmp_path):
     assert con.execute("SELECT count(*) FROM sink").fetchone()[0] == 1
     con.close()
     assert not glob.glob(f"{tmp_path}/_staging_*/*")
+
+
+def test_sql_stream_incremental_watermark_pull(spark, tmp_path):
+    """The LWM/HWM loop as a native stream: each drain pulls only rows
+    past the checkpointed watermark; restarts never re-deliver."""
+    import time
+
+    import duckdb
+
+    db = str(tmp_path / "s.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT range AS k, range * 1.0 AS v "
+                "FROM range(0, 50)")
+    con.close()
+    DS.register(spark)
+    sdf = (spark.readStream.format("gobblin_sql").schema("k long, v double")
+           .option("database", db).option("table", "t")
+           .option("partition_column", "k").load())
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def drain():
+        q = (sdf.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(processingTime="1 second")
+             .start())
+        deadline = time.time() + 45
+        while time.time() < deadline:
+            if q.lastProgress and q.lastProgress["numInputRows"] == 0:
+                break
+            time.sleep(1)
+        q.stop()
+        q.awaitTermination(60)
+
+    drain()
+    assert spark.read.parquet(sink).count() == 50
+    con = duckdb.connect(db)
+    con.execute("INSERT INTO t SELECT range AS k, 0.0 FROM range(100, 120)")
+    con.close()
+    drain()
+    df = spark.read.parquet(sink)
+    assert df.count() == 70
+    assert df.filter("k >= 100").count() == 20
+    assert df.groupBy("k").count().filter("count > 1").count() == 0
