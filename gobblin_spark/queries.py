@@ -7103,6 +7103,25 @@ def sql_surface_q3(spark, sf_dir):
     """)
 
 
+@q(
+    "orc_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def orc_roundtrip(spark, sf_dir):
+    """ORC write+read round trip (HiveWritableHdfsDataWriter's default
+    container format): rows must survive the columnar re-encode
+    bit-for-bit; the oracle reads the original parquet."""
+    import tempfile
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="gobblin_orc_")
+    nat.write.orc(f"{tmp}/out")
+    return spark.read.orc(f"{tmp}/out")
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
