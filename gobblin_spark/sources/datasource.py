@@ -390,16 +390,26 @@ _SPARK_TO_DUCK = {
 }
 
 
-def _select_cast_list(schema: StructType) -> str:
+def _select_cast_list(schema: StructType,
+                      present: set[str] | None = None) -> str:
     """SELECT list casting every column to the DECLARED read schema's
     type — the database's own literal/decimal typing never leaks into
     the Arrow transfer (a DECIMAL landing in a DOUBLE column would
-    otherwise fail batch conversion)."""
+    otherwise fail batch conversion). With ``present`` (the table's
+    actual columns), declared columns the table lacks become typed
+    NULLs — the schema-drift posture of a long-lived JDBC pull whose
+    upstream dropped a column (QueryBasedExtractor's
+    source.schema-first contract)."""
     parts = []
     for f in schema.fields:
         name = _sql_ident(f.name)
         duck = _SPARK_TO_DUCK.get(f.dataType.simpleString())
-        parts.append(f"CAST({name} AS {duck}) AS {name}" if duck else name)
+        if present is not None and f.name not in present:
+            parts.append(f"CAST(NULL AS {duck or 'VARCHAR'}) AS {name}")
+        elif duck:
+            parts.append(f"CAST({name} AS {duck}) AS {name}")
+        else:
+            parts.append(name)
     return ", ".join(parts)
 
 
@@ -441,6 +451,8 @@ class _SqlReader(DataSourceReader):
         self.hi = int(options["upper_bound"])
         self.n = int(options.get("num_partitions", "4"))
         self.schema_ = schema
+        self.null_fill_missing = (
+            options.get("missing_columns", "fail") == "null")
         self.where: list[str] = []
 
     def pushFilters(self, filters: list[Filter]):
@@ -489,7 +501,15 @@ class _SqlReader(DataSourceReader):
     def read(self, partition: _RangePartition):
         import duckdb
 
-        cols = _select_cast_list(self.schema_)
+        present = None
+        if self.null_fill_missing:
+            con0 = duckdb.connect(self.db, read_only=True)
+            try:
+                present = {r[0] for r in con0.execute(
+                    f"DESCRIBE {self.table}").fetchall()}
+            finally:
+                con0.close()
+        cols = _select_cast_list(self.schema_, present)
         conds = list(self.where)
         # open-ended edges: never lose rows outside the stated bounds
         if not partition.is_first:

@@ -314,3 +314,28 @@ def test_sql_stream_incremental_watermark_pull(spark, tmp_path):
     assert df.count() == 70
     assert df.filter("k >= 100").count() == 20
     assert df.groupBy("k").count().filter("count > 1").count() == 0
+
+
+def test_sql_source_schema_drift_null_fill(spark, tmp_path):
+    """missing_columns=null: a declared column the upstream dropped
+    reads as typed NULLs; default mode still fails fast."""
+    import duckdb
+
+    db = str(tmp_path / "drift.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT range AS k, 'x' AS s "
+                "FROM range(0, 10)")
+    con.close()
+    DS.register(spark)
+    base = (spark.read.format("gobblin_sql")
+            .schema("k long, s string, gone double")
+            .option("database", db).option("table", "t")
+            .option("partition_column", "k")
+            .option("lower_bound", "0").option("upper_bound", "10")
+            .option("num_partitions", "2"))
+    with pytest.raises(Exception):
+        base.load().count()  # fail-fast default
+    df = base.option("missing_columns", "null").load()
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(r.gone is None and r.s == "x" for r in rows)
