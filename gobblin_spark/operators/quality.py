@@ -243,3 +243,50 @@ def trailing_count_anomalies(
         F.when(z.isNotNull(), F.abs(z) > F.lit(z_threshold)).alias(
             "is_anomaly"),
     )
+
+
+def expectations_report(
+    df: DataFrame,
+    expectations: Sequence[tuple[str, Column]],
+    unique_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Data-contract evaluation (the expectation-suite pattern): every
+    row-level expectation is a named boolean Column, ALL of them
+    evaluated in ONE scan as conditional sums — (expectation, n_rows,
+    n_violations) per contract clause. ``unique_cols`` adds
+    uniqueness contracts (each costs one distinct-count aggregation —
+    the only non-single-pass clause, priced accordingly).
+
+    This is the REPORTING face of the row policies above: policies
+    route rows (pass/quarantine), expectations grade datasets — same
+    predicates, different consumer (contract dashboards, CI gates on
+    data). Violation counts are exact integers, so external engines
+    verify the report value-for-value."""
+    n = F.count(F.lit(1))
+    aggs = [n.alias("_n")]
+    for name, cond in expectations:
+        aggs.append(
+            F.sum((~F.coalesce(cond, F.lit(False))).cast("long"))
+            .alias(f"_v_{name}"))
+    row = df.agg(*aggs)
+    spark = df.sparkSession
+    reports = []
+    for name, _ in expectations:
+        reports.append(row.select(
+            F.lit(name).alias("expectation"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_v_{name}").alias("n_violations")))
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    for c in unique_cols:
+        uniq = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.countDistinct(c)).alias("n_violations"),
+        ).select(
+            F.lit(f"unique:{c}").alias("expectation"),
+            "n_rows",
+            F.col("n_violations").cast("long").alias("n_violations"),
+        )
+        out = out.unionByName(uniq)
+    return out

@@ -7122,6 +7122,46 @@ def orc_roundtrip(spark, sf_dir):
     return spark.read.orc(f"{tmp}/out")
 
 
+@q(
+    "expectations_report_orders",
+    """
+    SELECT 'status_values' AS expectation, count(*) AS n_rows,
+           CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'positive_total', count(*),
+           CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_not_null', count(*),
+           CAST(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique:o_orderkey', count(*),
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    """,
+)
+def expectations_report_orders(spark, sf_dir):
+    """Data-contract report over orders: three row-level expectations
+    graded in ONE scan (conditional sums) plus a key-uniqueness
+    contract — exact integer violation counts, the CI-gate-on-data
+    pattern (same predicates as the row policies, reporting consumer
+    instead of routing)."""
+    o = load_table(spark, sf_dir, "orders")
+    return quality.expectations_report(
+        o,
+        [
+            ("status_values", F.col("o_orderstatus").isin("O", "F", "P")),
+            ("positive_total", F.col("o_totalprice") > 0),
+            ("orderdate_not_null", F.col("o_orderdate").isNotNull()),
+        ],
+        unique_cols=["o_orderkey"],
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -109,3 +109,20 @@ def test_trailing_count_anomalies_flags_planted_spike(spark):
     assert out[7].is_anomaly is False
     # the spike then inflates trailing variance; day 9 must not crash
     assert out[9].n_rows == 101
+
+
+def test_expectations_report_counts_violations(spark):
+    from gobblin_spark.operators.quality import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (2, None), (4, 0.0)], "k long, v double")
+    rep = {r.expectation: (r.n_rows, r.n_violations)
+           for r in expectations_report(
+               df,
+               [("v_positive", F.col("v") > 0),
+                ("v_not_null", F.col("v").isNotNull())],
+               unique_cols=["k"]).collect()}
+    # null v counts as violating v_positive (coalesce false), 3 violations
+    assert rep["v_positive"] == (4, 3)
+    assert rep["v_not_null"] == (4, 1)
+    assert rep["unique:k"] == (4, 1)
