@@ -132,3 +132,84 @@ def sessionize_stream(
             fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+def sessionize_stream_with_timeout(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    idle_timeout_ms: int = 60_000,
+) -> DataFrame:
+    """``sessionize_stream`` plus PROCESSING-TIME timeouts: a key that
+    stops producing events has its open session FLUSHED once no batch
+    touches it for ``idle_timeout_ms`` — closing the gap the NoTimeout
+    variant documents ("the final open session stays in state"). This
+    is the idle-key eviction every production sessionizer needs: state
+    size tracks ACTIVE keys, not all keys ever seen.
+
+    Timeout semantics are Spark's: the callback fires on a subsequent
+    micro-batch after expiry (some trigger must run), so drain
+    latency = idle_timeout + one trigger interval. Emitted rows are
+    identical in shape to the gap-closed ones — downstream cannot tell
+    how a session ended, which is the correct contract."""
+    out_schema = StructType([
+        StructField("key", stream_df.schema[key_col].dataType, True),
+        StructField("session_start", TimestampType(), True),
+        StructField("session_end", TimestampType(), True),
+        StructField("n_events", LongType(), True),
+    ])
+    state_schema = StructType([
+        StructField("start_us", LongType(), True),
+        StructField("end_us", LongType(), True),
+        StructField("n", LongType(), True),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "key": [key[0]],
+                "session_start": pd.to_datetime([start], unit="us"),
+                "session_end": pd.to_datetime([end], unit="us"),
+                "n_events": [n],
+            })
+            return
+
+        ts_all = [pd.to_datetime(pdf[ts_col]) for pdf in pdfs]
+        ts = pd.concat(ts_all).sort_values()
+        us = (ts.astype("int64") // 1000).tolist()
+        gap_us = gap_seconds * 1_000_000
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start, end, n = us[0], us[0], 0
+        closed = []
+        for t in us:
+            if t - end > gap_us:
+                closed.append((start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end = max(end, t)
+                n += 1
+        state.update((start, end, n))
+        state.setTimeoutDuration(idle_timeout_ms)
+        if closed:
+            out = pd.DataFrame(closed, columns=["s", "e", "n"])
+            yield pd.DataFrame({
+                "key": [key[0]] * len(out),
+                "session_start": pd.to_datetime(out["s"], unit="us"),
+                "session_end": pd.to_datetime(out["e"], unit="us"),
+                "n_events": out["n"],
+            })
+
+    return (
+        stream_df.groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

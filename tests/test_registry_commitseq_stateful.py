@@ -159,3 +159,47 @@ def test_sessionize_stream(spark, tmp_path):
     r = rows[0]
     assert r.n_events == 2 and r.session_start == t0
     assert r.session_end == t0 + dt.timedelta(seconds=10)
+
+
+def test_sessionize_timeout_flushes_idle_key(spark, tmp_path):
+    """An idle key's open session is emitted by the processing-time
+    timeout once later batches run without touching it."""
+    import datetime as dt
+    import time
+
+    from gobblin_spark.streaming.stateful import (
+        sessionize_stream_with_timeout)
+
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(seconds=30))],
+        "user_id long, ts timestamp_ntz").write.parquet(src)
+    sdf = (spark.readStream.schema("user_id long, ts timestamp_ntz")
+           .parquet(src).withColumn("ts", F.col("ts").cast("timestamp")))
+    out = sessionize_stream_with_timeout(
+        sdf, "user_id", "ts", gap_seconds=300, idle_timeout_ms=3000)
+    q = (out.writeStream.format("memory").queryName("sess_to")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="1 second").start())
+    try:
+        deadline = time.time() + 60
+        # key 1 goes idle; push other keys so later batches keep firing
+        fired = False
+        while time.time() < deadline:
+            if spark.table("sess_to").filter("key = 1").count() == 1:
+                fired = True
+                break
+            spark.createDataFrame(
+                [(99, dt.datetime(2024, 1, 2))],
+                "user_id long, ts timestamp_ntz"
+            ).write.mode("append").parquet(src)
+            time.sleep(2)
+        assert fired, "idle session never flushed"
+        row = spark.table("sess_to").filter("key = 1").first()
+        assert row.n_events == 2
+        assert (row.session_end - row.session_start).total_seconds() == 30
+    finally:
+        q.stop()
+        q.awaitTermination(60)
