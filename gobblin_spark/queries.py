@@ -7162,6 +7162,21 @@ def expectations_report_orders(spark, sf_dir):
     )
 
 
+@q("text_compression_ratio")  # rows-only: DEFLATE is not SQL-expressible
+def text_compression_ratio(spark, sf_dir):
+    """Per-document zlib compression ratio (Gopher/Dolma's
+    repetitiveness signal: templated text compresses far below prose).
+    Deterministic exact integers (fixed zlib level), computed in the
+    Arrow-batched pandas tier; unit tests pin parity with direct
+    zlib."""
+    from gobblin_spark.functions.text import compression_ratio
+
+    docs = load_docs(spark, sf_dir)
+    out = compression_ratio(docs, "text")
+    return out.select(
+        "doc_id", "zlib_raw_len", "zlib_comp_len", "zlib_ratio_ppm")
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -722,3 +722,21 @@ def test_audio_segment_plan_bounds(docs):
 
     with _pytest.raises(ValueError):
         multimodal.audio_segment_plan(media, 5, 5)
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    rows = [(1, "abc " * 100), (2, "x"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.compression_ratio(
+        df, "text").collect()}
+    for i, t in [(1, "abc " * 100), (2, "x")]:
+        b = t.encode()
+        assert out[i].zlib_raw_len == len(b)
+        assert out[i].zlib_comp_len == len(zlib.compress(b, 6))
+        assert out[i].zlib_ratio_ppm == \
+            len(zlib.compress(b, 6)) * 1000000 // len(b)
+    assert out[3].zlib_raw_len is None and out[3].zlib_ratio_ppm is None
+    # repetitive text compresses much harder than high-entropy text
+    assert out[1].zlib_ratio_ppm < 200000
