@@ -269,16 +269,22 @@ def expectations_report(
             F.sum((~F.coalesce(cond, F.lit(False))).cast("long"))
             .alias(f"_v_{name}"))
     row = df.agg(*aggs)
-    spark = df.sparkSession
-    reports = []
-    for name, _ in expectations:
-        reports.append(row.select(
+    # ONE scan genuinely: explode the per-expectation results out of
+    # the single aggregate row (a union of per-expectation projections
+    # would re-run the whole aggregation per branch — Spark does not
+    # reuse non-exchange subplans across union arms)
+    pairs = F.array(*[
+        F.struct(
             F.lit(name).alias("expectation"),
-            F.col("_n").alias("n_rows"),
-            F.col(f"_v_{name}").alias("n_violations")))
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
+            F.col(f"_v_{name}").alias("n_violations"),
+        )
+        for name, _ in expectations
+    ])
+    out = (
+        row.select(F.col("_n").alias("n_rows"),
+                   F.explode(pairs).alias("_p"))
+        .select("_p.expectation", "n_rows", "_p.n_violations")
+    )
     for c in unique_cols:
         uniq = df.agg(
             F.count(F.lit(1)).alias("n_rows"),
