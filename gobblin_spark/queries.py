@@ -6952,20 +6952,37 @@ def profile_table_stats(spark, sf_dir):
     approx_count_distinct (the same trade the sketch query
     documents)."""
     li = load_table(spark, sf_dir, "lineitem")
-
-    def prof(c):
-        return li.agg(
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).cast("long").alias(f"_null_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            F.round(F.min(c), 4).alias(f"_min_{c}"),
+            F.round(F.max(c), 4).alias(f"_max_{c}"),
+            F.round(F.sum(c), 4).alias(f"_sum_{c}"),
+        ]
+    row = li.agg(*aggs)
+    # one aggregate row for ALL columns, exploded into the per-column
+    # report (a union of per-column aggs would scan the table once per
+    # column — the same subplan-reuse gap expectations_report documents)
+    per_col = F.array(*[
+        F.struct(
             F.lit(c).alias("col"),
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(c)).cast("long").alias("n_null"),
-            F.countDistinct(c).alias("n_distinct"),
-            F.round(F.min(c), 4).alias("min_v"),
-            F.round(F.max(c), 4).alias("max_v"),
-            F.round(F.sum(c), 4).alias("sum_v"),
+            F.col(f"_null_{c}").alias("n_null"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            F.col(f"_min_{c}").alias("min_v"),
+            F.col(f"_max_{c}").alias("max_v"),
+            F.col(f"_sum_{c}").alias("sum_v"),
         )
-
-    return (prof("l_quantity").unionByName(prof("l_discount"))
-            .unionByName(prof("l_tax")))
+        for c in cols
+    ])
+    return (
+        row.select(F.col("_n").alias("n_rows"),
+                   F.explode(per_col).alias("_p"))
+        .select("_p.col", "n_rows", "_p.n_null", "_p.n_distinct",
+                "_p.min_v", "_p.max_v", "_p.sum_v")
+    )
 
 
 @q(
