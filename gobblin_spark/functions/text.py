@@ -1,13 +1,15 @@
 """Text-analysis functions for large-scale training-data pipelines.
 
-All pure Column expressions (JVM-side, whole-stage-codegen) — no Python
-UDFs anywhere, so these run at scan speed over 100 TB of documents.
-Each has an exact ANSI-SQL equivalent used as the DuckDB oracle in
-``__spark_entry__.py``.
-
-Ops: token counting (whitespace + BPE-ish regex), quality scoring
-(length/punct/stopword/alpha ratios), language ID (stopword-hit
-heuristic), document fingerprinting (normalize + md5), shingling.
+Two tiers, chosen per op:
+- Pure Column expressions (JVM-side, whole-stage-codegen) for
+  everything relational — token counting, quality scoring, language
+  ID, fingerprinting, shingles, PII redaction, Gopher metrics,
+  perplexity. These run at scan speed over 100 TB and each has an
+  exact ANSI-SQL twin used as the DuckDB oracle.
+- Arrow-batched pandas UDFs ONLY where the algorithm is genuinely
+  imperative: BPE segmentation (data-dependent merge loop) and zlib
+  compression ratio (DEFLATE). Deterministic, unit-tested against
+  reference Python, rows-only at the driver gate by design.
 """
 
 from __future__ import annotations
