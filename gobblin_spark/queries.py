@@ -7019,9 +7019,12 @@ def ri_audit_orphans(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
 
     def orphans(name, fact, key, dim, dkey):
+        # fully lazy: each audit is an anti-join + 1-row aggregate in
+        # the SAME plan (no driver-side counts reassembled into a DF)
         bd = F.broadcast(dim.select(dkey))
-        cnt = fact.join(bd, fact[key] == bd[dkey], "left_anti").count()
-        return spark.createDataFrame([(name, cnt)], "fk string, n_orphans long")
+        return fact.join(bd, fact[key] == bd[dkey], "left_anti").agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_orphans"))
 
     return (
         orphans("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
