@@ -7197,6 +7197,45 @@ def text_compression_ratio(spark, sf_dir):
         "doc_id", "zlib_raw_len", "zlib_comp_len", "zlib_ratio_ppm")
 
 
+@q(
+    "cleaning_dedup_paragraphs",
+    """
+    WITH lines AS (
+      SELECT doc_id, unnest(parts) AS part,
+             generate_subscripts(parts, 1) AS ord
+      FROM (
+        SELECT doc_id, string_split(text, '. ') AS parts
+        FROM documents WHERE text IS NOT NULL
+      )
+    ), firsts AS (
+      SELECT doc_id, part, min(ord) AS ord
+      FROM lines WHERE part <> '' GROUP BY doc_id, part
+    )
+    SELECT doc_id,
+           string_agg(part, '. ' ORDER BY ord) AS clean_text,
+           CAST(count(*) AS INT) AS n_kept
+    FROM firsts GROUP BY doc_id
+    """,
+)
+def cleaning_dedup_paragraphs(spark, sf_dir):
+    """WITHIN-document repeated-segment removal (order-preserving
+    first occurrence) — the in-doc face of line dedup: templated pages
+    repeat their own boilerplate internally, which corpus-level line
+    dedup (cross-doc) does not touch. Spark's array_distinct is
+    first-occurrence order-preserving; the oracle replicates that with
+    a min-ordinality group. Pure narrow pass, zero shuffle on the
+    Spark side (the oracle's groupBy is DuckDB's way to the same
+    order)."""
+    docs = load_docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    parts = F.split(F.col("text"), r"\. ")
+    kept = F.filter(F.array_distinct(parts), lambda p: p != F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat_ws(". ", kept).alias("clean_text"),
+        F.size(kept).cast("int").alias("n_kept"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
