@@ -7236,6 +7236,95 @@ def cleaning_dedup_paragraphs(spark, sf_dir):
     )
 
 
+@q(
+    "pipeline_training_data_e2e",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ), scored AS (
+      SELECT doc_id, text,
+        round((
+          CASE WHEN length(text) = 0 THEN 0.0
+               ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                    / length(text) END
+          + (1 - CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))
+                           AS DOUBLE) / length(text) END)
+          + least(1.0,
+              CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                   AS DOUBLE) / 20.0)
+        ) / 3, 6) AS q
+      FROM base
+    ), kept AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+          '\+?\d[\d().\- ]{7,}\d', '<PHONE>', 'g') AS redacted
+      FROM scored WHERE q >= 0.45
+    ), dedup AS (
+      SELECT doc_id, redacted FROM (
+        SELECT doc_id, redacted,
+               row_number() OVER (PARTITION BY md5(redacted)
+                                  ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ), final AS (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                  THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'val' ELSE 'test' END AS split,
+             CAST(CASE WHEN trim(redacted) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(redacted), '\s+')) END
+                  AS BIGINT) AS toks
+      FROM dedup
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS total_tokens,
+           CAST(sum(CAST(ceil(greatest(toks, 1) / 48.0) AS BIGINT))
+                AS BIGINT) AS total_chunks
+    FROM final GROUP BY split
+    """,
+)
+def pipeline_training_data_e2e(spark, sf_dir):
+    """THE end-to-end training-data pipeline in one oracled plan:
+    quality filter (composite score ≥ 0.45) → PII redaction →
+    exact dedup on post-redaction content (min-id survivor) →
+    content-stable train/val/test split → context-window chunk
+    budgeting (64-token windows, stride 48), reported per split.
+    Every stage reuses an operator that already has its own oracle
+    row; this entry certifies their COMPOSITION — one narrow pass up
+    to the dedup shuffle, then the split report groupBy. The oracle
+    replays all five stages verbatim."""
+    from gobblin_spark.functions import mixing
+    from gobblin_spark.functions.text import (
+        quality_score, redact_pii, whitespace_token_count)
+
+    docs = load_docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    kept = docs.filter(quality_score(F.col("text")) >= 0.45).select(
+        "doc_id", redact_pii(F.col("text")).alias("redacted"))
+    survivors = (
+        kept.groupBy(F.md5("redacted").alias("_fp"))
+        .agg(F.min_by(F.struct("doc_id", "redacted"), F.col("doc_id"))
+             .alias("_w"))
+        .select(F.col("_w.doc_id").alias("doc_id"),
+                F.col("_w.redacted").alias("redacted"))
+    )
+    split = mixing.assign_split(survivors, "doc_id")
+    toks = whitespace_token_count(F.col("redacted")).cast("long")
+    chunks = F.ceil(F.greatest(toks, F.lit(1)) / F.lit(48.0)).cast("long")
+    return (
+        split.select("split", toks.alias("_t"), chunks.alias("_c"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").cast("long").alias("total_tokens"),
+            F.sum("_c").cast("long").alias("total_chunks"),
+        )
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
