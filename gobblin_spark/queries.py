@@ -7380,6 +7380,8 @@ HEADLINE = [
     "pagerank_partsupp",
     "semantic_dedup_kmeans",
     "event_time_deltas",
+    # the end-to-end training-data composition
+    "pipeline_training_data_e2e",
 ]
 
 
