@@ -95,6 +95,16 @@ CASES = [
     ("cohort_retention", 6, "CartesianProduct"),
     # md5-bucket split is a narrow projection; one reporting groupBy
     ("split_train_val_test", 1, "CartesianProduct"),
+    # filter -> redact -> split are ONE narrow pass; the only keyed
+    # exchanges are the dedup fingerprint agg + the split report
+    ("pipeline_training_data_e2e", 2, "CartesianProduct"),
+    # the store merge reads back the swapped parquet (AQE-coalesced);
+    # no residual exchange in the final read plan
+    ("incremental_rollup_merge", 1, "CartesianProduct"),
+    # full-outer diff: one keyed exchange per side + the class rollup
+    ("snapshot_diff_rows", 3, "CartesianProduct"),
+    # within-doc segment dedup is pure narrow codegen
+    ("cleaning_dedup_paragraphs", 0, "Exchange hashpartitioning"),
 ]
 
 
