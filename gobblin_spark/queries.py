@@ -7325,6 +7325,96 @@ def pipeline_training_data_e2e(spark, sf_dir):
     )
 
 
+@q(
+    "lsh_recall_report",
+    f"""
+    WITH sh AS ({_SHINGLE3_CTE.format(norm=_NORM_SQL)}),
+    sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(CAST(n_inter AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {_MH_P} AS h
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, {_MH_MINS} FROM h GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, unnest([{_MH_BKEYS}]) AS bkey FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    pred AS (
+      SELECT id_a, id_b FROM (
+        SELECT c.id_a, c.id_b, {_MH_AGREE} AS n_agree
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.id_a
+        JOIN sig b ON b.doc_id = c.id_b
+      ) WHERE n_agree >= CAST(ceil(0.5 * {_MH_PERM}) AS INT)
+    ),
+    tp AS (
+      SELECT count(*) AS n FROM truth JOIN pred USING (id_a, id_b)
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM pred) AS n_predicted,
+           (SELECT n FROM tp) AS n_true_positive,
+           CAST(floor((SELECT n FROM tp) * 1000000.0
+                / greatest((SELECT count(*) FROM truth), 1)) AS BIGINT)
+             AS recall_ppm,
+           CAST(floor((SELECT n FROM tp) * 1000000.0
+                / greatest((SELECT count(*) FROM pred), 1)) AS BIGINT)
+             AS precision_ppm
+    """,
+)
+def lsh_recall_report(spark, sf_dir):
+    """The engine measures its own approximation: exact trigram-Jaccard
+    pairs (≥0.5, uncapped) as ground truth vs the md5-checked
+    MinHash+LSH pair set — confusion counts and recall/precision as
+    exact integer ppm, ALL of it SQL-replayed (signatures included).
+    This is the acceptance test an ANN configuration ships with: band
+    count / permutations move these two numbers, and a regression in
+    either goes red at the value level, not in a notebook."""
+    docs = load_docs(spark, sf_dir)
+    truth = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=None,
+    ).select("id_a", "id_b")
+    pred = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_perm=_MH_PERM, bands=_MH_BANDS,
+        threshold=0.5, seed=42, base_hash="md5_60", band_key="concat",
+    ).select("id_a", "id_b")
+    truth = truth.persist()
+    pred = pred.persist()
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_predicted"))
+    n_tp = truth.join(pred, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_true_positive"))
+    out = n_truth.crossJoin(n_pred).crossJoin(n_tp)
+    return out.select(
+        "n_truth", "n_predicted", "n_true_positive",
+        F.floor(F.col("n_true_positive") * F.lit(1000000.0)
+                / F.greatest(F.col("n_truth"), F.lit(1)))
+        .cast("long").alias("recall_ppm"),
+        F.floor(F.col("n_true_positive") * F.lit(1000000.0)
+                / F.greatest(F.col("n_predicted"), F.lit(1)))
+        .cast("long").alias("precision_ppm"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
