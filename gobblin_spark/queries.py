@@ -7415,6 +7415,71 @@ def lsh_recall_report(spark, sf_dir):
     )
 
 
+@q(
+    "simhash_completeness_report",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM toks WHERE tok <> ''
+    ),
+    bs AS (
+      SELECT doc_id, {_SH_BITSUMS} FROM h GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id, {_SH_VALUE} AS sh FROM bs
+    ),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    ),
+    banded AS (
+      SELECT doc_id, sh, unnest([{_SH_CKEYS}]) AS ckey FROM sh
+    ),
+    pred AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.ckey = b.ckey AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    ),
+    tp AS (SELECT count(*) AS n FROM truth JOIN pred USING (id_a, id_b))
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM pred) AS n_predicted,
+           (SELECT n FROM tp) AS n_true_positive
+    """,
+)
+def simhash_completeness_report(spark, sf_dir):
+    """The pigeonhole completeness THEOREM, value-checked: all-pairs
+    Hamming ≤ 3 over the md5-portable SimHash table (ground truth,
+    quadratic — affordable only as an acceptance test) must equal the
+    4-chunk banded candidate set exactly (any pair within distance 3
+    agrees on ≥1 chunk). n_truth = n_predicted = n_true_positive or
+    the implementation broke the guarantee the scale path rests on."""
+    docs = load_docs(spark, sf_dir)
+    sh = dedup.simhash64(
+        docs, "doc_id", "text", base_hash="md5_60", bits=_SH_BITS).persist()
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    truth = (
+        a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    pred = dedup.simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=3, base_hash="md5_60",
+        bits=_SH_BITS,
+    ).select("id_a", "id_b").persist()
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_predicted"))
+    n_tp = truth.join(pred, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_true_positive"))
+    return n_truth.crossJoin(n_pred).crossJoin(n_tp)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
