@@ -6735,13 +6735,14 @@ def corpus_drift_kl(spark, sf_dir):
         F.count(F.lit(1)).alias("n_old"))
     new = docs.filter(F.col("doc_id") % 3 == 0).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_new"))
-    tot_old = old.agg(F.sum("n_old")).first()[0]
-    tot_new = new.agg(F.sum("n_new")).first()[0]
-    j = old.join(new, "lang", "left").select(
+    # totals stay IN the plan (1-row aggregates broadcast-cross-joined)
+    # instead of round-tripping through the driver
+    tot = old.agg(F.sum("n_old").cast("double").alias("_to")).crossJoin(
+        new.agg(F.sum("n_new").cast("double").alias("_tn")))
+    j = old.join(new, "lang", "left").crossJoin(F.broadcast(tot)).select(
         "lang",
-        (F.col("n_old") / F.lit(float(tot_old))).alias("p_old"),
-        (F.coalesce(F.col("n_new"), F.lit(0))
-         / F.lit(float(tot_new))).alias("p_new"),
+        (F.col("n_old") / F.col("_to")).alias("p_old"),
+        (F.coalesce(F.col("n_new"), F.lit(0)) / F.col("_tn")).alias("p_new"),
     )
     kl = F.when(F.col("p_new") > 0,
                 F.col("p_new") * F.log(F.col("p_new") / F.col("p_old")))
