@@ -7481,6 +7481,123 @@ def simhash_completeness_report(spark, sf_dir):
     return n_truth.crossJoin(n_pred).crossJoin(n_tp)
 
 
+@q(
+    "ivf_recall_report",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e AS c
+      FROM v ORDER BY vec_id LIMIT 8
+    ), a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, i.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_distance(v.e, i.c), i.cid) AS rn
+        FROM v CROSS JOIN init i
+      ) WHERE rn = 1
+    ), dims AS (
+      SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS ord
+      FROM v
+    ), c1 AS (
+      SELECT cid, list(val ORDER BY ord) AS c FROM (
+        SELECT a0.cid, dims.ord, round(avg(dims.val), 9) AS val
+        FROM a0 JOIN dims USING (vec_id)
+        GROUP BY a0.cid, dims.ord
+      ) GROUP BY cid
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, i.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_distance(v.e, i.c), i.cid) AS rn
+        FROM v CROSS JOIN c1 i
+      ) WHERE rn = 1
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id ASC) AS rnk
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 5
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id ASC) AS rnk
+        FROM embeddings q
+        JOIN a1 qa ON qa.vec_id = q.vec_id
+        JOIN a1 ca ON ca.cid = qa.cid
+        JOIN embeddings c ON c.vec_id = ca.vec_id
+                          AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 10
+      ) WHERE rnk <= 5
+    ), hits AS (
+      SELECT count(*) AS n FROM exact JOIN approx
+      USING (query_id, neighbor_id)
+    )
+    SELECT (SELECT count(DISTINCT query_id) FROM exact) AS n_queries,
+           (SELECT count(*) FROM exact) AS n_truth,
+           (SELECT n FROM hits) AS n_hits,
+           CAST(floor((SELECT n FROM hits) * 1000000.0
+                / greatest((SELECT count(*) FROM exact), 1)) AS BIGINT)
+             AS recall_ppm
+    """,
+)
+def ivf_recall_report(spark, sf_dir):
+    """Vector-ANN recall, fully value-checked: IVF with the
+    DETERMINISTIC k-means quantizer (probe = the query's own cell
+    only) vs exact brute-force top-5 — hit counts and recall in exact
+    ppm, and because the clustering recipe is engine-portable the
+    oracle replays the ENTIRE approximate path, cells included. The
+    third self-measuring acceptance report (Jaccard-LSH, SimHash
+    pigeonhole, now IVF): approximation quality is a value-checked
+    number, not a notebook claim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    clusters = similarity.kmeans_fit_predict(
+        emb, "vec_id", "embedding", k=8, iterations=2).persist()
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(
+        queries, emb, "vec_id", "embedding", k=5
+    ).select("query_id", "neighbor_id").persist()
+    qa = clusters.select(F.col("vec_id").alias("query_id"),
+                         F.col("cluster").alias("_qc"))
+    ca = clusters.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("cluster").alias("_cc"))
+    qv = queries.select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").alias("_qv")).join(qa, "query_id")
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("embedding").alias("_cv")).join(ca, "neighbor_id")
+    cand = (
+        F.broadcast(qv).join(cv, qv["_qc"] == cv["_cc"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                similarity.cosine(F.col("_qv"), F.col("_cv")).alias("_cos"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc())
+    approx = (
+        cand.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= 5).select("query_id", "neighbor_id")
+    )
+    n_q = exact.agg(F.countDistinct("query_id").alias("n_queries"))
+    n_t = exact.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_h = exact.join(approx, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_q.crossJoin(n_t).crossJoin(n_h)
+        .select(
+            "n_queries", "n_truth", "n_hits",
+            F.floor(F.col("n_hits") * F.lit(1000000.0)
+                    / F.greatest(F.col("n_truth"), F.lit(1)))
+            .cast("long").alias("recall_ppm"),
+        )
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
