@@ -7598,6 +7598,78 @@ def ivf_recall_report(spark, sf_dir):
     )
 
 
+@q(
+    "dedup_pair_diagnostics",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS words
+      FROM documents WHERE doc_id % 5 = 0
+    ), idx AS (
+      SELECT doc_id, words,
+             unnest(range(1, greatest(len(words) - 1, 0) + 2)) AS i
+      FROM norm
+    ), sh AS (
+      SELECT DISTINCT doc_id, array_to_string(words[i:i], ' ') AS shingle
+      FROM idx WHERE array_to_string(words[i:i], ' ') <> ''
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           CAST(floor(n_inter * 1000000.0
+                / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) AS jaccard_ppm,
+           CAST(floor(n_inter * 1000000.0 / sa.n_sh) AS BIGINT)
+             AS containment_a_ppm,
+           CAST(floor(n_inter * 1000000.0 / sb.n_sh) AS BIGINT)
+             AS containment_b_ppm
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE floor(n_inter * 1000000.0
+                / (sa.n_sh + sb.n_sh - n_inter)) >= 300000
+    """,
+)
+def dedup_pair_diagnostics(spark, sf_dir):
+    """Pair-level dedup triage: for every candidate pair above a
+    Jaccard floor, the THREE numbers a reviewer needs at once —
+    symmetric Jaccard plus both directed containments (high J = true
+    near-dup; low J with one high containment = subset/quote; both
+    low = false positive). One inverted-index pass feeds all three,
+    exact integer ppm. Unigram shingles on the tiny-vocab synthetic
+    corpus, as ngram_containment_docs documents."""
+    from gobblin_spark.functions.text import word_shingles
+
+    docs = load_docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0)
+    sh = word_shingles(
+        docs.select("doc_id", "text"), "text", n=1).select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle").filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.floor(F.col("n_inter") * F.lit(1000000.0)
+                  / (F.col("na") + F.col("nb") - F.col("n_inter")))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard_ppm", jac.cast("long"))
+        .filter(F.col("jaccard_ppm") >= 300000)
+        .select(
+            "id_a", "id_b", "n_inter", "jaccard_ppm",
+            F.floor(F.col("n_inter") * F.lit(1000000.0) / F.col("na"))
+            .cast("long").alias("containment_a_ppm"),
+            F.floor(F.col("n_inter") * F.lit(1000000.0) / F.col("nb"))
+            .cast("long").alias("containment_b_ppm"),
+        )
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
