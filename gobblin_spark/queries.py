@@ -7727,6 +7727,11 @@ HEADLINE = [
     "event_time_deltas",
     # the end-to-end training-data composition
     "pipeline_training_data_e2e",
+    # self-measuring acceptance reports (approximation quality as
+    # value-checked numbers, timed per round)
+    "lsh_recall_report",
+    "simhash_completeness_report",
+    "ivf_recall_report",
 ]
 
 
