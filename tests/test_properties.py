@@ -206,3 +206,24 @@ def test_every_oracle_describes_in_duckdb():
         except Exception as ex:  # noqa: BLE001 - report all failures
             bad.append((name, str(ex)[:120]))
     assert not bad, bad
+
+
+def test_bench_line_stays_under_driver_capture():
+    """The driver tail-captures ~2 KB of stdout; round 3 lost its bench
+    to an oversized line. Estimate the final JSON line from the current
+    HEADLINE and keep comfortable headroom."""
+    import json as _json
+
+    from gobblin_spark.queries import HEADLINE, QUERIES
+
+    assert set(HEADLINE) <= set(QUERIES)
+    assert len(HEADLINE) == len(set(HEADLINE))
+    fake = {
+        "metric": "headline_queries_total_wall",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {n: 99.999 for n in HEADLINE},  # worst-case widths
+        "sf": 0.1,
+    }
+    line = _json.dumps(fake)
+    assert len(line) < 1900, f"bench line would be {len(line)} bytes"
