@@ -846,3 +846,55 @@ def compression_ratio(
         )
         .drop("_z")
     )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = 16,
+) -> DataFrame:
+    """Feature-hashing ("hashing trick", Weinberger et al. 2009) text
+    embedding: each token lands in bucket md5_60(token) % dim with
+    sign ±1 from the next hash bit; the document vector is the signed
+    bucket-count histogram. The deterministic, engine-portable
+    featurizer that bridges the text family into the similarity family
+    (cosine/k-means/IVF run unchanged on the output) when no model
+    embedding exists — and the classic cheap baseline worth having
+    beside it when one does.
+
+    Shape: token explode -> (id, bucket) groupBy -> array rebuild;
+    one keyed shuffle carrying (id, bucket, partial count). Every
+    arithmetic step is exact integers, so an external engine
+    reproduces vectors element-for-element. Returns (id_col,
+    hvec array<long>).
+    """
+    from gobblin_spark.functions.dedup import md5_60
+
+    toks = (
+        df.select(id_col, text_col)
+        .select(id_col, F.explode(
+            F.split(normalize_text(F.col(text_col)), " ")).alias("_t"))
+        .filter(F.col("_t") != "")
+    )
+    if dim & (dim - 1):
+        raise ValueError("dim must be a power of two (bit-exact bucketing)")
+    h = md5_60(F.col("_t"))
+    # bitwise, NOT h/dim: double division of a 60-bit hash rounds the
+    # mantissa and corrupts the sign bit
+    shift = dim.bit_length() - 1
+    sign = F.lit(1) - F.lit(2) * F.shiftright(h, shift).bitwiseAND(F.lit(1))
+    buckets = toks.select(
+        F.col(id_col),
+        (h % dim).cast("int").alias("_b"),
+        sign.cast("long").alias("_s"),
+    ).groupBy(id_col, "_b").agg(F.sum("_s").alias("_v"))
+    per_doc = buckets.groupBy(id_col).agg(
+        F.map_from_arrays(
+            F.collect_list("_b"), F.collect_list("_v")).alias("_m"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("int")), F.lit(0).cast("long")),
+    )
+    return per_doc.select(F.col(id_col), vec.alias("hvec"))

@@ -7670,6 +7670,52 @@ def dedup_pair_diagnostics(spark, sf_dir):
     )
 
 
+@q(
+    "text_hash_embeddings",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS t
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h
+      FROM toks WHERE t <> ''
+    ), b AS (
+      SELECT doc_id, CAST(h % 16 AS INT) AS bkt,
+             1 - 2 * CAST((h // 16) % 2 AS BIGINT) AS s
+      FROM h
+    ), v AS (
+      SELECT doc_id, bkt, CAST(sum(s) AS BIGINT) AS val
+      FROM b GROUP BY doc_id, bkt
+    )
+    SELECT doc_id,
+           CAST(sum(val * (bkt + 1)) AS BIGINT) AS checksum,
+           CAST(sum(abs(val)) AS BIGINT) AS l1
+    FROM v GROUP BY doc_id
+    """,
+)
+def text_hash_embeddings(spark, sf_dir):
+    """Feature-hashing text embeddings (the hashing trick): 16-dim
+    signed bucket histograms per document, verified through exact
+    integer invariants (position-weighted checksum + L1 norm) — every
+    vector element is engine-reproducible because bucket and sign both
+    derive from the portable md5_60 hash. The deterministic
+    featurizer that lets the similarity family (cosine/k-means/IVF)
+    run on plain text when no model embedding exists."""
+    from gobblin_spark.functions.text import hashed_embedding
+
+    docs = load_docs(spark, sf_dir)
+    emb = hashed_embedding(docs, "doc_id", "text", dim=16)
+    idx = F.sequence(F.lit(1), F.size("hvec"))
+    checksum = F.aggregate(
+        F.zip_with("hvec", idx, lambda v, i: v * i.cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    l1 = F.aggregate(
+        F.transform("hvec", lambda v: F.abs(v)),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    return emb.select(
+        "doc_id", checksum.alias("checksum"), l1.alias("l1"))
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -740,3 +740,33 @@ def test_compression_ratio_matches_zlib(spark):
     assert out[3].zlib_raw_len is None and out[3].zlib_ratio_ppm is None
     # repetitive text compresses much harder than high-entropy text
     assert out[1].zlib_ratio_ppm < 200000
+
+
+def test_hashed_embedding_exact_and_composable(spark):
+    import hashlib as _hl
+
+    rows = [(1, "alpha beta alpha"), (2, "gamma"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.hvec for r in text.hashed_embedding(
+        df, "doc_id", "text", dim=16).collect()}
+
+    def ref(tokens):
+        v = [0] * 16
+        for t in tokens:
+            h = int(_hl.md5(t.encode()).hexdigest()[:15], 16)
+            v[h % 16] += 1 - 2 * ((h >> 4) & 1)
+        return v
+
+    assert out[1] == ref(["alpha", "beta", "alpha"])
+    assert out[2] == ref(["gamma"])
+    assert 3 not in out  # null text emits no vector
+    # power-of-two guard
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        text.hashed_embedding(df, "doc_id", "text", dim=10)
+    # composable with the similarity family: cosine of a doc with
+    # itself is 1
+    emb = text.hashed_embedding(df, "doc_id", "text", dim=16)
+    c = emb.select(similarity.cosine(
+        F.col("hvec"), F.col("hvec")).alias("c")).collect()
+    assert all(abs(r.c - 1.0) < 1e-12 for r in c)
