@@ -7716,6 +7716,60 @@ def text_hash_embeddings(spark, sf_dir):
         "doc_id", checksum.alias("checksum"), l1.alias("l1"))
 
 
+@q(
+    "text_lang_confidence",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))
+          AS s_en,
+        len(regexp_extract_all(lower(text), '\b(der|die|und|nicht|ist)\b'))
+          AS s_de,
+        len(regexp_extract_all(lower(text), '\b(le|la|et|les|est)\b'))
+          AS s_fr,
+        len(regexp_extract_all(lower(text), '\b(el|los|que|y|es)\b'))
+          AS s_es
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(greatest(s_en, s_de, s_fr, s_es) AS BIGINT) AS top_hits,
+           CAST(2 * greatest(s_en, s_de, s_fr, s_es)
+                + least(s_en + s_de, s_en + s_fr, s_en + s_es,
+                        s_de + s_fr, s_de + s_es, s_fr + s_es)
+                - (s_en + s_de + s_fr + s_es) AS BIGINT) AS margin
+    FROM s
+    """,
+)
+def text_lang_confidence(spark, sf_dir):
+    """Language-ID confidence margin: top stopword-hit score minus the
+    RUNNER-UP score (margin 0 = tie, unreliable detection — route to a
+    heavier model or an 'und' bucket; the filter signal lang_id alone
+    cannot give). Exact integer hit counts; for 4 sorted values
+    x1≤x2≤x3≤x4 the runner-up is total − max − min_pair_sum (the
+    smallest pairwise sum is x1+x2), so margin = 2·max +
+    min_pair_sum − total — no sort, no explode, one scan-speed pass,
+    identical expression on both engines."""
+    ev = load_docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    from gobblin_spark.functions.text import LANG_MARKERS
+
+    lowered = F.lower(F.col("text"))
+    scores = {
+        lang: F.regexp_count(
+            lowered, F.lit(r"\b(" + "|".join(words) + r")\b"))
+        for lang, words in LANG_MARKERS.items()
+    }
+    vals = [scores[k] for k in sorted(scores)]
+    top = F.greatest(*vals)
+    total = vals[0] + vals[1] + vals[2] + vals[3]
+    pair_sums = [a + b for i, a in enumerate(vals) for b in vals[i + 1:]]
+    margin = F.lit(2) * top + F.least(*pair_sums) - total
+    return ev.select(
+        "doc_id",
+        top.cast("long").alias("top_hits"),
+        margin.cast("long").alias("margin"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
