@@ -7770,6 +7770,41 @@ def text_lang_confidence(spark, sf_dir):
     )
 
 
+@q("bloom_fpr_report")  # rows-only: the sketch bits are xxhash64-laid
+def bloom_fpr_report(spark, sf_dir):
+    """Bloom prefilter diagnostics — the fourth self-measuring report:
+    a DISJOINT probe batch against the corpus sketch, reporting
+    n_probes / n_sketch_positive / n_true_dup and the observed
+    false-positive rate in ppm (sketch-positives that the exact
+    verify then rejects). The operator's exactness never depends on
+    this number — FPR only sizes the verify sliver — but an observed
+    rate drifting above the (bits, k, n) design point is the signal
+    to grow the sketch. Unit test pins the rate under twice the
+    theoretical bound."""
+    from gobblin_spark.functions import bloom
+    from gobblin_spark.functions.text import fingerprint
+
+    docs = load_docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    fps = docs.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp"))
+    history = fps.filter(F.col("doc_id") % 2 == 0).select("fp").persist()
+    probe = fps.filter(F.col("doc_id") % 2 == 1).select("fp").persist()
+    sketch = bloom.bloom_build(history, "fp")
+    unseen, maybe = bloom.bloom_split(probe, sketch, "fp")
+    maybe = maybe.persist()
+    n_probe = probe.agg(F.count(F.lit(1)).alias("n_probes"))
+    n_maybe = maybe.agg(F.count(F.lit(1)).alias("n_sketch_positive"))
+    n_true = maybe.join(history.distinct(), "fp").agg(
+        F.count(F.lit(1)).alias("n_true_dup"))
+    out = n_probe.crossJoin(n_maybe).crossJoin(n_true)
+    neg = F.greatest(F.col("n_probes") - F.col("n_true_dup"), F.lit(1))
+    return out.select(
+        "n_probes", "n_sketch_positive", "n_true_dup",
+        F.floor((F.col("n_sketch_positive") - F.col("n_true_dup"))
+                * F.lit(1000000.0) / neg).cast("long").alias("fpr_ppm"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

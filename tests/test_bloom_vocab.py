@@ -83,3 +83,30 @@ def test_length_histogram_buckets(docs):
     assert rows[("en", 5)] == (3, 128)
     assert rows[("en", 4)] == (1, 30)
     assert rows[("en", -1)] == (1, 0)
+
+
+def test_bloom_fpr_tracks_theory_on_tiny_sketch(spark):
+    """A deliberately undersized sketch shows a measurable FPR that
+    stays near the (bits, k, n) design formula; the exact verify stage
+    removes every false positive regardless."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.functions import bloom
+
+    n, m, k = 400, 1 << 12, 3
+    hist = spark.range(0, n).select(
+        F.concat(F.lit("h"), F.col("id")).alias("v"))
+    probe = spark.range(0, 2000).select(
+        F.concat(F.lit("p"), F.col("id")).alias("v"))  # fully disjoint
+    sketch = bloom.bloom_build(hist, "v", num_bits=m, k=k)
+    unseen, maybe = bloom.bloom_split(probe, sketch, "v", num_bits=m, k=k)
+    fp = maybe.count()  # every sketch-positive is false here
+    p_theory = (1 - math.exp(-k * n / m)) ** k
+    observed = fp / 2000
+    assert observed < 2 * p_theory + 0.01, (observed, p_theory)
+    # and the exact stage yields a perfect final result anyway
+    final = bloom.bloom_incremental_dedup(probe, hist, "v",
+                                          num_bits=m, k=k)
+    assert final.count() == 2000
