@@ -308,14 +308,14 @@ def temperature_sample(
     - weight_s   = floor(sqrt(n_s) * 1000)    (bigint; sqrt is
       IEEE-correctly-rounded, the only float op, and its floor is
       boundary-safe: perfect squares hit integers exactly)
-    - threshold_s = target * weight_s * 65536 // (Σ weights * n_s)
-      (pure bigint floor division)
-    - keep row  ⇔ first 4 md5 hex chars of the id, parsed base-16,
-      < threshold_s   (uniform 16-bit bucket, content-stable like
-      assign_split — rerunning over a grown corpus never flips an
+    - threshold_s = target * weight_s * 16**split_hex_chars
+      // (Σ weights * n_s)   (pure bigint floor division)
+    - keep row  ⇔ first ``split_hex_chars`` md5 hex chars of the id,
+      parsed base-16, < threshold_s   (uniform bucket, content-stable
+      like assign_split — rerunning over a grown corpus never flips an
       existing row's fate for the same thresholds)
 
-    A threshold ≥ 65536 keeps the whole source (rare sources saturate
+    A threshold ≥ 16**split_hex_chars keeps the whole source (rare sources saturate
     instead of upsampling — deterministic sampling cannot mint rows;
     callers wanting true upsampling repeat epochs, cf. pack/shuffle).
     Per-source counts collect to the driver (bounded by source
@@ -330,12 +330,15 @@ def temperature_sample(
     ns = {r[source_col]: r["_n"] for r in counts}
     sum_w = sum(weights.values())
     spark = df.sparkSession
+    # Scale matches the bucket width: split_hex_chars md5 hex chars
+    # parse to a value in [0, 16**split_hex_chars).
+    scale = 16 ** split_hex_chars
     thr_rows = [
-        (s, ns[s], (target_total * weights[s] * 65536) // (sum_w * ns[s]))
+        (s, ns[s], (target_total * weights[s] * scale) // (sum_w * ns[s]))
         for s in sorted(ns)
     ]
     thr = spark.createDataFrame(
-        thr_rows, f"{source_col} string, n_docs long, threshold_64k long")
+        thr_rows, f"{source_col} string, n_docs long, threshold long")
     bucket = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, split_hex_chars),
         16, 10,
@@ -343,6 +346,6 @@ def temperature_sample(
     return (
         df.join(F.broadcast(thr), source_col)
         .withColumn("_bucket", bucket)
-        .filter(F.col("_bucket") < F.col("threshold_64k"))
+        .filter(F.col("_bucket") < F.col("threshold"))
         .drop("_bucket")
     )

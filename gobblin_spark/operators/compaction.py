@@ -368,6 +368,17 @@ def merge_rollup_store(
     import shutil
     import uuid as _uuid
 
+    # Crash recovery: the swap below renames store -> store__old, then
+    # tmp -> store, then removes store__old. A crash between the two
+    # renames leaves NO store but a complete copy at the FIXED
+    # store__old name — restore it before reading, so the docstring's
+    # "a crashed merge leaves the previous store intact" actually
+    # holds. (A crash after the second rename just leaves a stale
+    # __old dir, cleaned in the swap.)
+    old = f"{store_path}__old"
+    if not os.path.exists(store_path) and os.path.exists(old):
+        os.rename(old, store_path)
+
     aggs = [F.count(F.lit(1)).alias(count_col)] + [
         F.sum(c).alias(f"sum_{c}") for c in sum_cols
     ]
@@ -384,7 +395,9 @@ def merge_rollup_store(
         merged = partial
     tmp = f"{store_path}__swap_{_uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
-    old = f"{store_path}__old_{_uuid.uuid4().hex[:8]}"
+    # Fixed __old name (not a random suffix) so the recovery above can
+    # find a stranded prior store after a crash between the renames.
+    shutil.rmtree(old, ignore_errors=True)  # stale leftover, if any
     if os.path.exists(store_path):
         os.rename(store_path, old)
     os.rename(tmp, store_path)

@@ -240,8 +240,13 @@ def trailing_count_anomalies(
         "n_rows",
         F.round(mean, 4).alias("trailing_mean"),
         F.round(z, 4).alias("z"),
-        F.when(z.isNotNull(), F.abs(z) > F.lit(z_threshold)).alias(
-            "is_anomaly"),
+        # var == 0 means a perfectly constant history — the clearest
+        # anomaly baseline there is. z is undefined (division by 0)
+        # but the flag isn't: any deviation from the constant is an
+        # anomaly. `<= 0` absorbs float round-off on constant counts.
+        F.when(z.isNotNull(), F.abs(z) > F.lit(z_threshold))
+        .when((n >= 3) & (var <= 0), F.col("n_rows") != mean)
+        .alias("is_anomaly"),
     )
 
 

@@ -3272,9 +3272,9 @@ def copy_distcp_roundtrip(spark, sf_dir):
         F.col("c_custkey") % 3 == 0
     ).select("c_custkey", "c_name", "c_acctbal")
     cust.write.parquet(src)
-    results, published = CP.distcp(spark, src, dst, atomic=True)
+    summary, published = CP.distcp(spark, src, dst, atomic=True)
     if not published:
-        raise RuntimeError(f"distcp publish failed: {results[:3]}")
+        raise RuntimeError(f"distcp publish failed: {summary.errors[:3]}")
     return spark.read.parquet(dst)
 
 
@@ -5898,7 +5898,8 @@ def split_train_val_test(spark, sf_dir):
                  END, 4) AS z,
            CASE WHEN n >= 3 AND (m2 - mean*mean)*n/(n-1) > 0
                 THEN abs((n_rows - mean)/sqrt((m2 - mean*mean)*n/(n-1)))
-                     > 3.0 END AS is_anomaly
+                     > 3.0
+                WHEN n >= 3 THEN n_rows <> mean END AS is_anomaly
     FROM zz
     """,
 )
@@ -7326,10 +7327,39 @@ def pipeline_training_data_e2e(spark, sf_dir):
     )
 
 
+# --- acceptance-scale guards for the self-measuring reports --------
+# The recall/completeness reports deliberately compute QUADRATIC
+# ground truth (all-pairs Jaccard / Hamming). Two defenses keep that
+# affordable and impossible to misuse at corpus scale:
+#  1. the truth AND predicted sides both run over a deterministic
+#     1-in-5 sample of the corpus (doc_id % 5 = 0, the
+#     dedup_pair_diagnostics convention) — recall measured on the
+#     sample estimates corpus recall, and both sides see the SAME
+#     universe so the confusion counts stay exact;
+#  2. _acceptance_scale_guard raises outright if the sampled universe
+#     still exceeds the bound — these are acceptance tests, and at
+#     100 TB nothing may silently launch an all-pairs plan.
+_ACCEPTANCE_MAX_DOCS = 200_000
+
+_SHINGLE3_SAMPLED_CTE = _SHINGLE3_CTE.replace(
+    "FROM documents)", "FROM documents WHERE doc_id % 5 = 0)")
+
+
+def _acceptance_scale_guard(df, what: str):
+    n = df.count()
+    if n > _ACCEPTANCE_MAX_DOCS:
+        raise RuntimeError(
+            f"{what}: sampled universe has {n} docs, over the "
+            f"acceptance-scale bound of {_ACCEPTANCE_MAX_DOCS}. This "
+            "report computes quadratic ground truth and must only run "
+            "at acceptance scale — tighten the sample predicate.")
+    return df
+
+
 @q(
     "lsh_recall_report",
     f"""
-    WITH sh AS ({_SHINGLE3_CTE.format(norm=_NORM_SQL)}),
+    WITH sh AS ({_SHINGLE3_SAMPLED_CTE.format(norm=_NORM_SQL)}),
     sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
     ),
@@ -7389,8 +7419,14 @@ def lsh_recall_report(spark, sf_dir):
     exact integer ppm, ALL of it SQL-replayed (signatures included).
     This is the acceptance test an ANN configuration ships with: band
     count / permutations move these two numbers, and a regression in
-    either goes red at the value level, not in a notebook."""
-    docs = load_docs(spark, sf_dir)
+    either goes red at the value level, not in a notebook. Both sides
+    run over the SAME deterministic 1-in-5 doc sample, and the guard
+    raises if even the sample exceeds acceptance scale — the truth
+    side is quadratic by construction and must never reach corpus
+    scale."""
+    docs = _acceptance_scale_guard(
+        load_docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0),
+        "lsh_recall_report")
     truth = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=None,
     ).select("id_a", "id_b")
@@ -7421,7 +7457,7 @@ def lsh_recall_report(spark, sf_dir):
     f"""
     WITH toks AS (
       SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
-      FROM documents
+      FROM documents WHERE doc_id % 5 = 0
     ),
     h AS (
       SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
@@ -7458,8 +7494,13 @@ def simhash_completeness_report(spark, sf_dir):
     quadratic — affordable only as an acceptance test) must equal the
     4-chunk banded candidate set exactly (any pair within distance 3
     agrees on ≥1 chunk). n_truth = n_predicted = n_true_positive or
-    the implementation broke the guarantee the scale path rests on."""
-    docs = load_docs(spark, sf_dir)
+    the implementation broke the guarantee the scale path rests on.
+    Runs over the deterministic 1-in-5 doc sample with a guard that
+    raises beyond acceptance scale — the truth side is an explicit
+    all-pairs crossJoin and must never see a full corpus."""
+    docs = _acceptance_scale_guard(
+        load_docs(spark, sf_dir).filter(F.col("doc_id") % 5 == 0),
+        "simhash_completeness_report")
     sh = dedup.simhash64(
         docs, "doc_id", "text", base_hash="md5_60", bits=_SH_BITS).persist()
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))

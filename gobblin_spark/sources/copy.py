@@ -212,7 +212,11 @@ def distcp(
     publishes via the merge-rename protocol (sinks/publish.py) so the
     destination flips over only when every file landed; ``False``
     writes in place (rsync-style incremental top-up). Returns
-    (results_df_collected, published: bool)."""
+    (summary_row, published: bool) where the summary is ONE Row
+    (n_files, n_ok, n_failed, bytes_copied, errors[<=20 samples]) —
+    aggregated DISTRIBUTED in the same pass that performs the copies,
+    so a 100M-file distcp never ships a per-file manifest to the
+    driver (only failures enter the sample list, capped at 20)."""
     from gobblin_spark.sinks import publish as P
 
     if atomic:
@@ -227,13 +231,30 @@ def distcp(
         )
     else:
         manifest = plan_copy(spark, src_root, dst_root, skip_unchanged)
-    results = execute_copy(manifest, tasks_hint).collect()
-    all_ok = all(r.ok for r in results)
+    summary = (
+        execute_copy(manifest, tasks_hint)
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.coalesce(F.sum(F.col("ok").cast("long")), F.lit(0)).alias("n_ok"),
+            F.coalesce(F.sum((~F.col("ok")).cast("long")), F.lit(0)).alias(
+                "n_failed"),
+            F.coalesce(F.sum("bytes_copied"), F.lit(0)).alias("bytes_copied"),
+            # collect_list drops the NULLs the CASE yields for ok rows,
+            # so only failures enter the buffer; slice caps the sample.
+            F.slice(
+                F.collect_list(
+                    F.when(~F.col("ok"),
+                           F.concat_ws(": ", "src", "error"))),
+                1, 20,
+            ).alias("errors"),
+        )
+        .collect()[0]
+    )
+    all_ok = summary.n_failed == 0
     if atomic:
         staged = P.StagedDataset(dst_root, staging, dst_root)
         if all_ok:
             P.publish_staged(staged, spark)
         else:
             P.abort_staged(staged, spark)
-        return results, all_ok
-    return results, all_ok
+    return summary, all_ok

@@ -288,10 +288,17 @@ class _RestWriter(DataSourceWriter):
 
     def __init__(self, path: str, schema: StructType, batch_size: int,
                  overwrite: bool = False):
+        import uuid
+
         self.path = path
         self.schema_ = schema
         self.batch_size = batch_size
         self.overwrite = overwrite
+        # Per-job token baked into every staged/final filename so a
+        # second append-mode job can never clobber a prior job's
+        # output (FsDataWriter's publish never overwrites; neither
+        # may we). Generated driver-side, serialized to executors.
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _PageCommit:
         from pyspark import TaskContext
@@ -310,7 +317,8 @@ class _RestWriter(DataSourceWriter):
             if not buf:
                 return
             fname = os.path.join(
-                staging, f"task-{task:05d}-batch-{len(files):05d}.json")
+                staging,
+                f"task-{self.job_token}-{task:05d}-batch-{len(files):05d}.json")
             with open(fname, "w") as fh:
                 fh.write("\n".join(buf) + "\n")
             files.append(fname)
@@ -344,7 +352,15 @@ class _RestWriter(DataSourceWriter):
         staging = os.path.join(self.path, "_staging")
         if os.path.isdir(staging) and not os.listdir(staging):
             os.rmdir(staging)
-        with open(os.path.join(self.path, "_DELIVERED"), "w") as fh:
+        manifest = os.path.join(self.path, "_DELIVERED")
+        if not self.overwrite and os.path.exists(manifest):
+            # Append mode: the manifest covers the WHOLE directory, so
+            # fold in the counts of prior jobs instead of clobbering.
+            with open(manifest) as fh:
+                prev = json.load(fh)
+            total += prev.get("rows", 0)
+            n += prev.get("files", 0)
+        with open(manifest, "w") as fh:
             json.dump({"rows": total, "files": n}, fh)
 
     def abort(self, messages) -> None:
@@ -637,8 +653,14 @@ class _SqlWriter(DataSourceWriter):
                 flist = ", ".join(_sql_literal(f) for f in files)
                 src = f"SELECT * FROM read_parquet([{flist}])"
             else:
+                # CAST each NULL to the mapped DuckDB type — a bare
+                # NULL lets DuckDB infer its own column type for the
+                # empty table, losing the declared Spark schema and
+                # breaking (or silently coercing) a later real append.
                 cols = ", ".join(
-                    f"NULL AS {_sql_ident(f.name)}"
+                    f"CAST(NULL AS "
+                    f"{_SPARK_TO_DUCK.get(f.dataType.simpleString(), 'VARCHAR')}"
+                    f") AS {_sql_ident(f.name)}"
                     for f in self.schema_.fields)
                 src = f"SELECT {cols} WHERE FALSE"
             if self.overwrite:

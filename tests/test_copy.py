@@ -39,8 +39,11 @@ def test_list_tree_distributed(spark, tree):
 
 def test_distcp_byte_identical(spark, tree, tmp_path):
     dst = str(tmp_path / "dst")
-    results, ok = C.distcp(spark, tree, dst)
-    assert ok and all(r.ok for r in results) and len(results) == 4
+    summary, ok = C.distcp(spark, tree, dst)
+    assert ok and summary.n_failed == 0 and summary.n_files == 4
+    assert summary.n_ok == 4 and summary.errors == []
+    assert summary.bytes_copied == sum(
+        len(v) for v in _tree_bytes(tree).values())
     assert _tree_bytes(tree) == _tree_bytes(dst)
     assert os.path.exists(os.path.join(dst, "_SUCCESS"))
 
