@@ -1340,12 +1340,75 @@ def multimodal_frame_plan(spark, sf_dir):
     return multimodal.frame_sample_plan(media, every_n_seconds=5)
 
 
-@q("multimodal_decode_fake")  # mapInPandas plumbing — rows-only check
-def multimodal_decode_fake(spark, sf_dir):
-    """Arrow-batched decode stage (deterministic fake codec — env has no PIL)."""
+@q(
+    "multimodal_decode_wav",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id, 100 + doc_id % 400 AS n_samples
+      FROM documents
+    ), s AS (
+      SELECT media_id, n_samples, unnest(range(0, n_samples)) AS i
+      FROM d
+    ), amps AS (
+      SELECT media_id, n_samples,
+             ((media_id * 31 + i * 17) % 2001) - 1000 AS amp
+      FROM s
+    )
+    SELECT media_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(n_samples * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(sum(amp) AS BIGINT) AS sum_amp,
+           CAST(sum(abs(amp)) AS BIGINT) AS sum_abs
+    FROM amps GROUP BY media_id, n_samples
+    """,
+)
+def multimodal_decode_wav(spark, sf_dir):
+    """REAL audio decode, value-checked: every doc id is encoded into
+    an actual PCM16 mono WAV file (stdlib wave — a playable RIFF
+    container) in one Arrow-batched stage, then a SECOND mapInPandas
+    stage parses the bytes back (header fields + struct-unpacked
+    frames) into exact integer metrics. The samples are a pure integer
+    function of the id, so the oracle reproduces sum/abs-sum per
+    recording in closed form — the decode path that used to be stubbed
+    is now a value-exact round trip over real media bytes."""
     docs = load_docs(spark, sf_dir)
-    media = multimodal.documents_as_media(docs)
-    return multimodal.decode_image_features(media, fake=True)
+    media = multimodal.synth_wav_media(docs)
+    return multimodal.decode_wav_features(media)
+
+
+@q(
+    "multimodal_decode_bmp",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id, 4 + doc_id % 29 AS w, 3 + doc_id % 17 AS h
+      FROM documents
+    ), px AS (
+      SELECT media_id, w, h, unnest(range(0, w * h)) AS p FROM d
+    ), xy AS (
+      SELECT media_id, w, h, p % w AS x, p // w AS y FROM px
+    )
+    SELECT media_id,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(sum((media_id + 7*x + 13*y) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((media_id * 3 + 5*x + 11*y) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((media_id * 7 + 3*x + 17*y) % 256) AS BIGINT) AS sum_b
+    FROM xy GROUP BY media_id, w, h
+    """,
+)
+def multimodal_decode_bmp(spark, sf_dir):
+    """REAL image decode, value-checked: each doc id becomes an actual
+    uncompressed 24-bit BI_RGB BMP (padded bottom-up scanlines, BGR on
+    disk — any viewer opens it), encoded executor-side; a second
+    Arrow-batched stage parses the container header and raster back
+    into width/height and exact per-channel pixel sums. The pixel
+    pattern is a pure integer function of (id, x, y), so the oracle
+    replays the sums in closed form — a byte-real encode→decode round
+    trip through the image plumbing."""
+    docs = load_docs(spark, sf_dir)
+    media = multimodal.synth_bmp_media(docs)
+    return multimodal.decode_bmp_features(media)
 
 
 # ------------------------------------------------------------------
@@ -7946,7 +8009,7 @@ DRIVER_FIRST = [
     "mixing_length_histogram", "cleaning_c4_lines",
     "cleaning_dedup_lines", "cleaning_blocklist", "text_vocab_counts",
     "text_tfidf_top_terms", "bloom_incremental_dedup",
-    "multimodal_decode_fake",
+    "multimodal_decode_wav",
     # new in round 4
     "envelope_decode_registry", "quality_task_policies",
     "iceberg_evolve_delete_read",

@@ -27,7 +27,7 @@ SKIP = {
     "streaming_ingest_parity", "pipeline_fork_publish",
     "hive_register_query", "format_convert_roundtrip",
     "stateful_dedup_users", "jdbc_pull_partitioned", "rest_source_pages",
-    "multimodal_decode_fake", "async_enrich", "object_delete_manifest",
+    "async_enrich", "object_delete_manifest",
 }
 
 

@@ -770,3 +770,50 @@ def test_hashed_embedding_exact_and_composable(spark):
     c = emb.select(similarity.cosine(
         F.col("hvec"), F.col("hvec")).alias("c")).collect()
     assert all(abs(r.c - 1.0) < 1e-12 for r in c)
+
+
+def test_wav_codec_roundtrip_pure_python():
+    """encode_wav_pcm16 produces a real RIFF container the stdlib-only
+    decoder (and any audio tool) reads back sample-exact."""
+    for mid in (0, 7, 399, 4999):
+        samples = multimodal._wav_samples(mid)
+        wav = multimodal.encode_wav_pcm16(samples)
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        rate, nch, n, s_amp, s_abs = multimodal.decode_wav_pcm16(wav)
+        assert (rate, nch, n) == (8000, 1, len(samples))
+        assert s_amp == sum(samples)
+        assert s_abs == sum(abs(v) for v in samples)
+
+
+def test_bmp_codec_roundtrip_pure_python():
+    """encode_bmp24 emits a spec-valid padded bottom-up BMP; the decoder
+    recovers dims and exact channel sums (incl. widths needing pad)."""
+    for mid in (0, 1, 2, 3, 28, 4999):  # widths 4..32 hit all pad sizes
+        bmp = multimodal.encode_bmp24(mid)
+        w, h = multimodal._bmp_dims(mid)
+        got = multimodal.decode_bmp24(bmp)
+        exp = (
+            w, h,
+            sum(multimodal._bmp_pixel(mid, x, y)[0]
+                for x in range(w) for y in range(h)),
+            sum(multimodal._bmp_pixel(mid, x, y)[1]
+                for x in range(w) for y in range(h)),
+            sum(multimodal._bmp_pixel(mid, x, y)[2]
+                for x in range(w) for y in range(h)),
+        )
+        assert got == exp
+
+
+def test_ppm_decode_with_comments():
+    ppm = b"P6\n# comment line\n3 2\n255\n" + bytes(range(18))
+    assert multimodal.decode_ppm_p6(ppm) == (3, 2, 45, 51, 57)
+
+
+def test_decode_image_features_real_bmp(spark):
+    """decode_image_features now REALLY decodes BMP payloads (magic
+    sniff) instead of raising — dims come from the container header."""
+    ids = spark.range(3).select(F.col("id").alias("doc_id"))
+    media = multimodal.synth_bmp_media(ids)
+    feats = {r.media_id: (r.width, r.height)
+             for r in multimodal.decode_image_features(media).collect()}
+    assert feats == {m: multimodal._bmp_dims(m) for m in (0, 1, 2)}
