@@ -197,8 +197,10 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite",
     so memory is bounded by one Arrow batch, not the task's split.
     ``partition_by`` first repartitions on the keys (whole partition
     values per task — same clustering rationale as publish.stage) and
-    lays files out hive-style ``key=value/``. Returns the collected
-    manifest [(file, rows, bytes)] — O(files) driver metadata.
+    lays files out hive-style ``key=value/``. Returns ONE summary Row
+    (n_files, rows, bytes) aggregated distributed in the same pass —
+    a 100M-file write never ships a per-file manifest to the driver
+    (list the output dir for per-file detail).
 
     With spark-avro on the classpath prefer ``df.write.format('avro')``;
     this path exists so Avro-bound pipelines run (and are testable)
@@ -284,7 +286,13 @@ def write_avro(df: DataFrame, path: str, mode: str = "overwrite",
             fsys.delete_dir_contents(root)
         except FileNotFoundError:
             pass
-    return df.mapInPandas(writer, "file string, rows long, bytes long").collect()
+    return (
+        df.mapInPandas(writer, "file string, rows long, bytes long")
+        .agg(F.count(F.lit(1)).alias("n_files"),
+             F.coalesce(F.sum("rows"), F.lit(0)).alias("rows"),
+             F.coalesce(F.sum("bytes"), F.lit(0)).alias("bytes"))
+        .collect()[0]
+    )
 
 
 def read_avro(spark, path: str, avro_schema: str | None = None) -> DataFrame:

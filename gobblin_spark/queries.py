@@ -5071,22 +5071,9 @@ def mixing_pack_manifest(spark, sf_dir):
     return X.pack_manifest(asg, "n_chars", shard_col="lang")
 
 
-@q(
-    "embedding_centroid_norms",
-    """
-    WITH comp AS (
-      SELECT label, generate_subscripts(embedding, 1) AS pos,
-             unnest(embedding) AS val
-      FROM embeddings
-    ),
-    cent AS (
-      SELECT label, pos, avg(val) AS c FROM comp GROUP BY label, pos
-    )
-    SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm,
-           CAST(count(*) AS INT) AS n_dims
-    FROM cent GROUP BY label
-    """,
-)
+# retired from the catalog (round 5, net-growth freeze): a
+# composition of operators certified by their own entries; the
+# function stays tested (pytest + plan-shape pins) below.
 def embedding_centroid_norms(spark, sf_dir):
     """Per-cluster centroid statistics over the embedding corpus —
     the monitoring pass of an IVF/k-means index (cell centroid norms
@@ -5299,57 +5286,9 @@ def simhash_incremental_checked(spark, sf_dir):
         "new_id", "corpus_id", F.col("hamming").cast("int").alias("hamming"))
 
 
-@q(
-    "dedup_fuzzy_survivors",
-    f"""
-    WITH RECURSIVE sh AS ({_SHINGLE3_CTE.format(norm=_NORM_SQL)}),
-    h AS (
-      SELECT doc_id,
-             CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {_MH_P} AS h
-      FROM sh
-    ),
-    sig AS (
-      SELECT doc_id,
-             {_MH_MINS}
-      FROM h GROUP BY doc_id
-    ),
-    banded AS (
-      SELECT doc_id,
-             unnest([{_MH_BKEYS}]) AS bkey
-      FROM sig
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM banded a JOIN banded b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
-    ),
-    pairs AS (
-      SELECT id_a, id_b FROM (
-        SELECT c.id_a, c.id_b,
-               {_MH_AGREE}
-               AS n_agree
-        FROM cand c
-        JOIN sig a ON a.doc_id = c.id_a
-        JOIN sig b ON b.doc_id = c.id_b
-      ) WHERE n_agree >= CAST(ceil(0.5 * {_MH_PERM}) AS INT)
-    ),
-    edges AS (
-      SELECT id_a AS u, id_b AS v FROM pairs
-      UNION SELECT id_b AS u, id_a AS v FROM pairs
-    ),
-    reach AS (
-      SELECT u AS node, u AS lab FROM (SELECT DISTINCT u FROM edges)
-      UNION
-      SELECT e.u AS node, r.lab FROM edges e JOIN reach r ON r.node = e.v
-    ),
-    losers AS (
-      SELECT node AS doc_id FROM (
-        SELECT node, min(lab) AS component FROM reach GROUP BY node
-      ) WHERE node <> component
-    )
-    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
-    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
-    """,
-)
+# retired from the catalog (round 5, net-growth freeze): a
+# composition of operators certified by their own entries; the
+# function stays tested (pytest + plan-shape pins) below.
 def dedup_fuzzy_survivors(spark, sf_dir):
     """The fuzzy-dedup chain taken all the way to the CURATED CORPUS:
     LSH pairs → connected components → keep the min-id representative
@@ -5397,39 +5336,9 @@ def cleaning_line_census(spark, sf_dir):
     return CL.duplicate_line_stats(docs, min_dup_chars=20)
 
 
-@q(
-    "text_perplexity_tiers",
-    f"""
-    WITH tr AS (SELECT {_NORM_SQL} AS nt FROM documents WHERE doc_id % 3 = 0),
-    words AS (
-      SELECT unnest(regexp_split_to_array(nt, ' ')) AS word FROM tr
-      WHERE nt <> ''
-    ),
-    lm AS (SELECT word, count(*) AS n FROM words WHERE word <> '' GROUP BY word),
-    vt AS (SELECT count(*) AS v, sum(n) AS total FROM lm),
-    sc AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents
-           WHERE doc_id % 3 <> 0),
-    toks AS (
-      SELECT doc_id, unnest(regexp_split_to_array(nt, ' ')) AS word
-      FROM sc WHERE nt <> ''
-    ),
-    scores AS (
-      SELECT doc_id,
-             round(avg(-ln((coalesce(n, 0) + 0.5)
-                           / (total + 0.5 * (v + 1)))), 6) AS nlp
-      FROM (SELECT t.doc_id, lm.n FROM toks t LEFT JOIN lm USING (word)
-            WHERE t.word <> '') CROSS JOIN vt
-      GROUP BY doc_id
-    ),
-    cuts AS (SELECT quantile_cont(nlp, 1.0/3) AS c1,
-                    quantile_cont(nlp, 2.0/3) AS c2 FROM scores)
-    SELECT doc_id, nlp AS neg_logprob,
-           CASE WHEN nlp <= (SELECT c1 FROM cuts) THEN 'head'
-                WHEN nlp <= (SELECT c2 FROM cuts) THEN 'middle'
-                ELSE 'tail' END AS tier
-    FROM scores
-    """,
-)
+# retired from the catalog (round 5, net-growth freeze): a
+# composition of operators certified by their own entries; the
+# function stays tested (pytest + plan-shape pins) below.
 def text_perplexity_tiers(spark, sf_dir):
     """CCNet's head/middle/tail corpus partitioning (Wenzek et al.
     2020 §3.3): score every document by LM perplexity, cut the corpus
@@ -6423,34 +6332,9 @@ def retry_write_roundtrip(spark, sf_dir):
     return spark.read.parquet(tmp)
 
 
-@q(
-    "ngram_containment_docs",
-    f"""
-    WITH norm AS (
-      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS words
-      FROM documents WHERE doc_id % 5 = 0
-    ), idx AS (
-      SELECT doc_id, words,
-             unnest(range(1, greatest(len(words) - 1, 0) + 2)) AS i
-      FROM norm
-    ), sh AS (
-      SELECT DISTINCT doc_id, array_to_string(words[i:i], ' ') AS shingle
-      FROM idx WHERE array_to_string(words[i:i], ' ') <> ''
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle
-                         AND a.doc_id <> b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           CAST(floor(n_inter * 1000000.0 / sa.n_sh) AS BIGINT)
-             AS containment_ppm
-    FROM inter JOIN sizes sa ON sa.doc_id = id_a
-    WHERE floor(n_inter * 1000000.0 / sa.n_sh) >= 800000
-    """,
-)
+# retired from the catalog (round 5, net-growth freeze): a
+# composition of operators certified by their own entries; the
+# function stays tested (pytest + plan-shape pins) below.
 def ngram_containment_docs(spark, sf_dir):
     """DIRECTED containment |A∩B| / |A| ≥ 0.8 — catches doc-inside-doc
     (quotes, boilerplate-wrapped reposts) that symmetric Jaccard
@@ -6707,6 +6591,154 @@ def sql_datasource_pull(spark, sf_dir):
         F.round("o_totalprice", 4).alias("o_totalprice"),
         F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
     )
+
+
+@q(
+    "sql_write_read_roundtrip",
+    """
+    SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 4) AS s_acctbal
+    FROM supplier
+    """,
+)
+def sql_write_read_roundtrip(spark, sf_dir):
+    """The JdbcWriter staging-swap CERTIFIED end-to-end without a
+    server (JdbcWriter.java:67 / JdbcPublisher.java:52 semantics on an
+    embedded DuckDB): `df.write.format("gobblin_sql")` stages per-task
+    parquet, and the driver-side commit loads it into the table inside
+    ONE transaction (create-or-append); a second append with disjoint
+    rows proves append doesn't clobber and the empty-create path keeps
+    declared types. The table then comes BACK through the
+    `format("gobblin_sql")` partitioned reader. Green iff the round
+    trip hash-matches the source parquet exactly."""
+    import tempfile
+
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    db = tempfile.mkdtemp(prefix="gobblin_sqlrt_") + "/rt.duckdb"
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    even = sup.filter(F.col("s_suppkey") % 2 == 0)
+    odd = sup.filter(F.col("s_suppkey") % 2 == 1)
+    (even.write.format("gobblin_sql").option("database", db)
+     .option("table", "supplier_rt").mode("overwrite").save())
+    (odd.write.format("gobblin_sql").option("database", db)
+     .option("table", "supplier_rt").mode("append").save())
+    hi = sup.agg(F.max("s_suppkey")).first()[0]
+    back = (
+        spark.read.format("gobblin_sql")
+        .option("database", db).option("table", "supplier_rt")
+        .option("partition_column", "s_suppkey")
+        .option("lower_bound", "0").option("upper_bound", str(hi))
+        .option("num_partitions", "4").load()
+    )
+    return back.select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.round("s_acctbal", 4).alias("s_acctbal"))
+
+
+@q(
+    "safe_commit_isolation",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS dataset, count(*) AS n FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+      GROUP BY 1
+    )
+    SELECT 'successful_tasks' AS policy, dataset,
+           dataset <> '3-MEDIUM' AS published,
+           CAST(CASE WHEN dataset <> '3-MEDIUM' THEN n ELSE 0 END AS BIGINT)
+             AS n_rows
+    FROM c
+    UNION ALL
+    SELECT 'full_success' AS policy, dataset, FALSE AS published,
+           CAST(0 AS BIGINT) AS n_rows
+    FROM c
+    """,
+)
+def safe_commit_isolation(spark, sf_dir):
+    """SafeDatasetCommit's isolation matrix, value-checked
+    (SafeDatasetCommit.java:67 × JobCommitPolicy.java:35): three
+    datasets stage; one is audited against an impossible row count and
+    goes red. Under COMMIT_SUCCESSFUL_TASKS the two green datasets
+    publish and the red one aborts; under COMMIT_ON_FULL_SUCCESS the
+    same red audit aborts ALL three. Each (policy, dataset) row
+    reports the publish outcome AND the rows actually readable from
+    the final dir — the oracle recomputes both from the source
+    counts."""
+    import tempfile
+
+    from gobblin_spark.operators import quality
+    from gobblin_spark.sinks import publish as P
+
+    orders = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    out_rows = []
+    for policy, tag in (
+        (P.JobCommitPolicy.COMMIT_SUCCESSFUL_TASKS, "successful_tasks"),
+        (P.JobCommitPolicy.COMMIT_ON_FULL_SUCCESS, "full_success"),
+    ):
+        root = tempfile.mkdtemp(prefix=f"gobblin_safe_{tag}_")
+        staged = []
+        for p in prios:
+            df = orders.filter(F.col("o_orderpriority") == p).select(
+                "o_orderkey", "o_totalprice")
+            s = P.stage(df, f"{root}/{p}", name=p)
+            expect = -1 if p == "3-MEDIUM" else df.count()
+            P.audit(s, spark, [
+                lambda d, e=expect: quality.row_count_policy(e, d.count())])
+            staged.append(s)
+        P.commit(staged, spark, policy)
+        for s in staged:
+            pub = P.is_published(spark, s.final_dir)
+            n = (spark.read.parquet(s.final_dir).count() if pub else 0)
+            out_rows.append((tag, s.name, pub, n))
+    return spark.createDataFrame(
+        out_rows, "policy string, dataset string, published boolean, "
+        "n_rows long")
+
+
+@q(
+    "filesize_policy_report",
+    """
+    WITH b AS (
+      SELECT source,
+             CAST(sum(octet_length(encode(text)) + 1) AS BIGINT)
+               AS total_bytes
+      FROM documents WHERE text IS NOT NULL GROUP BY source
+    )
+    SELECT source, CAST(1 AS BIGINT) AS n_files, total_bytes,
+           total_bytes >= 500 AND total_bytes <= 5000000 AS passed
+    FROM b
+    """,
+)
+def filesize_policy_report(spark, sf_dir):
+    """FileSizePolicy value-checked end-to-end: each source's documents
+    are written as ONE text file (value + newline per row — byte size
+    is therefore Σ(octet_length(text)+1), exactly reproducible in
+    SQL), and file_size_policy judges the committed listing's average
+    file size against [500, 5M] bytes. The report row carries the
+    policy's own inputs (file count, bytes from the FS listing, not
+    the data) plus its verdict — the oracle recomputes all of it from
+    the corpus."""
+    import tempfile
+
+    from gobblin_spark.operators import quality
+    from gobblin_spark.sinks.writers import write_data
+
+    docs = load_docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    sources = sorted(r.source for r in docs.select("source").distinct().collect())
+    root = tempfile.mkdtemp(prefix="gobblin_fsz_")
+    out = []
+    for s in sources:
+        wr = write_data(
+            docs.filter(F.col("source") == s).select("text").coalesce(1),
+            f"{root}/{s}", fmt="text")
+        res = quality.file_size_policy(
+            wr, min_avg_bytes=500, max_avg_bytes=5_000_000)
+        out.append((s, wr.files, wr.bytes_written, res.passed))
+    return spark.createDataFrame(
+        out, "source string, n_files long, total_bytes long, passed boolean")
 
 
 @q(
@@ -7967,55 +7999,74 @@ HEADLINE = [
     # the end-to-end training-data composition
     "pipeline_training_data_e2e",
     # self-measuring acceptance reports (approximation quality as
-    # value-checked numbers, timed per round)
+    # value-checked numbers, timed per round; truth sides sampled
+    # 1-in-5 + scale-guarded since round 5)
     "lsh_recall_report",
     "simhash_completeness_report",
     "ivf_recall_report",
+    # round-5 additions: real pure-Python media decode (Arrow-batched
+    # encode+parse round trips) and the embedded-SQL write+read path
+    "multimodal_decode_wav",
+    "multimodal_decode_bmp",
+    "sql_write_read_roundtrip",
 ]
 
 
 # ------------------------------------------------------------------
 # Driver verification window
 # ------------------------------------------------------------------
-# The driver's correctness gate evaluates only the FIRST 50 entries of
-# the queries() dict (list(QUERIES)[:50], confirmed rounds 2-3). The
-# catalog holds 157, so ordering decides which operators get a driver
-# row. Round 4 fronts the 43 entries that had never had one (all
-# locally green via scripts/check_oracles.py), three new round-4
-# queries, and 4 cross-round canaries; everything else keeps its
-# registration order behind the window. Rotate per round until every
-# entry has a green row in some CORRECTNESS_r*.json —
-# scripts/rotate_window.py computes the next rotation from the
-# accumulated CORRECTNESS files.
+# PERMANENT CONTRACT: the driver's correctness gate evaluates only the
+# FIRST 50 entries of the queries() dict (list(QUERIES)[:50], confirmed
+# every round since r2). The catalog holds 203, so ordering decides
+# which operators get a driver row. Protocol, each round:
+#   1. python scripts/rotate_window.py  — classifies every entry from
+#      the accumulated CORRECTNESS_r*.json (green somewhere / red /
+#      never run) and proposes the next window;
+#   2. front ~45 never-run (or red) entries + ~5 long-green canaries;
+#   3. net catalog growth is FROZEN while never-run entries remain —
+#      a new query must replace a retired redundant one.
+# Rotate until every entry has a green row in some CORRECTNESS file.
 DRIVER_FIRST = [
-    # TPC-H shapes — never driver-verified
-    "q1_pricing_summary", "q3_segment_revenue", "q5_region_volume",
-    "q6_forecast_revenue", "q10_returned_items", "q4_order_priority",
-    "q12_priority_by_flag", "q14_promo_effect", "q18_large_orders",
-    "q19_bracketed_revenue",
-    # ingest / publish / streaming paths — never driver-verified
-    "sink_roundtrip_partitioned", "incremental_pull_union",
-    "jdbc_pull_partitioned", "streaming_ingest_parity",
-    "kafka_offsets_pull", "rest_source_pages", "pipeline_fork_publish",
-    "hive_register_query", "format_convert_roundtrip",
-    "avro_binary_roundtrip", "avro_container_roundtrip",
-    "iceberg_snapshot_read", "jobconf_pull_compile",
-    "flow_multihop_compile", "metrics_observed_rollup",
-    "schema_evolution_union", "crypto_roundtrip", "pgp_roundtrip",
-    "async_enrich", "object_delete_manifest", "stateful_dedup_users",
-    # training-data ops — never driver-verified
-    "skew_salted_agg", "window_sliding_daily",
-    "mixing_sample_proportional", "mixing_pack_assignments",
-    "mixing_length_histogram", "cleaning_c4_lines",
-    "cleaning_dedup_lines", "cleaning_blocklist", "text_vocab_counts",
-    "text_tfidf_top_terms", "bloom_incremental_dedup",
-    "multimodal_decode_wav",
-    # new in round 4
-    "envelope_decode_registry", "quality_task_policies",
-    "iceberg_evolve_delete_read",
-    # cross-round canaries (green in r2/r3; contamination fixed r4)
-    "contamination_check_docs", "dedup_exact_docs",
-    "compaction_dedup_events", "purge_by_id",
+    # ROUND-5 WINDOW — rotated per VERDICT r4 #1: 45 never-driver-run
+    # entries (priority order from the verdict) + 5 cross-round
+    # canaries. Rotate again next round via scripts/rotate_window.py.
+    # -- TPC-H shapes (12), never driver-verified
+    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q11_important_parts",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q20_potential_promotion", "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # -- temporal joins
+    "asof_join_events", "range_join_events",
+    # -- DataSource V2 pulls
+    "rest_datasource_pull", "sql_datasource_pull",
+    # -- copy / file-diff sources
+    "copy_distcp_roundtrip", "filesource_snapshot_diff",
+    # -- commit machinery
+    "commit_policy_partial", "commit_sequence_replay",
+    # -- streaming parity + semantics
+    "streaming_window_parity", "streaming_join_parity",
+    "streaming_session_parity", "streaming_dropdup_parity",
+    "streaming_epoch_replay", "streaming_late_routing",
+    # -- graph ops
+    "pagerank_partsupp", "graph_components_chain",
+    # -- lake layout
+    "bucketed_join_revenue", "zorder_clustered_scan",
+    # -- new in round 5 (real media decode, SQL write+read,
+    #    SafeDatasetCommit matrix, FileSize policy)
+    "multimodal_decode_wav", "multimodal_decode_bmp",
+    "sql_write_read_roundtrip", "safe_commit_isolation",
+    "filesize_policy_report",
+    # -- round-4 text / mixing operators
+    "text_perplexity_scores", "text_bigram_perplexity",
+    "text_classifier_score", "text_chunk_windows",
+    "cleaning_span_dedup", "dedup_keep_best_docs",
+    "pipeline_corpus_curation", "tfidf_cosine_pairs",
+    "mixing_stratified_exact", "mixing_shuffle_seeded",
+    # -- cross-round canaries (green r1-r4)
+    "q1_pricing_summary", "compaction_dedup_events", "purge_by_id",
+    "dedup_exact_docs", "sink_roundtrip_partitioned",
 ]
 assert len(DRIVER_FIRST) == 50, len(DRIVER_FIRST)
 assert set(DRIVER_FIRST) <= set(QUERIES), sorted(set(DRIVER_FIRST) - set(QUERIES))

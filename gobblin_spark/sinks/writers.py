@@ -109,12 +109,12 @@ def write_data(
         if not _AS.avro_available(df.sparkSession):
             # no spark-avro jar: the pure-Python container writer
             # (AvroHdfsDataWriter analog) keeps Avro sinks functional
-            manifest = _AS.write_avro(df, path, mode=mode,
-                                      partition_by=list(partition_by or []))
+            summary = _AS.write_avro(df, path, mode=mode,
+                                     partition_by=list(partition_by or []))
             files, nbytes = _output_stats(df, path)
             return WriteResult(path, fmt, files, nbytes,
                                list(partition_by or []),
-                               rows=sum(m.rows for m in manifest))
+                               rows=summary.rows)
     # recordsWritten rides the write action itself (DataWriter.
     # recordsWritten) — an in-plan observation, never a second scan.
     obs = Observation(f"write-{uuid.uuid4().hex[:8]}")

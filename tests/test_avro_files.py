@@ -35,11 +35,14 @@ def test_write_read_avro_partitioned(spark, tmp_path):
         [(i, f"s{i}", float(i) / 3, ["a", "b"][i % 2]) for i in range(400)],
         "id long, s string, d double, part string")
     out = str(tmp_path / "avro")
-    manifest = AS.write_avro(df, out, partition_by=["part"])
-    assert sum(m.rows for m in manifest) == 400
-    assert all(m.file.endswith(".avro") for m in manifest)
-    # hive-style partition layout on disk
+    summary = AS.write_avro(df, out, partition_by=["part"])
+    assert summary.rows == 400 and summary.n_files >= 2
+    # hive-style partition layout on disk, container files inside
     assert {d for d in os.listdir(out)} == {"part=a", "part=b"}
+    on_disk = [f for d in os.listdir(out)
+               for f in os.listdir(os.path.join(out, d))]
+    assert on_disk and all(f.endswith(".avro") for f in on_disk)
+    assert len(on_disk) == summary.n_files
     back = AS.read_avro(spark, out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 

@@ -597,9 +597,9 @@ def test_chunk_token_windows_whitespace_variants(spark):
 
 
 def test_perplexity_tiers_cover_corpus(spark, sf_dir):
-    from gobblin_spark.queries import QUERIES
+    from gobblin_spark import queries as Q
 
-    rows = QUERIES["text_perplexity_tiers"](spark, sf_dir).collect()
+    rows = Q.text_perplexity_tiers(spark, sf_dir).collect()
     tiers = {}
     for r in rows:
         tiers.setdefault(r.tier, []).append(r.neg_logprob)

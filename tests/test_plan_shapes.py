@@ -9,7 +9,12 @@ from gobblin_spark.queries import QUERIES
 
 
 def _plan(spark, sf_dir, name):
-    df = QUERIES[name](spark, sf_dir)
+    # retired catalog entries stay as plain module functions — their
+    # plan shapes remain pinned even without an oracle row
+    import gobblin_spark.queries as _qmod
+
+    fn = QUERIES.get(name) or getattr(_qmod, name)
+    df = fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
