@@ -408,12 +408,26 @@ def simhash_near_dup_pairs(
     exact popcount verification. (max_hamming ≤ 3 is guaranteed
     complete; larger values would need more/smaller chunks.)
     """
-    if bits % 4:
-        raise ValueError("bits must be divisible by 4 (pigeonhole chunks)")
-    cw = bits // 4
     # two consumers (left/right of the chunk self-join) — persist the
     # slim (id, simhash) table so the per-bit-sum aggregation runs once
     sh = simhash64(df, id_col, text_col, base_hash, bits).persist()
+    return simhash_pairs_from_signatures(sh, id_col, max_hamming, bits)
+
+
+def simhash_pairs_from_signatures(
+    sh: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Pigeonhole pair search over a PRECOMPUTED (id, simhash) table —
+    the banding/verify half of ``simhash_near_dup_pairs``, split out so
+    callers that already hold the signature table (incremental stores,
+    the completeness report's truth side) never pay the per-bit-sum
+    aggregation twice."""
+    if bits % 4:
+        raise ValueError("bits must be divisible by 4 (pigeonhole chunks)")
+    cw = bits // 4
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), cw * i).bitwiseAND(

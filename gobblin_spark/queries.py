@@ -7606,9 +7606,10 @@ def simhash_completeness_report(spark, sf_dir):
         .select("id_a", "id_b")
         .persist()
     )
-    pred = dedup.simhash_near_dup_pairs(
-        docs, "doc_id", "text", max_hamming=3, base_hash="md5_60",
-        bits=_SH_BITS,
+    # pred reuses the SAME persisted signature table as truth — the
+    # 64-aggregate per-bit-sum stage runs once, not twice
+    pred = dedup.simhash_pairs_from_signatures(
+        sh, "doc_id", max_hamming=3, bits=_SH_BITS,
     ).select("id_a", "id_b").persist()
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     n_pred = pred.agg(F.count(F.lit(1)).alias("n_predicted"))
