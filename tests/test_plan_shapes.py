@@ -110,6 +110,21 @@ CASES = [
     ("snapshot_diff_rows", 3, "CartesianProduct"),
     # within-doc segment dedup is pure narrow codegen
     ("cleaning_dedup_paragraphs", 0, "Exchange hashpartitioning"),
+    # round-5 window additions: remaining TPC-H shapes
+    ("q13_customer_distribution", 2, "CartesianProduct"),
+    ("q15_top_supplier", 2, "CartesianProduct"),
+    ("q16_supplier_part_counts", 2, "CartesianProduct"),
+    ("q17_small_quantity_revenue", 1, "CartesianProduct"),
+    # q22 keeps its scalar-threshold BroadcastNestedLoopJoin (the
+    # build side is ONE row — the correct scalar-subquery shape);
+    # a real cartesian is still forbidden
+    ("q22_dormant_customers", 1, "CartesianProduct"),
+    # min-label propagation runs over localCheckpoint-reset lineage:
+    # the final plan must stay checkpoint-backed, not re-derived
+    ("graph_components_chain", 0, "CartesianProduct"),
+    # real media decode: narrow Arrow-batched pipelines, no exchange
+    ("multimodal_decode_wav", 0, "Exchange hashpartitioning"),
+    ("multimodal_decode_bmp", 0, "Exchange hashpartitioning"),
 ]
 
 
