@@ -26,12 +26,17 @@ POSITION DELETES (spec "Position Delete Files": content=1 files of
 sequence number <= the delete's), and a Spark-side ``read()`` that
 resolves snapshot → manifest list → manifests → parquet paths and
 applies pending deletes of both flavors as broadcast anti-joins with
-the spec's sequence-number guards. Column rename/drop (needs parquet
-field-id resolution our writers don't emit) and catalog integration
-are out of scope — with the iceberg-spark-runtime jar on the
-classpath use the real catalog instead (sinks/hive.register_iceberg
-documents that path). Metadata here is O(files) driver-side work,
-exactly like the reference's writer."""
+the spec's sequence-number guards, and RENAME / DROP column evolution
+backed by real parquet FIELD-IDS: data (and equality-delete) files
+embed each column's Iceberg field-id via Spark's
+``spark.sql.parquet.fieldId.write.enabled`` path, and reads resolve
+columns by id (``...fieldId.read.enabled``), so renamed columns read
+correctly from pre-rename files and a dropped-then-re-added name
+(fresh id) can never resurrect old data. Catalog integration is out
+of scope — with the iceberg-spark-runtime jar on the classpath use
+the real catalog instead (sinks/hive.register_iceberg documents that
+path). Metadata here is O(files) driver-side work, exactly like the
+reference's writer."""
 
 from __future__ import annotations
 
@@ -62,7 +67,18 @@ _ICEBERG_TO_SPARK = {v: k for k, v in _SPARK_TO_ICEBERG.items()}
 
 def _spark_struct(ice_schema: dict) -> T.StructType:
     """Iceberg struct schema → Catalyst StructType (primitives +
-    decimal, the same subset _iceberg_schema writes)."""
+    decimal, the same subset _iceberg_schema writes).
+
+    Every field carries ``parquet.field.id`` metadata = its Iceberg
+    field-id. Spark's parquet writer embeds those ids in the files
+    (``spark.sql.parquet.fieldId.write.enabled``, default on) and the
+    reader resolves columns BY ID when the requested schema has them
+    (``spark.sql.parquet.fieldId.read.enabled`` — we enable it per
+    table). That id-based resolution is exactly the spec's column
+    projection rule and is what makes RENAME and DROP evolution safe:
+    a renamed column still reads from old files via its unchanged id,
+    and a dropped-then-re-added name gets a fresh id so old data can
+    never leak in by name."""
     fields = []
     for f in ice_schema["fields"]:
         t = f["type"]
@@ -73,8 +89,27 @@ def _spark_struct(ice_schema: dict) -> T.StructType:
             dt = T.DecimalType(int(p), int(s))
         else:
             raise TypeError(f"unsupported iceberg type {t}")
-        fields.append(T.StructField(f["name"], dt, not f["required"]))
+        fields.append(T.StructField(f["name"], dt, not f["required"],
+                                    metadata={"parquet.field.id": f["id"]}))
     return T.StructType(fields)
+
+
+def _conform_with_ids(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project *df* onto *schema* (cast + reorder, null-fill missing
+    columns) attaching each column's ``parquet.field.id`` via
+    ``alias(metadata=...)`` — the ONE attachment route Spark's parquet
+    writer actually honors (``DataFrame.to`` shows the metadata on
+    ``df.schema`` but the ids never reach the written files; verified
+    against pyarrow footers)."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in schema.fields:
+        src = (F.col(f.name) if f.name in df.columns
+               else F.lit(None))
+        cols.append(src.cast(f.dataType).alias(
+            f.name, metadata=dict(f.metadata)))
+    return df.select(*cols)
 
 
 # Avro schemas for the manifest list and manifest entries, with the
@@ -314,9 +349,17 @@ class IcebergTable:
     def append_dataframe(self, df: DataFrame) -> int:
         """Write *df* as parquet files under ``data/`` and commit them
         as one append snapshot. Per-file record counts come from the
-        parquet footers (metadata reads, no data scan)."""
+        parquet footers (metadata reads, no data scan). The frame is
+        conformed to the CURRENT table schema first (``DataFrame.to``),
+        which also attaches the ``parquet.field.id`` metadata so the
+        files embed spec field-ids — the handle rename/drop evolution
+        resolves against."""
         import pyarrow.parquet as pq
 
+        md = self.metadata()
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        df = _conform_with_ids(df, _spark_struct(cur))
         sub = f"{self.location}/data/{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(sub)
         fs, base, jvm = self._fs(sub)
@@ -367,7 +410,7 @@ class IcebergTable:
         return [e["info"] for e in self._entries(snapshot_id)
                 if e["content"] == 0]
 
-    def _schema_for(self, snapshot_id: int | None) -> T.StructType:
+    def _ice_schema_for(self, snapshot_id: int | None) -> dict:
         md = self.metadata()
         schema_id = md["current-schema-id"]
         if snapshot_id is not None:
@@ -375,8 +418,10 @@ class IcebergTable:
                          if s["snapshot-id"] == snapshot_id), None)
             if snap is not None and "schema-id" in snap:
                 schema_id = snap["schema-id"]
-        ice = next(s for s in md["schemas"] if s["schema-id"] == schema_id)
-        return _spark_struct(ice)
+        return next(s for s in md["schemas"] if s["schema-id"] == schema_id)
+
+    def _schema_for(self, snapshot_id: int | None) -> T.StructType:
+        return _spark_struct(self._ice_schema_for(snapshot_id))
 
     def _field_names(self, ids: list[int]) -> list[str]:
         md = self.metadata()
@@ -398,6 +443,13 @@ class IcebergTable:
         Planning"), so rows re-inserted after the delete survive."""
         from pyspark.sql import functions as F
 
+        # Column resolution is BY FIELD-ID (the spec's projection
+        # rule): the read schema carries parquet.field.id metadata and
+        # Spark's reader matches on it, so files written before a
+        # rename still serve the renamed column and a dropped-then-
+        # re-added name (fresh id) can never resurrect old data.
+        self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                            "true")
         entries = self._entries(snapshot_id)
         data = [e for e in entries if e["content"] == 0]
         dels_pos = [e for e in entries if e["content"] == 1]
@@ -436,12 +488,21 @@ class IcebergTable:
         by_ids: dict[tuple, list[dict]] = {}
         for e in dels_eq:
             by_ids.setdefault(tuple(e["equality_ids"] or ()), []).append(e)
+        ice = self._ice_schema_for(snapshot_id)
+        id_to_name = {f["id"]: f["name"] for f in ice["fields"]}
         for ids, dfiles in by_ids.items():
-            cols = self._field_names(list(ids))
+            # resolve the equality field-ids against the SNAPSHOT's
+            # schema (not blanket-current), so time travel across a
+            # rename stays consistent; the delete files themselves
+            # also resolve by field-id, so a delete written before the
+            # rename still matches under the name of this snapshot
+            cols = [id_to_name[i] for i in ids]
+            dschema = T.StructType([
+                f for c in cols for f in st.fields if f.name == c])
             dd = None
             for e in dfiles:
-                one = self.spark.read.parquet(e["info"].path).select(
-                    *cols).withColumn(
+                one = self.spark.read.schema(dschema).parquet(
+                    e["info"].path).withColumn(
                         "_del_seq", F.lit(e["sequence_number"]))
                 dd = one if dd is None else dd.unionByName(one)
             dd = dd.alias("_del")
@@ -498,6 +559,56 @@ class IcebergTable:
         self._commit_metadata(md)
         return new_schema_id
 
+    def rename_column(self, old: str, new: str) -> int:
+        """Rename a column (spec "Schema Evolution"): the field keeps
+        its FIELD-ID, only the name in the new schema entry changes —
+        no data file rewrites. Reads resolve columns by the embedded
+        parquet field-ids, so files written before the rename serve
+        the new name transparently. Returns the new schema-id."""
+        md = self.metadata()
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        if not any(f["name"] == old for f in cur["fields"]):
+            raise ValueError(f"no column {old}")
+        if any(f["name"] == new for f in cur["fields"]):
+            raise ValueError(f"column {new} already exists")
+        new_schema_id = max(s["schema-id"] for s in md["schemas"]) + 1
+        md["schemas"].append({
+            "type": "struct", "schema-id": new_schema_id,
+            "fields": [
+                {**f, "name": new} if f["name"] == old else f
+                for f in cur["fields"]],
+        })
+        md["current-schema-id"] = new_schema_id
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(md)
+        return new_schema_id
+
+    def drop_column(self, name: str) -> int:
+        """Drop a column (spec "Schema Evolution"): the field leaves
+        the new schema entry; its FIELD-ID is never reused
+        (last-column-id only grows), so a later add_column with the
+        same NAME gets a fresh id and old files' data for the dropped
+        field can never leak back in. No data rewrites; time-travel
+        reads of earlier snapshots still see the column. Returns the
+        new schema-id."""
+        md = self.metadata()
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        if not any(f["name"] == name for f in cur["fields"]):
+            raise ValueError(f"no column {name}")
+        if len(cur["fields"]) == 1:
+            raise ValueError("cannot drop the last column")
+        new_schema_id = max(s["schema-id"] for s in md["schemas"]) + 1
+        md["schemas"].append({
+            "type": "struct", "schema-id": new_schema_id,
+            "fields": [f for f in cur["fields"] if f["name"] != name],
+        })
+        md["current-schema-id"] = new_schema_id
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(md)
+        return new_schema_id
+
     # -- row-level deletes -----------------------------------------------
     def delete_equality(self, keys: DataFrame) -> int:
         """Commit an equality-delete snapshot: *keys* (one column per
@@ -517,6 +628,12 @@ class IcebergTable:
             raise ValueError(f"equality columns not in schema: {missing}")
         eq_ids = [by_name[c] for c in keys.columns]
 
+        # conform so the delete file embeds the equality columns'
+        # field-ids (id-based resolution across later renames)
+        cur_struct = _spark_struct(cur)
+        keys = _conform_with_ids(keys, T.StructType(
+            [f for c in keys.columns for f in cur_struct.fields
+             if f.name == c]))
         sub = f"{self.location}/data/{uuid.uuid4().hex[:12]}-deletes"
         keys.dropDuplicates().write.mode("overwrite").parquet(sub)
         fs, base, _ = self._fs(sub)

@@ -227,3 +227,67 @@ def test_remove_orphan_files_after_expire(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == pre
     # idempotent
     assert t.remove_orphan_files() == []
+
+
+def test_rename_column_reads_old_files_by_field_id(spark, tmp_path):
+    """RENAME evolution: files written before the rename serve the new
+    name via their embedded parquet field-ids — values, not nulls."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "ice_rename")
+    df0 = spark.range(0, 5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    t = IcebergTable.create(spark, loc, df0.schema)
+    t.append_dataframe(df0)
+    pre_snap = t.metadata()["current-snapshot-id"]
+    t.rename_column("v", "value")
+    # old files (written as 'v') serve the renamed column
+    got = {r.k: r.value for r in t.read().collect()}
+    assert got == {i: float(i) for i in range(5)}
+    # appends under the new name land in the same field-id
+    t.append_dataframe(
+        spark.createDataFrame([(9, 9.0)], "k long, value double"))
+    assert {r.k: r.value for r in t.read().collect()}[9] == 9.0
+    # time travel to the pre-rename snapshot shows the OLD name
+    old = t.read(snapshot_id=pre_snap)
+    assert "v" in old.columns and "value" not in old.columns
+    assert {r.k: r.v for r in old.collect()} == {i: float(i) for i in range(5)}
+
+
+def test_drop_then_readd_column_cannot_resurrect_old_data(spark, tmp_path):
+    """DROP gives the re-added NAME a fresh field-id, so data written
+    under the dropped field's id never leaks back in by name."""
+    from pyspark.sql import types as T
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "ice_drop")
+    df0 = spark.range(0, 4).selectExpr("id AS k", "CAST(id + 100 AS DOUBLE) AS v")
+    t = IcebergTable.create(spark, loc, df0.schema)
+    t.append_dataframe(df0)
+    pre_snap = t.metadata()["current-snapshot-id"]
+    t.drop_column("v")
+    assert t.read().columns == ["k"]
+    # re-add the same NAME: fresh field-id -> old files null-fill
+    t.add_column("v", T.DoubleType())
+    vals = {r.k: r.v for r in t.read().collect()}
+    assert vals == {i: None for i in range(4)}
+    # new writes populate the new field
+    t.append_dataframe(spark.createDataFrame([(7, 7.5)], "k long, v double"))
+    assert {r.k: r.v for r in t.read().collect()}[7] == 7.5
+    # time travel before the drop still shows the original values
+    assert {r.k: r.v for r in t.read(snapshot_id=pre_snap).collect()} == {
+        i: float(i + 100) for i in range(4)}
+
+
+def test_equality_delete_survives_rename(spark, tmp_path):
+    """A delete committed BEFORE a rename still removes its rows after
+    it: equality field-ids + id-resolved delete files are name-proof."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "ice_del_rename")
+    df0 = spark.range(0, 6).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    t = IcebergTable.create(spark, loc, df0.schema)
+    t.append_dataframe(df0)
+    t.delete_equality(spark.createDataFrame([(2,), (4,)], "k long"))
+    t.rename_column("k", "key")
+    assert sorted(r.key for r in t.read().collect()) == [0, 1, 3, 5]
