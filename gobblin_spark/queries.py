@@ -2824,7 +2824,8 @@ def bloom_incremental_dedup(spark, sf_dir):
       SELECT o_orderkey, o_totalprice, 'REINSERT' AS o_orderpriority
       FROM base WHERE o_orderkey % 40 = 0
     )
-    SELECT * FROM survivors UNION ALL SELECT * FROM reinserted
+    SELECT o_orderkey AS order_id, o_totalprice AS price, o_orderpriority
+    FROM (SELECT * FROM survivors UNION ALL SELECT * FROM reinserted)
     """,
 )
 def iceberg_evolve_delete_read(spark, sf_dir):
@@ -2836,7 +2837,9 @@ def iceberg_evolve_delete_read(spark, sf_dir):
     equality field-ids in the manifest), and snapshot 4 RE-INSERTS the
     keys divisible by 40 — which must survive because a delete applies
     only to data files with a strictly lower sequence number. Green iff
-    the merge-on-read scan reproduces exactly that algebra."""
+    the merge-on-read scan reproduces exactly that algebra — after a
+    final RENAME of both the delete-key and a value column, which
+    every earlier file serves via its embedded parquet field-ids."""
     import tempfile
 
     from pyspark.sql import types as T
@@ -2861,6 +2864,12 @@ def iceberg_evolve_delete_read(spark, sf_dir):
             "o_orderpriority", F.lit("REINSERT")
         )
     )
+    # rename BOTH the equality-delete key and a value column AFTER all
+    # writes: reads resolve by embedded parquet field-id, so every
+    # prior file (and the delete file) serves the new names — and the
+    # delete still applies under its renamed key column.
+    t.rename_column("o_orderkey", "order_id")
+    t.rename_column("o_totalprice", "price")
     return t.read()
 
 
