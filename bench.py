@@ -98,11 +98,20 @@ def main() -> int:
         except Exception:
             pass  # a query that only works at the bench SF still times below
 
+    # min-of-2 per query: single-shot wall clocks at sf0.1 swing
+    # +/-20% run-to-run (GC, page cache, task placement) — enough to
+    # fake regressions in the round-over-round diff. The minimum of
+    # two back-to-back runs is the stable engine-cost estimate.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop").save()
+            sec = time.time() - t0
+            best = sec if best is None else min(best, sec)
+        timings[name] = round(best, 3)
     spark.stop()
 
     # Telemetry pass: fresh session with the UI on; per-query stage

@@ -227,3 +227,38 @@ def test_bench_line_stays_under_driver_capture():
     }
     line = _json.dumps(fake)
     assert len(line) < 1900, f"bench line would be {len(line)} bytes"
+
+
+# -- pure-Python media codecs ---------------------------------------
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=1, max_size=500),
+       st.sampled_from([8000, 16000, 44100]))
+@settings(max_examples=40, deadline=None)
+def test_wav_pcm16_roundtrip_any_samples(samples, rate):
+    """Arbitrary PCM16 content round-trips sample-exact through the
+    stdlib WAV encode/decode pair (not just the deterministic
+    synthetic pattern)."""
+    from gobblin_spark.functions import multimodal as M
+
+    wav = M.encode_wav_pcm16(samples, sample_rate=rate)
+    got_rate, nch, n, s_amp, s_abs = M.decode_wav_pcm16(wav)
+    assert (got_rate, nch, n) == (rate, 1, len(samples))
+    assert s_amp == sum(samples)
+    assert s_abs == sum(abs(v) for v in samples)
+
+
+@given(st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=40, deadline=None)
+def test_bmp24_roundtrip_any_id(mid):
+    """Any media id (hence any width 4..32 incl. every row-padding
+    case and any pixel pattern phase) produces a BMP the pure-Python
+    decoder inverts exactly."""
+    from gobblin_spark.functions import multimodal as M
+
+    w, h = M._bmp_dims(mid)
+    got = M.decode_bmp24(M.encode_bmp24(mid))
+    assert got[:2] == (w, h)
+    assert got[2:] == tuple(
+        sum(M._bmp_pixel(mid, x, y)[c] for x in range(w) for y in range(h))
+        for c in range(3))
