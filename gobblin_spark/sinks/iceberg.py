@@ -151,9 +151,100 @@ _MANIFEST_ENTRY_SCHEMA = {
                  "type": ["null", {"type": "array", "items": "int",
                                    "element-id": 136}],
                  "default": None},
+                # spec maps field 125/128 (map<int,binary>) are the
+                # k/v-record arrays of the spec's Avro appendix
+                {"name": "lower_bounds", "field-id": 125,
+                 "type": ["null", {"type": "array", "items": {
+                     "type": "record", "name": "k126_v127", "fields": [
+                         {"name": "key", "type": "int", "field-id": 126},
+                         {"name": "value", "type": "bytes",
+                          "field-id": 127}]}}],
+                 "default": None},
+                {"name": "upper_bounds", "field-id": 128,
+                 "type": ["null", {"type": "array", "items": {
+                     "type": "record", "name": "k129_v130", "fields": [
+                         {"name": "key", "type": "int", "field-id": 129},
+                         {"name": "value", "type": "bytes",
+                          "field-id": 130}]}}],
+                 "default": None},
             ]}},
     ],
 }
+
+
+def _bounds_to_avro(b: dict | None):
+    if not b:
+        return None
+    return [{"key": int(k), "value": v} for k, v in sorted(b.items())]
+
+
+def _bounds_from_avro(rows):
+    if not rows:
+        return None
+    return {r["key"]: r["value"] for r in rows}
+
+
+def _logical_to_ice(value, ice_type: str):
+    """Parquet-footer logical value → the integer/float the spec's
+    single-value serialization stores (micros / epoch-days)."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    if ice_type in ("timestamp", "timestamptz"):
+        if isinstance(value, _dt.datetime):
+            base = value.replace(tzinfo=None)
+            return (base - _dt.datetime(1970, 1, 1)) \
+                // _dt.timedelta(microseconds=1)
+        return int(value)
+    if ice_type == "date":
+        if isinstance(value, _dt.date):
+            return (value - _dt.date(1970, 1, 1)).days
+        return int(value)
+    return value
+
+
+def _collect_bounds(local_path: str, name_to_field: dict) -> tuple:
+    """(lower_bounds, upper_bounds) for one parquet file, straight
+    from the footer's row-group statistics (metadata read, no data
+    scan — the same place the record count comes from). Only columns
+    whose type has an exact single-value serialization contribute
+    (strings may be truncated in footers and are skipped — bounds are
+    optional per column, omitting is always safe)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(local_path).metadata
+    mins: dict[int, object] = {}
+    maxs: dict[int, object] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            f = name_to_field.get(col.path_in_schema)
+            if f is None:
+                continue
+            stats = col.statistics
+            if stats is None or not stats.has_min_max:
+                continue
+            lo = _logical_to_ice(stats.min, f["type"])
+            hi = _logical_to_ice(stats.max, f["type"])
+            if lo is None or hi is None:
+                continue
+            fid = f["id"]
+            mins[fid] = lo if fid not in mins else min(mins[fid], lo)
+            maxs[fid] = hi if fid not in maxs else max(maxs[fid], hi)
+    lower = {}
+    upper = {}
+    by_id = {f["id"]: f for f in name_to_field.values()}
+    for fid, v in mins.items():
+        raw = _sv_ser(v, by_id[fid]["type"])
+        if raw is not None:
+            lower[fid] = raw
+    for fid, v in maxs.items():
+        raw = _sv_ser(v, by_id[fid]["type"])
+        if raw is not None:
+            upper[fid] = raw
+    return (lower or None, upper or None)
 
 
 @dataclass
@@ -162,6 +253,57 @@ class DataFileInfo:
     size_bytes: int
     record_count: int
     file_format: str = "PARQUET"
+    # spec fields 125/128: per-column value bounds, {field-id: bytes}
+    # (single-value serialization, Appendix D) — scan planning skips
+    # whole files whose bounds exclude a predicate
+    lower_bounds: dict | None = None
+    upper_bounds: dict | None = None
+
+
+# -- single-value serialization (spec Appendix D) -----------------------
+# Bounds are stored as little-endian fixed-width binary per type.
+# Strings are deliberately NOT recorded (parquet stats may truncate
+# them; a truncated UPPER bound that isn't rounded up would wrongly
+# prune matching files — bounds are optional per column, omitting is
+# always safe).
+
+def _sv_ser(value, ice_type: str) -> bytes | None:
+    import struct as _s
+
+    try:
+        if ice_type == "int" or ice_type == "date":
+            return _s.pack("<i", int(value))
+        if ice_type == "long":
+            return _s.pack("<q", int(value))
+        if ice_type == "float":
+            return _s.pack("<f", float(value))
+        if ice_type == "double":
+            return _s.pack("<d", float(value))
+        if ice_type == "boolean":
+            return b"\x01" if value else b"\x00"
+        if ice_type in ("timestamp", "timestamptz"):
+            return _s.pack("<q", int(value))  # micros
+    except Exception:
+        return None
+    return None
+
+
+def _sv_deser(raw: bytes, ice_type: str):
+    import struct as _s
+
+    if ice_type == "int" or ice_type == "date":
+        return _s.unpack("<i", raw)[0]
+    if ice_type == "long":
+        return _s.unpack("<q", raw)[0]
+    if ice_type == "float":
+        return _s.unpack("<f", raw)[0]
+    if ice_type == "double":
+        return _s.unpack("<d", raw)[0]
+    if ice_type == "boolean":
+        return raw == b"\x01"
+    if ice_type in ("timestamp", "timestamptz"):
+        return _s.unpack("<q", raw)[0]
+    return None
 
 
 def _iceberg_schema(schema: T.StructType) -> tuple[dict, int]:
@@ -299,6 +441,8 @@ class IcebergTable:
                 "record_count": f.record_count,
                 "file_size_in_bytes": f.size_bytes,
                 "equality_ids": equality_ids,
+                "lower_bounds": _bounds_to_avro(f.lower_bounds),
+                "upper_bounds": _bounds_to_avro(f.upper_bounds),
             },
         } for f in files]
         manifest_path = (f"{self.location}/metadata/"
@@ -363,6 +507,7 @@ class IcebergTable:
         sub = f"{self.location}/data/{uuid.uuid4().hex[:12]}"
         df.write.mode("overwrite").parquet(sub)
         fs, base, jvm = self._fs(sub)
+        name_to_field = {f["name"]: f for f in cur["fields"]}
         files = []
         it = fs.listFiles(base, True)
         while it.hasNext():
@@ -372,8 +517,16 @@ class IcebergTable:
                 continue
             local = st.getPath().toUri().getPath()
             rows = pq.ParquetFile(local).metadata.num_rows
+            if rows == 0:
+                # never commit 0-row data files: they carry no bounds
+                # (nothing to prune on) and bloat manifests; the file
+                # itself becomes an orphan for remove_orphan_files
+                continue
+            lower, upper = _collect_bounds(local, name_to_field)
             files.append(DataFileInfo(st.getPath().toString(),
-                                      st.getLen(), rows))
+                                      st.getLen(), rows,
+                                      lower_bounds=lower,
+                                      upper_bounds=upper))
         return self.append_files(files)
 
     # -- reads ----------------------------------------------------------
@@ -396,10 +549,11 @@ class IcebergTable:
                 if e["status"] in (1, 0):  # ADDED / EXISTING
                     d = e["data_file"]
                     out.append({
-                        "info": DataFileInfo(d["file_path"],
-                                             d["file_size_in_bytes"],
-                                             d["record_count"],
-                                             d["file_format"]),
+                        "info": DataFileInfo(
+                            d["file_path"], d["file_size_in_bytes"],
+                            d["record_count"], d["file_format"],
+                            _bounds_from_avro(d.get("lower_bounds")),
+                            _bounds_from_avro(d.get("upper_bounds"))),
                         "content": d.get("content", 0),
                         "sequence_number": e.get("sequence_number") or 0,
                         "equality_ids": d.get("equality_ids"),
@@ -430,8 +584,34 @@ class IcebergTable:
         by_id = {f["id"]: f["name"] for f in cur["fields"]}
         return [by_id[i] for i in ids]
 
+    def _entry_may_match(self, e: dict, f: dict, op: str, value) -> bool:
+        """Scan planning (spec "Scan Planning" / InclusiveMetricsEvaluator
+        semantics): can any row of this data file satisfy `col op value`?
+        Files without bounds for the column can never be pruned."""
+        lo = (e["info"].lower_bounds or {}).get(f["id"])
+        hi = (e["info"].upper_bounds or {}).get(f["id"])
+        if lo is None or hi is None:
+            return True
+        t = f["type"]
+        mn, mx = _sv_deser(lo, t), _sv_deser(hi, t)
+        v = _logical_to_ice(value, t)
+        if mn is None or mx is None or v is None:
+            return True
+        if op in ("=", "=="):
+            return mn <= v <= mx
+        if op == ">":
+            return mx > v
+        if op == ">=":
+            return mx >= v
+        if op == "<":
+            return mn < v
+        if op == "<=":
+            return mn <= v
+        return True
+
     def read(self, snapshot_id: int | None = None,
-             apply_deletes: bool = True) -> DataFrame:
+             apply_deletes: bool = True,
+             prune_filters: list[tuple] | None = None) -> DataFrame:
         """Time-travel read: snapshot → manifest list → manifests →
         parquet paths → one multi-path scan (partition pruning and
         pushdown apply as for any parquet read). The scan uses the
@@ -440,7 +620,17 @@ class IcebergTable:
         apply as a BROADCAST anti-join on the equality columns with a
         sequence-number guard: a delete removes only rows from data
         files with a STRICTLY LOWER sequence number (spec "Scan
-        Planning"), so rows re-inserted after the delete survive."""
+        Planning"), so rows re-inserted after the delete survive.
+
+        ``prune_filters`` — [(column, op, value), ...] with op in
+        {=, ==, <, <=, >, >=} — is manifest-level SCAN PLANNING: data
+        files whose stored column bounds (fields 125/128) exclude a
+        predicate are skipped before any parquet footer is opened,
+        which at 100 TB is the difference between scanning a partition
+        and scanning a table. The predicates are ALSO applied to the
+        surviving rows, so results are exact regardless of bounds
+        coverage. ``self.last_scan`` records (files_total,
+        files_scanned) for observability/tests."""
         from pyspark.sql import functions as F
 
         # Column resolution is BY FIELD-ID (the spec's projection
@@ -456,11 +646,37 @@ class IcebergTable:
         dels_eq = [e for e in entries if e["content"] == 2]
         st = (self._schema_for(snapshot_id)
               if self._version() else T.StructType([]))
+
+        n_total = len(data)
+        residual = []
+        if prune_filters:
+            ice_sch = self._ice_schema_for(snapshot_id)
+            by_name = {f["name"]: f for f in ice_sch["fields"]}
+            for col, op, value in prune_filters:
+                f = by_name.get(col)
+                if f is None:
+                    raise ValueError(f"prune column {col} not in schema")
+                data = [e for e in data
+                        if self._entry_may_match(e, f, op, value)]
+                residual.append((col, op, value))
+        self.last_scan = {"files_total": n_total,
+                          "files_scanned": len(data)}
+
+        def _residual(df):
+            ops = {"=": "==", "==": "==", "<": "<", "<=": "<=",
+                   ">": ">", ">=": ">="}
+            for col, op, value in residual:
+                c = F.col(col)
+                df = df.filter({
+                    "==": c == value, "<": c < value, "<=": c <= value,
+                    ">": c > value, ">=": c >= value}[ops[op]])
+            return df
+
         if not data:
-            return self.spark.createDataFrame([], st)
+            return _residual(self.spark.createDataFrame([], st))
         if not (dels_eq or dels_pos) or not apply_deletes:
-            return self.spark.read.schema(st).parquet(
-                *[e["info"].path for e in data])
+            return _residual(self.spark.read.schema(st).parquet(
+                *[e["info"].path for e in data]))
 
         # group data paths by commit sequence so the guard column is a
         # literal per scan (no per-row file-name parsing)
@@ -530,7 +746,7 @@ class IcebergTable:
             )
             df = df.join(F.broadcast(pd_), cond, "left_anti").drop(
                 "_fp", "_pos")
-        return df.drop("_data_seq")
+        return _residual(df.drop("_data_seq"))
 
     # -- schema evolution ------------------------------------------------
     def add_column(self, name: str, dtype: T.DataType) -> int:
@@ -736,6 +952,8 @@ class IcebergTable:
         before.repartition(target_partitions).write.mode(
             "overwrite").parquet(sub)
         fs, base, _ = self._fs(sub)
+        cur = self._ice_schema_for(None)
+        name_to_field = {f["name"]: f for f in cur["fields"]}
         files = []
         it = fs.listFiles(base, True)
         while it.hasNext():
@@ -745,8 +963,13 @@ class IcebergTable:
                 continue
             local = st.getPath().toUri().getPath()
             rows = pq.ParquetFile(local).metadata.num_rows
+            if rows == 0:
+                continue  # same rule as append: no 0-row data files
+            lower, upper = _collect_bounds(local, name_to_field)
             files.append(DataFileInfo(st.getPath().toString(),
-                                      st.getLen(), rows))
+                                      st.getLen(), rows,
+                                      lower_bounds=lower,
+                                      upper_bounds=upper))
         return self._commit_files(files, content=0, equality_ids=None,
                                   operation="replace", carry_prior=False)
 
