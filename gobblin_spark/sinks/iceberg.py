@@ -931,7 +931,8 @@ class IcebergTable:
         self._commit_metadata(md)
         return dropped
 
-    def rewrite_data_files(self, target_partitions: int = 1) -> int:
+    def rewrite_data_files(self, target_partitions: int = 1,
+                           sort_by: list[str] | None = None) -> int:
         """RewriteDataFiles (the Iceberg maintenance action Gobblin's
         small-file compaction maps onto at the lakehouse layer): read
         the CURRENT view (all delete files applied), write it back as
@@ -949,8 +950,18 @@ class IcebergTable:
 
         before = self.read()
         sub = f"{self.location}/data/compact-{uuid.uuid4().hex[:12]}"
-        before.repartition(target_partitions).write.mode(
-            "overwrite").parquet(sub)
+        if sort_by:
+            # sort strategy (the runtime's rewrite_data_files
+            # strategy=>'sort'): range-partition + in-file sort gives
+            # the compacted files DISJOINT column bounds, which is
+            # what makes prune_filters effective after compaction —
+            # a round-robin rewrite collapses every file's bounds to
+            # the full range and nothing can ever be skipped
+            before = before.repartitionByRange(
+                target_partitions, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            before = before.repartition(target_partitions)
+        before.write.mode("overwrite").parquet(sub)
         fs, base, _ = self._fs(sub)
         cur = self._ice_schema_for(None)
         name_to_field = {f["name"]: f for f in cur["fields"]}

@@ -367,3 +367,27 @@ def test_sv_serialization_roundtrip():
     for v, t in cases:
         raw = I._sv_ser(v, t)
         assert raw is not None and I._sv_deser(raw, t) == v, (v, t)
+
+
+def test_sorted_rewrite_keeps_pruning_effective(spark, tmp_path):
+    """rewrite_data_files(sort_by=...) range-partitions the compacted
+    output, so file bounds stay disjoint and scan planning still skips
+    — the sort-strategy rewrite of the real maintenance action."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "ice_sorted_rw")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v").coalesce(1)
+    t = IcebergTable.create(spark, loc, mk(0, 1).schema)
+    # interleaved appends: every file covers the full key range
+    for r in range(4):
+        t.append_dataframe(
+            spark.range(0, 400).filter(f"id % 4 = {r}")
+            .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v").coalesce(1))
+    t.read(prune_filters=[("k", "<", 100)])
+    assert t.last_scan["files_scanned"] == 4  # nothing prunable
+    t.rewrite_data_files(target_partitions=4, sort_by=["k"])
+    got = t.read(prune_filters=[("k", "<", 100)])
+    assert t.last_scan["files_total"] == 4
+    assert t.last_scan["files_scanned"] <= 2  # disjoint ranges now
+    assert sorted(r_.k for r_ in got.collect()) == list(range(100))
