@@ -6969,8 +6969,11 @@ def iceberg_rewrite_read(spark, sf_dir):
     deleted, rewrite_data_files compacts the table to ONE data file in
     a replace snapshot (delete manifests drop — their effect is
     materialized), and the post-compaction read must equal the
-    logical view exactly. Compact-then-expire is how Gobblin's
-    small-file compaction maps onto the table-format layer."""
+    logical view exactly — through the manifest-bounds scan planner
+    (sort-strategy rewrite keeps per-file key ranges disjoint; an
+    impossible predicate must prune every file, an always-true one
+    none). Compact-then-expire is how Gobblin's small-file compaction
+    maps onto the table-format layer."""
     import tempfile
 
     from gobblin_spark.sinks.iceberg import IcebergTable
@@ -6987,9 +6990,19 @@ def iceberg_rewrite_read(spark, sf_dir):
             rows.limit((i + 1) * third).subtract(rows.limit(i * third)))
     t.delete_equality(
         cust.filter(F.col("c_custkey") % 7 == 0).select("c_custkey"))
-    t.rewrite_data_files(target_partitions=1)
-    assert len(t.data_files()) == 1, "compaction must leave one file"
-    return t.read()
+    # sort-strategy compaction: 4 files with DISJOINT c_custkey ranges
+    t.rewrite_data_files(target_partitions=4, sort_by=["c_custkey"])
+    assert len(t.data_files()) <= 4, "compaction must bound file count"
+    # manifest-bounds scan planning: the >= 0 predicate admits every
+    # file (exactness unchanged) but exercises the pruning path; the
+    # planner must report it consulted the file bounds
+    out = t.read(prune_filters=[("c_custkey", ">=", 0)])
+    assert t.last_scan["files_scanned"] == t.last_scan["files_total"]
+    # a point-lookup far below the key range prunes EVERYTHING
+    t.read(prune_filters=[("c_custkey", "<", -1)])
+    if t.last_scan["files_scanned"] != 0:
+        raise RuntimeError(f"bounds pruning inert: {t.last_scan}")
+    return out
 
 
 @q(
