@@ -104,16 +104,19 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # fake path stays a self-contained closure (no module imports,
+        # so a cluster with gobblin_spark only on the driver can still
+        # run the plumbing); the real path imports the codecs lazily
         import hashlib as _hashlib
-
-        from gobblin_spark.functions.multimodal import (
-            decode_bmp24, decode_ppm_p6)
 
         def fake_decode(payload):
             d = _hashlib.sha256(payload or b"").digest()
             return 64 + d[0] % 192, 64 + d[1] % 192, d.hex()[:16]
 
         def real_decode(payload):
+            from gobblin_spark.functions.multimodal import (
+                decode_bmp24, decode_ppm_p6)
+
             payload = bytes(payload or b"")
             if payload[:2] == b"BM":
                 w, h, sr, sg, sb = decode_bmp24(payload)
@@ -295,20 +298,15 @@ def synth_wav_media(df: DataFrame, id_col: str = "doc_id",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hl
-        import io as _io
-        import struct as _struct
-        import wave as _wave
+
+        # reuse the module codecs (same as synth_bmp_media) — a single
+        # definition of the sample formula and the WAV packing, pinned
+        # by the unit tests and replayed by the SQL oracles
+        from gobblin_spark.functions.multimodal import (
+            _wav_samples, encode_wav_pcm16)
 
         def enc(mid):
-            n = 100 + mid % 400
-            samples = [((mid * 31 + i * 17) % 2001) - 1000 for i in range(n)]
-            buf = _io.BytesIO()
-            with _wave.open(buf, "wb") as w:
-                w.setnchannels(1)
-                w.setsampwidth(2)
-                w.setframerate(sample_rate)
-                w.writeframes(_struct.pack(f"<{n}h", *samples))
-            return buf.getvalue()
+            return encode_wav_pcm16(_wav_samples(mid), sample_rate)
 
         for pdf in batches:
             payloads = [enc(int(m)) for m in pdf["media_id"]]

@@ -204,16 +204,13 @@ def _logical_to_ice(value, ice_type: str):
     return value
 
 
-def _collect_bounds(local_path: str, name_to_field: dict) -> tuple:
-    """(lower_bounds, upper_bounds) for one parquet file, straight
-    from the footer's row-group statistics (metadata read, no data
-    scan — the same place the record count comes from). Only columns
-    whose type has an exact single-value serialization contribute
-    (strings may be truncated in footers and are skipped — bounds are
-    optional per column, omitting is always safe)."""
-    import pyarrow.parquet as pq
-
-    md = pq.ParquetFile(local_path).metadata
+def _collect_bounds(md, name_to_field: dict) -> tuple:
+    """(lower_bounds, upper_bounds) for one parquet file from its
+    already-open footer metadata (no second file open — the same
+    FileMetaData the record count comes from). Only columns whose
+    type has an exact single-value serialization contribute (strings
+    may be truncated in footers and are skipped — bounds are optional
+    per column, omitting is always safe)."""
     mins: dict[int, object] = {}
     maxs: dict[int, object] = {}
     for rg in range(md.num_row_groups):
@@ -516,13 +513,14 @@ class IcebergTable:
             if name.startswith(("_", ".")) or not name.endswith(".parquet"):
                 continue
             local = st.getPath().toUri().getPath()
-            rows = pq.ParquetFile(local).metadata.num_rows
+            fmd = pq.ParquetFile(local).metadata
+            rows = fmd.num_rows
             if rows == 0:
                 # never commit 0-row data files: they carry no bounds
                 # (nothing to prune on) and bloat manifests; the file
                 # itself becomes an orphan for remove_orphan_files
                 continue
-            lower, upper = _collect_bounds(local, name_to_field)
+            lower, upper = _collect_bounds(fmd, name_to_field)
             files.append(DataFileInfo(st.getPath().toString(),
                                       st.getLen(), rows,
                                       lower_bounds=lower,
@@ -577,12 +575,29 @@ class IcebergTable:
     def _schema_for(self, snapshot_id: int | None) -> T.StructType:
         return _spark_struct(self._ice_schema_for(snapshot_id))
 
-    def _field_names(self, ids: list[int]) -> list[str]:
+    def _needs_id_resolution(self) -> bool:
+        """True iff some field-id was RENAMED or DROPPED across the
+        schema history — the only histories where name-based column
+        resolution is wrong. Add-column-only histories (and tables
+        whose files predate embedded ids) resolve by name, unchanged.
+        NOTE: renaming on a table whose data files predate the
+        field-id writes fails honestly at read ("no field IDs") —
+        run rewrite_data_files() before renaming such tables."""
         md = self.metadata()
-        cur = next(s for s in md["schemas"]
-                   if s["schema-id"] == md["current-schema-id"])
-        by_id = {f["id"]: f["name"] for f in cur["fields"]}
-        return [by_id[i] for i in ids]
+        names_by_id: dict[int, set] = {}
+        ids_by_schema = []
+        for s in md["schemas"]:
+            ids = set()
+            for f in s["fields"]:
+                names_by_id.setdefault(f["id"], set()).add(f["name"])
+                ids.add(f["id"])
+            ids_by_schema.append(ids)
+        if any(len(n) > 1 for n in names_by_id.values()):
+            return True  # a rename
+        for earlier, later in zip(ids_by_schema, ids_by_schema[1:]):
+            if earlier - later:
+                return True  # a drop
+        return False
 
     def _entry_may_match(self, e: dict, f: dict, op: str, value) -> bool:
         """Scan planning (spec "Scan Planning" / InclusiveMetricsEvaluator
@@ -633,19 +648,27 @@ class IcebergTable:
         files_scanned) for observability/tests."""
         from pyspark.sql import functions as F
 
-        # Column resolution is BY FIELD-ID (the spec's projection
-        # rule): the read schema carries parquet.field.id metadata and
-        # Spark's reader matches on it, so files written before a
-        # rename still serve the renamed column and a dropped-then-
-        # re-added name (fresh id) can never resurrect old data.
-        self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
-                            "true")
         entries = self._entries(snapshot_id)
         data = [e for e in entries if e["content"] == 0]
         dels_pos = [e for e in entries if e["content"] == 1]
         dels_eq = [e for e in entries if e["content"] == 2]
         st = (self._schema_for(snapshot_id)
               if self._version() else T.StructType([]))
+        # Column resolution is BY FIELD-ID (the spec's projection rule)
+        # exactly when the schema history demands it — some id was
+        # renamed or dropped, so name matching would be wrong. The conf
+        # is session-sticky, so for plain histories (including tables
+        # written before files embedded ids) the read schema is
+        # STRIPPED of id metadata instead: name resolution as before,
+        # and an earlier evolved-table read in the same session cannot
+        # leak id-resolution into this one.
+        if self._needs_id_resolution():
+            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                                "true")
+        else:
+            st = T.StructType([
+                T.StructField(f.name, f.dataType, f.nullable)
+                for f in st.fields])
 
         n_total = len(data)
         residual = []
@@ -815,6 +838,19 @@ class IcebergTable:
             raise ValueError(f"no column {name}")
         if len(cur["fields"]) == 1:
             raise ValueError("cannot drop the last column")
+        # A pending equality delete references its columns BY FIELD-ID;
+        # dropping one would leave unreadable delete entries (the id no
+        # longer maps to a name in the current schema). Compact first —
+        # rewrite_data_files materializes the deletes and drops their
+        # manifests.
+        fid = next(f["id"] for f in cur["fields"] if f["name"] == name)
+        if md["current-snapshot-id"] != -1:
+            for e in self._entries():
+                if e["content"] == 2 and fid in (e["equality_ids"] or ()):
+                    raise ValueError(
+                        f"column {name} (field-id {fid}) is referenced by "
+                        "a pending equality-delete file; run "
+                        "rewrite_data_files() first")
         new_schema_id = max(s["schema-id"] for s in md["schemas"]) + 1
         md["schemas"].append({
             "type": "struct", "schema-id": new_schema_id,
@@ -973,10 +1009,11 @@ class IcebergTable:
             if nm.startswith(("_", ".")) or not nm.endswith(".parquet"):
                 continue
             local = st.getPath().toUri().getPath()
-            rows = pq.ParquetFile(local).metadata.num_rows
+            fmd = pq.ParquetFile(local).metadata
+            rows = fmd.num_rows
             if rows == 0:
                 continue  # same rule as append: no 0-row data files
-            lower, upper = _collect_bounds(local, name_to_field)
+            lower, upper = _collect_bounds(fmd, name_to_field)
             files.append(DataFileInfo(st.getPath().toString(),
                                       st.getLen(), rows,
                                       lower_bounds=lower,

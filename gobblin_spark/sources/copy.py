@@ -165,6 +165,13 @@ def execute_copy(manifest: DataFrame, tasks_hint: int | None = None) -> DataFram
                 return pafs.FileSystem.from_uri(path)
             return pafs.LocalFileSystem(), path
 
+        # Retain at most 5 error STRINGS per task (ok stays False for
+        # every failure): the driver-side summary samples errors with
+        # collect_list, whose aggregation buffer would otherwise hold
+        # one string per failed file — unbounded under mass failure
+        # (e.g. an unwritable destination on a 100M-file distcp).
+        err_kept = 0
+
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
@@ -188,6 +195,10 @@ def execute_copy(manifest: DataFrame, tasks_hint: int | None = None) -> DataFram
                         err = f"size mismatch: {copied} != {r.size}"
                 except Exception as ex:  # noqa: BLE001 - per-file isolation
                     ok, err = False, f"{type(ex).__name__}: {ex}"
+                if err is not None:
+                    err_kept += 1
+                    if err_kept > 5:
+                        err = None  # counted in n_failed, not sampled
                 out.append((r.src, r.dst, r.size, copied, ok, err))
             yield pd.DataFrame(
                 out, columns=["src", "dst", "size", "bytes_copied", "ok", "error"]
@@ -239,11 +250,14 @@ def distcp(
             F.coalesce(F.sum((~F.col("ok")).cast("long")), F.lit(0)).alias(
                 "n_failed"),
             F.coalesce(F.sum("bytes_copied"), F.lit(0)).alias("bytes_copied"),
-            # collect_list drops the NULLs the CASE yields for ok rows,
-            # so only failures enter the buffer; slice caps the sample.
+            # collect_list drops the NULLs the CASE yields for ok rows
+            # AND for failures past the per-task error-string cap (the
+            # executor nulls error after 5/task), so the aggregation
+            # buffer holds <= 5 x tasks strings even under mass
+            # failure; slice trims the final sample.
             F.slice(
                 F.collect_list(
-                    F.when(~F.col("ok"),
+                    F.when((~F.col("ok")) & F.col("error").isNotNull(),
                            F.concat_ws(": ", "src", "error"))),
                 1, 20,
             ).alias("errors"),

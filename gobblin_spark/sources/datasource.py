@@ -406,6 +406,16 @@ _SPARK_TO_DUCK = {
 }
 
 
+def _duck_type(data_type) -> str | None:
+    """Spark dtype → DuckDB type, including parametrized decimals
+    (``decimal(p,s)`` passes through verbatim — DuckDB accepts the
+    same spelling). None for types with no DuckDB twin."""
+    s = data_type.simpleString()
+    if s.startswith("decimal("):
+        return s.upper()
+    return _SPARK_TO_DUCK.get(s)
+
+
 def _select_cast_list(schema: StructType,
                       present: set[str] | None = None) -> str:
     """SELECT list casting every column to the DECLARED read schema's
@@ -419,7 +429,7 @@ def _select_cast_list(schema: StructType,
     parts = []
     for f in schema.fields:
         name = _sql_ident(f.name)
-        duck = _SPARK_TO_DUCK.get(f.dataType.simpleString())
+        duck = _duck_type(f.dataType)
         if present is not None and f.name not in present:
             parts.append(f"CAST(NULL AS {duck or 'VARCHAR'}) AS {name}")
         elif duck:
@@ -657,10 +667,10 @@ class _SqlWriter(DataSourceWriter):
                 # NULL lets DuckDB infer its own column type for the
                 # empty table, losing the declared Spark schema and
                 # breaking (or silently coercing) a later real append.
+                # _duck_type covers parametrized decimals too.
                 cols = ", ".join(
-                    f"CAST(NULL AS "
-                    f"{_SPARK_TO_DUCK.get(f.dataType.simpleString(), 'VARCHAR')}"
-                    f") AS {_sql_ident(f.name)}"
+                    f"CAST(NULL AS {_duck_type(f.dataType) or 'VARCHAR'})"
+                    f" AS {_sql_ident(f.name)}"
                     for f in self.schema_.fields)
                 src = f"SELECT {cols} WHERE FALSE"
             if self.overwrite:

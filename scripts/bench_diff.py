@@ -1,11 +1,15 @@
 """Round-over-round bench comparison (VERDICT r4 #5).
 
-Diffs the current ``BENCH_DETAILS.json`` (or a given pair of files)
-against the most recent prior round's per-query numbers, flagging any
-query whose wall clock OR shuffle-write bytes grew beyond the
-regression threshold (default 1.3x). Prior rounds come from
-``BENCH_r*.json`` (per-query seconds — always present) plus the
-details sidecar when available (shuffle bytes).
+Diffs the current ``BENCH_DETAILS.json`` against the most recent
+prior round's per-query numbers, flagging any query whose wall clock
+OR shuffle-write bytes grew beyond the regression threshold (default
+1.3x). Wall-clock baselines come from ``BENCH_r*.json`` (per-query
+seconds — always present). Shuffle-byte baselines are SELF-PRIMING:
+each run stores the current per-query shuffle bytes in
+``BENCH_DIFF.json``'s ``details_snapshot``; the next run diffs
+against that (a shuffle regression with flat wall clock — e.g. a
+lost broadcast — then flags even though BENCH_r*.json carries no
+byte counts).
 
 Usage:
     python scripts/bench_diff.py                    # newest vs previous
@@ -100,27 +104,64 @@ def main() -> int:
         elif ratio < 1 / args.threshold:
             improved.append(row)
 
+    # shuffle-write bytes vs the PREVIOUS diff's snapshot (self-primed)
+    shuffle_flagged = []
+    prev_snap = {}
+    try:
+        prev_snap = json.load(open(args.write)).get("details_snapshot", {})
+    except Exception:
+        pass
+    for name, d in sorted(cur_details.items()):
+        b = d.get("shuffle_write_bytes")
+        pb = (prev_snap.get(name) or {}).get("shuffle_write_bytes")
+        if b is None or not pb:
+            continue
+        ratio = b / pb
+        if ratio > args.threshold:
+            shuffle_flagged.append({
+                "query": name, "shuffle_write_bytes": b,
+                "prev_shuffle_write_bytes": pb, "ratio": round(ratio, 2)})
+
     out = {
         "prior_round": prior_round,
         "threshold": args.threshold,
         "n_compared": len(cur) - len(first_time),
+        # bench timings switched to min-of-2 in round 5; BENCH_r*.json
+        # for rounds <= 4 are single-shot, so cross-method 'improved'
+        # rows overstate gains by the old +/-20% noise band
+        "timing_method": "min_of_2",
         "flagged": flagged,
         "improved": improved,
+        "shuffle_flagged": shuffle_flagged,
         "first_time": sorted(first_time),
+        "details_snapshot": {
+            n: {"sec": d.get("sec_timed_pass"),
+                "shuffle_write_bytes": d.get("shuffle_write_bytes")}
+            for n, d in cur_details.items()},
     }
+    if prior_round is not None and prior_round <= 4:
+        out["note"] = ("prior round timed single-shot; this round is "
+                       "min-of-2 — improvements are overstated by the "
+                       "old noise band")
     with open(args.write, "w") as f:
         json.dump(out, f, indent=1)
 
     print(f"compared {out['n_compared']} queries vs round {prior_round} "
           f"(threshold {args.threshold}x); "
           f"{len(first_time)} first-timers: {', '.join(first_time) or '-'}")
+    if "note" in out:
+        print(f"  note: {out['note']}")
     for row in flagged:
         print(f"  REGRESSED {row['query']}: {row[f'sec_r{prior_round}']}s -> "
               f"{row['sec']}s ({row['ratio']}x)")
+    for row in shuffle_flagged:
+        print(f"  SHUFFLE GREW {row['query']}: "
+              f"{row['prev_shuffle_write_bytes']} -> "
+              f"{row['shuffle_write_bytes']} bytes ({row['ratio']}x)")
     for row in improved:
         print(f"  improved  {row['query']}: {row[f'sec_r{prior_round}']}s -> "
               f"{row['sec']}s ({row['ratio']}x)")
-    if not flagged:
+    if not flagged and not shuffle_flagged:
         print("  no regressions above threshold")
     return 0
 

@@ -339,3 +339,36 @@ def test_sql_source_schema_drift_null_fill(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 10
     assert all(r.gone is None and r.s == "x" for r in rows)
+
+
+def test_sql_empty_write_keeps_declared_types_incl_decimal(spark, tmp_path):
+    """An empty gobblin_sql write must create the table with the
+    DECLARED column types (incl. parametrized decimal — previously the
+    VARCHAR fallback silently degraded it), so a later real append
+    neither fails nor coerces."""
+    import duckdb
+
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    db = str(tmp_path / "t.duckdb")
+    empty = spark.createDataFrame(
+        [], "id bigint, amt decimal(15,2), s string")
+    (empty.write.format("gobblin_sql").option("database", db)
+     .option("table", "t1").mode("append").save())
+    con = duckdb.connect(db)
+    types = dict(con.execute(
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name='t1'").fetchall())
+    con.close()
+    assert types == {"id": "BIGINT", "amt": "DECIMAL(15,2)", "s": "VARCHAR"}
+    from decimal import Decimal
+
+    d = spark.createDataFrame([(5, Decimal("12.34"), "x")],
+                              "id bigint, amt decimal(15,2), s string")
+    (d.write.format("gobblin_sql").option("database", db)
+     .option("table", "t1").mode("append").save())
+    con = duckdb.connect(db)
+    assert con.execute("SELECT * FROM t1").fetchall() == [
+        (5, Decimal("12.34"), "x")]
+    con.close()

@@ -391,3 +391,28 @@ def test_sorted_rewrite_keeps_pruning_effective(spark, tmp_path):
     assert t.last_scan["files_total"] == 4
     assert t.last_scan["files_scanned"] <= 2  # disjoint ranges now
     assert sorted(r_.k for r_ in got.collect()) == list(range(100))
+
+
+def test_drop_column_refuses_pending_equality_delete(spark, tmp_path):
+    """Dropping a column referenced by a pending equality-delete file
+    would leave unreadable delete entries (their field-id no longer
+    maps to a name); the drop must refuse until compaction folds the
+    deletes in."""
+    import pytest as _pt
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    t = IcebergTable.create(spark, str(tmp_path / "ice_dropdel"), df.schema)
+    t.append_dataframe(df)
+    t.delete_equality(spark.createDataFrame([(2,)], "k long"))
+    with _pt.raises(ValueError, match="pending equality-delete"):
+        t.drop_column("k")
+    # the OTHER column drops fine, and the delete still applies
+    t.drop_column("s")
+    assert [r.k for r in t.read().collect()] == [1]
+    # after compaction the delete is materialized -> drop now allowed
+    t.rewrite_data_files()
+    t.add_column("s2", df.schema["s"].dataType)
+    t.drop_column("k")  # no pending deletes anymore
+    assert t.read().columns == ["s2"]
