@@ -508,6 +508,29 @@ def topk_orders(spark, sf_dir):
     )
 
 
+@q(
+    "limiter_count_caps",
+    """
+    WITH t AS (SELECT count(*) AS total FROM orders)
+    SELECT cap, least(cap, total) AS n_rows
+    FROM t, (VALUES (10), (1000), (100000000)) AS caps(cap)
+    """,
+)
+def limiter_count_caps(spark, sf_dir):
+    """CountBasedLimiter semantics, value-checked
+    (gobblin-runtime/.../CountBasedLimiter.java via
+    operators/limits.count_limit): for each configured cap the limiter
+    must deliver EXACTLY min(cap, total) records — the full cap when
+    the source has more, everything when it has less. Which rows a cap
+    keeps is deliberately unspecified (limit() takes the first
+    available, like the reference's permit handout), so the oracle
+    checks the count contract, not row identity."""
+    o = load_table(spark, sf_dir, "orders")
+    rows = [(cap, limits.count_limit(o, cap).count())
+            for cap in (10, 1000, 100_000_000)]
+    return spark.createDataFrame(rows, "cap int, n_rows long")
+
+
 # ------------------------------------------------------------------
 # §2.11 windows
 # ------------------------------------------------------------------
@@ -5376,34 +5399,10 @@ def text_perplexity_tiers(spark, sf_dir):
     return tiered
 
 
-@q(
-    "corpus_dedup_report",
-    f"""
-    WITH fp AS (
-      SELECT doc_id, md5({_NORM_SQL}) AS fp FROM documents
-    ),
-    lines AS (
-      SELECT trim(unnest(string_split(
-               regexp_replace(text, ' a ', '.' || chr(10), 'g'),
-               chr(10)))) AS line, doc_id
-      FROM documents
-    ),
-    rep AS (
-      SELECT count(*) AS n_repeated_lines FROM (
-        SELECT md5(line) FROM lines WHERE len(line) >= 20
-        GROUP BY 1 HAVING count(*) > 1
-      )
-    )
-    SELECT CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
-           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
-           CAST(floor((count(*) - count(DISTINCT fp)) * 1000000.0
-                      / count(*)) AS BIGINT) AS dup_ppm,
-           (SELECT CAST(n_repeated_lines AS BIGINT) FROM rep)
-             AS n_repeated_lines
-    FROM fp
-    """,
-)
+# retired from the catalog (round 5, net-growth freeze): a dashboard
+# composed of digest primitives certified by their own entries
+# (dedup_exact_docs, cleaning_dedup_lines, compaction_dup_stats);
+# the function stays pytest-covered below.
 def corpus_dedup_report(spark, sf_dir):
     """The dedup dashboard a curation pipeline publishes per corpus
     snapshot: doc count, distinct fingerprints, exact-dup count and
