@@ -817,3 +817,20 @@ def test_decode_image_features_real_bmp(spark):
     feats = {r.media_id: (r.width, r.height)
              for r in multimodal.decode_image_features(media).collect()}
     assert feats == {m: multimodal._bmp_dims(m) for m in (0, 1, 2)}
+
+
+def test_corpus_dedup_report_retired_function_consistent(spark, sf_dir):
+    """Retired from the catalog (round 5) but still a supported recipe:
+    the dashboard's numbers must agree with their primitive
+    definitions computed independently."""
+    from gobblin_spark import queries as Q
+
+    row = Q.corpus_dedup_report(spark, sf_dir).collect()[0]
+    docs = Q.load_docs(spark, sf_dir)
+    n = docs.count()
+    uniq = docs.select(F.md5("text")).distinct().count()
+    assert row.n_docs == n
+    assert row.n_unique == uniq
+    assert row.n_exact_dups == n - uniq
+    assert row.dup_ppm == (n - uniq) * 1_000_000 // n
+    assert row.n_repeated_lines >= 0
