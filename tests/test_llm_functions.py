@@ -819,18 +819,33 @@ def test_decode_image_features_real_bmp(spark):
     assert feats == {m: multimodal._bmp_dims(m) for m in (0, 1, 2)}
 
 
-def test_corpus_dedup_report_retired_function_consistent(spark, sf_dir):
+def test_corpus_dedup_report_retired_function_values(spark, tmp_path):
     """Retired from the catalog (round 5) but still a supported recipe:
-    the dashboard's numbers must agree with their primitive
-    definitions computed independently."""
+    value-check the dashboard on a CRAFTED corpus with real duplicates
+    (incl. a case/punct variant that only the normalized fingerprint
+    collapses), a null text, and a repeated boilerplate line — the
+    numbers the dropped SQL oracle used to pin."""
     from gobblin_spark import queries as Q
 
+    boiler = "this exact boilerplate line repeats across documents"
+    rows = [
+        (1, f"alpha beta gamma\n{boiler}", "en", "s1", 10),
+        (2, f"ALPHA beta GAMMA!!\n{boiler}", "en", "s1", 10),  # fp-dup of 1
+        (3, "totally different content here", "en", "s2", 10),
+        (4, "totally different content here", "en", "s2", 10),  # exact dup
+        (5, None, "en", "s2", 0),                               # null text
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    sf_dir = str(tmp_path / "sf")
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
     row = Q.corpus_dedup_report(spark, sf_dir).collect()[0]
-    docs = Q.load_docs(spark, sf_dir)
-    n = docs.count()
-    uniq = docs.select(F.md5("text")).distinct().count()
-    assert row.n_docs == n
-    assert row.n_unique == uniq
-    assert row.n_exact_dups == n - uniq
-    assert row.dup_ppm == (n - uniq) * 1_000_000 // n
-    assert row.n_repeated_lines >= 0
+    # 5 docs; fingerprints: {1,2} collapse, {3,4} collapse, null skipped
+    # by count_distinct -> 2 unique
+    assert row.n_docs == 5
+    assert row.n_unique == 2
+    assert row.n_exact_dups == 3
+    assert row.dup_ppm == 3 * 1_000_000 // 5
+    # the boilerplate line (>20 chars) repeats in docs 1 and 2
+    assert row.n_repeated_lines >= 1
