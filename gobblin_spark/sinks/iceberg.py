@@ -167,6 +167,13 @@ _MANIFEST_ENTRY_SCHEMA = {
                          {"name": "value", "type": "bytes",
                           "field-id": 130}]}}],
                  "default": None},
+                # spec field 102 is a per-spec TYPED r102 record; our
+                # pure-Python container stores the same identity tuple
+                # JSON-encoded ({source col: value}) — a documented
+                # simplification (the schema would otherwise have to be
+                # rebuilt per table spec)
+                {"name": "partition", "field-id": 102,
+                 "type": ["null", "string"], "default": None},
             ]}},
     ],
 }
@@ -255,6 +262,29 @@ class DataFileInfo:
     # whole files whose bounds exclude a predicate
     lower_bounds: dict | None = None
     upper_bounds: dict | None = None
+    # spec field 102: the file's partition TUPLE under the table's
+    # identity spec, {source column name: value}; None = unpartitioned
+    partition: dict | None = None
+
+
+def _parse_partition_value(raw: str, ice_type: str):
+    """Typed value from a hive-style ``col=value`` dir segment
+    (identity transform only)."""
+    import datetime as _dt
+    from urllib.parse import unquote
+
+    raw = unquote(raw)
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if ice_type in ("int", "long"):
+        return int(raw)
+    if ice_type in ("float", "double"):
+        return float(raw)
+    if ice_type == "boolean":
+        return raw.lower() == "true"
+    if ice_type == "date":
+        return _dt.date.fromisoformat(raw)
+    return raw
 
 
 # -- single-value serialization (spec Appendix D) -----------------------
@@ -378,12 +408,30 @@ class IcebergTable:
     # -- lifecycle ------------------------------------------------------
     @classmethod
     def create(cls, spark: SparkSession, location: str,
-               schema: T.StructType) -> "IcebergTable":
+               schema: T.StructType,
+               partition_cols: list[str] | None = None) -> "IcebergTable":
+        """``partition_cols`` builds an IDENTITY partition spec (spec
+        "Partitioning", transform=identity): each listed source column
+        becomes a partition field with id 1000+i. Data files then land
+        under hive-style ``col=value/`` dirs, each manifest entry
+        records its file's partition TUPLE (spec field 102), and reads
+        prune files on partition values before consulting column
+        bounds. Unpartitioned (default) behavior is unchanged."""
         t = cls(spark, location)
         if t._version():
             raise FileExistsError(f"iceberg table already at {location}")
         ice_schema, last_col = _iceberg_schema(schema)
         now = int(time.time() * 1000)
+        spec_fields = []
+        if partition_cols:
+            by_name = {f["name"]: f for f in ice_schema["fields"]}
+            for i, c in enumerate(partition_cols):
+                if c not in by_name:
+                    raise ValueError(f"partition column {c} not in schema")
+                spec_fields.append({
+                    "name": c, "transform": "identity",
+                    "source-id": by_name[c]["id"], "field-id": 1000 + i,
+                })
         md = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
@@ -394,8 +442,8 @@ class IcebergTable:
             "current-schema-id": 0,
             "schemas": [ice_schema],
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "last-partition-id": 999,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {"write.format.default": "parquet"},
@@ -440,6 +488,8 @@ class IcebergTable:
                 "equality_ids": equality_ids,
                 "lower_bounds": _bounds_to_avro(f.lower_bounds),
                 "upper_bounds": _bounds_to_avro(f.upper_bounds),
+                "partition": (json.dumps(f.partition, default=str)
+                              if f.partition else None),
             },
         } for f in files]
         manifest_path = (f"{self.location}/metadata/"
@@ -502,30 +552,12 @@ class IcebergTable:
                    if s["schema-id"] == md["current-schema-id"])
         df = _conform_with_ids(df, _spark_struct(cur))
         sub = f"{self.location}/data/{uuid.uuid4().hex[:12]}"
-        df.write.mode("overwrite").parquet(sub)
-        fs, base, jvm = self._fs(sub)
-        name_to_field = {f["name"]: f for f in cur["fields"]}
-        files = []
-        it = fs.listFiles(base, True)
-        while it.hasNext():
-            st = it.next()
-            name = st.getPath().getName()
-            if name.startswith(("_", ".")) or not name.endswith(".parquet"):
-                continue
-            local = st.getPath().toUri().getPath()
-            fmd = pq.ParquetFile(local).metadata
-            rows = fmd.num_rows
-            if rows == 0:
-                # never commit 0-row data files: they carry no bounds
-                # (nothing to prune on) and bloat manifests; the file
-                # itself becomes an orphan for remove_orphan_files
-                continue
-            lower, upper = _collect_bounds(fmd, name_to_field)
-            files.append(DataFileInfo(st.getPath().toString(),
-                                      st.getLen(), rows,
-                                      lower_bounds=lower,
-                                      upper_bounds=upper))
-        return self.append_files(files)
+        part_names = [c for c, _ in self._partition_spec_cols()]
+        w = df.write.mode("overwrite")
+        if part_names:
+            w = w.partitionBy(*part_names)
+        w.parquet(sub)
+        return self.append_files(self._list_committed_files(sub))
 
     # -- reads ----------------------------------------------------------
     def snapshots(self) -> list[dict]:
@@ -551,7 +583,9 @@ class IcebergTable:
                             d["file_path"], d["file_size_in_bytes"],
                             d["record_count"], d["file_format"],
                             _bounds_from_avro(d.get("lower_bounds")),
-                            _bounds_from_avro(d.get("upper_bounds"))),
+                            _bounds_from_avro(d.get("upper_bounds")),
+                            (json.loads(d["partition"])
+                             if d.get("partition") else None)),
                         "content": d.get("content", 0),
                         "sequence_number": e.get("sequence_number") or 0,
                         "equality_ids": d.get("equality_ids"),
@@ -574,6 +608,61 @@ class IcebergTable:
 
     def _schema_for(self, snapshot_id: int | None) -> T.StructType:
         return _spark_struct(self._ice_schema_for(snapshot_id))
+
+    def _partition_spec_cols(self) -> list[tuple[str, str]]:
+        """[(source column name, iceberg type)] of the default
+        identity partition spec; empty for unpartitioned tables. The
+        name comes from the CURRENT schema via source-id, so renaming
+        a partition source column keeps the spec coherent."""
+        md = self.metadata()
+        spec = next(s for s in md["partition-specs"]
+                    if s["spec-id"] == md["default-spec-id"])
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        by_id = {f["id"]: f for f in cur["fields"]}
+        return [(by_id[pf["source-id"]]["name"],
+                 by_id[pf["source-id"]]["type"])
+                for pf in spec["fields"]]
+
+    def _list_committed_files(self, sub: str) -> list[DataFileInfo]:
+        """DataFileInfo for every non-empty parquet file under *sub*:
+        record count + column bounds from the footer (one metadata
+        open per file), partition tuple parsed from the hive-style
+        dir segments when the table has an identity spec."""
+        import pyarrow.parquet as pq
+
+        cur = self._ice_schema_for(None)
+        name_to_field = {f["name"]: f for f in cur["fields"]}
+        spec_cols = dict(self._partition_spec_cols())
+        fs, base, _ = self._fs(sub)
+        files: list[DataFileInfo] = []
+        it = fs.listFiles(base, True)
+        while it.hasNext():
+            stt = it.next()
+            name = stt.getPath().getName()
+            if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+                continue
+            local = stt.getPath().toUri().getPath()
+            fmd = pq.ParquetFile(local).metadata
+            if fmd.num_rows == 0:
+                # never commit 0-row data files: no bounds, manifest
+                # bloat; they age out via remove_orphan_files
+                continue
+            lower, upper = _collect_bounds(fmd, name_to_field)
+            partition = None
+            if spec_cols:
+                partition = {}
+                for seg in local.split("/"):
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        if k in spec_cols:
+                            partition[k] = _parse_partition_value(
+                                v, spec_cols[k])
+            files.append(DataFileInfo(
+                stt.getPath().toString(), stt.getLen(), fmd.num_rows,
+                lower_bounds=lower, upper_bounds=upper,
+                partition=partition or None))
+        return files
 
     def _needs_id_resolution(self) -> bool:
         """True iff some field-id was RENAMED or DROPPED across the
@@ -670,6 +759,27 @@ class IcebergTable:
                 T.StructField(f.name, f.dataType, f.nullable)
                 for f in st.fields])
 
+        spec_cols = dict(self._partition_spec_cols())
+
+        def _may_match(e, f, op, value):
+            # identity-partition value first: an EXACT per-file value
+            # beats min/max bounds (and exists even for string
+            # columns, whose bounds are deliberately omitted)
+            part = e["info"].partition or {}
+            v = part.get(f["name"])
+            if v is not None:
+                import datetime as _dt
+
+                q = value
+                if isinstance(q, _dt.date) and isinstance(v, str):
+                    q = q.isoformat()  # dates JSON-decode as ISO text
+                try:
+                    return {"=": v == q, "==": v == q, ">": v > q,
+                            ">=": v >= q, "<": v < q, "<=": v <= q}[op]
+                except TypeError:
+                    return True
+            return self._entry_may_match(e, f, op, value)
+
         n_total = len(data)
         residual = []
         if prune_filters:
@@ -680,7 +790,7 @@ class IcebergTable:
                 if f is None:
                     raise ValueError(f"prune column {col} not in schema")
                 data = [e for e in data
-                        if self._entry_may_match(e, f, op, value)]
+                        if _may_match(e, f, op, value)]
                 residual.append((col, op, value))
         self.last_scan = {"files_total": n_total,
                           "files_scanned": len(data)}
@@ -697,30 +807,56 @@ class IcebergTable:
 
         if not data:
             return _residual(self.spark.createDataFrame([], st))
-        if not (dels_eq or dels_pos) or not apply_deletes:
+        if not spec_cols and (not (dels_eq or dels_pos)
+                              or not apply_deletes):
             return _residual(self.spark.read.schema(st).parquet(
                 *[e["info"].path for e in data]))
 
-        # group data paths by commit sequence so the guard column is a
-        # literal per scan (no per-row file-name parsing)
-        by_seq: dict[int, list[str]] = {}
+        # group data paths by (commit sequence, partition tuple) so
+        # the delete-guard sequence AND the identity-partition values
+        # are literals per scan (partitionBy-written files do not
+        # store the partition columns; the manifest tuple re-attaches
+        # them — the spec's "identity partition" read rule)
+        need_seq = bool(dels_eq or dels_pos) and apply_deletes
+        base_st = (T.StructType([f for f in st.fields
+                                 if f.name not in spec_cols])
+                   if spec_cols else st)
+        by_grp: dict[tuple, list[str]] = {}
         for e in data:
-            by_seq.setdefault(e["sequence_number"], []).append(e["info"].path)
+            key = (e["sequence_number"],
+                   tuple(sorted((e["info"].partition or {}).items())))
+            by_grp.setdefault(key, []).append(e["info"].path)
         df = None
-        for seq, paths in sorted(by_seq.items()):
-            part = self.spark.read.schema(st).parquet(*paths)
+        for (seq, ptup), paths in sorted(
+                by_grp.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))):
+            part = self.spark.read.schema(base_st).parquet(*paths)
             if dels_pos:
                 # Spark's parquet metadata columns give the (file, row)
                 # identity a position delete addresses; file_path here
                 # equals Hadoop Path.toString() (verified both are
                 # 'file:/...'), the same string the delete file stores.
+                # Must be selected straight off the scan, before any
+                # projection drops the _metadata pseudo-column.
                 part = part.select(
                     "*",
                     F.col("_metadata.file_path").alias("_fp"),
                     F.col("_metadata.row_index").alias("_pos"),
                 )
+            if spec_cols:
+                pvals = dict(ptup)
+                for f_ in st.fields:
+                    if f_.name in spec_cols:
+                        part = part.withColumn(
+                            f_.name,
+                            F.lit(pvals.get(f_.name)).cast(f_.dataType))
+                keep = [f_.name for f_ in st.fields]
+                if dels_pos:
+                    keep += ["_fp", "_pos"]
+                part = part.select(*keep)
             part = part.withColumn("_data_seq", F.lit(seq))
             df = part if df is None else df.unionByName(part)
+        if not need_seq:
+            return _residual(df.drop("_data_seq"))
 
         # equality deletes: one anti-join per distinct field-id set
         # (normally one); apply to STRICTLY earlier data files
@@ -997,28 +1133,13 @@ class IcebergTable:
                 target_partitions, *sort_by).sortWithinPartitions(*sort_by)
         else:
             before = before.repartition(target_partitions)
-        before.write.mode("overwrite").parquet(sub)
-        fs, base, _ = self._fs(sub)
-        cur = self._ice_schema_for(None)
-        name_to_field = {f["name"]: f for f in cur["fields"]}
-        files = []
-        it = fs.listFiles(base, True)
-        while it.hasNext():
-            st = it.next()
-            nm = st.getPath().getName()
-            if nm.startswith(("_", ".")) or not nm.endswith(".parquet"):
-                continue
-            local = st.getPath().toUri().getPath()
-            fmd = pq.ParquetFile(local).metadata
-            rows = fmd.num_rows
-            if rows == 0:
-                continue  # same rule as append: no 0-row data files
-            lower, upper = _collect_bounds(fmd, name_to_field)
-            files.append(DataFileInfo(st.getPath().toString(),
-                                      st.getLen(), rows,
-                                      lower_bounds=lower,
-                                      upper_bounds=upper))
-        return self._commit_files(files, content=0, equality_ids=None,
+        part_names = [c for c, _ in self._partition_spec_cols()]
+        w = before.write.mode("overwrite")
+        if part_names:
+            w = w.partitionBy(*part_names)
+        w.parquet(sub)
+        return self._commit_files(self._list_committed_files(sub),
+                                  content=0, equality_ids=None,
                                   operation="replace", carry_prior=False)
 
     def remove_orphan_files(self) -> list[str]:

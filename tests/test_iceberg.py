@@ -416,3 +416,71 @@ def test_drop_column_refuses_pending_equality_delete(spark, tmp_path):
     t.add_column("s2", df.schema["s"].dataType)
     t.drop_column("k")  # no pending deletes anymore
     assert t.read().columns == ["s2"]
+
+
+def test_identity_partition_roundtrip_and_pruning(spark, tmp_path):
+    """Identity partition spec: files land under col=value/ dirs, the
+    manifest records each file's partition tuple, reads re-attach the
+    partition column (partitionBy drops it from the files), and a
+    partition predicate prunes at the manifest — before bounds, before
+    any footer."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(i, ["us", "eu", "jp"][i % 3], float(i)) for i in range(30)],
+        "k long, region string, v double")
+    t = IcebergTable.create(spark, str(tmp_path / "ice_part"), df.schema,
+                            partition_cols=["region"])
+    md = t.metadata()
+    spec = md["partition-specs"][0]["fields"]
+    assert spec == [{"name": "region", "transform": "identity",
+                     "source-id": 2, "field-id": 1000}]
+    t.append_dataframe(df.coalesce(1))
+    # every data file carries its partition tuple
+    for e in t._entries():
+        assert e["info"].partition and "region" in e["info"].partition
+    # full read equals the source (partition column re-attached)
+    got = sorted(map(tuple, t.read().select("k", "region", "v").collect()))
+    assert got == sorted(map(tuple, df.collect()))
+    # exact partition pruning: only the eu files scan
+    eu = t.read(prune_filters=[("region", "==", "eu")])
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+    assert sorted(r.k for r in eu.collect()) == [
+        i for i in range(30) if i % 3 == 1]
+    # string partition values prune even though string BOUNDS are
+    # deliberately never recorded
+    assert t.read(
+        prune_filters=[("region", "==", "nope")]).count() == 0
+    assert t.last_scan["files_scanned"] == 0
+
+
+def test_identity_partition_deletes_and_rewrite(spark, tmp_path):
+    """Merge-on-read deletes and compaction compose with the identity
+    spec: the delete applies across partitions, and the rewritten
+    files keep their partition tuples (so pruning survives
+    compaction)."""
+    from pyspark.sql import functions as F_
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], float(i)) for i in range(20)],
+        "k long, part string, v double")
+    t = IcebergTable.create(spark, str(tmp_path / "ice_part2"), df.schema,
+                            partition_cols=["part"])
+    t.append_dataframe(df.coalesce(1))
+    t.delete_equality(spark.createDataFrame(
+        [(i,) for i in range(0, 20, 5)], "k long"))
+    survivors = sorted(r.k for r in t.read().collect())
+    assert survivors == [i for i in range(20) if i % 5 != 0]
+    # partition pruning still exact through the delete merge
+    got = t.read(prune_filters=[("part", "==", "a")])
+    assert sorted(r.k for r in got.collect()) == [
+        i for i in range(20) if i % 2 == 0 and i % 5 != 0]
+    # compaction rewrites INTO the partition layout
+    t.rewrite_data_files(target_partitions=1)
+    for e in t._entries():
+        assert e["info"].partition and e["info"].partition["part"] in ("a", "b")
+    assert sorted(r.k for r in t.read().collect()) == survivors
+    t.read(prune_filters=[("part", "==", "b")])
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
