@@ -651,12 +651,17 @@ class IcebergTable:
             lower, upper = _collect_bounds(fmd, name_to_field)
             partition = None
             if spec_cols:
+                # tuple keyed by SOURCE FIELD-ID (as a string — JSON
+                # keys), not by name: a later rename of the partition
+                # source column must keep every stored tuple
+                # resolvable, same rule as the value bounds
                 partition = {}
                 for seg in local.split("/"):
                     if "=" in seg:
                         k, v = seg.split("=", 1)
                         if k in spec_cols:
-                            partition[k] = _parse_partition_value(
+                            fid = name_to_field[k]["id"]
+                            partition[str(fid)] = _parse_partition_value(
                                 v, spec_cols[k])
             files.append(DataFileInfo(
                 stt.getPath().toString(), stt.getLen(), fmd.num_rows,
@@ -764,9 +769,10 @@ class IcebergTable:
         def _may_match(e, f, op, value):
             # identity-partition value first: an EXACT per-file value
             # beats min/max bounds (and exists even for string
-            # columns, whose bounds are deliberately omitted)
+            # columns, whose bounds are deliberately omitted);
+            # tuples are keyed by source field-id, rename-proof
             part = e["info"].partition or {}
-            v = part.get(f["name"])
+            v = part.get(str(f["id"]))
             if v is not None:
                 import datetime as _dt
 
@@ -818,9 +824,22 @@ class IcebergTable:
         # store the partition columns; the manifest tuple re-attaches
         # them — the spec's "identity partition" read rule)
         need_seq = bool(dels_eq or dels_pos) and apply_deletes
-        base_st = (T.StructType([f for f in st.fields
-                                 if f.name not in spec_cols])
-                   if spec_cols else st)
+        # partition membership is decided by SOURCE FIELD-ID (the
+        # spec's identity), so a time-travel read across a rename of
+        # the partition column still excludes/attaches the right field
+        snap_name_to_id = {f["name"]: f["id"]
+                           for f in self._ice_schema_for(
+                               snapshot_id)["fields"]}
+        md_spec = self.metadata()
+        spec_src_ids = {
+            pf["source-id"]
+            for pf in next(s for s in md_spec["partition-specs"]
+                           if s["spec-id"] == md_spec["default-spec-id"]
+                           )["fields"]}
+        base_st = (T.StructType([
+            f for f in st.fields
+            if snap_name_to_id.get(f.name) not in spec_src_ids])
+            if spec_cols else st)
         by_grp: dict[tuple, list[str]] = {}
         for e in data:
             key = (e["sequence_number"],
@@ -845,10 +864,10 @@ class IcebergTable:
             if spec_cols:
                 pvals = dict(ptup)
                 for f_ in st.fields:
-                    if f_.name in spec_cols:
+                    if snap_name_to_id.get(f_.name) in spec_src_ids:
+                        v = pvals.get(str(snap_name_to_id[f_.name]))
                         part = part.withColumn(
-                            f_.name,
-                            F.lit(pvals.get(f_.name)).cast(f_.dataType))
+                            f_.name, F.lit(v).cast(f_.dataType))
                 keep = [f_.name for f_ in st.fields]
                 if dels_pos:
                     keep += ["_fp", "_pos"]

@@ -436,9 +436,10 @@ def test_identity_partition_roundtrip_and_pruning(spark, tmp_path):
     assert spec == [{"name": "region", "transform": "identity",
                      "source-id": 2, "field-id": 1000}]
     t.append_dataframe(df.coalesce(1))
-    # every data file carries its partition tuple
+    # every data file carries its partition tuple, keyed by the
+    # SOURCE FIELD-ID (rename-proof, like the value bounds)
     for e in t._entries():
-        assert e["info"].partition and "region" in e["info"].partition
+        assert e["info"].partition and "2" in e["info"].partition
     # full read equals the source (partition column re-attached)
     got = sorted(map(tuple, t.read().select("k", "region", "v").collect()))
     assert got == sorted(map(tuple, df.collect()))
@@ -480,7 +481,36 @@ def test_identity_partition_deletes_and_rewrite(spark, tmp_path):
     # compaction rewrites INTO the partition layout
     t.rewrite_data_files(target_partitions=1)
     for e in t._entries():
-        assert e["info"].partition and e["info"].partition["part"] in ("a", "b")
+        assert e["info"].partition and e["info"].partition["2"] in ("a", "b")
     assert sorted(r.k for r in t.read().collect()) == survivors
     t.read(prune_filters=[("part", "==", "b")])
     assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+
+
+def test_partition_source_column_rename(spark, tmp_path):
+    """Renaming the partition SOURCE column must keep old files'
+    partition tuples resolvable (they're keyed by field-id): reads
+    attach the values under the new name and partition pruning still
+    works; time travel shows the old name."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(i, ["x", "y"][i % 2], float(i)) for i in range(10)],
+        "k long, grp string, v double")
+    t = IcebergTable.create(spark, str(tmp_path / "ice_part_rn"), df.schema,
+                            partition_cols=["grp"])
+    t.append_dataframe(df.coalesce(1))
+    pre = t.metadata()["current-snapshot-id"]
+    t.rename_column("grp", "bucket")
+    got = t.read()
+    assert "bucket" in got.columns and "grp" not in got.columns
+    assert sorted((r.k, r.bucket) for r in got.collect()) == [
+        (i, ["x", "y"][i % 2]) for i in range(10)]
+    pruned = t.read(prune_filters=[("bucket", "==", "y")])
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+    assert sorted(r.k for r in pruned.collect()) == [1, 3, 5, 7, 9]
+    # time travel: pre-rename snapshot serves the OLD name with values
+    old = t.read(snapshot_id=pre)
+    assert "grp" in old.columns
+    assert sorted((r.k, r.grp) for r in old.collect()) == [
+        (i, ["x", "y"][i % 2]) for i in range(10)]
