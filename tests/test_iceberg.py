@@ -514,3 +514,24 @@ def test_partition_source_column_rename(spark, tmp_path):
     assert "grp" in old.columns
     assert sorted((r.k, r.grp) for r in old.collect()) == [
         (i, ["x", "y"][i % 2]) for i in range(10)]
+
+
+def test_date_partitioned_table_prunes_on_date(spark, tmp_path):
+    """The classic time-partitioned lake layout: DATE identity
+    partitions round-trip through the hive dirs (ISO strings in JSON
+    tuples) and prune on datetime.date predicates."""
+    import datetime as dt
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    rows = [(i, dt.date(2024, 1, 1 + i % 3), float(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "k long, day date, v double")
+    t = IcebergTable.create(spark, str(tmp_path / "ice_date"), df.schema,
+                            partition_cols=["day"])
+    t.append_dataframe(df.coalesce(1))
+    got = sorted((r.k, r.day) for r in t.read().collect())
+    assert got == sorted((k, d) for k, d, _ in rows)
+    one = t.read(prune_filters=[("day", "==", dt.date(2024, 1, 2))])
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+    assert sorted(r.k for r in one.collect()) == [
+        i for i in range(12) if i % 3 == 1]
