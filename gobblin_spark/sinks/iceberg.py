@@ -1157,6 +1157,25 @@ class IcebergTable:
         if part_names:
             w = w.partitionBy(*part_names)
         w.parquet(sub)
+        if sort_by:
+            # record the sort order in table metadata (spec "Sorting"):
+            # readers/planners can then rely on the clustered layout
+            md = self.metadata()
+            cur = next(s for s in md["schemas"]
+                       if s["schema-id"] == md["current-schema-id"])
+            by_name = {f["name"]: f["id"] for f in cur["fields"]}
+            oid = max(o["order-id"] for o in md["sort-orders"]) + 1
+            md["sort-orders"].append({
+                "order-id": oid,
+                "fields": [{"transform": "identity",
+                            "source-id": by_name[c],
+                            "direction": "asc",
+                            "null-order": "nulls-first"}
+                           for c in sort_by],
+            })
+            md["default-sort-order-id"] = oid
+            md["last-updated-ms"] = int(time.time() * 1000)
+            self._commit_metadata(md)
         return self._commit_files(self._list_committed_files(sub),
                                   content=0, equality_ids=None,
                                   operation="replace", carry_prior=False)

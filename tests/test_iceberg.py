@@ -535,3 +535,19 @@ def test_date_partitioned_table_prunes_on_date(spark, tmp_path):
     assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
     assert sorted(r.k for r in one.collect()) == [
         i for i in range(12) if i % 3 == 1]
+
+
+def test_sorted_rewrite_records_sort_order(spark, tmp_path):
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.range(0, 50).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    t = IcebergTable.create(spark, str(tmp_path / "ice_so"), df.schema)
+    t.append_dataframe(df.coalesce(1))
+    t.rewrite_data_files(target_partitions=2, sort_by=["k"])
+    md = t.metadata()
+    so = next(o for o in md["sort-orders"]
+              if o["order-id"] == md["default-sort-order-id"])
+    assert so["fields"] == [{"transform": "identity", "source-id": 1,
+                             "direction": "asc",
+                             "null-order": "nulls-first"}]
+    assert t.read().count() == 50
