@@ -425,9 +425,21 @@ class IcebergTable:
         spec_fields = []
         if partition_cols:
             by_name = {f["name"]: f for f in ice_schema["fields"]}
+            # identity values round-trip through hive dir segments;
+            # only types with an exact text form are allowed
+            # (timestamps/decimals would compare lossily — partition
+            # on a derived date/string column instead)
+            ok_types = {"int", "long", "float", "double", "boolean",
+                        "string", "date"}
             for i, c in enumerate(partition_cols):
                 if c not in by_name:
                     raise ValueError(f"partition column {c} not in schema")
+                if by_name[c]["type"] not in ok_types:
+                    raise TypeError(
+                        f"identity partitioning on {by_name[c]['type']} "
+                        f"column {c} is not supported (no exact dir-"
+                        "segment form); partition on a derived "
+                        "date/string column instead")
                 spec_fields.append({
                     "name": c, "transform": "identity",
                     "source-id": by_name[c]["id"], "field-id": 1000 + i,
@@ -457,7 +469,19 @@ class IcebergTable:
 
     def append_files(self, files: list[DataFileInfo]) -> int:
         """AppendFiles.appendFile + commit (IcebergMetadataWriter.java:578):
-        one new snapshot whose manifest lists exactly these files."""
+        one new snapshot whose manifest lists exactly these files.
+
+        On a partitioned table every data file must carry its
+        partition tuple — a tuple-less file would read back with the
+        partition column silently nulled (reads re-attach the column
+        from the manifest). append_dataframe derives the tuples;
+        direct callers must too."""
+        if self._partition_spec_cols():
+            missing = [f.path for f in files if not f.partition]
+            if missing:
+                raise ValueError(
+                    "partitioned table: data files lack partition "
+                    f"tuples (use append_dataframe): {missing[:3]}")
         return self._commit_files(files, content=0, equality_ids=None,
                                   operation="append")
 
@@ -541,18 +565,20 @@ class IcebergTable:
         """Write *df* as parquet files under ``data/`` and commit them
         as one append snapshot. Per-file record counts come from the
         parquet footers (metadata reads, no data scan). The frame is
-        conformed to the CURRENT table schema first (``DataFrame.to``),
-        which also attaches the ``parquet.field.id`` metadata so the
-        files embed spec field-ids — the handle rename/drop evolution
-        resolves against."""
-        import pyarrow.parquet as pq
-
+        conformed to the CURRENT table schema first, which also
+        attaches the ``parquet.field.id`` metadata so the files embed
+        spec field-ids — the handle rename/drop evolution resolves
+        against. NOTE: identity-partition values ride the hive dir
+        layout, which represents null and '' identically
+        (__HIVE_DEFAULT_PARTITION__); both read back as null — use
+        non-empty partition values or an unpartitioned table when ''
+        must be distinguishable."""
         md = self.metadata()
         cur = next(s for s in md["schemas"]
                    if s["schema-id"] == md["current-schema-id"])
         df = _conform_with_ids(df, _spark_struct(cur))
         sub = f"{self.location}/data/{uuid.uuid4().hex[:12]}"
-        part_names = [c for c, _ in self._partition_spec_cols()]
+        part_names = [c for c, _, _ in self._partition_spec_cols()]
         w = df.write.mode("overwrite")
         if part_names:
             w = w.partitionBy(*part_names)
@@ -609,11 +635,12 @@ class IcebergTable:
     def _schema_for(self, snapshot_id: int | None) -> T.StructType:
         return _spark_struct(self._ice_schema_for(snapshot_id))
 
-    def _partition_spec_cols(self) -> list[tuple[str, str]]:
-        """[(source column name, iceberg type)] of the default
-        identity partition spec; empty for unpartitioned tables. The
-        name comes from the CURRENT schema via source-id, so renaming
-        a partition source column keeps the spec coherent."""
+    def _partition_spec_cols(self) -> list[tuple[str, str, int]]:
+        """[(source column name, iceberg type, source field-id)] of the
+        default identity partition spec; empty for unpartitioned
+        tables. The name comes from the CURRENT schema via source-id,
+        so renaming a partition source column keeps the spec
+        coherent."""
         md = self.metadata()
         spec = next(s for s in md["partition-specs"]
                     if s["spec-id"] == md["default-spec-id"])
@@ -621,7 +648,8 @@ class IcebergTable:
                    if s["schema-id"] == md["current-schema-id"])
         by_id = {f["id"]: f for f in cur["fields"]}
         return [(by_id[pf["source-id"]]["name"],
-                 by_id[pf["source-id"]]["type"])
+                 by_id[pf["source-id"]]["type"],
+                 pf["source-id"])
                 for pf in spec["fields"]]
 
     def _list_committed_files(self, sub: str) -> list[DataFileInfo]:
@@ -633,8 +661,10 @@ class IcebergTable:
 
         cur = self._ice_schema_for(None)
         name_to_field = {f["name"]: f for f in cur["fields"]}
-        spec_cols = dict(self._partition_spec_cols())
+        spec_cols = {n: (t, fid)
+                     for n, t, fid in self._partition_spec_cols()}
         fs, base, _ = self._fs(sub)
+        sub_local = base.toUri().getPath().rstrip("/")
         files: list[DataFileInfo] = []
         it = fs.listFiles(base, True)
         while it.hasNext():
@@ -654,15 +684,20 @@ class IcebergTable:
                 # tuple keyed by SOURCE FIELD-ID (as a string — JSON
                 # keys), not by name: a later rename of the partition
                 # source column must keep every stored tuple
-                # resolvable, same rule as the value bounds
+                # resolvable, same rule as the value bounds. Only dir
+                # segments BELOW the fresh write dir are parsed — a
+                # col=value segment in the table's own location path
+                # must never masquerade as a partition value.
+                rel = local[len(sub_local):] if local.startswith(
+                    sub_local) else local
                 partition = {}
-                for seg in local.split("/"):
+                for seg in rel.split("/"):
                     if "=" in seg:
                         k, v = seg.split("=", 1)
                         if k in spec_cols:
-                            fid = name_to_field[k]["id"]
+                            t, fid = spec_cols[k]
                             partition[str(fid)] = _parse_partition_value(
-                                v, spec_cols[k])
+                                v, t)
             files.append(DataFileInfo(
                 stt.getPath().toString(), stt.getLen(), fmd.num_rows,
                 lower_bounds=lower, upper_bounds=upper,
@@ -764,21 +799,31 @@ class IcebergTable:
                 T.StructField(f.name, f.dataType, f.nullable)
                 for f in st.fields])
 
-        spec_cols = dict(self._partition_spec_cols())
+        spec_cols = self._partition_spec_cols()
+        spec_src_ids = {fid for _, _, fid in spec_cols}
 
         def _may_match(e, f, op, value):
             # identity-partition value first: an EXACT per-file value
             # beats min/max bounds (and exists even for string
             # columns, whose bounds are deliberately omitted);
-            # tuples are keyed by source field-id, rename-proof
+            # tuples are keyed by source field-id, rename-proof.
+            # create() restricts partition types to those whose dir
+            # segment round-trips exactly (int/long/float/double/
+            # boolean/string/date), so the comparison below is typed;
+            # any residual type mismatch falls back to bounds (never
+            # a silent False that would prune a matching file).
             part = e["info"].partition or {}
             v = part.get(str(f["id"]))
             if v is not None:
                 import datetime as _dt
 
                 q = value
-                if isinstance(q, _dt.date) and isinstance(v, str):
+                if type(q) is _dt.date and isinstance(v, str):
                     q = q.isoformat()  # dates JSON-decode as ISO text
+                if type(v) is not type(q) and not (
+                        isinstance(v, (int, float))
+                        and isinstance(q, (int, float))):
+                    return self._entry_may_match(e, f, op, value)
                 try:
                     return {"=": v == q, "==": v == q, ">": v > q,
                             ">=": v >= q, "<": v < q, "<=": v <= q}[op]
@@ -818,11 +863,12 @@ class IcebergTable:
             return _residual(self.spark.read.schema(st).parquet(
                 *[e["info"].path for e in data]))
 
-        # group data paths by (commit sequence, partition tuple) so
-        # the delete-guard sequence AND the identity-partition values
-        # are literals per scan (partitionBy-written files do not
-        # store the partition columns; the manifest tuple re-attaches
-        # them — the spec's "identity partition" read rule)
+        # group data paths by commit sequence only: the delete-guard
+        # sequence is a literal per scan, and the identity-partition
+        # values are derived PER ROW from the file path inside the one
+        # multi-path scan (partitionBy-written files do not store the
+        # partition columns) — a table with thousands of partition
+        # values still plans ONE scan per commit, not one per value.
         need_seq = bool(dels_eq or dels_pos) and apply_deletes
         # partition membership is decided by SOURCE FIELD-ID (the
         # spec's identity), so a time-travel read across a rename of
@@ -830,44 +876,57 @@ class IcebergTable:
         snap_name_to_id = {f["name"]: f["id"]
                            for f in self._ice_schema_for(
                                snapshot_id)["fields"]}
-        md_spec = self.metadata()
-        spec_src_ids = {
-            pf["source-id"]
-            for pf in next(s for s in md_spec["partition-specs"]
-                           if s["spec-id"] == md_spec["default-spec-id"]
-                           )["fields"]}
         base_st = (T.StructType([
             f for f in st.fields
             if snap_name_to_id.get(f.name) not in spec_src_ids])
             if spec_cols else st)
-        by_grp: dict[tuple, list[str]] = {}
+        # every historical name of each partition source id can appear
+        # as the dir key (the key is the column name at WRITE time)
+        hist_names: dict[int, set] = {}
+        for s_ in self.metadata()["schemas"]:
+            for f_ in s_["fields"]:
+                hist_names.setdefault(f_["id"], set()).add(f_["name"])
+
+        def _attach_partition_cols(part):
+            import re as _re
+
+            for f_ in st.fields:
+                fid = snap_name_to_id.get(f_.name)
+                if fid not in spec_src_ids:
+                    continue
+                alts = "|".join(sorted(
+                    _re.escape(n) for n in hist_names[fid]))
+                raw = F.url_decode(F.regexp_extract(
+                    F.col("_metadata.file_path"),
+                    f"/(?:{alts})=([^/]+)/", 1))
+                part = part.withColumn(
+                    f_.name,
+                    F.when((raw == "") |
+                           (raw == "__HIVE_DEFAULT_PARTITION__"),
+                           F.lit(None))
+                    .otherwise(raw).cast(f_.dataType))
+            return part
+
+        by_seq: dict[int, list[str]] = {}
         for e in data:
-            key = (e["sequence_number"],
-                   tuple(sorted((e["info"].partition or {}).items())))
-            by_grp.setdefault(key, []).append(e["info"].path)
+            by_seq.setdefault(e["sequence_number"], []).append(
+                e["info"].path)
         df = None
-        for (seq, ptup), paths in sorted(
-                by_grp.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))):
+        for seq, paths in sorted(by_seq.items()):
             part = self.spark.read.schema(base_st).parquet(*paths)
+            if spec_cols:
+                part = _attach_partition_cols(part)
             if dels_pos:
                 # Spark's parquet metadata columns give the (file, row)
                 # identity a position delete addresses; file_path here
                 # equals Hadoop Path.toString() (verified both are
                 # 'file:/...'), the same string the delete file stores.
-                # Must be selected straight off the scan, before any
-                # projection drops the _metadata pseudo-column.
                 part = part.select(
                     "*",
                     F.col("_metadata.file_path").alias("_fp"),
                     F.col("_metadata.row_index").alias("_pos"),
                 )
             if spec_cols:
-                pvals = dict(ptup)
-                for f_ in st.fields:
-                    if snap_name_to_id.get(f_.name) in spec_src_ids:
-                        v = pvals.get(str(snap_name_to_id[f_.name]))
-                        part = part.withColumn(
-                            f_.name, F.lit(v).cast(f_.dataType))
                 keep = [f_.name for f_ in st.fields]
                 if dels_pos:
                     keep += ["_fp", "_pos"]
@@ -999,6 +1058,14 @@ class IcebergTable:
         # rewrite_data_files materializes the deletes and drops their
         # manifests.
         fid = next(f["id"] for f in cur["fields"] if f["name"] == name)
+        # The spec forbids dropping a partition-spec source column —
+        # doing so would make every spec resolution KeyError forever
+        # (the metadata commit is durable). rename is the safe verb.
+        for spec in md["partition-specs"]:
+            if any(pf["source-id"] == fid for pf in spec["fields"]):
+                raise ValueError(
+                    f"column {name} (field-id {fid}) is a partition-"
+                    "spec source column and cannot be dropped")
         if md["current-snapshot-id"] != -1:
             for e in self._entries():
                 if e["content"] == 2 and fid in (e["equality_ids"] or ()):
@@ -1137,8 +1204,6 @@ class IcebergTable:
         data files are untouched until ``expire_snapshots`` reclaims
         them — the standard compact-then-expire maintenance pair.
         """
-        import pyarrow.parquet as pq
-
         before = self.read()
         sub = f"{self.location}/data/compact-{uuid.uuid4().hex[:12]}"
         if sort_by:
@@ -1152,33 +1217,45 @@ class IcebergTable:
                 target_partitions, *sort_by).sortWithinPartitions(*sort_by)
         else:
             before = before.repartition(target_partitions)
-        part_names = [c for c, _ in self._partition_spec_cols()]
+        part_names = [c for c, _, _ in self._partition_spec_cols()]
         w = before.write.mode("overwrite")
         if part_names:
             w = w.partitionBy(*part_names)
         w.parquet(sub)
+        snap = self._commit_files(self._list_committed_files(sub),
+                                  content=0, equality_ids=None,
+                                  operation="replace", carry_prior=False)
         if sort_by:
-            # record the sort order in table metadata (spec "Sorting"):
-            # readers/planners can then rely on the clustered layout
+            # record the sort order in table metadata (spec "Sorting")
+            # AFTER the replace snapshot commits — a crash in between
+            # must never leave default-sort-order-id advertising a
+            # layout no committed data satisfies. Identical existing
+            # orders are reused (nightly compaction must not grow
+            # sort-orders without bound).
             md = self.metadata()
             cur = next(s for s in md["schemas"]
                        if s["schema-id"] == md["current-schema-id"])
             by_name = {f["name"]: f["id"] for f in cur["fields"]}
-            oid = max(o["order-id"] for o in md["sort-orders"]) + 1
-            md["sort-orders"].append({
-                "order-id": oid,
-                "fields": [{"transform": "identity",
-                            "source-id": by_name[c],
-                            "direction": "asc",
-                            "null-order": "nulls-first"}
-                           for c in sort_by],
-            })
-            md["default-sort-order-id"] = oid
-            md["last-updated-ms"] = int(time.time() * 1000)
-            self._commit_metadata(md)
-        return self._commit_files(self._list_committed_files(sub),
-                                  content=0, equality_ids=None,
-                                  operation="replace", carry_prior=False)
+            fields = [{"transform": "identity",
+                       "source-id": by_name[c],
+                       "direction": "asc",
+                       "null-order": "nulls-first"}
+                      for c in sort_by]
+            existing = next((o for o in md["sort-orders"]
+                             if o["fields"] == fields), None)
+            oid = (existing["order-id"] if existing
+                   else max(o["order-id"] for o in md["sort-orders"]) + 1)
+            if not existing:
+                md["sort-orders"].append({"order-id": oid,
+                                          "fields": fields})
+            if md["default-sort-order-id"] != oid:
+                md["default-sort-order-id"] = oid
+                md["last-updated-ms"] = int(time.time() * 1000)
+                self._commit_metadata(md)
+            elif not existing:
+                md["last-updated-ms"] = int(time.time() * 1000)
+                self._commit_metadata(md)
+        return snap
 
     def remove_orphan_files(self) -> list[str]:
         """DeleteOrphanFiles (the third Iceberg maintenance action,

@@ -551,3 +551,42 @@ def test_sorted_rewrite_records_sort_order(spark, tmp_path):
                              "direction": "asc",
                              "null-order": "nulls-first"}]
     assert t.read().count() == 50
+
+
+def test_partition_guards_and_plan_scale(spark, tmp_path):
+    """Round-5 hardening: partition sources can't be dropped (would
+    brick the spec), timestamp identity partitioning is rejected at
+    create, tuple-less data files are rejected on partitioned tables,
+    and the partitioned read plans ONE scan per commit — not one per
+    partition value."""
+    import re
+
+    import pytest as _pt
+
+    from pyspark.sql import types as T_
+
+    from gobblin_spark.sinks.iceberg import DataFileInfo, IcebergTable
+
+    with _pt.raises(TypeError, match="identity partitioning"):
+        IcebergTable.create(
+            spark, str(tmp_path / "bad_ts"),
+            T_.StructType([T_.StructField("ts", T_.TimestampNTZType())]),
+            partition_cols=["ts"])
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 10}", float(i)) for i in range(40)],
+        "k long, grp string, v double")
+    t = IcebergTable.create(spark, str(tmp_path / "ice_guard"), df.schema,
+                            partition_cols=["grp"])
+    t.append_dataframe(df.filter("k < 20").coalesce(1))
+    t.append_dataframe(df.filter("k >= 20").coalesce(1))
+
+    with _pt.raises(ValueError, match="partition-spec source"):
+        t.drop_column("grp")
+    with _pt.raises(ValueError, match="partition tuples"):
+        t.append_files([DataFileInfo("/nope.parquet", 1, 1)])
+
+    # 2 commits x 10 partition values -> exactly 2 parquet scans
+    plan = t.read()._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) == 2
+    assert sorted(r.k for r in t.read().collect()) == list(range(40))
