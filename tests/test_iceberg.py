@@ -590,3 +590,25 @@ def test_partition_guards_and_plan_scale(spark, tmp_path):
     plan = t.read()._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Scan parquet", plan)) == 2
     assert sorted(r.k for r in t.read().collect()) == list(range(40))
+
+
+def test_needs_id_resolution_classifier(spark, tmp_path):
+    """Field-id read resolution turns on EXACTLY when the history
+    contains a rename or drop — add-column-only histories keep plain
+    name resolution (back-compat with files lacking embedded ids)."""
+    from pyspark.sql import types as T_
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = IcebergTable.create(spark, str(tmp_path / "ice_idres"), df.schema)
+    assert not t._needs_id_resolution()
+    t.add_column("extra", T_.DoubleType())
+    assert not t._needs_id_resolution()  # add-only: names still stable
+    t.rename_column("s", "s2")
+    assert t._needs_id_resolution()
+
+    t2 = IcebergTable.create(spark, str(tmp_path / "ice_idres2"), df.schema)
+    t2.append_dataframe(df)
+    t2.drop_column("s")
+    assert t2._needs_id_resolution()
