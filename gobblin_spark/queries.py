@@ -6273,16 +6273,40 @@ def rest_datasource_pull(spark, sf_dir):
     table exactly, page assignment included. The streaming face of the
     same source (checkpointed {"page": n} offsets = the
     QueryBasedSource LWM/HWM loop) is exercised in
-    tests/test_datasource.py."""
+    tests/test_datasource.py.
+
+    Fixture is executor-distributed: page assignment (inherently
+    sequential — it IS the API's pagination) is a window row_number,
+    but each page FILE is written by the executor holding that group
+    via applyInPandas — no driver-side collect, so the fixture scales
+    with the cluster instead of serializing the feed on the driver."""
+    import json as _json
+    import os as _os
     import tempfile
+
+    from pyspark.sql import Window
 
     from gobblin_spark.sources import datasource as DS
 
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value").orderBy("event_id")
-    rows = [r.asDict() for r in ev.collect()]  # sf0.01-sized demo feed
+        "event_id", "user_id", "event_type", "value")
     tmp = tempfile.mkdtemp(prefix="gobblin_restds_")
-    DS.write_pages(rows, tmp, page_size=500)
+    paged = ev.withColumn(
+        "page",
+        ((F.row_number().over(Window.orderBy("event_id")) - 1) / 500)
+        .cast("int"))
+
+    def _write_page(pdf):
+        pdf = pdf.sort_values("event_id")
+        page = int(pdf["page"].iloc[0])
+        with open(_os.path.join(tmp, f"page-{page:05d}.json"), "w") as fh:
+            for rec in pdf.drop(columns=["page"]).to_dict("records"):
+                fh.write(_json.dumps(
+                    {k: (v.item() if hasattr(v, "item") else v)
+                     for k, v in rec.items()}) + "\n")
+        return pdf.iloc[0:0][["page"]]
+
+    paged.groupBy("page").applyInPandas(_write_page, "page int").count()
     DS.register(spark)
     df = (
         spark.read.format("gobblin_rest")

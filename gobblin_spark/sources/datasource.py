@@ -247,7 +247,17 @@ class GobblinRestDataSource(DataSource):
 
 def register(spark) -> None:
     """Idempotent registration of both native sources:
-    spark.read.format('gobblin_rest') / format('gobblin_sql')."""
+    spark.read.format('gobblin_rest') / format('gobblin_sql').
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` on the
+    *incoming* session: both readers implement ``pushFilters()`` and
+    Spark 4.x hard-fails any Python DataSource whose reader defines it
+    while the conf is false.  The conf is runtime-settable, and
+    register() is the common entry point for every read path, so a
+    session built without our factory (e.g. the round driver's) still
+    works.
+    """
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(GobblinRestDataSource)
     spark.dataSource.register(GobblinSqlDataSource)
 

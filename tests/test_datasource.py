@@ -31,6 +31,25 @@ def test_batch_read_roundtrip(spark, pages):
     assert df.filter("page = 3").count() == 10
 
 
+def test_register_repairs_pushdown_conf(spark, pages):
+    """Round-5 driver regression pin: the driver's session runs with
+    spark.sql.python.filterPushdown.enabled=false, and Spark 4.x
+    hard-fails any Python DataSource whose reader implements
+    pushFilters() under that conf. register() must set the conf on the
+    INCOMING session (it is runtime-settable), not rely on our own
+    session factory having done so."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        DS.register(spark)
+        assert spark.conf.get(
+            "spark.sql.python.filterPushdown.enabled") == "true"
+        df = (spark.read.format("gobblin_rest").schema(SCHEMA)
+              .option("path", pages).load())
+        assert df.filter("page = 3").count() == 10
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+
+
 def test_filter_pushdown_prunes_partitions(spark, pages):
     DS.register(spark)
     df = (spark.read.format("gobblin_rest").schema(SCHEMA)
