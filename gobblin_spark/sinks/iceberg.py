@@ -263,7 +263,13 @@ class DataFileInfo:
     lower_bounds: dict | None = None
     upper_bounds: dict | None = None
     # spec field 102: the file's partition TUPLE under the table's
-    # identity spec, {source column name: value}; None = unpartitioned
+    # identity spec, keyed by STRINGIFIED SOURCE FIELD-ID (e.g.
+    # {"2": "eu"} — JSON object keys must be strings; field-id keys
+    # are rename-proof where name keys are not); None = unpartitioned.
+    # INTEROP NOTE: the manifest stores this as a JSON string, not the
+    # spec's typed r102 record — real Iceberg readers cannot consume
+    # these manifests (documented simplification, see the Avro schema
+    # comment at _MANIFEST_ENTRY_SCHEMA).
     partition: dict | None = None
 
 
@@ -472,16 +478,47 @@ class IcebergTable:
         one new snapshot whose manifest lists exactly these files.
 
         On a partitioned table every data file must carry its
-        partition tuple — a tuple-less file would read back with the
-        partition column silently nulled (reads re-attach the column
-        from the manifest). append_dataframe derives the tuples;
-        direct callers must too."""
-        if self._partition_spec_cols():
+        partition tuple AND live under a hive-style path
+        (``.../<col>=<value>/file.parquet`` below ``<location>/data/``)
+        that agrees with the tuple: the manifest tuple drives PRUNING,
+        but reads derive the attached partition-column VALUES from the
+        path segments (partitionBy-written files don't store the
+        columns), so a tuple/path mismatch would prune on one value
+        and attach another. Both are validated here. append_dataframe
+        produces conforming files; direct callers must too."""
+        spec = self._partition_spec_cols()
+        if spec:
             missing = [f.path for f in files if not f.partition]
             if missing:
                 raise ValueError(
                     "partitioned table: data files lack partition "
                     f"tuples (use append_dataframe): {missing[:3]}")
+            names_by_id: dict[int, set] = {}
+            for s_ in self.metadata()["schemas"]:
+                for f_ in s_["fields"]:
+                    names_by_id.setdefault(
+                        f_["id"], set()).add(f_["name"])
+            type_by_id = {fid: t for _, t, fid in spec}
+            for f in files:
+                segs = {}
+                for seg in f.path.split("/"):
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        segs[k] = v  # raw; _parse url-decodes
+                for fid_s, val in (f.partition or {}).items():
+                    fid = int(fid_s)
+                    hive = [
+                        _parse_partition_value(segs[n],
+                                               type_by_id.get(fid, "string"))
+                        for n in names_by_id.get(fid, ()) if n in segs]
+                    if val not in hive:
+                        raise ValueError(
+                            f"data file {f.path}: partition tuple "
+                            f"{{{fid_s}: {val!r}}} has no matching "
+                            "hive '<col>=<value>' path segment — reads "
+                            "attach partition values from the path, so "
+                            "the file must be laid out hive-style "
+                            "(use append_dataframe)")
         return self._commit_files(files, content=0, equality_ids=None,
                                   operation="append")
 
@@ -774,7 +811,19 @@ class IcebergTable:
         and scanning a table. The predicates are ALSO applied to the
         surviving rows, so results are exact regardless of bounds
         coverage. ``self.last_scan`` records (files_total,
-        files_scanned) for observability/tests."""
+        files_scanned) for observability/tests.
+
+        SESSION-CONF CAVEAT: when this table's schema history contains
+        a rename/drop, the first read sets
+        ``spark.sql.parquet.fieldId.read.enabled=true`` SESSION-WIDE
+        and never restores it (the conf must hold while the returned
+        lazy DataFrame executes, which may be long after read()
+        returns). Any LATER non-Iceberg parquet read in the same
+        session that supplies a schema carrying ``parquet.field.id``
+        metadata (e.g. built from ``_spark_struct``) will then resolve
+        by id — or error on id-less files. Strip the metadata from
+        such schemas (as the else-branch below does for this table's
+        own plain-history reads)."""
         from pyspark.sql import functions as F
 
         entries = self._entries(snapshot_id)
@@ -887,9 +936,22 @@ class IcebergTable:
             for f_ in s_["fields"]:
                 hist_names.setdefault(f_["id"], set()).add(f_["name"])
 
+        # Anchor extraction past `<location>/data/` so a
+        # '<col>=value' segment in the table's own LOCATION path can
+        # never shadow the real hive dirs (read-side mirror of the
+        # sub_local guard in _list_committed_files). Prefix computed
+        # fully qualified — _metadata.file_path is Path.toString().
+        _fsd, _pd, _ = self._fs(f"{self.location}/data")
+        _data_prefix = _fsd.makeQualified(_pd).toString().rstrip("/") + "/"
+
         def _attach_partition_cols(part):
             import re as _re
 
+            fp = F.col("_metadata.file_path")
+            rel = F.when(
+                fp.startswith(_data_prefix),
+                F.substring(fp, len(_data_prefix) + 1, 1 << 20),
+            ).otherwise(F.substring_index(fp, "/data/", -1))
             for f_ in st.fields:
                 fid = snap_name_to_id.get(f_.name)
                 if fid not in spec_src_ids:
@@ -897,8 +959,7 @@ class IcebergTable:
                 alts = "|".join(sorted(
                     _re.escape(n) for n in hist_names[fid]))
                 raw = F.url_decode(F.regexp_extract(
-                    F.col("_metadata.file_path"),
-                    f"/(?:{alts})=([^/]+)/", 1))
+                    rel, f"(?:^|/)(?:{alts})=([^/]+)/", 1))
                 part = part.withColumn(
                     f_.name,
                     F.when((raw == "") |

@@ -455,6 +455,61 @@ def test_identity_partition_roundtrip_and_pruning(spark, tmp_path):
     assert t.last_scan["files_scanned"] == 0
 
 
+def test_partition_attach_ignores_location_path_segments(spark, tmp_path):
+    """Advice-r5 regression: a '<col>=value' segment in the TABLE
+    LOCATION path must not shadow the real hive dirs. Before the fix,
+    a table at .../grp=zzz/tbl with partition col 'grp' attached
+    grp='zzz' to every row (the regexp ran over the FULL file path),
+    so prune_filters=[('grp','=','x')] pruned on the correct manifest
+    tuple but the residual filter saw the wrong value → zero rows."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = tmp_path / "grp=zzz" / "tbl"
+    df = spark.createDataFrame(
+        [(i, ["x", "y"][i % 2], float(i)) for i in range(10)],
+        "k long, grp string, v double")
+    t = IcebergTable.create(spark, str(loc), df.schema,
+                            partition_cols=["grp"])
+    t.append_dataframe(df.coalesce(1))
+    got = {(r.k, r.grp) for r in t.read().select("k", "grp").collect()}
+    assert got == {(i, ["x", "y"][i % 2]) for i in range(10)}
+    xs = t.read(prune_filters=[("grp", "=", "x")])
+    assert sorted(r.k for r in xs.collect()) == [0, 2, 4, 6, 8]
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+
+
+def test_append_files_rejects_tuple_path_mismatch(spark, tmp_path):
+    """Advice-r5: a direct append_files caller with a valid tuple but
+    a non-hive file path must be rejected — reads attach partition
+    values from the path, so the mismatch would silently null (or
+    contradict) the attached column while pruning follows the tuple."""
+    import pytest as _pt
+
+    from gobblin_spark.sinks.iceberg import DataFileInfo, IcebergTable
+
+    df = spark.createDataFrame([(1, "x", 1.0)],
+                               "k long, grp string, v double")
+    t = IcebergTable.create(spark, str(tmp_path / "ice_mismatch"),
+                            df.schema, partition_cols=["grp"])
+    t.append_dataframe(df.coalesce(1))
+    good = t._entries()[0]["info"]
+    bad = DataFileInfo(
+        path=str(tmp_path / "elsewhere" / "file.parquet"),
+        size_bytes=good.size_bytes, record_count=good.record_count,
+        partition=dict(good.partition))
+    with _pt.raises(ValueError, match="hive"):
+        t.append_files([bad])
+    # tuple value that contradicts the path's hive segment
+    bad2 = DataFileInfo(path=good.path, size_bytes=good.size_bytes,
+                        record_count=good.record_count,
+                        partition={"2": "not-x"})
+    with _pt.raises(ValueError, match="hive"):
+        t.append_files([bad2])
+    # the conforming file still appends fine (doubles the row)
+    t.append_files([good])
+    assert t.read().count() == 2
+
+
 def test_identity_partition_deletes_and_rewrite(spark, tmp_path):
     """Merge-on-read deletes and compaction compose with the identity
     spec: the delete applies across partitions, and the rewritten
