@@ -8073,46 +8073,42 @@ HEADLINE = [
 #      a new query must replace a retired redundant one.
 # Rotate until every entry has a green row in some CORRECTNESS file.
 DRIVER_FIRST = [
-    # ROUND-5 WINDOW — rotated per VERDICT r4 #1: 45 never-driver-run
-    # entries (priority order from the verdict) + 5 cross-round
-    # canaries. Rotate again next round via scripts/rotate_window.py.
-    # -- TPC-H shapes (12), never driver-verified
-    "q2_min_cost_supplier", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q11_important_parts",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q20_potential_promotion", "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # -- temporal joins
-    "asof_join_events", "range_join_events",
-    # -- DataSource V2 pulls
+    # ROUND-6 WINDOW — rotated per VERDICT r5 #1/#2: the 3 red DSv2
+    # rows (conf fix in DS.register, re-certify) + 42 never-driver-run
+    # entries (verdict priority order) + 5 stalest-green canaries.
+    # 21 never-run entries roll to round 7.
+    # -- re-proof: red at r5 on the filterPushdown conf, fixed in
+    #    DS.register this round
     "rest_datasource_pull", "sql_datasource_pull",
-    # -- copy / file-diff sources
-    "copy_distcp_roundtrip", "filesource_snapshot_diff",
-    # -- commit machinery
-    "commit_policy_partial", "commit_sequence_replay",
-    # -- streaming parity + semantics
-    "streaming_window_parity", "streaming_join_parity",
-    "streaming_session_parity", "streaming_dropdup_parity",
-    "streaming_epoch_replay", "streaming_late_routing",
-    # -- graph ops
-    "pagerank_partsupp", "graph_components_chain",
-    # -- lake layout
-    "bucketed_join_revenue", "zorder_clustered_scan",
-    # -- new in round 5 (real media decode, SQL write+read,
-    #    SafeDatasetCommit matrix, FileSize policy)
-    "multimodal_decode_wav", "multimodal_decode_bmp",
-    "sql_write_read_roundtrip", "safe_commit_isolation",
-    "filesize_policy_report",
-    # -- round-4 text / mixing operators
-    "text_perplexity_scores", "text_bigram_perplexity",
-    "text_classifier_score", "text_chunk_windows",
-    "cleaning_span_dedup", "dedup_keep_best_docs",
-    "pipeline_corpus_curation", "tfidf_cosine_pairs",
-    "mixing_stratified_exact", "mixing_shuffle_seeded",
-    # -- cross-round canaries (green r1-r4)
-    "q1_pricing_summary", "compaction_dedup_events", "purge_by_id",
-    "dedup_exact_docs", "sink_roundtrip_partitioned",
+    "sql_write_read_roundtrip",
+    # -- verdict-named §2 surface flips (local → driver-certified)
+    "iceberg_rewrite_read", "retry_write_roundtrip",
+    "limiter_count_caps", "orc_roundtrip", "sql_surface_q3",
+    "source_workunit_retry", "sink_schema_partitioned",
+    "convert_jdbc_entries", "convert_json_conform",
+    "compaction_recompact_flags", "http_sink_roundtrip",
+    "csv_quoted_roundtrip", "codec_roundtrip",
+    # -- acceptance reports + semantic/ANN + e2e pipeline
+    "lsh_recall_report", "simhash_completeness_report",
+    "ivf_recall_report", "semantic_dedup_kmeans",
+    "kmeans_clusters_embeddings", "pipeline_training_data_e2e",
+    # -- incremental/checked dedup variants
+    "minhash_incremental_checked", "simhash_incremental_checked",
+    "embedding_near_dup_checked", "dedup_fuzzy_groups_checked",
+    # -- round-4 report / window-function family
+    "funnel_attribution", "pivot_event_type_daily",
+    "scd2_user_event_type", "rollup_revenue",
+    "stats_length_percentiles", "grouping_sets_revenue",
+    "sketch_distinct_daily", "topn_per_group_events",
+    "event_time_deltas", "user_value_deciles", "revenue_moving_avg",
+    "rolling_active_users", "cohort_retention",
+    "winsorize_event_values", "profile_table_stats",
+    "ri_audit_orphans", "snapshot_diff_rows",
+    "incremental_rollup_merge", "ingest_count_anomalies",
+    # -- cross-round canaries (stalest green certifications, r1-r2)
+    "convert_pick_filter", "convert_drop_project",
+    "convert_flatten_nested", "convert_split_explode",
+    "convert_sample_md5",
 ]
 assert len(DRIVER_FIRST) == 50, len(DRIVER_FIRST)
 assert set(DRIVER_FIRST) <= set(QUERIES), sorted(set(DRIVER_FIRST) - set(QUERIES))
