@@ -180,6 +180,98 @@ class FSDagStateStore:
             pass
 
 
+class QuotaExceededException(RuntimeError):
+    """Launch rejected by a flow concurrency quota (the engine-level
+    admission rule of gobblin-service/.../quota/UserQuotaManager.java;
+    ``flow.allowConcurrentExecution=false`` is quota 1)."""
+
+
+# -- scheduler periphery as data (no daemon) ---------------------------
+# The reference schedules flows with quartz cron expressions on the
+# flow spec (gobblin-service/.../scheduler/GobblinServiceJobScheduler
+# .java) and admits each fire through per-flow/user concurrency quotas
+# (quota/UserQuotaManager.java). Here both are declarative: a trigger
+# is a (flow_id, cron) row, cron_fires() computes the fire times of a
+# window, and launch(flow_id=...) enforces the quota — the caller (or
+# a test clock) decides when "now" is. No scheduler thread to operate
+# or crash.
+
+_CRON_BOUNDS = ((0, 59), (0, 23), (1, 31), (1, 12), (0, 7))
+
+
+def _cron_field(spec: str, lo: int, hi: int) -> frozenset[int]:
+    """One 5-field-cron field → the set of matching values. Supports
+    '*', '*/n', 'a', 'a-b', 'a-b/n' and comma lists thereof."""
+    out: set[int] = set()
+    for part in spec.split(","):
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/", 1)
+            step = int(step_s)
+            if step < 1:
+                raise ValueError(f"bad cron step in {spec!r}")
+        if part == "*":
+            a, b = lo, hi
+        elif "-" in part:
+            a_s, b_s = part.split("-", 1)
+            a, b = int(a_s), int(b_s)
+        else:
+            a = b = int(part)
+        if not (lo <= a <= hi and lo <= b <= hi and a <= b):
+            raise ValueError(f"cron value out of range: {spec!r}")
+        out.update(range(a, b + 1, step))
+    return frozenset(out)
+
+
+def cron_fires(cron: str, start, end) -> list:
+    """Fire times of a 5-field cron expression in (start, end] —
+    minute resolution, day-of-month and day-of-week OR-ed when both
+    are restricted (standard cron semantics; Sunday is 0 or 7).
+    Declarative replacement for the reference's quartz trigger: a
+    backfill/catch-up pass over a window is just a bigger range."""
+    import datetime as _dt
+
+    fields = cron.split()
+    if len(fields) != 5:
+        raise ValueError(f"need 5 cron fields: {cron!r}")
+    mins, hrs, doms, mons, dows = (
+        _cron_field(f, lo, hi)
+        for f, (lo, hi) in zip(fields, _CRON_BOUNDS))
+    dows = frozenset(d % 7 for d in dows)  # 7 ≡ Sunday ≡ 0
+    dom_any = fields[2] == "*"
+    dow_any = fields[4] == "*"
+    t = (start + _dt.timedelta(minutes=1)).replace(second=0, microsecond=0)
+    fires = []
+    while t <= end:
+        if t.minute in mins and t.hour in hrs and t.month in mons:
+            dom_ok = t.day in doms
+            dow_ok = (t.weekday() + 1) % 7 in dows  # Monday=0 → Sun=0
+            if ((dom_ok and dow_ok) if (dom_any or dow_any)
+                    else (dom_ok or dow_ok)):
+                fires.append(t)
+        t += _dt.timedelta(minutes=1)
+    return fires
+
+
+@dataclass
+class FlowTrigger:
+    """Declarative flow trigger row: ``cron`` fires launch a dag for
+    ``flow_id`` (subject to that flow's quota at launch time)."""
+
+    flow_id: str
+    cron: str
+
+
+def due_launches(triggers: Sequence[FlowTrigger], start, end) -> list:
+    """(fire_time, flow_id) admission list for a window, time-ordered —
+    the batch equivalent of the scheduler loop: feed each row to
+    ``launch(spec, flow_id=...)`` under the real quotas."""
+    due = [(t, trg.flow_id)
+           for trg in triggers for t in cron_fires(trg.cron, start, end)]
+    due.sort(key=lambda p: (p[0], p[1]))
+    return due
+
+
 class DagProcessingEngine:
     """Single-host analog of DagProcessingEngine.java: a FIFO of
     DagActions drained by ``run_until_idle``, with job bodies on a
@@ -189,7 +281,8 @@ class DagProcessingEngine:
 
     def __init__(self, state_store: FSDagStateStore | None = None,
                  max_workers: int = 4,
-                 clock: Callable[[], float] = time.monotonic):
+                 clock: Callable[[], float] = time.monotonic,
+                 flow_quotas: dict[str, int] | None = None):
         self.store = state_store
         self.clock = clock
         self._dags: dict[str, _DagState] = {}
@@ -197,13 +290,33 @@ class DagProcessingEngine:
         self._pool = ThreadPoolExecutor(max_workers=max_workers)
         self._inflight: dict[tuple[str, str], tuple[Future, threading.Event]] = {}
         self._lock = threading.RLock()
+        # flow_id → max concurrently-running dags (absent = unlimited;
+        # allowConcurrentExecution=false is expressed as quota 1)
+        self._flow_quotas = dict(flow_quotas or {})
+        self._flow_of: dict[str, str] = {}
 
     # -- action intake --------------------------------------------------
     def submit(self, action: DagAction) -> None:
         self._actions.append(action)
 
-    def launch(self, spec: DagSpec) -> None:
+    def running_count(self, flow_id: str) -> int:
+        """Non-terminal dags currently admitted for *flow_id*."""
         with self._lock:
+            return sum(1 for d_id, f in self._flow_of.items()
+                       if f == flow_id and d_id in self._dags
+                       and not self._dags[d_id].terminal)
+
+    def launch(self, spec: DagSpec, flow_id: str | None = None) -> None:
+        with self._lock:
+            if flow_id is not None:
+                limit = self._flow_quotas.get(flow_id)
+                if (limit is not None
+                        and self.running_count(flow_id) >= limit):
+                    raise QuotaExceededException(
+                        f"flow {flow_id!r} already has "
+                        f"{self.running_count(flow_id)} running "
+                        f"executions (quota {limit})")
+                self._flow_of[spec.dag_id] = flow_id
             self._dags[spec.dag_id] = _DagState(
                 spec=spec, launched_at=self.clock(),
                 nodes={j.name: _NodeState() for j in spec.jobs})
@@ -423,6 +536,7 @@ class DagProcessingEngine:
     def clean_up(self, dag_id: str) -> None:
         with self._lock:
             self._dags.pop(dag_id, None)
+            self._flow_of.pop(dag_id, None)
         if self.store is not None:
             self.store.clean_up(dag_id)
 

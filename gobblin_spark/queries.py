@@ -8163,10 +8163,16 @@ DRIVER_FIRST = [
     "profile_table_stats",
     "ri_audit_orphans", "snapshot_diff_rows",
     "incremental_rollup_merge",
-    # -- cross-round canaries (stalest green certifications, r1-r2)
+    # -- re-proof: certified r4, then EXTENDED in r5 with rename
+    #    evolution (order_id/price renames served from pre-rename
+    #    files via embedded field-ids) — the new path needs its own
+    #    driver row (verdict-r5 #7)
+    "iceberg_evolve_delete_read",
+    # -- cross-round canaries (stalest green certifications, r1-r2;
+    #    convert_sample_md5's portable-md5 trick is now also pinned by
+    #    sampler_front_loaded)
     "convert_pick_filter", "convert_drop_project",
     "convert_flatten_nested", "convert_split_explode",
-    "convert_sample_md5",
 ]
 assert len(DRIVER_FIRST) == 50, len(DRIVER_FIRST)
 assert set(DRIVER_FIRST) <= set(QUERIES), sorted(set(DRIVER_FIRST) - set(QUERIES))

@@ -260,3 +260,99 @@ def test_from_flow_spec_runs_real_pipeline(spark, sf_dir, tmp_path):
     out = spark.read.parquet(f"{tmp_path}/out")
     assert out.count() > 0 and set(out.columns) == {"o_orderkey", "o_totalprice"}
     eng.shutdown()
+
+
+# -- scheduler periphery: flow quotas + declarative cron triggers ------
+
+
+def test_flow_concurrency_quota():
+    """UserQuotaManager semantics: quota 1 ≡ allowConcurrentExecution=
+    false — a second launch of the same flow while one runs is
+    rejected; a different flow is unaffected; the slot frees when the
+    running dag goes terminal."""
+    gate = threading.Event()
+    eng = E.DagProcessingEngine(flow_quotas={"etl": 1})
+
+    def blocked(ctx):
+        gate.wait(30)
+
+    eng.launch(_spec("e1", [E.DagJob("j", blocked)]), flow_id="etl")
+    # drain the LAUNCH action so e1 is actually running
+    eng._drain_actions()
+    assert eng.running_count("etl") == 1
+    with pytest.raises(E.QuotaExceededException):
+        eng.launch(_spec("e2", [E.DagJob("j", blocked)]), flow_id="etl")
+    # unquota'd flow and unlimited flows still admit
+    eng.launch(_spec("r1", [E.DagJob("j", lambda c: None)]),
+               flow_id="reports")
+    gate.set()
+    eng.run_until_idle(30)
+    assert eng.dag_status("e1") == "COMPLETE"
+    # terminal dag frees the quota slot
+    eng.launch(_spec("e3", [E.DagJob("j", lambda c: None)]), flow_id="etl")
+    eng.run_until_idle(30)
+    assert eng.dag_status("e3") == "COMPLETE"
+    eng.shutdown()
+
+
+def test_cron_fires_shapes():
+    """Declarative quartz-replacement: daily, step, range/list, and
+    the standard dom/dow OR rule."""
+    import datetime as dt
+
+    s = dt.datetime(2024, 3, 1)  # a Friday
+    e = dt.datetime(2024, 3, 4)
+    daily = E.cron_fires("0 12 * * *", s, e)
+    assert [f.day for f in daily] == [1, 2, 3] and all(
+        f.hour == 12 and f.minute == 0 for f in daily)
+    # */15 within one hour window
+    q = E.cron_fires("*/15 9 * * *", s, dt.datetime(2024, 3, 1, 23))
+    assert [f.minute for f in q] == [0, 15, 30, 45]
+    # dow restriction: Sundays only (0 and 7 both mean Sunday)
+    for spec in ("30 6 * * 0", "30 6 * * 7"):
+        # March 2024 Sundays: 3, 10, 17, 24, 31
+        sun = E.cron_fires(spec, s, dt.datetime(2024, 3, 31, 23))
+        assert all(f.isoweekday() == 7 for f in sun) and len(sun) == 5
+    # dom AND dow both restricted → OR (standard cron quirk)
+    both = E.cron_fires("0 0 1,15 * 1", s, dt.datetime(2024, 3, 31, 23))
+    days = sorted({f.day for f in both})
+    assert 15 in days and 4 in days  # the 15th AND every Monday
+    with pytest.raises(ValueError):
+        E.cron_fires("61 * * * *", s, e)
+    with pytest.raises(ValueError):
+        E.cron_fires("* * * *", s, e)
+
+
+def test_due_launches_admission_under_quota():
+    """The batch scheduler pass: trigger table → time-ordered launch
+    list → quota-gated admission; rejected fires stay visible as a
+    skip count (the reference logs-and-skips when quota denies)."""
+    import datetime as dt
+
+    trig = [E.FlowTrigger("hourly_etl", "0 * * * *"),
+            E.FlowTrigger("daily_rollup", "30 2 * * *")]
+    due = E.due_launches(
+        trig, dt.datetime(2024, 5, 1), dt.datetime(2024, 5, 1, 4))
+    assert [(t.hour, t.minute, f) for t, f in due] == [
+        (1, 0, "hourly_etl"), (2, 0, "hourly_etl"),
+        (2, 30, "daily_rollup"), (3, 0, "hourly_etl"),
+        (4, 0, "hourly_etl")]
+    eng = E.DagProcessingEngine(flow_quotas={"hourly_etl": 2})
+    gate = threading.Event()
+    admitted, skipped = [], []
+    for i, (t, flow) in enumerate(due):
+        spec = _spec(f"d{i}", [E.DagJob("j", lambda c: gate.wait(30))])
+        try:
+            eng.launch(spec, flow_id=flow)
+            admitted.append((t, flow))
+            eng._drain_actions()
+        except E.QuotaExceededException:
+            skipped.append((t, flow))
+    # 2 hourly slots fill, the 2 later hourly fires are denied;
+    # daily_rollup is unquota'd and always admitted
+    assert len([f for _, f in admitted if f == "hourly_etl"]) == 2
+    assert len(skipped) == 2
+    assert ("daily_rollup" in [f for _, f in admitted])
+    gate.set()
+    eng.run_until_idle(30)
+    eng.shutdown()
