@@ -167,15 +167,26 @@ _MANIFEST_ENTRY_SCHEMA = {
                          {"name": "value", "type": "bytes",
                           "field-id": 130}]}}],
                  "default": None},
-                # spec field 102 is a per-spec TYPED r102 record; our
-                # pure-Python container stores the same identity tuple
-                # JSON-encoded ({source col: value}) — a documented
-                # simplification (the schema would otherwise have to be
-                # rebuilt per table spec)
+                # spec field 102: the per-spec TYPED r102 record.
+                # This STATIC schema keeps the legacy ["null","string"]
+                # JSON form (manifests written before round 6, and the
+                # read-compat branch in _entries); partitioned tables
+                # write with _manifest_entry_schema(), which swaps this
+                # field for the real r102 record built from the
+                # table's partition spec — interoperable with generic
+                # Avro readers and spec-conformant field-ids.
                 {"name": "partition", "field-id": 102,
                  "type": ["null", "string"], "default": None},
             ]}},
     ],
+}
+
+
+# identity-partition source type → the Avro type its r102 field uses
+_AVRO_BY_ICE = {
+    "int": "int", "long": "long", "float": "float", "double": "double",
+    "boolean": "boolean", "string": "string",
+    "date": {"type": "int", "logicalType": "date"},
 }
 
 
@@ -263,13 +274,13 @@ class DataFileInfo:
     lower_bounds: dict | None = None
     upper_bounds: dict | None = None
     # spec field 102: the file's partition TUPLE under the table's
-    # identity spec, keyed by STRINGIFIED SOURCE FIELD-ID (e.g.
-    # {"2": "eu"} — JSON object keys must be strings; field-id keys
-    # are rename-proof where name keys are not); None = unpartitioned.
-    # INTEROP NOTE: the manifest stores this as a JSON string, not the
-    # spec's typed r102 record — real Iceberg readers cannot consume
-    # these manifests (documented simplification, see the Avro schema
-    # comment at _MANIFEST_ENTRY_SCHEMA).
+    # identity spec, keyed IN MEMORY by STRINGIFIED SOURCE FIELD-ID
+    # (e.g. {"2": "eu"} — field-id keys are rename-proof where name
+    # keys are not); None = unpartitioned. On disk the manifest stores
+    # the spec's TYPED r102 record (since r6; _manifest_entry_schema
+    # builds it per spec, spec field-ids 1000+) — pre-r6 manifests
+    # holding the legacy JSON-string form still read (_entries
+    # branches on the decoded type).
     partition: dict | None = None
 
 
@@ -535,6 +546,19 @@ class IcebergTable:
         snap_id = int(uuid.uuid4().int % (1 << 62))
         now = int(time.time() * 1000)
 
+        spec_def = self._spec_fields_def()
+        sid_by_name = {pf["name"]: pf["source-id"] for pf in spec_def}
+
+        def _part_record(f: DataFileInfo):
+            # in-memory tuples are {str(source field-id): value}; the
+            # manifest stores the spec's TYPED r102 record (one field
+            # per spec entry, spec field-ids 1000+) — generic Avro
+            # readers decode it without knowing our JSON convention
+            if not f.partition:
+                return None
+            return {name: f.partition.get(str(sid))
+                    for name, sid in sid_by_name.items()}
+
         entries = [{
             "status": 1,  # ADDED
             "snapshot_id": snap_id,
@@ -549,14 +573,13 @@ class IcebergTable:
                 "equality_ids": equality_ids,
                 "lower_bounds": _bounds_to_avro(f.lower_bounds),
                 "upper_bounds": _bounds_to_avro(f.upper_bounds),
-                "partition": (json.dumps(f.partition, default=str)
-                              if f.partition else None),
+                "partition": _part_record(f),
             },
         } for f in files]
         manifest_path = (f"{self.location}/metadata/"
                          f"manifest-{uuid.uuid4().hex}.avro")
         mbytes = ACF.write_container_bytes(
-            entries, json.dumps(_MANIFEST_ENTRY_SCHEMA))
+            entries, json.dumps(self._manifest_entry_schema()))
         mlen = self._write_bytes(manifest_path, mbytes)
 
         # carry forward prior manifests (append-only table); a REPLACE
@@ -635,6 +658,19 @@ class IcebergTable:
             return []
         snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
         _, manifests = ACF.read_container(self._read_bytes(snap["manifest-list"]))
+        sid_by_name = {pf["name"]: pf["source-id"]
+                       for pf in self._spec_fields_def()}
+
+        def _part_tuple(raw):
+            # typed r102 record (current writer) → field-id-keyed
+            # tuple; JSON string = pre-r6 legacy manifests
+            if raw is None:
+                return None
+            if isinstance(raw, str):
+                return json.loads(raw)
+            return {str(sid_by_name[name]): v
+                    for name, v in raw.items() if name in sid_by_name}
+
         out = []
         for m in manifests:
             _, entries = ACF.read_container(self._read_bytes(m["manifest_path"]))
@@ -647,8 +683,7 @@ class IcebergTable:
                             d["record_count"], d["file_format"],
                             _bounds_from_avro(d.get("lower_bounds")),
                             _bounds_from_avro(d.get("upper_bounds")),
-                            (json.loads(d["partition"])
-                             if d.get("partition") else None)),
+                            _part_tuple(d.get("partition"))),
                         "content": d.get("content", 0),
                         "sequence_number": e.get("sequence_number") or 0,
                         "equality_ids": d.get("equality_ids"),
@@ -671,6 +706,43 @@ class IcebergTable:
 
     def _schema_for(self, snapshot_id: int | None) -> T.StructType:
         return _spark_struct(self._ice_schema_for(snapshot_id))
+
+    def _spec_fields_def(self) -> list[dict]:
+        """Raw default-spec field dicts ({name, transform, source-id,
+        field-id}); [] for unpartitioned tables."""
+        md = self.metadata()
+        spec = next(s for s in md["partition-specs"]
+                    if s["spec-id"] == md["default-spec-id"])
+        return list(spec["fields"])
+
+    def _manifest_entry_schema(self) -> dict:
+        """The manifest entry Avro schema with spec field 102 as the
+        per-spec TYPED r102 record (spec "Manifests": one field per
+        partition-spec entry, carrying the spec's 1000+ field-ids,
+        nullable for __HIVE_DEFAULT_PARTITION__). Unpartitioned tables
+        keep the static base schema; its legacy ["null","string"] form
+        also remains readable (_entries branches on the decoded type,
+        and Avro containers embed their writer schema)."""
+        import copy
+
+        spec_def = self._spec_fields_def()
+        if not spec_def:
+            return _MANIFEST_ENTRY_SCHEMA
+        src_type = {sid: t
+                    for _, t, sid in self._partition_spec_cols()}
+        sch = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
+        r102_fields = [{
+            "name": pf["name"],
+            "type": ["null", _AVRO_BY_ICE[src_type[pf["source-id"]]]],
+            "field-id": pf["field-id"],
+            "default": None,
+        } for pf in spec_def]
+        df_fields = next(f for f in sch["fields"]
+                         if f["name"] == "data_file")["type"]["fields"]
+        pfield = next(f for f in df_fields if f["name"] == "partition")
+        pfield["type"] = ["null", {"type": "record", "name": "r102",
+                                   "fields": r102_fields}]
+        return sch
 
     def _partition_spec_cols(self) -> list[tuple[str, str, int]]:
         """[(source column name, iceberg type, source field-id)] of the

@@ -478,6 +478,104 @@ def test_partition_attach_ignores_location_path_segments(spark, tmp_path):
     assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
 
 
+def test_manifest_partition_is_typed_r102_record(spark, tmp_path):
+    """Spec-conformant manifests (round 6): field 102 is the per-spec
+    TYPED r102 record — a generic Avro reader decodes {spec name:
+    typed value} with the spec's 1000+ field-ids, no JSON convention
+    needed. Date partition values ride the Avro date logical type."""
+    import json as _json
+
+    from gobblin_spark.operators import avro_container as ACF
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(1, "eu", 10.0), (2, "us", 20.0)],
+        "k long, region string, v double")
+    t = IcebergTable.create(spark, str(tmp_path / "ice_r102"), df.schema,
+                            partition_cols=["region"])
+    t.append_dataframe(df.coalesce(1))
+    md = t.metadata()
+    snap = next(s for s in md["snapshots"]
+                if s["snapshot-id"] == md["current-snapshot-id"])
+    _, manifests = ACF.read_container(
+        open(snap["manifest-list"].replace("file:", ""), "rb").read())
+    schema_json, entries = ACF.read_container(
+        open(manifests[0]["manifest_path"].replace("file:", ""),
+             "rb").read())
+    sch = _json.loads(schema_json)
+    dfld = next(f for f in sch["fields"] if f["name"] == "data_file")
+    pfld = next(f for f in dfld["type"]["fields"]
+                if f["name"] == "partition")
+    assert pfld["type"][1]["name"] == "r102"
+    assert pfld["type"][1]["fields"][0] == {
+        "name": "region", "type": ["null", "string"],
+        "field-id": 1000, "default": None}
+    # the decoded value is a plain typed record, not a JSON string
+    parts = {e["data_file"]["partition"]["region"] for e in entries}
+    assert parts == {"eu", "us"}
+    # and the read path consumes it (tuple keyed by source field-id)
+    assert all(e["info"].partition["2"] in ("eu", "us")
+               for e in t._entries())
+
+
+def test_manifest_r102_date_partition_roundtrip(spark, tmp_path):
+    """Date partition values survive the Avro date logical type and
+    still drive exact pruning."""
+    import datetime as dt
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + i % 3), float(i)) for i in range(9)],
+        "k long, day date, v double")
+    t = IcebergTable.create(spark, str(tmp_path / "ice_r102_date"),
+                            df.schema, partition_cols=["day"])
+    t.append_dataframe(df.coalesce(1))
+    for e in t._entries():
+        assert isinstance(e["info"].partition["2"], dt.date)
+    got = t.read(prune_filters=[("day", "=", dt.date(2024, 1, 2))])
+    assert sorted(r.k for r in got.collect()) == [1, 4, 7]
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+
+
+def test_legacy_json_partition_manifests_still_read(spark, tmp_path):
+    """Manifests written before round 6 store field 102 as a JSON
+    string — rewrite a committed manifest into that legacy form and
+    the read path must produce identical tuples and pruning."""
+    import json as _json
+
+    from gobblin_spark.operators import avro_container as ACF
+    from gobblin_spark.sinks import iceberg as I
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0)], "k long, grp string, v double")
+    t = I.IcebergTable.create(spark, str(tmp_path / "ice_legacy"),
+                              df.schema, partition_cols=["grp"])
+    t.append_dataframe(df.coalesce(1))
+    before = {e["info"].path: e["info"].partition for e in t._entries()}
+    md = t.metadata()
+    snap = next(s for s in md["snapshots"]
+                if s["snapshot-id"] == md["current-snapshot-id"])
+    _, manifests = ACF.read_container(
+        open(snap["manifest-list"].replace("file:", ""), "rb").read())
+    for m in manifests:
+        path = m["manifest_path"].replace("file:", "")
+        _, entries = ACF.read_container(open(path, "rb").read())
+        for e in entries:
+            rec = e["data_file"]["partition"]
+            e["data_file"]["partition"] = (
+                _json.dumps({"2": rec["grp"]}) if rec else None)
+        legacy = ACF.write_container_bytes(
+            entries, _json.dumps(I._MANIFEST_ENTRY_SCHEMA))
+        # through the table's writer so Hadoop's .crc sidecar updates
+        t._write_bytes(m["manifest_path"], legacy)
+    assert {e["info"].path: e["info"].partition
+            for e in t._entries()} == before
+    got = t.read(prune_filters=[("grp", "=", "y")])
+    assert [r.k for r in got.collect()] == [2]
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+
+
 def test_append_files_rejects_tuple_path_mismatch(spark, tmp_path):
     """Advice-r5: a direct append_files caller with a valid tuple but
     a non-hive file path must be rejected — reads attach partition
