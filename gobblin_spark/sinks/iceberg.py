@@ -129,6 +129,27 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        # spec field 507: per-partition-field summaries (field_summary
+        # r508) — scan planning skips WHOLE MANIFESTS whose summary
+        # excludes a predicate before opening them. At 100 TB a table
+        # holds thousands of manifests; file-level pruning alone still
+        # reads every manifest file. Bounds use Appendix-D
+        # serialization; STRING bounds are safe here (unlike parquet
+        # column stats they come exact from the partition tuples —
+        # nothing is truncated).
+        {"name": "partitions", "field-id": 507,
+         "type": ["null", {"type": "array", "element-id": 508, "items": {
+             "type": "record", "name": "r508", "fields": [
+                 {"name": "contains_null", "type": "boolean",
+                  "field-id": 509},
+                 {"name": "contains_nan", "type": ["null", "boolean"],
+                  "field-id": 518, "default": None},
+                 {"name": "lower_bound", "type": ["null", "bytes"],
+                  "field-id": 510, "default": None},
+                 {"name": "upper_bound", "type": ["null", "bytes"],
+                  "field-id": 511, "default": None},
+             ]}}],
+         "default": None},
     ],
 }
 
@@ -348,6 +369,36 @@ def _sv_deser(raw: bytes, ice_type: str):
     if ice_type in ("timestamp", "timestamptz"):
         return _s.unpack("<q", raw)[0]
     return None
+
+
+def _summary_ser(value, ice_type: str) -> bytes | None:
+    """Appendix-D serialization for PARTITION-TUPLE values (manifest
+    field_summary bounds). Unlike column bounds, strings are included:
+    these values come exact from the tuples — no parquet-stat
+    truncation — so a string upper bound can never wrongly prune."""
+    import datetime as _dt
+    import struct as _s
+
+    if value is None:
+        return None
+    if ice_type == "string":
+        return str(value).encode("utf-8")
+    if ice_type == "date" and isinstance(value, _dt.date):
+        return _s.pack("<i", (value - _dt.date(1970, 1, 1)).days)
+    return _sv_ser(value, ice_type)
+
+
+def _summary_deser(raw: bytes | None, ice_type: str):
+    import datetime as _dt
+
+    if raw is None:
+        return None
+    if ice_type == "string":
+        return raw.decode("utf-8")
+    if ice_type == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=_sv_deser(
+            raw, "int"))
+    return _sv_deser(raw, ice_type)
 
 
 def _iceberg_schema(schema: T.StructType) -> tuple[dict, int]:
@@ -589,6 +640,25 @@ class IcebergTable:
             cur = next(s for s in md["snapshots"]
                        if s["snapshot-id"] == md["current-snapshot-id"])
             _, prior = ACF.read_container(self._read_bytes(cur["manifest-list"]))
+        # field_summary per spec field (spec 507/508): min/max over
+        # this manifest's partition tuples + null presence — the
+        # manifest-level pruning index
+        summaries = None
+        if spec_def:
+            type_by_sid = {sid: t
+                           for _, t, sid in self._partition_spec_cols()}
+            summaries = []
+            for pf in spec_def:
+                t_ice = type_by_sid[pf["source-id"]]
+                vals = [(f.partition or {}).get(str(pf["source-id"]))
+                        for f in files]
+                nn = [v for v in vals if v is not None]
+                summaries.append({
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": None,
+                    "lower_bound": _summary_ser(min(nn), t_ice) if nn else None,
+                    "upper_bound": _summary_ser(max(nn), t_ice) if nn else None,
+                })
         new_entry = {
             "manifest_path": manifest_path, "manifest_length": mlen,
             # manifest_file.content: 0 = data manifest, 1 = deletes
@@ -599,6 +669,7 @@ class IcebergTable:
             "deleted_files_count": 0,
             "added_rows_count": sum(f.record_count for f in files),
             "existing_rows_count": 0, "deleted_rows_count": 0,
+            "partitions": summaries,
         }
         mlist_path = (f"{self.location}/metadata/"
                       f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
@@ -649,17 +720,27 @@ class IcebergTable:
     def snapshots(self) -> list[dict]:
         return self.metadata()["snapshots"]
 
-    def _entries(self, snapshot_id: int | None = None) -> list[dict]:
+    def _entries(self, snapshot_id: int | None = None,
+                 prune_parts: list[tuple] | None = None) -> list[dict]:
         """Live manifest entries of a snapshot: [{info: DataFileInfo,
-        content: 0|2, sequence_number, equality_ids}]."""
+        content: 0|2, sequence_number, equality_ids}].
+
+        ``prune_parts`` — [(partition source field-id, op, value)] —
+        enables MANIFEST-level skipping via the manifest list's
+        field_summary records (spec 507/508): excluded data manifests
+        are never opened. ``last_manifest_scan`` records
+        manifests_total / manifests_skipped."""
         md = self.metadata()
         sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
         if sid == -1:
             return []
         snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
         _, manifests = ACF.read_container(self._read_bytes(snap["manifest-list"]))
-        sid_by_name = {pf["name"]: pf["source-id"]
-                       for pf in self._spec_fields_def()}
+        spec_def = self._spec_fields_def()
+        sid_by_name = {pf["name"]: pf["source-id"] for pf in spec_def}
+        idx_by_sid = {pf["source-id"]: i for i, pf in enumerate(spec_def)}
+        type_by_sid = ({sid: t for _, t, sid in self._partition_spec_cols()}
+                       if spec_def else {})
 
         def _part_tuple(raw):
             # typed r102 record (current writer) → field-id-keyed
@@ -671,8 +752,50 @@ class IcebergTable:
             return {str(sid_by_name[name]): v
                     for name, v in raw.items() if name in sid_by_name}
 
+        def _summary_excludes(m) -> bool:
+            # spec "Scan Planning": skip a DATA manifest when its
+            # field_summary proves no file inside can match. Absent
+            # summaries (legacy lists) keep the manifest; incomparable
+            # types keep it (never wrongly skip). All-null partition
+            # values can't satisfy a comparison predicate, so a
+            # boundless summary with a predicate on that field skips.
+            sums = m.get("partitions")
+            if not sums or not prune_parts:
+                return False
+            for psid, op, value in prune_parts:
+                i = idx_by_sid.get(psid)
+                if i is None or i >= len(sums):
+                    continue
+                t_ice = type_by_sid[psid]
+                lo = _summary_deser(sums[i].get("lower_bound"), t_ice)
+                hi = _summary_deser(sums[i].get("upper_bound"), t_ice)
+                if lo is None or hi is None:
+                    return True
+                if type(lo) is not type(value) and not (
+                        isinstance(lo, (int, float))
+                        and isinstance(value, (int, float))):
+                    continue
+                try:
+                    may = {"=": lo <= value <= hi, "==": lo <= value <= hi,
+                           ">": hi > value, ">=": hi >= value,
+                           "<": lo < value, "<=": lo <= value}[op]
+                except TypeError:
+                    continue
+                if not may:
+                    return True
+            return False
+
+        self.last_manifest_scan = {"manifests_total": 0,
+                                   "manifests_skipped": 0}
         out = []
         for m in manifests:
+            if m.get("content", 0) == 0:
+                # delete manifests are never skipped: a delete applies
+                # across partitions and is correctness-critical
+                self.last_manifest_scan["manifests_total"] += 1
+                if _summary_excludes(m):
+                    self.last_manifest_scan["manifests_skipped"] += 1
+                    continue
             _, entries = ACF.read_container(self._read_bytes(m["manifest_path"]))
             for e in entries:
                 if e["status"] in (1, 0):  # ADDED / EXISTING
@@ -876,13 +999,18 @@ class IcebergTable:
         Planning"), so rows re-inserted after the delete survive.
 
         ``prune_filters`` — [(column, op, value), ...] with op in
-        {=, ==, <, <=, >, >=} — is manifest-level SCAN PLANNING: data
-        files whose stored column bounds (fields 125/128) exclude a
-        predicate are skipped before any parquet footer is opened,
-        which at 100 TB is the difference between scanning a partition
-        and scanning a table. The predicates are ALSO applied to the
-        surviving rows, so results are exact regardless of bounds
-        coverage. ``self.last_scan`` records (files_total,
+        {=, ==, <, <=, >, >=} — is SCAN PLANNING at two levels: (1)
+        partition-source predicates skip WHOLE MANIFESTS via the
+        manifest list's field_summary records (spec 507/508 — the
+        excluded manifest files are never even opened;
+        ``last_manifest_scan`` reports it); (2) surviving entries are
+        then pruned per file on identity-partition tuples and stored
+        column bounds (fields 125/128) before any parquet footer is
+        opened. At 100 TB this is the difference between scanning a
+        partition and scanning a table — and between reading three
+        manifest files and three thousand. The predicates are ALSO
+        applied to the surviving rows, so results are exact regardless
+        of bounds coverage. ``self.last_scan`` records (files_total,
         files_scanned) for observability/tests.
 
         SESSION-CONF CAVEAT: when this table's schema history contains
@@ -898,7 +1026,23 @@ class IcebergTable:
         own plain-history reads)."""
         from pyspark.sql import functions as F
 
-        entries = self._entries(snapshot_id)
+        # partition-source predicates resolve BEFORE listing entries
+        # so the manifest-list field_summary can skip whole manifests
+        # (spec 507/508) — at 100 TB the manifest files themselves are
+        # the first scan bottleneck
+        prune_parts = None
+        if prune_filters and self._version():
+            spec_ids = {fid for _, _, fid in self._partition_spec_cols()}
+            if spec_ids:
+                by_name = {f["name"]: f for f in self._ice_schema_for(
+                    snapshot_id)["fields"]}
+                prune_parts = [
+                    (by_name[col]["id"], op, value)
+                    for col, op, value in prune_filters
+                    if col in by_name and by_name[col]["id"] in spec_ids
+                ] or None
+
+        entries = self._entries(snapshot_id, prune_parts)
         data = [e for e in entries if e["content"] == 0]
         dels_pos = [e for e in entries if e["content"] == 1]
         dels_eq = [e for e in entries if e["content"] == 2]

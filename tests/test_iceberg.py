@@ -576,6 +576,50 @@ def test_legacy_json_partition_manifests_still_read(spark, tmp_path):
     assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
 
 
+def test_manifest_list_field_summary_skips_manifests(spark, tmp_path):
+    """Spec 507/508 field_summary: each append's manifest records
+    min/max partition values, and a partition predicate outside a
+    manifest's range skips the whole manifest — it is never opened.
+    File-level pruning still applies inside surviving manifests, and
+    results stay exact (delete manifests are never skipped)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F_
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1) + dt.timedelta(days=i // 10), float(i))
+         for i in range(60)],
+        "k long, day date, v double")
+    t = IcebergTable.create(spark, str(tmp_path / "ice_msum"), df.schema,
+                            partition_cols=["day"])
+    # three appends over DISJOINT day ranges → three manifests with
+    # disjoint summaries
+    for lo, hi in ((0, 20), (20, 40), (40, 60)):
+        t.append_dataframe(
+            df.filter((F_.col("k") >= lo) & (F_.col("k") < hi))
+            .coalesce(1))
+    got = t.read(prune_filters=[("day", "=", dt.date(2024, 1, 3))])
+    assert sorted(r.k for r in got.collect()) == list(range(20, 30))
+    ms = t.last_manifest_scan
+    assert ms == {"manifests_total": 3, "manifests_skipped": 2}, ms
+    # range predicate spanning two appends skips only the third
+    got = t.read(prune_filters=[("day", "<", dt.date(2024, 1, 3))])
+    assert got.count() == 20
+    assert t.last_manifest_scan["manifests_skipped"] >= 1
+    # an equality delete rides a delete manifest which must NEVER be
+    # skipped: the pruned read still sees the delete
+    t.delete_equality(spark.createDataFrame([(25,)], "k long"))
+    got = t.read(prune_filters=[("day", "=", dt.date(2024, 1, 3))])
+    assert sorted(r.k for r in got.collect()) == [
+        k for k in range(20, 30) if k != 25]
+    assert t.last_manifest_scan["manifests_skipped"] == 2
+    # unrestricted read skips nothing
+    assert t.read().count() == 59
+    assert t.last_manifest_scan["manifests_skipped"] == 0
+
+
 def test_append_files_rejects_tuple_path_mismatch(spark, tmp_path):
     """Advice-r5: a direct append_files caller with a valid tuple but
     a non-hive file path must be rejected — reads attach partition
