@@ -234,6 +234,13 @@ def cron_fires(cron: str, start, end) -> list:
     fields = cron.split()
     if len(fields) != 5:
         raise ValueError(f"need 5 cron fields: {cron!r}")
+    if end - start > _dt.timedelta(days=400):
+        # minute-stepping is O(window); a backfill beyond a year is
+        # almost certainly a bug — enforce the ceiling instead of
+        # silently burning minutes (same self-guarding stance as the
+        # quadratic acceptance reports)
+        raise ValueError("cron_fires window exceeds 400 days; "
+                         "split the backfill")
     mins, hrs, doms, mons, dows = (
         _cron_field(f, lo, hi)
         for f, (lo, hi) in zip(fields, _CRON_BOUNDS))

@@ -321,6 +321,8 @@ def test_cron_fires_shapes():
         E.cron_fires("61 * * * *", s, e)
     with pytest.raises(ValueError):
         E.cron_fires("* * * *", s, e)
+    with pytest.raises(ValueError, match="400 days"):
+        E.cron_fires("0 0 * * *", s, s + dt.timedelta(days=500))
 
 
 def test_due_launches_admission_under_quota():
