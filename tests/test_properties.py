@@ -262,3 +262,59 @@ def test_bmp24_roundtrip_any_id(mid):
     assert got[2:] == tuple(
         sum(M._bmp_pixel(mid, x, y)[c] for x in range(w) for y in range(h))
         for c in range(3))
+
+
+# -- iceberg partition-summary serialization (spec Appendix D) -------
+
+_SUMMARY_CASES = [
+    ("int", st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+    ("long", st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+    ("double", st.floats(allow_nan=False, allow_infinity=False)),
+    ("boolean", st.booleans()),
+    ("string", st.text(max_size=40)),
+    ("date", st.dates(min_value=dt.date(1900, 1, 1),
+                      max_value=dt.date(2200, 1, 1))),
+]
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_summary_ser_roundtrip(data):
+    """field_summary bounds (manifest-list partition summaries) must
+    round-trip exactly for every identity-partitionable type — a lossy
+    bound could wrongly skip a manifest holding matching files."""
+    from gobblin_spark.sinks import iceberg as I
+
+    ice_type, strat = data.draw(st.sampled_from(_SUMMARY_CASES))
+    v = data.draw(strat)
+    raw = I._summary_ser(v, ice_type)
+    assert raw is not None
+    assert I._summary_deser(raw, ice_type) == v
+    assert I._summary_deser(None, ice_type) is None
+    assert I._summary_ser(None, ice_type) is None
+
+
+@given(st.data())
+@settings(max_examples=200, deadline=None)
+def test_cron_field_parse_properties(data):
+    """Every parsed cron field stays within the field bounds, '*'
+    covers the whole range, and 'a-b/n' equals range(a, b+1, n)."""
+    from gobblin_spark.plans.dag_engine import _CRON_BOUNDS, _cron_field
+
+    lo, hi = data.draw(st.sampled_from(list(_CRON_BOUNDS)))
+    assert _cron_field("*", lo, hi) == frozenset(range(lo, hi + 1))
+    a = data.draw(st.integers(min_value=lo, max_value=hi))
+    b = data.draw(st.integers(min_value=a, max_value=hi))
+    n = data.draw(st.integers(min_value=1, max_value=30))
+    assert _cron_field(f"{a}-{b}/{n}", lo, hi) == frozenset(
+        range(a, b + 1, n))
+    got = _cron_field(f"{a},{b}", lo, hi)
+    assert got == {a, b}
+    # out-of-bounds and reversed ranges are rejected
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        _cron_field(str(hi + 1), lo, hi)
+    if a != b:
+        with _pt.raises(ValueError):
+            _cron_field(f"{b}-{a}", lo, hi)
