@@ -117,6 +117,7 @@ def front_loaded_sample_deterministic(
     initial_ratio: float = 1.0,
     half_life: int = 1000,
     min_ratio: float = 0.001,
+    index_col: str | None = "_i",
 ) -> DataFrame:
     """Engine-portable FrontLoadedSampler variant: same decay
     ``max(min_ratio, initial_ratio · 2^(-i/half_life))`` as
@@ -125,17 +126,23 @@ def front_loaded_sample_deterministic(
     deterministic, so the kept set is reproducible across engines and
     runs (oracle-checkable, replayable error samples).
 
+    ``index_col`` names the RETAINED rank column — kept on purpose
+    (this is the audit variant; the rank is what a decay report
+    buckets on). Pass None to drop it and match
+    ``front_loaded_sample``'s schema.
+
     The rank needs a global sort, so this is the AUDITABLE variant;
     the production no-shuffle path is ``front_loaded_sample``
     (per-partition arrival order + rand). Reference:
     gobblin-utility/.../FrontLoadedSampler.java."""
     from pyspark.sql import Window
 
+    name = index_col or "_i"
     out = df.withColumn(
-        "_i",
+        name,
         (F.row_number().over(Window.orderBy(key_col)) - F.lit(1))
         .cast("long"))
-    i = F.col("_i")
+    i = F.col(name)
     p = F.greatest(
         F.lit(float(min_ratio)),
         F.lit(float(initial_ratio))
@@ -143,7 +150,8 @@ def front_loaded_sample_deterministic(
     )
     u = (F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 6),
                 16, 10).cast("long") / F.lit(float(1 << 24)))
-    return out.filter(u < p)
+    kept = out.filter(u < p)
+    return kept.drop(name) if index_col is None else kept
 
 
 # ---------------- task-level policies (post-write assertions) ----------------

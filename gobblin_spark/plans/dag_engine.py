@@ -245,8 +245,11 @@ def cron_fires(cron: str, start, end) -> list:
         _cron_field(f, lo, hi)
         for f, (lo, hi) in zip(fields, _CRON_BOUNDS))
     dows = frozenset(d % 7 for d in dows)  # 7 ≡ Sunday ≡ 0
-    dom_any = fields[2] == "*"
-    dow_any = fields[4] == "*"
+    # Vixie-cron rule: a dom/dow field is UNRESTRICTED when it starts
+    # with '*' ('*' or '*/n'); the dom-OR-dow quirk applies only when
+    # BOTH are restricted
+    dom_any = fields[2].startswith("*")
+    dow_any = fields[4].startswith("*")
     t = (start + _dt.timedelta(minutes=1)).replace(second=0, microsecond=0)
     fires = []
     while t <= end:

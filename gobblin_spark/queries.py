@@ -8127,8 +8127,10 @@ HEADLINE = [
 DRIVER_FIRST = [
     # ROUND-6 WINDOW — rotated per VERDICT r5 #1/#2: the 3 red DSv2
     # rows (conf fix in DS.register, re-certify) + 42 never-driver-run
-    # entries (verdict priority order) + 5 stalest-green canaries.
-    # 21 never-run entries roll to round 7.
+    # entries (verdict priority order) + 1 re-proof
+    # (iceberg_evolve_delete_read — rename evolution added after its
+    # r4 row) + 4 stalest-green canaries. 24 never-run entries roll
+    # to round 7.
     # -- re-proof: red at r5 on the filterPushdown conf, fixed in
     #    DS.register this round
     "rest_datasource_pull", "sql_datasource_pull",

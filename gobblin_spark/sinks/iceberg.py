@@ -371,6 +371,24 @@ def _sv_deser(raw: bytes, ice_type: str):
     return None
 
 
+def _range_may_match(lo, hi, op: str, value) -> bool:
+    """Scan-planning core: can any v in the inclusive range [lo, hi]
+    satisfy ``v op value``? Shared by file-level bounds
+    (_entry_may_match) and manifest-level field_summary pruning so
+    the two levels can never disagree on comparison semantics."""
+    if op in ("=", "=="):
+        return lo <= value <= hi
+    if op == ">":
+        return hi > value
+    if op == ">=":
+        return hi >= value
+    if op == "<":
+        return lo < value
+    if op == "<=":
+        return lo <= value
+    return True
+
+
 def _summary_ser(value, ice_type: str) -> bytes | None:
     """Appendix-D serialization for PARTITION-TUPLE values (manifest
     field_summary bounds). Unlike column bounds, strings are included:
@@ -548,7 +566,8 @@ class IcebergTable:
         columns), so a tuple/path mismatch would prune on one value
         and attach another. Both are validated here. append_dataframe
         produces conforming files; direct callers must too."""
-        spec = self._partition_spec_cols()
+        md0 = self.metadata()
+        spec = self._partition_spec_cols(md0)
         if spec:
             missing = [f.path for f in files if not f.partition]
             if missing:
@@ -556,14 +575,24 @@ class IcebergTable:
                     "partitioned table: data files lack partition "
                     f"tuples (use append_dataframe): {missing[:3]}")
             names_by_id: dict[int, set] = {}
-            for s_ in self.metadata()["schemas"]:
+            for s_ in md0["schemas"]:
                 for f_ in s_["fields"]:
                     names_by_id.setdefault(
                         f_["id"], set()).add(f_["name"])
             type_by_id = {fid: t for _, t, fid in spec}
+            # segments are parsed RELATIVE to <location>/data/ — the
+            # same anchor the read path uses — so a 'col=value'
+            # segment in the table LOCATION can neither satisfy this
+            # guard nor be seen by reads (they must agree)
+            _fsv, _pv, _ = self._fs(f"{self.location}/data")
+            data_prefix = (_fsv.makeQualified(_pv).toString().rstrip("/")
+                           + "/")
             for f in files:
+                rel = (f.path[len(data_prefix):]
+                       if f.path.startswith(data_prefix)
+                       else f.path.rsplit("/data/", 1)[-1])
                 segs = {}
-                for seg in f.path.split("/"):
+                for seg in rel.split("/"):
                     if "=" in seg:
                         k, v = seg.split("=", 1)
                         segs[k] = v  # raw; _parse url-decodes
@@ -597,7 +626,7 @@ class IcebergTable:
         snap_id = int(uuid.uuid4().int % (1 << 62))
         now = int(time.time() * 1000)
 
-        spec_def = self._spec_fields_def()
+        spec_def = self._spec_fields_def(md)
         sid_by_name = {pf["name"]: pf["source-id"] for pf in spec_def}
 
         def _part_record(f: DataFileInfo):
@@ -630,7 +659,7 @@ class IcebergTable:
         manifest_path = (f"{self.location}/metadata/"
                          f"manifest-{uuid.uuid4().hex}.avro")
         mbytes = ACF.write_container_bytes(
-            entries, json.dumps(self._manifest_entry_schema()))
+            entries, json.dumps(self._manifest_entry_schema(md)))
         mlen = self._write_bytes(manifest_path, mbytes)
 
         # carry forward prior manifests (append-only table); a REPLACE
@@ -646,7 +675,7 @@ class IcebergTable:
         summaries = None
         if spec_def:
             type_by_sid = {sid: t
-                           for _, t, sid in self._partition_spec_cols()}
+                           for _, t, sid in self._partition_spec_cols(md)}
             summaries = []
             for pf in spec_def:
                 t_ice = type_by_sid[pf["source-id"]]
@@ -709,7 +738,7 @@ class IcebergTable:
                    if s["schema-id"] == md["current-schema-id"])
         df = _conform_with_ids(df, _spark_struct(cur))
         sub = f"{self.location}/data/{uuid.uuid4().hex[:12]}"
-        part_names = [c for c, _, _ in self._partition_spec_cols()]
+        part_names = [c for c, _, _ in self._partition_spec_cols(md)]
         w = df.write.mode("overwrite")
         if part_names:
             w = w.partitionBy(*part_names)
@@ -736,10 +765,10 @@ class IcebergTable:
             return []
         snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
         _, manifests = ACF.read_container(self._read_bytes(snap["manifest-list"]))
-        spec_def = self._spec_fields_def()
+        spec_def = self._spec_fields_def(md)
         sid_by_name = {pf["name"]: pf["source-id"] for pf in spec_def}
         idx_by_sid = {pf["source-id"]: i for i, pf in enumerate(spec_def)}
-        type_by_sid = ({sid: t for _, t, sid in self._partition_spec_cols()}
+        type_by_sid = ({sid: t for _, t, sid in self._partition_spec_cols(md)}
                        if spec_def else {})
 
         def _part_tuple(raw):
@@ -776,9 +805,7 @@ class IcebergTable:
                         and isinstance(value, (int, float))):
                     continue
                 try:
-                    may = {"=": lo <= value <= hi, "==": lo <= value <= hi,
-                           ">": hi > value, ">=": hi >= value,
-                           "<": lo < value, "<=": lo <= value}[op]
+                    may = _range_may_match(lo, hi, op, value)
                 except TypeError:
                     continue
                 if not may:
@@ -817,8 +844,9 @@ class IcebergTable:
         return [e["info"] for e in self._entries(snapshot_id)
                 if e["content"] == 0]
 
-    def _ice_schema_for(self, snapshot_id: int | None) -> dict:
-        md = self.metadata()
+    def _ice_schema_for(self, snapshot_id: int | None,
+                        md: dict | None = None) -> dict:
+        md = md or self.metadata()
         schema_id = md["current-schema-id"]
         if snapshot_id is not None:
             snap = next((s for s in md["snapshots"]
@@ -827,18 +855,22 @@ class IcebergTable:
                 schema_id = snap["schema-id"]
         return next(s for s in md["schemas"] if s["schema-id"] == schema_id)
 
-    def _schema_for(self, snapshot_id: int | None) -> T.StructType:
-        return _spark_struct(self._ice_schema_for(snapshot_id))
+    def _schema_for(self, snapshot_id: int | None,
+                    md: dict | None = None) -> T.StructType:
+        return _spark_struct(self._ice_schema_for(snapshot_id, md))
 
-    def _spec_fields_def(self) -> list[dict]:
+    def _spec_fields_def(self, md: dict | None = None) -> list[dict]:
         """Raw default-spec field dicts ({name, transform, source-id,
-        field-id}); [] for unpartitioned tables."""
-        md = self.metadata()
+        field-id}); [] for unpartitioned tables. Pass an already-read
+        ``md`` to avoid a redundant metadata fetch (each metadata()
+        is a filesystem round trip — on a remote FS the hot paths
+        must pay it once per operation, not once per helper)."""
+        md = md or self.metadata()
         spec = next(s for s in md["partition-specs"]
                     if s["spec-id"] == md["default-spec-id"])
         return list(spec["fields"])
 
-    def _manifest_entry_schema(self) -> dict:
+    def _manifest_entry_schema(self, md: dict | None = None) -> dict:
         """The manifest entry Avro schema with spec field 102 as the
         per-spec TYPED r102 record (spec "Manifests": one field per
         partition-spec entry, carrying the spec's 1000+ field-ids,
@@ -848,11 +880,12 @@ class IcebergTable:
         and Avro containers embed their writer schema)."""
         import copy
 
-        spec_def = self._spec_fields_def()
+        md = md or self.metadata()
+        spec_def = self._spec_fields_def(md)
         if not spec_def:
             return _MANIFEST_ENTRY_SCHEMA
         src_type = {sid: t
-                    for _, t, sid in self._partition_spec_cols()}
+                    for _, t, sid in self._partition_spec_cols(md)}
         sch = copy.deepcopy(_MANIFEST_ENTRY_SCHEMA)
         r102_fields = [{
             "name": pf["name"],
@@ -867,13 +900,14 @@ class IcebergTable:
                                    "fields": r102_fields}]
         return sch
 
-    def _partition_spec_cols(self) -> list[tuple[str, str, int]]:
+    def _partition_spec_cols(
+            self, md: dict | None = None) -> list[tuple[str, str, int]]:
         """[(source column name, iceberg type, source field-id)] of the
         default identity partition spec; empty for unpartitioned
         tables. The name comes from the CURRENT schema via source-id,
         so renaming a partition source column keeps the spec
-        coherent."""
-        md = self.metadata()
+        coherent. ``md``: reuse an already-read metadata dict."""
+        md = md or self.metadata()
         spec = next(s for s in md["partition-specs"]
                     if s["spec-id"] == md["default-spec-id"])
         cur = next(s for s in md["schemas"]
@@ -973,17 +1007,7 @@ class IcebergTable:
         v = _logical_to_ice(value, t)
         if mn is None or mx is None or v is None:
             return True
-        if op in ("=", "=="):
-            return mn <= v <= mx
-        if op == ">":
-            return mx > v
-        if op == ">=":
-            return mx >= v
-        if op == "<":
-            return mn < v
-        if op == "<=":
-            return mn <= v
-        return True
+        return _range_may_match(mn, mx, op, v)
 
     def read(self, snapshot_id: int | None = None,
              apply_deletes: bool = True,
@@ -1030,12 +1054,14 @@ class IcebergTable:
         # so the manifest-list field_summary can skip whole manifests
         # (spec 507/508) — at 100 TB the manifest files themselves are
         # the first scan bottleneck
+        md_r = self.metadata() if self._version() else None
         prune_parts = None
-        if prune_filters and self._version():
-            spec_ids = {fid for _, _, fid in self._partition_spec_cols()}
+        if prune_filters and md_r:
+            spec_ids = {fid
+                        for _, _, fid in self._partition_spec_cols(md_r)}
             if spec_ids:
                 by_name = {f["name"]: f for f in self._ice_schema_for(
-                    snapshot_id)["fields"]}
+                    snapshot_id, md_r)["fields"]}
                 prune_parts = [
                     (by_name[col]["id"], op, value)
                     for col, op, value in prune_filters
@@ -1046,8 +1072,8 @@ class IcebergTable:
         data = [e for e in entries if e["content"] == 0]
         dels_pos = [e for e in entries if e["content"] == 1]
         dels_eq = [e for e in entries if e["content"] == 2]
-        st = (self._schema_for(snapshot_id)
-              if self._version() else T.StructType([]))
+        st = (self._schema_for(snapshot_id, md_r)
+              if md_r else T.StructType([]))
         # Column resolution is BY FIELD-ID (the spec's projection rule)
         # exactly when the schema history demands it — some id was
         # renamed or dropped, so name matching would be wrong. The conf
@@ -1064,7 +1090,7 @@ class IcebergTable:
                 T.StructField(f.name, f.dataType, f.nullable)
                 for f in st.fields])
 
-        spec_cols = self._partition_spec_cols()
+        spec_cols = self._partition_spec_cols(md_r) if md_r else []
         spec_src_ids = {fid for _, _, fid in spec_cols}
 
         def _may_match(e, f, op, value):
@@ -1099,7 +1125,7 @@ class IcebergTable:
         n_total = len(data)
         residual = []
         if prune_filters:
-            ice_sch = self._ice_schema_for(snapshot_id)
+            ice_sch = self._ice_schema_for(snapshot_id, md_r)
             by_name = {f["name"]: f for f in ice_sch["fields"]}
             for col, op, value in prune_filters:
                 f = by_name.get(col)
@@ -1140,7 +1166,7 @@ class IcebergTable:
         # the partition column still excludes/attaches the right field
         snap_name_to_id = {f["name"]: f["id"]
                            for f in self._ice_schema_for(
-                               snapshot_id)["fields"]}
+                               snapshot_id, md_r)["fields"]}
         base_st = (T.StructType([
             f for f in st.fields
             if snap_name_to_id.get(f.name) not in spec_src_ids])
@@ -1148,7 +1174,7 @@ class IcebergTable:
         # every historical name of each partition source id can appear
         # as the dir key (the key is the column name at WRITE time)
         hist_names: dict[int, set] = {}
-        for s_ in self.metadata()["schemas"]:
+        for s_ in md_r["schemas"]:
             for f_ in s_["fields"]:
                 hist_names.setdefault(f_["id"], set()).add(f_["name"])
 
@@ -1218,7 +1244,7 @@ class IcebergTable:
         by_ids: dict[tuple, list[dict]] = {}
         for e in dels_eq:
             by_ids.setdefault(tuple(e["equality_ids"] or ()), []).append(e)
-        ice = self._ice_schema_for(snapshot_id)
+        ice = self._ice_schema_for(snapshot_id, md_r)
         id_to_name = {f["id"]: f["name"] for f in ice["fields"]}
         for ids, dfiles in by_ids.items():
             # resolve the equality field-ids against the SNAPSHOT's

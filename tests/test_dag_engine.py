@@ -317,6 +317,11 @@ def test_cron_fires_shapes():
     both = E.cron_fires("0 0 1,15 * 1", s, dt.datetime(2024, 3, 31, 23))
     days = sorted({f.day for f in both})
     assert 15 in days and 4 in days  # the 15th AND every Monday
+    # Vixie rule: '*/n' counts as UNRESTRICTED for the OR quirk —
+    # '0 0 */10 * 1' means (day in 1,11,21,31) AND Monday; the only
+    # such Monday in March 2024 is the 11th
+    stepped = E.cron_fires("0 0 */10 * 1", s, dt.datetime(2024, 3, 31, 23))
+    assert [f.day for f in stepped] == [11]
     with pytest.raises(ValueError):
         E.cron_fires("61 * * * *", s, e)
     with pytest.raises(ValueError):

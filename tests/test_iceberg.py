@@ -652,6 +652,34 @@ def test_append_files_rejects_tuple_path_mismatch(spark, tmp_path):
     assert t.read().count() == 2
 
 
+def test_append_files_guard_anchored_below_data_dir(spark, tmp_path):
+    """Review-r6 repro: the tuple/path guard must parse segments
+    BELOW <location>/data/ (the read path's anchor). A 'grp=x'
+    segment in the table LOCATION must not satisfy the guard for a
+    file that has no hive dir under data/ — reads would attach NULL
+    while pruning follows the tuple."""
+    import pytest as _pt
+
+    from gobblin_spark.sinks.iceberg import DataFileInfo, IcebergTable
+
+    loc = tmp_path / "grp=x" / "tbl"
+    df = spark.createDataFrame([(1, "x", 1.0)],
+                               "k long, grp string, v double")
+    t = IcebergTable.create(spark, str(loc), df.schema,
+                            partition_cols=["grp"])
+    t.append_dataframe(df.coalesce(1))
+    good = t._entries()[0]["info"]
+    sneaky = DataFileInfo(
+        path=f"{t.location}/data/nohive/file.parquet",
+        size_bytes=good.size_bytes, record_count=good.record_count,
+        partition={"2": "x"})
+    with _pt.raises(ValueError, match="hive"):
+        t.append_files([sneaky])
+    # the real hive-layout file (below data/) still validates
+    t.append_files([good])
+    assert t.read().count() == 2
+
+
 def test_identity_partition_deletes_and_rewrite(spark, tmp_path):
     """Merge-on-read deletes and compaction compose with the identity
     spec: the delete applies across partitions, and the rewritten
