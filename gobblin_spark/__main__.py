@@ -54,6 +54,24 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
 
     sub.add_parser("list", help="list catalog queries")
 
+    mt = sub.add_parser(
+        "maintain",
+        help="iceberg table maintenance (the DEPLOYMENT.md cadence: "
+             "rewrite -> expire -> orphans, each opt-in)")
+    mt.add_argument("location", help="iceberg table location")
+    mt.add_argument("--rewrite", action="store_true",
+                    help="compact data files (replace snapshot)")
+    mt.add_argument("--target-partitions", type=int, default=1)
+    mt.add_argument("--sort-by", default=None,
+                    help="comma-separated sort columns for the rewrite "
+                         "(keeps per-file bounds disjoint = sharp "
+                         "manifest/file skipping)")
+    mt.add_argument("--expire-days", type=float, default=None,
+                    help="expire snapshots older than N days")
+    mt.add_argument("--orphans", action="store_true",
+                    help="remove files no retained snapshot references "
+                         "(run AFTER expire)")
+
     args = p.parse_args(argv)
 
     if args.cmd == "list":
@@ -94,6 +112,28 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
             df = QUERIES[args.name](spark, args.sf_dir)
             df.show(args.limit, truncate=False)
             print(f"rows: {df.count()}")
+            return 0
+        if args.cmd == "maintain":
+            import time as _time
+
+            from gobblin_spark.sinks.iceberg import IcebergTable
+
+            t = IcebergTable(spark, args.location)
+            report: dict = {"location": args.location}
+            if args.rewrite:
+                sort_by = (args.sort_by.split(",")
+                           if args.sort_by else None)
+                report["rewrite_snapshot"] = t.rewrite_data_files(
+                    target_partitions=args.target_partitions,
+                    sort_by=sort_by)
+                report["data_files"] = len(t.data_files())
+            if args.expire_days is not None:
+                cutoff = int((_time.time()
+                              - args.expire_days * 86400) * 1000)
+                report["snapshots_expired"] = t.expire_snapshots(cutoff)
+            if args.orphans:
+                report["orphans_removed"] = len(t.remove_orphan_files())
+            print(json.dumps(report, default=str))
             return 0
     finally:
         if _spark is None:

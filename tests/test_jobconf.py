@@ -155,6 +155,33 @@ def test_cli_run_and_list(spark, tmp_path, capsys):
     assert rc == 2
 
 
+def test_cli_maintain_iceberg(spark, tmp_path, capsys):
+    """python -m gobblin_spark maintain: the DEPLOYMENT.md cadence
+    (sorted rewrite -> expire -> orphans) as one operator command."""
+    import json as _json
+
+    from gobblin_spark.__main__ import main as cli_main
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(60)], "k long, v double")
+    loc = str(tmp_path / "cli_ice")
+    t = IcebergTable.create(spark, loc, df.schema)
+    for i in range(3):
+        t.append_dataframe(df.filter(df.k % 3 == i).coalesce(1))
+    rc = cli_main(
+        ["maintain", loc, "--rewrite", "--target-partitions", "1",
+         "--sort-by", "k", "--expire-days", "0", "--orphans"],
+        _spark=spark)
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert rep["data_files"] == 1
+    assert rep["snapshots_expired"] >= 3  # the three appends
+    assert rep["orphans_removed"] >= 3  # superseded pre-compaction files
+    t2 = IcebergTable(spark, loc)
+    assert sorted(r.k for r in t2.read().collect()) == list(range(60))
+
+
 def test_rest_pages_source_via_pull(spark, tmp_path):
     """source.class=rest_pages runs the native DataSource through the
     full .pull pipeline: pages -> filter -> audited publish."""
