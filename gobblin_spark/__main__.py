@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
     mt.add_argument("--orphans", action="store_true",
                     help="remove files no retained snapshot references "
                          "(run AFTER expire)")
+    mt.add_argument("--orphans-older-than-days", type=float, default=3.0,
+                    help="only sweep unreferenced files at least this "
+                         "old (guards in-flight appends); 0 only when "
+                         "nothing else writes")
 
     args = p.parse_args(argv)
 
@@ -132,7 +136,8 @@ def main(argv: list[str] | None = None, _spark=None) -> int:
                               - args.expire_days * 86400) * 1000)
                 report["snapshots_expired"] = t.expire_snapshots(cutoff)
             if args.orphans:
-                report["orphans_removed"] = len(t.remove_orphan_files())
+                report["orphans_removed"] = len(t.remove_orphan_files(
+                    older_than_s=args.orphans_older_than_days * 86400))
             print(json.dumps(report, default=str))
             return 0
     finally:

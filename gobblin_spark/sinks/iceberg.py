@@ -232,6 +232,11 @@ def _logical_to_ice(value, ice_type: str):
         return None
     if ice_type in ("timestamp", "timestamptz"):
         if isinstance(value, _dt.datetime):
+            # tz-aware values convert to UTC BEFORE the tz is dropped;
+            # a bare replace(tzinfo=None) would shift the instant by
+            # the offset and wrongly prune files near the boundary
+            if value.tzinfo is not None:
+                value = value.astimezone(_dt.timezone.utc)
             base = value.replace(tzinfo=None)
             return (base - _dt.datetime(1970, 1, 1)) \
                 // _dt.timedelta(microseconds=1)
@@ -469,11 +474,20 @@ class IcebergTable:
 
     # -- metadata pointer ----------------------------------------------
     def _version(self) -> int:
+        """Current metadata version; 0 = no table. ONLY a genuinely
+        missing hint file maps to 0 — a transient IO error must
+        propagate, or create() would mistake an existing table for an
+        empty location and clobber its metadata history."""
         try:
             return int(self._read_bytes(
                 f"{self.location}/metadata/version-hint.text").decode().strip())
-        except Exception:
-            return 0
+        except Exception as ex:
+            msg = str(ex)
+            if ("FileNotFoundException" in msg
+                    or "does not exist" in msg
+                    or isinstance(ex, FileNotFoundError)):
+                return 0
+            raise
 
     def metadata(self) -> dict:
         v = self._version()
@@ -483,10 +497,26 @@ class IcebergTable:
             f"{self.location}/metadata/v{v}.metadata.json"))
 
     def _commit_metadata(self, md: dict) -> int:
+        """HadoopTables commit protocol: write the NEW vN file with
+        create-fails-if-exists (the optimistic-concurrency guard —
+        two committers racing from the same base version make the
+        loser ERROR instead of silently overwriting the winner's
+        snapshot), then flip the version hint last."""
         v = self._version() + 1
-        self._write_bytes(f"{self.location}/metadata/v{v}.metadata.json",
-                          json.dumps(md, indent=2).encode())
-        # HadoopTables commit protocol: the version hint flips last
+        path = f"{self.location}/metadata/v{v}.metadata.json"
+        fs, p, _ = self._fs(path)
+        try:
+            out = fs.create(p, False)  # atomic create-fails-if-exists
+        except Exception as ex:
+            raise RuntimeError(
+                f"concurrent commit detected: {path} already exists "
+                "(another committer advanced the table from the same "
+                "base version) — re-read metadata and retry") from ex
+        try:
+            out.write(bytearray(json.dumps(md, indent=2).encode()))
+        finally:
+            out.close()
+        # the version hint flips last
         self._write_bytes(f"{self.location}/metadata/version-hint.text",
                           str(v).encode())
         return v
@@ -750,7 +780,8 @@ class IcebergTable:
         return self.metadata()["snapshots"]
 
     def _entries(self, snapshot_id: int | None = None,
-                 prune_parts: list[tuple] | None = None) -> list[dict]:
+                 prune_parts: list[tuple] | None = None,
+                 md: dict | None = None) -> list[dict]:
         """Live manifest entries of a snapshot: [{info: DataFileInfo,
         content: 0|2, sequence_number, equality_ids}].
 
@@ -759,7 +790,7 @@ class IcebergTable:
         field_summary records (spec 507/508): excluded data manifests
         are never opened. ``last_manifest_scan`` records
         manifests_total / manifests_skipped."""
-        md = self.metadata()
+        md = md or self.metadata()
         sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
         if sid == -1:
             return []
@@ -970,7 +1001,7 @@ class IcebergTable:
                 partition=partition or None))
         return files
 
-    def _needs_id_resolution(self) -> bool:
+    def _needs_id_resolution(self, md: dict | None = None) -> bool:
         """True iff some field-id was RENAMED or DROPPED across the
         schema history — the only histories where name-based column
         resolution is wrong. Add-column-only histories (and tables
@@ -978,7 +1009,7 @@ class IcebergTable:
         NOTE: renaming on a table whose data files predate the
         field-id writes fails honestly at read ("no field IDs") —
         run rewrite_data_files() before renaming such tables."""
-        md = self.metadata()
+        md = md or self.metadata()
         names_by_id: dict[int, set] = {}
         ids_by_schema = []
         for s in md["schemas"]:
@@ -1068,7 +1099,7 @@ class IcebergTable:
                     if col in by_name and by_name[col]["id"] in spec_ids
                 ] or None
 
-        entries = self._entries(snapshot_id, prune_parts)
+        entries = self._entries(snapshot_id, prune_parts, md_r)
         data = [e for e in entries if e["content"] == 0]
         dels_pos = [e for e in entries if e["content"] == 1]
         dels_eq = [e for e in entries if e["content"] == 2]
@@ -1082,7 +1113,7 @@ class IcebergTable:
         # STRIPPED of id metadata instead: name resolution as before,
         # and an earlier evolved-table read in the same session cannot
         # leak id-resolution into this one.
-        if self._needs_id_resolution():
+        if self._needs_id_resolution(md_r):
             self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
                                 "true")
         else:
@@ -1219,11 +1250,13 @@ class IcebergTable:
             part = self.spark.read.schema(base_st).parquet(*paths)
             if spec_cols:
                 part = _attach_partition_cols(part)
-            if dels_pos:
+            if dels_pos and need_seq:
                 # Spark's parquet metadata columns give the (file, row)
                 # identity a position delete addresses; file_path here
                 # equals Hadoop Path.toString() (verified both are
                 # 'file:/...'), the same string the delete file stores.
+                # Only attached when the deletes will actually apply —
+                # an apply_deletes=False read must not leak _fp/_pos.
                 part = part.select(
                     "*",
                     F.col("_metadata.file_path").alias("_fp"),
@@ -1231,7 +1264,7 @@ class IcebergTable:
                 )
             if spec_cols:
                 keep = [f_.name for f_ in st.fields]
-                if dels_pos:
+                if dels_pos and need_seq:
                     keep += ["_fp", "_pos"]
                 part = part.select(*keep)
             part = part.withColumn("_data_seq", F.lit(seq))
@@ -1265,7 +1298,12 @@ class IcebergTable:
             df = df.alias("_dat")
             cond = F.col("_del._del_seq") > F.col("_dat._data_seq")
             for c in cols:
-                cond = cond & (F.col(f"_dat.{c}") == F.col(f"_del.{c}"))
+                # NULL-SAFE equality (spec "Equality Delete Files"): a
+                # delete row with a NULL value matches data rows whose
+                # column is NULL — plain == would evaluate to NULL and
+                # silently never delete them
+                cond = cond & F.col(f"_dat.{c}").eqNullSafe(
+                    F.col(f"_del.{c}"))
             df = df.join(F.broadcast(dd), cond, "left_anti")
 
         # position deletes: (file_path, pos) anti-join; the spec applies
@@ -1413,19 +1451,8 @@ class IcebergTable:
              if f.name == c]))
         sub = f"{self.location}/data/{uuid.uuid4().hex[:12]}-deletes"
         keys.dropDuplicates().write.mode("overwrite").parquet(sub)
-        fs, base, _ = self._fs(sub)
-        files = []
-        it = fs.listFiles(base, True)
-        while it.hasNext():
-            stt = it.next()
-            nm = stt.getPath().getName()
-            if nm.startswith(("_", ".")) or not nm.endswith(".parquet"):
-                continue
-            local = stt.getPath().toUri().getPath()
-            rows = pq.ParquetFile(local).metadata.num_rows
-            files.append(DataFileInfo(stt.getPath().toString(),
-                                      stt.getLen(), rows))
-        return self._commit_files(files, content=2, equality_ids=eq_ids,
+        return self._commit_files(self._list_delete_parquet(sub),
+                                  content=2, equality_ids=eq_ids,
                                   operation="delete")
 
     def upsert_dataframe(self, df: DataFrame, key_cols: list[str]) -> int:
@@ -1441,6 +1468,29 @@ class IcebergTable:
         ingestion, documented for anything stronger."""
         self.delete_equality(df.select(*key_cols))
         return self.append_dataframe(df)
+
+    def _list_delete_parquet(self, sub: str) -> list[DataFileInfo]:
+        """DataFileInfo for the parquet files of a freshly-written
+        DELETE directory (footer row counts only — delete files carry
+        no bounds/partition tuples). 0-row files are skipped: a delete
+        file that deletes nothing is manifest bloat."""
+        import pyarrow.parquet as pq
+
+        fs, base, _ = self._fs(sub)
+        files: list[DataFileInfo] = []
+        it = fs.listFiles(base, True)
+        while it.hasNext():
+            stt = it.next()
+            nm = stt.getPath().getName()
+            if nm.startswith(("_", ".")) or not nm.endswith(".parquet"):
+                continue
+            local = stt.getPath().toUri().getPath()
+            rows = pq.ParquetFile(local).metadata.num_rows
+            if rows == 0:
+                continue
+            files.append(DataFileInfo(stt.getPath().toString(),
+                                      stt.getLen(), rows))
+        return files
 
     def delete_positions(self, positions: DataFrame) -> int:
         """Commit a POSITION-delete snapshot (spec "Position Delete
@@ -1458,39 +1508,60 @@ class IcebergTable:
                 f"positions needs (file_path, pos), got {positions.columns}")
         sub = f"{self.location}/data/{uuid.uuid4().hex[:12]}-posdeletes"
         positions.dropDuplicates().write.mode("overwrite").parquet(sub)
-        fs, base, _ = self._fs(sub)
-        files = []
-        it = fs.listFiles(base, True)
-        while it.hasNext():
-            stt = it.next()
-            nm = stt.getPath().getName()
-            if nm.startswith(("_", ".")) or not nm.endswith(".parquet"):
-                continue
-            local = stt.getPath().toUri().getPath()
-            rows = pq.ParquetFile(local).metadata.num_rows
-            files.append(DataFileInfo(stt.getPath().toString(),
-                                      stt.getLen(), rows))
-        return self._commit_files(files, content=1, equality_ids=None,
+        return self._commit_files(self._list_delete_parquet(sub),
+                                  content=1, equality_ids=None,
                                   operation="delete")
 
-    def expire_snapshots(self, older_than_ms: int) -> int:
+    def expire_snapshots(self, older_than_ms: int,
+                         clean_metadata: bool = True) -> int:
         """ExpireSnapshots.expireOlderThan + commit
         (IcebergMetadataWriter.java:634): drop superseded snapshots
-        older than the horizon; the current snapshot always survives."""
+        older than the horizon; the current snapshot always survives.
+
+        ``clean_metadata`` also deletes the expired snapshots'
+        manifest-LIST files and any manifest file no retained snapshot
+        references (the reference action's cleanExpiredFiles) — the
+        nightly compact-then-expire loop otherwise leaks one list +
+        one manifest per commit into metadata/ forever. Old
+        vN.metadata.json versions are likewise pruned down to the
+        newest 5 (write.metadata.previous-versions-max semantics)."""
         md = self.metadata()
-        keep, dropped = [], 0
+        keep, dropped_snaps = [], []
         for s in md["snapshots"]:
             if (s["snapshot-id"] == md["current-snapshot-id"]
                     or s["timestamp-ms"] >= older_than_ms):
                 keep.append(s)
             else:
-                dropped += 1
+                dropped_snaps.append(s)
         md["snapshots"] = keep
         kept_ids = {s["snapshot-id"] for s in keep}
         md["snapshot-log"] = [e for e in md["snapshot-log"]
                               if e["snapshot-id"] in kept_ids]
-        self._commit_metadata(md)
-        return dropped
+        v = self._commit_metadata(md)
+        if clean_metadata:
+            # manifests referenced by ANY retained snapshot survive
+            retained: set[str] = set()
+            for s in keep:
+                _, mans = ACF.read_container(
+                    self._read_bytes(s["manifest-list"]))
+                retained.update(m["manifest_path"] for m in mans)
+            fs, _, _ = self._fs(self.location)
+            jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
+            for s in dropped_snaps:
+                _, mans = ACF.read_container(
+                    self._read_bytes(s["manifest-list"]))
+                for m in mans:
+                    if m["manifest_path"] not in retained:
+                        fs.delete(jvm_path(m["manifest_path"]), False)
+                fs.delete(jvm_path(s["manifest-list"]), False)
+            # metadata.json version pruning (keep the newest 5)
+            for old_v in range(max(1, v - 5), 0, -1):
+                p = jvm_path(
+                    f"{self.location}/metadata/v{old_v}.metadata.json")
+                if not fs.exists(p):
+                    break
+                fs.delete(p, False)
+        return len(dropped_snaps)
 
     def rewrite_data_files(self, target_partitions: int = 1,
                            sort_by: list[str] | None = None) -> int:
@@ -1507,7 +1578,15 @@ class IcebergTable:
         data files are untouched until ``expire_snapshots`` reclaims
         them — the standard compact-then-expire maintenance pair.
         """
-        before = self.read()
+        # re-conform through the id-bearing schema: read() strips the
+        # parquet.field.id metadata for plain histories, and compacted
+        # files written without embedded ids would break the FIRST
+        # rename AFTER compaction (the exact flow _needs_id_resolution
+        # tells users to prepare with this method)
+        md0 = self.metadata()
+        cur0 = next(s for s in md0["schemas"]
+                    if s["schema-id"] == md0["current-schema-id"])
+        before = _conform_with_ids(self.read(), _spark_struct(cur0))
         sub = f"{self.location}/data/compact-{uuid.uuid4().hex[:12]}"
         if sort_by:
             # sort strategy (the runtime's rewrite_data_files
@@ -1560,7 +1639,8 @@ class IcebergTable:
                 self._commit_metadata(md)
         return snap
 
-    def remove_orphan_files(self) -> list[str]:
+    def remove_orphan_files(
+            self, older_than_s: float = 3 * 86400) -> list[str]:
         """DeleteOrphanFiles (the third Iceberg maintenance action,
         completing rewrite + expire): delete every file under
         ``data/`` that NO retained snapshot references. Run AFTER
@@ -1569,12 +1649,20 @@ class IcebergTable:
         retained snapshot (time travel) always survive. Returns the
         deleted paths.
 
+        ``older_than_s`` (default 3 days, the reference action's
+        olderThan horizon): only files whose modification time is at
+        least this old are reclaimed — an IN-FLIGHT append writes its
+        parquet BEFORE committing the manifest, and sweeping those
+        young unreferenced files would corrupt the commit that is
+        about to reference them. Pass 0 only when nothing else can be
+        writing (tests, decommissioned tables).
+
         Referenced-set construction reads manifests (metadata-sized),
         never data; the data/ listing is the only filesystem sweep —
         at 100 TB both are driver-bounded metadata operations, the
         same shape as the reference's retention cleaners
         (gobblin-data-management/.../retention)."""
-        import os
+        import time as _time
 
         referenced: set[str] = set()
         for snap in self.metadata()["snapshots"]:
@@ -1584,6 +1672,7 @@ class IcebergTable:
         deleted = []
         if not fs.exists(base):
             return deleted
+        cutoff_ms = (_time.time() - older_than_s) * 1000
         it = fs.listFiles(base, True)
         doomed = []
         while it.hasNext():
@@ -1591,6 +1680,8 @@ class IcebergTable:
             nm = st.getPath().getName()
             if nm.startswith(("_", ".")):
                 continue
+            if st.getModificationTime() > cutoff_ms:
+                continue  # too young: may belong to an in-flight commit
             p = st.getPath().toString()
             if p not in referenced:
                 doomed.append(st.getPath())

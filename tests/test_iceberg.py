@@ -222,14 +222,14 @@ def test_remove_orphan_files_after_expire(spark, tmp_path):
     pre = sorted(r.k for r in t.read().collect())
     t.rewrite_data_files(target_partitions=1)
     # nothing is orphaned yet: old snapshots still reference old files
-    assert t.remove_orphan_files() == []
+    assert t.remove_orphan_files(older_than_s=0) == []
     # expire everything but the current snapshot -> old files orphan
     t.expire_snapshots(older_than_ms=int(_time.time() * 1000) + 10_000)
-    deleted = t.remove_orphan_files()
+    deleted = t.remove_orphan_files(older_than_s=0)
     assert len(deleted) >= 2  # the two pre-compaction data files
     assert sorted(r.k for r in t.read().collect()) == pre
     # idempotent
-    assert t.remove_orphan_files() == []
+    assert t.remove_orphan_files(older_than_s=0) == []
 
 
 def test_rename_column_reads_old_files_by_field_id(spark, tmp_path):
@@ -837,3 +837,117 @@ def test_needs_id_resolution_classifier(spark, tmp_path):
     t2.append_dataframe(df)
     t2.drop_column("s")
     assert t2._needs_id_resolution()
+
+
+# -- round-6 review fixes ---------------------------------------------
+
+
+def test_rewrite_then_rename_reads_compacted_files(spark, tmp_path):
+    """Review-r6: compacted files must embed parquet field-ids (read()
+    strips id metadata on plain histories, so the rewrite re-conforms
+    before writing) — otherwise the documented prepare-then-rename
+    flow (compact first, rename after) breaks on its own advice."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k long, v double")
+    t = I.IcebergTable.create(spark, str(tmp_path / "rwrn"), df.schema)
+    for i in range(2):
+        t.append_dataframe(df.filter(df.k % 2 == i).coalesce(1))
+    t.rewrite_data_files(target_partitions=1, sort_by=["k"])
+    t.rename_column("v", "value")
+    got = {r.k: r.value for r in t.read().collect()}
+    assert got == {i: float(i) for i in range(40)}
+
+
+def test_equality_delete_null_key_matches_null_rows(spark, tmp_path):
+    """Spec 'Equality Delete Files': a NULL delete value matches rows
+    whose column is NULL (null-safe equality, not ==)."""
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (None, "c"), (4, "d")],
+        "k long, s string")
+    t = I.IcebergTable.create(spark, str(tmp_path / "nulldel"),
+                              df.schema)
+    t.append_dataframe(df)
+    t.delete_equality(spark.createDataFrame([(None,)], "k long"))
+    got = sorted((r.k, r.s) for r in t.read().collect()
+                 if r.k is not None)
+    assert got == [(1, "a"), (4, "d")]
+    assert t.read().count() == 2  # both NULL-key rows deleted
+
+
+def test_read_without_deletes_has_clean_schema(spark, tmp_path):
+    """Review-r6: read(apply_deletes=False) on a PARTITIONED table
+    with pending position deletes must not leak _fp/_pos."""
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2], float(i)) for i in range(10)],
+        "k long, grp string, v double")
+    t = I.IcebergTable.create(spark, str(tmp_path / "leak"),
+                              df.schema, partition_cols=["grp"])
+    t.append_dataframe(df.coalesce(1))
+    pos = t.read().select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"), "k",
+    ).filter(F.col("k") == 3).drop("k")
+    t.delete_positions(pos)
+    raw = t.read(apply_deletes=False)
+    assert raw.columns == ["k", "grp", "v"]
+    assert raw.count() == 10
+    assert t.read().count() == 9  # the delete still applies normally
+
+
+def test_concurrent_commit_detected_not_clobbered(spark, tmp_path):
+    """HadoopTables optimistic concurrency: a commit racing from the
+    same base version must ERROR (create-fails-if-exists on the vN
+    file), never silently overwrite the winner's snapshot."""
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    t = I.IcebergTable.create(spark, str(tmp_path / "race"), df.schema)
+    t.append_dataframe(df)
+    md = t.metadata()
+    # simulate a second committer landing v(N+1) first
+    v_next = t._version() + 1
+    t._write_bytes(f"{t.location}/metadata/v{v_next}.metadata.json",
+                   b"{}")
+    with _pt.raises(RuntimeError, match="concurrent commit"):
+        t._commit_metadata(md)
+
+
+def test_expire_cleans_manifest_files_and_old_versions(spark, tmp_path):
+    """Review-r6: expire_snapshots reclaims the expired snapshots'
+    manifest lists, unreferenced manifests, and old vN.metadata.json
+    (keep-5) — the nightly loop must not leak metadata/ files."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "k long, v double")
+    t = I.IcebergTable.create(spark, str(tmp_path / "mclean"),
+                              df.schema)
+    for i in range(3):
+        t.append_dataframe(df.filter(df.k % 3 == i).coalesce(1))
+    t.rewrite_data_files(target_partitions=1)
+    mdir = os.path.join(t.location.replace("file:", ""), "metadata")
+    n_avro_before = len([f for f in os.listdir(mdir)
+                         if f.endswith(".avro")])
+    dropped = t.expire_snapshots(older_than_ms=2 ** 62)
+    assert dropped == 3
+    n_avro_after = len([f for f in os.listdir(mdir)
+                        if f.endswith(".avro")])
+    assert n_avro_after < n_avro_before
+    # only the current snapshot's list + manifest remain referenced
+    assert t.read().count() == 30
+    # old metadata.json pruned to at most the newest 5
+    vs = [f for f in os.listdir(mdir) if f.endswith(".metadata.json")]
+    assert len(vs) <= 5
+
+
+def test_tz_aware_prune_value_converts_to_utc(spark):
+    """Review-r6: a tz-aware timestamp predicate converts to UTC
+    before the tz drops — replace(tzinfo=None) alone would shift the
+    instant by the offset."""
+    import datetime as dt
+
+    from gobblin_spark.sinks.iceberg import _logical_to_ice
+
+    plus5 = dt.timezone(dt.timedelta(hours=5))
+    aware = dt.datetime(2024, 1, 1, 5, 0, 0, tzinfo=plus5)
+    naive_utc = dt.datetime(2024, 1, 1, 0, 0, 0)
+    assert _logical_to_ice(aware, "timestamp") == \
+        _logical_to_ice(naive_utc, "timestamp")

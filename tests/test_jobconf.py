@@ -171,7 +171,8 @@ def test_cli_maintain_iceberg(spark, tmp_path, capsys):
         t.append_dataframe(df.filter(df.k % 3 == i).coalesce(1))
     rc = cli_main(
         ["maintain", loc, "--rewrite", "--target-partitions", "1",
-         "--sort-by", "k", "--expire-days", "0", "--orphans"],
+         "--sort-by", "k", "--expire-days", "0", "--orphans",
+         "--orphans-older-than-days", "0"],
         _spark=spark)
     rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0
