@@ -315,6 +315,9 @@ class _RestWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         task = ctx.partitionId() if ctx else 0
+        # attempt id: speculative/retried attempts must never share a
+        # staged filename (the stream writer uses the pid the same way)
+        attempt = ctx.taskAttemptId() if ctx else 0
         staging = os.path.join(self.path, "_staging")
         os.makedirs(staging, exist_ok=True)
         names = [f.name for f in self.schema_.fields]
@@ -328,7 +331,8 @@ class _RestWriter(DataSourceWriter):
                 return
             fname = os.path.join(
                 staging,
-                f"task-{self.job_token}-{task:05d}-batch-{len(files):05d}.json")
+                f"task-{self.job_token}-{task:05d}-{attempt}"
+                f"-batch-{len(files):05d}.json")
             with open(fname, "w") as fh:
                 fh.write("\n".join(buf) + "\n")
             files.append(fname)
@@ -360,8 +364,15 @@ class _RestWriter(DataSourceWriter):
                 n += 1
             total += m.rows
         staging = os.path.join(self.path, "_staging")
-        if os.path.isdir(staging) and not os.listdir(staging):
-            os.rmdir(staging)
+        if os.path.isdir(staging):
+            # losing speculative attempts of THIS job leave staged
+            # files no commit message names — sweep by job token, and
+            # only by job token (a concurrent job's staging survives)
+            for f in os.listdir(staging):
+                if f.startswith(f"task-{self.job_token}-"):
+                    os.remove(os.path.join(staging, f))
+            if not os.listdir(staging):
+                os.rmdir(staging)
         manifest = os.path.join(self.path, "_DELIVERED")
         if not self.overwrite and os.path.exists(manifest):
             # Append mode: the manifest covers the WHOLE directory, so
@@ -374,11 +385,16 @@ class _RestWriter(DataSourceWriter):
             json.dump({"rows": total, "files": n}, fh)
 
     def abort(self, messages) -> None:
-        import shutil
-
+        # token-scoped: a failed job must not delete a CONCURRENT
+        # job's staged files from the shared _staging dir (that is
+        # the isolation job_token exists for)
         staging = os.path.join(self.path, "_staging")
         if os.path.isdir(staging):
-            shutil.rmtree(staging)
+            for f in os.listdir(staging):
+                if f.startswith(f"task-{self.job_token}-"):
+                    os.remove(os.path.join(staging, f))
+            if not os.listdir(staging):
+                os.rmdir(staging)
 
 
 # ----------------------------------------------------------------------
@@ -400,6 +416,14 @@ def _sql_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
+    if isinstance(v, float) and (v != v or v in (float("inf"),
+                                                 float("-inf"))):
+        # repr() gives bare inf/nan tokens, which DuckDB binds as
+        # IDENTIFIERS (Binder Error) — spell them as typed casts
+        if v != v:
+            return "CAST('NaN' AS DOUBLE)"
+        return ("CAST('Infinity' AS DOUBLE)" if v > 0
+                else "CAST('-Infinity' AS DOUBLE)")
     if isinstance(v, (int, float)):
         return repr(v)
     s = str(v).replace("'", "''")
@@ -440,7 +464,10 @@ def _select_cast_list(schema: StructType,
     for f in schema.fields:
         name = _sql_ident(f.name)
         duck = _duck_type(f.dataType)
-        if present is not None and f.name not in present:
+        # identifier comparison is CASE-INSENSITIVE (both DuckDB and
+        # Spark resolve identifiers case-insensitively; a declared
+        # 'ID' must match the table's 'id', not null-fill)
+        if present is not None and f.name.lower() not in present:
             parts.append(f"CAST(NULL AS {duck or 'VARCHAR'}) AS {name}")
         elif duck:
             parts.append(f"CAST({name} AS {duck}) AS {name}")
@@ -491,14 +518,39 @@ class _SqlReader(DataSourceReader):
             options.get("missing_columns", "fail") == "null")
         self.where: list[str] = []
 
+    def _present_cols(self) -> set[str] | None:
+        """Lowercased column names actually in the table (only fetched
+        under missing_columns=null; None otherwise). Memoized."""
+        if not self.null_fill_missing:
+            return None
+        if not hasattr(self, "_present_memo"):
+            import duckdb
+
+            con = duckdb.connect(self.db, read_only=True)
+            try:
+                self._present_memo = {r[0].lower() for r in con.execute(
+                    f"DESCRIBE {self.table}").fetchall()}
+            finally:
+                con.close()
+        return self._present_memo
+
     def pushFilters(self, filters: list[Filter]):
         from pyspark.sql.datasource import In, IsNotNull, IsNull
 
+        present = self._present_cols()
         remaining = []
         for f in filters:
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr and len(attr) == 1 else None
             ok = col is not None and _IDENT_RE.match(col)
+            if (ok and present is not None
+                    and col.lower() not in present):
+                # declared-but-table-absent column (null-filled in the
+                # SELECT list): pushing would crash DuckDB on an
+                # unknown identifier — let Spark evaluate it against
+                # the NULL column instead
+                remaining.append(f)
+                continue
             if ok and isinstance(f, EqualTo):
                 self.where.append(f"{col} = {_sql_literal(f.value)}")
             elif ok and isinstance(f, GreaterThan):
@@ -537,15 +589,7 @@ class _SqlReader(DataSourceReader):
     def read(self, partition: _RangePartition):
         import duckdb
 
-        present = None
-        if self.null_fill_missing:
-            con0 = duckdb.connect(self.db, read_only=True)
-            try:
-                present = {r[0] for r in con0.execute(
-                    f"DESCRIBE {self.table}").fetchall()}
-            finally:
-                con0.close()
-        cols = _select_cast_list(self.schema_, present)
+        cols = _select_cast_list(self.schema_, self._present_cols())
         conds = list(self.where)
         # open-ended edges: never lose rows outside the stated bounds
         if not partition.is_first:
@@ -553,6 +597,11 @@ class _SqlReader(DataSourceReader):
         if not partition.is_last:
             conds.append(f"{self.pc} < {partition.hi}")
         where = f" WHERE {' AND '.join(conds)}" if conds else ""
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema_)
         con = duckdb.connect(self.db, read_only=True)
         try:
             reader = con.execute(
@@ -560,9 +609,20 @@ class _SqlReader(DataSourceReader):
             ).fetch_record_batch(100_000)
             while True:
                 try:
-                    yield reader.read_next_batch()
+                    batch = reader.read_next_batch()
                 except StopIteration:
                     break
+                if batch.schema != target:
+                    # e.g. Spark 'timestamp' expects timestamp[us,
+                    # tz=UTC] while DuckDB emits naive timestamp[us];
+                    # cast column-wise so the JVM never reinterprets
+                    # (session tz is pinned UTC — the instant is
+                    # preserved)
+                    batch = pa.RecordBatch.from_arrays(
+                        [batch.column(i).cast(target.field(i).type)
+                         for i in range(batch.num_columns)],
+                        schema=target)
+                yield batch
         finally:
             con.close()
 
@@ -631,11 +691,19 @@ class _SqlWriter(DataSourceWriter):
     """
 
     def __init__(self, options, schema: StructType, overwrite: bool):
+        import uuid
+
         self.db = options["database"]
         self.table = _sql_ident(options["table"])
-        self.staging_dir = options.get(
+        # per-job token scopes the staging dir: two concurrent jobs
+        # writing the same table never see each other's staged files,
+        # and each commit/abort sweeps only its own dir (the same
+        # isolation _RestWriter's job_token provides)
+        self.job_token = uuid.uuid4().hex[:12]
+        base = options.get(
             "staging_dir", os.path.join(os.path.dirname(self.db),
                                         f"_staging_{self.table}"))
+        self.staging_dir = os.path.join(base, self.job_token)
         self.schema_ = schema
         self.overwrite = overwrite
 
@@ -648,6 +716,10 @@ class _SqlWriter(DataSourceWriter):
 
         ctx = TaskContext.get()
         task = ctx.partitionId() if ctx else 0
+        # attempt id keeps SPECULATIVE/retried attempts of the same
+        # partition from clobbering each other mid-write; only the
+        # winner's commit message is published
+        attempt = ctx.taskAttemptId() if ctx else 0
         os.makedirs(self.staging_dir, exist_ok=True)
         arrow_schema = to_arrow_schema(self.schema_)
         names = [f.name for f in self.schema_.fields]
@@ -656,7 +728,8 @@ class _SqlWriter(DataSourceWriter):
             pa.array([r[i] for r in rows], type=arrow_schema.field(n).type)
             for i, n in enumerate(names)
         ]
-        fpath = os.path.join(self.staging_dir, f"task-{task:05d}.parquet")
+        fpath = os.path.join(self.staging_dir,
+                             f"task-{task:05d}-{attempt}.parquet")
         pq.write_table(pa.Table.from_arrays(cols, schema=arrow_schema), fpath)
         return _SqlCommit([fpath], len(rows))
 
@@ -673,16 +746,12 @@ class _SqlWriter(DataSourceWriter):
                 flist = ", ".join(_sql_literal(f) for f in files)
                 src = f"SELECT * FROM read_parquet([{flist}])"
             else:
-                # CAST each NULL to the mapped DuckDB type — a bare
-                # NULL lets DuckDB infer its own column type for the
-                # empty table, losing the declared Spark schema and
-                # breaking (or silently coercing) a later real append.
-                # _duck_type covers parametrized decimals too.
-                cols = ", ".join(
-                    f"CAST(NULL AS {_duck_type(f.dataType) or 'VARCHAR'})"
-                    f" AS {_sql_ident(f.name)}"
-                    for f in self.schema_.fields)
-                src = f"SELECT {cols} WHERE FALSE"
+                # typed NULLs keep the declared Spark schema on the
+                # empty table (a bare NULL would let DuckDB infer its
+                # own types) — _select_cast_list with an empty present
+                # set IS that list
+                src = (f"SELECT {_select_cast_list(self.schema_, set())}"
+                       " WHERE FALSE")
             if self.overwrite:
                 con.execute(
                     f"CREATE OR REPLACE TABLE {self.table} AS {src}")
@@ -690,16 +759,32 @@ class _SqlWriter(DataSourceWriter):
                 con.execute(
                     f"CREATE TABLE IF NOT EXISTS {self.table} AS "
                     f"{src} LIMIT 0")
-                con.execute(f"INSERT INTO {self.table} {src}")
+                # explicit column list: a pre-existing table whose
+                # physical column ORDER differs from the write schema
+                # must bind by name, not position
+                collist = ", ".join(_sql_ident(f.name)
+                                    for f in self.schema_.fields)
+                con.execute(
+                    f"INSERT INTO {self.table} ({collist}) {src}")
             con.execute("COMMIT")
         finally:
             con.close()
-        shutil.rmtree(self.staging_dir, ignore_errors=True)
+        self._clean_staging()
 
     def abort(self, messages) -> None:
+        self._clean_staging()
+
+    def _clean_staging(self) -> None:
+        """Remove ONLY this job's token-scoped staging dir; the shared
+        base dir goes too once the last concurrent job empties it."""
         import shutil
 
         shutil.rmtree(self.staging_dir, ignore_errors=True)
+        base = os.path.dirname(self.staging_dir)
+        try:
+            os.rmdir(base)  # only succeeds when empty
+        except OSError:
+            pass
 
 
 class _RestStreamWriter(DataSourceStreamWriter):
@@ -752,6 +837,7 @@ class _RestStreamWriter(DataSourceStreamWriter):
             total += m.rows
         with open(os.path.join(epoch_dir, "_manifest.json"), "w") as fh:
             json.dump({"epoch": batchId, "rows": total, "files": n}, fh)
+        self._sweep_staging()
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages or []:
@@ -762,6 +848,22 @@ class _RestStreamWriter(DataSourceStreamWriter):
                     os.remove(f)
                 except OSError:
                     pass
+        self._sweep_staging()
+
+    def _sweep_staging(self) -> None:
+        """Failed task attempts leave staged files NO commit message
+        names — without a sweep they accumulate in _epoch_staging for
+        the lifetime of the stream. Epochs are serialized per query,
+        so at commit/abort time every remaining file is a dead
+        attempt's leftover."""
+        staging = os.path.join(self.path, "_epoch_staging")
+        if not os.path.isdir(staging):
+            return
+        for f in os.listdir(staging):
+            try:
+                os.remove(os.path.join(staging, f))
+            except OSError:
+                pass
 
 
 class _SqlStreamReader(SimpleDataSourceStreamReader):

@@ -391,3 +391,118 @@ def test_sql_empty_write_keeps_declared_types_incl_decimal(spark, tmp_path):
     assert con.execute("SELECT * FROM t1").fetchall() == [
         (5, Decimal("12.34"), "x")]
     con.close()
+
+
+# -- round-6 review fixes ---------------------------------------------
+
+
+def test_sql_filter_on_dropped_column_stays_in_spark(spark, tmp_path):
+    """Review-r6: under missing_columns=null a pushed filter on a
+    table-absent column crashed DuckDB (unknown identifier). The
+    filter must stay in Spark and evaluate against the NULL fill."""
+    import duckdb
+
+    db = str(tmp_path / "driftf.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT range AS k, 'x' AS s "
+                "FROM range(0, 10)")
+    con.close()
+    DS.register(spark)
+    df = (spark.read.format("gobblin_sql")
+          .schema("k long, s string, gone double")
+          .option("database", db).option("table", "t")
+          .option("partition_column", "k")
+          .option("lower_bound", "0").option("upper_bound", "10")
+          .option("num_partitions", "2")
+          .option("missing_columns", "null").load())
+    assert df.filter("gone IS NULL").count() == 10
+    assert df.filter("gone > 1").count() == 0
+    # pushdown on PRESENT columns still prunes in the database
+    assert df.filter("k >= 5").count() == 5
+
+
+def test_sql_case_insensitive_declared_columns(spark, tmp_path):
+    """Review-r6: identifier matching is case-insensitive — a declared
+    'ID' must read the table's 'id', not silently null-fill."""
+    import duckdb
+
+    db = str(tmp_path / "case.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT range AS id FROM range(0, 5)")
+    con.close()
+    DS.register(spark)
+    df = (spark.read.format("gobblin_sql").schema("ID long")
+          .option("database", db).option("table", "t")
+          .option("partition_column", "id")
+          .option("lower_bound", "0").option("upper_bound", "5")
+          .option("missing_columns", "null").load())
+    assert sorted(r.ID for r in df.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_sql_nonfinite_float_predicate(spark, tmp_path):
+    """Review-r6: inf/nan literals pushed into SQL must not bind as
+    identifiers."""
+    import duckdb
+
+    db = str(tmp_path / "inf.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT range AS k, "
+                "range * 1.5 AS v FROM range(0, 10)")
+    con.close()
+    DS.register(spark)
+    df = (spark.read.format("gobblin_sql").schema("k long, v double")
+          .option("database", db).option("table", "t")
+          .option("partition_column", "k")
+          .option("lower_bound", "0").option("upper_bound", "10").load())
+    assert df.filter(df.v < float("inf")).count() == 10
+    assert df.filter(df.v > float("-inf")).count() == 10
+
+
+def test_sql_timestamp_roundtrip(spark, tmp_path):
+    """Review-r6: DuckDB emits naive timestamp[us]; the reader must
+    conform batches to Spark's expected arrow schema (timestamp[us,
+    tz=UTC] for 'timestamp') instead of letting the JVM reinterpret."""
+    import datetime as dt
+
+    import duckdb
+
+    db = str(tmp_path / "ts.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT range AS k, "
+                "TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (range) HOUR"
+                " AS ts FROM range(0, 6)")
+    con.close()
+    DS.register(spark)
+    for decl in ("k long, ts timestamp", "k long, ts timestamp_ntz"):
+        df = (spark.read.format("gobblin_sql").schema(decl)
+              .option("database", db).option("table", "t")
+              .option("partition_column", "k")
+              .option("lower_bound", "0").option("upper_bound", "6").load())
+        got = {r.k: r.ts for r in df.collect()}
+        # session tz is UTC, so both flavors collect the same naive
+        # wall-clock instants
+        assert got[0].replace(tzinfo=None) == dt.datetime(2024, 1, 1)
+        assert got[5].replace(tzinfo=None) == dt.datetime(2024, 1, 1, 5)
+
+
+def test_sql_append_binds_columns_by_name(spark, tmp_path):
+    """Review-r6: appending to a pre-existing table whose physical
+    column ORDER differs from the write schema must bind by name —
+    positional INSERT would land values in the wrong columns."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    db = str(tmp_path / "order.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE sink (b VARCHAR, a BIGINT)")
+    con.close()
+    DS.register(spark)
+    df = spark.range(3).select(
+        F.col("id").alias("a"), F.lit("x").alias("b"))
+    (df.write.format("gobblin_sql").option("database", db)
+     .option("table", "sink").mode("append").save())
+    con = duckdb.connect(db, read_only=True)
+    rows = con.execute("SELECT a, b FROM sink ORDER BY a").fetchall()
+    con.close()
+    assert rows == [(0, "x"), (1, "x"), (2, "x")]
