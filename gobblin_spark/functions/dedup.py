@@ -22,15 +22,22 @@ Everything is built-in Column expressions (xxhash64, bitwise ops,
 higher-order array functions) — no Python in the hot path. Permutation
 parameters use a fixed Mersenne prime so ``a·h + b`` stays within int64
 under ANSI arithmetic.
+
+CACHE LIFETIME: the pair-search entry points ``.persist()`` their
+signature/shingle tables so candidate generation and verification
+share one materialization; the cache lives until the session ends (or
+the executor evicts it). A long-lived driver looping over many
+corpora should unpersist between runs
+(``spark.catalog.clearCache()`` or df-level unpersist) — the persists
+here deliberately do not self-unpersist, because the returned
+DataFrame is lazy and still depends on them.
 """
 
 from __future__ import annotations
 
 import random
-from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.window import Window
 
 from gobblin_spark.functions.text import fingerprint, normalize_text, word_shingles
 from gobblin_spark.session import ensure_parallelism
@@ -273,18 +280,8 @@ def minhash_lsh_pairs(
     sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     scored = cand.join(sig_a, "id_a").join(sig_b, "id_b")
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
-        )
-    )
-    est = F.col("n_agree").cast("double") / F.lit(float(num_perm))
-    return (
-        scored.withColumn("n_agree", agree)
-        .withColumn("est_jaccard", F.round(est, 6))
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "n_agree", "est_jaccard")
-    )
+    return _score_signature_agreement(
+        scored, num_perm, threshold, ["id_a", "id_b"])
 
 
 def minhash_probe_corpus(
@@ -343,15 +340,44 @@ def minhash_probe_corpus(
     sb = corpus_sigs.select(
         F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_b"))
     scored = cand.join(sa, "new_id").join(sb, "corpus_id")
+    return _score_signature_agreement(
+        scored, num_perm, threshold, ["new_id", "corpus_id"])
+
+
+def _score_signature_agreement(scored: DataFrame, num_perm: int,
+                               threshold: float,
+                               id_cols: list[str]) -> DataFrame:
+    """Shared MinHash verify: count per-position signature agreement
+    between sig_a/sig_b, estimate Jaccard, keep pairs >= threshold.
+    ONE implementation so the pair search and the incremental corpus
+    probe can never drift apart (their equivalence is property-
+    tested)."""
     agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
     )
     est = F.col("n_agree").cast("double") / F.lit(float(num_perm))
     return (
         scored.withColumn("n_agree", agree)
         .withColumn("est_jaccard", F.round(est, 6))
         .filter(F.col("est_jaccard") >= threshold)
-        .select("new_id", "corpus_id", "n_agree", "est_jaccard")
+        .select(*id_cols, "n_agree", "est_jaccard")
+    )
+
+
+def _simhash_chunk_array(cw: int) -> Column:
+    """The 4-chunk pigeonhole key array of a 'simhash' column (cw bits
+    per chunk). ONE implementation shared by the pair search and the
+    corpus probe — their banding must stay bit-identical for
+    batch-vs-incremental parity."""
+    return F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), cw * i).bitwiseAND(
+                F.lit((1 << cw) - 1)
+            )
+            for i in range(4)
+        ]
     )
 
 
@@ -399,6 +425,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     base_hash: str = "xxhash64",
     bits: int = 64,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
 
@@ -411,7 +438,8 @@ def simhash_near_dup_pairs(
     # two consumers (left/right of the chunk self-join) — persist the
     # slim (id, simhash) table so the per-bit-sum aggregation runs once
     sh = simhash64(df, id_col, text_col, base_hash, bits).persist()
-    return simhash_pairs_from_signatures(sh, id_col, max_hamming, bits)
+    return simhash_pairs_from_signatures(sh, id_col, max_hamming, bits,
+                                         allow_partial)
 
 
 def simhash_pairs_from_signatures(
@@ -419,6 +447,7 @@ def simhash_pairs_from_signatures(
     id_col: str,
     max_hamming: int = 3,
     bits: int = 64,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """Pigeonhole pair search over a PRECOMPUTED (id, simhash) table —
     the banding/verify half of ``simhash_near_dup_pairs``, split out so
@@ -427,16 +456,20 @@ def simhash_pairs_from_signatures(
     aggregation twice."""
     if bits % 4:
         raise ValueError("bits must be divisible by 4 (pigeonhole chunks)")
+    if max_hamming > 3 and not allow_partial:
+        # 4-chunk pigeonhole is COMPLETE only for distance <= 3 (4
+        # differing bits can land one per chunk, sharing none) — a
+        # silent partial result is worse than an error. Pass
+        # allow_partial=True to opt into best-effort recall (pairs
+        # that happen to share a chunk), e.g. for diagnostics.
+        raise ValueError(
+            "max_hamming > 3 needs more than 4 pigeonhole chunks and "
+            "would return an INCOMPLETE pair set; pass "
+            "allow_partial=True to accept best-effort recall")
     cw = bits // 4
-    chunks = F.array(
-        *[
-            F.shiftrightunsigned(F.col("simhash"), cw * i).bitwiseAND(
-                F.lit((1 << cw) - 1)
-            )
-            for i in range(4)
-        ]
-    )
-    banded = sh.select(id_col, "simhash", F.posexplode(chunks).alias("chunk", "cval"))
+    banded = sh.select(
+        id_col, "simhash",
+        F.posexplode(_simhash_chunk_array(cw)).alias("chunk", "cval"))
     left = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cval"
     )
@@ -466,6 +499,7 @@ def simhash_probe_corpus(
     max_hamming: int = 3,
     base_hash: str = "xxhash64",
     bits: int = 64,
+    allow_partial: bool = False,
 ) -> DataFrame:
     """Incremental SimHash near-dup probe — completes the
     growing-corpus family (Bloom = incremental EXACT dedup, MinHash
@@ -483,22 +517,19 @@ def simhash_probe_corpus(
     """
     if bits % 4:
         raise ValueError("bits must be divisible by 4 (pigeonhole chunks)")
+    if max_hamming > 3 and not allow_partial:
+        raise ValueError(
+            "max_hamming > 3 needs more than 4 pigeonhole chunks and "
+            "would return an INCOMPLETE pair set; pass "
+            "allow_partial=True to accept best-effort recall")
     cw = bits // 4
     nh = simhash64(new_df, id_col, text_col, base_hash, bits)
 
     def _chunks(df: DataFrame, out_id: str, out_sh: str) -> DataFrame:
-        arr = F.array(
-            *[
-                F.shiftrightunsigned(F.col("simhash"), cw * i).bitwiseAND(
-                    F.lit((1 << cw) - 1)
-                )
-                for i in range(4)
-            ]
-        )
         return df.select(
             F.col(id_col).alias(out_id),
             F.col("simhash").alias(out_sh),
-            F.posexplode(arr).alias("chunk", "cval"),
+            F.posexplode(_simhash_chunk_array(cw)).alias("chunk", "cval"),
         )
 
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
@@ -526,7 +557,9 @@ def contamination_check(
     training).
 
     Output: (id, n_shingles, n_overlap, overlap_ppm, overlap_ratio),
-    one row per document INCLUDING zero-overlap docs. ``overlap_ppm``
+    one row per document INCLUDING zero-overlap docs AND null/blank
+    docs (no shingles -> all-zero row; a decontamination join must
+    never silently drop them). ``overlap_ppm``
     is the exact-integer form (floor of ratio·10⁶ as bigint) — use it
     for cross-engine comparison; a rounded double's final ULP can
     differ between engines even when the value is identical. Scale shape: the benchmark's
@@ -552,15 +585,26 @@ def contamination_check(
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
         )
     )
-    ratio = F.round(
-        F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double"), 6
+    # shingle-less documents (null/blank text) re-enter as zero rows —
+    # the one-row-per-document contract above
+    hits = (
+        docs.select(id_col).join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+        )
     )
+    nonzero = F.col("n_shingles") > 0
+    ratio = F.when(nonzero, F.round(
+        F.col("n_overlap").cast("double")
+        / F.col("n_shingles").cast("double"), 6)).otherwise(F.lit(0.0))
     # multiply-then-divide in doubles, then floor: IEEE-deterministic on
     # any engine, unlike round-half-up of a binary double
-    ppm = F.floor(
+    ppm = F.when(nonzero, F.floor(
         F.col("n_overlap").cast("double") * F.lit(1000000.0)
         / F.col("n_shingles").cast("double")
-    ).cast("long")
+    )).otherwise(F.lit(0)).cast("long")
     return hits.select(id_col, "n_shingles", "n_overlap",
                        ppm.alias("overlap_ppm"), ratio.alias("overlap_ratio"))
 
@@ -580,7 +624,7 @@ def dedup_keep_best(
     (score DESC, id ASC).
 
     ONE aggregate shuffle on the 16-byte fingerprint: argmax is
-    expressed as ``max_by(struct(id, score), struct(score, -id))`` so
+    expressed as ``min_by(struct(id, score), struct(-score, id))`` so
     the partial aggregate combines map-side and the exchange carries
     one candidate row per (mapper, distinct doc) — the
     window/row_number formulation costs a second exchange because
@@ -598,10 +642,13 @@ def dedup_keep_best(
     gk = F.coalesce(
         F.col("fp"), F.concat(F.lit("\0id:"), F.col(id_col).cast("string"))
     )
-    # maximize (score, -id): highest score wins, smallest id breaks ties
-    best = F.max_by(
+    # minimize (-score, id): highest score wins, smallest id breaks
+    # ties. The SCORE (numeric by contract) is what gets negated —
+    # negating the id would break for string/UUID ids, which every
+    # other entry point here supports
+    best = F.min_by(
         F.struct(F.col(id_col), F.col(score_col)),
-        F.struct(F.col(score_col), (-F.col(id_col)).alias("_neg_id")),
+        F.struct((-F.col(score_col)).alias("_neg_score"), F.col(id_col)),
     )
     return (
         base.groupBy(gk.alias("_gk"))
@@ -635,15 +682,16 @@ def source_overlap_matrix(
     fans out to at most |sources| rows per shingle — join cost is
     bounded by sources², never documents², and no doc-frequency cap is
     needed (a boilerplate shingle in a million documents is still ONE
-    row per source). Returns one row per unordered source pair:
-    (source_a, source_b, n_inter, jaccard_ppm) with the Jaccard as
-    exact integer ppm (floor x1e6) so cross-engine comparison carries
-    no float.
+    row per source). Returns one row per unordered source pair WITH at
+    least one shared shingle: (source_a, source_b, n_inter,
+    jaccard_ppm), Jaccard as exact integer ppm (floor x1e6). A pair
+    ABSENT from the output has zero overlap — the inner join never
+    materializes empty intersections (at many sources that sparsity
+    is the point).
     """
-    from gobblin_spark.functions.text import word_shingles
-
     sh = (
-        word_shingles(df.select(source_col, text_col), text_col, n)
+        word_shingles(ensure_parallelism(df.select(source_col, text_col)),
+                      text_col, n)
         .select(F.col(source_col).alias("src"), "shingle")
         .distinct()
         .persist()

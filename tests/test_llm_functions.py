@@ -544,10 +544,15 @@ def test_simhash_probe_corpus_matches_pair_search(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     corpus, new = df.filter("doc_id <= 2"), df.filter("doc_id >= 3")
     hashes = dedup.simhash64(corpus, "doc_id", "text")
+    # max_hamming > 3 is best-effort (4-chunk pigeonhole is complete
+    # only to 3) — opted in explicitly; the parity property is that
+    # probe and pair search are partial IN THE SAME WAY
     hits = dedup.simhash_probe_corpus(
-        new, hashes, "doc_id", "text", max_hamming=10).collect()
+        new, hashes, "doc_id", "text", max_hamming=10,
+        allow_partial=True).collect()
     pairs = dedup.simhash_near_dup_pairs(
-        df, "doc_id", "text", max_hamming=10).collect()
+        df, "doc_id", "text", max_hamming=10,
+        allow_partial=True).collect()
     cross = {(max(r.id_a, r.id_b), min(r.id_a, r.id_b)): r.hamming
              for r in pairs if (r.id_a <= 2) != (r.id_b <= 2)}
     assert {(r.new_id, r.corpus_id): r.hamming for r in hits} == cross
@@ -849,3 +854,45 @@ def test_corpus_dedup_report_retired_function_values(spark, tmp_path):
     assert row.dup_ppm == 3 * 1_000_000 // 5
     # the boilerplate line (>20 chars) repeats in docs 1 and 2
     assert row.n_repeated_lines >= 1
+
+
+def test_dedup_keep_best_string_ids(spark):
+    """Review-r6: the keep-best tie-break negates the SCORE, not the
+    id — string/UUID ids must work and ties must break on min id."""
+    rows = [("b", "same text", 1.0), ("a", "same text", 1.0),
+            ("c", "same text", 0.5), ("z", "other", 2.0)]
+    df = spark.createDataFrame(rows, "doc_id string, text string, q double")
+    got = {r.doc_id: r.dup_count for r in dedup.dedup_keep_best(
+        df, "doc_id", "text", "q").collect()}
+    # equal top scores 'a'/'b' -> min id 'a' survives; 'z' is alone
+    assert got == {"a": 3, "z": 1}
+
+
+def test_simhash_guard_rejects_silent_partial(spark):
+    """max_hamming > 3 without allow_partial is an error, not a
+    silently incomplete pair set."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="aa bb cc"), Row(doc_id=2, text="aa bb dd")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="allow_partial"):
+        dedup.simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=4)
+    sh = dedup.simhash64(df, "doc_id", "text")
+    with pytest.raises(ValueError, match="allow_partial"):
+        dedup.simhash_probe_corpus(df, sh, "doc_id", "text",
+                                   max_hamming=4)
+
+
+def test_contamination_check_includes_blank_docs(spark):
+    """One row per document now includes null/blank docs (zero rows)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"),
+         Row(doc_id=2, text=None),
+         Row(doc_id=3, text="   ")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([Row(text="alpha beta gamma")])
+    got = {r.doc_id: (r.n_shingles, r.n_overlap, r.overlap_ppm)
+           for r in dedup.contamination_check(
+               docs, bench, "doc_id", "text", n=1).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2] == (0, 0, 0) and got[3] == (0, 0, 0)
+    assert got[1][1] > 0
