@@ -61,11 +61,15 @@ def _fs(spark: SparkSession, path: str):
 def _merge_rename(fs, jvm, src, dst) -> int:
     """Recursively move children of *src* under *dst* (BaseDataPublisher's
     addWritableDirToDatasetFiles behavior): existing final partition dirs
-    are merged, files are moved by rename. Returns files moved."""
+    are merged, files are moved by rename. Returns FILES moved (a
+    whole-directory rename counts its file contents via one
+    getContentSummary RPC, not 1)."""
     if not fs.exists(dst):
         fs.mkdirs(dst.getParent()) if dst.getParent() is not None else None
         if fs.rename(src, dst):
-            return 1
+            if fs.getFileStatus(dst).isFile():
+                return 1
+            return int(fs.getContentSummary(dst).getFileCount())
         raise IOError(f"rename failed: {src} -> {dst}")
     if fs.getFileStatus(src).isFile():
         # collision on a file: replace (staging is the new truth)
@@ -90,6 +94,10 @@ class StagedDataset:
     final_dir: str
     write: WriteResult | None = None
     audits: list[TaskPolicyResult] = field(default_factory=list)
+    # reader options needed to re-read the staged output faithfully
+    # (e.g. csv header=true) — audit() applies them so what is audited
+    # is byte-for-byte what publishes
+    options: dict | None = None
 
     @property
     def audit_ok(self) -> bool:
@@ -100,14 +108,23 @@ class StagedDataset:
 class PublishReport:
     published: list[str] = field(default_factory=list)
     aborted: list[str] = field(default_factory=list)
+    # datasets whose publish/abort RAISED (SafeDatasetCommit isolation:
+    # the failure is contained, the other datasets still commit), with
+    # the error text
+    failed: dict = field(default_factory=dict)
     committed: bool = False
 
 
 def staging_dir_for(final_dir: str, job_id: str | None = None) -> str:
-    """A unique sibling staging dir (FsDataWriter's task-staging idea at
-    job scope); sibling so rename stays same-filesystem."""
+    """A unique SIBLING staging dir (FsDataWriter's task-staging idea
+    at job scope); sibling so rename stays same-filesystem, and
+    OUTSIDE final_dir so (a) staging a red dataset never creates the
+    final dir as a side effect and (b) non-Spark listings of final
+    can't count leftover staged part-files as committed output."""
     token = job_id or uuid.uuid4().hex[:12]
-    return final_dir.rstrip("/") + f"/_staging-{token}"
+    base, _, leaf = final_dir.rstrip("/").rpartition("/")
+    name = f"_staging-{leaf}-{token}"
+    return f"{base}/{name}" if base else name
 
 
 def stage(
@@ -122,18 +139,22 @@ def stage(
 ) -> StagedDataset:
     """Write *df* to a fresh staging dir next to *final_dir*.
 
-    ``cluster=True`` repartitions on the partition columns first, so
+    ``cluster=True`` REBALANCES on the partition columns first, so
     each task writes whole partitions instead of every task opening a
     writer (plus a sort) for every partition value it happens to see —
     ~3x faster here and the difference between thousands and millions
-    of output files at cluster scale. AQE re-splits oversized partition
-    values, so skew does not serialize the write."""
+    of output files at cluster scale. The rebalance hint (not plain
+    repartition) is what lets AQE split oversized partition values:
+    OptimizeSkewInRebalancePartitions only applies to
+    REBALANCE_PARTITIONS_BY_COL shuffles, so a hot date no longer
+    serializes 90%% of the write into one task."""
     if cluster and partition_by:
-        df = df.repartition(*[F.col(c) for c in partition_by])
+        df = df.hint("rebalance", *partition_by)
     sdir = staging_dir_for(final_dir, job_id)
     res = write_data(df, sdir, fmt=fmt, mode="overwrite",
                      partition_by=partition_by, options=options)
-    return StagedDataset(name or final_dir, sdir, final_dir, write=res)
+    return StagedDataset(name or final_dir, sdir, final_dir, write=res,
+                         options=dict(options) if options else None)
 
 
 def audit(
@@ -147,7 +168,8 @@ def audit(
     fmt = staged.write.fmt if staged.write else "parquet"
     from gobblin_spark.sinks.writers import read_data
 
-    staged_df = read_data(spark, staged.staging_dir, fmt)
+    staged_df = read_data(spark, staged.staging_dir, fmt,
+                          options=staged.options)
     staged.audits.extend(p(staged_df) for p in policies)
     return staged
 
@@ -157,19 +179,37 @@ def publish_staged(staged: StagedDataset, spark: SparkSession) -> int:
     (BaseDataPublisher.java:100 + publishMetadata). Returns files moved."""
     fs, src, jvm = _fs(spark, staged.staging_dir)
     _, dst, _ = _fs(spark, staged.final_dir)
+    marker = jvm.org.apache.hadoop.fs.Path(dst, SUCCESS_MARKER)
+    if not fs.exists(src):
+        # crash-replay idempotency: a prior attempt may have moved
+        # everything and deleted staging — but a NEVER-staged (typo'd
+        # or already-aborted) path must not mint a _SUCCESS over an
+        # empty dir
+        has_marker = fs.exists(marker)
+        has_content = fs.exists(dst) and any(
+            st.getPath().getName() != SUCCESS_MARKER
+            for st in fs.listStatus(dst))
+        if not (has_marker or has_content):
+            raise IOError(
+                f"staging dir missing and final dir empty — nothing "
+                f"to publish for {staged.name} ({staged.staging_dir})")
+        fs.create(marker, True).close()
+        return 0
     fs.mkdirs(dst)
     moved = 0
-    if fs.exists(src):
-        for st in fs.listStatus(src):
-            child = st.getPath()
-            name = child.getName()
-            if name == SUCCESS_MARKER:
-                continue
-            moved += _merge_rename(fs, jvm, child,
-                                   jvm.org.apache.hadoop.fs.Path(dst, name))
-        fs.delete(src, True)
-    out = fs.create(jvm.org.apache.hadoop.fs.Path(dst, SUCCESS_MARKER), True)
-    out.close()
+    for st in fs.listStatus(src):
+        child = st.getPath()
+        name = child.getName()
+        if name == SUCCESS_MARKER:
+            continue
+        moved += _merge_rename(fs, jvm, child,
+                               jvm.org.apache.hadoop.fs.Path(dst, name))
+    # marker BEFORE the staging delete: a crash between the two leaves
+    # a published final + empty staging, which replay handles
+    # idempotently — the old order left a window where everything was
+    # moved but nothing said so (CommitSequence replay then errored)
+    fs.create(marker, True).close()
+    fs.delete(src, True)
     return moved
 
 
@@ -197,16 +237,25 @@ def commit(
     oks = [d.audit_ok for d in datasets]
     if policy is JobCommitPolicy.COMMIT_ON_FULL_SUCCESS and not all(oks):
         for d in datasets:
-            abort_staged(d, spark)
-            report.aborted.append(d.name)
+            try:
+                abort_staged(d, spark)
+                report.aborted.append(d.name)
+            except Exception as ex:  # noqa: BLE001 - isolation boundary
+                report.failed[d.name] = str(ex)
         return report
+    # SafeDatasetCommit.java:67 isolation: one dataset's publish
+    # failure must never strand the others un-committed — each
+    # dataset's outcome is its own
     for d, ok in zip(datasets, oks):
-        if ok or policy is JobCommitPolicy.COMMIT_ON_PARTIAL_SUCCESS:
-            publish_staged(d, spark)
-            report.published.append(d.name)
-        else:
-            abort_staged(d, spark)
-            report.aborted.append(d.name)
+        try:
+            if ok or policy is JobCommitPolicy.COMMIT_ON_PARTIAL_SUCCESS:
+                publish_staged(d, spark)
+                report.published.append(d.name)
+            else:
+                abort_staged(d, spark)
+                report.aborted.append(d.name)
+        except Exception as ex:  # noqa: BLE001 - isolation boundary
+            report.failed[d.name] = str(ex)
     report.committed = bool(report.published)
     return report
 
@@ -219,10 +268,12 @@ def write_audit_publish(
     fmt: str = "parquet",
     partition_by: Sequence[str] | None = None,
     policy: JobCommitPolicy = JobCommitPolicy.COMMIT_ON_FULL_SUCCESS,
+    options: dict[str, str] | None = None,
 ) -> PublishReport:
     """The whole protocol for one dataset in one call: stage → audit →
     commit. The canonical Gobblin write path."""
-    staged = stage(df, final_dir, fmt=fmt, partition_by=partition_by)
+    staged = stage(df, final_dir, fmt=fmt, partition_by=partition_by,
+                   options=options)
     audit(staged, spark, policies)
     return commit([staged], spark, policy)
 
@@ -248,9 +299,18 @@ def jdbc_staging_swap(
     from gobblin_spark.sinks.writers import write_jdbc
 
     write_jdbc(df, url, staging_table, mode="overwrite", options=options)
+    # rename-aside, NEVER drop-before-replace: on engines with
+    # auto-committing DDL (MySQL family) a DROP that commits before a
+    # failed RENAME would lose the final table permanently; this order
+    # keeps the old data reachable (as <final>_old_<token>) until the
+    # new table is in place, and the trailing DROP is the only
+    # destructive step
+    old_table = f"{final_table}_old_{uuid.uuid4().hex[:8]}"
     return (
-        f"BEGIN; DROP TABLE IF EXISTS {final_table}; "
-        f"ALTER TABLE {staging_table} RENAME TO {final_table}; COMMIT;"
+        f"BEGIN; "
+        f"ALTER TABLE IF EXISTS {final_table} RENAME TO {old_table}; "
+        f"ALTER TABLE {staging_table} RENAME TO {final_table}; "
+        f"DROP TABLE IF EXISTS {old_table}; COMMIT;"
     )
 
 

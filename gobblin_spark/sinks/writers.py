@@ -72,16 +72,19 @@ def _output_stats(df: DataFrame, path: str) -> tuple[int, int]:
     return files, nbytes
 
 
-def read_data(spark, path: str, fmt: str = "parquet"):
+def read_data(spark, path: str, fmt: str = "parquet",
+              options: dict | None = None):
     """Format-symmetric reader for write_data output: delegates to the
     Spark datasource, except .avro containers read through the python
-    container reader when the spark-avro jar is absent."""
+    container reader when the spark-avro jar is absent. ``options``
+    mirror the writer's (a csv written with header=true must be read
+    back with it, or the audit sees the header as a data row)."""
     if fmt == "avro":
         from gobblin_spark.operators import avro_serde as _AS
 
         if not _AS.avro_available(spark):
             return _AS.read_avro(spark, path)
-    return spark.read.format(fmt).load(path)
+    return spark.read.format(fmt).options(**(options or {})).load(path)
 
 
 def write_data(

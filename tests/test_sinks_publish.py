@@ -123,3 +123,93 @@ def test_schema_partition_column(spark):
     out = W.with_schema_partition(df)
     vals = out.select("schema_id").distinct().collect()
     assert len(vals) == 1 and len(vals[0].schema_id) == 8
+
+
+# -- round-6 review fixes ---------------------------------------------
+
+
+def test_staging_dir_is_true_sibling(tmp_path):
+    s = P.staging_dir_for("/a/b/out", "tok")
+    assert s == "/a/b/_staging-out-tok"  # beside final, not inside
+
+
+def test_publish_replay_after_marker_before_delete(spark, lineitem,
+                                                   tmp_path):
+    """Crash window closed: _SUCCESS lands BEFORE the staging delete,
+    and a replayed publish with staging already gone is a no-op that
+    keeps the marker (CommitSequence replay relies on this)."""
+    final = str(tmp_path / "replay")
+    staged = P.stage(lineitem.limit(100), final)
+    moved = P.publish_staged(staged, spark)
+    assert moved >= 1  # real FILE count, not directory count
+    assert P.is_published(spark, final)
+    # replay with staging gone: idempotent, marker intact
+    assert P.publish_staged(staged, spark) == 0
+    assert P.is_published(spark, final)
+    assert spark.read.parquet(final).count() == 100
+
+
+def test_publish_nothing_staged_raises(spark, tmp_path):
+    """A typo'd/never-staged path must not mint _SUCCESS over an
+    empty dir."""
+    ghost = P.StagedDataset("ghost", str(tmp_path / "no_staging"),
+                            str(tmp_path / "empty_final"))
+    with pytest.raises(IOError, match="nothing to publish"):
+        P.publish_staged(ghost, spark)
+    assert not P.is_published(spark, str(tmp_path / "empty_final"))
+
+
+def test_commit_isolates_dataset_failures(spark, lineitem, tmp_path,
+                                          monkeypatch):
+    """SafeDatasetCommit: one dataset's publish exception must not
+    strand the others — they still publish; the failure is reported."""
+    d1 = P.stage(lineitem.limit(10), str(tmp_path / "f1"))
+    d2 = P.stage(lineitem.limit(10), str(tmp_path / "f2"))
+    d3 = P.stage(lineitem.limit(10), str(tmp_path / "f3"))
+    real = P.publish_staged
+
+    def flaky(staged, spark_):
+        if staged.name.endswith("f2"):
+            raise IOError("injected rename failure")
+        return real(staged, spark_)
+
+    monkeypatch.setattr(P, "publish_staged", flaky)
+    rep = P.commit([d1, d2, d3], spark,
+                   P.JobCommitPolicy.COMMIT_ON_PARTIAL_SUCCESS)
+    assert sorted(rep.published) == [str(tmp_path / "f1"),
+                                     str(tmp_path / "f3")]
+    assert list(rep.failed) == [str(tmp_path / "f2")]
+    assert "injected" in rep.failed[str(tmp_path / "f2")]
+    assert rep.committed
+
+
+def test_audit_reads_with_writer_options_csv_header(spark, tmp_path):
+    """A csv staged with header=true must audit with the header option
+    — otherwise the header line counts as a data row and column-name
+    policies explode."""
+    df = spark.createDataFrame(
+        [Row(k=i, s=f"s{i}") for i in range(20)], "k long, s string")
+    rep = P.write_audit_publish(
+        df, str(tmp_path / "csv_out"), spark,
+        policies=[lambda d: quality.row_count_policy(20, d.count())],
+        fmt="csv", options={"header": "true"})
+    assert rep.committed and rep.published
+    back = (spark.read.format("csv").option("header", "true")
+            .load(str(tmp_path / "csv_out")))
+    assert back.count() == 20 and set(back.columns) == {"k", "s"}
+
+
+def test_jdbc_swap_sql_never_drops_before_replace():
+    """The swap DDL must keep the old table reachable until the new
+    one is in place (auto-committing-DDL engines)."""
+    import re
+
+    from unittest import mock
+
+    with mock.patch.object(W, "write_jdbc") as wj:
+        sql = P.jdbc_staging_swap(None, "jdbc:x", "tbl")
+    assert wj.called
+    drop_pos = sql.index("DROP TABLE")
+    rename_final = re.search(r"RENAME TO tbl;", sql)
+    assert rename_final is not None and drop_pos > rename_final.start()
+    assert "DROP TABLE IF EXISTS tbl;" not in sql  # never drops FINAL
