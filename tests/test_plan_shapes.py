@@ -175,9 +175,10 @@ def test_keep_best_aggregates_map_side(spark, sf_dir):
     aggregate (map-side combine before the fingerprint exchange) —
     the property that keeps the shuffle ~one row per distinct doc.
     A window/row_number formulation would show Window nodes here and
-    cost a second exchange. (The struct-valued max_by buffer forces
+    cost a second exchange. (The struct-valued min_by buffer forces
     SortAggregate rather than HashAggregate — acceptable; the combine
-    still happens before the exchange.)"""
+    still happens before the exchange. min_by since r6: the negated
+    operand is the SCORE, so string ids work.)"""
     plan = _plan(spark, sf_dir, "dedup_keep_best_docs")
-    assert "partial_max_by" in plan, plan[:1200]
+    assert "partial_min_by" in plan, plan[:1200]
     assert "Window" not in plan, plan[:1200]
