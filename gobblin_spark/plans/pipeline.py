@@ -204,7 +204,10 @@ def run_streaming(
     import hashlib
 
     results: list[PipelineResult] = []
-    ck_token = hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()[:8]
+    from gobblin_spark.streaming.runner import canonical_checkpoint
+
+    ck_token = hashlib.md5(
+        canonical_checkpoint(checkpoint_dir).encode()).hexdigest()[:8]
     marked_dirs = [b.final_dir for b in pipeline.branches if b.final_dir]
 
     def _marker_paths(spark, epoch_id: int):

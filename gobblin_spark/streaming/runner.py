@@ -135,19 +135,39 @@ def split_late(
 ) -> tuple[DataFrame, DataFrame]:
     """(on_time, late): rows with ``ts < frontier - allowed_lateness``
     are late (MRCompactor's late-record set). ``frontier=None`` (first
-    epoch) → nothing is late."""
+    epoch) → nothing is late. NULL event times are ON-TIME (they were
+    on the first epoch too; `ts < cutoff` alone is NULL for them and
+    would drop the row from BOTH outputs). DATE frontiers round the
+    lateness UP to whole days (sub-day lateness on date granularity
+    would silently become zero); any other frontier type is a loud
+    error — a non-temporal watermark under this key means the store
+    is being shared with an incremental-pull watermark."""
     if frontier is None:
         return df, df.filter(F.lit(False))
-    try:
-        cutoff = frontier - allowed_lateness
-    except OverflowError:  # lateness beyond datetime.min ≡ infinite
-        return df, df.filter(F.lit(False))
+    if isinstance(frontier, _dt.datetime):
+        try:
+            cutoff = frontier - allowed_lateness
+        except OverflowError:  # lateness beyond datetime.min ≡ infinite
+            return df, df.filter(F.lit(False))
+    elif isinstance(frontier, _dt.date):
+        import math as _math
+
+        days = _math.ceil(allowed_lateness.total_seconds() / 86400.0)
+        try:
+            cutoff = frontier - _dt.timedelta(days=days)
+        except OverflowError:
+            return df, df.filter(F.lit(False))
+    else:
+        raise TypeError(
+            f"late-split frontier must be a datetime/date, got "
+            f"{type(frontier).__name__} ({frontier!r}) — the dataset "
+            "watermark key holds a non-temporal value")
     lit = F.lit(cutoff)
     if isinstance(cutoff, _dt.datetime) and cutoff.tzinfo is None:
         lit = F.expr(
             f"TIMESTAMP_NTZ '{cutoff.isoformat(sep=' ', timespec='microseconds')}'"
         )
-    is_late = F.col(ts_col) < lit
+    is_late = F.coalesce(F.col(ts_col) < lit, F.lit(False))
     return df.filter(~is_late), df.filter(is_late)
 
 
@@ -188,17 +208,41 @@ class IngestSpec:
     stats: list[EpochStats] = field(default_factory=list)
 
 
+def canonical_checkpoint(path: str) -> str:
+    """One spelling per checkpoint location: scheme-stripped for local
+    files, absolutized for relative paths, trailing slash dropped —
+    "ckpt", "./ckpt", "/abs/ckpt" and "file:///abs/ckpt" of the same
+    dir must all hash to the SAME run token, or a resume under a
+    different spelling re-publishes every epoch under a new token."""
+    import os as _os
+
+    p = path
+    for pre in ("file://", "file:"):
+        if p.startswith(pre):
+            p = p[len(pre):]
+            break
+    if "://" not in p:
+        p = _os.path.abspath(p)
+    return p.rstrip("/")
+
+
 def _run_token(checkpoint_dir: str) -> str:
     """Epoch ids restart at 0 for every new checkpoint lineage; this
     token namespaces the epoch ledger and the epoch partition values so
     two runs over the same final_dir never collide."""
     import hashlib
 
-    return hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()[:8]
+    return hashlib.md5(
+        canonical_checkpoint(checkpoint_dir).encode()).hexdigest()[:8]
 
 
-def _epoch_marker(spec: IngestSpec, token: str, epoch_id: int) -> str:
-    return f"{spec.dataset}/epochs/{token}-e{epoch_id}"
+def _epoch_marker(spec: IngestSpec, token: str) -> str:
+    """ONE high-water ledger key per (dataset, run token): epochs are
+    monotonic within a checkpoint lineage, so the latest committed
+    epoch id is all replay detection needs — per-epoch marker keys
+    would grow the store by one directory per micro-batch forever
+    (~8.6k/day at a 10 s trigger)."""
+    return f"{spec.dataset}/epochs/{token}"
 
 
 def _epoch_write(df: DataFrame, spec: IngestSpec, epoch_value: str, path: str,
@@ -220,14 +264,41 @@ def _epoch_write(df: DataFrame, spec: IngestSpec, epoch_value: str, path: str,
 def _epoch_fn(spec: IngestSpec, store: WatermarkStore, token: str):
     from gobblin_spark.operators import quality
 
+    import json as _json
+
+    from gobblin_spark.state import _decode as _wm_decode, _encode as _wm_encode
+
+    def _marker_payload(epoch_id: int, new_frontier):
+        return _json.dumps({
+            "epoch": int(epoch_id),
+            "frontier": (_wm_encode(new_frontier)
+                         if new_frontier is not None else None),
+        })
+
     def run(batch_df: DataFrame, epoch_id: int) -> None:
         st = EpochStats(epoch_id)
         epoch_value = f"{token}-{epoch_id}"
-        # replay of a fully committed epoch (its marker was the LAST step)
-        # is a pure no-op — data, late, quarantine and frontier all landed
-        if store.get(_epoch_marker(spec, token, epoch_id)) is not None:
+        # replay of a fully committed epoch is a pure no-op for DATA —
+        # and the marker carries the epoch's frontier, so a crash in
+        # the marker→frontier window is REPAIRED here instead of
+        # re-splitting the epoch against its own max event time
+        mk = store.get(_epoch_marker(spec, token))
+        mk_doc = None
+        if isinstance(mk, str) and mk.startswith("{"):
+            mk_doc = _json.loads(mk)
+        elif isinstance(mk, int):  # pre-r6 ledgers stored a bare id
+            mk_doc = {"epoch": mk, "frontier": None}
+        if mk_doc is not None and mk_doc["epoch"] >= epoch_id:
             st.replayed = True
-            st.frontier = store.get(spec.dataset)
+            frontier = store.get(spec.dataset)
+            mk_frontier = (_wm_decode(mk_doc["frontier"])
+                           if mk_doc.get("frontier") else None)
+            if mk_frontier is not None and (
+                    frontier is None or mk_frontier > frontier):
+                store.commit(spec.dataset, mk_frontier,
+                             run_id=f"epoch{epoch_id}-repair")
+                frontier = mk_frontier
+            st.frontier = frontier
             spec.stats.append(st)
             return
 
@@ -236,36 +307,61 @@ def _epoch_fn(spec: IngestSpec, store: WatermarkStore, token: str):
 
             batch_df = conform_to(batch_df, spec.target_schema)
         df = spec.transform(batch_df) if spec.transform else batch_df
+        # one materialization feeds the quarantine split, both routed
+        # writes, three counts and the frontier agg (check_rows
+        # documents the caller-persists contract; without it a file
+        # epoch rescans its input ~7x)
+        df = df.persist()
+        try:
+            if spec.row_policies:
+                df, bad = quality.check_rows(df, spec.row_policies)
+                st.quarantined = bad.count()
+                if st.quarantined:
+                    _epoch_write(bad, spec, epoch_value,
+                                 f"{spec.final_dir}/{QUARANTINE_DIR}")
 
-        if spec.row_policies:
-            df, bad = quality.check_rows(df, spec.row_policies)
-            st.quarantined = bad.count()
-            if st.quarantined:
-                _epoch_write(bad, spec, epoch_value,
-                             f"{spec.final_dir}/{QUARANTINE_DIR}")
+            frontier = store.get(spec.dataset)
+            on_time, late = split_late(df, spec.ts_col, frontier,
+                                       spec.allowed_lateness)
 
-        frontier = store.get(spec.dataset)
-        on_time, late = split_late(df, spec.ts_col, frontier, spec.allowed_lateness)
+            _epoch_write(on_time, spec, epoch_value, spec.final_dir,
+                         partition_by=spec.partition_by or ())
+            st.rows = on_time.count()
 
-        _epoch_write(on_time, spec, epoch_value, spec.final_dir,
-                     partition_by=spec.partition_by or ())
-        st.rows = on_time.count()
+            st.late_rows = late.count()
+            if st.late_rows:
+                _epoch_write(late, spec, epoch_value,
+                             f"{spec.final_dir}/{LATE_DIR}")
 
-        st.late_rows = late.count()
-        if st.late_rows:
-            _epoch_write(late, spec, epoch_value, f"{spec.final_dir}/{LATE_DIR}")
-
-        # flush-epoch watermark: frontier advances to max event time seen
-        batch_max = df.agg(F.max(spec.ts_col)).first()[0]
-        if batch_max is not None and (frontier is None or batch_max > frontier):
+            # flush-epoch watermark: frontier advances to max event
+            # time seen. TIMESTAMP (instant) columns collect through a
+            # timestamp_ntz cast — a plain collect converts via the
+            # DRIVER's OS timezone, shifting the frontier by its UTC
+            # offset when the driver isn't on UTC.
+            mcol = F.col(spec.ts_col)
+            if dict(df.dtypes).get(spec.ts_col) == "timestamp":
+                mcol = mcol.cast("timestamp_ntz")
+            batch_max = df.agg(F.max(mcol)).first()[0]
+        finally:
+            df.unpersist()
+        advanced = (batch_max is not None
+                    and (frontier is None or batch_max > frontier))
+        # marker FIRST (carrying the frontier), dataset frontier second:
+        # a crash before the marker replays the whole epoch against the
+        # OLD frontier (deterministic); a crash between the two is
+        # repaired from the marker on replay. The old order committed
+        # the frontier first, and a crash before the marker then made
+        # the replay split against the epoch's own max — demoting
+        # genuinely on-time rows to _late.
+        store.commit(_epoch_marker(spec, token),
+                     _marker_payload(epoch_id,
+                                     batch_max if advanced else None),
+                     run_id=f"epoch{epoch_id}")
+        if advanced:
             store.commit(spec.dataset, batch_max, run_id=f"epoch{epoch_id}")
             st.frontier = batch_max
         else:
             st.frontier = frontier
-        # marker commits LAST: a crash anywhere above replays the epoch,
-        # and the dynamic-partition rewrite makes that replay idempotent
-        store.commit(_epoch_marker(spec, token, epoch_id), int(epoch_id),
-                     run_id=f"epoch{epoch_id}")
         spec.stats.append(st)
 
     return run
@@ -282,7 +378,15 @@ def run_ingest(
     """Launch the streaming ingest (FlushingExtractor.java:81 epochs).
     ``available_now=True`` drains everything currently available then
     stops — the batch-parity mode the tests and backfills use; give
-    ``processing_time`` (e.g. "10 seconds") for a continuous run."""
+    ``processing_time`` (e.g. "10 seconds") WITH available_now=False
+    for a continuous run (the conflicting combination is an error —
+    silently draining once when a continuous trigger was asked for is
+    the worse failure)."""
+    if processing_time and available_now:
+        raise ValueError(
+            "processing_time given but available_now=True (the "
+            "default) would drain-once and stop — pass "
+            "available_now=False for a continuous run")
     writer = (
         stream_df.writeStream.foreachBatch(
             _epoch_fn(spec, store, _run_token(checkpoint_dir)))
@@ -303,9 +407,17 @@ def run_ingest_blocking(
     checkpoint_dir: str,
     timeout_sec: int = 300,
 ) -> list[EpochStats]:
-    """availableNow ingest, awaited: drain the source, return stats."""
+    """availableNow ingest, awaited: drain the source, return stats.
+    A drain that outlives *timeout_sec* is STOPPED and raised — the
+    old behavior returned partial stats while the query kept running
+    (and kept the checkpoint lock) in the background."""
     q = run_ingest(stream_df, spec, store, checkpoint_dir, available_now=True)
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if not finished:
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain exceeded {timeout_sec}s; query stopped "
+            f"(partial stats in spec.stats: {len(spec.stats)} epochs)")
     return spec.stats
 
 

@@ -135,13 +135,16 @@ def test_streaming_epoch_marker_skips_replay(spark, sf_dir, tmp_path):
     second copy of the epoch."""
     import hashlib
 
+    from gobblin_spark.streaming.runner import canonical_checkpoint
+
     ev = files.load_table(spark, sf_dir, "events").limit(50)
     indir = str(tmp_path / "in")
     ev.coalesce(1).write.parquet(indir)
     out = tmp_path / "out"
     (out / "main").mkdir(parents=True)
     ckpt = str(tmp_path / "ckpt")
-    token = hashlib.md5(ckpt.rstrip("/").encode()).hexdigest()[:8]
+    token = hashlib.md5(
+        canonical_checkpoint(ckpt).encode()).hexdigest()[:8]
     # plant the epoch-0 marker BEFORE the (single-epoch) stream runs
     (out / "main" / f"_epoch-{token}-0.done").write_text("")
 

@@ -187,3 +187,99 @@ def test_stream_stream_interval_join_bounds(spark, tmp_path):
     rows = spark.table("ssj_test").collect()
     assert len(rows) == 1
     assert rows[0].user_id == 1 and rows[0].r_value == 10.0
+
+
+# -- round-6 review fixes ---------------------------------------------
+
+
+def test_null_event_times_stay_on_time(spark, tmp_path):
+    """Review-r6: once a frontier exists, a NULL event time made both
+    split predicates NULL and the row vanished from BOTH outputs.
+    NULL ts must route on-time (as it did on the first epoch)."""
+    sch = "id INT, ts TIMESTAMP_NTZ"
+    t0 = dt.datetime(2024, 3, 1)
+    out = str(tmp_path / "out")
+    spec = streaming.IngestSpec(final_dir=out, ts_col="ts",
+                                allowed_lateness=dt.timedelta(hours=1))
+    store = state.WatermarkStore(spark, str(tmp_path / "wm"))
+    from gobblin_spark.streaming import runner as _R
+    fn = _R._epoch_fn(spec, store, "toknull1")
+    fn(spark.createDataFrame([(1, t0)], sch), 0)  # establishes frontier
+    fn(spark.createDataFrame([(2, t0 + dt.timedelta(minutes=1)),
+                              (3, None)], sch), 1)
+    ids = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 3]  # the null-ts row was NOT lost
+    assert spec.stats[-1].rows == 2 and spec.stats[-1].late_rows == 0
+
+
+def test_marker_frontier_crash_window_repaired(spark, tmp_path):
+    """Review-r6: marker now commits FIRST carrying the epoch's
+    frontier; a crash before the dataset-frontier commit is repaired
+    on replay instead of re-splitting against the epoch's own max."""
+    sch = "id INT, ts TIMESTAMP_NTZ"
+    t0 = dt.datetime(2024, 3, 1)
+    out = str(tmp_path / "out")
+    spec = streaming.IngestSpec(final_dir=out, ts_col="ts",
+                                allowed_lateness=dt.timedelta(minutes=30))
+    store = state.WatermarkStore(spark, str(tmp_path / "wm"))
+    from gobblin_spark.streaming import runner as _R
+    fn = _R._epoch_fn(spec, store, "tokcrash")
+    batch = spark.createDataFrame(
+        [(i, t0 + dt.timedelta(hours=i)) for i in range(3)], sch)
+    # simulate the crash window: run the epoch, then roll the DATASET
+    # frontier back as if the final commit never landed
+    fn(batch, 0)
+    assert store.get(spec.dataset) == t0 + dt.timedelta(hours=2)
+    # wipe the dataset frontier (crash before it was written) — only
+    # the wm files directly under wm/<dataset>; epochs/ is a CHILD
+    # dataset in the same tree and must survive
+    for f in (tmp_path / "wm" / spec.dataset).iterdir():
+        if f.is_file() and f.name.startswith("wm-"):
+            f.unlink()
+    assert store.get(spec.dataset) is None
+    fn(batch, 0)  # replay: marker present -> no-op + frontier REPAIR
+    assert spec.stats[-1].replayed
+    assert store.get(spec.dataset) == t0 + dt.timedelta(hours=2)
+    assert spark.read.parquet(out).count() == 3  # no duplicate rows
+
+
+def test_canonical_checkpoint_spellings(tmp_path):
+    """Review-r6: every spelling of one checkpoint dir must yield one
+    run token (a resume under a different spelling re-published every
+    epoch under a new token)."""
+    from gobblin_spark.streaming import runner as _R
+
+    p = str(tmp_path / "ckpt")
+    variants = [p, p + "/", f"file:{p}", f"file://{p}"]
+    toks = {_R._run_token(v) for v in variants}
+    assert len(toks) == 1
+    import os
+    os.chdir(str(tmp_path))
+    assert _R._run_token("ckpt") == _R._run_token(p)
+
+
+def test_run_ingest_trigger_conflict_is_loud(spark, tmp_path):
+    """processing_time with the available_now default must raise, not
+    silently drain-once."""
+    sch = "id INT, ts TIMESTAMP_NTZ"
+    (tmp_path / "src").mkdir()
+    stream = (spark.readStream.schema(sch)
+              .parquet(str(tmp_path / "src")))
+    spec = streaming.IngestSpec(final_dir=str(tmp_path / "o"), ts_col="ts")
+    store = state.WatermarkStore(spark, str(tmp_path / "wm"))
+    with pytest.raises(ValueError, match="available_now=False"):
+        streaming.run_ingest(stream, spec, store, str(tmp_path / "ck"),
+                             processing_time="10 seconds")
+
+
+def test_split_late_rejects_non_temporal_frontier(spark):
+    from gobblin_spark.streaming.runner import split_late
+
+    df = spark.createDataFrame([(1, dt.datetime(2024, 1, 1))],
+                               "id INT, ts TIMESTAMP_NTZ")
+    with pytest.raises(TypeError, match="non-temporal"):
+        split_late(df, "ts", 1700000000000, dt.timedelta(hours=1))
+    # date frontier: sub-day lateness rounds UP to one day
+    on_time, late = split_late(
+        df, "ts", dt.date(2024, 1, 3), dt.timedelta(hours=1))
+    assert late.count() == 1  # ts < 2024-01-02 -> late
