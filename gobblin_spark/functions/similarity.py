@@ -84,19 +84,7 @@ def cosine_topk(
         "neighbor_id",
         cosine(F.col("_qv"), F.col("_cv")).alias("_cos"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("_cos"), 6).alias("cosine"),
-            "rank",
-        )
-    )
+    return _rank_topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -112,6 +100,65 @@ def rh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return F.transform(
         plane_lits,
         lambda p: F.when(_dot(vec, p) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    """One-row guard: a wrong ``dim`` is catastrophic-but-silent —
+    zip_with pads the shorter side with nulls, every plane dot goes
+    null, all sign bits collapse to 0 and every vector lands in ONE
+    band bucket (the exact quadratic blowup LSH exists to avoid)."""
+    row = df.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+    if row and row[0]._d is not None and row[0]._d != dim:
+        raise ValueError(
+            f"dim={dim} but {vec_col!r} vectors have {row[0]._d} "
+            "elements — signatures would silently degenerate")
+
+
+def _banded(df: DataFrame, id_col: str, out_id: str, vec_col: str,
+            planes: list[list[float]], bands: int) -> DataFrame:
+    """(out_id, band, bhash) exploded band-bucket rows for one frame.
+    The signature MATERIALIZES as a projected column first — an
+    inline ``sig[i]`` per extracted bit re-evaluates all n_planes dot
+    products per bit under the non-codegen HOF path (n_planes² · d
+    multiply-adds per row instead of n_planes · d). Band hash inputs
+    (xxhash64 over the band index + its sign bits) are unchanged from
+    the historical layout, and this ONE implementation is shared by
+    the top-k and near-dup operators so they can never bucket
+    differently."""
+    rows = len(planes) // bands
+    staged = df.select(
+        F.col(id_col).alias(out_id),
+        rh_signature(F.col(vec_col), planes).alias("_sig"),
+    )
+    bh = F.array(
+        *[
+            F.xxhash64(
+                F.lit(bi), *[F.col("_sig")[bi * rows + r]
+                             for r in range(rows)]
+            )
+            for bi in range(bands)
+        ]
+    )
+    return staged.select(out_id, F.posexplode(bh).alias("band", "bhash"))
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """The operator family's shared ranking contract: per-query
+    row_number over (cosine DESC, neighbor_id ASC), keep rank <= k,
+    round the cosine to 6 ONLY for display (after ranking)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            "rank",
+        )
     )
 
 
@@ -134,30 +181,16 @@ def lsh_cosine_topk(
     """
     if n_planes % bands:
         raise ValueError("n_planes must be divisible by bands")
-    rows = n_planes // bands
     planes = _hyperplanes(dim, n_planes, seed)
-
-    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        sig = rh_signature(F.col(vec_col), planes)
-        bh = F.array(
-            *[
-                F.xxhash64(
-                    F.lit(bi), *[sig[bi * rows + r] for r in range(rows)]
-                )
-                for bi in range(bands)
-            ]
-        )
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            F.posexplode(bh).alias("band", "bhash"),
-        )
+    _check_dim(corpus, vec_col, dim)
 
     # slim candidate generation: only ids ride the band shuffle; the
     # d-dim vectors are re-attached per surviving pair (same shuffle-
     # weight argument as minhash_lsh_pairs)
     wide_corpus = ensure_parallelism(corpus)
-    qb = banded(queries, "query_id", "_qv")
-    cb = banded(wide_corpus, "neighbor_id", "_cv")
+    qb = _banded(queries, id_col, "query_id", vec_col, planes, bands)
+    cb = _banded(wide_corpus, id_col, "neighbor_id", vec_col, planes,
+                 bands)
     cand = (
         qb.join(cb, ["band", "bhash"])
         .select("query_id", "neighbor_id")
@@ -175,19 +208,7 @@ def lsh_cosine_topk(
         .select("query_id", "neighbor_id",
                 cosine(F.col("_qv"), F.col("_cv")).alias("_cos"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(F.col("_cos"), 6).alias("cosine"),
-            "rank",
-        )
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_near_dup_pairs(
@@ -208,20 +229,10 @@ def embedding_near_dup_pairs(
     """
     if n_planes % bands:
         raise ValueError("n_planes must be divisible by bands")
-    rows = n_planes // bands
     planes = _hyperplanes(dim, n_planes, seed)
-    sig = rh_signature(F.col(vec_col), planes)
-    bh = F.array(
-        *[
-            F.xxhash64(F.lit(bi), *[sig[bi * rows + r] for r in range(rows)])
-            for bi in range(bands)
-        ]
-    )
+    _check_dim(corpus, vec_col, dim)
     wide = ensure_parallelism(corpus)
-    banded = wide.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(bh).alias("band", "bhash"),
-    )
+    banded = _banded(wide, id_col, "vid", vec_col, planes, bands)
     a = banded.select(F.col("vid").alias("id_a"), "band", "bhash")
     b = banded.select(F.col("vid").alias("id_b"), "band", "bhash")
     # ids-only band shuffle; vectors re-attached per surviving pair
@@ -233,12 +244,15 @@ def embedding_near_dup_pairs(
     )
     va = wide.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = wide.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # threshold the UNROUNDED cosine: rounding first admits pairs up
+    # to 5e-7 BELOW the threshold (display rounding happens after)
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cosine", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .withColumn("_cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cos") >= threshold)
+        .select("id_a", "id_b",
+                F.round(F.col("_cos"), 6).alias("cosine"))
     )
 
 
@@ -292,13 +306,20 @@ def train_ivf_centroids(
 
 def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
     """Indices of the *n* highest-dot-product centroids (array<int>).
-    Centroids are plan literals; the argmax runs JVM-side per row."""
+    Centroids are plan literals; the argmax runs JVM-side per row.
+    Ties break on the LOWEST cell index (negated-index sort member) —
+    the same convention as kmeans_fit_predict and the repo's SQL
+    oracles; a reversed ascending sort alone would break ties HIGH
+    and silently diverge when duplicate centroids arise."""
+    n_cells = len(centroids)
     cent_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
     scored = F.transform(
-        cent_lit, lambda c, i: F.struct(_dot(vec, c).alias("s"), i.alias("cell"))
+        cent_lit,
+        lambda c, i: F.struct(_dot(vec, c).alias("s"),
+                              (F.lit(n_cells) - i).alias("negcell")),
     )
     top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
-    return F.transform(top, lambda t: t["cell"])
+    return F.transform(top, lambda t: F.lit(n_cells) - t["negcell"])
 
 
 def ivf_assign(corpus: DataFrame, id_col: str, vec_col: str,
@@ -348,18 +369,14 @@ def ivf_topk(
     )
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    # candidates are already unique — each corpus vector lives in
+    # exactly ONE cell and the probe cells are distinct, so a
+    # dropDuplicates here would be a dead full shuffle over the
+    # scored candidate set
     scored = cand.select(
         "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("_cos")
-    ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_cos").desc(), F.col("neighbor_id").asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id",
-                F.round(F.col("_cos"), 6).alias("cosine"), "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def semantic_dedup_survivors(
@@ -536,9 +553,12 @@ def semantic_dedup_clustered(
             hit = g[ia, ib] >= threshold
             return pd.DataFrame({id_col: np.unique(ids[ib[hit]])})
 
+        id_type = corpus.schema[id_col].dataType.simpleString()
         dropped = (
             vecs.groupBy("cluster")
-            .applyInPandas(find_dropped, f"{id_col} long")
+            # schema follows the ACTUAL id type — hardcoding long broke
+            # string/UUID ids that the column engine supports
+            .applyInPandas(find_dropped, f"{id_col} {id_type}")
             .distinct()
         )
     elif pair_engine == "column":
@@ -560,7 +580,6 @@ def semantic_dedup_clustered(
 
 def quantize_int8(
     df: DataFrame,
-    id_col: str,
     vec_col: str,
 ) -> DataFrame:
     """Symmetric int8 quantization of an embedding column — the

@@ -6602,7 +6602,7 @@ def embedding_quantize_int8(spark, sf_dir):
     # the same row — one narrow pass, zero joins. The abs-max is taken
     # from the raw vector, NOT scale*127 — the round-trip through the
     # division can land 1 ulp off and flip the ppm floor.
-    qdf = similarity.quantize_int8(emb, "vec_id", "embedding")
+    qdf = similarity.quantize_int8(emb, "embedding")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     m = F.array_max(F.transform(e, F.abs))
     idx = F.sequence(F.lit(1), F.size("qvec"))

@@ -673,7 +673,7 @@ def test_quantize_int8_invariants(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     out = {r.vec_id: r for r in similarity.quantize_int8(
-        df, "vec_id", "embedding").collect()}
+        df, "embedding").collect()}
     assert out[1].qvec == [64, -127, 32, 0]          # round(x*127/max)
     assert out[2].qvec == [0, 0, 0, 0] and out[2].scale == 0.0
     assert out[3].qvec == [127, -64, 0, 1]
@@ -682,7 +682,7 @@ def test_quantize_int8_invariants(spark):
     from gobblin_spark.sources.files import load_table
 
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
-    q = similarity.quantize_int8(emb, "vec_id", "embedding")
+    q = similarity.quantize_int8(emb, "embedding")
     # quantize_int8 is withColumn-style: raw + codes in the same row
     err = q.select(
         similarity.cosine(
@@ -896,3 +896,40 @@ def test_contamination_check_includes_blank_docs(spark):
     assert set(got) == {1, 2, 3}
     assert got[2] == (0, 0, 0) and got[3] == (0, 0, 0)
     assert got[1][1] > 0
+
+
+def test_lsh_dim_mismatch_is_loud(spark):
+    """Review-r6: a wrong `dim` nulls every plane dot (zip_with null
+    padding), collapsing all vectors into one bucket — the quadratic
+    blowup LSH exists to avoid. Must raise instead."""
+    emb = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(4)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="8 elements"):
+        similarity.embedding_near_dup_pairs(
+            emb, "vec_id", "embedding", dim=16)
+    with pytest.raises(ValueError, match="8 elements"):
+        similarity.lsh_cosine_topk(emb, emb, "vec_id", "embedding",
+                                   dim=32, k=2)
+
+
+def test_semantic_dedup_blas_string_ids(spark):
+    """Review-r6: the blas pair engine hardcoded `id long` in its
+    applyInPandas schema; string ids must work on both engines and
+    agree."""
+    import math
+    rows = []
+    for i in range(12):
+        a = math.pi * i / 6
+        rows.append((f"v{i:02d}", [math.cos(a), math.sin(a)]))
+    rows.append(("dup", rows[0][1]))  # exact duplicate of v00
+    df = spark.createDataFrame(rows, "vid string, embedding array<double>")
+    outs = {}
+    for eng in ("blas", "column"):
+        kept = similarity.semantic_dedup_clustered(
+            df, "vid", "embedding", k=2, threshold=0.999,
+            pair_engine=eng)
+        outs[eng] = sorted(r.vid for r in kept.collect())
+    assert outs["blas"] == outs["column"]
+    # min-id survives: "dup" < "v00" lexicographically
+    assert "v00" not in outs["blas"] and "dup" in outs["blas"]
