@@ -25,8 +25,6 @@ serializes on one driver loop (VERDICT round 1, "What's wrong" #6).
 
 from __future__ import annotations
 
-import posixpath
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MANIFEST_SCHEMA = "src string, dst string, size long, mtime long"
@@ -77,24 +75,25 @@ def list_tree(spark: SparkSession, base_path: str, min_parallel: int = 2) -> Dat
         for i in infos
         if i.type == pafs.FileType.File
     ]
-    # dirs carry the scheme prefix so worker tasks resolve the SAME
-    # filesystem (a scheme-less S3 path would silently list the local FS)
-    dirs = [prefix + i.path for i in infos if i.type == pafs.FileType.Directory]
+    # dirs travel in NORMALIZED form; workers rebuild the filesystem
+    # from the ROOT URI (one from_uri per partition) instead of
+    # re-parsing every subdir — a per-dir from_uri percent-DECODES the
+    # path, so a directory named 'dir%201' would re-resolve to the
+    # wrong key (and the old inline prefix logic silently fell back to
+    # LocalFileSystem when the suffix check failed)
+    dirs = [i.path for i in infos if i.type == pafs.FileType.Directory]
+    root_uri = base_path  # captured by value: workers derive fs from it
 
     def list_dir(it):
         # self-contained (no module globals): runs in workers
         from pyarrow import fs as pafs2
 
+        f2 = (pafs2.FileSystem.from_uri(root_uri)[0]
+              if "://" in root_uri else pafs2.LocalFileSystem())
         for d in it:
-            if "://" in d:
-                f2, p2 = pafs2.FileSystem.from_uri(d)
-                pfx = d.rstrip("/")[: len(d.rstrip("/")) - len(p2)] \
-                    if d.rstrip("/").endswith(p2) else ""
-            else:
-                f2, p2, pfx = pafs2.LocalFileSystem(), d, ""
-            for i in f2.get_file_info(pafs2.FileSelector(p2, recursive=True)):
+            for i in f2.get_file_info(pafs2.FileSelector(d, recursive=True)):
                 if i.type == pafs2.FileType.File:
-                    yield (pfx + i.path, i.size,
+                    yield (prefix + i.path, i.size,
                            int(i.mtime.timestamp() * 1000) if i.mtime else 0)
 
     parts = max(min_parallel, len(dirs)) if dirs else 1
@@ -131,17 +130,31 @@ def plan_copy(
             dst = list_tree(spark, dst_root)
         except FileNotFoundError:
             return manifest
+        # list_tree already returns full destination paths — they ARE
+        # the join key (the old substring+concat was an identity
+        # rebuild with offset arithmetic to keep in sync)
         existing = dst.select(
-            F.concat(
-                F.lit(dst_root.rstrip("/") + "/"),
-                F.expr(f"substring(path, {len(dst_root.rstrip('/')) + 2})"),
-            ).alias("dst"),
+            F.col("path").alias("dst"),
             F.col("size").alias("dst_size"),
+            F.col("mtime").alias("dst_mtime"),
+        )
+        # NO forced broadcast: a mature destination can hold 100M+
+        # files, and F.broadcast would collect that listing onto the
+        # driver. Below the auto-broadcast threshold the optimizer
+        # still broadcasts; above it, a sort-merge join on the slim
+        # (path, size, mtime) listing is the correct plan.
+        # Skip rule (rsync -u shape): same size AND destination at
+        # least as new. A same-size in-place edit (src mtime newer)
+        # re-copies; unknown mtimes (0) fall back to size-only.
+        unchanged = (
+            (F.col("dst_size") == F.col("size"))
+            & ((F.col("mtime") == 0) | (F.col("dst_mtime") == 0)
+               | (F.col("dst_mtime") >= F.col("mtime")))
         )
         manifest = (
-            manifest.join(F.broadcast(existing), "dst", "left")
-            .filter(F.col("dst_size").isNull() | (F.col("dst_size") != F.col("size")))
-            .drop("dst_size")
+            manifest.join(existing, "dst", "left")
+            .filter(F.col("dst_size").isNull() | ~unchanged)
+            .drop("dst_size", "dst_mtime")
         )
     return manifest
 
@@ -171,6 +184,7 @@ def execute_copy(manifest: DataFrame, tasks_hint: int | None = None) -> DataFram
         # one string per failed file — unbounded under mass failure
         # (e.g. an unwritable destination on a 100M-file distcp).
         err_kept = 0
+        made_dirs: set = set()  # one create_dir RPC per distinct parent
 
         for pdf in batches:
             out = []
@@ -180,8 +194,9 @@ def execute_copy(manifest: DataFrame, tasks_hint: int | None = None) -> DataFram
                     sfs, spath = pa_fs(r.src)
                     dfs, dpath = pa_fs(r.dst)
                     parent = posixpath.dirname(dpath)
-                    if parent:
+                    if parent and parent not in made_dirs:
                         dfs.create_dir(parent, recursive=True)
+                        made_dirs.add(parent)
                     with sfs.open_input_stream(spath) as src, \
                             dfs.open_output_stream(dpath) as dst:
                         while True:
@@ -223,7 +238,10 @@ def distcp(
     publishes via the merge-rename protocol (sinks/publish.py) so the
     destination flips over only when every file landed; ``False``
     writes in place (rsync-style incremental top-up). Returns
-    (summary_row, published: bool) where the summary is ONE Row
+    (summary_row, ok: bool) — ok means ZERO failed copies; in atomic
+    mode it additionally means the staged tree was published (or, for
+    an empty manifest, that there was nothing to publish). The
+    summary is ONE Row
     (n_files, n_ok, n_failed, bytes_copied, errors[<=20 samples]) —
     aggregated DISTRIBUTED in the same pass that performs the copies,
     so a 100M-file distcp never ships a per-file manifest to the
@@ -267,8 +285,11 @@ def distcp(
     all_ok = summary.n_failed == 0
     if atomic:
         staged = P.StagedDataset(dst_root, staging, dst_root)
-        if all_ok:
+        if all_ok and summary.n_files > 0:
             P.publish_staged(staged, spark)
         else:
+            # failed copies OR an empty manifest (nothing staged —
+            # publish_staged would rightly refuse to mint a _SUCCESS
+            # over nothing): clean the staging dir if any task made it
             P.abort_staged(staged, spark)
     return summary, all_ok

@@ -112,3 +112,56 @@ def test_copy_failure_isolated_and_atomic_abort(spark, tree, tmp_path):
     with pytest.raises(FileNotFoundError):  # missing src root fails fast
         C.distcp(spark, tree + "/NOPE", dst)
     assert not os.path.exists(os.path.join(dst, "_SUCCESS"))
+
+
+# -- round-6 review fixes ---------------------------------------------
+
+
+def test_empty_atomic_distcp_is_noop(spark, tmp_path):
+    """Review-r6: an atomic distcp of an EMPTY tree must return a
+    zero summary, not crash in publish_staged."""
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    summary, ok = C.distcp(spark, str(src), str(tmp_path / "dst"),
+                           atomic=True)
+    assert ok and summary.n_files == 0 and summary.n_failed == 0
+
+
+def test_same_size_newer_mtime_recopies(spark, tmp_path):
+    """Review-r6: the incremental skip uses mtime as well as size — a
+    same-size in-place edit must re-copy (the old size-only predicate
+    served stale bytes forever)."""
+    import os
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.txt").write_text("AAAA")
+    dst = str(tmp_path / "dst")
+    summary, ok = C.distcp(spark, str(src), dst, atomic=False)
+    assert ok and summary.n_ok == 1
+    # second run: nothing changed -> nothing planned
+    assert C.plan_copy(spark, str(src), dst).count() == 0
+    # same-size edit with a NEWER mtime -> planned again
+    time.sleep(0.01)
+    (src / "a.txt").write_text("BBBB")
+    os.utime(src / "a.txt",
+             (time.time() + 5, time.time() + 5))
+    assert C.plan_copy(spark, str(src), dst).count() == 1
+    summary2, ok2 = C.distcp(spark, str(src), dst, atomic=False)
+    assert ok2 and (tmp_path / "dst" / "a.txt").read_text() == "BBBB"
+
+
+def test_plan_copy_no_forced_broadcast(spark, tmp_path):
+    """Review-r6: the destination listing must not be FORCE-broadcast
+    (a 100M-file destination would OOM the driver); the optimizer
+    decides."""
+    src = tmp_path / "s"
+    src.mkdir()
+    (src / "f").write_text("x")
+    dst = tmp_path / "d"
+    dst.mkdir()
+    (dst / "f").write_text("x")
+    plan = C.plan_copy(spark, str(src), str(dst))
+    opt = plan._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in opt  # no user-forced broadcast hint
