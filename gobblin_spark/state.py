@@ -112,8 +112,10 @@ class WatermarkStore:
         for st in fs.listStatus(dpath):
             name = st.getPath().getName()
             if name.startswith(_WM_PREFIX) and name.endswith(".json"):
-                seq = int(name[len(_WM_PREFIX):].split("-", 1)[0])
-                out.append((seq, st.getPath().toString()))
+                head = name[len(_WM_PREFIX):-len(".json")].split("-", 1)[0]
+                if not head.isdigit():
+                    continue  # foreign file (wm-backup.json, editor junk)
+                out.append((int(head), st.getPath().toString()))
         return sorted(out)
 
     def _read_json(self, path: str) -> dict:
@@ -133,32 +135,76 @@ class WatermarkStore:
             return default
         return _decode(self._read_json(entries[-1][1]))
 
-    def commit(self, dataset: str, value, run_id: str | None = None) -> int:
-        """Persist *value* as the new watermark; returns its sequence."""
-        entries = self._entries(dataset)
-        seq = (entries[-1][0] + 1) if entries else 1
+    def commit(self, dataset: str, value, run_id: str | None = None,
+               monotonic: bool = False) -> int:
+        """Persist *value* as the new watermark; returns its sequence.
+
+        The sequence file is named WITHOUT the run token
+        (``wm-<seq>.json``) so the atomic ``create(overwrite=False)``
+        actually detects two committers racing at the same sequence —
+        token-suffixed names let both creates succeed and silently
+        shadowed one commit. On collision the loser re-reads and
+        retries at the next sequence (bounded). Legacy token-suffixed
+        files still parse.
+
+        ``monotonic=True`` (incremental-pull watermarks) rejects a
+        value ordered BELOW the current one — a delayed retry must not
+        silently rewind the frontier (``rollback()`` is the deliberate
+        regression path). Leave False for non-ordered ledgers (epoch
+        markers, unit sets)."""
         fs, jvm = self._fs()
         dpath = self._dataset_path(jvm, dataset)
         fs.mkdirs(dpath)
         token = run_id or uuid.uuid4().hex[:8]
-        fname = f"{_WM_PREFIX}{seq:010d}-{token}.json"
-        payload = dict(_encode(value), dataset=dataset, seq=seq, run_id=token)
-        out = fs.create(jvm.org.apache.hadoop.fs.Path(dpath, fname), False)
-        try:
-            out.write(bytearray(json.dumps(payload).encode("utf-8")))
-        finally:
-            out.close()
-        return seq
+        if monotonic:
+            cur = self.get(dataset)
+            try:
+                if cur is not None and value < cur:
+                    raise ValueError(
+                        f"non-monotonic watermark commit for {dataset}: "
+                        f"{value!r} < current {cur!r} — use rollback() "
+                        "to rewind deliberately")
+            except TypeError:
+                pass  # incomparable kinds: let the commit through
+        last_err = None
+        for _ in range(5):
+            entries = self._entries(dataset)
+            seq = (entries[-1][0] + 1) if entries else 1
+            fname = f"{_WM_PREFIX}{seq:010d}.json"
+            payload = dict(_encode(value), dataset=dataset, seq=seq,
+                           run_id=token)
+            try:
+                out = fs.create(jvm.org.apache.hadoop.fs.Path(dpath, fname),
+                                False)
+            except Exception as ex:  # seq taken: re-read, retry next
+                last_err = ex
+                continue
+            try:
+                out.write(bytearray(json.dumps(payload).encode("utf-8")))
+            finally:
+                out.close()
+            return seq
+        raise RuntimeError(
+            f"watermark commit for {dataset} lost 5 sequence races"
+        ) from last_err
 
     def history(self, dataset: str) -> list:
         """All committed watermarks, oldest first (FsStateStore versions)."""
         return [_decode(self._read_json(p)) for _, p in self._entries(dataset)]
 
-    def rollback(self, dataset: str, to_seq: int) -> None:
-        """Drop commits with seq > *to_seq* (re-pull from an older HWM)."""
+    def rollback(self, dataset: str, to_seq: int,
+                 reset_units: bool = False) -> None:
+        """Drop commits with seq > *to_seq* (re-pull from an older
+        HWM). ``reset_units=True`` also clears the ``<dataset>/_units``
+        completion ledger — without it a re-pull after rollback plans
+        zero work units (pending_work_units still sees them done) and
+        the bad interval is never re-extracted."""
         fs, jvm = self._fs()
         for seq, path in self._entries(dataset):
             if seq > to_seq:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(path), False)
+        if reset_units:
+            for _, path in self._entries(f"{dataset}/_units"):
                 fs.delete(jvm.org.apache.hadoop.fs.Path(path), False)
 
 
@@ -209,9 +255,14 @@ def pull_incremental(
     if hwm is None:  # nothing new — empty pull, watermark unchanged
         empty = source_df.filter(F.lit(False))
         return IncrementalPull(empty, dataset, wm_col, lwm, lwm, lambda: -1)
+    # validate the watermark TYPE now: a store-unsupported hwm (e.g.
+    # decimal.Decimal) must fail before the pull runs, not inside
+    # commit() AFTER the downstream publish already succeeded
+    _encode(hwm)
     bounded = source_df.filter(incremental_predicate(wm_col, lwm, hwm))
     return IncrementalPull(
-        bounded, dataset, wm_col, lwm, hwm, lambda: store.commit(dataset, hwm)
+        bounded, dataset, wm_col, lwm, hwm,
+        lambda: store.commit(dataset, hwm, monotonic=True),
     )
 
 
@@ -255,18 +306,22 @@ def read_jdbc_incremental(
     driver on the Spark classpath; untested in this sandbox (no DB
     endpoint) — the query construction is covered by tests."""
     lwm = store.get(dataset)
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", jdbc_incremental_query(table, wm_col, lwm, hwm))
-    )
+    sql = jdbc_incremental_query(table, wm_col, lwm, hwm)
+    reader = spark.read.format("jdbc").option("url", url)
     if partition_column and partition_bounds and num_partitions > 1:
+        # Spark forbids 'query' together with partitionColumn
+        # (JDBCOptions: "Options 'query' and 'partitionColumn' can not
+        # be specified together") — the partitioned path must ship the
+        # incremental SQL as a dbtable SUBQUERY instead
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", f"({sql}) gobblin_inc")
+            .option("partitionColumn", partition_column)
             .option("lowerBound", str(partition_bounds[0]))
             .option("upperBound", str(partition_bounds[1]))
             .option("numPartitions", str(num_partitions))
         )
+    else:
+        reader = reader.option("query", sql)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
     df = reader.load()
@@ -282,13 +337,48 @@ def snapshot_store_path(root: str, dataset: str) -> str:
 
 def persist_file_snapshot(listing: DataFrame, root: str, dataset: str) -> None:
     """FileBasedSource.java:58 — persist this run's listing so the next
-    run's ``new_files_only`` diff is against durable state."""
-    listing.write.mode("overwrite").parquet(snapshot_store_path(root, dataset))
+    run's ``new_files_only`` diff is against durable state.
+
+    VERSIONED, never overwrite-in-place: the old mode('overwrite')
+    deleted the previous snapshot before the new write committed, so a
+    crash mid-write lost ALL snapshot state (next run re-ingested
+    everything). Each run writes ``_file_snapshot-v<seq>`` and flips a
+    pointer through the same atomic-create WatermarkStore ledger the
+    watermarks use; superseded versions are pruned AFTER the flip."""
+    base = snapshot_store_path(root, dataset)
+    ptr_store = WatermarkStore(listing.sparkSession, root)
+    seq = len(ptr_store._entries(f"{dataset}/_snapshot_ptr")) + 1
+    vpath = f"{base}-v{seq:06d}"
+    listing.write.mode("overwrite").parquet(vpath)
+    ptr_store.commit(f"{dataset}/_snapshot_ptr", vpath)
+    # prune superseded versions (keep the newest 2 for in-flight reads)
+    jvm = listing.sparkSession._jvm
+    hbase = jvm.org.apache.hadoop.fs.Path(base + "-v0")
+    fs = hbase.getFileSystem(
+        listing.sparkSession._jsc.hadoopConfiguration())
+    parent = jvm.org.apache.hadoop.fs.Path(base).getParent()
+    if fs.exists(parent):
+        base_name = jvm.org.apache.hadoop.fs.Path(base).getName()
+        # compare by NAME: listStatus returns fully-qualified paths
+        # ("file:/...") which never string-match the plain vpath
+        keep_names = {f"{base_name}-v{seq:06d}",
+                      f"{base_name}-v{seq - 1:06d}"}
+        for st in fs.listStatus(parent):
+            nm = st.getPath().getName()
+            if nm.startswith(base_name + "-v") and nm not in keep_names:
+                fs.delete(st.getPath(), True)
 
 
 def load_file_snapshot(spark: SparkSession, root: str, dataset: str) -> DataFrame | None:
-    path = snapshot_store_path(root, dataset)
+    ptr = WatermarkStore(spark, root).get(f"{dataset}/_snapshot_ptr")
     jvm = spark._jvm
+    if ptr is not None:
+        hp = jvm.org.apache.hadoop.fs.Path(ptr)
+        if hp.getFileSystem(spark._jsc.hadoopConfiguration()).exists(hp):
+            return spark.read.parquet(ptr)
+        return None
+    # legacy layout: un-versioned _file_snapshot dir
+    path = snapshot_store_path(root, dataset)
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
@@ -306,8 +396,13 @@ def bounded_hwm(source_df: DataFrame, wm_col: str, lwm, max_rows: int):
     by the half-open pull, so a pull can exceed max_rows only by the
     final watermark's tie count."""
     tail = source_df if lwm is None else source_df.filter(F.col(wm_col) > _lit(lwm))
+    # NULL watermarks sort FIRST under asc() and would consume (or
+    # fully occupy) the limit window — enough NULL rows then stall the
+    # first pull forever (boundary None == "nothing new"). They can
+    # never be pulled by the half-open interval anyway; exclude them.
     boundary = (
-        tail.select(wm_col).orderBy(F.col(wm_col).asc()).limit(max_rows)
+        tail.select(wm_col).filter(F.col(wm_col).isNotNull())
+        .orderBy(F.col(wm_col).asc()).limit(max_rows)
         .agg(F.max(wm_col))
         .first()[0]
     )

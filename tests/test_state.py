@@ -136,3 +136,97 @@ def test_file_snapshot_persistence(spark, tmp_path):
     prev = state.load_file_snapshot(spark, root, "d")
     new = files.new_files_only(now, prev)
     assert [os.path.basename(r.path) for r in new.collect()] == ["c.txt"]
+
+
+# -- round-6 review fixes ---------------------------------------------
+
+
+def test_commit_detects_same_seq_race(spark, store):
+    """Review-r6: sequence files are named without the run token, so
+    the atomic create actually detects two committers racing at one
+    sequence (the loser retries the next seq — nothing is shadowed)."""
+    store.commit("race", 1)
+    # plant a file at the NEXT sequence, as a racing committer would
+    fs, jvm = store._fs()
+    dpath = store._dataset_path(jvm, "race")
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(
+        dpath, "wm-0000000002.json"), False)
+    out.write(bytearray(
+        b'{"kind": "long", "value": 99, "dataset": "race", "seq": 2}'))
+    out.close()
+    seq = store.commit("race", 100)  # must land at seq 3, not clobber 2
+    assert seq == 3
+    assert store.get("race") == 100
+    assert store.history("race") == [1, 99, 100]
+
+
+def test_monotonic_commit_rejects_rewind(store):
+    """Review-r6: an incremental-pull watermark cannot silently move
+    backwards — rollback() is the deliberate path."""
+    store.commit("mono", 10, monotonic=True)
+    with pytest.raises(ValueError, match="non-monotonic"):
+        store.commit("mono", 5, monotonic=True)
+    assert store.get("mono") == 10
+    store.commit("mono", 11, monotonic=True)
+    # non-monotonic ledgers (epoch markers etc.) stay unordered
+    store.commit("ledger", "zzz")
+    store.commit("ledger", "aaa")
+    assert store.get("ledger") == "aaa"
+
+
+def test_entries_skip_foreign_files(store):
+    store.commit("junky", 7)
+    fs, jvm = store._fs()
+    dpath = store._dataset_path(jvm, "junky")
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(
+        dpath, "wm-backup.json"), False)
+    out.write(bytearray(b"{}"))
+    out.close()
+    assert store.get("junky") == 7  # foreign file ignored, not a crash
+
+
+def test_rollback_can_reset_unit_ledger(store):
+    from gobblin_spark import state as S
+
+    store.commit("rb", 1)
+    store.commit("rb", 2)
+    S.commit_work_unit(store, "rb", "u1")
+    S.commit_work_unit(store, "rb", "u2")
+    assert S.pending_work_units(store, "rb", ["u1", "u2", "u3"]) == ["u3"]
+    store.rollback("rb", to_seq=1, reset_units=True)
+    assert store.get("rb") == 1
+    # re-pull after rollback re-plans ALL units
+    assert S.pending_work_units(store, "rb", ["u1", "u2", "u3"]) == \
+        ["u1", "u2", "u3"]
+
+
+def test_bounded_hwm_ignores_null_watermarks(spark):
+    from gobblin_spark import state as S
+
+    df = spark.createDataFrame(
+        [(None,)] * 10 + [(i,) for i in range(1, 6)], "wm long")
+    # the 10 NULLs must not occupy the 3-row window
+    assert S.bounded_hwm(df, "wm", None, max_rows=3) == 3
+
+
+def test_snapshot_survives_crashy_rewrites(spark, tmp_path):
+    """Review-r6: snapshots are versioned + pointer-flipped — the
+    previous snapshot survives until the new one is committed."""
+    from gobblin_spark import state as S
+
+    root = str(tmp_path / "snap")
+    l1 = spark.createDataFrame([("a", 1)], "path string, size long")
+    S.persist_file_snapshot(l1, root, "ds")
+    got = S.load_file_snapshot(spark, root, "ds")
+    assert [r.path for r in got.collect()] == ["a"]
+    l2 = spark.createDataFrame([("a", 1), ("b", 2)],
+                               "path string, size long")
+    S.persist_file_snapshot(l2, root, "ds")
+    got = S.load_file_snapshot(spark, root, "ds")
+    assert sorted(r.path for r in got.collect()) == ["a", "b"]
+    # a third persist prunes v1 but keeps the current + previous
+    S.persist_file_snapshot(l1, root, "ds")
+    import os
+    vs = [d for d in os.listdir(tmp_path / "snap" / "ds")
+          if d.startswith("_file_snapshot-v")]
+    assert len(vs) == 2
