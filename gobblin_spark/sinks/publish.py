@@ -120,11 +120,25 @@ def staging_dir_for(final_dir: str, job_id: str | None = None) -> str:
     at job scope); sibling so rename stays same-filesystem, and
     OUTSIDE final_dir so (a) staging a red dataset never creates the
     final dir as a side effect and (b) non-Spark listings of final
-    can't count leftover staged part-files as committed output."""
+    can't count leftover staged part-files as committed output.
+
+    Degenerate bases have no usable sibling and fall back to staging
+    INSIDE final_dir (the underscore prefix keeps it invisible to
+    Spark/Hadoop listings): a scheme-only base (``s3://bucket`` — a
+    "sibling" would be a different bucket) or the filesystem root.
+    A root-level final dir (``/data``) keeps the root separator so
+    staging never lands CWD-relative on the wrong filesystem."""
     token = job_id or uuid.uuid4().hex[:12]
-    base, _, leaf = final_dir.rstrip("/").rpartition("/")
+    trimmed = final_dir.rstrip("/")
+    base, _, leaf = trimmed.rpartition("/")
     name = f"_staging-{leaf}-{token}"
-    return f"{base}/{name}" if base else name
+    if base.endswith(":/") or not leaf:
+        # scheme-only base (s3://bucket, hdfs://nn) or bare root
+        return f"{trimmed}/{name}" if trimmed else f"/{name}"
+    if not base:
+        # '/data' → sibling at the root; 'data' → sibling in CWD
+        return f"/{name}" if final_dir.startswith("/") else name
+    return f"{base}/{name}"
 
 
 def stage(
@@ -289,16 +303,29 @@ def jdbc_staging_swap(
     url: str,
     final_table: str,
     options: dict[str, str] | None = None,
+    dialect: str | None = None,
 ) -> str:
     """JdbcPublisher.java:52 — write to a staging table, then swap into
     the final name in one transaction. Spark cannot run the swap DDL
     itself; this stages the data and returns the SQL the caller executes
     on the database (documented two-step, exactly the reference's
-    publish-by-rename applied to tables)."""
+    publish-by-rename applied to tables).
+
+    The swap DDL is DIALECT-SPECIFIC: ``ALTER TABLE IF EXISTS ...
+    RENAME TO`` is PostgreSQL syntax and a hard error on the MySQL
+    family, which instead gets an atomic multi-table ``RENAME TABLE``
+    (guarded by ``CREATE TABLE IF NOT EXISTS ... LIKE`` so the first
+    publish — no final table yet — still succeeds). *dialect* is
+    inferred from the JDBC url when not given; unknown urls default to
+    the PostgreSQL/ANSI form."""
     staging_table = f"{final_table}_staging_{uuid.uuid4().hex[:8]}"
     from gobblin_spark.sinks.writers import write_jdbc
 
     write_jdbc(df, url, staging_table, mode="overwrite", options=options)
+    if dialect is None:
+        low = url.lower()
+        dialect = ("mysql" if ("jdbc:mysql:" in low or "jdbc:mariadb:"
+                               in low) else "postgresql")
     # rename-aside, NEVER drop-before-replace: on engines with
     # auto-committing DDL (MySQL family) a DROP that commits before a
     # failed RENAME would lose the final table permanently; this order
@@ -306,6 +333,16 @@ def jdbc_staging_swap(
     # new table is in place, and the trailing DROP is the only
     # destructive step
     old_table = f"{final_table}_old_{uuid.uuid4().hex[:8]}"
+    if dialect == "mysql":
+        # MySQL DDL auto-commits (no BEGIN), has no IF EXISTS on
+        # RENAME, but RENAME TABLE swaps multiple tables atomically
+        return (
+            f"CREATE TABLE IF NOT EXISTS {final_table} "
+            f"LIKE {staging_table}; "
+            f"RENAME TABLE {final_table} TO {old_table}, "
+            f"{staging_table} TO {final_table}; "
+            f"DROP TABLE IF EXISTS {old_table};"
+        )
     return (
         f"BEGIN; "
         f"ALTER TABLE IF EXISTS {final_table} RENAME TO {old_table}; "

@@ -156,19 +156,24 @@ class WatermarkStore:
         dpath = self._dataset_path(jvm, dataset)
         fs.mkdirs(dpath)
         token = run_id or uuid.uuid4().hex[:8]
-        if monotonic:
-            cur = self.get(dataset)
-            try:
-                if cur is not None and value < cur:
-                    raise ValueError(
-                        f"non-monotonic watermark commit for {dataset}: "
-                        f"{value!r} < current {cur!r} — use rollback() "
-                        "to rewind deliberately")
-            except TypeError:
-                pass  # incomparable kinds: let the commit through
         last_err = None
         for _ in range(5):
             entries = self._entries(dataset)
+            # the monotonic guard runs INSIDE the retry loop, against
+            # the entries just re-read: a committer that loses the
+            # create() race must re-compare against the RACE WINNER's
+            # value before taking the next sequence, or a stale lower
+            # watermark could still rewind the frontier one seq later
+            if monotonic and entries:
+                cur = _decode(self._read_json(entries[-1][1]))
+                try:
+                    if cur is not None and value < cur:
+                        raise ValueError(
+                            f"non-monotonic watermark commit for "
+                            f"{dataset}: {value!r} < current {cur!r} — "
+                            "use rollback() to rewind deliberately")
+                except TypeError:
+                    pass  # incomparable kinds: let the commit through
             seq = (entries[-1][0] + 1) if entries else 1
             fname = f"{_WM_PREFIX}{seq:010d}.json"
             payload = dict(_encode(value), dataset=dataset, seq=seq,

@@ -25,10 +25,12 @@ Scale notes: foreachBatch receives a normal DataFrame — every batch
 transformation stays whole-stage-codegen JVM work; the Python function
 only COMPOSES the plan. State (frontier) is O(datasets) driver metadata.
 Each epoch writes its own ``gobblin_epoch=<token>-<id>`` partition via
-dynamic partition overwrite and commits an epoch marker LAST, so a
-re-delivered micro-batch either no-ops (marker present) or rewrites its
-own partition — exactly-once visible output without any read-modify-
-write. Compaction (operators/compaction.py) owns small-file hygiene,
+dynamic partition overwrite, then commits the epoch marker FIRST —
+carrying the new frontier — and the frontier watermark second (the
+marker is the source of truth; a crash between the two is repaired on
+restart from the marker's frontier). A re-delivered micro-batch either
+no-ops (marker present) or rewrites its own partition — exactly-once
+visible output without any read-modify-write. Compaction (operators/compaction.py) owns small-file hygiene,
 exactly like the reference's compactor.
 """
 

@@ -93,9 +93,11 @@ def main(only: list[str]) -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    ran = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
@@ -151,7 +153,9 @@ def main(only: list[str]) -> int:
                 f"[{time.time()-t0:.1f}s]"
             )
     spark.stop()
-    print(f"\n{failures} failures / {len(queries)} queries")
+    scope = (f"{ran} of {len(queries)} queries" if only
+             else f"{ran} queries")
+    print(f"\n{failures} failures / {scope}")
     return 1 if failures else 0
 
 

@@ -620,6 +620,35 @@ def test_manifest_list_field_summary_skips_manifests(spark, tmp_path):
     assert t.last_manifest_scan["manifests_skipped"] == 0
 
 
+def test_float_partition_summary_never_wrongly_skips():
+    """Advice-r7: float field_summary bounds serialize through
+    Appendix-D's 4-byte '<f' while in-memory tuple/predicate values
+    are float64. A bound serialized from 0.1 deserializes to
+    ~0.100000001 > 0.1, so the raw lo<=0.1<=hi check wrongly excludes
+    the manifest. The widened comparison must keep it, for every
+    comparison op, and must stay exact for values float32 already
+    represents."""
+    from gobblin_spark.sinks.iceberg import (
+        _range_may_match, _sv_deser, _sv_ser, _widen_float32_bounds)
+
+    # the round trip that creates the divergence
+    lo = hi = _sv_deser(_sv_ser(0.1, "float"), "float")
+    assert lo > 0.1  # the rounded bound really is above the value
+    assert not _range_may_match(lo, hi, "=", 0.1)  # raw check skips
+    wlo, whi = _widen_float32_bounds(lo, hi)
+    for op in ("=", "<=", ">=", "<", ">"):
+        assert _range_may_match(wlo, whi, op, 0.1), op
+    # widening is one float32 ulp: it cannot unlock values a full
+    # float32 step away (pruning stays useful, not just permissive)
+    assert not _range_may_match(wlo, whi, "=", 0.1001)
+    # exact float32 values keep matching after widening
+    import numpy as np
+
+    v = float(np.float32(0.25))
+    wlo2, whi2 = _widen_float32_bounds(v, v)
+    assert _range_may_match(wlo2, whi2, "=", v)
+
+
 def test_append_files_rejects_tuple_path_mismatch(spark, tmp_path):
     """Advice-r5: a direct append_files caller with a valid tuple but
     a non-hive file path must be rejected — reads attach partition

@@ -91,6 +91,62 @@ def test_pull_file_from_disk_with_partitioning(spark, tmp_path):
     assert dirs == {"l_returnflag=A", "l_returnflag=R"}
 
 
+def test_csv_pull_job_end_to_end(spark, tmp_path):
+    """Audit-r7: the CSV source factory passed `delimiter=` to a
+    reader whose kwarg is `sep` — every CSV .pull job raised
+    TypeError. Pin the whole CSV path: custom delimiter, header,
+    explicit schema, run to publish."""
+    src = tmp_path / "csv_in"
+    src.mkdir()
+    (src / "a.csv").write_text("k|name\n1|alpha\n2|beta\n3|gamma\n")
+    out = str(tmp_path / "csv_out")
+    res = J.run_job(spark, f"""
+job.name=CsvJob
+source.class=csv
+source.filebased.data.directory={src}
+converter.csv.delimiter=|
+source.csv.has.header=true
+source.schema=k INT, name STRING
+writer.output.format=parquet
+data.publisher.final.dir={out}
+""")
+    assert res.report is not None and res.report.committed
+    back = spark.read.parquet(out)
+    assert sorted((r.k, r.name) for r in back.collect()) == [
+        (1, "alpha"), (2, "beta"), (3, "gamma")]
+
+
+def test_files_to_pull_comma_list(spark, tmp_path):
+    """Audit-r7: source.filebased.files.to.pull is a comma LIST in the
+    reference (FileBasedSource) — an unsplit 'a,b' string is one
+    nonexistent path to Spark."""
+    d = tmp_path / "multi"
+    d.mkdir()
+    spark.range(3).write.parquet(str(d / "p1"))
+    spark.range(3, 5).write.parquet(str(d / "p2"))
+    out = str(tmp_path / "multi_out")
+    res = J.run_job(spark, f"""
+job.name=MultiPull
+source.class=parquet
+source.filebased.files.to.pull={d / "p1"}, {d / "p2"}
+data.publisher.final.dir={out}
+""")
+    assert res.report is not None and res.report.committed
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [
+        0, 1, 2, 3, 4]
+
+
+def test_unknown_commit_policy_fails_fast():
+    spec = J.JobSpec(name="j", props={
+        "source.class": "table",
+        "source.data.directory": "/root/testdata/sf0.001",
+        "source.table.name": "nation",
+        "job.commit.policy": "bogus",
+    })
+    with pytest.raises(KeyError, match="bogus"):
+        J.to_pipeline(spec)
+
+
 def test_commit_policy_successful_aborts_failed_audit(spark, tmp_path):
     """job.commit.policy=successful maps to COMMIT_SUCCESSFUL_TASKS
     (JobCommitPolicy.forName): a dataset whose write-audit FAILS must be

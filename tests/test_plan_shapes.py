@@ -74,10 +74,10 @@ CASES = [
     # lag window + groupBy share ONE user_id exchange (the groupBy
     # reuses the window sort's hashpartitioning)
     ("event_time_deltas", 1, "CartesianProduct"),
-    # per-user agg is the only hash exchange; the global ntile runs on
-    # the one-row-per-user table (SinglePartition by design) and the
-    # decile rollup rides that partitioning with no further exchange
-    ("user_value_deciles", 1, "CartesianProduct"),
+    # distributed exact-rank ntile: per-user agg + per-bucket window
+    # + decile rollup, each a keyed exchange — and NO single-partition
+    # global sort anywhere in the plan (the r6-verdict scale-killer)
+    ("user_value_deciles", 3, "SinglePartition"),
     # daily agg exchange, then the 7-row frame over ~days rows
     ("revenue_moving_avg", 1, "CartesianProduct"),
     # 3 fixed iterations in ONE lineage (per-round checkpoints cost a

@@ -133,6 +133,27 @@ def test_staging_dir_is_true_sibling(tmp_path):
     assert s == "/a/b/_staging-out-tok"  # beside final, not inside
 
 
+def test_staging_dir_degenerate_bases():
+    """Advice-r7: root-level and scheme-only final dirs have no usable
+    sibling — staging must stay on the same filesystem (never
+    CWD-relative, never a different bucket)."""
+    # root-level dir: keep the root separator
+    assert P.staging_dir_for("/data", "tok") == "/_staging-data-tok"
+    # bucket root: a 'sibling' would be a DIFFERENT bucket — stage
+    # inside instead
+    assert (P.staging_dir_for("s3://bucket", "tok")
+            == "s3://bucket/_staging-bucket-tok")
+    assert (P.staging_dir_for("s3://bucket/", "tok")
+            == "s3://bucket/_staging-bucket-tok")
+    # normal bucket-relative path keeps the sibling layout
+    assert (P.staging_dir_for("s3://bucket/a/out", "tok")
+            == "s3://bucket/a/_staging-out-tok")
+    assert (P.staging_dir_for("hdfs://nn:8020/out", "tok")
+            == "hdfs://nn:8020/_staging-out-tok")
+    # relative path: sibling in CWD (unchanged behavior)
+    assert P.staging_dir_for("out", "tok") == "_staging-out-tok"
+
+
 def test_publish_replay_after_marker_before_delete(spark, lineitem,
                                                    tmp_path):
     """Crash window closed: _SUCCESS lands BEFORE the staging delete,
@@ -213,3 +234,26 @@ def test_jdbc_swap_sql_never_drops_before_replace():
     rename_final = re.search(r"RENAME TO tbl;", sql)
     assert rename_final is not None and drop_pos > rename_final.start()
     assert "DROP TABLE IF EXISTS tbl;" not in sql  # never drops FINAL
+
+
+def test_jdbc_swap_sql_is_dialect_aware():
+    """Advice-r7: 'ALTER TABLE IF EXISTS ... RENAME TO' is
+    PostgreSQL-only; the MySQL family gets an atomic RENAME TABLE
+    (first-publish-safe via CREATE TABLE IF NOT EXISTS ... LIKE),
+    inferred from the JDBC url or forced via dialect=."""
+    from unittest import mock
+
+    with mock.patch.object(W, "write_jdbc"):
+        my = P.jdbc_staging_swap(None, "jdbc:mysql://h/db", "tbl")
+        pg = P.jdbc_staging_swap(None, "jdbc:postgresql://h/db", "tbl")
+        forced = P.jdbc_staging_swap(None, "jdbc:x", "tbl",
+                                     dialect="mysql")
+    for sql in (my, forced):
+        assert "ALTER TABLE IF EXISTS" not in sql  # pg-only syntax
+        assert "RENAME TABLE tbl TO" in sql
+        assert "CREATE TABLE IF NOT EXISTS tbl LIKE" in sql
+        # old table only dropped after the atomic swap
+        assert sql.index("DROP TABLE") > sql.index("RENAME TABLE")
+        assert "DROP TABLE IF EXISTS tbl;" not in sql
+    assert "ALTER TABLE IF EXISTS tbl RENAME TO" in pg
+    assert "BEGIN;" in pg and "COMMIT;" in pg

@@ -174,6 +174,44 @@ def test_monotonic_commit_rejects_rewind(store):
     assert store.get("ledger") == "aaa"
 
 
+def test_monotonic_recheck_after_seq_race(store):
+    """Advice-r7: the monotonic guard must re-run INSIDE the retry
+    loop. Scenario: committer reads the frontier (say 10), loses the
+    create() race to a winner who advanced it to 50, then retries at
+    the next sequence with its stale lower value — without the in-loop
+    re-check the stale 20 lands and silently rewinds the frontier."""
+    store.commit("mrace", 10, monotonic=True)
+    stale = store._entries("mrace")  # listing BEFORE the winner lands
+    fs, jvm = store._fs()
+    dpath = store._dataset_path(jvm, "mrace")
+    # plant the race winner at the next sequence with a HIGHER value
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(
+        dpath, "wm-0000000002.json"), False)
+    out.write(bytearray(
+        b'{"kind": "long", "value": 50, "dataset": "mrace", "seq": 2}'))
+    out.close()
+    # serve the STALE listing on the loser's first read, so its first
+    # monotonic check passes (20 > 10), its create() at seq 2 then
+    # collides with the winner, and only the retry sees the real state
+    real_entries, served = store._entries, {"n": 0}
+
+    def racing_entries(dataset):
+        served["n"] += 1
+        if dataset == "mrace" and served["n"] == 1:
+            return stale
+        return real_entries(dataset)
+
+    store._entries = racing_entries
+    try:
+        with pytest.raises(ValueError, match="non-monotonic"):
+            store.commit("mrace", 20, monotonic=True)
+    finally:
+        store._entries = real_entries
+    assert store.get("mrace") == 50
+    # a value >= the winner's still commits normally
+    assert store.commit("mrace", 60, monotonic=True) == 3
+
+
 def test_entries_skip_foreign_files(store):
     store.commit("junky", 7)
     fs, jvm = store._fs()
