@@ -65,6 +65,18 @@ class _StatusApi:
             "input_rows": sum(s.get("inputRecords", 0) for s in fresh),
             "shuffle_write_bytes": sum(
                 s.get("shuffleWriteBytes", 0) for s in fresh),
+            # third machine-independent axis (verdict-r6 #8): spill
+            # says a partition outgrew execution memory — the 100x
+            # scale-up signal wall clock and shuffle bytes both miss
+            "memory_spill_bytes": sum(
+                s.get("memoryBytesSpilled", 0) for s in fresh),
+            "disk_spill_bytes": sum(
+                s.get("diskBytesSpilled", 0) for s in fresh),
+            # max over stages: the widest single stage is what must
+            # fit an executor, not the sum across the plan
+            "peak_execution_memory": max(
+                (s.get("peakExecutionMemory", 0) for s in fresh),
+                default=0),
         }
 
 
@@ -140,6 +152,9 @@ def main() -> int:
                     "sec_timed_pass": timings.get(name),
                     "input_rows": snap["input_rows"],
                     "shuffle_write_bytes": snap["shuffle_write_bytes"],
+                    "memory_spill_bytes": snap["memory_spill_bytes"],
+                    "disk_spill_bytes": snap["disk_spill_bytes"],
+                    "peak_execution_memory": snap["peak_execution_memory"],
                     "rows_per_sec": (
                         round(snap["input_rows"] / sec) if sec else None),
                 }

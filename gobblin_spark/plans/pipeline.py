@@ -124,8 +124,14 @@ def run(pipeline: Pipeline, spark: SparkSession, persist: bool = True) -> Pipeli
 
     job_timer = ctx.timer("job_duration")
     t0 = _time.monotonic()
+    quar_persisted = False
     try:
         if pipeline.quarantine_dir is not None:
+            # audit-r7: the quarantine branch runs TWO actions (count,
+            # then the err-file write) — persist it so the source is
+            # scanned once for the pair, not once per action
+            quarantined = quarantined.persist(StorageLevel.MEMORY_AND_DISK)
+            quar_persisted = True
             result.quarantined = quarantined.count()
             ctx.counter("records_quarantined").inc(result.quarantined)
             if result.quarantined:
@@ -173,6 +179,8 @@ def run(pipeline: Pipeline, spark: SparkSession, persist: bool = True) -> Pipeli
         job_timer.update(_time.monotonic() - t0)
         if persist and (len(pipeline.branches) > 1 or pipeline.quarantine_dir):
             passed.unpersist()
+        if quar_persisted:
+            quarantined.unpersist()
     return result
 
 
@@ -210,25 +218,43 @@ def run_streaming(
         canonical_checkpoint(checkpoint_dir).encode()).hexdigest()[:8]
     marked_dirs = [b.final_dir for b in pipeline.branches if b.final_dir]
 
-    def _marker_paths(spark, epoch_id: int):
-        for d in marked_dirs:
-            fs, base, jvm = P._fs(spark, d)
-            yield fs, jvm.org.apache.hadoop.fs.Path(
-                base, f"_epoch-{ck_token}-{epoch_id}.done")
+    def _marker(spark, final_dir: str, epoch_id: int):
+        fs, base, jvm = P._fs(spark, final_dir)
+        return fs, jvm.org.apache.hadoop.fs.Path(
+            base, f"_epoch-{ck_token}-{epoch_id}.done")
 
     def epoch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        markers = list(_marker_paths(spark, epoch_id))
-        if markers and all(fs.exists(p) for fs, p in markers):
+        # PER-BRANCH replay skip (audit-r7): a branch whose marker
+        # exists definitely committed AND marked — re-publishing it on
+        # a partial-marker replay (crash midway through the marker
+        # loop) was a guaranteed duplicate. Only unmarked writing
+        # branches re-run; the remaining window (published-but-
+        # unmarked) is the documented commit-vs-marker gap.
+        todo, done_markers = [], 0
+        for b in pipeline.branches:
+            if b.final_dir:
+                fs, p = _marker(spark, b.final_dir, epoch_id)
+                if fs.exists(p):
+                    done_markers += 1
+                    continue
+            todo.append(b)
+        if marked_dirs and done_markers == len(marked_dirs):
             return  # replayed epoch: everything already published
         epoch_pl = dataclasses.replace(
             pipeline,
+            branches=todo,
             source=lambda s: batch_df,
             job_id=f"{pipeline.job_id or 'stream'}-e{epoch_id}",
         )
         res = run(epoch_pl, spark)
-        if res.report is None or res.report.committed:
-            for fs, p in markers:
+        # mark only branches that actually PUBLISHED this epoch — a
+        # branch aborted under COMMIT_SUCCESSFUL_TASKS must replay,
+        # not get marked done by its siblings' success
+        published = set(res.report.published) if res.report else set()
+        for b in todo:
+            if b.final_dir and b.name in published:
+                fs, p = _marker(spark, b.final_dir, epoch_id)
                 fs.create(p, True).close()
         results.append(res)
 

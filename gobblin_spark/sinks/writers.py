@@ -52,24 +52,37 @@ class WriteResult:
     rows: int = -1  # recordsWritten; -1 when the observation was unavailable
 
 
-def _output_stats(df: DataFrame, path: str) -> tuple[int, int]:
-    """Count part-files and bytes under *path* via the Hadoop FS client
+def _list_output_files(df: DataFrame, path: str) -> dict[str, int]:
+    """Data files under *path* as {uri: bytes} via the Hadoop FS client
     (works for file://, hdfs://, s3a:// alike)."""
     sc = df.sparkSession.sparkContext
     jvm = sc._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    files = 0
-    nbytes = 0
+    out: dict[str, int] = {}
+    if not fs.exists(hpath):
+        return out
     it = fs.listFiles(hpath, True)
     while it.hasNext():
         st = it.next()
         name = st.getPath().getName()
         if name.startswith("_") or name.startswith("."):
             continue
-        files += 1
-        nbytes += st.getLen()
-    return files, nbytes
+        out[st.getPath().toString()] = st.getLen()
+    return out
+
+
+def _output_stats(df: DataFrame, path: str,
+                  before: dict[str, int] | None = None) -> tuple[int, int]:
+    """Count part-files and bytes under *path*. With *before* (a
+    pre-write listing), only files the write ADDED are counted —
+    audit-r7: an append-mode WriteResult previously reported the whole
+    directory, so file_size_policy audits graded earlier writes'
+    output too."""
+    listing = _list_output_files(df, path)
+    if before:
+        listing = {p: n for p, n in listing.items() if p not in before}
+    return len(listing), sum(listing.values())
 
 
 def read_data(spark, path: str, fmt: str = "parquet",
@@ -106,6 +119,8 @@ def write_data(
 
     if sort_within_partitions:
         df = df.sortWithinPartitions(*sort_within_partitions)
+    # for append, stats must cover only THIS write's files
+    before = _list_output_files(df, path) if mode == "append" else None
     if fmt == "avro":
         from gobblin_spark.operators import avro_serde as _AS
 
@@ -114,7 +129,7 @@ def write_data(
             # (AvroHdfsDataWriter analog) keeps Avro sinks functional
             summary = _AS.write_avro(df, path, mode=mode,
                                      partition_by=list(partition_by or []))
-            files, nbytes = _output_stats(df, path)
+            files, nbytes = _output_stats(df, path, before)
             return WriteResult(path, fmt, files, nbytes,
                                list(partition_by or []),
                                rows=summary.rows)
@@ -128,7 +143,7 @@ def write_data(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.format(fmt).save(path)
-    files, nbytes = _output_stats(df, path)
+    files, nbytes = _output_stats(df, path, before)
     try:
         rows = int(obs.get["rows"])
     except Exception:  # pragma: no cover - observation timing edge
@@ -296,6 +311,10 @@ def zorder_value(df: DataFrame, cols: Sequence[str], bits: int = 16):
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):
         lo, hi = bounds[c]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"zorder: column {c!r} is all-null — no min/max bounds "
+                "to normalize against (drop it from the z-order key)")
         span = float(hi - lo) or 1.0
         q = F.least(
             F.lit(levels),

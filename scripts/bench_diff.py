@@ -122,6 +122,25 @@ def main() -> int:
                 "query": name, "shuffle_write_bytes": b,
                 "prev_shuffle_write_bytes": pb, "ratio": round(ratio, 2)})
 
+    # spill + peak-memory vs the previous snapshot (verdict-r6 #8):
+    # spill appearing where there was none is the strongest
+    # machine-independent signal that a partition outgrew execution
+    # memory — exactly what breaks first at a 100x scale-up
+    spill_flagged = []
+    for name, d in sorted(cur_details.items()):
+        sp = (d.get("memory_spill_bytes") or 0) + (
+            d.get("disk_spill_bytes") or 0)
+        prev = prev_snap.get(name) or {}
+        if "memory_spill_bytes" not in prev:
+            continue  # snapshot predates the spill columns
+        psp = (prev.get("memory_spill_bytes") or 0) + (
+            prev.get("disk_spill_bytes") or 0)
+        if (psp == 0 and sp > 0) or (psp > 0 and sp / psp > args.threshold):
+            spill_flagged.append({
+                "query": name, "spill_bytes": sp,
+                "prev_spill_bytes": psp,
+                "peak_execution_memory": d.get("peak_execution_memory")})
+
     out = {
         "prior_round": prior_round,
         "threshold": args.threshold,
@@ -133,10 +152,14 @@ def main() -> int:
         "flagged": flagged,
         "improved": improved,
         "shuffle_flagged": shuffle_flagged,
+        "spill_flagged": spill_flagged,
         "first_time": sorted(first_time),
         "details_snapshot": {
             n: {"sec": d.get("sec_timed_pass"),
-                "shuffle_write_bytes": d.get("shuffle_write_bytes")}
+                "shuffle_write_bytes": d.get("shuffle_write_bytes"),
+                "memory_spill_bytes": d.get("memory_spill_bytes"),
+                "disk_spill_bytes": d.get("disk_spill_bytes"),
+                "peak_execution_memory": d.get("peak_execution_memory")}
             for n, d in cur_details.items()},
     }
     if prior_round is not None and prior_round <= 4:
@@ -158,10 +181,14 @@ def main() -> int:
         print(f"  SHUFFLE GREW {row['query']}: "
               f"{row['prev_shuffle_write_bytes']} -> "
               f"{row['shuffle_write_bytes']} bytes ({row['ratio']}x)")
+    for row in spill_flagged:
+        print(f"  SPILL GREW {row['query']}: {row['prev_spill_bytes']} -> "
+              f"{row['spill_bytes']} bytes "
+              f"(peak_mem={row['peak_execution_memory']})")
     for row in improved:
         print(f"  improved  {row['query']}: {row[f'sec_r{prior_round}']}s -> "
               f"{row['sec']}s ({row['ratio']}x)")
-    if not flagged and not shuffle_flagged:
+    if not flagged and not shuffle_flagged and not spill_flagged:
         print("  no regressions above threshold")
     return 0
 

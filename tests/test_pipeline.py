@@ -158,3 +158,53 @@ def test_streaming_epoch_marker_skips_replay(spark, sf_dir, tmp_path):
     data_files = [f for f in __import__("os").listdir(out / "main")
                   if not f.startswith(("_", "."))]
     assert data_files == []  # nothing published twice
+
+
+def test_streaming_partial_marker_replays_only_unmarked(
+        spark, sf_dir, tmp_path):
+    """Audit-r7: two branches, only branch A's marker survives the
+    crash (the marker loop died between A and B). The replay must
+    re-publish ONLY B — re-running A too was a guaranteed duplicate,
+    since a marked branch by definition already committed."""
+    import hashlib
+    import os as _os
+
+    from gobblin_spark.streaming.runner import canonical_checkpoint
+
+    ev = files.load_table(spark, sf_dir, "events").limit(40)
+    indir = str(tmp_path / "in")
+    ev.coalesce(1).write.parquet(indir)
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    token = hashlib.md5(
+        canonical_checkpoint(ckpt).encode()).hexdigest()[:8]
+    # simulate the crashed first attempt: branch A published + marked
+    ev.filter(F.col("event_id") % 2 == 0).write.mode(
+        "overwrite").parquet(str(out / "a"))
+    n_a_before = len([f for f in _os.listdir(out / "a")
+                      if not f.startswith(("_", "."))])
+    (out / "a" / f"_epoch-{token}-0.done").write_text("")
+
+    stream = spark.readStream.schema(ev.schema).parquet(indir)
+    pl = plans.Pipeline(
+        source=None,
+        branches=[
+            plans.Branch("a", F.col("event_id") % 2 == 0,
+                         final_dir=str(out / "a")),
+            plans.Branch("b", F.col("event_id") % 2 == 1,
+                         final_dir=str(out / "b")),
+        ],
+    )
+    results = plans.run_streaming(pl, stream, ckpt)
+    assert len(results) == 1
+    assert results[0].report.published == ["b"]  # A skipped
+    # A's data untouched — no duplicate publish
+    n_a_after = len([f for f in _os.listdir(out / "a")
+                     if not f.startswith(("_", "."))])
+    assert n_a_after == n_a_before
+    assert spark.read.parquet(str(out / "a")).count() == ev.filter(
+        F.col("event_id") % 2 == 0).count()
+    # B published its half and got its marker
+    assert spark.read.parquet(str(out / "b")).count() == ev.filter(
+        F.col("event_id") % 2 == 1).count()
+    assert (out / "b" / f"_epoch-{token}-0.done").exists()

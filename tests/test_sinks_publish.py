@@ -236,6 +236,22 @@ def test_jdbc_swap_sql_never_drops_before_replace():
     assert "DROP TABLE IF EXISTS tbl;" not in sql  # never drops FINAL
 
 
+def test_append_write_result_counts_only_new_files(spark, tmp_path):
+    """Audit-r7: an append-mode WriteResult must report THIS write's
+    files/bytes, not the whole directory — file_size_policy audits
+    were grading earlier writes' output too."""
+    out = str(tmp_path / "append_stats")
+    first = W.write_data(spark.range(100).coalesce(2), out)
+    assert first.files == 2 and first.rows == 100
+    second = W.write_data(spark.range(100, 150).coalesce(1), out,
+                          mode="append")
+    assert second.files == 1, second  # not 3
+    assert second.rows == 50
+    assert 0 < second.bytes_written < first.bytes_written
+    # the directory really does hold both writes
+    assert spark.read.parquet(out).count() == 150
+
+
 def test_jdbc_swap_sql_is_dialect_aware():
     """Advice-r7: 'ALTER TABLE IF EXISTS ... RENAME TO' is
     PostgreSQL-only; the MySQL family gets an atomic RENAME TABLE
