@@ -128,10 +128,6 @@ def needs_recompaction(
 _SPECIAL_PREFIXES = ("_staging-", "_trash-")
 
 
-def _is_special(name: str) -> bool:
-    return name.startswith(_SPECIAL_PREFIXES) or name == "_SUCCESS"
-
-
 def _trash_old_files(spark, path: str, token: str) -> int:
     """Phase B of the compaction swap: rename every pre-existing data
     file/dir (and the _SUCCESS marker) into a ``_trash-<token>`` sibling.
@@ -187,8 +183,15 @@ def recover_compaction(spark, path: str) -> str:
         return "cleaned"
     for t in trash_dirs:
         for st in fs.listStatus(t):
-            fs.rename(st.getPath(),
-                      jvm.org.apache.hadoop.fs.Path(dst, st.getPath().getName()))
+            # audit-r7: a silent rename failure here would DROP data
+            # from the restore (the trash is deleted right after)
+            if not fs.rename(
+                    st.getPath(),
+                    jvm.org.apache.hadoop.fs.Path(
+                        dst, st.getPath().getName())):
+                raise IOError(
+                    f"compaction recovery: restore rename failed for "
+                    f"{st.getPath()} — trash left in place")
         fs.delete(t, True)
     for s in staging_dirs:
         fs.delete(s, True)
@@ -364,9 +367,15 @@ def merge_rollup_store(
     Returns the merged rollup DataFrame (also persisted to
     ``store_path``).
     """
-    import os
-    import shutil
     import uuid as _uuid
+
+    from gobblin_spark.sinks import publish as P
+
+    # All store manipulation goes through the Hadoop FS client
+    # (audit-r7: os/shutil ops silently pinned the store to the LOCAL
+    # filesystem — an hdfs:// or s3a:// store path broke every swap).
+    fs, store_p, jvm = P._fs(spark, store_path)
+    hpath = jvm.org.apache.hadoop.fs.Path
 
     # Crash recovery: the swap below renames store -> store__old, then
     # tmp -> store, then removes store__old. A crash between the two
@@ -375,15 +384,16 @@ def merge_rollup_store(
     # "a crashed merge leaves the previous store intact" actually
     # holds. (A crash after the second rename just leaves a stale
     # __old dir, cleaned in the swap.)
-    old = f"{store_path}__old"
-    if not os.path.exists(store_path) and os.path.exists(old):
-        os.rename(old, store_path)
+    old_p = hpath(f"{store_path}__old")
+    if not fs.exists(store_p) and fs.exists(old_p):
+        if not fs.rename(old_p, store_p):
+            raise IOError(f"rollup-store recovery rename failed: {old_p}")
 
     aggs = [F.count(F.lit(1)).alias(count_col)] + [
         F.sum(c).alias(f"sum_{c}") for c in sum_cols
     ]
     partial = batch.groupBy(*keys).agg(*aggs)
-    if os.path.exists(store_path):
+    if fs.exists(store_p):
         prior = spark.read.parquet(store_path)
         merge_aggs = [F.sum(count_col).alias(count_col)] + [
             F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols
@@ -397,9 +407,10 @@ def merge_rollup_store(
     merged.write.mode("overwrite").parquet(tmp)
     # Fixed __old name (not a random suffix) so the recovery above can
     # find a stranded prior store after a crash between the renames.
-    shutil.rmtree(old, ignore_errors=True)  # stale leftover, if any
-    if os.path.exists(store_path):
-        os.rename(store_path, old)
-    os.rename(tmp, store_path)
-    shutil.rmtree(old, ignore_errors=True)
+    fs.delete(old_p, True)  # stale leftover, if any
+    if fs.exists(store_p) and not fs.rename(store_p, old_p):
+        raise IOError(f"rollup-store swap rename failed: {store_p}")
+    if not fs.rename(hpath(tmp), store_p):
+        raise IOError(f"rollup-store swap rename failed: {tmp}")
+    fs.delete(old_p, True)
     return spark.read.parquet(store_path)

@@ -274,8 +274,10 @@ def object_store_delete_manifest(df: DataFrame, key_col: str) -> DataFrame:
 
 def execute_object_deletes(manifest: DataFrame) -> DataFrame:
     """Apply a delete manifest: each task deletes its keys via pyarrow
-    (file/HDFS/S3 URIs). Missing keys count as already-deleted
-    (idempotent). Returns (key, deleted, error) — run an action on it."""
+    (file/HDFS/S3 URIs). A missing key is an idempotent no-op reported
+    as (deleted=false, error=null) — "nothing deleted, nothing wrong" —
+    distinct from a real failure (deleted=false, error set). Returns
+    (key, deleted, error) — run an action on it."""
 
     def delete_batch(batches):
         import pandas as pd

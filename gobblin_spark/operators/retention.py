@@ -74,15 +74,19 @@ def combine_delete_sets(
     """CombineRetentionPolicy.java:80-82,162-164 — UNION/INTERSECT of delete sets."""
     if not sets:
         raise ValueError("need at least one delete set")
-    out = sets[0]
-    for s in sets[1:]:
-        if mode == "union":
-            out = out.unionByName(s).dropDuplicates()
-        elif mode == "intersect":
+    if mode == "union":
+        # audit-r7: one distinct over the whole union — the pairwise
+        # union+dropDuplicates fold ran N-1 dedup shuffles for N sets
+        out = sets[0]
+        for s in sets[1:]:
+            out = out.unionByName(s)
+        return out.dropDuplicates() if len(sets) > 1 else out
+    if mode == "intersect":
+        out = sets[0]
+        for s in sets[1:]:
             out = out.intersect(s)
-        else:
-            raise ValueError(f"unknown combine mode: {mode}")
-    return out
+        return out
+    raise ValueError(f"unknown combine mode: {mode}")
 
 
 def purge_by_id(
