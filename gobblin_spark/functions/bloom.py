@@ -132,7 +132,11 @@ def bloom_incremental_dedup(
     """
     sketch = bloom_build(history_df, col, num_bits, k, seed)
     unseen, maybe = bloom_split(new_df, sketch, col, num_bits, k, seed)
+    # eqNullSafe anti (audit-r7): the name-based anti-join can never
+    # match null to null, so a null value PRESENT in history slipped
+    # through — violating "exact" for nullable key columns
+    hist_vals = history_df.select(F.col(col).alias("_hv")).distinct()
     verified = maybe.join(
-        history_df.select(col).distinct(), col, "left_anti"
+        hist_vals, maybe[col].eqNullSafe(F.col("_hv")), "left_anti"
     )
     return unseen.unionByName(verified)

@@ -123,17 +123,18 @@ def range_join(
     for c in by:
         cond = cond & (F.col(c) == F.col(f"_r_{c}"))
     cond = cond & F.col(left_ts).between(F.col(right_lo), F.col(right_hi))
-    joined = lb.join(rb, cond, "inner").drop(
+    # how='left' is the SAME bucketed join run as an outer join: the
+    # bucket equality keeps it hash-partitioned (the BETWEEN rides as
+    # the join's extra condition), unmatched left rows null-fill, and
+    # a left row matching k intervals emits k rows — matching each
+    # interval's ONE bucket-equal copy, so the explode never
+    # duplicates a pair. (audit-r7: the previous anti-join rebuild of
+    # unmatched rows compared all left columns with null-unsafe
+    # equality, so a matched left row containing ANY null came back a
+    # second time null-filled — and cost a second full-width join.)
+    joined = lb.join(rb, cond, how).drop(
         "_lb", "_rb", *[f"_r_{c}" for c in by])
-    if how == "inner":
-        return joined
-    unmatched = left.join(joined.select(*left.columns), left.columns,
-                          "left_anti")
-    rtypes = dict(right.dtypes)
-    for c in right.columns:
-        if c not in by:
-            unmatched = unmatched.withColumn(c, F.lit(None).cast(rtypes[c]))
-    return joined.unionByName(unmatched.select(*joined.columns))
+    return joined
 
 
 def fuzzy_self_pairs(

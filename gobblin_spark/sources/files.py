@@ -170,7 +170,11 @@ def list_files(spark: SparkSession, base_path: str, glob: str = "*") -> DataFram
 
 def new_files_only(current: DataFrame, previous_snapshot: DataFrame) -> DataFrame:
     """FileBasedSource.java:58 snapshot diff: files not present in the
-    previous run's listing (by path) — the incremental file set."""
+    previous run's listing (by path) — the incremental file set.
+
+    No forced broadcast (audit-r7, same class as the r6 distcp fix):
+    a mature dataset's snapshot is millions of paths — AQE broadcasts
+    when the listing is actually small and shuffles when it is not."""
     return current.join(
-        F.broadcast(previous_snapshot.select("path")), on="path", how="left_anti"
+        previous_snapshot.select("path"), on="path", how="left_anti"
     )

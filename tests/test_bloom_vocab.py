@@ -46,6 +46,21 @@ def test_bloom_duplicate_rows_preserved(spark):
     assert sorted(r.k for r in out.collect()) == [2, 2]
 
 
+def test_bloom_incremental_dedup_null_in_history(spark):
+    """Audit-r7: a null key PRESENT in history must be deduped like
+    any other value — the name-based anti-join could never match null
+    to null, so null rows always slipped through the exact pass."""
+    history = spark.createDataFrame([(1,), (None,)], "k int")
+    new = spark.createDataFrame([(None,), (2,), (1,)], "k int")
+    out = bloom.bloom_incremental_dedup(new, history, "k")
+    assert [r.k for r in out.collect()] == [2]
+    # null NOT in history still passes through
+    out2 = bloom.bloom_incremental_dedup(
+        new, spark.createDataFrame([(1,)], "k int"), "k")
+    assert sorted((r.k is None, r.k) for r in out2.collect()) == [
+        (False, 2), (True, None)]
+
+
 def test_blocklist_filter(docs):
     kept = cleaning.blocklist_filter(docs, ["slow", "broken"])
     ids = {r.doc_id for r in kept.select("doc_id").collect()}

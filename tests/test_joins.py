@@ -72,6 +72,26 @@ def test_range_join_inner_and_left(spark):
     assert (3, None) in got_l and len(got_l) == len(got) + 1
 
 
+def test_range_join_left_null_column_no_duplicate(spark):
+    """Audit-r7: a MATCHED left row carrying a null column must not
+    come back a second time null-filled — the old anti-join rebuild
+    compared all left columns with null-unsafe equality, so null-
+    bearing rows failed the anti filter and duplicated. A left row
+    matching two intervals still emits exactly two rows."""
+    left = spark.createDataFrame(
+        [(1, 100, None), (2, 250, "x"), (3, 9999, None)],
+        "id int, t bigint, tag string")
+    right = spark.createDataFrame(
+        [(10, 50, 150), (11, 140, 260), (12, 90, 260)],
+        "win int, lo bigint, hi bigint")
+    lft = JN.range_join(left, right, "t", "lo", "hi", bucket=100,
+                        how="left")
+    got = sorted((r.id, r.win) for r in lft.collect())
+    # id=1 (null tag) matches 10 and 12 — exactly twice, no null-
+    # filled extra; id=2 matches 11 and 12; id=3 unmatched once
+    assert got == [(1, 10), (1, 12), (2, 11), (2, 12), (3, None)]
+
+
 def test_range_join_no_cartesian(spark):
     left = spark.createDataFrame([(1, 100)], "id int, t bigint")
     right = spark.createDataFrame([(10, 50, 150)], "win int, lo bigint, hi bigint")
