@@ -129,14 +129,19 @@ class Histogram:
 
     def snapshot(self) -> dict[str, Any]:
         with self._lock:
-            vals = self._values
+            # copy under the lock: reading the LIVE list while another
+            # thread's pop+insort runs could index an empty window
+            vals = list(self._values)
             base = {"type": "histogram", "count": self.count}
-            if not vals:
-                return base
+        if not vals:
+            return base
+
+        def q(p: float) -> float:
+            return vals[min(len(vals) - 1, int(p * len(vals)))]
+
         return {**base, "min": vals[0], "max": vals[-1],
                 "mean": round(sum(vals) / len(vals), 6),
-                "p50": self.quantile(0.5), "p95": self.quantile(0.95),
-                "p99": self.quantile(0.99)}
+                "p50": q(0.5), "p95": q(0.95), "p99": q(0.99)}
 
 
 class Timer:

@@ -22,8 +22,7 @@ watermark-commit happens strictly after, and both are safe to replay.
 from __future__ import annotations
 
 import json
-import os
-import uuid
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -63,17 +62,47 @@ def marker_step(path: str) -> Step:
     return Step("marker", {"path": path})
 
 
+_SEQ_NAME = re.compile(r"^seq-(.+)\.v(\d+)\.json$")
+
+
 class CommitSequenceStore:
     """FsCommitSequenceStore: persist → execute → delete. Pending
-    sequences found at startup are crash leftovers — re-execute them."""
+    sequences found at startup are crash leftovers — re-execute them.
+
+    All storage goes through the Hadoop FS client (audit-r7: the os.*
+    version pinned the journal to the LOCAL filesystem — on a cluster
+    the sequence store must live on shared storage or a driver restart
+    loses every pending commit). Journals are VERSIONED
+    (``seq-<job>.v<n>.json``): each persist writes the next version
+    then prunes older ones, so a crash mid-write strands at worst an
+    unreadable newest version and recovery falls back to the previous
+    — replacing os.replace's atomicity, which Hadoop rename lacks."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
-        os.makedirs(self.root, exist_ok=True)
+        fs, rootp, _ = P._fs(spark, self.root)
+        fs.mkdirs(rootp)
 
-    def _path(self, job_id: str) -> str:
-        return os.path.join(self.root, f"seq-{job_id}.json")
+    def _versions(self, job_id: str | None = None) -> list[tuple[str, int, str]]:
+        """(job_id, version, path) for every journal file, sorted."""
+        fs, rootp, _ = P._fs(self.spark, self.root)
+        out = []
+        for st in fs.listStatus(rootp):
+            m = _SEQ_NAME.match(st.getPath().getName())
+            if m and (job_id is None or m.group(1) == job_id):
+                out.append((m.group(1), int(m.group(2)),
+                            st.getPath().toString()))
+        return sorted(out)
+
+    def _read(self, path: str) -> dict:
+        fs, _, jvm = P._fs(self.spark, self.root)
+        stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
+        try:
+            raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            return json.loads(bytes(raw).decode("utf-8"))
+        finally:
+            stream.close()
 
     def persist(self, seq: Sequence) -> None:
         payload = {
@@ -81,28 +110,44 @@ class CommitSequenceStore:
             "steps": [{"kind": s.kind, "params": s.params, "done": s.done}
                       for s in seq.steps],
         }
-        tmp = self._path(seq.job_id) + f".tmp-{uuid.uuid4().hex[:6]}"
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-        os.replace(tmp, self._path(seq.job_id))
+        fs, rootp, jvm = P._fs(self.spark, self.root)
+        old = self._versions(seq.job_id)
+        n = (old[-1][1] + 1) if old else 1
+        p = jvm.org.apache.hadoop.fs.Path(
+            rootp, f"seq-{seq.job_id}.v{n}.json")
+        out = fs.create(p, False)
+        try:
+            out.write(bytearray(json.dumps(payload).encode("utf-8")))
+        finally:
+            out.close()
+        for _, _, stale in old:  # prune AFTER the new version is durable
+            fs.delete(jvm.org.apache.hadoop.fs.Path(stale), False)
 
     def pending(self) -> list[Sequence]:
+        by_job: dict[str, list[tuple[int, str]]] = {}
+        for job, ver, path in self._versions():
+            by_job.setdefault(job, []).append((ver, path))
         out = []
-        for name in sorted(os.listdir(self.root)):
-            if name.startswith("seq-") and name.endswith(".json"):
-                rec = json.load(open(os.path.join(self.root, name)))
+        for job in sorted(by_job):
+            # newest parseable version wins; a torn newest journal
+            # (crash mid-write) falls back to its predecessor
+            for _, path in sorted(by_job[job], reverse=True):
+                try:
+                    rec = self._read(path)
+                except Exception:
+                    continue
                 out.append(Sequence(
                     rec["job_id"],
                     [Step(s["kind"], s["params"], s.get("done", False))
                      for s in rec["steps"]],
                 ))
+                break
         return out
 
     def delete(self, job_id: str) -> None:
-        try:
-            os.remove(self._path(job_id))
-        except FileNotFoundError:
-            pass
+        fs, _, jvm = P._fs(self.spark, self.root)
+        for _, _, path in self._versions(job_id):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(path), False)
 
     # -- step execution (each idempotent) -----------------------------
     def _run_step(self, step: Step) -> None:
@@ -131,7 +176,10 @@ class CommitSequenceStore:
                 store.commit(step.params["dataset"], value)
             # else: already at/past this watermark — replay no-op
         elif step.kind == "marker":
-            open(step.params["path"], "a").close()
+            fs, _, jvm = P._fs(self.spark, step.params["path"])
+            p = jvm.org.apache.hadoop.fs.Path(step.params["path"])
+            if not fs.exists(p):  # idempotent touch, any filesystem
+                fs.create(p, True).close()
         else:
             raise ValueError(f"unknown step kind {step.kind}")
 

@@ -98,6 +98,32 @@ def test_commit_sequence_exec_and_replay(spark, sf_dir, tmp_path):
     assert WatermarkStore(spark, wm_root).history("events") == [dt.datetime(2024, 2, 1)]
 
 
+def test_commit_sequence_torn_journal_falls_back(spark, tmp_path):
+    """Audit-r7: the journal is versioned on the Hadoop FS — a torn
+    newest version (crash mid-write; Hadoop rename has no os.replace
+    atomicity to lean on) must fall back to the previous parseable
+    version instead of losing the pending sequence."""
+    from gobblin_spark.sinks.commit_sequence import (
+        CommitSequenceStore, Sequence, marker_step,
+    )
+
+    store = CommitSequenceStore(spark, str(tmp_path / "seqs"))
+    seq = Sequence("jobT", [marker_step(str(tmp_path / "m1"))])
+    store.persist(seq)
+    seq.steps[0].done = True
+    store.persist(seq)  # v2 prunes v1
+    names = sorted(os.listdir(tmp_path / "seqs"))
+    assert [n for n in names if n.endswith(".json")] == ["seq-jobT.v2.json"]
+    # torn next version: unparseable partial write at v3
+    (tmp_path / "seqs" / "seq-jobT.v3.json").write_text('{"job_id": "jo')
+    got = store.pending()
+    assert len(got) == 1 and got[0].steps[0].done  # v2 state recovered
+    store.delete("jobT")
+    assert store.pending() == []
+    assert not [n for n in os.listdir(tmp_path / "seqs")
+                if n.endswith(".json")]
+
+
 def test_publish_metadata_sidecar(spark, sf_dir, tmp_path):
     from gobblin_spark.operators import quality
     from gobblin_spark.sinks import publish as P
