@@ -137,7 +137,14 @@ class FSDagStateStore:
     """One JSON checkpoint per dag (FSDagStateStore.java): rewritten on
     every transition, deleted on clean-up. Stores STATE (statuses,
     attempts, message), not code — after a crash, re-register the spec
-    and ``resume()``; RUNNING nodes recover as PENDING_RETRY."""
+    and ``resume()``; RUNNING nodes recover as PENDING_RETRY.
+
+    Scope note: this store is ORCHESTRATOR-HOST storage by design —
+    the dag engine is the spark-free control plane (jobs close over
+    their own SparkSession), so the checkpoint root is a plain OS
+    path; point it at a shared mount for HA. Data-plane stores that
+    must live beside the data (WatermarkStore, CommitSequenceStore)
+    go through the Hadoop FS client instead."""
 
     def __init__(self, root: str):
         self.root = root

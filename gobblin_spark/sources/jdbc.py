@@ -86,6 +86,11 @@ class Dialect:
             return self.date_format.format(v=v.isoformat())
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            # repr() would emit Decimal('1.5') — broken SQL
+            return format(v, "f")
         return repr(v)
 
 

@@ -63,6 +63,12 @@ def test_watermark_predicate_literals():
     frac = J.watermark_predicate(
         "ts", dt.datetime(2024, 1, 1, 12, 0, 0, 123456), None)
     assert frac == '"ts" > TIMESTAMP \'2024-01-01 12:00:00.123456\''
+    # audit-r7: Decimal watermarks render as plain SQL numerics, not
+    # repr()'s Decimal('...') constructor text
+    import decimal
+
+    assert (J.watermark_predicate("amt", decimal.Decimal("10.50"), None)
+            == '"amt" > 10.50')
 
 
 def test_partition_interval_simple_int_disjoint_covering():
