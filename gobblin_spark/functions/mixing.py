@@ -203,25 +203,27 @@ def shuffle_seeded(
     restartable.
 
     Sharded like ``pack_assignments``: position is a row_number within
-    ``pmod(hash, n_shards)``, so no single reducer ever sees the whole
-    corpus — consumers read shards in order (shard-major, position
-    -minor) for the global permutation. ``hash_fn='md5'`` swaps the
-    order key to md5(seed || ':' || id), slower but reproducible by
-    any SQL engine for oracle checks.
+    a shard derived from the SEEDED key (audit-r7: an id-only shard
+    kept every cross-shard pair in the same relative order across
+    epochs — shard-major readers got correlated epoch orders, not
+    independent permutations), so no single reducer ever sees the
+    whole corpus — consumers read shards in order (shard-major,
+    position-minor) for the global permutation. ``hash_fn='md5'``
+    swaps the order key to md5(seed || ':' || id), slower but
+    reproducible by any SQL engine for oracle checks.
     """
     from pyspark.sql.window import Window
 
     if hash_fn == "xxhash64":
         key = F.xxhash64(F.lit(seed), F.col(id_col))
+        shard = F.pmod(key, F.lit(n_shards))
     elif hash_fn == "md5":
         key = F.md5(F.concat(F.lit(seed), F.lit(":"),
                              F.col(id_col).cast("string")))
+        shard = (F.conv(F.substring(key, 1, 15), 16, 10)
+                 .cast("long") % n_shards)
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn}")
-    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)) \
-        if hash_fn == "xxhash64" else (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
-               16, 10).cast("long") % n_shards)
     w = Window.partitionBy("shuffle_shard").orderBy("_key", id_col)
     return (
         df.withColumn("_key", key)

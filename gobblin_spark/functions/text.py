@@ -471,10 +471,12 @@ def classifier_score(
     Unknown tokens contribute 0 (left join + coalesce).
 
     100 TB shape: the shuffle carries (doc_id, weight-partials) — the
-    per-doc sum/count combine map-side; weight tables up to ~10M rows
-    broadcast, larger vocabularies degrade gracefully to a shuffle
-    hash join on the 16-byte-ish token key. Returns (id_col, score,
-    label) with score = round(sigmoid(mean logit), 6)."""
+    per-doc sum/count combine map-side; the weight join is NOT
+    broadcast-forced (audit-r7): AQE broadcasts a model-sized table at
+    runtime and falls back to a shuffle hash join on the 16-byte-ish
+    token key when the vocabulary outgrows the threshold — a forced
+    hint would OOM exactly there. Returns (id_col, score, label) with
+    score = round(sigmoid(mean logit), 6)."""
     toks = (
         df.select(
             F.col(id_col),
@@ -483,7 +485,7 @@ def classifier_score(
         .filter(F.col(word_col) != "")
     )
     joined = toks.join(
-        F.broadcast(weights.select(word_col, "weight")), word_col, "left")
+        weights.select(word_col, "weight"), word_col, "left")
     z = F.avg(F.coalesce(F.col("weight"), F.lit(0.0)))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return (

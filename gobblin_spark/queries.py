@@ -5174,7 +5174,8 @@ def text_bigram_perplexity(spark, sf_dir):
     WITH k AS (
       SELECT doc_id,
              md5('e1:' || CAST(doc_id AS VARCHAR)) AS key,
-             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+             CAST(CAST('0x' || substr(
+                       md5('e1:' || CAST(doc_id AS VARCHAR)), 1, 15)
                        AS BIGINT) % 8 AS INT) AS shuffle_shard
       FROM documents
     )

@@ -118,6 +118,21 @@ def test_shuffle_seeded_reproducible_and_complete(spark):
         by_shard.setdefault(shard, []).append(pos)
     assert all(sorted(v) == list(range(1, len(v) + 1))
                for v in by_shard.values())
+    # audit-r7: the SHARD assignment itself must be seed-dependent —
+    # an id-only shard kept cross-shard pairs in the same relative
+    # order every epoch (correlated epoch orders for shard-major
+    # readers)
+    shard_of = lambda rows: {r.doc_id: r.shuffle_shard for r in rows}
+    sa = shard_of(X.shuffle_seeded(df, seed="e1", n_shards=4).collect())
+    sc = shard_of(X.shuffle_seeded(df, seed="e2", n_shards=4).collect())
+    assert any(sa[d] != sc[d] for d in sa), \
+        "a new seed must move documents between shards"
+    # the md5 (oracle-portable) variant likewise
+    ma = shard_of(X.shuffle_seeded(df, seed="e1", n_shards=4,
+                                   hash_fn="md5").collect())
+    mc = shard_of(X.shuffle_seeded(df, seed="e2", n_shards=4,
+                                   hash_fn="md5").collect())
+    assert any(ma[d] != mc[d] for d in ma)
     assert sorted(x[2] for x in a) == list(range(50))
     # md5 path agrees with itself and keeps the same invariants
     m = key(X.shuffle_seeded(df, seed="e1", n_shards=4,
