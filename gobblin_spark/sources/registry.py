@@ -12,11 +12,13 @@ Reference mapping (all relative to /root/reference/):
   envelope's ``schema_id`` field before decode.
 
 Implementation: a filesystem-backed registry (one JSON file per
-version under ``<root>/<subject>/``), the same storage pattern as the
-watermark store — works on any Hadoop/posix path, no service
-dependency. The HTTP-backed registry (Confluent-style) is the same
-interface with a different transport; it needs a network endpoint and
-is therefore left to deployment.
+version under ``<root>/<subject>/``) on a POSIX path — registry
+lookups are driver-side plan-building metadata, so a shared mount
+(NFS, object-store FUSE) suffices; a registry that must live on
+hdfs:// would follow the WatermarkStore's Hadoop-FS pattern. The
+HTTP-backed registry (Confluent-style) is the same interface with a
+different transport; it needs a network endpoint and is therefore
+left to deployment.
 
 Schema ids are content hashes (md5 of the canonical JSON), so
 re-registering an identical schema is idempotent and ids are stable

@@ -37,9 +37,11 @@ def stateful_dedup_stream(
     keyed state is a single seen-flag, so only the FIRST row per key —
     across all epochs since the checkpoint began — is emitted.
 
-    Output: (key, first_seen_count) where first_seen_count is 1 for the
-    emitting epoch. State never grows per key; total state is O(distinct
-    keys), partitioned by the shuffle like any aggregation."""
+    Output: (key, n_suppressed) — emitted ONCE, on the epoch that first
+    sees the key, with the count of same-key duplicates suppressed in
+    that same batch; later epochs only update the suppression tally in
+    state. State never grows per key; total state is O(distinct keys),
+    partitioned by the shuffle like any aggregation."""
     out_schema = StructType([
         StructField("key", stream_df.schema[key_col].dataType, True),
         StructField("n_suppressed", LongType(), True),

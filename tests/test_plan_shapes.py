@@ -78,6 +78,11 @@ CASES = [
     # + decile rollup, each a keyed exchange — and NO single-partition
     # global sort anywhere in the plan (the r6-verdict scale-killer)
     ("user_value_deciles", 3, "SinglePartition"),
+    # recursion-eliminated from_json is a pure narrow projection
+    ("schema_recursion_truncate", 0, "Exchange hashpartitioning"),
+    # two example-format round trips: the only exchange is the
+    # verification groupBy over the union
+    ("example_source_roundtrip", 1, "CartesianProduct"),
     # daily agg exchange, then the 7-row frame over ~days rows
     ("revenue_moving_avg", 1, "CartesianProduct"),
     # 3 fixed iterations in ONE lineage (per-round checkpoints cost a
