@@ -117,7 +117,12 @@ def _encode(out: bytearray, value, schema) -> None:
         elif logical in ("timestamp-micros", "local-timestamp-micros",
                          "timestamp-millis") and isinstance(value, _dt.datetime):
             epoch = _EPOCH_UTC if value.tzinfo else _EPOCH_DT
-            micros = round((value - epoch).total_seconds() * 1e6)
+            # exact int64 arithmetic (audit-r7): float total_seconds()
+            # carries up to ~0.5 µs of rounding by the 22nd century —
+            # the same mantissa trap the nano-parquet reader avoids
+            delta = value - epoch
+            micros = ((delta.days * 86_400 + delta.seconds) * 1_000_000
+                      + delta.microseconds)
             value = micros // 1000 if logical == "timestamp-millis" else micros
         _write_long(out, int(value))
         return

@@ -107,3 +107,26 @@ def test_concatenated_records_stream(rows):
         rec, pos = AC._decode(buf, pos, sch)
         out.append((rec["k"], rec["v"]))
     assert pos == len(buf) and out == rows
+
+
+def test_timestamp_micros_exact_far_future():
+    """Audit-r7: timestamp encode must be exact integer arithmetic —
+    float total_seconds() drifts toward half a microsecond by the
+    22nd century, flipping the encoded micros by one."""
+    import datetime as dt
+
+    from gobblin_spark.operators import avro_codec as AC
+
+    sch = {"type": "long", "logicalType": "timestamp-micros"}
+    for y in (1970, 2024, 2150, 2500):
+        v = dt.datetime(y, 7, 3, 12, 34, 56, 789123,
+                        tzinfo=dt.timezone.utc)
+        expect = (
+            (v - dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)).days
+            * 86_400_000_000
+            + ((v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000)
+            + v.microsecond)
+        got = AC.decode(AC.encode(v, sch), sch)
+        assert got == v, (y, got)
+        raw, _pos = AC._read_long(AC.encode(v, sch), 0)
+        assert raw == expect, (y, raw, expect)
