@@ -1848,11 +1848,15 @@ def sink_roundtrip_partitioned(spark, sf_dir):
     from gobblin_spark.sinks import publish as P, writers as W
 
     orders = load_table(spark, sf_dir, "orders")
-    n = orders.count()
     final = tempfile.mkdtemp(prefix="gobblin_sink_rt_") + "/orders"
     part_df, cols = W.with_time_partitions(orders, "o_orderdate", "month")
     staged = P.stage(part_df, final, partition_by=cols, cluster=True)
-    P.audit(staged, spark, [lambda df: quality.row_count_policy(n, df.count())])
+    # extracted = the stage write's in-plan Observation (rows entering
+    # the writer — no separate pre-count scan); written = the audit's
+    # re-read of the staged output. Same RowCountPolicy semantics
+    # (extracted == written), one fewer full table scan.
+    P.audit(staged, spark, [
+        lambda df: quality.row_count_policy(staged.write.rows, df.count())])
     report = P.commit([staged], spark)
     if not (report.committed and P.is_published(spark, final)):
         raise AssertionError(f"publish failed: {report}")
