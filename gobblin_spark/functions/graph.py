@@ -154,8 +154,12 @@ def pagerank_undirected(
         .distinct()
         .localCheckpoint()
     )
+    # deg feeds TWO plan sites per iteration (the contrib join and the
+    # full-node rank rebuild) — checkpoint it once or every use re-runs
+    # the degree shuffle over the edge table (audit-r7: 6 redundant
+    # edge aggregations across a 3-iteration run)
     deg = bi.groupBy(F.col("u").alias("id")).agg(
-        F.count(F.lit(1)).cast("double").alias("deg"))
+        F.count(F.lit(1)).cast("double").alias("deg")).localCheckpoint()
     n = deg.count()  # scalar node count: one bounded driver action
     teleport = (1.0 - damping) / float(n)
     ranks = deg.select("id", F.lit(1.0 / float(n)).alias("rank"))

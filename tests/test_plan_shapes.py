@@ -87,9 +87,11 @@ CASES = [
     ("revenue_moving_avg", 1, "CartesianProduct"),
     # 3 fixed iterations in ONE lineage (per-round checkpoints cost a
     # materialization round-trip each; shuffle-stage reuse already runs
-    # every round once): deg agg + 3x(contrib join, inbound agg, rank
-    # left-join) ~= 10 keyed exchanges, all on the node id
-    ("pagerank_partsupp", 12, "CartesianProduct"),
+    # every round once): with the degree table checkpointed ONCE
+    # (r7 — it feeds two plan sites per iteration, and uncheckpointed
+    # appeared as 10 exchanges), the lineage carries 3x(contrib join,
+    # inbound agg) = 6 keyed exchanges, all on the node id
+    ("pagerank_partsupp", 6, "CartesianProduct"),
     # per-type percentile aggregate broadcasts back into the fact scan
     ("winsorize_event_values", 2, "CartesianProduct"),
     # distinct (source, shingle) + sizes + shingle self-join + pair agg
