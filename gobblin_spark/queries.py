@@ -3287,7 +3287,13 @@ def graph_components_chain(spark, sf_dir):
     for star graphs). The oracle knows each chain's answer in closed
     form: every member labels to the block minimum. This is the
     operator that turns near-dup PAIRS into transitive dedup GROUPS;
-    the pair-graph case is covered in tests against union-find."""
+    the pair-graph case is covered in tests against union-find.
+
+    The global row_number here builds the known-answer FIXTURE (the
+    chain needs one global rank order to have a closed-form oracle),
+    not the operator under test — production near-dup edges arrive
+    from LSH/SimHash pair generation with no global sort anywhere;
+    connected_components itself shuffles only on edge endpoints."""
     from pyspark.sql import Window as W
 
     from gobblin_spark.functions import graph as G
