@@ -104,7 +104,12 @@ def dedup_lines_global(
         "_dig",
         F.when(
             F.length(F.trim(F.col("line"))) >= min_dup_chars,
-            F.md5(F.trim(F.col("line"))),
+            # unhex: the 16-BYTE binary digest, not md5's 32-char hex
+            # string — the digest rides two shuffle legs (the first-
+            # occurrence join and its build side), so hex doubles the
+            # key bytes for nothing. Output-visible digests
+            # (duplicate_line_stats) stay hex for the SQL oracle.
+            F.unhex(F.md5(F.trim(F.col("line")))),
         ),
     )
     # first occurrence per digest: min struct(doc, pos) — partial agg
@@ -229,8 +234,10 @@ def dedup_spans_global(
         d.select(id_col, "_arr", F.explode(idx).alias("_i"))
         .select(
             id_col, "_i",
-            F.md5(F.concat_ws(" ", F.slice("_arr", F.col("_i"), width))
-                  ).alias("_h"))
+            # 16-byte binary digest (see dedup_lines): _h dominates the
+            # two corpus-wide shuffles, so hex would double their bytes
+            F.unhex(F.md5(F.concat_ws(" ", F.slice("_arr", F.col("_i"),
+                                                   width)))).alias("_h"))
     )
     first = occ.groupBy("_h").agg(
         F.min(F.struct(id_col, "_i")).alias("_first"),
