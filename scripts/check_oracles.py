@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -23,7 +24,10 @@ from gobblin_spark.session import get_spark  # noqa: E402
 from gobblin_spark.sources.files import TABLES  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+# Default mirrors the driver's gate SF; override to stress SF-coupling
+# (hardcoded counts, scale guards) at other scales:
+#   SPARK_GRAFT_ORACLE_SF_DIR=/root/testdata/sf0.1 python scripts/check_oracles.py
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 # DuckDB result type → the Spark dtype it must line up with. Anything
