@@ -162,27 +162,29 @@ def pagerank_undirected(
         F.count(F.lit(1)).cast("double").alias("deg")).localCheckpoint()
     n = deg.count()  # scalar node count: one bounded driver action
     teleport = (1.0 - damping) / float(n)
-    ranks = deg.select("id", F.lit(1.0 / float(n)).alias("rank"))
+    # state carries (id, deg, rank) together so each iteration needs
+    # ONE join (inbound sums back onto the node list), not two — the
+    # former separate ranks⟗deg join per iteration re-paired columns
+    # the rebuild had just split apart
+    state = deg.withColumn("rank", F.lit(1.0 / float(n)))
     for it in range(iterations):
-        contrib = (
-            ranks.join(deg, "id")
-            .select("id", (F.col("rank") / F.col("deg")).alias("c"))
-        )
+        contrib = state.select(
+            "id", (F.col("rank") / F.col("deg")).alias("c"))
         inbound = (
             bi.join(contrib, bi["u"] == contrib["id"])
             .groupBy(F.col("v").alias("id"))
             .agg(F.sum("c").alias("_in"))
         )
-        ranks = (
-            deg.select("id")
+        state = (
+            state.select("id", "deg")
             .join(inbound, "id", "left")
             .select(
-                "id",
+                "id", "deg",
                 (F.lit(teleport)
                  + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
                  ).alias("rank"),
             )
         )
         if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
-            ranks = ranks.localCheckpoint()
-    return ranks
+            state = state.localCheckpoint()
+    return state.select("id", "rank")
