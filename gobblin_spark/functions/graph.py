@@ -162,29 +162,27 @@ def pagerank_undirected(
         F.count(F.lit(1)).cast("double").alias("deg")).localCheckpoint()
     n = deg.count()  # scalar node count: one bounded driver action
     teleport = (1.0 - damping) / float(n)
-    # state carries (id, deg, rank) together so each iteration needs
-    # ONE join (inbound sums back onto the node list), not two — the
-    # former separate ranks⟗deg join per iteration re-paired columns
-    # the rebuild had just split apart
-    state = deg.withColumn("rank", F.lit(1.0 / float(n)))
+    ranks = deg.select("id", F.lit(1.0 / float(n)).alias("rank"))
     for it in range(iterations):
-        contrib = state.select(
-            "id", (F.col("rank") / F.col("deg")).alias("c"))
+        contrib = (
+            ranks.join(deg, "id")
+            .select("id", (F.col("rank") / F.col("deg")).alias("c"))
+        )
         inbound = (
             bi.join(contrib, bi["u"] == contrib["id"])
             .groupBy(F.col("v").alias("id"))
             .agg(F.sum("c").alias("_in"))
         )
-        state = (
-            state.select("id", "deg")
+        ranks = (
+            deg.select("id")
             .join(inbound, "id", "left")
             .select(
-                "id", "deg",
+                "id",
                 (F.lit(teleport)
                  + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
                  ).alias("rank"),
             )
         )
         if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
-            state = state.localCheckpoint()
-    return state.select("id", "rank")
+            ranks = ranks.localCheckpoint()
+    return ranks
