@@ -110,6 +110,10 @@ def ngram_jaccard_pairs(
     # and caching the corpus-sized shingle table costs more than the
     # recompute (A/B at sf0.1: 2.7 s recompute vs 3.2 s cached) —
     # unlike the slim tf-idf/signature tables, which do persist
+    # NOT digest-keyed, unlike the span/line dedup shuffles: an A/B at
+    # sf0.1 showed unhex(md5(shingle)) keys leave shuffle bytes FLAT
+    # (5.8 vs 5.9 MB) while adding md5 CPU — natural-language shingles
+    # lz4-compress about as small as an incompressible 16-byte digest
     sh = word_shingles(slim, text_col, n).select(id_col, "shingle")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -559,7 +563,8 @@ def contamination_check(
     Output: (id, n_shingles, n_overlap, overlap_ppm, overlap_ratio),
     one row per document INCLUDING zero-overlap docs AND null/blank
     docs (no shingles -> all-zero row; a decontamination join must
-    never silently drop them). ``overlap_ppm``
+    never silently drop them). *id_col* must uniquely identify
+    documents (the contract shared by every dedup entry point). ``overlap_ppm``
     is the exact-integer form (floor of ratio·10⁶ as bigint) — use it
     for cross-engine comparison; a rounded double's final ULP can
     differ between engines even when the value is identical. Scale shape: the benchmark's
@@ -569,9 +574,16 @@ def contamination_check(
     broadcast and it degrades to one shuffle on the shingle hash.
     """
     bcol = bench_text_col or text_col
+    # word_shingles emits DISTINCT shingles per row (array_distinct
+    # before the explode), so with unique ids — the contract for every
+    # dedup entry point here — a corpus-wide (id, shingle) distinct is
+    # a full shuffle of every shingle string for nothing. Dropping it
+    # leaves the group-by on id as the only wide edge, and its map-side
+    # partials collapse each document (explode keeps a doc's shingles
+    # in one partition) to a single counts row before the exchange.
     doc_sh = word_shingles(
         ensure_parallelism(docs.select(id_col, text_col)), text_col, n
-    ).select(id_col, "shingle").distinct()
+    ).select(id_col, "shingle")
     bench_sh = (
         word_shingles(benchmark.select(bcol), bcol, n)
         .select("shingle").distinct()

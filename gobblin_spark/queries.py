@@ -3904,11 +3904,13 @@ def q2_min_cost_supplier(spark, sf_dir):
     joined back — Catalyst's own rewrite. unit_cost is a single IEEE
     division and MIN is selection (not summation), so the equality is
     bit-exact on both engines. Supplier/nation/region and part are
-    broadcast dims; the only shuffle is the (part,supp) group-by."""
-    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
-    )
+    broadcast dims. Both dim filters are applied BELOW the group-by as
+    broadcast semi-joins on the GROUP KEYS (Catalyst never pushes a
+    join under an aggregation itself): parts keep ~3% of pairs, EU
+    suppliers ~20%, so the only shuffle — the (part,supp) group-by —
+    carries ~0.6% of the unfiltered pairs. Filtering on group keys
+    cannot change any surviving group's contents, so the min is
+    unchanged."""
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eu = (
@@ -3919,6 +3921,17 @@ def q2_min_cost_supplier(spark, sf_dir):
     )
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .join(F.broadcast(part.select("p_partkey")),
+              F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(F.broadcast(eu.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
     )
     from pyspark.sql.window import Window
 
@@ -5801,14 +5814,19 @@ def user_value_deciles(spark, sf_dir):
     pass; (3) per-bucket row_number + broadcast bucket offsets = exact
     global rank, folded through ntile's first-(N%10)-buckets-get-one-
     extra formula. Driver collects are bounded by the bucket count
-    (split points + per-bucket counts). At 100 TB, persist the
-    per-user aggregate so the splits/counts/rank passes scan it once.
+    (split points + per-bucket counts). The per-user aggregate is
+    PERSISTED: the splits, counts, and rank passes must see the SAME
+    totals, and a double sum over a shuffle is not bit-stable across
+    re-evaluations (shuffle-block merge order varies) — a boundary
+    value flipping buckets between the counts pass and the rank pass
+    would corrupt the offsets. The cache also collapses three scans of
+    the events table to one.
     Reference rank-at-scale analog: NewestKSelectionPolicy.java."""
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window
 
     uv = ev.groupBy("user_id").agg(
-        F.round(F.sum("value"), 4).alias("total_value"))
+        F.round(F.sum("value"), 4).alias("total_value")).persist()
 
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     qs = [i / n_buckets for i in range(1, n_buckets)]

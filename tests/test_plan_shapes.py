@@ -76,8 +76,11 @@ CASES = [
     ("event_time_deltas", 1, "CartesianProduct"),
     # distributed exact-rank ntile: per-user agg + per-bucket window
     # + decile rollup, each a keyed exchange — and NO single-partition
-    # global sort anywhere in the plan (the r6-verdict scale-killer)
-    ("user_value_deciles", 3, "SinglePartition"),
+    # global sort anywhere in the plan (the r6-verdict scale-killer).
+    # Runtime exchanges = 3; the budget is 4 only because the per-user
+    # agg is persisted and InMemoryRelation's plan string renders that
+    # one exchange twice (cached plan + materialized copy)
+    ("user_value_deciles", 4, "SinglePartition"),
     # recursion-eliminated from_json is a pure narrow projection
     ("schema_recursion_truncate", 0, "Exchange hashpartitioning"),
     # two example-format round trips: the only exchange is the
