@@ -8349,6 +8349,229 @@ def schema_recursion_truncate(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------------
+# round-8 queue, pre-staged (SURVEY §8 growth item 2): real user
+# surface compositions, added at the catalog TAIL so the pinned
+# round-7 window is untouched; they enter the driver rotation at r8.
+# ------------------------------------------------------------------
+
+
+@q(
+    "mixing_pack_epochs",
+    """
+    WITH ep(epoch) AS (VALUES ('e1'), ('e2')),
+    k AS (
+      SELECT epoch, doc_id, n_chars,
+             md5(epoch || ':' || CAST(doc_id AS VARCHAR)) AS key,
+             CAST(CAST('0x' || substr(
+                       md5(epoch || ':' || CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 8 AS INT) AS shard
+      FROM documents CROSS JOIN ep
+    ), p AS (
+      SELECT epoch, shard, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY epoch, shard
+                                ORDER BY key, doc_id) AS cum
+      FROM k
+    )
+    SELECT epoch, shard,
+           CAST(floor((cum - n_chars) / 4096) AS INT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS pack_tokens,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS doc_ids
+    FROM p GROUP BY epoch, shard, pack_id
+    """,
+)
+def mixing_pack_epochs(spark, sf_dir):
+    """Multi-EPOCH pack composition — the full per-epoch layout a
+    training run actually consumes: seeded shuffle (independent
+    permutation per epoch seed, md5 keys so any engine reproduces it)
+    feeding sequence packing within the shuffle shards, one manifest
+    per epoch, unioned. Per epoch: one window shuffle on the seeded
+    shard key serves both the position row_number and the packing
+    cum-sum (same partitioning), plus the slim manifest groupBy —
+    nothing global, epochs are embarrassingly parallel."""
+    from gobblin_spark.functions import mixing as X
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars")
+    out = None
+    for epoch in ("e1", "e2"):
+        sh = X.shuffle_seeded(docs, seed=epoch, n_shards=8, hash_fn="md5")
+        asg = X.pack_assignments(
+            sh, "n_chars", seq_len=4096,
+            order_col="shuffle_pos", shard_col="shuffle_shard")
+        man = X.pack_manifest(asg, "n_chars", shard_col="shuffle_shard")
+        man = man.select(
+            F.lit(epoch).alias("epoch"),
+            F.col("shuffle_shard").alias("shard"),
+            "pack_id", "n_docs",
+            F.col("pack_tokens").cast("long").alias("pack_tokens"),
+            "doc_ids")
+        out = man if out is None else out.unionByName(man)
+    return out
+
+
+@q(
+    "curation_dedup_split",
+    f"""
+    WITH fps AS (
+      SELECT doc_id, source, n_chars, md5({_NORM_SQL}) AS fp
+      FROM documents
+    ), kept AS (
+      SELECT min(doc_id) AS doc_id FROM fps
+      WHERE fp IS NOT NULL GROUP BY fp
+      UNION ALL
+      SELECT doc_id FROM fps WHERE fp IS NULL
+    ), labeled AS (
+      SELECT f.source, f.n_chars,
+             CASE WHEN substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(f.doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM fps f JOIN kept USING (doc_id)
+    )
+    SELECT source, split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM labeled GROUP BY source, split
+    """,
+)
+def curation_dedup_split(spark, sf_dir):
+    """Dedup-THEN-split — the leakage-safe ordering every training
+    pipeline needs (splitting before dedup lets near-identical copies
+    straddle train/test): exact fingerprint dedup keeps the min-id
+    copy, survivors get the content-stable md5-bucket holdout split,
+    and the per-(source, split) census is the audit artifact. The
+    dedup groupBy is the one corpus shuffle; the split assignment is a
+    pure narrow projection and the census shuffles only (source,
+    split) partials. Oracle thresholds 'cc'/'e6' are the hex buckets
+    floor(256*0.8)=204 and floor(256*0.9)=230 assign_split derives."""
+    from gobblin_spark.functions import mixing as X
+
+    docs = load_docs(spark, sf_dir)
+    kept = dedup.dedup_exact(docs, "doc_id", "text").select("doc_id")
+    curated = docs.join(kept, "doc_id", "left_semi")
+    split = X.assign_split(curated, "doc_id", train=0.8, val=0.1)
+    return split.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@q(
+    "corpus_drift_weekly",
+    """
+    WITH wk AS (
+      SELECT CAST(date_trunc('week', ts) AS DATE) AS week, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT week, sum(n) AS tot FROM wk GROUP BY week
+    ), p AS (
+      SELECT wk.week, wk.event_type,
+             wk.n / CAST(tot.tot AS DOUBLE) AS p
+      FROM wk JOIN tot USING (week)
+    )
+    SELECT cur.week, cur.event_type,
+           round(cur.p, 6) AS p_new,
+           round(prev.p, 6) AS p_old,
+           round(CASE WHEN prev.p IS NOT NULL AND cur.p > 0
+                 THEN cur.p * ln(cur.p / prev.p) END, 6) AS kl_term,
+           round(CASE WHEN prev.p IS NOT NULL
+                 THEN abs(cur.p - prev.p) / 2 END, 6) AS tv_term
+    FROM p cur LEFT JOIN p prev
+      ON prev.week = cur.week - INTERVAL 7 DAY
+     AND prev.event_type = cur.event_type
+    """,
+)
+def corpus_drift_weekly(spark, sf_dir):
+    """INCREMENTAL drift monitoring — corpus_drift_kl's windowed form:
+    each week's event-type mix vs the week before, per-type KL and
+    total-variation terms (sum per week = the alarm quantities). One
+    aggregation pass builds every week's distribution; the
+    week-over-week comparison is a self-join of the tiny post-agg
+    table on (week-7d, type) — at 100 TB the wide work is the single
+    (week, type) groupBy, everything after is dimension-sized.
+    Types absent last week carry NULL terms (new-type alarm),
+    matching the oracle's CASE."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = wk.groupBy("week").agg(F.sum("n").alias("tot"))
+    # everything past the first groupBy is dimension-sized (weeks x
+    # types): broadcast the join sides, and PERSIST the distribution —
+    # the week-shifted self-join's pushed isnotnull filters make the
+    # two lineages non-identical, so exchange reuse never fires and an
+    # unpersisted plan scans the corpus-sized events table four times
+    p = wk.join(F.broadcast(tot), "week").select(
+        "week", "event_type",
+        (F.col("n") / F.col("tot").cast("double")).alias("p")).persist()
+    prev = p.select(
+        F.date_add("week", 7).alias("week"),
+        F.col("event_type"),
+        F.col("p").alias("p_old"))
+    j = p.join(F.broadcast(prev), ["week", "event_type"], "left")
+    kl = F.when(F.col("p_old").isNotNull() & (F.col("p") > 0),
+                F.col("p") * F.log(F.col("p") / F.col("p_old")))
+    tv = F.when(F.col("p_old").isNotNull(),
+                F.abs(F.col("p") - F.col("p_old")) / 2)
+    return j.select(
+        "week", "event_type",
+        F.round("p", 6).alias("p_new"),
+        F.round("p_old", 6).alias("p_old"),
+        F.round(kl, 6).alias("kl_term"),
+        F.round(tv, 6).alias("tv_term"),
+    )
+
+
+@q(
+    "pull_flow_csv",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderkey % 5 = 0 AND o_orderpriority = '2-HIGH'
+      AND o_totalprice BETWEEN 0 AND 500000
+    """,
+)
+def pull_flow_csv(spark, sf_dir):
+    """A .pull job over a flat-file CSV DROP — the classic Gobblin
+    ingest (FileBasedSource + CsvFileDownloader vocabulary,
+    gobblin-example/.../csv): a header'd CSV directory written first
+    (executor-side Spark write, as a real upstream would), then the
+    job compiles source.class=csv + pick/filter converters + a range
+    policy into one Catalyst plan. Exercises the CSV reader kwarg
+    path fixed in the round-7 audit (read_csv's `sep`) end-to-end
+    with a value hash, not just a pytest."""
+    import tempfile
+
+    from gobblin_spark.plans import jobconf as J
+
+    src = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 5 == 0
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    tmp = tempfile.mkdtemp(prefix="gobblin_pullcsv_")
+    src.write.option("header", True).mode("overwrite").csv(f"{tmp}/drop")
+    pull = f"""
+    job.name=CsvDropPull
+    source.class=csv
+    source.filebased.data.directory={tmp}/drop
+    source.csv.has.header=true
+    source.schema=o_orderkey long, o_custkey long, o_totalprice double, o_orderpriority string
+    converter.classes=pick_fields,filter_equals
+    converter.fields.to.pick=o_orderkey,o_custkey,o_totalprice,o_orderpriority
+    converter.filter.field=o_orderpriority
+    converter.filter.value=2-HIGH
+    qualitychecker.row.policies=range
+    qualitychecker.range.column=o_totalprice
+    qualitychecker.range.min=0
+    qualitychecker.range.max=500000
+    """
+    return J.compile_frame(spark, pull)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

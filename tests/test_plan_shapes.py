@@ -83,6 +83,17 @@ CASES = [
     ("user_value_deciles", 4, "SinglePartition"),
     # recursion-eliminated from_json is a pure narrow projection
     ("schema_recursion_truncate", 0, "Exchange hashpartitioning"),
+    # round-8 queue pre-staged entries: per-epoch packing rides ONE
+    # window shuffle per epoch and must never go global
+    ("mixing_pack_epochs", 2, "SinglePartition"),
+    # dedup groupBy + census groupBy — the split itself is narrow
+    ("curation_dedup_split", 2, "CartesianProduct"),
+    # runtime = 1 corpus scan (cache fill) + dimension-sized joins;
+    # the generous budget covers InMemoryRelation's double-rendered
+    # cached lineage in the plan STRING (see user_value_deciles)
+    ("corpus_drift_weekly", 12, "SinglePartition"),
+    # .pull CSV compile: converters + range policy fold into the scan
+    ("pull_flow_csv", 0, "CartesianProduct"),
     # two example-format round trips: the only exchange is the
     # verification groupBy over the union
     ("example_source_roundtrip", 1, "CartesianProduct"),
