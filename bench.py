@@ -168,6 +168,13 @@ def main() -> int:
                            "BENCH_DETAILS.json"), "w") as f:
         json.dump({"sf": sf, "total_sec": total, "query_details": details},
                   f, indent=1)
+    # the one machine-independent axis rides IN the headline line
+    # (~30 bytes): wall clock drifts up to ±30% with co-tenant load
+    # (r6 verdict; two r7 re-runs reproduced it with byte-flat
+    # shuffles), so the recorded BENCH_r{N}.json should carry the
+    # signal that distinguishes a slow machine from a slow plan
+    shuffle_mb = round(sum(
+        d.get("shuffle_write_bytes", 0) for d in details.values()) / 1e6, 2)
     print(
         json.dumps(
             {
@@ -176,6 +183,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "shuffle_mb_total": shuffle_mb or None,
             }
         )
     )
