@@ -34,6 +34,10 @@ CASES = [
     ("window_tumbling_daily", 1, "SinglePartition"),
     ("range_join_events", 1, "BroadcastNestedLoop"),
     ("cleaning_dedup_lines", 3, "CartesianProduct"),
+    # r7-late: the corpus-wide (id, shingle) distinct is GONE — the
+    # only wide edges are the per-doc counts groupBy and the id
+    # re-attach; the benchmark shingle set must stay broadcast
+    ("contamination_check_docs", 2, "CartesianProduct"),
     ("rollup_revenue", 1, "CartesianProduct"),
     ("q13_customer_distribution", 3, "CartesianProduct"),
     # round-4 TPC-H completion: dims must broadcast, one fact shuffle
