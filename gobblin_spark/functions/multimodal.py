@@ -6,12 +6,15 @@ partition sizing — is real and tested. Codecs come in two tiers:
 
 - REAL pure-Python (stdlib-only) codecs for the container formats that
   need no native library: WAV/PCM16 (``wave`` + ``struct``), BMP
-  (24-bit BI_RGB), and PPM (P6). Both the encode and decode sides run
-  executor-side inside Arrow-batched ``mapInPandas`` — real bytes on
-  the wire, value-checked end-to-end by the catalog oracles
-  (``multimodal_decode_wav`` / ``multimodal_decode_bmp``).
-- Compressed formats (JPEG/PNG/MP3/video) need PIL/ffmpeg — NOT in
-  this container, so ``decode_image_features`` raises
+  (24-bit BI_RGB), PPM (P6), and PNG (truecolor RGB8 — stdlib zlib
+  supplies DEFLATE; encode emits mixed row filters, decode unfilters
+  all five types). Both the encode and decode sides run executor-side
+  inside Arrow-batched ``mapInPandas`` — real bytes on the wire,
+  value-checked end-to-end by the catalog oracles
+  (``multimodal_decode_wav`` / ``multimodal_decode_bmp`` /
+  ``multimodal_decode_png``).
+- Formats needing a native library (JPEG/MP3/video: PIL/ffmpeg — NOT
+  in this container) stay gated: ``decode_image_features`` raises
   NotImplementedError for them unless ``fake=True`` swaps in the
   deterministic stub. The distributed shape is identical either way.
 
@@ -93,14 +96,15 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract stage as Arrow-batched mapInPandas.
 
-    BMP (24-bit BI_RGB) and PPM (P6) payloads are REALLY decoded with
-    the stdlib-only codecs below — width/height from the container
+    BMP (24-bit BI_RGB), PPM (P6), and PNG (truecolor RGB8 — stdlib
+    zlib supplies DEFLATE) payloads are REALLY decoded with the
+    stdlib-only codecs below — width/height from the container
     header, feature_hash = sha256 of the raw RGB channel sums.
-    Compressed formats (JPEG/PNG/…) need PIL/opencv — not in this
-    container — so they raise NotImplementedError unless ``fake=True``
-    swaps in the deterministic stub for every payload. The distributed
-    shape (batch iteration, schema, memory bounds) is identical either
-    way.
+    Formats that need a native library (JPEG/MP3/video: PIL/opencv/
+    ffmpeg, not in this container) raise NotImplementedError unless
+    ``fake=True`` swaps in the deterministic stub for every payload.
+    The distributed shape (batch iteration, schema, memory bounds) is
+    identical either way.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -115,17 +119,19 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
         def real_decode(payload):
             from gobblin_spark.functions.multimodal import (
-                decode_bmp24, decode_ppm_p6)
+                decode_bmp24, decode_png_rgb8, decode_ppm_p6)
 
             payload = bytes(payload or b"")
             if payload[:2] == b"BM":
                 w, h, sr, sg, sb = decode_bmp24(payload)
             elif payload[:2] == b"P6":
                 w, h, sr, sg, sb = decode_ppm_p6(payload)
+            elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+                w, h, sr, sg, sb = decode_png_rgb8(payload)
             else:
                 raise NotImplementedError(
-                    "only BMP/PPM decode ships pure-Python; JPEG/PNG "
-                    "need PIL/opencv (not installed) — pass fake=True "
+                    "only BMP/PPM/PNG decode ships pure-Python; JPEG "
+                    "needs PIL/opencv (not installed) — pass fake=True "
                     "for the deterministic stub"
                 )
             fp = _hashlib.sha256(f"{w}x{h}:{sr},{sg},{sb}".encode())
@@ -485,3 +491,165 @@ def decode_ppm_p6(payload: bytes) -> tuple[int, int, int, int, int]:
         raise NotImplementedError("16-bit PPM not supported")
     raster = payload[pos:pos + w * h * 3]
     return w, h, sum(raster[0::3]), sum(raster[1::3]), sum(raster[2::3])
+
+
+# ------------------------------------------------------------------
+# PNG (truecolor RGB8) — REAL pure-Python codec: stdlib zlib supplies
+# DEFLATE, so unlike JPEG/MP3/video the PNG container needs no native
+# library. Encode emits a spec-valid file (any viewer opens it) with
+# MIXED row filters (None/Sub/Up) so the decode path proves real
+# unfiltering, not just a replay of its own trivial output; decode
+# implements ALL FIVE filter types (None/Sub/Up/Average/Paeth) for
+# 8-bit truecolor. Palette/alpha/16-bit/interlaced stay honest
+# NotImplementedError gates.
+# ------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png_rgb8(media_id: int) -> bytes:
+    """Spec-valid truecolor-RGB8 PNG of the SAME deterministic pixel
+    pattern (and dims) the BMP codec uses, so one closed-form SQL
+    oracle covers both containers. Row filters alternate
+    None/Sub/Up (y % 3) — the decoder must genuinely unfilter."""
+    import struct
+    import zlib as _z
+
+    w, h = _bmp_dims(media_id)
+    raw = bytearray()
+    prev = bytes(w * 3)
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(_bmp_pixel(media_id, x, y))
+        ftype = y % 3
+        if ftype == 0:  # None
+            raw.append(0)
+            raw += row
+        elif ftype == 1:  # Sub: delta vs the pixel 3 bytes left
+            raw.append(1)
+            raw += bytes((row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF
+                         for i in range(len(row)))
+        else:  # Up: delta vs the same byte of the row above
+            raw.append(2)
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = bytes(row)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # RGB8, no interlace
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png_rgb8(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, sum_r, sum_g, sum_b) from a truecolor-RGB8 PNG.
+    Full unfilter support (None/Sub/Up/Average/Paeth); multiple IDAT
+    chunks concatenate per spec. Non-RGB8 color types, 16-bit depth,
+    and interlacing raise — honest gates, same policy as BMP/PPM."""
+    import struct
+    import zlib as _z
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        (clen,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + clen]
+        pos += 12 + clen  # len + type + data + crc
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype_, comp, filt, interlace = meta
+    if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise NotImplementedError(
+            "only 8-bit truecolor non-interlaced PNG supported")
+    raw = _z.decompress(bytes(idat))
+    stride = w * 3
+    prev = bytearray(stride)
+    sr = sg = sb = 0
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(3, stride):
+                line[i] = (line[i] + line[i - 3]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        sr += sum(line[0::3])
+        sg += sum(line[1::3])
+        sb += sum(line[2::3])
+        prev = line
+    return w, h, sr, sg, sb
+
+
+def synth_png_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Lift an id column into the media schema with REAL truecolor
+    PNG payloads (deterministic pixel pattern), encoded executor-side."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        from gobblin_spark.functions.multimodal import encode_png_rgb8
+
+        for pdf in batches:
+            payloads = [encode_png_rgb8(int(m)) for m in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "byte_len": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"),
+                    "sha256": [_hl.sha256(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decode_png_features(df: DataFrame) -> DataFrame:
+    """REAL PNG decode (zlib inflate + per-row unfilter) as
+    Arrow-batched mapInPandas, emitting exact integer channel sums —
+    the same output contract as ``decode_bmp_features``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gobblin_spark.functions.multimodal import decode_png_rgb8
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, sr, sg, sb = decode_png_rgb8(bytes(payload))
+                out.append((int(mid), w, h, sr, sg, sb))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height",
+                              "sum_r", "sum_g", "sum_b"]).astype("int64")
+
+    return df.mapInPandas(run, BMP_FEATURE_SCHEMA)
