@@ -4,19 +4,23 @@ Media are opaque ``binary`` columns plus a typed metadata struct. The
 Spark-side plumbing — schema, Arrow-batched mapInPandas transforms,
 partition sizing — is real and tested. Codecs come in two tiers:
 
-- REAL pure-Python (stdlib-only) codecs for the container formats that
-  need no native library: WAV/PCM16 (``wave`` + ``struct``), BMP
-  (24-bit BI_RGB), PPM (P6), and PNG (truecolor RGB8 — stdlib zlib
-  supplies DEFLATE; encode emits mixed row filters, decode unfilters
-  all five types). Both the encode and decode sides run executor-side
-  inside Arrow-batched ``mapInPandas`` — real bytes on the wire,
-  value-checked end-to-end by the catalog oracles
-  (``multimodal_decode_wav`` / ``multimodal_decode_bmp`` /
-  ``multimodal_decode_png``).
-- Formats needing a native library (JPEG/MP3/video: PIL/ffmpeg — NOT
-  in this container) stay gated: ``decode_image_features`` raises
-  NotImplementedError for them unless ``fake=True`` swaps in the
-  deterministic stub. The distributed shape is identical either way.
+- REAL pure-Python codecs for the formats whose math needs no native
+  library: WAV/PCM16 (``wave`` + ``struct``), BMP (24-bit BI_RGB),
+  PPM (P6), PNG (truecolor RGB8 — stdlib zlib supplies DEFLATE;
+  encode emits mixed row filters, decode unfilters all five types),
+  and baseline grayscale JPEG (huffman entropy coding + numpy-matmul
+  DCT — the encoder writes its own canonical DHT tables into the
+  stream, the decoder is a general baseline-grayscale decoder). Both
+  the encode and decode sides run executor-side inside Arrow-batched
+  ``mapInPandas`` — real bytes on the wire, value-checked end-to-end
+  by the catalog oracles (``multimodal_decode_wav`` /
+  ``multimodal_decode_bmp`` / ``multimodal_decode_png`` /
+  ``multimodal_decode_jpeg``).
+- Formats needing a native library (color JPEG, MP3, video: PIL/
+  ffmpeg — NOT in this container) stay gated:
+  ``decode_image_features`` raises NotImplementedError for them
+  unless ``fake=True`` swaps in the deterministic stub. The
+  distributed shape is identical either way.
 
 Design notes for 100 TB of media:
 - Blobs stay in the ``binary`` column; metadata-only transformations
@@ -119,7 +123,8 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
         def real_decode(payload):
             from gobblin_spark.functions.multimodal import (
-                decode_bmp24, decode_png_rgb8, decode_ppm_p6)
+                decode_bmp24, decode_jpeg_gray, decode_png_rgb8,
+                decode_ppm_p6)
 
             payload = bytes(payload or b"")
             if payload[:2] == b"BM":
@@ -128,11 +133,15 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 w, h, sr, sg, sb = decode_ppm_p6(payload)
             elif payload[:8] == b"\x89PNG\r\n\x1a\n":
                 w, h, sr, sg, sb = decode_png_rgb8(payload)
+            elif payload[:2] == b"\xff\xd8":
+                w, h, s = decode_jpeg_gray(payload)
+                sr = sg = sb = s  # grayscale: one luminance channel
             else:
                 raise NotImplementedError(
-                    "only BMP/PPM/PNG decode ships pure-Python; JPEG "
-                    "needs PIL/opencv (not installed) — pass fake=True "
-                    "for the deterministic stub"
+                    "only BMP/PPM/PNG/grayscale-JPEG decode ships "
+                    "pure-Python; color JPEG / video need PIL/ffmpeg "
+                    "(not installed) — pass fake=True for the "
+                    "deterministic stub"
                 )
             fp = _hashlib.sha256(f"{w}x{h}:{sr},{sg},{sb}".encode())
             return w, h, fp.hexdigest()[:16]
@@ -653,3 +662,378 @@ def decode_png_features(df: DataFrame) -> DataFrame:
                               "sum_r", "sum_g", "sum_b"]).astype("int64")
 
     return df.mapInPandas(run, BMP_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------------
+# JPEG (baseline grayscale) — REAL pure-Python codec. The two pieces
+# a JPEG needs beyond the stdlib are huffman coding and the DCT; both
+# are pure math. The encoder emits spec-valid single-component
+# baseline JFIF with an all-ones quantization table (quality-max) and
+# fixed-length canonical huffman tables written into the file's DHT
+# segments (legal: decoders must take tables from the stream; fixed
+# 4-bit DC / 9-10-bit AC codes sidestep transcribing Annex K). The
+# decoder is a GENERAL baseline-grayscale decoder: DQT/SOF0/DHT/SOS
+# parse, huffman entropy decode (DC delta + AC run-length with
+# EOB/ZRL), dezigzag, dequantize, real IDCT (numpy 8x8 basis
+# matmuls), clamp, crop. Flat 8x8 blocks survive the DCT EXACTLY
+# (DC-only coefficients), which is what makes a closed-form SQL
+# oracle possible for a lossy format; arbitrary content round-trips
+# within +/-1/pixel at the all-ones table (pytest-pinned). Color
+# (YCbCr + subsampling), progressive (SOF2), and restart markers stay
+# honest NotImplementedError gates.
+# ------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# fixed-length canonical tables: 12 DC symbols at 4 bits; AC 0..255 at
+# 9 bits except the last at 10 (DHT per-length counts are single
+# bytes, so 256-at-one-length is unrepresentable). Neither table ever
+# assigns the all-ones code the spec forbids.
+_JPEG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = list(range(256))
+
+
+def _jpeg_dct_basis():
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / (2.0 ** 0.5)) if u == 0 else 1.0
+        for x in range(8):
+            c[u, x] = 0.5 * cu * __import__("math").cos(
+                (2 * x + 1) * u * __import__("math").pi / 16)
+    return c
+
+
+def _jpeg_canonical_codes(bits, vals):
+    out, code, k = {}, 0, 0
+    for li in range(16):
+        for _ in range(bits[li]):
+            out[vals[k]] = (code, li + 1)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_category(v: int) -> tuple[int, int]:
+    if v == 0:
+        return 0, 0
+    cat = abs(v).bit_length()
+    return cat, (v if v > 0 else v + (1 << cat) - 1)
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf, self.acc, self.n = bytearray(), 0, 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def encode_jpeg_gray(pixels, w: int, h: int) -> bytes:
+    """Baseline grayscale JFIF from a row-major 0..255 pixel sequence;
+    non-multiple-of-8 dims pad by edge replication (cropped on decode)."""
+    import struct
+
+    import numpy as np
+
+    def seg(marker, payload):
+        return (bytes([0xFF, marker])
+                + struct.pack(">H", len(payload) + 2) + payload)
+
+    C = _jpeg_dct_basis()
+    img = np.asarray(pixels, dtype=np.float64).reshape(h, w)
+    bw_blocks, bh_blocks = (w + 7) // 8, (h + 7) // 8
+    padded = np.pad(img, ((0, bh_blocks * 8 - h), (0, bw_blocks * 8 - w)),
+                    mode="edge") - 128.0
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # all-ones DQT
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(bh_blocks):
+        for bx in range(bw_blocks):
+            block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            coef = C @ block @ C.T
+            flat = coef.reshape(64)
+            q = [int(round(flat[_JPEG_ZIGZAG[i]])) for i in range(64)]
+            cat, bits = _jpeg_category(q[0] - prev_dc)
+            prev_dc = q[0]
+            code, ln = dc_codes[cat]
+            bw.put(code, ln)
+            if cat:
+                bw.put(bits, cat)
+            last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+            run = 0
+            for i in range(1, last_nz + 1):
+                if q[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                cat, bits = _jpeg_category(q[i])
+                code, ln = ac_codes[(run << 4) | cat]
+                bw.put(code, ln)
+                bw.put(bits, cat)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.put(code, ln)
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.acc, self.n = data, 0, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # unstuff
+                elif 0xD0 <= nxt <= 0xD7:
+                    raise NotImplementedError("restart markers (DRI/RSTn)")
+                else:
+                    raise ValueError(f"marker 0xFF{nxt:02x} inside scan")
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huff_table(bits, vals):
+    out, code, k = {}, 0, 0
+    for li in range(16):
+        for _ in range(bits[li]):
+            out[(li + 1, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_huff_decode(br, table):
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code")
+
+
+def _jpeg_extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, sum_gray) from a baseline grayscale JFIF.
+    General baseline decoder: tables come from the stream's own
+    DQT/DHT segments. Color, progressive (SOF2), arithmetic coding,
+    and restart intervals raise — honest gates."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    C = _jpeg_dct_basis()
+    pos, qt, huff, w, h, comp_tq = 2, {}, {}, None, None, 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        data = payload[pos + 4:pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 0xF
+                if pq:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[tq] = list(data[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC0:
+            _prec, h, w, nf = struct.unpack_from(">BHHB", data, 0)
+            if nf != 1:
+                raise NotImplementedError(
+                    "only grayscale baseline JPEG (1 component) — color "
+                    "needs YCbCr + subsampling")
+            comp_tq = data[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals (DRI)")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0xF
+                bits = list(data[i + 1:i + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _jpeg_huff_table(
+                    bits, list(data[i + 17:i + 17 + n]))
+                i += 17 + n
+        elif marker == 0xDA:
+            if data[0] != 1:
+                raise NotImplementedError("only single-scan grayscale")
+            td, ta = data[2] >> 4, data[2] & 0xF
+            br = _JpegBitReader(payload[pos:])
+            dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
+            q = np.zeros(64)
+            for i in range(64):
+                q[_JPEG_ZIGZAG[i]] = qt[comp_tq][i]
+            q = q.reshape(8, 8)
+            bw_blocks, bh_blocks = (w + 7) // 8, (h + 7) // 8
+            img = np.zeros((bh_blocks * 8, bw_blocks * 8))
+            prev_dc = 0
+            for by in range(bh_blocks):
+                for bx in range(bw_blocks):
+                    zz = [0] * 64
+                    cat = _jpeg_huff_decode(br, dc_t)
+                    prev_dc += _jpeg_extend(br.bits(cat), cat)
+                    zz[0] = prev_dc
+                    i = 1
+                    while i < 64:
+                        sym = _jpeg_huff_decode(br, ac_t)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, cat = sym >> 4, sym & 0xF
+                        if cat == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            i += 16  # ZRL
+                            continue
+                        i += run
+                        if i > 63:
+                            raise ValueError("AC coefficient overflow")
+                        zz[i] = _jpeg_extend(br.bits(cat), cat)
+                        i += 1
+                    coef = np.zeros(64)
+                    for i in range(64):
+                        coef[_JPEG_ZIGZAG[i]] = zz[i]
+                    block = C.T @ (coef.reshape(8, 8) * q) @ C
+                    img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
+            vis = np.clip(np.round(img[:h, :w]) + 128, 0, 255)
+            return w, h, int(vis.sum())
+    raise ValueError("no SOS scan found")
+
+
+JPEG_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("sum_gray", LongType(), True),
+    ]
+)
+
+
+def _jpeg_dims(media_id: int) -> tuple[int, int]:
+    # exact multiples of 8 so every block is full (no pad-and-crop in
+    # the oracle's closed form)
+    return 8 * (2 + media_id % 5), 8 * (1 + media_id % 3)
+
+
+def encode_jpeg_gray_pattern(media_id: int) -> bytes:
+    """The deterministic flat-block test image: every 8x8 block is the
+    constant gray (media_id + 7*bx + 13*by) % 256 — flat blocks are
+    DC-only through the DCT, so the lossy format round-trips these
+    EXACTLY and a SQL oracle states the sums in closed form."""
+    import numpy as np
+
+    w, h = _jpeg_dims(media_id)
+    bw_blocks, bh_blocks = w // 8, h // 8
+    blocks = np.fromfunction(
+        lambda by, bx: (media_id + 7 * bx + 13 * by) % 256,
+        (bh_blocks, bw_blocks))
+    img = np.kron(blocks, np.ones((8, 8)))
+    return encode_jpeg_gray(img.reshape(-1).astype(int).tolist(), w, h)
+
+
+def synth_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Lift an id column into the media schema with REAL baseline
+    grayscale JPEG payloads, encoded executor-side."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        from gobblin_spark.functions.multimodal import encode_jpeg_gray_pattern
+
+        for pdf in batches:
+            payloads = [encode_jpeg_gray_pattern(int(m))
+                        for m in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "byte_len": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"),
+                    "sha256": [_hl.sha256(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decode_jpeg_features(df: DataFrame) -> DataFrame:
+    """REAL JPEG decode (huffman entropy decode + dequant + IDCT) as
+    Arrow-batched mapInPandas, emitting exact integer gray sums."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gobblin_spark.functions.multimodal import decode_jpeg_gray
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, s = decode_jpeg_gray(bytes(payload))
+                out.append((int(mid), w, h, s))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "sum_gray"]
+            ).astype("int64")
+
+    return df.mapInPandas(run, JPEG_FEATURE_SCHEMA)

@@ -1469,6 +1469,42 @@ def multimodal_decode_png(spark, sf_dir):
     return multimodal.decode_png_features(media)
 
 
+@q(
+    "multimodal_decode_jpeg",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             2 + doc_id % 5 AS wb, 1 + doc_id % 3 AS hb
+      FROM documents
+    ), blk AS (
+      SELECT media_id, wb, hb, unnest(range(0, wb * hb)) AS b FROM d
+    )
+    SELECT media_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           CAST(sum(64 * ((media_id + 7 * (b % wb) + 13 * (b // wb)) % 256))
+                AS BIGINT) AS sum_gray
+    FROM blk GROUP BY media_id, wb, hb
+    """,
+)
+def multimodal_decode_jpeg(spark, sf_dir):
+    """REAL LOSSY-FORMAT decode, value-checked: each doc id becomes a
+    spec-valid baseline grayscale JFIF (all-ones quant table, canonical
+    huffman tables written into the stream's own DHT segments, real
+    FDCT), decoded back by a GENERAL baseline-grayscale decoder
+    (huffman entropy decode, dequantize, IDCT, clamp). The test images
+    are flat per 8x8 block, so the DCT carries DC-only coefficients
+    and the lossy format round-trips them EXACTLY — which is what lets
+    a SQL oracle state a lossy codec's output in closed form (the
+    ±1/px behavior on arbitrary content is pytest-pinned instead).
+    This closes the JPEG half of the round-6 'JPEG/PNG honestly gated'
+    row for grayscale; color (YCbCr + subsampling) remains the honest
+    gate."""
+    docs = load_docs(spark, sf_dir)
+    media = multimodal.synth_jpeg_media(docs)
+    return multimodal.decode_jpeg_features(media)
+
+
 # ------------------------------------------------------------------
 # headline relational queries (bench + parity with Catalyst plans)
 # ------------------------------------------------------------------

@@ -867,6 +867,66 @@ def test_png_decode_average_paeth_and_multi_idat():
     assert multimodal.decode_png_rgb8(payload) == exp
 
 
+def test_jpeg_codec_flat_blocks_exact():
+    """Flat 8x8 blocks are DC-only through the DCT, so the lossy format
+    round-trips them EXACTLY — the property the SQL oracle relies on."""
+    for mid in (0, 1, 7, 123, 4999):
+        w, h = multimodal._jpeg_dims(mid)
+        wb, hb = w // 8, h // 8
+        exp = sum(64 * ((mid + 7 * bx + 13 * by) % 256)
+                  for by in range(hb) for bx in range(wb))
+        payload = multimodal.encode_jpeg_gray_pattern(mid)
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+        assert multimodal.decode_jpeg_gray(payload) == (w, h, exp)
+
+
+def test_jpeg_codec_arbitrary_content_near_lossless():
+    """At the all-ones quant table arbitrary content survives within
+    ±1/pixel (DCT float rounding only) — incl. odd dims (pad + crop)
+    and AC run-length paths (ZRL, mid-block EOB)."""
+    import random
+
+    rng = random.Random(7)
+    for w, h in ((24, 16), (13, 9), (8, 8)):
+        px = [rng.randrange(256) for _ in range(w * h)]
+        gw, gh, gs = multimodal.decode_jpeg_gray(
+            multimodal.encode_jpeg_gray(px, w, h))
+        assert (gw, gh) == (w, h)
+        assert abs(gs - sum(px)) <= w * h  # ±1 per pixel bound
+
+
+def test_jpeg_decode_honest_gates():
+    """Color / progressive / restart-interval JPEGs raise
+    NotImplementedError; non-JPEG bytes raise ValueError."""
+    import pytest as _pytest
+    import struct
+
+    base = multimodal.encode_jpeg_gray_pattern(1)
+    # rewrite SOF0 to claim 3 components -> color gate
+    i = base.find(b"\xff\xc0")
+    color = bytearray(base)
+    color[i + 9] = 3
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_jpeg_gray(bytes(color))
+    # SOF2 (progressive) gate
+    prog = bytearray(base)
+    prog[i + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_jpeg_gray(bytes(prog))
+    with _pytest.raises(ValueError):
+        multimodal.decode_jpeg_gray(b"\x89PNG not a jpeg")
+
+
+def test_decode_image_features_real_jpeg(spark):
+    """The magic sniff routes JPEG payloads to the real baseline
+    decoder — dims come from the stream's SOF0, not a stub."""
+    ids = spark.range(3).select(F.col("id").alias("doc_id"))
+    media = multimodal.synth_jpeg_media(ids)
+    feats = {r.media_id: (r.width, r.height)
+             for r in multimodal.decode_image_features(media).collect()}
+    assert feats == {m: multimodal._jpeg_dims(m) for m in (0, 1, 2)}
+
+
 def test_png_decode_honest_gates():
     """Non-RGB8 shapes stay NotImplementedError, bad magic ValueError."""
     import struct
