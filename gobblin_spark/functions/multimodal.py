@@ -122,9 +122,11 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
             return 64 + d[0] % 192, 64 + d[1] % 192, d.hex()[:16]
 
         def real_decode(payload):
+            import numpy as _np
+
             from gobblin_spark.functions.multimodal import (
-                decode_bmp24, decode_jpeg_gray, decode_png_rgb8,
-                decode_ppm_p6)
+                _decode_jpeg_planes, decode_bmp24, decode_jpeg_color,
+                decode_png_rgb8, decode_ppm_p6)
 
             payload = bytes(payload or b"")
             if payload[:2] == b"BM":
@@ -134,13 +136,17 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
             elif payload[:8] == b"\x89PNG\r\n\x1a\n":
                 w, h, sr, sg, sb = decode_png_rgb8(payload)
             elif payload[:2] == b"\xff\xd8":
-                w, h, s = decode_jpeg_gray(payload)
-                sr = sg = sb = s  # grayscale: one luminance channel
+                w, h, planes = _decode_jpeg_planes(payload)
+                if len(planes) == 3:
+                    w, h, sr, sg, sb = decode_jpeg_color(payload)
+                else:  # grayscale: one luminance channel
+                    s = int(_np.clip(_np.round(planes[0]), 0, 255).sum())
+                    sr = sg = sb = s
             else:
                 raise NotImplementedError(
-                    "only BMP/PPM/PNG/grayscale-JPEG decode ships "
-                    "pure-Python; color JPEG / video need PIL/ffmpeg "
-                    "(not installed) — pass fake=True for the "
+                    "only BMP/PPM/PNG/baseline-JPEG decode ships "
+                    "pure-Python; MP3/video need ffmpeg (not "
+                    "installed) — pass fake=True for the "
                     "deterministic stub"
                 )
             fp = _hashlib.sha256(f"{w}x{h}:{sr},{sg},{sb}".encode())
@@ -866,11 +872,14 @@ def _jpeg_extend(bits: int, cat: int) -> int:
     return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
 
 
-def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int]:
-    """(width, height, sum_gray) from a baseline grayscale JFIF.
-    General baseline decoder: tables come from the stream's own
-    DQT/DHT segments. Color, progressive (SOF2), arithmetic coding,
-    and restart intervals raise — honest gates."""
+def _decode_jpeg_planes(payload: bytes):
+    """General baseline decoder core: (w, h, [plane, ...]) with one
+    full-resolution float numpy plane per component (level-shifted
+    back to 0..255, NOT yet rounded/clamped). Supports 1 (grayscale)
+    or 3 (YCbCr 4:4:4) components, all sampling factors 1x1; tables
+    come from the stream's own DQT/DHT segments. Subsampled color,
+    progressive (SOF2), arithmetic coding, and restart intervals
+    raise — honest gates."""
     import struct
 
     import numpy as np
@@ -878,7 +887,8 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int]:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     C = _jpeg_dct_basis()
-    pos, qt, huff, w, h, comp_tq = 2, {}, {}, None, None, 0
+    pos, qt, huff, w, h = 2, {}, {}, None, None
+    comps = []  # (comp_id, tq) in SOF order
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker sync lost")
@@ -898,11 +908,17 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int]:
                 i += 65
         elif marker == 0xC0:
             _prec, h, w, nf = struct.unpack_from(">BHHB", data, 0)
-            if nf != 1:
+            if nf not in (1, 3):
                 raise NotImplementedError(
-                    "only grayscale baseline JPEG (1 component) — color "
-                    "needs YCbCr + subsampling")
-            comp_tq = data[8]
+                    "only 1- (grayscale) or 3-component (YCbCr) "
+                    "baseline JPEG")
+            for ci in range(nf):
+                cid, samp, tq = data[6 + 3 * ci:9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "only 4:4:4 (1x1 sampling) — subsampled chroma "
+                        "(4:2:0/4:2:2) not supported")
+                comps.append((cid, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline sequential (SOF0)")
         elif marker == 0xDD:
@@ -917,48 +933,89 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int]:
                     bits, list(data[i + 17:i + 17 + n]))
                 i += 17 + n
         elif marker == 0xDA:
-            if data[0] != 1:
-                raise NotImplementedError("only single-scan grayscale")
-            td, ta = data[2] >> 4, data[2] & 0xF
+            ns = data[0]
+            if ns != len(comps):
+                raise NotImplementedError("only single interleaved scan")
+            # per-component entropy tables, in SCAN order mapped back
+            # to SOF order
+            scan = []
+            for si in range(ns):
+                cs, tds = data[1 + 2 * si], data[2 + 2 * si]
+                sof_idx = next(i for i, (cid, _) in enumerate(comps)
+                               if cid == cs)
+                scan.append((sof_idx, tds >> 4, tds & 0xF))
             br = _JpegBitReader(payload[pos:])
-            dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
-            q = np.zeros(64)
-            for i in range(64):
-                q[_JPEG_ZIGZAG[i]] = qt[comp_tq][i]
-            q = q.reshape(8, 8)
+            qmats = []
+            for _, tq in comps:
+                q = np.zeros(64)
+                for i in range(64):
+                    q[_JPEG_ZIGZAG[i]] = qt[tq][i]
+                qmats.append(q.reshape(8, 8))
             bw_blocks, bh_blocks = (w + 7) // 8, (h + 7) // 8
-            img = np.zeros((bh_blocks * 8, bw_blocks * 8))
-            prev_dc = 0
+            planes = [np.zeros((bh_blocks * 8, bw_blocks * 8))
+                      for _ in comps]
+            prev_dc = [0] * len(comps)
             for by in range(bh_blocks):
                 for bx in range(bw_blocks):
-                    zz = [0] * 64
-                    cat = _jpeg_huff_decode(br, dc_t)
-                    prev_dc += _jpeg_extend(br.bits(cat), cat)
-                    zz[0] = prev_dc
-                    i = 1
-                    while i < 64:
-                        sym = _jpeg_huff_decode(br, ac_t)
-                        if sym == 0x00:  # EOB
-                            break
-                        run, cat = sym >> 4, sym & 0xF
-                        if cat == 0:
-                            if run != 15:
-                                raise ValueError("bad AC symbol")
-                            i += 16  # ZRL
-                            continue
-                        i += run
-                        if i > 63:
-                            raise ValueError("AC coefficient overflow")
-                        zz[i] = _jpeg_extend(br.bits(cat), cat)
-                        i += 1
-                    coef = np.zeros(64)
-                    for i in range(64):
-                        coef[_JPEG_ZIGZAG[i]] = zz[i]
-                    block = C.T @ (coef.reshape(8, 8) * q) @ C
-                    img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block
-            vis = np.clip(np.round(img[:h, :w]) + 128, 0, 255)
-            return w, h, int(vis.sum())
+                    # 4:4:4 MCU: one block per component, scan order
+                    for sof_idx, td, ta in scan:
+                        dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
+                        zz = [0] * 64
+                        cat = _jpeg_huff_decode(br, dc_t)
+                        prev_dc[sof_idx] += _jpeg_extend(br.bits(cat), cat)
+                        zz[0] = prev_dc[sof_idx]
+                        i = 1
+                        while i < 64:
+                            sym = _jpeg_huff_decode(br, ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, cat = sym >> 4, sym & 0xF
+                            if cat == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                i += 16  # ZRL
+                                continue
+                            i += run
+                            if i > 63:
+                                raise ValueError("AC coefficient overflow")
+                            zz[i] = _jpeg_extend(br.bits(cat), cat)
+                            i += 1
+                        coef = np.zeros(64)
+                        for i in range(64):
+                            coef[_JPEG_ZIGZAG[i]] = zz[i]
+                        block = C.T @ (coef.reshape(8, 8)
+                                       * qmats[sof_idx]) @ C
+                        planes[sof_idx][by * 8:by * 8 + 8,
+                                        bx * 8:bx * 8 + 8] = block
+            return w, h, [p[:h, :w] + 128.0 for p in planes]
     raise ValueError("no SOS scan found")
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, sum_gray) from a baseline grayscale JFIF."""
+    import numpy as np
+
+    w, h, planes = _decode_jpeg_planes(payload)
+    if len(planes) != 1:
+        raise ValueError("color JPEG — use decode_jpeg_color")
+    vis = np.clip(np.round(planes[0]), 0, 255)
+    return w, h, int(vis.sum())
+
+
+def decode_jpeg_color(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, sum_r, sum_g, sum_b) from a baseline YCbCr
+    4:4:4 color JFIF (ITU-R BT.601 inverse transform)."""
+    import numpy as np
+
+    w, h, planes = _decode_jpeg_planes(payload)
+    if len(planes) != 3:
+        raise ValueError("grayscale JPEG — use decode_jpeg_gray")
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    sums = [int(np.clip(np.round(ch), 0, 255).sum()) for ch in (r, g, b)]
+    return w, h, sums[0], sums[1], sums[2]
 
 
 JPEG_FEATURE_SCHEMA = StructType(
@@ -1037,3 +1094,148 @@ def decode_jpeg_features(df: DataFrame) -> DataFrame:
             ).astype("int64")
 
     return df.mapInPandas(run, JPEG_FEATURE_SCHEMA)
+
+
+def encode_jpeg_color(rgb, w: int, h: int) -> bytes:
+    """Baseline YCbCr 4:4:4 color JFIF from a row-major sequence of
+    (r, g, b) tuples. Forward transform = ITU-R BT.601 (JFIF): gray
+    pixels (r=g=b=v) map to Y=v, Cb=Cr=128 EXACTLY, which is what
+    keeps flat gray blocks closed-form through the color pipeline.
+    All three components share the all-ones quant table and the
+    fixed-length canonical huffman tables; the interleaved scan emits
+    one (Y, Cb, Cr) block triple per 8x8 tile (4:4:4 MCU)."""
+    import struct
+
+    import numpy as np
+
+    def seg(marker, payload):
+        return (bytes([0xFF, marker])
+                + struct.pack(">H", len(payload) + 2) + payload)
+
+    C = _jpeg_dct_basis()
+    arr = np.asarray(rgb, dtype=np.float64).reshape(h, w, 3)
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,                    # Y
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,        # Cb
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,        # Cr
+    ]
+    bw_blocks, bh_blocks = (w + 7) // 8, (h + 7) // 8
+    padded = [np.pad(p, ((0, bh_blocks * 8 - h), (0, bw_blocks * 8 - w)),
+                     mode="edge") - 128.0 for p in planes]
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    bw = _JpegBitWriter()
+    prev_dc = [0, 0, 0]
+
+    def put_block(ci, block):
+        coef = C @ block @ C.T
+        flat = coef.reshape(64)
+        q = [int(round(flat[_JPEG_ZIGZAG[i]])) for i in range(64)]
+        cat, bits = _jpeg_category(q[0] - prev_dc[ci])
+        prev_dc[ci] = q[0]
+        code, ln = dc_codes[cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(bits, cat)
+        last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+        run = 0
+        for i in range(1, last_nz + 1):
+            if q[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            cat, bits = _jpeg_category(q[i])
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.put(code, ln)
+            bw.put(bits, cat)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]
+            bw.put(code, ln)
+
+    for by in range(bh_blocks):
+        for bx in range(bw_blocks):
+            for ci in range(3):  # 4:4:4 MCU: Y, Cb, Cr
+                put_block(ci, padded[ci][by * 8:by * 8 + 8,
+                                         bx * 8:bx * 8 + 8])
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_color_pattern(media_id: int) -> bytes:
+    """Deterministic flat-GRAY-block color test image: the BT.601
+    transform maps r=g=b=v to Y=v, Cb=Cr=128 exactly, so these color
+    files round-trip bit-exactly — same closed-form oracle as the
+    grayscale entry, exercised through the full 3-component pipeline
+    (interleaved MCUs, per-component DC predictors, inverse color
+    transform)."""
+    import numpy as np
+
+    w, h = _jpeg_dims(media_id)
+    bw_blocks, bh_blocks = w // 8, h // 8
+    blocks = np.fromfunction(
+        lambda by, bx: (media_id + 7 * bx + 13 * by) % 256,
+        (bh_blocks, bw_blocks))
+    gray = np.kron(blocks, np.ones((8, 8)))
+    rgb = np.repeat(gray.reshape(h, w, 1), 3, axis=2)
+    return encode_jpeg_color(rgb.reshape(-1, 3).astype(int).tolist(), w, h)
+
+
+def synth_jpeg_color_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media schema with REAL baseline 4:4:4 color JPEG payloads."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        from gobblin_spark.functions.multimodal import (
+            encode_jpeg_color_pattern)
+
+        for pdf in batches:
+            payloads = [encode_jpeg_color_pattern(int(m))
+                        for m in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "byte_len": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"),
+                    "sha256": [_hl.sha256(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decode_jpeg_color_features(df: DataFrame) -> DataFrame:
+    """REAL color-JPEG decode (interleaved-MCU entropy decode, IDCT,
+    inverse BT.601) as Arrow-batched mapInPandas — channel sums in the
+    same output contract as the BMP/PNG features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gobblin_spark.functions.multimodal import decode_jpeg_color
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, sr, sg, sb = decode_jpeg_color(bytes(payload))
+                out.append((int(mid), w, h, sr, sg, sb))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height",
+                              "sum_r", "sum_g", "sum_b"]).astype("int64")
+
+    return df.mapInPandas(run, BMP_FEATURE_SCHEMA)

