@@ -8,19 +8,22 @@ partition sizing — is real and tested. Codecs come in two tiers:
   library: WAV/PCM16 (``wave`` + ``struct``), BMP (24-bit BI_RGB),
   PPM (P6), PNG (truecolor RGB8 — stdlib zlib supplies DEFLATE;
   encode emits mixed row filters, decode unfilters all five types),
-  and baseline grayscale JPEG (huffman entropy coding + numpy-matmul
-  DCT — the encoder writes its own canonical DHT tables into the
-  stream, the decoder is a general baseline-grayscale decoder). Both
-  the encode and decode sides run executor-side inside Arrow-batched
-  ``mapInPandas`` — real bytes on the wire, value-checked end-to-end
-  by the catalog oracles (``multimodal_decode_wav`` /
-  ``multimodal_decode_bmp`` / ``multimodal_decode_png`` /
-  ``multimodal_decode_jpeg``).
-- Formats needing a native library (color JPEG, MP3, video: PIL/
-  ffmpeg — NOT in this container) stay gated:
-  ``decode_image_features`` raises NotImplementedError for them
-  unless ``fake=True`` swaps in the deterministic stub. The
-  distributed shape is identical either way.
+  and baseline JPEG — grayscale, YCbCr 4:4:4 color, AND
+  chroma-subsampled 4:2:0 (huffman entropy coding + numpy-matmul DCT
+  + BT.601 both ways; the encoders write their own canonical DHT
+  tables into the stream, the decoder core handles 1- or 3-component
+  streams at any integer sampling ratio with pixel-replication
+  upsampling). Both the encode and decode sides run executor-side
+  inside Arrow-batched ``mapInPandas`` — real bytes on the wire,
+  value-checked end-to-end by the catalog oracles
+  (``multimodal_decode_wav`` / ``_bmp`` / ``_png`` / ``_jpeg`` /
+  ``_jpeg_color`` / ``_jpeg420``).
+- What still needs a native library (MP3, video: ffmpeg — NOT in
+  this container) stays gated: ``decode_image_features`` raises
+  NotImplementedError unless ``fake=True`` swaps in the
+  deterministic stub. Progressive JPEG and restart intervals are
+  likewise honest in-codec gates. The distributed shape is identical
+  either way.
 
 Design notes for 100 TB of media:
 - Blobs stay in the ``binary`` column; metadata-only transformations
@@ -100,15 +103,15 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str]:
 def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract stage as Arrow-batched mapInPandas.
 
-    BMP (24-bit BI_RGB), PPM (P6), and PNG (truecolor RGB8 — stdlib
-    zlib supplies DEFLATE) payloads are REALLY decoded with the
-    stdlib-only codecs below — width/height from the container
-    header, feature_hash = sha256 of the raw RGB channel sums.
-    Formats that need a native library (JPEG/MP3/video: PIL/opencv/
-    ffmpeg, not in this container) raise NotImplementedError unless
-    ``fake=True`` swaps in the deterministic stub for every payload.
-    The distributed shape (batch iteration, schema, memory bounds) is
-    identical either way.
+    BMP (24-bit BI_RGB), PPM (P6), PNG (truecolor RGB8), and baseline
+    JPEG (grayscale / 4:4:4 / 4:2:0, routed by the stream's own SOF)
+    payloads are REALLY decoded with the pure-Python codecs below —
+    width/height from the container header, feature_hash = sha256 of
+    the raw channel sums. Formats that need a native library
+    (MP3/video: ffmpeg, not in this container) raise
+    NotImplementedError unless ``fake=True`` swaps in the
+    deterministic stub for every payload. The distributed shape
+    (batch iteration, schema, memory bounds) is identical either way.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -876,10 +879,12 @@ def _decode_jpeg_planes(payload: bytes):
     """General baseline decoder core: (w, h, [plane, ...]) with one
     full-resolution float numpy plane per component (level-shifted
     back to 0..255, NOT yet rounded/clamped). Supports 1 (grayscale)
-    or 3 (YCbCr 4:4:4) components, all sampling factors 1x1; tables
-    come from the stream's own DQT/DHT segments. Subsampled color,
-    progressive (SOF2), arithmetic coding, and restart intervals
-    raise — honest gates."""
+    or 3 (YCbCr) components with ANY integer sampling factors whose
+    max divides evenly (covers 4:4:4, 4:2:0, 4:2:2, 4:4:0) —
+    subsampled chroma planes decode at their native resolution and
+    upsample by pixel replication (the JFIF default). Tables come
+    from the stream's own DQT/DHT segments. Progressive (SOF2),
+    arithmetic coding, and restart intervals raise — honest gates."""
     import struct
 
     import numpy as np
@@ -888,7 +893,7 @@ def _decode_jpeg_planes(payload: bytes):
         raise ValueError("not a JPEG payload")
     C = _jpeg_dct_basis()
     pos, qt, huff, w, h = 2, {}, {}, None, None
-    comps = []  # (comp_id, tq) in SOF order
+    comps = []  # (comp_id, h_i, v_i, tq) in SOF order
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker sync lost")
@@ -914,11 +919,7 @@ def _decode_jpeg_planes(payload: bytes):
                     "baseline JPEG")
             for ci in range(nf):
                 cid, samp, tq = data[6 + 3 * ci:9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "only 4:4:4 (1x1 sampling) — subsampled chroma "
-                        "(4:2:0/4:2:2) not supported")
-                comps.append((cid, tq))
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline sequential (SOF0)")
         elif marker == 0xDD:
@@ -936,58 +937,82 @@ def _decode_jpeg_planes(payload: bytes):
             ns = data[0]
             if ns != len(comps):
                 raise NotImplementedError("only single interleaved scan")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, hi, vi, _ in comps:
+                if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+                    raise NotImplementedError(
+                        "fractional chroma upsampling ratios")
             # per-component entropy tables, in SCAN order mapped back
             # to SOF order
             scan = []
             for si in range(ns):
                 cs, tds = data[1 + 2 * si], data[2 + 2 * si]
-                sof_idx = next(i for i, (cid, _) in enumerate(comps)
-                               if cid == cs)
+                sof_idx = next(i for i, c in enumerate(comps)
+                               if c[0] == cs)
                 scan.append((sof_idx, tds >> 4, tds & 0xF))
             br = _JpegBitReader(payload[pos:])
             qmats = []
-            for _, tq in comps:
+            for _, _, _, tq in comps:
                 q = np.zeros(64)
                 for i in range(64):
                     q[_JPEG_ZIGZAG[i]] = qt[tq][i]
                 qmats.append(q.reshape(8, 8))
-            bw_blocks, bh_blocks = (w + 7) // 8, (h + 7) // 8
-            planes = [np.zeros((bh_blocks * 8, bw_blocks * 8))
-                      for _ in comps]
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            # each component decodes at its NATIVE resolution
+            planes = [np.zeros((mcuy * 8 * c[2], mcux * 8 * c[1]))
+                      for c in comps]
             prev_dc = [0] * len(comps)
-            for by in range(bh_blocks):
-                for bx in range(bw_blocks):
-                    # 4:4:4 MCU: one block per component, scan order
+
+            def read_block(dc_t, ac_t, sof_idx):
+                zz = [0] * 64
+                cat = _jpeg_huff_decode(br, dc_t)
+                prev_dc[sof_idx] += _jpeg_extend(br.bits(cat), cat)
+                zz[0] = prev_dc[sof_idx]
+                i = 1
+                while i < 64:
+                    sym = _jpeg_huff_decode(br, ac_t)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, cat = sym >> 4, sym & 0xF
+                    if cat == 0:
+                        if run != 15:
+                            raise ValueError("bad AC symbol")
+                        i += 16  # ZRL
+                        continue
+                    i += run
+                    if i > 63:
+                        raise ValueError("AC coefficient overflow")
+                    zz[i] = _jpeg_extend(br.bits(cat), cat)
+                    i += 1
+                coef = np.zeros(64)
+                for i in range(64):
+                    coef[_JPEG_ZIGZAG[i]] = zz[i]
+                return C.T @ (coef.reshape(8, 8) * qmats[sof_idx]) @ C
+
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    # interleaved MCU: each component contributes its
+                    # h_i x v_i data units, row-major, in scan order
                     for sof_idx, td, ta in scan:
+                        _, hi, vi, _ = comps[sof_idx]
                         dc_t, ac_t = huff[(0, td)], huff[(1, ta)]
-                        zz = [0] * 64
-                        cat = _jpeg_huff_decode(br, dc_t)
-                        prev_dc[sof_idx] += _jpeg_extend(br.bits(cat), cat)
-                        zz[0] = prev_dc[sof_idx]
-                        i = 1
-                        while i < 64:
-                            sym = _jpeg_huff_decode(br, ac_t)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, cat = sym >> 4, sym & 0xF
-                            if cat == 0:
-                                if run != 15:
-                                    raise ValueError("bad AC symbol")
-                                i += 16  # ZRL
-                                continue
-                            i += run
-                            if i > 63:
-                                raise ValueError("AC coefficient overflow")
-                            zz[i] = _jpeg_extend(br.bits(cat), cat)
-                            i += 1
-                        coef = np.zeros(64)
-                        for i in range(64):
-                            coef[_JPEG_ZIGZAG[i]] = zz[i]
-                        block = C.T @ (coef.reshape(8, 8)
-                                       * qmats[sof_idx]) @ C
-                        planes[sof_idx][by * 8:by * 8 + 8,
-                                        bx * 8:bx * 8 + 8] = block
-            return w, h, [p[:h, :w] + 128.0 for p in planes]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                block = read_block(dc_t, ac_t, sof_idx)
+                                y0 = (my * vi + by) * 8
+                                x0 = (mx * hi + bx) * 8
+                                planes[sof_idx][y0:y0 + 8,
+                                                x0:x0 + 8] = block
+            out = []
+            for (c, p) in zip(comps, planes):
+                _, hi, vi, _ = c
+                if hi != hmax or vi != vmax:  # pixel-replication upsample
+                    p = np.repeat(np.repeat(p, vmax // vi, axis=0),
+                                  hmax // hi, axis=1)
+                out.append(p[:h, :w] + 128.0)
+            return w, h, out
     raise ValueError("no SOS scan found")
 
 
@@ -1239,3 +1264,137 @@ def decode_jpeg_color_features(df: DataFrame) -> DataFrame:
                               "sum_r", "sum_g", "sum_b"]).astype("int64")
 
     return df.mapInPandas(run, BMP_FEATURE_SCHEMA)
+
+
+def encode_jpeg_color_420(rgb, w: int, h: int) -> bytes:
+    """Baseline YCbCr 4:2:0 color JFIF — the subsampled layout
+    real-world JPEGs ship: Y at full resolution (sampling 2x2),
+    Cb/Cr at half resolution each way (1x1), chroma built by 2x2
+    pixel averaging, interleaved MCUs of 4 Y + 1 Cb + 1 Cr blocks.
+    Dims must be multiples of 16 (one full MCU grid — this is the
+    deterministic-fixture encoder, not a general-purpose one; the
+    DECODER handles arbitrary dims and sampling)."""
+    import struct
+
+    import numpy as np
+
+    if w % 16 or h % 16:
+        raise ValueError("4:2:0 fixture encoder needs multiple-of-16 dims")
+
+    def seg(marker, payload):
+        return (bytes([0xFF, marker])
+                + struct.pack(">H", len(payload) + 2) + payload)
+
+    C = _jpeg_dct_basis()
+    arr = np.asarray(rgb, dtype=np.float64).reshape(h, w, 3)
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    # 2x2 average subsample (the standard decimation)
+    cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+    planes = [y - 128.0, cb - 128.0, cr - 128.0]
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    bw = _JpegBitWriter()
+    prev_dc = [0, 0, 0]
+    dc_ac = (dc_codes, ac_codes)
+
+    def put_block(ci, block):
+        dc_c, ac_c = dc_ac
+        coef = C @ block @ C.T
+        flat = coef.reshape(64)
+        q = [int(round(flat[_JPEG_ZIGZAG[i]])) for i in range(64)]
+        cat, bits = _jpeg_category(q[0] - prev_dc[ci])
+        prev_dc[ci] = q[0]
+        code, ln = dc_c[cat]
+        bw.put(code, ln)
+        if cat:
+            bw.put(bits, cat)
+        last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+        run = 0
+        for i in range(1, last_nz + 1):
+            if q[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_c[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            cat, bits = _jpeg_category(q[i])
+            code, ln = ac_c[(run << 4) | cat]
+            bw.put(code, ln)
+            bw.put(bits, cat)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_c[0x00]
+            bw.put(code, ln)
+
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for by in range(2):  # 4 Y blocks, row-major
+                for bx in range(2):
+                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    put_block(0, planes[0][y0:y0 + 8, x0:x0 + 8])
+            put_block(1, planes[1][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8])
+            put_block(2, planes[2][my * 8:my * 8 + 8, mx * 8:mx * 8 + 8])
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _jpeg420_dims(media_id: int) -> tuple[int, int]:
+    # full 16x16 MCUs so the subsampled fixture needs no pad logic
+    return 16 * (1 + media_id % 3), 16 * (1 + media_id % 2)
+
+
+def encode_jpeg_420_pattern(media_id: int) -> bytes:
+    """Deterministic flat-gray 4:2:0 test image: gray pixels keep
+    chroma at a constant 128 (so 2x2 averaging changes nothing) and
+    the flat Y blocks are DC-only — the subsampled lossy pipeline
+    round-trips these EXACTLY too."""
+    import numpy as np
+
+    w, h = _jpeg420_dims(media_id)
+    blocks = np.fromfunction(
+        lambda by, bx: (media_id + 7 * bx + 13 * by) % 256,
+        (h // 8, w // 8))
+    gray = np.kron(blocks, np.ones((8, 8)))
+    rgb = np.repeat(gray.reshape(h, w, 1), 3, axis=2)
+    return encode_jpeg_color_420(rgb.reshape(-1, 3).astype(int).tolist(),
+                                 w, h)
+
+
+def synth_jpeg_420_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media schema with REAL baseline 4:2:0 color JPEG payloads."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        from gobblin_spark.functions.multimodal import encode_jpeg_420_pattern
+
+        for pdf in batches:
+            payloads = [encode_jpeg_420_pattern(int(m))
+                        for m in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "byte_len": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"),
+                    "sha256": [_hl.sha256(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(run, MEDIA_SCHEMA)

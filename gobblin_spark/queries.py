@@ -1545,6 +1545,45 @@ def multimodal_decode_jpeg_color(spark, sf_dir):
     return multimodal.decode_jpeg_color_features(media)
 
 
+@q(
+    "multimodal_decode_jpeg420",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             2 * (1 + doc_id % 3) AS wb, 2 * (1 + doc_id % 2) AS hb
+      FROM documents
+    ), blk AS (
+      SELECT media_id, wb, hb, unnest(range(0, wb * hb)) AS b FROM d
+    ), s AS (
+      SELECT media_id, wb, hb,
+             sum(64 * ((media_id + 7 * (b % wb) + 13 * (b // wb)) % 256))
+               AS sg
+      FROM blk GROUP BY media_id, wb, hb
+    )
+    SELECT media_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           CAST(sg AS BIGINT) AS sum_r,
+           CAST(sg AS BIGINT) AS sum_g,
+           CAST(sg AS BIGINT) AS sum_b
+    FROM s
+    """,
+)
+def multimodal_decode_jpeg420(spark, sf_dir):
+    """CHROMA-SUBSAMPLED JPEG decode (4:2:0 — the layout real-world
+    JPEGs actually ship), value-checked: Y at full resolution
+    (sampling 2x2), Cb/Cr at half resolution from 2x2 pixel
+    averaging, interleaved MCUs of 4 Y + 1 Cb + 1 Cr data units,
+    pixel-replication upsampling on decode. Flat GRAY blocks keep
+    chroma at a constant 128 (averaging changes nothing) and DC-only
+    luma, so even the subsampled lossy pipeline round-trips them
+    bit-exactly — closed-form oracle number three for a lossy format.
+    Progressive mode and restart intervals remain the honest gates."""
+    docs = load_docs(spark, sf_dir)
+    media = multimodal.synth_jpeg_420_media(docs)
+    return multimodal.decode_jpeg_color_features(media)
+
+
 # ------------------------------------------------------------------
 # headline relational queries (bench + parity with Catalyst plans)
 # ------------------------------------------------------------------

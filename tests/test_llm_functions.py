@@ -954,12 +954,46 @@ def test_jpeg_color_gates_and_routing():
         multimodal.decode_jpeg_gray(multimodal.encode_jpeg_color_pattern(1))
     with _pytest.raises(ValueError):
         multimodal.decode_jpeg_color(multimodal.encode_jpeg_gray_pattern(1))
-    # chroma subsampling stays gated: rewrite Y sampling to 2x2
+    # 4:2:0/4:2:2 decode is REAL now; the remaining sampling gate is
+    # fractional upsampling ratios (hmax not a multiple of h_i):
+    # Y 3x3 with Cb 2x2 cannot be replicated-up by an integer factor
     base = bytearray(multimodal.encode_jpeg_color_pattern(1))
     i = bytes(base).find(b"\xff\xc0")
-    base[i + 11] = 0x22
+    base[i + 11] = 0x33  # Y sampling
+    base[i + 14] = 0x22  # Cb sampling
     with _pytest.raises(NotImplementedError):
         multimodal.decode_jpeg_color(bytes(base))
+
+
+def test_jpeg_420_flat_gray_exact():
+    """4:2:0 subsampling: flat-gray blocks keep chroma constant at 128
+    (2x2 averaging is identity on a constant) and DC-only luma — even
+    the subsampled pipeline is exact on the fixture pattern."""
+    for mid in (0, 1, 5, 123):
+        w, h = multimodal._jpeg420_dims(mid)
+        wb, hb = w // 8, h // 8
+        exp = sum(64 * ((mid + 7 * bx + 13 * by) % 256)
+                  for by in range(hb) for bx in range(wb))
+        jw, jh, sr, sg, sb = multimodal.decode_jpeg_color(
+            multimodal.encode_jpeg_420_pattern(mid))
+        assert (jw, jh, sr, sg, sb) == (w, h, exp, exp, exp)
+
+
+def test_jpeg_420_arbitrary_rgb_bounded():
+    """Chroma decimation is genuinely lossy on arbitrary content; the
+    channel-sum drift stays small (averaging is unbiased)."""
+    import random
+
+    rng = random.Random(5)
+    w, h = 32, 16
+    rgb = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(w * h)]
+    jw, jh, sr, sg, sb = multimodal.decode_jpeg_color(
+        multimodal.encode_jpeg_color_420(rgb, w, h))
+    assert (jw, jh) == (w, h)
+    for ci, got in enumerate((sr, sg, sb)):
+        exp = sum(p[ci] for p in rgb)
+        assert abs(got - exp) <= 2 * w * h  # ~0.1/px measured
 
 
 def test_decode_image_features_real_jpeg_color(spark):
