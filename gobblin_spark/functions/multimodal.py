@@ -128,7 +128,7 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
             import numpy as _np
 
             from gobblin_spark.functions.multimodal import (
-                _decode_jpeg_planes, decode_bmp24, decode_jpeg_color,
+                _decode_jpeg_planes, _jpeg_rgb_sums, decode_bmp24,
                 decode_png_rgb8, decode_ppm_p6)
 
             payload = bytes(payload or b"")
@@ -141,7 +141,7 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
             elif payload[:2] == b"\xff\xd8":
                 w, h, planes = _decode_jpeg_planes(payload)
                 if len(planes) == 3:
-                    w, h, sr, sg, sb = decode_jpeg_color(payload)
+                    sr, sg, sb = _jpeg_rgb_sums(planes)
                 else:  # grayscale: one luminance channel
                     s = int(_np.clip(_np.round(planes[0]), 0, 255).sum())
                     sr = sg = sb = s
@@ -1027,20 +1027,27 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, int]:
     return w, h, int(vis.sum())
 
 
-def decode_jpeg_color(payload: bytes) -> tuple[int, int, int, int, int]:
-    """(width, height, sum_r, sum_g, sum_b) from a baseline YCbCr
-    4:4:4 color JFIF (ITU-R BT.601 inverse transform)."""
+def _jpeg_rgb_sums(planes) -> tuple[int, int, int]:
+    """ITU-R BT.601 inverse transform + clamp → channel sums."""
     import numpy as np
 
-    w, h, planes = _decode_jpeg_planes(payload)
-    if len(planes) != 3:
-        raise ValueError("grayscale JPEG — use decode_jpeg_gray")
     y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
-    sums = [int(np.clip(np.round(ch), 0, 255).sum()) for ch in (r, g, b)]
-    return w, h, sums[0], sums[1], sums[2]
+    sr, sg, sb = (int(np.clip(np.round(ch), 0, 255).sum())
+                  for ch in (r, g, b))
+    return sr, sg, sb
+
+
+def decode_jpeg_color(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height, sum_r, sum_g, sum_b) from a baseline YCbCr
+    color JFIF (4:4:4 or subsampled; BT.601 inverse transform)."""
+    w, h, planes = _decode_jpeg_planes(payload)
+    if len(planes) != 3:
+        raise ValueError("grayscale JPEG — use decode_jpeg_gray")
+    sr, sg, sb = _jpeg_rgb_sums(planes)
+    return w, h, sr, sg, sb
 
 
 JPEG_FEATURE_SCHEMA = StructType(
