@@ -21,9 +21,9 @@ partition sizing — is real and tested. Codecs come in two tiers:
 - What still needs a native library (MP3, video: ffmpeg — NOT in
   this container) stays gated: ``decode_image_features`` raises
   NotImplementedError unless ``fake=True`` swaps in the
-  deterministic stub. Progressive JPEG and restart intervals are
-  likewise honest in-codec gates. The distributed shape is identical
-  either way.
+  deterministic stub. Progressive JPEG (SOF2) is the one remaining
+  in-codec gate — restart intervals (DRI/RSTn) decode AND encode.
+  The distributed shape is identical either way.
 
 Design notes for 100 TB of media:
 - Blobs stay in the ``binary`` column; metadata-only transformations
@@ -758,6 +758,14 @@ class _JpegBitWriter:
             self.put((1 << pad) - 1, pad)  # 1-fill per spec
         return bytes(self.buf)
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align (1-fill) and emit RSTn — markers are never
+        byte-stuffed, so they bypass put()."""
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (m % 8)])
+
 
 def encode_jpeg_gray(pixels, w: int, h: int) -> bytes:
     """Baseline grayscale JFIF from a row-major 0..255 pixel sequence;
@@ -834,7 +842,9 @@ class _JpegBitReader:
                 if nxt == 0x00:
                     self.pos += 1  # unstuff
                 elif 0xD0 <= nxt <= 0xD7:
-                    raise NotImplementedError("restart markers (DRI/RSTn)")
+                    raise ValueError(
+                        "hit an RSTn mid-entropy-unit — restart-marker "
+                        "cadence disagrees with the DRI interval")
                 else:
                     raise ValueError(f"marker 0xFF{nxt:02x} inside scan")
             self.acc, self.n = b, 8
@@ -846,6 +856,17 @@ class _JpegBitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, m: int) -> None:
+        """Consume the byte-aligned RSTn marker the DRI cadence
+        promises: discard partial bits, expect FFD0+(m%8)."""
+        self.n = 0  # drop the encoder's 1-fill padding bits
+        if (self.data[self.pos] != 0xFF
+                or self.data[self.pos + 1] != 0xD0 + (m % 8)):
+            raise ValueError(
+                f"expected restart marker RST{m % 8}, found "
+                f"0x{self.data[self.pos]:02x}{self.data[self.pos + 1]:02x}")
+        self.pos += 2
 
 
 def _jpeg_huff_table(bits, vals):
@@ -892,7 +913,7 @@ def _decode_jpeg_planes(payload: bytes):
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     C = _jpeg_dct_basis()
-    pos, qt, huff, w, h = 2, {}, {}, None, None
+    pos, qt, huff, w, h, ri = 2, {}, {}, None, None, 0
     comps = []  # (comp_id, h_i, v_i, tq) in SOF order
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -923,7 +944,7 @@ def _decode_jpeg_planes(payload: bytes):
         elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError("only baseline sequential (SOF0)")
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals (DRI)")
+            ri = struct.unpack(">H", data[:2])[0]  # MCUs per restart
         elif marker == 0xC4:
             i = 0
             while i < len(data):
@@ -991,8 +1012,16 @@ def _decode_jpeg_planes(payload: bytes):
                     coef[_JPEG_ZIGZAG[i]] = zz[i]
                 return C.T @ (coef.reshape(8, 8) * qmats[sof_idx]) @ C
 
+            mcu_n = 0
             for my in range(mcuy):
                 for mx in range(mcux):
+                    # DRI cadence: every `ri` MCUs a byte-aligned RSTn
+                    # arrives and the DC predictors reset (how real
+                    # camera JPEGs bound error propagation)
+                    if ri and mcu_n and mcu_n % ri == 0:
+                        br.restart(mcu_n // ri - 1)
+                        prev_dc[:] = [0] * len(comps)
+                    mcu_n += 1
                     # interleaved MCU: each component contributes its
                     # h_i x v_i data units, row-major, in scan order
                     for sof_idx, td, ta in scan:
@@ -1128,14 +1157,18 @@ def decode_jpeg_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, JPEG_FEATURE_SCHEMA)
 
 
-def encode_jpeg_color(rgb, w: int, h: int) -> bytes:
+def encode_jpeg_color(rgb, w: int, h: int,
+                      restart_interval: int = 0) -> bytes:
     """Baseline YCbCr 4:4:4 color JFIF from a row-major sequence of
     (r, g, b) tuples. Forward transform = ITU-R BT.601 (JFIF): gray
     pixels (r=g=b=v) map to Y=v, Cb=Cr=128 EXACTLY, which is what
     keeps flat gray blocks closed-form through the color pipeline.
     All three components share the all-ones quant table and the
     fixed-length canonical huffman tables; the interleaved scan emits
-    one (Y, Cb, Cr) block triple per 8x8 tile (4:4:4 MCU)."""
+    one (Y, Cb, Cr) block triple per 8x8 tile (4:4:4 MCU).
+    ``restart_interval=N`` emits a DRI segment and a byte-aligned
+    RSTn marker every N MCUs with DC predictors reset — the
+    error-propagation bound real camera JPEGs ship with."""
     import struct
 
     import numpy as np
@@ -1164,6 +1197,8 @@ def encode_jpeg_color(rgb, w: int, h: int) -> bytes:
                + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
     out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
     out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     bw = _JpegBitWriter()
     prev_dc = [0, 0, 0]
@@ -1197,8 +1232,13 @@ def encode_jpeg_color(rgb, w: int, h: int) -> bytes:
             code, ln = ac_codes[0x00]
             bw.put(code, ln)
 
+    mcu_n = 0
     for by in range(bh_blocks):
         for bx in range(bw_blocks):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw.restart_marker(mcu_n // restart_interval - 1)
+                prev_dc[:] = [0, 0, 0]
+            mcu_n += 1
             for ci in range(3):  # 4:4:4 MCU: Y, Cb, Cr
                 put_block(ci, padded[ci][by * 8:by * 8 + 8,
                                          bx * 8:bx * 8 + 8])

@@ -1578,7 +1578,8 @@ def multimodal_decode_jpeg420(spark, sf_dir):
     chroma at a constant 128 (averaging changes nothing) and DC-only
     luma, so even the subsampled lossy pipeline round-trips them
     bit-exactly — closed-form oracle number three for a lossy format.
-    Progressive mode and restart intervals remain the honest gates."""
+    Progressive mode remains the honest gate (restart intervals
+    decode and encode — pytest-pinned round trip + cadence check)."""
     docs = load_docs(spark, sf_dir)
     media = multimodal.synth_jpeg_420_media(docs)
     return multimodal.decode_jpeg_color_features(media)

@@ -965,6 +965,34 @@ def test_jpeg_color_gates_and_routing():
         multimodal.decode_jpeg_color(bytes(base))
 
 
+def test_jpeg_restart_intervals_roundtrip_and_cadence_check():
+    """DRI/RSTn support: restart markers byte-align the stream and
+    reset DC predictors every N MCUs — decode output is identical to
+    the restart-free encoding at ANY interval, and a stream whose
+    marker cadence disagrees with its DRI value is rejected."""
+    import random
+
+    import pytest as _pytest
+
+    rng = random.Random(9)
+    w, h = 32, 24
+    rgb = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(w * h)]
+    plain = multimodal.decode_jpeg_color(
+        multimodal.encode_jpeg_color(rgb, w, h))
+    for ri in (1, 2, 7):
+        assert multimodal.decode_jpeg_color(
+            multimodal.encode_jpeg_color(rgb, w, h,
+                                         restart_interval=ri)) == plain
+    # corrupt the DRI value so markers arrive off-cadence
+    pay = bytearray(multimodal.encode_jpeg_color(rgb, w, h,
+                                                 restart_interval=3))
+    i = pay.find(b"\xff\xdd")
+    pay[i + 4:i + 6] = (5).to_bytes(2, "big")
+    with _pytest.raises(ValueError):
+        multimodal.decode_jpeg_color(bytes(pay))
+
+
 def test_jpeg_420_flat_gray_exact():
     """4:2:0 subsampling: flat-gray blocks keep chroma constant at 128
     (2x2 averaging is identity on a constant) and DC-only luma — even
