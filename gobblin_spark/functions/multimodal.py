@@ -21,8 +21,10 @@ partition sizing — is real and tested. Codecs come in two tiers:
 - What still needs a native library (MP3, video: ffmpeg — NOT in
   this container) stays gated: ``decode_image_features`` raises
   NotImplementedError unless ``fake=True`` swaps in the
-  deterministic stub. Progressive JPEG (SOF2) is the one remaining
-  in-codec gate — restart intervals (DRI/RSTn) decode AND encode.
+  deterministic stub. Progressive JPEG (SOF2: spectral selection +
+  successive approximation, EOBn runs, refinement scans) decodes
+  AND encodes, as do restart intervals (DRI/RSTn); the remaining
+  in-codec gates are arithmetic coding and hierarchical mode.
   The distributed shape is identical either way.
 
 Design notes for 100 TB of media:
@@ -688,7 +690,8 @@ def decode_png_features(df: DataFrame) -> DataFrame:
 # (DC-only coefficients), which is what makes a closed-form SQL
 # oracle possible for a lossy format; arbitrary content round-trips
 # within +/-1/pixel at the all-ones table (pytest-pinned). Color
-# (YCbCr + subsampling), progressive (SOF2), and restart markers stay
+# (YCbCr 4:4:4 and subsampled 4:2:0) and restart intervals (DRI/RSTn)
+# are implemented below; progressive (SOF2) and arithmetic coding stay
 # honest NotImplementedError gates.
 # ------------------------------------------------------------------
 
@@ -897,15 +900,23 @@ def _jpeg_extend(bits: int, cat: int) -> int:
 
 
 def _decode_jpeg_planes(payload: bytes):
-    """General baseline decoder core: (w, h, [plane, ...]) with one
+    """General decoder core: (w, h, [plane, ...]) with one
     full-resolution float numpy plane per component (level-shifted
     back to 0..255, NOT yet rounded/clamped). Supports 1 (grayscale)
     or 3 (YCbCr) components with ANY integer sampling factors whose
     max divides evenly (covers 4:4:4, 4:2:0, 4:2:2, 4:4:0) —
     subsampled chroma planes decode at their native resolution and
-    upsample by pixel replication (the JFIF default). Tables come
-    from the stream's own DQT/DHT segments. Progressive (SOF2),
-    arithmetic coding, and restart intervals raise — honest gates."""
+    upsample by pixel replication (the JFIF default). Handles BOTH
+    baseline sequential (SOF0) and PROGRESSIVE (SOF2) streams — the
+    progressive path implements spectral selection + successive
+    approximation per ITU T.81 Annex G: interleaved/single-component
+    DC scans, single-component AC band scans, EOBn end-of-band runs,
+    and refinement scans (correction bits on already-nonzero
+    coefficients, libjpeg-compatible semantics). Tables come from the
+    stream's own DQT/DHT segments; a DRI segment arms the
+    restart-marker cadence (byte-align + DC-predictor/EOB-run reset
+    every ``ri`` MCUs or blocks). Arithmetic coding, hierarchical
+    (SOF5+), and lossless modes raise — honest gates."""
     import struct
 
     import numpy as np
@@ -915,6 +926,171 @@ def _decode_jpeg_planes(payload: bytes):
     C = _jpeg_dct_basis()
     pos, qt, huff, w, h, ri = 2, {}, {}, None, None, 0
     comps = []  # (comp_id, h_i, v_i, tq) in SOF order
+    progressive = False
+    prog = {}  # progressive coefficient store, filled at first SOS
+
+    def _prog_init():
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        for _, hi, vi, _ in comps:
+            if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
+                raise NotImplementedError(
+                    "fractional chroma upsampling ratios")
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        coefs, grids = [], []
+        for _, hi, vi, _ in comps:
+            # coefficient planes sized to the interleaved (MCU-padded)
+            # grid; non-interleaved scans only touch the real
+            # ceil(comp_dim/8) sub-grid
+            coefs.append(np.zeros((mcuy * vi, mcux * hi, 64),
+                                  dtype=np.int64))
+            grids.append((
+                (h * vi + 8 * vmax - 1) // (8 * vmax),
+                (w * hi + 8 * hmax - 1) // (8 * hmax),
+            ))
+        prog.update(hmax=hmax, vmax=vmax, mcux=mcux, mcuy=mcuy,
+                    coefs=coefs, grids=grids)
+
+    def _prog_scan(data, scan_pos):
+        """Decode ONE progressive scan's entropy segment starting at
+        ``scan_pos``; returns the new byte position (next marker)."""
+        if not prog:
+            _prog_init()
+        ns = data[0]
+        scan = []
+        for si in range(ns):
+            cs, tds = data[1 + 2 * si], data[2 + 2 * si]
+            sof_idx = next(i for i, c in enumerate(comps) if c[0] == cs)
+            scan.append((sof_idx, tds >> 4, tds & 0xF))
+        ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+        ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 0xF
+        if ss == 0 and se != 0:
+            raise ValueError(
+                "progressive scan may not mix DC and AC (Ss=0 needs Se=0)")
+        if ss > 0 and ns != 1:
+            raise ValueError("progressive AC scans are single-component")
+        br = _JpegBitReader(payload[scan_pos:])
+        coefs = prog["coefs"]
+        dc_pred = [0] * len(comps)
+        state = {"eobrun": 0, "units": 0}
+        p1, m1 = 1 << al, -(1 << al)
+
+        def refine_nz(blk, k):
+            # correction bit for an already-nonzero coefficient: 1 =>
+            # increase the magnitude by one unit at this bit position
+            if br.bit() and not (int(blk[k]) & p1):
+                blk[k] += p1 if blk[k] >= 0 else m1
+
+        def dc_first(blk, sof_idx, td):
+            cat = _jpeg_huff_decode(br, huff[(0, td)])
+            dc_pred[sof_idx] += _jpeg_extend(br.bits(cat), cat)
+            blk[0] = dc_pred[sof_idx] << al
+
+        def dc_refine(blk):
+            if br.bit():
+                blk[0] = int(blk[0]) | p1
+
+        def ac_first(blk, ac_t):
+            if state["eobrun"]:
+                state["eobrun"] -= 1
+                return
+            k = ss
+            while k <= se:
+                sym = _jpeg_huff_decode(br, ac_t)
+                run, cat = sym >> 4, sym & 0xF
+                if cat == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    state["eobrun"] = (1 << run) - 1
+                    if run:
+                        state["eobrun"] += br.bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("AC coefficient overflow")
+                blk[k] = _jpeg_extend(br.bits(cat), cat) << al
+                k += 1
+
+        def ac_refine(blk, ac_t):
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    sym = _jpeg_huff_decode(br, ac_t)
+                    run, cat = sym >> 4, sym & 0xF
+                    if cat == 0 and run != 15:
+                        state["eobrun"] = 1 << run
+                        if run:
+                            state["eobrun"] += br.bits(run)
+                        break
+                    if cat == 0:
+                        val = 0  # ZRL: skip 16 zero-history slots
+                    elif cat == 1:
+                        val = p1 if br.bit() else m1
+                    else:
+                        raise ValueError("bad AC refinement symbol")
+                    placed = False
+                    while k <= se:
+                        if blk[k]:
+                            refine_nz(blk, k)
+                            k += 1
+                        else:
+                            run -= 1
+                            if run < 0:
+                                placed = True
+                                break
+                            k += 1
+                    if val:
+                        if not placed:
+                            raise ValueError("AC refinement overflow")
+                        blk[k] = val
+                    k += 1
+            if state["eobrun"]:
+                while k <= se:  # end-of-band correction-bit sweep
+                    if blk[k]:
+                        refine_nz(blk, k)
+                    k += 1
+                state["eobrun"] -= 1
+
+        def unit_tick():
+            # DRI cadence applies per MCU (interleaved) or per block
+            # (single-component scans); EOB runs may not cross it
+            if ri and state["units"] and state["units"] % ri == 0:
+                br.restart(state["units"] // ri - 1)
+                dc_pred[:] = [0] * len(comps)
+                state["eobrun"] = 0
+            state["units"] += 1
+
+        if ss == 0 and ns > 1:  # interleaved DC scan over the MCU grid
+            for my in range(prog["mcuy"]):
+                for mx in range(prog["mcux"]):
+                    unit_tick()
+                    for sof_idx, td, _ in scan:
+                        _, hi, vi, _ = comps[sof_idx]
+                        for by in range(vi):
+                            for bx in range(hi):
+                                blk = coefs[sof_idx][my * vi + by,
+                                                     mx * hi + bx]
+                                if ah:
+                                    dc_refine(blk)
+                                else:
+                                    dc_first(blk, sof_idx, td)
+        else:  # single-component scan over the component's own grid
+            sof_idx, td, ta = scan[0]
+            bh_c, bw_c = prog["grids"][sof_idx]
+            for byy in range(bh_c):
+                for bxx in range(bw_c):
+                    unit_tick()
+                    blk = coefs[sof_idx][byy, bxx]
+                    if ss == 0:
+                        dc_refine(blk) if ah else dc_first(blk, sof_idx, td)
+                    elif ah:
+                        ac_refine(blk, huff[(1, ta)])
+                    else:
+                        ac_first(blk, huff[(1, ta)])
+        return scan_pos + br.pos
+
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("marker sync lost")
@@ -932,17 +1108,18 @@ def _decode_jpeg_planes(payload: bytes):
                     raise NotImplementedError("16-bit quant tables")
                 qt[tq] = list(data[i + 1:i + 65])
                 i += 65
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             _prec, h, w, nf = struct.unpack_from(">BHHB", data, 0)
             if nf not in (1, 3):
                 raise NotImplementedError(
-                    "only 1- (grayscale) or 3-component (YCbCr) "
-                    "baseline JPEG")
+                    "only 1- (grayscale) or 3-component (YCbCr) JPEG")
             for ci in range(nf):
                 cid, samp, tq = data[6 + 3 * ci:9 + 3 * ci]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker in (0xC1, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0) and progressive (SOF2)")
         elif marker == 0xDD:
             ri = struct.unpack(">H", data[:2])[0]  # MCUs per restart
         elif marker == 0xC4:
@@ -954,6 +1131,8 @@ def _decode_jpeg_planes(payload: bytes):
                 huff[(tc, th)] = _jpeg_huff_table(
                     bits, list(data[i + 17:i + 17 + n]))
                 i += 17 + n
+        elif marker == 0xDA and progressive:
+            pos = _prog_scan(data, pos)
         elif marker == 0xDA:
             ns = data[0]
             if ns != len(comps):
@@ -1042,6 +1221,29 @@ def _decode_jpeg_planes(payload: bytes):
                                   hmax // hi, axis=1)
                 out.append(p[:h, :w] + 128.0)
             return w, h, out
+    if progressive and prog:
+        # all scans consumed (EOI): dequantize + IDCT the accumulated
+        # coefficient planes (vectorized per component)
+        zz = np.array(_JPEG_ZIGZAG)
+        hmax, vmax = prog["hmax"], prog["vmax"]
+        out = []
+        for (comp, arr) in zip(comps, prog["coefs"]):
+            _, hi, vi, tq = comp
+            q = np.zeros(64)
+            for i in range(64):
+                q[_JPEG_ZIGZAG[i]] = qt[tq][i]
+            nat = np.zeros(arr.shape, dtype=np.float64)
+            nat[..., zz] = arr  # dezigzag
+            m = nat.reshape(arr.shape[0], arr.shape[1], 8, 8) \
+                * q.reshape(8, 8)
+            px = np.einsum("ji,yxjk,kl->yxil", C, m, C)  # C.T @ M @ C
+            plane = px.transpose(0, 2, 1, 3).reshape(
+                arr.shape[0] * 8, arr.shape[1] * 8)
+            if hi != hmax or vi != vmax:
+                plane = np.repeat(np.repeat(plane, vmax // vi, axis=0),
+                                  hmax // hi, axis=1)
+            out.append(plane[:h, :w] + 128.0)
+        return w, h, out
     raise ValueError("no SOS scan found")
 
 
@@ -1432,6 +1634,253 @@ def synth_jpeg_420_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         for pdf in batches:
             payloads = [encode_jpeg_420_pattern(int(m))
+                        for m in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "byte_len": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"),
+                    "sha256": [_hl.sha256(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(run, MEDIA_SCHEMA)
+
+def encode_jpeg_progressive(planes, w: int, h: int) -> bytes:
+    """Progressive JFIF (SOF2) from 1 (grayscale) or 3 (pre-transformed
+    Y/Cb/Cr) full-resolution 0..255 float planes, 4:4:4 sampling.
+
+    Emits the classic successive-approximation scan script real
+    encoders use (cf. libjpeg's default progressive script, public
+    jcparam.c): an interleaved DC first scan at Al=1, a DC refinement
+    scan, per-component AC first scans for the 1..5 and 6..63 spectral
+    bands at Al=1, then the matching AC refinement scans down to Al=0.
+    First-pass AC scans accumulate cross-block EOBn runs (the
+    mechanism that makes progressive files small); refinement scans
+    flush per block (EOB0 + buffered correction bits) — both forms are
+    spec-valid and the decoder handles the general case. Because the
+    final refinement pass lands on Al=0, the transported coefficients
+    are bit-identical to the baseline encoding of the same pixels —
+    progressive vs baseline decode of the same image MUST match
+    exactly (pytest-pinned)."""
+    import struct
+
+    import numpy as np
+
+    ncomp = len(planes)
+    C = _jpeg_dct_basis()
+    bwb, bhb = (w + 7) // 8, (h + 7) // 8
+    blocks = []
+    for p in planes:
+        padded = np.pad(
+            np.asarray(p, dtype=np.float64).reshape(h, w),
+            ((0, bhb * 8 - h), (0, bwb * 8 - w)), mode="edge") - 128.0
+        arrc = np.zeros((bhb, bwb, 64), dtype=np.int64)
+        for by in range(bhb):
+            for bx in range(bwb):
+                f = (C @ padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+                     @ C.T).reshape(64)
+                arrc[by, bx] = [int(round(f[_JPEG_ZIGZAG[i]]))
+                                for i in range(64)]
+        blocks.append(arrc)
+
+    def seg(marker, payload):
+        return (bytes([0xFF, marker])
+                + struct.pack(">H", len(payload) + 2) + payload)
+
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+               + bytes(_JPEG_AC_VALS))
+
+    def sos(comp_ids, ss, se, ah, al):
+        pl = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            pl += bytes([cid, 0x00])
+        return seg(0xDA, pl + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_first(al):
+        bw = _JpegBitWriter()
+        pred = [0] * ncomp
+        for by in range(bhb):
+            for bx in range(bwb):
+                for ci in range(ncomp):
+                    v = int(blocks[ci][by, bx, 0]) >> al  # arithmetic shift
+                    cat, bits = _jpeg_category(v - pred[ci])
+                    pred[ci] = v
+                    code, ln = dc_codes[cat]
+                    bw.put(code, ln)
+                    if cat:
+                        bw.put(bits, cat)
+        return bw.flush()
+
+    def dc_refine(al):
+        bw = _JpegBitWriter()
+        for by in range(bhb):
+            for bx in range(bwb):
+                for ci in range(ncomp):
+                    bw.put((int(blocks[ci][by, bx, 0]) >> al) & 1, 1)
+        return bw.flush()
+
+    def ac_first(ci, ss, se, al):
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_codes[r << 4]
+                bw.put(code, ln)
+                if r:
+                    bw.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for by in range(bhb):
+            for bx in range(bwb):
+                blk = blocks[ci][by, bx]
+                run = 0
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    t = abs(v) >> al
+                    if t == 0:
+                        run += 1
+                        continue
+                    flush_eob()
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]  # ZRL
+                        bw.put(code, ln)
+                        run -= 16
+                    cat, bits = _jpeg_category(t if v > 0 else -t)
+                    code, ln = ac_codes[(run << 4) | cat]
+                    bw.put(code, ln)
+                    bw.put(bits, cat)
+                    run = 0
+                if run > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return bw.flush()
+
+    def ac_refine(ci, ss, se, al):
+        bw = _JpegBitWriter()
+        for by in range(bhb):
+            for bx in range(bwb):
+                blk = blocks[ci][by, bx]
+                ts = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                eobpos = max((ss + i for i, t in enumerate(ts) if t == 1),
+                             default=ss - 1)
+                run, brbits = 0, []
+                for k in range(ss, se + 1):
+                    t = ts[k - ss]
+                    if t == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eobpos:
+                        code, ln = ac_codes[0xF0]
+                        bw.put(code, ln)
+                        run -= 16
+                        for b in brbits:
+                            bw.put(b, 1)
+                        brbits = []
+                    if t > 1:
+                        # already significant: buffer the correction bit
+                        brbits.append(t & 1)
+                        continue
+                    # newly significant at this pass
+                    code, ln = ac_codes[(run << 4) | 1]
+                    bw.put(code, ln)
+                    bw.put(1 if int(blk[k]) > 0 else 0, 1)
+                    for b in brbits:
+                        bw.put(b, 1)
+                    brbits = []
+                    run = 0
+                if run > 0 or brbits:
+                    code, ln = ac_codes[0x00]  # per-block EOB0
+                    bw.put(code, ln)
+                    for b in brbits:
+                        bw.put(b, 1)
+        return bw.flush()
+
+    comp_ids = [ci + 1 for ci in range(ncomp)]
+    out += sos(comp_ids, 0, 0, 0, 1)
+    out += dc_first(1)
+    out += sos(comp_ids, 0, 0, 1, 0)
+    out += dc_refine(0)
+    for ci in range(ncomp):
+        for (a, b) in ((1, 5), (6, 63)):
+            out += sos([ci + 1], a, b, 0, 1)
+            out += ac_first(ci, a, b, 1)
+    for ci in range(ncomp):
+        for (a, b) in ((1, 5), (6, 63)):
+            out += sos([ci + 1], a, b, 1, 0)
+            out += ac_refine(ci, a, b, 0)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_prog_gray(pixels, w: int, h: int) -> bytes:
+    """Progressive grayscale JFIF from a row-major 0..255 sequence."""
+    import numpy as np
+
+    return encode_jpeg_progressive(
+        [np.asarray(pixels, dtype=np.float64).reshape(h, w)], w, h)
+
+
+def encode_jpeg_prog_color(rgb, w: int, h: int) -> bytes:
+    """Progressive 4:4:4 color JFIF from row-major (r, g, b) tuples
+    (forward BT.601, same transform as the baseline color encoder)."""
+    import numpy as np
+
+    arr = np.asarray(rgb, dtype=np.float64).reshape(h, w, 3)
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    return encode_jpeg_progressive(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ], w, h)
+
+
+def encode_jpeg_prog_pattern(media_id: int) -> bytes:
+    """The SAME deterministic flat-block gray pattern (and dims) as the
+    baseline grayscale entry, shipped as a PROGRESSIVE stream — flat
+    blocks are DC-only, every AC scan degenerates to pure EOBn runs,
+    and the successive-approximation passes reassemble the exact DC
+    values, so the closed-form SQL oracle transfers unchanged."""
+    import numpy as np
+
+    w, h = _jpeg_dims(media_id)
+    blocks = np.fromfunction(
+        lambda by, bx: (media_id + 7 * bx + 13 * by) % 256,
+        (h // 8, w // 8))
+    img = np.kron(blocks, np.ones((8, 8)))
+    return encode_jpeg_prog_gray(img.reshape(-1).astype(int).tolist(), w, h)
+
+
+def synth_jpeg_prog_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media schema with REAL progressive (SOF2) JPEG payloads."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        from gobblin_spark.functions.multimodal import encode_jpeg_prog_pattern
+
+        for pdf in batches:
+            payloads = [encode_jpeg_prog_pattern(int(m))
                         for m in pdf["media_id"]]
             yield pd.DataFrame(
                 {

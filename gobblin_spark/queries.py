@@ -1497,9 +1497,9 @@ def multimodal_decode_jpeg(spark, sf_dir):
     and the lossy format round-trips them EXACTLY — which is what lets
     a SQL oracle state a lossy codec's output in closed form (the
     ±1/px behavior on arbitrary content is pytest-pinned instead).
-    This closes the JPEG half of the round-6 'JPEG/PNG honestly gated'
-    row for grayscale; color (YCbCr + subsampling) remains the honest
-    gate."""
+    This closed the JPEG half of the round-6 'JPEG/PNG honestly gated'
+    row for grayscale; color (4:4:4 + 4:2:0) and progressive (SOF2)
+    have their own entries."""
     docs = load_docs(spark, sf_dir)
     media = multimodal.synth_jpeg_media(docs)
     return multimodal.decode_jpeg_features(media)
@@ -1538,8 +1538,9 @@ def multimodal_decode_jpeg_color(spark, sf_dir):
     bit-exactly and the oracle states all three channel sums in
     closed form (equal to the grayscale entry's sum). Arbitrary RGB
     survives within a few counts per pixel (color-transform + DCT
-    rounding), pytest-pinned. Chroma subsampling (4:2:0/4:2:2) and
-    progressive mode remain honest NotImplementedError gates."""
+    rounding), pytest-pinned. Chroma subsampling has its own entry
+    (multimodal_decode_jpeg420), as does progressive mode
+    (multimodal_decode_jpeg_prog)."""
     docs = load_docs(spark, sf_dir)
     media = multimodal.synth_jpeg_color_media(docs)
     return multimodal.decode_jpeg_color_features(media)
@@ -1578,8 +1579,9 @@ def multimodal_decode_jpeg420(spark, sf_dir):
     chroma at a constant 128 (averaging changes nothing) and DC-only
     luma, so even the subsampled lossy pipeline round-trips them
     bit-exactly — closed-form oracle number three for a lossy format.
-    Progressive mode remains the honest gate (restart intervals
-    decode and encode — pytest-pinned round trip + cadence check)."""
+    Restart intervals decode and encode (pytest-pinned round trip +
+    cadence check); progressive mode decodes too
+    (multimodal_decode_jpeg_prog)."""
     docs = load_docs(spark, sf_dir)
     media = multimodal.synth_jpeg_420_media(docs)
     return multimodal.decode_jpeg_color_features(media)
@@ -8721,6 +8723,46 @@ def pull_flow_csv(spark, sf_dir):
     qualitychecker.range.max=500000
     """
     return J.compile_frame(spark, pull)
+
+
+@q(
+    "multimodal_decode_jpeg_prog",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             2 + doc_id % 5 AS wb, 1 + doc_id % 3 AS hb
+      FROM documents
+    ), blk AS (
+      SELECT media_id, wb, hb, unnest(range(0, wb * hb)) AS b FROM d
+    )
+    SELECT media_id,
+           CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           CAST(sum(64 * ((media_id + 7 * (b % wb) + 13 * (b // wb)) % 256))
+                AS BIGINT) AS sum_gray
+    FROM blk GROUP BY media_id, wb, hb
+    """,
+)
+def multimodal_decode_jpeg_prog(spark, sf_dir):
+    """PROGRESSIVE JPEG (SOF2) decode, value-checked — the last
+    in-codec JPEG gate closes. Each doc id becomes a spec-valid
+    progressive stream carrying the successive-approximation scan
+    script real encoders emit (interleaved DC first scan at Al=1, DC
+    refinement, per-component spectral-band AC scans 1..5 / 6..63 at
+    Al=1, then AC refinement to Al=0, with cross-block EOBn runs);
+    the decoder accumulates coefficients across ALL scans per ITU
+    T.81 Annex G and reconstructs once at EOI. The test images are
+    the SAME flat-block pattern (and dims) as the baseline grayscale
+    entry, so the identical closed-form oracle certifies the
+    progressive pipeline; bit-exactness of progressive-vs-baseline on
+    ARBITRARY content (incl. the refinement-ZRL branch) is
+    pytest-pinned. Reference analog: camera/web JPEGs the reference
+    ingests as opaque blobs (gobblin-core
+    .../converter/EmbeddedExtractor semantics); remaining gates:
+    arithmetic coding, hierarchical mode, MP3/video (ffmpeg)."""
+    docs = load_docs(spark, sf_dir)
+    media = multimodal.synth_jpeg_prog_media(docs)
+    return multimodal.decode_jpeg_features(media)
 
 
 # Queries whose wall-time bench.py reports (run at sf0.1).

@@ -896,10 +896,11 @@ def test_jpeg_codec_arbitrary_content_near_lossless():
 
 
 def test_jpeg_decode_honest_gates():
-    """Odd component counts / progressive JPEGs raise
-    NotImplementedError; non-JPEG bytes raise ValueError. (The
-    3-component color gate closed when decode_jpeg_color landed —
-    its remaining gates are pinned in test_jpeg_color_gates.)"""
+    """Odd component counts / extended-sequential / arithmetic-coded
+    JPEGs raise NotImplementedError; non-JPEG bytes and malformed
+    progressive scan headers raise ValueError. (The 3-component color
+    gate closed when decode_jpeg_color landed; the SOF2 gate closed
+    when the progressive decoder landed.)"""
     import pytest as _pytest
 
     base = multimodal.encode_jpeg_gray_pattern(1)
@@ -909,13 +910,105 @@ def test_jpeg_decode_honest_gates():
     two[i + 9] = 2
     with _pytest.raises(NotImplementedError):
         multimodal.decode_jpeg_gray(bytes(two))
-    # SOF2 (progressive) gate
+    # SOF1 (extended sequential) / SOF9 (arithmetic) stay gated
+    for sof in (0xC1, 0xC9):
+        alt = bytearray(base)
+        alt[i + 1] = sof
+        with _pytest.raises(NotImplementedError):
+            multimodal.decode_jpeg_gray(bytes(alt))
+    # SOF2 now DECODES — but a baseline stream doctored to claim SOF2
+    # is malformed (its single scan spans DC+AC, which progressive
+    # forbids): ValueError, not a silent wrong decode
     prog = bytearray(base)
     prog[i + 1] = 0xC2
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         multimodal.decode_jpeg_gray(bytes(prog))
     with _pytest.raises(ValueError):
         multimodal.decode_jpeg_gray(b"\x89PNG not a jpeg")
+
+
+def test_jpeg_progressive_flat_blocks_exact():
+    """Progressive (SOF2) decode: the flat-block pattern's AC scans
+    degenerate to pure EOBn runs and the two successive-approximation
+    DC passes (first at Al=1, refinement to Al=0) reassemble the
+    exact DC values — same closed form as the baseline entry."""
+    for mid in (0, 1, 7, 123, 4999):
+        w, h = multimodal._jpeg_dims(mid)
+        wb, hb = w // 8, h // 8
+        exp = sum(64 * ((mid + 7 * bx + 13 * by) % 256)
+                  for by in range(hb) for bx in range(wb))
+        payload = multimodal.encode_jpeg_prog_pattern(mid)
+        assert b"\xff\xc2" in payload  # really SOF2
+        assert multimodal.decode_jpeg_gray(payload) == (w, h, exp)
+
+
+def test_jpeg_progressive_bit_exact_vs_baseline():
+    """The progressive scan script ends at Al=0, so the transported
+    coefficients are IDENTICAL to the baseline encoding of the same
+    pixels — decoded planes must match bit-for-bit (gray incl. odd
+    dims, and 4:4:4 color through all six AC band/refinement scans)."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(7)
+    for w, h in ((24, 16), (13, 9), (8, 8), (17, 23)):
+        px = [rng.randrange(256) for _ in range(w * h)]
+        pw, ph, pp = multimodal._decode_jpeg_planes(
+            multimodal.encode_jpeg_prog_gray(px, w, h))
+        _, _, bp = multimodal._decode_jpeg_planes(
+            multimodal.encode_jpeg_gray(px, w, h))
+        assert (pw, ph) == (w, h)
+        assert np.max(np.abs(pp[0] - bp[0])) < 1e-9
+    rng = random.Random(3)
+    w, h = 16, 16
+    rgb = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(w * h)]
+    _, _, pp = multimodal._decode_jpeg_planes(
+        multimodal.encode_jpeg_prog_color(rgb, w, h))
+    _, _, bp = multimodal._decode_jpeg_planes(
+        multimodal.encode_jpeg_color(rgb, w, h))
+    for a, b in zip(pp, bp):
+        assert np.max(np.abs(a - b)) < 1e-9
+
+
+def test_jpeg_progressive_refinement_zrl_path():
+    """Force the hardest refinement branch — a >15 zero-history run
+    before a newly-significant coefficient inside the band (ZRL in an
+    AC refinement scan, with buffered correction bits) — by building
+    a block whose only late-zigzag coefficient quantizes to ±1. The
+    construction is deterministic; the test also asserts the stream
+    really contains the branch-triggering layout."""
+    import numpy as np
+
+    C = multimodal._jpeg_dct_basis()
+    zz = multimodal._JPEG_ZIGZAG
+    tgt = np.zeros((8, 8))
+    tgt[0, 0] = -137.0
+    tgt[0, 1] = 11.0
+    tgt[1, 0] = -23.0
+    tgt[7, 6] = 1.45  # lone late-zigzag coefficient -> quantizes to 1
+    img = np.clip(np.round(C.T @ tgt @ C + 128.0), 0, 255)
+    f = (C @ (img - 128.0) @ C.T).reshape(64)
+    blk = [int(round(f[zz[i]])) for i in range(64)]
+    ts = [abs(blk[k]) for k in range(6, 64)]
+    eobpos = max((i for i, t in enumerate(ts) if t == 1), default=-1)
+    run, hit = 0, False
+    for i, t in enumerate(ts):
+        if t == 0:
+            run += 1
+            continue
+        if run > 15 and i <= eobpos:
+            hit = True
+        if t == 1:
+            run = 0
+    assert hit, "construction no longer triggers the ZRL-refine branch"
+    px = img.reshape(-1).astype(int).tolist()
+    _, _, pp = multimodal._decode_jpeg_planes(
+        multimodal.encode_jpeg_prog_gray(px, 8, 8))
+    _, _, bp = multimodal._decode_jpeg_planes(
+        multimodal.encode_jpeg_gray(px, 8, 8))
+    assert np.max(np.abs(pp[0] - bp[0])) < 1e-9
 
 
 def test_jpeg_color_flat_gray_exact_and_matches_grayscale():
