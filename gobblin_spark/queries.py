@@ -8801,6 +8801,57 @@ def multimodal_decode_gif(spark, sf_dir):
     return multimodal.decode_gif_features(media)
 
 
+@q(
+    "iceberg_bucket_prune_read",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer WHERE c_mktsegment >= 'F'
+    """,
+)
+def iceberg_bucket_prune_read(spark, sf_dir):
+    """Iceberg PARTITION TRANSFORMS end-to-end (spec "Partition
+    Transforms"): customers land in a table whose spec is
+    bucket[8](c_custkey) + truncate[2](c_mktsegment) — bucket values
+    computed with the spec's murmur3_x86_32 over type-serialized
+    bytes (engine-byte-compatible, Appendix-B vectors pytest-pinned;
+    Spark's own hash() is seed-42 and incompatible), truncate kept
+    JVM-side as pmod/substring codegen. Files land under
+    c_custkey_bucket=N/c_mktsegment_trunc=V/ dirs in transform space
+    while the SOURCE columns stay in the data files. The read proves
+    INCLUSIVE PROJECTION both ways: a point lookup on c_custkey
+    prunes through the hash to ~1/8 of the files (asserted), and the
+    returned range predicate on c_mktsegment prunes through
+    truncation (>= 'F' keeps only the FU/HO/MA dirs, asserted) —
+    value-for-value equal to the plain SQL filter. At 100 TB bucket
+    specs are what keep high-cardinality point lookups from touching
+    every file. Reference analog: partitioned publish + retention
+    dataset layout (gobblin-data-management
+    .../TimePartitionedDataPublisher semantics lifted to the
+    table-format layer)."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    loc = tempfile.mkdtemp(prefix="gobblin_icebk_") + "/t"
+    t = IcebergTable.create(
+        spark, loc, cust.schema,
+        partition_spec=[("c_custkey", "bucket[8]"),
+                        ("c_mktsegment", "truncate[2]")])
+    t.append_dataframe(cust.coalesce(1))
+    # point lookup prunes through the hash: only bucket(1)'s files
+    hit = t.read(prune_filters=[("c_custkey", "=", 1)])
+    assert [r.c_custkey for r in hit.collect()] == [1]
+    if not t.last_scan["files_scanned"] < t.last_scan["files_total"]:
+        raise RuntimeError(f"bucket pruning inert: {t.last_scan}")
+    # range predicate prunes through truncation
+    out = t.read(prune_filters=[("c_mktsegment", ">=", "F")])
+    if not t.last_scan["files_scanned"] < t.last_scan["files_total"]:
+        raise RuntimeError(f"truncate pruning inert: {t.last_scan}")
+    return out
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

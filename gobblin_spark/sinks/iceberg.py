@@ -330,6 +330,92 @@ def _parse_partition_value(raw: str, ice_type: str):
     return raw
 
 
+# -- partition transforms (spec "Partition Transforms") ------------------
+# bucket[N] hashes with murmur3_x86_32 (seed 0) over the spec's
+# type-specific byte form (Appendix B: int/long/date as 8-byte
+# little-endian, string as UTF-8), then (hash & Integer.MAX_VALUE) % N —
+# byte-compatible with every Iceberg engine, verified against the
+# spec's published test vectors (34 -> 2017239379, "iceberg" ->
+# 1210000089, 2017-11-16 -> -653330422). Spark's built-in hash() is
+# Murmur3 with seed 42 and DIFFERENT serialization — NOT compatible.
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h, n = seed, len(data)
+    for i in range(0, n - (n % 4), 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k, tail = 0, data[n - (n % 4):]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if tail:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _iceberg_bucket(value, ice_type: str, n: int) -> int | None:
+    """bucket[n] transform value (spec Appendix B)."""
+    import datetime as _dt
+    import struct as _struct
+
+    if value is None:
+        return None
+    if ice_type in ("int", "long"):
+        raw = _struct.pack("<q", int(value))
+    elif ice_type == "date":
+        if isinstance(value, str):
+            value = _dt.date.fromisoformat(value)
+        raw = _struct.pack("<q", (value - _dt.date(1970, 1, 1)).days)
+    elif ice_type == "string":
+        raw = str(value).encode("utf-8")
+    else:
+        raise TypeError(f"bucket transform on {ice_type} not supported")
+    return (_murmur3_32(raw) & 0x7FFFFFFF) % n
+
+
+def _iceberg_truncate(value, ice_type: str, w: int):
+    """truncate[w] transform value: v - (v mod w) for integers (mod is
+    always non-negative, so negatives floor correctly), first w
+    CHARACTERS for strings (spec "Partition Transforms")."""
+    if value is None:
+        return None
+    if ice_type in ("int", "long"):
+        return int(value) - (int(value) % w)
+    if ice_type == "string":
+        return str(value)[:w]
+    raise TypeError(f"truncate transform on {ice_type} not supported")
+
+
+def _parse_transform(s: str) -> tuple[str, int | None]:
+    """'identity' | 'bucket[N]' | 'truncate[W]' -> (kind, param)."""
+    if s == "identity":
+        return "identity", None
+    for kind in ("bucket", "truncate"):
+        if s.startswith(kind + "[") and s.endswith("]"):
+            p = int(s[len(kind) + 1:-1])
+            if p <= 0:
+                raise ValueError(f"{kind} parameter must be positive: {s}")
+            return kind, p
+    raise ValueError(f"unsupported partition transform {s!r}")
+
+
 # -- single-value serialization (spec Appendix D) -----------------------
 # Bounds are stored as little-endian fixed-width binary per type.
 # Strings are deliberately NOT recorded (parquet stats may truncate
@@ -543,39 +629,76 @@ class IcebergTable:
     @classmethod
     def create(cls, spark: SparkSession, location: str,
                schema: T.StructType,
-               partition_cols: list[str] | None = None) -> "IcebergTable":
+               partition_cols: list[str] | None = None,
+               partition_spec: list[tuple] | None = None) -> "IcebergTable":
         """``partition_cols`` builds an IDENTITY partition spec (spec
         "Partitioning", transform=identity): each listed source column
         becomes a partition field with id 1000+i. Data files then land
         under hive-style ``col=value/`` dirs, each manifest entry
         records its file's partition TUPLE (spec field 102), and reads
         prune files on partition values before consulting column
-        bounds. Unpartitioned (default) behavior is unchanged."""
+        bounds. Unpartitioned (default) behavior is unchanged.
+
+        ``partition_spec`` — [(column, transform), ...] with transform
+        in {"identity", "bucket[N]", "truncate[W]"} — builds a spec
+        with TRANSFORMED partition fields (spec "Partition
+        Transforms"): bucket[N] = engine-compatible murmur3 bucketing
+        (int/long/string/date sources), truncate[W] = width-W value
+        truncation (int/long/string). Transform fields are named
+        ``<col>_bucket`` / ``<col>_trunc``, their values ride the hive
+        dir layout in TRANSFORM space, and reads prune equality
+        predicates through bucket fields and equality+range predicates
+        through truncate fields (inclusive projection). One spec field
+        per source column (identity+bucket on the same column is not
+        supported here)."""
         t = cls(spark, location)
         if t._version():
             raise FileExistsError(f"iceberg table already at {location}")
+        if partition_cols and partition_spec:
+            raise ValueError("pass partition_cols OR partition_spec")
         ice_schema, last_col = _iceberg_schema(schema)
         now = int(time.time() * 1000)
         spec_fields = []
-        if partition_cols:
+        spec_in = ([(c, "identity") for c in partition_cols]
+                   if partition_cols else list(partition_spec or []))
+        if spec_in:
             by_name = {f["name"]: f for f in ice_schema["fields"]}
             # identity values round-trip through hive dir segments;
             # only types with an exact text form are allowed
             # (timestamps/decimals would compare lossily — partition
             # on a derived date/string column instead)
-            ok_types = {"int", "long", "float", "double", "boolean",
-                        "string", "date"}
-            for i, c in enumerate(partition_cols):
+            ok_types = {
+                "identity": {"int", "long", "float", "double", "boolean",
+                             "string", "date"},
+                "bucket": {"int", "long", "string", "date"},
+                "truncate": {"int", "long", "string"},
+            }
+            seen_src = set()
+            for i, (c, tr) in enumerate(spec_in):
                 if c not in by_name:
                     raise ValueError(f"partition column {c} not in schema")
-                if by_name[c]["type"] not in ok_types:
+                kind, param = _parse_transform(tr)
+                if by_name[c]["type"] not in ok_types[kind]:
                     raise TypeError(
-                        f"identity partitioning on {by_name[c]['type']} "
-                        f"column {c} is not supported (no exact dir-"
-                        "segment form); partition on a derived "
-                        "date/string column instead")
+                        f"{kind} partitioning on {by_name[c]['type']} "
+                        f"column {c} is not supported"
+                        + (" (no exact dir-segment form); partition on "
+                           "a derived date/string column instead"
+                           if kind == "identity" else ""))
+                if c in seen_src:
+                    raise ValueError(
+                        f"column {c} appears in two partition fields — "
+                        "one transform per source column here")
+                seen_src.add(c)
+                fname = (c if kind == "identity"
+                         else f"{c}_bucket" if kind == "bucket"
+                         else f"{c}_trunc")
+                if kind != "identity" and fname in by_name:
+                    raise ValueError(
+                        f"partition field name {fname} collides with a "
+                        "schema column")
                 spec_fields.append({
-                    "name": c, "transform": "identity",
+                    "name": fname, "transform": tr,
                     "source-id": by_name[c]["id"], "field-id": 1000 + i,
                 })
         md = {
@@ -615,19 +738,29 @@ class IcebergTable:
         and attach another. Both are validated here. append_dataframe
         produces conforming files; direct callers must too."""
         md0 = self.metadata()
-        spec = self._partition_spec_cols(md0)
+        spec = self._spec_info(md0)
         if spec:
             missing = [f.path for f in files if not f.partition]
             if missing:
                 raise ValueError(
                     "partitioned table: data files lack partition "
                     f"tuples (use append_dataframe): {missing[:3]}")
-            names_by_id: dict[int, set] = {}
+            hist_names: dict[int, set] = {}
             for s_ in md0["schemas"]:
                 for f_ in s_["fields"]:
-                    names_by_id.setdefault(
+                    hist_names.setdefault(
                         f_["id"], set()).add(f_["name"])
-            type_by_id = {fid: t for _, t, fid in spec}
+            # identity fields may ride any HISTORICAL name of the
+            # source column (the dir key is the write-time name);
+            # transform fields always ride the spec FIELD name, and
+            # their values live in transform space
+            names_by_id = {
+                si["source_id"]: (hist_names.get(si["source_id"], set())
+                                  if si["transform"] == "identity"
+                                  else {si["field_name"]})
+                for si in spec}
+            type_by_id = {si["source_id"]: si["result_type"]
+                          for si in spec}
             # segments are parsed RELATIVE to <location>/data/ — the
             # same anchor the read path uses — so a 'col=value'
             # segment in the table LOCATION can neither satisfy this
@@ -786,12 +919,54 @@ class IcebergTable:
                    if s["schema-id"] == md["current-schema-id"])
         df = _conform_with_ids(df, _spark_struct(cur))
         sub = f"{self.location}/data/{uuid.uuid4().hex[:12]}"
-        part_names = [c for c, _, _ in self._partition_spec_cols(md)]
+        df, part_names = self._with_partition_cols(df, md)
         w = df.write.mode("overwrite")
         if part_names:
             w = w.partitionBy(*part_names)
         w.parquet(sub)
         return self.append_files(self._list_committed_files(sub))
+
+    def _with_partition_cols(self, df: DataFrame,
+                             md: dict | None = None):
+        """(df with transform partition columns attached, [partition
+        field names to partitionBy]). Identity fields partition by the
+        source column itself (partitionBy then drops it from the file
+        — reads re-attach from the path). Transform fields get a
+        COMPUTED column named after the spec field: truncate stays
+        JVM-side (pmod/substring — codegen, no Python), bucket is an
+        Arrow-batched pandas UDF around the spec murmur3 (Spark's
+        hash() is seed-42 Murmur3 over different bytes — engine-
+        incompatible). The computed column is dropped by partitionBy,
+        so data files carry exactly the table schema."""
+        from pyspark.sql import functions as F
+
+        names = []
+        for si in self._spec_info(md):
+            names.append(si["field_name"])
+            if si["transform"] == "identity":
+                continue
+            src, t_ice = si["source_name"], si["source_type"]
+            if si["transform"] == "truncate":
+                w = si["param"]
+                if t_ice == "string":
+                    col = F.substring(F.col(src), 1, w)
+                else:
+                    col = (F.col(src)
+                           - F.pmod(F.col(src), F.lit(w))).cast(
+                               "int" if t_ice == "int" else "long")
+                df = df.withColumn(si["field_name"], col)
+            else:  # bucket
+                n = si["param"]
+                from pyspark.sql.functions import pandas_udf
+
+                def _bucket_series(s, _t=t_ice, _n=n):
+                    import pandas as pd
+
+                    return s.map(lambda v: None if pd.isna(v)
+                                 else _iceberg_bucket(v, _t, _n))
+                b = pandas_udf(_bucket_series, "int")
+                df = df.withColumn(si["field_name"], b(F.col(src)))
+        return df, names
 
     # -- reads ----------------------------------------------------------
     def snapshots(self) -> list[dict]:
@@ -951,23 +1126,46 @@ class IcebergTable:
                                    "fields": r102_fields}]
         return sch
 
-    def _partition_spec_cols(
-            self, md: dict | None = None) -> list[tuple[str, str, int]]:
-        """[(source column name, iceberg type, source field-id)] of the
-        default identity partition spec; empty for unpartitioned
-        tables. The name comes from the CURRENT schema via source-id,
-        so renaming a partition source column keeps the spec
-        coherent. ``md``: reuse an already-read metadata dict."""
+    def _spec_info(self, md: dict | None = None) -> list[dict]:
+        """Rich view of the default partition spec: one dict per field
+        with field_name (the hive dir key and r102 record key),
+        transform kind + param, source column name/type (CURRENT
+        schema via source-id, rename-proof) and the transform RESULT
+        type (= tuple/summary value space: int for bucket, source type
+        otherwise)."""
         md = md or self.metadata()
         spec = next(s for s in md["partition-specs"]
                     if s["spec-id"] == md["default-spec-id"])
         cur = next(s for s in md["schemas"]
                    if s["schema-id"] == md["current-schema-id"])
         by_id = {f["id"]: f for f in cur["fields"]}
-        return [(by_id[pf["source-id"]]["name"],
-                 by_id[pf["source-id"]]["type"],
-                 pf["source-id"])
-                for pf in spec["fields"]]
+        out = []
+        for pf in spec["fields"]:
+            kind, param = _parse_transform(pf["transform"])
+            src = by_id[pf["source-id"]]
+            out.append({
+                "field_name": pf["name"],
+                "transform": kind,
+                "param": param,
+                "source_id": pf["source-id"],
+                "source_name": src["name"],
+                "source_type": src["type"],
+                "result_type": "int" if kind == "bucket" else src["type"],
+                "field_id": pf["field-id"],
+            })
+        return out
+
+    def _partition_spec_cols(
+            self, md: dict | None = None) -> list[tuple[str, str, int]]:
+        """[(partition FIELD name, RESULT type, source field-id)] of
+        the default partition spec; empty for unpartitioned tables.
+        For identity fields the field name equals the (current) source
+        column name and the result type equals the source type — the
+        pre-transform call sites keep their exact behavior. Values in
+        partition tuples, dir segments, and field summaries all live
+        in RESULT space. ``md``: reuse an already-read metadata dict."""
+        return [(si["field_name"], si["result_type"], si["source_id"])
+                for si in self._spec_info(md)]
 
     def _list_committed_files(self, sub: str) -> list[DataFileInfo]:
         """DataFileInfo for every non-empty parquet file under *sub*:
@@ -1106,18 +1304,52 @@ class IcebergTable:
         # (spec 507/508) — at 100 TB the manifest files themselves are
         # the first scan bottleneck
         md_r = self.metadata() if self._version() else None
+        spec_info = self._spec_info(md_r) if md_r else []
+        si_by_src: dict[int, list] = {}
+        for _si in spec_info:
+            si_by_src.setdefault(_si["source_id"], []).append(_si)
+
+        def _proj_preds(f, op, value):
+            """INCLUSIVE PROJECTION (spec "Scan Planning") of a source
+            predicate into partition-tuple space, per spec field
+            sourced from f: identity passes through; bucket projects
+            equality only (ranges don't survive hashing); truncate
+            projects equality exactly and ranges onto truncated
+            bounds (v >= X  =>  trunc(v) >= trunc(X), etc. — always a
+            superset, never prunes a matching file)."""
+            out = []
+            for si in si_by_src.get(f["id"], []):
+                k = si["transform"]
+                try:
+                    if k == "identity":
+                        out.append((si, op, value))
+                    elif k == "bucket":
+                        if op in ("=", "=="):
+                            out.append((si, "=", _iceberg_bucket(
+                                value, si["source_type"], si["param"])))
+                    else:  # truncate
+                        tv = _iceberg_truncate(
+                            value, si["source_type"], si["param"])
+                        if op in ("=", "=="):
+                            out.append((si, "=", tv))
+                        elif op in (">", ">="):
+                            out.append((si, ">=", tv))
+                        elif op in ("<", "<="):
+                            out.append((si, "<=", tv))
+                except TypeError:
+                    continue  # unprojectable value: no pruning from it
+            return out
+
         prune_parts = None
-        if prune_filters and md_r:
-            spec_ids = {fid
-                        for _, _, fid in self._partition_spec_cols(md_r)}
-            if spec_ids:
-                by_name = {f["name"]: f for f in self._ice_schema_for(
-                    snapshot_id, md_r)["fields"]}
-                prune_parts = [
-                    (by_name[col]["id"], op, value)
-                    for col, op, value in prune_filters
-                    if col in by_name and by_name[col]["id"] in spec_ids
-                ] or None
+        if prune_filters and md_r and spec_info:
+            by_name = {f["name"]: f for f in self._ice_schema_for(
+                snapshot_id, md_r)["fields"]}
+            prune_parts = [
+                (si["source_id"], pop, pval)
+                for col, op, value in prune_filters
+                if col in by_name
+                for si, pop, pval in _proj_preds(by_name[col], op, value)
+            ] or None
 
         entries = self._entries(snapshot_id, prune_parts, md_r)
         data = [e for e in entries if e["content"] == 0]
@@ -1141,36 +1373,46 @@ class IcebergTable:
                 T.StructField(f.name, f.dataType, f.nullable)
                 for f in st.fields])
 
-        spec_cols = self._partition_spec_cols(md_r) if md_r else []
-        spec_src_ids = {fid for _, _, fid in spec_cols}
+        # only IDENTITY fields drop their source column from the data
+        # files (partitionBy used the source column itself) — those
+        # are excluded from the base scan schema and re-attached from
+        # the path. Transform fields keep the source data in-file.
+        spec_src_ids = {si["source_id"] for si in spec_info
+                        if si["transform"] == "identity"}
 
         def _may_match(e, f, op, value):
-            # identity-partition value first: an EXACT per-file value
-            # beats min/max bounds (and exists even for string
-            # columns, whose bounds are deliberately omitted);
-            # tuples are keyed by source field-id, rename-proof.
-            # create() restricts partition types to those whose dir
-            # segment round-trips exactly (int/long/float/double/
-            # boolean/string/date), so the comparison below is typed;
-            # any residual type mismatch falls back to bounds (never
-            # a silent False that would prune a matching file).
-            part = e["info"].partition or {}
-            v = part.get(str(f["id"]))
-            if v is not None:
-                import datetime as _dt
+            # partition-tuple checks first (projected through the
+            # spec's transforms): an EXACT per-file value beats
+            # min/max bounds (and exists even for string columns,
+            # whose bounds are deliberately omitted); tuples are
+            # keyed by source field-id, rename-proof. create()
+            # restricts partition types to those whose dir segment
+            # round-trips exactly, so the comparison below is typed;
+            # any residual type mismatch falls through to bounds
+            # (never a silent False that would prune a matching
+            # file). Bounds are ALWAYS consulted too — for bucket
+            # fields the tuple check is necessarily weak.
+            import datetime as _dt
 
-                q = value
+            part = e["info"].partition or {}
+            for si, pop, pval in _proj_preds(f, op, value):
+                v = part.get(str(si["source_id"]))
+                if v is None:
+                    continue
+                q = pval
                 if type(q) is _dt.date and isinstance(v, str):
                     q = q.isoformat()  # dates JSON-decode as ISO text
                 if type(v) is not type(q) and not (
                         isinstance(v, (int, float))
                         and isinstance(q, (int, float))):
-                    return self._entry_may_match(e, f, op, value)
+                    continue
                 try:
-                    return {"=": v == q, "==": v == q, ">": v > q,
-                            ">=": v >= q, "<": v < q, "<=": v <= q}[op]
+                    ok = {"=": v == q, "==": v == q, ">": v > q,
+                          ">=": v >= q, "<": v < q, "<=": v <= q}[pop]
                 except TypeError:
-                    return True
+                    continue
+                if not ok:
+                    return False
             return self._entry_may_match(e, f, op, value)
 
         n_total = len(data)
@@ -1200,8 +1442,8 @@ class IcebergTable:
 
         if not data:
             return _residual(self.spark.createDataFrame([], st))
-        if not spec_cols and (not (dels_eq or dels_pos)
-                              or not apply_deletes):
+        if not spec_src_ids and (not (dels_eq or dels_pos)
+                                 or not apply_deletes):
             return _residual(self.spark.read.schema(st).parquet(
                 *[e["info"].path for e in data]))
 
@@ -1221,7 +1463,7 @@ class IcebergTable:
         base_st = (T.StructType([
             f for f in st.fields
             if snap_name_to_id.get(f.name) not in spec_src_ids])
-            if spec_cols else st)
+            if spec_src_ids else st)
         # every historical name of each partition source id can appear
         # as the dir key (the key is the column name at WRITE time)
         hist_names: dict[int, set] = {}
@@ -1268,7 +1510,7 @@ class IcebergTable:
         df = None
         for seq, paths in sorted(by_seq.items()):
             part = self.spark.read.schema(base_st).parquet(*paths)
-            if spec_cols:
+            if spec_src_ids:
                 part = _attach_partition_cols(part)
             if dels_pos and need_seq:
                 # Spark's parquet metadata columns give the (file, row)
@@ -1282,7 +1524,7 @@ class IcebergTable:
                     F.col("_metadata.file_path").alias("_fp"),
                     F.col("_metadata.row_index").alias("_pos"),
                 )
-            if spec_cols:
+            if spec_src_ids:
                 keep = [f_.name for f_ in st.fields]
                 if dels_pos and need_seq:
                     keep += ["_fp", "_pos"]
@@ -1619,7 +1861,7 @@ class IcebergTable:
                 target_partitions, *sort_by).sortWithinPartitions(*sort_by)
         else:
             before = before.repartition(target_partitions)
-        part_names = [c for c, _, _ in self._partition_spec_cols()]
+        before, part_names = self._with_partition_cols(before)
         w = before.write.mode("overwrite")
         if part_names:
             w = w.partitionBy(*part_names)

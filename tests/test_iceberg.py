@@ -980,3 +980,151 @@ def test_tz_aware_prune_value_converts_to_utc(spark):
     naive_utc = dt.datetime(2024, 1, 1, 0, 0, 0)
     assert _logical_to_ice(aware, "timestamp") == \
         _logical_to_ice(naive_utc, "timestamp")
+
+
+def test_bucket_transform_spec_vectors():
+    """bucket[N] must be BYTE-compatible with every Iceberg engine:
+    murmur3_x86_32 (seed 0) over the spec's type serialization,
+    verified against the published Appendix-B test vectors."""
+    import datetime
+
+    import struct
+
+    def signed(x):
+        return x - (1 << 32) if x >= (1 << 31) else x
+
+    assert signed(I._murmur3_32(struct.pack("<q", 34))) == 2017239379
+    assert signed(I._murmur3_32("iceberg".encode())) == 1210000089
+    d = (datetime.date(2017, 11, 16) - datetime.date(1970, 1, 1)).days
+    assert signed(I._murmur3_32(struct.pack("<q", d))) == -653330422
+    # bucket = (hash & Integer.MAX_VALUE) % N
+    assert I._iceberg_bucket(34, "long", 16) == (2017239379 & 0x7FFFFFFF) % 16
+    assert I._iceberg_bucket(34, "int", 16) == I._iceberg_bucket(34, "long", 16)
+    assert I._iceberg_bucket("iceberg", "string", 8) == 1210000089 % 8
+    assert I._iceberg_bucket(None, "long", 8) is None
+
+
+def test_truncate_transform_semantics():
+    """truncate[W]: floor multiples for integers (negatives too — the
+    spec's own example is truncate[10](-1) = -10), first W CHARACTERS
+    for strings."""
+    assert I._iceberg_truncate(17, "int", 10) == 10
+    assert I._iceberg_truncate(-1, "int", 10) == -10
+    assert I._iceberg_truncate(-10, "long", 10) == -10
+    assert I._iceberg_truncate("abcdef", "string", 2) == "ab"
+    assert I._iceberg_truncate("a", "string", 2) == "a"
+    assert I._iceberg_truncate(None, "string", 2) is None
+
+
+def test_bucket_truncate_partitioned_table(spark, tmp_path):
+    """bucket[4] + truncate[2] spec end-to-end: files land under
+    <col>_bucket=N/ and <col>_trunc=V/ dirs in TRANSFORM space, the
+    source columns stay IN the data files (only identity drops them),
+    equality predicates prune through the bucket field, and both
+    equality and RANGE predicates prune through the truncate field —
+    all reads value-identical to the unpruned frame."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    rows = [(i, ["alpha", "beta", "gamma", "delta", "mu"][i % 5],
+             float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, name string, v double")
+    t = IcebergTable.create(
+        spark, str(tmp_path / "ice_tf"), df.schema,
+        partition_spec=[("k", "bucket[4]"), ("name", "truncate[2]")])
+    spec = t.metadata()["partition-specs"][0]["fields"]
+    assert [f["name"] for f in spec] == ["k_bucket", "name_trunc"]
+    assert [f["transform"] for f in spec] == ["bucket[4]", "truncate[2]"]
+    t.append_dataframe(df.coalesce(1))
+
+    # layout: transform-space hive dirs; source data stays in-file
+    paths = [f.path for f in t.data_files()]
+    assert all("k_bucket=" in p and "name_trunc=" in p for p in paths)
+    raw = spark.read.parquet(*paths)
+    assert {"k", "name", "v"} <= set(raw.columns)
+
+    # tuples keyed by source field-id, values in transform space
+    for e in t._entries():
+        part = e["info"].partition
+        assert set(part) == {"1", "2"}
+        assert part["1"] in range(4) and len(part["2"]) <= 2
+
+    # full read equals source
+    got = sorted(map(tuple, t.read().select("k", "name", "v").collect()))
+    assert got == sorted(map(tuple, map(tuple, rows)))
+
+    # bucket equality pruning: correct rows, fewer files
+    sub = t.read(prune_filters=[("k", "==", 7)])
+    assert [r.k for r in sub.collect()] == [7]
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+    # the surviving files all live in k's bucket-7 dir
+    bucket7 = I._iceberg_bucket(7, "long", 4)
+    hit = [e["info"].path for e in t._entries()
+           if e["content"] == 0
+           and e["info"].partition.get("1") == bucket7]
+    assert hit and all(f"k_bucket={bucket7}/" in p for p in hit)
+
+    # a bucket RANGE predicate projects to NOTHING through the hash
+    # (ordering doesn't survive bucketing) — any pruning that still
+    # happens comes from the k column BOUNDS, and the values stay
+    # exactly right either way
+    rng = t.read(prune_filters=[("k", ">=", 35)])
+    assert sorted(r.k for r in rng.collect()) == list(range(35, 40))
+
+    # truncate equality + range pruning
+    eq = t.read(prune_filters=[("name", "==", "beta")])
+    assert sorted(r.k for r in eq.collect()) == [i for i in range(40)
+                                                 if i % 5 == 1]
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+    ge = t.read(prune_filters=[("name", ">=", "ga")])
+    assert (sorted(r.name for r in ge.select("name").distinct().collect())
+            == ["gamma", "mu"])
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+
+
+def test_bucket_partition_survives_rewrite_and_rename(spark, tmp_path):
+    """rewrite_data_files re-derives transform columns (they are not
+    stored), and renaming the SOURCE column keeps the spec coherent
+    via source-id — pruning then works under the new name."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(24)], "uid long, v double")
+    t = IcebergTable.create(
+        spark, str(tmp_path / "ice_rw"), df.schema,
+        partition_spec=[("uid", "bucket[3]")])
+    t.append_dataframe(df.repartition(4))
+    t.rewrite_data_files(target_partitions=1)
+    assert sorted(r.uid for r in t.read().collect()) == list(range(24))
+    assert all("uid_bucket=" in f.path for f in t.data_files())
+
+    t.rename_column("uid", "user_id")
+    sub = t.read(prune_filters=[("user_id", "==", 5)])
+    assert [r.user_id for r in sub.collect()] == [5]
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+
+
+def test_partition_spec_validation(spark, tmp_path):
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, "a", 2.0)],
+                               "k long, s string, v double")
+    base = str(tmp_path / "ice_val")
+    with _pytest.raises(TypeError):
+        IcebergTable.create(spark, base + "1", df.schema,
+                            partition_spec=[("v", "bucket[4]")])
+    with _pytest.raises(TypeError):
+        IcebergTable.create(spark, base + "2", df.schema,
+                            partition_spec=[("v", "truncate[4]")])
+    with _pytest.raises(ValueError):
+        IcebergTable.create(spark, base + "3", df.schema,
+                            partition_spec=[("k", "bucket[0]")])
+    with _pytest.raises(ValueError):
+        IcebergTable.create(spark, base + "4", df.schema,
+                            partition_spec=[("k", "identity"),
+                                            ("k", "bucket[4]")])
+    with _pytest.raises(ValueError):
+        IcebergTable.create(spark, base + "5", df.schema,
+                            partition_spec=[("k", "bucket[4]")],
+                            partition_cols=["s"])
