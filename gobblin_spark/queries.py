@@ -8852,6 +8852,46 @@ def iceberg_bucket_prune_read(spark, sf_dir):
     return out
 
 
+@q(
+    "iceberg_time_partition_read",
+    """
+    SELECT event_id, ts, event_type, round(value, 4) AS value
+    FROM events WHERE ts >= TIMESTAMP '2024-01-25 00:00:00'
+    """,
+)
+def iceberg_time_partition_read(spark, sf_dir):
+    """Iceberg TEMPORAL partition transform end-to-end: events land in
+    a day(ts)-partitioned table — files under ts_day=<epoch-days>/
+    dirs, the ordinal computed JVM-side (datediff codegen), the FULL-
+    resolution timestamp kept in the data files — and a timestamp
+    range predicate prunes through the day ordinal via inclusive
+    projection (>= Jan 25 scans only the last 6 of 30 day dirs,
+    asserted in-query). This is the reference's
+    TimeBasedWriterPartitioner + TimePartitionedDataPublisher layout
+    (gobblin-core .../writer/partitioner/TimeBasedWriterPartitioner.java)
+    lifted onto the table format: at 100 TB, day partitioning is what
+    makes retention windows and incremental reads touch days, not the
+    table. Hour/month/year variants share the same transform engine
+    (pytest-pinned incl. pre-1970 floor semantics)."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", F.round("value", 4).alias("value"))
+    loc = tempfile.mkdtemp(prefix="gobblin_iceday_") + "/t"
+    t = IcebergTable.create(spark, loc, ev.schema,
+                            partition_spec=[("ts", "day")])
+    t.append_dataframe(ev.coalesce(1))
+    import datetime as _dt
+
+    out = t.read(prune_filters=[
+        ("ts", ">=", _dt.datetime(2024, 1, 25, 0, 0))])
+    if not t.last_scan["files_scanned"] < t.last_scan["files_total"]:
+        raise RuntimeError(f"day pruning inert: {t.last_scan}")
+    return out
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -403,10 +403,47 @@ def _iceberg_truncate(value, ice_type: str, w: int):
     raise TypeError(f"truncate transform on {ice_type} not supported")
 
 
+def _iceberg_temporal(value, ice_type: str, kind: str):
+    """year/month/day/hour transform values (spec "Partition
+    Transforms"): ordinals FROM THE UNIX EPOCH — years since 1970,
+    months since 1970-01, days since 1970-01-01, hours since epoch —
+    all floor semantics, so pre-1970 values go negative (Dec 1969 is
+    month -1), matching every Iceberg engine."""
+    import datetime as _dt
+
+    if value is None:
+        return None
+    if isinstance(value, str):
+        value = (_dt.date.fromisoformat(value) if ice_type == "date"
+                 else _dt.datetime.fromisoformat(value))
+    if isinstance(value, _dt.datetime):
+        d, hh = value.date(), value.hour
+    elif isinstance(value, _dt.date):
+        if kind == "hour":
+            raise TypeError("hour transform needs a timestamp source")
+        d, hh = value, 0
+    else:
+        raise TypeError(f"temporal transform on {type(value).__name__}")
+    days = (d - _dt.date(1970, 1, 1)).days
+    if kind == "hour":
+        return days * 24 + hh
+    if kind == "day":
+        return days
+    if kind == "month":
+        return (d.year - 1970) * 12 + d.month - 1
+    if kind == "year":
+        return d.year - 1970
+    raise ValueError(kind)
+
+
+_TEMPORAL_TRANSFORMS = ("year", "month", "day", "hour")
+
+
 def _parse_transform(s: str) -> tuple[str, int | None]:
-    """'identity' | 'bucket[N]' | 'truncate[W]' -> (kind, param)."""
-    if s == "identity":
-        return "identity", None
+    """'identity' | 'bucket[N]' | 'truncate[W]' | 'year' | 'month' |
+    'day' | 'hour' -> (kind, param)."""
+    if s == "identity" or s in _TEMPORAL_TRANSFORMS:
+        return s, None
     for kind in ("bucket", "truncate"):
         if s.startswith(kind + "[") and s.endswith("]"):
             p = int(s[len(kind) + 1:-1])
@@ -640,17 +677,22 @@ class IcebergTable:
         bounds. Unpartitioned (default) behavior is unchanged.
 
         ``partition_spec`` — [(column, transform), ...] with transform
-        in {"identity", "bucket[N]", "truncate[W]"} — builds a spec
-        with TRANSFORMED partition fields (spec "Partition
-        Transforms"): bucket[N] = engine-compatible murmur3 bucketing
-        (int/long/string/date sources), truncate[W] = width-W value
-        truncation (int/long/string). Transform fields are named
-        ``<col>_bucket`` / ``<col>_trunc``, their values ride the hive
-        dir layout in TRANSFORM space, and reads prune equality
-        predicates through bucket fields and equality+range predicates
-        through truncate fields (inclusive projection). One spec field
-        per source column (identity+bucket on the same column is not
-        supported here)."""
+        in {"identity", "bucket[N]", "truncate[W]", "year", "month",
+        "day", "hour"} — builds a spec with TRANSFORMED partition
+        fields (spec "Partition Transforms"): bucket[N] =
+        engine-compatible murmur3 bucketing (int/long/string/date
+        sources), truncate[W] = width-W value truncation
+        (int/long/string), and the temporal transforms = epoch
+        ordinals (date/timestamp sources; hour needs a timestamp) —
+        the time-partitioned layout the reference's
+        TimeBasedWriterPartitioner/TimePartitionedDataPublisher pair
+        produces, lifted to the table format. Transform fields are
+        named ``<col>_bucket`` / ``<col>_trunc`` / ``<col>_<unit>``,
+        their values ride the hive dir layout in TRANSFORM space, and
+        reads prune equality predicates through bucket fields and
+        equality+range predicates through the order-preserving fields
+        (inclusive projection). One spec field per source column
+        (identity+bucket on the same column is not supported here)."""
         t = cls(spark, location)
         if t._version():
             raise FileExistsError(f"iceberg table already at {location}")
@@ -672,6 +714,10 @@ class IcebergTable:
                              "string", "date"},
                 "bucket": {"int", "long", "string", "date"},
                 "truncate": {"int", "long", "string"},
+                "year": {"date", "timestamp", "timestamptz"},
+                "month": {"date", "timestamp", "timestamptz"},
+                "day": {"date", "timestamp", "timestamptz"},
+                "hour": {"timestamp", "timestamptz"},
             }
             seen_src = set()
             for i, (c, tr) in enumerate(spec_in):
@@ -692,7 +738,8 @@ class IcebergTable:
                 seen_src.add(c)
                 fname = (c if kind == "identity"
                          else f"{c}_bucket" if kind == "bucket"
-                         else f"{c}_trunc")
+                         else f"{c}_trunc" if kind == "truncate"
+                         else f"{c}_{kind}")
                 if kind != "identity" and fname in by_name:
                     raise ValueError(
                         f"partition field name {fname} collides with a "
@@ -955,6 +1002,18 @@ class IcebergTable:
                            - F.pmod(F.col(src), F.lit(w))).cast(
                                "int" if t_ice == "int" else "long")
                 df = df.withColumn(si["field_name"], col)
+            elif si["transform"] in _TEMPORAL_TRANSFORMS:
+                # epoch ordinals, all JVM-side codegen; day*24+hour
+                # avoids tz-dependent unix_timestamp on NTZ sources
+                epoch = F.lit("1970-01-01").cast("date")
+                d = F.col(src).cast("date")
+                col = {
+                    "year": F.year(d) - 1970,
+                    "month": (F.year(d) - 1970) * 12 + F.month(d) - 1,
+                    "day": F.datediff(d, epoch),
+                    "hour": F.datediff(d, epoch) * 24 + F.hour(F.col(src)),
+                }[si["transform"]]
+                df = df.withColumn(si["field_name"], col.cast("int"))
             else:  # bucket
                 n = si["param"]
                 from pyspark.sql.functions import pandas_udf
@@ -1150,7 +1209,10 @@ class IcebergTable:
                 "source_id": pf["source-id"],
                 "source_name": src["name"],
                 "source_type": src["type"],
-                "result_type": "int" if kind == "bucket" else src["type"],
+                "result_type": ("int"
+                                if kind == "bucket"
+                                or kind in _TEMPORAL_TRANSFORMS
+                                else src["type"]),
                 "field_id": pf["field-id"],
             })
         return out
@@ -1327,9 +1389,14 @@ class IcebergTable:
                         if op in ("=", "=="):
                             out.append((si, "=", _iceberg_bucket(
                                 value, si["source_type"], si["param"])))
-                    else:  # truncate
-                        tv = _iceberg_truncate(
-                            value, si["source_type"], si["param"])
+                    else:  # ORDER-PRESERVING: truncate + year/month/
+                        #    day/hour all project ranges onto the
+                        #    transformed bound (always a superset)
+                        tv = (_iceberg_truncate(value, si["source_type"],
+                                                si["param"])
+                              if k == "truncate"
+                              else _iceberg_temporal(
+                                  value, si["source_type"], k))
                         if op in ("=", "=="):
                             out.append((si, "=", tv))
                         elif op in (">", ">="):

@@ -1128,3 +1128,80 @@ def test_partition_spec_validation(spark, tmp_path):
         IcebergTable.create(spark, base + "5", df.schema,
                             partition_spec=[("k", "bucket[4]")],
                             partition_cols=["s"])
+
+
+def test_temporal_transform_values():
+    """year/month/day/hour = epoch ordinals with floor semantics —
+    pre-1970 values go negative (Dec 1969 is month -1)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    d = dt.date(2017, 11, 16)
+    ts = dt.datetime(2017, 11, 16, 22, 31, 8)
+    assert I._iceberg_temporal(d, "date", "year") == 47
+    assert I._iceberg_temporal(d, "date", "month") == 47 * 12 + 10
+    assert I._iceberg_temporal(d, "date", "day") == (
+        d - dt.date(1970, 1, 1)).days
+    assert I._iceberg_temporal(ts, "timestamp", "hour") == (
+        (d - dt.date(1970, 1, 1)).days * 24 + 22)
+    assert I._iceberg_temporal(dt.date(1969, 12, 31), "date", "month") == -1
+    assert I._iceberg_temporal(dt.date(1969, 12, 31), "date", "day") == -1
+    assert I._iceberg_temporal(
+        dt.datetime(1969, 12, 31, 23, 30), "timestamp", "hour") == -1
+    assert I._iceberg_temporal(None, "date", "day") is None
+    with _pytest.raises(TypeError):
+        I._iceberg_temporal(d, "date", "hour")  # hour needs a timestamp
+
+
+def test_day_partitioned_timestamp_table(spark, tmp_path):
+    """day(ts) partition spec on a TIMESTAMP source: files land under
+    ts_day=<epoch-days>/ dirs, the source timestamps stay in the data
+    files at full resolution, and timestamp RANGE predicates prune
+    through the day ordinal (inclusive projection) — the Iceberg form
+    of TimeBasedWriterPartitioner + TimePartitionedDataPublisher."""
+    import datetime as dt
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    rows = [(i, dt.datetime(2024, 3, 1 + i % 5, i % 24, 30), float(i))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz, v double")
+    t = IcebergTable.create(
+        spark, str(tmp_path / "ice_day"), df.schema,
+        partition_spec=[("ts", "day")])
+    assert (t.metadata()["partition-specs"][0]["fields"][0]["name"]
+            == "ts_day")
+    t.append_dataframe(df.coalesce(1))
+
+    day0 = (dt.date(2024, 3, 1) - dt.date(1970, 1, 1)).days
+    paths = [f.path for f in t.data_files()]
+    assert all("ts_day=" in p for p in paths)
+    assert {e["info"].partition["2"] for e in t._entries()} == set(
+        range(day0, day0 + 5))
+    # full-resolution timestamps survive (source col stays in-file)
+    got = sorted(map(tuple, t.read().select("k", "ts", "v").collect()))
+    assert got == sorted(map(tuple, map(tuple, rows)))
+
+    # range predicate prunes through day(): only 2 of 5 day dirs scan
+    cut = dt.datetime(2024, 3, 4, 0, 0)
+    late = t.read(prune_filters=[("ts", ">=", cut)])
+    assert sorted(r.k for r in late.collect()) == sorted(
+        i for i in range(40) if rows[i][1] >= cut)
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+
+    # equality on a timestamp prunes to its single day
+    one = rows[7][1]
+    eq = t.read(prune_filters=[("ts", "=", one)])
+    assert sorted(r.k for r in eq.collect()) == sorted(
+        i for i in range(40) if rows[i][1] == one)
+    assert t.last_scan["files_scanned"] <= max(
+        1, t.last_scan["files_total"] // 5)
+
+    # hour on a DATE source is rejected at create
+    import pytest as _pytest
+
+    ddf = spark.createDataFrame([(dt.date(2024, 1, 1),)], "d date")
+    with _pytest.raises(TypeError):
+        IcebergTable.create(spark, str(tmp_path / "ice_hr"), ddf.schema,
+                            partition_spec=[("d", "hour")])
