@@ -8892,6 +8892,39 @@ def iceberg_time_partition_read(spark, sf_dir):
     return out
 
 
+@q(
+    "iceberg_partitions_table",
+    """
+    SELECT CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                AS INT) AS ts_day,
+           CAST(1 AS BIGINT) AS file_count,
+           count(*) AS record_count
+    FROM events GROUP BY 1
+    """,
+)
+def iceberg_partitions_table(spark, sf_dir):
+    """Iceberg METADATA TABLES: the ``partitions`` rollup
+    (per-partition file/record counts straight off the manifest
+    tuples — no data file is opened) over a day(ts)-partitioned
+    events table, value-checked against the SQL day rollup. With one
+    input file per append, each day dir holds exactly one file, so
+    file_count has a closed form too. This is the operator's lakehouse
+    health dashboard (partition skew, small-file pressure) at
+    manifest scale — at 100 TB you watch the table without scanning
+    it. snapshots/history/files variants are pytest-pinned
+    (tests/test_iceberg.py::test_metadata_tables_inspect)."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    loc = tempfile.mkdtemp(prefix="gobblin_icemeta_") + "/t"
+    t = IcebergTable.create(spark, loc, ev.schema,
+                            partition_spec=[("ts", "day")])
+    t.append_dataframe(ev.coalesce(1))
+    return t.inspect("partitions")
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

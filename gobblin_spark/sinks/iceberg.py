@@ -1968,6 +1968,84 @@ class IcebergTable:
                 self._commit_metadata(md)
         return snap
 
+    def inspect(self, name: str, snapshot_id: int | None = None) -> DataFrame:
+        """METADATA TABLES (spec "Metadata tables" / Iceberg's
+        ``table.files`` / ``.partitions`` / ``.snapshots`` /
+        ``.history`` surface) as DataFrames — how operators watch a
+        lakehouse without scanning it:
+
+        - ``snapshots``: (snapshot_id, sequence_number, timestamp_ms,
+          operation, added_data_files, added_records) from table
+          metadata only.
+        - ``history``: (timestamp_ms, snapshot_id, is_current) — the
+          snapshot log, time-travel's table of contents.
+        - ``files``: one row per LIVE data/delete file of the snapshot
+          (path, content, record_count, size_bytes, partition JSON) —
+          from manifests only, no data file is opened.
+        - ``partitions``: per-partition rollup (partition fields...,
+          file_count, record_count) — the table health dashboard
+          (skew, small-file pressure) straight off the manifest
+          tuples. Partition VALUES come out in transform space
+          (bucket ordinals, truncated prefixes, epoch days).
+
+        All four are tiny driver-side lists lifted via
+        createDataFrame — metadata scale is manifest scale, bounded
+        by file COUNT, never data scale."""
+        if name == "snapshots":
+            rows = [(s["snapshot-id"], s["sequence-number"],
+                     s["timestamp-ms"], s["summary"].get("operation"),
+                     int(s["summary"].get("added-data-files", 0)),
+                     int(s["summary"].get("added-records", 0)))
+                    for s in self.snapshots()]
+            return self.spark.createDataFrame(
+                rows, "snapshot_id long, sequence_number long, "
+                      "timestamp_ms long, operation string, "
+                      "added_data_files long, added_records long")
+        if name == "history":
+            md = self.metadata()
+            cur = md["current-snapshot-id"]
+            rows = [(h["timestamp-ms"], h["snapshot-id"],
+                     h["snapshot-id"] == cur)
+                    for h in md["snapshot-log"]]
+            return self.spark.createDataFrame(
+                rows, "timestamp_ms long, snapshot_id long, "
+                      "is_current boolean")
+        if name == "files":
+            rows = [(e["info"].path, e["content"],
+                     e["info"].record_count, e["info"].size_bytes,
+                     json.dumps(e["info"].partition, default=str)
+                     if e["info"].partition else None)
+                    for e in self._entries(snapshot_id)]
+            return self.spark.createDataFrame(
+                rows, "file_path string, content int, record_count long, "
+                      "size_bytes long, partition string")
+        if name == "partitions":
+            md = self.metadata()
+            spec = self._spec_info(md)
+            agg: dict[tuple, list] = {}
+            for e in self._entries(snapshot_id):
+                if e["content"] != 0:
+                    continue
+                part = e["info"].partition or {}
+                key = tuple(part.get(str(si["source_id"]))
+                            for si in spec)
+                a = agg.setdefault(key, [0, 0])
+                a[0] += 1
+                a[1] += e["info"].record_count
+            fields = ", ".join(
+                f"{si['field_name']} "
+                + {"int": "int", "long": "long", "float": "float",
+                   "double": "double", "boolean": "boolean",
+                   "date": "date"}.get(si["result_type"], "string")
+                for si in spec)
+            schema = ((fields + ", ") if fields else "") + \
+                "file_count long, record_count long"
+            rows = [tuple(k) + (a[0], a[1]) for k, a in agg.items()]
+            return self.spark.createDataFrame(rows, schema)
+        raise ValueError(
+            f"unknown metadata table {name!r} (snapshots, history, "
+            "files, partitions)")
+
     def remove_orphan_files(
             self, older_than_s: float = 3 * 86400) -> list[str]:
         """DeleteOrphanFiles (the third Iceberg maintenance action,

@@ -1205,3 +1205,42 @@ def test_day_partitioned_timestamp_table(spark, tmp_path):
     with _pytest.raises(TypeError):
         IcebergTable.create(spark, str(tmp_path / "ice_hr"), ddf.schema,
                             partition_spec=[("d", "hour")])
+
+
+def test_metadata_tables_inspect(spark, tmp_path):
+    """Metadata tables (.snapshots/.history/.files/.partitions as
+    DataFrames): manifest-scale only — no data file is opened — and
+    the partitions rollup groups by transform-space tuple values."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    rows = [(i, dt.datetime(2024, 3, 1 + i % 3, 10), float(i))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz, v double")
+    t = IcebergTable.create(spark, str(tmp_path / "meta"), df.schema,
+                            partition_spec=[("ts", "day")])
+    s1 = t.append_dataframe(df.coalesce(1))
+    s2 = t.append_dataframe(df.coalesce(1))
+
+    snaps = t.inspect("snapshots").collect()
+    assert [r.snapshot_id for r in snaps] == [s1, s2]
+    assert all(r.operation == "append" and r.added_records == 12
+               for r in snaps)
+    hist = t.inspect("history").collect()
+    assert [r.is_current for r in hist] == [False, True]
+
+    files = t.inspect("files")
+    assert files.count() == 6 and files.filter("content != 0").count() == 0
+    day0 = (dt.date(2024, 3, 1) - dt.date(1970, 1, 1)).days
+    parts = {r.ts_day: (r.file_count, r.record_count)
+             for r in t.inspect("partitions").collect()}
+    assert parts == {day0: (2, 8), day0 + 1: (2, 8), day0 + 2: (2, 8)}
+    # time travel: the first snapshot's partitions see one file each
+    parts1 = {r.ts_day: r.file_count
+              for r in t.inspect("partitions", snapshot_id=s1).collect()}
+    assert parts1 == {day0: 1, day0 + 1: 1, day0 + 2: 1}
+    with _pytest.raises(ValueError):
+        t.inspect("nope")
