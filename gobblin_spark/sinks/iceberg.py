@@ -439,6 +439,37 @@ def _iceberg_temporal(value, ice_type: str, kind: str):
 _TEMPORAL_TRANSFORMS = ("year", "month", "day", "hour")
 
 
+def _project_pred(si: dict, op: str, value):
+    """INCLUSIVE PROJECTION (spec "Scan Planning") of one source
+    predicate through one spec field: (op', value') in partition-tuple
+    space, or None when nothing projects (range through a hash, or an
+    unprojectable value) — never an exclusion a matching file could
+    fail. identity passes through; bucket projects equality only;
+    truncate and the temporal transforms are order-preserving, so
+    ranges land on the transformed bound (always a superset)."""
+    k = si["transform"]
+    try:
+        if k == "identity":
+            return op, value
+        if k == "bucket":
+            if op in ("=", "=="):
+                return "=", _iceberg_bucket(value, si["source_type"],
+                                            si["param"])
+            return None
+        tv = (_iceberg_truncate(value, si["source_type"], si["param"])
+              if k == "truncate"
+              else _iceberg_temporal(value, si["source_type"], k))
+        if op in ("=", "=="):
+            return "=", tv
+        if op in (">", ">="):
+            return ">=", tv
+        if op in ("<", "<="):
+            return "<=", tv
+        return None
+    except TypeError:
+        return None
+
+
 def _parse_transform(s: str) -> tuple[str, int | None]:
     """'identity' | 'bucket[N]' | 'truncate[W]' | 'year' | 'month' |
     'day' | 'hour' -> (kind, param)."""
@@ -451,6 +482,58 @@ def _parse_transform(s: str) -> tuple[str, int | None]:
                 raise ValueError(f"{kind} parameter must be positive: {s}")
             return kind, p
     raise ValueError(f"unsupported partition transform {s!r}")
+
+
+def _build_spec_fields(ice_fields: list[dict], spec_in: list[tuple],
+                       first_field_id: int) -> list[dict]:
+    """Validated spec field dicts for create()/update_partition_spec():
+    type gates per transform, one field per source column, transform
+    field names that cannot shadow schema columns. Identity values
+    round-trip through hive dir segments, so only types with an exact
+    text form are allowed (timestamps/decimals would compare lossily —
+    use a temporal transform or a derived string column instead)."""
+    by_name = {f["name"]: f for f in ice_fields}
+    ok_types = {
+        "identity": {"int", "long", "float", "double", "boolean",
+                     "string", "date"},
+        "bucket": {"int", "long", "string", "date"},
+        "truncate": {"int", "long", "string"},
+        "year": {"date", "timestamp", "timestamptz"},
+        "month": {"date", "timestamp", "timestamptz"},
+        "day": {"date", "timestamp", "timestamptz"},
+        "hour": {"timestamp", "timestamptz"},
+    }
+    out, seen_src = [], set()
+    for i, (c, tr) in enumerate(spec_in):
+        if c not in by_name:
+            raise ValueError(f"partition column {c} not in schema")
+        kind, param = _parse_transform(tr)
+        if by_name[c]["type"] not in ok_types[kind]:
+            raise TypeError(
+                f"{kind} partitioning on {by_name[c]['type']} "
+                f"column {c} is not supported"
+                + (" (no exact dir-segment form); partition on "
+                   "a derived date/string column instead"
+                   if kind == "identity" else ""))
+        if c in seen_src:
+            raise ValueError(
+                f"column {c} appears in two partition fields — "
+                "one transform per source column here")
+        seen_src.add(c)
+        fname = (c if kind == "identity"
+                 else f"{c}_bucket" if kind == "bucket"
+                 else f"{c}_trunc" if kind == "truncate"
+                 else f"{c}_{kind}")
+        if kind != "identity" and fname in by_name:
+            raise ValueError(
+                f"partition field name {fname} collides with a "
+                "schema column")
+        out.append({
+            "name": fname, "transform": tr,
+            "source-id": by_name[c]["id"],
+            "field-id": first_field_id + i,
+        })
+    return out
 
 
 # -- single-value serialization (spec Appendix D) -----------------------
@@ -704,50 +787,8 @@ class IcebergTable:
         spec_in = ([(c, "identity") for c in partition_cols]
                    if partition_cols else list(partition_spec or []))
         if spec_in:
-            by_name = {f["name"]: f for f in ice_schema["fields"]}
-            # identity values round-trip through hive dir segments;
-            # only types with an exact text form are allowed
-            # (timestamps/decimals would compare lossily — partition
-            # on a derived date/string column instead)
-            ok_types = {
-                "identity": {"int", "long", "float", "double", "boolean",
-                             "string", "date"},
-                "bucket": {"int", "long", "string", "date"},
-                "truncate": {"int", "long", "string"},
-                "year": {"date", "timestamp", "timestamptz"},
-                "month": {"date", "timestamp", "timestamptz"},
-                "day": {"date", "timestamp", "timestamptz"},
-                "hour": {"timestamp", "timestamptz"},
-            }
-            seen_src = set()
-            for i, (c, tr) in enumerate(spec_in):
-                if c not in by_name:
-                    raise ValueError(f"partition column {c} not in schema")
-                kind, param = _parse_transform(tr)
-                if by_name[c]["type"] not in ok_types[kind]:
-                    raise TypeError(
-                        f"{kind} partitioning on {by_name[c]['type']} "
-                        f"column {c} is not supported"
-                        + (" (no exact dir-segment form); partition on "
-                           "a derived date/string column instead"
-                           if kind == "identity" else ""))
-                if c in seen_src:
-                    raise ValueError(
-                        f"column {c} appears in two partition fields — "
-                        "one transform per source column here")
-                seen_src.add(c)
-                fname = (c if kind == "identity"
-                         else f"{c}_bucket" if kind == "bucket"
-                         else f"{c}_trunc" if kind == "truncate"
-                         else f"{c}_{kind}")
-                if kind != "identity" and fname in by_name:
-                    raise ValueError(
-                        f"partition field name {fname} collides with a "
-                        "schema column")
-                spec_fields.append({
-                    "name": fname, "transform": tr,
-                    "source-id": by_name[c]["id"], "field-id": 1000 + i,
-                })
+            spec_fields = _build_spec_fields(ice_schema["fields"],
+                                             spec_in, 1000)
         md = {
             "format-version": 2,
             "table-uuid": str(uuid.uuid4()),
@@ -919,7 +960,8 @@ class IcebergTable:
         new_entry = {
             "manifest_path": manifest_path, "manifest_length": mlen,
             # manifest_file.content: 0 = data manifest, 1 = deletes
-            "partition_spec_id": 0, "content": 0 if content == 0 else 1,
+            "partition_spec_id": md["default-spec-id"],
+            "content": 0 if content == 0 else 1,
             "sequence_number": seq, "min_sequence_number": seq,
             "added_snapshot_id": snap_id,
             "added_files_count": len(files), "existing_files_count": 0,
@@ -1037,75 +1079,91 @@ class IcebergTable:
         """Live manifest entries of a snapshot: [{info: DataFileInfo,
         content: 0|2, sequence_number, equality_ids}].
 
-        ``prune_parts`` — [(partition source field-id, op, value)] —
-        enables MANIFEST-level skipping via the manifest list's
-        field_summary records (spec 507/508): excluded data manifests
+        ``prune_parts`` — [(source field-id, op, value)] in SOURCE
+        space — enables MANIFEST-level skipping via the manifest
+        list's field_summary records (spec 507/508): each predicate is
+        projected through the spec the MANIFEST was written under
+        (partition_spec_id — partition evolution means different
+        manifests carry different specs), and excluded data manifests
         are never opened. ``last_manifest_scan`` records
-        manifests_total / manifests_skipped."""
+        manifests_total / manifests_skipped. Each returned entry
+        carries its ``spec_id``."""
         md = md or self.metadata()
         sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
         if sid == -1:
             return []
         snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
         _, manifests = ACF.read_container(self._read_bytes(snap["manifest-list"]))
-        spec_def = self._spec_fields_def(md)
-        sid_by_name = {pf["name"]: pf["source-id"] for pf in spec_def}
-        idx_by_sid = {pf["source-id"]: i for i, pf in enumerate(spec_def)}
-        type_by_sid = ({sid: t for _, t, sid in self._partition_spec_cols(md)}
-                       if spec_def else {})
 
-        def _part_tuple(raw):
+        spec_cache: dict[int, list] = {}
+
+        def _info_for(spec_id: int) -> list[dict]:
+            if spec_id not in spec_cache:
+                spec_cache[spec_id] = self._spec_info(md, spec_id)
+            return spec_cache[spec_id]
+
+        def _part_tuple(raw, info):
             # typed r102 record (current writer) → field-id-keyed
             # tuple; JSON string = pre-r6 legacy manifests
             if raw is None:
                 return None
             if isinstance(raw, str):
                 return json.loads(raw)
+            sid_by_name = {si["field_name"]: si["source_id"]
+                           for si in info}
             return {str(sid_by_name[name]): v
                     for name, v in raw.items() if name in sid_by_name}
 
-        def _summary_excludes(m) -> bool:
+        def _summary_excludes(m, info) -> bool:
             # spec "Scan Planning": skip a DATA manifest when its
-            # field_summary proves no file inside can match. Absent
-            # summaries (legacy lists) keep the manifest; incomparable
-            # types keep it (never wrongly skip). All-null partition
-            # values can't satisfy a comparison predicate, so a
-            # boundless summary with a predicate on that field skips.
+            # field_summary proves no file inside can match — each
+            # SOURCE predicate projected through THIS manifest's spec.
+            # Absent summaries (legacy lists) keep the manifest;
+            # incomparable types keep it (never wrongly skip).
+            # All-null partition values can't satisfy a comparison
+            # predicate, so a boundless summary with a predicate on
+            # that field skips.
             sums = m.get("partitions")
             if not sums or not prune_parts:
                 return False
             for psid, op, value in prune_parts:
-                i = idx_by_sid.get(psid)
-                if i is None or i >= len(sums):
-                    continue
-                t_ice = type_by_sid[psid]
-                lo = _summary_deser(sums[i].get("lower_bound"), t_ice)
-                hi = _summary_deser(sums[i].get("upper_bound"), t_ice)
-                if lo is None or hi is None:
-                    return True
-                if t_ice == "float":
-                    lo, hi = _widen_float32_bounds(lo, hi)
-                if type(lo) is not type(value) and not (
-                        isinstance(lo, (int, float))
-                        and isinstance(value, (int, float))):
-                    continue
-                try:
-                    may = _range_may_match(lo, hi, op, value)
-                except TypeError:
-                    continue
-                if not may:
-                    return True
+                for i, si in enumerate(info):
+                    if si["source_id"] != psid or i >= len(sums):
+                        continue
+                    proj = _project_pred(si, op, value)
+                    if proj is None:
+                        continue
+                    pop, pval = proj
+                    t_ice = si["result_type"]
+                    lo = _summary_deser(sums[i].get("lower_bound"), t_ice)
+                    hi = _summary_deser(sums[i].get("upper_bound"), t_ice)
+                    if lo is None or hi is None:
+                        return True
+                    if t_ice == "float":
+                        lo, hi = _widen_float32_bounds(lo, hi)
+                    if type(lo) is not type(pval) and not (
+                            isinstance(lo, (int, float))
+                            and isinstance(pval, (int, float))):
+                        continue
+                    try:
+                        may = _range_may_match(lo, hi, pop, pval)
+                    except TypeError:
+                        continue
+                    if not may:
+                        return True
             return False
 
         self.last_manifest_scan = {"manifests_total": 0,
                                    "manifests_skipped": 0}
         out = []
         for m in manifests:
+            m_spec = m.get("partition_spec_id", 0)
+            info = _info_for(m_spec)
             if m.get("content", 0) == 0:
                 # delete manifests are never skipped: a delete applies
                 # across partitions and is correctness-critical
                 self.last_manifest_scan["manifests_total"] += 1
-                if _summary_excludes(m):
+                if _summary_excludes(m, info):
                     self.last_manifest_scan["manifests_skipped"] += 1
                     continue
             _, entries = ACF.read_container(self._read_bytes(m["manifest_path"]))
@@ -1118,10 +1176,11 @@ class IcebergTable:
                             d["record_count"], d["file_format"],
                             _bounds_from_avro(d.get("lower_bounds")),
                             _bounds_from_avro(d.get("upper_bounds")),
-                            _part_tuple(d.get("partition"))),
+                            _part_tuple(d.get("partition"), info)),
                         "content": d.get("content", 0),
                         "sequence_number": e.get("sequence_number") or 0,
                         "equality_ids": d.get("equality_ids"),
+                        "spec_id": m_spec,
                     })
         return out
 
@@ -1144,15 +1203,18 @@ class IcebergTable:
                     md: dict | None = None) -> T.StructType:
         return _spark_struct(self._ice_schema_for(snapshot_id, md))
 
-    def _spec_fields_def(self, md: dict | None = None) -> list[dict]:
-        """Raw default-spec field dicts ({name, transform, source-id,
-        field-id}); [] for unpartitioned tables. Pass an already-read
-        ``md`` to avoid a redundant metadata fetch (each metadata()
-        is a filesystem round trip — on a remote FS the hot paths
-        must pay it once per operation, not once per helper)."""
+    def _spec_fields_def(self, md: dict | None = None,
+                         spec_id: int | None = None) -> list[dict]:
+        """Raw spec field dicts ({name, transform, source-id,
+        field-id}) of ``spec_id`` (default: the default spec); [] for
+        unpartitioned tables. Pass an already-read ``md`` to avoid a
+        redundant metadata fetch (each metadata() is a filesystem
+        round trip — on a remote FS the hot paths must pay it once
+        per operation, not once per helper)."""
         md = md or self.metadata()
+        sid = md["default-spec-id"] if spec_id is None else spec_id
         spec = next(s for s in md["partition-specs"]
-                    if s["spec-id"] == md["default-spec-id"])
+                    if s["spec-id"] == sid)
         return list(spec["fields"])
 
     def _manifest_entry_schema(self, md: dict | None = None) -> dict:
@@ -1185,16 +1247,18 @@ class IcebergTable:
                                    "fields": r102_fields}]
         return sch
 
-    def _spec_info(self, md: dict | None = None) -> list[dict]:
-        """Rich view of the default partition spec: one dict per field
-        with field_name (the hive dir key and r102 record key),
-        transform kind + param, source column name/type (CURRENT
-        schema via source-id, rename-proof) and the transform RESULT
-        type (= tuple/summary value space: int for bucket, source type
-        otherwise)."""
+    def _spec_info(self, md: dict | None = None,
+                   spec_id: int | None = None) -> list[dict]:
+        """Rich view of a partition spec (default: the DEFAULT spec):
+        one dict per field with field_name (the hive dir key and r102
+        record key), transform kind + param, source column name/type
+        (CURRENT schema via source-id, rename-proof) and the transform
+        RESULT type (= tuple/summary value space: int for bucket and
+        the temporal ordinals, source type otherwise)."""
         md = md or self.metadata()
+        sid = md["default-spec-id"] if spec_id is None else spec_id
         spec = next(s for s in md["partition-specs"]
-                    if s["spec-id"] == md["default-spec-id"])
+                    if s["spec-id"] == sid)
         cur = next(s for s in md["schemas"]
                    if s["schema-id"] == md["current-schema-id"])
         by_id = {f["id"]: f for f in cur["fields"]}
@@ -1366,56 +1430,25 @@ class IcebergTable:
         # (spec 507/508) — at 100 TB the manifest files themselves are
         # the first scan bottleneck
         md_r = self.metadata() if self._version() else None
-        spec_info = self._spec_info(md_r) if md_r else []
-        si_by_src: dict[int, list] = {}
-        for _si in spec_info:
-            si_by_src.setdefault(_si["source_id"], []).append(_si)
+        specs_by_id: dict[int, list] = {}
 
-        def _proj_preds(f, op, value):
-            """INCLUSIVE PROJECTION (spec "Scan Planning") of a source
-            predicate into partition-tuple space, per spec field
-            sourced from f: identity passes through; bucket projects
-            equality only (ranges don't survive hashing); truncate
-            projects equality exactly and ranges onto truncated
-            bounds (v >= X  =>  trunc(v) >= trunc(X), etc. — always a
-            superset, never prunes a matching file)."""
-            out = []
-            for si in si_by_src.get(f["id"], []):
-                k = si["transform"]
-                try:
-                    if k == "identity":
-                        out.append((si, op, value))
-                    elif k == "bucket":
-                        if op in ("=", "=="):
-                            out.append((si, "=", _iceberg_bucket(
-                                value, si["source_type"], si["param"])))
-                    else:  # ORDER-PRESERVING: truncate + year/month/
-                        #    day/hour all project ranges onto the
-                        #    transformed bound (always a superset)
-                        tv = (_iceberg_truncate(value, si["source_type"],
-                                                si["param"])
-                              if k == "truncate"
-                              else _iceberg_temporal(
-                                  value, si["source_type"], k))
-                        if op in ("=", "=="):
-                            out.append((si, "=", tv))
-                        elif op in (">", ">="):
-                            out.append((si, ">=", tv))
-                        elif op in ("<", "<="):
-                            out.append((si, "<=", tv))
-                except TypeError:
-                    continue  # unprojectable value: no pruning from it
-            return out
+        def _spec(spec_id: int) -> list[dict]:
+            if spec_id not in specs_by_id:
+                specs_by_id[spec_id] = self._spec_info(md_r, spec_id)
+            return specs_by_id[spec_id]
 
+        # predicates stay in SOURCE space here: partition evolution
+        # means each manifest/file projects them through its OWN spec
+        # (_entries for summaries, _may_match per file)
         prune_parts = None
-        if prune_filters and md_r and spec_info:
+        if prune_filters and md_r and any(
+                s["fields"] for s in md_r["partition-specs"]):
             by_name = {f["name"]: f for f in self._ice_schema_for(
                 snapshot_id, md_r)["fields"]}
             prune_parts = [
-                (si["source_id"], pop, pval)
+                (by_name[col]["id"], op, value)
                 for col, op, value in prune_filters
                 if col in by_name
-                for si, pop, pval in _proj_preds(by_name[col], op, value)
             ] or None
 
         entries = self._entries(snapshot_id, prune_parts, md_r)
@@ -1443,16 +1476,23 @@ class IcebergTable:
         # only IDENTITY fields drop their source column from the data
         # files (partitionBy used the source column itself) — those
         # are excluded from the base scan schema and re-attached from
-        # the path. Transform fields keep the source data in-file.
-        spec_src_ids = {si["source_id"] for si in spec_info
-                        if si["transform"] == "identity"}
+        # the path, PER FILE GROUP'S OWN SPEC (partition evolution:
+        # a file written under an old identity spec lacks the column
+        # even after the default spec moved on). Transform fields
+        # keep the source data in-file.
+        ident_ids_by_spec = {
+            sp: {si["source_id"] for si in _spec(sp)
+                 if si["transform"] == "identity"}
+            for sp in {e.get("spec_id", 0) for e in data}}
+        spec_src_ids = (set().union(*ident_ids_by_spec.values())
+                        if ident_ids_by_spec else set())
 
         def _may_match(e, f, op, value):
-            # partition-tuple checks first (projected through the
-            # spec's transforms): an EXACT per-file value beats
-            # min/max bounds (and exists even for string columns,
-            # whose bounds are deliberately omitted); tuples are
-            # keyed by source field-id, rename-proof. create()
+            # partition-tuple checks first (each predicate projected
+            # through THE FILE'S OWN spec): an EXACT per-file value
+            # beats min/max bounds (and exists even for string
+            # columns, whose bounds are deliberately omitted); tuples
+            # are keyed by source field-id, rename-proof. create()
             # restricts partition types to those whose dir segment
             # round-trips exactly, so the comparison below is typed;
             # any residual type mismatch falls through to bounds
@@ -1462,7 +1502,13 @@ class IcebergTable:
             import datetime as _dt
 
             part = e["info"].partition or {}
-            for si, pop, pval in _proj_preds(f, op, value):
+            for si in _spec(e.get("spec_id", 0)):
+                if si["source_id"] != f["id"]:
+                    continue
+                proj = _project_pred(si, op, value)
+                if proj is None:
+                    continue
+                pop, pval = proj
                 v = part.get(str(si["source_id"]))
                 if v is None:
                     continue
@@ -1527,10 +1573,13 @@ class IcebergTable:
         snap_name_to_id = {f["name"]: f["id"]
                            for f in self._ice_schema_for(
                                snapshot_id, md_r)["fields"]}
-        base_st = (T.StructType([
-            f for f in st.fields
-            if snap_name_to_id.get(f.name) not in spec_src_ids])
-            if spec_src_ids else st)
+        def _base_st(ids):
+            # per-GROUP base schema: exclude exactly the identity
+            # columns that group's spec dropped from its files
+            return (T.StructType([
+                f for f in st.fields
+                if snap_name_to_id.get(f.name) not in ids])
+                if ids else st)
         # every historical name of each partition source id can appear
         # as the dir key (the key is the column name at WRITE time)
         hist_names: dict[int, set] = {}
@@ -1546,7 +1595,7 @@ class IcebergTable:
         _fsd, _pd, _ = self._fs(f"{self.location}/data")
         _data_prefix = _fsd.makeQualified(_pd).toString().rstrip("/") + "/"
 
-        def _attach_partition_cols(part):
+        def _attach_partition_cols(part, ids):
             import re as _re
 
             fp = F.col("_metadata.file_path")
@@ -1556,7 +1605,7 @@ class IcebergTable:
             ).otherwise(F.substring_index(fp, "/data/", -1))
             for f_ in st.fields:
                 fid = snap_name_to_id.get(f_.name)
-                if fid not in spec_src_ids:
+                if fid not in ids:
                     continue
                 alts = "|".join(sorted(
                     _re.escape(n) for n in hist_names[fid]))
@@ -1570,15 +1619,21 @@ class IcebergTable:
                     .otherwise(raw).cast(f_.dataType))
             return part
 
-        by_seq: dict[int, list[str]] = {}
+        # group by (commit sequence, partition spec) — files written
+        # under DIFFERENT specs need different base schemas (their
+        # identity columns differ) while everything else still plans
+        # one multi-path scan per group
+        by_seq: dict[tuple, list[str]] = {}
         for e in data:
-            by_seq.setdefault(e["sequence_number"], []).append(
+            by_seq.setdefault(
+                (e["sequence_number"], e.get("spec_id", 0)), []).append(
                 e["info"].path)
         df = None
-        for seq, paths in sorted(by_seq.items()):
-            part = self.spark.read.schema(base_st).parquet(*paths)
-            if spec_src_ids:
-                part = _attach_partition_cols(part)
+        for (seq, sp), paths in sorted(by_seq.items()):
+            grp_ids = ident_ids_by_spec.get(sp, set())
+            part = self.spark.read.schema(_base_st(grp_ids)).parquet(*paths)
+            if grp_ids:
+                part = _attach_partition_cols(part, grp_ids)
             if dels_pos and need_seq:
                 # Spark's parquet metadata columns give the (file, row)
                 # identity a position delete addresses; file_path here
@@ -1595,7 +1650,7 @@ class IcebergTable:
                 keep = [f_.name for f_ in st.fields]
                 if dels_pos and need_seq:
                     keep += ["_fp", "_pos"]
-                part = part.select(*keep)
+                part = part.select(*keep)  # normalize column order
             part = part.withColumn("_data_seq", F.lit(seq))
             df = part if df is None else df.unionByName(part)
         if not need_seq:
@@ -1681,6 +1736,38 @@ class IcebergTable:
         md["last-updated-ms"] = int(time.time() * 1000)
         self._commit_metadata(md)
         return new_schema_id
+
+    def update_partition_spec(self, partition_spec: list[tuple]) -> int:
+        """PARTITION EVOLUTION (spec "Partition Evolution" — the
+        headline capability that separates Iceberg from hive layouts):
+        switch the table's DEFAULT spec without touching a single
+        existing file. A new spec (fresh spec-id, fresh 1000+ field
+        ids continuing last-partition-id) becomes the default; data
+        already written keeps its ORIGINAL spec — every manifest-list
+        entry records its partition_spec_id, so scan planning projects
+        each predicate through the spec each FILE was written under,
+        and reads re-attach identity partition values per file group.
+        Old and new layouts coexist indefinitely; rewrite_data_files
+        migrates old files to the new layout when wanted (it rewrites
+        under the default spec). Returns the new spec-id. Same
+        transform grammar as create(); an empty list makes the table
+        effectively unpartitioned for FUTURE writes."""
+        md = self.metadata()
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        first_id = md.get("last-partition-id", 999) + 1
+        fields = _build_spec_fields(cur["fields"],
+                                    list(partition_spec or []), first_id)
+        new_id = max(s["spec-id"] for s in md["partition-specs"]) + 1
+        md["partition-specs"].append({"spec-id": new_id,
+                                      "fields": fields})
+        md["default-spec-id"] = new_id
+        md["last-partition-id"] = (first_id + len(fields) - 1
+                                   if fields else md.get(
+                                       "last-partition-id", 999))
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(md)
+        return new_id
 
     def rename_column(self, old: str, new: str) -> int:
         """Rename a column (spec "Schema Evolution"): the field keeps

@@ -1244,3 +1244,63 @@ def test_metadata_tables_inspect(spark, tmp_path):
     assert parts1 == {day0: 1, day0 + 1: 1, day0 + 2: 1}
     with _pytest.raises(ValueError):
         t.inspect("nope")
+
+
+def test_partition_evolution_mixed_specs(spark, tmp_path):
+    """PARTITION EVOLUTION: the default spec changes (unpartitioned ->
+    identity(region) -> bucket[4](k)) WITHOUT touching existing files.
+    Each manifest keeps its write-time partition_spec_id; reads plan
+    per-file-spec — identity columns re-attach only for the groups
+    whose spec dropped them, and predicates project through each
+    file's OWN spec — so all three layouts coexist in one table."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    rows = [(i, ["us", "eu"][i % 2], float(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "k long, region string, v double")
+    t = IcebergTable.create(spark, str(tmp_path / "evo_spec"), df.schema)
+    t.append_dataframe(df.coalesce(1))                  # spec 0: none
+    sp1 = t.update_partition_spec([("region", "identity")])
+    t.append_dataframe(df.coalesce(1))                  # spec 1
+    sp2 = t.update_partition_spec([("k", "bucket[4]")])
+    t.append_dataframe(df.coalesce(1))                  # spec 2
+    assert (sp1, sp2) == (1, 2)
+
+    md = t.metadata()
+    assert [s["spec-id"] for s in md["partition-specs"]] == [0, 1, 2]
+    # field-ids never collide across specs
+    ids = [f["field-id"] for s in md["partition-specs"]
+           for f in s["fields"]]
+    assert len(ids) == len(set(ids))
+    # entries carry their write-time spec
+    assert sorted({e["spec_id"] for e in t._entries()}) == [0, 1, 2]
+
+    # full read: 3x the rows, identity group re-attached correctly
+    got = sorted(map(tuple, t.read().select("k", "region", "v").collect()))
+    assert got == sorted(list(map(tuple, rows)) * 3)
+
+    # a region predicate prunes ONLY the identity-spec files (the
+    # other two specs cannot prove exclusion from their tuples alone)
+    eu = t.read(prune_filters=[("region", "==", "eu")])
+    assert sorted(r.k for r in eu.collect()) == sorted(
+        [i for i in range(12) if i % 2 == 1] * 3)
+    ident_files = [e for e in t._entries()
+                   if e["content"] == 0 and e["spec_id"] == 1]
+    us_files = [e for e in ident_files
+                if e["info"].partition.get("2") == "us"]
+    assert us_files and t.last_scan["files_scanned"] \
+        <= t.last_scan["files_total"] - len(us_files)
+
+    # a bucket point-lookup prunes only spec-2 files
+    one = t.read(prune_filters=[("k", "=", 3)])
+    assert sorted(r.k for r in one.collect()) == [3, 3, 3]
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+
+    # time travel to the unpartitioned snapshot still reads clean
+    s1 = t.snapshots()[0]["snapshot-id"]
+    assert t.read(snapshot_id=s1).count() == 12
+
+    # rewrite migrates EVERYTHING to the current default spec
+    t.rewrite_data_files(target_partitions=1)
+    assert {e["spec_id"] for e in t._entries()} == {md["default-spec-id"]}
+    assert all("k_bucket=" in f.path for f in t.data_files())
+    assert t.read().count() == 36
