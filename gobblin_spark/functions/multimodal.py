@@ -2140,3 +2140,53 @@ def decode_gif_features(df: DataFrame) -> DataFrame:
             ).astype("int64")
 
     return df.mapInPandas(run, JPEG_FEATURE_SCHEMA)
+
+WAV_SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_samples", LongType(), True),
+        StructField("dc", LongType(), True),
+        StructField("energy", LongType(), True),
+        StructField("nyquist", LongType(), True),
+    ]
+)
+
+
+def decode_wav_spectral(df: DataFrame) -> DataFrame:
+    """REAL frequency-domain audio features: parse the WAV container,
+    run a full FFT (numpy) over the PCM16 signal, and emit the three
+    spectral quantities that have EXACT integer ground truth — the
+    DC bin (X[0] = sum of samples), total energy via PARSEVAL
+    (sum|X|^2 / N = sum x^2, so the float FFT must round-trip to the
+    exact time-domain integer), and the Nyquist bin for even N
+    (X[N/2] = alternating sum). A SQL oracle can state all three in
+    closed form, which turns 'did the FFT run correctly' into a
+    value-hash check instead of a trust-me. Arrow-batched
+    mapInPandas, same distributed shape as the other decoders."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import struct as _struct
+        import wave as _wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                with _wave.open(_io.BytesIO(bytes(payload)), "rb") as w:
+                    nfr, nch = w.getnframes(), w.getnchannels()
+                    raw = w.readframes(nfr)
+                x = np.array(_struct.unpack(f"<{nfr * nch}h", raw),
+                             dtype=np.float64)
+                n = len(x)
+                X = np.fft.fft(x)
+                dc = int(round(X[0].real))
+                energy = int(round(float((np.abs(X) ** 2).sum()) / n))
+                nyq = int(round(X[n // 2].real)) if n % 2 == 0 else 0
+                out.append((int(mid), n, dc, energy, nyq))
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_samples", "dc",
+                              "energy", "nyquist"]).astype("int64")
+
+    return df.mapInPandas(run, WAV_SPECTRAL_SCHEMA)

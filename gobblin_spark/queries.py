@@ -8975,6 +8975,47 @@ def iceberg_partition_evolution_read(spark, sf_dir):
     return out
 
 
+@q(
+    "multimodal_audio_spectral",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id, 100 + doc_id % 400 AS n FROM documents
+    ), s AS (
+      SELECT media_id, n, unnest(range(0, n)) AS i FROM d
+    ), a AS (
+      SELECT media_id, n, i,
+             ((media_id * 31 + i * 17) % 2001) - 1000 AS amp
+      FROM s
+    )
+    SELECT media_id,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(amp) AS BIGINT) AS dc,
+           CAST(sum(amp * amp) AS BIGINT) AS energy,
+           CAST(CASE WHEN n % 2 = 0
+                     THEN sum(amp * (1 - 2 * (i % 2))) ELSE 0 END
+                AS BIGINT) AS nyquist
+    FROM a GROUP BY media_id, n
+    """,
+)
+def multimodal_audio_spectral(spark, sf_dir):
+    """REAL frequency-domain audio analysis, value-checked: synthetic
+    recordings are encoded as real PCM16 WAV bytes executor-side, the
+    decode stage parses the container and runs a FULL FFT per
+    recording, and the emitted features are the three spectral
+    quantities with exact integer ground truth — DC bin = sum of
+    samples, Parseval energy (sum|X|^2 / N must round-trip to the
+    exact time-domain sum of squares through ~500-point float FFTs),
+    and the Nyquist bin (alternating sum, even N only). The oracle
+    replays all three in closed form from the sample formula, so a
+    wrong FFT, a wrong container parse, or a wrong normalization all
+    hash-mismatch. This is the feature-extraction half of an audio
+    curation pipeline (the segmentation half is
+    multimodal_audio_segments); MP3 stays the honest decode gate."""
+    docs = load_docs(spark, sf_dir)
+    media = multimodal.synth_wav_media(docs)
+    return multimodal.decode_wav_spectral(media)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -1347,3 +1347,21 @@ def test_gif_codec_kwkwk_and_gates():
         multimodal.decode_gif_gray(bytes(colored))
     with _pytest.raises(ValueError):
         multimodal.decode_gif_gray(b"NOTAGIF")
+
+
+def test_wav_spectral_exact_integers():
+    """FFT features with exact integer ground truth: DC bin = sum,
+    Parseval energy = sum of squares, Nyquist bin = alternating sum
+    (even N). Floating FFT must round-trip to the integers."""
+    import numpy as np
+
+    for mid in (0, 1, 7, 123, 4999):
+        s = multimodal._wav_samples(mid)
+        X = np.fft.fft(np.array(s, float))
+        n = len(s)
+        assert int(round(X[0].real)) == sum(s)
+        assert int(round(float((abs(X) ** 2).sum()) / n)) == sum(
+            v * v for v in s)
+        if n % 2 == 0:
+            assert int(round(X[n // 2].real)) == sum(
+                v * (1 - 2 * (i % 2)) for i, v in enumerate(s))
