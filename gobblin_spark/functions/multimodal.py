@@ -2190,3 +2190,240 @@ def decode_wav_spectral(df: DataFrame) -> DataFrame:
                               "energy", "nyquist"]).astype("int64")
 
     return df.mapInPandas(run, WAV_SPECTRAL_SCHEMA)
+
+# ------------------------------------------------------------------
+# TIFF (baseline grayscale, Compression=1 none / 5 LZW) — REAL
+# pure-Python codec from the public TIFF 6.0 spec. TIFF's LZW is the
+# OTHER LZW dialect: MSB-first bit packing (GIF is LSB-first) and the
+# "early change" off-by-one — code width grows one code EARLIER than
+# GIF (when the next code to assign reaches 2^w - 1, because the
+# decoder must widen before reading the code that FILLS the width).
+# Both compressions encode AND decode; palette/RGB/tiled/planar stay
+# honest gates.
+# ------------------------------------------------------------------
+
+
+def encode_tiff_gray(pixels, w: int, h: int, lzw: bool = True) -> bytes:
+    """Little-endian TIFF 6.0, 8-bit grayscale, one strip."""
+    import struct
+
+    data = bytes(int(p) & 0xFF for p in pixels)
+    if lzw:
+        out_bits = bytearray()
+        acc = nbits = 0
+
+        def put(code, width):
+            nonlocal acc, nbits
+            acc = (acc << width) | code
+            nbits += width
+            while nbits >= 8:
+                nbits -= 8
+                out_bits.append((acc >> nbits) & 0xFF)
+
+        table = {bytes([i]): i for i in range(256)}
+        rc, width = 258, 9
+        put(256, width)  # ClearCode first per spec
+        seq = b""
+        for b in data:
+            cand = seq + bytes([b])
+            if cand in table:
+                seq = cand
+                continue
+            put(table[seq], width)
+            if rc >= 4094:  # table nearly full: clear and restart
+                put(256, width)
+                table = {bytes([i]): i for i in range(256)}
+                rc, width = 258, 9
+            else:
+                table[cand] = rc
+                rc += 1
+                if rc == (1 << width) - 1:  # TIFF early change
+                    width += 1
+            seq = bytes([b])
+        if seq:
+            put(table[seq], width)
+        put(257, width)  # EOI
+        if nbits:
+            out_bits.append((acc << (8 - nbits)) & 0xFF)
+        strip = bytes(out_bits)
+    else:
+        strip = data
+
+    def entry(tag, typ, count, value):
+        return struct.pack("<HHI4s", tag, typ, count,
+                           struct.pack("<I", value))
+
+    # header(8) + IFD(2 + 9*12 + 4) then strip data
+    ifd_off = 8
+    n_entries = 9
+    strip_off = ifd_off + 2 + n_entries * 12 + 4
+    ifd = struct.pack("<H", n_entries)
+    ifd += entry(256, 4, 1, w)                     # ImageWidth LONG
+    ifd += entry(257, 4, 1, h)                     # ImageLength
+    ifd += entry(258, 3, 1, 8)                     # BitsPerSample SHORT
+    ifd += entry(259, 3, 1, 5 if lzw else 1)       # Compression
+    ifd += entry(262, 3, 1, 1)                     # Photometric: BlackIsZero
+    ifd += entry(273, 4, 1, strip_off)             # StripOffsets
+    ifd += entry(277, 3, 1, 1)                     # SamplesPerPixel
+    ifd += entry(278, 4, 1, h)                     # RowsPerStrip
+    ifd += entry(279, 4, 1, len(strip))            # StripByteCounts
+    ifd += struct.pack("<I", 0)                    # next IFD = none
+    return b"II*\x00" + struct.pack("<I", ifd_off) + ifd + strip
+
+
+def decode_tiff_gray(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, sum_gray) from a little-endian 8-bit grayscale
+    TIFF — Compression 1 (none) or 5 (LZW, MSB-first with the TIFF
+    early-change rule), single or multiple strips. Big-endian files,
+    other photometrics/bit depths, tiles, and predictors raise."""
+    import struct
+
+    if payload[:4] == b"MM\x00*":
+        raise NotImplementedError("big-endian TIFF")
+    if payload[:4] != b"II*\x00":
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    (n,) = struct.unpack_from("<H", payload, ifd_off)
+    tags = {}
+    for i in range(n):
+        tag, typ, count, raw = struct.unpack_from(
+            "<HHI4s", payload, ifd_off + 2 + i * 12)
+        if count == 1:
+            val = struct.unpack("<I" if typ == 4 else "<H2x" if typ == 3
+                                else "<I", raw)[0]
+            tags[tag] = [val]
+        else:
+            sz = 2 if typ == 3 else 4
+            (off,) = struct.unpack("<I", raw)
+            tags[tag] = [
+                struct.unpack_from("<H" if typ == 3 else "<I",
+                                   payload, off + j * sz)[0]
+                for j in range(count)]
+    w, h = tags[256][0], tags[257][0]
+    if tags.get(258, [8])[0] != 8 or tags.get(277, [1])[0] != 1:
+        raise NotImplementedError("only 8-bit single-sample TIFF")
+    if tags.get(262, [1])[0] not in (0, 1):
+        raise NotImplementedError("only grayscale photometric")
+    if tags.get(317, [1])[0] != 1:
+        raise NotImplementedError("TIFF predictor")
+    comp = tags.get(259, [1])[0]
+    strips = []
+    for off, cnt in zip(tags[273], tags[279]):
+        strips.append(payload[off:off + cnt])
+    if comp == 1:
+        data = b"".join(strips)
+    elif comp == 5:
+        data = b"".join(_tiff_lzw_decode(s) for s in strips)
+    else:
+        raise NotImplementedError(f"TIFF compression {comp}")
+    if len(data) < w * h:
+        raise ValueError("TIFF strip data truncated")
+    return w, h, sum(data[:w * h])
+
+
+def _tiff_lzw_decode(data: bytes) -> bytes:
+    """TIFF-dialect LZW: MSB-first codes, 9->12 bits, EARLY CHANGE
+    (width grows when the decoder's next-to-assign code reaches
+    2^w - 1 — one earlier than GIF)."""
+    pos = nbits = acc = 0
+
+    def get(width):
+        nonlocal pos, nbits, acc
+        while nbits < width:
+            if pos >= len(data):
+                return 257  # ran off the end: treat as EOI
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        v = (acc >> nbits) & ((1 << width) - 1)
+        return v
+
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width, prev = 9, None
+    out = bytearray()
+    while True:
+        code = get(width)
+        if code == 256:  # Clear
+            table = list(base)
+            width, prev = 9, None
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW code")
+        # early change, decoder side: the table lags the encoder by
+        # one entry, so widen at capacity MINUS TWO (libtiff's
+        # free_ent == maxcode-1, e.g. 510 at 9 bits) — one code
+        # earlier than the GIF dialect
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def encode_tiff_gray_pattern(media_id: int) -> bytes:
+    """Same per-pixel gray pattern (and dims) as the GIF entry, in a
+    TIFF container — LZW for even ids, uncompressed for odd ids, so
+    ONE oracle covers both compression paths."""
+    w, h = _bmp_dims(media_id)
+    return encode_tiff_gray(
+        [(media_id + 7 * x + 13 * y) % 256
+         for y in range(h) for x in range(w)], w, h,
+        lzw=(media_id % 2 == 0))
+
+
+def synth_tiff_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media schema with REAL TIFF payloads (mixed LZW/uncompressed)."""
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        from gobblin_spark.functions.multimodal import encode_tiff_gray_pattern
+
+        for pdf in batches:
+            payloads = [encode_tiff_gray_pattern(int(m))
+                        for m in pdf["media_id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "byte_len": pd.Series(
+                        [len(p) for p in payloads], dtype="int64"),
+                    "sha256": [_hl.sha256(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return ids.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def decode_tiff_features(df: DataFrame) -> DataFrame:
+    """REAL TIFF decode (IFD walk + LZW inflate) as Arrow-batched
+    mapInPandas — same contract as the GIF/JPEG gray features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gobblin_spark.functions.multimodal import decode_tiff_gray
+
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, s = decode_tiff_gray(bytes(payload))
+                out.append((int(mid), w, h, s))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "sum_gray"]
+            ).astype("int64")
+
+    return df.mapInPandas(run, JPEG_FEATURE_SCHEMA)

@@ -9016,6 +9016,41 @@ def multimodal_audio_spectral(spark, sf_dir):
     return multimodal.decode_wav_spectral(media)
 
 
+@q(
+    "multimodal_decode_tiff",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             4 + doc_id % 29 AS w, 3 + doc_id % 17 AS h
+      FROM documents
+    ), px AS (
+      SELECT media_id, w, h, unnest(range(0, w * h)) AS p FROM d
+    )
+    SELECT media_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(sum((media_id + 7 * (p % w) + 13 * (p // w)) % 256)
+                AS BIGINT) AS sum_gray
+    FROM px GROUP BY media_id, w, h
+    """,
+)
+def multimodal_decode_tiff(spark, sf_dir):
+    """REAL TIFF 6.0 decode, value-checked — container format number
+    EIGHT with a real pure-Python codec. Each doc id becomes a
+    spec-valid little-endian grayscale TIFF (IFD with the nine
+    baseline tags, one strip): even ids LZW-compressed, odd ids
+    uncompressed, so ONE oracle exercises both compression paths and
+    the full IFD walk. TIFF's LZW is the OTHER dialect from GIF's:
+    MSB-first bit packing and the infamous early-change off-by-one
+    (code width grows one code earlier — libtiff's free_ent ==
+    maxcode-1), pinned by a 600-id pytest sweep across the 9->10-bit
+    boundary plus multi-clear and KwKwK paths. Remaining TIFF gates:
+    big-endian, predictors, tiles, palette/RGB."""
+    docs = load_docs(spark, sf_dir)
+    media = multimodal.synth_tiff_media(docs)
+    return multimodal.decode_tiff_features(media)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -1365,3 +1365,37 @@ def test_wav_spectral_exact_integers():
         if n % 2 == 0:
             assert int(round(X[n // 2].real)) == sum(
                 v * (1 - 2 * (i % 2)) for i, v in enumerate(s))
+
+
+def test_tiff_codec_both_compressions_and_gates():
+    """TIFF 6.0 grayscale round trips: uncompressed AND LZW (the
+    MSB-first dialect with TIFF's early-change off-by-one — width
+    grows one code earlier than GIF; a 1200-id sweep pins the width
+    boundaries), multi-clear and KwKwK paths, plus honest gates."""
+    import random
+
+    import pytest as _pytest
+
+    for mid in range(600):  # even ids LZW, odd ids uncompressed
+        w, h = multimodal._bmp_dims(mid)
+        exp = sum((mid + 7 * x + 13 * y) % 256
+                  for y in range(h) for x in range(w))
+        payload = multimodal.encode_tiff_gray_pattern(mid)
+        assert payload[:4] == b"II*\x00"
+        assert multimodal.decode_tiff_gray(payload) == (w, h, exp)
+    rng = random.Random(2)
+    w, h = 128, 96
+    px = [rng.randrange(256) for _ in range(w * h)]
+    for lzw in (True, False):
+        assert multimodal.decode_tiff_gray(
+            multimodal.encode_tiff_gray(px, w, h, lzw=lzw)) == (
+            w, h, sum(px))
+    big = (list(range(64)) * 4000)[:256 * 256]
+    assert multimodal.decode_tiff_gray(
+        multimodal.encode_tiff_gray(big, 256, 256, lzw=True)) == (
+        256, 256, sum(big))
+    base = multimodal.encode_tiff_gray_pattern(2)
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_tiff_gray(b"MM\x00*" + base[4:])
+    with _pytest.raises(ValueError):
+        multimodal.decode_tiff_gray(b"NOTATIFF")

@@ -156,6 +156,8 @@ CASES = [
     ("multimodal_decode_jpeg420", 0, "Exchange hashpartitioning"),
     ("multimodal_decode_jpeg_prog", 0, "Exchange hashpartitioning"),
     ("multimodal_decode_gif", 0, "Exchange hashpartitioning"),
+    ("multimodal_decode_tiff", 0, "Exchange hashpartitioning"),
+    ("multimodal_audio_spectral", 0, "Exchange hashpartitioning"),
     # round-6 component oracles: the deterministic sampler's global
     # rank is SinglePartition BY DESIGN (auditable variant; the
     # production sampler is the no-shuffle rand path) — the one hash
