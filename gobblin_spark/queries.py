@@ -9051,6 +9051,61 @@ def multimodal_decode_tiff(spark, sf_dir):
     return multimodal.decode_tiff_features(media)
 
 
+@q(
+    "streaming_iceberg_ingest",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_iceberg_ingest(spark, sf_dir):
+    """EXACTLY-ONCE streaming ingest into the TABLE FORMAT: the events
+    table arrives as a multi-file stream, each foreachBatch epoch
+    lands as one Iceberg append whose snapshot summary carries the
+    epoch token IN THE SAME metadata commit (no stamp-after-commit
+    crash window) — then epoch 0 is deliberately RE-DELIVERED, as
+    Structured Streaming does after a failure, and the idempotent
+    sink must short-circuit to the committed snapshot and write
+    nothing (asserted in-query: snapshot count and row count both
+    unchanged). Green iff the final table equals the batch aggregate
+    exactly — stream==batch through a replay. This is the
+    FlushingExtractor flush-epoch contract
+    (gobblin-core .../extractor/FlushingExtractor.java:81) carried
+    onto Iceberg snapshots; at 100 TB, replay-safe commits are what
+    let a streaming writer restart without a dedup pass."""
+    import tempfile
+
+    from gobblin_spark import streaming
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="gobblin_icestream_")
+    indir = f"{tmp}/in"
+    ev.repartition(4).write.parquet(indir)
+    t = IcebergTable.create(spark, f"{tmp}/table", ev.schema)
+    stream = streaming.file_stream(spark, indir, schema=ev.schema,
+                                   max_files_per_trigger=2)
+
+    def sink(batch_df, epoch_id):
+        t.append_dataframe_idempotent(batch_df.coalesce(1),
+                                      f"epoch-{epoch_id}")
+
+    q_ = (stream.writeStream.foreachBatch(sink)
+          .trigger(availableNow=True)
+          .option("checkpointLocation", f"{tmp}/ckpt").start())
+    q_.awaitTermination()
+    n_snaps = len(t.snapshots())
+    n_rows = t.read().count()
+    # failure replay: epoch 0 arrives again — must be a no-op
+    t.append_dataframe_idempotent(ev.limit(50), "epoch-0")
+    if len(t.snapshots()) != n_snaps or t.read().count() != n_rows:
+        raise RuntimeError("epoch replay was not idempotent")
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"))
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

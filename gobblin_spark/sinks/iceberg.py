@@ -812,7 +812,8 @@ class IcebergTable:
         t._commit_metadata(md)
         return t
 
-    def append_files(self, files: list[DataFileInfo]) -> int:
+    def append_files(self, files: list[DataFileInfo],
+                     summary_extra: dict | None = None) -> int:
         """AppendFiles.appendFile + commit (IcebergMetadataWriter.java:578):
         one new snapshot whose manifest lists exactly these files.
 
@@ -880,11 +881,13 @@ class IcebergTable:
                             "the file must be laid out hive-style "
                             "(use append_dataframe)")
         return self._commit_files(files, content=0, equality_ids=None,
-                                  operation="append")
+                                  operation="append",
+                                  summary_extra=summary_extra)
 
     def _commit_files(self, files: list[DataFileInfo], *, content: int,
                       equality_ids: list[int] | None, operation: str,
-                      carry_prior: bool = True) -> int:
+                      carry_prior: bool = True,
+                      summary_extra: dict | None = None) -> int:
         """One snapshot committing *files* as DATA (content=0) or
         EQUALITY DELETES (content=2, with the equality field-ids).
         ``carry_prior=False`` makes it a REPLACE snapshot: the new
@@ -982,7 +985,8 @@ class IcebergTable:
             "summary": {"operation": operation,
                         "added-data-files": str(len(files)),
                         "added-records":
-                            str(sum(f.record_count for f in files))},
+                            str(sum(f.record_count for f in files)),
+                        **(summary_extra or {})},
         })
         md["current-snapshot-id"] = snap_id
         md["last-sequence-number"] = seq
@@ -991,7 +995,8 @@ class IcebergTable:
         self._commit_metadata(md)
         return snap_id
 
-    def append_dataframe(self, df: DataFrame) -> int:
+    def append_dataframe(self, df: DataFrame,
+                         summary_extra: dict | None = None) -> int:
         """Write *df* as parquet files under ``data/`` and commit them
         as one append snapshot. Per-file record counts come from the
         parquet footers (metadata reads, no data scan). The frame is
@@ -1013,7 +1018,26 @@ class IcebergTable:
         if part_names:
             w = w.partitionBy(*part_names)
         w.parquet(sub)
-        return self.append_files(self._list_committed_files(sub))
+        return self.append_files(self._list_committed_files(sub),
+                                 summary_extra=summary_extra)
+
+    def append_dataframe_idempotent(self, df: DataFrame,
+                                    token: str) -> int:
+        """EXACTLY-ONCE sink contract for streaming foreachBatch: the
+        epoch token rides the snapshot summary IN THE SAME metadata
+        commit as the append (no stamp-after-commit crash window), so
+        a replayed epoch — Structured Streaming re-delivers the whole
+        batch after a failure — short-circuits to the already-
+        committed snapshot id and writes NOTHING. This is the
+        FlushingExtractor epoch-commit idea expressed on the table
+        format: commit-or-skip keyed on a durable token, the same
+        pattern Iceberg's own commit dedup (snapshot summary
+        properties) supports."""
+        for s in self.metadata().get("snapshots", []):
+            if s.get("summary", {}).get("epoch-token") == token:
+                return s["snapshot-id"]
+        return self.append_dataframe(
+            df, summary_extra={"epoch-token": token})
 
     def _with_partition_cols(self, df: DataFrame,
                              md: dict | None = None):

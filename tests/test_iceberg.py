@@ -1304,3 +1304,32 @@ def test_partition_evolution_mixed_specs(spark, tmp_path):
     assert {e["spec_id"] for e in t._entries()} == {md["default-spec-id"]}
     assert all("k_bucket=" in f.path for f in t.data_files())
     assert t.read().count() == 36
+
+
+def test_idempotent_epoch_append(spark, tmp_path):
+    """append_dataframe_idempotent: the epoch token rides the SAME
+    metadata commit as the snapshot (crash-window-free), and a
+    replayed token short-circuits without writing."""
+    import json as _json
+    import os as _os
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    t = IcebergTable.create(spark, str(tmp_path / "idem"), df.schema)
+    s1 = t.append_dataframe_idempotent(df, "epoch-0")
+    assert t.read().count() == 2
+    # replay with DIFFERENT content: still a no-op, same snapshot id
+    other = spark.createDataFrame([(9, "z")], "k long, s string")
+    assert t.append_dataframe_idempotent(other, "epoch-0") == s1
+    assert t.read().count() == 2 and len(t.snapshots()) == 1
+    # a new token commits
+    s2 = t.append_dataframe_idempotent(other, "epoch-1")
+    assert s2 != s1 and t.read().count() == 3
+    # the token is IN the committed metadata json (atomicity witness)
+    hint = open(_os.path.join(str(tmp_path / "idem"), "metadata",
+                              "version-hint.text")).read()
+    md = _json.load(open(_os.path.join(
+        str(tmp_path / "idem"), "metadata", f"v{int(hint)}.metadata.json")))
+    toks = [s["summary"].get("epoch-token") for s in md["snapshots"]]
+    assert toks == ["epoch-0", "epoch-1"]
