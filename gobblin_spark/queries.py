@@ -9106,6 +9106,57 @@ def streaming_iceberg_ingest(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("sum_value"))
 
 
+@q(
+    "iceberg_wap_publish",
+    """
+    SELECT c_mktsegment, count(*) AS n,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def iceberg_wap_publish(spark, sf_dir):
+    """WRITE-AUDIT-PUBLISH on table-format references (spec
+    "References"): even-keyed customers land on main, odd-keyed
+    customers are STAGED on an ``audit`` branch — branch commits move
+    only their ref, so main readers keep seeing exactly the even
+    half (asserted in-query: the staged rows are invisible until
+    publish) — the audit step validates the branch read, and
+    ``fast_forward("main", "audit")`` publishes atomically in one
+    metadata commit after verifying true ancestry (no history
+    rewrite). This is publish.py's stage -> audit -> merge-rename —
+    the reference's BaseDataPublisher/SafeDatasetCommit contract
+    (gobblin-core .../publisher/BaseDataPublisher.java) — expressed
+    as Iceberg branch semantics: at 100 TB the 'merge-rename' becomes
+    one pointer flip instead of a directory move. Tags, expiry
+    retention of ref heads, and non-fast-forward refusal are
+    pytest-pinned."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    loc = tempfile.mkdtemp(prefix="gobblin_icewap_") + "/t"
+    t = IcebergTable.create(spark, loc, cust.schema)
+    even = cust.filter(F.col("c_custkey") % 2 == 0)
+    odd = cust.filter(F.col("c_custkey") % 2 == 1)
+    t.append_dataframe(even.coalesce(1))
+    t.create_branch("audit")
+    t.append_dataframe(odd.coalesce(1), branch="audit")
+    # WRITE done; main must still be the even half (isolation)
+    n_even, n_all = even.count(), cust.count()
+    if t.read().count() != n_even:
+        raise RuntimeError("staged branch rows leaked into main")
+    # AUDIT: the branch carries the complete dataset
+    if t.read(ref="audit").count() != n_all:
+        raise RuntimeError("audit branch incomplete")
+    # PUBLISH: one atomic pointer flip
+    t.fast_forward("main", "audit")
+    return t.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

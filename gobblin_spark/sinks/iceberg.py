@@ -813,7 +813,8 @@ class IcebergTable:
         return t
 
     def append_files(self, files: list[DataFileInfo],
-                     summary_extra: dict | None = None) -> int:
+                     summary_extra: dict | None = None,
+                     branch: str | None = None) -> int:
         """AppendFiles.appendFile + commit (IcebergMetadataWriter.java:578):
         one new snapshot whose manifest lists exactly these files.
 
@@ -882,12 +883,14 @@ class IcebergTable:
                             "(use append_dataframe)")
         return self._commit_files(files, content=0, equality_ids=None,
                                   operation="append",
-                                  summary_extra=summary_extra)
+                                  summary_extra=summary_extra,
+                                  branch=branch)
 
     def _commit_files(self, files: list[DataFileInfo], *, content: int,
                       equality_ids: list[int] | None, operation: str,
                       carry_prior: bool = True,
-                      summary_extra: dict | None = None) -> int:
+                      summary_extra: dict | None = None,
+                      branch: str | None = None) -> int:
         """One snapshot committing *files* as DATA (content=0) or
         EQUALITY DELETES (content=2, with the equality field-ids).
         ``carry_prior=False`` makes it a REPLACE snapshot: the new
@@ -934,12 +937,22 @@ class IcebergTable:
             entries, json.dumps(self._manifest_entry_schema(md)))
         mlen = self._write_bytes(manifest_path, mbytes)
 
-        # carry forward prior manifests (append-only table); a REPLACE
-        # snapshot starts fresh instead
+        # parent head: the target BRANCH's head when committing to a
+        # branch (spec "References" — main tracks current-snapshot-id)
+        refs = md.setdefault("refs", {})
+        if branch and branch != "main":
+            if branch in refs and refs[branch].get("type") == "tag":
+                raise ValueError(f"cannot commit to tag {branch!r}")
+            parent = refs.get(branch, {}).get(
+                "snapshot-id", md["current-snapshot-id"])
+        else:
+            parent = md["current-snapshot-id"]
+        # carry forward the PARENT's manifests (append-only table); a
+        # REPLACE snapshot starts fresh instead
         prior = []
-        if carry_prior and md["current-snapshot-id"] != -1:
+        if carry_prior and parent != -1:
             cur = next(s for s in md["snapshots"]
-                       if s["snapshot-id"] == md["current-snapshot-id"])
+                       if s["snapshot-id"] == parent)
             _, prior = ACF.read_container(self._read_bytes(cur["manifest-list"]))
         # field_summary per spec field (spec 507/508): min/max over
         # this manifest's partition tuples + null presence — the
@@ -980,6 +993,7 @@ class IcebergTable:
 
         md["snapshots"].append({
             "snapshot-id": snap_id, "sequence-number": seq,
+            "parent-snapshot-id": None if parent == -1 else parent,
             "timestamp-ms": now, "manifest-list": mlist_path,
             "schema-id": md["current-schema-id"],
             "summary": {"operation": operation,
@@ -988,15 +1002,24 @@ class IcebergTable:
                             str(sum(f.record_count for f in files)),
                         **(summary_extra or {})},
         })
-        md["current-snapshot-id"] = snap_id
+        if branch and branch != "main":
+            # branch commit: ONLY the ref moves — main (current) and
+            # the snapshot log are untouched, which is the isolation
+            # the write-audit-publish pattern rides on
+            refs[branch] = {"snapshot-id": snap_id, "type": "branch"}
+        else:
+            md["current-snapshot-id"] = snap_id
+            refs["main"] = {"snapshot-id": snap_id, "type": "branch"}
+            md["snapshot-log"].append(
+                {"timestamp-ms": now, "snapshot-id": snap_id})
         md["last-sequence-number"] = seq
         md["last-updated-ms"] = now
-        md["snapshot-log"].append({"timestamp-ms": now, "snapshot-id": snap_id})
         self._commit_metadata(md)
         return snap_id
 
     def append_dataframe(self, df: DataFrame,
-                         summary_extra: dict | None = None) -> int:
+                         summary_extra: dict | None = None,
+                         branch: str | None = None) -> int:
         """Write *df* as parquet files under ``data/`` and commit them
         as one append snapshot. Per-file record counts come from the
         parquet footers (metadata reads, no data scan). The frame is
@@ -1019,7 +1042,8 @@ class IcebergTable:
             w = w.partitionBy(*part_names)
         w.parquet(sub)
         return self.append_files(self._list_committed_files(sub),
-                                 summary_extra=summary_extra)
+                                 summary_extra=summary_extra,
+                                 branch=branch)
 
     def append_dataframe_idempotent(self, df: DataFrame,
                                     token: str) -> int:
@@ -1410,7 +1434,8 @@ class IcebergTable:
 
     def read(self, snapshot_id: int | None = None,
              apply_deletes: bool = True,
-             prune_filters: list[tuple] | None = None) -> DataFrame:
+             prune_filters: list[tuple] | None = None,
+             ref: str | None = None) -> DataFrame:
         """Time-travel read: snapshot → manifest list → manifests →
         parquet paths → one multi-path scan (partition pruning and
         pushdown apply as for any parquet read). The scan uses the
@@ -1453,6 +1478,12 @@ class IcebergTable:
         # so the manifest-list field_summary can skip whole manifests
         # (spec 507/508) — at 100 TB the manifest files themselves are
         # the first scan bottleneck
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR ref")
+            # a branch created on an empty table keeps head -1, which
+            # _entries already maps to "no files" — NOT to main's data
+            snapshot_id = self.ref_snapshot(ref)
         md_r = self.metadata() if self._version() else None
         specs_by_id: dict[int, list] = {}
 
@@ -1761,6 +1792,103 @@ class IcebergTable:
         self._commit_metadata(md)
         return new_schema_id
 
+    # -- references: branches, tags, write-audit-publish ----------------
+    def refs(self) -> dict:
+        """The table's named references (spec "References"): ``main``
+        tracks current-snapshot-id; other branches advance via
+        ``append_dataframe(..., branch=...)``; tags are immutable."""
+        return dict(self.metadata().get("refs", {}))
+
+    def create_branch(self, name: str,
+                      from_snapshot_id: int | None = None) -> int:
+        """A named branch at *from_snapshot_id* (default: current
+        head). Branch commits move ONLY the ref — main and the
+        snapshot log never see them until fast_forward — which is the
+        isolation the write-audit-publish pattern needs."""
+        md = self.metadata()
+        refs = md.setdefault("refs", {})
+        if name in refs:
+            raise ValueError(f"reference {name!r} already exists")
+        head = (md["current-snapshot-id"] if from_snapshot_id is None
+                else from_snapshot_id)
+        refs[name] = {"snapshot-id": head, "type": "branch"}
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(md)
+        return head
+
+    def create_tag(self, name: str,
+                   snapshot_id: int | None = None) -> int:
+        """An immutable named pointer (release pinning / audit marks);
+        expire_snapshots retains tagged snapshots."""
+        md = self.metadata()
+        refs = md.setdefault("refs", {})
+        if name in refs:
+            raise ValueError(f"reference {name!r} already exists")
+        head = (md["current-snapshot-id"] if snapshot_id is None
+                else snapshot_id)
+        if not any(s["snapshot-id"] == head for s in md["snapshots"]):
+            raise ValueError(f"snapshot {head} not in table history")
+        refs[name] = {"snapshot-id": head, "type": "tag"}
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(md)
+        return head
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("cannot drop main")
+        md = self.metadata()
+        md.get("refs", {}).pop(name, None)
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._commit_metadata(md)
+
+    def ref_snapshot(self, name: str) -> int:
+        refs = self.metadata().get("refs", {})
+        if name == "main" and name not in refs:
+            return self.metadata()["current-snapshot-id"]
+        if name not in refs:
+            raise ValueError(f"unknown reference {name!r}")
+        return refs[name]["snapshot-id"]
+
+    def fast_forward(self, to_branch: str, from_ref: str) -> int:
+        """PUBLISH step of write-audit-publish: advance *to_branch*
+        (usually main) to *from_ref*'s head — allowed only when the
+        target's head is an ANCESTOR of the source's head
+        (parent-snapshot-id chain), i.e. a true fast-forward with no
+        history rewrite. Staged+audited branch commits become visible
+        to readers atomically with this one metadata commit — the
+        table-format form of publish.py's stage -> audit ->
+        merge-rename."""
+        md = self.metadata()
+        refs = md.setdefault("refs", {})
+        src = self.ref_snapshot(from_ref)
+        dst = (md["current-snapshot-id"] if to_branch == "main"
+               and to_branch not in refs
+               else refs.get(to_branch, {}).get("snapshot-id", -1))
+        if src == dst:
+            return src
+        # ancestry walk from source back to target
+        parents = {s["snapshot-id"]: s.get("parent-snapshot-id")
+                   for s in md["snapshots"]}
+        node, ok = src, False
+        while node is not None:
+            if node == dst or (dst == -1 and parents.get(node) is None):
+                ok = True
+                break
+            node = parents.get(node)
+        if not ok:
+            raise ValueError(
+                f"{to_branch!r} head {dst} is not an ancestor of "
+                f"{from_ref!r} head {src} — not a fast-forward")
+        now = int(time.time() * 1000)
+        refs[to_branch] = {"snapshot-id": src, "type": "branch"}
+        if to_branch == "main":
+            md["current-snapshot-id"] = src
+            md["snapshot-log"].append(
+                {"timestamp-ms": now, "snapshot-id": src})
+        md["last-updated-ms"] = now
+        self._commit_metadata(md)
+        return src
+
     def update_partition_spec(self, partition_spec: list[tuple]) -> int:
         """PARTITION EVOLUTION (spec "Partition Evolution" — the
         headline capability that separates Iceberg from hive layouts):
@@ -1966,9 +2094,12 @@ class IcebergTable:
         vN.metadata.json versions are likewise pruned down to the
         newest 5 (write.metadata.previous-versions-max semantics)."""
         md = self.metadata()
+        ref_heads = {r.get("snapshot-id")
+                     for r in md.get("refs", {}).values()}
         keep, dropped_snaps = [], []
         for s in md["snapshots"]:
             if (s["snapshot-id"] == md["current-snapshot-id"]
+                    or s["snapshot-id"] in ref_heads
                     or s["timestamp-ms"] >= older_than_ms):
                 keep.append(s)
             else:

@@ -1333,3 +1333,57 @@ def test_idempotent_epoch_append(spark, tmp_path):
         str(tmp_path / "idem"), "metadata", f"v{int(hint)}.metadata.json")))
     toks = [s["summary"].get("epoch-token") for s in md["snapshots"]]
     assert toks == ["epoch-0", "epoch-1"]
+
+
+def test_branches_tags_and_wap(spark, tmp_path):
+    """References + the write-audit-publish pattern: branch commits
+    move only their ref (main readers never see them), tags pin
+    snapshots against expiry, and fast_forward publishes the audited
+    branch atomically — refusing non-fast-forward moves."""
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    df1 = spark.createDataFrame([(3, "c"), (4, "d")], "k long, s string")
+    t = IcebergTable.create(spark, str(tmp_path / "wap"), df0.schema)
+    t.append_dataframe(df0)
+    base = t.metadata()["current-snapshot-id"]
+    t.create_tag("v1")
+
+    # WRITE: staged rows land on the audit branch only
+    t.create_branch("audit")
+    t.append_dataframe(df1, branch="audit")
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]  # isolation
+    assert sorted(r.k for r in t.read(ref="audit").collect()) == [1, 2, 3, 4]
+    assert t.refs()["audit"]["snapshot-id"] != base
+
+    # branch snapshots record their parent chain
+    snaps = {s["snapshot-id"]: s for s in t.snapshots()}
+    head = t.ref_snapshot("audit")
+    assert snaps[head]["parent-snapshot-id"] == base
+
+    # AUDIT passes -> PUBLISH via fast-forward; readers flip atomically
+    t.fast_forward("main", "audit")
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 3, 4]
+
+    # a diverged main can NOT fast-forward back onto the old tag head
+    t.append_dataframe(df0)
+    with _pytest.raises(ValueError, match="not a fast-forward"):
+        t.fast_forward("main", "v1")
+
+    # tags are immutable commit targets and survive expiry
+    with _pytest.raises(ValueError, match="cannot commit to tag"):
+        t.append_dataframe(df0, branch="v1")
+    t.expire_snapshots(older_than_ms=2 ** 62)
+    assert base in {s["snapshot-id"] for s in t.snapshots()}
+    assert sorted(r.k for r in t.read(ref="v1").collect()) == [1, 2]
+
+    # bookkeeping: drop_ref, duplicate guard, unknown ref
+    with _pytest.raises(ValueError):
+        t.create_branch("audit")
+    t.drop_ref("audit")
+    with _pytest.raises(ValueError):
+        t.read(ref="audit")
+    with _pytest.raises(ValueError):
+        t.drop_ref("main")
