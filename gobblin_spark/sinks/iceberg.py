@@ -2261,6 +2261,11 @@ class IcebergTable:
             return self.spark.createDataFrame(
                 rows, "file_path string, content int, record_count long, "
                       "size_bytes long, partition string")
+        if name == "refs":
+            rows = [(n, r.get("type"), r.get("snapshot-id"))
+                    for n, r in self.metadata().get("refs", {}).items()]
+            return self.spark.createDataFrame(
+                rows, "name string, type string, snapshot_id long")
         if name == "partitions":
             md = self.metadata()
             spec = self._spec_info(md)
@@ -2286,7 +2291,7 @@ class IcebergTable:
             return self.spark.createDataFrame(rows, schema)
         raise ValueError(
             f"unknown metadata table {name!r} (snapshots, history, "
-            "files, partitions)")
+            "files, partitions, refs)")
 
     def remove_orphan_files(
             self, older_than_s: float = 3 * 86400) -> list[str]:
