@@ -131,7 +131,8 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
             from gobblin_spark.functions.multimodal import (
                 _decode_jpeg_planes, _jpeg_rgb_sums, decode_bmp24,
-                decode_gif_gray, decode_png_rgb8, decode_ppm_p6)
+                decode_gif_gray, decode_png_rgb8, decode_ppm_p6,
+                decode_tiff_gray)
 
             payload = bytes(payload or b"")
             if payload[:2] == b"BM":
@@ -142,6 +143,9 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 w, h, sr, sg, sb = decode_png_rgb8(payload)
             elif payload[:6] in (b"GIF87a", b"GIF89a"):
                 w, h, s = decode_gif_gray(payload)
+                sr = sg = sb = s
+            elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+                w, h, s = decode_tiff_gray(payload)
                 sr = sg = sb = s
             elif payload[:2] == b"\xff\xd8":
                 w, h, planes = _decode_jpeg_planes(payload)
