@@ -1387,3 +1387,27 @@ def test_branches_tags_and_wap(spark, tmp_path):
         t.read(ref="audit")
     with _pytest.raises(ValueError):
         t.drop_ref("main")
+
+
+def test_bucket_on_date_source(spark, tmp_path):
+    """bucket[4] on a DATE source column: the pandas write path gets
+    datetime.date objects (not Timestamps) and the spec hashing uses
+    days-since-epoch as 8-byte little-endian — a date point lookup
+    prunes to its single bucket."""
+    import datetime as dt
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1, 1 + i % 9)) for i in range(18)],
+        "k long, d date")
+    t = IcebergTable.create(spark, str(tmp_path / "dbk"), df.schema,
+                            partition_spec=[("d", "bucket[4]")])
+    t.append_dataframe(df.coalesce(1))
+    got = sorted((r.k, r.d) for r in t.read().collect())
+    assert got == sorted((i, dt.date(2024, 1, 1 + i % 9))
+                         for i in range(18))
+    sub = t.read(prune_filters=[("d", "=", dt.date(2024, 1, 3))])
+    assert sorted(r.k for r in sub.collect()) == [
+        i for i in range(18) if i % 9 == 2]
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
