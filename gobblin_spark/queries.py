@@ -9157,6 +9157,52 @@ def iceberg_wap_publish(spark, sf_dir):
         F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
 
 
+@q(
+    "iceberg_datasource_read",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def iceberg_datasource_read(spark, sf_dir):
+    """The table format behind CATALYST'S OWN pushdown API: customers
+    land in a bucket[8](c_custkey) + truncate[2](c_mktsegment)
+    Iceberg table, then ``spark.read.format("gobblin_iceberg")``
+    reads it back with the segment predicate applied as a normal
+    DataFrame filter — Catalyst pushes it through ``pushFilters()``
+    into the SAME pure-Python scan planner the native reader uses
+    (manifest field_summary skipping + per-file tuple/bounds checks,
+    inclusive projection through the transforms), which emits one
+    InputPartition per SURVIVING data file; pruning is asserted
+    in-query by comparing planned file counts with and without the
+    predicate. Filters are also returned to Spark (file pruning is a
+    superset, parquet-row-group-skipping semantics), so values always
+    equal the plain SQL filter. Delete-carrying tables raise in the
+    planner — merge-on-read stays with IcebergTable.read."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    loc = tempfile.mkdtemp(prefix="gobblin_icedsv2_") + "/t"
+    t = IcebergTable.create(
+        spark, loc, cust.schema,
+        partition_spec=[("c_custkey", "bucket[8]"),
+                        ("c_mktsegment", "truncate[2]")])
+    t.append_dataframe(cust.coalesce(1))
+    # planner-level pruning evidence (the DSv2 path has no last_scan)
+    n_all = len(DS._IcebergReader({"path": loc}, cust.schema)._plan())
+    pruned = DS._IcebergReader({"path": loc}, cust.schema)
+    pruned.prune = [("c_mktsegment", "=", "BUILDING")]
+    if not len(pruned._plan()) < n_all:
+        raise RuntimeError("DSv2 planner pruning inert")
+    return (spark.read.format("gobblin_iceberg").option("path", loc)
+            .load().filter(F.col("c_mktsegment") == "BUILDING"))
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -260,6 +260,7 @@ def register(spark) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(GobblinRestDataSource)
     spark.dataSource.register(GobblinSqlDataSource)
+    spark.dataSource.register(GobblinIcebergDataSource)
 
 
 def write_pages(df_rows: list[dict], path: str, page_size: int,
@@ -919,3 +920,320 @@ class _SqlStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # the checkpoint is the durable watermark store
+
+
+# ----------------------------------------------------------------------
+# gobblin_iceberg: the table format behind Catalyst's OWN pushdown API.
+#
+# spark.read.format("gobblin_iceberg").option("path", loc) plans the
+# scan in pure Python from the table's metadata chain (version-hint ->
+# vN.metadata.json -> manifest list -> manifests, all plain local IO —
+# this is the embedded face; cluster object stores go through
+# IcebergTable.read): pushFilters() feeds the SAME inclusive-projection
+# pruning the native reader uses (manifest field_summary skipping +
+# per-file partition-tuple/bounds checks, through each file's OWN spec
+# under partition evolution), partitions() emits ONE InputPartition per
+# surviving data file (how a DSv2 scan parallelizes), and read() serves
+# Arrow batches via pyarrow with identity partition values re-attached
+# driver-side from the hive path. Filters are reported back to Spark
+# unchanged — file pruning is a superset filter, exactly like parquet
+# row-group skipping, so correctness never depends on it.
+#
+# Honest gate: tables carrying delete files raise (merge-on-read needs
+# the anti-join machinery in IcebergTable.read, not a connector face).
+# ----------------------------------------------------------------------
+
+
+def _ice_local(path: str) -> str:
+    return path[len("file:"):] if path.startswith("file:") else path
+
+
+def _ice_read_md(location: str) -> dict:
+    hint_p = os.path.join(_ice_local(location), "metadata",
+                          "version-hint.text")
+    with open(hint_p) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(_ice_local(location), "metadata",
+                           f"v{v}.metadata.json")) as fh:
+        return json.load(fh)
+
+
+_ICE_TO_SPARK = {
+    "long": "long", "int": "int", "double": "double", "float": "float",
+    "string": "string", "boolean": "boolean", "date": "date",
+    "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+    "binary": "binary",
+}
+
+
+class _IcebergFilePartition(InputPartition):
+    def __init__(self, path: str, attach: list[tuple]):
+        self.path = path
+        self.attach = attach  # [(col name, value)] identity re-attach
+
+
+class _IcebergReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self.location = options["path"]
+        self.snapshot_id = (int(options["snapshot_id"])
+                            if "snapshot_id" in options else None)
+        self.ref = options.get("ref")
+        self.schema_ = schema
+        self.prune: list[tuple] = []  # (col, op, value) source space
+
+    def pushFilters(self, filters: list[Filter]):
+        ops = {EqualTo: "=", GreaterThan: ">", GreaterThanOrEqual: ">=",
+               LessThan: "<", LessThanOrEqual: "<="}
+        for f in filters:
+            op = next((o for t, o in ops.items() if isinstance(f, t)),
+                      None)
+            attr = getattr(f, "attribute", None)
+            if op and attr and len(attr) == 1:
+                self.prune.append((attr[0], op, f.value))
+        # every filter goes back to Spark: pruning is a SUPERSET
+        # optimization (parquet row-group-skipping semantics), never
+        # the thing correctness rests on
+        return list(filters)
+
+    # -- pure-python scan planning over the metadata chain ------------
+    def _plan(self):
+        from gobblin_spark.operators import avro_container as ACF
+        from gobblin_spark.sinks import iceberg as I
+
+        md = _ice_read_md(self.location)
+        sid = md["current-snapshot-id"]
+        if self.ref:
+            refs = md.get("refs", {})
+            if self.ref not in refs:
+                raise ValueError(f"unknown reference {self.ref!r}")
+            sid = refs[self.ref]["snapshot-id"]
+        if self.snapshot_id is not None:
+            sid = self.snapshot_id
+        if sid == -1:
+            return []
+        snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+        schema_id = snap.get("schema-id", md["current-schema-id"])
+        ice = next(s for s in md["schemas"]
+                   if s["schema-id"] == schema_id)
+        by_name = {f["name"]: f for f in ice["fields"]}
+        by_id = {f["id"]: f for f in ice["fields"]}
+        hist_names: dict[int, set] = {}
+        for s_ in md["schemas"]:
+            for f_ in s_["fields"]:
+                hist_names.setdefault(f_["id"], set()).add(f_["name"])
+
+        def spec_info(spec_id):
+            spec = next(s for s in md["partition-specs"]
+                        if s["spec-id"] == spec_id)
+            out = []
+            for pf in spec["fields"]:
+                kind, param = I._parse_transform(pf["transform"])
+                src = by_id.get(pf["source-id"])
+                if src is None:
+                    continue  # source column dropped since
+                out.append({
+                    "field_name": pf["name"], "transform": kind,
+                    "param": param, "source_id": pf["source-id"],
+                    "source_name": src["name"],
+                    "source_type": src["type"],
+                    "result_type": ("int" if kind == "bucket"
+                                    or kind in I._TEMPORAL_TRANSFORMS
+                                    else src["type"]),
+                })
+            return out
+
+        preds = [(by_name[c]["id"], op, v) for c, op, v in self.prune
+                 if c in by_name]
+
+        def summary_excludes(m, info):
+            sums = m.get("partitions")
+            if not sums or not preds:
+                return False
+            for psid, op, value in preds:
+                for i, si in enumerate(info):
+                    if si["source_id"] != psid or i >= len(sums):
+                        continue
+                    proj = I._project_pred(si, op, value)
+                    if proj is None:
+                        continue
+                    pop, pval = proj
+                    t_ice = si["result_type"]
+                    lo = I._summary_deser(sums[i].get("lower_bound"),
+                                          t_ice)
+                    hi = I._summary_deser(sums[i].get("upper_bound"),
+                                          t_ice)
+                    if lo is None or hi is None:
+                        return True
+                    if t_ice == "float":
+                        lo, hi = I._widen_float32_bounds(lo, hi)
+                    try:
+                        if not I._range_may_match(lo, hi, pop, pval):
+                            return True
+                    except TypeError:
+                        continue
+            return False
+
+        def file_may_match(part_tuple, spec, f_lo, f_hi):
+            import datetime as _dt
+
+            for psid, op, value in preds:
+                for si in spec:
+                    if si["source_id"] != psid:
+                        continue
+                    proj = I._project_pred(si, op, value)
+                    if proj is None:
+                        continue
+                    pop, pval = proj
+                    v = (part_tuple or {}).get(str(si["source_id"]))
+                    if v is None:
+                        continue
+                    q = pval
+                    if type(q) is _dt.date and isinstance(v, str):
+                        q = q.isoformat()
+                    if type(v) is not type(q) and not (
+                            isinstance(v, (int, float))
+                            and isinstance(q, (int, float))):
+                        continue
+                    try:
+                        ok = {"=": v == q, ">": v > q, ">=": v >= q,
+                              "<": v < q, "<=": v <= q}[pop]
+                    except TypeError:
+                        continue
+                    if not ok:
+                        return False
+                # column value bounds (Appendix-D single values)
+                fld = by_id.get(psid)
+                if fld and f_lo and f_hi:
+                    lo = f_lo.get(psid)
+                    hi = f_hi.get(psid)
+                    if lo is not None and hi is not None:
+                        if fld["type"] == "float":
+                            lo, hi = I._widen_float32_bounds(lo, hi)
+                        try:
+                            if not I._range_may_match(
+                                    lo, hi, op, value):
+                                return False
+                        except TypeError:
+                            pass
+            return True
+
+        with open(_ice_local(snap["manifest-list"]), "rb") as fh:
+            _, manifests = ACF.read_container(fh.read())
+        parts = []
+        for m in manifests:
+            info = spec_info(m.get("partition_spec_id", 0))
+            if m.get("content", 0) != 0:
+                raise NotImplementedError(
+                    "table has delete files — use IcebergTable.read "
+                    "(merge-on-read) instead of the connector face")
+            if summary_excludes(m, info):
+                continue
+            with open(_ice_local(m["manifest_path"]), "rb") as fh:
+                _, entries = ACF.read_container(fh.read())
+            sid_by_name = {si["field_name"]: si["source_id"]
+                           for si in info}
+            for e in entries:
+                if e["status"] not in (0, 1):
+                    continue
+                d = e["data_file"]
+                if d.get("content", 0) != 0:
+                    raise NotImplementedError(
+                        "table has delete files — use "
+                        "IcebergTable.read instead")
+                raw = d.get("partition")
+                if isinstance(raw, str):
+                    tup = json.loads(raw)
+                elif raw is not None:
+                    tup = {str(sid_by_name[k]): v
+                           for k, v in raw.items() if k in sid_by_name}
+                else:
+                    tup = None
+                f_lo = I._bounds_from_avro(d.get("lower_bounds"))
+                f_hi = I._bounds_from_avro(d.get("upper_bounds"))
+                if not file_may_match(tup, info, f_lo, f_hi):
+                    continue
+                # identity re-attach values from the hive path (the
+                # write-time column name can be ANY historical name)
+                attach = []
+                ids = {si["source_id"] for si in info
+                       if si["transform"] == "identity"}
+                if ids:
+                    rel = d["file_path"].rsplit("/data/", 1)[-1]
+                    segs = {}
+                    for seg in rel.split("/"):
+                        if "=" in seg:
+                            k, v = seg.split("=", 1)
+                            segs[k] = v
+                    for fid in ids:
+                        fld = by_id[fid]
+                        for n in hist_names.get(fid, ()):
+                            if n in segs:
+                                attach.append(
+                                    (fld["name"],
+                                     I._parse_partition_value(
+                                         segs[n], fld["type"])))
+                                break
+                parts.append(_IcebergFilePartition(d["file_path"],
+                                                   attach))
+        return parts
+
+    def partitions(self):
+        try:
+            parts = self._plan()
+        except NotImplementedError as e:
+            # pyspark interprets NotImplementedError out of
+            # partitions() as "reader is unpartitioned" and silently
+            # falls back to read(None) — the delete-file gate must
+            # FAIL the scan, not degrade it
+            raise RuntimeError(str(e)) from e
+        # an empty scan still needs one partition (API contract)
+        return parts or [_IcebergFilePartition("", [])]
+
+    def read(self, partition: _IcebergFilePartition):
+        if partition is None or not partition.path:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema_)
+        attach = dict(partition.attach)
+        pf = pq.ParquetFile(_ice_local(partition.path))
+        file_cols = set(pf.schema_arrow.names)
+        for batch in pf.iter_batches(batch_size=65536):
+            arrays = []
+            for i, name in enumerate(target.names):
+                t = target.field(i).type
+                if name in file_cols:
+                    arrays.append(
+                        batch.column(batch.schema.get_field_index(name))
+                        .cast(t))
+                else:  # identity partition column or added-after column
+                    val = attach.get(name)
+                    arrays.append(pa.array([val] * batch.num_rows,
+                                           type=t))
+            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+class GobblinIcebergDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "gobblin_iceberg"
+
+    def schema(self):
+        md = _ice_read_md(self.options["path"])
+        ice = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        fields = []
+        for f in ice["fields"]:
+            t = f["type"]
+            spark_t = (t if t.startswith("decimal")
+                       else _ICE_TO_SPARK.get(t))
+            if spark_t is None:
+                raise TypeError(f"unsupported iceberg type {t}")
+            fields.append(f"{f['name']} {spark_t}")
+        return ", ".join(fields)
+
+    def reader(self, schema: StructType) -> _IcebergReader:
+        return _IcebergReader(self.options, schema)

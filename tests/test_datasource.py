@@ -506,3 +506,59 @@ def test_sql_append_binds_columns_by_name(spark, tmp_path):
     rows = con.execute("SELECT a, b FROM sink ORDER BY a").fetchall()
     con.close()
     assert rows == [(0, "x"), (1, "x"), (2, "x")]
+
+
+def test_iceberg_datasource_reads_and_prunes(spark, tmp_path):
+    """gobblin_iceberg DSv2 face: schema inference from table
+    metadata, full and filtered reads over a PARTITION-EVOLVED table
+    (identity then bucket specs coexisting), planner-level file
+    pruning driven by the pushed filters, ref reads, and the honest
+    delete-file gate."""
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    rows = [(i, ["us", "eu"][i % 2], float(i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "k long, region string, v double")
+    loc = str(tmp_path / "icedsv2")
+    t = IcebergTable.create(spark, loc, df.schema,
+                            partition_spec=[("region", "identity")])
+    t.append_dataframe(df.coalesce(1))
+    t.update_partition_spec([("k", "bucket[4]")])
+    t.append_dataframe(df.coalesce(1))
+
+    got = spark.read.format("gobblin_iceberg").option("path", loc).load()
+    assert got.columns == ["k", "region", "v"]
+    assert sorted(map(tuple, got.collect())) == sorted(
+        list(map(tuple, rows)) * 2)
+    assert sorted(map(tuple, got.filter("region = 'eu'").collect())) \
+        == sorted([r for r in map(tuple, rows) if r[1] == "eu"] * 2)
+
+    # planner prunes through BOTH specs' transforms
+    from pyspark.sql.types import _parse_datatype_string
+
+    sch = _parse_datatype_string("k long, region string, v double")
+    n_all = len(DS._IcebergReader({"path": loc}, sch)._plan())
+    r_eu = DS._IcebergReader({"path": loc}, sch)
+    r_eu.prune = [("region", "=", "eu")]
+    r_k = DS._IcebergReader({"path": loc}, sch)
+    r_k.prune = [("k", "=", 3)]
+    assert len(r_eu._plan()) < n_all and len(r_k._plan()) < n_all
+
+    # branch refs resolve; empty-table refs read empty, not main
+    t.create_branch("audit")
+    t.append_dataframe(df.coalesce(1), branch="audit")
+    br = (spark.read.format("gobblin_iceberg")
+          .option("path", loc).option("ref", "audit").load())
+    assert br.count() == 36
+    assert (spark.read.format("gobblin_iceberg")
+            .option("path", loc).load().count() == 24)
+
+    # the delete-file gate is honest: merge-on-read needs the native
+    # reader, never a silently wrong connector result
+    t.delete_equality(spark.createDataFrame([(1,)], "k long"))
+    with _pytest.raises(Exception, match="delete files"):
+        (spark.read.format("gobblin_iceberg")
+         .option("path", loc).load().collect())
