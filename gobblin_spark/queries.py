@@ -9203,6 +9203,47 @@ def iceberg_datasource_read(spark, sf_dir):
             .load().filter(F.col("c_mktsegment") == "BUILDING"))
 
 
+@q(
+    "iceberg_datasource_write_roundtrip",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority, round(o_totalprice, 2)
+             AS o_totalprice
+    FROM orders WHERE o_orderkey % 4 = 0
+    """,
+)
+def iceberg_datasource_write_roundtrip(spark, sf_dir):
+    """DSv2 WRITE face round trip: a quarter of orders goes through
+    ``df.write.format("gobblin_iceberg").mode("append")`` — each task
+    writes its parquet file directly under data/ (invisible until
+    referenced: the table format needs no rename step), and the
+    driver-side commit turns the whole job into ONE append snapshot
+    (asserted) through IcebergTable's sessionless local-IO mode (the
+    commit hook runs in a python worker with no JVM; the
+    version-hint rewrite drops Hadoop's .crc sidecar so later JVM
+    reads don't throw ChecksumException). Values are read back
+    through the NATIVE reader and must equal the SQL filter — the
+    write face, commit protocol, and manifest bounds certified in
+    one hash. COMMIT_ON_FULL_SUCCESS semantics: abort() deletes the
+    never-referenced task files."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    sub = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice"))
+    loc = tempfile.mkdtemp(prefix="gobblin_icedsw_") + "/t"
+    t = IcebergTable.create(spark, loc, sub.schema)
+    (sub.repartition(4).write.format("gobblin_iceberg")
+        .option("path", loc).mode("append").save())
+    if len(t.snapshots()) != 1:
+        raise RuntimeError("DSv2 write must commit ONE snapshot")
+    return t.read()
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -41,6 +41,7 @@ reference's writer."""
 from __future__ import annotations
 
 import json
+import os
 import time
 import uuid
 from dataclasses import dataclass
@@ -667,19 +668,44 @@ def _iceberg_schema(schema: T.StructType) -> tuple[dict, int]:
 
 
 class IcebergTable:
-    """A HadoopTables-layout Iceberg v2 table on any Hadoop-visible FS."""
+    """A HadoopTables-layout Iceberg v2 table on any Hadoop-visible FS.
 
-    def __init__(self, spark: SparkSession, location: str):
+    ``spark=None`` puts the handle in SESSIONLESS LOCAL mode: metadata
+    and manifest IO go through plain Python file IO (local paths
+    only). This exists for driver-side commit hooks that run OUTSIDE
+    the Spark session — the gobblin_iceberg DSv2 writer's commit()
+    executes in a separate Python worker with no JVM. DataFrame
+    operations (read/append_dataframe/...) still need a session."""
+
+    def __init__(self, spark: SparkSession | None, location: str):
         self.spark = spark
         self.location = location.rstrip("/")
 
     # -- fs helpers ----------------------------------------------------
+    @staticmethod
+    def _local(path: str) -> str:
+        return path[len("file:"):] if path.startswith("file:") else path
+
     def _fs(self, path: str):
         jvm = self.spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(path)
         return p.getFileSystem(self.spark._jsc.hadoopConfiguration()), p, jvm
 
     def _write_bytes(self, path: str, data: bytes) -> int:
+        if self.spark is None:
+            lp = self._local(path)
+            os.makedirs(os.path.dirname(lp), exist_ok=True)
+            # Hadoop LocalFS leaves .<name>.crc sidecars; a plain
+            # rewrite (version-hint flips every commit) would desync
+            # them and later JVM reads throw ChecksumException —
+            # drop the sidecar so Hadoop skips verification
+            crc = os.path.join(os.path.dirname(lp),
+                               f".{os.path.basename(lp)}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+            with open(lp, "wb") as fh:
+                fh.write(data)
+            return len(data)
         fs, p, _ = self._fs(path)
         out = fs.create(p, True)
         try:
@@ -689,6 +715,9 @@ class IcebergTable:
         return len(data)
 
     def _read_bytes(self, path: str) -> bytes:
+        if self.spark is None:
+            with open(self._local(path), "rb") as fh:
+                return fh.read()
         fs, p, jvm = self._fs(path)
         stream = fs.open(p)
         try:
@@ -728,6 +757,20 @@ class IcebergTable:
         snapshot), then flip the version hint last."""
         v = self._version() + 1
         path = f"{self.location}/metadata/v{v}.metadata.json"
+        if self.spark is None:
+            try:
+                with open(self._local(path), "xb") as fh:  # O_EXCL
+                    fh.write(json.dumps(md, indent=2).encode())
+            except FileExistsError as ex:
+                raise RuntimeError(
+                    f"concurrent commit detected: {path} already "
+                    "exists (another committer advanced the table "
+                    "from the same base version) — re-read metadata "
+                    "and retry") from ex
+            self._write_bytes(
+                f"{self.location}/metadata/version-hint.text",
+                str(v).encode())
+            return v
         fs, p, _ = self._fs(path)
         try:
             out = fs.create(p, False)  # atomic create-fails-if-exists

@@ -1237,3 +1237,107 @@ class GobblinIcebergDataSource(DataSource):
 
     def reader(self, schema: StructType) -> _IcebergReader:
         return _IcebergReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise NotImplementedError(
+                "append-only: Iceberg overwrite semantics are replace "
+                "snapshots (rewrite_data_files), not dir truncation")
+        return _IcebergWriter(self.options, schema)
+
+
+class _IcebergCommit(WriterCommitMessage):
+    def __init__(self, files: list[str], rows: int):
+        self.files = files
+        self.rows = rows
+
+
+class _IcebergWriter(DataSourceWriter):
+    """Write face of the connector: each task writes its partition as
+    one parquet file DIRECTLY under ``data/dsv2-<job>/`` — in the
+    table format, files are invisible until a manifest references
+    them, so there is no rename step: the driver-side ``commit()``
+    (all tasks succeeded — COMMIT_ON_FULL_SUCCESS) turns the file set
+    into ONE append snapshot via the normal manifest chain, and
+    ``abort()`` deletes the never-referenced files (anything missed
+    is orphan-collectable by remove_orphan_files). Unpartitioned
+    tables only — partitioned layouts need the transform columns of
+    append_dataframe. Files written here carry no parquet field-id
+    metadata; rename/drop evolution on such files requires a
+    rewrite_data_files first (same contract as pre-field-id data)."""
+
+    def __init__(self, options, schema: StructType):
+        import uuid
+
+        self.location = options["path"]
+        self.schema_ = schema
+        self.job_token = uuid.uuid4().hex[:12]
+        md = _ice_read_md(self.location)  # validates the table exists
+        spec = next(s for s in md["partition-specs"]
+                    if s["spec-id"] == md["default-spec-id"])
+        if spec["fields"]:
+            raise NotImplementedError(
+                "gobblin_iceberg writes support unpartitioned tables; "
+                "partitioned layouts go through append_dataframe")
+
+    def write(self, iterator) -> _IcebergCommit:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        ctx = TaskContext.get()
+        task = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else 0
+        target = to_arrow_schema(self.schema_)
+        rows = [tuple(r) for r in iterator]
+        if not rows:
+            return _IcebergCommit([], 0)
+        cols = list(zip(*rows))
+        arrays = [pa.array(list(c), type=target.field(i).type)
+                  for i, c in enumerate(cols)]
+        sub = os.path.join(_ice_local(self.location), "data",
+                           f"dsv2-{self.job_token}")
+        os.makedirs(sub, exist_ok=True)
+        # attempt-unique name: a speculative twin never clobbers
+        path = os.path.join(sub, f"task-{task:05d}-{attempt}.parquet")
+        pq.write_table(pa.Table.from_arrays(arrays, schema=target), path)
+        return _IcebergCommit([path], len(rows))
+
+    def commit(self, messages):
+        # runs in a SESSIONLESS python worker (no JVM): the commit
+        # goes through IcebergTable's local-IO mode — plain-file
+        # metadata/manifest writes with the same create-fails-if-
+        # exists concurrency guard
+        import pyarrow.parquet as pq
+
+        from gobblin_spark.sinks import iceberg as I
+
+        t = I.IcebergTable(None, self.location)
+        md = t.metadata()
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        name_to_field = {f["name"]: f for f in cur["fields"]}
+        files = []
+        for m in messages or []:
+            for fpath in getattr(m, "files", []) or []:
+                fmd = pq.ParquetFile(fpath).metadata
+                if fmd.num_rows == 0:
+                    continue
+                lo, hi = I._collect_bounds(fmd, name_to_field)
+                files.append(I.DataFileInfo(
+                    "file:" + os.path.abspath(fpath),
+                    os.path.getsize(fpath), fmd.num_rows,
+                    lower_bounds=lo, upper_bounds=hi))
+        if files:
+            t.append_files(files)
+        return None
+
+    def abort(self, messages):
+        for m in messages or []:
+            for f in getattr(m, "files", []) or []:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass

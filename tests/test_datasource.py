@@ -562,3 +562,45 @@ def test_iceberg_datasource_reads_and_prunes(spark, tmp_path):
     with _pytest.raises(Exception, match="delete files"):
         (spark.read.format("gobblin_iceberg")
          .option("path", loc).load().collect())
+
+
+def test_iceberg_datasource_write_commit(spark, tmp_path):
+    """DSv2 write face: per-task parquet files under data/ become ONE
+    append snapshot in the sessionless driver-side commit (local-IO
+    metadata path, create-fails-if-exists guard intact), bounds land
+    in the manifests, and JVM reads still work afterwards (.crc
+    sidecar hygiene on the version-hint rewrite)."""
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(20)],
+        "k long, s string, v double")
+    loc = str(tmp_path / "dsv2w")
+    t = IcebergTable.create(spark, loc, df.schema)
+    (df.repartition(3).write.format("gobblin_iceberg")
+       .option("path", loc).mode("append").save())
+    assert len(t.snapshots()) == 1  # one snapshot, not one per task
+    assert sorted(r.k for r in t.read().collect()) == list(range(20))
+    # second connector append: JVM metadata reads after the
+    # plain-python commit prove the crc handling
+    (df.write.format("gobblin_iceberg")
+       .option("path", loc).mode("append").save())
+    assert t.read().count() == 40
+    # footers delivered bounds: the native planner can prune
+    sub = t.read(prune_filters=[("k", ">=", 15)])
+    assert sorted(r.k for r in sub.collect()) == sorted(
+        list(range(15, 20)) * 2)
+    assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+    # gates: partitioned tables and overwrite mode
+    t2 = IcebergTable.create(spark, str(tmp_path / "dsv2wp"), df.schema,
+                             partition_cols=["s"])
+    with _pytest.raises(Exception, match="append_dataframe"):
+        (df.write.format("gobblin_iceberg")
+           .option("path", t2.location).mode("append").save())
+    with _pytest.raises(Exception, match="replace snapshots|overwrite"):
+        (df.write.format("gobblin_iceberg")
+           .option("path", loc).mode("overwrite").save())
