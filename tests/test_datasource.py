@@ -547,6 +547,12 @@ def test_iceberg_datasource_reads_and_prunes(spark, tmp_path):
     r_k.prune = [("k", "=", 3)]
     assert len(r_eu._plan()) < n_all and len(r_k._plan()) < n_all
 
+    # snapshot_id option time-travels
+    s1 = t.snapshots()[0]["snapshot-id"]
+    tt = (spark.read.format("gobblin_iceberg").option("path", loc)
+          .option("snapshot_id", str(s1)).load())
+    assert tt.count() == 12
+
     # branch refs resolve; empty-table refs read empty, not main
     t.create_branch("audit")
     t.append_dataframe(df.coalesce(1), branch="audit")
