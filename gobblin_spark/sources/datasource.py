@@ -1101,20 +1101,27 @@ class _IcebergReader(DataSourceReader):
                         continue
                     if not ok:
                         return False
-                # column value bounds (Appendix-D single values)
+                # column value bounds: stored as Appendix-D SERIALIZED
+                # single values — deserialize before comparing (the
+                # raw bytes would make every comparison a TypeError,
+                # silently disabling bounds pruning; for float columns
+                # the ulp widening would crash outright)
                 fld = by_id.get(psid)
                 if fld and f_lo and f_hi:
-                    lo = f_lo.get(psid)
-                    hi = f_hi.get(psid)
-                    if lo is not None and hi is not None:
-                        if fld["type"] == "float":
-                            lo, hi = I._widen_float32_bounds(lo, hi)
-                        try:
-                            if not I._range_may_match(
-                                    lo, hi, op, value):
-                                return False
-                        except TypeError:
-                            pass
+                    lo_b, hi_b = f_lo.get(psid), f_hi.get(psid)
+                    if lo_b is not None and hi_b is not None:
+                        t_ice = fld["type"]
+                        mn = I._sv_deser(lo_b, t_ice)
+                        mx = I._sv_deser(hi_b, t_ice)
+                        v = I._logical_to_ice(value, t_ice)
+                        if None not in (mn, mx, v):
+                            if t_ice == "float":
+                                mn, mx = I._widen_float32_bounds(mn, mx)
+                            try:
+                                if not I._range_may_match(mn, mx, op, v):
+                                    return False
+                            except TypeError:
+                                pass
             return True
 
         with open(_ice_local(snap["manifest-list"]), "rb") as fh:

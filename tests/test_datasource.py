@@ -610,3 +610,36 @@ def test_iceberg_datasource_write_commit(spark, tmp_path):
     with _pytest.raises(Exception, match="replace snapshots|overwrite"):
         (df.write.format("gobblin_iceberg")
            .option("path", loc).mode("overwrite").save())
+
+
+def test_iceberg_datasource_bounds_pruning(spark, tmp_path):
+    """DSv2 planner bounds pruning: Appendix-D serialized bounds must
+    be DESERIALIZED before comparison — the first draft compared raw
+    bytes, which silently disabled bounds pruning for every type and
+    crashed the float ulp-widening path. Disjoint-range files now
+    prune 4 -> 1 on a long range predicate, and double predicates
+    neither crash nor misprune."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(40)],
+                               "k long, v double")
+    loc = str(tmp_path / "dsv2b")
+    t = IcebergTable.create(spark, loc, df.schema)
+    rows = df.orderBy("k")
+    for i in range(4):
+        t.append_dataframe(
+            rows.limit((i + 1) * 10).subtract(rows.limit(i * 10))
+            .coalesce(1))
+    n_all = len(DS._IcebergReader({"path": loc}, df.schema)._plan())
+    r = DS._IcebergReader({"path": loc}, df.schema)
+    r.prune = [("k", ">=", 30)]
+    assert len(r._plan()) < n_all
+    r2 = DS._IcebergReader({"path": loc}, df.schema)
+    r2.prune = [("v", "<", 5.0)]
+    assert len(r2._plan()) < n_all
+    # values stay exact through the full engine path
+    DS.register(spark)
+    got = (spark.read.format("gobblin_iceberg").option("path", loc)
+           .load().filter("k >= 30"))
+    assert sorted(rr.k for rr in got.collect()) == list(range(30, 40))
