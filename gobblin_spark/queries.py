@@ -9244,6 +9244,55 @@ def iceberg_datasource_write_roundtrip(spark, sf_dir):
     return t.read()
 
 
+@q(
+    "iceberg_stream_incremental",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+    """,
+)
+def iceberg_stream_incremental(spark, sf_dir):
+    """INCREMENTAL TABLE-FORMAT CONSUMPTION:
+    ``spark.readStream.format("gobblin_iceberg")`` treats the table's
+    last-sequence-number as the stream offset — even-keyed events
+    land in three append snapshots, the streaming query drains them
+    through Structured Streaming's checkpoint, and each micro-batch
+    carries exactly the data files whose commit sequence falls in
+    (start, end] (append snapshots carry manifests forward, so replay
+    is pure metadata — readBetweenOffsets and checkpoint-resume are
+    pytest-pinned). The aggregated sink must equal the batch SQL
+    exactly: stream==batch through the table format. This pairs with
+    streaming_iceberg_ingest (exactly-once IN) to close the loop —
+    the reference's Kafka-to-lake relay becomes lake-to-lake CDC-less
+    incremental sync. Delete-carrying tables raise (a streamed row
+    cannot be retracted)."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 2 == 0).select(
+        "event_id", "ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="gobblin_icestrin_")
+    t = IcebergTable.create(spark, f"{tmp}/table", ev.schema)
+    for i in range(3):
+        t.append_dataframe(
+            ev.filter(F.col("event_id") % 6 == 2 * i).coalesce(1))
+    q_ = (spark.readStream.format("gobblin_iceberg")
+          .schema(ev.schema).option("path", t.location).load()
+          .writeStream.format("parquet")
+          .option("path", f"{tmp}/out")
+          .option("checkpointLocation", f"{tmp}/ck")
+          .trigger(availableNow=True).start())
+    q_.awaitTermination()
+    return (spark.read.schema(ev.schema).parquet(f"{tmp}/out")
+            .groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value")))
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
