@@ -1381,11 +1381,32 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
         from gobblin_spark.operators import avro_container as ACF
 
         md = _ice_read_md(self.location)
-        sid = md["current-snapshot-id"]
-        if sid == -1:
+        if md["current-snapshot-id"] == -1:
             return []
-        snap = next(s for s in md["snapshots"]
-                    if s["snapshot-id"] == sid)
+        # a REPLACE snapshot (rewrite_data_files) re-sequences
+        # EXISTING rows — streaming them again would duplicate the
+        # feed. Same default as Iceberg's own streaming read: fail on
+        # non-append snapshots inside the window instead of silently
+        # double-delivering.
+        for s in md["snapshots"]:
+            if (lo < s.get("sequence-number", 0) <= hi
+                    and s.get("summary", {}).get("operation")
+                    not in ("append", None)):
+                raise NotImplementedError(
+                    f"non-append snapshot (operation="
+                    f"{s['summary'].get('operation')!r}) in the "
+                    "stream window — compact either before the "
+                    "stream starts or after it stops")
+        # plan from the snapshot AS OF the window end, not the
+        # current one: a later REPLACE rewrites the current manifest
+        # list, but replaying an already-committed window must see
+        # the table as it stood then (works as long as that snapshot
+        # is retained — the same replay constraint real Iceberg has)
+        eligible = [s for s in md["snapshots"]
+                    if s.get("sequence-number", 0) <= hi]
+        if not eligible:
+            return []
+        snap = max(eligible, key=lambda s: s.get("sequence-number", 0))
         with open(_ice_local(snap["manifest-list"]), "rb") as fh:
             _, manifests = ACF.read_container(fh.read())
         out = []

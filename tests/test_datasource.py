@@ -683,3 +683,26 @@ def test_iceberg_stream_incremental(spark, tmp_path):
     assert sr.initialOffset() == {"seq": 4}
     rep = list(sr.readBetweenOffsets({"seq": 1}, {"seq": 3}))
     assert sorted(r[0] for r in rep) == list(range(10, 30))
+
+
+def test_iceberg_stream_rejects_replace_in_window(spark, tmp_path):
+    """A rewrite (REPLACE snapshot) re-sequences existing rows; a
+    stream window that spans it must FAIL, not double-deliver —
+    Iceberg's own streaming-read default."""
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(10)],
+                               "k long, s string")
+    loc = str(tmp_path / "icestrpl")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df.repartition(2))
+    t.rewrite_data_files(target_partitions=1)
+    sr = DS._IcebergStreamReader({"path": loc}, df.schema)
+    with _pytest.raises(NotImplementedError, match="non-append"):
+        list(sr.readBetweenOffsets({"seq": 0}, {"seq": 2}))
+    # a window strictly BEFORE the replace still replays fine
+    assert sorted(r[0] for r in sr.readBetweenOffsets(
+        {"seq": 0}, {"seq": 1})) == list(range(10))
