@@ -9293,6 +9293,70 @@ def iceberg_stream_incremental(spark, sf_dir):
                 F.round(F.sum("value"), 2).alias("sum_value")))
 
 
+@q(
+    "streaming_wap_publish",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+    """,
+)
+def streaming_wap_publish(spark, sf_dir):
+    """STREAMING WRITE-AUDIT-PUBLISH — the capstone composition of
+    three table-format features: foreachBatch epochs land
+    IDEMPOTENTLY on a ``staging`` BRANCH (epoch token in the same
+    metadata commit; epoch 0 is re-delivered mid-query and asserted
+    a no-op), main stays EMPTY through the whole ingest (asserted —
+    readers never see a partially-loaded feed), the audit step
+    validates the staged branch, and one ``fast_forward`` publishes
+    every epoch atomically. This is the full reference contract —
+    FlushingExtractor epochs + SafeDatasetCommit isolation +
+    BaseDataPublisher's atomic publish — as THREE pointer-safe
+    metadata operations; at 100 TB no reader ever sees a torn
+    stream. Values equal the batch SQL exactly."""
+    import tempfile
+
+    from gobblin_spark import streaming
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 3 == 0).select(
+        "event_id", "ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="gobblin_icewapstr_")
+    indir = f"{tmp}/in"
+    ev.repartition(4).write.parquet(indir)
+    t = IcebergTable.create(spark, f"{tmp}/table", ev.schema)
+    t.create_branch("staging")
+    stream = streaming.file_stream(spark, indir, schema=ev.schema,
+                                   max_files_per_trigger=2)
+
+    def sink(batch_df, epoch_id):
+        t.append_dataframe_idempotent(batch_df.coalesce(1),
+                                      f"epoch-{epoch_id}",
+                                      branch="staging")
+
+    q_ = (stream.writeStream.foreachBatch(sink)
+          .trigger(availableNow=True)
+          .option("checkpointLocation", f"{tmp}/ckpt").start())
+    q_.awaitTermination()
+    # WRITE done. Main must still be EMPTY (stream never tore)
+    if t.read().count() != 0:
+        raise RuntimeError("staged stream leaked into main")
+    # failure replay of epoch 0 on the branch: no-op
+    n_snaps = len(t.snapshots())
+    t.append_dataframe_idempotent(ev.limit(10), "epoch-0",
+                                  branch="staging")
+    if len(t.snapshots()) != n_snaps:
+        raise RuntimeError("epoch replay was not idempotent")
+    # AUDIT the staged branch, then PUBLISH atomically
+    n_all = ev.count()
+    if t.read(ref="staging").count() != n_all:
+        raise RuntimeError("staging branch incomplete")
+    t.fast_forward("main", "staging")
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"))
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

@@ -1089,7 +1089,8 @@ class IcebergTable:
                                  branch=branch)
 
     def append_dataframe_idempotent(self, df: DataFrame,
-                                    token: str) -> int:
+                                    token: str,
+                                    branch: str | None = None) -> int:
         """EXACTLY-ONCE sink contract for streaming foreachBatch: the
         epoch token rides the snapshot summary IN THE SAME metadata
         commit as the append (no stamp-after-commit crash window), so
@@ -1104,7 +1105,7 @@ class IcebergTable:
             if s.get("summary", {}).get("epoch-token") == token:
                 return s["snapshot-id"]
         return self.append_dataframe(
-            df, summary_extra={"epoch-token": token})
+            df, summary_extra={"epoch-token": token}, branch=branch)
 
     def _with_partition_cols(self, df: DataFrame,
                              md: dict | None = None):

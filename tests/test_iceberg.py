@@ -1411,3 +1411,20 @@ def test_bucket_on_date_source(spark, tmp_path):
     assert sorted(r.k for r in sub.collect()) == [
         i for i in range(18) if i % 9 == 2]
     assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
+
+
+def test_idempotent_epoch_append_on_branch(spark, tmp_path):
+    """Epoch tokens + branches compose: replayed epochs are no-ops on
+    the BRANCH, main never moves until fast-forward."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    t = IcebergTable.create(spark, str(tmp_path / "idbr"), df.schema)
+    t.create_branch("staging")
+    s1 = t.append_dataframe_idempotent(df, "e0", branch="staging")
+    assert t.read().count() == 0  # main untouched
+    assert t.read(ref="staging").count() == 2
+    assert t.append_dataframe_idempotent(df, "e0", branch="staging") == s1
+    assert len(t.snapshots()) == 1
+    t.fast_forward("main", "staging")
+    assert t.read().count() == 2
