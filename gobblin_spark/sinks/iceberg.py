@@ -746,16 +746,28 @@ class IcebergTable:
         v = self._version()
         if v == 0:
             raise FileNotFoundError(f"no iceberg table at {self.location}")
-        return json.loads(self._read_bytes(
+        md = json.loads(self._read_bytes(
             f"{self.location}/metadata/v{v}.metadata.json"))
+        # remember which version this dict was READ from: the commit
+        # targets base+1 with create-fails-if-exists, making the pair
+        # a true compare-and-swap (private key, stripped at write)
+        md["_base_version"] = v
+        return md
 
     def _commit_metadata(self, md: dict) -> int:
         """HadoopTables commit protocol: write the NEW vN file with
         create-fails-if-exists (the optimistic-concurrency guard —
         two committers racing from the same base version make the
         loser ERROR instead of silently overwriting the winner's
-        snapshot), then flip the version hint last."""
-        v = self._version() + 1
+        snapshot), then flip the version hint last.
+
+        The target version is BASE+1 where base is the version the
+        md dict was READ from (metadata() stamps it) — computing it
+        from the CURRENT hint instead would let a slow loser land
+        AFTER the winner's hint flip without colliding, silently
+        erasing the winner's snapshot from history."""
+        base = md.pop("_base_version", None)
+        v = (base if base is not None else self._version()) + 1
         path = f"{self.location}/metadata/v{v}.metadata.json"
         if self.spark is None:
             try:
@@ -933,12 +945,41 @@ class IcebergTable:
                       equality_ids: list[int] | None, operation: str,
                       carry_prior: bool = True,
                       summary_extra: dict | None = None,
-                      branch: str | None = None) -> int:
+                      branch: str | None = None,
+                      max_attempts: int = 4) -> int:
         """One snapshot committing *files* as DATA (content=0) or
         EQUALITY DELETES (content=2, with the equality field-ids).
         ``carry_prior=False`` makes it a REPLACE snapshot: the new
         manifest list starts empty instead of carrying the previous
-        snapshot's manifests (rewrite_data_files)."""
+        snapshot's manifests (rewrite_data_files).
+
+        OPTIMISTIC CONCURRENCY: a commit that loses the
+        create-fails-if-exists race RE-PLANS from fresh metadata —
+        new base version, new sequence number, new parent, re-carried
+        manifests — and retries (the reference's IcebergMetadataWriter
+        commit-retry loop; data FILES are immutable, so only the
+        metadata layer is rebuilt). After ``max_attempts`` losses the
+        race error propagates."""
+        last_err = None
+        for _ in range(max_attempts):
+            try:
+                return self._commit_files_once(
+                    files, content=content, equality_ids=equality_ids,
+                    operation=operation, carry_prior=carry_prior,
+                    summary_extra=summary_extra, branch=branch)
+            except RuntimeError as ex:
+                if "concurrent commit" not in str(ex):
+                    raise
+                last_err = ex
+        raise last_err
+
+    def _commit_files_once(self, files: list[DataFileInfo], *,
+                           content: int,
+                           equality_ids: list[int] | None,
+                           operation: str,
+                           carry_prior: bool = True,
+                           summary_extra: dict | None = None,
+                           branch: str | None = None) -> int:
         md = self.metadata()
         seq = md["last-sequence-number"] + 1
         snap_id = int(uuid.uuid4().int % (1 << 62))

@@ -1428,3 +1428,54 @@ def test_idempotent_epoch_append_on_branch(spark, tmp_path):
     assert len(t.snapshots()) == 1
     t.fast_forward("main", "staging")
     assert t.read().count() == 2
+
+
+def test_commit_retry_replans_from_fresh_metadata(spark, tmp_path):
+    """Optimistic concurrency: a loser of the create-fails-if-exists
+    race RE-PLANS (fresh base version, sequence, parent) and retries;
+    after exhausting attempts the race error propagates. Simulated by
+    a racing committer that lands v2 + hint between the loser's plan
+    and its metadata write."""
+    import pytest as _pytest
+
+    from gobblin_spark.sinks import iceberg as I
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = I.IcebergTable.create(spark, str(tmp_path / "race"), df.schema)
+    t.append_dataframe(df)
+
+    real = I.IcebergTable._commit_metadata
+    state = {"raced": 0}
+
+    def racing(self, md):
+        if state["raced"] < 1:
+            state["raced"] += 1
+            # the RACE WINNER: another committer appends first
+            t2 = I.IcebergTable(spark, self.location)
+            t2.append_dataframe(
+                spark.createDataFrame([(9, "w")], "k long, s string"))
+            # the loser's stale-base write now collides
+            return real(self, md)
+        return real(self, md)
+
+    try:
+        I.IcebergTable._commit_metadata = racing
+        t.append_dataframe(
+            spark.createDataFrame([(2, "b")], "k long, s string"))
+    finally:
+        I.IcebergTable._commit_metadata = real
+    assert state["raced"] == 1
+    # ALL THREE rows present: winner's and the retried loser's
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 9]
+    # sequence numbers stayed strictly increasing and unique
+    seqs = [s["sequence-number"] for s in t.snapshots()]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    # exhausted retries propagate
+    def always_lose(self, md):
+        raise RuntimeError("concurrent commit detected: simulated")
+    try:
+        I.IcebergTable._commit_metadata = always_lose
+        with _pytest.raises(RuntimeError, match="concurrent commit"):
+            t.append_dataframe(df)
+    finally:
+        I.IcebergTable._commit_metadata = real
