@@ -1289,6 +1289,19 @@ class _IcebergWriter(DataSourceWriter):
             raise NotImplementedError(
                 "gobblin_iceberg writes support unpartitioned tables; "
                 "partitioned layouts go through append_dataframe")
+        # the frame's columns must be a subset of the TABLE schema:
+        # unknown columns would land in files and silently vanish on
+        # read (the scan schema drops them); missing table columns
+        # are fine — reads null-fill, same as add-column evolution
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        table_cols = {f["name"] for f in cur["fields"]}
+        unknown = [f.name for f in schema.fields
+                   if f.name not in table_cols]
+        if unknown:
+            raise ValueError(
+                f"columns {unknown} are not in the table schema — "
+                "add_column first, or drop them before writing")
 
     def write(self, iterator) -> _IcebergCommit:
         import pyarrow as pa

@@ -706,3 +706,27 @@ def test_iceberg_stream_rejects_replace_in_window(spark, tmp_path):
     # a window strictly BEFORE the replace still replays fine
     assert sorted(r[0] for r in sr.readBetweenOffsets(
         {"seq": 0}, {"seq": 1})) == list(range(10))
+
+
+def test_iceberg_datasource_write_schema_guard(spark, tmp_path):
+    """Unknown frame columns fail the write up front — they would
+    land in files and silently vanish on read; missing table columns
+    stay allowed (reads null-fill, add-column evolution semantics)."""
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    df = spark.createDataFrame([(1, "a", 1.0)], "k long, s string, v double")
+    loc = str(tmp_path / "dsv2sg")
+    t = IcebergTable.create(spark, loc, df.schema)
+    bad = df.withColumnRenamed("v", "nope")
+    with _pytest.raises(Exception, match="not in the table schema"):
+        (bad.write.format("gobblin_iceberg")
+            .option("path", loc).mode("append").save())
+    # a narrower frame commits; the read null-fills
+    (df.select("k", "s").write.format("gobblin_iceberg")
+       .option("path", loc).mode("append").save())
+    row = t.read().collect()[0]
+    assert (row.k, row.s, row.v) == (1, "a", None)
