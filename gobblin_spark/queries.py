@@ -9357,6 +9357,57 @@ def streaming_wap_publish(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("sum_value"))
 
 
+@q(
+    "curation_lakehouse_roundtrip",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, n_chars, md5(text) AS fp
+      FROM documents WHERE n_chars >= 120
+    ), k AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM d
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM k WHERE rn = 1 AND lang = 'en'
+    """,
+)
+def curation_lakehouse_roundtrip(spark, sf_dir):
+    """CURATION MEETS THE LAKEHOUSE: the canonical training-data
+    front half (length filter -> exact dedup keep-first by content
+    fingerprint) lands in an Iceberg table partitioned by
+    truncate[1](lang) — the language-sharded layout a multilingual
+    corpus ships with — and the per-language read prunes through the
+    transform (asserted in-query) before equality-matching the plain
+    SQL pipeline. The point: curation OUTPUT is not a directory of
+    parquet, it is a TABLE with snapshots, pruning, and evolution —
+    every downstream consumer (mixing, packing, eval splits) reads a
+    pointer, not a glob. Fingerprints use md5 so DuckDB replays them
+    exactly; dedup keep-first is the same keep-min-id contract as
+    dedup_exact_docs."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") >= 120)
+    w = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    kept = (docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "lang", F.col("n_chars").cast("long")
+                    .alias("n_chars")))
+    loc = tempfile.mkdtemp(prefix="gobblin_curlake_") + "/t"
+    t = IcebergTable.create(spark, loc, kept.schema,
+                            partition_spec=[("lang", "truncate[1]")])
+    t.append_dataframe(kept.coalesce(1))
+    out = t.read(prune_filters=[("lang", "=", "en")])
+    if not t.last_scan["files_scanned"] < t.last_scan["files_total"]:
+        raise RuntimeError(f"language pruning inert: {t.last_scan}")
+    return out
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
