@@ -32,11 +32,29 @@ embed each column's Iceberg field-id via Spark's
 ``spark.sql.parquet.fieldId.write.enabled`` path, and reads resolve
 columns by id (``...fieldId.read.enabled``), so renamed columns read
 correctly from pre-rename files and a dropped-then-re-added name
-(fresh id) can never resurrect old data. Catalog integration is out
-of scope — with the iceberg-spark-runtime jar on the classpath use
-the real catalog instead (sinks/hive.register_iceberg documents that
-path). Metadata here is O(files) driver-side work, exactly like the
-reference's writer."""
+(fresh id) can never resurrect old data.
+
+Round-7 additions: PARTITION TRANSFORMS (bucket[N] with the spec's
+murmur3_x86_32 over Appendix-B serialization — Appendix-B test
+vectors pinned — truncate[W], and the temporal year/month/day/hour
+epoch ordinals; inclusive-projection pruning through all of them),
+PARTITION EVOLUTION (update_partition_spec: per-manifest spec-ids,
+per-file-spec scan planning and identity re-attachment), METADATA
+TABLES (inspect: snapshots/history/files/partitions/refs),
+REFERENCES (branches/tags, ref-aware expiry, fast_forward publish —
+the write-audit-publish pattern), EXACTLY-ONCE streaming epochs
+(append_dataframe_idempotent: the epoch token rides the snapshot
+summary in the same metadata commit), true COMPARE-AND-SWAP commits
+(metadata() stamps the read version; commits target base+1 with
+create-fails-if-exists, retried with a full re-plan on collision),
+and a SESSIONLESS LOCAL mode (spark=None, plain-file IO) for commit
+hooks that run outside the JVM — the gobblin_iceberg DSv2 faces in
+sources/datasource.py build on all of it.
+
+Catalog integration is out of scope — with the iceberg-spark-runtime
+jar on the classpath use the real catalog instead
+(sinks/hive.register_iceberg documents that path). Metadata here is
+O(files) driver-side work, exactly like the reference's writer."""
 
 from __future__ import annotations
 

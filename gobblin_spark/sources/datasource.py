@@ -1,4 +1,11 @@
-"""Native Spark Python DataSource for the paged-REST ingestion family:
+"""Native Spark Python DataSources: ``gobblin_rest`` (paged REST),
+``gobblin_sql`` (range-partitioned JDBC-shaped pull with pushdown),
+and ``gobblin_iceberg`` (the table format behind Catalyst's own
+pushdown API — batch read with manifest/file pruning, write with a
+one-snapshot sessionless commit, and streaming reads over snapshot
+sequence numbers; see the section banner below).
+
+The REST family first:
 ``spark.read.format("gobblin_rest")`` and
 ``spark.readStream.format("gobblin_rest")``.
 
