@@ -1992,6 +1992,28 @@ class IcebergTable:
         self._commit_metadata(md)
         return src
 
+    def rollback_to(self, snapshot_id: int) -> int:
+        """ManageSnapshots.rollbackTo: point main back at an EXISTING
+        snapshot after a bad commit — one metadata write, no files
+        touched, the bad snapshots stay in history (time travel still
+        reaches them) until expire_snapshots ages them out. The
+        rollback itself lands in the snapshot log, so the operational
+        record shows the table went back."""
+        md = self.metadata()
+        if not any(s["snapshot-id"] == snapshot_id
+                   for s in md["snapshots"]):
+            raise ValueError(
+                f"snapshot {snapshot_id} not in table history")
+        now = int(time.time() * 1000)
+        md["current-snapshot-id"] = snapshot_id
+        md.setdefault("refs", {})["main"] = {
+            "snapshot-id": snapshot_id, "type": "branch"}
+        md["snapshot-log"].append(
+            {"timestamp-ms": now, "snapshot-id": snapshot_id})
+        md["last-updated-ms"] = now
+        self._commit_metadata(md)
+        return snapshot_id
+
     def update_partition_spec(self, partition_spec: list[tuple]) -> int:
         """PARTITION EVOLUTION (spec "Partition Evolution" — the
         headline capability that separates Iceberg from hive layouts):

@@ -1479,3 +1479,36 @@ def test_commit_retry_replans_from_fresh_metadata(spark, tmp_path):
             t.append_dataframe(df)
     finally:
         I.IcebergTable._commit_metadata = real
+
+
+def test_rollback_to_snapshot(spark, tmp_path):
+    """rollback_to: main points back at an ancestor after a bad
+    commit; history keeps the bad snapshot for time travel; new
+    appends parent off the rolled-back head; the next commit's
+    sequence still advances past the abandoned one (sequence numbers
+    are table-global and never reused)."""
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    bad = spark.createDataFrame([(666, "oops")], "k long, s string")
+    t = IcebergTable.create(spark, str(tmp_path / "rb"), df.schema)
+    s1 = t.append_dataframe(df)
+    s2 = t.append_dataframe(bad)
+    assert sorted(r.k for r in t.read().collect()) == [1, 666]
+    t.rollback_to(s1)
+    assert [r.k for r in t.read().collect()] == [1]
+    # the bad snapshot remains reachable by id
+    assert sorted(r.k for r in t.read(snapshot_id=s2).collect()) \
+        == [1, 666]
+    # a new append parents off the rolled-back head, not the bad one
+    s3 = t.append_dataframe(spark.createDataFrame([(2, "b")],
+                                                  "k long, s string"))
+    snaps = {s["snapshot-id"]: s for s in t.snapshots()}
+    assert snaps[s3]["parent-snapshot-id"] == s1
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+    seqs = [s["sequence-number"] for s in t.snapshots()]
+    assert len(set(seqs)) == len(seqs)
+    with _pytest.raises(ValueError, match="not in table history"):
+        t.rollback_to(12345)
