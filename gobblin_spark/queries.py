@@ -9408,6 +9408,53 @@ def curation_lakehouse_roundtrip(spark, sf_dir):
     return out
 
 
+@q(
+    "iceberg_stream_sink_native",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events WHERE event_id % 5 = 0 GROUP BY event_type
+    """,
+)
+def iceberg_stream_sink_native(spark, sf_dir):
+    """NATIVE exactly-once streaming sink:
+    ``writeStream.format("gobblin_iceberg")`` — no foreachBatch
+    boilerplate. Every micro-batch's tasks write parquet directly
+    under data/ (invisible until referenced) and the engine-driven
+    ``commit(messages, batchId)`` lands them as one append snapshot
+    carrying ``stream-epoch-<batchId>`` in the SAME metadata commit;
+    a replayed batchId finds its token and commits nothing (asserted
+    in-query by re-committing epoch 0 through the writer). Green iff
+    the table equals the batch aggregate — the fourth and final
+    connector face (batch read/write, stream read/write), making the
+    table format a complete engine citizen."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 5 == 0).select(
+        "event_id", "ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="gobblin_icesink_")
+    indir = f"{tmp}/in"
+    ev.repartition(4).write.parquet(indir)
+    t = IcebergTable.create(spark, f"{tmp}/table", ev.schema)
+    q_ = (spark.readStream.schema(ev.schema).parquet(indir)
+          .writeStream.format("gobblin_iceberg")
+          .option("path", t.location)
+          .option("checkpointLocation", f"{tmp}/ck")
+          .trigger(availableNow=True).start())
+    q_.awaitTermination()
+    n_snaps = len(t.snapshots())
+    DS._IcebergStreamWriter({"path": t.location}, ev.schema).commit([], 0)
+    if len(t.snapshots()) != n_snaps:
+        raise RuntimeError("stream epoch replay was not idempotent")
+    return t.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"))
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",

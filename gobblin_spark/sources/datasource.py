@@ -1262,6 +1262,11 @@ class GobblinIcebergDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType):
         return _IcebergStreamReader(self.options, schema)
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise NotImplementedError("append-only streaming sink")
+        return _IcebergStreamWriter(self.options, schema)
+
 
 class _IcebergCommit(WriterCommitMessage):
     def __init__(self, files: list[str], rows: int):
@@ -1472,3 +1477,102 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # snapshots are immutable; the checkpoint owns progress
+
+
+class _IcebergStreamWriter(DataSourceStreamWriter):
+    """NATIVE exactly-once streaming sink for the table format:
+    ``writeStream.format("gobblin_iceberg")``. Each micro-batch's
+    tasks write parquet files directly under data/ (invisible until
+    referenced), and ``commit(messages, batchId)`` lands them as ONE
+    append snapshot whose summary carries ``stream-epoch-<batchId>``
+    in the SAME metadata commit — a replayed batchId finds its token
+    and commits NOTHING, making checkpoint recovery exactly-once
+    without the foreachBatch boilerplate (this is
+    append_dataframe_idempotent's contract surfaced through the
+    engine's own streaming API). ``abort`` deletes the batch's
+    never-referenced files. Unpartitioned tables only, same guard as
+    the batch writer."""
+
+    def __init__(self, options, schema: StructType):
+        self.location = options["path"]
+        self.schema_ = schema
+        md = _ice_read_md(self.location)
+        spec = next(s for s in md["partition-specs"]
+                    if s["spec-id"] == md["default-spec-id"])
+        if spec["fields"]:
+            raise NotImplementedError(
+                "gobblin_iceberg streaming writes support "
+                "unpartitioned tables; partitioned layouts go "
+                "through foreachBatch + append_dataframe")
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        table_cols = {f["name"] for f in cur["fields"]}
+        unknown = [f.name for f in schema.fields
+                   if f.name not in table_cols]
+        if unknown:
+            raise ValueError(
+                f"columns {unknown} are not in the table schema")
+
+    def write(self, iterator) -> _IcebergCommit:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        ctx = TaskContext.get()
+        task = ctx.partitionId() if ctx else 0
+        attempt = ctx.taskAttemptId() if ctx else 0
+        target = to_arrow_schema(self.schema_)
+        rows = [tuple(r) for r in iterator]
+        if not rows:
+            return _IcebergCommit([], 0)
+        cols = list(zip(*rows))
+        arrays = [pa.array(list(c), type=target.field(i).type)
+                  for i, c in enumerate(cols)]
+        sub = os.path.join(_ice_local(self.location), "data",
+                           "dsv2stream")
+        os.makedirs(sub, exist_ok=True)
+        path = os.path.join(
+            sub, f"task-{task:05d}-{attempt}-{_uuid.uuid4().hex[:8]}"
+                 ".parquet")
+        pq.write_table(pa.Table.from_arrays(arrays, schema=target), path)
+        return _IcebergCommit([path], len(rows))
+
+    def commit(self, messages, batchId: int) -> None:
+        import pyarrow.parquet as pq
+
+        from gobblin_spark.sinks import iceberg as I
+
+        t = I.IcebergTable(None, self.location)
+        token = f"stream-epoch-{batchId}"
+        md = t.metadata()
+        for s in md.get("snapshots", []):
+            if s.get("summary", {}).get("epoch-token") == token:
+                return  # replayed epoch: exactly-once no-op
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        name_to_field = {f["name"]: f for f in cur["fields"]}
+        files = []
+        for m in messages or []:
+            for fpath in getattr(m, "files", []) or []:
+                fmd = pq.ParquetFile(fpath).metadata
+                if fmd.num_rows == 0:
+                    continue
+                lo, hi = I._collect_bounds(fmd, name_to_field)
+                files.append(I.DataFileInfo(
+                    "file:" + os.path.abspath(fpath),
+                    os.path.getsize(fpath), fmd.num_rows,
+                    lower_bounds=lo, upper_bounds=hi))
+        if files:
+            t.append_files(files, summary_extra={"epoch-token": token})
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            for f in getattr(m, "files", []) or []:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass

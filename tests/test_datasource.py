@@ -730,3 +730,41 @@ def test_iceberg_datasource_write_schema_guard(spark, tmp_path):
        .option("path", loc).mode("append").save())
     row = t.read().collect()[0]
     assert (row.k, row.s, row.v) == (1, "a", None)
+
+
+def test_iceberg_native_stream_sink(spark, tmp_path):
+    """writeStream.format('gobblin_iceberg'): each micro-batch commits
+    as ONE append snapshot whose summary carries stream-epoch-<id> in
+    the same metadata commit; a replayed batchId commits nothing —
+    exactly-once through the engine's own streaming API, no
+    foreachBatch boilerplate."""
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(30)],
+                               "k long, s string")
+    indir = str(tmp_path / "in")
+    df.repartition(3).write.parquet(indir)
+    t = IcebergTable.create(spark, str(tmp_path / "tbl"), df.schema)
+    q = (spark.readStream.schema(df.schema).parquet(indir)
+         .writeStream.format("gobblin_iceberg")
+         .option("path", t.location)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert sorted(r.k for r in t.read().collect()) == list(range(30))
+    snaps = t.snapshots()
+    assert all(s["summary"].get("epoch-token", "").startswith(
+        "stream-epoch-") for s in snaps)
+    # direct replay of an already-committed batchId: exactly-once no-op
+    w = DS._IcebergStreamWriter({"path": t.location}, df.schema)
+    w.commit([], 0)
+    assert len(t.snapshots()) == len(snaps)
+    # partitioned tables are gated for the stream sink too
+    t2 = IcebergTable.create(spark, str(tmp_path / "tblp"), df.schema,
+                             partition_cols=["s"])
+    with _pytest.raises(Exception, match="foreachBatch"):
+        DS._IcebergStreamWriter({"path": t2.location}, df.schema)
