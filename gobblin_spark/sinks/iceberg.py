@@ -748,17 +748,35 @@ class IcebergTable:
         """Current metadata version; 0 = no table. ONLY a genuinely
         missing hint file maps to 0 — a transient IO error must
         propagate, or create() would mistake an existing table for an
-        empty location and clobber its metadata history."""
-        try:
-            return int(self._read_bytes(
-                f"{self.location}/metadata/version-hint.text").decode().strip())
-        except Exception as ex:
-            msg = str(ex)
-            if ("FileNotFoundException" in msg
-                    or "does not exist" in msg
-                    or isinstance(ex, FileNotFoundError)):
-                return 0
-            raise
+        empty location and clobber its metadata history.
+
+        A concurrent hint REWRITE can expose a torn read (empty or
+        partial digits — observed as a transient EOF on the hint's
+        checksum under a two-writer stress). A short re-read settles
+        it; a stale-but-complete value is already safe (readers get an
+        older consistent snapshot, writers collide on the version
+        CAS), so only the unparsable case needs the retry."""
+        last_err: Exception | None = None
+        for _ in range(5):
+            try:
+                raw = self._read_bytes(
+                    f"{self.location}/metadata/version-hint.text"
+                ).decode().strip()
+            except Exception as ex:
+                msg = str(ex)
+                if ("FileNotFoundException" in msg
+                        or "does not exist" in msg
+                        or isinstance(ex, FileNotFoundError)):
+                    return 0
+                raise
+            try:
+                return int(raw)
+            except ValueError as ex:
+                last_err = ex
+                time.sleep(0.02)
+        raise RuntimeError(
+            f"version hint at {self.location} stayed unparsable "
+            "across retries (torn write?)") from last_err
 
     def metadata(self) -> dict:
         v = self._version()
