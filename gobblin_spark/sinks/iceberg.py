@@ -768,6 +768,13 @@ class IcebergTable:
                         or "does not exist" in msg
                         or isinstance(ex, FileNotFoundError)):
                     return 0
+                if "Checksum" in msg or "EOFException" in msg:
+                    # the same torn-rewrite window seen through the
+                    # Hadoop path: the .crc sidecar lags the data
+                    # write for an instant — re-read
+                    last_err = ex
+                    time.sleep(0.02)
+                    continue
                 raise
             try:
                 return int(raw)
