@@ -685,6 +685,16 @@ def _iceberg_schema(schema: T.StructType) -> tuple[dict, int]:
     return ({"type": "struct", "schema-id": 0, "fields": fields}, next_id - 1)
 
 
+def _is_exists_error(ex: BaseException) -> bool:
+    """Classify a Hadoop ``fs.create(path, overwrite=False)`` failure:
+    True only for the already-exists collision (the optimistic-
+    concurrency signal). Py4J wraps the Java exception, so the class
+    name rides the message text."""
+    msg = str(ex)
+    return ("FileAlreadyExistsException" in msg
+            or "already exists" in msg.lower())
+
+
 class IcebergTable:
     """A HadoopTables-layout Iceberg v2 table on any Hadoop-visible FS.
 
@@ -797,6 +807,33 @@ class IcebergTable:
         md["_base_version"] = v
         return md
 
+    @staticmethod
+    def _main_ancestry(md: dict) -> list[dict]:
+        """Snapshot records reachable from MAIN's head via the
+        parent-snapshot-id chain, head first. Branch-only commits
+        (write-audit-publish staging) are excluded until fast_forward
+        publishes them. Records written before parent pointers existed
+        make the chain indeterminate — fall back to every snapshot the
+        snapshot-log names (each was a main head at some point)."""
+        by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        out: list[dict] = []
+        seen: set[int] = set()
+        node = md.get("current-snapshot-id", -1)
+        while (node is not None and node != -1 and node in by_id
+               and node not in seen):
+            rec = by_id[node]
+            out.append(rec)
+            seen.add(node)
+            if "parent-snapshot-id" not in rec:
+                logged = {e["snapshot-id"]
+                          for e in md.get("snapshot-log", [])}
+                out.extend(s for s in md.get("snapshots", [])
+                           if s["snapshot-id"] in logged
+                           and s["snapshot-id"] not in seen)
+                break
+            node = rec["parent-snapshot-id"]
+        return out
+
     def _commit_metadata(self, md: dict) -> int:
         """HadoopTables commit protocol: write the NEW vN file with
         create-fails-if-exists (the optimistic-concurrency guard —
@@ -830,6 +867,11 @@ class IcebergTable:
         try:
             out = fs.create(p, False)  # atomic create-fails-if-exists
         except Exception as ex:
+            # only an exists-collision is a concurrency signal; a
+            # transient IO or permission failure must propagate as
+            # itself, not be silently retried as a "conflict"
+            if not _is_exists_error(ex):
+                raise
             raise RuntimeError(
                 f"concurrent commit detected: {path} already exists "
                 "(another committer advanced the table from the same "
@@ -1024,6 +1066,17 @@ class IcebergTable:
                            summary_extra: dict | None = None,
                            branch: str | None = None) -> int:
         md = self.metadata()
+        # exactly-once epoch guard INSIDE the CAS retry: two concurrent
+        # committers of the same epoch (zombie driver + restarted
+        # query) can both pass the caller's token scan; the loser's
+        # retry re-plans from fresh metadata, so the fresh read is
+        # where the token must be re-checked — otherwise it commits a
+        # duplicate snapshot carrying the same epoch-token
+        tok = (summary_extra or {}).get("epoch-token")
+        if tok is not None:
+            for s in md.get("snapshots", []):
+                if s.get("summary", {}).get("epoch-token") == tok:
+                    return s["snapshot-id"]
         seq = md["last-sequence-number"] + 1
         snap_id = int(uuid.uuid4().int % (1 << 62))
         now = int(time.time() * 1000)
@@ -1995,14 +2048,32 @@ class IcebergTable:
         if src == dst:
             return src
         # ancestry walk from source back to target
-        parents = {s["snapshot-id"]: s.get("parent-snapshot-id")
-                   for s in md["snapshots"]}
-        node, ok = src, False
-        while node is not None:
-            if node == dst or (dst == -1 and parents.get(node) is None):
+        snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+        node, ok, indeterminate = src, False, False
+        while True:
+            if node == dst:
                 ok = True
                 break
-            node = parents.get(node)
+            rec = snaps.get(node)
+            if rec is None or "parent-snapshot-id" not in rec:
+                # expired intermediate, or a record written before
+                # parent pointers existed — chain indeterminate
+                indeterminate = True
+                break
+            node = rec["parent-snapshot-id"]
+            if node is None:
+                ok = dst == -1
+                break
+        if not ok and indeterminate:
+            # fallback ordering for upgraded/expired histories: the
+            # target head must have BEEN a main head (snapshot-log)
+            # and precede the source in commit order (sequence
+            # numbers are table-global and monotone)
+            logged = {e["snapshot-id"]
+                      for e in md.get("snapshot-log", [])}
+            s_seq = snaps.get(src, {}).get("sequence-number", 0)
+            d_seq = snaps.get(dst, {}).get("sequence-number", 0)
+            ok = dst == -1 or (dst in logged and d_seq <= s_seq)
         if not ok:
             raise ValueError(
                 f"{to_branch!r} head {dst} is not an ancestor of "
@@ -2246,10 +2317,26 @@ class IcebergTable:
         md = self.metadata()
         ref_heads = {r.get("snapshot-id")
                      for r in md.get("refs", {}).values()}
+        # retain the ancestor chain between each ref head and main's
+        # history: fast_forward (the WAP publish step) walks
+        # parent-snapshot-id from the branch head down to main's head,
+        # so expiring an intermediate branch ancestor would block a
+        # legitimate publish
+        snaps_by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+        main_anc = {s["snapshot-id"] for s in self._main_ancestry(md)}
+        protected = set()
+        for head in ref_heads:
+            node = head
+            while (node is not None and node != -1
+                   and node not in main_anc and node not in protected):
+                protected.add(node)
+                node = snaps_by_id.get(node, {}).get(
+                    "parent-snapshot-id")
         keep, dropped_snaps = [], []
         for s in md["snapshots"]:
             if (s["snapshot-id"] == md["current-snapshot-id"]
                     or s["snapshot-id"] in ref_heads
+                    or s["snapshot-id"] in protected
                     or s["timestamp-ms"] >= older_than_ms):
                 keep.append(s)
             else:

@@ -974,9 +974,38 @@ _ICE_TO_SPARK = {
 
 
 class _IcebergFilePartition(InputPartition):
-    def __init__(self, path: str, attach: list[tuple]):
+    def __init__(self, path: str, attach: list[tuple],
+                 col_ids: dict | None = None):
         self.path = path
         self.attach = attach  # [(col name, value)] identity re-attach
+        # {current column name: iceberg field-id} — set iff the schema
+        # history has renames/drops, where name-based resolution would
+        # null-fill renamed columns from pre-rename files
+        self.col_ids = col_ids
+
+
+def _ice_file_cols(schema_arrow, col_ids: dict | None,
+                   path: str) -> dict:
+    """{current column name: name the FILE stores it under}. Without
+    rename/drop history (col_ids None) names map to themselves. With
+    one, resolve through the parquet ``PARQUET:field_id`` metadata —
+    files written before a rename store the old name, and reading the
+    current name would silently null-fill (ADVICE r7). Files lacking
+    embedded ids fail honestly, same contract as IcebergTable.read."""
+    if col_ids is None:
+        return {n: n for n in schema_arrow.names}
+    by_id = {}
+    for fld in schema_arrow:
+        fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+        if fid is not None:
+            by_id[int(fid)] = fld.name
+    if not by_id:
+        raise RuntimeError(
+            f"table history has renames/drops but {path} embeds no "
+            "parquet field ids — rewrite_data_files() first, or read "
+            "via IcebergTable.read")
+    return {name: by_id[fid] for name, fid in col_ids.items()
+            if fid in by_id}
 
 
 class _IcebergReader(DataSourceReader):
@@ -1051,6 +1080,16 @@ class _IcebergReader(DataSourceReader):
 
         preds = [(by_name[c]["id"], op, v) for c, op, v in self.prune
                  if c in by_name]
+        # rename/drop histories resolve file columns by field-id in
+        # read() — name-based resolution would null-fill renamed
+        # columns out of pre-rename files. The target names are the
+        # CURRENT schema's (that is what schema() reported to Spark),
+        # not the plan snapshot's write-time schema
+        cur_ice = next(s for s in md["schemas"]
+                       if s["schema-id"] == md["current-schema-id"])
+        col_ids = ({f["name"]: f["id"] for f in cur_ice["fields"]}
+                   if I.IcebergTable(None, self.location)
+                   ._needs_id_resolution(md) else None)
 
         def summary_excludes(m, info):
             sums = m.get("partitions")
@@ -1188,7 +1227,7 @@ class _IcebergReader(DataSourceReader):
                                          segs[n], fld["type"])))
                                 break
                 parts.append(_IcebergFilePartition(d["file_path"],
-                                                   attach))
+                                                   attach, col_ids))
         return parts
 
     def partitions(self):
@@ -1214,14 +1253,17 @@ class _IcebergReader(DataSourceReader):
         target = to_arrow_schema(self.schema_)
         attach = dict(partition.attach)
         pf = pq.ParquetFile(_ice_local(partition.path))
+        stored = _ice_file_cols(pf.schema_arrow, partition.col_ids,
+                                partition.path)
         file_cols = set(pf.schema_arrow.names)
         for batch in pf.iter_batches(batch_size=65536):
             arrays = []
             for i, name in enumerate(target.names):
                 t = target.field(i).type
-                if name in file_cols:
+                fname = stored.get(name)
+                if fname in file_cols:
                     arrays.append(
-                        batch.column(batch.schema.get_field_index(name))
+                        batch.column(batch.schema.get_field_index(fname))
                         .cast(t))
                 else:  # identity partition column or added-after column
                     val = attach.get(name)
@@ -1396,24 +1438,43 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
         self.from_start = (options.get("starting", "earliest")
                            == "earliest")
 
+    @staticmethod
+    def _main_seq(md: dict) -> int:
+        """Highest sequence-number reachable from MAIN's head —
+        branch commits bump the table-global last-sequence-number but
+        are not main's rows: a stream offset must never advance past
+        (or plan from) staged, unaudited write-audit-publish data.
+        After fast_forward publishes a branch, its snapshots join
+        main's ancestry and the window picks them up then."""
+        from gobblin_spark.sinks import iceberg as I
+
+        return max((s.get("sequence-number", 0)
+                    for s in I.IcebergTable._main_ancestry(md)),
+                   default=0)
+
     def initialOffset(self) -> dict:
         if self.from_start:
             return {"seq": 0}
-        md = _ice_read_md(self.location)
-        return {"seq": md.get("last-sequence-number", 0)}
+        return {"seq": self._main_seq(_ice_read_md(self.location))}
 
     def _entries_between(self, lo: int, hi: int):
         from gobblin_spark.operators import avro_container as ACF
+        from gobblin_spark.sinks import iceberg as I
 
         md = _ice_read_md(self.location)
         if md["current-snapshot-id"] == -1:
             return []
+        # plan and bound the window from MAIN's ancestry only: a
+        # branch head can carry staged unaudited data, and its
+        # manifest list can omit main-committed files — both wrong
+        # for a stream of the published table
+        main = I.IcebergTable._main_ancestry(md)
         # a REPLACE snapshot (rewrite_data_files) re-sequences
         # EXISTING rows — streaming them again would duplicate the
         # feed. Same default as Iceberg's own streaming read: fail on
         # non-append snapshots inside the window instead of silently
         # double-delivering.
-        for s in md["snapshots"]:
+        for s in main:
             if (lo < s.get("sequence-number", 0) <= hi
                     and s.get("summary", {}).get("operation")
                     not in ("append", None)):
@@ -1427,7 +1488,7 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
         # list, but replaying an already-committed window must see
         # the table as it stood then (works as long as that snapshot
         # is retained — the same replay constraint real Iceberg has)
-        eligible = [s for s in md["snapshots"]
+        eligible = [s for s in main
                     if s.get("sequence-number", 0) <= hi]
         if not eligible:
             return []
@@ -1459,17 +1520,30 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, lo: int, hi: int) -> Iterator[Tuple]:
         import pyarrow.parquet as pq
 
+        from gobblin_spark.sinks import iceberg as I
+
+        md = _ice_read_md(self.location)
         names = [f.name for f in self.schema_.fields]
+        col_ids = None
+        if I.IcebergTable(None, self.location)._needs_id_resolution(md):
+            cur = next(s for s in md["schemas"]
+                       if s["schema-id"] == md["current-schema-id"])
+            col_ids = {f["name"]: f["id"] for f in cur["fields"]}
         for path in self._entries_between(lo, hi):
             tbl = pq.read_table(_ice_local(path))
-            cols = {n: tbl.column(n).to_pylist() if n in tbl.schema.names
-                    else [None] * tbl.num_rows for n in names}
+            stored = _ice_file_cols(tbl.schema, col_ids, path)
+            cols = {}
+            for n in names:
+                fn = stored.get(n)
+                cols[n] = (tbl.column(fn).to_pylist()
+                           if fn in tbl.schema.names
+                           else [None] * tbl.num_rows)
             for i in range(tbl.num_rows):
                 yield tuple(cols[n][i] for n in names)
 
     def read(self, start: dict) -> tuple[Iterator[Tuple], dict]:
         md = _ice_read_md(self.location)
-        hi = max(md.get("last-sequence-number", 0), start["seq"])
+        hi = max(self._main_seq(md), start["seq"])
         return iter(list(self._rows(start["seq"], hi))), {"seq": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:

@@ -768,3 +768,67 @@ def test_iceberg_native_stream_sink(spark, tmp_path):
                              partition_cols=["s"])
     with _pytest.raises(Exception, match="foreachBatch"):
         DS._IcebergStreamWriter({"path": t2.location}, df.schema)
+
+def test_iceberg_stream_excludes_branch_commits(spark, tmp_path):
+    """A stream of the published table must not deliver staged
+    write-audit-publish branch data: offsets and planning are bounded
+    by MAIN's ancestry, and the branch rows arrive only after
+    fast_forward publishes them (ADVICE r7, high)."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(10)],
+                               "k long, s string")
+    loc = str(tmp_path / "icewapstream")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df)                       # main, seq 1
+    t.create_branch("audit")
+    staged = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(10, 15)], "k long, s string")
+    t.append_dataframe(staged, branch="audit")   # branch-only, seq 2
+
+    sr = DS._IcebergStreamReader({"path": loc}, df.schema)
+    # latest frontier is MAIN's head (seq 1), not the table-global
+    # last-sequence-number (2) that the branch commit bumped
+    assert DS._IcebergStreamReader(
+        {"path": loc, "starting": "latest"}, df.schema
+    ).initialOffset() == {"seq": 1}
+    it, end = sr.read({"seq": 0})
+    assert end == {"seq": 1}
+    assert sorted(r[0] for r in it) == list(range(10))
+    # ... and no staged rows leak through an explicit window either
+    assert list(sr.readBetweenOffsets({"seq": 1}, {"seq": 1})) == []
+
+    # publish: the branch snapshots join main's ancestry and the
+    # stream picks them up from exactly where it left off
+    t.fast_forward("main", "audit")
+    it2, end2 = sr.read({"seq": 1})
+    assert end2 == {"seq": 2}
+    assert sorted(r[0] for r in it2) == list(range(10, 15))
+
+
+def test_iceberg_dsv2_read_resolves_renames_by_field_id(spark, tmp_path):
+    """format('gobblin_iceberg') after rename_column: files written
+    pre-rename store the OLD column name; the connector face must
+    resolve through parquet field-ids instead of null-filling the
+    renamed column (ADVICE r7, medium)."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    df = spark.createDataFrame([(i, f"s{i}", float(i)) for i in range(8)],
+                               "k long, s string, v double")
+    loc = str(tmp_path / "icerename")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df)              # files store column name 'v'
+    t.rename_column("v", "val")
+    out = (spark.read.format("gobblin_iceberg").option("path", loc)
+           .load().orderBy("k").collect())
+    assert [r.val for r in out] == [float(i) for i in range(8)]
+    assert [r.k for r in out] == list(range(8))
+    # the streaming face resolves the same way
+    sr = DS._IcebergStreamReader(
+        {"path": loc}, spark.read.format("gobblin_iceberg")
+        .option("path", loc).load().schema)
+    rows = list(sr.readBetweenOffsets({"seq": 0}, {"seq": 1}))
+    assert sorted(r[2] for r in rows) == [float(i) for i in range(8)]
