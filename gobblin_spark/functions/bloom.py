@@ -34,12 +34,29 @@ from pyspark.sql import Column, DataFrame, functions as F
 _FOLD = (1 << 31) - 1  # keep h1 + i*h2 far below int64 overflow
 
 
-def _positions(col: Column | str, num_bits: int, k: int, seed: int) -> Column:
-    """Array of k bit positions for a value (double hashing)."""
+def _positions(col: Column | str, num_bits: int, k: int, seed: int,
+               base_hash: str = "xxhash64") -> Column:
+    """Array of k bit positions for a value (double hashing).
+
+    ``base_hash='md5_60'`` swaps xxhash64 for two 60-bit slices of the
+    value's md5 hex (chars 1-15 and 17-31) — engine-portable, so an
+    external SQL engine (``CAST('0x' || substr(md5(v),1,15) AS
+    BIGINT)``) reproduces every position bit-for-bit; ``seed`` is
+    ignored on that path. Same pattern as dedup.md5_60."""
     c = F.col(col) if isinstance(col, str) else col
-    h1 = F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_FOLD))
-    # +1 keeps h2 nonzero so the k probes never collapse to one position
-    h2 = F.pmod(F.xxhash64(c, F.lit(seed + 1)), F.lit(_FOLD - 1)) + F.lit(1)
+    if base_hash == "md5_60":
+        m = F.md5(c.cast("string"))
+        h1 = F.pmod(
+            F.conv(F.substring(m, 1, 15), 16, 10).cast("long"),
+            F.lit(_FOLD))
+        h2 = F.pmod(
+            F.conv(F.substring(m, 17, 15), 16, 10).cast("long"),
+            F.lit(_FOLD - 1)) + F.lit(1)
+    else:
+        h1 = F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_FOLD))
+        # +1 keeps h2 nonzero so the k probes never collapse to one
+        h2 = F.pmod(F.xxhash64(c, F.lit(seed + 1)),
+                    F.lit(_FOLD - 1)) + F.lit(1)
     return F.array(
         *[F.pmod(h1 + F.lit(i) * h2, F.lit(num_bits)) for i in range(k)]
     )
@@ -51,6 +68,7 @@ def bloom_build(
     num_bits: int = 1 << 22,
     k: int = 5,
     seed: int = 42,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Fold ``df[col]`` into a Bloom sketch DataFrame (word_idx, bits).
 
@@ -58,7 +76,8 @@ def bloom_build(
     ``bit_or`` of single-bit masks — the partial aggregation collapses
     the sketch map-side, so the shuffle carries at most
     min(|input|·k, num_bits/64) slim rows."""
-    pos = df.select(F.explode(_positions(col, num_bits, k, seed)).alias("pos"))
+    pos = df.select(F.explode(
+        _positions(col, num_bits, k, seed, base_hash)).alias("pos"))
     return (
         pos.select(
             (F.col("pos") / 64).cast("int").alias("word_idx"),
@@ -80,6 +99,7 @@ def bloom_split(
     num_bits: int = 1 << 22,
     k: int = 5,
     seed: int = 42,
+    base_hash: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """Split ``new_df`` into (definitely_unseen, maybe_seen) by probing
     the broadcast sketch. A row is maybe_seen iff ALL k probed bits of
@@ -90,7 +110,7 @@ def bloom_split(
     full batch."""
     vals = new_df.select(col).distinct()
     probes = vals.withColumn(
-        "_pos", F.explode(_positions(col, num_bits, k, seed))
+        "_pos", F.explode(_positions(col, num_bits, k, seed, base_hash))
     ).withColumn("_word_idx", (F.col("_pos") / 64).cast("int"))
     joined = probes.join(
         F.broadcast(sketch), probes["_word_idx"] == sketch["word_idx"], "left"
@@ -124,14 +144,16 @@ def bloom_incremental_dedup(
     num_bits: int = 1 << 22,
     k: int = 5,
     seed: int = 42,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """EXACT rows of ``new_df`` whose ``col`` never appears in
     ``history_df``, without shuffling history against the full batch:
     sketch-prefilter (cheap, broadcast) then an exact anti-join over
     only the maybe-seen sliver (true repeats + ~FP-rate of the batch).
     """
-    sketch = bloom_build(history_df, col, num_bits, k, seed)
-    unseen, maybe = bloom_split(new_df, sketch, col, num_bits, k, seed)
+    sketch = bloom_build(history_df, col, num_bits, k, seed, base_hash)
+    unseen, maybe = bloom_split(new_df, sketch, col, num_bits, k, seed,
+                                base_hash)
     # eqNullSafe anti (audit-r7): the name-based anti-join can never
     # match null to null, so a null value PRESENT in history slipped
     # through — violating "exact" for nullable key columns

