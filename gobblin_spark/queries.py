@@ -9676,17 +9676,26 @@ HEADLINE = [
     "event_time_deltas",
     # the end-to-end training-data composition
     "pipeline_training_data_e2e",
-    # self-measuring acceptance reports (approximation quality as
-    # value-checked numbers, timed per round; truth sides sampled
-    # 1-in-5 + scale-guarded since round 5)
-    "lsh_recall_report",
+    # self-measuring acceptance family: one representative stays timed
+    # (lsh/ivf recall retired r8 — same sampled-truth plan shape; the
+    # correctness window still certifies all three)
     "simhash_completeness_report",
-    "ivf_recall_report",
     # round-5 additions: real pure-Python media decode (Arrow-batched
-    # encode+parse round trips) and the embedded-SQL write+read path
+    # encode+parse round trips; bmp retired r8 for the jpeg-color
+    # entry below — same mapInPandas plumbing, heavier codec) and the
+    # embedded-SQL write+read path
     "multimodal_decode_wav",
-    "multimodal_decode_bmp",
     "sql_write_read_roundtrip",
+    # round-8 additions: the round-7 surface joins the perf baseline —
+    # Iceberg DSv2 faces, streaming write-audit-publish, the curation
+    # lakehouse composition, the heaviest color codec, and epoch
+    # packing (verdict-r7 #2)
+    "iceberg_datasource_read",
+    "iceberg_datasource_write_roundtrip",
+    "streaming_wap_publish",
+    "curation_lakehouse_roundtrip",
+    "multimodal_decode_jpeg_color",
+    "mixing_pack_epochs",
 ]
 
 
