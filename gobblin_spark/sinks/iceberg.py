@@ -685,6 +685,42 @@ def _iceberg_schema(schema: T.StructType) -> tuple[dict, int]:
     return ({"type": "struct", "schema-id": 0, "fields": fields}, next_id - 1)
 
 
+def _manifest_live_entries(raw: bytes, spec_id: int,
+                           info: list[dict]) -> list[dict]:
+    """Decode one manifest's live (ADDED/EXISTING) entries into the
+    planner's entry dicts — shared verbatim by the driver-side loop
+    and the distributed planning job, so both planning modes are
+    bit-identical by construction."""
+    _, entries = ACF.read_container(raw)
+    sid_by_name = {si["field_name"]: si["source_id"] for si in info}
+    out = []
+    for e in entries:
+        if e["status"] not in (1, 0):
+            continue
+        d = e["data_file"]
+        part = d.get("partition")
+        if part is None:
+            tup = None
+        elif isinstance(part, str):  # pre-r6 legacy JSON tuples
+            tup = json.loads(part)
+        else:  # typed r102 record (current writer)
+            tup = {str(sid_by_name[name]): v
+                   for name, v in part.items() if name in sid_by_name}
+        out.append({
+            "info": DataFileInfo(
+                d["file_path"], d["file_size_in_bytes"],
+                d["record_count"], d["file_format"],
+                _bounds_from_avro(d.get("lower_bounds")),
+                _bounds_from_avro(d.get("upper_bounds")),
+                tup),
+            "content": d.get("content", 0),
+            "sequence_number": e.get("sequence_number") or 0,
+            "equality_ids": d.get("equality_ids"),
+            "spec_id": spec_id,
+        })
+    return out
+
+
 def _is_exists_error(ex: BaseException) -> bool:
     """Classify a Hadoop ``fs.create(path, overwrite=False)`` failure:
     True only for the already-exists collision (the optimistic-
@@ -705,9 +741,23 @@ class IcebergTable:
     executes in a separate Python worker with no JVM. DataFrame
     operations (read/append_dataframe/...) still need a session."""
 
-    def __init__(self, spark: SparkSession | None, location: str):
+    def __init__(self, spark: SparkSession | None, location: str,
+                 planning: str = "driver"):
+        """``planning="distributed"`` lifts manifest parsing — the
+        scan-planning cost that scales with live-file count — into a
+        Spark job (manifests fan out to executors, each decoded by the
+        same pure-Python Avro reader; only the planned entries return).
+        The driver default matches the reference's own driver-side
+        IcebergMetadataWriter and stays right up to ~10^5-10^6 live
+        files (PLANS.md bound); distributed is the 100 TB path, the
+        same split Iceberg's own distributed planning makes. Manifest
+        paths must be executor-openable (file:// / shared mounts in
+        this sandbox); single-manifest tables skip the job overhead."""
+        if planning not in ("driver", "distributed"):
+            raise ValueError(f"unknown planning mode {planning!r}")
         self.spark = spark
         self.location = location.rstrip("/")
+        self.planning = planning
 
     # -- fs helpers ----------------------------------------------------
     @staticmethod
@@ -1331,18 +1381,6 @@ class IcebergTable:
                 spec_cache[spec_id] = self._spec_info(md, spec_id)
             return spec_cache[spec_id]
 
-        def _part_tuple(raw, info):
-            # typed r102 record (current writer) → field-id-keyed
-            # tuple; JSON string = pre-r6 legacy manifests
-            if raw is None:
-                return None
-            if isinstance(raw, str):
-                return json.loads(raw)
-            sid_by_name = {si["field_name"]: si["source_id"]
-                           for si in info}
-            return {str(sid_by_name[name]): v
-                    for name, v in raw.items() if name in sid_by_name}
-
         def _summary_excludes(m, info) -> bool:
             # spec "Scan Planning": skip a DATA manifest when its
             # field_summary proves no file inside can match — each
@@ -1384,7 +1422,11 @@ class IcebergTable:
 
         self.last_manifest_scan = {"manifests_total": 0,
                                    "manifests_skipped": 0}
-        out = []
+        # the manifest LIST is one small driver-side read; summary
+        # skipping happens here in both planning modes. What scales
+        # with live-file count is opening+decoding the surviving
+        # manifests — that is the part the distributed mode fans out.
+        open_list: list[tuple[str, int]] = []
         for m in manifests:
             m_spec = m.get("partition_spec_id", 0)
             info = _info_for(m_spec)
@@ -1395,22 +1437,33 @@ class IcebergTable:
                 if _summary_excludes(m, info):
                     self.last_manifest_scan["manifests_skipped"] += 1
                     continue
-            _, entries = ACF.read_container(self._read_bytes(m["manifest_path"]))
-            for e in entries:
-                if e["status"] in (1, 0):  # ADDED / EXISTING
-                    d = e["data_file"]
-                    out.append({
-                        "info": DataFileInfo(
-                            d["file_path"], d["file_size_in_bytes"],
-                            d["record_count"], d["file_format"],
-                            _bounds_from_avro(d.get("lower_bounds")),
-                            _bounds_from_avro(d.get("upper_bounds")),
-                            _part_tuple(d.get("partition"), info)),
-                        "content": d.get("content", 0),
-                        "sequence_number": e.get("sequence_number") or 0,
-                        "equality_ids": d.get("equality_ids"),
-                        "spec_id": m_spec,
-                    })
+            open_list.append((m["manifest_path"], m_spec))
+
+        if (self.planning == "distributed" and self.spark is not None
+                and len(open_list) > 1):
+            infos = {s: _info_for(s) for s in {s for _, s in open_list}}
+
+            def _parse(item):
+                path, spec_id = item
+                local = (path[len("file:"):]
+                         if path.startswith("file:") else path)
+                with open(local, "rb") as fh:
+                    raw = fh.read()
+                return _manifest_live_entries(raw, spec_id,
+                                              infos[spec_id])
+
+            sc = self.spark.sparkContext
+            n = min(len(open_list), sc.defaultParallelism * 2)
+            # map (not flatMap) + driver flatten keeps per-manifest
+            # entry ORDER and manifest order — byte-identical results
+            # to the driver loop
+            chunks = sc.parallelize(open_list, n).map(_parse).collect()
+            return [e for chunk in chunks for e in chunk]
+
+        out = []
+        for path, m_spec in open_list:
+            out.extend(_manifest_live_entries(
+                self._read_bytes(path), m_spec, _info_for(m_spec)))
         return out
 
     def data_files(self, snapshot_id: int | None = None) -> list[DataFileInfo]:

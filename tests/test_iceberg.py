@@ -1686,3 +1686,54 @@ def test_expire_retains_branch_ancestor_chain(spark, tmp_path):
     # the retained chain keeps the publish step working
     assert t.fast_forward("main", "audit") == head
     assert t.read().count() == 3
+
+
+def test_distributed_scan_planning_matches_driver(spark, tmp_path):
+    """planning='distributed' (verdict-r7 #3): manifest parsing runs
+    as a Spark job — same entries, same order, same read results and
+    metadata tables as the driver-side loop, on a many-manifest table
+    with partition pruning, schema evolution and a delete in play."""
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "distplan")
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}", float(i)) for i in range(40)],
+        "k long, cat string, v double")
+    t = IcebergTable(spark, loc)
+    IcebergTable.create(spark, loc, df.schema, partition_cols=["cat"])
+    for i in range(6):  # 6 commits -> 6 manifests carried forward
+        t.append_dataframe(df.filter((F.col("k") % 6) == i))
+    t.rename_column("v", "val")
+    t.delete_equality(spark.createDataFrame([(3,)], "k long"))
+
+    d = IcebergTable(spark, loc, planning="distributed")
+    # entry-level parity (the contract everything else rides on)
+    ents_drv = t._entries()
+    ents_dst = d._entries()
+    key = lambda e: (e["info"].path, e["content"], e["sequence_number"])
+    assert [key(e) for e in ents_drv] == [key(e) for e in ents_dst]
+    assert [e["info"].partition for e in ents_drv] == \
+           [e["info"].partition for e in ents_dst]
+    # pruned planning parity (field-id space: cat is field 2)
+    cat_id = next(f["id"] for f in t._ice_schema_for(None)["fields"]
+                  if f["name"] == "cat")
+    p_drv = t._entries(prune_parts=[(cat_id, "=", "s1")])
+    p_dst = d._entries(prune_parts=[(cat_id, "=", "s1")])
+    assert [key(e) for e in p_drv] == [key(e) for e in p_dst]
+    # end-to-end: reads and metadata tables agree
+    assert sorted(map(tuple, d.read().collect())) == \
+           sorted(map(tuple, t.read().collect()))
+    assert (d.inspect("files").count() == t.inspect("files").count()
+            and d.inspect("files").count() > 5)
+    # single-manifest tables skip the job (driver loop, same results)
+    loc2 = str(tmp_path / "one")
+    t2 = IcebergTable.create(spark, loc2, df.schema)
+    t2.append_dataframe(df.limit(4))
+    d2 = IcebergTable(spark, loc2, planning="distributed")
+    assert d2.read().count() == 4
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="planning"):
+        IcebergTable(spark, loc, planning="magic")
