@@ -721,6 +721,15 @@ def _manifest_live_entries(raw: bytes, spec_id: int,
     return out
 
 
+class _NoCommit(Exception):
+    """Raised by a _retry_metadata mutate closure to return a result
+    WITHOUT committing a new metadata version (no-op short-circuit)."""
+
+    def __init__(self, result):
+        super().__init__("no commit")
+        self.result = result
+
+
 def _is_exists_error(ex: BaseException) -> bool:
     """Classify a Hadoop ``fs.create(path, overwrite=False)`` failure:
     True only for the already-exists collision (the optimistic-
@@ -1096,7 +1105,7 @@ class IcebergTable:
         metadata layer is rebuilt). After ``max_attempts`` losses the
         race error propagates."""
         last_err = None
-        for _ in range(max_attempts):
+        for attempt in range(max_attempts):
             try:
                 return self._commit_files_once(
                     files, content=content, equality_ids=equality_ids,
@@ -1106,6 +1115,11 @@ class IcebergTable:
                 if "concurrent commit" not in str(ex):
                     raise
                 last_err = ex
+                # linear backoff de-synchronizes contending committers
+                # (Iceberg's commit.retry.*-wait-ms analog) — without
+                # it N fast metadata writers can livelock through all
+                # attempts re-colliding in the same window
+                time.sleep(0.02 * attempt)
         raise last_err
 
     def _commit_files_once(self, files: list[DataFileInfo], *,
@@ -2000,31 +2014,61 @@ class IcebergTable:
         return _residual(df.drop("_data_seq"))
 
     # -- schema evolution ------------------------------------------------
+    def _retry_metadata(self, mutate, max_attempts: int = 4):
+        """OPTIMISTIC-CONCURRENCY loop for metadata-only commits
+        (schema / spec / ref changes) — each attempt re-reads FRESH
+        metadata and RE-APPLIES *mutate* before the CAS, so a losing
+        racer never commits content built from a stale base (which
+        would silently erase the winner's changes). Only the
+        exists-collision retries; validation errors and real IO
+        failures propagate on the first attempt. ``mutate`` may raise
+        ``_NoCommit(result)`` to return without writing a metadata
+        version (already-satisfied no-ops)."""
+        last = None
+        for attempt in range(max_attempts):
+            md = self.metadata()
+            try:
+                result = mutate(md)
+            except _NoCommit as nc:
+                return nc.result
+            try:
+                self._commit_metadata(md)
+                return result
+            except RuntimeError as ex:
+                if "concurrent commit" not in str(ex):
+                    raise
+                last = ex
+                time.sleep(0.02 * attempt)  # see _commit_files
+        raise last
+
     def add_column(self, name: str, dtype: T.DataType) -> int:
         """Add an optional column (spec "Schema Evolution"): a fresh
         field-id from last-column-id, a new schema entry, and the
         current-schema-id flips — data files never rewrite; readers
         null-fill. Returns the new schema-id."""
-        md = self.metadata()
-        cur = next(s for s in md["schemas"]
-                   if s["schema-id"] == md["current-schema-id"])
-        if any(f["name"] == name for f in cur["fields"]):
-            raise ValueError(f"column {name} already exists")
-        t = _SPARK_TO_ICEBERG.get(dtype)
-        if t is None:
-            raise TypeError(f"no iceberg primitive for {dtype.simpleString()}")
-        new_id = md["last-column-id"] + 1
-        new_schema_id = max(s["schema-id"] for s in md["schemas"]) + 1
-        md["schemas"].append({
-            "type": "struct", "schema-id": new_schema_id,
-            "fields": cur["fields"] + [
-                {"id": new_id, "name": name, "required": False, "type": t}],
-        })
-        md["current-schema-id"] = new_schema_id
-        md["last-column-id"] = new_id
-        md["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(md)
-        return new_schema_id
+        def mutate(md):
+            cur = next(s for s in md["schemas"]
+                       if s["schema-id"] == md["current-schema-id"])
+            if any(f["name"] == name for f in cur["fields"]):
+                raise ValueError(f"column {name} already exists")
+            t = _SPARK_TO_ICEBERG.get(dtype)
+            if t is None:
+                raise TypeError(
+                    f"no iceberg primitive for {dtype.simpleString()}")
+            new_id = md["last-column-id"] + 1
+            new_schema_id = max(s["schema-id"] for s in md["schemas"]) + 1
+            md["schemas"].append({
+                "type": "struct", "schema-id": new_schema_id,
+                "fields": cur["fields"] + [
+                    {"id": new_id, "name": name, "required": False,
+                     "type": t}],
+            })
+            md["current-schema-id"] = new_schema_id
+            md["last-column-id"] = new_id
+            md["last-updated-ms"] = int(time.time() * 1000)
+            return new_schema_id
+
+        return self._retry_metadata(mutate)
 
     # -- references: branches, tags, write-audit-publish ----------------
     def refs(self) -> dict:
@@ -2039,41 +2083,45 @@ class IcebergTable:
         head). Branch commits move ONLY the ref — main and the
         snapshot log never see them until fast_forward — which is the
         isolation the write-audit-publish pattern needs."""
-        md = self.metadata()
-        refs = md.setdefault("refs", {})
-        if name in refs:
-            raise ValueError(f"reference {name!r} already exists")
-        head = (md["current-snapshot-id"] if from_snapshot_id is None
-                else from_snapshot_id)
-        refs[name] = {"snapshot-id": head, "type": "branch"}
-        md["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(md)
-        return head
+        def mutate(md):
+            refs = md.setdefault("refs", {})
+            if name in refs:
+                raise ValueError(f"reference {name!r} already exists")
+            head = (md["current-snapshot-id"] if from_snapshot_id is None
+                    else from_snapshot_id)
+            refs[name] = {"snapshot-id": head, "type": "branch"}
+            md["last-updated-ms"] = int(time.time() * 1000)
+            return head
+
+        return self._retry_metadata(mutate)
 
     def create_tag(self, name: str,
                    snapshot_id: int | None = None) -> int:
         """An immutable named pointer (release pinning / audit marks);
         expire_snapshots retains tagged snapshots."""
-        md = self.metadata()
-        refs = md.setdefault("refs", {})
-        if name in refs:
-            raise ValueError(f"reference {name!r} already exists")
-        head = (md["current-snapshot-id"] if snapshot_id is None
-                else snapshot_id)
-        if not any(s["snapshot-id"] == head for s in md["snapshots"]):
-            raise ValueError(f"snapshot {head} not in table history")
-        refs[name] = {"snapshot-id": head, "type": "tag"}
-        md["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(md)
-        return head
+        def mutate(md):
+            refs = md.setdefault("refs", {})
+            if name in refs:
+                raise ValueError(f"reference {name!r} already exists")
+            head = (md["current-snapshot-id"] if snapshot_id is None
+                    else snapshot_id)
+            if not any(s["snapshot-id"] == head
+                       for s in md["snapshots"]):
+                raise ValueError(f"snapshot {head} not in table history")
+            refs[name] = {"snapshot-id": head, "type": "tag"}
+            md["last-updated-ms"] = int(time.time() * 1000)
+            return head
+
+        return self._retry_metadata(mutate)
 
     def drop_ref(self, name: str) -> None:
         if name == "main":
             raise ValueError("cannot drop main")
-        md = self.metadata()
-        md.get("refs", {}).pop(name, None)
-        md["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(md)
+        def mutate(md):
+            md.get("refs", {}).pop(name, None)
+            md["last-updated-ms"] = int(time.time() * 1000)
+
+        self._retry_metadata(mutate)
 
     def ref_snapshot(self, name: str) -> int:
         refs = self.metadata().get("refs", {})
@@ -2092,54 +2140,60 @@ class IcebergTable:
         to readers atomically with this one metadata commit — the
         table-format form of publish.py's stage -> audit ->
         merge-rename."""
-        md = self.metadata()
-        refs = md.setdefault("refs", {})
-        src = self.ref_snapshot(from_ref)
-        dst = (md["current-snapshot-id"] if to_branch == "main"
-               and to_branch not in refs
-               else refs.get(to_branch, {}).get("snapshot-id", -1))
-        if src == dst:
+        def mutate(md):
+            refs = md.setdefault("refs", {})
+            if from_ref == "main" and from_ref not in refs:
+                src = md["current-snapshot-id"]
+            elif from_ref in refs:
+                src = refs[from_ref]["snapshot-id"]
+            else:
+                raise ValueError(f"unknown reference {from_ref!r}")
+            dst = (md["current-snapshot-id"] if to_branch == "main"
+                   and to_branch not in refs
+                   else refs.get(to_branch, {}).get("snapshot-id", -1))
+            if src == dst:
+                raise _NoCommit(src)
+            # ancestry walk from source back to target
+            snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+            node, ok, indeterminate = src, False, False
+            while True:
+                if node == dst:
+                    ok = True
+                    break
+                rec = snaps.get(node)
+                if rec is None or "parent-snapshot-id" not in rec:
+                    # expired intermediate, or a record written before
+                    # parent pointers existed — chain indeterminate
+                    indeterminate = True
+                    break
+                node = rec["parent-snapshot-id"]
+                if node is None:
+                    ok = dst == -1
+                    break
+            if not ok and indeterminate:
+                # fallback ordering for upgraded/expired histories:
+                # the target head must have BEEN a main head
+                # (snapshot-log) and precede the source in commit
+                # order (sequence numbers are table-global, monotone)
+                logged = {e["snapshot-id"]
+                          for e in md.get("snapshot-log", [])}
+                s_seq = snaps.get(src, {}).get("sequence-number", 0)
+                d_seq = snaps.get(dst, {}).get("sequence-number", 0)
+                ok = dst == -1 or (dst in logged and d_seq <= s_seq)
+            if not ok:
+                raise ValueError(
+                    f"{to_branch!r} head {dst} is not an ancestor of "
+                    f"{from_ref!r} head {src} — not a fast-forward")
+            now = int(time.time() * 1000)
+            refs[to_branch] = {"snapshot-id": src, "type": "branch"}
+            if to_branch == "main":
+                md["current-snapshot-id"] = src
+                md["snapshot-log"].append(
+                    {"timestamp-ms": now, "snapshot-id": src})
+            md["last-updated-ms"] = now
             return src
-        # ancestry walk from source back to target
-        snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
-        node, ok, indeterminate = src, False, False
-        while True:
-            if node == dst:
-                ok = True
-                break
-            rec = snaps.get(node)
-            if rec is None or "parent-snapshot-id" not in rec:
-                # expired intermediate, or a record written before
-                # parent pointers existed — chain indeterminate
-                indeterminate = True
-                break
-            node = rec["parent-snapshot-id"]
-            if node is None:
-                ok = dst == -1
-                break
-        if not ok and indeterminate:
-            # fallback ordering for upgraded/expired histories: the
-            # target head must have BEEN a main head (snapshot-log)
-            # and precede the source in commit order (sequence
-            # numbers are table-global and monotone)
-            logged = {e["snapshot-id"]
-                      for e in md.get("snapshot-log", [])}
-            s_seq = snaps.get(src, {}).get("sequence-number", 0)
-            d_seq = snaps.get(dst, {}).get("sequence-number", 0)
-            ok = dst == -1 or (dst in logged and d_seq <= s_seq)
-        if not ok:
-            raise ValueError(
-                f"{to_branch!r} head {dst} is not an ancestor of "
-                f"{from_ref!r} head {src} — not a fast-forward")
-        now = int(time.time() * 1000)
-        refs[to_branch] = {"snapshot-id": src, "type": "branch"}
-        if to_branch == "main":
-            md["current-snapshot-id"] = src
-            md["snapshot-log"].append(
-                {"timestamp-ms": now, "snapshot-id": src})
-        md["last-updated-ms"] = now
-        self._commit_metadata(md)
-        return src
+
+        return self._retry_metadata(mutate)
 
     def rollback_to(self, snapshot_id: int) -> int:
         """ManageSnapshots.rollbackTo: point main back at an EXISTING
@@ -2148,20 +2202,21 @@ class IcebergTable:
         reaches them) until expire_snapshots ages them out. The
         rollback itself lands in the snapshot log, so the operational
         record shows the table went back."""
-        md = self.metadata()
-        if not any(s["snapshot-id"] == snapshot_id
-                   for s in md["snapshots"]):
-            raise ValueError(
-                f"snapshot {snapshot_id} not in table history")
-        now = int(time.time() * 1000)
-        md["current-snapshot-id"] = snapshot_id
-        md.setdefault("refs", {})["main"] = {
-            "snapshot-id": snapshot_id, "type": "branch"}
-        md["snapshot-log"].append(
-            {"timestamp-ms": now, "snapshot-id": snapshot_id})
-        md["last-updated-ms"] = now
-        self._commit_metadata(md)
-        return snapshot_id
+        def mutate(md):
+            if not any(s["snapshot-id"] == snapshot_id
+                       for s in md["snapshots"]):
+                raise ValueError(
+                    f"snapshot {snapshot_id} not in table history")
+            now = int(time.time() * 1000)
+            md["current-snapshot-id"] = snapshot_id
+            md.setdefault("refs", {})["main"] = {
+                "snapshot-id": snapshot_id, "type": "branch"}
+            md["snapshot-log"].append(
+                {"timestamp-ms": now, "snapshot-id": snapshot_id})
+            md["last-updated-ms"] = now
+            return snapshot_id
+
+        return self._retry_metadata(mutate)
 
     def update_partition_spec(self, partition_spec: list[tuple]) -> int:
         """PARTITION EVOLUTION (spec "Partition Evolution" — the
@@ -2178,22 +2233,24 @@ class IcebergTable:
         under the default spec). Returns the new spec-id. Same
         transform grammar as create(); an empty list makes the table
         effectively unpartitioned for FUTURE writes."""
-        md = self.metadata()
-        cur = next(s for s in md["schemas"]
-                   if s["schema-id"] == md["current-schema-id"])
-        first_id = md.get("last-partition-id", 999) + 1
-        fields = _build_spec_fields(cur["fields"],
-                                    list(partition_spec or []), first_id)
-        new_id = max(s["spec-id"] for s in md["partition-specs"]) + 1
-        md["partition-specs"].append({"spec-id": new_id,
-                                      "fields": fields})
-        md["default-spec-id"] = new_id
-        md["last-partition-id"] = (first_id + len(fields) - 1
-                                   if fields else md.get(
-                                       "last-partition-id", 999))
-        md["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(md)
-        return new_id
+        def mutate(md):
+            cur = next(s for s in md["schemas"]
+                       if s["schema-id"] == md["current-schema-id"])
+            first_id = md.get("last-partition-id", 999) + 1
+            fields = _build_spec_fields(cur["fields"],
+                                        list(partition_spec or []),
+                                        first_id)
+            new_id = max(s["spec-id"] for s in md["partition-specs"]) + 1
+            md["partition-specs"].append({"spec-id": new_id,
+                                          "fields": fields})
+            md["default-spec-id"] = new_id
+            md["last-partition-id"] = (first_id + len(fields) - 1
+                                       if fields else md.get(
+                                           "last-partition-id", 999))
+            md["last-updated-ms"] = int(time.time() * 1000)
+            return new_id
+
+        return self._retry_metadata(mutate)
 
     def rename_column(self, old: str, new: str) -> int:
         """Rename a column (spec "Schema Evolution"): the field keeps
@@ -2201,24 +2258,25 @@ class IcebergTable:
         no data file rewrites. Reads resolve columns by the embedded
         parquet field-ids, so files written before the rename serve
         the new name transparently. Returns the new schema-id."""
-        md = self.metadata()
-        cur = next(s for s in md["schemas"]
-                   if s["schema-id"] == md["current-schema-id"])
-        if not any(f["name"] == old for f in cur["fields"]):
-            raise ValueError(f"no column {old}")
-        if any(f["name"] == new for f in cur["fields"]):
-            raise ValueError(f"column {new} already exists")
-        new_schema_id = max(s["schema-id"] for s in md["schemas"]) + 1
-        md["schemas"].append({
-            "type": "struct", "schema-id": new_schema_id,
-            "fields": [
-                {**f, "name": new} if f["name"] == old else f
-                for f in cur["fields"]],
-        })
-        md["current-schema-id"] = new_schema_id
-        md["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(md)
-        return new_schema_id
+        def mutate(md):
+            cur = next(s for s in md["schemas"]
+                       if s["schema-id"] == md["current-schema-id"])
+            if not any(f["name"] == old for f in cur["fields"]):
+                raise ValueError(f"no column {old}")
+            if any(f["name"] == new for f in cur["fields"]):
+                raise ValueError(f"column {new} already exists")
+            new_schema_id = max(s["schema-id"] for s in md["schemas"]) + 1
+            md["schemas"].append({
+                "type": "struct", "schema-id": new_schema_id,
+                "fields": [
+                    {**f, "name": new} if f["name"] == old else f
+                    for f in cur["fields"]],
+            })
+            md["current-schema-id"] = new_schema_id
+            md["last-updated-ms"] = int(time.time() * 1000)
+            return new_schema_id
+
+        return self._retry_metadata(mutate)
 
     def drop_column(self, name: str) -> int:
         """Drop a column (spec "Schema Evolution"): the field leaves
@@ -2228,43 +2286,47 @@ class IcebergTable:
         field can never leak back in. No data rewrites; time-travel
         reads of earlier snapshots still see the column. Returns the
         new schema-id."""
-        md = self.metadata()
-        cur = next(s for s in md["schemas"]
-                   if s["schema-id"] == md["current-schema-id"])
-        if not any(f["name"] == name for f in cur["fields"]):
-            raise ValueError(f"no column {name}")
-        if len(cur["fields"]) == 1:
-            raise ValueError("cannot drop the last column")
-        # A pending equality delete references its columns BY FIELD-ID;
-        # dropping one would leave unreadable delete entries (the id no
-        # longer maps to a name in the current schema). Compact first —
-        # rewrite_data_files materializes the deletes and drops their
-        # manifests.
-        fid = next(f["id"] for f in cur["fields"] if f["name"] == name)
-        # The spec forbids dropping a partition-spec source column —
-        # doing so would make every spec resolution KeyError forever
-        # (the metadata commit is durable). rename is the safe verb.
-        for spec in md["partition-specs"]:
-            if any(pf["source-id"] == fid for pf in spec["fields"]):
-                raise ValueError(
-                    f"column {name} (field-id {fid}) is a partition-"
-                    "spec source column and cannot be dropped")
-        if md["current-snapshot-id"] != -1:
-            for e in self._entries():
-                if e["content"] == 2 and fid in (e["equality_ids"] or ()):
+        def mutate(md):
+            cur = next(s for s in md["schemas"]
+                       if s["schema-id"] == md["current-schema-id"])
+            if not any(f["name"] == name for f in cur["fields"]):
+                raise ValueError(f"no column {name}")
+            if len(cur["fields"]) == 1:
+                raise ValueError("cannot drop the last column")
+            # A pending equality delete references its columns BY
+            # FIELD-ID; dropping one would leave unreadable delete
+            # entries (the id no longer maps to a name in the current
+            # schema). Compact first — rewrite_data_files materializes
+            # the deletes and drops their manifests.
+            fid = next(f["id"] for f in cur["fields"]
+                       if f["name"] == name)
+            # The spec forbids dropping a partition-spec source column
+            # — doing so would make every spec resolution KeyError
+            # forever (the metadata commit is durable). rename is the
+            # safe verb.
+            for spec in md["partition-specs"]:
+                if any(pf["source-id"] == fid for pf in spec["fields"]):
                     raise ValueError(
-                        f"column {name} (field-id {fid}) is referenced by "
-                        "a pending equality-delete file; run "
-                        "rewrite_data_files() first")
-        new_schema_id = max(s["schema-id"] for s in md["schemas"]) + 1
-        md["schemas"].append({
-            "type": "struct", "schema-id": new_schema_id,
-            "fields": [f for f in cur["fields"] if f["name"] != name],
-        })
-        md["current-schema-id"] = new_schema_id
-        md["last-updated-ms"] = int(time.time() * 1000)
-        self._commit_metadata(md)
-        return new_schema_id
+                        f"column {name} (field-id {fid}) is a partition-"
+                        "spec source column and cannot be dropped")
+            if md["current-snapshot-id"] != -1:
+                for e in self._entries(md=md):
+                    if (e["content"] == 2
+                            and fid in (e["equality_ids"] or ())):
+                        raise ValueError(
+                            f"column {name} (field-id {fid}) is "
+                            "referenced by a pending equality-delete "
+                            "file; run rewrite_data_files() first")
+            new_schema_id = max(s["schema-id"] for s in md["schemas"]) + 1
+            md["schemas"].append({
+                "type": "struct", "schema-id": new_schema_id,
+                "fields": [f for f in cur["fields"] if f["name"] != name],
+            })
+            md["current-schema-id"] = new_schema_id
+            md["last-updated-ms"] = int(time.time() * 1000)
+            return new_schema_id
+
+        return self._retry_metadata(mutate)
 
     # -- row-level deletes -----------------------------------------------
     def delete_equality(self, keys: DataFrame) -> int:

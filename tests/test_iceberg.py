@@ -1737,3 +1737,95 @@ def test_distributed_scan_planning_matches_driver(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="planning"):
         IcebergTable(spark, loc, planning="magic")
+
+
+def test_four_writer_mixed_commit_stress(spark, tmp_path):
+    """N=4 concurrent writers, MIXED operations (verdict-r7 #6): two
+    appenders, one equality-deleter, one schema-evolver race through
+    the CAS+retry paths on one table. Asserts a LINEARIZABLE history:
+    every snapshot sits exactly once on main's parent chain with
+    strictly-increasing sequence numbers, no append/delete/evolve is
+    lost, and the final read equals the serial result (the deleter
+    only touches pre-seeded keys, so content is order-independent)."""
+    import threading
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "race4")
+    seed = spark.createDataFrame([(i, "seed") for i in range(10)],
+                                 "k long, s string")
+    t = IcebergTable.create(spark, loc, seed.schema)
+    t.append_dataframe(seed)
+    errs = []
+
+    def appender(base):
+        def run():
+            try:
+                h = IcebergTable(spark, loc)
+                for i in range(5):
+                    h.append_dataframe(spark.createDataFrame(
+                        [(base + 2 * i, f"w{base}"),
+                         (base + 2 * i + 1, f"w{base}")],
+                        "k long, s string"))
+            except Exception as e:
+                errs.append(e)
+        return run
+
+    def deleter():
+        try:
+            h = IcebergTable(spark, loc)
+            for k in (0, 2, 4, 6, 8):
+                h.delete_equality(
+                    spark.createDataFrame([(k,)], "k long"))
+        except Exception as e:
+            errs.append(e)
+
+    def evolver():
+        try:
+            h = IcebergTable(spark, loc)
+            for i in range(3):
+                h.add_column(f"extra{i}", T.LongType())
+        except Exception as e:
+            errs.append(e)
+
+    th = [threading.Thread(target=f) for f in
+          (appender(100), appender(200), deleter, evolver)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+
+    # content: all appended keys + the 5 surviving seeds, extras null
+    rows = t.read().collect()
+    got = sorted(r.k for r in rows)
+    assert got == sorted([1, 3, 5, 7, 9]
+                         + list(range(100, 110)) + list(range(200, 210)))
+    assert all(r.extra0 is None for r in rows)
+
+    # schema: all three adds landed with unique schema-ids
+    md = t.metadata()
+    cur = next(s for s in md["schemas"]
+               if s["schema-id"] == md["current-schema-id"])
+    names = {f["name"] for f in cur["fields"]}
+    assert {"extra0", "extra1", "extra2"} <= names
+    sids = [s["schema-id"] for s in md["schemas"]]
+    assert len(set(sids)) == len(sids)
+
+    # linearizable snapshot history: 1 seed + 10 appends + 5 deletes,
+    # unique seqs, and main's parent chain covers every snapshot
+    # exactly once with strictly decreasing sequence numbers
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+    assert len(snaps) == 16
+    seqs = [s["sequence-number"] for s in snaps.values()]
+    assert sorted(seqs) == list(range(1, 17))
+    chain = []
+    node = md["current-snapshot-id"]
+    while node is not None:
+        chain.append(node)
+        node = snaps[node]["parent-snapshot-id"]
+    assert len(chain) == 16 and set(chain) == set(snaps)
+    chain_seqs = [snaps[n]["sequence-number"] for n in chain]
+    assert chain_seqs == sorted(chain_seqs, reverse=True)
