@@ -6600,8 +6600,7 @@ def streaming_dropdup_parity(spark, sf_dir):
     "rest_datasource_pull",
     """
     SELECT event_id, user_id, event_type, round(value, 4) AS value,
-           CAST((row_number() OVER (ORDER BY event_id) - 1) // 500 AS INT)
-             AS page
+           CAST(event_id // 500 AS INT) AS page
     FROM events
     """,
 )
@@ -6616,16 +6615,17 @@ def rest_datasource_pull(spark, sf_dir):
     QueryBasedSource LWM/HWM loop) is exercised in
     tests/test_datasource.py.
 
-    Fixture is executor-distributed: page assignment (inherently
-    sequential — it IS the API's pagination) is a window row_number,
-    but each page FILE is written by the executor holding that group
-    via applyInPandas — no driver-side collect, so the fixture scales
-    with the cluster instead of serializing the feed on the driver."""
+    Fixture is executor-distributed AND window-free: page assignment
+    uses KEYSET pagination (event_id ranges — the scale-correct API
+    paging pattern; offset paging was the one remaining global
+    row_number outside the two documented production escape hatches,
+    verdict-r7 #8), and each page FILE is written by the executor
+    holding that group via applyInPandas — no driver-side collect, no
+    SinglePartition exchange, so the fixture scales with the cluster
+    instead of serializing the feed on the driver."""
     import json as _json
     import os as _os
     import tempfile
-
-    from pyspark.sql import Window
 
     from gobblin_spark.sources import datasource as DS
 
@@ -6633,9 +6633,7 @@ def rest_datasource_pull(spark, sf_dir):
         "event_id", "user_id", "event_type", "value")
     tmp = tempfile.mkdtemp(prefix="gobblin_restds_")
     paged = ev.withColumn(
-        "page",
-        ((F.row_number().over(Window.orderBy("event_id")) - 1) / 500)
-        .cast("int"))
+        "page", F.floor(F.col("event_id") / 500).cast("int"))
 
     def _write_page(pdf):
         pdf = pdf.sort_values("event_id")
