@@ -93,21 +93,14 @@ def documents_as_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     return attach_binary_metadata(lifted)
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, str]:
-    """Deterministic fake decoder: derives pseudo-dimensions + feature
-    hash from the payload digest. Stable across runs/machines."""
-    d = hashlib.sha256(payload or b"").digest()
-    width = 64 + d[0] % 192
-    height = 64 + d[1] % 192
-    return width, height, d.hex()[:16]
-
-
 def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode/feature-extract stage as Arrow-batched mapInPandas.
 
-    BMP (24-bit BI_RGB), PPM (P6), PNG (truecolor RGB8), and baseline
-    JPEG (grayscale / 4:4:4 / 4:2:0, routed by the stream's own SOF)
-    payloads are REALLY decoded with the pure-Python codecs below —
+    BMP (24-bit BI_RGB), PPM (P6), PNG (truecolor RGB8), GIF87a/89a
+    (grayscale LZW), TIFF 6.0 (grayscale, none/LZW), and JPEG
+    (baseline grayscale / 4:4:4 / 4:2:0 plus progressive SOF2, routed
+    by the stream's own SOF) payloads are REALLY decoded with the
+    pure-Python codecs below —
     width/height from the container header, feature_hash = sha256 of
     the raw channel sums. Formats that need a native library
     (MP3/video: ffmpeg, not in this container) raise
@@ -156,7 +149,7 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     sr = sg = sb = s
             else:
                 raise NotImplementedError(
-                    "only BMP/PPM/PNG/baseline-JPEG decode ships "
+                    "only BMP/PPM/PNG/GIF/TIFF/JPEG decode ships "
                     "pure-Python; MP3/video need ffmpeg (not "
                     "installed) — pass fake=True for the "
                     "deterministic stub"
@@ -198,15 +191,17 @@ def repartition_by_bytes(
     target_bytes_per_partition: int = 128 << 20,
     total_bytes: int | None = None,
 ) -> DataFrame:
-    """Size the partition COUNT from total payload bytes and hash-spread
-    rows across it.
+    """Size the partition COUNT from total payload bytes and
+    round-robin rows across it (``repartition(n)`` with no columns is
+    RoundRobinPartitioning — even row counts per partition, with
+    Spark's determinism sort; identical rows do NOT co-locate).
 
     Pass ``total_bytes`` (e.g. summed from the file inventory that fed
     the read — ``list_files`` returns sizes) to keep the plan lazy; if
     omitted, one eager ``sum(byte_len)`` job runs and the upstream plan
     is computed twice — acceptable only right after a scan, never
-    mid-pipeline. Hashing on the full row spreads blobs uniformly in
-    EXPECTATION; exact byte-balanced bin-packing is not attempted (it
+    mid-pipeline. Even ROW counts approximate even BYTES only in
+    expectation; exact byte-balanced bin-packing is not attempted (it
     would serialize planning on the driver). At read time prefer sizing
     via ``spark.sql.files.maxPartitionBytes`` instead.
     """
@@ -364,22 +359,18 @@ def decode_wav_features(df: DataFrame) -> DataFrame:
     value-for-value."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io as _io
-        import struct as _struct
-        import wave as _wave
+        from gobblin_spark.functions.multimodal import decode_wav_pcm16
 
         for pdf in batches:
             out = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                with _wave.open(_io.BytesIO(payload), "rb") as w:
-                    rate = w.getframerate()
-                    nch = w.getnchannels()
-                    nfr = w.getnframes()
-                    raw = w.readframes(nfr)
-                vals = _struct.unpack(f"<{nfr * nch}h", raw)
+                # the module codec carries the sampwidth guard — a
+                # PCM8/float WAV raises a clean NotImplementedError
+                # instead of an opaque struct.error (audit r8)
+                rate, nch, nfr, s, sa = decode_wav_pcm16(bytes(payload))
                 out.append(
                     (int(mid), rate, nch, nfr, nfr * 1000 // rate,
-                     sum(vals), sum(abs(v) for v in vals)))
+                     s, sa))
             yield pd.DataFrame(
                 out, columns=["media_id", "sample_rate", "n_channels",
                               "n_samples", "duration_ms", "sum_amp",
@@ -439,6 +430,10 @@ def decode_bmp24(payload: bytes) -> tuple[int, int, int, int, int]:
         raise NotImplementedError("only 24-bit BI_RGB supported")
     h = abs(h_signed)
     stride = (w * 3 + 3) & ~3
+    if len(payload) < off + stride * h - ((-(w * 3)) % 4):
+        # a short slice would SILENTLY sum a partial raster — corrupt
+        # data must fail loudly, not flow on with plausible sums
+        raise ValueError("BMP raster truncated")
     sr = sg = sb = 0
     for y in range(h):
         base = off + y * stride
@@ -517,6 +512,8 @@ def decode_ppm_p6(payload: bytes) -> tuple[int, int, int, int, int]:
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
     raster = payload[pos:pos + w * h * 3]
+    if len(raster) < w * h * 3:
+        raise ValueError("PPM raster truncated")
     return w, h, sum(raster[0::3]), sum(raster[1::3]), sum(raster[2::3])
 
 
@@ -777,6 +774,42 @@ class _JpegBitWriter:
         self.buf += bytes([0xFF, 0xD0 + (m % 8)])
 
 
+def _jpeg_put_block(bw, prev_dc, ci, block, C, dc_codes, ac_codes):
+    """Entropy-code ONE 8x8 block — forward DCT, zigzag-quantized ints
+    (flat-1 quant tables), DC delta, AC ZRL/EOB run-length — the
+    emission loop SHARED by the gray / 4:4:4 / 4:2:0 baseline encoders
+    (it was triplicated pre-r8; a category or restart fix must land
+    once). ``prev_dc`` is the mutable per-component DC predictor
+    list."""
+    coef = C @ block @ C.T
+    flat = coef.reshape(64)
+    q = [int(round(flat[_JPEG_ZIGZAG[i]])) for i in range(64)]
+    cat, bits = _jpeg_category(q[0] - prev_dc[ci])
+    prev_dc[ci] = q[0]
+    code, ln = dc_codes[cat]
+    bw.put(code, ln)
+    if cat:
+        bw.put(bits, cat)
+    last_nz = max((i for i in range(1, 64) if q[i]), default=0)
+    run = 0
+    for i in range(1, last_nz + 1):
+        if q[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.put(code, ln)
+            run -= 16
+        cat, bits = _jpeg_category(q[i])
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.put(code, ln)
+        bw.put(bits, cat)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.put(code, ln)
+
+
 def encode_jpeg_gray(pixels, w: int, h: int) -> bytes:
     """Baseline grayscale JFIF from a row-major 0..255 pixel sequence;
     non-multiple-of-8 dims pad by edge replication (cropped on decode)."""
@@ -803,37 +836,13 @@ def encode_jpeg_gray(pixels, w: int, h: int) -> bytes:
     out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
     out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     bw = _JpegBitWriter()
-    prev_dc = 0
+    prev_dc = [0]
     for by in range(bh_blocks):
         for bx in range(bw_blocks):
-            block = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
-            coef = C @ block @ C.T
-            flat = coef.reshape(64)
-            q = [int(round(flat[_JPEG_ZIGZAG[i]])) for i in range(64)]
-            cat, bits = _jpeg_category(q[0] - prev_dc)
-            prev_dc = q[0]
-            code, ln = dc_codes[cat]
-            bw.put(code, ln)
-            if cat:
-                bw.put(bits, cat)
-            last_nz = max((i for i in range(1, 64) if q[i]), default=0)
-            run = 0
-            for i in range(1, last_nz + 1):
-                if q[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.put(code, ln)
-                    run -= 16
-                cat, bits = _jpeg_category(q[i])
-                code, ln = ac_codes[(run << 4) | cat]
-                bw.put(code, ln)
-                bw.put(bits, cat)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.put(code, ln)
+            _jpeg_put_block(
+                bw, prev_dc, 0,
+                padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8],
+                C, dc_codes, ac_codes)
     out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)
@@ -1144,6 +1153,14 @@ def _decode_jpeg_planes(payload: bytes):
             ns = data[0]
             if ns != len(comps):
                 raise NotImplementedError("only single interleaved scan")
+            if ns == 1:
+                # T.81 A.2.2: a SINGLE-component scan is non-
+                # interleaved — the MCU is one data unit and the grid
+                # is ceil(w/8) x ceil(h/8) regardless of the SOF
+                # sampling factors (e.g. jpegtran -grayscale keeps
+                # Y's 2x2 factors; shaping the grid with them would
+                # over-read the stream into the EOI marker)
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             for _, hi, vi, _ in comps:
@@ -1413,33 +1430,7 @@ def encode_jpeg_color(rgb, w: int, h: int,
     prev_dc = [0, 0, 0]
 
     def put_block(ci, block):
-        coef = C @ block @ C.T
-        flat = coef.reshape(64)
-        q = [int(round(flat[_JPEG_ZIGZAG[i]])) for i in range(64)]
-        cat, bits = _jpeg_category(q[0] - prev_dc[ci])
-        prev_dc[ci] = q[0]
-        code, ln = dc_codes[cat]
-        bw.put(code, ln)
-        if cat:
-            bw.put(bits, cat)
-        last_nz = max((i for i in range(1, 64) if q[i]), default=0)
-        run = 0
-        for i in range(1, last_nz + 1):
-            if q[i] == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[0xF0]
-                bw.put(code, ln)
-                run -= 16
-            cat, bits = _jpeg_category(q[i])
-            code, ln = ac_codes[(run << 4) | cat]
-            bw.put(code, ln)
-            bw.put(bits, cat)
-            run = 0
-        if last_nz < 63:
-            code, ln = ac_codes[0x00]
-            bw.put(code, ln)
+        _jpeg_put_block(bw, prev_dc, ci, block, C, dc_codes, ac_codes)
 
     mcu_n = 0
     for by in range(bh_blocks):
@@ -1563,37 +1554,9 @@ def encode_jpeg_color_420(rgb, w: int, h: int) -> bytes:
     out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     bw = _JpegBitWriter()
     prev_dc = [0, 0, 0]
-    dc_ac = (dc_codes, ac_codes)
 
     def put_block(ci, block):
-        dc_c, ac_c = dc_ac
-        coef = C @ block @ C.T
-        flat = coef.reshape(64)
-        q = [int(round(flat[_JPEG_ZIGZAG[i]])) for i in range(64)]
-        cat, bits = _jpeg_category(q[0] - prev_dc[ci])
-        prev_dc[ci] = q[0]
-        code, ln = dc_c[cat]
-        bw.put(code, ln)
-        if cat:
-            bw.put(bits, cat)
-        last_nz = max((i for i in range(1, 64) if q[i]), default=0)
-        run = 0
-        for i in range(1, last_nz + 1):
-            if q[i] == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_c[0xF0]
-                bw.put(code, ln)
-                run -= 16
-            cat, bits = _jpeg_category(q[i])
-            code, ln = ac_c[(run << 4) | cat]
-            bw.put(code, ln)
-            bw.put(bits, cat)
-            run = 0
-        if last_nz < 63:
-            code, ln = ac_c[0x00]
-            bw.put(code, ln)
+        _jpeg_put_block(bw, prev_dc, ci, block, C, dc_codes, ac_codes)
 
     for my in range(h // 16):
         for mx in range(w // 16):
@@ -2180,6 +2143,8 @@ def decode_wav_spectral(df: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 with _wave.open(_io.BytesIO(bytes(payload)), "rb") as w:
                     nfr, nch = w.getnframes(), w.getnchannels()
+                    if w.getsampwidth() != 2:
+                        raise NotImplementedError("only PCM16 supported")
                     raw = w.readframes(nfr)
                 x = np.array(_struct.unpack(f"<{nfr * nch}h", raw),
                              dtype=np.float64)
@@ -2292,17 +2257,19 @@ def decode_tiff_gray(payload: bytes) -> tuple[int, int, int]:
     for i in range(n):
         tag, typ, count, raw = struct.unpack_from(
             "<HHI4s", payload, ifd_off + 2 + i * 12)
-        if count == 1:
-            val = struct.unpack("<I" if typ == 4 else "<H2x" if typ == 3
-                                else "<I", raw)[0]
-            tags[tag] = [val]
+        sz = 2 if typ == 3 else 1 if typ in (1, 2) else 4
+        fmt = "<H" if typ == 3 else "<B" if typ in (1, 2) else "<I"
+        if sz * count <= 4:
+            # TIFF 6.0 p.15: a value whose total size fits in 4 bytes
+            # lives INLINE in the value field (left-justified) — e.g.
+            # StripByteCounts as SHORT count=2; dereferencing it as an
+            # offset would read garbage strip lengths (audit r8)
+            tags[tag] = [struct.unpack_from(fmt, raw, j * sz)[0]
+                         for j in range(count)]
         else:
-            sz = 2 if typ == 3 else 4
             (off,) = struct.unpack("<I", raw)
-            tags[tag] = [
-                struct.unpack_from("<H" if typ == 3 else "<I",
-                                   payload, off + j * sz)[0]
-                for j in range(count)]
+            tags[tag] = [struct.unpack_from(fmt, payload, off + j * sz)[0]
+                         for j in range(count)]
     w, h = tags[256][0], tags[257][0]
     if tags.get(258, [8])[0] != 8 or tags.get(277, [1])[0] != 1:
         raise NotImplementedError("only 8-bit single-sample TIFF")

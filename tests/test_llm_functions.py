@@ -1399,3 +1399,85 @@ def test_tiff_codec_both_compressions_and_gates():
         multimodal.decode_tiff_gray(b"MM\x00*" + base[4:])
     with _pytest.raises(ValueError):
         multimodal.decode_tiff_gray(b"NOTATIFF")
+
+
+def test_jpeg_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2.2 (audit r8): a SINGLE-component scan is
+    non-interleaved — the grid is ceil(w/8) x ceil(h/8) regardless of
+    SOF sampling factors. jpegtran -grayscale keeps Y's 2x2 factors;
+    the decode must equal the 1x1 file, not over-read into EOI."""
+    import numpy as np
+
+    from gobblin_spark.functions.multimodal import (
+        _decode_jpeg_planes, encode_jpeg_gray)
+
+    rng = np.random.RandomState(7)
+    for w, h in [(16, 16), (24, 8), (19, 13)]:
+        px = rng.randint(0, 256, size=(h, w)).astype(float)
+        payload = bytearray(encode_jpeg_gray(px, w, h))
+        i = payload.index(b"\xff\xc0")
+        assert payload[i + 11] == 0x11  # cid at +10, samp at +11
+        ref = _decode_jpeg_planes(bytes(payload))
+        payload[i + 11] = 0x22  # claim 2x2 sampling on the lone comp
+        w2, h2, planes2 = _decode_jpeg_planes(bytes(payload))
+        assert (w2, h2) == (ref[0], ref[1])
+        assert np.array_equal(planes2[0], ref[2][0])
+
+
+def test_tiff_inline_tag_values():
+    """TIFF 6.0 (audit r8): tag values whose total size fits in 4
+    bytes are stored INLINE in the value field — e.g. StripByteCounts
+    as SHORT count=2 — not behind an offset."""
+    import struct
+
+    from gobblin_spark.functions.multimodal import (
+        decode_tiff_gray, encode_tiff_gray_pattern)
+
+    # build a two-strip uncompressed file with SHORT count=2 inline
+    # StripOffsets impossible (LONG needed) but StripByteCounts inline
+    w, h = 6, 4
+    pix = bytes((3 * x + 7 * y) % 256 for y in range(h) for x in range(w))
+    half = w * (h // 2)
+    strips = [pix[:half], pix[half:]]
+
+    def entry(tag, typ, count, value_bytes):
+        return struct.pack("<HHI", tag, typ, count) + value_bytes
+
+    n_entries = 9
+    ifd_off = 8
+    data_off = ifd_off + 2 + n_entries * 12 + 4
+    ifd = struct.pack("<H", n_entries)
+    lv = lambda v: struct.pack("<I", v)
+    sv2 = lambda a, b: struct.pack("<HH", a, b)  # two SHORTs inline
+    ifd += entry(256, 4, 1, lv(w))
+    ifd += entry(257, 4, 1, lv(h))
+    ifd += entry(258, 3, 1, struct.pack("<H2x", 8))
+    ifd += entry(259, 3, 1, struct.pack("<H2x", 1))
+    ifd += entry(262, 3, 1, struct.pack("<H2x", 1))
+    ifd += entry(273, 3, 2, sv2(data_off, data_off + half))  # SHORT offsets!
+    ifd += entry(277, 3, 1, struct.pack("<H2x", 1))
+    ifd += entry(278, 4, 1, lv(h // 2))
+    ifd += entry(279, 3, 2, sv2(len(strips[0]), len(strips[1])))
+    ifd += struct.pack("<I", 0)
+    payload = b"II*\x00" + struct.pack("<I", ifd_off) + ifd + b"".join(strips)
+    assert decode_tiff_gray(payload) == (w, h, sum(pix))
+    # the module's own encoder still round-trips (offset-stored LONGs)
+    p2 = encode_tiff_gray_pattern(5)
+    assert decode_tiff_gray(p2)[0] > 0
+
+
+def test_decoders_reject_truncated_rasters():
+    """Audit r8: silently-wrong sums from short payloads are worse
+    than errors — BMP and PPM now validate raster length like TIFF."""
+    import pytest as _pytest
+
+    from gobblin_spark.functions.multimodal import (
+        decode_bmp24, decode_ppm_p6, encode_bmp24)
+
+    bmp = encode_bmp24(9)
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_bmp24(bmp[:-5])
+    ppm = b"P6\n4 4\n255\n" + bytes(range(48))
+    assert decode_ppm_p6(ppm)[0] == 4
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_ppm_p6(ppm[:-1])
