@@ -42,6 +42,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 from typing import Iterator, Tuple
 
 from pyspark.sql.datasource import (
@@ -285,10 +286,18 @@ def write_pages(df_rows: list[dict], path: str, page_size: int,
     return n
 
 
-class _PageCommit(WriterCommitMessage):
+class _TaskFilesCommit(WriterCommitMessage):
+    """The one commit-message shape every file-staging writer here
+    uses: the task's produced files + its row count (was triplicated
+    as _PageCommit/_SqlCommit/_IcebergCommit, audit r8)."""
+
     def __init__(self, files: list[str], rows: int):
         self.files = files
         self.rows = rows
+
+
+# connector-local aliases keep call sites self-describing
+_PageCommit = _TaskFilesCommit
 
 
 class _RestWriter(DataSourceWriter):
@@ -372,37 +381,62 @@ class _RestWriter(DataSourceWriter):
                 n += 1
             total += m.rows
         staging = os.path.join(self.path, "_staging")
-        if os.path.isdir(staging):
+        try:
             # losing speculative attempts of THIS job leave staged
             # files no commit message names — sweep by job token, and
-            # only by job token (a concurrent job's staging survives)
+            # only by job token (a concurrent job's staging survives).
+            # try/except: a concurrent job can rmdir the emptied dir
+            # between our isdir/listdir calls (audit r8)
             for f in os.listdir(staging):
                 if f.startswith(f"task-{self.job_token}-"):
                     os.remove(os.path.join(staging, f))
             if not os.listdir(staging):
                 os.rmdir(staging)
+        except OSError:
+            pass
         manifest = os.path.join(self.path, "_DELIVERED")
-        if not self.overwrite and os.path.exists(manifest):
-            # Append mode: the manifest covers the WHOLE directory, so
-            # fold in the counts of prior jobs instead of clobbering.
-            with open(manifest) as fh:
-                prev = json.load(fh)
-            total += prev.get("rows", 0)
-            n += prev.get("files", 0)
-        with open(manifest, "w") as fh:
-            json.dump({"rows": total, "files": n}, fh)
+        # the append-mode fold-in is a read-modify-write: two
+        # concurrent jobs would each read the same prior counts and
+        # the loser's write erases the winner's delta (audit r8) — an
+        # O_EXCL lock file serializes just this tiny section
+        lock = manifest + ".lock"
+        fd = None
+        for _ in range(500):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                time.sleep(0.01)
+        if fd is None:
+            raise RuntimeError(f"manifest lock stuck at {lock}")
+        try:
+            if not self.overwrite and os.path.exists(manifest):
+                # Append mode: the manifest covers the WHOLE
+                # directory, so fold in the counts of prior jobs
+                # instead of clobbering.
+                with open(manifest) as fh:
+                    prev = json.load(fh)
+                total += prev.get("rows", 0)
+                n += prev.get("files", 0)
+            with open(manifest, "w") as fh:
+                json.dump({"rows": total, "files": n}, fh)
+        finally:
+            os.close(fd)
+            os.remove(lock)
 
     def abort(self, messages) -> None:
         # token-scoped: a failed job must not delete a CONCURRENT
         # job's staged files from the shared _staging dir (that is
         # the isolation job_token exists for)
         staging = os.path.join(self.path, "_staging")
-        if os.path.isdir(staging):
+        try:
             for f in os.listdir(staging):
                 if f.startswith(f"task-{self.job_token}-"):
                     os.remove(os.path.join(staging, f))
             if not os.listdir(staging):
                 os.rmdir(staging)
+        except OSError:
+            pass
 
 
 # ----------------------------------------------------------------------
@@ -411,6 +445,18 @@ class _RestWriter(DataSourceWriter):
 # ----------------------------------------------------------------------
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _duck_connect(db: str, read_only: bool = False):
+    """DuckDB connection with the session TimeZone pinned UTC — only
+    Spark's side is pinned by get_spark, and an unpinned DuckDB
+    converts TIMESTAMPTZ->TIMESTAMP casts through the HOST timezone,
+    shifting every instant on a non-UTC machine (audit r8)."""
+    import duckdb
+
+    con = duckdb.connect(db, read_only=read_only)
+    con.execute("SET TimeZone='UTC'")
+    return con
 
 
 def _sql_ident(name: str) -> str:
@@ -434,6 +480,11 @@ def _sql_literal(v) -> str:
                 else "CAST('-Infinity' AS DOUBLE)")
     if isinstance(v, (int, float)):
         return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        # str(bytes) would compile to a "b'..'" VARCHAR literal and —
+        # because the filter is consumed by pushdown — silently return
+        # wrong rows (audit r8); hex escapes are unambiguous
+        return "'" + "".join(f"\\x{b:02X}" for b in v) + "'::BLOB"
     s = str(v).replace("'", "''")
     return f"'{s}'"
 
@@ -534,7 +585,7 @@ class _SqlReader(DataSourceReader):
         if not hasattr(self, "_present_memo"):
             import duckdb
 
-            con = duckdb.connect(self.db, read_only=True)
+            con = _duck_connect(self.db, read_only=True)
             try:
                 self._present_memo = {r[0].lower() for r in con.execute(
                     f"DESCRIBE {self.table}").fetchall()}
@@ -610,7 +661,7 @@ class _SqlReader(DataSourceReader):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         target = to_arrow_schema(self.schema_)
-        con = duckdb.connect(self.db, read_only=True)
+        con = _duck_connect(self.db, read_only=True)
         try:
             reader = con.execute(
                 f"SELECT {cols} FROM {self.table}{where}"
@@ -643,7 +694,7 @@ class GobblinSqlDataSource(DataSource):
     def schema(self):
         import duckdb
 
-        con = duckdb.connect(self.options["database"], read_only=True)
+        con = _duck_connect(self.options["database"], read_only=True)
         try:
             rows = con.execute(
                 f"DESCRIBE {_sql_ident(self.options['table'])}").fetchall()
@@ -655,6 +706,7 @@ class GobblinSqlDataSource(DataSource):
             "VARCHAR": "string", "BOOLEAN": "boolean", "DATE": "date",
             "TIMESTAMP": "timestamp_ntz", "BLOB": "binary",
             "HUGEINT": "decimal(38,0)",
+            "TIMESTAMP WITH TIME ZONE": "timestamp",
         }
         fields = []
         for name, typ, *_ in rows:
@@ -675,10 +727,7 @@ class GobblinSqlDataSource(DataSource):
         return _SqlStreamReader(self.options, schema)
 
 
-class _SqlCommit(WriterCommitMessage):
-    def __init__(self, files: list[str], rows: int):
-        self.files = files
-        self.rows = rows
+_SqlCommit = _TaskFilesCommit
 
 
 class _SqlWriter(DataSourceWriter):
@@ -747,7 +796,7 @@ class _SqlWriter(DataSourceWriter):
         import duckdb
 
         files = [f for m in messages if m is not None for f in m.files]
-        con = duckdb.connect(self.db)
+        con = _duck_connect(self.db)
         try:
             con.execute("BEGIN")
             if files:
@@ -808,8 +857,15 @@ class _RestStreamWriter(DataSourceStreamWriter):
     epoch is ever visible."""
 
     def __init__(self, options, schema: StructType):
+        import uuid
+
         self.path = options["path"]
         self.schema_ = schema
+        # per-QUERY token: the staging dir is shared, and an unscoped
+        # sweep would delete a concurrent query's (or a zombie
+        # predecessor's successor's) staged-but-uncommitted batch —
+        # the same isolation _RestWriter's job_token provides
+        self.query_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _PageCommit:
         from pyspark import TaskContext
@@ -820,7 +876,9 @@ class _RestStreamWriter(DataSourceStreamWriter):
         os.makedirs(staging, exist_ok=True)
         names = [f.name for f in self.schema_.fields]
         rows = 0
-        fname = os.path.join(staging, f"task-{task:05d}-{os.getpid()}.json")
+        fname = os.path.join(
+            staging,
+            f"task-{self.query_token}-{task:05d}-{os.getpid()}.json")
         with open(fname, "w") as fh:
             for row in iterator:
                 fh.write(json.dumps(dict(zip(names, row)), default=str) + "\n")
@@ -868,6 +926,8 @@ class _RestStreamWriter(DataSourceStreamWriter):
         if not os.path.isdir(staging):
             return
         for f in os.listdir(staging):
+            if not f.startswith(f"task-{self.query_token}-"):
+                continue  # a concurrent query's staging survives
             try:
                 os.remove(os.path.join(staging, f))
             except OSError:
@@ -900,7 +960,7 @@ class _SqlStreamReader(SimpleDataSourceStreamReader):
         import duckdb
 
         cols = _select_cast_list(self.schema_)
-        con = duckdb.connect(self.db, read_only=True)
+        con = _duck_connect(self.db, read_only=True)
         try:
             return con.execute(
                 f"SELECT {cols} FROM {self.table} "
@@ -912,13 +972,21 @@ class _SqlStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         import duckdb
 
-        con = duckdb.connect(self.db, read_only=True)
+        con = _duck_connect(self.db, read_only=True)
         try:
             mx = con.execute(
                 f"SELECT max({self.pc}) FROM {self.table}").fetchone()[0]
         finally:
             con.close()
-        hi = (int(mx) + 1) if mx is not None else start["wm"]
+        if mx is not None and (isinstance(mx, bool)
+                               or not isinstance(mx, int)):
+            # int(5.7)+1 = 6 would advance the watermark PAST the
+            # still-growing 5.9 — rows in the truncated gap would be
+            # skipped forever (audit r8); timestamps would crash
+            raise NotImplementedError(
+                "streaming pulls need an integer-typed "
+                f"partition_column; {self.pc} yielded {type(mx).__name__}")
+        hi = (mx + 1) if mx is not None else start["wm"]
         hi = max(hi, start["wm"])
         return iter(self._pull(start["wm"], hi)), {"wm": hi}
 
@@ -1062,7 +1130,7 @@ class _IcebergReader(DataSourceReader):
             spec = next(s for s in md["partition-specs"]
                         if s["spec-id"] == spec_id)
             out = []
-            for pf in spec["fields"]:
+            for pos, pf in enumerate(spec["fields"]):
                 kind, param = I._parse_transform(pf["transform"])
                 src = by_id.get(pf["source-id"])
                 if src is None:
@@ -1072,6 +1140,13 @@ class _IcebergReader(DataSourceReader):
                     "param": param, "source_id": pf["source-id"],
                     "source_name": src["name"],
                     "source_type": src["type"],
+                    # position in the FULL spec: the manifest's
+                    # field_summary list is spec-ordered, so indexing
+                    # it by the filtered list's enumerate() would read
+                    # a NEIGHBOR's bounds once a source column was
+                    # dropped — and wrongly prune matching manifests
+                    # (audit r8)
+                    "pos": pos,
                     "result_type": ("int" if kind == "bucket"
                                     or kind in I._TEMPORAL_TRANSFORMS
                                     else src["type"]),
@@ -1087,6 +1162,7 @@ class _IcebergReader(DataSourceReader):
         # not the plan snapshot's write-time schema
         cur_ice = next(s for s in md["schemas"]
                        if s["schema-id"] == md["current-schema-id"])
+        cur_name_by_id = {f["id"]: f["name"] for f in cur_ice["fields"]}
         col_ids = ({f["name"]: f["id"] for f in cur_ice["fields"]}
                    if I.IcebergTable(None, self.location)
                    ._needs_id_resolution(md) else None)
@@ -1096,7 +1172,8 @@ class _IcebergReader(DataSourceReader):
             if not sums or not preds:
                 return False
             for psid, op, value in preds:
-                for i, si in enumerate(info):
+                for si in info:
+                    i = si["pos"]
                     if si["source_id"] != psid or i >= len(sums):
                         continue
                     proj = I._project_pred(si, op, value)
@@ -1219,10 +1296,15 @@ class _IcebergReader(DataSourceReader):
                             segs[k] = v
                     for fid in ids:
                         fld = by_id[fid]
+                        # attach under the CURRENT schema's name — the
+                        # target names read() resolves are current, so
+                        # a renamed partition column keyed by its
+                        # write-time name would null-fill (audit r8)
+                        tgt = cur_name_by_id.get(fid, fld["name"])
                         for n in hist_names.get(fid, ()):
                             if n in segs:
                                 attach.append(
-                                    (fld["name"],
+                                    (tgt,
                                      I._parse_partition_value(
                                          segs[n], fld["type"])))
                                 break
@@ -1310,10 +1392,7 @@ class GobblinIcebergDataSource(DataSource):
         return _IcebergStreamWriter(self.options, schema)
 
 
-class _IcebergCommit(WriterCommitMessage):
-    def __init__(self, files: list[str], rows: int):
-        self.files = files
-        self.rows = rows
+_IcebergCommit = _TaskFilesCommit
 
 
 class _IcebergWriter(DataSourceWriter):
@@ -1495,6 +1574,39 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
         snap = max(eligible, key=lambda s: s.get("sequence-number", 0))
         with open(_ice_local(snap["manifest-list"]), "rb") as fh:
             _, manifests = ACF.read_container(fh.read())
+        # identity-partition lookup across ALL specs: partitionBy
+        # drops the source column from the data files, so streamed
+        # rows must re-attach values from the hive path like the
+        # batch reader — an unpartitioned-only _rows would emit NULL
+        # for every partition column (audit r8). Keyed by historical
+        # dir name -> (current column name, ice type).
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        cur_by_id = {f["id"]: f for f in cur["fields"]}
+        hist: dict[str, tuple] = {}
+        for s_ in md["schemas"]:
+            for f_ in s_["fields"]:
+                c = cur_by_id.get(f_["id"])
+                if c is not None:
+                    hist[f_["name"]] = (f_["id"], c["name"], c["type"])
+        ident_ids = {pf["source-id"]
+                     for sp in md.get("partition-specs", [])
+                     for pf in sp["fields"]
+                     if pf["transform"] == "identity"}
+
+        def _attach(path: str):
+            out = []
+            rel = path.rsplit("/data/", 1)[-1]
+            for seg in rel.split("/"):
+                if "=" not in seg:
+                    continue
+                k, v = seg.split("=", 1)
+                ent = hist.get(k)
+                if ent and ent[0] in ident_ids:
+                    out.append((ent[1], I._parse_partition_value(
+                        v, ent[2])))
+            return tuple(out)
+
         out = []
         for m in manifests:
             if m.get("content", 0) != 0:
@@ -1512,9 +1624,15 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
                 if d.get("content", 0) != 0:
                     raise NotImplementedError(
                         "streaming read over delete-carrying tables")
-                seq = e.get("sequence_number") or 0
+                seq = e.get("sequence_number")
+                if seq is None:
+                    # Iceberg sequence-number INHERITANCE: a null
+                    # entry seq inherits the manifest's (field 515) —
+                    # coercing to 0 would park genuine-Iceberg rows
+                    # outside every window forever (audit r8)
+                    seq = m.get("sequence_number") or 0
                 if lo < seq <= hi:
-                    out.append(d["file_path"])
+                    out.append((d["file_path"], _attach(d["file_path"])))
         return sorted(set(out))
 
     def _rows(self, lo: int, hi: int) -> Iterator[Tuple]:
@@ -1529,15 +1647,16 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
             cur = next(s for s in md["schemas"]
                        if s["schema-id"] == md["current-schema-id"])
             col_ids = {f["name"]: f["id"] for f in cur["fields"]}
-        for path in self._entries_between(lo, hi):
+        for path, attach in self._entries_between(lo, hi):
             tbl = pq.read_table(_ice_local(path))
             stored = _ice_file_cols(tbl.schema, col_ids, path)
+            att = dict(attach)
             cols = {}
             for n in names:
                 fn = stored.get(n)
                 cols[n] = (tbl.column(fn).to_pylist()
                            if fn in tbl.schema.names
-                           else [None] * tbl.num_rows)
+                           else [att.get(n)] * tbl.num_rows)
             for i in range(tbl.num_rows):
                 yield tuple(cols[n][i] for n in names)
 

@@ -832,3 +832,158 @@ def test_iceberg_dsv2_read_resolves_renames_by_field_id(spark, tmp_path):
         .option("path", loc).load().schema)
     rows = list(sr.readBetweenOffsets({"seq": 0}, {"seq": 1}))
     assert sorted(r[2] for r in rows) == [float(i) for i in range(8)]
+
+
+def test_iceberg_stream_attaches_identity_partition_values(spark, tmp_path):
+    """Audit r8: partitionBy drops identity partition columns from the
+    data files; the STREAM reader must re-attach them from the hive
+    path like the batch reader — previously every partition column
+    streamed as NULL."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(i)) for i in range(12)],
+        "k long, cat string, v double")
+    loc = str(tmp_path / "icestreampart")
+    t = IcebergTable.create(spark, loc, df.schema, partition_cols=["cat"])
+    t.append_dataframe(df)
+    sr = DS._IcebergStreamReader({"path": loc}, df.schema)
+    rows = list(sr.readBetweenOffsets({"seq": 0}, {"seq": 1}))
+    assert len(rows) == 12
+    cats = {r[1] for r in rows}
+    assert cats == {"s0", "s1", "s2"}
+    assert all(r[1] == f"s{r[0] % 3}" for r in rows)
+
+
+def test_iceberg_renamed_partition_column_attaches(spark, tmp_path):
+    """Audit r8: identity attach keys by the CURRENT schema name — a
+    renamed partition column used to read back all-NULL before the
+    next data commit."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    df = spark.createDataFrame([(i, f"s{i % 2}") for i in range(8)],
+                               "k long, cat string")
+    loc = str(tmp_path / "icerenpart")
+    t = IcebergTable.create(spark, loc, df.schema, partition_cols=["cat"])
+    t.append_dataframe(df)
+    t.rename_column("cat", "category")
+    out = (spark.read.format("gobblin_iceberg").option("path", loc)
+           .load().collect())
+    assert sorted((r.k, r.category) for r in out) == \
+        [(i, f"s{i % 2}") for i in range(8)]
+    # streaming face attaches under the new name too
+    sch = (spark.read.format("gobblin_iceberg").option("path", loc)
+           .load().schema)
+    rows = list(DS._IcebergStreamReader({"path": loc}, sch)
+                .readBetweenOffsets({"seq": 0}, {"seq": 1}))
+    assert sorted(r[1] for r in rows) == sorted(
+        f"s{i % 2}" for i in range(8))
+
+
+def test_sql_blob_filter_pushdown_exact(spark, tmp_path):
+    """Audit r8: bytes filter values compile to hex-escaped BLOB
+    literals — str(bytes) compiled to a \"b'..'\" VARCHAR literal and,
+    because pushdown consumes the filter, silently returned wrong
+    rows."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    db = str(tmp_path / "blob.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t (k BIGINT, payload BLOB)")
+    con.execute(
+        "INSERT INTO t VALUES (1, '\\x00ab'::BLOB), (2, 'zz'::BLOB)")
+    con.close()
+    df = (spark.read.format("gobblin_sql")
+          .option("database", db).option("table", "t")
+          .option("partition_column", "k")
+          .option("lower_bound", "0").option("upper_bound", "10")
+          .option("num_partitions", "2").load())
+    got = df.filter(F.col("payload") == F.lit(b"\x00ab")).collect()
+    assert [r.k for r in got] == [1]
+
+
+def test_sql_stream_rejects_noninteger_watermark(spark, tmp_path):
+    """Audit r8: a DOUBLE partition_column would have its watermark
+    truncated (rows in the gap skipped forever) — the stream reader
+    now refuses non-integer watermark types up front."""
+    import duckdb
+    import pytest as _pytest
+
+    from gobblin_spark.sources import datasource as DS
+
+    db = str(tmp_path / "wm.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t (pc DOUBLE, v BIGINT)")
+    con.execute("INSERT INTO t VALUES (5.7, 1)")
+    con.close()
+    sr = DS._SqlStreamReader(
+        {"database": db, "table": "t", "partition_column": "pc"},
+        spark.createDataFrame([(1.0, 1)], "pc double, v long").schema)
+    with _pytest.raises(NotImplementedError, match="integer-typed"):
+        sr.read({"wm": 0})
+
+
+def test_rest_stream_sweep_is_query_scoped(tmp_path):
+    """Audit r8: the epoch-staging sweep deletes only THIS query's
+    staged files — an unscoped sweep destroyed a concurrent query's
+    staged-but-uncommitted batch."""
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from gobblin_spark.sources.datasource import _RestStreamWriter
+
+    path = str(tmp_path / "feed")
+    a = _RestStreamWriter({"path": path}, StructType([]))
+    b = _RestStreamWriter({"path": path}, StructType([]))
+    staging = os.path.join(path, "_epoch_staging")
+    os.makedirs(staging)
+    fa = os.path.join(staging, f"task-{a.query_token}-00000-1.json")
+    fb = os.path.join(staging, f"task-{b.query_token}-00000-1.json")
+    open(fa, "w").write("{}")
+    open(fb, "w").write("{}")
+    a._sweep_staging()
+    assert not os.path.exists(fa) and os.path.exists(fb)
+
+
+def test_rest_writer_manifest_fold_is_locked(tmp_path):
+    """Audit r8: concurrent append jobs fold their counts into
+    _DELIVERED under a lock — the unguarded read-modify-write lost
+    the loser's delta."""
+    import json
+    import os
+    import threading
+
+    from pyspark.sql.types import StructType
+
+    from gobblin_spark.sources.datasource import (
+        _RestWriter, _TaskFilesCommit)
+
+    path = str(tmp_path / "out")
+    os.makedirs(path)
+    errs = []
+
+    def job(rows):
+        try:
+            w = _RestWriter(path, StructType([]), 100)
+            for _ in range(20):
+                w.commit([_TaskFilesCommit([], rows)])
+        except Exception as e:
+            errs.append(e)
+
+    th = [threading.Thread(target=job, args=(r,)) for r in (1, 10)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    with open(os.path.join(path, "_DELIVERED")) as fh:
+        m = json.load(fh)
+    assert m["rows"] == 20 * 1 + 20 * 10
