@@ -436,6 +436,10 @@ def _iceberg_temporal(value, ice_type: str, kind: str):
         value = (_dt.date.fromisoformat(value) if ice_type == "date"
                  else _dt.datetime.fromisoformat(value))
     if isinstance(value, _dt.datetime):
+        if value.tzinfo is not None:
+            # instants project through their UTC calendar fields —
+            # matching the write-side UTC ordinals (audit r8)
+            value = value.astimezone(_dt.timezone.utc)
         d, hh = value.date(), value.hour
     elif isinstance(value, _dt.date):
         if kind == "hour":
@@ -909,6 +913,8 @@ class IcebergTable:
         v = (base if base is not None else self._version()) + 1
         path = f"{self.location}/metadata/v{v}.metadata.json"
         if self.spark is None:
+            os.makedirs(os.path.dirname(self._local(path)),
+                        exist_ok=True)
             try:
                 with open(self._local(path), "xb") as fh:  # O_EXCL
                     fh.write(json.dumps(md, indent=2).encode())
@@ -1054,9 +1060,16 @@ class IcebergTable:
             # same anchor the read path uses — so a 'col=value'
             # segment in the table LOCATION can neither satisfy this
             # guard nor be seen by reads (they must agree)
-            _fsv, _pv, _ = self._fs(f"{self.location}/data")
-            data_prefix = (_fsv.makeQualified(_pv).toString().rstrip("/")
-                           + "/")
+            if self.spark is None:
+                # sessionless local mode: no JVM to qualify the path —
+                # the rsplit('/data/') fallback below anchors the same
+                # way reads do (audit r8: this used to crash with
+                # AttributeError on partitioned tables)
+                data_prefix = f"{self.location}/data/"
+            else:
+                _fsv, _pv, _ = self._fs(f"{self.location}/data")
+                data_prefix = (_fsv.makeQualified(_pv).toString()
+                               .rstrip("/") + "/")
             for f in files:
                 rel = (f.path[len(data_prefix):]
                        if f.path.startswith(data_prefix)
@@ -1258,7 +1271,23 @@ class IcebergTable:
                 {"timestamp-ms": now, "snapshot-id": snap_id})
         md["last-sequence-number"] = seq
         md["last-updated-ms"] = now
-        self._commit_metadata(md)
+        try:
+            self._commit_metadata(md)
+        except RuntimeError:
+            # a lost CAS re-plans and writes FRESH manifest + list
+            # files — reclaim this attempt's two, or metadata/ grows
+            # one orphan pair per lost race forever (audit r8;
+            # remove_orphan_files sweeps only data/)
+            for p in (mlist_path, manifest_path):
+                try:
+                    if self.spark is None:
+                        os.remove(self._local(p))
+                    else:
+                        fs, jp, _ = self._fs(p)
+                        fs.delete(jp, False)
+                except Exception:
+                    pass
+            raise
         return snap_id
 
     def append_dataframe(self, df: DataFrame,
@@ -1324,9 +1353,14 @@ class IcebergTable:
 
         names = []
         for si in self._spec_info(md):
-            names.append(si["field_name"])
             if si["transform"] == "identity":
+                # partitionBy the CURRENT source column name — the
+                # frozen spec-field name breaks append/rewrite after
+                # rename_column (audit r8; reads already resolve any
+                # historical dir name via hist_names)
+                names.append(si["source_name"])
                 continue
+            names.append(si["field_name"])
             src, t_ice = si["source_name"], si["source_type"]
             if si["transform"] == "truncate":
                 w = si["param"]
@@ -1338,16 +1372,35 @@ class IcebergTable:
                                "int" if t_ice == "int" else "long")
                 df = df.withColumn(si["field_name"], col)
             elif si["transform"] in _TEMPORAL_TRANSFORMS:
-                # epoch ordinals, all JVM-side codegen; day*24+hour
-                # avoids tz-dependent unix_timestamp on NTZ sources
                 epoch = F.lit("1970-01-01").cast("date")
-                d = F.col(src).cast("date")
-                col = {
-                    "year": F.year(d) - 1970,
-                    "month": (F.year(d) - 1970) * 12 + F.month(d) - 1,
-                    "day": F.datediff(d, epoch),
-                    "hour": F.datediff(d, epoch) * 24 + F.hour(F.col(src)),
-                }[si["transform"]]
+                if t_ice == "timestamptz":
+                    # INSTANT source: ordinals are defined in UTC
+                    # (Iceberg spec; every engine agrees) — session-tz
+                    # casts would shift them and break pruning under a
+                    # non-UTC session (audit r8). Epoch math is
+                    # tz-independent; the UTC calendar date comes from
+                    # the day ordinal.
+                    secs = F.col(src).cast("long")
+                    days = F.floor(secs / 86400).cast("int")
+                    d = F.date_add(epoch, days)
+                    col = {
+                        "year": F.year(d) - 1970,
+                        "month": (F.year(d) - 1970) * 12
+                        + F.month(d) - 1,
+                        "day": days,
+                        "hour": F.floor(secs / 3600),
+                    }[si["transform"]]
+                else:
+                    # NTZ/date sources: wall-clock fields, no tz at all
+                    d = F.col(src).cast("date")
+                    col = {
+                        "year": F.year(d) - 1970,
+                        "month": (F.year(d) - 1970) * 12
+                        + F.month(d) - 1,
+                        "day": F.datediff(d, epoch),
+                        "hour": F.datediff(d, epoch) * 24
+                        + F.hour(F.col(src)),
+                    }[si["transform"]]
                 df = df.withColumn(si["field_name"], col.cast("int"))
             else:  # bucket
                 n = si["param"]
@@ -1598,8 +1651,16 @@ class IcebergTable:
 
         cur = self._ice_schema_for(None)
         name_to_field = {f["name"]: f for f in cur["fields"]}
-        spec_cols = {n: (t, fid)
-                     for n, t, fid in self._partition_spec_cols()}
+        spec_cols = {}
+        for si in self._spec_info():
+            spec_cols[si["field_name"]] = (si["result_type"],
+                                           si["source_id"])
+            if si["transform"] == "identity":
+                # identity dirs are written under the CURRENT source
+                # name (which a rename can move off the frozen spec
+                # field name) — accept both (audit r8)
+                spec_cols[si["source_name"]] = (si["result_type"],
+                                                si["source_id"])
         fs, base, _ = self._fs(sub)
         sub_local = base.toUri().getPath().rstrip("/")
         files: list[DataFileInfo] = []
@@ -1732,7 +1793,7 @@ class IcebergTable:
             # a branch created on an empty table keeps head -1, which
             # _entries already maps to "no files" — NOT to main's data
             snapshot_id = self.ref_snapshot(ref)
-        md_r = self.metadata() if self._version() else None
+        md_r = self.metadata()  # raises FileNotFoundError: no table
         specs_by_id: dict[int, list] = {}
 
         def _spec(spec_id: int) -> list[dict]:
@@ -1744,7 +1805,7 @@ class IcebergTable:
         # means each manifest/file projects them through its OWN spec
         # (_entries for summaries, _may_match per file)
         prune_parts = None
-        if prune_filters and md_r and any(
+        if prune_filters and any(
                 s["fields"] for s in md_r["partition-specs"]):
             by_name = {f["name"]: f for f in self._ice_schema_for(
                 snapshot_id, md_r)["fields"]}
@@ -1758,8 +1819,7 @@ class IcebergTable:
         data = [e for e in entries if e["content"] == 0]
         dels_pos = [e for e in entries if e["content"] == 1]
         dels_eq = [e for e in entries if e["content"] == 2]
-        st = (self._schema_for(snapshot_id, md_r)
-              if md_r else T.StructType([]))
+        st = self._schema_for(snapshot_id, md_r)
         # Column resolution is BY FIELD-ID (the spec's projection rule)
         # exactly when the schema history demands it — some id was
         # renamed or dropped, so name matching would be wrong. The conf
@@ -1846,11 +1906,29 @@ class IcebergTable:
         self.last_scan = {"files_total": n_total,
                           "files_scanned": len(data)}
 
+        ntz_cols = {f.name for f in st.fields
+                    if isinstance(f.dataType, T.TimestampNTZType)}
+
         def _residual(df):
+            import datetime as _dt
+
             ops = {"=": "==", "==": "==", "<": "<", "<=": "<=",
                    ">": ">", ">=": ">="}
             for col, op, value in residual:
                 c = F.col(col)
+                if col in ntz_cols and isinstance(value, _dt.datetime):
+                    # PySpark converts datetime literals through the
+                    # PROCESS timezone while NTZ coercion uses the
+                    # SESSION timezone — when they differ the residual
+                    # silently shifts (audit r8). A wall-clock string
+                    # cast is timezone-independent; aware values
+                    # compare through their UTC wall clock, matching
+                    # the projection rule in _iceberg_temporal.
+                    if value.tzinfo is not None:
+                        value = value.astimezone(
+                            _dt.timezone.utc).replace(tzinfo=None)
+                    value = F.lit(value.isoformat(sep=" ")).cast(
+                        "timestamp_ntz")
                 df = df.filter({
                     "==": c == value, "<": c < value, "<=": c <= value,
                     ">": c > value, ">=": c >= value}[ops[op]])
@@ -2089,6 +2167,12 @@ class IcebergTable:
                 raise ValueError(f"reference {name!r} already exists")
             head = (md["current-snapshot-id"] if from_snapshot_id is None
                     else from_snapshot_id)
+            if head != -1 and not any(
+                    s["snapshot-id"] == head for s in md["snapshots"]):
+                # a typo'd id would commit a durably-bogus ref that
+                # only crashes (StopIteration) at read time (audit r8;
+                # create_tag already validates)
+                raise ValueError(f"snapshot {head} not in table history")
             refs[name] = {"snapshot-id": head, "type": "branch"}
             md["last-updated-ms"] = int(time.time() * 1000)
             return head
@@ -2336,8 +2420,6 @@ class IcebergTable:
         equality field-ids (spec "Equality Delete Files"). O(deleted
         keys) written; no data file rewrites — the merge happens at
         read (merge-on-read v2 semantics)."""
-        import pyarrow.parquet as pq
-
         md = self.metadata()
         cur = next(s for s in md["schemas"]
                    if s["schema-id"] == md["current-schema-id"])
@@ -2405,8 +2487,6 @@ class IcebergTable:
         ``_metadata.file_path`` / ``_metadata.row_index``. Applied at
         read as an anti-join on (file, row) against data files with
         sequence number <= the delete's."""
-        import pyarrow.parquet as pq
-
         if sorted(positions.columns) != ["file_path", "pos"]:
             raise ValueError(
                 f"positions needs (file_path, pos), got {positions.columns}")
@@ -2478,7 +2558,7 @@ class IcebergTable:
                         fs.delete(jvm_path(m["manifest_path"]), False)
                 fs.delete(jvm_path(s["manifest-list"]), False)
             # metadata.json version pruning (keep the newest 5)
-            for old_v in range(max(1, v - 5), 0, -1):
+            for old_v in range(v - 5, 0, -1):
                 p = jvm_path(
                     f"{self.location}/metadata/v{old_v}.metadata.json")
                 if not fs.exists(p):
@@ -2671,8 +2751,9 @@ class IcebergTable:
         import time as _time
 
         referenced: set[str] = set()
-        for snap in self.metadata()["snapshots"]:
-            for e in self._entries(snap["snapshot-id"]):
+        md = self.metadata()  # one read; _entries(md=...) reuses it
+        for snap in md["snapshots"]:
+            for e in self._entries(snap["snapshot-id"], md=md):
                 referenced.add(e["info"].path)
         fs, base, _ = self._fs(f"{self.location}/data")
         deleted = []

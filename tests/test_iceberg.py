@@ -1829,3 +1829,162 @@ def test_four_writer_mixed_commit_stress(spark, tmp_path):
     assert len(chain) == 16 and set(chain) == set(snaps)
     chain_seqs = [snaps[n]["sequence-number"] for n in chain]
     assert chain_seqs == sorted(chain_seqs, reverse=True)
+
+
+def test_temporal_transforms_use_utc_under_any_session_tz(spark, tmp_path):
+    """Audit r8 (runtime-confirmed pre-fix): temporal partition
+    ordinals on INSTANT sources are defined in UTC; under a non-UTC
+    session the old session-tz cast disagreed with read-side
+    projection and pruning silently dropped matching rows."""
+    import datetime as dt
+
+    from gobblin_spark.sinks.iceberg import IcebergTable, _iceberg_temporal
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2024, 6, 2, 6, 30,
+                             tzinfo=dt.timezone.utc))],
+            "k long, ts timestamp")
+        loc = str(tmp_path / "tztbl")
+        t = IcebergTable.create(spark, loc, df.schema,
+                                partition_spec=[("ts", "day")])
+        t.append_dataframe(df)
+        got = t.read(prune_filters=[
+            ("ts", ">=", dt.datetime(2024, 6, 2,
+                                     tzinfo=dt.timezone.utc))]).collect()
+        assert len(got) == 1, "UTC-day row pruned away"
+        # read-side projection converts tz-aware instants to UTC
+        aware = dt.datetime(2024, 6, 2, 6, 30, tzinfo=dt.timezone(
+            dt.timedelta(hours=-7)))
+        assert _iceberg_temporal(aware, "timestamptz", "day") == \
+            (dt.date(2024, 6, 2) - dt.date(1970, 1, 1)).days
+        # NTZ columns: the residual filter must be wall-clock exact
+        # even when the session tz differs from the process tz
+        # (PySpark datetime literals convert through the process tz)
+        ntz = spark.createDataFrame(
+            [(i, dt.datetime(2024, 1, 3, h, 0))
+             for i, h in enumerate(range(24))],
+            "k long, ts timestamp_ntz")
+        loc2 = str(tmp_path / "ntztbl")
+        t2 = IcebergTable.create(spark, loc2, ntz.schema,
+                                 partition_spec=[("ts", "day")])
+        t2.append_dataframe(ntz)
+        got2 = t2.read(prune_filters=[
+            ("ts", ">=", dt.datetime(2024, 1, 3, 12, 0))]).count()
+        assert got2 == 12, got2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_append_and_rewrite_after_partition_source_rename(spark, tmp_path):
+    """Audit r8 (runtime-confirmed pre-fix): identity partition fields
+    partitionBy the CURRENT source name — renaming the source column
+    used to make every later append/rewrite fail on the frozen spec
+    name."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(i, f"g{i % 2}") for i in range(6)],
+                               "k long, grp string")
+    loc = str(tmp_path / "renpart")
+    t = IcebergTable.create(spark, loc, df.schema, partition_cols=["grp"])
+    t.append_dataframe(df)
+    t.rename_column("grp", "bucket")
+    df2 = spark.createDataFrame([(10, "g0")], "k long, bucket string")
+    t.append_dataframe(df2)
+    assert t.read().count() == 7
+    t.rewrite_data_files(target_partitions=1)
+    got = t.read().collect()
+    assert sorted(r.k for r in got) == [0, 1, 2, 3, 4, 5, 10]
+    assert all(r.bucket in ("g0", "g1") for r in got)
+
+
+def test_expire_keeps_metadata_versions_on_young_tables(spark, tmp_path):
+    """Audit r8 (runtime-confirmed pre-fix): 'keep the newest 5'
+    version pruning deleted v1.metadata.json on tables younger than 5
+    versions."""
+    import os
+    import time as _time
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    loc = str(tmp_path / "youngmeta")
+    t = IcebergTable.create(spark, loc, df.schema)   # v1
+    t.append_dataframe(df)                           # v2
+    t.expire_snapshots(int(_time.time() * 1000) + 10_000)  # v3
+    assert os.path.exists(os.path.join(loc, "metadata",
+                                       "v1.metadata.json"))
+
+
+def test_lost_cas_attempt_reclaims_manifest_files(spark, tmp_path, monkeypatch):
+    """Audit r8: a commit attempt that loses the CAS deletes the
+    manifest + manifest-list it wrote — metadata/ no longer grows one
+    orphan pair per lost race."""
+    import glob
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    loc = str(tmp_path / "leak")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df)
+    files = t.data_files()
+    before = set(glob.glob(f"{loc}/metadata/*.avro"))
+
+    def always_lose(md):
+        raise RuntimeError("concurrent commit detected: simulated")
+
+    monkeypatch.setattr(t, "_commit_metadata", always_lose)
+    with _pytest.raises(RuntimeError, match="concurrent commit"):
+        t._commit_files(files, content=0, equality_ids=None,
+                        operation="append", max_attempts=2)
+    assert set(glob.glob(f"{loc}/metadata/*.avro")) == before
+
+
+def test_sessionless_partitioned_validation_no_jvm_crash(spark, tmp_path):
+    """Audit r8: sessionless append_files on a partitioned table
+    validates via local paths instead of crashing on spark._jvm."""
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import DataFileInfo, IcebergTable
+
+    df = spark.createDataFrame([(1, "a")], "k long, grp string")
+    loc = str(tmp_path / "slpart")
+    t = IcebergTable.create(spark, loc, df.schema, partition_cols=["grp"])
+    sl = IcebergTable(None, loc)
+    bad = DataFileInfo(f"{loc}/data/not-hive/file.parquet", 10, 1,
+                       partition={"2": "a"})
+    with _pytest.raises(ValueError, match="hive"):
+        sl.append_files([bad])
+
+
+def test_create_branch_validates_snapshot(spark, tmp_path):
+    """Audit r8: create_branch rejects ids outside table history up
+    front (create_tag already did) instead of committing a bogus ref
+    that crashes reads later."""
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = IcebergTable.create(spark, str(tmp_path / "brval"), df.schema)
+    t.append_dataframe(df)
+    with _pytest.raises(ValueError, match="not in table history"):
+        t.create_branch("audit", from_snapshot_id=12345)
+
+
+def test_sessionless_create_first_commit(tmp_path):
+    """Audit r8: the sessionless metadata commit creates metadata/
+    itself — the first commit into a fresh location no longer dies
+    with FileNotFoundError."""
+    from pyspark.sql import types as T
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "fresh" / "tbl")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    t = IcebergTable.create(None, loc, schema)
+    assert t.metadata()["current-snapshot-id"] == -1
