@@ -9320,6 +9320,83 @@ def iceberg_wap_publish(spark, sf_dir):
 
 
 @q(
+    "iceberg_time_travel_read",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def iceberg_time_travel_read(spark, sf_dir):
+    """TIME TRAVEL by timestamp (SparkSQL ``TIMESTAMP AS OF``):
+    orders land in two commits; ``read_as_of`` pinned between them
+    resolves through the SNAPSHOT-LOG (main's movement record — so
+    rollbacks/publishes time-travel correctly, not raw snapshot
+    timestamps) and returns exactly the first commit — the
+    reproducibility handle that re-runs yesterday's training job
+    against yesterday's table. Pre-staged r9 entry."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    loc = tempfile.mkdtemp(prefix="gobblin_icett_") + "/t"
+    t = IcebergTable.create(spark, loc, orders.schema)
+    t.append_dataframe(orders.filter(F.col("o_orderkey") % 3 == 0)
+                       .coalesce(1))
+    ts_between = t.metadata()["snapshot-log"][-1]["timestamp-ms"]
+    t.append_dataframe(orders.filter(F.col("o_orderkey") % 3 != 0)
+                       .coalesce(1))
+    if t.read().count() != orders.count():
+        raise RuntimeError("current read incomplete")
+    return t.read_as_of(ts_between)
+
+
+@q(
+    "iceberg_changelog_read",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           'insert' AS change_type,
+           CAST(CASE o_orderkey % 3 WHEN 1 THEN 2 ELSE 3 END AS INT)
+             AS commit_ord
+    FROM orders WHERE o_orderkey % 3 <> 0
+    """,
+)
+def iceberg_changelog_read(spark, sf_dir):
+    """INCREMENTAL APPEND-DIFF (Iceberg changelog; the engine face of
+    the reference's incremental copy planning —
+    gobblin-data-management/.../iceberg/IcebergDatasetFinder.java
+    plans exactly this snapshot delta): three commits, then
+    ``changelog(first_snapshot)`` returns the rows of commits 2-3
+    ONLY, each stamped insert + its committing snapshot — planned
+    from manifest metadata, so a one-commit delta of a 100 TB table
+    reads one commit's files. Snapshot ids are run-random; the oracle
+    checks a deterministic commit ORDINAL derived from them.
+    Pre-staged r9 entry."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    loc = tempfile.mkdtemp(prefix="gobblin_icecl_") + "/t"
+    t = IcebergTable.create(spark, loc, orders.schema)
+    snaps = []
+    for m in range(3):
+        t.append_dataframe(orders.filter(F.col("o_orderkey") % 3 == m)
+                           .coalesce(1))
+        snaps.append(t.metadata()["current-snapshot-id"])
+    cl = t.changelog(snaps[0])
+    ordinal = F.when(F.col("_commit_snapshot_id") == snaps[1], 2) \
+        .when(F.col("_commit_snapshot_id") == snaps[2], 3) \
+        .cast("int")
+    return cl.select(
+        "o_orderkey", "o_custkey", "o_orderpriority",
+        F.col("_change_type").alias("change_type"),
+        ordinal.alias("commit_ord"))
+
+
+@q(
     "iceberg_datasource_read",
     """
     SELECT c_custkey, c_name, c_mktsegment FROM customer

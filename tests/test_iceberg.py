@@ -1988,3 +1988,52 @@ def test_sessionless_create_first_commit(tmp_path):
     schema = T.StructType([T.StructField("k", T.LongType())])
     t = IcebergTable.create(None, loc, schema)
     assert t.metadata()["current-snapshot-id"] == -1
+
+
+def test_time_travel_by_timestamp_and_changelog(spark, tmp_path):
+    """snapshot_as_of resolves through the snapshot-log (main's
+    movement record — rollbacks and publishes included), and
+    changelog() returns exactly the rows committed in (from, to] with
+    insert stamps."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    loc = str(tmp_path / "ttcl")
+    t = IcebergTable.create(spark, loc, df1.schema)
+    t.append_dataframe(df1)
+    s1 = t.metadata()["current-snapshot-id"]
+    ts1 = int(_time.time() * 1000)
+    _time.sleep(0.01)
+    t.append_dataframe(spark.createDataFrame([(3, "c")],
+                                             "k long, s string"))
+    s2 = t.metadata()["current-snapshot-id"]
+    t.append_dataframe(spark.createDataFrame([(4, "d")],
+                                             "k long, s string"))
+
+    # as-of between commit 1 and 2 sees exactly commit 1
+    assert t.snapshot_as_of(ts1) == s1
+    assert sorted(r.k for r in t.read_as_of(ts1).collect()) == [1, 2]
+    with _pytest.raises(ValueError, match="no snapshot as of"):
+        t.snapshot_as_of(1)
+
+    # changelog (s1, head]: the two later commits, stamped
+    cl = t.changelog(s1).collect()
+    assert sorted((r.k, r._change_type) for r in cl) == \
+        [(3, "insert"), (4, "insert")]
+    assert {r._commit_snapshot_id for r in cl if r.k == 3} == {s2}
+    # bounded window (s1, s2]
+    assert [r.k for r in t.changelog(s1, s2).collect()] == [3]
+    # from None = since table creation; from head = empty
+    assert len(t.changelog(None).collect()) == 4
+    head = t.metadata()["current-snapshot-id"]
+    assert t.changelog(head).count() == 0
+    # a rewrite inside the window raises instead of double-counting
+    t.rewrite_data_files(target_partitions=1)
+    with _pytest.raises(NotImplementedError, match="non-append"):
+        t.changelog(s1).collect()
+    # ... but a window strictly before it still replays
+    assert [r.k for r in t.changelog(s1, s2).collect()] == [3]
