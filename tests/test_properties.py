@@ -130,11 +130,21 @@ def test_driver_window_is_exactly_fifty_and_first():
     assert len(set(Q.DRIVER_FIRST)) == 50
     assert list(Q.QUERIES)[:50] == Q.DRIVER_FIRST
     missing = [n for n in Q.DRIVER_FIRST if n not in Q.ORACLES]
-    # only the rows-only-by-design entries may lack an oracle (r7
-    # window: BPE and zlib are not SQL-expressible; bloom FPR rides
-    # xxhash64)
-    assert set(missing) <= {"text_bpe_tokens", "text_compression_ratio",
-                            "bloom_fpr_report"}, missing
+    # only rows-only-by-design entries may lack an oracle — and every
+    # one of them must have a hash-checked shadow in the catalog (the
+    # r8 rule: rows-only-without-shadow count is 0)
+    allowed = {"minhash_lsh_docs", "simhash_docs", "embedding_near_dup",
+               "semantic_dedup_docs"}
+    assert set(missing) <= allowed, missing
+    shadows = {"minhash_lsh_docs": "minhash_lsh_checked",
+               "simhash_docs": "simhash_checked",
+               "embedding_near_dup": "fuzzy_match_docs",
+               "semantic_dedup_docs": "semantic_dedup_kmeans",
+               "text_bpe_tokens": "text_bpe_tokens_checked",
+               "text_compression_ratio": "text_compression_ratio_checked",
+               "bloom_fpr_report": "bloom_fpr_report_checked"}
+    for n in missing:
+        assert shadows[n] in Q.ORACLES, f"{n} lacks a hash-green shadow"
 
 
 # -- BPE segmentation ------------------------------------------------
