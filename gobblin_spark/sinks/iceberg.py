@@ -2821,7 +2821,8 @@ class IcebergTable:
             "files, partitions, refs)")
 
     def remove_orphan_files(
-            self, older_than_s: float = 3 * 86400) -> list[str]:
+            self, older_than_s: float = 3 * 86400,
+            include_metadata: bool = False) -> list[str]:
         """DeleteOrphanFiles (the third Iceberg maintenance action,
         completing rewrite + expire): delete every file under
         ``data/`` that NO retained snapshot references. Run AFTER
@@ -2829,6 +2830,13 @@ class IcebergTable:
         become orphans and are reclaimed here; files referenced by any
         retained snapshot (time travel) always survive. Returns the
         deleted paths.
+
+        ``include_metadata`` also sweeps metadata/ for ``.avro``
+        manifest and manifest-list files no retained snapshot
+        references (pre-r8 lost-CAS attempts left one orphan pair per
+        lost race; the commit path now cleans up after itself, this
+        reclaims historical leftovers). vN.metadata.json and the
+        version hint are never candidates.
 
         ``older_than_s`` (default 3 days, the reference action's
         olderThan horizon): only files whose modification time is at
@@ -2846,8 +2854,14 @@ class IcebergTable:
         import time as _time
 
         referenced: set[str] = set()
+        meta_referenced: set[str] = set()
         md = self.metadata()  # one read; _entries(md=...) reuses it
         for snap in md["snapshots"]:
+            meta_referenced.add(snap["manifest-list"].rsplit("/", 1)[-1])
+            _, mans = ACF.read_container(
+                self._read_bytes(snap["manifest-list"]))
+            meta_referenced.update(
+                m["manifest_path"].rsplit("/", 1)[-1] for m in mans)
             for e in self._entries(snap["snapshot-id"], md=md):
                 referenced.add(e["info"].path)
         fs, base, _ = self._fs(f"{self.location}/data")
@@ -2870,4 +2884,20 @@ class IcebergTable:
         for p in doomed:
             fs.delete(p, False)
             deleted.append(p.toString())
+        if include_metadata:
+            mfs, mbase, _ = self._fs(f"{self.location}/metadata")
+            mit = mfs.listFiles(mbase, False)
+            mdoomed = []
+            while mit.hasNext():
+                stt = mit.next()
+                nm = stt.getPath().getName()
+                if not nm.endswith(".avro"):
+                    continue  # only manifests/lists are candidates
+                if stt.getModificationTime() > cutoff_ms:
+                    continue  # may belong to an in-flight commit
+                if nm not in meta_referenced:
+                    mdoomed.append(stt.getPath())
+            for p in mdoomed:
+                mfs.delete(p, False)
+                deleted.append(p.toString())
         return deleted

@@ -2037,3 +2037,30 @@ def test_time_travel_by_timestamp_and_changelog(spark, tmp_path):
         t.changelog(s1).collect()
     # ... but a window strictly before it still replays
     assert [r.k for r in t.changelog(s1, s2).collect()] == [3]
+
+
+def test_remove_orphan_files_include_metadata(spark, tmp_path):
+    """include_metadata=True reclaims .avro manifests/lists no
+    retained snapshot references (historical lost-CAS leftovers)
+    while every referenced metadata file and all json versions
+    survive."""
+    import os
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    loc = str(tmp_path / "orphmeta")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df)
+    t.append_dataframe(df)
+    # plant a fake historical leak
+    stray = os.path.join(loc, "metadata", "manifest-deadbeef.avro")
+    open(stray, "wb").write(b"leak")
+    deleted = t.remove_orphan_files(older_than_s=0,
+                                    include_metadata=True)
+    assert any(p.endswith("manifest-deadbeef.avro") for p in deleted)
+    assert not os.path.exists(stray)
+    # table still fully readable; json versions intact
+    assert t.read().count() == 2
+    assert os.path.exists(os.path.join(loc, "metadata",
+                                       "v1.metadata.json"))
