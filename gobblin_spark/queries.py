@@ -9320,6 +9320,47 @@ def iceberg_wap_publish(spark, sf_dir):
 
 
 @q(
+    "iceberg_distributed_plan_read",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders WHERE o_orderkey % 5 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def iceberg_distributed_plan_read(spark, sf_dir):
+    """EXECUTOR-SIDE scan planning (verdict-r7 #3) through the oracle
+    gate: five commits build a five-manifest table, then a
+    ``planning="distributed"`` handle — manifest parsing fans out as
+    a Spark job, only planned entries return — serves the same read
+    the driver-mode planner must produce (asserted in-query:
+    bit-identical entry lists), aggregated against plain SQL. The
+    10^5-10^6-live-file driver bound (PLANS.md) is what this path
+    removes at 100 TB. Pre-staged r9 entry."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    loc = tempfile.mkdtemp(prefix="gobblin_icedp_") + "/t"
+    t = IcebergTable.create(spark, loc, orders.schema)
+    for m in range(5):
+        t.append_dataframe(
+            orders.filter(F.col("o_orderkey") % 5 == m).coalesce(1))
+    d = IcebergTable(spark, loc, planning="distributed")
+    key = [(e["info"].path, e["sequence_number"]) for e in d._entries()]
+    if key != [(e["info"].path, e["sequence_number"])
+               for e in t._entries()]:
+        raise RuntimeError("distributed plan diverged from driver plan")
+    # the delta read drops commit 0's files at the metadata layer
+    return (d.read().filter(F.col("o_orderkey") % 5 != 0)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+
+
+@q(
     "iceberg_time_travel_read",
     """
     SELECT o_orderkey, o_custkey, o_orderpriority
