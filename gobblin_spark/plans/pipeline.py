@@ -209,13 +209,14 @@ def run_streaming(
     without a second implementation. Returns the accumulated
     PipelineResults."""
     import dataclasses
-    import hashlib
 
     results: list[PipelineResult] = []
-    from gobblin_spark.streaming.runner import canonical_checkpoint
+    from gobblin_spark.streaming.runner import path_token
 
-    ck_token = hashlib.md5(
-        canonical_checkpoint(checkpoint_dir).encode()).hexdigest()[:8]
+    # the shared path-token primitive (the streaming runner's run
+    # token additionally binds the checkpoint LINEAGE id; batch
+    # markers keep the pure path token for marker-name stability)
+    ck_token = path_token(checkpoint_dir)
     marked_dirs = [b.final_dir for b in pipeline.branches if b.final_dir]
 
     def _marker(spark, final_dir: str, epoch_id: int):

@@ -127,13 +127,28 @@ class WatermarkStore:
         finally:
             stream.close()
 
+    def _read_latest(self, entries: list[tuple[int, str]]):
+        """Decode the newest PARSEABLE entry. A driver crash inside a
+        commit's create->write window leaves a torn/empty file at the
+        top sequence (audit r8); that commit never logically happened,
+        so reads fall back to the previous one instead of wedging
+        every replay on a JSONDecodeError. The torn file still holds
+        its sequence number, so later commits allocate past it."""
+        for _, path in reversed(entries):
+            try:
+                return _decode(self._read_json(path))
+            except ValueError:
+                continue
+        return None
+
     # -- public API ----------------------------------------------------
     def get(self, dataset: str, default=None):
         """Current (highest-sequence) committed watermark, or *default*."""
         entries = self._entries(dataset)
         if not entries:
             return default
-        return _decode(self._read_json(entries[-1][1]))
+        got = self._read_latest(entries)
+        return default if got is None else got
 
     def commit(self, dataset: str, value, run_id: str | None = None,
                monotonic: bool = False) -> int:
@@ -165,7 +180,7 @@ class WatermarkStore:
             # value before taking the next sequence, or a stale lower
             # watermark could still rewind the frontier one seq later
             if monotonic and entries:
-                cur = _decode(self._read_json(entries[-1][1]))
+                cur = self._read_latest(entries)
                 try:
                     if cur is not None and value < cur:
                         raise ValueError(
@@ -194,8 +209,30 @@ class WatermarkStore:
         ) from last_err
 
     def history(self, dataset: str) -> list:
-        """All committed watermarks, oldest first (FsStateStore versions)."""
-        return [_decode(self._read_json(p)) for _, p in self._entries(dataset)]
+        """All committed watermarks, oldest first (FsStateStore
+        versions). Torn entries (crashed commits) are skipped."""
+        out = []
+        for _, p in self._entries(dataset):
+            try:
+                out.append(_decode(self._read_json(p)))
+            except ValueError:
+                continue
+        return out
+
+    def prune(self, dataset: str, keep_last: int = 100) -> int:
+        """Delete all but the newest *keep_last* commits of a dataset
+        key. The store grows one file per commit by design (atomic
+        create, no read-modify-write); long-lived streaming ledgers
+        (~8.6k commits/day at a 10s trigger) need this or every
+        get/commit pays an ever-growing listStatus (audit r8). Returns
+        the number of files deleted; rollback() reach shrinks to the
+        retained window."""
+        fs, jvm = self._fs()
+        entries = self._entries(dataset)
+        doomed = entries[:-keep_last] if keep_last > 0 else entries
+        for _, path in doomed:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(path), False)
+        return len(doomed)
 
     def rollback(self, dataset: str, to_seq: int,
                  reset_units: bool = False) -> None:

@@ -228,14 +228,53 @@ def canonical_checkpoint(path: str) -> str:
     return p.rstrip("/")
 
 
-def _run_token(checkpoint_dir: str) -> str:
-    """Epoch ids restart at 0 for every new checkpoint lineage; this
-    token namespaces the epoch ledger and the epoch partition values so
-    two runs over the same final_dir never collide."""
+def path_token(path: str) -> str:
+    """md5 of the canonical checkpoint path, truncated — the shared
+    token primitive (plans/pipeline.py uses it for batch epoch
+    markers)."""
     import hashlib
 
     return hashlib.md5(
-        canonical_checkpoint(checkpoint_dir).encode()).hexdigest()[:8]
+        canonical_checkpoint(path).encode()).hexdigest()[:8]
+
+
+def _run_token(checkpoint_dir: str, spark=None) -> str:
+    """Epoch ids restart at 0 for every new checkpoint LINEAGE; this
+    token namespaces the epoch ledger and the epoch partition values.
+    The token binds to the lineage's QUERY ID (the ``metadata`` file
+    Spark keeps at the checkpoint root — created here first if absent,
+    Spark adopts a pre-existing one), not just the path: deleting and
+    recreating a checkpoint dir restarts epoch ids at 0, and a
+    path-only token would then mark every re-read batch as a replay
+    and silently drop it (audit r8). Without a session the path-only
+    token is the (legacy) fallback."""
+    import hashlib
+    import json as _json
+    import uuid as _uuid
+
+    base = canonical_checkpoint(checkpoint_dir)
+    qid = ""
+    if spark is not None:
+        jvm = spark._jvm
+        mpath = jvm.org.apache.hadoop.fs.Path(f"{base}/metadata")
+        fs = mpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(mpath):
+            stream = fs.open(mpath)
+            try:
+                raw = bytes(jvm.org.apache.commons.io.IOUtils
+                            .toByteArray(stream))
+            finally:
+                stream.close()
+            qid = _json.loads(raw.decode())["id"]
+        else:
+            qid = str(_uuid.uuid4())
+            out = fs.create(mpath, False)
+            try:
+                out.write(bytearray(
+                    _json.dumps({"id": qid}).encode()))
+            finally:
+                out.close()
+    return hashlib.md5(f"{base}:{qid}".encode()).hexdigest()[:8]
 
 
 def _epoch_marker(spec: IngestSpec, token: str) -> str:
@@ -255,6 +294,11 @@ def _epoch_write(df: DataFrame, spec: IngestSpec, epoch_value: str, path: str,
     (Structured Streaming re-delivers a batch after a failure; plain
     mode('append') would double those rows — the reference's flush
     epoch commits idempotently, FlushingExtractor.java:81.)"""
+    if EPOCH_COL in df.columns:
+        raise ValueError(
+            f"input already carries a {EPOCH_COL!r} column — the epoch "
+            "partition would silently overwrite it; rename or drop it upstream"
+        )
     (df.withColumn(EPOCH_COL, F.lit(epoch_value))
        .write.mode("overwrite")
        .option("partitionOverwriteMode", "dynamic")
@@ -313,7 +357,7 @@ def _epoch_fn(spec: IngestSpec, store: WatermarkStore, token: str):
         # writes, three counts and the frontier agg (check_rows
         # documents the caller-persists contract; without it a file
         # epoch rescans its input ~7x)
-        df = df.persist()
+        src = df = df.persist()
         try:
             if spec.row_policies:
                 df, bad = quality.check_rows(df, spec.row_policies)
@@ -345,7 +389,21 @@ def _epoch_fn(spec: IngestSpec, store: WatermarkStore, token: str):
                 mcol = mcol.cast("timestamp_ntz")
             batch_max = df.agg(F.max(mcol)).first()[0]
         finally:
-            df.unpersist()
+            # unpersist the frame that was PERSISTED — check_rows
+            # rebinds df to a derived plan, and unpersisting that
+            # matches nothing in the cache manager, leaking one cached
+            # batch per epoch for the stream's lifetime (audit r8)
+            src.unpersist()
+        if batch_max is not None and not isinstance(
+                batch_max, (_dt.datetime, _dt.date)):
+            # committing a non-temporal frontier poisons the store:
+            # epoch 2's split_late would fail forever with an error
+            # blaming a SHARED store (audit r8) — fail epoch 1 loudly
+            raise TypeError(
+                f"ts_col {spec.ts_col!r} must be a timestamp/date "
+                f"column; max() returned "
+                f"{type(batch_max).__name__} — refusing to commit a "
+                "non-temporal frontier")
         advanced = (batch_max is not None
                     and (frontier is None or batch_max > frontier))
         # marker FIRST (carrying the frontier), dataset frontier second:
@@ -364,7 +422,15 @@ def _epoch_fn(spec: IngestSpec, store: WatermarkStore, token: str):
             st.frontier = batch_max
         else:
             st.frontier = frontier
+        # ledger hygiene: one file lands per commit (atomic-create
+        # store design); without pruning a 10s-trigger stream lists an
+        # ever-growing directory twice per epoch (audit r8). The
+        # marker key only ever needs its latest entry; the dataset
+        # frontier keeps a rollback window.
+        store.prune(_epoch_marker(spec, token), keep_last=20)
+        store.prune(spec.dataset, keep_last=200)
         spec.stats.append(st)
+        del spec.stats[:-10_000]  # bounded driver memory (audit r8)
 
     return run
 
@@ -391,7 +457,9 @@ def run_ingest(
             "available_now=False for a continuous run")
     writer = (
         stream_df.writeStream.foreachBatch(
-            _epoch_fn(spec, store, _run_token(checkpoint_dir)))
+            _epoch_fn(spec, store,
+                      _run_token(checkpoint_dir,
+                                 stream_df.sparkSession)))
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )
@@ -459,17 +527,28 @@ def windowed_counts(
     )
 
 
-def stream_to_memory(df: DataFrame, name: str, timeout_sec: int = 300):
-    """Drain a streaming aggregation into an in-memory table (test sink)."""
+def _stream_to_memory(df: DataFrame, name: str, mode: str,
+                      timeout_sec: int):
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"memory-sink drain {name!r} exceeded {timeout_sec}s; "
+            "query stopped")
     return q
+
+
+def stream_to_memory(df: DataFrame, name: str, timeout_sec: int = 300):
+    """Drain a streaming aggregation into an in-memory table (test
+    sink). A drain outliving the timeout is stopped and raised — the
+    old behavior returned a still-running query."""
+    return _stream_to_memory(df, name, "complete", timeout_sec)
 
 
 def stream_stream_interval_join(
@@ -516,12 +595,4 @@ def stream_stream_interval_join(
 
 def stream_to_memory_append(df: DataFrame, name: str, timeout_sec: int = 300):
     """Drain an append-mode stream (joins, maps) into a memory table."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_sec)
-    return q
+    return _stream_to_memory(df, name, "append", timeout_sec)

@@ -268,3 +268,37 @@ def test_snapshot_survives_crashy_rewrites(spark, tmp_path):
     vs = [d for d in os.listdir(tmp_path / "snap" / "ds")
           if d.startswith("_file_snapshot-v")]
     assert len(vs) == 2
+
+
+def test_torn_watermark_entry_falls_back(spark, tmp_path):
+    """Audit r8: a driver crash inside a commit's create->write window
+    leaves an empty top-sequence file; reads fall back to the previous
+    commit instead of wedging on JSONDecodeError, and later commits
+    allocate past the torn sequence."""
+    from gobblin_spark.state import WatermarkStore
+
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    store.commit("ds", 10)
+    store.commit("ds", 20)
+    # simulate the torn write through the store's own FS (keeps crc
+    # sidecars consistent — plain open() rewrites break Hadoop reads)
+    fs, jvm = store._fs()
+    torn = jvm.org.apache.hadoop.fs.Path(
+        f"{store.root}/ds/wm-0000000003.json")
+    fs.create(torn, False).close()
+    assert store.get("ds") == 20
+    assert store.history("ds") == [10, 20]
+    seq = store.commit("ds", 30)
+    assert seq == 4 and store.get("ds") == 30
+
+
+def test_watermark_prune_keeps_newest(spark, tmp_path):
+    from gobblin_spark.state import WatermarkStore
+
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    for v in range(12):
+        store.commit("ds", v)
+    deleted = store.prune("ds", keep_last=5)
+    assert deleted == 7
+    assert store.get("ds") == 11
+    assert store.history("ds") == [7, 8, 9, 10, 11]

@@ -283,3 +283,91 @@ def test_split_late_rejects_non_temporal_frontier(spark):
     on_time, late = split_late(
         df, "ts", dt.date(2024, 1, 3), dt.timedelta(hours=1))
     assert late.count() == 1  # ts < 2024-01-02 -> late
+
+
+def test_checkpoint_recreate_does_not_drop_epochs(spark, tmp_path):
+    """Audit r8: the run token binds the checkpoint LINEAGE id, not
+    just the path — rm -rf <ckpt> + restart used to mark every
+    re-read batch as a replay of the old lineage and silently drop
+    the first N+1 micro-batches."""
+    import shutil
+
+    rows = [(i, dt.datetime(2024, 1, 1 + i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz")
+    indir = str(tmp_path / "in")
+    df.repartition(2).write.parquet(indir)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    store = state.WatermarkStore(spark, str(tmp_path / "wm"))
+
+    def drain():
+        stream = streaming.file_stream(spark, indir, schema=df.schema,
+                                       max_files_per_trigger=1)
+        spec = streaming.IngestSpec(
+            final_dir=out, ts_col="ts", dataset="reproc",
+            allowed_lateness=dt.timedelta(days=10**6))
+        return streaming.run_ingest_blocking(stream, spec, store, ck)
+
+    s1 = drain()
+    assert sum(s.rows for s in s1) == 4
+    # the reprocess-from-scratch move
+    shutil.rmtree(ck)
+    s2 = drain()
+    assert sum(s.rows for s in s2) == 4, "recreated lineage dropped rows"
+    assert not any(s.replayed for s in s2)
+    # data re-landed under a NEW epoch token (8 rows total now)
+    assert spark.read.parquet(out).count() == 8
+
+
+def test_non_temporal_ts_col_fails_epoch_one(spark, tmp_path):
+    """Audit r8: a bigint ts_col must fail loudly on the FIRST epoch
+    instead of committing a poison frontier that wedges epoch 2 with
+    an error blaming a shared store."""
+    df = spark.createDataFrame([(1, 100), (2, 200)], "k long, ts long")
+    indir = str(tmp_path / "in")
+    df.write.parquet(indir)
+    store = state.WatermarkStore(spark, str(tmp_path / "wm"))
+    spec = streaming.IngestSpec(final_dir=str(tmp_path / "out"),
+                                ts_col="ts", dataset="poison")
+    stream = streaming.file_stream(spark, indir, schema=df.schema)
+    with pytest.raises(Exception, match="non-temporal frontier"):
+        streaming.run_ingest_blocking(stream, spec, store,
+                                      str(tmp_path / "ck"))
+    assert store.get("poison") is None  # nothing poisoned the store
+
+
+def test_epoch_persist_released_and_ledger_pruned(spark, tmp_path):
+    """Audit r8: the per-epoch persist is released even when
+    row_policies rebind the frame, and the marker/frontier ledgers
+    stay bounded."""
+    rows = [(i, dt.datetime(2024, 1, 1 + i % 5)) for i in range(10)]
+    df = spark.createDataFrame(rows, "k long, ts timestamp_ntz")
+    indir = str(tmp_path / "in")
+    df.repartition(4).write.parquet(indir)
+    store = state.WatermarkStore(spark, str(tmp_path / "wm"))
+    spec = streaming.IngestSpec(
+        final_dir=str(tmp_path / "out"), ts_col="ts", dataset="cache",
+        row_policies=[quality.RowPolicy("pos", F.col("k") >= 0)],
+        allowed_lateness=dt.timedelta(days=10**6))
+    stream = streaming.file_stream(spark, indir, schema=df.schema,
+                                   max_files_per_trigger=1)
+    streaming.run_ingest_blocking(stream, spec, store,
+                                  str(tmp_path / "ck"))
+    n_cached = spark._jsc.sc().getPersistentRDDs().size()
+    assert n_cached == 0, f"{n_cached} cached batches leaked"
+    # pruned ledgers: marker key bounded by 20, dataset key by 200
+    from gobblin_spark.streaming import runner as R
+    token = R._run_token(str(tmp_path / "ck"), spark)
+    assert len(store._entries(f"cache/epochs/{token}")) <= 20
+
+
+def test_epoch_col_clash_fails_loudly(spark, tmp_path):
+    """Audit r8: a pre-existing gobblin_epoch column must not be
+    silently overwritten by the epoch partition value."""
+    from gobblin_spark.streaming import runner as R
+
+    df = spark.createDataFrame([(1, "x")],
+                               f"k long, {R.EPOCH_COL} string")
+    spec = streaming.IngestSpec(final_dir=str(tmp_path / "o"), ts_col="k")
+    with pytest.raises(ValueError, match=R.EPOCH_COL):
+        R._epoch_write(df, spec, "t-0", str(tmp_path / "o"))
