@@ -99,7 +99,10 @@ def lang_id(col: Column) -> Column:
     # reversed so that earlier (alphabetically smaller) languages win ties
     for lang in reversed(langs):
         out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
-    return F.when(best == 0, F.lit("und")).otherwise(out)
+    # null text propagates null (like fingerprint/quality_score) —
+    # 'und' is a real verdict for zero-marker text, not a null fill
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(best == 0, F.lit("und")).otherwise(out))
 
 
 def normalize_text(col: Column) -> Column:
@@ -137,14 +140,14 @@ def word_shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shin
     array element (measured ~30x slower) — common-subexpression
     elimination does not reach into lambda bodies.
     """
-    words_df = df.withColumn("_words", F.split(normalize_text(F.col(text_col)), " "))
-    w = F.col("_words")
+    words_df = df.withColumn("__gs_words", F.split(normalize_text(F.col(text_col)), " "))
+    w = F.col("__gs_words")
     idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
     return (
         words_df.withColumn(out_col, F.explode(F.array_distinct(shingles)))
         .filter(F.col(out_col) != "")
-        .drop("_words")
+        .drop("__gs_words")
     )
 
 
@@ -153,7 +156,12 @@ def word_shingles(df: DataFrame, text_col: str, n: int = 3, out_col: str = "shin
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    (r"\+?\d[\d().\- ]{7,}\d", "<PHONE>"),
+    # two RE2-portable shapes: parenthesized-area-code phones (spaces
+    # allowed) and dense 9+-digit runs (no spaces — a space separator
+    # there would swallow ISO datetimes like '2021-08-15 12:34', and
+    # plain dates are only 8 digits; audit r8)
+    (r"(\+?\d{0,3}[ .\-]?\(\d{3}\)[ .\-]?\d{3}[ .\-]?\d{4}"
+     r"|\+?\d(?:[().\-]?\d){8,})", "<PHONE>"),
 ]
 
 
@@ -298,8 +306,12 @@ def gopher_repetition_metrics(col: Column, gram_n: int = 2) -> dict[str, Column]
         F.floor(packed / F.lit(1000000)).cast("long")
         * (F.pmod(packed, F.lit(1000000)) - F.lit(gram_n - 1)))
     nonspace = F.length(F.regexp_replace(normalize_text(col), " ", ""))
+    # overlapping occurrences share characters, so count*len can
+    # exceed the document — a "fraction" above 1 breaks thresholding;
+    # cap at 1.0 (full coverage) like the RefinedWeb implementations
     top_frac = F.when(nonspace == 0, F.lit(0.0)).otherwise(
-        top_chars.cast("double") / nonspace.cast("double"))
+        F.least(F.lit(1.0),
+                top_chars.cast("double") / nonspace.cast("double")))
     return {
         "dup_line_fraction": dup_line_frac,
         "dup_line_char_fraction": dup_line_char_frac,
@@ -517,21 +529,27 @@ def chunk_token_windows(
     """
     starts = F.sequence(
         F.lit(0),
-        F.greatest(F.size(F.col("_toks")) - 1, F.lit(0)),
+        F.greatest(F.size(F.col("__gs_toks")) - 1, F.lit(0)),
         F.lit(stride),
     )
     chunked = (
         df.select(
-            F.col(id_col), F.split(F.col(text_col), r"\s+").alias("_toks"))
+            F.col(id_col),
+            # trim first: leading/trailing whitespace otherwise yields
+            # phantom '' tokens that inflate n_tokens, shift window
+            # boundaries and corrupt chunk_hash (audit r8)
+            F.split(F.regexp_replace(F.col(text_col),
+                                     r"^\s+|\s+$", ""),
+                    r"\s+").alias("__gs_toks"))
         .select(
             id_col,
             F.posexplode(starts).alias("chunk_idx", "_start"),
-            F.col("_toks"),
+            F.col("__gs_toks"),
         )
         .select(
             id_col,
             F.col("chunk_idx").cast("int").alias("chunk_idx"),
-            F.slice(F.col("_toks"), F.col("_start") + 1, window).alias("_chunk"),
+            F.slice(F.col("__gs_toks"), F.col("_start") + 1, window).alias("_chunk"),
         )
     )
     return chunked.select(
@@ -555,8 +573,8 @@ def _bigram_pairs(df: DataFrame, text_col: str, keep: Sequence[str] = ()):
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
     return (
-        df.select(*keep, F.explode(pairs).alias("_bg"))
-        .select(*keep, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        df.select(*keep, F.explode(pairs).alias("__gs_bg"))
+        .select(*keep, F.col("__gs_bg.w1").alias("w1"), F.col("__gs_bg.w2").alias("w2"))
         .filter(F.col("w2").isNotNull() & (F.col("w1") != ""))
     )
 
@@ -652,14 +670,19 @@ def tfidf_cosine_pairs(
     # same materialize-once shape as minhash_lsh_pairs' signatures
     tf = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf")).persist()
-    n_docs = tf.select(id_col).distinct().count()
+    # N as an IN-PLAN broadcast scalar: the old eager .count() ran a
+    # full tokenize+aggregate job at call time for a constant that
+    # cancels exactly out of the cosine (audit r8) — keeping it in
+    # the plan preserves the tf*(N/df) convention and the lazy
+    # DataFrame contract at zero extra actions
+    nd = tf.agg(F.countDistinct(id_col).cast("double").alias("_nd"))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
     kept = tf.join(
         dfreq.filter(F.col("df_t") <= max_doc_freq), "token")
-    w = kept.withColumn(
+    w = kept.crossJoin(F.broadcast(nd)).withColumn(
         "w",
         F.col("tf").cast("double")
-        * (F.lit(float(n_docs)) / F.col("df_t").cast("double")),
+        * (F.col("_nd") / F.col("df_t").cast("double")),
     ).select(id_col, "token", "w").persist()
     norms = w.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
@@ -708,8 +731,14 @@ def learn_bpe_merges(
     frac = min(1.0, (sample_rows * 1.2) / max(total, 1))
     texts = [
         r[0] or ""
-        for r in df.select(normalize_text(F.col(text_col)))
-        .sample(False, frac, seed).limit(sample_rows).collect()
+        for r in df.select(normalize_text(F.col(text_col)).alias("_t"))
+        .sample(False, frac, seed)
+        # limit() alone takes whichever partitions answer first, so
+        # the learned merges varied with partition layout (audit r8);
+        # hash-ordering the sampled rows makes the kept subset a pure
+        # function of the content + seed
+        .orderBy(F.xxhash64(F.col("_t"), F.lit(seed)), F.col("_t"))
+        .limit(sample_rows).collect()
     ]
     word_freq = Counter(w for t in texts for w in t.split() if w)
     vocab = {w: tuple(w) + ("</w>",) for w in word_freq}
@@ -774,7 +803,6 @@ def bpe_tokenize(
     rate high: each distinct word segments once per batch). The merge
     table rides the closure as a ~KB broadcast. Output adds
     ``out_col`` (array<string> of subword units)."""
-    import pandas as pd  # noqa: F401 - resolved by the UDF type hints
     from pyspark.sql.functions import pandas_udf
 
     ranks = {pair: i for i, pair in enumerate(merges)}
@@ -816,7 +844,6 @@ def compression_ratio(
     Honest pandas-UDF tier: DEFLATE is imperative; batches are Arrow,
     the codec runs per row inside the batch. Compose with
     gopher_quality/repetition for the full filter set."""
-    import pandas as pd  # noqa: F401
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("struct<raw_len: long, comp_len: long>")
@@ -834,19 +861,25 @@ def compression_ratio(
 
         return pd.DataFrame([one(t) for t in texts])
 
-    out = df.withColumn("_z", comp(F.col(text_col)))
+    out = df.withColumn("__gs_z", comp(F.col(text_col)))
     return (
-        out.withColumn(f"{out_prefix}_raw_len", F.col("_z.raw_len"))
-        .withColumn(f"{out_prefix}_comp_len", F.col("_z.comp_len"))
+        out.withColumn(f"{out_prefix}_raw_len", F.col("__gs_z.raw_len"))
+        .withColumn(f"{out_prefix}_comp_len", F.col("__gs_z.comp_len"))
         .withColumn(
             f"{out_prefix}_ratio_ppm",
             F.when(
-                F.col("_z.raw_len") > 0,
-                F.floor(F.col("_z.comp_len") * F.lit(1000000.0)
-                        / F.col("_z.raw_len")).cast("long"),
-            ),
+                F.col("__gs_z.raw_len") > 0,
+                F.floor(F.col("__gs_z.comp_len") * F.lit(1000000.0)
+                        / F.col("__gs_z.raw_len")).cast("long"),
+            ).otherwise(
+                # empty (0-byte) text carries no repetitiveness signal:
+                # ratio 1.0 exactly, so threshold filters keep the row
+                # instead of dropping it through a null (audit r8);
+                # NULL text still propagates null via the struct
+                F.when(F.col("__gs_z.raw_len") == 0,
+                       F.lit(1000000).cast("long"))),
         )
-        .drop("_z")
+        .drop("__gs_z")
     )
 
 

@@ -717,13 +717,14 @@ def _lang_score_sql(lang: str) -> str:
     "text_lang_id",
     f"""
     WITH s AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              {_lang_score_sql("de")} AS s_de, {_lang_score_sql("en")} AS s_en,
              {_lang_score_sql("es")} AS s_es, {_lang_score_sql("fr")} AS s_fr
       FROM documents
     )
     SELECT doc_id,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+           CASE WHEN text IS NULL THEN NULL
+                WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
                 WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
                 WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
                 WHEN s_es >= s_fr THEN 'es'
@@ -1082,7 +1083,7 @@ def semantic_dedup_docs(spark, sf_dir):
                || ' ' || text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-             '\+?\d[\d().\- ]{7,}\d', '<PHONE>', 'g') AS redacted
+             '(\+?\d{0,3}[ .\-]?\(\d{3}\)[ .\-]?\d{3}[ .\-]?\d{4}|\+?\d(?:[().\-]?\d){8,})', '<PHONE>', 'g') AS redacted
     FROM documents WHERE text IS NOT NULL
     """,
 )
@@ -1224,8 +1225,9 @@ def text_gopher_quality(spark, sf_dir):
          / CAST(line_chars AS DOUBLE)) * 1000000.0) END AS BIGINT)
         AS dup_line_char_ppm,
       CAST(CASE WHEN packed = 0 OR nonspace = 0 THEN 0 ELSE floor(
-        (CAST((packed // 1000000) * ((packed % 1000000) - 1) AS DOUBLE)
-         / CAST(nonspace AS DOUBLE)) * 1000000.0) END AS BIGINT)
+        least(1.0,
+          CAST((packed // 1000000) * ((packed % 1000000) - 1) AS DOUBLE)
+          / CAST(nonspace AS DOUBLE)) * 1000000.0) END AS BIGINT)
         AS top_gram_char_ppm
     FROM p
     """,
@@ -4658,7 +4660,9 @@ def topn_per_group_events(spark, sf_dir):
     "text_chunk_windows",
     r"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(
+               regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+      FROM documents
     ),
     starts AS (
       SELECT doc_id, t, unnest(range(0, greatest(len(t), 1), 48)) AS start
@@ -7829,7 +7833,7 @@ def cleaning_dedup_paragraphs(spark, sf_dir):
         regexp_replace(regexp_replace(regexp_replace(text,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-          '\+?\d[\d().\- ]{7,}\d', '<PHONE>', 'g') AS redacted
+          '(\+?\d{0,3}[ .\-]?\(\d{3}\)[ .\-]?\d{3}[ .\-]?\d{4}|\+?\d(?:[().\-]?\d){8,})', '<PHONE>', 'g') AS redacted
       FROM scored WHERE q >= 0.45
     ), dedup AS (
       SELECT doc_id, redacted FROM (

@@ -1481,3 +1481,85 @@ def test_decoders_reject_truncated_rasters():
     assert decode_ppm_p6(ppm)[0] == 4
     with _pytest.raises(ValueError, match="truncated"):
         decode_ppm_p6(ppm[:-1])
+
+
+def test_chunk_windows_ignore_edge_whitespace(spark):
+    """Audit r8: leading/trailing whitespace must not create phantom
+    '' tokens that shift windows and corrupt chunk hashes."""
+    from gobblin_spark.functions.text import chunk_token_windows
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "  a b c d e \n")], "doc_id long, text string")
+    out = chunk_token_windows(df, window=3, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.n_tokens, r.chunk_hash))
+    assert sorted(by_doc[1]) == sorted(by_doc[2])
+
+
+def test_gopher_top_ngram_fraction_capped(spark):
+    """Audit r8: overlapping top-ngram occurrences share characters;
+    the fraction is capped at 1.0 instead of exceeding it."""
+    from gobblin_spark.functions.text import gopher_repetition_metrics
+
+    df = spark.createDataFrame([("buffalo buffalo buffalo",)], "text string")
+    m = gopher_repetition_metrics(F.col("text"), gram_n=2)
+    v = df.select(m["top_ngram_char_fraction"].alias("f")).first().f
+    assert v <= 1.0
+
+
+def test_redact_pii_spares_dates(spark):
+    """Audit r8: ISO dates and datetimes are not phone numbers;
+    real phone shapes still redact."""
+    from gobblin_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "released 2021-08-15 12:34 call +1 (415) 555-0123"),
+         (2, "v1.2.3 built 2020-01-02"),
+         (3, "ssn-ish 123456789 and 415-555-0123")],
+        "k long, text string")
+    got = {r.k: r.red for r in df.select(
+        "k", redact_pii(F.col("text")).alias("red")).collect()}
+    assert got[1] == "released 2021-08-15 12:34 call <PHONE>"
+    assert got[2] == "v1.2.3 built 2020-01-02"
+    assert got[3] == "ssn-ish <PHONE> and <PHONE>"
+
+
+def test_lang_id_null_propagates(spark):
+    """Audit r8: null text -> null lang (like the sibling functions),
+    'und' stays the zero-marker verdict."""
+    from gobblin_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "xyzzy qwer"), (3, "the cat and the dog")],
+        "k long, text string")
+    got = {r.k: r.lang for r in df.select(
+        "k", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] is None and got[2] == "und" and got[3] == "en"
+
+
+def test_compression_ratio_empty_text_defined(spark):
+    """Audit r8: 0-byte text gets ppm=1000000 (neutral), not null —
+    threshold filters must not silently drop blank docs."""
+    from gobblin_spark.functions.text import compression_ratio
+
+    df = spark.createDataFrame([(1, ""), (2, None), (3, "hello")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.zlib_ratio_ppm
+           for r in compression_ratio(df, "text").collect()}
+    assert got[1] == 1000000 and got[2] is None and got[3] > 0
+
+
+def test_bpe_merges_stable_across_partitioning(spark):
+    """Audit r8: the learned merge table is a pure function of
+    content + seed, not of partition layout."""
+    from gobblin_spark.functions.text import learn_bpe_merges
+
+    rows = [(i, f"the quick brown fox {i % 7} jumps") for i in range(60)]
+    a = spark.createDataFrame(rows, "k long, text string").repartition(2)
+    b = spark.createDataFrame(list(reversed(rows)),
+                              "k long, text string").repartition(11)
+    ma = learn_bpe_merges(a, "text", num_merges=20, sample_rows=30)
+    mb = learn_bpe_merges(b, "text", num_merges=20, sample_rows=30)
+    assert ma == mb
