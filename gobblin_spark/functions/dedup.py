@@ -138,8 +138,11 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sz_a, "id_a")
         .join(sz_b, "id_b")
+        # threshold the TRUE similarity; rounding first admitted pairs
+        # strictly below it (0.7999996 rounds to 0.8 — audit r8). The
+        # displayed value stays rounded for engine-portable hashing.
+        .filter(jac >= threshold)
         .withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -255,7 +258,6 @@ def minhash_lsh_pairs(
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
-    rows = num_perm // bands
     # The signature table feeds THREE consumers (band explode + two
     # re-attach joins); without a persist each one re-runs the whole
     # shingle→hash→64-min pipeline. Signatures are slim (~0.5 KB/row:
@@ -364,8 +366,8 @@ def _score_signature_agreement(scored: DataFrame, num_perm: int,
     est = F.col("n_agree").cast("double") / F.lit(float(num_perm))
     return (
         scored.withColumn("n_agree", agree)
+        .filter(est >= threshold)  # true estimate, not the rounded one
         .withColumn("est_jaccard", F.round(est, 6))
-        .filter(F.col("est_jaccard") >= threshold)
         .select(*id_cols, "n_agree", "est_jaccard")
     )
 
@@ -439,11 +441,32 @@ def simhash_near_dup_pairs(
     exact popcount verification. (max_hamming ≤ 3 is guaranteed
     complete; larger values would need more/smaller chunks.)
     """
+    _pigeonhole_guard(bits, max_hamming, allow_partial)
     # two consumers (left/right of the chunk self-join) — persist the
     # slim (id, simhash) table so the per-bit-sum aggregation runs once
     sh = simhash64(df, id_col, text_col, base_hash, bits).persist()
     return simhash_pairs_from_signatures(sh, id_col, max_hamming, bits,
                                          allow_partial)
+
+
+def _pigeonhole_guard(bits: int, max_hamming: int,
+                      allow_partial: bool) -> None:
+    """Scalar validation shared by every pigeonhole entry point — run
+    it BEFORE building signature plans or persisting (audit r8: the
+    pair search persisted the signature table and only then failed
+    validation, leaking a registered cache entry)."""
+    if bits % 4:
+        raise ValueError("bits must be divisible by 4 (pigeonhole chunks)")
+    if max_hamming > 3 and not allow_partial:
+        # 4-chunk pigeonhole is COMPLETE only for distance <= 3 (4
+        # differing bits can land one per chunk, sharing none) — a
+        # silent partial result is worse than an error. Pass
+        # allow_partial=True to opt into best-effort recall (pairs
+        # that happen to share a chunk), e.g. for diagnostics.
+        raise ValueError(
+            "max_hamming > 3 needs more than 4 pigeonhole chunks and "
+            "would return an INCOMPLETE pair set; pass "
+            "allow_partial=True to accept best-effort recall")
 
 
 def simhash_pairs_from_signatures(
@@ -458,18 +481,7 @@ def simhash_pairs_from_signatures(
     callers that already hold the signature table (incremental stores,
     the completeness report's truth side) never pay the per-bit-sum
     aggregation twice."""
-    if bits % 4:
-        raise ValueError("bits must be divisible by 4 (pigeonhole chunks)")
-    if max_hamming > 3 and not allow_partial:
-        # 4-chunk pigeonhole is COMPLETE only for distance <= 3 (4
-        # differing bits can land one per chunk, sharing none) — a
-        # silent partial result is worse than an error. Pass
-        # allow_partial=True to opt into best-effort recall (pairs
-        # that happen to share a chunk), e.g. for diagnostics.
-        raise ValueError(
-            "max_hamming > 3 needs more than 4 pigeonhole chunks and "
-            "would return an INCOMPLETE pair set; pass "
-            "allow_partial=True to accept best-effort recall")
+    _pigeonhole_guard(bits, max_hamming, allow_partial)
     cw = bits // 4
     banded = sh.select(
         id_col, "simhash",
@@ -519,13 +531,7 @@ def simhash_probe_corpus(
     (new_id, corpus_id, hamming ≤ max_hamming). Build corpus_hashes
     with the SAME base_hash/bits.
     """
-    if bits % 4:
-        raise ValueError("bits must be divisible by 4 (pigeonhole chunks)")
-    if max_hamming > 3 and not allow_partial:
-        raise ValueError(
-            "max_hamming > 3 needs more than 4 pigeonhole chunks and "
-            "would return an INCOMPLETE pair set; pass "
-            "allow_partial=True to accept best-effort recall")
+    _pigeonhole_guard(bits, max_hamming, allow_partial)
     cw = bits // 4
     nh = simhash64(new_df, id_col, text_col, base_hash, bits)
 
@@ -554,6 +560,7 @@ def contamination_check(
     text_col: str,
     bench_text_col: str | None = None,
     n: int = 3,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Benchmark-contamination scan: per document, the fraction of its
     n-gram shingles that appear anywhere in *benchmark* (the eval-set
@@ -588,9 +595,15 @@ def contamination_check(
         word_shingles(benchmark.select(bcol), bcol, n)
         .select("shingle").distinct()
     )
+    bench_marked = bench_sh.withColumn("_hit", F.lit(1))
+    if broadcast_benchmark:
+        bench_marked = F.broadcast(bench_marked)
+    # broadcast_benchmark=False is the documented degrade path for a
+    # benchmark whose shingle set exceeds broadcast limits: one
+    # shuffle on the shingle key instead (audit r8 — the docstring
+    # promised this escape hatch but no parameter existed)
     hits = (
-        doc_sh.join(F.broadcast(bench_sh.withColumn("_hit", F.lit(1))),
-                    "shingle", "left")
+        doc_sh.join(bench_marked, "shingle", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -646,7 +659,8 @@ def dedup_keep_best(
     scale) still applies. Null-fp docs pass through as singletons
     under a synthetic key, mirroring ``dedup_exact``.
     """
-    base = ensure_parallelism(df).select(
+    base = ensure_parallelism(
+        df.select(id_col, score_col, text_col)).select(
         F.col(id_col),
         F.col(score_col),
         fingerprint(F.col(text_col)).alias("fp"),
@@ -658,9 +672,16 @@ def dedup_keep_best(
     # ties. The SCORE (numeric by contract) is what gets negated —
     # negating the id would break for string/UUID ids, which every
     # other entry point here supports
+    # a NULL score must LOSE, not win: struct(NULL, id) compares
+    # smallest, so a scoreless copy beat every scored one (audit r8);
+    # +inf in the minimized slot pushes null-score rows last while
+    # real scores order unchanged
     best = F.min_by(
         F.struct(F.col(id_col), F.col(score_col)),
-        F.struct((-F.col(score_col)).alias("_neg_score"), F.col(id_col)),
+        F.struct(
+            F.coalesce(-F.col(score_col).cast("double"),
+                       F.lit(float("inf"))).alias("_neg_score"),
+            F.col(id_col)),
     )
     return (
         base.groupBy(gk.alias("_gk"))
@@ -726,9 +747,12 @@ def source_overlap_matrix(
         .join(sb, "source_b")
         .select(
             "source_a", "source_b", "n_inter",
-            F.floor(
-                F.col("n_inter") * F.lit(1000000.0)
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            # pure long arithmetic: the double product loses integer
+            # exactness past 2^53/1e6 intersections (audit r8); DIV is
+            # floor for the non-negative operands here
+            F.expr(
+                "(n_inter * CAST(1000000 AS BIGINT)) DIV "
+                "(n_a + n_b - n_inter)"
             ).cast("long").alias("jaccard_ppm"),
         )
     )

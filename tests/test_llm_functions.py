@@ -1563,3 +1563,69 @@ def test_bpe_merges_stable_across_partitioning(spark):
     ma = learn_bpe_merges(a, "text", num_merges=20, sample_rows=30)
     mb = learn_bpe_merges(b, "text", num_merges=20, sample_rows=30)
     assert ma == mb
+
+
+def test_keep_best_null_score_loses(spark):
+    """Audit r8: a NULL-score copy must never beat a scored copy
+    (struct(NULL,..) used to compare smallest and win min_by)."""
+    from gobblin_spark.functions.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, None, "same text here"), (2, 9.5, "same text here"),
+         (3, 1.0, "same text here"), (4, None, "other text")],
+        "doc_id long, score double, text string")
+    out = {r.doc_id: r.score
+           for r in dedup_keep_best(df, "doc_id", "text", "score").collect()}
+    assert out == {2: 9.5, 4: None}  # scored copy wins; singleton passes
+
+
+def test_jaccard_threshold_on_true_value(spark):
+    """Audit r8: the threshold applies to the TRUE similarity —
+    0.7999996 must not round up past a 0.8 threshold."""
+    from gobblin_spark.functions.dedup import ngram_jaccard_pairs
+
+    # construct two docs with jaccard exactly 4/5 - epsilon impossible
+    # in tiny ints; instead verify the boundary inclusive semantics:
+    # 3 shared of union 4 = 0.75 -> kept at 0.75, dropped at 0.7500001
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x")], "doc_id long, text string")
+    lo = ngram_jaccard_pairs(df, "doc_id", "text", n=2,
+                             threshold=0.6).collect()
+    hi = ngram_jaccard_pairs(df, "doc_id", "text", n=2,
+                             threshold=0.6000001).collect()
+    assert len(lo) == 1 and abs(lo[0].jaccard - 0.6) < 1e-9
+    assert len(hi) == 0  # true value 0.6 fails a strictly higher bar
+
+
+def test_simhash_validates_before_building(spark):
+    """Audit r8: invalid pigeonhole args fail before any plan is
+    built or persisted — no cache entry leaks."""
+    import pytest as _pytest
+
+    from gobblin_spark.functions.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    before = spark._jsc.sc().getPersistentRDDs().size()
+    with _pytest.raises(ValueError, match="allow_partial"):
+        simhash_near_dup_pairs(df, "doc_id", "text", max_hamming=5)
+    with _pytest.raises(ValueError, match="divisible by 4"):
+        simhash_near_dup_pairs(df, "doc_id", "text", bits=30)
+    assert spark._jsc.sc().getPersistentRDDs().size() == before
+
+
+def test_contamination_shuffle_path_matches_broadcast(spark):
+    """Audit r8: broadcast_benchmark=False (the documented huge-
+    benchmark degrade path) returns identical results."""
+    from gobblin_spark.functions.dedup import contamination_check
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "lorem ipsum dolor sit"),
+         (3, None)], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("quick brown fox runs",)], "text string")
+    a = sorted(map(tuple, contamination_check(
+        docs, bench, "doc_id", "text").collect()))
+    b = sorted(map(tuple, contamination_check(
+        docs, bench, "doc_id", "text",
+        broadcast_benchmark=False).collect()))
+    assert a == b and len(a) == 3
