@@ -351,10 +351,13 @@ def test_epoch_persist_released_and_ledger_pruned(spark, tmp_path):
         allowed_lateness=dt.timedelta(days=10**6))
     stream = streaming.file_stream(spark, indir, schema=df.schema,
                                    max_files_per_trigger=1)
+    before = spark._jsc.sc().getPersistentRDDs().size()
     streaming.run_ingest_blocking(stream, spec, store,
                                   str(tmp_path / "ck"))
+    # relative: other suites legitimately leave persisted frames in
+    # the shared session; THIS drain must add none (4 epochs ran)
     n_cached = spark._jsc.sc().getPersistentRDDs().size()
-    assert n_cached == 0, f"{n_cached} cached batches leaked"
+    assert n_cached <= before, f"{n_cached - before} cached batches leaked"
     # pruned ledgers: marker key bounded by 20, dataset key by 200
     from gobblin_spark.streaming import runner as R
     token = R._run_token(str(tmp_path / "ck"), spark)
