@@ -49,8 +49,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float> columns (double, JVM-side)."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two array<float> columns (double,
+    JVM-side). Zero-norm operands yield NULL (undefined similarity) —
+    under ANSI mode the bare division would throw ArithmeticException
+    on the first all-zero vector (audit r8); _rank_topk drops NULL
+    scores."""
+    d = _norm(a) * _norm(b)
+    return F.when(d > 0, _dot(a, b) / d)
 
 
 def cosine_topk(
@@ -68,21 +73,31 @@ def cosine_topk(
     is scanned once, never shuffled (ranking shuffles only |Q|·|C| slim
     rows of ids+scores, AQE-coalesced).
     """
+    # norms precomputed PER ROW before the cross join: cosine() would
+    # re-fold both norms per pair — 3d multiply-adds instead of d on
+    # the dominant |Q|x|C| stage (audit r8). Same sqrt of the same
+    # sums, so results are arithmetic-identical. The broadcast hint
+    # goes ON TOP of the projection so join planning always sees it.
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+            _norm(F.col(vec_col)).alias("_qn"),
         )
     )
     c = ensure_parallelism(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv"),
+                      _norm(F.col(vec_col)).alias("_cn"))
     )
     pairs = q.crossJoin(c)
     if exclude_self:
         pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    den = F.col("_qn") * F.col("_cn")
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("_qv"), F.col("_cv")).alias("_cos"),
+        F.when(den > 0,
+               _dot(F.col("_qv"), F.col("_cv")) / den).alias("_cos"),
     )
     return _rank_topk(scored, k)
 
@@ -151,7 +166,11 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
         F.col("_cos").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # a null cosine (zero-norm or malformed vector) must never
+        # occupy a rank slot — better a short result than a phantom
+        # neighbor (audit r8)
+        scored.filter(F.col("_cos").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
@@ -183,6 +202,7 @@ def lsh_cosine_topk(
         raise ValueError("n_planes must be divisible by bands")
     planes = _hyperplanes(dim, n_planes, seed)
     _check_dim(corpus, vec_col, dim)
+    _check_dim(queries, vec_col, dim)  # audit r8: both sides degenerate
 
     # slim candidate generation: only ids ride the band shuffle; the
     # d-dim vectors are re-attached per surviving pair (same shuffle-
@@ -354,6 +374,12 @@ def ivf_topk(
         centroids = train_ivf_centroids(
             corpus, vec_col, n_centroids=n_centroids, seed=seed
         )
+    # audit r8: a wrong-dim vector nulls every centroid dot, the
+    # probe sort degenerates to cells 0..n_probe-1 and the caller gets
+    # arbitrary neighbors with cosine=null — same silent class
+    # _check_dim guards in the LSH path
+    _check_dim(corpus, vec_col, len(centroids[0]))
+    _check_dim(queries, vec_col, len(centroids[0]))
     inv = ivf_assign(ensure_parallelism(corpus), id_col, vec_col, centroids)
     probes = queries.select(
         F.col(id_col).alias("query_id"),
@@ -444,6 +470,9 @@ def kmeans_fit_predict(
     (~thousands) and the assignment join flips to a broadcast table —
     same plan ivf_assign uses.
     """
+    if iterations < 1:
+        raise ValueError(
+            "iterations counts ASSIGNMENT passes and must be >= 1")
     vecs = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
@@ -533,7 +562,16 @@ def semantic_dedup_clustered(
         raw.select(id_col, "_e", _norm(F.col("_e")).alias("_n"))
         .select(
             id_col,
-            F.transform("_e", lambda x: x / F.col("_n")).alias("_u"),
+            # zero-norm guard (audit r8): x/0 under non-ANSI divide
+            # yields an all-NULL unit vector that crashes the blas
+            # engine (object-dtype gram) and silently drops pairs in
+            # the column engine; an all-zero unit keeps the row with
+            # cosine 0 to everything in BOTH engines
+            F.when(
+                F.col("_n") > 0,
+                F.transform("_e", lambda x: x / F.col("_n")),
+            ).otherwise(
+                F.transform("_e", lambda x: F.lit(0.0))).alias("_u"),
         )
         .join(clusters, id_col)
         .persist()
@@ -550,7 +588,11 @@ def semantic_dedup_clustered(
                 return pd.DataFrame({id_col: ids[:0]})
             g = u @ u.T
             ia, ib = np.triu_indices(len(ids), k=1)
-            hit = g[ia, ib] >= threshold
+            # strict id inequality, like the column engine's
+            # id_a < id_b: duplicate-id rows otherwise nominated
+            # THEMSELVES and the anti-join erased the document with
+            # no survivor (audit r8)
+            hit = (g[ia, ib] >= threshold) & (ids[ia] != ids[ib])
             return pd.DataFrame({id_col: np.unique(ids[ib[hit]])})
 
         id_type = corpus.schema[id_col].dataType.simpleString()

@@ -1629,3 +1629,63 @@ def test_contamination_shuffle_path_matches_broadcast(spark):
         docs, bench, "doc_id", "text",
         broadcast_benchmark=False).collect()))
     assert a == b and len(a) == 3
+
+
+def test_semantic_dedup_zero_norm_and_dup_ids(spark):
+    """Audit r8: an all-zero embedding must not crash the blas engine
+    or silently diverge from the column engine, and duplicate-id rows
+    must not erase the document with no survivor."""
+    from gobblin_spark.functions.similarity import semantic_dedup_clustered
+
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.0001]), (3, [0.0, 0.0]),
+            (4, [0.0, 1.0]), (4, [0.0, 1.0])]  # dup id 4
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(r.vec_id for r in semantic_dedup_clustered(
+        df, "vec_id", "embedding", k=1, threshold=0.95,
+        pair_engine="blas").collect())
+    b = sorted(r.vec_id for r in semantic_dedup_clustered(
+        df, "vec_id", "embedding", k=1, threshold=0.95,
+        pair_engine="column").collect())
+    assert a == b  # engines agree
+    assert 3 in a  # zero-norm row survives (cosine 0 to everything)
+    assert 4 in a  # dup-id doc keeps its rows
+    assert 2 not in a and 1 in a  # real near-dup still dropped
+
+
+def test_topk_dim_guards_and_null_rank(spark):
+    """Audit r8: wrong-dim queries fail loudly in LSH and IVF paths;
+    null cosines never occupy a rank slot."""
+    import pytest as _pytest
+
+    from gobblin_spark.functions import similarity as S
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    bad_q = spark.createDataFrame(
+        [(99, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="degenerate"):
+        S.lsh_cosine_topk(bad_q, corpus, "vec_id", "embedding", dim=2)
+    cents = S.train_ivf_centroids(corpus, "embedding", n_centroids=2)
+    with _pytest.raises(ValueError, match="degenerate"):
+        S.ivf_topk(bad_q, corpus, "vec_id", "embedding",
+                   centroids=cents)
+    # zero-norm corpus vector: excluded from ranks, not a phantom
+    corpus0 = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = S.cosine_topk(corpus0.filter("vec_id = 1"), corpus0,
+                        "vec_id", "embedding", k=3).collect()
+    assert sorted(r.neighbor_id for r in out) == [3]
+    assert all(r.cosine is not None for r in out)
+
+
+def test_kmeans_rejects_zero_iterations(spark):
+    import pytest as _pytest
+
+    from gobblin_spark.functions.similarity import kmeans_fit_predict
+
+    df = spark.createDataFrame([(1, [1.0])],
+                               "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="ASSIGNMENT"):
+        kmeans_fit_predict(df, "vec_id", "embedding", k=1, iterations=0)
