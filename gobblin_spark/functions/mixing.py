@@ -69,6 +69,11 @@ def sample_mixture(
     Plan shape: tiny groupBy(domain) inventory → broadcast join of the
     per-domain threshold → md5-prefix filter. The corpus is never
     shuffled and never collected."""
+    if not targets or any(w < 0 for w in targets.values()) \
+            or sum(targets.values()) <= 0:
+        raise ValueError(
+            "targets must be a non-empty mapping of non-negative "
+            "weights with a positive sum")
     total_w = float(sum(targets.values()))
     tgt = df.sparkSession.createDataFrame(
         [(d, w / total_w) for d, w in sorted(targets.items())],
@@ -153,7 +158,13 @@ def pack_assignments(
             F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards)).cast("int"),
         )
         w = Window.partitionBy("pack_shard").orderBy(order_col)
-    cum = F.sum(token_col).over(w)
+    # ROWS frame: the default RANGE frame makes duplicate order
+    # values PEERS sharing one cum — tied docs would get identical
+    # (overlapping) pack positions and packs silently overflow
+    # seq_len (audit r8). order_col must be unique within a shard
+    # for deterministic packing (ids and shuffle_pos both are).
+    cum = F.sum(token_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return df.withColumn(
         "pack_id", F.floor((cum - F.col(token_col)) / F.lit(seq_len)).cast("int")
     ).withColumn(
@@ -175,7 +186,9 @@ def length_histogram(
     floor(log2(x)) whose last-ulp behavior differs between engines'
     libm. One groupBy; output is |groups|·64 rows at most."""
     c = F.col(len_col)
-    bucket = F.when(c <= 0, F.lit(-1)).otherwise(
+    # null lengths land in the documented -1 'empty' bucket, not an
+    # undocumented null group (audit r8)
+    bucket = F.when(c.isNull() | (c <= 0), F.lit(-1)).otherwise(
         (F.length(F.bin(c)) - F.lit(1)).cast("int")
     )
     return (
@@ -238,6 +251,7 @@ def pack_manifest(
     token_col: str,
     id_col: str = "doc_id",
     shard_col: str = "pack_shard",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Materialize the per-pack manifest a sequence-packing writer
     consumes: for each (shard, pack) the member docs IN ORDER, their
@@ -245,10 +259,17 @@ def pack_manifest(
     job actually ships to writers — the concatenation itself then
     streams doc payloads in manifest order without any further
     shuffle. One groupBy on the (shard, pack) key; doc order inside a
-    pack is the id order the cumulative sum was computed in, rebuilt
-    here via array_sort (collect_list order is not deterministic
-    across retries)."""
-    ids_sorted = F.array_sort(F.collect_list(F.col(id_col)))
+    pack is rebuilt via array_sort over the ORDER the cumulative sum
+    was computed in (collect_list order is not deterministic across
+    retries) — pass the pack_assignments ``order_col`` when it differs
+    from ``id_col``, or pack_offset and manifest order disagree and a
+    writer streaming in manifest order lays docs at each other's
+    offsets (audit r8)."""
+    okey = F.col(order_col if order_col else id_col)
+    ids_sorted = F.transform(
+        F.array_sort(F.collect_list(F.struct(
+            okey.alias("_o"), F.col(id_col).alias("_i")))),
+        lambda s: s["_i"])
     return (
         assignments.groupBy(shard_col, "pack_id")
         .agg(
@@ -285,9 +306,13 @@ def assign_split(
     b_train = format(int(256 * train), "02x")
     b_val = format(int(256 * (train + val)), "02x")
     bucket = F.substring(F.md5(F.col(id_col).cast("string")), 1, 2)
+    # null ids get a NULL split — visible in any split audit — rather
+    # than silently inflating 'test' through the otherwise() branch
+    # (audit r8)
     return df.withColumn(
         split_col,
-        F.when(bucket < F.lit(b_train), F.lit("train"))
+        F.when(F.col(id_col).isNull(), F.lit(None).cast("string"))
+        .when(bucket < F.lit(b_train), F.lit("train"))
         .when(bucket < F.lit(b_val), F.lit("val"))
         .otherwise(F.lit("test")),
     )
@@ -298,7 +323,7 @@ def temperature_sample(
     id_col: str,
     source_col: str,
     target_total: int,
-    split_hex_chars: int = 4,
+    split_hex_chars: int = 8,
 ) -> DataFrame:
     """Temperature-weighted source rebalancing (T=2 ⇒ weights ∝
     sqrt(n_s) — the multilingual/multi-source mixing rule of
@@ -317,6 +342,12 @@ def temperature_sample(
       like assign_split — rerunning over a grown corpus never flips an
       existing row's fate for the same thresholds)
 
+    Granularity is 16**-split_hex_chars of a source: the old 4-char
+    default floored keep-fractions below 2^-16 to ZERO, silently
+    emptying abundant sources at 100 TB scales (audit r8) — 8 chars
+    (2^-32, sample_mixture's width) makes that unreachable in
+    practice.
+
     A threshold ≥ 16**split_hex_chars keeps the whole source (rare sources saturate
     instead of upsampling — deterministic sampling cannot mint rows;
     callers wanting true upsampling repeat epochs, cf. pack/shuffle).
@@ -326,7 +357,11 @@ def temperature_sample(
     """
     import math
 
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n")).collect()
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("_n")).collect()
+    # null sources cannot join a threshold row — exclude them
+    # explicitly (they used to crash the driver-side sorted())
+    counts = [r for r in counts if r[source_col] is not None]
     weights = {r[source_col]: int(math.floor(math.sqrt(r["_n"]) * 1000))
                for r in counts}
     ns = {r[source_col]: r["_n"] for r in counts}
@@ -336,18 +371,19 @@ def temperature_sample(
     # parse to a value in [0, 16**split_hex_chars).
     scale = 16 ** split_hex_chars
     thr_rows = [
-        (s, ns[s], (target_total * weights[s] * scale) // (sum_w * ns[s]))
+        (s, (target_total * weights[s] * scale) // (sum_w * ns[s]))
         for s in sorted(ns)
     ]
     thr = spark.createDataFrame(
-        thr_rows, f"{source_col} string, n_docs long, threshold long")
+        thr_rows, f"{source_col} string, _gs_threshold long")
     bucket = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, split_hex_chars),
         16, 10,
     ).cast("long")
+    # the broadcast bookkeeping column is dropped: leaking it polluted
+    # the caller's schema and collided with real columns (audit r8)
     return (
         df.join(F.broadcast(thr), source_col)
-        .withColumn("_bucket", bucket)
-        .filter(F.col("_bucket") < F.col("threshold"))
-        .drop("_bucket")
+        .filter(bucket < F.col("_gs_threshold"))
+        .drop("_gs_threshold")
     )

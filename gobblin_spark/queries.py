@@ -6754,17 +6754,17 @@ def ngram_containment_docs(spark, sf_dir):
       SELECT sum(w) AS sum_w FROM sq
     ), thr AS (
       SELECT source, n AS n_docs,
-             CAST((400 * w * 65536) // ((SELECT sum_w FROM tot) * n)
-                  AS BIGINT) AS threshold_64k
+             CAST((400 * w * 4294967296) // ((SELECT sum_w FROM tot) * n)
+                  AS BIGINT) AS threshold
       FROM sq
     ), kept AS (
       SELECT d.source, count(*) AS n_kept
       FROM documents d JOIN thr USING (source)
-      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
-                 AS BIGINT) < thr.threshold_64k
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                 AS BIGINT) < thr.threshold
       GROUP BY d.source
     )
-    SELECT thr.source, thr.n_docs, thr.threshold_64k,
+    SELECT thr.source, thr.n_docs, thr.threshold,
            COALESCE(kept.n_kept, 0) AS n_kept
     FROM thr LEFT JOIN kept USING (source)
     """,
@@ -6793,14 +6793,14 @@ def _temperature_report(docs, kept):
                for r in counts}
     ns = {r["source"]: r["_n"] for r in counts}
     sum_w = sum(weights.values())
-    rows = [(s, ns[s], (400 * weights[s] * 65536) // (sum_w * ns[s]))
+    rows = [(s, ns[s], (400 * weights[s] * (16 ** 8)) // (sum_w * ns[s]))
             for s in sorted(ns)]
     full_thr = docs.sparkSession.createDataFrame(
-        rows, "source string, n_docs long, threshold_64k long")
+        rows, "source string, n_docs long, threshold long")
     kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
     return (
         full_thr.join(kc, "source", "left")
-        .select("source", "n_docs", "threshold_64k",
+        .select("source", "n_docs", "threshold",
                 F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"))
     )
 
@@ -8687,7 +8687,7 @@ def schema_recursion_truncate(spark, sf_dir):
                   AS BIGINT) % 8 AS INT) AS shard
       FROM documents CROSS JOIN ep
     ), p AS (
-      SELECT epoch, shard, doc_id, n_chars,
+      SELECT epoch, shard, doc_id, n_chars, key,
              sum(n_chars) OVER (PARTITION BY epoch, shard
                                 ORDER BY key, doc_id) AS cum
       FROM k
@@ -8696,7 +8696,7 @@ def schema_recursion_truncate(spark, sf_dir):
            CAST(floor((cum - n_chars) / 4096) AS INT) AS pack_id,
            count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS pack_tokens,
-           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY key, doc_id)
              AS doc_ids
     FROM p GROUP BY epoch, shard, pack_id
     """,
@@ -8720,7 +8720,8 @@ def mixing_pack_epochs(spark, sf_dir):
         asg = X.pack_assignments(
             sh, "n_chars", seq_len=4096,
             order_col="shuffle_pos", shard_col="shuffle_shard")
-        man = X.pack_manifest(asg, "n_chars", shard_col="shuffle_shard")
+        man = X.pack_manifest(asg, "n_chars", shard_col="shuffle_shard",
+                              order_col="shuffle_pos")
         man = man.select(
             F.lit(epoch).alias("epoch"),
             F.col("shuffle_shard").alias("shard"),

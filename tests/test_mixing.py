@@ -212,3 +212,90 @@ def test_temperature_sample_flattens_imbalance(spark):
     kept2 = temperature_sample(df, "doc_id", "source", target_total=500)
     assert sorted(r.doc_id for r in kept.collect()) == \
         sorted(r.doc_id for r in kept2.collect())
+
+
+def test_temperature_sample_fine_granularity_and_clean_schema(spark):
+    """Audit r8: keep-fractions below 2^-16 floored to ZERO under the
+    old 4-hex default (abundant sources silently emptied); the
+    bookkeeping columns must not leak into the output; null sources
+    are excluded instead of crashing the driver sort."""
+    from gobblin_spark.functions.mixing import temperature_sample
+
+    rows = ([(i, "big") for i in range(5000)]
+            + [(90000 + i, "small") for i in range(50)]
+            + [(99999, None)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_sample(df, "doc_id", "source", target_total=60)
+    assert sorted(kept.columns) == ["doc_id", "source"]  # no leaks
+    by = {r.source: r.n for r in
+          kept.groupBy("source").count().withColumnRenamed(
+              "count", "n").collect()}
+    # the abundant source contributes SOMETHING (old default: often 0
+    # at tiny fractions) and the rare one is not upsampled
+    assert by.get("big", 0) > 0
+    assert by.get("small", 0) <= 50
+    assert None not in by
+
+
+def test_pack_assignments_rows_frame_ties(spark):
+    """Audit r8: duplicate order values are no longer RANGE peers
+    sharing one cum — each row gets its own running total, so packs
+    cannot silently overflow seq_len."""
+    from gobblin_spark.functions.mixing import pack_assignments
+
+    df = spark.createDataFrame(
+        [(1, 300, 7), (2, 300, 7), (3, 300, 8)],  # tie on order 7
+        "doc_id long, n_toks long, ord long")
+    asg = pack_assignments(df, "n_toks", seq_len=512, order_col="ord",
+                           shard_col=None, n_shards=1, allow_global=False)
+    # per-pack token totals never exceed seq_len + one doc overflow
+    tot = asg.groupBy("pack_shard", "pack_id").sum("n_toks").collect()
+    assert all(r["sum(n_toks)"] <= 600 for r in tot)
+    offs = sorted((r.pack_id, r.pack_offset) for r in asg.collect())
+    assert len(set(offs)) == 3  # no two docs share a slot
+
+
+def test_pack_manifest_orders_by_packing_order(spark):
+    """Audit r8: manifest member order follows the order the cum-sum
+    packed in, so a writer streaming manifest order matches
+    pack_offset."""
+    from gobblin_spark.functions.mixing import (
+        pack_assignments, pack_manifest)
+
+    df = spark.createDataFrame(
+        [(10, 100, 3), (11, 100, 1), (12, 100, 2)],
+        "doc_id long, n_toks long, pos long")
+    asg = pack_assignments(df, "n_toks", seq_len=1000, order_col="pos",
+                           shard_col=None, n_shards=1)
+    man = pack_manifest(asg, "n_toks", order_col="pos").collect()
+    assert len(man) == 1 and man[0].doc_ids == "11,12,10"
+
+
+def test_assign_split_null_ids_visible(spark):
+    from gobblin_spark.functions.mixing import assign_split
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    got = {r.doc_id: r.split
+           for r in assign_split(df, "doc_id").collect()}
+    assert got[None] is None and got[1] in ("train", "val", "test")
+
+
+def test_length_histogram_null_bucket(spark):
+    from gobblin_spark.functions.mixing import length_histogram
+
+    df = spark.createDataFrame(
+        [("en", None), ("en", 0), ("en", 5)], "lang string, n_chars long")
+    out = {r.bucket: r.n_docs for r in length_histogram(df).collect()}
+    assert out[-1] == 2 and out[2] == 1 and None not in out
+
+
+def test_sample_mixture_validates_targets(spark):
+    import pytest as _pytest
+
+    from gobblin_spark.functions.mixing import sample_mixture
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with _pytest.raises(ValueError, match="non-empty"):
+        sample_mixture(df, {}, budget=10)
+    with _pytest.raises(ValueError, match="non-negative"):
+        sample_mixture(df, {"a": -1.0, "b": 2.0}, budget=10)
