@@ -9835,44 +9835,40 @@ HEADLINE = [
 #      a new query must replace a retired redundant one.
 # Rotate until every entry has a green row in some CORRECTNESS file.
 DRIVER_FIRST = [
-    # ROUND-8 WINDOW (verdict-r7 #1): the 24 pre-staged tail entries —
-    # the whole round-7 feature surface (Iceberg partition transforms /
-    # evolution / metadata tables / WAP, all four gobblin_iceberg DSv2
-    # faces, the codec family, streaming WAP, curation compositions) —
-    # every one judge-verified green via check_oracles in r7; then the
-    # 3 new hash-checked shadows (verdict-r7 #4: the last rows-only
-    # entries without a hash-green sibling), then stalest-green
-    # canaries. After this round all 234 entries carry a driver row.
-    # -- the 24 never-run entries (rotate_window.py order)
-    "multimodal_decode_png", "multimodal_decode_jpeg",
-    "multimodal_decode_jpeg_color", "multimodal_decode_jpeg420",
-    "mixing_pack_epochs", "curation_dedup_split",
-    "corpus_drift_weekly", "pull_flow_csv",
-    "multimodal_decode_jpeg_prog", "multimodal_decode_gif",
-    "iceberg_bucket_prune_read", "iceberg_time_partition_read",
-    "iceberg_partitions_table", "iceberg_partition_evolution_read",
-    "multimodal_audio_spectral", "multimodal_decode_tiff",
-    "streaming_iceberg_ingest", "iceberg_wap_publish",
-    "iceberg_datasource_read", "iceberg_datasource_write_roundtrip",
-    "iceberg_stream_incremental", "streaming_wap_publish",
-    "curation_lakehouse_roundtrip", "iceberg_stream_sink_native",
-    # -- new hash-checked shadows for the last 3 rows-only entries
-    #    (fixed-merge BPE, pinned-corpus zlib, md5-portable Bloom)
-    "text_bpe_tokens_checked", "text_compression_ratio_checked",
-    "bloom_fpr_report_checked",
+    # ROUND-9 WINDOW (verdict-r8 #1): the 3 pre-staged r8 tail entries
+    # (time travel by timestamp, changelog append-diff, distributed
+    # scan planning) — each judge-verified green via check_oracles in
+    # r8 — then stalest-green canaries (rotate_window.py order). After
+    # this round ALL 237 catalog entries carry a driver row: the
+    # catalog is fully driver-certified for the first time.
+    # -- the 3 never-run entries
+    "iceberg_distributed_plan_read", "iceberg_time_travel_read",
+    "iceberg_changelog_read",
     # -- stalest-green canaries (oldest certifications first)
-    "text_lang_id", "text_fingerprint",
-    "ngram_jaccard_docs", "minhash_lsh_docs",
-    "simhash_docs", "minhash_lsh_checked",
-    "simhash_checked", "cosine_topk_embeddings",
-    "ivf_topk_embeddings", "embedding_near_dup",
-    "semantic_dedup_docs", "text_redact_pii",
-    "text_gopher_quality", "text_gopher_repetition",
-    "text_repetition_ratio", "multimodal_metadata",
-    "multimodal_frame_plan", "contamination_check_docs",
-    "q3_segment_revenue", "q6_forecast_revenue",
-    "q10_returned_items", "q4_order_priority",
-    "q12_priority_by_flag",
+    "q14_promo_effect", "q18_large_orders",
+    "q19_bracketed_revenue", "q5_region_volume",
+    "incremental_pull_union", "jdbc_pull_partitioned",
+    "streaming_ingest_parity", "kafka_offsets_pull",
+    "skew_salted_agg", "window_sliding_daily",
+    "schema_evolution_union", "crypto_roundtrip",
+    "pgp_roundtrip", "async_enrich",
+    "object_delete_manifest", "rest_source_pages",
+    "stateful_dedup_users", "pipeline_fork_publish",
+    "hive_register_query", "format_convert_roundtrip",
+    "avro_binary_roundtrip", "iceberg_snapshot_read",
+    "avro_container_roundtrip", "jobconf_pull_compile",
+    "flow_multihop_compile", "metrics_observed_rollup",
+    "mixing_sample_proportional", "mixing_pack_assignments",
+    "cleaning_c4_lines", "cleaning_dedup_lines",
+    "cleaning_blocklist", "text_vocab_counts",
+    "text_tfidf_top_terms", "mixing_length_histogram",
+    "bloom_incremental_dedup", "envelope_decode_registry",
+    "quality_task_policies", "compaction_dedup_events",
+    "purge_by_id", "dedup_exact_docs",
+    "multimodal_decode_wav", "multimodal_decode_bmp",
+    "q1_pricing_summary", "sink_roundtrip_partitioned",
+    "text_perplexity_scores", "q13_customer_distribution",
+    "q16_supplier_part_counts",
 ]
 assert len(DRIVER_FIRST) == 50, len(DRIVER_FIRST)
 assert set(DRIVER_FIRST) <= set(QUERIES), sorted(set(DRIVER_FIRST) - set(QUERIES))
