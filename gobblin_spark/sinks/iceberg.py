@@ -725,6 +725,42 @@ def _manifest_live_entries(raw: bytes, spec_id: int,
     return out
 
 
+def _fs_from_uri(uri: str):
+    """URI → (pyarrow FileSystem, in-fs path). Separate hook so tests
+    can inject a mock scheme (pyarrow's FileSystem type is immutable —
+    its classmethods cannot be monkeypatched directly)."""
+    import pyarrow.fs as pafs
+    return pafs.FileSystem.from_uri(uri)
+
+
+def _read_bytes_any(path: str) -> bytes:
+    """Executor-safe byte read for ANY filesystem scheme.
+
+    The distributed scan-planning fan-out runs inside Python workers,
+    where the driver's py4j gateway (and therefore the Hadoop
+    FileSystem handle `IcebergTable._read_bytes` uses) does not exist.
+    `pyarrow.fs.FileSystem.from_uri` resolves file:/s3:/hdfs:/gs: URIs
+    natively from C++, so the fan-out works on the remote stores where
+    distributed planning actually matters — not just `file:`. Bare
+    paths skip URI parsing (a local path with a `:` in a filename must
+    not be mis-read as a scheme); unknown schemes fall back to fsspec
+    when available so tests/plugins can register custom protocols."""
+    if "://" not in path and not path.startswith("file:"):
+        with open(path, "rb") as fh:
+            return fh.read()
+    try:
+        fs, rel = _fs_from_uri(path)
+        with fs.open_input_stream(rel) as fh:
+            return fh.read()
+    except (ImportError, OSError, ValueError) as arrow_err:
+        try:
+            import fsspec
+        except ImportError:
+            raise arrow_err
+        with fsspec.open(path, "rb") as fh:
+            return fh.read()
+
+
 class _NoCommit(Exception):
     """Raised by a _retry_metadata mutate closure to return a result
     WITHOUT committing a new metadata version (no-op short-circuit)."""
@@ -1607,12 +1643,10 @@ class IcebergTable:
 
             def _parse(item):
                 path, spec_id = item
-                local = (path[len("file:"):]
-                         if path.startswith("file:") else path)
-                with open(local, "rb") as fh:
-                    raw = fh.read()
-                return _manifest_live_entries(raw, spec_id,
-                                              infos[spec_id])
+                # scheme-aware executor read (pyarrow.fs): the fan-out
+                # must open s3:/hdfs: manifests, not just file: ones
+                return _manifest_live_entries(_read_bytes_any(path),
+                                              spec_id, infos[spec_id])
 
             sc = self.spark.sparkContext
             n = min(len(open_list), sc.defaultParallelism * 2)

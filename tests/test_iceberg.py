@@ -1739,6 +1739,72 @@ def test_distributed_scan_planning_matches_driver(spark, tmp_path):
         IcebergTable(spark, loc, planning="magic")
 
 
+def test_distributed_plan_read_is_scheme_aware(tmp_path, monkeypatch):
+    """The fan-out's executor read (verdict-r8 #2) must resolve ANY
+    filesystem scheme via pyarrow.fs — distributed planning exists for
+    the s3:/hdfs: regime, so a `file:`-prefix-strip would crash there.
+    A mock scheme proves the path goes through FileSystem.from_uri;
+    the fsspec fallback is covered with a stub module."""
+    import sys
+    import types as _pytypes
+
+    import pyarrow.fs as pafs
+
+    from gobblin_spark.sinks import iceberg as ice
+    from gobblin_spark.sinks.iceberg import _read_bytes_any
+
+    p = tmp_path / "m.avro"
+    p.write_bytes(b"\x01manifest-bytes")
+
+    # real pyarrow path, Hadoop-style single-slash URI
+    assert _read_bytes_any("file:" + str(p)) == b"\x01manifest-bytes"
+
+    # non-file scheme: the from_uri hook is consulted (mock FS)
+    seen = []
+    real_from_uri = ice._fs_from_uri
+
+    def fake_from_uri(uri):
+        seen.append(uri)
+        if uri.startswith("mock://"):
+            return pafs.LocalFileSystem(), uri[len("mock://host"):]
+        return real_from_uri(uri)
+
+    monkeypatch.setattr(ice, "_fs_from_uri", fake_from_uri)
+    assert _read_bytes_any("mock://host" + str(p)) == b"\x01manifest-bytes"
+    assert seen == ["mock://host" + str(p)]
+
+    # bare local path with a colon in the NAME must not URI-parse
+    weird = tmp_path / "odd:name.avro"
+    weird.write_bytes(b"zz")
+    assert _read_bytes_any(str(weird)) == b"zz"
+    assert len(seen) == 1
+
+    # unknown-to-arrow scheme falls back to fsspec when importable
+    def raising_from_uri(uri):
+        raise OSError("Unrecognized filesystem type in URI")
+
+    monkeypatch.setattr(ice, "_fs_from_uri", raising_from_uri)
+
+    class _FakeFile:
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+        def read(self):
+            return b"via-fsspec"
+
+    fake_fsspec = _pytypes.ModuleType("fsspec")
+    fake_fsspec.open = lambda path, mode: _FakeFile()
+    monkeypatch.setitem(sys.modules, "fsspec", fake_fsspec)
+    assert _read_bytes_any("weird://x/y") == b"via-fsspec"
+
+    # ... and re-raises arrow's error when fsspec is absent too
+    monkeypatch.setitem(sys.modules, "fsspec", None)
+    import pytest as _pytest
+    with _pytest.raises((OSError, ImportError)):
+        _read_bytes_any("weird://x/y")
+
+
 def test_four_writer_mixed_commit_stress(spark, tmp_path):
     """N=4 concurrent writers, MIXED operations (verdict-r7 #6): two
     appenders, one equality-deleter, one schema-evolver race through
