@@ -78,6 +78,10 @@ def bloom_build(
     min(|input|·k, num_bits/64) slim rows."""
     pos = df.select(F.explode(
         _positions(col, num_bits, k, seed, base_hash)).alias("pos"))
+    # md5_60 hashes a NULL key to NULL positions (md5(NULL) is NULL) —
+    # drop them rather than emit a junk (NULL, NULL) sketch word; the
+    # probe side routes null keys to the exact anti-join instead
+    pos = pos.where(F.col("pos").isNotNull())
     return (
         pos.select(
             (F.col("pos") / 64).cast("int").alias("word_idx"),
@@ -125,7 +129,14 @@ def bloom_split(
     verdict = (
         joined.withColumn("_hit", bit_set.cast("int"))
         .groupBy(col)
-        .agg((F.sum("_hit") == F.lit(k)).alias("_maybe"))
+        # a NULL verdict happens only for a NULL key on the md5_60
+        # path (md5(NULL) is NULL, so every probe is NULL and the sum
+        # over the group is NULL). Coalescing to maybe_seen=True keeps
+        # the row flowing — the exact eqNullSafe anti-join downstream
+        # settles null-vs-history membership — where a NULL verdict
+        # would fail BOTH filters below and silently drop the row.
+        .agg(F.coalesce(F.sum("_hit") == F.lit(k),
+                        F.lit(True)).alias("_maybe"))
     )
     # eqNullSafe: a plain equi-join would silently drop null-valued rows
     flagged = new_df.join(

@@ -61,6 +61,32 @@ def test_bloom_incremental_dedup_null_in_history(spark):
         (False, 2), (True, None)]
 
 
+def test_bloom_md5_60_null_keys_not_dropped(spark):
+    """Advice-r8 (medium): on base_hash='md5_60', md5(NULL) is NULL so
+    every probe position is NULL and the group verdict went NULL —
+    failing both the unseen and maybe filters, silently dropping every
+    null-key row. Null rows must keep flowing to the exact anti-join,
+    matching the xxhash64 path's r7 eqNullSafe semantics."""
+    history = spark.createDataFrame([(1,), (None,)], "k int")
+    new = spark.createDataFrame([(None,), (2,), (1,)], "k int")
+    out = bloom.bloom_incremental_dedup(new, history, "k",
+                                        base_hash="md5_60")
+    assert [r.k for r in out.collect()] == [2]
+    # null NOT in history survives the dedup
+    out2 = bloom.bloom_incremental_dedup(
+        new, spark.createDataFrame([(1,)], "k int"), "k",
+        base_hash="md5_60")
+    assert sorted((r.k is None, r.k) for r in out2.collect()) == [
+        (False, 2), (True, None)]
+    # split-level: the null row lands in exactly one half
+    sketch = bloom.bloom_build(history, "k", base_hash="md5_60")
+    # and the null history key emits no junk NULL sketch word
+    assert sketch.filter("word_idx IS NULL").count() == 0
+    unseen, maybe = bloom.bloom_split(new, sketch, "k",
+                                      base_hash="md5_60")
+    assert unseen.count() + maybe.count() == 3
+
+
 def test_blocklist_filter(docs):
     kept = cleaning.blocklist_filter(docs, ["slow", "broken"])
     ids = {r.doc_id for r in kept.select("doc_id").collect()}
