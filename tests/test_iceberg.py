@@ -1004,6 +1004,26 @@ def test_bucket_transform_spec_vectors():
     assert I._iceberg_bucket(None, "long", 8) is None
 
 
+def test_bucket_int64_vectorized_matches_scalar():
+    """Verdict-r8 #4: the numpy-batched write-path bucket hash must be
+    bit-identical to the scalar Appendix-B path over the full int64
+    shape space — negatives, zero, int32/int64 extremes, and the
+    published 34→2017239379 vector."""
+    import numpy as np
+
+    vals = [0, 1, -1, 34, 7, -7, 2**31 - 1, -(2**31), 2**62, -(2**62),
+            2**63 - 1, -(2**63), 123456789012345, -987654321098765]
+    for n in (4, 16, 1024):
+        vec = I._bucket_int64_np(np.array(vals, dtype=np.int64), n)
+        assert list(vec) == [I._iceberg_bucket(v, "long", n)
+                             for v in vals]
+    # random sweep pins the wraparound arithmetic broadly
+    rng = np.random.RandomState(42)
+    r = rng.randint(-(2**62), 2**62, size=2000, dtype=np.int64)
+    assert list(I._bucket_int64_np(r, 16)) == [
+        I._iceberg_bucket(int(v), "long", 16) for v in r]
+
+
 def test_truncate_transform_semantics():
     """truncate[W]: floor multiples for integers (negatives too — the
     spec's own example is truncate[10](-1) = -10), first W CHARACTERS
@@ -1387,6 +1407,12 @@ def test_branches_tags_and_wap(spark, tmp_path):
         t.read(ref="audit")
     with _pytest.raises(ValueError):
         t.drop_ref("main")
+    # advice-r8: dropping an ABSENT ref is a version-preserving no-op
+    # (no spurious metadata churn / CAS contention)
+    v = t._version()
+    t.drop_ref("audit")
+    t.drop_ref("never-existed")
+    assert t._version() == v
 
 
 def test_bucket_on_date_source(spark, tmp_path):
@@ -2103,6 +2129,51 @@ def test_time_travel_by_timestamp_and_changelog(spark, tmp_path):
         t.changelog(s1).collect()
     # ... but a window strictly before it still replays
     assert [r.k for r in t.changelog(s1, s2).collect()] == [3]
+
+
+def test_changelog_identity_partitioned(spark, tmp_path):
+    """Verdict-r8 #3: changelog over an identity-partitioned table —
+    the files drop their partition column, so the scan must re-attach
+    it from the path exactly as read() does (null partitions
+    included), and the commit stamps must survive the single
+    multi-path scan + broadcast file→snapshot lookup."""
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(1, "us"), (2, "de"), (3, None), (4, "us")],
+        "k long, country string")
+    loc = str(tmp_path / "clident")
+    t = IcebergTable.create(spark, loc, df.schema,
+                            partition_cols=["country"])
+    t.append_dataframe(df.filter("k <= 2"))
+    s1 = t.metadata()["current-snapshot-id"]
+    t.append_dataframe(df.filter("k = 3"))
+    s2 = t.metadata()["current-snapshot-id"]
+    t.append_dataframe(df.filter("k = 4"))
+    s3 = t.metadata()["current-snapshot-id"]
+
+    cl = t.changelog(s1).collect()
+    assert sorted((r.k, r.country is None, r.country, r._change_type)
+                  for r in cl) == [
+        (3, True, None, "insert"), (4, False, "us", "insert")]
+    assert {r.k: r._commit_snapshot_id for r in cl} == {3: s2, 4: s3}
+    # full-history changelog equals the read, partition values intact
+    full = t.changelog(None)
+    assert sorted((r.k, r.country) for r in full.collect()) == \
+        sorted((r.k, r.country) for r in t.read().collect())
+    # plan width: ONE scan regardless of the commit count in the window
+    plan = full._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2  # data scan + tiny lookup
+
+    # partition EVOLUTION inside the window: per-spec scans still
+    # attach the right columns
+    t.update_partition_spec([("k", "bucket[4]")])
+    t.append_dataframe(spark.createDataFrame(
+        [(9, "fr")], "k long, country string"))
+    cl2 = t.changelog(s3).collect()
+    assert [(r.k, r.country) for r in cl2] == [(9, "fr")]
 
 
 def test_remove_orphan_files_include_metadata(spark, tmp_path):
