@@ -729,10 +729,21 @@ def learn_bpe_merges(
 
     total = df.count()
     frac = min(1.0, (sample_rows * 1.2) / max(total, 1))
+    sampled = df.select(normalize_text(F.col(text_col)).alias("_t"))
+    if frac < 1.0:
+        # df.sample(False, frac, seed) is seeded PER PARTITION INDEX,
+        # so the thinned set — and the learned merges — still varied
+        # with partition layout (advice-r8). Content-hash thinning is
+        # a pure function of (content, seed): keep a row iff its hash
+        # bucket falls under the sampling fraction.
+        n_buckets = 1 << 20
+        keep = int(frac * n_buckets) + 1
+        sampled = sampled.filter(
+            F.pmod(F.xxhash64(F.col("_t"), F.lit(seed + 7)),
+                   F.lit(n_buckets)) < keep)
     texts = [
         r[0] or ""
-        for r in df.select(normalize_text(F.col(text_col)).alias("_t"))
-        .sample(False, frac, seed)
+        for r in sampled
         # limit() alone takes whichever partitions answer first, so
         # the learned merges varied with partition layout (audit r8);
         # hash-ordering the sampled rows makes the kept subset a pure

@@ -400,12 +400,26 @@ class _RestWriter(DataSourceWriter):
         # the loser's write erases the winner's delta (audit r8) — an
         # O_EXCL lock file serializes just this tiny section
         lock = manifest + ".lock"
+        stale_s = 60.0
         fd = None
         for _ in range(500):
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
+                # stale-lock recovery (advice-r8): a driver killed
+                # between os.open and os.remove would otherwise wedge
+                # every later commit until someone deletes the file by
+                # hand. The guarded section is milliseconds, so a lock
+                # older than the horizon cannot have a live holder —
+                # reclaim it. Remove+retry stays race-safe: whoever
+                # wins the NEXT O_EXCL open holds the lock alone.
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_s:
+                        os.remove(lock)
+                        continue
+                except OSError:
+                    pass  # holder finished between our open and stat
                 time.sleep(0.01)
         if fd is None:
             raise RuntimeError(f"manifest lock stuck at {lock}")

@@ -987,3 +987,37 @@ def test_rest_writer_manifest_fold_is_locked(tmp_path):
     with open(os.path.join(path, "_DELIVERED")) as fh:
         m = json.load(fh)
     assert m["rows"] == 20 * 1 + 20 * 10
+
+
+def test_rest_writer_reclaims_stale_manifest_lock(tmp_path):
+    """Advice-r8: a lock left behind by a killed driver (no live
+    holder) must be reclaimed after the staleness horizon instead of
+    wedging every later commit; a FRESH lock still blocks."""
+    import json
+    import os
+    import time
+
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from gobblin_spark.sources.datasource import (
+        _RestWriter, _TaskFilesCommit)
+
+    path = str(tmp_path / "out")
+    os.makedirs(path)
+    lock = os.path.join(path, "_DELIVERED.lock")
+    open(lock, "w").close()
+    os.utime(lock, (time.time() - 3600, time.time() - 3600))  # dead
+    w = _RestWriter(path, StructType([]), 100)
+    w.commit([_TaskFilesCommit([], 7)])  # reclaims, then commits
+    assert not os.path.exists(lock)
+    with open(os.path.join(path, "_DELIVERED")) as fh:
+        assert json.load(fh)["rows"] == 7
+    # a lock with a recent mtime is treated as HELD: commit times out
+    open(lock, "w").close()
+    with pytest.raises(RuntimeError, match="manifest lock stuck"):
+        _RestWriter(path, StructType([]), 100).commit(
+            [_TaskFilesCommit([], 1)])
+    # ... and did not alter the committed counts
+    with open(os.path.join(path, "_DELIVERED")) as fh:
+        assert json.load(fh)["rows"] == 7
