@@ -1923,6 +1923,103 @@ def test_four_writer_mixed_commit_stress(spark, tmp_path):
     assert chain_seqs == sorted(chain_seqs, reverse=True)
 
 
+def test_stream_and_batch_writer_commit_stress(spark, tmp_path):
+    """Verdict-r8 #7: the N=4 batch stress proves batch
+    linearizability; this adds a CONCURRENT streaming epoch writer
+    (writeStream.format('gobblin_iceberg'), one CAS commit per
+    micro-batch) racing two batch appenders and a deleter on one
+    table. Asserts: no writer errors, every row lands exactly once,
+    each micro-batch's snapshot carries a DISTINCT stream-epoch token,
+    and main's parent chain is a linearizable history (every snapshot
+    exactly once, strictly decreasing sequence numbers)."""
+    import threading
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    DS.register(spark)
+    loc = str(tmp_path / "racestream")
+    seed = spark.createDataFrame([(i, "seed") for i in range(6)],
+                                 "k long, s string")
+    t = IcebergTable.create(spark, loc, seed.schema)
+    t.append_dataframe(seed)
+
+    stream_rows = [(1000 + i, "stream") for i in range(12)]
+    indir = str(tmp_path / "in")
+    spark.createDataFrame(stream_rows, "k long, s string") \
+        .repartition(4).write.parquet(indir)
+    errs = []
+
+    def appender(base):
+        def run():
+            try:
+                h = IcebergTable(spark, loc)
+                for i in range(4):
+                    h.append_dataframe(spark.createDataFrame(
+                        [(base + i, f"w{base}")], "k long, s string"))
+            except Exception as e:
+                errs.append(e)
+        return run
+
+    def deleter():
+        try:
+            h = IcebergTable(spark, loc)
+            for k in (0, 2, 4):
+                h.delete_equality(spark.createDataFrame([(k,)],
+                                                        "k long"))
+        except Exception as e:
+            errs.append(e)
+
+    # maxFilesPerTrigger=1 -> 4 micro-batches, each a separate CAS
+    # commit racing the batch writers
+    q = (spark.readStream.schema(seed.schema)
+         .option("maxFilesPerTrigger", 1).parquet(indir)
+         .writeStream.format("gobblin_iceberg")
+         .option("path", loc)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    th = [threading.Thread(target=f) for f in
+          (appender(100), appender(200), deleter)]
+    for x in th:
+        x.start()
+    q.awaitTermination(120)
+    for x in th:
+        x.join()
+    assert not errs, errs
+
+    # content: every writer's rows exactly once, deletes applied
+    got = sorted(r.k for r in t.read().collect())
+    assert got == sorted([1, 3, 5] + list(range(100, 104))
+                         + list(range(200, 204))
+                         + [k for k, _ in stream_rows])
+
+    # every stream snapshot carries a DISTINCT epoch token, one per
+    # micro-batch (exactly-once: a CAS-retried epoch never double
+    # commits)
+    md = t.metadata()
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+    tokens = [s["summary"]["epoch-token"] for s in snaps.values()
+              if "epoch-token" in s.get("summary", {})]
+    assert len(tokens) == 4 and len(set(tokens)) == 4
+
+    # linearizable history: 1 seed + 8 appends + 3 deletes + 4 epochs
+    assert len(snaps) == 16
+    seqs = sorted(s["sequence-number"] for s in snaps.values())
+    assert seqs == list(range(1, 17))
+    chain, node = [], md["current-snapshot-id"]
+    while node is not None:
+        chain.append(node)
+        node = snaps[node]["parent-snapshot-id"]
+    assert len(chain) == 16 and set(chain) == set(snaps)
+    chain_seqs = [snaps[n]["sequence-number"] for n in chain]
+    assert chain_seqs == sorted(chain_seqs, reverse=True)
+
+    # epoch replay after the race: still a no-op
+    w = DS._IcebergStreamWriter({"path": loc}, seed.schema)
+    w.commit([], 0)
+    assert len(t.snapshots()) == 16
+
+
 def test_temporal_transforms_use_utc_under_any_session_tz(spark, tmp_path):
     """Audit r8 (runtime-confirmed pre-fix): temporal partition
     ordinals on INSTANT sources are defined in UTC; under a non-UTC
