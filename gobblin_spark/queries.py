@@ -9756,10 +9756,12 @@ HEADLINE = [
     "minhash_lsh_docs",
     "simhash_docs",
     "cosine_topk_embeddings",
-    # the engine-defining ingest paths (write+publish heavy)
+    # the engine-defining ingest paths (write+publish heavy).
+    # streaming_ingest_parity retired r9: same micro-batch machinery
+    # as streaming_wap_publish below (the correctness window still
+    # certifies it — it is an r9 canary)
     "sink_roundtrip_partitioned",
     "incremental_pull_union",
-    "streaming_ingest_parity",
     "pipeline_fork_publish",
     # training-data assembly
     "mixing_sample_proportional",
@@ -9817,6 +9819,11 @@ HEADLINE = [
     "curation_lakehouse_roundtrip",
     "multimodal_decode_jpeg_color",
     "mixing_pack_epochs",
+    # round-9 additions: the round-8 tail surface joins the perf
+    # baseline — snapshot-log time travel and the single-scan
+    # changelog (verdict-r8 #6)
+    "iceberg_time_travel_read",
+    "iceberg_changelog_read",
 ]
 
 

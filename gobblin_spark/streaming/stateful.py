@@ -101,7 +101,11 @@ def sessionize_stream(
         ts_all = []
         for pdf in pdfs:
             ts_all.append(pd.to_datetime(pdf[ts_col]))
-        ts = pd.concat(ts_all).sort_values()
+        # NaT rows are not events: their int64 sentinel (most-negative)
+        # would slip past the sorted order and count toward n (audit r9)
+        ts = pd.concat(ts_all).dropna().sort_values()
+        if len(ts) == 0:
+            return iter(())
         us = (ts.astype("int64") // 1000).tolist()
         gap_us = gap_seconds * 1_000_000
 
@@ -115,6 +119,11 @@ def sessionize_stream(
                 closed.append((start, end, n))
                 start, end, n = t, t, 1
             else:
+                # a LATE event (t <= end, possibly before start) merges
+                # into the open session and must widen BOTH bounds —
+                # the batch twin (native session_window) reports the
+                # earliest event as session_start (audit r9)
+                start = min(start, t)
                 end = max(end, t)
                 n += 1
         state.update((start, end, n))
@@ -182,7 +191,13 @@ def sessionize_stream_with_timeout(
             return
 
         ts_all = [pd.to_datetime(pdf[ts_col]) for pdf in pdfs]
-        ts = pd.concat(ts_all).sort_values()
+        # NaT rows are not events (see sessionize_stream, audit r9)
+        ts = pd.concat(ts_all).dropna().sort_values()
+        if len(ts) == 0:
+            if state.exists:
+                # an all-null batch still proves the key is alive
+                state.setTimeoutDuration(idle_timeout_ms)
+            return
         us = (ts.astype("int64") // 1000).tolist()
         gap_us = gap_seconds * 1_000_000
         if state.exists:
@@ -195,6 +210,8 @@ def sessionize_stream_with_timeout(
                 closed.append((start, end, n))
                 start, end, n = t, t, 1
             else:
+                # late events widen both bounds (see sessionize_stream)
+                start = min(start, t)
                 end = max(end, t)
                 n += 1
         state.update((start, end, n))

@@ -187,6 +187,47 @@ def test_sessionize_stream(spark, tmp_path):
     assert r.session_end == t0 + dt.timedelta(seconds=10)
 
 
+def test_sessionize_late_events_widen_start_and_nat_dropped(spark, tmp_path):
+    """Audit r9: (1) a LATE event earlier than the open session's
+    start must widen session_start — the batch twin (native
+    session_window) reports the earliest event; the old code kept the
+    stale start. (2) NaT timestamps are not events: their int64
+    sentinel silently inflated n_events."""
+    from gobblin_spark.streaming.stateful import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 1, 0, 0)
+    sch = "u STRING, ts TIMESTAMP"
+    indir = tmp_path / "in"
+    # batch 1 opens a session at t0; includes a NaT row (not an event)
+    spark.createDataFrame(
+        [("u1", t0), ("u1", None)], sch
+    ).coalesce(1).write.parquet(str(indir / "b1"))
+    # batch 2: a LATE event 2 min BEFORE t0 (inside the gap) widens
+    # the open session backward
+    spark.createDataFrame(
+        [("u1", t0 - dt.timedelta(seconds=120))], sch
+    ).coalesce(1).write.parquet(str(indir / "b2"))
+    # batch 3 closes the session
+    spark.createDataFrame(
+        [("u1", t0 + dt.timedelta(hours=3))], sch
+    ).coalesce(1).write.parquet(str(indir / "b3"))
+
+    stream = spark.readStream.schema(sch) \
+        .option("maxFilesPerTrigger", "1").parquet(str(indir / "*"))
+    out = sessionize_stream(stream, "u", "ts", gap_seconds=600)
+    q = (out.writeStream.format("memory").queryName("sess_late")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cklate"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.table("sess_late").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_events == 2  # t0 + the late event; NaT did not count
+    assert r.session_start == t0 - dt.timedelta(seconds=120)
+    assert r.session_end == t0
+
+
 def test_sessionize_timeout_flushes_idle_key(spark, tmp_path):
     """An idle key's open session is emitted by the processing-time
     timeout once later batches run without touching it."""
