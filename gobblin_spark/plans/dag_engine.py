@@ -325,6 +325,15 @@ class DagProcessingEngine:
 
     def launch(self, spec: DagSpec, flow_id: str | None = None) -> None:
         with self._lock:
+            existing = self._dags.get(spec.dag_id)
+            if existing is not None and not existing.terminal:
+                # a silent replace would leave the old instance's
+                # in-flight futures keyed (dag_id, job) pointing at the
+                # NEW dag's node states — their results would be
+                # applied to nodes they never ran for (audit r9)
+                raise ValueError(
+                    f"dag {spec.dag_id!r} is still running; kill it or "
+                    "wait for it to finish before relaunching")
             if flow_id is not None:
                 limit = self._flow_quotas.get(flow_id)
                 if (limit is not None
@@ -367,6 +376,15 @@ class DagProcessingEngine:
         return True
 
     def kill(self, dag_id: str, job_name: str | None = None) -> None:
+        with self._lock:
+            dag = self._dags.get(dag_id)
+            if (dag is not None and job_name is not None
+                    and job_name not in dag.nodes):
+                # fail the typo HERE — deferred to _proc_kill it would
+                # KeyError mid-drain and abort run_until_idle with the
+                # action queue half-processed (audit r9)
+                raise ValueError(
+                    f"unknown job {job_name!r} in dag {dag_id!r}")
         self.submit(DagAction(DagActionType.KILL, dag_id, job_name))
 
     def resume(self, dag_id: str) -> None:

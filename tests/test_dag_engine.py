@@ -363,3 +363,37 @@ def test_due_launches_admission_under_quota():
     gate.set()
     eng.run_until_idle(30)
     eng.shutdown()
+
+
+def test_relaunch_of_running_dag_rejected_and_bad_kill_name():
+    """Audit r9: (1) relaunching a dag id with a live instance must be
+    rejected — a silent replace cross-wires the old instance's
+    in-flight futures with the new node states; a TERMINAL id may be
+    relaunched. (2) kill() with an unknown job name fails fast at the
+    call site instead of KeyError-ing mid-drain inside
+    run_until_idle."""
+    import threading
+
+    import pytest
+
+    from gobblin_spark.plans import dag_engine as E
+
+    gate = threading.Event()
+    eng = E.DagProcessingEngine()
+    spec = E.DagSpec("d1", [E.DagJob("j", lambda c: gate.wait(30))])
+    eng.launch(spec)
+    eng._drain_actions()
+    with pytest.raises(ValueError, match="still running"):
+        eng.launch(E.DagSpec("d1", [E.DagJob("j", lambda c: None)]))
+    with pytest.raises(ValueError, match="unknown job"):
+        eng.kill("d1", "no-such-job")
+    # unknown DAG id keeps the old drop-at-drain semantics
+    eng.kill("nope", "whatever")
+    gate.set()
+    eng.run_until_idle(30)
+    assert eng.dag_status("d1") == "COMPLETE"
+    # terminal id is re-launchable
+    eng.launch(E.DagSpec("d1", [E.DagJob("j", lambda c: 1)]))
+    eng.run_until_idle(30)
+    assert eng.dag_status("d1") == "COMPLETE"
+    eng.shutdown()
