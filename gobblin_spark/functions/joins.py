@@ -24,6 +24,8 @@ oracle-checkable.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -169,7 +171,17 @@ def fuzzy_self_pairs(
     return (
         a.join(b, list(block_cols))
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("distance", F.levenshtein("ta", "tb"))
-        .filter(F.col("distance") <= max_distance)
+        # length band first: |len(a)-len(b)| > k already proves
+        # distance > k — a one-instruction filter that skips the
+        # O(len·k) DP for most pairs in the block (audit r9)
+        .filter(F.abs(F.length("ta") - F.length("tb"))
+                <= F.lit(max_distance))
+        # thresholded levenshtein: Spark's banded DP early-exits past
+        # max_distance (returns -1) instead of computing the full
+        # matrix — same results, the block's hot loop gets cheaper
+        .withColumn("distance",
+                    F.levenshtein("ta", "tb", max_distance))
+        .filter((F.col("distance") >= 0)
+                & (F.col("distance") <= max_distance))
         .select("id_a", "id_b", "distance")
     )
