@@ -9740,6 +9740,105 @@ def iceberg_stream_sink_native(spark, sf_dir):
         F.round(F.sum("value"), 2).alias("sum_value"))
 
 
+@q(
+    "iceberg_changelog_identity_read",
+    """
+    SELECT CAST(CASE o_orderkey % 3 WHEN 1 THEN 2 ELSE 3 END AS INT)
+             AS commit_ord,
+           o_orderpriority, count(*) AS n
+    FROM orders WHERE o_orderkey % 3 <> 0
+    GROUP BY 1, 2
+    """,
+)
+def iceberg_changelog_identity_read(spark, sf_dir):
+    """Changelog over an IDENTITY-PARTITIONED table (the r9 gate
+    lift): partitionBy drops the partition column from the data
+    files, so the changelog's single multi-path scan must re-attach
+    it from the path — exactly as read() does — while stamping each
+    row's committing snapshot through the broadcast file→snapshot
+    lookup. The per-(commit, partition) census makes any mis-attached
+    or null-filled partition value a count mismatch. This is the
+    TimeBasedWriterPartitioner-layout case (the common one) that
+    raised NotImplementedError before round 9. Pre-staged r10
+    entry."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    loc = tempfile.mkdtemp(prefix="gobblin_icecli_") + "/t"
+    t = IcebergTable.create(spark, loc, orders.schema,
+                            partition_cols=["o_orderpriority"])
+    snaps = []
+    for m in range(3):
+        t.append_dataframe(orders.filter(F.col("o_orderkey") % 3 == m)
+                           .coalesce(1))
+        snaps.append(t.metadata()["current-snapshot-id"])
+    cl = t.changelog(snaps[0])
+    ordinal = F.when(F.col("_commit_snapshot_id") == snaps[1], 2) \
+        .when(F.col("_commit_snapshot_id") == snaps[2], 3) \
+        .cast("int")
+    return (cl.select(ordinal.alias("commit_ord"), "o_orderpriority")
+            .groupBy("commit_ord", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@q(
+    "cron_due_launches",
+    """
+    WITH mins AS (
+      SELECT g AS ts FROM generate_series(
+        TIMESTAMP '2024-01-01 00:01:00',
+        TIMESTAMP '2024-01-15 00:00:00',
+        INTERVAL 1 MINUTE) AS t(g)
+    )
+    SELECT ts AS fire_ts, 'weekday_qh' AS flow_id FROM mins
+    WHERE EXTRACT(minute FROM ts) % 15 = 0
+      AND EXTRACT(hour FROM ts) BETWEEN 9 AND 17
+      AND EXTRACT(isodow FROM ts) BETWEEN 1 AND 5
+    UNION ALL
+    SELECT ts, 'monthly_swap' FROM mins
+    WHERE EXTRACT(minute FROM ts) = 30 AND EXTRACT(hour FROM ts) = 2
+      AND EXTRACT(day FROM ts) IN (1, 15)
+    UNION ALL
+    SELECT ts, 'dom_or_dow' FROM mins
+    WHERE EXTRACT(minute FROM ts) = 0 AND EXTRACT(hour FROM ts) = 12
+      AND (EXTRACT(day FROM ts) = 13 OR EXTRACT(isodow FROM ts) = 5)
+    """,
+)
+def cron_due_launches(spark, sf_dir):
+    """The GaaS scheduler periphery (GobblinServiceJobScheduler's
+    quartz triggers as data — reference
+    gobblin-service/.../scheduler/GobblinServiceJobScheduler.java)
+    through the oracle gate: ``due_launches`` computes every (fire
+    time, flow id) for three cron triggers over a fixed two-week
+    window, including the Vixie dom-OR-dow quirk ('0 12 13 * 5'
+    fires on the 13th OR any Friday — both fields restricted), */n
+    steps, ranges, and comma lists — checked against an independent
+    SQL reconstruction (generate_series + EXTRACT). Pure driver-side
+    compile metadata, like jobconf_pull_compile."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from gobblin_spark.plans.dag_engine import FlowTrigger, due_launches
+
+    triggers = [
+        FlowTrigger("weekday_qh", "*/15 9-17 * * 1-5"),
+        FlowTrigger("monthly_swap", "30 2 1,15 * *"),
+        FlowTrigger("dom_or_dow", "0 12 13 * 5"),
+    ]
+    start = dt.datetime(2024, 1, 1, 0, 0)
+    end = dt.datetime(2024, 1, 15, 0, 0)
+    due = due_launches(triggers, start, end)
+    schema = T.StructType([
+        T.StructField("fire_ts", T.TimestampNTZType(), False),
+        T.StructField("flow_id", T.StringType(), False),
+    ])
+    return spark.createDataFrame(due, schema)
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
@@ -9845,12 +9944,16 @@ DRIVER_FIRST = [
     # ROUND-9 WINDOW (verdict-r8 #1): the 3 pre-staged r8 tail entries
     # (time travel by timestamp, changelog append-diff, distributed
     # scan planning) — each judge-verified green via check_oracles in
-    # r8 — then stalest-green canaries (rotate_window.py order). After
-    # this round ALL 237 catalog entries carry a driver row: the
-    # catalog is fully driver-certified for the first time.
-    # -- the 3 never-run entries
+    # r8 — plus the 2 NEW round-9 entries (identity-partitioned
+    # changelog census, cron scheduler periphery; both hash-green via
+    # check_oracles this round), then stalest-green canaries
+    # (rotate_window.py order). After this round ALL 239 catalog
+    # entries carry a driver row: the catalog is fully
+    # driver-certified for the first time.
+    # -- the 5 never-run entries
     "iceberg_distributed_plan_read", "iceberg_time_travel_read",
-    "iceberg_changelog_read",
+    "iceberg_changelog_read", "iceberg_changelog_identity_read",
+    "cron_due_launches",
     # -- stalest-green canaries (oldest certifications first)
     "q14_promo_effect", "q18_large_orders",
     "q19_bracketed_revenue", "q5_region_volume",
@@ -9874,8 +9977,7 @@ DRIVER_FIRST = [
     "purge_by_id", "dedup_exact_docs",
     "multimodal_decode_wav", "multimodal_decode_bmp",
     "q1_pricing_summary", "sink_roundtrip_partitioned",
-    "text_perplexity_scores", "q13_customer_distribution",
-    "q16_supplier_part_counts",
+    "text_perplexity_scores",
 ]
 assert len(DRIVER_FIRST) == 50, len(DRIVER_FIRST)
 assert set(DRIVER_FIRST) <= set(QUERIES), sorted(set(DRIVER_FIRST) - set(QUERIES))

@@ -1597,9 +1597,30 @@ class IcebergTable:
         seq_of_snap = {s["sequence-number"]: s["snapshot-id"]
                        for s in md["snapshots"]}
         # file path -> committing snapshot: O(window files) slim rows,
-        # broadcast onto the scan (planning already walked these)
+        # broadcast onto the scan (planning already walked these).
+        # _metadata.file_path is URI-ENCODED (Hadoop Path.toUri — a
+        # space in an identity-partition dir arrives as %20) while
+        # manifests store the listing's literal Path.toString(), so
+        # the lookup key must be converted to the same URI form or
+        # encoded-path rows join to nothing and stamp NULL. Paths made
+        # only of URI-safe chars are identical in both forms (every
+        # engine-written file: uuid names, clean roots) — the JVM
+        # round-trip runs only for the rest.
+        import re as _re
+        _safe = _re.compile(r"^[A-Za-z0-9/:._\-]*$")
+        _jvm_path = None
+
+        def _uri_form(p: str) -> str:
+            nonlocal _jvm_path
+            if _safe.match(p):
+                return p
+            if _jvm_path is None:
+                _jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
+            return _jvm_path(p).toUri().toString()
+
         lookup = self.spark.createDataFrame(
-            [(e["info"].path, seq_of_snap.get(e["sequence_number"]))
+            [(_uri_form(e["info"].path),
+              seq_of_snap.get(e["sequence_number"]))
              for e in window],
             "_cl_path string, _commit_snapshot_id long")
 
@@ -2000,8 +2021,14 @@ class IcebergTable:
                 continue
             alts = "|".join(sorted(
                 _re.escape(n) for n in hist_names[fid]))
-            raw = F.url_decode(F.regexp_extract(
-                rel, f"(?:^|/)(?:{alts})=([^/]+)/", 1))
+            raw = F.regexp_extract(
+                rel, f"(?:^|/)(?:{alts})=([^/]+)/", 1)
+            # _metadata.file_path is URI-encoded (%20 etc). url_decode
+            # is URLDecoder, which ALSO turns a literal '+' into a
+            # space — wrong for a partition value like 'a+b' (URI
+            # encoding leaves '+' alone). Escaping '+' first makes the
+            # decode a pure percent-decode (audit r9).
+            raw = F.url_decode(F.replace(raw, F.lit("+"), F.lit("%2B")))
             part = part.withColumn(
                 f_.name,
                 F.when((raw == "") |

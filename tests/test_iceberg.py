@@ -2238,8 +2238,11 @@ def test_changelog_identity_partitioned(spark, tmp_path):
 
     from gobblin_spark.sinks.iceberg import IcebergTable
 
+    # 'not set+x y' pins BOTH encoding hazards: _metadata.file_path
+    # URI-encodes the space (%20) — the file→snapshot lookup must join
+    # in URI form — and url_decode would eat a literal '+' (audit r9)
     df = spark.createDataFrame(
-        [(1, "us"), (2, "de"), (3, None), (4, "us")],
+        [(1, "us"), (2, "de"), (3, None), (4, "us"), (5, "not set+x y")],
         "k long, country string")
     loc = str(tmp_path / "clident")
     t = IcebergTable.create(spark, loc, df.schema,
@@ -2248,14 +2251,16 @@ def test_changelog_identity_partitioned(spark, tmp_path):
     s1 = t.metadata()["current-snapshot-id"]
     t.append_dataframe(df.filter("k = 3"))
     s2 = t.metadata()["current-snapshot-id"]
-    t.append_dataframe(df.filter("k = 4"))
+    t.append_dataframe(df.filter("k >= 4"))
     s3 = t.metadata()["current-snapshot-id"]
 
     cl = t.changelog(s1).collect()
     assert sorted((r.k, r.country is None, r.country, r._change_type)
                   for r in cl) == [
-        (3, True, None, "insert"), (4, False, "us", "insert")]
-    assert {r.k: r._commit_snapshot_id for r in cl} == {3: s2, 4: s3}
+        (3, True, None, "insert"), (4, False, "us", "insert"),
+        (5, False, "not set+x y", "insert")]
+    assert {r.k: r._commit_snapshot_id for r in cl} == \
+        {3: s2, 4: s3, 5: s3}
     # full-history changelog equals the read, partition values intact
     full = t.changelog(None)
     assert sorted((r.k, r.country) for r in full.collect()) == \
