@@ -1986,8 +1986,12 @@ class IcebergTable:
           extraction so a '<col>=value' segment in the table's own
           LOCATION path can never shadow the real hive dirs
           (read-side mirror of the sub_local guard in
-          _list_committed_files; _metadata.file_path is
-          Path.toString())."""
+          _list_committed_files). The prefix is taken in URI form
+          (Path.toUri) because ``_metadata.file_path`` is
+          URI-ENCODED — a literal-form prefix would fail to anchor a
+          location containing a space (the otherwise-branch fallback
+          still extracts correctly, but the anchor is the guarded
+          path)."""
         snap_name_to_id = {f["name"]: f["id"]
                            for f in self._ice_schema_for(
                                snapshot_id, md)["fields"]}
@@ -1996,7 +2000,8 @@ class IcebergTable:
             for f_ in s_["fields"]:
                 hist_names.setdefault(f_["id"], set()).add(f_["name"])
         _fsd, _pd, _ = self._fs(f"{self.location}/data")
-        data_prefix = _fsd.makeQualified(_pd).toString().rstrip("/") + "/"
+        data_prefix = (_fsd.makeQualified(_pd).toUri().toString()
+                       .rstrip("/") + "/")
         return snap_name_to_id, hist_names, data_prefix
 
     def _attach_identity_cols(self, part: DataFrame, st: T.StructType,

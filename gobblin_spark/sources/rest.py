@@ -76,6 +76,12 @@ def fetch_pages(
     (page_no, payload, attempts, error). Decode with ``from_json``
     downstream — parsing stays JVM-side."""
 
+    if retries < 1:
+        # retries=0 would skip the attempt loop entirely and emit a
+        # (payload=None, error=None) row — a silent "success" that
+        # downstream json-parsing drops without a trace (audit r9)
+        raise ValueError("retries must be >= 1 (attempts, not re-tries)")
+
     def run(batches):
         import time as _time
 
@@ -112,13 +118,30 @@ def read_rest_api(
     record_schema: str,
     records_path: str = "records",
     tasks: int | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """End-to-end paginated pull: plan → distributed fetch → JVM-side
-    JSON decode → one row per record. Failed pages surface as an error
-    column upstream — filter/raise per the caller's policy."""
+    JSON decode → one row per record.
+
+    ``strict=True`` (default): a page that exhausted its retries FAILS
+    the job with that page's error — lazily, via ``raise_error`` in
+    the projection, so no extra action runs. The old behavior (drop
+    failed pages and return the rest — INCOMPLETE data with no
+    signal, audit r9) is an explicit ``strict=False`` opt-in; use
+    ``fetch_pages`` directly when you want the per-page error column
+    for a custom policy."""
     pages = fetch_pages(page_manifest(spark, total_records, page_size, tasks),
                         transport)
-    ok = pages.filter(F.col("error").isNull())
+    if strict:
+        payload = F.when(
+            F.col("error").isNotNull(),
+            F.raise_error(F.concat(
+                F.lit("page "), F.col("page_no").cast("string"),
+                F.lit(" failed after retries: "), F.col("error"))),
+        ).otherwise(F.col("payload"))
+        ok = pages.select("page_no", payload.alias("payload"))
+    else:
+        ok = pages.filter(F.col("error").isNull())
     parsed = ok.select(
         "page_no",
         F.from_json(

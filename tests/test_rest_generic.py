@@ -54,6 +54,34 @@ def test_fetch_retry_and_error_isolation(spark):
     assert by_page[0].error is None and by_page[2].error is None
 
 
+def test_read_rest_api_strict_fails_on_lost_page(spark):
+    """Audit r9: a page that exhausts its retries must FAIL the strict
+    (default) end-to-end read — the old behavior silently dropped it
+    and returned an incomplete dataset. strict=False keeps the
+    drop-and-continue policy as an explicit opt-in; retries=0 is
+    rejected (it produced a payload-less 'success' row)."""
+    ft = make_fake_transport()
+
+    def flaky(offset, limit):
+        if offset == 20:
+            raise IOError("page down")
+        return ft(offset, limit)
+
+    with pytest.raises(Exception, match="failed after retries"):
+        rest.read_rest_api(
+            spark, total_records=60, page_size=20, transport=flaky,
+            record_schema="rid LONG, name STRING",
+        ).collect()
+    loose = rest.read_rest_api(
+        spark, total_records=60, page_size=20, transport=flaky,
+        record_schema="rid LONG, name STRING", strict=False,
+    )
+    got = {r.rid for r in loose.collect()}
+    assert got == set(range(0, 20)) | set(range(40, 60))
+    with pytest.raises(ValueError, match="retries"):
+        rest.fetch_pages(rest.page_manifest(spark, 60, 20), ft, retries=0)
+
+
 def test_incremental_rest_query():
     params = rest.incremental_rest_query({"q": "all"}, "updated", None, "2024-02-01")
     assert params == {"q": "all", "updated__lte": "2024-02-01"}
