@@ -45,6 +45,13 @@ def write_batched(
     of raising, so one bad endpoint shard doesn't kill the job
     (RetryWriter + partial-commit semantics)."""
 
+    if retries < 1:
+        # retries=0 would skip the attempt loop and report every chunk
+        # as SENT (rows_sent=len(buf), error=None) without ever calling
+        # the sender — silent data loss (audit r9; same hazard as
+        # sources/rest.fetch_pages)
+        raise ValueError("retries must be >= 1 (attempts, not re-tries)")
+
     def run(batches):
         import time as _time
         import uuid as _uuid

@@ -168,3 +168,11 @@ def test_streaming_schema_conformance(spark, tmp_path):
     assert dict(back.dtypes) == {"id": "bigint", "ts": "timestamp_ntz",
                                  "tag": "string", "gobblin_epoch": "string"}
     assert back.first().tag is None
+
+
+def test_write_batched_rejects_zero_retries(spark):
+    """Audit r9: retries=0 skipped the attempt loop and reported every
+    chunk as sent without calling the sender."""
+    df = spark.createDataFrame([(1,), (2,)], "v int")
+    with pytest.raises(ValueError, match="retries"):
+        write_batched(df, lambda: (lambda recs: None), retries=0)
