@@ -175,6 +175,10 @@ def pagerank_undirected(
     deg = bi.groupBy(F.col("u").alias("id")).agg(
         F.count(F.lit(1)).cast("double").alias("deg")).localCheckpoint()
     n = deg.count()  # scalar node count: one bounded driver action
+    if n == 0:
+        # empty pair list: no nodes, empty result — not a
+        # ZeroDivisionError from the teleport term (audit r9)
+        return deg.select("id", F.lit(0.0).alias("rank"))
     teleport = (1.0 - damping) / float(n)
     ranks = deg.select("id", F.lit(1.0 / float(n)).alias("rank"))
     for it in range(iterations):

@@ -109,3 +109,13 @@ def test_pagerank_mass_conserved_and_star_center_wins(spark):
     # leaves are symmetric -> identical ranks
     leaf = {round(ranks[i], 12) for i in range(1, 10)}
     assert len(leaf) == 1
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    """Audit r9: an empty pair list must return an empty (id, rank)
+    frame, not ZeroDivisionError from the teleport term."""
+    from gobblin_spark.functions.graph import pagerank_undirected
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    out = pagerank_undirected(empty)
+    assert out.columns == ["id", "rank"] and out.count() == 0
