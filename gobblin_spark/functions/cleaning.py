@@ -187,7 +187,14 @@ def blocklist_filter(
     """
     if not blockwords:
         raise ValueError("blockwords must be non-empty")
-    pattern = r"\b(" + "|".join(blockwords) + r")\b"
+    import re as _re
+
+    # escape each word: a blocklist entry like 'c++' must match
+    # literally, not blow up (or silently alter) the alternation
+    # (audit r9); plain words are byte-identical after escaping, so
+    # existing oracles are unaffected
+    pattern = (r"\b(" + "|".join(_re.escape(w.lower())
+                                 for w in blockwords) + r")\b")
     hit = F.lower(F.coalesce(F.col(text_col), F.lit(""))).rlike(pattern)
     if mode == "drop":
         return df.filter(~hit)

@@ -151,3 +151,19 @@ def test_bloom_fpr_tracks_theory_on_tiny_sketch(spark):
     final = bloom.bloom_incremental_dedup(probe, hist, "v",
                                           num_bits=m, k=k)
     assert final.count() == 2000
+
+
+def test_blocklist_escapes_metachars_and_case(spark):
+    """Audit r9: a blocklist entry with regex metachars must match
+    literally (not break the alternation), and an upper-case entry
+    must still hit (the text side is lowercased)."""
+    from gobblin_spark.functions.cleaning import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(1, "we write c++ here"), (2, "pure python"), (3, "BAD stuff")],
+        "doc_id int, text string")
+    out = blocklist_filter(df, ["c[+][+]", "BAD"], mode="flag")
+    got = {r.doc_id: r.blocked for r in out.collect()}
+    # 'c[+][+]' is matched literally (no doc contains that string);
+    # 'BAD' lowercases and hits doc 3
+    assert got == {1: False, 2: False, 3: True}
