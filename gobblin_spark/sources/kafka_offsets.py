@@ -128,11 +128,15 @@ def plan_work_units(
     cannot be fetched get an EMPTY unit at the previous offset so the
     watermark persists (KafkaSource.java:563)."""
     previous_offsets = dict(previous_offsets or {})
-    topics = filter_topics(client.get_topics(), whitelist, blacklist)
+    # ONE topic-metadata fetch: against a real broker a second call is
+    # a second RPC, and a topic list that changes between the two
+    # calls KeyErrors the partition lookup (audit r9)
+    topic_parts = client.get_topics()
+    topics = filter_topics(topic_parts, whitelist, blacklist)
     parts = [
         TopicPartition(t, p)
         for t in topics
-        for p in client.get_topics()[t]
+        for p in topic_parts[t]
     ]
     earliest = client.get_earliest_offsets(parts)
     latest = client.get_latest_offsets(parts)
