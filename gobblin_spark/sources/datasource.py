@@ -1040,8 +1040,24 @@ def _ice_local(path: str) -> str:
 def _ice_read_md(location: str) -> dict:
     hint_p = os.path.join(_ice_local(location), "metadata",
                           "version-hint.text")
-    with open(hint_p) as fh:
-        v = int(fh.read().strip())
+    # Same torn-read protection as IcebergTable._version(): a
+    # CONCURRENT writer's hint rewrite can expose an empty/partial
+    # read (caught live by the stream-vs-batch commit stress, audit
+    # r9 — the sessionless DSv2 face lacked the retry the native
+    # reader has). A short re-read settles it; a stale-but-complete
+    # value is already safe (an older consistent snapshot).
+    last_err: Exception | None = None
+    for _ in range(5):
+        try:
+            with open(hint_p) as fh:
+                v = int(fh.read().strip())
+            break
+        except ValueError as ex:
+            last_err = ex
+            time.sleep(0.02)
+    else:
+        raise RuntimeError(
+            f"unreadable version hint at {hint_p}") from last_err
     with open(os.path.join(_ice_local(location), "metadata",
                            f"v{v}.metadata.json")) as fh:
         return json.load(fh)
