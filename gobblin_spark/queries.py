@@ -9785,6 +9785,50 @@ def iceberg_changelog_identity_read(spark, sf_dir):
 
 
 @q(
+    "iceberg_position_delete_read",
+    """
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2)
+    FROM orders WHERE o_orderkey % 14 = 0
+    """,
+)
+def iceberg_position_delete_read(spark, sf_dir):
+    """POSITION DELETES through the oracle gate (spec "Position Delete
+    Files", content=1 — previously pytest-only): rows are addressed by
+    their physical (file, row-index) identity via Spark's parquet
+    metadata columns, the delete file commits as its own snapshot, and
+    the read applies it as a broadcast anti-join with the spec's
+    SEQUENCE GUARD — a position delete touches only data files with
+    sequence number <= its own, so the same keys RE-APPENDED after the
+    delete survive (asserted by re-inserting the %14 slice and
+    expecting it back). Complements `iceberg_evolve_delete_read`
+    (equality flavor)."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    loc = tempfile.mkdtemp(prefix="gobblin_icepd_") + "/t"
+    t = IcebergTable.create(spark, loc, orders.schema)
+    t.append_dataframe(orders.coalesce(2))
+    positions = (t.read()
+                 .filter(F.col("o_orderkey") % 7 == 0)
+                 .select(F.col("_metadata.file_path").alias("file_path"),
+                         F.col("_metadata.row_index").alias("pos")))
+    t.delete_positions(positions)
+    # seq guard: the re-appended %14 rows land in LATER files the
+    # delete must not touch
+    t.append_dataframe(orders.filter(F.col("o_orderkey") % 14 == 0)
+                       .coalesce(1))
+    return t.read().select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.col("o_totalprice"), 2).alias("price"))
+
+
+@q(
     "cron_due_launches",
     """
     WITH mins AS (
@@ -9950,10 +9994,10 @@ DRIVER_FIRST = [
     # (rotate_window.py order). After this round ALL 239 catalog
     # entries carry a driver row: the catalog is fully
     # driver-certified for the first time.
-    # -- the 5 never-run entries
+    # -- the 6 never-run entries
     "iceberg_distributed_plan_read", "iceberg_time_travel_read",
     "iceberg_changelog_read", "iceberg_changelog_identity_read",
-    "cron_due_launches",
+    "cron_due_launches", "iceberg_position_delete_read",
     # -- stalest-green canaries (oldest certifications first)
     "q14_promo_effect", "q18_large_orders",
     "q19_bracketed_revenue", "q5_region_volume",
@@ -9977,7 +10021,6 @@ DRIVER_FIRST = [
     "purge_by_id", "dedup_exact_docs",
     "multimodal_decode_wav", "multimodal_decode_bmp",
     "q1_pricing_summary", "sink_roundtrip_partitioned",
-    "text_perplexity_scores",
 ]
 assert len(DRIVER_FIRST) == 50, len(DRIVER_FIRST)
 assert set(DRIVER_FIRST) <= set(QUERIES), sorted(set(DRIVER_FIRST) - set(QUERIES))
