@@ -26,11 +26,28 @@ preserved or re-specified.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 from gobblin_spark.sinks.writers import WriteResult, write_data
+
+# same trust-boundary hygiene as sources/jdbc's _IDENT_RE: these names
+# are interpolated into SQL text, so reject anything that isn't a
+# plain (optionally db-qualified) identifier instead of letting a
+# stray quote produce a broken/surprising statement (audit r9)
+_TABLE_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?$")
+
+
+def _check_table(table: str) -> str:
+    if not _TABLE_RE.match(table):
+        raise ValueError(f"not a valid table identifier: {table!r}")
+    return table
+
+
+def _quote_location(location: str) -> str:
+    return location.replace("'", "\\'")
 
 
 def register_external_table(
@@ -48,6 +65,8 @@ def register_external_table(
     (the ``c=v`` directory style written by ``partitionBy``); follow
     with ``recover_partitions`` to load them. Without ``schema_ddl`` the
     non-partitioned schema is inferred from the files."""
+    _check_table(table)
+    location = _quote_location(location)
     exists = "IF NOT EXISTS " if if_not_exists else ""
     if partition_cols:
         if not schema_ddl:
@@ -68,7 +87,7 @@ def register_external_table(
 def recover_partitions(spark: SparkSession, table: str) -> None:
     """MSCK REPAIR — discover on-disk ``c=v`` dirs into the catalog
     (HiveRegister's per-partition add, one metadata sweep)."""
-    spark.sql(f"MSCK REPAIR TABLE {table}")
+    spark.sql(f"MSCK REPAIR TABLE {_check_table(table)}")
 
 
 def register_published(
@@ -91,7 +110,7 @@ def register_published(
 
 
 def drop_table(spark: SparkSession, table: str) -> None:
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {_check_table(table)}")
 
 
 def convert_format(

@@ -197,3 +197,17 @@ def test_object_store_delete(spark, tmp_path):
     # idempotent: re-delete reports not-deleted, no error
     res2 = C.execute_object_deletes(manifest).collect()
     assert all((not r.deleted) and r.error is None for r in res2)
+
+
+def test_table_identifier_validation(spark):
+    """Audit r9: table names are interpolated into SQL text — reject
+    non-identifiers instead of emitting a broken statement."""
+    import pytest
+
+    from gobblin_spark.sinks import hive
+
+    with pytest.raises(ValueError, match="identifier"):
+        hive.drop_table(spark, "t; DROP TABLE x")
+    with pytest.raises(ValueError, match="identifier"):
+        hive.recover_partitions(spark, "a.b.c")
+    hive.drop_table(spark, "db1.ok_name")  # qualified names pass
