@@ -9883,6 +9883,47 @@ def cron_due_launches(spark, sf_dir):
     return spark.createDataFrame(due, schema)
 
 
+@q(
+    "iceberg_rollback_read",
+    """
+    SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+    WHERE o_orderkey % 3 IN (0, 1)
+    """,
+)
+def iceberg_rollback_read(spark, sf_dir):
+    """OPERATIONAL RECOVERY through the oracle gate
+    (ManageSnapshots.rollbackTo — previously pytest-only): a bad
+    commit lands, main rolls back to its parent (one metadata write,
+    no files touched), and the next append parents off the
+    ROLLED-BACK head — so the final read is commit 1 + commit 3 with
+    the bad commit's rows gone, while the bad snapshot stays
+    time-travelable by id. The rollback itself lands in the
+    snapshot-log, so snapshot_as_of AFTER it resolves to the restored
+    head (asserted in-query). Pre-staged r10 entry."""
+    import tempfile
+    import time as _time
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    loc = tempfile.mkdtemp(prefix="gobblin_icerb_") + "/t"
+    t = IcebergTable.create(spark, loc, orders.schema)
+    s1 = t.append_dataframe(orders.filter(F.col("o_orderkey") % 3 == 0)
+                            .coalesce(1))
+    bad = t.append_dataframe(orders.filter(F.col("o_orderkey") % 3 == 2)
+                             .coalesce(1))
+    t.rollback_to(s1)
+    ts_after = int(_time.time() * 1000) + 1
+    if t.snapshot_as_of(ts_after) != s1:
+        raise RuntimeError("snapshot-log did not record the rollback")
+    if t.read(snapshot_id=bad).count() <= t.read().count():
+        raise RuntimeError("bad snapshot lost from history")
+    t.append_dataframe(orders.filter(F.col("o_orderkey") % 3 == 1)
+                       .coalesce(1))
+    return t.read()
+
+
 # Queries whose wall-time bench.py reports (run at sf0.1).
 HEADLINE = [
     "q1_pricing_summary",
