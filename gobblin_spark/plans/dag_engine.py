@@ -378,11 +378,13 @@ class DagProcessingEngine:
     def kill(self, dag_id: str, job_name: str | None = None) -> None:
         with self._lock:
             dag = self._dags.get(dag_id)
-            if (dag is not None and job_name is not None
-                    and job_name not in dag.nodes):
-                # fail the typo HERE — deferred to _proc_kill it would
-                # KeyError mid-drain and abort run_until_idle with the
-                # action queue half-processed (audit r9)
+            if dag is None:
+                # fail the typo HERE — deferred to _proc_kill a
+                # missing dag id would KeyError mid-drain and abort
+                # run_until_idle with the action queue half-processed
+                # (audit r9; advice-r9 closed the dag-id half)
+                raise ValueError(f"unknown dag {dag_id!r}")
+            if job_name is not None and job_name not in dag.nodes:
                 raise ValueError(
                     f"unknown job {job_name!r} in dag {dag_id!r}")
         self.submit(DagAction(DagActionType.KILL, dag_id, job_name))

@@ -10026,42 +10026,40 @@ HEADLINE = [
 #      a new query must replace a retired redundant one.
 # Rotate until every entry has a green row in some CORRECTNESS file.
 DRIVER_FIRST = [
-    # ROUND-9 WINDOW (verdict-r8 #1): the 3 pre-staged r8 tail entries
-    # (time travel by timestamp, changelog append-diff, distributed
-    # scan planning) — each judge-verified green via check_oracles in
-    # r8 — plus the 2 NEW round-9 entries (identity-partitioned
-    # changelog census, cron scheduler periphery; both hash-green via
-    # check_oracles this round), then stalest-green canaries
-    # (rotate_window.py order). After this round ALL 239 catalog
-    # entries carry a driver row: the catalog is fully
-    # driver-certified for the first time.
-    # -- the 6 never-run entries
-    "iceberg_distributed_plan_read", "iceberg_time_travel_read",
-    "iceberg_changelog_read", "iceberg_changelog_identity_read",
-    "cron_due_launches", "iceberg_position_delete_read",
+    # ROUND-10 WINDOW (verdict-r9 #1): CORRECTNESS_r09 certified its
+    # full 50 green, so 240/241 catalog entries carry a driver row.
+    # Front the single never-run entry — the pre-staged r10 tail
+    # `iceberg_rollback_read` (judge-verified green via check_oracles
+    # in r9) — then stalest-green canaries (rotate_window.py order).
+    # A green row closes the catalog: 241/241 driver-certified.
+    # -- the 1 never-run entry
+    "iceberg_rollback_read",
     # -- stalest-green canaries (oldest certifications first)
-    "q14_promo_effect", "q18_large_orders",
-    "q19_bracketed_revenue", "q5_region_volume",
-    "incremental_pull_union", "jdbc_pull_partitioned",
-    "streaming_ingest_parity", "kafka_offsets_pull",
-    "skew_salted_agg", "window_sliding_daily",
-    "schema_evolution_union", "crypto_roundtrip",
-    "pgp_roundtrip", "async_enrich",
-    "object_delete_manifest", "rest_source_pages",
-    "stateful_dedup_users", "pipeline_fork_publish",
-    "hive_register_query", "format_convert_roundtrip",
-    "avro_binary_roundtrip", "iceberg_snapshot_read",
-    "avro_container_roundtrip", "jobconf_pull_compile",
-    "flow_multihop_compile", "metrics_observed_rollup",
-    "mixing_sample_proportional", "mixing_pack_assignments",
-    "cleaning_c4_lines", "cleaning_dedup_lines",
-    "cleaning_blocklist", "text_vocab_counts",
-    "text_tfidf_top_terms", "mixing_length_histogram",
-    "bloom_incremental_dedup", "envelope_decode_registry",
-    "quality_task_policies", "compaction_dedup_events",
-    "purge_by_id", "dedup_exact_docs",
-    "multimodal_decode_wav", "multimodal_decode_bmp",
-    "q1_pricing_summary", "sink_roundtrip_partitioned",
+    "text_perplexity_scores", "q13_customer_distribution",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q22_dormant_customers", "streaming_window_parity",
+    "graph_components_chain", "filesource_snapshot_diff",
+    "copy_distcp_roundtrip", "commit_policy_partial",
+    "mixing_stratified_exact", "zorder_clustered_scan",
+    "q15_top_supplier", "commit_sequence_replay",
+    "bucketed_join_revenue", "asof_join_events",
+    "range_join_events", "q2_min_cost_supplier",
+    "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q11_important_parts",
+    "q20_potential_promotion", "q21_waiting_suppliers",
+    "text_classifier_score", "cleaning_span_dedup",
+    "text_chunk_windows", "dedup_keep_best_docs",
+    "pipeline_corpus_curation", "streaming_late_routing",
+    "streaming_epoch_replay", "text_bigram_perplexity",
+    "mixing_shuffle_seeded", "tfidf_cosine_pairs",
+    "pagerank_partsupp", "streaming_join_parity",
+    "streaming_session_parity", "streaming_dropdup_parity",
+    "safe_commit_isolation", "filesize_policy_report",
+    "convert_pick_filter", "convert_drop_project",
+    "convert_flatten_nested", "convert_split_explode",
+    "limiter_count_caps", "iceberg_evolve_delete_read",
+    "funnel_attribution", "pivot_event_type_daily",
+    "embedding_near_dup_checked",
 ]
 assert len(DRIVER_FIRST) == 50, len(DRIVER_FIRST)
 assert set(DRIVER_FIRST) <= set(QUERIES), sorted(set(DRIVER_FIRST) - set(QUERIES))

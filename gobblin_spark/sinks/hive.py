@@ -47,7 +47,10 @@ def _check_table(table: str) -> str:
 
 
 def _quote_location(location: str) -> str:
-    return location.replace("'", "\\'")
+    # backslashes first: escaping only quotes turns a trailing '\'
+    # into \' in the SQL literal, which eats the closing quote and
+    # malforms the CREATE TABLE statement (advice-r9)
+    return location.replace("\\", "\\\\").replace("'", "\\'")
 
 
 def register_external_table(

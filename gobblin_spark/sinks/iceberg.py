@@ -1597,32 +1597,9 @@ class IcebergTable:
         seq_of_snap = {s["sequence-number"]: s["snapshot-id"]
                        for s in md["snapshots"]}
         # file path -> committing snapshot: O(window files) slim rows,
-        # broadcast onto the scan (planning already walked these).
-        # _metadata.file_path is URI-ENCODED (Hadoop Path.toUri — a
-        # space in an identity-partition dir arrives as %20) while
-        # manifests store the listing's literal Path.toString(), so
-        # the lookup key must be converted to the same URI form or
-        # encoded-path rows join to nothing and stamp NULL. Paths made
-        # only of URI-safe chars are identical in both forms (every
-        # engine-written file: uuid names, clean roots) — the JVM
-        # round-trip runs only for the rest.
-        import re as _re
-        _safe = _re.compile(r"^[A-Za-z0-9/:._\-]*$")
-        _jvm_path = None
-
-        def _uri_form(p: str) -> str:
-            nonlocal _jvm_path
-            if _safe.match(p):
-                return p
-            if _jvm_path is None:
-                _jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
-            return _jvm_path(p).toUri().toString()
-
-        lookup = self.spark.createDataFrame(
-            [(_uri_form(e["info"].path),
-              seq_of_snap.get(e["sequence_number"]))
-             for e in window],
-            "_cl_path string, _commit_snapshot_id long")
+        # broadcast onto the scan (planning already walked these);
+        # URI-form keying lives in _changelog_lookup
+        lookup = self._changelog_lookup(window, seq_of_snap)
 
         snap_name_to_id, hist_names, data_prefix = \
             self._partition_attach_ctx(md, to_id)
@@ -1646,12 +1623,53 @@ class IcebergTable:
                 *[f.name for f in st.fields],
                 F.col("_metadata.file_path").alias("_cl_fp"))
             out = part if out is None else out.unionByName(part)
+        # every scanned file is by construction in the lookup, so a
+        # NULL stamp can only mean a path-form mismatch _uri_form did
+        # not normalize — fail LOUDLY in the projection instead of
+        # silently misbucketing rows under a phantom NULL commit
+        # (advice-r9; same lazy raise_error shape as rest.py strict)
+        stamp = F.when(
+            F.col("_commit_snapshot_id").isNull(),
+            F.raise_error(F.concat(
+                F.lit("changelog: scanned file missing from the "
+                      "commit lookup (path-form mismatch): "),
+                F.col("_cl_fp"))).cast("long"),
+        ).otherwise(F.col("_commit_snapshot_id"))
         return (
             out.join(F.broadcast(lookup),
                      out["_cl_fp"] == lookup["_cl_path"], "left")
+            .withColumn("_commit_snapshot_id", stamp)
             .withColumn("_change_type", F.lit("insert"))
             .select(*[f.name for f in st.fields],
                     "_change_type", "_commit_snapshot_id"))
+
+    def _changelog_lookup(self, window: list[dict],
+                          seq_of_snap: dict[int, int]) -> DataFrame:
+        """The changelog's file→committing-snapshot broadcast side, in
+        the URI form ``_metadata.file_path`` reports (Hadoop
+        Path.toUri — a space in an identity-partition dir arrives as
+        %20) while manifests store the listing's literal
+        Path.toString(). Paths made only of URI-safe chars are
+        identical in both forms (every engine-written file: uuid
+        names, clean roots) — the JVM round-trip runs only for the
+        rest."""
+        import re as _re
+        _safe = _re.compile(r"^[A-Za-z0-9/:._\-]*$")
+        _jvm_path = None
+
+        def _uri_form(p: str) -> str:
+            nonlocal _jvm_path
+            if _safe.match(p):
+                return p
+            if _jvm_path is None:
+                _jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
+            return _jvm_path(p).toUri().toString()
+
+        return self.spark.createDataFrame(
+            [(_uri_form(e["info"].path),
+              seq_of_snap.get(e["sequence_number"]))
+             for e in window],
+            "_cl_path string, _commit_snapshot_id long")
 
     def _entries(self, snapshot_id: int | None = None,
                  prune_parts: list[tuple] | None = None,

@@ -39,6 +39,7 @@ pushed page filters cut the fetch count, not just the row count.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import re
@@ -63,6 +64,10 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 _PAGE_RE = re.compile(r"page-(\d+)\.json$")
+
+# unique suffix for single-winner stale-lock reclaims: pid + an
+# in-process counter (one process can reclaim the same path twice)
+_LOCK_CLAIM_SEQ = itertools.count().__next__
 
 
 def _page_files(path: str) -> list[tuple[int, str]]:
@@ -412,14 +417,35 @@ class _RestWriter(DataSourceWriter):
                 # every later commit until someone deletes the file by
                 # hand. The guarded section is milliseconds, so a lock
                 # older than the horizon cannot have a live holder —
-                # reclaim it. Remove+retry stays race-safe: whoever
-                # wins the NEXT O_EXCL open holds the lock alone.
+                # reclaim it. advice-r9: reclaim must be SINGLE-WINNER
+                # — an unconditional remove after the staleness stat
+                # let waiter B delete a FRESH lock that waiter A had
+                # just reclaimed and re-acquired (two holders). Rename
+                # the stale lock to a unique temp name first: exactly
+                # one renamer succeeds (losers get ENOENT), and the
+                # renamed inode is re-statted so a lock that turned
+                # fresh between stat and rename is restored, never
+                # deleted.
                 try:
                     if time.time() - os.path.getmtime(lock) > stale_s:
-                        os.remove(lock)
-                        continue
+                        claim = "%s.reclaim.%d.%d" % (
+                            lock, os.getpid(), _LOCK_CLAIM_SEQ())
+                        os.rename(lock, claim)
+                        if time.time() - os.path.getmtime(claim) > stale_s:
+                            os.remove(claim)
+                            continue
+                        # the path was reclaimed AND re-acquired in
+                        # our stat->rename window: we hold a LIVE
+                        # holder's lock. Put it back; if yet another
+                        # waiter already filled the path, drop the
+                        # claim (release below tolerates the loss).
+                        try:
+                            os.link(claim, lock)
+                        except OSError:
+                            pass
+                        os.remove(claim)
                 except OSError:
-                    pass  # holder finished between our open and stat
+                    pass  # lost the rename race / holder finished
                 time.sleep(0.01)
         if fd is None:
             raise RuntimeError(f"manifest lock stuck at {lock}")
@@ -436,7 +462,12 @@ class _RestWriter(DataSourceWriter):
                 json.dump({"rows": total, "files": n}, fh)
         finally:
             os.close(fd)
-            os.remove(lock)
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                # a mis-timed reclaimer stole our live lock and could
+                # not restore it — the manifest write already happened
+                pass
 
     def abort(self, messages) -> None:
         # token-scoped: a failed job must not delete a CONCURRENT

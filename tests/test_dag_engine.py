@@ -387,8 +387,10 @@ def test_relaunch_of_running_dag_rejected_and_bad_kill_name():
         eng.launch(E.DagSpec("d1", [E.DagJob("j", lambda c: None)]))
     with pytest.raises(ValueError, match="unknown job"):
         eng.kill("d1", "no-such-job")
-    # unknown DAG id keeps the old drop-at-drain semantics
-    eng.kill("nope", "whatever")
+    # advice-r9: a typo'd DAG id fails fast at the call site too (the
+    # drain guard still drops enqueued actions racing clean_up)
+    with pytest.raises(ValueError, match="unknown dag"):
+        eng.kill("nope", "whatever")
     gate.set()
     eng.run_until_idle(30)
     assert eng.dag_status("d1") == "COMPLETE"

@@ -1021,3 +1021,83 @@ def test_rest_writer_reclaims_stale_manifest_lock(tmp_path):
     # ... and did not alter the committed counts
     with open(os.path.join(path, "_DELIVERED")) as fh:
         assert json.load(fh)["rows"] == 7
+
+
+def test_lock_reclaim_never_deletes_fresh_inode(tmp_path, monkeypatch):
+    """Advice-r9: stale-lock reclaim is SINGLE-WINNER — it renames the
+    lock to a unique temp name (only one renamer succeeds) and
+    re-stats the renamed inode. A lock whose PATH statted stale but
+    whose inode is FRESH (the stat→rename race against a concurrent
+    reclaim+re-acquire) must be restored, never deleted."""
+    import os
+    import time
+
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from gobblin_spark.sources.datasource import (
+        _RestWriter, _TaskFilesCommit)
+
+    path = str(tmp_path / "out")
+    os.makedirs(path)
+    lock = os.path.join(path, "_DELIVERED.lock")
+    open(lock, "w").close()  # fresh inode — a live holder's lock
+    real_getmtime = os.path.getmtime
+
+    def lying_getmtime(p):
+        # the PATH stat reports stale (the race window where the old
+        # stale lock was reclaimed and re-acquired under our feet);
+        # the renamed claim tells the truth about the inode we hold
+        if p == lock:
+            return time.time() - 3600
+        return real_getmtime(p)
+
+    monkeypatch.setattr(os.path, "getmtime", lying_getmtime)
+    monkeypatch.setattr(time, "sleep", lambda s: None)  # 500 retries, fast
+    with pytest.raises(RuntimeError, match="manifest lock stuck"):
+        _RestWriter(path, StructType([]), 100).commit(
+            [_TaskFilesCommit([], 1)])
+    # the live holder's lock survived every reclaim attempt, no debris
+    assert os.path.exists(lock)
+    assert not [f for f in os.listdir(path) if ".reclaim." in f]
+    assert not os.path.exists(os.path.join(path, "_DELIVERED"))
+
+
+def test_lock_reclaim_concurrent_commits_fold(tmp_path):
+    """Two jobs racing a STALE leftover lock: exactly one reclaims it
+    (rename single-winner), both commit, and the folded manifest
+    counts prove the critical section stayed mutually exclusive."""
+    import json
+    import os
+    import threading
+    import time
+
+    from pyspark.sql.types import StructType
+
+    from gobblin_spark.sources.datasource import (
+        _RestWriter, _TaskFilesCommit)
+
+    path = str(tmp_path / "out")
+    os.makedirs(path)
+    lock = os.path.join(path, "_DELIVERED.lock")
+    open(lock, "w").close()
+    os.utime(lock, (time.time() - 3600, time.time() - 3600))  # dead
+    errs = []
+
+    def job(rows):
+        try:
+            w = _RestWriter(path, StructType([]), 100)
+            for _ in range(20):
+                w.commit([_TaskFilesCommit([], rows)])
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    th = [threading.Thread(target=job, args=(r,)) for r in (1, 10)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    with open(os.path.join(path, "_DELIVERED")) as fh:
+        assert json.load(fh)["rows"] == 20 * 1 + 20 * 10
+    assert not [f for f in os.listdir(path) if ".reclaim." in f]

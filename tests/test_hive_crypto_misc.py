@@ -211,3 +211,18 @@ def test_table_identifier_validation(spark):
     with pytest.raises(ValueError, match="identifier"):
         hive.recover_partitions(spark, "a.b.c")
     hive.drop_table(spark, "db1.ok_name")  # qualified names pass
+
+
+def test_quote_location_escapes_backslashes():
+    """Advice-r9: backslashes escape FIRST — a location ending in a
+    backslash otherwise yields \\' in the SQL literal, which eats the
+    closing quote and malforms the CREATE TABLE statement."""
+    from gobblin_spark.sinks.hive import _quote_location
+
+    assert _quote_location("/plain/path") == "/plain/path"
+    assert _quote_location("it's") == "it\\'s"
+    assert _quote_location("x\\") == "x\\\\"
+    # the combined case: backslash-then-quote stays two tokens
+    assert _quote_location("a\\'b") == "a\\\\\\'b"
+    # a quoted literal built from the escaped form always terminates
+    assert ("'" + _quote_location("trail\\") + "'").endswith("\\\\'")

@@ -2303,3 +2303,33 @@ def test_remove_orphan_files_include_metadata(spark, tmp_path):
     assert t.read().count() == 2
     assert os.path.exists(os.path.join(loc, "metadata",
                                        "v1.metadata.json"))
+
+
+def test_changelog_missing_lookup_fails_loudly(spark, tmp_path,
+                                               monkeypatch):
+    """Advice-r9: a scanned file absent from the commit lookup (a
+    path-form mismatch the URI conversion did not normalize) must
+    RAISE in the projection, not silently stamp a NULL
+    _commit_snapshot_id and misbucket the rows."""
+    import pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    loc = str(tmp_path / "clguard")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df)
+    t.append_dataframe(spark.createDataFrame([(3, "c")],
+                                             "k long, s string"))
+
+    # healthy table: full-history changelog stamps every row
+    assert t.changelog(None).count() == 3
+
+    real = IcebergTable._changelog_lookup
+
+    def crippled(self, window, seq_of_snap):
+        return real(self, window[:-1], seq_of_snap)  # one file unmapped
+
+    monkeypatch.setattr(IcebergTable, "_changelog_lookup", crippled)
+    with pytest.raises(Exception, match="path-form mismatch"):
+        t.changelog(None).collect()
