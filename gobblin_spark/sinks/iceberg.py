@@ -792,6 +792,123 @@ def _read_bytes_any(path: str) -> bytes:
             return fh.read()
 
 
+def _is_plain_local(path: str) -> bool:
+    """True for paths the plain-file IO branch handles directly: no
+    scheme at all. ``file:``-prefixed and ``scheme://`` paths route
+    through pyarrow.fs (the one `_fs_from_uri` hook tests can mock)."""
+    return "://" not in path and not path.startswith("file:")
+
+
+def _open_input_file_any(path: str):
+    """Scheme-aware RANDOM-ACCESS open for parquet reads (footers
+    seek): a bare local path passes through (pyarrow memory-maps it);
+    URIs resolve via `_fs_from_uri`, falling back to fsspec for
+    schemes arrow doesn't know. Same sessionless/executor contract as
+    `_read_bytes_any` — no JVM, no Spark session."""
+    if _is_plain_local(path):
+        return path
+    try:
+        fs, rel = _fs_from_uri(path)
+        return fs.open_input_file(rel)
+    except (ImportError, OSError, ValueError) as arrow_err:
+        try:
+            import fsspec
+        except ImportError:
+            raise arrow_err
+        return fsspec.open(path, "rb").open()
+
+
+def _write_bytes_any(path: str, data: bytes) -> int:
+    """Scheme-aware byte write (parent dirs created first — a no-op
+    on object stores, a real mkdir on file/hdfs)."""
+    if _is_plain_local(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as fh:
+            fh.write(data)
+        return len(data)
+    try:
+        fs, rel = _fs_from_uri(path)
+        parent = rel.rsplit("/", 1)[0]
+        if parent:
+            fs.create_dir(parent, recursive=True)
+        with fs.open_output_stream(rel) as out:
+            out.write(data)
+        return len(data)
+    except (ImportError, OSError, ValueError) as arrow_err:
+        try:
+            import fsspec
+        except ImportError:
+            raise arrow_err
+        with fsspec.open(path, "wb") as fh:
+            fh.write(data)
+        return len(data)
+
+
+def _write_parquet_any(table, path: str) -> None:
+    """Scheme-aware parquet write (pyarrow Table → one file)."""
+    import pyarrow.parquet as pq
+    if _is_plain_local(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(table, path)
+        return
+    try:
+        fs, rel = _fs_from_uri(path)
+        parent = rel.rsplit("/", 1)[0]
+        if parent:
+            fs.create_dir(parent, recursive=True)
+        with fs.open_output_stream(rel) as out:
+            pq.write_table(table, out)
+    except (ImportError, OSError, ValueError) as arrow_err:
+        try:
+            import fsspec
+        except ImportError:
+            raise arrow_err
+        with fsspec.open(path, "wb") as fh:
+            pq.write_table(table, fh)
+
+
+def _file_size_any(path: str) -> int:
+    """Scheme-aware file size (raises FileNotFoundError if absent)."""
+    if _is_plain_local(path):
+        return os.path.getsize(path)
+    try:
+        import pyarrow.fs as pafs
+        fs, rel = _fs_from_uri(path)
+        info = fs.get_file_info(rel)
+    except (ImportError, ValueError) as arrow_err:
+        # unknown-to-arrow scheme only — a resolvable FS's own errors
+        # (incl. a genuinely missing file) propagate as themselves
+        try:
+            import fsspec
+        except ImportError:
+            raise arrow_err
+        with fsspec.open(path, "rb") as fh:
+            fh.seek(0, 2)
+            return fh.tell()
+    if info.type == pafs.FileType.NotFound:
+        raise FileNotFoundError(path)
+    return info.size
+
+
+def _delete_any(path: str) -> None:
+    """Scheme-aware single-file delete (missing files raise OSError,
+    matching os.remove)."""
+    if _is_plain_local(path):
+        os.remove(path)
+        return
+    try:
+        fs, rel = _fs_from_uri(path)
+    except (ImportError, ValueError) as arrow_err:
+        try:
+            import fsspec
+        except ImportError:
+            raise arrow_err
+        fs2, rel2 = fsspec.core.url_to_fs(path)
+        fs2.rm_file(rel2)
+        return
+    fs.delete_file(rel)
+
+
 class _NoCommit(Exception):
     """Raised by a _retry_metadata mutate closure to return a result
     WITHOUT committing a new metadata version (no-op short-circuit)."""
@@ -844,6 +961,14 @@ class IcebergTable:
     def _local(path: str) -> str:
         return path[len("file:"):] if path.startswith("file:") else path
 
+    @staticmethod
+    def _sessionless_is_local(path: str) -> bool:
+        """In sessionless mode, bare and ``file:``-prefixed paths keep
+        the original plain-file IO branch (CRC sidecar hygiene, O_EXCL
+        commits); genuine remote schemes route through the
+        scheme-aware pyarrow.fs helpers."""
+        return _is_plain_local(path) or path.startswith("file:")
+
     def _fs(self, path: str):
         jvm = self.spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(path)
@@ -851,6 +976,10 @@ class IcebergTable:
 
     def _write_bytes(self, path: str, data: bytes) -> int:
         if self.spark is None:
+            if not self._sessionless_is_local(path):
+                # sessionless REMOTE (s3:/hdfs:/gs:): the DSv2 commit
+                # hook runs with no JVM — pyarrow.fs carries the write
+                return _write_bytes_any(path, data)
             lp = self._local(path)
             os.makedirs(os.path.dirname(lp), exist_ok=True)
             # Hadoop LocalFS leaves .<name>.crc sidecars; a plain
@@ -874,6 +1003,8 @@ class IcebergTable:
 
     def _read_bytes(self, path: str) -> bytes:
         if self.spark is None:
+            if not self._sessionless_is_local(path):
+                return _read_bytes_any(path)
             with open(self._local(path), "rb") as fh:
                 return fh.read()
         fs, p, jvm = self._fs(path)
@@ -980,6 +1111,29 @@ class IcebergTable:
         v = (base if base is not None else self._version()) + 1
         path = f"{self.location}/metadata/v{v}.metadata.json"
         if self.spark is None:
+            if not self._sessionless_is_local(path):
+                # sessionless REMOTE: pyarrow.fs has no atomic
+                # create-if-absent, so the CAS degrades to an
+                # existence check + write — the SAME guarantee
+                # Hadoop's create(overwrite=false) gives on S3A
+                # (HEAD-then-PUT), i.e. no weaker than the JVM path
+                # on the same store
+                try:
+                    _file_size_any(path)
+                    exists = True
+                except FileNotFoundError:
+                    exists = False
+                if exists:
+                    raise RuntimeError(
+                        f"concurrent commit detected: {path} already "
+                        "exists (another committer advanced the table "
+                        "from the same base version) — re-read "
+                        "metadata and retry")
+                _write_bytes_any(path, json.dumps(md, indent=2).encode())
+                _write_bytes_any(
+                    f"{self.location}/metadata/version-hint.text",
+                    str(v).encode())
+                return v
             os.makedirs(os.path.dirname(self._local(path)),
                         exist_ok=True)
             try:
@@ -1348,7 +1502,10 @@ class IcebergTable:
             for p in (mlist_path, manifest_path):
                 try:
                     if self.spark is None:
-                        os.remove(self._local(p))
+                        if self._sessionless_is_local(p):
+                            os.remove(self._local(p))
+                        else:
+                            _delete_any(p)
                     else:
                         fs, jp, _ = self._fs(p)
                         fs.delete(jp, False)

@@ -316,7 +316,15 @@ class _RestWriter(DataSourceWriter):
     the staging dir so a failed job leaves no partial output. A real
     HTTP sink swaps the file write for the batched POST of
     sinks/generic.py; the staging trick then becomes buffering with
-    idempotency keys."""
+    idempotency keys.
+
+    LOCAL-ONLY contract (deliberate): the staging rename + O_EXCL
+    manifest-lock protocol relies on POSIX atomic rename/create, which
+    object stores don't provide — this face targets local/NFS paths
+    (its production shape is the HTTP sink, where no filesystem is
+    involved). The gobblin_iceberg face is the remote-FS path: its
+    commit protocol is the table format's own metadata CAS, which
+    needs no renames and is scheme-aware end to end."""
 
     def __init__(self, path: str, schema: StructType, batch_size: int,
                  overwrite: bool = False):
@@ -1047,9 +1055,13 @@ class _SqlStreamReader(SimpleDataSourceStreamReader):
 #
 # spark.read.format("gobblin_iceberg").option("path", loc) plans the
 # scan in pure Python from the table's metadata chain (version-hint ->
-# vN.metadata.json -> manifest list -> manifests, all plain local IO —
-# this is the embedded face; cluster object stores go through
-# IcebergTable.read): pushFilters() feeds the SAME inclusive-projection
+# vN.metadata.json -> manifest list -> manifests). Every file touch is
+# SCHEME-AWARE: bare/file: paths use plain local IO, s3:/hdfs:/gs:
+# locations route through sinks.iceberg's pyarrow.fs helpers (the same
+# `_fs_from_uri` hook the native table's distributed planner uses, with
+# the fsspec fallback for schemes arrow doesn't know) — so the DSv2
+# faces read AND write the remote stores a 100 TB table lives on.
+# pushFilters() feeds the SAME inclusive-projection
 # pruning the native reader uses (manifest field_summary skipping +
 # per-file partition-tuple/bounds checks, through each file's OWN spec
 # under partition evolution), partitions() emits ONE InputPartition per
@@ -1068,9 +1080,25 @@ def _ice_local(path: str) -> str:
     return path[len("file:"):] if path.startswith("file:") else path
 
 
+def _ice_is_local(path: str) -> bool:
+    """Bare and ``file:``-prefixed paths keep plain local IO; genuine
+    remote schemes (s3:/hdfs:/gs:) route through the scheme-aware
+    pyarrow.fs helpers in sinks.iceberg (the `_fs_from_uri` hook)."""
+    return "://" not in path or path.startswith("file://")
+
+
+def _ice_read_bytes(path: str) -> bytes:
+    """Scheme-aware byte read for the sessionless DSv2 face (no JVM,
+    no session — executor- and commit-hook-safe)."""
+    if _ice_is_local(path):
+        with open(_ice_local(path), "rb") as fh:
+            return fh.read()
+    from gobblin_spark.sinks.iceberg import _read_bytes_any
+    return _read_bytes_any(path)
+
+
 def _ice_read_md(location: str) -> dict:
-    hint_p = os.path.join(_ice_local(location), "metadata",
-                          "version-hint.text")
+    hint_p = location.rstrip("/") + "/metadata/version-hint.text"
     # Same torn-read protection as IcebergTable._version(): a
     # CONCURRENT writer's hint rewrite can expose an empty/partial
     # read (caught live by the stream-vs-batch commit stress, audit
@@ -1080,8 +1108,7 @@ def _ice_read_md(location: str) -> dict:
     last_err: Exception | None = None
     for _ in range(5):
         try:
-            with open(hint_p) as fh:
-                v = int(fh.read().strip())
+            v = int(_ice_read_bytes(hint_p).decode().strip())
             break
         except ValueError as ex:
             last_err = ex
@@ -1089,9 +1116,8 @@ def _ice_read_md(location: str) -> dict:
     else:
         raise RuntimeError(
             f"unreadable version hint at {hint_p}") from last_err
-    with open(os.path.join(_ice_local(location), "metadata",
-                           f"v{v}.metadata.json")) as fh:
-        return json.load(fh)
+    return json.loads(_ice_read_bytes(
+        location.rstrip("/") + f"/metadata/v{v}.metadata.json"))
 
 
 _ICE_TO_SPARK = {
@@ -1308,8 +1334,8 @@ class _IcebergReader(DataSourceReader):
                                 pass
             return True
 
-        with open(_ice_local(snap["manifest-list"]), "rb") as fh:
-            _, manifests = ACF.read_container(fh.read())
+        _, manifests = ACF.read_container(
+            _ice_read_bytes(snap["manifest-list"]))
         parts = []
         for m in manifests:
             info = spec_info(m.get("partition_spec_id", 0))
@@ -1319,8 +1345,8 @@ class _IcebergReader(DataSourceReader):
                     "(merge-on-read) instead of the connector face")
             if summary_excludes(m, info):
                 continue
-            with open(_ice_local(m["manifest_path"]), "rb") as fh:
-                _, entries = ACF.read_container(fh.read())
+            _, entries = ACF.read_container(
+                _ice_read_bytes(m["manifest_path"]))
             sid_by_name = {si["field_name"]: si["source_id"]
                            for si in info}
             for e in entries:
@@ -1395,7 +1421,10 @@ class _IcebergReader(DataSourceReader):
 
         target = to_arrow_schema(self.schema_)
         attach = dict(partition.attach)
-        pf = pq.ParquetFile(_ice_local(partition.path))
+        from gobblin_spark.sinks.iceberg import _open_input_file_any
+        pf = pq.ParquetFile(
+            _ice_local(partition.path) if _ice_is_local(partition.path)
+            else _open_input_file_any(partition.path))
         stored = _ice_file_cols(pf.schema_arrow, partition.col_ids,
                                 partition.path)
         file_cols = set(pf.schema_arrow.names)
@@ -1514,12 +1543,23 @@ class _IcebergWriter(DataSourceWriter):
         cols = list(zip(*rows))
         arrays = [pa.array(list(c), type=target.field(i).type)
                   for i, c in enumerate(cols)]
-        sub = os.path.join(_ice_local(self.location), "data",
-                           f"dsv2-{self.job_token}")
-        os.makedirs(sub, exist_ok=True)
         # attempt-unique name: a speculative twin never clobbers
-        path = os.path.join(sub, f"task-{task:05d}-{attempt}.parquet")
-        pq.write_table(pa.Table.from_arrays(arrays, schema=target), path)
+        fname = f"task-{task:05d}-{attempt}.parquet"
+        tbl = pa.Table.from_arrays(arrays, schema=target)
+        if _ice_is_local(self.location):
+            sub = os.path.join(_ice_local(self.location), "data",
+                               f"dsv2-{self.job_token}")
+            os.makedirs(sub, exist_ok=True)
+            path = os.path.join(sub, fname)
+            pq.write_table(tbl, path)
+        else:
+            # remote table (s3:/hdfs:/gs:): scheme-aware executor
+            # write — object stores need no mkdir, pyarrow.fs streams
+            # the file straight to the store
+            from gobblin_spark.sinks.iceberg import _write_parquet_any
+            path = (self.location.rstrip("/")
+                    + f"/data/dsv2-{self.job_token}/{fname}")
+            _write_parquet_any(tbl, path)
         return _IcebergCommit([path], len(rows))
 
     def commit(self, messages):
@@ -1539,23 +1579,29 @@ class _IcebergWriter(DataSourceWriter):
         files = []
         for m in messages or []:
             for fpath in getattr(m, "files", []) or []:
-                fmd = pq.ParquetFile(fpath).metadata
+                local = _ice_is_local(fpath)
+                fmd = pq.ParquetFile(
+                    fpath if local
+                    else I._open_input_file_any(fpath)).metadata
                 if fmd.num_rows == 0:
                     continue
                 lo, hi = I._collect_bounds(fmd, name_to_field)
                 files.append(I.DataFileInfo(
-                    "file:" + os.path.abspath(fpath),
-                    os.path.getsize(fpath), fmd.num_rows,
+                    "file:" + os.path.abspath(fpath) if local else fpath,
+                    os.path.getsize(fpath) if local
+                    else I._file_size_any(fpath),
+                    fmd.num_rows,
                     lower_bounds=lo, upper_bounds=hi))
         if files:
             t.append_files(files)
         return None
 
     def abort(self, messages):
+        from gobblin_spark.sinks.iceberg import _delete_any
         for m in messages or []:
             for f in getattr(m, "files", []) or []:
                 try:
-                    os.remove(f)
+                    os.remove(f) if _ice_is_local(f) else _delete_any(f)
                 except OSError:
                     pass
 
@@ -1633,8 +1679,8 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
         if not eligible:
             return []
         snap = max(eligible, key=lambda s: s.get("sequence-number", 0))
-        with open(_ice_local(snap["manifest-list"]), "rb") as fh:
-            _, manifests = ACF.read_container(fh.read())
+        _, manifests = ACF.read_container(
+            _ice_read_bytes(snap["manifest-list"]))
         # identity-partition lookup across ALL specs: partitionBy
         # drops the source column from the data files, so streamed
         # rows must re-attach values from the hive path like the
@@ -1676,8 +1722,8 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
             # every manifest must open: carried-forward entries keep
             # their ORIGINAL sequence numbers regardless of the
             # manifest's own sequence fields
-            with open(_ice_local(m["manifest_path"]), "rb") as fh:
-                _, entries = ACF.read_container(fh.read())
+            _, entries = ACF.read_container(
+                _ice_read_bytes(m["manifest_path"]))
             for e in entries:
                 if e["status"] not in (0, 1):
                     continue
@@ -1709,7 +1755,9 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
                        if s["schema-id"] == md["current-schema-id"])
             col_ids = {f["name"]: f["id"] for f in cur["fields"]}
         for path, attach in self._entries_between(lo, hi):
-            tbl = pq.read_table(_ice_local(path))
+            tbl = pq.read_table(
+                _ice_local(path) if _ice_is_local(path)
+                else I._open_input_file_any(path))
             stored = _ice_file_cols(tbl.schema, col_ids, path)
             att = dict(attach)
             cols = {}
@@ -1786,13 +1834,20 @@ class _IcebergStreamWriter(DataSourceStreamWriter):
         cols = list(zip(*rows))
         arrays = [pa.array(list(c), type=target.field(i).type)
                   for i, c in enumerate(cols)]
-        sub = os.path.join(_ice_local(self.location), "data",
-                           "dsv2stream")
-        os.makedirs(sub, exist_ok=True)
-        path = os.path.join(
-            sub, f"task-{task:05d}-{attempt}-{_uuid.uuid4().hex[:8]}"
+        fname = (f"task-{task:05d}-{attempt}-{_uuid.uuid4().hex[:8]}"
                  ".parquet")
-        pq.write_table(pa.Table.from_arrays(arrays, schema=target), path)
+        tbl = pa.Table.from_arrays(arrays, schema=target)
+        if _ice_is_local(self.location):
+            sub = os.path.join(_ice_local(self.location), "data",
+                               "dsv2stream")
+            os.makedirs(sub, exist_ok=True)
+            path = os.path.join(sub, fname)
+            pq.write_table(tbl, path)
+        else:
+            from gobblin_spark.sinks.iceberg import _write_parquet_any
+            path = (self.location.rstrip("/")
+                    + f"/data/dsv2stream/{fname}")
+            _write_parquet_any(tbl, path)
         return _IcebergCommit([path], len(rows))
 
     def commit(self, messages, batchId: int) -> None:
@@ -1812,21 +1867,27 @@ class _IcebergStreamWriter(DataSourceStreamWriter):
         files = []
         for m in messages or []:
             for fpath in getattr(m, "files", []) or []:
-                fmd = pq.ParquetFile(fpath).metadata
+                local = _ice_is_local(fpath)
+                fmd = pq.ParquetFile(
+                    fpath if local
+                    else I._open_input_file_any(fpath)).metadata
                 if fmd.num_rows == 0:
                     continue
                 lo, hi = I._collect_bounds(fmd, name_to_field)
                 files.append(I.DataFileInfo(
-                    "file:" + os.path.abspath(fpath),
-                    os.path.getsize(fpath), fmd.num_rows,
+                    "file:" + os.path.abspath(fpath) if local else fpath,
+                    os.path.getsize(fpath) if local
+                    else I._file_size_any(fpath),
+                    fmd.num_rows,
                     lower_bounds=lo, upper_bounds=hi))
         if files:
             t.append_files(files, summary_extra={"epoch-token": token})
 
     def abort(self, messages, batchId: int) -> None:
+        from gobblin_spark.sinks.iceberg import _delete_any
         for m in messages or []:
             for f in getattr(m, "files", []) or []:
                 try:
-                    os.remove(f)
+                    os.remove(f) if _ice_is_local(f) else _delete_any(f)
                 except OSError:
                     pass

@@ -2333,3 +2333,127 @@ def test_changelog_missing_lookup_fails_loudly(spark, tmp_path,
     monkeypatch.setattr(IcebergTable, "_changelog_lookup", crippled)
     with pytest.raises(Exception, match="path-form mismatch"):
         t.changelog(None).collect()
+
+
+def test_fsio_helpers_mock_scheme(tmp_path, monkeypatch):
+    """The scheme-aware IO belt (write/open/size/delete + parquet)
+    routes non-file URIs through the `_fs_from_uri` hook — proven with
+    a mock scheme mapped onto the local FS."""
+    import pyarrow as pa
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+    import pytest
+
+    from gobblin_spark.sinks import iceberg as ice
+
+    real = ice._fs_from_uri
+
+    def fake_from_uri(uri):
+        if uri.startswith("mock://host"):
+            return pafs.LocalFileSystem(), uri[len("mock://host"):]
+        return real(uri)
+
+    monkeypatch.setattr(ice, "_fs_from_uri", fake_from_uri)
+    base = "mock://host" + str(tmp_path)
+
+    # bytes roundtrip (+ parent dir creation)
+    p = base + "/sub/dir/blob.bin"
+    assert ice._write_bytes_any(p, b"abc123") == 6
+    assert ice._read_bytes_any(p) == b"abc123"
+    assert ice._file_size_any(p) == 6
+
+    # parquet roundtrip through open_input_file (random access)
+    tbl = pa.table({"k": [1, 2, 3]})
+    pp = base + "/sub/part.parquet"
+    ice._write_parquet_any(tbl, pp)
+    got = pq.ParquetFile(ice._open_input_file_any(pp))
+    assert got.metadata.num_rows == 3
+    assert pq.read_table(ice._open_input_file_any(pp)).equals(tbl)
+
+    # delete + missing-file contracts
+    ice._delete_any(p)
+    with pytest.raises(FileNotFoundError):
+        ice._file_size_any(p)
+    with pytest.raises(OSError):
+        ice._delete_any(p)
+
+    # plain local paths never consult the hook
+    lp = str(tmp_path / "plain.bin")
+    ice._write_bytes_any(lp, b"x")
+    assert ice._file_size_any(lp) == 1
+    ice._delete_any(lp)
+
+
+def test_dsv2_iceberg_remote_scheme(spark, tmp_path, monkeypatch):
+    """Verdict-r9 #2: the gobblin_iceberg DSv2 face is scheme-aware
+    end to end — with the table addressed by a non-file URI (mock
+    scheme onto local FS), the batch writer stages+commits, the batch
+    reader plans+reads, and the streaming reader/writer consume and
+    append, all through the pyarrow.fs hook instead of plain open()."""
+    import pyarrow.fs as pafs
+
+    from gobblin_spark.sinks import iceberg as ice
+    from gobblin_spark.sources.datasource import (
+        _IcebergReader, _IcebergStreamReader, _IcebergStreamWriter,
+        _IcebergWriter)
+
+    real = ice._fs_from_uri
+
+    def fake_from_uri(uri):
+        if uri.startswith("mock://host"):
+            return pafs.LocalFileSystem(), uri[len("mock://host"):]
+        return real(uri)
+
+    monkeypatch.setattr(ice, "_fs_from_uri", fake_from_uri)
+
+    schema = spark.createDataFrame([(1, "a")], "k long, s string").schema
+    loc = str(tmp_path / "remote_tbl")
+    ice.IcebergTable.create(spark, loc, schema)
+    mock_loc = "mock://host" + loc
+
+    # batch write face: task parquet + sessionless commit, all mock://
+    w = _IcebergWriter({"path": mock_loc}, schema)
+    msg = w.write(iter([(1, "a"), (2, "b")]))
+    assert msg.files and msg.files[0].startswith("mock://host")
+    w.commit([msg])
+
+    # the manifest records the mock URI (no file:/abspath rewrite)
+    t = ice.IcebergTable(None, mock_loc)
+    entries = t._entries()
+    assert len(entries) == 1
+    assert entries[0]["info"].path.startswith("mock://host")
+
+    # batch read face: plan + executor read through the hook
+    r = _IcebergReader({"path": mock_loc}, schema)
+    parts = r.partitions()
+    assert [p for p in parts if p.path][0].path.startswith("mock://host")
+    got = []
+    for p in parts:
+        for b in r.read(p):
+            got.extend(zip(b.column(0).to_pylist(),
+                           b.column(1).to_pylist()))
+    assert sorted(got) == [(1, "a"), (2, "b")]
+
+    # streaming write face: epoch commit + exactly-once replay no-op
+    sw = _IcebergStreamWriter({"path": mock_loc}, schema)
+    m2 = sw.write(iter([(3, "c")]))
+    sw.commit([m2], 7)
+    n_snaps = len(ice.IcebergTable(None, mock_loc).metadata()["snapshots"])
+    sw.commit([m2], 7)  # replayed epoch: no new snapshot
+    assert len(ice.IcebergTable(None, mock_loc)
+               .metadata()["snapshots"]) == n_snaps
+
+    # streaming read face: full window over the mock scheme
+    sr = _IcebergStreamReader({"path": mock_loc}, schema)
+    rows, end = sr.read(sr.initialOffset())
+    assert sorted(rows) == [(1, "a"), (2, "b"), (3, "c")]
+    assert end["seq"] >= 2
+
+    # abort deletes the never-referenced staged file via the hook
+    w2 = _IcebergWriter({"path": mock_loc}, schema)
+    m3 = w2.write(iter([(9, "z")]))
+    staged_local = m3.files[0][len("mock://host"):]
+    import os
+    assert os.path.exists(staged_local)
+    w2.abort([m3])
+    assert not os.path.exists(staged_local)
