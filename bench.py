@@ -80,6 +80,49 @@ class _StatusApi:
         }
 
 
+def _machine_calibration() -> tuple[float, float]:
+    """Machine-speed fingerprint (verdict-r9 #5): a fixed CPU
+    workload (matmul + FFT over a seeded array) on ONE thread and on
+    16 CONCURRENT threads. Two snapshots' calibration ratios separate
+    MACHINE drift (walls and calibration move together — r8 and r9
+    each lost a round of wall comparisons to exactly this) from
+    genuine plan regressions (walls move, calibration doesn't);
+    bench_diff refuses wall flags across a drift boundary. The
+    PARALLEL axis is the one that matters: two same-session r10 runs
+    showed 2-3x per-query wall swings with a FLAT single-thread
+    calibration — firecracker co-tenancy steals cores, not cycles, so
+    only an oversubscribed fingerprint moves with it."""
+    import threading
+
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((512, 512))
+
+    def work():
+        for _ in range(6):
+            b = a @ a
+            np.fft.rfft(b.ravel())
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        work()
+        sec = time.perf_counter() - t0
+        best = sec if best is None else min(best, sec)
+    best_par = None
+    for _ in range(2):
+        th = [threading.Thread(target=work) for _ in range(16)]
+        t0 = time.perf_counter()
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+        sec = time.perf_counter() - t0
+        best_par = sec if best_par is None else min(best_par, sec)
+    return round(best, 4), round(best_par, 4)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -110,6 +153,8 @@ def main() -> int:
         except Exception:
             pass  # a query that only works at the bench SF still times below
 
+    calib_pre, calib_par_pre = _machine_calibration()
+
     # min-of-2 per query: single-shot wall clocks at sf0.1 swing
     # +/-20% run-to-run (GC, page cache, task placement) — enough to
     # fake regressions in the round-over-round diff. The minimum of
@@ -125,6 +170,9 @@ def main() -> int:
             best = sec if best is None else min(best, sec)
         timings[name] = round(best, 3)
     spark.stop()
+    calib_post, calib_par_post = _machine_calibration()
+    calib = min(calib_pre, calib_post)
+    calib_par = min(calib_par_pre, calib_par_post)
 
     # Telemetry pass: fresh session with the UI on; per-query stage
     # metrics (input rows / shuffle write) come from the status REST
@@ -166,7 +214,13 @@ def main() -> int:
     # line past the buffer and the whole bench was lost as parsed:null).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAILS.json"), "w") as f:
-        json.dump({"sf": sf, "total_sec": total, "query_details": details},
+        json.dump({"sf": sf, "total_sec": total,
+                   "calib_sec": calib, "calib_par_sec": calib_par,
+                   "calib_sec_pre": calib_pre,
+                   "calib_sec_post": calib_post,
+                   "calib_par_sec_pre": calib_par_pre,
+                   "calib_par_sec_post": calib_par_post,
+                   "query_details": details},
                   f, indent=1)
     # the one machine-independent axis rides IN the headline line
     # (~30 bytes): wall clock drifts up to ±30% with co-tenant load
@@ -184,6 +238,10 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "shuffle_mb_total": shuffle_mb or None,
+                # the machine-epoch stamps ride in the recorded line
+                # so future rounds can refuse wall diffs across drift
+                "calib_sec": calib,
+                "calib_par_sec": calib_par,
             }
         )
     )

@@ -108,6 +108,13 @@ class FlowGraph:
         (MultiHopFlowCompiler.java:268)."""
         if source not in self._nodes or destination not in self._nodes:
             return None
+        # endpoint activity is checked symmetrically: an inactive
+        # destination was already unreachable (every edge checks
+        # dst.active), but an inactive SOURCE used to compile a flow
+        # out of a node marked down (audit r10)
+        if (not self._nodes[source].active
+                or not self._nodes[destination].active):
+            return None
 
         def compatible(fmt_in_hand: str, edge_fmt: str) -> bool:
             return ANY in (fmt_in_hand, edge_fmt) or fmt_in_hand == edge_fmt

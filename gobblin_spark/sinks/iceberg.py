@@ -1703,10 +1703,24 @@ class IcebergTable:
         delete path relies on the identical equality). Identity-
         partitioned layouts re-attach their partition values from the
         path exactly as read() does (shared _attach_identity_cols).
+
+        DELETE commits in the window emit the RETRACTED rows: a
+        POSITION-delete snapshot's rows come back stamped
+        ``_change_type='delete'`` with that commit's snapshot id —
+        planned by reading only the delete file's referenced data
+        files (the delete parquet's ``file_path`` column names them;
+        the scan never touches the rest of the table) and semi-joining
+        the broadcast (file, pos) set on the parquet metadata columns,
+        the same addressing the read path's anti-join uses. A row
+        inserted AND deleted inside one window yields both records
+        (per-commit changelog, not net-changes — Iceberg's
+        create_changelog_view contract). EQUALITY deletes in the
+        window raise (same gate as Iceberg's own Spark changelog;
+        rewrite them as position deletes to stream retractions), and
         REPLACE snapshots in the window raise (their rows are
-        rewrites, not inserts — same contract as the streaming
-        reader); delete-carrying tables raise (a retraction is not an
-        insert)."""
+        rewrites, not changes — same contract as the streaming
+        reader). Delete commits OUTSIDE the window are ignored: they
+        changed state the window does not cover."""
         from pyspark.sql import functions as F
 
         md = self.metadata()
@@ -1724,19 +1738,31 @@ class IcebergTable:
         for s in self._main_ancestry(md):
             op = s.get("summary", {}).get("operation")
             if (lo_seq < s.get("sequence-number", 0) <= hi_seq
-                    and op not in ("append", None)):
+                    and op not in ("append", "delete", None)):
                 raise NotImplementedError(
                     f"non-append snapshot (operation={op!r}) in the "
                     "changelog window")
-        window = []
+        window = []     # content=0 data files committed in the window
+        pos_dels = []   # content=1 position-delete files in the window
+        all_data = []   # every live data file (delete-ref resolution)
         for e in self._entries(to_id, md=md):
-            if e["content"] != 0:
-                raise NotImplementedError(
-                    "changelog over delete-carrying tables")
-            if lo_seq < e["sequence_number"] <= hi_seq:
+            in_win = lo_seq < e["sequence_number"] <= hi_seq
+            if e["content"] == 2:
+                if in_win:
+                    raise NotImplementedError(
+                        "equality deletes in the changelog window — "
+                        "retractions stream as position deletes "
+                        "(Iceberg's own changelog has the same gate)")
+                continue
+            if e["content"] == 1:
+                if in_win:
+                    pos_dels.append(e)
+                continue
+            all_data.append(e)
+            if in_win:
                 window.append(e)
         st = self._schema_for(to_id, md)
-        if not window:
+        if not window and not pos_dels:
             return self.spark.createDataFrame(
                 [], self._schema_for(to_id, md)
                 .add("_change_type", T.StringType())
@@ -1753,52 +1779,109 @@ class IcebergTable:
                 for f in st.fields])
         seq_of_snap = {s["sequence-number"]: s["snapshot-id"]
                        for s in md["snapshots"]}
-        # file path -> committing snapshot: O(window files) slim rows,
-        # broadcast onto the scan (planning already walked these);
-        # URI-form keying lives in _changelog_lookup
-        lookup = self._changelog_lookup(window, seq_of_snap)
-
         snap_name_to_id, hist_names, data_prefix = \
             self._partition_attach_ctx(md, to_id)
-        spec_ids = sorted({e.get("spec_id", 0) for e in window})
-        out = None
-        for sp in spec_ids:
-            ids = {si["source_id"] for si in self._spec_info(md, sp)
-                   if si["transform"] == "identity"}
-            paths = [e["info"].path for e in window
-                     if e.get("spec_id", 0) == sp]
-            base_st = (T.StructType([
-                f for f in st.fields
-                if snap_name_to_id.get(f.name) not in ids])
-                if ids else st)
-            part = self.spark.read.schema(base_st).parquet(*paths)
-            if ids:
-                part = self._attach_identity_cols(
-                    part, st, ids, snap_name_to_id, hist_names,
-                    data_prefix)
-            part = part.select(
-                *[f.name for f in st.fields],
-                F.col("_metadata.file_path").alias("_cl_fp"))
-            out = part if out is None else out.unionByName(part)
-        # every scanned file is by construction in the lookup, so a
-        # NULL stamp can only mean a path-form mismatch _uri_form did
-        # not normalize — fail LOUDLY in the projection instead of
-        # silently misbucketing rows under a phantom NULL commit
-        # (advice-r9; same lazy raise_error shape as rest.py strict)
-        stamp = F.when(
-            F.col("_commit_snapshot_id").isNull(),
-            F.raise_error(F.concat(
-                F.lit("changelog: scanned file missing from the "
-                      "commit lookup (path-form mismatch): "),
-                F.col("_cl_fp"))).cast("long"),
-        ).otherwise(F.col("_commit_snapshot_id"))
-        return (
-            out.join(F.broadcast(lookup),
-                     out["_cl_fp"] == lookup["_cl_path"], "left")
-            .withColumn("_commit_snapshot_id", stamp)
-            .withColumn("_change_type", F.lit("insert"))
-            .select(*[f.name for f in st.fields],
-                    "_change_type", "_commit_snapshot_id"))
+
+        def _scan_grouped(entries, with_pos: bool):
+            """ONE multi-path scan per partition spec over *entries*,
+            identity columns re-attached; optionally carries the
+            parquet metadata (file, row) identity columns."""
+            grouped = None
+            for sp in sorted({e.get("spec_id", 0) for e in entries}):
+                ids = {si["source_id"] for si in self._spec_info(md, sp)
+                       if si["transform"] == "identity"}
+                paths = [e["info"].path for e in entries
+                         if e.get("spec_id", 0) == sp]
+                base_st = (T.StructType([
+                    f for f in st.fields
+                    if snap_name_to_id.get(f.name) not in ids])
+                    if ids else st)
+                part = self.spark.read.schema(base_st).parquet(*paths)
+                if ids:
+                    part = self._attach_identity_cols(
+                        part, st, ids, snap_name_to_id, hist_names,
+                        data_prefix)
+                extra = ([F.col("_metadata.file_path").alias("_cl_fp"),
+                          F.col("_metadata.row_index").alias("_cl_pos")]
+                         if with_pos
+                         else [F.col("_metadata.file_path")
+                               .alias("_cl_fp")])
+                part = part.select(*[f.name for f in st.fields], *extra)
+                grouped = (part if grouped is None
+                           else grouped.unionByName(part))
+            return grouped
+
+        ins = None
+        if window:
+            # file path -> committing snapshot: O(window files) slim
+            # rows, broadcast onto the scan (planning already walked
+            # these); URI-form keying lives in _changelog_lookup
+            lookup = self._changelog_lookup(window, seq_of_snap)
+            out = _scan_grouped(window, with_pos=False)
+            # every scanned file is by construction in the lookup, so
+            # a NULL stamp can only mean a path-form mismatch
+            # _uri_form did not normalize — fail LOUDLY in the
+            # projection instead of silently misbucketing rows under a
+            # phantom NULL commit (advice-r9; same lazy raise_error
+            # shape as rest.py strict)
+            stamp = F.when(
+                F.col("_commit_snapshot_id").isNull(),
+                F.raise_error(F.concat(
+                    F.lit("changelog: scanned file missing from the "
+                          "commit lookup (path-form mismatch): "),
+                    F.col("_cl_fp"))).cast("long"),
+            ).otherwise(F.col("_commit_snapshot_id"))
+            ins = (
+                out.join(F.broadcast(lookup),
+                         out["_cl_fp"] == lookup["_cl_path"], "left")
+                .withColumn("_commit_snapshot_id", stamp)
+                .withColumn("_change_type", F.lit("insert"))
+                .select(*[f.name for f in st.fields],
+                        "_change_type", "_commit_snapshot_id"))
+
+        dels = None
+        data_by_path = {e["info"].path: e for e in all_data}
+        for d in sorted(pos_dels, key=lambda e: e["sequence_number"]):
+            d_seq = d["sequence_number"]
+            d_snap = seq_of_snap.get(d_seq)
+            # the delete parquet's file_path column names EXACTLY the
+            # data files it touches — a driver-local column read of
+            # one small file, so the retraction scan opens only the
+            # referenced data files, never the rest of the table
+            import pyarrow.parquet as _pq
+            refs = set(_pq.read_table(
+                _open_input_file_any(d["info"].path),
+                columns=["file_path"])["file_path"].to_pylist())
+            # spec guard: a position delete applies to data files with
+            # sequence <= the delete's. A reference missing from the
+            # live set addressed already-dead positions — a no-op.
+            ref_entries = [
+                data_by_path[p] for p in sorted(refs)
+                if p in data_by_path
+                and data_by_path[p]["sequence_number"] <= d_seq]
+            if not ref_entries:
+                continue
+            positions = (self.spark.read.parquet(d["info"].path)
+                         .select("file_path", "pos"))
+            hit = (
+                _scan_grouped(ref_entries, with_pos=True)
+                .join(F.broadcast(positions),
+                      (F.col("_cl_fp") == positions["file_path"])
+                      & (F.col("_cl_pos") == positions["pos"]),
+                      "left_semi")
+                .select(*[f.name for f in st.fields])
+                .withColumn("_change_type", F.lit("delete"))
+                .withColumn("_commit_snapshot_id",
+                            F.lit(d_snap).cast("long")))
+            dels = hit if dels is None else dels.unionByName(hit)
+
+        if ins is None:
+            return dels if dels is not None else (
+                self.spark.createDataFrame(
+                    [], T.StructType(list(st.fields))
+                    .add("_change_type", T.StringType())
+                    .add("_commit_snapshot_id", T.LongType())))
+        return ins if dels is None else ins.unionByName(dels)
 
     def _changelog_lookup(self, window: list[dict],
                           seq_of_snap: dict[int, int]) -> DataFrame:

@@ -100,6 +100,13 @@ def fetch_pages(
                         err = f"{type(ex).__name__}: {ex}"
                         if attempt < retries:
                             _time.sleep(backoff_sec * (2 ** (attempt - 1)))
+                if payload is None and err is None:
+                    # a transport that RETURNS None (instead of
+                    # raising) would otherwise record a clean row
+                    # whose null payload from_json/explode silently
+                    # drop — the same no-signal data loss the strict
+                    # mode exists to prevent (audit r10)
+                    err = "transport returned None"
                 out.append((int(r.page_no), payload, attempt, err))
             yield pd.DataFrame(
                 out, columns=["page_no", "payload", "attempts", "error"]

@@ -32,35 +32,48 @@ import sys
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def load_round_timings() -> dict[int, dict[str, float]]:
-    """Per-query seconds from every BENCH_r*.json that parsed."""
+def load_round_timings() -> tuple[dict[int, dict[str, float]],
+                                  dict[int, float]]:
+    """Per-query seconds (and the machine-epoch ``calib_sec`` stamp,
+    where the round recorded one) from every BENCH_r*.json that
+    parsed."""
     rounds: dict[int, dict[str, float]] = {}
+    calibs: dict[int, float] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
         rnum = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         try:
             doc = json.load(open(path))
         except Exception:
             continue
-        queries = (doc.get("parsed") or {}).get("queries") or doc.get("queries")
+        line = doc.get("parsed") or doc
+        queries = line.get("queries")
         if not queries:
             # the driver stores the final stdout line under "tail"
             tail = doc.get("tail", "")
             m = re.search(r'\{"metric".*\}', tail)
             if m:
                 try:
-                    queries = json.loads(m.group(0)).get("queries")
+                    line = json.loads(m.group(0))
+                    queries = line.get("queries")
                 except Exception:
                     queries = None
         if queries:
             rounds[rnum] = {k: float(v) for k, v in queries.items()}
-    return rounds
+            if line.get("calib_sec"):
+                calibs[rnum] = (float(line["calib_sec"]),
+                                float(line.get("calib_par_sec") or 0)
+                                or None)
+    return rounds, calibs
 
 
-def load_details(path: str) -> dict[str, dict]:
+def load_details(path: str):
     try:
-        return json.load(open(path)).get("query_details", {})
+        doc = json.load(open(path))
+        calib = ((doc["calib_sec"], doc.get("calib_par_sec"))
+                 if doc.get("calib_sec") else None)
+        return doc.get("query_details", {}), calib
     except Exception:
-        return {}
+        return {}, None
 
 
 def main() -> int:
@@ -73,14 +86,15 @@ def main() -> int:
                     help="where to write the machine-readable diff")
     args = ap.parse_args()
 
-    rounds = load_round_timings()
-    cur_details = load_details(args.current)
+    rounds, calibs = load_round_timings()
+    cur_details, cur_calib = load_details(args.current)
     cur = {n: d.get("sec_timed_pass") for n, d in cur_details.items()
            if d.get("sec_timed_pass") is not None}
     if not cur and rounds:
         # no local details yet: compare the two newest driver rounds
         newest = max(rounds)
         cur = rounds.pop(newest)
+        cur_calib = calibs.get(newest)
         print(f"(no BENCH_DETAILS.json — diffing round {newest} "
               "against its predecessor)")
     if not cur:
@@ -89,6 +103,25 @@ def main() -> int:
 
     prior_round = max(rounds) if rounds else None
     prior = rounds.get(prior_round, {})
+
+    # machine-epoch gate (verdict-r9 #5): when BOTH sides carry a
+    # calibration stamp and the machine speed moved more than the
+    # drift bound, wall-clock ratios say nothing about the plans —
+    # r8 and r9 each burned a round on exactly these phantom flags.
+    # The PARALLEL axis dominates: co-tenancy steals cores, so the
+    # 16-thread fingerprint moves while the single-thread one stays
+    # flat (proven by two same-session r10 runs). Shuffle/spill
+    # comparisons are machine-independent and stay on.
+    DRIFT_BOUND = 1.2
+    prior_calib = calibs.get(prior_round)
+    drift_ratio = None
+    machine_drift = False
+    if cur_calib and prior_calib:
+        ratios = [max(a, b) / min(a, b)
+                  for a, b in zip(cur_calib, prior_calib)
+                  if a and b]
+        drift_ratio = round(max(ratios), 3) if ratios else None
+        machine_drift = bool(drift_ratio) and drift_ratio > DRIFT_BOUND
 
     flagged, improved, first_time = [], [], []
     for name, sec in sorted(cur.items()):
@@ -141,9 +174,20 @@ def main() -> int:
                 "prev_spill_bytes": psp,
                 "peak_execution_memory": d.get("peak_execution_memory")})
 
+    if machine_drift:
+        # refuse the wall comparison instead of reporting phantoms;
+        # the rows are preserved for inspection under a name that
+        # cannot be mistaken for plan regressions
+        suppressed = {"flagged": flagged, "improved": improved}
+        flagged, improved = [], []
+
     out = {
         "prior_round": prior_round,
         "threshold": args.threshold,
+        "calib": cur_calib,  # (single-thread sec, 16-thread sec)
+        f"calib_r{prior_round}": prior_calib,
+        "machine_drift_ratio": drift_ratio,
+        "machine_drift": machine_drift,
         "n_compared": len(cur) - len(first_time),
         # bench timings switched to min-of-2 in round 5; BENCH_r*.json
         # for rounds <= 4 are single-shot, so cross-method 'improved'
@@ -162,6 +206,12 @@ def main() -> int:
                 "peak_execution_memory": d.get("peak_execution_memory")}
             for n, d in cur_details.items()},
     }
+    if machine_drift:
+        out["wall_flags_suppressed_machine_drift"] = suppressed
+        out["note_drift"] = (
+            f"machine calibration moved {drift_ratio}x between rounds "
+            f"(bound {DRIFT_BOUND}) — wall-clock flags suppressed; "
+            "shuffle/spill axes remain authoritative")
     if prior_round is not None and prior_round <= 4:
         out["note"] = ("prior round timed single-shot; this round is "
                        "min-of-2 — improvements are overstated by the "
@@ -172,6 +222,8 @@ def main() -> int:
     print(f"compared {out['n_compared']} queries vs round {prior_round} "
           f"(threshold {args.threshold}x); "
           f"{len(first_time)} first-timers: {', '.join(first_time) or '-'}")
+    if "note_drift" in out:
+        print(f"  MACHINE DRIFT: {out['note_drift']}")
     if "note" in out:
         print(f"  note: {out['note']}")
     for row in flagged:

@@ -118,3 +118,27 @@ def test_compiled_three_hop_flow_executes(spark, sf_dir, tmp_path):
     assert final.count() == expect
     assert set(final.columns) == {"o_orderkey", "o_custkey", "o_totalprice"}
     assert os.path.exists(os.path.join(c, "_SUCCESS"))
+
+
+def test_inactive_endpoints_block_path():
+    """Audit r10: an inactive SOURCE node must block compilation the
+    same way an inactive destination/intermediate always did."""
+    import pytest
+
+    from gobblin_spark.plans import flowgraph as FG
+
+    g = FG.FlowGraph()
+    g.add_node(FG.DataNode("a"))
+    g.add_node(FG.DataNode("b"))
+    g.add_edge(FG.FlowEdge("e", "a", "b", "k=v\n"))
+    assert g.find_path("a", "b") is not None
+
+    g.node("a").active = False
+    assert g.find_path("a", "b") is None
+    with pytest.raises(ValueError, match="no path"):
+        FG.compile_flow(g, "f", "a", "b")
+    g.node("a").active = True
+    g.node("b").active = False
+    assert g.find_path("a", "b") is None
+    g.node("b").active = True
+    assert g.find_path("a", "b") is not None

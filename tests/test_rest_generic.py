@@ -176,3 +176,19 @@ def test_write_batched_rejects_zero_retries(spark):
     df = spark.createDataFrame([(1,), (2,)], "v int")
     with pytest.raises(ValueError, match="retries"):
         write_batched(df, lambda: (lambda recs: None), retries=0)
+
+
+def test_none_returning_transport_is_an_error(spark):
+    """Audit r10: a transport that RETURNS None (instead of raising)
+    must surface as a page error — strict mode then fails the read
+    instead of silently dropping the page's records."""
+    import pytest
+
+    from gobblin_spark.sources.rest import fetch_pages, page_manifest, read_rest_api
+
+    rows = fetch_pages(page_manifest(spark, 10, 5),
+                       lambda off, lim: None).collect()
+    assert all(r.error == "transport returned None" for r in rows)
+    with pytest.raises(Exception, match="transport returned None"):
+        read_rest_api(spark, 10, 5, lambda off, lim: None,
+                      "id long").collect()
