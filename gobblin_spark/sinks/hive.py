@@ -53,6 +53,28 @@ def _quote_location(location: str) -> str:
     return location.replace("\\", "\\\\").replace("'", "\\'")
 
 
+# partition column names ride inside backticks and format names ride
+# bare in the USING clause — same trust boundary as _TABLE_RE (a
+# backtick in a column name would break out of its quoting; audit r10)
+_COL_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_TYPE_RE = re.compile(r"^[A-Za-z0-9_<>,:() ]+$")
+_FMT_RE = re.compile(r"^[A-Za-z0-9_.]+$")
+
+
+def _check_partition_cols(cols) -> None:
+    for n, t in cols:
+        if not _COL_RE.match(n):
+            raise ValueError(f"not a valid column identifier: {n!r}")
+        if not _TYPE_RE.match(t):
+            raise ValueError(f"not a valid column type: {t!r}")
+
+
+def _check_fmt(fmt: str) -> str:
+    if not _FMT_RE.match(fmt):
+        raise ValueError(f"not a valid format name: {fmt!r}")
+    return fmt
+
+
 def register_external_table(
     spark: SparkSession,
     table: str,
@@ -69,11 +91,13 @@ def register_external_table(
     with ``recover_partitions`` to load them. Without ``schema_ddl`` the
     non-partitioned schema is inferred from the files."""
     _check_table(table)
+    _check_fmt(fmt)
     location = _quote_location(location)
     exists = "IF NOT EXISTS " if if_not_exists else ""
     if partition_cols:
         if not schema_ddl:
             raise ValueError("partitioned registration needs schema_ddl for data columns")
+        _check_partition_cols(partition_cols)
         pspec = ", ".join(f"`{n}` {t}" for n, t in partition_cols)
         spark.sql(
             f"CREATE TABLE {exists}{table} ({schema_ddl}) USING {fmt} "

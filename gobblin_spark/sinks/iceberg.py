@@ -721,7 +721,8 @@ def _iceberg_schema(schema: T.StructType) -> tuple[dict, int]:
 
 
 def _manifest_live_entries(raw: bytes, spec_id: int,
-                           info: list[dict]) -> list[dict]:
+                           info: list[dict],
+                           manifest_seq: int = 0) -> list[dict]:
     """Decode one manifest's live (ADDED/EXISTING) entries into the
     planner's entry dicts — shared verbatim by the driver-side loop
     and the distributed planning job, so both planning modes are
@@ -741,6 +742,18 @@ def _manifest_live_entries(raw: bytes, spec_id: int,
         else:  # typed r102 record (current writer)
             tup = {str(sid_by_name[name]): v
                    for name, v in part.items() if name in sid_by_name}
+        seq = e.get("sequence_number")
+        if seq is None:
+            # v2 sequence-number INHERITANCE (spec "Sequence Number
+            # Inheritance"): a null entry sequence inherits the
+            # MANIFEST's own (manifest-list field 515). Coercing to 0
+            # instead would put a genuine-Iceberg-written file before
+            # every delete (the _del_seq > _data_seq guards stop
+            # applying) and outside every changelog/stream window —
+            # the r8 audit fixed exactly this in the DSv2 stream
+            # reader; audit r10 found the native planner kept the
+            # coercion.
+            seq = manifest_seq
         out.append({
             "info": DataFileInfo(
                 d["file_path"], d["file_size_in_bytes"],
@@ -749,7 +762,7 @@ def _manifest_live_entries(raw: bytes, spec_id: int,
                 _bounds_from_avro(d.get("upper_bounds")),
                 tup),
             "content": d.get("content", 0),
-            "sequence_number": e.get("sequence_number") or 0,
+            "sequence_number": seq,
             "equality_ids": d.get("equality_ids"),
             "spec_id": spec_id,
         })
@@ -1996,18 +2009,20 @@ class IcebergTable:
                 if _summary_excludes(m, info):
                     self.last_manifest_scan["manifests_skipped"] += 1
                     continue
-            open_list.append((m["manifest_path"], m_spec))
+            open_list.append((m["manifest_path"], m_spec,
+                              m.get("sequence_number") or 0))
 
         if (self.planning == "distributed" and self.spark is not None
                 and len(open_list) > 1):
-            infos = {s: _info_for(s) for s in {s for _, s in open_list}}
+            infos = {s: _info_for(s) for _, s, _ in open_list}
 
             def _parse(item):
-                path, spec_id = item
+                path, spec_id, m_seq = item
                 # scheme-aware executor read (pyarrow.fs): the fan-out
                 # must open s3:/hdfs: manifests, not just file: ones
                 return _manifest_live_entries(_read_bytes_any(path),
-                                              spec_id, infos[spec_id])
+                                              spec_id, infos[spec_id],
+                                              m_seq)
 
             sc = self.spark.sparkContext
             n = min(len(open_list), sc.defaultParallelism * 2)
@@ -2018,9 +2033,9 @@ class IcebergTable:
             return [e for chunk in chunks for e in chunk]
 
         out = []
-        for path, m_spec in open_list:
+        for path, m_spec, m_seq in open_list:
             out.extend(_manifest_live_entries(
-                self._read_bytes(path), m_spec, _info_for(m_spec)))
+                self._read_bytes(path), m_spec, _info_for(m_spec), m_seq))
         return out
 
     def data_files(self, snapshot_id: int | None = None) -> list[DataFileInfo]:

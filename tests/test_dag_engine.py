@@ -202,9 +202,16 @@ def test_crash_recovery_from_state_store(tmp_path):
 
 
 def test_unknown_dag_action_is_noop(tmp_path):
+    import pytest
+
     eng = E.DagProcessingEngine()
-    eng.kill("ghost")
-    eng.run_until_idle(5)  # must not raise (KillDagProc.java:63)
+    # advice-r9: kill() of an unknown id fails fast at the CALL SITE;
+    # an already-ENQUEUED action for a dag that clean_up raced away is
+    # still dropped at drain (KillDagProc.java:63)
+    with pytest.raises(ValueError, match="unknown dag"):
+        eng.kill("ghost")
+    eng.submit(E.DagAction(E.DagActionType.KILL, "ghost"))
+    eng.run_until_idle(5)  # must not raise
     eng.shutdown()
 
 

@@ -226,3 +226,28 @@ def test_quote_location_escapes_backslashes():
     assert _quote_location("a\\'b") == "a\\\\\\'b"
     # a quoted literal built from the escaped form always terminates
     assert ("'" + _quote_location("trail\\") + "'").endswith("\\\\'")
+
+
+def test_partition_col_and_fmt_validation(spark, tmp_path):
+    """Audit r10: partition column names ride inside backticks and the
+    format rides bare in USING — both get the same identifier hygiene
+    table names got in r9."""
+    import pytest
+
+    from gobblin_spark.sinks import hive
+
+    loc = str(tmp_path / "x")
+    with pytest.raises(ValueError, match="column identifier"):
+        hive.register_external_table(
+            spark, "t_bad1", loc, partition_cols=[("a` (b int)", "string")],
+            schema_ddl="k long")
+    with pytest.raises(ValueError, match="column type"):
+        hive.register_external_table(
+            spark, "t_bad2", loc, partition_cols=[("a", "string' bad")],
+            schema_ddl="k long")
+    with pytest.raises(ValueError, match="format name"):
+        hive.register_external_table(spark, "t_bad3", loc,
+                                     fmt="parquet LOCATION '/pwn'")
+    # well-formed complex types still pass
+    hive._check_partition_cols([("a", "array<struct<x:int,y:string>>"),
+                                ("b", "decimal(10, 2)")])

@@ -2609,3 +2609,50 @@ def test_rollback_races_appender(spark, tmp_path):
     orphans = [sid for sid, _ in appended if sid not in chain]
     if orphans:
         assert t.read(snapshot_id=orphans[-1]).count() > 0
+
+
+def test_planner_inherits_manifest_sequence(spark, tmp_path):
+    """Audit r10: v2 sequence-number INHERITANCE in the NATIVE
+    planner — a manifest entry with a NULL sequence number (how
+    genuine Iceberg writers record the committing manifest's own
+    sequence) must inherit the manifest-list entry's sequence, not
+    coerce to 0. With the coercion, an equality delete (seq 2) would
+    stop applying to data committed at seq 1 (guard _del_seq >
+    _data_seq needs the data seq REAL), silently resurrecting deleted
+    rows. The r8 audit fixed this in the DSv2 stream reader; this
+    pins the shared planner."""
+    import json as _json
+
+    from gobblin_spark.operators import avro_container as ACF
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "inherit")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df)                             # seq 1
+    t.delete_equality(spark.createDataFrame([(2,)], "k long"))  # seq 2
+    assert sorted(r.k for r in t.read().collect()) == [1]
+
+    # fabricate genuine-Iceberg form: null out the DATA manifest
+    # entries' explicit sequence numbers (inheritance-from-515 form)
+    md = t.metadata()
+    snap = next(s for s in md["snapshots"]
+                if s["snapshot-id"] == md["current-snapshot-id"])
+    _, manifests = ACF.read_container(t._read_bytes(snap["manifest-list"]))
+    data_manifest = next(m for m in manifests
+                         if m.get("content", 0) == 0
+                         and (m.get("sequence_number") or 0) == 1)
+    mpath = data_manifest["manifest_path"]
+    schema, entries = ACF.read_container(t._read_bytes(mpath))
+    for e in entries:
+        e["sequence_number"] = None
+    t._write_bytes(mpath, ACF.write_container_bytes(entries, schema))
+
+    # planner must stamp the manifest's seq (1), and the delete (2)
+    # must still erase k=2 — under BOTH planning modes
+    ent = [e for e in IcebergTable(spark, loc)._entries()
+           if e["content"] == 0]
+    assert ent and {e["sequence_number"] for e in ent} == {1}
+    assert sorted(r.k for r in t.read().collect()) == [1]
+    td = IcebergTable(spark, loc, planning="distributed")
+    assert sorted(r.k for r in td.read().collect()) == [1]
