@@ -9410,6 +9410,10 @@ def iceberg_time_travel_read(spark, sf_dir):
     SELECT o_orderkey, o_custkey, o_orderpriority,
            'delete' AS change_type, CAST(3 AS INT) AS commit_ord
     FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           'delete' AS change_type, CAST(4 AS INT) AS commit_ord
+    FROM orders WHERE o_orderpriority = '5-LOW'
     """,
 )
 def iceberg_changelog_delete_read(spark, sf_dir):
@@ -9417,20 +9421,22 @@ def iceberg_changelog_delete_read(spark, sf_dir):
     delete-carrying table; the engine face of the reference's
     incremental copy planning —
     gobblin-data-management/.../iceberg/IcebergDatasetFinder.java —
-    composed with the spec's position-delete read path): two append
-    commits, then a POSITION-delete of every urgent order, then
-    ``changelog(None)`` replays the full history — every row as an
-    insert stamped with its committing ordinal AND every deleted row
-    again as ``_change_type='delete'`` stamped with the delete
-    commit. The retraction scan opens ONLY the data files the delete
-    parquet references (its file_path column names them), never the
-    rest of the table; read-path agreement (no urgent rows survive)
-    is asserted in-query. Snapshot ids are run-random; the oracle
-    checks deterministic commit ORDINALS derived from them. This
-    entry RETIRED iceberg_changelog_read (r10): the insert-only
-    stamping it certified is a strict subset of this replay, and the
-    bounded-window semantics stay pytest-pinned
-    (test_time_travel_by_timestamp_and_changelog)."""
+    composed with the spec's delete read paths): two append commits,
+    a POSITION-delete of every urgent order, an EQUALITY-delete of
+    every low-priority orderkey, then ``changelog(None)`` replays the
+    full history — every row as an insert stamped with its committing
+    ordinal AND every deleted row again as ``_change_type='delete'``
+    stamped with its deleting commit. The position-retraction scan
+    opens ONLY the data files the delete parquet references; the
+    equality retraction is the PARENT state semi-joined with the
+    tuples (exceeding the reference analog — Iceberg's own Spark
+    changelog still gates equality deletes). Read-path agreement (no
+    urgent/low rows survive) is asserted in-query. Snapshot ids are
+    run-random; the oracle checks deterministic commit ORDINALS
+    derived from them. This entry RETIRED iceberg_changelog_read
+    (r10): the insert-only stamping it certified is a strict subset
+    of this replay, and the bounded-window semantics stay
+    pytest-pinned (test_time_travel_by_timestamp_and_changelog)."""
     import tempfile
 
     from gobblin_spark.sinks.iceberg import IcebergTable
@@ -9452,13 +9458,19 @@ def iceberg_changelog_delete_read(spark, sf_dir):
            .drop("o_orderpriority"))
     t.delete_positions(pos)
     snaps.append(t.metadata()["current-snapshot-id"])
+    t.delete_equality(
+        orders.filter(F.col("o_orderpriority") == "5-LOW")
+        .select("o_orderkey"))
+    snaps.append(t.metadata()["current-snapshot-id"])
     if t.read().filter(
-            F.col("o_orderpriority") == "1-URGENT").count() != 0:
-        raise RuntimeError("position deletes not applied by read()")
+            F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).count() != 0:
+        raise RuntimeError("deletes not applied by read()")
     cl = t.changelog(None)
     ordinal = F.when(F.col("_commit_snapshot_id") == snaps[0], 1) \
         .when(F.col("_commit_snapshot_id") == snaps[1], 2) \
         .when(F.col("_commit_snapshot_id") == snaps[2], 3) \
+        .when(F.col("_commit_snapshot_id") == snaps[3], 4) \
         .cast("int")
     return cl.select(
         "o_orderkey", "o_custkey", "o_orderpriority",

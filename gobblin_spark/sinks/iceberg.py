@@ -1727,13 +1727,16 @@ class IcebergTable:
         the same addressing the read path's anti-join uses. A row
         inserted AND deleted inside one window yields both records
         (per-commit changelog, not net-changes — Iceberg's
-        create_changelog_view contract). EQUALITY deletes in the
-        window raise (same gate as Iceberg's own Spark changelog;
-        rewrite them as position deletes to stream retractions), and
-        REPLACE snapshots in the window raise (their rows are
-        rewrites, not changes — same contract as the streaming
-        reader). Delete commits OUTSIDE the window are ignored: they
-        changed state the window does not cover."""
+        create_changelog_view contract). EQUALITY-delete commits also
+        replay: the retracted rows are the table state AS OF the
+        delete's parent semi-joined with its tuples null-safely (one
+        read(parent) per delete commit — predicates, unlike
+        positions, don't address rows; this exceeds the reference
+        analog, which still gates equality deletes). REPLACE
+        snapshots in the window raise (their rows are rewrites, not
+        changes — same contract as the streaming reader). Delete
+        commits OUTSIDE the window are ignored: they changed state
+        the window does not cover."""
         from pyspark.sql import functions as F
 
         md = self.metadata()
@@ -1757,15 +1760,13 @@ class IcebergTable:
                     "changelog window")
         window = []     # content=0 data files committed in the window
         pos_dels = []   # content=1 position-delete files in the window
+        eq_dels = []    # content=2 equality-delete files in the window
         all_data = []   # every live data file (delete-ref resolution)
         for e in self._entries(to_id, md=md):
             in_win = lo_seq < e["sequence_number"] <= hi_seq
             if e["content"] == 2:
                 if in_win:
-                    raise NotImplementedError(
-                        "equality deletes in the changelog window — "
-                        "retractions stream as position deletes "
-                        "(Iceberg's own changelog has the same gate)")
+                    eq_dels.append(e)
                 continue
             if e["content"] == 1:
                 if in_win:
@@ -1775,7 +1776,7 @@ class IcebergTable:
             if in_win:
                 window.append(e)
         st = self._schema_for(to_id, md)
-        if not window and not pos_dels:
+        if not window and not pos_dels and not eq_dels:
             return self.spark.createDataFrame(
                 [], self._schema_for(to_id, md)
                 .add("_change_type", T.StringType())
@@ -1886,6 +1887,70 @@ class IcebergTable:
                 .withColumn("_change_type", F.lit("delete"))
                 .withColumn("_commit_snapshot_id",
                             F.lit(d_snap).cast("long")))
+            dels = hit if dels is None else dels.unionByName(hit)
+
+        # EQUALITY-delete retractions: the rows commit D removes are
+        # exactly the table state AS OF D's PARENT (all earlier
+        # deletes applied — read() does that) matching D's tuples
+        # null-safely. One read(parent) per delete commit: a
+        # retraction replay of an equality delete is inherently a scan
+        # for the matching rows (the delete file stores predicates,
+        # not addresses). This EXCEEDS the reference analog —
+        # Iceberg's own Spark changelog still gates equality deletes.
+        # Grouped by (commit seq, equality-id set): each group carries
+        # its own broadcast tuple frame.
+        eq_groups: dict[tuple, list[dict]] = {}
+        for e in eq_dels:
+            eq_groups.setdefault(
+                (e["sequence_number"], tuple(e["equality_ids"] or ())),
+                []).append(e)
+        ice = self._ice_schema_for(to_id, md)
+        id_to_name = {f["id"]: f["name"] for f in ice["fields"]}
+        cur_id_by_name = {f["name"]: f["id"] for f in ice["fields"]}
+        for (d_seq, ids), dfiles in sorted(eq_groups.items()):
+            d_snap = seq_of_snap.get(d_seq)
+            parent = snaps.get(d_snap, {}).get("parent-snapshot-id")
+            if parent is None or parent not in snaps:
+                raise ValueError(
+                    f"changelog: equality-delete snapshot {d_snap} "
+                    "has no retained parent — the pre-delete state "
+                    "(the rows it retracted) is not reconstructable "
+                    "(expired or pre-parent-pointer history)")
+            # tuple columns resolve by FIELD-ID against to_id's
+            # schema, same rule as read()'s equality-delete block
+            cols = [id_to_name[i] for i in ids]
+            dschema = T.StructType([
+                f for c in cols for f in st.fields if f.name == c])
+            dd = None
+            for e in dfiles:
+                one = self.spark.read.schema(dschema).parquet(
+                    e["info"].path)
+                dd = one if dd is None else dd.unionByName(one)
+            dd = dd.dropDuplicates().alias("_dtup")
+            # the parent state reads under the PARENT's schema — map
+            # its column names to to_id's by field-id (rename-proof),
+            # null-filling columns added after the parent snapshot
+            p_ice = self._ice_schema_for(parent, md)
+            p_name_by_id = {f["id"]: f["name"] for f in p_ice["fields"]}
+            prev = self.read(snapshot_id=parent).alias("_prev")
+            prev_cols = set(prev.columns)
+            cond = F.lit(True)
+            for i in ids:
+                p_c = p_name_by_id.get(i, id_to_name[i])
+                cond = cond & F.col(f"_prev.{p_c}").eqNullSafe(
+                    F.col(f"_dtup.{id_to_name[i]}"))
+            sel = []
+            for f in st.fields:
+                p_c = p_name_by_id.get(cur_id_by_name.get(f.name))
+                sel.append(
+                    F.col(f"_prev.{p_c}").alias(f.name)
+                    if p_c in prev_cols
+                    else F.lit(None).cast(f.dataType).alias(f.name))
+            hit = (prev.join(F.broadcast(dd), cond, "left_semi")
+                   .select(*sel)
+                   .withColumn("_change_type", F.lit("delete"))
+                   .withColumn("_commit_snapshot_id",
+                               F.lit(d_snap).cast("long")))
             dels = hit if dels is None else dels.unionByName(hit)
 
         if ins is None:

@@ -2460,12 +2460,12 @@ def test_dsv2_iceberg_remote_scheme(spark, tmp_path, monkeypatch):
 
 
 def test_changelog_position_deletes(spark, tmp_path):
-    """The changelog emits RETRACTIONS for position-delete commits in
-    the window: deleted rows come back stamped _change_type='delete'
-    with the deleting commit's snapshot id, planned by reading only
-    the referenced data files. Equality deletes in the window keep an
-    honest gate; delete commits OUTSIDE the window no longer poison
-    insert-only windows."""
+    """The changelog emits RETRACTIONS for delete commits in the
+    window: position deletes replay by reading only the referenced
+    data files; equality deletes replay as the PARENT state's rows
+    matching the tuples (already-retracted rows never re-retract).
+    Delete commits OUTSIDE the window no longer poison insert-only
+    windows, and REPLACE still raises."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -2516,12 +2516,31 @@ def test_changelog_position_deletes(spark, tmp_path):
     # the read path agrees with the changelog's net effect
     assert sorted(r.k for r in t.read().collect()) == [1, 3, 5]
 
-    # equality deletes in the window stay gated, loudly
+    # EQUALITY deletes replay too: the retraction is the parent
+    # state's matching row, stamped with the deleting commit
     t.delete_equality(spark.createDataFrame([(3,)], "k long"))
-    with pytest.raises(NotImplementedError, match="equality deletes"):
-        t.changelog(s4).collect()
-    # ... but a window that ends before them still replays
+    s5 = t.metadata()["current-snapshot-id"]
+    eq_cl = t.changelog(s4).collect()
+    assert [(r.k, r.s, r._change_type, r._commit_snapshot_id)
+            for r in eq_cl] == [(3, "c", "delete", s5)]
+    # a tuple deleting an ALREADY-retracted row retracts nothing new
+    t.delete_equality(spark.createDataFrame([(2,), (5,)], "k long"))
+    s6 = t.metadata()["current-snapshot-id"]
+    eq_cl2 = t.changelog(s5).collect()
+    assert [(r.k, r._change_type) for r in eq_cl2] == [(5, "delete")]
+    # full history now: 5 inserts + 2 pos-deletes + 2 eq-deletes
+    full = t.changelog(None).collect()
+    assert sorted((r.k, r._change_type) for r in full) == [
+        (1, "insert"), (2, "delete"), (2, "insert"), (3, "delete"),
+        (3, "insert"), (4, "delete"), (4, "insert"), (5, "delete"),
+        (5, "insert")]
+    assert sorted(r.k for r in t.read().collect()) == [1]
+    # ... and a window that ends before the deletes still replays
     assert sorted(r.k for r in t.changelog(s3, s4).collect()) == [5]
+    # a REPLACE in the window still raises (rewrites aren't changes)
+    t.rewrite_data_files(target_partitions=1)
+    with pytest.raises(NotImplementedError, match="non-append"):
+        t.changelog(s5).collect()
 
 
 def test_rollback_races_appender(spark, tmp_path):
