@@ -198,9 +198,25 @@ class CommitSequenceStore:
 
     def recover(self) -> list[str]:
         """Re-execute every pending sequence (crash recovery at job
-        start — AbstractJobLauncher's commit-sequence replay)."""
-        done = []
+        start — AbstractJobLauncher's commit-sequence replay). One
+        poisoned sequence must not block the rest (the same
+        per-dataset isolation SafeDatasetCommit gives live commits;
+        audit r10 — recovery used to abort at the first failure,
+        stranding every later job's pending publish): failures are
+        collected and re-raised together AFTER every recoverable
+        sequence ran, with the survivors' journals completed."""
+        done: list[str] = []
+        failed: list[tuple[str, Exception]] = []
         for seq in self.pending():
-            self.execute(seq)
+            try:
+                self.execute(seq)
+            except Exception as ex:  # noqa: BLE001 - isolation barrier
+                failed.append((seq.job_id, ex))
+                continue
             done.append(seq.job_id)
+        if failed:
+            raise RuntimeError(
+                "commit-sequence recovery failed for "
+                + ", ".join(repr(j) for j, _ in failed)
+                + f"; recovered {done!r}") from failed[0][1]
         return done

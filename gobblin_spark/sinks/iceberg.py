@@ -1926,7 +1926,10 @@ class IcebergTable:
                 one = self.spark.read.schema(dschema).parquet(
                     e["info"].path)
                 dd = one if dd is None else dd.unionByName(one)
-            dd = dd.dropDuplicates().alias("_dtup")
+            # no dropDuplicates: left_semi is duplicate-insensitive,
+            # and the dedup would cost a shuffle on the tuple frame
+            # the broadcast hash table dedups anyway
+            dd = dd.alias("_dtup")
             # the parent state reads under the PARENT's schema — map
             # its column names to to_id's by field-id (rename-proof),
             # null-filling columns added after the parent snapshot

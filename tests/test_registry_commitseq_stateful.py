@@ -270,3 +270,42 @@ def test_sessionize_timeout_flushes_idle_key(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(60)
+
+
+def test_recover_isolates_poisoned_sequence(spark, tmp_path):
+    """Audit r10: one poisoned pending sequence must not strand the
+    others — recovery drains every recoverable sequence first, then
+    raises naming the failures and the survivors."""
+    import os
+
+    import pytest
+
+    from gobblin_spark.sinks import publish as P
+    from gobblin_spark.sinks.commit_sequence import (
+        CommitSequenceStore, Sequence, marker_step, publish_step,
+    )
+    from gobblin_spark.sources import files
+
+    store = CommitSequenceStore(spark, str(tmp_path / "seqs"))
+    # poisoned: staging dir never existed AND final never published
+    bad = Sequence("bad_job", [
+        publish_step(str(tmp_path / "ghost_staging"),
+                     str(tmp_path / "ghost_final")),
+    ])
+    store.persist(bad)
+    # healthy: a real staged dataset + marker
+    ev = files.load_table(spark, "/root/testdata/sf0.001", "events").limit(10)
+    final = str(tmp_path / "ok_out")
+    staged = P.stage(ev, final)
+    good = Sequence("ok_job", [
+        publish_step(staged.staging_dir, final),
+        marker_step(str(tmp_path / "ok.marker")),
+    ])
+    store.persist(good)
+
+    with pytest.raises(RuntimeError, match="'bad_job'.*recovered.*ok_job"):
+        store.recover()
+    # the healthy sequence completed and its journal is gone
+    assert P.is_published(spark, final)
+    assert os.path.exists(str(tmp_path / "ok.marker"))
+    assert [s.job_id for s in store.pending()] == ["bad_job"]
