@@ -812,6 +812,13 @@ def _is_plain_local(path: str) -> bool:
     return "://" not in path and not path.startswith("file:")
 
 
+# chars identical under Hadoop Path.toUri percent-encoding — paths
+# matching this skip the JVM round-trip in _path_uri_form
+import re as _re_mod
+
+_URI_SAFE_RE = _re_mod.compile(r"^[A-Za-z0-9/:._\-]*$")
+
+
 def _open_input_file_any(path: str):
     """Scheme-aware RANDOM-ACCESS open for parquet reads (footers
     seek): a bare local path passes through (pyarrow memory-maps it);
@@ -1854,7 +1861,16 @@ class IcebergTable:
                         "_change_type", "_commit_snapshot_id"))
 
         dels = None
-        data_by_path = {e["info"].path: e for e in all_data}
+        # delete files store the URI form _metadata.file_path reports
+        # (delete_positions' contract) while manifests store the
+        # literal Path.toString() — key the live set under BOTH forms
+        # or an encoded path (space in a partition value) silently
+        # drops its retraction (caught by the identity-partitioned
+        # retraction pin, audit r10)
+        data_by_path = {}
+        for e in all_data:
+            data_by_path[e["info"].path] = e
+            data_by_path[self._path_uri_form(e["info"].path)] = e
         for d in sorted(pos_dels, key=lambda e: e["sequence_number"]):
             d_seq = d["sequence_number"]
             d_snap = seq_of_snap.get(d_seq)
@@ -1964,30 +1980,26 @@ class IcebergTable:
                     .add("_commit_snapshot_id", T.LongType())))
         return ins if dels is None else ins.unionByName(dels)
 
+    def _path_uri_form(self, p: str) -> str:
+        """Hadoop ``Path.toUri().toString()`` of a literal manifest
+        path — the form ``_metadata.file_path`` reports (a space in an
+        identity-partition dir arrives as %20). Paths made only of
+        URI-safe chars are identical in both forms (every
+        engine-written unpartitioned file: uuid names, clean roots) —
+        the JVM round-trip runs only for the rest."""
+        if _URI_SAFE_RE.match(p):
+            return p
+        return str(self.spark._jvm.org.apache.hadoop.fs.Path(p)
+                   .toUri().toString())
+
     def _changelog_lookup(self, window: list[dict],
                           seq_of_snap: dict[int, int]) -> DataFrame:
         """The changelog's file→committing-snapshot broadcast side, in
-        the URI form ``_metadata.file_path`` reports (Hadoop
-        Path.toUri — a space in an identity-partition dir arrives as
-        %20) while manifests store the listing's literal
-        Path.toString(). Paths made only of URI-safe chars are
-        identical in both forms (every engine-written file: uuid
-        names, clean roots) — the JVM round-trip runs only for the
-        rest."""
-        import re as _re
-        _safe = _re.compile(r"^[A-Za-z0-9/:._\-]*$")
-        _jvm_path = None
-
-        def _uri_form(p: str) -> str:
-            nonlocal _jvm_path
-            if _safe.match(p):
-                return p
-            if _jvm_path is None:
-                _jvm_path = self.spark._jvm.org.apache.hadoop.fs.Path
-            return _jvm_path(p).toUri().toString()
-
+        the URI form ``_metadata.file_path`` reports, while manifests
+        store the listing's literal Path.toString() —
+        see ``_path_uri_form``."""
         return self.spark.createDataFrame(
-            [(_uri_form(e["info"].path),
+            [(self._path_uri_form(e["info"].path),
               seq_of_snap.get(e["sequence_number"]))
              for e in window],
             "_cl_path string, _commit_snapshot_id long")

@@ -2675,3 +2675,102 @@ def test_planner_inherits_manifest_sequence(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == [1]
     td = IcebergTable(spark, loc, planning="distributed")
     assert sorted(r.k for r in td.read().collect()) == [1]
+
+
+def test_changelog_net_effect_random_history(spark, tmp_path):
+    """Property: for ANY mix of append / position-delete /
+    equality-delete commits, the changelog's net effect reconstructs
+    the table — multiset(inserts) − multiset(retractions) ==
+    multiset(read()). Seeded random histories; catches retraction
+    over/under-emission for interleavings the pointwise tests don't
+    enumerate."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    rng = random.Random(1007)
+    for trial in range(2):
+        loc = str(tmp_path / f"net{trial}")
+        t = IcebergTable.create(
+            spark, loc,
+            spark.createDataFrame([(1, "x")], "k long, s string").schema)
+        next_k = 0
+        live = set()
+        # first commit is always an append so deletes have targets
+        for step in range(6):
+            op = ("append" if step == 0 or not live
+                  else rng.choice(["append", "pos_del", "eq_del"]))
+            if op == "append":
+                ks = [next_k + i for i in range(rng.randint(1, 3))]
+                next_k += len(ks)
+                t.append_dataframe(spark.createDataFrame(
+                    [(k, f"v{k}") for k in ks], "k long, s string"))
+                live |= set(ks)
+            elif op == "pos_del":
+                victims = rng.sample(sorted(live),
+                                     rng.randint(1, min(2, len(live))))
+                pos = (t.read(apply_deletes=False)
+                       .select(F.col("_metadata.file_path")
+                               .alias("file_path"),
+                               F.col("_metadata.row_index").alias("pos"),
+                               "k")
+                       .filter(F.col("k").isin(victims)).drop("k"))
+                t.delete_positions(pos)
+                live -= set(victims)
+            else:
+                victims = rng.sample(sorted(live),
+                                     rng.randint(1, min(2, len(live))))
+                t.delete_equality(spark.createDataFrame(
+                    [(k,) for k in victims], "k long"))
+                live -= set(victims)
+
+        cl = t.changelog(None).collect()
+        ins = Counter((r.k, r.s) for r in cl if r._change_type == "insert")
+        dels = Counter((r.k, r.s) for r in cl if r._change_type == "delete")
+        net = ins - dels
+        got = Counter((r.k, r.s) for r in t.read().collect())
+        assert net == got, (trial, net - got, got - net)
+        assert {r.k for r in t.read().collect()} == live
+        # no negative multiplicities: never retract more than inserted
+        assert not (dels - ins), (trial, dels - ins)
+
+
+def test_changelog_retractions_identity_partitioned(spark, tmp_path):
+    """Retractions over an IDENTITY-partitioned table: the deleted
+    rows' partition values re-attach from the hive path on the
+    retraction scans (files drop the partition column), for both the
+    position flavor (referenced-file scan) and the equality flavor
+    (read(parent) semi-join), encoding hazards included."""
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(1, "us"), (2, "de"), (3, None), (4, "not set+x y")],
+        "k long, country string")
+    loc = str(tmp_path / "cldelident")
+    t = IcebergTable.create(spark, loc, df.schema,
+                            partition_cols=["country"])
+    t.append_dataframe(df)
+    pos = (t.read(apply_deletes=False)
+           .select(F.col("_metadata.file_path").alias("file_path"),
+                   F.col("_metadata.row_index").alias("pos"), "k")
+           .filter(F.col("k").isin(2, 4)).drop("k"))
+    t.delete_positions(pos)
+    s_pos = t.metadata()["current-snapshot-id"]
+    t.delete_equality(spark.createDataFrame([(3,)], "k long"))
+    s_eq = t.metadata()["current-snapshot-id"]
+
+    cl = t.changelog(None).collect()
+    dels = sorted((r.k, r.country, r._commit_snapshot_id)
+                  for r in cl if r._change_type == "delete")
+    assert dels == [(2, "de", s_pos), (3, None, s_eq),
+                    (4, "not set+x y", s_pos)]
+    # inserts carry the same re-attached values
+    ins = sorted((r.k, r.country) for r in cl
+                 if r._change_type == "insert")
+    assert ins == [(1, "us"), (2, "de"), (3, None), (4, "not set+x y")]
+    assert sorted(r.k for r in t.read().collect()) == [1]
