@@ -2774,3 +2774,38 @@ def test_changelog_retractions_identity_partitioned(spark, tmp_path):
                  if r._change_type == "insert")
     assert ins == [(1, "us"), (2, "de"), (3, None), (4, "not set+x y")]
     assert sorted(r.k for r in t.read().collect()) == [1]
+
+
+def test_changelog_eq_retractions_across_schema_evolution(spark,
+                                                          tmp_path):
+    """Equality retractions read the PARENT state, which may carry an
+    older schema: a column renamed after the parent must map by
+    field-id onto the head name, and a column added after the parent
+    must null-fill — otherwise the retraction row misaligns or the
+    select crashes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    loc = str(tmp_path / "cleqevo")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df)
+    # metadata-only evolution between the append and the delete:
+    # rename s -> label, add a new column
+    t.rename_column("s", "label")
+    t.add_column("extra", T.LongType())
+    t.delete_equality(spark.createDataFrame([(2,)], "k long"))
+    s_del = t.metadata()["current-snapshot-id"]
+
+    cl = t.changelog(None).collect()
+    assert set(cl[0].asDict()) == {
+        "k", "label", "extra", "_change_type", "_commit_snapshot_id"}
+    dels = [r for r in cl if r._change_type == "delete"]
+    assert [(r.k, r.label, r.extra, r._commit_snapshot_id)
+            for r in dels] == [(2, "b", None, s_del)]
+    ins = sorted((r.k, r.label, r.extra) for r in cl
+                 if r._change_type == "insert")
+    assert ins == [(1, "a", None), (2, "b", None)]
+    assert sorted((r.k, r.label) for r in t.read().collect()) == [(1, "a")]
