@@ -2928,6 +2928,53 @@ class IcebergTable:
 
         return self._retry_metadata(mutate)
 
+    def cherry_pick(self, snapshot_id: int) -> int:
+        """ManageSnapshots.cherrypick — the RECOVERY verb for commits
+        a rollback orphaned: re-apply an APPEND snapshot's added files
+        as a NEW append commit on the CURRENT head. Metadata-only
+        (the data files are reused in place; one new manifest + one
+        CAS commit). Guards: the picked snapshot must be an append
+        (a delete/replace re-applied out of order would change
+        different rows than it originally did); its files must not
+        already be live on the head (double-counting rows); and files
+        written under a non-default partition spec are rejected (the
+        re-commit records tuples under the DEFAULT spec — rewrite
+        first). The new snapshot's summary carries
+        ``cherry-picked-from`` for lineage."""
+        md = self.metadata()
+        snap = next((s for s in md["snapshots"]
+                     if s["snapshot-id"] == snapshot_id), None)
+        if snap is None:
+            raise ValueError(
+                f"snapshot {snapshot_id} not in table history")
+        op = snap.get("summary", {}).get("operation")
+        if op not in ("append", None):
+            raise ValueError(
+                f"cherry_pick supports append snapshots only, not {op!r}")
+        target_seq = snap.get("sequence-number", 0)
+        added = [e for e in self._entries(snapshot_id, md=md)
+                 if e["content"] == 0
+                 and e["sequence_number"] == target_seq]
+        if not added:
+            raise ValueError(
+                f"snapshot {snapshot_id} added no data files")
+        default_spec = md["default-spec-id"]
+        if any(e.get("spec_id", 0) != default_spec for e in added):
+            raise ValueError(
+                "cherry_pick: picked files were written under a "
+                "non-default partition spec — rewrite_data_files "
+                "migrates them first")
+        live = {e["info"].path
+                for e in self._entries(md=md) if e["content"] == 0}
+        dup = [e["info"].path for e in added if e["info"].path in live]
+        if dup:
+            raise ValueError(
+                "cherry_pick: files already live on the head "
+                f"(double-count): {dup[:3]}")
+        return self.append_files(
+            [e["info"] for e in added],
+            summary_extra={"cherry-picked-from": str(snapshot_id)})
+
     def update_partition_spec(self, partition_spec: list[tuple]) -> int:
         """PARTITION EVOLUTION (spec "Partition Evolution" — the
         headline capability that separates Iceberg from hive layouts):

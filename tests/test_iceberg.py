@@ -2809,3 +2809,51 @@ def test_changelog_eq_retractions_across_schema_evolution(spark,
                  if r._change_type == "insert")
     assert ins == [(1, "a", None), (2, "b", None)]
     assert sorted((r.k, r.label) for r in t.read().collect()) == [(1, "a")]
+
+
+def test_cherry_pick_recovers_orphaned_append(spark, tmp_path):
+    """cherry_pick re-applies an append a rollback orphaned — the
+    rollback story's recovery verb. Guards pin: non-append snapshots
+    refuse, double-picks refuse (files already live), and
+    identity-partitioned files keep their partition values."""
+    import pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "cherry")
+    df = spark.createDataFrame(
+        [(1, "us"), (2, "de")], "k long, country string")
+    t = IcebergTable.create(spark, loc, df.schema,
+                            partition_cols=["country"])
+    t.append_dataframe(df)
+    s1 = t.metadata()["current-snapshot-id"]
+    t.append_dataframe(spark.createDataFrame(
+        [(3, "us"), (4, "fr")], "k long, country string"))
+    s2 = t.metadata()["current-snapshot-id"]
+
+    t.rollback_to(s1)  # orphans s2
+    assert sorted(r.k for r in t.read().collect()) == [1, 2]
+
+    s3 = t.cherry_pick(s2)
+    got = sorted((r.k, r.country) for r in t.read().collect())
+    assert got == [(1, "us"), (2, "de"), (3, "us"), (4, "fr")]
+    md = t.metadata()
+    snap3 = next(s for s in md["snapshots"] if s["snapshot-id"] == s3)
+    assert snap3["summary"]["cherry-picked-from"] == str(s2)
+    # partition pruning still works on the re-applied files
+    assert sorted(r.k for r in t.read(
+        prune_filters=[("country", "==", "fr")]).collect()) == [4]
+
+    # double-pick: the files are live now
+    with pytest.raises(ValueError, match="already live"):
+        t.cherry_pick(s2)
+    # non-append snapshots refuse
+    t.delete_equality(spark.createDataFrame([(4,)], "k long"))
+    s_del = t.metadata()["current-snapshot-id"]
+    with pytest.raises(ValueError, match="append snapshots only"):
+        t.cherry_pick(s_del)
+    with pytest.raises(ValueError, match="not in table history"):
+        t.cherry_pick(123456789)
+    # history stays linearizable: unique sequence numbers
+    seqs = [s["sequence-number"] for s in t.metadata()["snapshots"]]
+    assert len(set(seqs)) == len(seqs)
