@@ -65,9 +65,16 @@ class Dialect:
     date_format: str = "DATE '{v}'"
 
     def quote(self, identifier: str) -> str:
-        """Quote a possibly-dotted identifier (schema.table, a.b)."""
+        """Quote a possibly-dotted identifier (schema.table, a.b).
+        The close-quote char is DOUBLED inside each part (standard
+        identifier escaping: " -> "", ` -> ``, ] -> ]]) so an embedded
+        quote can no longer terminate the identifier early and smuggle
+        SQL text after it (audit r10 — the same trust boundary hive's
+        _TABLE_RE and datasource's _IDENT_RE enforce by rejection)."""
+        esc = self.quote_close * 2
         return ".".join(
-            f"{self.quote_open}{p}{self.quote_close}"
+            f"{self.quote_open}{p.replace(self.quote_close, esc)}"
+            f"{self.quote_close}"
             for p in identifier.split(".")
         )
 

@@ -200,3 +200,16 @@ def test_pending_work_units_retry(spark, tmp_path):
     S.commit_work_unit(store, "ds", "2024-01-01")
     S.commit_work_unit(store, "ds", "2024-01-03")
     assert S.pending_work_units(store, "ds", units) == []
+
+
+def test_quote_escapes_embedded_quote_chars():
+    """Audit r10: an identifier carrying the dialect's close-quote
+    char must not terminate the quoted form early — standard doubling
+    (" -> "", ` -> ``, ] -> ]]) keeps the whole name one token."""
+    from gobblin_spark.sources.jdbc import MYSQL, POSTGRES, SQLSERVER
+
+    assert POSTGRES.quote('order "details"') == '"order ""details"""'
+    assert MYSQL.quote("weird`name") == "`weird``name`"
+    assert SQLSERVER.quote("t]x") == "[t]]x]"
+    # dotted names still quote per part
+    assert POSTGRES.quote("sch.tbl") == '"sch"."tbl"'
