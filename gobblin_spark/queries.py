@@ -10067,41 +10067,35 @@ HEADLINE = [
 #      a new query must replace a retired redundant one.
 # Rotate until every entry has a green row in some CORRECTNESS file.
 DRIVER_FIRST = [
-    # ROUND-10 WINDOW (verdict-r9 #1): CORRECTNESS_r09 certified its
-    # full 50 green, so 240/241 catalog entries carry a driver row.
-    # Front the single never-run entry — the pre-staged r10 tail
-    # `iceberg_rollback_read` (judge-verified green via check_oracles
-    # in r9) — then stalest-green canaries (rotate_window.py order).
-    # A green row closes the catalog: 241/241 driver-certified.
-    # -- the 2 never-run entries (rollback pre-staged r9; the
-    #    retraction changelog is NEW this round, replacing the
-    #    retired iceberg_changelog_read — net growth frozen)
-    "iceberg_rollback_read", "iceberg_changelog_delete_read",
-    # -- stalest-green canaries (oldest certifications first)
-    "text_perplexity_scores", "q13_customer_distribution",
-    "q16_supplier_part_counts", "q17_small_quantity_revenue",
-    "q22_dormant_customers", "streaming_window_parity",
-    "graph_components_chain", "filesource_snapshot_diff",
-    "copy_distcp_roundtrip", "commit_policy_partial",
-    "mixing_stratified_exact", "zorder_clustered_scan",
-    "q15_top_supplier", "commit_sequence_replay",
-    "bucketed_join_revenue", "asof_join_events",
-    "range_join_events", "q2_min_cost_supplier",
-    "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q11_important_parts",
-    "q20_potential_promotion", "q21_waiting_suppliers",
-    "text_classifier_score", "cleaning_span_dedup",
-    "text_chunk_windows", "dedup_keep_best_docs",
-    "pipeline_corpus_curation", "streaming_late_routing",
-    "streaming_epoch_replay", "text_bigram_perplexity",
-    "mixing_shuffle_seeded", "tfidf_cosine_pairs",
-    "pagerank_partsupp", "streaming_join_parity",
-    "streaming_session_parity", "streaming_dropdup_parity",
-    "safe_commit_isolation", "filesize_policy_report",
-    "convert_pick_filter", "convert_drop_project",
-    "convert_flatten_nested", "convert_split_explode",
-    "limiter_count_caps", "iceberg_evolve_delete_read",
-    "funnel_attribution", "pivot_event_type_daily",
+    # ROUND-11 WINDOW: CORRECTNESS_r10 certified its full 50 green —
+    # the catalog is CLOSED at 241/241 driver-certified. Rotation is
+    # now pure canary refresh: the 50 stalest-green entries in
+    # rotate_window.py order (oldest certifications first).
+    "embedding_near_dup_checked", "scd2_user_event_type",
+    "rollup_revenue", "stats_length_percentiles",
+    "grouping_sets_revenue", "sketch_distinct_daily",
+    "topn_per_group_events", "convert_jdbc_entries",
+    "minhash_incremental_checked", "convert_json_conform",
+    "dedup_fuzzy_groups_checked", "compaction_recompact_flags",
+    "compaction_timerange_verify", "sampler_front_loaded",
+    "tracking_event_flatten", "sink_schema_partitioned",
+    "source_workunit_retry", "simhash_incremental_checked",
+    "event_time_deltas", "revenue_moving_avg",
+    "kmeans_clusters_embeddings", "semantic_dedup_kmeans",
+    "rolling_active_users", "cohort_retention",
+    "rest_datasource_pull", "retry_write_roundtrip",
+    "sql_datasource_pull", "sql_write_read_roundtrip",
+    "http_sink_roundtrip", "csv_quoted_roundtrip",
+    "codec_roundtrip", "iceberg_rewrite_read",
+    "incremental_rollup_merge", "profile_table_stats",
+    "ri_audit_orphans", "snapshot_diff_rows",
+    "sql_surface_q3", "orc_roundtrip",
+    "pipeline_training_data_e2e", "lsh_recall_report",
+    "simhash_completeness_report", "ivf_recall_report",
+    "convert_sample_md5", "convert_json_parse",
+    "convert_grok_parse", "convert_parse_timestamp",
+    "convert_cast", "convert_regex_filter",
+    "convert_field_retrieve", "convert_csv_roundtrip",
 ]
 assert len(DRIVER_FIRST) == 50, len(DRIVER_FIRST)
 assert set(DRIVER_FIRST) <= set(QUERIES), sorted(set(DRIVER_FIRST) - set(QUERIES))
