@@ -752,7 +752,19 @@ def _manifest_live_entries(raw: bytes, spec_id: int,
             # applying) and outside every changelog/stream window —
             # the r8 audit fixed exactly this in the DSv2 stream
             # reader; audit r10 found the native planner kept the
-            # coercion.
+            # coercion. The spec restricts inheritance to ADDED
+            # (status=1) entries: an EXISTING entry must carry its
+            # ORIGINAL sequence explicitly, and inheriting the
+            # carrying manifest's newer one would flip
+            # delete-applicability and window membership for that
+            # file. manifest_seq == 0 (v1-era manifests) is the one
+            # case where "inherit" and "keep 0" agree, so it passes.
+            if e["status"] != 1 and manifest_seq != 0:
+                raise ValueError(
+                    "non-compliant manifest: EXISTING entry for "
+                    f"{e['data_file'].get('file_path')} has no explicit "
+                    f"sequence number (manifest seq {manifest_seq}); "
+                    "inheritance applies to ADDED entries only")
             seq = manifest_seq
         out.append({
             "info": DataFileInfo(
@@ -885,6 +897,58 @@ def _write_parquet_any(table, path: str) -> None:
             raise arrow_err
         with fsspec.open(path, "wb") as fh:
             pq.write_table(table, fh)
+
+
+def _write_bytes_if_absent_any(path: str, data: bytes) -> None:
+    """Best-available create-if-absent for remote schemes (advice-r10).
+
+    On RENAME-ATOMIC stores (hdfs: — Java FileSystem.rename refuses an
+    existing destination at the namenode) the bytes go to a unique
+    temp sibling first and ``fs.move`` promotes them: two committers
+    racing from the same base make exactly one rename succeed — a true
+    single-winner CAS, same strength as the local O_EXCL branch. On
+    object stores (s3:/gs: — "move" is copy+delete and OVERWRITES)
+    this degrades to the documented existence-check + write, the same
+    guarantee Hadoop's create(overwrite=false) gives on S3A
+    (HEAD-then-PUT). Raises RuntimeError("concurrent commit ...") on
+    collision so the CAS retry loops treat both paths alike."""
+    fs = None
+    if not _is_plain_local(path):
+        try:
+            fs, rel = _fs_from_uri(path)
+        except Exception:
+            fs = None
+    if fs is not None and getattr(fs, "type_name", "") == "hdfs":
+        import uuid as _uuid
+        tmp = f"{rel}.commit-{_uuid.uuid4().hex[:12]}.tmp"
+        parent = rel.rsplit("/", 1)[0]
+        if parent:
+            fs.create_dir(parent, recursive=True)
+        with fs.open_output_stream(tmp) as out:
+            out.write(data)
+        try:
+            fs.move(tmp, rel)
+        except OSError as ex:
+            try:
+                fs.delete_file(tmp)
+            except OSError:
+                pass
+            raise RuntimeError(
+                f"concurrent commit detected: {path} already exists "
+                "(another committer advanced the table from the same "
+                "base version) — re-read metadata and retry") from ex
+        return
+    try:
+        _file_size_any(path)
+        exists = True
+    except FileNotFoundError:
+        exists = False
+    if exists:
+        raise RuntimeError(
+            f"concurrent commit detected: {path} already exists "
+            "(another committer advanced the table from the same "
+            "base version) — re-read metadata and retry")
+    _write_bytes_any(path, data)
 
 
 def _file_size_any(path: str) -> int:
@@ -1132,24 +1196,15 @@ class IcebergTable:
         path = f"{self.location}/metadata/v{v}.metadata.json"
         if self.spark is None:
             if not self._sessionless_is_local(path):
-                # sessionless REMOTE: pyarrow.fs has no atomic
-                # create-if-absent, so the CAS degrades to an
-                # existence check + write — the SAME guarantee
-                # Hadoop's create(overwrite=false) gives on S3A
-                # (HEAD-then-PUT), i.e. no weaker than the JVM path
-                # on the same store
-                try:
-                    _file_size_any(path)
-                    exists = True
-                except FileNotFoundError:
-                    exists = False
-                if exists:
-                    raise RuntimeError(
-                        f"concurrent commit detected: {path} already "
-                        "exists (another committer advanced the table "
-                        "from the same base version) — re-read "
-                        "metadata and retry")
-                _write_bytes_any(path, json.dumps(md, indent=2).encode())
+                # sessionless REMOTE: rename-atomic stores (hdfs:)
+                # get a temp-write + single-winner fs.move CAS; object
+                # stores degrade to existence check + write — the SAME
+                # guarantee Hadoop's create(overwrite=false) gives on
+                # S3A (HEAD-then-PUT), i.e. no weaker than the JVM
+                # path on the same store (see
+                # _write_bytes_if_absent_any)
+                _write_bytes_if_absent_any(
+                    path, json.dumps(md, indent=2).encode())
                 _write_bytes_any(
                     f"{self.location}/metadata/version-hint.text",
                     str(v).encode())

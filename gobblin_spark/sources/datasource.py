@@ -469,9 +469,19 @@ class _RestWriter(DataSourceWriter):
             with open(manifest, "w") as fh:
                 json.dump({"rows": total, "files": n}, fh)
         finally:
+            # advice-r10: release verifies INODE IDENTITY before
+            # removing. If a reclaimer displaced our lock (rename)
+            # and failed to restore it (another waiter O_EXCL'd the
+            # vacant path first), the path now holds that NEW
+            # holder's lock — an unconditional remove would delete a
+            # live lock and re-open the two-holder window one hop
+            # later. Our fd pins our inode, so remove only when the
+            # path still resolves to it.
+            my_ino = os.fstat(fd).st_ino
             os.close(fd)
             try:
-                os.remove(lock)
+                if os.stat(lock).st_ino == my_ino:
+                    os.remove(lock)
             except FileNotFoundError:
                 # a mis-timed reclaimer stole our live lock and could
                 # not restore it — the manifest write already happened
@@ -1736,8 +1746,20 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
                     # Iceberg sequence-number INHERITANCE: a null
                     # entry seq inherits the manifest's (field 515) —
                     # coercing to 0 would park genuine-Iceberg rows
-                    # outside every window forever (audit r8)
-                    seq = m.get("sequence_number") or 0
+                    # outside every window forever (audit r8). The
+                    # spec limits inheritance to ADDED (status=1)
+                    # entries; an EXISTING entry with a null seq is a
+                    # non-compliant writer and inheriting the carrying
+                    # manifest's newer seq would shift the file into
+                    # the wrong incremental window (r10 ADVICE).
+                    mseq = m.get("sequence_number") or 0
+                    if e["status"] != 1 and mseq != 0:
+                        raise ValueError(
+                            "non-compliant manifest: EXISTING entry "
+                            f"for {d['file_path']} has no explicit "
+                            f"sequence number (manifest seq {mseq}); "
+                            "inheritance applies to ADDED entries only")
+                    seq = mseq
                 if lo < seq <= hi:
                     out.append((d["file_path"], _attach(d["file_path"])))
         return sorted(set(out))

@@ -33,12 +33,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load_round_timings() -> tuple[dict[int, dict[str, float]],
-                                  dict[int, float]]:
+                                  dict[int, tuple[float, float | None]]]:
     """Per-query seconds (and the machine-epoch ``calib_sec`` stamp,
     where the round recorded one) from every BENCH_r*.json that
     parsed."""
     rounds: dict[int, dict[str, float]] = {}
-    calibs: dict[int, float] = {}
+    calibs: dict[int, tuple[float, float | None]] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
         rnum = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         try:
@@ -185,7 +185,10 @@ def main() -> int:
         "prior_round": prior_round,
         "threshold": args.threshold,
         "calib": cur_calib,  # (single-thread sec, 16-thread sec)
-        f"calib_r{prior_round}": prior_calib,
+        # only stamp the prior round's calibration when one exists —
+        # a first round would otherwise emit a literal "calib_rNone"
+        **({f"calib_r{prior_round}": prior_calib}
+           if prior_round is not None else {}),
         "machine_drift_ratio": drift_ratio,
         "machine_drift": machine_drift,
         "n_compared": len(cur) - len(first_time),

@@ -1063,6 +1063,47 @@ def test_lock_reclaim_never_deletes_fresh_inode(tmp_path, monkeypatch):
     assert not os.path.exists(os.path.join(path, "_DELIVERED"))
 
 
+def test_lock_release_skips_foreign_inode(tmp_path, monkeypatch):
+    """Advice-r10: release verifies inode identity. If a reclaimer
+    displaced the holder's lock mid-critical-section and a third
+    waiter O_EXCL'd the vacant path, the displaced holder's release
+    must NOT remove that new live lock (the old unconditional remove
+    re-opened the two-holder window one hop later)."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from gobblin_spark.sources import datasource as DS
+    from gobblin_spark.sources.datasource import (
+        _RestWriter, _TaskFilesCommit)
+
+    path = str(tmp_path / "out")
+    os.makedirs(path)
+    lock = os.path.join(path, "_DELIVERED.lock")
+    real_dump = json.dump
+    state = {"fired": False}
+
+    def hooked(obj, fh, *a, **k):
+        # inside the critical section (the manifest write): simulate a
+        # reclaimer renaming our lock away + a third waiter acquiring
+        if not state["fired"] and getattr(fh, "name", "").endswith(
+                "_DELIVERED"):
+            state["fired"] = True
+            os.rename(lock, lock + ".stolen")
+            open(lock, "w").close()  # third waiter's NEW lock (new inode)
+        return real_dump(obj, fh, *a, **k)
+
+    monkeypatch.setattr(DS.json, "dump", hooked)
+    w = _RestWriter(path, StructType([]), 100)
+    w.commit([_TaskFilesCommit([], 5)])
+    assert state["fired"]
+    # the third waiter's lock survived our release
+    assert os.path.exists(lock)
+    with open(os.path.join(path, "_DELIVERED")) as fh:
+        assert json.load(fh)["rows"] == 5
+
+
 def test_lock_reclaim_concurrent_commits_fold(tmp_path):
     """Two jobs racing a STALE leftover lock: exactly one reclaims it
     (rename single-winner), both commit, and the folded manifest

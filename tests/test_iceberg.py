@@ -2384,6 +2384,84 @@ def test_fsio_helpers_mock_scheme(tmp_path, monkeypatch):
     ice._delete_any(lp)
 
 
+def test_write_if_absent_rename_cas_on_hdfs_like(tmp_path, monkeypatch):
+    """Advice-r10: the sessionless remote metadata commit uses a
+    temp-write + single-winner fs.move on rename-atomic stores
+    (hdfs:) instead of the TOCTOU existence-check + write; object
+    stores keep the documented HEAD-then-PUT fallback. The mock
+    refuses move-to-existing like the namenode does."""
+    import os
+
+    import pyarrow.fs as pafs
+    import pytest
+
+    from gobblin_spark.sinks import iceberg as ice
+
+    class FakeHdfs:
+        type_name = "hdfs"
+
+        def __init__(self):
+            self._fs = pafs.LocalFileSystem()
+            self.moves = []
+
+        def open_output_stream(self, p):
+            return self._fs.open_output_stream(p)
+
+        def create_dir(self, p, recursive=True):
+            self._fs.create_dir(p, recursive=recursive)
+
+        def move(self, src, dst):
+            # Java FileSystem.rename refuses an existing destination
+            if os.path.exists(dst):
+                raise OSError(f"rename failed: {dst} exists")
+            self.moves.append((src, dst))
+            self._fs.move(src, dst)
+
+        def delete_file(self, p):
+            self._fs.delete_file(p)
+
+        def get_file_info(self, p):
+            return self._fs.get_file_info(p)
+
+    fake = FakeHdfs()
+    real = ice._fs_from_uri
+
+    def fake_from_uri(uri):
+        if uri.startswith("hdfs://host"):
+            return fake, uri[len("hdfs://host"):]
+        return real(uri)
+
+    monkeypatch.setattr(ice, "_fs_from_uri", fake_from_uri)
+    target = "hdfs://host" + str(tmp_path / "meta" / "v1.metadata.json")
+
+    ice._write_bytes_if_absent_any(target, b"winner")
+    assert len(fake.moves) == 1  # went through the rename CAS
+    local = str(tmp_path / "meta" / "v1.metadata.json")
+    assert open(local, "rb").read() == b"winner"
+
+    # loser from the same base: move refuses, temp cleaned, CAS error
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        ice._write_bytes_if_absent_any(target, b"loser")
+    assert open(local, "rb").read() == b"winner"
+    assert not [f for f in os.listdir(tmp_path / "meta")
+                if f.endswith(".tmp")]
+
+    # non-hdfs scheme (LocalFileSystem, type_name "local"): the
+    # check-then-write fallback still enforces first-writer-wins
+    def mock_from_uri(uri):
+        if uri.startswith("mock://host"):
+            return pafs.LocalFileSystem(), uri[len("mock://host"):]
+        return real(uri)
+
+    monkeypatch.setattr(ice, "_fs_from_uri", mock_from_uri)
+    t2 = "mock://host" + str(tmp_path / "meta" / "v2.metadata.json")
+    ice._write_bytes_if_absent_any(t2, b"first")
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        ice._write_bytes_if_absent_any(t2, b"second")
+    assert open(str(tmp_path / "meta" / "v2.metadata.json"),
+                "rb").read() == b"first"
+
+
 def test_dsv2_iceberg_remote_scheme(spark, tmp_path, monkeypatch):
     """Verdict-r9 #2: the gobblin_iceberg DSv2 face is scheme-aware
     end to end — with the table addressed by a non-file URI (mock
@@ -2809,6 +2887,33 @@ def test_changelog_eq_retractions_across_schema_evolution(spark,
                  if r._change_type == "insert")
     assert ins == [(1, "a", None), (2, "b", None)]
     assert sorted((r.k, r.label) for r in t.read().collect()) == [(1, "a")]
+
+
+def test_changelog_eq_retraction_rename_after_delete(spark, tmp_path):
+    """r11 ADVICE probe (refuted, pinned): renaming an equality-id
+    column AFTER the delete commit does NOT misresolve the delete
+    parquet — any rename flips _needs_id_resolution, the delete file
+    embeds parquet field-ids, and the id-carrying read schema resolves
+    by id, so the file's old column name is irrelevant. A post-rename
+    append makes head-name != file-name so name resolution WOULD
+    null-fill and retract the wrong rows if it were in play."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string")
+    loc = str(tmp_path / "clrenafter")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df)
+    t.delete_equality(spark.createDataFrame([(2,)], "k long"))
+    t.rename_column("k", "kk")        # rename AFTER the delete
+    t.append_dataframe(spark.createDataFrame(
+        [(9, "z")], "kk long, s string"))  # head schema now differs
+    assert sorted(r.kk for r in t.read().collect()) == [1, 3, 9]
+    cl = t.changelog(None)
+    assert cl.columns[:2] == ["kk", "s"]
+    rows = sorted((r.kk, r._change_type) for r in cl.collect())
+    assert rows == [(1, "insert"), (2, "delete"), (2, "insert"),
+                    (3, "insert"), (9, "insert")]
 
 
 def test_cherry_pick_recovers_orphaned_append(spark, tmp_path):
