@@ -784,8 +784,21 @@ def _manifest_live_entries(raw: bytes, spec_id: int,
 def _fs_from_uri(uri: str):
     """URI → (pyarrow FileSystem, in-fs path). Separate hook so tests
     can inject a mock scheme (pyarrow's FileSystem type is immutable —
-    its classmethods cannot be monkeypatched directly)."""
+    its classmethods cannot be monkeypatched directly).
+
+    ``loop://<authority>/<abs path>`` is a built-in LOOPBACK scheme
+    mapping onto the local filesystem. It exists to drive the remote
+    (non-file) code path end to end — including inside executor
+    Python workers and the sessionless commit hook, where a test
+    monkeypatch cannot reach — without a real object store; the
+    driver's oracle gate routes one DSv2 fixture through it every
+    round. Never a production scheme."""
     import pyarrow.fs as pafs
+    if uri.startswith("loop://"):
+        rest = uri[len("loop://"):]
+        slash = rest.find("/")
+        return pafs.LocalFileSystem(), (rest[slash:] if slash >= 0
+                                        else "/")
     return pafs.FileSystem.from_uri(uri)
 
 
@@ -863,6 +876,17 @@ def _write_bytes_any(path: str, data: bytes) -> int:
         parent = rel.rsplit("/", 1)[0]
         if parent:
             fs.create_dir(parent, recursive=True)
+        if path.startswith("loop://"):
+            # the loopback scheme IS the local filesystem: rewriting a
+            # file the JVM previously wrote (version-hint flips every
+            # commit) must drop Hadoop's .<name>.crc sidecar exactly
+            # like the plain-local branch, or later JVM reads throw
+            # ChecksumException. Genuine remote stores have no
+            # sidecars — this is loopback-fidelity only.
+            crc = os.path.join(os.path.dirname(rel),
+                               f".{os.path.basename(rel)}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
         with fs.open_output_stream(rel) as out:
             out.write(data)
         return len(data)
@@ -1315,7 +1339,8 @@ class IcebergTable:
 
     def append_files(self, files: list[DataFileInfo],
                      summary_extra: dict | None = None,
-                     branch: str | None = None) -> int:
+                     branch: str | None = None,
+                     pre_check=None) -> int:
         """AppendFiles.appendFile + commit (IcebergMetadataWriter.java:578):
         one new snapshot whose manifest lists exactly these files.
 
@@ -1392,14 +1417,15 @@ class IcebergTable:
         return self._commit_files(files, content=0, equality_ids=None,
                                   operation="append",
                                   summary_extra=summary_extra,
-                                  branch=branch)
+                                  branch=branch, pre_check=pre_check)
 
     def _commit_files(self, files: list[DataFileInfo], *, content: int,
                       equality_ids: list[int] | None, operation: str,
                       carry_prior: bool = True,
                       summary_extra: dict | None = None,
                       branch: str | None = None,
-                      max_attempts: int = 4) -> int:
+                      max_attempts: int = 4,
+                      pre_check=None) -> int:
         """One snapshot committing *files* as DATA (content=0) or
         EQUALITY DELETES (content=2, with the equality field-ids).
         ``carry_prior=False`` makes it a REPLACE snapshot: the new
@@ -1419,7 +1445,8 @@ class IcebergTable:
                 return self._commit_files_once(
                     files, content=content, equality_ids=equality_ids,
                     operation=operation, carry_prior=carry_prior,
-                    summary_extra=summary_extra, branch=branch)
+                    summary_extra=summary_extra, branch=branch,
+                    pre_check=pre_check)
             except RuntimeError as ex:
                 if "concurrent commit" not in str(ex):
                     raise
@@ -1437,8 +1464,16 @@ class IcebergTable:
                            operation: str,
                            carry_prior: bool = True,
                            summary_extra: dict | None = None,
-                           branch: str | None = None) -> int:
+                           branch: str | None = None,
+                           pre_check=None) -> int:
         md = self.metadata()
+        if pre_check is not None:
+            # caller guards that must hold against the metadata this
+            # attempt actually commits on — a losing racer re-plans
+            # from a FRESH read, so stale-read guards (cherry_pick's
+            # double-count check) re-run here, same placement as the
+            # epoch-token re-check below
+            pre_check(md)
         # exactly-once epoch guard INSIDE the CAS retry: two concurrent
         # committers of the same epoch (zombie driver + restarted
         # query) can both pass the caller's token scan; the loser's
@@ -3123,22 +3158,33 @@ class IcebergTable:
         if not added:
             raise ValueError(
                 f"snapshot {snapshot_id} added no data files")
-        default_spec = md["default-spec-id"]
-        if any(e.get("spec_id", 0) != default_spec for e in added):
-            raise ValueError(
-                "cherry_pick: picked files were written under a "
-                "non-default partition spec — rewrite_data_files "
-                "migrates them first")
-        live = {e["info"].path
-                for e in self._entries(md=md) if e["content"] == 0}
-        dup = [e["info"].path for e in added if e["info"].path in live]
-        if dup:
-            raise ValueError(
-                "cherry_pick: files already live on the head "
-                f"(double-count): {dup[:3]}")
+        def _guards(md2):
+            # re-run on the FRESH metadata each commit attempt (the
+            # eager call below fails fast; a racer — a concurrent
+            # cherry_pick of the same orphan, or a spec evolver —
+            # could otherwise slip between the stale-read check and
+            # the CAS commit and double-count the files, r11 audit)
+            if any(e.get("spec_id", 0) != md2["default-spec-id"]
+                   for e in added):
+                raise ValueError(
+                    "cherry_pick: picked files were written under a "
+                    "non-default partition spec — rewrite_data_files "
+                    "migrates them first")
+            live = {e["info"].path
+                    for e in self._entries(md=md2)
+                    if e["content"] == 0}
+            dup = [e["info"].path for e in added
+                   if e["info"].path in live]
+            if dup:
+                raise ValueError(
+                    "cherry_pick: files already live on the head "
+                    f"(double-count): {dup[:3]}")
+
+        _guards(md)
         return self.append_files(
             [e["info"] for e in added],
-            summary_extra={"cherry-picked-from": str(snapshot_id)})
+            summary_extra={"cherry-picked-from": str(snapshot_id)},
+            pre_check=_guards)
 
     def update_partition_spec(self, partition_spec: list[tuple]) -> int:
         """PARTITION EVOLUTION (spec "Partition Evolution" — the

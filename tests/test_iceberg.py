@@ -2387,6 +2387,35 @@ def test_fsio_helpers_mock_scheme(tmp_path, monkeypatch):
     ice._delete_any(lp)
 
 
+def test_loopback_scheme_resolves_and_drops_crc(tmp_path):
+    """r11 (verdict-r10 #7): the built-in loop:// loopback scheme maps
+    onto the local FS inside _fs_from_uri — it reaches executor
+    workers and the sessionless commit hook where monkeypatches
+    cannot — and its writes drop Hadoop's .crc sidecar exactly like
+    the plain-local branch, so a JVM that wrote the file earlier can
+    still read it after a loopback rewrite."""
+    import os
+
+    from gobblin_spark.sinks import iceberg as ice
+
+    p = str(tmp_path / "sub" / "hint.txt")
+    loop = "loop://anyhost" + p
+    assert ice._write_bytes_any(loop, b"1") == 1
+    assert ice._read_bytes_any(loop) == b"1"
+    assert ice._file_size_any(loop) == 1
+    assert open(p, "rb").read() == b"1"
+
+    # a stale Hadoop sidecar next to the target is dropped on rewrite
+    crc = str(tmp_path / "sub" / ".hint.txt.crc")
+    open(crc, "wb").write(b"\x00stale")
+    ice._write_bytes_any(loop, b"22")
+    assert not os.path.exists(crc)
+    assert open(p, "rb").read() == b"22"
+
+    ice._delete_any(loop)
+    assert not os.path.exists(p)
+
+
 def test_write_if_absent_rename_cas_on_hdfs_like(tmp_path, monkeypatch):
     """Advice-r10: the sessionless remote metadata commit uses a
     temp-write + single-winner fs.move on rename-atomic stores
@@ -2711,6 +2740,100 @@ def test_rollback_races_appender(spark, tmp_path):
     orphans = [sid for sid, _ in appended if sid not in chain]
     if orphans:
         assert t.read(snapshot_id=orphans[-1]).count() > 0
+
+
+def test_cherry_pick_races(spark, tmp_path):
+    """Verdict-r10 #6: cherry_pick under concurrency. (a) Two
+    concurrent picks of the SAME orphan: exactly one commits, the
+    other refuses with the double-count guard — the guards re-run on
+    FRESH metadata inside the commit retry (pre_check), so a racer
+    cannot slip between the stale read and the CAS. (b) cherry_pick
+    racing a live appender: both land, the chain stays linearizable,
+    and the picked keys appear exactly once."""
+    import threading
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "cprace")
+    seed = spark.createDataFrame([(0, "seed")], "k long, s string")
+    t = IcebergTable.create(spark, loc, seed.schema)
+    t.append_dataframe(seed)
+    s_base = t.metadata()["current-snapshot-id"]
+    t.append_dataframe(spark.createDataFrame(
+        [(1, "orphan"), (2, "orphan")], "k long, s string"))
+    s_orphan = t.metadata()["current-snapshot-id"]
+    t.rollback_to(s_base)
+
+    # (a) concurrent double-pick: one winner, one double-count refusal
+    results, guard_refusals, errs = [], [], []
+
+    def picker():
+        try:
+            h = IcebergTable(spark, loc)
+            results.append(h.cherry_pick(s_orphan))
+        except ValueError as e:
+            if "double-count" in str(e):
+                guard_refusals.append(e)
+            else:  # pragma: no cover - failure detail
+                errs.append(e)
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    th = [threading.Thread(target=picker) for _ in range(2)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs, errs
+    assert len(results) == 1 and len(guard_refusals) == 1, (
+        results, guard_refusals)
+    assert sorted(r.k for r in t.read().collect()) == [0, 1, 2]
+
+    # (b) pick a second orphan while an appender hammers the head
+    t2 = IcebergTable(spark, loc)
+    t2.append_dataframe(spark.createDataFrame(
+        [(5, "orphan2")], "k long, s string"))
+    s_orphan2 = t2.metadata()["current-snapshot-id"]
+    head_before = t2.metadata()["snapshots"]
+    t2.rollback_to(results[0])
+    picked2, errs2 = [], []
+
+    def appender():
+        try:
+            h = IcebergTable(spark, loc)
+            for i in range(4):
+                h.append_dataframe(spark.createDataFrame(
+                    [(100 + i, f"a{i}")], "k long, s string"))
+        except Exception as e:  # pragma: no cover - failure detail
+            errs2.append(e)
+
+    def picker2():
+        try:
+            h = IcebergTable(spark, loc)
+            picked2.append(h.cherry_pick(s_orphan2))
+        except Exception as e:  # pragma: no cover - failure detail
+            errs2.append(e)
+
+    th = [threading.Thread(target=f) for f in (appender, picker2)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs2, errs2
+    assert len(picked2) == 1
+    got = sorted(r.k for r in t2.read().collect())
+    assert got == [0, 1, 2, 5, 100, 101, 102, 103], got
+    # linearizable chain: every main-ancestry parent resolves
+    md = t2.metadata()
+    snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+    node = md["current-snapshot-id"]
+    seen = set()
+    while node is not None and node != -1:
+        assert node in snaps and node not in seen
+        seen.add(node)
+        node = snaps[node].get("parent-snapshot-id")
+    seqs = [s["sequence-number"] for s in md["snapshots"]]
+    assert len(set(seqs)) == len(seqs)
 
 
 def test_planner_inherits_manifest_sequence(spark, tmp_path):
