@@ -9565,11 +9565,27 @@ def iceberg_datasource_write_roundtrip(spark, sf_dir):
         F.round("o_totalprice", 2).alias("o_totalprice"))
     loc = tempfile.mkdtemp(prefix="gobblin_icedsw_") + "/t"
     t = IcebergTable.create(spark, loc, sub.schema)
+    # r11: the whole DSv2 round trip is addressed through the
+    # loopback scheme (loop:// → local FS inside _fs_from_uri), so
+    # every file touch — task parquet writes, footer/size probes, the
+    # sessionless metadata CAS, plan + executor reads — runs the
+    # REMOTE (non-file) branch of the scheme-aware belt under the
+    # driver's certification gate each rotation. Same table, same
+    # values: the oracle hash is unchanged.
+    loop_loc = "loop://host" + loc
     (sub.repartition(4).write.format("gobblin_iceberg")
-        .option("path", loc).mode("append").save())
-    if len(t.snapshots()) != 1:
+        .option("path", loop_loc).mode("append").save())
+    # the loop:// commit stamps loop:// URIs into the manifests, so
+    # post-write assertions stay on the scheme-aware faces (the
+    # sessioned JVM reader has no 'loop' filesystem — intentionally:
+    # the canary certifies the sessionless/remote path end to end)
+    if len(IcebergTable(None, loop_loc).snapshots()) != 1:
         raise RuntimeError("DSv2 write must commit ONE snapshot")
-    return t.read()
+    out = (spark.read.format("gobblin_iceberg")
+           .option("path", loop_loc).load())
+    if out.count() != sub.count():
+        raise RuntimeError("DSv2 read lost rows")
+    return out
 
 
 @q(
