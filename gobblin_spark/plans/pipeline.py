@@ -247,6 +247,15 @@ def run_streaming(
             branches=todo,
             source=lambda s: batch_df,
             job_id=f"{pipeline.job_id or 'stream'}-e{epoch_id}",
+            # r11 audit: a PARTIAL-marker replay proves this epoch's
+            # run() already executed once — its quarantine write
+            # (mode append, no marker of its own) already landed, and
+            # re-running it would duplicate every quarantined row.
+            # Skip it on detected replays; the crash window BEFORE any
+            # marker landed stays documented alongside the
+            # commit-vs-marker gap.
+            quarantine_dir=(None if done_markers
+                            else pipeline.quarantine_dir),
         )
         res = run(epoch_pl, spark)
         # mark only branches that actually PUBLISHED this epoch — a

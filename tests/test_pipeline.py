@@ -160,6 +160,57 @@ def test_streaming_epoch_marker_skips_replay(spark, sf_dir, tmp_path):
     assert data_files == []  # nothing published twice
 
 
+def test_streaming_partial_marker_replay_skips_quarantine(
+        spark, sf_dir, tmp_path):
+    """r11 audit: the quarantine write has no marker of its own, so a
+    PARTIAL-marker replay (which proves run() already executed once)
+    must not re-append the quarantined rows — only the unmarked
+    branches re-run. Previously every detected replay doubled the err
+    file."""
+    import hashlib
+
+    from gobblin_spark.operators import quality
+    from gobblin_spark.streaming.runner import canonical_checkpoint
+
+    ev = files.load_table(spark, sf_dir, "events").limit(40)
+    indir = str(tmp_path / "in")
+    ev.coalesce(1).write.parquet(indir)
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    token = hashlib.md5(
+        canonical_checkpoint(ckpt).encode()).hexdigest()[:8]
+    passed = ev.filter(F.col("value").between(0, 90))
+    quar = ev.filter(~F.col("value").between(0, 90))
+    assert quar.count() > 0
+    # simulate the crashed first attempt: branch A published+marked,
+    # quarantine written (it runs before staging), B's marker lost
+    passed.filter(F.col("event_id") % 2 == 0).write.mode(
+        "overwrite").parquet(str(out / "a"))
+    (out / "a" / f"_epoch-{token}-0.done").write_text("")
+    quar.write.mode("append").parquet(str(out / "quar"))
+    n_quar = spark.read.parquet(str(out / "quar")).count()
+
+    stream = spark.readStream.schema(ev.schema).parquet(indir)
+    pl = plans.Pipeline(
+        source=None,
+        row_policies=[quality.range_policy("value", 0, 90)],
+        quarantine_dir=str(out / "quar"),
+        branches=[
+            plans.Branch("a", F.col("event_id") % 2 == 0,
+                         final_dir=str(out / "a")),
+            plans.Branch("b", F.col("event_id") % 2 == 1,
+                         final_dir=str(out / "b")),
+        ],
+    )
+    results = plans.run_streaming(pl, stream, ckpt)
+    assert len(results) == 1
+    assert results[0].report.published == ["b"]
+    assert results[0].quarantined == 0  # replay did not re-quarantine
+    assert spark.read.parquet(str(out / "quar")).count() == n_quar
+    assert spark.read.parquet(str(out / "b")).count() == passed.filter(
+        F.col("event_id") % 2 == 1).count()
+
+
 def test_streaming_partial_marker_replays_only_unmarked(
         spark, sf_dir, tmp_path):
     """Audit-r7: two branches, only branch A's marker survives the
