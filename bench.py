@@ -196,7 +196,14 @@ def main() -> int:
             try:
                 fn(spark, sf_dir).write.mode("overwrite").format(
                     "noop").save()
-            except Exception:
+            except Exception as ex:
+                # record the failure instead of silently dropping the
+                # entry — a TELEMETRY_ONLY query that starts erroring
+                # would otherwise just vanish from the sidecar and
+                # its shuffle/spill visibility with it
+                details[name] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
+                print(f"telemetry pass: {name} failed: "
+                      f"{type(ex).__name__}", file=sys.stderr)
                 continue
             sec = round(time.time() - t0, 3)
             snap = api.snapshot()

@@ -942,6 +942,7 @@ def _write_bytes_if_absent_any(path: str, data: bytes) -> None:
             fs, rel = _fs_from_uri(path)
         except Exception:
             fs = None
+    import pyarrow.fs as _pafs
     if fs is not None and getattr(fs, "type_name", "") == "hdfs":
         import uuid as _uuid
         tmp = f"{rel}.commit-{_uuid.uuid4().hex[:12]}.tmp"
@@ -956,11 +957,39 @@ def _write_bytes_if_absent_any(path: str, data: bytes) -> None:
             try:
                 fs.delete_file(tmp)
             except OSError:
-                pass
+                pass  # a killed process leaves the .tmp; the
+                # metadata orphan sweep ignores non-committed files
+            # only an ACTUAL exists-collision is a concurrency signal
+            # — a transient namenode/permission fault reported as
+            # "concurrent commit" would burn the CAS retries
+            # re-reading metadata and misdiagnose an infrastructure
+            # error as a committer race (r11 review)
+            try:
+                collided = (fs.get_file_info(rel).type
+                            != _pafs.FileType.NotFound)
+            except OSError:
+                collided = False
+            if not collided:
+                raise
             raise RuntimeError(
                 f"concurrent commit detected: {path} already exists "
                 "(another committer advanced the table from the same "
                 "base version) — re-read metadata and retry") from ex
+        return
+    if fs is not None:
+        # reuse the resolved handle for probe + write: each
+        # _fs_from_uri constructs a fresh client on object stores,
+        # and the old probe/write helpers re-resolved twice more
+        if fs.get_file_info(rel).type != _pafs.FileType.NotFound:
+            raise RuntimeError(
+                f"concurrent commit detected: {path} already exists "
+                "(another committer advanced the table from the same "
+                "base version) — re-read metadata and retry")
+        parent = rel.rsplit("/", 1)[0]
+        if parent:
+            fs.create_dir(parent, recursive=True)
+        with fs.open_output_stream(rel) as out:
+            out.write(data)
         return
     try:
         _file_size_any(path)
@@ -1017,6 +1046,11 @@ def _delete_any(path: str) -> None:
     fs.delete_file(rel)
 
 
+# changelog eq-delete run-sharing cap: max consecutive eq-delete
+# commits that share one reconstructed base frame (see changelog())
+_EQ_RUN_CAP = 16
+
+
 class _NoCommit(Exception):
     """Raised by a _retry_metadata mutate closure to return a result
     WITHOUT committing a new metadata version (no-op short-circuit)."""
@@ -1063,6 +1097,11 @@ class IcebergTable:
         self.spark = spark
         self.location = location.rstrip("/")
         self.planning = planning
+        # frames changelog() persisted for eq-run sharing; the NEXT
+        # changelog() call (or release_changelog_cache) unpersists
+        # them — a returned changelog frame is lazy, so the cache must
+        # outlive the call that built it
+        self._changelog_cached: list = []
 
     # -- fs helpers ----------------------------------------------------
     @staticmethod
@@ -2085,16 +2124,28 @@ class IcebergTable:
         # by being snapshots themselves)
         seqs_with_other = ({e["sequence_number"] for e in window}
                            | {d["sequence_number"] for d, _ in pos_dels})
+        # run length is CAPPED: commit i carries i anti-joins against
+        # the earlier tuple sets, so an unbounded run puts O(K²/2)
+        # join nodes in one Catalyst plan (a 200-commit purge window
+        # would be ~20k) — chunking at 16 bounds the plan at ~136
+        # joins per chunk while still saving 15/16 of the
+        # reconstructions; chunk 2's base is chunk 1's last eq-delete
+        # snapshot, which read() reconstructs exactly (r11 review)
         runs: list[list[int]] = []
         for s in sorted(eq_by_seq):
             d_snap = seq_of_snap.get(s)
             parent = snaps.get(d_snap, {}).get("parent-snapshot-id")
-            if (runs and parent == seq_of_snap.get(runs[-1][-1])
+            if (runs and len(runs[-1]) < _EQ_RUN_CAP
+                    and parent == seq_of_snap.get(runs[-1][-1])
                     and runs[-1][-1] not in seqs_with_other):
                 runs[-1].append(s)
             else:
                 runs.append([s])
         n_dtup = 0
+        # unpersist the PREVIOUS changelog call's cached base frames
+        # before building new ones — the persist below must outlive
+        # its own (lazy) return value, so this is the release point
+        self.release_changelog_cache()
         for run in runs:
             first_snap = seq_of_snap.get(run[0])
             base = snaps.get(first_snap, {}).get("parent-snapshot-id")
@@ -2113,9 +2164,10 @@ class IcebergTable:
             p_ice = self._ice_schema_for(base, md)
             p_name_by_id = {f["id"]: f["name"] for f in p_ice["fields"]}
             prev = self.read(snapshot_id=base).alias("_prev")
-            n_sub = sum(len(g) for s in run for g in [eq_by_seq[s]])
+            n_sub = sum(len(eq_by_seq[s]) for s in run)
             if n_sub > 1:
                 prev = prev.persist()
+                self._changelog_cached.append(prev)
             prev_cols = set(prev.columns)
             sel = []
             for f in st.fields:
@@ -2179,6 +2231,22 @@ class IcebergTable:
                     .add("_change_type", T.StringType())
                     .add("_commit_snapshot_id", T.LongType())))
         return ins if dels is None else ins.unionByName(dels)
+
+    def release_changelog_cache(self) -> int:
+        """Unpersist the base frames the last changelog() call cached
+        for equality-delete run sharing (each is a full reconstructed
+        table state). Called automatically at the start of the next
+        changelog(); call it directly once a returned changelog frame
+        has been consumed to free executor storage early. Returns the
+        number of frames released."""
+        n = len(self._changelog_cached)
+        for df in self._changelog_cached:
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped
+        self._changelog_cached.clear()
+        return n
 
     def _path_uri_form(self, p: str) -> str:
         """Hadoop ``Path.toUri().toString()`` of a literal manifest
@@ -3680,8 +3748,14 @@ class IcebergTable:
             while mit.hasNext():
                 stt = mit.next()
                 nm = stt.getPath().getName()
-                if not nm.endswith(".avro"):
-                    continue  # only manifests/lists are candidates
+                # candidates: manifests/lists no retained snapshot
+                # references, and .commit-*.tmp staging leftovers (a
+                # committer killed between the temp write and the
+                # rename CAS on rename-atomic stores, r11 review) —
+                # vN.metadata.json and the hint are never candidates
+                if not (nm.endswith(".avro")
+                        or (".commit-" in nm and nm.endswith(".tmp"))):
+                    continue
                 if stt.getModificationTime() > cutoff_ms:
                     continue  # may belong to an in-flight commit
                 if nm not in meta_referenced:

@@ -476,7 +476,13 @@ class _RestWriter(DataSourceWriter):
             # holder's lock — an unconditional remove would delete a
             # live lock and re-open the two-holder window one hop
             # later. Our fd pins our inode, so remove only when the
-            # path still resolves to it.
+            # path still resolves to it. Residual (documented, not
+            # absolute): the stat→remove pair is itself non-atomic,
+            # so a displacement landing in THAT microsecond window —
+            # which requires our milliseconds-held lock to have
+            # crossed the 60 s staleness horizon — could still hit;
+            # inode-number recycling could in principle false-match.
+            # Both need a critical section ~10^4× over budget first.
             my_ino = os.fstat(fd).st_ino
             os.close(fd)
             try:

@@ -2295,13 +2295,19 @@ def test_remove_orphan_files_include_metadata(spark, tmp_path):
     t = IcebergTable.create(spark, loc, df.schema)
     t.append_dataframe(df)
     t.append_dataframe(df)
-    # plant a fake historical leak
+    # plant a fake historical leak + a killed committer's rename-CAS
+    # staging leftover (r11: the hdfs temp-write path)
     stray = os.path.join(loc, "metadata", "manifest-deadbeef.avro")
     open(stray, "wb").write(b"leak")
+    tmp_leak = os.path.join(loc, "metadata",
+                            "v9.metadata.json.commit-abc123.tmp")
+    open(tmp_leak, "wb").write(b"torn")
     deleted = t.remove_orphan_files(older_than_s=0,
                                     include_metadata=True)
     assert any(p.endswith("manifest-deadbeef.avro") for p in deleted)
+    assert any(p.endswith(".commit-abc123.tmp") for p in deleted)
     assert not os.path.exists(stray)
+    assert not os.path.exists(tmp_leak)
     # table still fully readable; json versions intact
     assert t.read().count() == 2
     assert os.path.exists(os.path.join(loc, "metadata",
@@ -2477,6 +2483,22 @@ def test_write_if_absent_rename_cas_on_hdfs_like(tmp_path, monkeypatch):
     assert open(local, "rb").read() == b"winner"
     assert not [f for f in os.listdir(tmp_path / "meta")
                 if f.endswith(".tmp")]
+
+    # a TRANSIENT move failure (destination absent) propagates as
+    # itself — wrapping it as "concurrent commit" would burn the CAS
+    # retries misdiagnosing an infrastructure fault as a race
+    class FlakyHdfs(FakeHdfs):
+        def move(self, src, dst):
+            raise OSError("namenode hiccup")
+
+    flaky = FlakyHdfs()
+    monkeypatch.setattr(
+        ice, "_fs_from_uri",
+        lambda uri: ((flaky, uri[len("hdfs://host"):])
+                     if uri.startswith("hdfs://host") else real(uri)))
+    t3 = "hdfs://host" + str(tmp_path / "meta" / "v9.metadata.json")
+    with pytest.raises(OSError, match="namenode hiccup"):
+        ice._write_bytes_if_absent_any(t3, b"x")
 
     # non-hdfs scheme (LocalFileSystem, type_name "local"): the
     # check-then-write fallback still enforces first-writer-wins
@@ -2964,6 +2986,31 @@ def test_changelog_eq_run_shares_one_reconstruction(spark, tmp_path):
     # the whole 3-commit run reconstructed the base state ONCE
     assert len(reads) == 1, reads
     assert sorted(r.k for r in t.read().collect()) == [1, 6]
+    # the shared frame was persisted and is released by the NEXT call
+    # (r11 review: the cache must outlive the lazy return value, not
+    # the session)
+    assert len(t2._changelog_cached) == 1
+    assert t2.release_changelog_cache() == 1
+    assert not t2._changelog_cached
+
+    # the run cap bounds the per-plan join chain: cap 2 → the same 3
+    # consecutive commits split into 2 chunks → 2 reconstructions,
+    # identical rows (chunk 2's base is chunk 1's last delete)
+    import gobblin_spark.sinks.iceberg as _I
+    old_cap = _I._EQ_RUN_CAP
+    _I._EQ_RUN_CAP = 2
+    try:
+        reads.clear()
+        t4 = IcebergTable(spark, loc)
+        t4.read = counting_read.__get__(t4)
+        rows_cap = sorted(
+            (r.k, r._change_type, r._commit_snapshot_id)
+            for r in t4.changelog(None).collect()
+            if r._change_type == "delete")
+        assert rows_cap == rows
+        assert len(reads) == 2, reads
+    finally:
+        _I._EQ_RUN_CAP = old_cap
 
     # a pos-delete between eq commits breaks the run
     pos = (t.read(apply_deletes=False)
