@@ -1672,31 +1672,49 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
         # for a stream of the published table
         main = I.IcebergTable._main_ancestry(md)
         # a REPLACE snapshot (rewrite_data_files) re-sequences
-        # EXISTING rows — streaming them again would duplicate the
-        # feed. Same default as Iceberg's own streaming read: fail on
-        # non-append snapshots inside the window instead of silently
-        # double-delivering.
+        # EXISTING rows — streaming its compacted files would
+        # duplicate the feed, so the replace itself emits NOTHING and
+        # the window splits into ERAS at each one (r11; same planning
+        # as changelog): era k's appends are planned from the
+        # snapshot just before replace k+1 (its parent), where they
+        # are still live under their true commit sequences. This
+        # EXCEEDS Iceberg's own streaming read, which fails on any
+        # replace in the window. Genuinely row-changing operations
+        # (overwrite) still raise.
+        win_replaces = []
         for s in main:
-            if (lo < s.get("sequence-number", 0) <= hi
-                    and s.get("summary", {}).get("operation")
-                    not in ("append", None)):
+            op = s.get("summary", {}).get("operation")
+            if not (lo < s.get("sequence-number", 0) <= hi):
+                continue
+            if op == "replace":
+                win_replaces.append(s)
+            elif op not in ("append", None):
                 raise NotImplementedError(
-                    f"non-append snapshot (operation="
-                    f"{s['summary'].get('operation')!r}) in the "
-                    "stream window — compact either before the "
-                    "stream starts or after it stops")
-        # plan from the snapshot AS OF the window end, not the
-        # current one: a later REPLACE rewrites the current manifest
-        # list, but replaying an already-committed window must see
-        # the table as it stood then (works as long as that snapshot
-        # is retained — the same replay constraint real Iceberg has)
-        eligible = [s for s in main
-                    if s.get("sequence-number", 0) <= hi]
-        if not eligible:
-            return []
-        snap = max(eligible, key=lambda s: s.get("sequence-number", 0))
-        _, manifests = ACF.read_container(
-            _ice_read_bytes(snap["manifest-list"]))
+                    f"non-append snapshot (operation={op!r}) in the "
+                    "stream window")
+        by_id_snap = {s["snapshot-id"]: s
+                      for s in md.get("snapshots", [])}
+        win_replaces.sort(key=lambda s: s["sequence-number"])
+        eras = []  # (era_lo_seq, era_hi_seq)
+        prev_hi = lo
+        for r in win_replaces:
+            parent = r.get("parent-snapshot-id")
+            r_seq = r["sequence-number"]
+            if parent is None or parent not in by_id_snap:
+                if r_seq > prev_hi + 1:
+                    raise ValueError(
+                        "stream window: replace snapshot "
+                        f"{r['snapshot-id']}'s parent is expired — "
+                        "the window commits it superseded cannot be "
+                        "replayed")
+                prev_hi = r_seq
+                continue
+            p_seq = by_id_snap[parent]["sequence-number"]
+            if p_seq > prev_hi:
+                eras.append((prev_hi, p_seq))
+            prev_hi = r_seq
+        if hi > prev_hi or not eras:
+            eras.append((prev_hi, hi))
         # identity-partition lookup across ALL specs: partitionBy
         # drops the source column from the data files, so streamed
         # rows must re-attach values from the hive path like the
@@ -1731,43 +1749,63 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
             return tuple(out)
 
         out = []
-        for m in manifests:
-            if m.get("content", 0) != 0:
-                raise NotImplementedError(
-                    "streaming read over delete-carrying tables")
-            # every manifest must open: carried-forward entries keep
-            # their ORIGINAL sequence numbers regardless of the
-            # manifest's own sequence fields
-            _, entries = ACF.read_container(
-                _ice_read_bytes(m["manifest_path"]))
-            for e in entries:
-                if e["status"] not in (0, 1):
-                    continue
-                d = e["data_file"]
-                if d.get("content", 0) != 0:
+        for era_lo, era_hi in eras:
+            # plan each era from the snapshot AS OF its end, not the
+            # current one: a later REPLACE rewrites the current
+            # manifest list, but replaying an already-committed
+            # window must see the table as it stood then (works as
+            # long as that snapshot is retained — the same replay
+            # constraint real Iceberg has). Era bounds exclude the
+            # replace's own compacted files (seq == era lo).
+            eligible = [s for s in main
+                        if s.get("sequence-number", 0) <= era_hi]
+            if not eligible:
+                continue
+            snap = max(eligible,
+                       key=lambda s: s.get("sequence-number", 0))
+            _, manifests = ACF.read_container(
+                _ice_read_bytes(snap["manifest-list"]))
+            for m in manifests:
+                if m.get("content", 0) != 0:
                     raise NotImplementedError(
                         "streaming read over delete-carrying tables")
-                seq = e.get("sequence_number")
-                if seq is None:
-                    # Iceberg sequence-number INHERITANCE: a null
-                    # entry seq inherits the manifest's (field 515) —
-                    # coercing to 0 would park genuine-Iceberg rows
-                    # outside every window forever (audit r8). The
-                    # spec limits inheritance to ADDED (status=1)
-                    # entries; an EXISTING entry with a null seq is a
-                    # non-compliant writer and inheriting the carrying
-                    # manifest's newer seq would shift the file into
-                    # the wrong incremental window (r10 ADVICE).
-                    mseq = m.get("sequence_number") or 0
-                    if e["status"] != 1 and mseq != 0:
-                        raise ValueError(
-                            "non-compliant manifest: EXISTING entry "
-                            f"for {d['file_path']} has no explicit "
-                            f"sequence number (manifest seq {mseq}); "
-                            "inheritance applies to ADDED entries only")
-                    seq = mseq
-                if lo < seq <= hi:
-                    out.append((d["file_path"], _attach(d["file_path"])))
+                # every manifest must open: carried-forward entries
+                # keep their ORIGINAL sequence numbers regardless of
+                # the manifest's own sequence fields
+                _, entries = ACF.read_container(
+                    _ice_read_bytes(m["manifest_path"]))
+                for e in entries:
+                    if e["status"] not in (0, 1):
+                        continue
+                    d = e["data_file"]
+                    if d.get("content", 0) != 0:
+                        raise NotImplementedError(
+                            "streaming read over delete-carrying "
+                            "tables")
+                    seq = e.get("sequence_number")
+                    if seq is None:
+                        # Iceberg sequence-number INHERITANCE: a null
+                        # entry seq inherits the manifest's (field
+                        # 515) — coercing to 0 would park genuine-
+                        # Iceberg rows outside every window forever
+                        # (audit r8). The spec limits inheritance to
+                        # ADDED (status=1) entries; an EXISTING entry
+                        # with a null seq is a non-compliant writer
+                        # and inheriting the carrying manifest's
+                        # newer seq would shift the file into the
+                        # wrong incremental window (r10 ADVICE).
+                        mseq = m.get("sequence_number") or 0
+                        if e["status"] != 1 and mseq != 0:
+                            raise ValueError(
+                                "non-compliant manifest: EXISTING "
+                                f"entry for {d['file_path']} has no "
+                                "explicit sequence number (manifest "
+                                f"seq {mseq}); inheritance applies "
+                                "to ADDED entries only")
+                        seq = mseq
+                    if era_lo < seq <= era_hi:
+                        out.append((d["file_path"],
+                                    _attach(d["file_path"])))
         return sorted(set(out))
 
     def _rows(self, lo: int, hi: int) -> Iterator[Tuple]:

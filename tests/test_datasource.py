@@ -685,12 +685,15 @@ def test_iceberg_stream_incremental(spark, tmp_path):
     assert sorted(r[0] for r in rep) == list(range(10, 30))
 
 
-def test_iceberg_stream_rejects_replace_in_window(spark, tmp_path):
-    """A rewrite (REPLACE snapshot) re-sequences existing rows; a
-    stream window that spans it must FAIL, not double-deliver —
-    Iceberg's own streaming-read default."""
-    import pytest as _pytest
-
+def test_iceberg_stream_replace_in_window(spark, tmp_path):
+    """r11: a rewrite (REPLACE snapshot) inside a stream window emits
+    NOTHING — it re-sequences existing rows, so streaming its
+    compacted files would double-deliver. The window splits into eras
+    at the replace (same planning as changelog): pre-rewrite appends
+    replay from the pre-replace manifests, post-rewrite appends from
+    the head, and a window covering only the replace is empty. This
+    exceeds Iceberg's own streaming read, which fails on any replace
+    in the window."""
     from gobblin_spark.sinks.iceberg import IcebergTable
     from gobblin_spark.sources import datasource as DS
 
@@ -698,14 +701,22 @@ def test_iceberg_stream_rejects_replace_in_window(spark, tmp_path):
                                "k long, s string")
     loc = str(tmp_path / "icestrpl")
     t = IcebergTable.create(spark, loc, df.schema)
-    t.append_dataframe(df.repartition(2))
-    t.rewrite_data_files(target_partitions=1)
+    t.append_dataframe(df.repartition(2))          # seq 1
+    t.rewrite_data_files(target_partitions=1)      # seq 2 (replace)
+    t.append_dataframe(spark.createDataFrame(
+        [(99, "z")], "k long, s string"))          # seq 3
     sr = DS._IcebergStreamReader({"path": loc}, df.schema)
-    with _pytest.raises(NotImplementedError, match="non-append"):
-        list(sr.readBetweenOffsets({"seq": 0}, {"seq": 2}))
+    # the spanning window delivers each row exactly once
+    assert sorted(r[0] for r in sr.readBetweenOffsets(
+        {"seq": 0}, {"seq": 3})) == list(range(10)) + [99]
+    # a window covering ONLY the replace is empty
+    assert list(sr.readBetweenOffsets({"seq": 1}, {"seq": 2})) == []
     # a window strictly BEFORE the replace still replays fine
     assert sorted(r[0] for r in sr.readBetweenOffsets(
         {"seq": 0}, {"seq": 1})) == list(range(10))
+    # ... and strictly after
+    assert [r[0] for r in sr.readBetweenOffsets(
+        {"seq": 2}, {"seq": 3})] == [99]
 
 
 def test_iceberg_datasource_write_schema_guard(spark, tmp_path):
