@@ -1873,10 +1873,14 @@ class IcebergTable:
         and emit no change rows; the window is split into eras at
         each one so commits the rewrite superseded still replay from
         the pre-replace manifests (one extra metadata walk per
-        in-window replace — zero when there are none). Genuinely
-        row-changing non-append operations (overwrite) still raise.
-        Delete commits OUTSIDE the window are ignored: they changed
-        state the window does not cover."""
+        in-window replace — zero when there are none). OVERWRITE
+        snapshots (copy-on-write engines' row-level DELETE/UPDATE/
+        MERGE, INSERT OVERWRITE) emit retractions for every row of
+        their REMOVED file set and inserts for their added files —
+        supported on delete-free histories (COW engines produce
+        exactly those); mixing overwrites with merge-on-read delete
+        files still raises. Delete commits OUTSIDE the window are
+        ignored: they changed state the window does not cover."""
         from pyspark.sql import functions as F
 
         md = self.metadata()
@@ -1895,12 +1899,21 @@ class IcebergTable:
         # a rollback can put replaces on main that to_id never saw)
         chain = self._main_ancestry({**md, "current-snapshot-id": to_id})
         win_replaces = []
+        win_overwrites = []
         for s in chain:
             op = s.get("summary", {}).get("operation")
             if not (lo_seq < s.get("sequence-number", 0) <= hi_seq):
                 continue
             if op == "replace":
                 win_replaces.append(s)
+            elif op == "overwrite":
+                # a genuine OVERWRITE (copy-on-write engines' row-
+                # level DELETE/UPDATE/MERGE and INSERT OVERWRITE) IS
+                # row-changing: retractions from its removed file set
+                # + inserts from its added files, both stamped with
+                # the overwrite snapshot. It also supersedes earlier
+                # manifests, so it splits eras exactly like a replace.
+                win_overwrites.append(s)
             elif op not in ("append", "delete", None):
                 raise NotImplementedError(
                     f"non-append snapshot (operation={op!r}) in the "
@@ -1918,10 +1931,11 @@ class IcebergTable:
         # an era boundary (seq == era lo) and are excluded by the
         # strict lower bound. No replace in the window ⇒ one era at
         # to_id — the original single-walk plan, byte for byte.
-        win_replaces.sort(key=lambda s: s["sequence-number"])
+        splitters = sorted(win_replaces + win_overwrites,
+                           key=lambda s: s["sequence-number"])
         eras = []  # (era_lo_seq, walk_snapshot_id, era_hi_seq)
         prev_hi = lo_seq
-        for r in win_replaces:
+        for r in splitters:
             parent = r.get("parent-snapshot-id")
             r_seq = r["sequence-number"]
             if parent is None or parent not in snaps:
@@ -1943,6 +1957,36 @@ class IcebergTable:
         pos_dels = []   # [(entry, era_idx)] pos-delete files in window
         eq_dels = []    # content=2 equality-delete files in the window
         era_data = []   # per era: every live data file at its walk
+        ow_removed = []  # [(removed entries, overwrite snapshot id)]
+        for o in win_overwrites:
+            o_id = o["snapshot-id"]
+            o_seq = o["sequence-number"]
+            parent = o.get("parent-snapshot-id")
+            if parent is None or parent not in snaps:
+                raise ValueError(
+                    f"changelog: overwrite snapshot {o_id} has no "
+                    "retained parent — the rows it removed are not "
+                    "reconstructable")
+            ents_p = self._entries(parent, md=md)
+            ents_o = self._entries(o_id, md=md)
+            if any(e["content"] != 0 for e in ents_p + ents_o):
+                # COW engines produce overwrites on delete-free
+                # tables; mixing overwrite diffs with merge-on-read
+                # delete files would need per-file delete replay
+                raise NotImplementedError(
+                    "changelog: overwrite snapshot over a delete-"
+                    "carrying history")
+            o_paths = {e["info"].path for e in ents_o}
+            # retractions: every row of the files the overwrite
+            # REMOVED (live at parent, gone at the overwrite)
+            ow_removed.append(
+                ([e for e in ents_p if e["info"].path not in o_paths],
+                 o_id))
+            # inserts: the files it ADDED ride the normal insert scan
+            # (seq == the overwrite's own, so the era bounds exclude
+            # them and this is the only collection point)
+            window.extend(e for e in ents_o
+                          if e["sequence_number"] == o_seq)
         for era_lo, walk_id, era_hi in eras:
             all_data = []
             idx = len(era_data)
@@ -1961,7 +2005,8 @@ class IcebergTable:
                     window.append(e)
             era_data.append(all_data)
         st = self._schema_for(to_id, md)
-        if not window and not pos_dels and not eq_dels:
+        if (not window and not pos_dels and not eq_dels
+                and not any(r for r, _ in ow_removed)):
             return self.spark.createDataFrame(
                 [], self._schema_for(to_id, md)
                 .add("_change_type", T.StringType())
@@ -2223,6 +2268,20 @@ class IcebergTable:
                     earlier.append((ids, alias, dd))
                     dels = (hit if dels is None
                             else dels.unionByName(hit))
+
+        # OVERWRITE retractions: every row of the files the commit
+        # removed — one multi-path scan per partition spec, same plan
+        # as the insert side (the removed set is delta-sized; the
+        # delete-free guard above means no merge-on-read applies)
+        for removed, o_id in ow_removed:
+            if not removed:
+                continue
+            hit = (_scan_grouped(removed, with_pos=False)
+                   .select(*[f.name for f in st.fields])
+                   .withColumn("_change_type", F.lit("delete"))
+                   .withColumn("_commit_snapshot_id",
+                               F.lit(o_id).cast("long")))
+            dels = hit if dels is None else dels.unionByName(hit)
 
         if ins is None:
             return dels if dels is not None else (

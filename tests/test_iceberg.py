@@ -3096,6 +3096,90 @@ def test_changelog_replace_snapshot_in_window(spark, tmp_path):
     assert got2 == [(9, "insert")]
 
 
+def test_changelog_overwrite_snapshot(spark, tmp_path):
+    """r11: a genuine OVERWRITE snapshot (copy-on-write engines'
+    row-level ops / INSERT OVERWRITE) in the changelog window emits
+    retractions for its removed file set and inserts for its added
+    files. Full-table overwrite (carry_prior=False) retracts
+    everything live at the parent; a PARTIAL overwrite fabricated in
+    genuine-Iceberg form (kept file carried as an EXISTING entry with
+    its ORIGINAL sequence) retracts only the replaced file's rows."""
+    from gobblin_spark.operators import avro_container as ACF
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "clover")
+    t = IcebergTable.create(
+        spark, loc,
+        spark.createDataFrame([(1, "a")], "k long, s string").schema)
+    t.append_dataframe(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, s string"))
+    s1 = t.metadata()["current-snapshot-id"]
+
+    # INSERT OVERWRITE: replace the whole table content
+    sub = str(tmp_path / "ow1")
+    spark.createDataFrame([(10, "x"), (11, "y")],
+                          "k long, s string").coalesce(1) \
+        .write.mode("overwrite").parquet(sub)
+    s2 = t._commit_files(t._list_committed_files(sub), content=0,
+                         equality_ids=None, operation="overwrite",
+                         carry_prior=False)
+    assert sorted(r.k for r in t.read().collect()) == [10, 11]
+    rows = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                  for r in t.changelog(None).collect())
+    assert rows == [
+        (1, "delete", s2), (1, "insert", s1),
+        (2, "delete", s2), (2, "insert", s1),
+        (10, "insert", s2), (11, "insert", s2)]
+    # window strictly before the overwrite: plain inserts
+    assert sorted((r.k, r._change_type)
+                  for r in t.changelog(None, s1).collect()) == \
+        [(1, "insert"), (2, "insert")]
+    # window covering only the overwrite: its diff alone
+    assert sorted((r.k, r._change_type)
+                  for r in t.changelog(s1, s2).collect()) == \
+        [(1, "delete"), (2, "delete"),
+         (10, "insert"), (11, "insert")]
+
+    # PARTIAL overwrite in genuine-Iceberg form: keep the k=10/11
+    # file, replace a newly-appended file — the kept file must ride
+    # as an EXISTING entry with its ORIGINAL sequence number
+    t.append_dataframe(spark.createDataFrame(
+        [(20, "m")], "k long, s string"))
+    s3 = t.metadata()["current-snapshot-id"]
+    kept_seq = {e["info"].path: e["sequence_number"]
+                for e in t._entries()}
+    sub2 = str(tmp_path / "ow2")
+    spark.createDataFrame([(30, "n")], "k long, s string").coalesce(1) \
+        .write.mode("overwrite").parquet(sub2)
+    keep_infos = [e["info"] for e in t._entries()
+                  if e["sequence_number"] != 0
+                  and sorted(r.k for r in spark.read.parquet(
+                      e["info"].path).collect()) == [10, 11]]
+    assert len(keep_infos) == 1
+    s4 = t._commit_files(
+        t._list_committed_files(sub2) + keep_infos, content=0,
+        equality_ids=None, operation="overwrite", carry_prior=False)
+    # patch the kept file's entry back to EXISTING + original seq
+    md = t.metadata()
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == s4)
+    _, manifests = ACF.read_container(t._read_bytes(
+        snap["manifest-list"]))
+    mpath = manifests[0]["manifest_path"]
+    schema, entries = ACF.read_container(t._read_bytes(mpath))
+    for e in entries:
+        if e["data_file"]["file_path"] == keep_infos[0].path:
+            e["status"] = 0  # EXISTING
+            e["sequence_number"] = kept_seq[keep_infos[0].path]
+            e["file_sequence_number"] = kept_seq[keep_infos[0].path]
+    t._write_bytes(mpath, ACF.write_container_bytes(entries, schema))
+
+    assert sorted(r.k for r in t.read().collect()) == [10, 11, 30]
+    got = sorted((r.k, r._change_type)
+                 for r in t.changelog(s3).collect())
+    # only the replaced file (k=20) retracts; kept rows emit nothing
+    assert got == [(20, "delete"), (30, "insert")], got
+
+
 def test_changelog_net_effect_random_history(spark, tmp_path):
     """Property: for ANY mix of append / position-delete /
     equality-delete / rewrite (replace) commits, the changelog's net
@@ -3124,6 +3208,13 @@ def test_changelog_net_effect_random_history(spark, tmp_path):
             op = ("append" if step == 0 or not live
                   else rng.choice(
                       ["append", "pos_del", "eq_del", "rewrite"]))
+            if rng.random() < 0.3:
+                # metadata-only schema churn BETWEEN commits: rename
+                # s away and back (two schema versions, same final
+                # name) — flips _needs_id_resolution and makes every
+                # later read/changelog resolve columns by field-id
+                t.rename_column("s", "s_tmp")
+                t.rename_column("s_tmp", "s")
             if op == "rewrite":
                 t.rewrite_data_files(target_partitions=1)
             elif op == "append":
