@@ -204,6 +204,9 @@ def main() -> int:
                 details[name] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
                 print(f"telemetry pass: {name} failed: "
                       f"{type(ex).__name__}", file=sys.stderr)
+                # re-baseline: the failed query's completed stages
+                # must not be attributed to the NEXT query's metrics
+                api.snapshot()
                 continue
             sec = round(time.time() - t0, 3)
             snap = api.snapshot()

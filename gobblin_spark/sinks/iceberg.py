@@ -942,7 +942,11 @@ def _write_bytes_if_absent_any(path: str, data: bytes) -> None:
             fs, rel = _fs_from_uri(path)
         except Exception:
             fs = None
-    import pyarrow.fs as _pafs
+    # pyarrow is only needed on the fs-resolved branches — hosts with
+    # fsspec but no pyarrow (fs stays None) must keep the documented
+    # probe+write fallback below, not die on this import (r11 review)
+    if fs is not None:
+        import pyarrow.fs as _pafs
     if fs is not None and getattr(fs, "type_name", "") == "hdfs":
         import uuid as _uuid
         tmp = f"{rel}.commit-{_uuid.uuid4().hex[:12]}.tmp"
@@ -985,11 +989,24 @@ def _write_bytes_if_absent_any(path: str, data: bytes) -> None:
                 f"concurrent commit detected: {path} already exists "
                 "(another committer advanced the table from the same "
                 "base version) — re-read metadata and retry")
-        parent = rel.rsplit("/", 1)[0]
-        if parent:
-            fs.create_dir(parent, recursive=True)
-        with fs.open_output_stream(rel) as out:
-            out.write(data)
+        try:
+            if path.startswith("loop://"):
+                # loopback == local FS: keep _write_bytes_any's .crc
+                # sidecar hygiene (a JVM may have written this path
+                # in a previous table generation)
+                crc = os.path.join(os.path.dirname(rel),
+                                   f".{os.path.basename(rel)}.crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
+            parent = rel.rsplit("/", 1)[0]
+            if parent:
+                fs.create_dir(parent, recursive=True)
+            with fs.open_output_stream(rel) as out:
+                out.write(data)
+        except OSError:
+            # transient arrow failure: the slow path retries through
+            # _write_bytes_any's own fsspec fallback
+            _write_bytes_any(path, data)
         return
     try:
         _file_size_any(path)
@@ -1049,6 +1066,56 @@ def _delete_any(path: str) -> None:
 # changelog eq-delete run-sharing cap: max consecutive eq-delete
 # commits that share one reconstructed base frame (see changelog())
 _EQ_RUN_CAP = 16
+
+
+def _split_eras(splitters: list[dict], lo: int, hi: int,
+                snaps: dict, chain: list[dict],
+                final_walk, label: str) -> list[tuple]:
+    """Split the incremental window (lo, hi] into ERAS at each
+    file-superseding snapshot (replace/overwrite) — shared by
+    changelog() and the DSv2 stream reader so the boundary semantics
+    can never diverge. Returns [(era_lo_seq, walk_snapshot_id,
+    era_hi_seq)]: era k's commits are planned from the snapshot just
+    BEFORE splitter k+1 (its parent), where they are still live under
+    their true sequences; the final era plans at *final_walk*. The
+    splitter's own files sit exactly ON an era boundary (seq == the
+    era's strict lower bound) and are excluded.
+
+    An expired splitter parent is fatal only when the lost era could
+    actually CONTAIN window commits. Sequence numbers are dense
+    table-wide (every commit bumps last-sequence-number by one), so
+    each gap sequence must be accounted for by a RETAINED snapshot
+    that is NOT on this chain — a branch commit or a rollback orphan,
+    whose rows were never part of this lineage. A gap sequence that
+    is a chain snapshot (unplannable without the parent walk) or that
+    belongs to no retained snapshot at all (expired history) is
+    fatal."""
+    eras: list[tuple] = []
+    prev_hi = lo
+    chain_ids = {s["snapshot-id"] for s in chain}
+    nonchain_seqs = {s.get("sequence-number", 0)
+                     for sid, s in snaps.items()
+                     if sid not in chain_ids}
+    for r in sorted(splitters, key=lambda s: s["sequence-number"]):
+        parent = r.get("parent-snapshot-id")
+        r_seq = r["sequence-number"]
+        if parent is None or parent not in snaps:
+            if any(q not in nonchain_seqs
+                   for q in range(prev_hi + 1, r_seq)):
+                op = r.get("summary", {}).get("operation", "replace")
+                raise ValueError(
+                    f"{label}: {op} snapshot {r['snapshot-id']}'s "
+                    "parent is expired — the window commits it "
+                    "superseded cannot be replayed")
+            prev_hi = r_seq
+            continue
+        p_seq = snaps[parent]["sequence-number"]
+        if p_seq > prev_hi:
+            eras.append((prev_hi, parent, p_seq))
+        prev_hi = r_seq
+    if hi > prev_hi or not eras:
+        eras.append((prev_hi, final_walk, hi))
+    return eras
 
 
 class _NoCommit(Exception):
@@ -1883,6 +1950,11 @@ class IcebergTable:
         ignored: they changed state the window does not cover."""
         from pyspark.sql import functions as F
 
+        # unpersist the PREVIOUS changelog call's cached eq-run base
+        # frames FIRST — at the top so early returns and raises
+        # release them too; the persists below must outlive their own
+        # (lazy) return value, so next-call entry is the release point
+        self.release_changelog_cache()
         md = self.metadata()
         snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
         lo_seq = (0 if from_snapshot_id is None
@@ -1931,28 +2003,17 @@ class IcebergTable:
         # an era boundary (seq == era lo) and are excluded by the
         # strict lower bound. No replace in the window ⇒ one era at
         # to_id — the original single-walk plan, byte for byte.
-        splitters = sorted(win_replaces + win_overwrites,
-                           key=lambda s: s["sequence-number"])
-        eras = []  # (era_lo_seq, walk_snapshot_id, era_hi_seq)
-        prev_hi = lo_seq
-        for r in splitters:
-            parent = r.get("parent-snapshot-id")
-            r_seq = r["sequence-number"]
-            if parent is None or parent not in snaps:
-                if r_seq > prev_hi + 1:
-                    raise ValueError(
-                        "changelog: replace snapshot "
-                        f"{r['snapshot-id']}'s parent is expired — "
-                        "the window commits it superseded cannot be "
-                        "reconstructed")
-                prev_hi = r_seq
-                continue
-            p_seq = snaps[parent]["sequence-number"]
-            if p_seq > prev_hi:
-                eras.append((prev_hi, parent, p_seq))
-            prev_hi = r_seq
-        if hi_seq > prev_hi or not eras:
-            eras.append((prev_hi, to_id, hi_seq))
+        eras = _split_eras(win_replaces + win_overwrites, lo_seq,
+                           hi_seq, snaps, chain, to_id, "changelog")
+        # per-snapshot entry cache: an overwrite's parent often
+        # anchors an era too, and each _entries() walk re-opens every
+        # manifest (a separate Spark job under distributed planning)
+        _ents_cache: dict[int, list] = {}
+
+        def _ents(sid: int) -> list[dict]:
+            if sid not in _ents_cache:
+                _ents_cache[sid] = self._entries(sid, md=md)
+            return _ents_cache[sid]
         window = []     # content=0 data files committed in the window
         pos_dels = []   # [(entry, era_idx)] pos-delete files in window
         eq_dels = []    # content=2 equality-delete files in the window
@@ -1967,8 +2028,8 @@ class IcebergTable:
                     f"changelog: overwrite snapshot {o_id} has no "
                     "retained parent — the rows it removed are not "
                     "reconstructable")
-            ents_p = self._entries(parent, md=md)
-            ents_o = self._entries(o_id, md=md)
+            ents_p = _ents(parent)
+            ents_o = _ents(o_id)
             if any(e["content"] != 0 for e in ents_p + ents_o):
                 # COW engines produce overwrites on delete-free
                 # tables; mixing overwrite diffs with merge-on-read
@@ -1990,7 +2051,7 @@ class IcebergTable:
         for era_lo, walk_id, era_hi in eras:
             all_data = []
             idx = len(era_data)
-            for e in self._entries(walk_id, md=md):
+            for e in _ents(walk_id):
                 in_win = era_lo < e["sequence_number"] <= era_hi
                 if e["content"] == 2:
                     if in_win:
@@ -2187,10 +2248,6 @@ class IcebergTable:
             else:
                 runs.append([s])
         n_dtup = 0
-        # unpersist the PREVIOUS changelog call's cached base frames
-        # before building new ones — the persist below must outlive
-        # its own (lazy) return value, so this is the release point
-        self.release_changelog_cache()
         for run in runs:
             first_snap = seq_of_snap.get(run[0])
             base = snaps.get(first_snap, {}).get("parent-snapshot-id")

@@ -1694,27 +1694,16 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
                     "stream window")
         by_id_snap = {s["snapshot-id"]: s
                       for s in md.get("snapshots", [])}
-        win_replaces.sort(key=lambda s: s["sequence-number"])
-        eras = []  # (era_lo_seq, era_hi_seq)
-        prev_hi = lo
-        for r in win_replaces:
-            parent = r.get("parent-snapshot-id")
-            r_seq = r["sequence-number"]
-            if parent is None or parent not in by_id_snap:
-                if r_seq > prev_hi + 1:
-                    raise ValueError(
-                        "stream window: replace snapshot "
-                        f"{r['snapshot-id']}'s parent is expired — "
-                        "the window commits it superseded cannot be "
-                        "replayed")
-                prev_hi = r_seq
-                continue
-            p_seq = by_id_snap[parent]["sequence-number"]
-            if p_seq > prev_hi:
-                eras.append((prev_hi, p_seq))
-            prev_hi = r_seq
-        if hi > prev_hi or not eras:
-            eras.append((prev_hi, hi))
+        eligible = [s for s in main
+                    if s.get("sequence-number", 0) <= hi]
+        final_walk = (max(eligible,
+                          key=lambda s: s.get("sequence-number", 0))
+                      ["snapshot-id"] if eligible else None)
+        # SHARED era splitter (sinks.iceberg._split_eras — the same
+        # boundary semantics changelog() uses, so the two incremental
+        # readers can never disagree on a history)
+        eras = I._split_eras(win_replaces, lo, hi, by_id_snap, main,
+                             final_walk, "stream window")
         # identity-partition lookup across ALL specs: partitionBy
         # drops the source column from the data files, so streamed
         # rows must re-attach values from the hive path like the
@@ -1749,7 +1738,7 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
             return tuple(out)
 
         out = []
-        for era_lo, era_hi in eras:
+        for era_lo, walk_id, era_hi in eras:
             # plan each era from the snapshot AS OF its end, not the
             # current one: a later REPLACE rewrites the current
             # manifest list, but replaying an already-committed
@@ -1757,12 +1746,9 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
             # long as that snapshot is retained — the same replay
             # constraint real Iceberg has). Era bounds exclude the
             # replace's own compacted files (seq == era lo).
-            eligible = [s for s in main
-                        if s.get("sequence-number", 0) <= era_hi]
-            if not eligible:
+            if walk_id is None:
                 continue
-            snap = max(eligible,
-                       key=lambda s: s.get("sequence-number", 0))
+            snap = by_id_snap[walk_id]
             _, manifests = ACF.read_container(
                 _ice_read_bytes(snap["manifest-list"]))
             for m in manifests:

@@ -719,6 +719,43 @@ def test_iceberg_stream_replace_in_window(spark, tmp_path):
         {"seq": 2}, {"seq": 3})] == [99]
 
 
+def test_iceberg_stream_replace_expired_parent_seq_gap(spark, tmp_path):
+    """r11 review: a replace whose parent is EXPIRED is fatal only
+    when the lost era actually contains window commits ON THE CHAIN —
+    branch commits consume table-global sequence numbers without
+    appearing on main, so a numeric gap (old check: r_seq >
+    prev_hi + 1) is not a history gap. Here seq 2 belongs to a WAP
+    branch commit; the replace at seq 3 with its parent surgically
+    expired must stream an EMPTY window, not raise."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(5)],
+                               "k long, s string")
+    loc = str(tmp_path / "icegap")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df)                                   # seq 1
+    s1 = t.metadata()["current-snapshot-id"]
+    t.append_dataframe(spark.createDataFrame(
+        [(90, "b")], "k long, s string"), branch="wap")      # seq 2
+    t.rewrite_data_files(target_partitions=1)                # seq 3
+    # surgically expire the replace's parent (ref-head retention
+    # normally protects it — emulate a pre-parent-pointer history)
+    md = t.metadata()
+    md["snapshots"] = [s for s in md["snapshots"]
+                       if s["snapshot-id"] != s1]
+    t._commit_metadata(md)
+
+    sr = DS._IcebergStreamReader({"path": loc}, df.schema)
+    # window (1, 3]: only the branch commit and the replace — nothing
+    # on main to replay, so the stream must deliver nothing
+    assert list(sr.readBetweenOffsets({"seq": 1}, {"seq": 3})) == []
+    # a window that DOES need the expired era still fails loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="parent is expired"):
+        list(sr.readBetweenOffsets({"seq": 0}, {"seq": 3}))
+
+
 def test_iceberg_datasource_write_schema_guard(spark, tmp_path):
     """Unknown frame columns fail the write up front — they would
     land in files and silently vanish on read; missing table columns
