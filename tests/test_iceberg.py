@@ -3195,7 +3195,10 @@ def test_changelog_net_effect_random_history(spark, tmp_path):
 
     from gobblin_spark.sinks.iceberg import IcebergTable
 
-    rng = random.Random(1007)
+    import os as _os
+
+    # pinned default; sweep other seeds with GOBBLIN_NET_SEED=n pytest
+    rng = random.Random(int(_os.environ.get("GOBBLIN_NET_SEED", "1007")))
     for trial in range(2):
         loc = str(tmp_path / f"net{trial}")
         t = IcebergTable.create(
@@ -3250,6 +3253,32 @@ def test_changelog_net_effect_random_history(spark, tmp_path):
         assert {r.k for r in t.read().collect()} == live
         # no negative multiplicities: never retract more than inserted
         assert not (dels - ins), (trial, dels - ins)
+
+        # WINDOWED net effect (r11): for random snapshot pairs a < b,
+        # state(a) + inserts(a,b] − retractions(a,b] == state(b) —
+        # the strongest era-interaction property: windows that start
+        # or end mid-history, straddle rewrites, or cover only them
+        snaps_hist = [s["snapshot-id"]
+                      for s in sorted(t.metadata()["snapshots"],
+                                      key=lambda s: s["sequence-number"])]
+        states = {
+            sid: Counter((r.k, r.s)
+                         for r in t.read(snapshot_id=sid).collect())
+            for sid in snaps_hist}
+        pairs = [tuple(sorted(rng.sample(range(len(snaps_hist)), 2)))
+                 for _ in range(3)]
+        for i, j in set(pairs):
+            a, b = snaps_hist[i], snaps_hist[j]
+            wcl = t.changelog(a, b).collect()
+            wins = Counter((r.k, r.s) for r in wcl
+                           if r._change_type == "insert")
+            wdel = Counter((r.k, r.s) for r in wcl
+                           if r._change_type == "delete")
+            lhs = states[a] + wins
+            assert not (wdel - lhs), (trial, i, j, wdel - lhs)
+            assert lhs - wdel == states[b], (
+                trial, i, j, (lhs - wdel) - states[b],
+                states[b] - (lhs - wdel))
 
 
 def test_changelog_retractions_identity_partitioned(spark, tmp_path):
