@@ -356,6 +356,16 @@ class DagProcessingEngine:
         False when the store has no checkpoint for this dag."""
         if self.store is None:
             raise ValueError("no state store configured")
+        with self._lock:
+            existing = self._dags.get(spec.dag_id)
+            if existing is not None and not existing.terminal:
+                # same guard launch() gained in r9: silently replacing
+                # a LIVE dag would leave its in-flight futures keyed
+                # (dag_id, job) pointing at the recovered instance's
+                # fresh node states (r11 audit)
+                raise ValueError(
+                    f"dag {spec.dag_id!r} is still running; kill it "
+                    "or wait before recovering a checkpoint over it")
         doc = self.store.load(spec.dag_id)
         if doc is None:
             return False

@@ -863,6 +863,18 @@ def _open_input_file_any(path: str):
         return fsspec.open(path, "rb").open()
 
 
+def _drop_crc_sidecar(local_path: str) -> None:
+    """Remove Hadoop LocalFS's ``.<name>.crc`` sidecar before a
+    rewrite: a plain rewrite (the version hint flips every commit)
+    desyncs the checksum and later JVM reads throw ChecksumException.
+    Shared by the plain-local write, _write_bytes_any's loop://
+    branch, and the create-if-absent fast path."""
+    crc = os.path.join(os.path.dirname(local_path),
+                       f".{os.path.basename(local_path)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
 def _write_bytes_any(path: str, data: bytes) -> int:
     """Scheme-aware byte write (parent dirs created first — a no-op
     on object stores, a real mkdir on file/hdfs)."""
@@ -883,10 +895,7 @@ def _write_bytes_any(path: str, data: bytes) -> int:
             # like the plain-local branch, or later JVM reads throw
             # ChecksumException. Genuine remote stores have no
             # sidecars — this is loopback-fidelity only.
-            crc = os.path.join(os.path.dirname(rel),
-                               f".{os.path.basename(rel)}.crc")
-            if os.path.exists(crc):
-                os.remove(crc)
+            _drop_crc_sidecar(rel)
         with fs.open_output_stream(rel) as out:
             out.write(data)
         return len(data)
@@ -994,18 +1003,28 @@ def _write_bytes_if_absent_any(path: str, data: bytes) -> None:
                 # loopback == local FS: keep _write_bytes_any's .crc
                 # sidecar hygiene (a JVM may have written this path
                 # in a previous table generation)
-                crc = os.path.join(os.path.dirname(rel),
-                                   f".{os.path.basename(rel)}.crc")
-                if os.path.exists(crc):
-                    os.remove(crc)
+                _drop_crc_sidecar(rel)
             parent = rel.rsplit("/", 1)[0]
             if parent:
                 fs.create_dir(parent, recursive=True)
             with fs.open_output_stream(rel) as out:
                 out.write(data)
         except OSError:
-            # transient arrow failure: the slow path retries through
-            # _write_bytes_any's own fsspec fallback
+            # transient arrow failure: RE-PROBE before the fsspec
+            # retry — a racer may have created the destination while
+            # our write stalled, and a blind rewrite would silently
+            # erase its committed metadata (r11 review #3)
+            try:
+                _file_size_any(path)
+                exists = True
+            except FileNotFoundError:
+                exists = False
+            if exists:
+                raise RuntimeError(
+                    f"concurrent commit detected: {path} already "
+                    "exists (another committer advanced the table "
+                    "from the same base version) — re-read metadata "
+                    "and retry")
             _write_bytes_any(path, data)
         return
     try:
@@ -1200,10 +1219,7 @@ class IcebergTable:
             # rewrite (version-hint flips every commit) would desync
             # them and later JVM reads throw ChecksumException —
             # drop the sidecar so Hadoop skips verification
-            crc = os.path.join(os.path.dirname(lp),
-                               f".{os.path.basename(lp)}.crc")
-            if os.path.exists(crc):
-                os.remove(crc)
+            _drop_crc_sidecar(lp)
             with open(lp, "wb") as fh:
                 fh.write(data)
             return len(data)

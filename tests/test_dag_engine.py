@@ -201,6 +201,32 @@ def test_crash_recovery_from_state_store(tmp_path):
     eng2.shutdown()
 
 
+def test_register_recovered_refuses_live_dag(tmp_path):
+    """r11 audit: register_recovered over a LIVE dag would cross-wire
+    its in-flight futures onto the recovered instance's fresh node
+    states — the same silent-replace class launch() was guarded
+    against in r9. It must refuse; a terminal dag recovers fine."""
+    import threading
+
+    import pytest
+
+    store = E.FSDagStateStore(str(tmp_path))
+    gate = threading.Event()
+    jobs = [E.DagJob("a", lambda c: gate.wait(10))]
+    eng = E.DagProcessingEngine(store)
+    eng.launch(_spec("d10", jobs))
+    eng._drain_actions()  # a is now in flight
+    with pytest.raises(ValueError, match="still running"):
+        eng.register_recovered(_spec("d10", jobs))
+    gate.set()
+    eng.run_until_idle(30)
+    assert eng.dag_status("d10") == "COMPLETE"
+    # terminal: recovery over the checkpoint is allowed again
+    assert eng.register_recovered(_spec("d10", jobs))
+    eng.run_until_idle(30)
+    eng.shutdown()
+
+
 def test_unknown_dag_action_is_noop(tmp_path):
     import pytest
 

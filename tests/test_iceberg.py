@@ -2515,6 +2515,55 @@ def test_write_if_absent_rename_cas_on_hdfs_like(tmp_path, monkeypatch):
     assert open(str(tmp_path / "meta" / "v2.metadata.json"),
                 "rb").read() == b"first"
 
+    # r11 review #3: a transient write failure RE-PROBES before the
+    # fsspec retry — if a racer created the destination while our
+    # write stalled, a blind rewrite would erase its commit
+    class StallingFs:
+        type_name = "local"
+
+        def __init__(self, racer_data=None):
+            self._fs = pafs.LocalFileSystem()
+            self.racer_data = racer_data
+
+        def get_file_info(self, p):
+            return self._fs.get_file_info(p)
+
+        def create_dir(self, p, recursive=True):
+            self._fs.create_dir(p, recursive=recursive)
+
+        def open_output_stream(self, p):
+            if self.racer_data is not None:
+                with open(p, "wb") as fh:  # the racer lands first
+                    fh.write(self.racer_data)
+                raise OSError("socket timeout")
+            # transient: fail the first attempt only
+            if not getattr(self, "_failed", False):
+                self._failed = True
+                raise OSError("socket timeout")
+            return self._fs.open_output_stream(p)
+
+    stall = StallingFs(racer_data=b"racer")
+    monkeypatch.setattr(
+        ice, "_fs_from_uri",
+        lambda uri: ((stall, uri[len("stall://host"):])
+                     if uri.startswith("stall://host") else real(uri)))
+    t4 = "stall://host" + str(tmp_path / "meta" / "v4.metadata.json")
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        ice._write_bytes_if_absent_any(t4, b"mine")
+    assert open(str(tmp_path / "meta" / "v4.metadata.json"),
+                "rb").read() == b"racer"  # the racer's commit survived
+    # ... while a genuinely transient failure (no racer) still lands
+    # through the fallback
+    stall2 = StallingFs(racer_data=None)
+    monkeypatch.setattr(
+        ice, "_fs_from_uri",
+        lambda uri: ((stall2, uri[len("stall://host"):])
+                     if uri.startswith("stall://host") else real(uri)))
+    t5 = "stall://host" + str(tmp_path / "meta" / "v5.metadata.json")
+    ice._write_bytes_if_absent_any(t5, b"mine")
+    assert open(str(tmp_path / "meta" / "v5.metadata.json"),
+                "rb").read() == b"mine"
+
 
 def test_dsv2_iceberg_remote_scheme(spark, tmp_path, monkeypatch):
     """Verdict-r9 #2: the gobblin_iceberg DSv2 face is scheme-aware
