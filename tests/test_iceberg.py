@@ -3195,6 +3195,54 @@ def test_changelog_replace_snapshot_in_window(spark, tmp_path):
     assert got2 == [(9, "insert")]
 
 
+def test_changelog_replace_identity_partitioned(spark, tmp_path):
+    """Era planning × partition re-attach: a rewrite inside the window
+    of an IDENTITY-partitioned table — the pre-replace era's insert
+    scan and the pos-delete retraction scan must re-attach partition
+    values from the pre-replace files' hive paths (NULL and encoded
+    values included), while the rewrite itself emits nothing."""
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame(
+        [(1, "us"), (2, "de"), (3, None), (4, "not set+x y")],
+        "k long, country string")
+    loc = str(tmp_path / "clreplident")
+    t = IcebergTable.create(spark, loc, df.schema,
+                            partition_cols=["country"])
+    t.append_dataframe(df)
+    s1 = t.metadata()["current-snapshot-id"]
+    pos = (t.read(apply_deletes=False)
+           .select(F.col("_metadata.file_path").alias("file_path"),
+                   F.col("_metadata.row_index").alias("pos"), "k")
+           .filter(F.col("k").isin(2, 4)).drop("k"))
+    t.delete_positions(pos)
+    s2 = t.metadata()["current-snapshot-id"]
+    t.rewrite_data_files(target_partitions=1)
+    s3 = t.metadata()["current-snapshot-id"]
+    t.append_dataframe(spark.createDataFrame(
+        [(9, "fr")], "k long, country string"))
+    s4 = t.metadata()["current-snapshot-id"]
+    assert sorted(r.k for r in t.read().collect()) == [1, 3, 9]
+
+    rows = sorted(((r.k, r.country, r._change_type,
+                    r._commit_snapshot_id))
+                  for r in t.changelog(None).collect())
+    assert rows == sorted([
+        (1, "us", "insert", s1), (2, "de", "insert", s1),
+        (3, None, "insert", s1), (4, "not set+x y", "insert", s1),
+        (2, "de", "delete", s2), (4, "not set+x y", "delete", s2),
+        (9, "fr", "insert", s4)]), rows
+    assert s3 not in {r[3] for r in rows}
+    # pruned read over the post-rewrite layout still works
+    t.last_scan = None
+    got = sorted(r.k for r in t.read(
+        prune_filters=[("country", "=", "fr")]).collect()
+        if r.country == "fr")
+    assert got == [9]
+
+
 def test_changelog_overwrite_snapshot(spark, tmp_path):
     """r11: a genuine OVERWRITE snapshot (copy-on-write engines'
     row-level ops / INSERT OVERWRITE) in the changelog window emits
