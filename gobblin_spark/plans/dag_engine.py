@@ -379,6 +379,16 @@ class DagProcessingEngine:
                                        attempts=saved.get("attempts", 0),
                                        error=saved.get("error"))
         with self._lock:
+            # RE-validate under the lock: store.load() ran outside it,
+            # so a dag launched concurrently in that window would be
+            # silently replaced by the pre-load check alone — the
+            # exact check-then-act race the guard exists to close
+            # (advice r11)
+            existing = self._dags.get(spec.dag_id)
+            if existing is not None and not existing.terminal:
+                raise ValueError(
+                    f"dag {spec.dag_id!r} is still running; kill it "
+                    "or wait before recovering a checkpoint over it")
             self._dags[spec.dag_id] = _DagState(
                 spec=spec, launched_at=doc.get("launched_at", self.clock()),
                 nodes=nodes, message=doc.get("message", ""))

@@ -1009,22 +1009,37 @@ def _write_bytes_if_absent_any(path: str, data: bytes) -> None:
                 fs.create_dir(parent, recursive=True)
             with fs.open_output_stream(rel) as out:
                 out.write(data)
-        except OSError:
+        except OSError as ex:
             # transient arrow failure: RE-PROBE before the fsspec
             # retry — a racer may have created the destination while
             # our write stalled, and a blind rewrite would silently
             # erase its committed metadata (r11 review #3)
             try:
-                _file_size_any(path)
+                size = _file_size_any(path)
                 exists = True
             except FileNotFoundError:
                 exists = False
+            if exists and size < len(data):
+                # a SHORT destination is our own torn write (the
+                # arrow stream flushed some bytes, then failed) —
+                # rediagnosing it as "concurrent commit" would make
+                # every CAS retry collide with the corrupt file and
+                # block the table until manual cleanup (advice r11).
+                # A racer's COMPLETE file of a different size is the
+                # remote alternative, but the pre-write NotFound
+                # probe bounds that window to our own failed write.
+                try:
+                    _delete_any(path)
+                    exists = False
+                except OSError:
+                    pass  # can't clean up — fall through to the
+                    # collision raise, chaining the real fault
             if exists:
                 raise RuntimeError(
                     f"concurrent commit detected: {path} already "
                     "exists (another committer advanced the table "
                     "from the same base version) — re-read metadata "
-                    "and retry")
+                    "and retry (original write fault attached)") from ex
             _write_bytes_any(path, data)
         return
     try:
@@ -2298,8 +2313,20 @@ class IcebergTable:
             def _tuple_cond(ids, alias):
                 cond = F.lit(True)
                 for i in ids:
-                    p_c = p_name_by_id.get(i, id_to_name[i])
-                    cond = cond & F.col(f"_prev.{p_c}").eqNullSafe(
+                    p_c = p_name_by_id.get(i)
+                    if p_c is not None and p_c in prev_cols:
+                        left = F.col(f"_prev.{p_c}")
+                    else:
+                        # field-id absent from the BASE snapshot's
+                        # schema (added by a mid-run metadata-only
+                        # change): the column held no data at base, so
+                        # the join side is a typed null — referencing
+                        # _prev.<current-name> would AnalysisException
+                        # (advice r11; null-fill on the SELECT list
+                        # doesn't reach the join condition)
+                        left = F.lit(None).cast(
+                            st[id_to_name[i]].dataType)
+                    cond = cond & left.eqNullSafe(
                         F.col(f"{alias}.{id_to_name[i]}"))
                 return cond
 

@@ -227,6 +227,45 @@ def test_register_recovered_refuses_live_dag(tmp_path):
     eng.shutdown()
 
 
+def test_register_recovered_load_race_guard(tmp_path):
+    """advice r11: the live-dag guard is re-validated UNDER the lock
+    AFTER store.load() — a dag launched concurrently during the load
+    (between the pre-load check and the state overwrite) must refuse
+    the recovery, not be silently replaced (the exact check-then-act
+    window the r11 guard was added to close)."""
+    import threading
+
+    import pytest
+
+    store = E.FSDagStateStore(str(tmp_path))
+    jobs = [E.DagJob("a", lambda c: None)]
+    eng = E.DagProcessingEngine(store)
+    # seed a terminal checkpoint so register_recovered reaches load()
+    eng.launch(_spec("d11", jobs))
+    eng.run_until_idle(30)
+    assert eng.dag_status("d11") == "COMPLETE"
+
+    gate = threading.Event()
+    live_jobs = [E.DagJob("a", lambda c: gate.wait(10))]
+    real_load = store.load
+
+    def racing_load(dag_id):
+        doc = real_load(dag_id)
+        # the racer lands in the pre-check → overwrite window
+        eng.launch(_spec("d11", live_jobs))
+        eng._drain_actions()  # the racer's job is now in flight
+        return doc
+
+    store.load = racing_load
+    with pytest.raises(ValueError, match="still running"):
+        eng.register_recovered(_spec("d11", jobs))
+    store.load = real_load
+    gate.set()
+    eng.run_until_idle(30)
+    assert eng.dag_status("d11") == "COMPLETE"
+    eng.shutdown()
+
+
 def test_unknown_dag_action_is_noop(tmp_path):
     import pytest
 

@@ -2564,6 +2564,49 @@ def test_write_if_absent_rename_cas_on_hdfs_like(tmp_path, monkeypatch):
     assert open(str(tmp_path / "meta" / "v5.metadata.json"),
                 "rb").read() == b"mine"
 
+    # advice r11: our OWN torn write (partial bytes flushed before the
+    # OSError) must NOT be rediagnosed as "concurrent commit" — the
+    # corrupt short file would make every CAS retry collide and block
+    # the table until manual cleanup. The re-probe deletes a
+    # destination SHORTER than the payload (ours by construction —
+    # the pre-write NotFound probe bounds the racer window) and lands
+    # the full payload through the fallback.
+    class TornFs(StallingFs):
+        def open_output_stream(self, p):
+            if not getattr(self, "_failed", False):
+                self._failed = True
+                with open(p, "wb") as fh:
+                    fh.write(b"mi")  # partial prefix
+                raise OSError("socket timeout mid-write")
+            return self._fs.open_output_stream(p)
+
+        def delete_file(self, p):
+            self._fs.delete_file(p)
+
+    torn = TornFs()
+    monkeypatch.setattr(
+        ice, "_fs_from_uri",
+        lambda uri: ((torn, uri[len("torn://host"):])
+                     if uri.startswith("torn://host") else real(uri)))
+    t6 = "torn://host" + str(tmp_path / "meta" / "v6.metadata.json")
+    ice._write_bytes_if_absent_any(t6, b"mine-full-payload")
+    assert open(str(tmp_path / "meta" / "v6.metadata.json"),
+                "rb").read() == b"mine-full-payload"
+    # ... while a COMPLETE same-or-longer destination (a real racer)
+    # still raises, with the original infra fault chained so it isn't
+    # masked as a pure committer race
+    stall3 = StallingFs(racer_data=b"racer-full")
+    monkeypatch.setattr(
+        ice, "_fs_from_uri",
+        lambda uri: ((stall3, uri[len("stall://host"):])
+                     if uri.startswith("stall://host") else real(uri)))
+    t7 = "stall://host" + str(tmp_path / "meta" / "v7.metadata.json")
+    with pytest.raises(RuntimeError, match="concurrent commit") as ei:
+        ice._write_bytes_if_absent_any(t7, b"mine")
+    assert isinstance(ei.value.__cause__, OSError)
+    assert open(str(tmp_path / "meta" / "v7.metadata.json"),
+                "rb").read() == b"racer-full"
+
 
 def test_dsv2_iceberg_remote_scheme(spark, tmp_path, monkeypatch):
     """Verdict-r9 #2: the gobblin_iceberg DSv2 face is scheme-aware
@@ -3501,6 +3544,43 @@ def test_changelog_eq_retractions_across_schema_evolution(spark,
     assert sorted((r.k, r.label) for r in t.read().collect()) == [(1, "a")]
 
 
+def test_changelog_eq_retraction_on_column_added_after_base(spark,
+                                                            tmp_path):
+    """advice r11: an equality delete whose TUPLE column was added
+    (metadata-only) after the run's BASE snapshot joins against a
+    typed null on the base side — the reconstructed base frame has no
+    such column, so the old fallback referenced _prev.<current-name>
+    and raised AnalysisException. Base rows hold null in the added
+    column: a null tuple component matches them (eqNullSafe), a
+    non-null component matches none."""
+    from pyspark.sql import types as T
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    loc = str(tmp_path / "cleqaddedcol")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df)
+    s_app = t.metadata()["current-snapshot-id"]
+    # metadata-only: no data commit between the append and the delete,
+    # so the delete's base snapshot carries the PRE-add schema
+    t.add_column("tag", T.StringType())
+    t.delete_equality(spark.createDataFrame(
+        [(2, None), (1, "x")], "k long, tag string"))
+    s_del = t.metadata()["current-snapshot-id"]
+
+    # read-path agreement: (2,*) matched its null tag, (1,*) did not
+    assert sorted((r.k, r.s, r.tag) for r in t.read().collect()) == [
+        (1, "a", None)]
+    cl = t.changelog(None).collect()
+    assert sorted(
+        (r.k, r.s, r.tag, r._change_type, r._commit_snapshot_id)
+        for r in cl) == [
+        (1, "a", None, "insert", s_app),
+        (2, "b", None, "delete", s_del),
+        (2, "b", None, "insert", s_app)]
+
+
 def test_changelog_eq_retraction_rename_after_delete(spark, tmp_path):
     """r11 ADVICE probe (refuted, pinned): renaming an equality-id
     column AFTER the delete commit does NOT misresolve the delete
@@ -3526,6 +3606,56 @@ def test_changelog_eq_retraction_rename_after_delete(spark, tmp_path):
     rows = sorted((r.kk, r._change_type) for r in cl.collect())
     assert rows == [(1, "insert"), (2, "delete"), (2, "insert"),
                     (3, "insert"), (9, "insert")]
+
+
+def test_release_changelog_cache_multi_table(spark, tmp_path):
+    """verdict-r11 #7: the changelog eq-run cache is PER-TABLE state —
+    building changelogs on two tables in one session must not leak or
+    release frames across tables; the next changelog() on the SAME
+    table (or an explicit release) frees exactly that table's frames,
+    and release is idempotent."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    def mk(name):
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "k long, s string")
+        t = IcebergTable.create(spark, str(tmp_path / name), df.schema)
+        t.append_dataframe(df)
+        # two consecutive eq-delete commits => one shared run with
+        # n_sub > 1 => the base frame is persisted
+        t.delete_equality(spark.createDataFrame([(1,)], "k long"))
+        t.delete_equality(spark.createDataFrame([(2,)], "k long"))
+        return t
+
+    ta, tb = mk("cl_ta"), mk("cl_tb")
+    cla = ta.changelog(None)
+    assert len(ta._changelog_cached) == 1
+    cla.count()  # materialize while the run base is cached
+    clb = tb.changelog(None)
+    assert len(tb._changelog_cached) == 1
+    # building B's changelog neither released nor adopted A's frame
+    assert len(ta._changelog_cached) == 1
+    assert ta._changelog_cached[0] is not tb._changelog_cached[0]
+    clb.count()
+
+    base_a, base_b = ta._changelog_cached[0], tb._changelog_cached[0]
+    assert base_a.storageLevel.useMemory  # actually persisted
+    assert base_b.storageLevel.useMemory
+    # the NEXT changelog() on A releases A's previous frame and caches
+    # a fresh one (the release-at-next-call contract); B's frame must
+    # survive A's internal release untouched
+    ta.changelog(None).count()
+    assert len(ta._changelog_cached) == 1
+    assert tb._changelog_cached[0].storageLevel.useMemory
+    # explicit release on both; idempotent; nothing left persisted
+    # (storageLevel lookup is PLAN-based, so only after every
+    # same-plan frame is released can absence be asserted)
+    assert ta.release_changelog_cache() == 1
+    assert tb.release_changelog_cache() == 1
+    assert tb.release_changelog_cache() == 0
+    assert ta._changelog_cached == [] and tb._changelog_cached == []
+    assert not base_a.storageLevel.useMemory
+    assert not base_b.storageLevel.useMemory
 
 
 def test_cherry_pick_recovers_orphaned_append(spark, tmp_path):
