@@ -1973,12 +1973,18 @@ class IcebergTable:
         the pre-replace manifests (one extra metadata walk per
         in-window replace — zero when there are none). OVERWRITE
         snapshots (copy-on-write engines' row-level DELETE/UPDATE/
-        MERGE, INSERT OVERWRITE) emit retractions for every row of
-        their REMOVED file set and inserts for their added files —
-        supported on delete-free histories (COW engines produce
-        exactly those); mixing overwrites with merge-on-read delete
-        files still raises. Delete commits OUTSIDE the window are
-        ignored: they changed state the window does not cover."""
+        MERGE, INSERT OVERWRITE) emit retractions for every
+        PARENT-LIVE row of their REMOVED file set (the parent's
+        eq/pos-delete residue is applied to the restricted scan, so a
+        row an earlier delete killed never re-retracts) and inserts
+        for their added files; MoR-style overwrites (RowDelta: added
+        delete files, nothing removed) route their delete files
+        through the ordinary retraction machinery anchored at the
+        parent. The one unsupported shape — a single commit that BOTH
+        removes data files AND adds delete files (hybrid COW+MoR, no
+        known engine emits it) — raises naming itself. Delete commits
+        OUTSIDE the window are ignored: they changed state the window
+        does not cover."""
         from pyspark.sql import functions as F
 
         # unpersist the PREVIOUS changelog call's cached eq-run base
@@ -2049,7 +2055,15 @@ class IcebergTable:
         pos_dels = []   # [(entry, era_idx)] pos-delete files in window
         eq_dels = []    # content=2 equality-delete files in the window
         era_data = []   # per era: every live data file at its walk
-        ow_removed = []  # [(removed entries, overwrite snapshot id)]
+        # [(removed data entries, overwrite snapshot id,
+        #   parent-live pos-delete entries, parent-live eq-delete
+        #   entries)] — the residue is APPLIED to the removed scan so
+        #   rows an earlier delete already killed are not re-retracted
+        ow_removed = []
+        # pos-delete files ADDED BY an overwrite (MoR RowDelta commits
+        # report operation=overwrite): their references resolve
+        # against the PARENT's live data set, not an era walk
+        ow_pos_dels = []
         for o in win_overwrites:
             o_id = o["snapshot-id"]
             o_seq = o["sequence-number"]
@@ -2061,24 +2075,44 @@ class IcebergTable:
                     "reconstructable")
             ents_p = _ents(parent)
             ents_o = _ents(o_id)
-            if any(e["content"] != 0 for e in ents_p + ents_o):
-                # COW engines produce overwrites on delete-free
-                # tables; mixing overwrite diffs with merge-on-read
-                # delete files would need per-file delete replay
+            o_added = [e for e in ents_o
+                       if e["sequence_number"] == o_seq]
+            o_add_dels = [e for e in o_added if e["content"] != 0]
+            o_data_paths = {e["info"].path for e in ents_o
+                            if e["content"] == 0}
+            removed = [e for e in ents_p if e["content"] == 0
+                       and e["info"].path not in o_data_paths]
+            if removed and o_add_dels:
+                # a commit that BOTH removes data files and adds
+                # delete files: the added deletes' matches can overlap
+                # the removed rows, so the two retraction paths would
+                # double-count — no known engine emits this hybrid
+                # (COW rewrites files; MoR RowDelta only adds)
                 raise NotImplementedError(
-                    "changelog: overwrite snapshot over a delete-"
-                    "carrying history")
-            o_paths = {e["info"].path for e in ents_o}
-            # retractions: every row of the files the overwrite
-            # REMOVED (live at parent, gone at the overwrite)
+                    "changelog: overwrite snapshot removes data files "
+                    f"({len(removed)}) AND adds delete files "
+                    f"({len(o_add_dels)}) in one commit — hybrid "
+                    "COW+MoR overwrites are not replayable")
+            # retractions: every PARENT-LIVE row of the files the
+            # overwrite REMOVED; the parent's delete residue is
+            # carried along and applied in the emission below
             ow_removed.append(
-                ([e for e in ents_p if e["info"].path not in o_paths],
-                 o_id))
+                (removed, o_id,
+                 [e for e in ents_p if e["content"] == 1],
+                 [e for e in ents_p if e["content"] == 2]))
+            # a MoR-style overwrite's ADDED delete files are ordinary
+            # in-window retractions — routed through the same pos/eq
+            # machinery, anchored at the PARENT (their seq sits ON the
+            # era boundary, so the era walks exclude them and this is
+            # the only collection point; applying to strictly-earlier
+            # data, they never touch the commit's own added files)
+            eq_dels.extend(e for e in o_add_dels if e["content"] == 2)
+            ow_pos_dels.extend(
+                (e, parent) for e in o_add_dels if e["content"] == 1)
             # inserts: the files it ADDED ride the normal insert scan
             # (seq == the overwrite's own, so the era bounds exclude
             # them and this is the only collection point)
-            window.extend(e for e in ents_o
-                          if e["sequence_number"] == o_seq)
+            window.extend(e for e in o_added if e["content"] == 0)
         for era_lo, walk_id, era_hi in eras:
             all_data = []
             idx = len(era_data)
@@ -2096,9 +2130,19 @@ class IcebergTable:
                 if in_win:
                     window.append(e)
             era_data.append(all_data)
+        # overwrite-added pos-deletes resolve against their PARENT's
+        # live data set — registered as extra reference eras (one per
+        # distinct parent)
+        _ow_parent_idx: dict[int, int] = {}
+        for e, parent_id in ow_pos_dels:
+            if parent_id not in _ow_parent_idx:
+                _ow_parent_idx[parent_id] = len(era_data)
+                era_data.append([x for x in _ents(parent_id)
+                                 if x["content"] == 0])
+            pos_dels.append((e, _ow_parent_idx[parent_id]))
         st = self._schema_for(to_id, md)
         if (not window and not pos_dels and not eq_dels
-                and not any(r for r, _ in ow_removed)):
+                and not any(r for r, *_ in ow_removed)):
             return self.spark.createDataFrame(
                 [], self._schema_for(to_id, md)
                 .add("_change_type", T.StringType())
@@ -2369,15 +2413,87 @@ class IcebergTable:
                     dels = (hit if dels is None
                             else dels.unionByName(hit))
 
-        # OVERWRITE retractions: every row of the files the commit
-        # removed — one multi-path scan per partition spec, same plan
-        # as the insert side (the removed set is delta-sized; the
-        # delete-free guard above means no merge-on-read applies)
-        for removed, o_id in ow_removed:
+        # OVERWRITE retractions: every PARENT-LIVE row of the files
+        # the commit removed — one multi-path scan per partition spec,
+        # same plan as the insert side (the removed set is
+        # delta-sized). Parent-live means the parent's delete residue
+        # is APPLIED to the restricted scan (the same anti-join shapes
+        # read() uses): a row an earlier eq/pos-delete already killed
+        # was retracted by THAT commit and must not re-retract here.
+        for removed, o_id, p_dels_pos, p_dels_eq in ow_removed:
             if not removed:
                 continue
-            hit = (_scan_grouped(removed, with_pos=False)
-                   .select(*[f.name for f in st.fields])
+            min_seq = min(e["sequence_number"] for e in removed)
+            rem_paths = ({e["info"].path for e in removed}
+                         | {self._path_uri_form(e["info"].path)
+                            for e in removed})
+            # applicability is decided from the manifests first:
+            # eq-deletes apply to STRICTLY-earlier data files;
+            # pos-deletes only to files they actually reference
+            # (a driver-local column read of each small delete file)
+            eq_app = [e for e in p_dels_eq
+                      if e["sequence_number"] > min_seq]
+            pos_app = []
+            for d in p_dels_pos:
+                import pyarrow.parquet as _pq
+                refs = set(_pq.read_table(
+                    _open_input_file_any(d["info"].path),
+                    columns=["file_path"])["file_path"].to_pylist())
+                if refs & rem_paths:
+                    pos_app.append(d)
+            out = _scan_grouped(removed, with_pos=bool(pos_app))
+            if eq_app or pos_app:
+                # per-file commit sequence rides a broadcast lookup
+                # so the residue's sequence guards stay exact
+                seq_lk = self.spark.createDataFrame(
+                    [(self._path_uri_form(e["info"].path),
+                      e["sequence_number"]) for e in removed],
+                    "_sq_path string, _data_seq long")
+                out = out.join(
+                    F.broadcast(seq_lk),
+                    out["_cl_fp"] == seq_lk["_sq_path"], "left")
+            if eq_app:
+                by_ids: dict[tuple, list[dict]] = {}
+                for e in eq_app:
+                    by_ids.setdefault(
+                        tuple(e["equality_ids"] or ()), []).append(e)
+                for ids, dfiles in sorted(by_ids.items()):
+                    cols = [id_to_name[i] for i in ids]
+                    dschema = T.StructType([
+                        f for c in cols for f in st.fields
+                        if f.name == c])
+                    dd = None
+                    for e in dfiles:
+                        one = (self.spark.read.schema(dschema)
+                               .parquet(e["info"].path)
+                               .withColumn(
+                                   "_del_seq",
+                                   F.lit(e["sequence_number"])))
+                        dd = one if dd is None else dd.unionByName(one)
+                    dd = dd.alias("_owd")
+                    out = out.alias("_owr")
+                    cond = (F.col("_owd._del_seq")
+                            > F.col("_owr._data_seq"))
+                    for c in cols:
+                        cond = cond & F.col(f"_owr.{c}").eqNullSafe(
+                            F.col(f"_owd.{c}"))
+                    out = out.join(F.broadcast(dd), cond, "left_anti")
+            if pos_app:
+                pd_ = None
+                for e in pos_app:
+                    one = (self.spark.read.parquet(e["info"].path)
+                           .select("file_path", "pos")
+                           .withColumn("_del_seq",
+                                       F.lit(e["sequence_number"])))
+                    pd_ = one if pd_ is None else pd_.unionByName(one)
+                pd_ = pd_.alias("_owp")
+                out = out.alias("_owr")
+                cond = (
+                    (F.col("_owp._del_seq") >= F.col("_owr._data_seq"))
+                    & (F.col("_owr._cl_fp") == F.col("_owp.file_path"))
+                    & (F.col("_owr._cl_pos") == F.col("_owp.pos")))
+                out = out.join(F.broadcast(pd_), cond, "left_anti")
+            hit = (out.select(*[f.name for f in st.fields])
                    .withColumn("_change_type", F.lit("delete"))
                    .withColumn("_commit_snapshot_id",
                                F.lit(o_id).cast("long")))

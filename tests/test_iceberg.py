@@ -3370,6 +3370,123 @@ def test_changelog_overwrite_snapshot(spark, tmp_path):
     assert got == [(20, "delete"), (30, "insert")], got
 
 
+def test_changelog_overwrite_over_delete_history(spark, tmp_path):
+    """r12 (verdict-r11 missing #2): an overwrite over a
+    delete-carrying history replays — its retractions are the
+    PARENT-LIVE rows of the removed files, with the parent's eq/pos
+    delete residue applied to the restricted scan. Rows an earlier
+    delete already killed retract at THAT commit only; re-retracting
+    them at the overwrite would drive net multiplicities negative
+    (this exact shape raised NotImplementedError before r12)."""
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "clowdel")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, s string")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df.coalesce(1))
+    s1 = t.metadata()["current-snapshot-id"]
+    t.delete_equality(spark.createDataFrame([(2,)], "k long"))
+    s_eq = t.metadata()["current-snapshot-id"]
+    pos = (t.read(apply_deletes=False)
+           .select(F.col("_metadata.file_path").alias("file_path"),
+                   F.col("_metadata.row_index").alias("pos"), "k")
+           .filter(F.col("k") == 3).drop("k"))
+    t.delete_positions(pos)
+    s_pos = t.metadata()["current-snapshot-id"]
+    assert sorted(r.k for r in t.read().collect()) == [1, 4]
+
+    # INSERT OVERWRITE over the MoR residue: parent-live rows are
+    # exactly {1, 4} — 2 and 3 were already retracted by their deletes
+    sub = str(tmp_path / "owdel_new")
+    spark.createDataFrame([(10, "x")], "k long, s string").coalesce(1) \
+        .write.mode("overwrite").parquet(sub)
+    s_ow = t._commit_files(t._list_committed_files(sub), content=0,
+                           equality_ids=None, operation="overwrite",
+                           carry_prior=False)
+    assert sorted(r.k for r in t.read().collect()) == [10]
+
+    rows = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                  for r in t.changelog(None).collect())
+    assert rows == [
+        (1, "delete", s_ow), (1, "insert", s1),
+        (2, "delete", s_eq), (2, "insert", s1),
+        (3, "delete", s_pos), (3, "insert", s1),
+        (4, "delete", s_ow), (4, "insert", s1),
+        (10, "insert", s_ow)], rows
+    # window covering only the overwrite: just its own diff
+    assert sorted((r.k, r._change_type)
+                  for r in t.changelog(s_pos, s_ow).collect()) == \
+        [(1, "delete"), (4, "delete"), (10, "insert")]
+
+
+def test_changelog_mor_overwrite_adds_delete_files(spark, tmp_path):
+    """r12: a MoR-style overwrite (RowDelta — commits delete files,
+    removes nothing, operation='overwrite') replays its added eq/pos
+    delete files as ordinary retractions anchored at the parent and
+    stamped with the overwrite snapshot; the hybrid shape (removes
+    data files AND adds delete files in one commit) raises naming
+    itself."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from gobblin_spark.sinks import iceberg as ice
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "clmorow")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df.coalesce(1))
+    s1 = t.metadata()["current-snapshot-id"]
+
+    # eq-delete file committed under operation='overwrite' (the
+    # snapshot shape Iceberg's RowDelta produces for MoR MERGE)
+    md = t.metadata()
+    cur = next(s for s in md["schemas"]
+               if s["schema-id"] == md["current-schema-id"])
+    by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    cur_struct = ice._spark_struct(cur)
+    keys = ice._conform_with_ids(
+        spark.createDataFrame([(2,)], "k long"),
+        T.StructType([f for f in cur_struct.fields if f.name == "k"]))
+    sub = f"{loc}/data/mor-eq"
+    keys.write.mode("overwrite").parquet(sub)
+    s_eq = t._commit_files(t._list_delete_parquet(sub), content=2,
+                           equality_ids=[by_name["k"]],
+                           operation="overwrite")
+    # pos-delete file committed under operation='overwrite'
+    pos = (t.read(apply_deletes=False)
+           .select(F.col("_metadata.file_path").alias("file_path"),
+                   F.col("_metadata.row_index").alias("pos"), "k")
+           .filter(F.col("k") == 3).drop("k"))
+    sub2 = f"{loc}/data/mor-pos"
+    pos.write.mode("overwrite").parquet(sub2)
+    s_pos = t._commit_files(t._list_delete_parquet(sub2), content=1,
+                            equality_ids=None, operation="overwrite")
+    assert sorted(r.k for r in t.read().collect()) == [1]
+
+    rows = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                  for r in t.changelog(None).collect())
+    assert rows == [
+        (1, "insert", s1),
+        (2, "delete", s_eq), (2, "insert", s1),
+        (3, "delete", s_pos), (3, "insert", s1)], rows
+
+    # hybrid COW+MoR: one commit removing data files AND adding a
+    # delete file — the documented raise names the shape
+    sub3 = f"{loc}/data/hybrid-eq"
+    keys.write.mode("overwrite").parquet(sub3)
+    t._commit_files(t._list_delete_parquet(sub3), content=2,
+                    equality_ids=[by_name["k"]],
+                    operation="overwrite", carry_prior=False)
+    with pytest.raises(NotImplementedError, match="hybrid"):
+        t.changelog(None).collect()
+
+
 def test_changelog_net_effect_random_history(spark, tmp_path):
     """Property: for ANY mix of append / position-delete /
     equality-delete / rewrite (replace) commits, the changelog's net
@@ -3400,7 +3517,8 @@ def test_changelog_net_effect_random_history(spark, tmp_path):
         for step in range(7):
             op = ("append" if step == 0 or not live
                   else rng.choice(
-                      ["append", "pos_del", "eq_del", "rewrite"]))
+                      ["append", "pos_del", "eq_del", "rewrite",
+                       "overwrite"]))
             if rng.random() < 0.3:
                 # metadata-only schema churn BETWEEN commits: rename
                 # s away and back (two schema versions, same final
@@ -3410,6 +3528,30 @@ def test_changelog_net_effect_random_history(spark, tmp_path):
                 t.rename_column("s_tmp", "s")
             if op == "rewrite":
                 t.rewrite_data_files(target_partitions=1)
+            elif op == "overwrite":
+                # INSERT OVERWRITE over whatever residue the history
+                # accumulated (r12: parent-live retraction — deletes
+                # already applied must not re-retract at the overwrite)
+                from gobblin_spark.sinks import iceberg as ice
+                ks = [next_k + i for i in range(rng.randint(1, 2))]
+                next_k += len(ks)
+                sub = str(tmp_path / f"net{trial}_ow{step}")
+                md0 = t.metadata()
+                cur0 = next(s for s in md0["schemas"]
+                            if s["schema-id"] == md0["current-schema-id"])
+                # genuine engines embed parquet field-ids; the rename
+                # churn above forces id-resolution on later reads
+                ice._conform_with_ids(
+                    spark.createDataFrame(
+                        [(k, f"v{k}") for k in ks],
+                        "k long, s string"),
+                    ice._spark_struct(cur0)).coalesce(1) \
+                    .write.mode("overwrite").parquet(sub)
+                t._commit_files(
+                    t._list_committed_files(sub), content=0,
+                    equality_ids=None, operation="overwrite",
+                    carry_prior=False)
+                live = set(ks)
             elif op == "append":
                 ks = [next_k + i for i in range(rng.randint(1, 3))]
                 next_k += len(ks)
