@@ -1639,6 +1639,20 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
         self.schema_ = schema
         self.from_start = (options.get("starting", "earliest")
                            == "earliest")
+        # overwrite contract (r12, verdict-r11 #3): an append-only
+        # stream CANNOT retract, so an overwrite in the window FAILS
+        # by default — silent insert-only consumption would feed
+        # downstream state rows the table no longer holds. Users who
+        # accept that (idempotent sinks, dedup downstream) opt in
+        # with .option("overwrites", "insert-only"): the overwrite
+        # splits eras like a replace and its ADDED files emit as
+        # inserts; its removed rows are NEVER retracted (documented).
+        ow = options.get("overwrites", "fail")
+        if ow not in ("fail", "insert-only"):
+            raise ValueError(
+                f"overwrites option must be 'fail' or 'insert-only', "
+                f"got {ow!r}")
+        self.overwrites_insert_only = ow == "insert-only"
 
     @staticmethod
     def _main_seq(md: dict) -> int:
@@ -1682,16 +1696,26 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
         # replace in the window. Genuinely row-changing operations
         # (overwrite) still raise.
         win_replaces = []
+        win_overwrites = []
         for s in main:
             op = s.get("summary", {}).get("operation")
             if not (lo < s.get("sequence-number", 0) <= hi):
                 continue
             if op == "replace":
                 win_replaces.append(s)
+            elif op == "overwrite" and self.overwrites_insert_only:
+                # opted-in contract (see __init__): era-split like a
+                # replace, added files emitted as inserts, removed
+                # rows NEVER retracted — an append-only stream can't
+                win_overwrites.append(s)
             elif op not in ("append", None):
                 raise NotImplementedError(
                     f"non-append snapshot (operation={op!r}) in the "
-                    "stream window")
+                    "stream window"
+                    + (" — an append-only stream cannot retract an "
+                       "overwrite's removed rows; opt into insert-"
+                       "only consumption with .option('overwrites', "
+                       "'insert-only')" if op == "overwrite" else ""))
         by_id_snap = {s["snapshot-id"]: s
                       for s in md.get("snapshots", [])}
         eligible = [s for s in main
@@ -1702,8 +1726,15 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
         # SHARED era splitter (sinks.iceberg._split_eras — the same
         # boundary semantics changelog() uses, so the two incremental
         # readers can never disagree on a history)
-        eras = I._split_eras(win_replaces, lo, hi, by_id_snap, main,
-                             final_walk, "stream window")
+        eras = I._split_eras(win_replaces + win_overwrites, lo, hi,
+                             by_id_snap, main, final_walk,
+                             "stream window")
+        # an opted-in overwrite's ADDED files sit exactly ON an era
+        # boundary (seq == its own) — emit them through a pseudo-era
+        # covering just that commit, walked at the overwrite snapshot
+        for o in win_overwrites:
+            o_seq = o["sequence-number"]
+            eras.append((o_seq - 1, o["snapshot-id"], o_seq))
         # identity-partition lookup across ALL specs: partitionBy
         # drops the source column from the data files, so streamed
         # rows must re-attach values from the hive path like the

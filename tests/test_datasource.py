@@ -719,6 +719,64 @@ def test_iceberg_stream_replace_in_window(spark, tmp_path):
         {"seq": 2}, {"seq": 3})] == [99]
 
 
+def test_iceberg_stream_overwrite_contract(spark, tmp_path):
+    """r12 (verdict-r11 #3): the streaming-overwrite contract is
+    EXPLICIT. Default: an overwrite in the window raises, naming the
+    opt-in — an append-only stream cannot retract the removed rows,
+    so silently consuming it would corrupt downstream state. With
+    .option('overwrites', 'insert-only'): the overwrite splits eras
+    like a replace, its ADDED files emit as inserts exactly once, and
+    its removed rows are never retracted (the documented caveat).
+    Unknown option values fail at construction."""
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.sources import datasource as DS
+
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(6)],
+                               "k long, s string")
+    loc = str(tmp_path / "icestrow")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df.coalesce(1))                       # seq 1
+    sub = str(tmp_path / "ow_new")
+    spark.createDataFrame([(100, "x"), (101, "y")],
+                          "k long, s string").coalesce(1) \
+        .write.mode("overwrite").parquet(sub)
+    t._commit_files(t._list_committed_files(sub), content=0,
+                    equality_ids=None, operation="overwrite",
+                    carry_prior=False)                       # seq 2
+    t.append_dataframe(spark.createDataFrame(
+        [(200, "z")], "k long, s string"))                   # seq 3
+
+    # default: FAIL, naming the opt-in
+    sr = DS._IcebergStreamReader({"path": loc}, df.schema)
+    with _pytest.raises(NotImplementedError, match="insert-only"):
+        list(sr.readBetweenOffsets({"seq": 0}, {"seq": 3}))
+    # windows not covering the overwrite still stream fine
+    assert sorted(r[0] for r in sr.readBetweenOffsets(
+        {"seq": 0}, {"seq": 1})) == list(range(6))
+    assert [r[0] for r in sr.readBetweenOffsets(
+        {"seq": 2}, {"seq": 3})] == [200]
+
+    # opt-in: added files emit as inserts exactly once; pre-overwrite
+    # appends still replay from their own era; removed rows are NOT
+    # retracted (there is no retraction channel — documented)
+    so = DS._IcebergStreamReader(
+        {"path": loc, "overwrites": "insert-only"}, df.schema)
+    assert sorted(r[0] for r in so.readBetweenOffsets(
+        {"seq": 0}, {"seq": 3})) == list(range(6)) + [100, 101, 200]
+    # a window covering ONLY the overwrite: just its added files
+    assert sorted(r[0] for r in so.readBetweenOffsets(
+        {"seq": 1}, {"seq": 2})) == [100, 101]
+    # replay is idempotent across the overwrite boundary
+    assert sorted(r[0] for r in so.readBetweenOffsets(
+        {"seq": 1}, {"seq": 2})) == [100, 101]
+
+    with _pytest.raises(ValueError, match="insert-only"):
+        DS._IcebergStreamReader(
+            {"path": loc, "overwrites": "emit"}, df.schema)
+
+
 def test_iceberg_stream_replace_expired_parent_seq_gap(spark, tmp_path):
     """r11 review: a replace whose parent is EXPIRED is fatal only
     when the lost era actually contains window commits ON THE CHAIN —
