@@ -399,6 +399,7 @@ class OutputStreamReporter:
         self.context = context
         self.stream = stream or sys.stderr
         self._timer: threading.Timer | None = None
+        self._stopped = False
 
     def report(self) -> str:
         buf = io.StringIO()
@@ -418,15 +419,28 @@ class OutputStreamReporter:
             self._fmt(c, buf, depth + 1)
 
     def start(self, interval_sec: float) -> None:
-        def tick() -> None:
-            self.report()
-            self.start(interval_sec)
+        self._stopped = False
 
+        def tick() -> None:
+            # re-check AFTER the report too: stop() during a report
+            # used to lose the race — tick re-armed a fresh timer
+            # stop() had never seen and the daemon reported forever
+            # (audit r12)
+            if self._stopped:
+                return
+            self.report()
+            if not self._stopped:
+                self._arm(interval_sec, tick)
+
+        self._arm(interval_sec, tick)
+
+    def _arm(self, interval_sec: float, tick) -> None:
         self._timer = threading.Timer(interval_sec, tick)
         self._timer.daemon = True
         self._timer.start()
 
     def stop(self) -> None:
+        self._stopped = True
         if self._timer:
             self._timer.cancel()
             self._timer = None

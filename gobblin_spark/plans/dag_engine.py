@@ -592,6 +592,17 @@ class DagProcessingEngine:
 
     def clean_up(self, dag_id: str) -> None:
         with self._lock:
+            dag = self._dags.get(dag_id)
+            if dag is not None and not dag.terminal:
+                # removing a LIVE dag leaves its in-flight futures
+                # keyed (dag_id, job) with no dag state — the next
+                # _reap_finished pass KeyErrors and aborts the engine
+                # loop mid-drain (audit r12; same fail-at-call-site
+                # stance as kill()'s unknown-id check). Unknown ids
+                # stay a no-op: clean_up is the idempotent last step.
+                raise ValueError(
+                    f"dag {dag_id!r} is still running; kill it or "
+                    "wait for it to finish before cleaning up")
             self._dags.pop(dag_id, None)
             self._flow_of.pop(dag_id, None)
         if self.store is not None:
@@ -608,6 +619,12 @@ def from_flow_spec(flow_spec, spark, *, max_attempts: int = 1,
     same promotion the reference makes when the orchestrator hands a
     compiled Dag<JobExecutionPlan> to the DagProcessingEngine."""
     from gobblin_spark.plans import flow as FL, jobconf as J, pipeline as PL
+
+    # validate the SPEC at promotion time — duplicate names, unknown
+    # deps, cycles, and unknown templates are spec errors; deferred,
+    # they surfaced as runtime job failures (or never-ready nodes that
+    # hang until the flow deadline) inside the engine (audit r12)
+    FL._validate(flow_spec)
 
     def job_fn(fj):
         def run(ctx: JobContext):

@@ -90,6 +90,15 @@ def _validate(spec: FlowSpec) -> dict[str, set[str]]:
         missing = set(j.depends_on) - names
         if missing:
             raise ValueError(f"job {j.name!r} depends on unknown jobs {sorted(missing)}")
+        if j.template is not None and j.template not in spec.templates:
+            # a spec error, caught at validation like unknown deps —
+            # deferred, it KeyErrored inside the worker thread, marked
+            # the job FAILED, and cancelled its downstreams as if a
+            # real job had crashed (audit r12; JobTemplate.java
+            # validates required attributes up front)
+            raise ValueError(
+                f"job {j.name!r} references unknown template "
+                f"{j.template!r}")
         deps[j.name] = set(j.depends_on)
     # cycle check: Kahn's
     remaining = dict(deps)

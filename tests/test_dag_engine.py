@@ -266,6 +266,53 @@ def test_register_recovered_load_race_guard(tmp_path):
     eng.shutdown()
 
 
+def test_clean_up_refuses_live_dag(tmp_path):
+    """audit r12: clean_up of a LIVE dag removed its state while jobs
+    were in flight — the next _reap_finished pass KeyErrored on the
+    missing dag and aborted the engine loop. It must refuse at the
+    call site; terminal and unknown ids keep their old semantics
+    (removed / idempotent no-op)."""
+    import threading
+
+    import pytest
+
+    gate = threading.Event()
+    eng = E.DagProcessingEngine(E.FSDagStateStore(str(tmp_path)))
+    eng.launch(_spec("d12", [E.DagJob("a", lambda c: gate.wait(10))]))
+    eng._drain_actions()  # a is in flight
+    with pytest.raises(ValueError, match="still running"):
+        eng.clean_up("d12")
+    gate.set()
+    eng.run_until_idle(30)  # the engine loop survives and drains
+    assert eng.dag_status("d12") == "COMPLETE"
+    eng.clean_up("d12")           # terminal: removed
+    eng.clean_up("d12")           # unknown: idempotent no-op
+    eng.clean_up("never-existed")
+    eng.shutdown()
+
+
+def test_from_flow_spec_validates_spec(spark_noop=None):
+    """audit r12: promoting a FlowSpec to a DagSpec validates it —
+    cycles, unknown deps, and unknown templates fail at promotion,
+    not as runtime job failures (or never-ready nodes that hang until
+    the flow deadline) inside the engine."""
+    import pytest
+
+    from gobblin_spark.plans import flow as FL
+
+    with pytest.raises(ValueError, match="cycle"):
+        E.from_flow_spec(FL.FlowSpec("f", [
+            FL.FlowJob("a", "x", depends_on=["b"]),
+            FL.FlowJob("b", "x", depends_on=["a"])]), spark=None)
+    with pytest.raises(ValueError, match="unknown template"):
+        E.from_flow_spec(FL.FlowSpec("f", [
+            FL.FlowJob("a", "x", template="ghost")]), spark=None)
+    # a clean spec promotes
+    ds = E.from_flow_spec(FL.FlowSpec("f", [
+        FL.FlowJob("a", lambda s: None)]), spark=None)
+    assert ds.dag_id == "f" and len(ds.jobs) == 1
+
+
 def test_unknown_dag_action_is_noop(tmp_path):
     import pytest
 

@@ -24,6 +24,20 @@ def test_validation_rejects_cycles_and_unknowns():
         )
 
 
+def test_validation_rejects_unknown_template():
+    """audit r12: an unknown template name is a SPEC error and fails
+    validation up front — deferred, it KeyErrored inside the worker,
+    marked the job FAILED, and cancelled downstreams as if a real job
+    had crashed."""
+    with pytest.raises(ValueError, match="unknown template"):
+        FL._validate(FL.FlowSpec(
+            "f", [FL.FlowJob("a", "x", template="ghost")]))
+    # a declared template still validates
+    FL._validate(FL.FlowSpec(
+        "f", [FL.FlowJob("a", "x", template="base")],
+        templates={"base": "k=v"}))
+
+
 def test_topological_order_deterministic():
     spec = FL.FlowSpec(
         "f",

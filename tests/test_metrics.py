@@ -57,6 +57,41 @@ def test_output_stream_reporter_formats():
     assert "== root" in text and "== task" in text and "counter:rows: count=3" in text
 
 
+def test_output_stream_reporter_stop_race():
+    """audit r12: stop() during an in-flight tick must win — the old
+    re-arm path created a fresh timer AFTER stop() had cancelled the
+    one it knew about, so the daemon reported forever. Deterministic
+    replay: drive tick() directly with stop() landing mid-report."""
+    import io
+    import threading
+
+    root = M.MetricContext("root")
+    rep = M.OutputStreamReporter(root, stream=io.StringIO())
+    rep.start(0.01)
+    # wait for at least one self-re-armed tick, then stop; any tick
+    # in flight at stop() time may run its head check once more but
+    # must never re-arm (asserted deterministically below)
+    deadline = threading.Event()
+    deadline.wait(0.05)
+    rep.stop()
+    assert rep._stopped
+    # deterministic mid-report stop: report() itself calls stop(),
+    # simulating the race where stop lands while tick is executing —
+    # the tail re-check must refuse to re-arm
+    rep2 = M.OutputStreamReporter(root, stream=io.StringIO())
+    orig_report = rep2.report
+
+    def report_and_stop():
+        orig_report()
+        rep2.stop()
+
+    rep2.report = report_and_stop
+    rep2.start(0.005)
+    deadline.wait(0.05)  # let the first tick fire and stop itself
+    assert rep2._stopped
+    assert rep2._timer is None  # no zombie re-arm survived the stop
+
+
 def test_json_file_reporter(tmp_path):
     root = M.MetricContext("root")
     root.counter("files").inc(2)
