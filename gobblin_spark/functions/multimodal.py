@@ -428,6 +428,11 @@ def decode_bmp24(payload: bytes) -> tuple[int, int, int, int, int]:
     comp = struct.unpack_from("<I", payload, 30)[0]
     if bpp != 24 or comp != 0:
         raise NotImplementedError("only 24-bit BI_RGB supported")
+    if w <= 0 or h_signed == 0:
+        # a corrupt header's negative width makes every scanline slice
+        # EMPTY — the sums flow on as plausible zeros with nonsense
+        # dimensions instead of failing (audit r12)
+        raise ValueError(f"bad BMP dimensions {w}x{h_signed}")
     h = abs(h_signed)
     stride = (w * 3 + 3) & ~3
     if len(payload) < off + stride * h - ((-(w * 3)) % 4):
@@ -511,6 +516,12 @@ def decode_ppm_p6(payload: bytes) -> tuple[int, int, int, int, int]:
     w, h, maxval = fields
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
+    if w <= 0 or h <= 0:
+        # negative header fields parse (the field scan accepts '-')
+        # and make w*h*3 negative — the raster slice is empty, the
+        # truncation check (len < negative) passes, and zero sums
+        # flow on silently (audit r12)
+        raise ValueError(f"bad PPM dimensions {w}x{h}")
     raster = payload[pos:pos + w * h * 3]
     if len(raster) < w * h * 3:
         raise ValueError("PPM raster truncated")

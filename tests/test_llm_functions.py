@@ -814,6 +814,29 @@ def test_ppm_decode_with_comments():
     assert multimodal.decode_ppm_p6(ppm) == (3, 2, 45, 51, 57)
 
 
+def test_corrupt_negative_dims_fail_loudly():
+    """audit r12: corrupt headers with negative/zero dimensions made
+    every raster slice EMPTY — zero channel sums flowed on with
+    nonsense dims instead of failing. Both decoders must raise."""
+    import struct
+
+    import pytest
+
+    # PPM with a negative height (the field scan accepts '-')
+    with pytest.raises(ValueError, match="bad PPM dimensions"):
+        multimodal.decode_ppm_p6(b"P6\n3 -2\n255\n" + bytes(18))
+    # BMP with a negative width patched into a valid file
+    bmp = bytearray(multimodal.encode_bmp24(1))
+    bmp[18:22] = struct.pack("<i", -4)
+    with pytest.raises(ValueError, match="bad BMP dimensions"):
+        multimodal.decode_bmp24(bytes(bmp))
+    # zero height is equally dead
+    bmp2 = bytearray(multimodal.encode_bmp24(1))
+    bmp2[22:26] = struct.pack("<i", 0)
+    with pytest.raises(ValueError, match="bad BMP dimensions"):
+        multimodal.decode_bmp24(bytes(bmp2))
+
+
 def test_png_codec_roundtrip_matches_bmp():
     """encode_png_rgb8 emits a spec-valid DEFLATE-compressed PNG with
     mixed None/Sub/Up row filters; the decoder inflates + unfilters
