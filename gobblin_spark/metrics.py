@@ -400,6 +400,8 @@ class OutputStreamReporter:
         self.stream = stream or sys.stderr
         self._timer: threading.Timer | None = None
         self._stopped = False
+        self._gen = 0  # bumped by every start()/stop(): a tick from a
+        # superseded generation must neither report nor re-arm
 
     def report(self) -> str:
         buf = io.StringIO()
@@ -419,17 +421,22 @@ class OutputStreamReporter:
             self._fmt(c, buf, depth + 1)
 
     def start(self, interval_sec: float) -> None:
+        self._gen += 1
+        gen = self._gen
         self._stopped = False
 
         def tick() -> None:
-            # re-check AFTER the report too: stop() during a report
+            # generation check, HEAD and TAIL: stop() during a report
             # used to lose the race — tick re-armed a fresh timer
             # stop() had never seen and the daemon reported forever
-            # (audit r12)
-            if self._stopped:
+            # (audit r12); and a zombie tick surviving a stop()+
+            # start() pair must not revive into a SECOND chain on the
+            # old interval (r12 review #3) — its generation is stale,
+            # so it exits at whichever check it reaches first
+            if self._stopped or self._gen != gen:
                 return
             self.report()
-            if not self._stopped:
+            if not self._stopped and self._gen == gen:
                 self._arm(interval_sec, tick)
 
         self._arm(interval_sec, tick)
@@ -440,6 +447,7 @@ class OutputStreamReporter:
         self._timer.start()
 
     def stop(self) -> None:
+        self._gen += 1  # invalidate any in-flight tick's re-arm
         self._stopped = True
         if self._timer:
             self._timer.cancel()

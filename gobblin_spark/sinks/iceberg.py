@@ -1020,20 +1020,29 @@ def _write_bytes_if_absent_any(path: str, data: bytes) -> None:
             except FileNotFoundError:
                 exists = False
             if exists and size < len(data):
-                # a SHORT destination is our own torn write (the
-                # arrow stream flushed some bytes, then failed) —
-                # rediagnosing it as "concurrent commit" would make
+                # a SHORT destination MAY be our own torn write (the
+                # arrow stream flushed a prefix, then failed) —
+                # rediagnosed as "concurrent commit" it would make
                 # every CAS retry collide with the corrupt file and
                 # block the table until manual cleanup (advice r11).
-                # A racer's COMPLETE file of a different size is the
-                # remote alternative, but the pre-write NotFound
-                # probe bounds that window to our own failed write.
+                # But "shorter" alone is NOT a safe discriminator: a
+                # racer's COMPLETE metadata can legitimately be
+                # shorter than ours (r12 review #1). Our own torn
+                # write is always a byte PREFIX of the payload
+                # (streams flush sequentially); two same-base
+                # committers' metadata differ within bytes (random
+                # snapshot ids), so the content check separates them.
                 try:
-                    _delete_any(path)
-                    exists = False
+                    ours = _read_bytes_any(path) == data[:size]
                 except OSError:
-                    pass  # can't clean up — fall through to the
-                    # collision raise, chaining the real fault
+                    ours = False
+                if ours:
+                    try:
+                        _delete_any(path)
+                        exists = False
+                    except OSError:
+                        pass  # can't clean up — fall through to the
+                        # collision raise, chaining the real fault
             if exists:
                 raise RuntimeError(
                     f"concurrent commit detected: {path} already "
@@ -2102,13 +2111,17 @@ class IcebergTable:
                  [e for e in ents_p if e["content"] == 2]))
             # a MoR-style overwrite's ADDED delete files are ordinary
             # in-window retractions — routed through the same pos/eq
-            # machinery, anchored at the PARENT (their seq sits ON the
-            # era boundary, so the era walks exclude them and this is
-            # the only collection point; applying to strictly-earlier
-            # data, they never touch the commit's own added files)
+            # machinery (their seq sits ON the era boundary, so the
+            # era walks exclude them and this is the only collection
+            # point). Equality deletes apply to STRICTLY-earlier data
+            # (never the commit's own adds); position deletes apply
+            # INCLUSIVELY (spec: data seq <= delete seq — Flink's
+            # upsert writer addresses same-checkpoint rows exactly
+            # this way, r12 review #2), so their reference set is the
+            # overwrite's OWN live data: parent-kept + its added files
             eq_dels.extend(e for e in o_add_dels if e["content"] == 2)
             ow_pos_dels.extend(
-                (e, parent) for e in o_add_dels if e["content"] == 1)
+                (e, o_id) for e in o_add_dels if e["content"] == 1)
             # inserts: the files it ADDED ride the normal insert scan
             # (seq == the overwrite's own, so the era bounds exclude
             # them and this is the only collection point)
@@ -2130,16 +2143,17 @@ class IcebergTable:
                 if in_win:
                     window.append(e)
             era_data.append(all_data)
-        # overwrite-added pos-deletes resolve against their PARENT's
-        # live data set — registered as extra reference eras (one per
-        # distinct parent)
-        _ow_parent_idx: dict[int, int] = {}
-        for e, parent_id in ow_pos_dels:
-            if parent_id not in _ow_parent_idx:
-                _ow_parent_idx[parent_id] = len(era_data)
-                era_data.append([x for x in _ents(parent_id)
+        # overwrite-added pos-deletes resolve against the OVERWRITE's
+        # live data set (parent-kept + its own added files — position
+        # deletes apply inclusively to same-sequence data, r12 review
+        # #2) — registered as extra reference eras, one per overwrite
+        _ow_ref_idx: dict[int, int] = {}
+        for e, ref_id in ow_pos_dels:
+            if ref_id not in _ow_ref_idx:
+                _ow_ref_idx[ref_id] = len(era_data)
+                era_data.append([x for x in _ents(ref_id)
                                  if x["content"] == 0])
-            pos_dels.append((e, _ow_parent_idx[parent_id]))
+            pos_dels.append((e, _ow_ref_idx[ref_id]))
         st = self._schema_for(to_id, md)
         if (not window and not pos_dels and not eq_dels
                 and not any(r for r, *_ in ow_removed)):
@@ -2444,7 +2458,9 @@ class IcebergTable:
             out = _scan_grouped(removed, with_pos=bool(pos_app))
             if eq_app or pos_app:
                 # per-file commit sequence rides a broadcast lookup
-                # so the residue's sequence guards stay exact
+                # so the residue's sequence guards stay exact; the
+                # anti-joins themselves are read()'s shared helper —
+                # ONE copy of the spec's sequence-guard semantics
                 seq_lk = self.spark.createDataFrame(
                     [(self._path_uri_form(e["info"].path),
                       e["sequence_number"]) for e in removed],
@@ -2452,47 +2468,9 @@ class IcebergTable:
                 out = out.join(
                     F.broadcast(seq_lk),
                     out["_cl_fp"] == seq_lk["_sq_path"], "left")
-            if eq_app:
-                by_ids: dict[tuple, list[dict]] = {}
-                for e in eq_app:
-                    by_ids.setdefault(
-                        tuple(e["equality_ids"] or ()), []).append(e)
-                for ids, dfiles in sorted(by_ids.items()):
-                    cols = [id_to_name[i] for i in ids]
-                    dschema = T.StructType([
-                        f for c in cols for f in st.fields
-                        if f.name == c])
-                    dd = None
-                    for e in dfiles:
-                        one = (self.spark.read.schema(dschema)
-                               .parquet(e["info"].path)
-                               .withColumn(
-                                   "_del_seq",
-                                   F.lit(e["sequence_number"])))
-                        dd = one if dd is None else dd.unionByName(one)
-                    dd = dd.alias("_owd")
-                    out = out.alias("_owr")
-                    cond = (F.col("_owd._del_seq")
-                            > F.col("_owr._data_seq"))
-                    for c in cols:
-                        cond = cond & F.col(f"_owr.{c}").eqNullSafe(
-                            F.col(f"_owd.{c}"))
-                    out = out.join(F.broadcast(dd), cond, "left_anti")
-            if pos_app:
-                pd_ = None
-                for e in pos_app:
-                    one = (self.spark.read.parquet(e["info"].path)
-                           .select("file_path", "pos")
-                           .withColumn("_del_seq",
-                                       F.lit(e["sequence_number"])))
-                    pd_ = one if pd_ is None else pd_.unionByName(one)
-                pd_ = pd_.alias("_owp")
-                out = out.alias("_owr")
-                cond = (
-                    (F.col("_owp._del_seq") >= F.col("_owr._data_seq"))
-                    & (F.col("_owr._cl_fp") == F.col("_owp.file_path"))
-                    & (F.col("_owr._cl_pos") == F.col("_owp.pos")))
-                out = out.join(F.broadcast(pd_), cond, "left_anti")
+                out = self._anti_join_deletes(
+                    out, pos_app, eq_app, st, id_to_name,
+                    fp_col="_cl_fp", pos_col="_cl_pos")
             hit = (out.select(*[f.name for f in st.fields])
                    .withColumn("_change_type", F.lit("delete"))
                    .withColumn("_commit_snapshot_id",
@@ -3200,19 +3178,41 @@ class IcebergTable:
         if not need_seq:
             return _residual(df.drop("_data_seq"))
 
-        # equality deletes: one anti-join per distinct field-id set
-        # (normally one); apply to STRICTLY earlier data files
+        # resolve the equality field-ids against the SNAPSHOT's
+        # schema (not blanket-current), so time travel across a
+        # rename stays consistent; the delete files themselves
+        # also resolve by field-id, so a delete written before the
+        # rename still matches under the name of this snapshot
+        ice = self._ice_schema_for(snapshot_id, md_r)
+        id_to_name = {f["id"]: f["name"] for f in ice["fields"]}
+        df = self._anti_join_deletes(df, dels_pos, dels_eq, st,
+                                     id_to_name, fp_col="_fp",
+                                     pos_col="_pos")
+        if dels_pos:
+            df = df.drop("_fp", "_pos")
+        return _residual(df.drop("_data_seq"))
+
+    def _anti_join_deletes(self, df, dels_pos: list, dels_eq: list,
+                           st: T.StructType, id_to_name: dict,
+                           fp_col: str, pos_col: str):
+        """Apply delete-file residue to a frame carrying a per-row
+        commit sequence (``_data_seq``) and — when pos-deletes apply —
+        the parquet (file, row) identity columns: the spec's
+        sequence-guarded anti-joins, shared by read() and changelog's
+        overwrite retraction (r12 review #4 — one copy of the
+        semantics instead of three hand-synced ones).
+
+        Equality deletes apply to STRICTLY earlier data files; a
+        delete row with a NULL value matches data rows whose column is
+        NULL (spec "Equality Delete Files" — plain == would evaluate
+        to NULL and silently never delete them). Position deletes
+        apply INCLUSIVELY (data seq <= delete seq) on (file, pos)."""
+        from pyspark.sql import functions as F
+
         by_ids: dict[tuple, list[dict]] = {}
         for e in dels_eq:
             by_ids.setdefault(tuple(e["equality_ids"] or ()), []).append(e)
-        ice = self._ice_schema_for(snapshot_id, md_r)
-        id_to_name = {f["id"]: f["name"] for f in ice["fields"]}
-        for ids, dfiles in by_ids.items():
-            # resolve the equality field-ids against the SNAPSHOT's
-            # schema (not blanket-current), so time travel across a
-            # rename stays consistent; the delete files themselves
-            # also resolve by field-id, so a delete written before the
-            # rename still matches under the name of this snapshot
+        for ids, dfiles in sorted(by_ids.items()):
             cols = [id_to_name[i] for i in ids]
             dschema = T.StructType([
                 f for c in cols for f in st.fields if f.name == c])
@@ -3226,16 +3226,9 @@ class IcebergTable:
             df = df.alias("_dat")
             cond = F.col("_del._del_seq") > F.col("_dat._data_seq")
             for c in cols:
-                # NULL-SAFE equality (spec "Equality Delete Files"): a
-                # delete row with a NULL value matches data rows whose
-                # column is NULL — plain == would evaluate to NULL and
-                # silently never delete them
                 cond = cond & F.col(f"_dat.{c}").eqNullSafe(
                     F.col(f"_del.{c}"))
             df = df.join(F.broadcast(dd), cond, "left_anti")
-
-        # position deletes: (file_path, pos) anti-join; the spec applies
-        # them to data files with sequence number <= the delete's
         if dels_pos:
             pd_ = None
             for e in dels_pos:
@@ -3247,12 +3240,11 @@ class IcebergTable:
             df = df.alias("_dat")
             cond = (
                 (F.col("_pdel._del_seq") >= F.col("_dat._data_seq"))
-                & (F.col("_dat._fp") == F.col("_pdel.file_path"))
-                & (F.col("_dat._pos") == F.col("_pdel.pos"))
+                & (F.col(f"_dat.{fp_col}") == F.col("_pdel.file_path"))
+                & (F.col(f"_dat.{pos_col}") == F.col("_pdel.pos"))
             )
-            df = df.join(F.broadcast(pd_), cond, "left_anti").drop(
-                "_fp", "_pos")
-        return _residual(df.drop("_data_seq"))
+            df = df.join(F.broadcast(pd_), cond, "left_anti")
+        return df
 
     # -- schema evolution ------------------------------------------------
     def _retry_metadata(self, mutate, max_attempts: int = 4):

@@ -2572,13 +2572,18 @@ def test_write_if_absent_rename_cas_on_hdfs_like(tmp_path, monkeypatch):
     # the pre-write NotFound probe bounds the racer window) and lands
     # the full payload through the fallback.
     class TornFs(StallingFs):
+        torn_bytes = b"mi"  # prefix of the payload by default
+
         def open_output_stream(self, p):
             if not getattr(self, "_failed", False):
                 self._failed = True
                 with open(p, "wb") as fh:
-                    fh.write(b"mi")  # partial prefix
+                    fh.write(self.torn_bytes)
                 raise OSError("socket timeout mid-write")
             return self._fs.open_output_stream(p)
+
+        def open_input_stream(self, p):  # the prefix re-read path
+            return self._fs.open_input_stream(p)
 
         def delete_file(self, p):
             self._fs.delete_file(p)
@@ -2592,6 +2597,20 @@ def test_write_if_absent_rename_cas_on_hdfs_like(tmp_path, monkeypatch):
     ice._write_bytes_if_absent_any(t6, b"mine-full-payload")
     assert open(str(tmp_path / "meta" / "v6.metadata.json"),
                 "rb").read() == b"mine-full-payload"
+    # r12 review #1: a racer's COMPLETE metadata that happens to be
+    # SHORTER than ours is NOT "our torn write" — size alone cannot
+    # discriminate; the prefix content check must refuse to delete it
+    shorter = TornFs()
+    shorter.torn_bytes = b"racer"  # complete, shorter, NOT our prefix
+    monkeypatch.setattr(
+        ice, "_fs_from_uri",
+        lambda uri: ((shorter, uri[len("torn://host"):])
+                     if uri.startswith("torn://host") else real(uri)))
+    t8 = "torn://host" + str(tmp_path / "meta" / "v8.metadata.json")
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        ice._write_bytes_if_absent_any(t8, b"mine-full-payload")
+    assert open(str(tmp_path / "meta" / "v8.metadata.json"),
+                "rb").read() == b"racer"  # the racer's commit survived
     # ... while a COMPLETE same-or-longer destination (a real racer)
     # still raises, with the original infra fault chained so it isn't
     # masked as a pure committer race
@@ -3485,6 +3504,90 @@ def test_changelog_mor_overwrite_adds_delete_files(spark, tmp_path):
                     operation="overwrite", carry_prior=False)
     with pytest.raises(NotImplementedError, match="hybrid"):
         t.changelog(None).collect()
+
+
+def test_changelog_mor_overwrite_same_commit_pos_delete(spark, tmp_path):
+    """r12 review #2: a MoR overwrite whose ADDED pos-delete addresses
+    a data file added IN THE SAME COMMIT (Flink's upsert writer emits
+    exactly this for duplicate keys within one checkpoint — the spec
+    applies pos-deletes to data seq <= delete seq, INCLUSIVE) must
+    retract that row. Resolving references against the parent's live
+    set silently dropped it: 3 inserts, no delete, net diverging from
+    read(). Fabricated by committing the data and delete files
+    separately, then merging the delete manifest into the overwrite
+    snapshot (sequence fields re-stamped) — the on-disk shape a real
+    RowDelta produces."""
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.operators import avro_container as ACF
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "clmorsame")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    t = IcebergTable.create(spark, loc, base.schema)
+    t.append_dataframe(base.coalesce(1))
+    s1 = t.metadata()["current-snapshot-id"]
+
+    # the overwrite's data file F (snapshot O, seq 2)
+    sub = str(tmp_path / "morsame_new")
+    spark.createDataFrame([(10, "x"), (11, "y"), (12, "z")],
+                          "k long, s string").coalesce(1) \
+        .write.mode("overwrite").parquet(sub)
+    s_ow = t._commit_files(t._list_committed_files(sub), content=0,
+                           equality_ids=None, operation="overwrite")
+    # a pos-delete addressing F's row 0 (k=10), committed separately
+    # (seq 3) then surgically merged into the overwrite snapshot
+    pos = (t.read(apply_deletes=False)
+           .select(F.col("_metadata.file_path").alias("file_path"),
+                   F.col("_metadata.row_index").alias("pos"), "k")
+           .filter(F.col("k") == 10).drop("k"))
+    t.delete_positions(pos)
+    md = t.metadata()
+    s_del = md["current-snapshot-id"]
+    snapO = next(s for s in md["snapshots"] if s["snapshot-id"] == s_ow)
+    snapD = next(s for s in md["snapshots"] if s["snapshot-id"] == s_del)
+    o_seq = snapO["sequence-number"]
+    # find the delete manifest in D's list, re-stamp its sequences to
+    # the overwrite's, and graft it onto O's manifest list
+    _, d_list = ACF.read_container(t._read_bytes(snapD["manifest-list"]))
+    del_entry = next(m for m in d_list if m.get("content") == 1)
+    mschema, ments = ACF.read_container(
+        t._read_bytes(del_entry["manifest_path"]))
+    for e in ments:
+        e["sequence_number"] = o_seq
+        e["file_sequence_number"] = o_seq
+        e["snapshot_id"] = s_ow
+    t._write_bytes(del_entry["manifest_path"],
+                   ACF.write_container_bytes(ments, mschema))
+    del_entry["sequence_number"] = o_seq
+    del_entry["min_sequence_number"] = o_seq
+    del_entry["added_snapshot_id"] = s_ow
+    lschema, o_list = ACF.read_container(
+        t._read_bytes(snapO["manifest-list"]))
+    import uuid as _uuid
+    new_list = f"{loc}/metadata/snap-merged-{_uuid.uuid4().hex}.avro"
+    t._write_bytes(new_list, ACF.write_container_bytes(
+        list(o_list) + [del_entry], lschema))
+    snapO["manifest-list"] = new_list
+    md["snapshots"] = [s for s in md["snapshots"]
+                       if s["snapshot-id"] != s_del]
+    md["snapshot-log"] = [e for e in md.get("snapshot-log", [])
+                          if e.get("snapshot-id") != s_del]
+    md["current-snapshot-id"] = s_ow
+    md["last-sequence-number"] = o_seq
+    for r in md.get("refs", {}).values():
+        if r.get("snapshot-id") == s_del:
+            r["snapshot-id"] = s_ow
+    t._commit_metadata(md)
+
+    # read(): k=10 dead via the same-commit pos-delete
+    assert sorted(r.k for r in t.read().collect()) == [1, 2, 11, 12]
+    rows = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                  for r in t.changelog(None).collect())
+    assert rows == [
+        (1, "insert", s1), (2, "insert", s1),
+        (10, "delete", s_ow), (10, "insert", s_ow),
+        (11, "insert", s_ow), (12, "insert", s_ow)], rows
 
 
 def test_changelog_net_effect_random_history(spark, tmp_path):

@@ -63,16 +63,24 @@ def test_output_stream_reporter_stop_race():
     one it knew about, so the daemon reported forever. Deterministic
     replay: drive tick() directly with stop() landing mid-report."""
     import io
-    import threading
+    import time
+
+    def wait_for(cond, timeout=5.0):
+        # poll instead of a fixed sleep — a loaded machine can delay
+        # the timer thread well past small wall-clock waits (r12
+        # review #5)
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if cond():
+                return True
+            time.sleep(0.002)
+        return False
 
     root = M.MetricContext("root")
-    rep = M.OutputStreamReporter(root, stream=io.StringIO())
-    rep.start(0.01)
-    # wait for at least one self-re-armed tick, then stop; any tick
-    # in flight at stop() time may run its head check once more but
-    # must never re-arm (asserted deterministically below)
-    deadline = threading.Event()
-    deadline.wait(0.05)
+    stream = io.StringIO()
+    rep = M.OutputStreamReporter(root, stream=stream)
+    rep.start(0.005)
+    assert wait_for(lambda: stream.getvalue())  # at least one tick ran
     rep.stop()
     assert rep._stopped
     # deterministic mid-report stop: report() itself calls stop(),
@@ -80,16 +88,27 @@ def test_output_stream_reporter_stop_race():
     # the tail re-check must refuse to re-arm
     rep2 = M.OutputStreamReporter(root, stream=io.StringIO())
     orig_report = rep2.report
+    ticked = []
 
     def report_and_stop():
         orig_report()
         rep2.stop()
+        ticked.append(1)
 
     rep2.report = report_and_stop
     rep2.start(0.005)
-    deadline.wait(0.05)  # let the first tick fire and stop itself
+    assert wait_for(lambda: ticked)  # the first tick fired + stopped
     assert rep2._stopped
     assert rep2._timer is None  # no zombie re-arm survived the stop
+    # r12 review #3: a stop()+start() pair must not revive a stale
+    # tick into a second chain — restart with a clean report() and
+    # assert only ONE chain ticks (the generation fences the old one)
+    rep2.report = orig_report
+    gen_before = rep2._gen
+    rep2.start(0.005)
+    assert rep2._gen == gen_before + 1
+    rep2.stop()
+    assert rep2._gen == gen_before + 2  # stop invalidates in-flight
 
 
 def test_json_file_reporter(tmp_path):

@@ -134,7 +134,12 @@ def test_driver_window_is_exactly_fifty_and_first():
     # one of them must have a hash-checked shadow in the catalog (the
     # r8 rule: rows-only-without-shadow count is 0)
     allowed = {"minhash_lsh_docs", "simhash_docs", "embedding_near_dup",
-               "semantic_dedup_docs"}
+               "semantic_dedup_docs", "text_bpe_tokens",
+               "text_compression_ratio", "bloom_fpr_report"}
+    # every allowed name is genuinely rows-only-by-design: this set
+    # must equal the catalog's actual no-oracle set, so the pin keeps
+    # biting if a future entry silently drops its oracle
+    assert allowed == {n for n in Q.QUERIES if n not in Q.ORACLES}
     assert set(missing) <= allowed, missing
     shadows = {"minhash_lsh_docs": "minhash_lsh_checked",
                "simhash_docs": "simhash_checked",
