@@ -57,32 +57,41 @@ def avro_to_struct(schema) -> T.DataType:
     DataType. Nullable unions become nullable fields; non-null unions of
     N branches become a struct of N optional ``member_<type>`` fields
     (Catalyst has no native union — this is the standard encoding, the
-    same one spark-avro uses)."""
+    same one spark-avro uses). Non-recursive NAMED-TYPE references
+    (define record/enum/fixed once, reference it by name later — the
+    Avro spec's definition-before-use rule makes one left-to-right walk
+    sufficient) resolve to an inlined copy; RECURSIVE references still
+    raise (run :func:`eliminate_recursion` first)."""
     if isinstance(schema, str):
         try:
             schema = json.loads(schema)
         except json.JSONDecodeError:
             pass  # bare primitive name like "string"
-    return _convert(schema, path=())
+    return _convert(schema, path=(), defs={})
 
 
-def _convert(node, path: tuple) -> T.DataType:
+def _convert(node, path: tuple, defs: dict) -> T.DataType:
     if isinstance(node, str):
         if node in _PRIMITIVES:
             return _PRIMITIVES[node]
         if node in path:  # recursive named-type reference
             raise RecursionError(f"recursive reference to {node}")
+        if node in defs:
+            # non-recursive reuse of a named type already defined on
+            # this walk (audit r12 — real-world Avro reuses named
+            # records constantly; only RE-ENTRY is unrepresentable)
+            return _convert(defs[node], path, defs)
         raise ValueError(f"unresolved named type: {node}")
     if isinstance(node, list):  # union
         branches = [b for b in node if b != "null"]
         if len(branches) == 1:
-            return _convert(branches[0], path)
+            return _convert(branches[0], path, defs)
         fields = []
         for b in branches:
             bname = b["name"] if isinstance(b, dict) and "name" in b else (
                 b["type"] if isinstance(b, dict) else b
             )
-            fields.append(T.StructField(f"member_{bname}", _convert(b, path), True))
+            fields.append(T.StructField(f"member_{bname}", _convert(b, path, defs), True))
         return T.StructType(fields)
     if not isinstance(node, dict):
         raise TypeError(f"bad avro node: {node!r}")
@@ -97,22 +106,25 @@ def _convert(node, path: tuple) -> T.DataType:
             return _LOGICAL[key]
         # unknown logical type → fall through to the carrier type
     if typ == "record":
+        defs[node["name"]] = node
         rpath = path + (node["name"],)
         return T.StructType(
             [
-                T.StructField(f["name"], _convert(f["type"], rpath), _nullable(f["type"]))
+                T.StructField(f["name"], _convert(f["type"], rpath, defs), _nullable(f["type"]))
                 for f in node["fields"]
             ]
         )
     if typ == "array":
-        return T.ArrayType(_convert(node["items"], path), _nullable(node["items"]))
+        return T.ArrayType(_convert(node["items"], path, defs), _nullable(node["items"]))
     if typ == "map":
-        return T.MapType(T.StringType(), _convert(node["values"], path), _nullable(node["values"]))
+        return T.MapType(T.StringType(), _convert(node["values"], path, defs), _nullable(node["values"]))
     if typ == "enum":
+        defs[node["name"]] = node
         return T.StringType()
     if typ == "fixed":
+        defs[node["name"]] = node
         return T.BinaryType()
-    return _convert(typ, path)
+    return _convert(typ, path, defs)
 
 
 def _nullable(avro_type) -> bool:

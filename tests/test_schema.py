@@ -75,6 +75,34 @@ def test_non_null_union_becomes_member_struct():
     assert {f.name for f in u.fields} == {"member_int", "member_string"}
 
 
+def test_named_type_reuse_resolves_nonrecursively():
+    """audit r12: real-world Avro defines a named record/enum/fixed
+    once and references it by name later (definition-before-use) —
+    avro_to_struct must inline the reference, not raise 'unresolved
+    named type'. Genuinely RECURSIVE references still raise."""
+    import pytest
+
+    sch = {"type": "record", "name": "Person", "fields": [
+        {"name": "home", "type": {
+            "type": "record", "name": "Addr", "fields": [
+                {"name": "city", "type": "string"},
+                {"name": "kind", "type": {
+                    "type": "enum", "name": "Kind",
+                    "symbols": ["A", "B"]}}]}},
+        {"name": "work", "type": "Addr"},        # record reuse
+        {"name": "alt_kind", "type": ["null", "Kind"]}]}  # enum reuse
+    st = S.avro_to_struct(sch)
+    assert st["home"].dataType == st["work"].dataType
+    assert isinstance(st["work"].dataType, T.StructType)
+    assert st["alt_kind"].dataType == T.StringType()
+    assert st["alt_kind"].nullable
+
+    rec = {"type": "record", "name": "Node", "fields": [
+        {"name": "next", "type": ["null", "Node"]}]}
+    with pytest.raises(RecursionError):
+        S.avro_to_struct(rec)
+
+
 def test_recursion_elimination():
     tree = {
         "type": "record",
