@@ -3621,7 +3621,7 @@ def test_changelog_net_effect_random_history(spark, tmp_path):
             op = ("append" if step == 0 or not live
                   else rng.choice(
                       ["append", "pos_del", "eq_del", "rewrite",
-                       "overwrite"]))
+                       "overwrite", "mor_del"]))
             if rng.random() < 0.3:
                 # metadata-only schema churn BETWEEN commits: rename
                 # s away and back (two schema versions, same final
@@ -3661,6 +3661,31 @@ def test_changelog_net_effect_random_history(spark, tmp_path):
                 t.append_dataframe(spark.createDataFrame(
                     [(k, f"v{k}") for k in ks], "k long, s string"))
                 live |= set(ks)
+            elif op == "mor_del":
+                # an eq-delete file committed under operation=
+                # 'overwrite' — the MoR RowDelta snapshot shape (r12):
+                # routed through the overwrite machinery instead of
+                # the plain delete path, same retraction semantics
+                from pyspark.sql import types as T
+
+                from gobblin_spark.sinks import iceberg as ice
+                victims = rng.sample(sorted(live),
+                                     rng.randint(1, min(2, len(live))))
+                md0 = t.metadata()
+                cur0 = next(s for s in md0["schemas"]
+                            if s["schema-id"] == md0["current-schema-id"])
+                by_name0 = {f["name"]: f["id"] for f in cur0["fields"]}
+                keys0 = ice._conform_with_ids(
+                    spark.createDataFrame([(k,) for k in victims],
+                                          "k long"),
+                    T.StructType([f for f in ice._spark_struct(cur0)
+                                  .fields if f.name == "k"]))
+                sub0 = str(tmp_path / f"net{trial}_mor{step}")
+                keys0.write.mode("overwrite").parquet(sub0)
+                t._commit_files(t._list_delete_parquet(sub0), content=2,
+                                equality_ids=[by_name0["k"]],
+                                operation="overwrite")
+                live -= set(victims)
             elif op == "pos_del":
                 victims = rng.sample(sorted(live),
                                      rng.randint(1, min(2, len(live))))
