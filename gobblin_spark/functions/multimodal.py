@@ -516,6 +516,11 @@ def decode_ppm_p6(payload: bytes) -> tuple[int, int, int, int, int]:
     w, h, maxval = fields
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
+    if not 0 < maxval:
+        # spec: 0 < maxval < 65536 — a negative maxval (the same
+        # '-'-accepting field scan) passed the > 255 check silently
+        # (r12 review #3)
+        raise ValueError(f"bad PPM maxval {maxval}")
     if w <= 0 or h <= 0:
         # negative header fields parse (the field scan accepts '-')
         # and make w*h*3 negative — the raster slice is empty, the

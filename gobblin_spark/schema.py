@@ -67,31 +67,62 @@ def avro_to_struct(schema) -> T.DataType:
             schema = json.loads(schema)
         except json.JSONDecodeError:
             pass  # bare primitive name like "string"
-    return _convert(schema, path=(), defs={})
+    return _convert(schema, path=(), defs={}, ns="", memo={})
 
 
-def _convert(node, path: tuple, defs: dict) -> T.DataType:
+def _register_named(node, ns: str, defs: dict) -> tuple[str, str, str]:
+    """Register a named type under BOTH its bare name and its Avro
+    FULLNAME (spec "Names": a dotted name IS a fullname; an explicit
+    ``namespace`` attribute wins; otherwise the enclosing namespace is
+    inherited — r12 review: avro-tools/Confluent schemas reference by
+    fullname). Returns (bare, full, namespace-for-children)."""
+    nm = node["name"]
+    if "." in nm:
+        full, (ns_here, bare) = nm, nm.rsplit(".", 1)
+    else:
+        ns_here = node.get("namespace", ns)
+        bare, full = nm, (f"{ns_here}.{nm}" if ns_here else nm)
+    # definition-site namespace rides along so a later reference
+    # re-converts the definition under ITS OWN inherited namespace
+    defs.setdefault(bare, (node, ns))
+    defs.setdefault(full, (node, ns))
+    return bare, full, ns_here
+
+
+def _convert(node, path: tuple, defs: dict, ns: str,
+             memo: dict) -> T.DataType:
     if isinstance(node, str):
         if node in _PRIMITIVES:
             return _PRIMITIVES[node]
-        if node in path:  # recursive named-type reference
-            raise RecursionError(f"recursive reference to {node}")
-        if node in defs:
-            # non-recursive reuse of a named type already defined on
-            # this walk (audit r12 — real-world Avro reuses named
-            # records constantly; only RE-ENTRY is unrepresentable)
-            return _convert(defs[node], path, defs)
+        # a bare reference resolves against the current namespace
+        # first (spec name resolution), then as written
+        cands = ([f"{ns}.{node}"] if ns and "." not in node else []) + [node]
+        for cand in cands:
+            if cand in path:  # recursive named-type reference
+                raise RecursionError(f"recursive reference to {node}")
+        for cand in cands:
+            if cand in defs:
+                # non-recursive reuse of a named type already defined
+                # on this walk (audit r12 — real-world Avro reuses
+                # named records constantly; only RE-ENTRY is
+                # unrepresentable). Memoized: chained reuse would
+                # otherwise re-expand exponentially (r12 review #4).
+                if cand not in memo:
+                    d_node, d_ns = defs[cand]
+                    memo[cand] = _convert(d_node, path, defs, d_ns, memo)
+                return memo[cand]
         raise ValueError(f"unresolved named type: {node}")
     if isinstance(node, list):  # union
         branches = [b for b in node if b != "null"]
         if len(branches) == 1:
-            return _convert(branches[0], path, defs)
+            return _convert(branches[0], path, defs, ns, memo)
         fields = []
         for b in branches:
             bname = b["name"] if isinstance(b, dict) and "name" in b else (
                 b["type"] if isinstance(b, dict) else b
             )
-            fields.append(T.StructField(f"member_{bname}", _convert(b, path, defs), True))
+            fields.append(T.StructField(
+                f"member_{bname}", _convert(b, path, defs, ns, memo), True))
         return T.StructType(fields)
     if not isinstance(node, dict):
         raise TypeError(f"bad avro node: {node!r}")
@@ -106,25 +137,30 @@ def _convert(node, path: tuple, defs: dict) -> T.DataType:
             return _LOGICAL[key]
         # unknown logical type → fall through to the carrier type
     if typ == "record":
-        defs[node["name"]] = node
-        rpath = path + (node["name"],)
+        bare, full, ns_here = _register_named(node, ns, defs)
+        rpath = path + (bare, full)
         return T.StructType(
             [
-                T.StructField(f["name"], _convert(f["type"], rpath, defs), _nullable(f["type"]))
+                T.StructField(f["name"],
+                              _convert(f["type"], rpath, defs, ns_here, memo),
+                              _nullable(f["type"]))
                 for f in node["fields"]
             ]
         )
     if typ == "array":
-        return T.ArrayType(_convert(node["items"], path, defs), _nullable(node["items"]))
+        return T.ArrayType(_convert(node["items"], path, defs, ns, memo),
+                           _nullable(node["items"]))
     if typ == "map":
-        return T.MapType(T.StringType(), _convert(node["values"], path, defs), _nullable(node["values"]))
+        return T.MapType(T.StringType(),
+                         _convert(node["values"], path, defs, ns, memo),
+                         _nullable(node["values"]))
     if typ == "enum":
-        defs[node["name"]] = node
+        _register_named(node, ns, defs)
         return T.StringType()
     if typ == "fixed":
-        defs[node["name"]] = node
+        _register_named(node, ns, defs)
         return T.BinaryType()
-    return _convert(typ, path, defs)
+    return _convert(typ, path, defs, ns, memo)
 
 
 def _nullable(avro_type) -> bool:

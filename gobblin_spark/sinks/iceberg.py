@@ -1019,26 +1019,27 @@ def _write_bytes_if_absent_any(path: str, data: bytes) -> None:
                 exists = True
             except FileNotFoundError:
                 exists = False
-            if exists and size < len(data):
-                # a SHORT destination MAY be our own torn write (the
-                # arrow stream flushed a prefix, then failed) —
-                # rediagnosed as "concurrent commit" it would make
-                # every CAS retry collide with the corrupt file and
-                # block the table until manual cleanup (advice r11).
-                # But "shorter" alone is NOT a safe discriminator: a
-                # racer's COMPLETE metadata can legitimately be
-                # shorter than ours (r12 review #1). Our own torn
-                # write is always a byte PREFIX of the payload
-                # (streams flush sequentially); two same-base
-                # committers' metadata differ within bytes (random
-                # snapshot ids), so the content check separates them.
+            if exists and size <= len(data):
+                # the destination MAY be our own write: a torn flush
+                # (strict byte PREFIX of the payload — streams flush
+                # sequentially) or a FULLY-flushed write whose close()
+                # raised (size == len, content == data; r12 review #1:
+                # misdiagnosed as "concurrent commit", every CAS retry
+                # would collide with our own byte-identical file and
+                # wedge the table). Size alone is NOT a discriminator
+                # — a racer's complete metadata can legitimately be
+                # shorter (r12 review #1 of the r11 heuristic) — but
+                # two same-base committers' metadata differ within
+                # bytes (random snapshot ids), so content decides.
                 try:
-                    ours = _read_bytes_any(path) == data[:size]
+                    existing = _read_bytes_any(path)
                 except OSError:
-                    ours = False
-                if ours:
+                    existing = None
+                if existing == data:
+                    return  # our own write landed whole: success
+                if existing is not None and existing == data[:size]:
                     try:
-                        _delete_any(path)
+                        _delete_any(path)  # our torn prefix: clean up
                         exists = False
                     except OSError:
                         pass  # can't clean up — fall through to the
@@ -2071,7 +2072,9 @@ class IcebergTable:
         ow_removed = []
         # pos-delete files ADDED BY an overwrite (MoR RowDelta commits
         # report operation=overwrite): their references resolve
-        # against the PARENT's live data set, not an era walk
+        # against the OVERWRITE's own live data set (parent-kept plus
+        # its same-commit added files — the spec applies pos-deletes
+        # inclusively), not an era walk
         ow_pos_dels = []
         for o in win_overwrites:
             o_id = o["snapshot-id"]

@@ -2611,6 +2611,20 @@ def test_write_if_absent_rename_cas_on_hdfs_like(tmp_path, monkeypatch):
         ice._write_bytes_if_absent_any(t8, b"mine-full-payload")
     assert open(str(tmp_path / "meta" / "v8.metadata.json"),
                 "rb").read() == b"racer"  # the racer's commit survived
+    # r12 review #1 (second pass): a FULLY-flushed write whose close()
+    # raised (destination == our exact payload) is our own success,
+    # not a collision — rediagnosing it would wedge every CAS retry
+    # against our own byte-identical file
+    whole = TornFs()
+    whole.torn_bytes = b"mine-full-payload"  # all bytes landed
+    monkeypatch.setattr(
+        ice, "_fs_from_uri",
+        lambda uri: ((whole, uri[len("torn://host"):])
+                     if uri.startswith("torn://host") else real(uri)))
+    t9 = "torn://host" + str(tmp_path / "meta" / "v9b.metadata.json")
+    ice._write_bytes_if_absent_any(t9, b"mine-full-payload")  # no raise
+    assert open(str(tmp_path / "meta" / "v9b.metadata.json"),
+                "rb").read() == b"mine-full-payload"
     # ... while a COMPLETE same-or-longer destination (a real racer)
     # still raises, with the original infra fault chained so it isn't
     # masked as a pure committer race

@@ -825,6 +825,10 @@ def test_corrupt_negative_dims_fail_loudly():
     # PPM with a negative height (the field scan accepts '-')
     with pytest.raises(ValueError, match="bad PPM dimensions"):
         multimodal.decode_ppm_p6(b"P6\n3 -2\n255\n" + bytes(18))
+    # ... and a negative maxval slipped past the `> 255` check
+    # (r12 review #3)
+    with pytest.raises(ValueError, match="bad PPM maxval"):
+        multimodal.decode_ppm_p6(b"P6\n3 2\n-1\n" + bytes(18))
     # BMP with a negative width patched into a valid file
     bmp = bytearray(multimodal.encode_bmp24(1))
     bmp[18:22] = struct.pack("<i", -4)

@@ -102,6 +102,40 @@ def test_named_type_reuse_resolves_nonrecursively():
     with pytest.raises(RecursionError):
         S.avro_to_struct(rec)
 
+    # r12 review #2: NAMESPACED references — the form avro-tools /
+    # Confluent schemas actually emit: the nested record inherits the
+    # enclosing namespace, and later references use the FULLNAME
+    ns_sch = {"type": "record", "name": "P", "namespace": "com.x",
+              "fields": [
+                  {"name": "a", "type": {
+                      "type": "record", "name": "Addr", "fields": [
+                          {"name": "city", "type": "string"}]}},
+                  {"name": "b", "type": "com.x.Addr"},  # fullname ref
+                  {"name": "c", "type": "Addr"}]}       # bare ref
+    st_ns = S.avro_to_struct(ns_sch)
+    assert st_ns["a"].dataType == st_ns["b"].dataType == \
+        st_ns["c"].dataType
+    # fullname recursion still raises
+    rec_ns = {"type": "record", "name": "N", "namespace": "com.x",
+              "fields": [{"name": "next", "type": ["null", "com.x.N"]}]}
+    with pytest.raises(RecursionError):
+        S.avro_to_struct(rec_ns)
+
+    # r12 review #4: chained reuse is MEMOIZED — a ~25-deep chain
+    # where each record holds two references to the previous one is
+    # linear, not 2^25 re-expansions
+    import time
+    chain = {"type": "record", "name": "R0",
+             "fields": [{"name": "v", "type": "long"}]}
+    for i in range(1, 26):
+        chain = {"type": "record", "name": f"R{i}", "fields": [
+            {"name": "l", "type": chain},
+            {"name": "r", "type": f"R{i-1}"}]}
+    t0 = time.monotonic()
+    st_chain = S.avro_to_struct(chain)
+    assert time.monotonic() - t0 < 5.0  # exponential would hang
+    assert isinstance(st_chain["l"].dataType, T.StructType)
+
 
 def test_recursion_elimination():
     tree = {
