@@ -121,6 +121,25 @@ def test_named_type_reuse_resolves_nonrecursively():
     with pytest.raises(RecursionError):
         S.avro_to_struct(rec_ns)
 
+    # bare-name COLLISION across namespaces: a bare reference resolves
+    # against the CURRENT namespace first (spec name resolution), so
+    # two same-bare-name types in different namespaces disambiguate
+    two_ns = {"type": "record", "name": "Top", "fields": [
+        {"name": "x", "type": {
+            "type": "record", "name": "Addr", "namespace": "com.a",
+            "fields": [{"name": "v", "type": "long"}]}},
+        {"name": "y", "type": {
+            "type": "record", "name": "P", "namespace": "com.b",
+            "fields": [
+                {"name": "own", "type": {
+                    "type": "record", "name": "Addr", "fields": [
+                        {"name": "s", "type": "string"}]}},
+                {"name": "ref", "type": "Addr"}]}}]}  # com.b.Addr
+    st2 = S.avro_to_struct(two_ns)
+    p = st2["y"].dataType
+    assert p["ref"].dataType == p["own"].dataType  # com.b's, not com.a's
+    assert p["ref"].dataType != st2["x"].dataType
+
     # r12 review #4: chained reuse is MEMOIZED — a ~25-deep chain
     # where each record holds two references to the previous one is
     # linear, not 2^25 re-expansions
