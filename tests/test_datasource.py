@@ -776,6 +776,21 @@ def test_iceberg_stream_overwrite_contract(spark, tmp_path):
         DS._IcebergStreamReader(
             {"path": loc, "overwrites": "emit"}, df.schema)
 
+    # END-TO-END: the option plumbs through the registered DSv2
+    # source — a real readStream over the overwrite-carrying history
+    # delivers base rows + added files + post-overwrite appends
+    DS.register(spark)
+    out, ck = str(tmp_path / "ow_out"), str(tmp_path / "ow_ck")
+    q = (spark.readStream.format("gobblin_iceberg")
+         .schema(df.schema).option("path", loc)
+         .option("overwrites", "insert-only").load()
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted(r.k for r in spark.read.parquet(out).collect())
+    assert got == list(range(6)) + [100, 101, 200]
+
 
 def test_iceberg_stream_replace_expired_parent_seq_gap(spark, tmp_path):
     """r11 review: a replace whose parent is EXPIRED is fatal only
