@@ -776,6 +776,20 @@ def test_iceberg_stream_overwrite_contract(spark, tmp_path):
         DS._IcebergStreamReader(
             {"path": loc, "overwrites": "emit"}, df.schema)
 
+    # overwrite AND rewrite in ONE window (era interplay): the
+    # compaction supersedes every earlier manifest, yet the
+    # overwrite's added files and the post-overwrite append must
+    # each deliver exactly once from their own eras
+    t.rewrite_data_files(target_partitions=1)               # seq 4
+    t.append_dataframe(spark.createDataFrame(
+        [(300, "w")], "k long, s string"))                  # seq 5
+    assert sorted(r[0] for r in so.readBetweenOffsets(
+        {"seq": 0}, {"seq": 5})) == \
+        list(range(6)) + [100, 101, 200, 300]
+    # a window covering only overwrite..rewrite: adds + the append
+    assert sorted(r[0] for r in so.readBetweenOffsets(
+        {"seq": 1}, {"seq": 4})) == [100, 101, 200]
+
     # END-TO-END: the option plumbs through the registered DSv2
     # source — a real readStream over the overwrite-carrying history
     # delivers base rows + added files + post-overwrite appends
@@ -789,7 +803,7 @@ def test_iceberg_stream_overwrite_contract(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination()
     got = sorted(r.k for r in spark.read.parquet(out).collect())
-    assert got == list(range(6)) + [100, 101, 200]
+    assert got == list(range(6)) + [100, 101, 200, 300]
 
 
 def test_iceberg_stream_replace_expired_parent_seq_gap(spark, tmp_path):
