@@ -3403,6 +3403,62 @@ def test_changelog_overwrite_snapshot(spark, tmp_path):
     assert got == [(20, "delete"), (30, "insert")], got
 
 
+def test_split_eras_unit_contract():
+    """Direct unit pin of the shared era splitter (changelog + DSv2
+    stream reader both consume it): boundary exclusivity, no-splitter
+    passthrough, head-splitter tail suppression, consecutive
+    splitters, and the retained-non-chain expiry rule."""
+    import pytest
+
+    from gobblin_spark.sinks.iceberg import _split_eras
+
+    def snap(sid, seq, parent=None, op="append"):
+        return {"snapshot-id": sid, "sequence-number": seq,
+                "parent-snapshot-id": parent,
+                "summary": {"operation": op}}
+
+    s1, s2, s3, s4 = (snap(101, 1), snap(102, 2, 101, "replace"),
+                      snap(103, 3, 102), snap(104, 4, 103, "replace"))
+    snaps = {s["snapshot-id"]: s for s in (s1, s2, s3, s4)}
+    chain = [s1, s2, s3, s4]
+
+    # no splitters: one era at the final walk
+    assert _split_eras([], 0, 4, snaps, chain, 104, "t") == [(0, 104, 4)]
+    # one mid-window splitter: era before it walks its PARENT and ends
+    # at the parent's seq (the splitter's own seq is excluded — it is
+    # the strict lower bound of the next era)
+    assert _split_eras([s2], 0, 4, snaps, chain, 104, "t") == \
+        [(0, 101, 1), (2, 104, 4)]
+    # splitter AT the window head: no trailing era beyond it
+    assert _split_eras([s4], 0, 4, snaps, chain, 104, "t") == \
+        [(0, 103, 3)]
+    # both splitters
+    assert _split_eras([s2, s4], 0, 4, snaps, chain, 104, "t") == \
+        [(0, 101, 1), (2, 103, 3)]
+    # CONSECUTIVE splitters (parent == the earlier splitter): the era
+    # between them is empty and must not appear
+    s3b = snap(103, 3, 102, "replace")
+    snaps2 = {**snaps, 103: s3b}
+    assert _split_eras([s2, s3b], 0, 4, snaps2,
+                       [s1, s2, s3b, s4], 104, "t") == \
+        [(0, 101, 1), (3, 104, 4)]
+
+    # expired parent: fatal only when a gap sequence could hold a
+    # CHAIN commit; a gap fully accounted by retained NON-chain
+    # snapshots (branch commits / rollback orphans) is safe
+    branch = snap(900, 1)  # seq 1 consumed by a retained branch commit
+    s2x = snap(102, 2, 999, "replace")  # parent 999 expired
+    snaps3 = {900: branch, 102: s2x, 103: s3, 104: s4}
+    chain3 = [s2x, s3, s4]
+    assert _split_eras([s2x], 0, 4, snaps3, chain3, 104, "t") == \
+        [(2, 104, 4)]
+    # same shape but the gap seq belongs to NO retained snapshot:
+    # the lost era could contain chain commits — fatal
+    snaps4 = {102: s2x, 103: s3, 104: s4}
+    with pytest.raises(ValueError, match="parent is expired"):
+        _split_eras([s2x], 0, 4, snaps4, chain3, 104, "t")
+
+
 def test_changelog_overwrite_over_delete_history(spark, tmp_path):
     """r12 (verdict-r11 missing #2): an overwrite over a
     delete-carrying history replays — its retractions are the
