@@ -86,15 +86,33 @@ class FileSchemaRegistry:
                     f"schema for {subject} is not backward-compatible with "
                     "the latest registered version"
                 )
-        versions = self._versions(subject)
-        v = (versions[-1][0] + 1) if versions else 1
         os.makedirs(self._subject_dir(subject), exist_ok=True)
-        payload = {"id": sid, "version": v, "subject": subject,
-                   "schema": avro_schema}
-        path = os.path.join(self._subject_dir(subject), f"v{v:06d}-{sid[:8]}.json")
-        with open(path, "w") as f:
-            json.dump(payload, f)
-        return sid
+        for _ in range(8):
+            versions = self._versions(subject)
+            v = (versions[-1][0] + 1) if versions else 1
+            payload = {"id": sid, "version": v, "subject": subject,
+                       "schema": avro_schema}
+            path = os.path.join(self._subject_dir(subject),
+                                f"v{v:06d}-{sid[:8]}.json")
+            with open(path, "w") as f:
+                json.dump(payload, f)
+            # single-winner version claim (audit r12): two concurrent
+            # registrations both computed latest+1, leaving TWO files
+            # with one version number and a path-order-dependent
+            # latest(). Deterministic tiebreak: the lexicographically
+            # smallest path at this version wins; a loser removes its
+            # file and re-registers at the next version.
+            claims = sorted(p for vv, p in self._versions(subject)
+                            if vv == v)
+            if claims and claims[0] == path:
+                return sid
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+        raise RuntimeError(
+            f"schema registration for {subject!r} lost the version "
+            "race 8 times — registry under pathological contention")
 
     def by_id(self, sid: str) -> dict | None:
         """Exact writer schema for an envelope's schema_id."""

@@ -41,6 +41,35 @@ def test_registry_register_lookup(tmp_path):
     assert isinstance(reg.latest_struct("events"), T.StructType)
 
 
+def test_registry_version_race_single_winner(tmp_path):
+    """audit r12: two concurrent registrations both computed latest+1
+    and left TWO files claiming one version number — latest() then
+    depended on path sort order. The claim is now single-winner
+    (smallest path wins; the loser re-registers at the next version).
+    Simulated by pre-planting a rival's same-version claim that sorts
+    BEFORE ours."""
+    reg = FileSchemaRegistry(str(tmp_path))
+    reg.register("events", V1)
+    # plant a rival claim at version 2 whose path sorts first ("-0...")
+    rival = {"type": "record", "name": "E", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "v", "type": "int"},
+        {"name": "r", "type": ["null", "string"]}]}
+    rid = schema_id(rival)
+    os.makedirs(os.path.join(str(tmp_path), "events"), exist_ok=True)
+    with open(os.path.join(str(tmp_path), "events",
+                           "v000002-00000000.json"), "w") as f:
+        json.dump({"id": rid, "version": 2, "subject": "events",
+                   "schema": rival}, f)
+    # our registration must lose v2 and land cleanly at v3
+    sid2 = reg.register("events", V2, check_compat=False)
+    hist = reg.history("events")
+    assert len(hist) == 3 and hist[-1] == V2
+    versions = [v for v, _ in reg._versions("events")]
+    assert versions == [1, 2, 3]  # no duplicate version numbers
+    assert reg.by_id(sid2) == V2
+
+
 def test_conform_to_and_evolve_union(spark):
     old = spark.createDataFrame([(1, 10)], "id LONG, v INT")
     new_t = S.avro_to_struct(V2)
