@@ -1941,7 +1941,8 @@ class IcebergTable:
                          **kwargs)
 
     def changelog(self, from_snapshot_id: int | None,
-                  to_snapshot_id: int | None = None) -> DataFrame:
+                  to_snapshot_id: int | None = None,
+                  ref: str | None = None) -> DataFrame:
         """INCREMENTAL APPEND-DIFF (Iceberg's changelog/incremental
         read; the engine face of the reference's incremental copy —
         IcebergDatasetFinder plans exactly this delta): rows of data
@@ -1994,9 +1995,18 @@ class IcebergTable:
         removes data files AND adds delete files (hybrid COW+MoR, no
         known engine emits it) — raises naming itself. Delete commits
         OUTSIDE the window are ignored: they changed state the window
-        does not cover."""
+        does not cover.
+
+        ``ref``: diff a BRANCH/TAG head instead of main — the
+        write-audit-publish reviewer's view of exactly what a staged
+        branch would add (same contract as ``read(ref=...)``;
+        mutually exclusive with *to_snapshot_id*)."""
         from pyspark.sql import functions as F
 
+        if ref is not None:
+            if to_snapshot_id is not None:
+                raise ValueError("pass to_snapshot_id OR ref")
+            to_snapshot_id = self.ref_snapshot(ref)
         # unpersist the PREVIOUS changelog call's cached eq-run base
         # frames FIRST — at the top so early returns and raises
         # release them too; the persists below must outlive their own

@@ -1439,6 +1439,39 @@ def test_bucket_on_date_source(spark, tmp_path):
     assert t.last_scan["files_scanned"] < t.last_scan["files_total"]
 
 
+def test_changelog_over_branch_ref(spark, tmp_path):
+    """r12: ``changelog(..., ref=...)`` diffs a BRANCH head — the WAP
+    reviewer's view of exactly what a staged branch would add. Main's
+    changelog stays blind to branch commits; the branch window
+    bounded at main's head isolates the staged delta; ref and
+    to_snapshot_id are mutually exclusive."""
+    import pytest as _pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    df0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    df1 = spark.createDataFrame([(3, "c")], "k long, s string")
+    t = IcebergTable.create(spark, str(tmp_path / "clref"), df0.schema)
+    t.append_dataframe(df0)
+    s_main = t.metadata()["current-snapshot-id"]
+    t.create_branch("audit")
+    t.append_dataframe(df1, branch="audit")
+    s_branch = t.ref_snapshot("audit")
+
+    # main's changelog never sees the staged rows
+    assert sorted(r.k for r in t.changelog(None).collect()) == [1, 2]
+    # the branch's full history: base inserts + the staged commit
+    rows = sorted((r.k, r._commit_snapshot_id)
+                  for r in t.changelog(None, ref="audit").collect())
+    assert rows == [(1, s_main), (2, s_main), (3, s_branch)]
+    # bounded at main's head: exactly the staged delta
+    assert sorted((r.k, r._change_type) for r in
+                  t.changelog(s_main, ref="audit").collect()) == \
+        [(3, "insert")]
+    with _pytest.raises(ValueError, match="to_snapshot_id OR ref"):
+        t.changelog(None, s_branch, ref="audit")
+
+
 def test_idempotent_epoch_append_on_branch(spark, tmp_path):
     """Epoch tokens + branches compose: replayed epochs are no-ops on
     the BRANCH, main never moves until fast-forward."""
