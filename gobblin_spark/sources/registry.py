@@ -31,6 +31,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import uuid
 
 from pyspark.sql import types as T
 
@@ -62,7 +63,17 @@ class FileSchemaRegistry:
         for name in os.listdir(d):
             if name.startswith("v") and name.endswith(".json"):
                 out.append((int(name[1:-5].split("-")[0]), os.path.join(d, name)))
-        return sorted(out)
+        out.sort()
+        # Legacy registries (pre-atomic-claim) can hold TWO files at one
+        # version number; the declared winner of that race was the
+        # lexicographically smallest path. Collapse ties to the winner so
+        # every reader (latest/history/by_id) agrees with the writer rule.
+        collapsed: list[tuple[int, str]] = []
+        for v, path in out:
+            if collapsed and collapsed[-1][0] == v:
+                continue  # a larger-path loser at the same version
+            collapsed.append((v, path))
+        return collapsed
 
     def register(self, subject: str, avro_schema: dict | str,
                  check_compat: bool = True) -> str:
@@ -74,45 +85,52 @@ class FileSchemaRegistry:
         if isinstance(avro_schema, str):
             avro_schema = json.loads(avro_schema)
         sid = schema_id(avro_schema)
-        for _, path in self._versions(subject):
-            if json.load(open(path))["id"] == sid:
-                return sid  # already registered
-        latest = self.latest(subject)
-        if check_compat and latest is not None:
-            new_t = _schema.avro_to_struct(avro_schema)
-            old_t = _schema.avro_to_struct(latest)
-            if not _schema.is_compatible(new_t, old_t):
-                raise ValueError(
-                    f"schema for {subject} is not backward-compatible with "
-                    "the latest registered version"
-                )
         os.makedirs(self._subject_dir(subject), exist_ok=True)
-        for _ in range(8):
+        for _ in range(16):
+            # Re-scan EVERY attempt: a racer may have just registered
+            # this exact schema (the idempotent fast path must see it)
+            # or advanced latest (the compat check must run against the
+            # schema we will actually succeed after).
             versions = self._versions(subject)
+            for _, path in versions:
+                if json.load(open(path))["id"] == sid:
+                    return sid  # already registered
+            if check_compat and versions:
+                new_t = _schema.avro_to_struct(avro_schema)
+                old_t = _schema.avro_to_struct(
+                    json.load(open(versions[-1][1]))["schema"])
+                if not _schema.is_compatible(new_t, old_t):
+                    raise ValueError(
+                        f"schema for {subject} is not backward-compatible "
+                        "with the latest registered version"
+                    )
             v = (versions[-1][0] + 1) if versions else 1
             payload = {"id": sid, "version": v, "subject": subject,
                        "schema": avro_schema}
+            # Atomic single-winner claim (audit r12/r13): the version is
+            # claimed by hard-linking a FULLY-WRITTEN temp file onto the
+            # canonical per-version name — link(2) is atomic and fails
+            # with EEXIST if any racer claimed it first, so exactly one
+            # writer can ever own a version and readers never observe a
+            # torn payload. (The previous write-then-list tiebreak was
+            # itself check-then-act: two racers could each list before
+            # the other wrote and both "win".)
             path = os.path.join(self._subject_dir(subject),
-                                f"v{v:06d}-{sid[:8]}.json")
-            with open(path, "w") as f:
+                                f"v{v:06d}.json")
+            tmp = os.path.join(self._subject_dir(subject),
+                               f".claim-{uuid.uuid4().hex}.tmp")
+            with open(tmp, "w") as f:
                 json.dump(payload, f)
-            # single-winner version claim (audit r12): two concurrent
-            # registrations both computed latest+1, leaving TWO files
-            # with one version number and a path-order-dependent
-            # latest(). Deterministic tiebreak: the lexicographically
-            # smallest path at this version wins; a loser removes its
-            # file and re-registers at the next version.
-            claims = sorted(p for vv, p in self._versions(subject)
-                            if vv == v)
-            if claims and claims[0] == path:
-                return sid
             try:
-                os.remove(path)
-            except FileNotFoundError:
-                pass
+                os.link(tmp, path)
+                return sid
+            except FileExistsError:
+                continue  # lost this version — retry at the next one
+            finally:
+                os.remove(tmp)
         raise RuntimeError(
             f"schema registration for {subject!r} lost the version "
-            "race 8 times — registry under pathological contention")
+            "race 16 times — registry under pathological contention")
 
     def by_id(self, sid: str) -> dict | None:
         """Exact writer schema for an envelope's schema_id."""

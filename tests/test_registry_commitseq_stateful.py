@@ -44,13 +44,13 @@ def test_registry_register_lookup(tmp_path):
 def test_registry_version_race_single_winner(tmp_path):
     """audit r12: two concurrent registrations both computed latest+1
     and left TWO files claiming one version number — latest() then
-    depended on path sort order. The claim is now single-winner
-    (smallest path wins; the loser re-registers at the next version).
-    Simulated by pre-planting a rival's same-version claim that sorts
-    BEFORE ours."""
+    depended on path sort order. r13 (ADVICE): the list-after-write
+    tiebreak was itself check-then-act — the claim is now an atomic
+    os.link onto a canonical per-version name. A pre-existing claim at
+    our target version simply moves us to the next one."""
     reg = FileSchemaRegistry(str(tmp_path))
     reg.register("events", V1)
-    # plant a rival claim at version 2 whose path sorts first ("-0...")
+    # plant a rival claim at version 2 (legacy-style suffixed name)
     rival = {"type": "record", "name": "E", "fields": [
         {"name": "id", "type": "long"},
         {"name": "v", "type": "int"},
@@ -61,13 +61,92 @@ def test_registry_version_race_single_winner(tmp_path):
                            "v000002-00000000.json"), "w") as f:
         json.dump({"id": rid, "version": 2, "subject": "events",
                    "schema": rival}, f)
-    # our registration must lose v2 and land cleanly at v3
+    # our registration must land cleanly at v3
     sid2 = reg.register("events", V2, check_compat=False)
     hist = reg.history("events")
     assert len(hist) == 3 and hist[-1] == V2
     versions = [v for v, _ in reg._versions("events")]
     assert versions == [1, 2, 3]  # no duplicate version numbers
     assert reg.by_id(sid2) == V2
+    # no temp claim files left behind
+    assert not [n for n in os.listdir(os.path.join(str(tmp_path), "events"))
+                if n.endswith(".tmp")]
+
+
+def test_registry_legacy_tied_versions_collapse(tmp_path):
+    """r13 (ADVICE): a legacy registry can hold TWO files at one version
+    (the pre-atomic race's residue). The declared winner was the
+    lexicographically SMALLEST path, but latest()/history()/by_id()
+    read the sorted list's LAST entry — the largest path. All readers
+    now collapse ties to the smallest-path winner."""
+    reg = FileSchemaRegistry(str(tmp_path))
+    winner = V1
+    loser = {"type": "record", "name": "E", "fields": [
+        {"name": "id", "type": "string"}]}
+    d = os.path.join(str(tmp_path), "events")
+    os.makedirs(d)
+    with open(os.path.join(d, "v000001-00000000.json"), "w") as f:
+        json.dump({"id": schema_id(winner), "version": 1,
+                   "subject": "events", "schema": winner}, f)
+    with open(os.path.join(d, "v000001-ffffffff.json"), "w") as f:
+        json.dump({"id": schema_id(loser), "version": 1,
+                   "subject": "events", "schema": loser}, f)
+    assert reg.latest("events") == winner
+    assert reg.history("events") == [winner]
+    assert reg.by_id(schema_id(winner)) == winner
+    # the loser was never registered under single-winner semantics
+    assert reg.by_id(schema_id(loser)) is None
+    # and a fresh registration of the loser's schema gets a NEW version
+    # (the idempotent fast path must not match the loser's residue)
+    sid = reg.register("events", loser, check_compat=False)
+    assert reg.latest("events") == loser
+    assert [v for v, _ in reg._versions("events")] == [1, 2]
+    assert reg.by_id(sid) == loser
+
+
+def _register_worker(root, subject, schema, barrier):
+    reg = FileSchemaRegistry(root)
+    barrier.wait(timeout=30)
+    return reg.register(subject, schema, check_compat=False)
+
+
+def test_registry_concurrent_register_stress(tmp_path):
+    """verdict-r12 #1: stress the single-winner claim MULTI-PROCESS,
+    not just with a planted rival. 8 processes register concurrently —
+    6 distinct schemas + 2 duplicating one of them — released by a
+    barrier so the latest+1 computations genuinely collide. Versions
+    must come out unique and contiguous, each distinct schema exactly
+    once, and the duplicate registrations must dedup to one id."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    schemas = [{"type": "record", "name": f"S{i}", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": f"f{i}", "type": "string"}]} for i in range(6)]
+    jobs = schemas + [schemas[0], schemas[0]]  # two racing duplicates
+    manager = ctx.Manager()
+    barrier = manager.Barrier(len(jobs))
+    with ctx.Pool(len(jobs)) as pool:
+        results = [pool.apply_async(
+            _register_worker, (str(tmp_path), "events", s, barrier))
+            for s in jobs]
+        sids = [r.get(timeout=60) for r in results]
+    reg = FileSchemaRegistry(str(tmp_path))
+    versions = reg._versions("events")
+    # contiguous, duplicate-free version chain — one per DISTINCT schema
+    assert [v for v, _ in versions] == list(range(1, len(schemas) + 1))
+    recs = [json.load(open(p)) for _, p in versions]
+    assert sorted(r["id"] for r in recs) == sorted(schema_id(s) for s in schemas)
+    # each claimed version number matches its payload's version stamp
+    assert all(r["version"] == v for (v, _), r in zip(versions, recs))
+    # the duplicate registrations returned the same id
+    assert sids.count(schema_id(schemas[0])) == 3
+    # every registered schema resolves by id
+    for s in schemas:
+        assert reg.by_id(schema_id(s)) == s
+    # no torn temp files
+    assert not [n for n in os.listdir(os.path.join(str(tmp_path), "events"))
+                if n.endswith(".tmp")]
 
 
 def test_conform_to_and_evolve_union(spark):
