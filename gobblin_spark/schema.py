@@ -71,11 +71,18 @@ def avro_to_struct(schema) -> T.DataType:
 
 
 def _register_named(node, ns: str, defs: dict) -> tuple[str, str, str]:
-    """Register a named type under BOTH its bare name and its Avro
-    FULLNAME (spec "Names": a dotted name IS a fullname; an explicit
-    ``namespace`` attribute wins; otherwise the enclosing namespace is
-    inherited — r12 review: avro-tools/Confluent schemas reference by
-    fullname). Returns (bare, full, namespace-for-children)."""
+    """Register a named type under its Avro FULLNAME ONLY (spec
+    "Names": a dotted name IS a fullname; an explicit ``namespace``
+    attribute wins; otherwise the enclosing namespace is inherited —
+    r12 review: avro-tools/Confluent schemas reference by fullname).
+    r13 (ADVICE): the bare name is NOT a registration key when the type
+    lives in a namespace — a bare reference resolves against the
+    referencing site's namespace only, so registering ``A.Foo`` under
+    bare ``Foo`` let a reference from namespace B (or the null
+    namespace) silently bind across namespaces, first-registered-wins.
+    When the namespace is null the fullname IS the bare name, which is
+    exactly the one case the spec lets a bare reference reach it.
+    Returns (bare, full, namespace-for-children)."""
     nm = node["name"]
     if "." in nm:
         full, (ns_here, bare) = nm, nm.rsplit(".", 1)
@@ -84,8 +91,11 @@ def _register_named(node, ns: str, defs: dict) -> tuple[str, str, str]:
         bare, full = nm, (f"{ns_here}.{nm}" if ns_here else nm)
     # definition-site namespace rides along so a later reference
     # re-converts the definition under ITS OWN inherited namespace
-    defs.setdefault(bare, (node, ns))
-    defs.setdefault(full, (node, ns))
+    prev = defs.setdefault(full, (node, ns))
+    if prev[0] is not node and prev[0] != node:
+        # Avro forbids two DIFFERENT definitions of one fullname; the
+        # old setdefault silently kept the first
+        raise ValueError(f"duplicate definition of named type {full}")
     return bare, full, ns_here
 
 
@@ -94,24 +104,28 @@ def _convert(node, path: tuple, defs: dict, ns: str,
     if isinstance(node, str):
         if node in _PRIMITIVES:
             return _PRIMITIVES[node]
-        # a bare reference resolves against the current namespace
-        # first (spec name resolution), then as written
-        cands = ([f"{ns}.{node}"] if ns and "." not in node else []) + [node]
-        for cand in cands:
-            if cand in path:  # recursive named-type reference
-                raise RecursionError(f"recursive reference to {node}")
-        for cand in cands:
-            if cand in defs:
-                # non-recursive reuse of a named type already defined
-                # on this walk (audit r12 — real-world Avro reuses
-                # named records constantly; only RE-ENTRY is
-                # unrepresentable). Memoized: chained reuse would
-                # otherwise re-expand exponentially (r12 review #4).
-                if cand not in memo:
-                    d_node, d_ns = defs[cand]
-                    memo[cand] = _convert(d_node, path, defs, d_ns, memo)
-                return memo[cand]
-        raise ValueError(f"unresolved named type: {node}")
+        # Spec name resolution (r13, ADVICE): a dotted reference IS a
+        # fullname; an undotted one resolves in the referencing site's
+        # namespace ONLY (which is the bare name itself when that
+        # namespace is null). No cross-namespace fallback — 'Foo' from
+        # namespace B never reaches A.Foo or a null-namespace Foo.
+        cand = f"{ns}.{node}" if (ns and "." not in node) else node
+        if cand in path:  # recursive named-type reference
+            raise RecursionError(f"recursive reference to {node}")
+        if cand in defs:
+            # non-recursive reuse of a named type already defined
+            # on this walk (audit r12 — real-world Avro reuses
+            # named records constantly; only RE-ENTRY is
+            # unrepresentable). Memoized: chained reuse would
+            # otherwise re-expand exponentially (r12 review #4).
+            if cand not in memo:
+                d_node, d_ns = defs[cand]
+                memo[cand] = _convert(d_node, path, defs, d_ns, memo)
+            return memo[cand]
+        raise ValueError(
+            f"unresolved named type: {node}"
+            + (f" (resolved as {cand} in namespace {ns!r})"
+               if cand != node else ""))
     if isinstance(node, list):  # union
         branches = [b for b in node if b != "null"]
         if len(branches) == 1:
@@ -138,7 +152,7 @@ def _convert(node, path: tuple, defs: dict, ns: str,
         # unknown logical type → fall through to the carrier type
     if typ == "record":
         bare, full, ns_here = _register_named(node, ns, defs)
-        rpath = path + (bare, full)
+        rpath = path + (full,)
         return T.StructType(
             [
                 T.StructField(f["name"],

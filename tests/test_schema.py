@@ -140,6 +140,51 @@ def test_named_type_reuse_resolves_nonrecursively():
     assert p["ref"].dataType == p["own"].dataType  # com.b's, not com.a's
     assert p["ref"].dataType != st2["x"].dataType
 
+    # r13 (ADVICE): NO cross-namespace bare fallback. A bare reference
+    # resolves in the referencing site's namespace ONLY — 'Addr' from
+    # the null namespace must NOT silently bind com.a.Addr (the old
+    # defs[bare] fallback bound whichever namespace registered first).
+    cross = {"type": "record", "name": "Top", "fields": [
+        {"name": "x", "type": {
+            "type": "record", "name": "Addr", "namespace": "com.a",
+            "fields": [{"name": "v", "type": "long"}]}},
+        {"name": "y", "type": "Addr"}]}  # bare ref from NULL namespace
+    with pytest.raises(ValueError, match="unresolved named type"):
+        S.avro_to_struct(cross)
+    # ...and 'Addr' from namespace com.b must not reach com.a.Addr
+    cross_b = {"type": "record", "name": "Top", "fields": [
+        {"name": "x", "type": {
+            "type": "record", "name": "Addr", "namespace": "com.a",
+            "fields": [{"name": "v", "type": "long"}]}},
+        {"name": "y", "type": {
+            "type": "record", "name": "P", "namespace": "com.b",
+            "fields": [{"name": "ref", "type": "Addr"}]}}]}
+    with pytest.raises(ValueError, match="unresolved named type"):
+        S.avro_to_struct(cross_b)
+    # a null-namespace definition IS reachable by its bare name (its
+    # fullname) from the null namespace — and from a namespaced site
+    # only via nothing (no dotted form exists), so pin the positive
+    # null-ns case too
+    nullns = {"type": "record", "name": "Top", "fields": [
+        {"name": "x", "type": {
+            "type": "record", "name": "Addr",
+            "fields": [{"name": "v", "type": "long"}]}},
+        {"name": "y", "type": "Addr"}]}
+    st3 = S.avro_to_struct(nullns)
+    assert st3["x"].dataType == st3["y"].dataType
+
+    # two DIFFERENT definitions of one fullname are an error (Avro
+    # forbids duplicate definitions; setdefault silently kept the first)
+    dup = {"type": "record", "name": "Top", "fields": [
+        {"name": "x", "type": {
+            "type": "record", "name": "Addr",
+            "fields": [{"name": "v", "type": "long"}]}},
+        {"name": "y", "type": {
+            "type": "record", "name": "Addr",
+            "fields": [{"name": "s", "type": "string"}]}}]}
+    with pytest.raises(ValueError, match="duplicate definition"):
+        S.avro_to_struct(dup)
+
     # r12 review #4: chained reuse is MEMOIZED — a ~25-deep chain
     # where each record holds two references to the previous one is
     # linear, not 2^25 re-expansions
