@@ -2481,6 +2481,21 @@ class IcebergTable:
                 out = out.join(
                     F.broadcast(seq_lk),
                     out["_cl_fp"] == seq_lk["_sq_path"], "left")
+                # every removed file is in the lookup by construction,
+                # so a NULL _data_seq can only mean a path-form
+                # mismatch _path_uri_form did not normalize — and the
+                # sequence guards downstream would evaluate to NULL and
+                # silently SKIP the anti-joins (already-dead rows would
+                # re-retract). Fail loudly like the insert path's stamp
+                # (advice-r12).
+                out = out.withColumn("_data_seq", F.when(
+                    F.col("_data_seq").isNull(),
+                    F.raise_error(F.concat(
+                        F.lit("changelog: removed file missing from "
+                              "the sequence lookup (path-form "
+                              "mismatch): "),
+                        F.col("_cl_fp"))).cast("long"),
+                ).otherwise(F.col("_data_seq")))
                 out = self._anti_join_deletes(
                     out, pos_app, eq_app, st, id_to_name,
                     fp_col="_cl_fp", pos_col="_cl_pos")

@@ -3544,6 +3544,58 @@ def test_changelog_overwrite_over_delete_history(spark, tmp_path):
         [(1, "delete"), (4, "delete"), (10, "insert")]
 
 
+def test_changelog_overwrite_residue_seq_mismatch_fails_loudly(
+        spark, tmp_path, monkeypatch):
+    """r13 (ADVICE): in the overwrite-retraction residue path, the
+    per-file sequence lookup join is a plain left join — a path-form
+    mismatch left _data_seq NULL, the sequence guards evaluated to
+    NULL, and the delete anti-joins silently SKIPPED (already-dead
+    rows re-retracted). The insert path fails loudly on the same
+    mismatch; the residue path must too."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "clowseq")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df.coalesce(1))
+    s1 = t.metadata()["current-snapshot-id"]
+    removed_paths = {f.path for f in t.data_files(s1)}
+    t.delete_equality(spark.createDataFrame([(2,)], "k long"))
+    s_eq = t.metadata()["current-snapshot-id"]
+    sub = str(tmp_path / "clowseq_new")
+    spark.createDataFrame([(10, "x")], "k long, s string").coalesce(1) \
+        .write.mode("overwrite").parquet(sub)
+    s_ow = t._commit_files(t._list_committed_files(sub), content=0,
+                           equality_ids=None, operation="overwrite",
+                           carry_prior=False)
+
+    # healthy: the eq-killed row 2 retracts at s_eq, NOT at the
+    # overwrite (windowed to the overwrite alone: only 1 and 3 retract)
+    assert sorted((r.k, r._change_type)
+                  for r in t.changelog(s_eq, s_ow).collect()) == \
+        [(1, "delete"), (3, "delete"), (10, "insert")]
+
+    # cripple the URI normalization for the REMOVED files only (the
+    # window's own added file stays intact, so the insert-side stamp
+    # guard cannot fire first)
+    real = IcebergTable._path_uri_form
+
+    def mangled(self, p):
+        u = real(self, p)
+        if p in removed_paths or u in {real(self, q)
+                                       for q in removed_paths}:
+            return u + "#mangled"
+        return u
+
+    monkeypatch.setattr(IcebergTable, "_path_uri_form", mangled)
+    with pytest.raises(Exception, match="sequence lookup"):
+        t.changelog(s_eq, s_ow).collect()
+
+
 def test_changelog_mor_overwrite_adds_delete_files(spark, tmp_path):
     """r12: a MoR-style overwrite (RowDelta — commits delete files,
     removes nothing, operation='overwrite') replays its added eq/pos
