@@ -10130,63 +10130,64 @@ HEADLINE = [
 #      a new query must replace a retired redundant one.
 # Rotate until every entry has a green row in some CORRECTNESS file.
 DRIVER_FIRST = [
-    # ROUND-12 WINDOW: CORRECTNESS_r11 certified its full 50 green.
-    # Two entries are FRONTED because their fixtures were hardened
-    # AFTER their last driver row (verdict-r11 "What's wrong" #1):
-    # iceberg_changelog_delete_read gained an in-window
-    # rewrite_data_files and iceberg_datasource_write_roundtrip now
-    # routes its whole DSv2 round trip through loop://. The remaining
-    # 48 are the stalest-green canaries in rotate_window.py order.
-    "iceberg_changelog_delete_read",  # r11-hardened: in-window rewrite
-    "iceberg_datasource_write_roundtrip",  # r11-hardened: loop:// path
-    "convert_json_roundtrip",  # canary
-    "quality_ts_lower_bound",  # canary
-    "quality_passed",  # canary
-    "quality_quarantined",  # canary
-    "compaction_merge_orders",  # canary
-    "compaction_dup_stats",  # canary
-    "retention_newest_k",  # canary
-    "retention_select_between",  # canary
-    "retention_combine_union",  # canary
-    "retention_combine_intersect",  # canary
-    "topk_orders",  # canary
-    "window_tumbling_daily",  # canary
-    "window_session_user",  # canary
-    "window_time_partitions",  # canary
-    "fork_branch_counts",  # canary
-    "text_token_stats",  # canary
-    "text_quality_scores",  # canary
-    "skew_heavy_hitters",  # canary
-    "skew_salted_join",  # canary
-    "mixing_pack_manifest",  # canary
-    "cleaning_line_census",  # canary
-    "decontaminate_corpus",  # canary
-    "streaming_dedup_ingest",  # canary
-    "user_value_deciles",  # canary
-    "split_train_val_test",  # canary
-    "ingest_count_anomalies",  # canary
-    "winsorize_event_values",  # canary
-    "mixing_temperature_sample",  # canary
-    "embedding_quantize_int8",  # canary
-    "text_bpe_tokens",  # canary
-    "fuzzy_match_docs",  # canary
-    "corpus_drift_kl",  # canary
-    "multimodal_audio_segments",  # canary
-    "expectations_report_orders",  # canary
-    "text_compression_ratio",  # canary
-    "cleaning_dedup_paragraphs",  # canary
-    "text_hash_embeddings",  # canary
-    "bloom_fpr_report",  # canary
-    "console_writer_capture",  # canary
-    "flush_roll_census",  # canary
-    "example_source_roundtrip",  # canary
-    "schema_recursion_truncate",  # canary
-    "text_lang_id",  # canary
-    "text_fingerprint",  # canary
-    "ngram_jaccard_docs",  # canary
-    "minhash_lsh_docs",  # canary
-    "simhash_docs",  # canary
-    "minhash_lsh_checked",  # canary
+    # ROUND-13 WINDOW: CORRECTNESS_r12 certified its full 50 (45 hash
+    # + 5 rows-only-by-design). Pure canary refresh in
+    # rotate_window.py staleness order, with the verdict-r12 #2
+    # sibling rule in force: a rows-only entry coming up for refresh
+    # pulls its hash-checked sibling in immediately before it, so the
+    # refresh re-proves VALUES (embedding_near_dup_checked rides ahead
+    # of embedding_near_dup; semantic_dedup_docs has no SQL-expressible
+    # sibling — SemDeDup's k-means is non-oracle by design).
+    "simhash_checked",  # canary
+    "cosine_topk_embeddings",  # canary
+    "ivf_topk_embeddings",  # canary
+    "embedding_near_dup_checked",  # canary (sibling, pulled forward)
+    "embedding_near_dup",  # canary (rows-only)
+    "semantic_dedup_docs",  # canary (rows-only)
+    "text_redact_pii",  # canary
+    "text_gopher_quality",  # canary
+    "text_gopher_repetition",  # canary
+    "text_repetition_ratio",  # canary
+    "contamination_check_docs",  # canary
+    "multimodal_metadata",  # canary
+    "multimodal_frame_plan",  # canary
+    "multimodal_decode_png",  # canary
+    "multimodal_decode_jpeg",  # canary
+    "multimodal_decode_jpeg_color",  # canary
+    "multimodal_decode_jpeg420",  # canary
+    "q3_segment_revenue",  # canary
+    "q6_forecast_revenue",  # canary
+    "q10_returned_items",  # canary
+    "q4_order_priority",  # canary
+    "q12_priority_by_flag",  # canary
+    "text_bpe_tokens_checked",  # canary
+    "text_compression_ratio_checked",  # canary
+    "bloom_fpr_report_checked",  # canary
+    "mixing_pack_epochs",  # canary
+    "curation_dedup_split",  # canary
+    "corpus_drift_weekly",  # canary
+    "pull_flow_csv",  # canary
+    "multimodal_decode_jpeg_prog",  # canary
+    "multimodal_decode_gif",  # canary
+    "iceberg_bucket_prune_read",  # canary
+    "iceberg_time_partition_read",  # canary
+    "iceberg_partitions_table",  # canary
+    "iceberg_partition_evolution_read",  # canary
+    "multimodal_audio_spectral",  # canary
+    "multimodal_decode_tiff",  # canary
+    "streaming_iceberg_ingest",  # canary
+    "iceberg_wap_publish",  # canary
+    "iceberg_datasource_read",  # canary
+    "iceberg_stream_incremental",  # canary
+    "streaming_wap_publish",  # canary
+    "curation_lakehouse_roundtrip",  # canary
+    "iceberg_stream_sink_native",  # canary
+    "compaction_dedup_events",  # canary
+    "purge_by_id",  # canary
+    "dedup_exact_docs",  # canary
+    "multimodal_decode_wav",  # canary
+    "multimodal_decode_bmp",  # canary
+    "q1_pricing_summary",  # canary
 ]
 assert len(DRIVER_FIRST) == 50, len(DRIVER_FIRST)
 assert set(DRIVER_FIRST) <= set(QUERIES), sorted(set(DRIVER_FIRST) - set(QUERIES))

@@ -21,6 +21,20 @@ import sys
 sys.path.insert(0, ".")
 
 
+def checked_sibling(name: str) -> str | None:
+    """Hash-checked sibling of a rows-only entry, by the catalog's
+    naming convention: ``<name>_checked``, falling back to the stem
+    with a trailing ``_docs`` stripped (``minhash_lsh_docs`` →
+    ``minhash_lsh_checked``). Returns None when no sibling exists."""
+    from gobblin_spark.queries import QUERIES
+
+    for cand in (f"{name}_checked",
+                 f"{name.removesuffix('_docs')}_checked"):
+        if cand in QUERIES and cand != name:
+            return cand
+    return None
+
+
 def classify(window: int):
     from gobblin_spark.queries import QUERIES
 
@@ -58,8 +72,30 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=50)
     args = ap.parse_args()
 
+    from gobblin_spark.queries import ORACLES
+
     names, never, red, green = classify(args.window)
-    proposal = (never + red + green)[:args.window]
+
+    # verdict-r12 #2: a rows-only (no-oracle) canary re-proves row
+    # counts, not values — when one comes up for refresh, PAIR IN its
+    # hash-checked sibling immediately before it so the stale-green
+    # refresh actually re-proves values. The sibling is pulled forward
+    # out of its own place in the staleness order.
+    canaries: list[str] = []
+    emitted: set[str] = set()
+    pulled: set[str] = set()
+    for n in green:
+        if n in emitted:
+            continue
+        if n not in ORACLES:
+            sib = checked_sibling(n)
+            if sib and sib in green and sib not in emitted:
+                canaries.append(sib)
+                emitted.add(sib)
+                pulled.add(sib)
+        canaries.append(n)
+        emitted.add(n)
+    proposal = (never + red + canaries)[:args.window]
 
     print(f"catalog: {len(names)} queries; window: {args.window}")
     print(f"never driver-run: {len(never)}; red at last run: {len(red)}; "
@@ -69,7 +105,10 @@ def main() -> int:
               "entries do not fit this round — they roll to the next one")
     print("\nDRIVER_FIRST = [")
     for n in proposal:
-        tag = "never" if n in never else "red" if n in red else "canary"
+        tag = ("never" if n in never else "red" if n in red
+               else "canary (sibling, pulled forward)" if n in pulled
+               else "canary (rows-only)" if n not in ORACLES
+               else "canary")
         print(f'    "{n}",  # {tag}')
     print("]")
     return 0

@@ -150,6 +150,17 @@ def test_driver_window_is_exactly_fifty_and_first():
                "bloom_fpr_report": "bloom_fpr_report_checked"}
     for n in missing:
         assert shadows[n] in Q.ORACLES, f"{n} lacks a hash-green shadow"
+    # verdict-r12 #2: a rows-only entry in the window whose
+    # hash-checked sibling exists must carry that sibling IN the same
+    # window, ahead of it — the canary refresh re-proves values, not
+    # just row counts
+    from scripts.rotate_window import checked_sibling
+    for n in missing:
+        sib = checked_sibling(n)
+        if sib is not None:
+            assert sib in Q.DRIVER_FIRST, (n, sib)
+            assert Q.DRIVER_FIRST.index(sib) < Q.DRIVER_FIRST.index(n), \
+                (n, sib)
 
 
 # -- BPE segmentation ------------------------------------------------
