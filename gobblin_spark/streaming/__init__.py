@@ -1,5 +1,7 @@
-"""Streaming layer: sources, flush-epoch runner, late-data routing."""
+"""Streaming layer: sources, flush-epoch runner, late-data routing,
+changelog-mode table-format consumption."""
 
+from gobblin_spark.streaming.changelog_stream import IcebergChangelogStream
 from gobblin_spark.streaming.runner import (
     IngestSpec,
     EpochStats,
@@ -17,6 +19,7 @@ from gobblin_spark.streaming.runner import (
 )
 
 __all__ = [
+    "IcebergChangelogStream",
     "IngestSpec",
     "EpochStats",
     "file_stream",

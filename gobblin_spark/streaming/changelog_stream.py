@@ -1,0 +1,133 @@
+"""Changelog-mode streaming over the table format: per-epoch CDC
+consumption with checkpointed snapshot offsets.
+
+Reference mapping: the reference's streaming ingestion keeps a
+per-source watermark and replays idempotently per flush epoch
+(gobblin-core/src/main/java/org/apache/gobblin/source/extractor/
+extract/kafka/KafkaStreamingExtractor.java:118 watermark tracking;
+gobblin-runtime/.../SafeDatasetCommit.java commit isolation). This
+module is the CDC analog on the lakehouse side: the batch
+``IcebergTable.changelog()`` already computes insert AND retraction
+rows for any snapshot window (including equality/position deletes and
+COW/MoR overwrites) — what a streaming consumer additionally needs is
+OFFSET MANAGEMENT (which snapshot was consumed last), BATCHING (bound
+how many commits one micro-batch covers), and REPLAY IDEMPOTENCE
+across restarts. That is exactly Structured Streaming's
+``foreachBatch`` contract, so this helper exposes the same shape: the
+user function receives ``(batch_df, epoch_token)`` and must be
+idempotent by token; the offset is checkpointed only AFTER the
+function returns, so a crash between delivery and checkpoint re-runs
+the SAME window under the SAME token on restart.
+
+Why not a DSv2 stream source: Spark's micro-batch readers materialize
+rows per InputPartition from file splits, which fits append-only
+consumption (``gobblin_iceberg``'s readStream face, sequence-number
+offsets). Retraction rows are NOT per-file reads — an equality-delete
+retraction is "table state as of the delete's parent, semi-joined with
+its tuples", a multi-scan broadcast-join plan that only exists at the
+DataFrame layer. Driving ``changelog()`` per epoch keeps that plan
+(zero shuffles, broadcast joins, pruned scans) instead of forcing it
+through a row-server hop.
+
+Scale shape (100 TB): everything here is driver-side metadata except
+the delivered DataFrame, whose plan is the audited changelog plan —
+per-epoch cost is O(delta), never O(table). The checkpoint is a
+WatermarkStore ledger (atomic create-if-absent per sequence, torn-file
+fallback, pruning), so the offset directory works on any Hadoop
+filesystem the session reaches.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from gobblin_spark.state import WatermarkStore
+
+_DATASET = "iceberg_changelog_offsets"
+
+
+class IcebergChangelogStream:
+    """Checkpointed per-epoch consumption of ``IcebergTable.changelog``.
+
+    ``fn(batch_df, to_snapshot_id)`` is invoked once per pending
+    window; ``to_snapshot_id`` is the epoch token — deterministic
+    across restarts (same committed offset + same upstream history ⇒
+    byte-identical window and token), so an idempotent-by-token sink
+    gets exactly-once effects even when a crash lands between delivery
+    and the offset commit. ``max_snapshots_per_batch`` bounds how many
+    upstream commits one epoch covers (None = drain everything pending
+    in one batch); changing it between restarts re-slices only the
+    UNCOMMITTED tail — committed offsets are never revisited.
+    """
+
+    def __init__(self, table, checkpoint_dir: str,
+                 max_snapshots_per_batch: int | None = None):
+        if max_snapshots_per_batch is not None \
+                and max_snapshots_per_batch < 1:
+            raise ValueError("max_snapshots_per_batch must be >= 1")
+        self.table = table
+        self.store = WatermarkStore(table.spark, checkpoint_dir)
+        self.max_snapshots_per_batch = max_snapshots_per_batch
+
+    # -- offsets --------------------------------------------------------
+    def last_committed(self) -> int | None:
+        """Snapshot id of the last fully-consumed window head, or None
+        when this checkpoint has never committed."""
+        raw = self.store.get(_DATASET)
+        return None if raw is None else json.loads(raw)["snapshot_id"]
+
+    def _commit_offset(self, snapshot_id: int, epoch: int) -> None:
+        self.store.commit(
+            _DATASET, json.dumps({"snapshot_id": snapshot_id,
+                                  "epoch": epoch}))
+
+    # -- planning ---------------------------------------------------------
+    def pending(self) -> list[int]:
+        """Snapshot ids on MAIN committed after the checkpointed offset,
+        oldest first. Raises when the offset is no longer on main's
+        ancestry — an upstream ``rollback_to`` rewrote history past the
+        consumer, or the snapshot expired before the consumer caught
+        up; both need an operator decision (re-seed the checkpoint or
+        re-bootstrap the downstream), not a silent full re-emit."""
+        md = self.table.metadata()
+        head = md.get("current-snapshot-id", -1)
+        if head == -1:
+            return []
+        chain = [s["snapshot-id"]
+                 for s in reversed(self.table._main_ancestry(md))]
+        last = self.last_committed()
+        if last is None:
+            return chain
+        if last not in chain:
+            raise RuntimeError(
+                f"changelog stream offset {last} is not on main's "
+                "ancestry — upstream rollback_to rewrote history past "
+                "this consumer, or the snapshot expired before it "
+                "caught up; re-seed the checkpoint deliberately")
+        return chain[chain.index(last) + 1:]
+
+    # -- consumption ------------------------------------------------------
+    def process_available(
+            self, fn: Callable[[DataFrame, int], None]) -> int:
+        """Drain every pending window through *fn*; returns the number
+        of epochs delivered. Offset commits happen strictly AFTER *fn*
+        returns for the window — at-least-once delivery with
+        deterministic tokens, which an idempotent-by-token *fn* turns
+        into exactly-once (the foreachBatch contract)."""
+        delivered = 0
+        while True:
+            todo = self.pending()
+            if not todo:
+                return delivered
+            step = (len(todo) if self.max_snapshots_per_batch is None
+                    else self.max_snapshots_per_batch)
+            frm = self.last_committed()
+            to_sid = todo[min(step, len(todo)) - 1]
+            raw = self.store.get(_DATASET)
+            epoch = 0 if raw is None else json.loads(raw)["epoch"] + 1
+            fn(self.table.changelog(frm, to_sid), to_sid)
+            self._commit_offset(to_sid, epoch)
+            delivered += 1

@@ -178,6 +178,12 @@ def split_late(
 # ------------------------------------------------------------------
 
 
+# bounded per-spec stats retention — the driver keeps the most recent
+# N epochs' telemetry (audit r8: unbounded growth on long streams;
+# audit r13: the replay branch skipped the bound entirely)
+STATS_CAP = 10_000
+
+
 @dataclass
 class EpochStats:
     epoch_id: int
@@ -346,6 +352,7 @@ def _epoch_fn(spec: IngestSpec, store: WatermarkStore, token: str):
                 frontier = mk_frontier
             st.frontier = frontier
             spec.stats.append(st)
+            del spec.stats[:-STATS_CAP]  # same bound as the main path
             return
 
         if spec.target_schema is not None:
@@ -430,7 +437,7 @@ def _epoch_fn(spec: IngestSpec, store: WatermarkStore, token: str):
         store.prune(_epoch_marker(spec, token), keep_last=20)
         store.prune(spec.dataset, keep_last=200)
         spec.stats.append(st)
-        del spec.stats[:-10_000]  # bounded driver memory (audit r8)
+        del spec.stats[:-STATS_CAP]  # bounded driver memory (audit r8)
 
     return run
 

@@ -374,3 +374,148 @@ def test_epoch_col_clash_fails_loudly(spark, tmp_path):
     spec = streaming.IngestSpec(final_dir=str(tmp_path / "o"), ts_col="k")
     with pytest.raises(ValueError, match=R.EPOCH_COL):
         R._epoch_write(df, spec, "t-0", str(tmp_path / "o"))
+
+
+def test_changelog_stream_epochs_retractions_exactly_once(
+        spark, tmp_path, monkeypatch):
+    """verdict-r12 #3: changelog-mode streaming — append / equality-
+    delete / position-delete / INSERT OVERWRITE land upstream; the
+    checkpointed consumer delivers each window once with a
+    deterministic token, and a crash BETWEEN delivery and the offset
+    commit re-delivers the SAME window under the SAME token after
+    restart, so an idempotent-by-token sink nets exactly-once —
+    including the retraction rows."""
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.streaming import IcebergChangelogStream
+
+    loc = str(tmp_path / "clstream")
+    ckpt = str(tmp_path / "clstream_ckpt")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, s string")
+    t = IcebergTable.create(spark, loc, df.schema)
+
+    sink: dict[int, list] = {}   # token -> rows (idempotent by token)
+    calls: list[int] = []
+
+    def fn(batch_df, token):
+        rows = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                      for r in batch_df.collect())
+        calls.append(token)
+        sink[token] = rows
+
+    cs = IcebergChangelogStream(t, ckpt, max_snapshots_per_batch=2)
+    assert cs.process_available(fn) == 0      # empty table: no epochs
+    assert cs.last_committed() is None
+
+    t.append_dataframe(df.coalesce(1))
+    s1 = t.metadata()["current-snapshot-id"]
+    assert cs.process_available(fn) == 1
+    assert cs.last_committed() == s1
+    assert sink[s1] == [(1, "insert", s1), (2, "insert", s1),
+                        (3, "insert", s1), (4, "insert", s1)]
+
+    # delete-carrying history + a genuine overwrite
+    t.delete_equality(spark.createDataFrame([(2,)], "k long"))
+    s2 = t.metadata()["current-snapshot-id"]
+    pos = (t.read(apply_deletes=False)
+           .select(F.col("_metadata.file_path").alias("file_path"),
+                   F.col("_metadata.row_index").alias("pos"), "k")
+           .filter(F.col("k") == 3).drop("k"))
+    t.delete_positions(pos)
+    s3 = t.metadata()["current-snapshot-id"]
+    sub = str(tmp_path / "clstream_new")
+    spark.createDataFrame([(10, "x")], "k long, s string").coalesce(1) \
+        .write.mode("overwrite").parquet(sub)
+    s4 = t._commit_files(t._list_committed_files(sub), content=0,
+                         equality_ids=None, operation="overwrite",
+                         carry_prior=False)
+
+    # CRASH between delivery and offset commit on the retraction epoch
+    real_commit = IcebergChangelogStream._commit_offset
+    def torn(self, snapshot_id, epoch):
+        raise OSError("simulated crash before offset commit")
+    monkeypatch.setattr(IcebergChangelogStream, "_commit_offset", torn)
+    crashed = IcebergChangelogStream(t, ckpt, max_snapshots_per_batch=2)
+    with pytest.raises(OSError, match="simulated crash"):
+        crashed.process_available(fn)
+    assert calls[-1] == s3           # the (s1, s3] window DID deliver
+    first_delivery = sink[s3]
+    monkeypatch.setattr(IcebergChangelogStream, "_commit_offset",
+                        real_commit)
+
+    # RESTART: fresh instance re-delivers the SAME window, SAME token,
+    # byte-identical rows — then drains the overwrite epoch
+    restarted = IcebergChangelogStream(t, ckpt, max_snapshots_per_batch=2)
+    assert restarted.process_available(fn) == 2
+    assert calls.count(s3) == 2      # delivered twice (at-least-once)...
+    assert sink[s3] == first_delivery   # ...but idempotent by token
+    assert sink[s3] == [(2, "delete", s2), (3, "delete", s3)]
+    assert sink[s4] == [(1, "delete", s4), (4, "delete", s4),
+                        (10, "insert", s4)]
+    assert restarted.last_committed() == s4
+
+    # exactly-once net effect: the sink's union IS the full changelog
+    want = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                  for r in t.changelog(None).collect())
+    got = sorted(r for rows in sink.values() for r in rows)
+    assert got == want
+
+    # nothing pending; a no-op drain delivers zero epochs
+    assert restarted.process_available(fn) == 0
+
+
+def test_changelog_stream_rollback_breaks_continuity_loudly(
+        spark, tmp_path):
+    """An upstream rollback_to that rewrites history past the
+    consumer's offset must raise at the consumer, not silently
+    re-emit or skip."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.streaming import IcebergChangelogStream
+
+    loc = str(tmp_path / "clsroll")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df.coalesce(1))
+    s1 = t.metadata()["current-snapshot-id"]
+    t.append_dataframe(spark.createDataFrame([(2, "b")],
+                                             "k long, s string"))
+
+    cs = IcebergChangelogStream(t, str(tmp_path / "clsroll_ckpt"))
+    seen = []
+    assert cs.process_available(
+        lambda d, tok: seen.append((tok, d.count()))) == 1
+
+    t.rollback_to(s1)
+    t.append_dataframe(spark.createDataFrame([(3, "c")],
+                                             "k long, s string"))
+    with pytest.raises(RuntimeError, match="rollback_to"):
+        cs.process_available(lambda d, tok: None)
+
+
+def test_epoch_stats_bounded_on_replay_too(spark, tmp_path, monkeypatch):
+    """audit r13: the replay branch appended EpochStats WITHOUT the
+    retention bound the main path applies — a long-lived stream that
+    keeps replaying (e.g. a stuck upstream re-delivering one epoch)
+    would grow driver memory without limit. Both paths share
+    STATS_CAP now."""
+    from gobblin_spark.state import WatermarkStore
+    from gobblin_spark.streaming import runner as R
+
+    monkeypatch.setattr(R, "STATS_CAP", 5)
+    spec = R.IngestSpec(final_dir=str(tmp_path / "o"), ts_col="ts")
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    token = "tok"
+    # pre-commit a marker claiming epoch 100 is done: every call below
+    # is a replay
+    import json as _json
+    store.commit(R._epoch_marker(spec, token),
+                 _json.dumps({"epoch": 100, "frontier": None}))
+    fn = R._epoch_fn(spec, store, token)
+    df = spark.createDataFrame(
+        [(1, __import__("datetime").datetime(2024, 1, 1))], "k long, ts timestamp")
+    for i in range(12):
+        fn(df, 7)   # epoch 7 <= marker 100 -> replay branch
+    assert all(s.replayed for s in spec.stats)
+    assert len(spec.stats) == 5  # bounded, not 12
