@@ -1991,11 +1991,16 @@ class IcebergTable:
         for their added files; MoR-style overwrites (RowDelta: added
         delete files, nothing removed) route their delete files
         through the ordinary retraction machinery anchored at the
-        parent. The one unsupported shape — a single commit that BOTH
-        removes data files AND adds delete files (hybrid COW+MoR, no
-        known engine emits it) — raises naming itself. Delete commits
-        OUTSIDE the window are ignored: they changed state the window
-        does not cover.
+        parent. HYBRID commits that BOTH remove data files AND add
+        delete files (COW+MoR in one snapshot — no known engine emits
+        it, but the shape is spec-legal) replay via a file-disjoint
+        split: removed files' parent-live rows retract wholesale,
+        added pos-deletes resolve against the commit's own live files
+        (which exclude the removed set by construction), and added
+        eq-deletes anchor at the parent-live rows of the KEPT parent
+        files only — so no row can retract through two paths. Delete
+        commits OUTSIDE the window are ignored: they changed state the
+        window does not cover.
 
         ``ref``: diff a BRANCH/TAG head instead of main — the
         write-audit-publish reviewer's view of exactly what a staged
@@ -2014,6 +2019,11 @@ class IcebergTable:
         self.release_changelog_cache()
         md = self.metadata()
         snaps = {s["snapshot-id"]: s for s in md["snapshots"]}
+        if from_snapshot_id is not None and from_snapshot_id not in snaps:
+            raise ValueError(
+                f"changelog: from_snapshot_id {from_snapshot_id} is not "
+                "a retained snapshot — it expired (or never existed); "
+                "the window base state is gone")
         lo_seq = (0 if from_snapshot_id is None
                   else snaps[from_snapshot_id]["sequence-number"])
         to_id = (md["current-snapshot-id"] if to_snapshot_id is None
@@ -2023,10 +2033,29 @@ class IcebergTable:
                 [], self._schema_for(None, md)
                 .add("_change_type", T.StringType())
                 .add("_commit_snapshot_id", T.LongType()))
+        if to_id not in snaps:
+            raise ValueError(
+                f"changelog: to_snapshot_id {to_id} is not a retained "
+                "snapshot — it expired (or never existed)")
         hi_seq = snaps[to_id]["sequence-number"]
         # gate + era detection walk TO_ID's ancestry (not the head's —
         # a rollback can put replaces on main that to_id never saw)
         chain = self._main_ancestry({**md, "current-snapshot-id": to_id})
+        # the window is only meaningful when FROM is on the head's
+        # lineage (audit r13 — changelog(ref=)/rollback edges): a
+        # rolled-back main or a diverged branch head shares sequences
+        # with commits the window head never saw, and the
+        # sequence-bounded walk would silently emit inserts WITHOUT the
+        # retractions of the abandoned lineage (Iceberg's incremental
+        # scan rejects a non-ancestor base the same way)
+        if (from_snapshot_id is not None
+                and from_snapshot_id not in {s["snapshot-id"]
+                                             for s in chain}):
+            raise ValueError(
+                f"changelog: from_snapshot_id {from_snapshot_id} is not "
+                f"an ancestor of the window head {to_id} — an upstream "
+                "rollback_to abandoned it, or it lives on a diverged "
+                "branch; diff from a shared ancestor instead")
         win_replaces = []
         win_overwrites = []
         for s in chain:
@@ -2075,6 +2104,9 @@ class IcebergTable:
         pos_dels = []   # [(entry, era_idx)] pos-delete files in window
         eq_dels = []    # content=2 equality-delete files in the window
         era_data = []   # per era: every live data file at its walk
+        era_dels = []   # per era: every live DELETE file at its walk
+        #               (window or not — the pos-retraction scan needs
+        #               the full earlier residue, audit r13)
         # [(removed data entries, overwrite snapshot id,
         #   parent-live pos-delete entries, parent-live eq-delete
         #   entries)] — the residue is APPLIED to the removed scan so
@@ -2086,6 +2118,12 @@ class IcebergTable:
         # its same-commit added files — the spec applies pos-deletes
         # inclusively), not an era walk
         ow_pos_dels = []
+        # eq-delete files added by a HYBRID overwrite (one commit that
+        # both removes data files and adds delete files): their
+        # retraction anchor is the parent-live rows of the KEPT parent
+        # files only — see the emission block for the disjointness
+        # argument (r13, closes the r12 hybrid gate)
+        hybrid_eq = []
         for o in win_overwrites:
             o_id = o["snapshot-id"]
             o_seq = o["sequence-number"]
@@ -2104,17 +2142,6 @@ class IcebergTable:
                             if e["content"] == 0}
             removed = [e for e in ents_p if e["content"] == 0
                        and e["info"].path not in o_data_paths]
-            if removed and o_add_dels:
-                # a commit that BOTH removes data files and adds
-                # delete files: the added deletes' matches can overlap
-                # the removed rows, so the two retraction paths would
-                # double-count — no known engine emits this hybrid
-                # (COW rewrites files; MoR RowDelta only adds)
-                raise NotImplementedError(
-                    "changelog: overwrite snapshot removes data files "
-                    f"({len(removed)}) AND adds delete files "
-                    f"({len(o_add_dels)}) in one commit — hybrid "
-                    "COW+MoR overwrites are not replayable")
             # retractions: every PARENT-LIVE row of the files the
             # overwrite REMOVED; the parent's delete residue is
             # carried along and applied in the emission below
@@ -2132,7 +2159,32 @@ class IcebergTable:
             # upsert writer addresses same-checkpoint rows exactly
             # this way, r12 review #2), so their reference set is the
             # overwrite's OWN live data: parent-kept + its added files
-            eq_dels.extend(e for e in o_add_dels if e["content"] == 2)
+            # — which by construction EXCLUDES the removed files, so a
+            # pos-delete is disjoint from the removed-path retractions
+            # in every shape (a reference into a removed file finds no
+            # live target: those rows retract via the removed path).
+            o_add_eq = [e for e in o_add_dels if e["content"] == 2]
+            if removed and o_add_eq:
+                # HYBRID COW+MoR (r13 — was a NotImplementedError
+                # through r12): the added eq-deletes' matches could
+                # overlap the removed rows, double-counting. The two
+                # retraction sets ARE disjoint once the eq anchor is
+                # restricted BY FILE: rows of REMOVED files retract via
+                # the removed path (all of them — whether or not the
+                # eq tuples also match); rows the eq-deletes kill in
+                # SURVIVING parent files retract here. Same-commit
+                # added data files are never eq-targets (strictly-
+                # earlier rule), and the kept-file scan carries the
+                # parent's own delete residue exactly like the removed
+                # path, so already-dead rows don't re-retract.
+                kept = [e for e in ents_p if e["content"] == 0
+                        and e["info"].path in o_data_paths]
+                hybrid_eq.append(
+                    (o_add_eq, kept, o_id,
+                     [e for e in ents_p if e["content"] == 1],
+                     [e for e in ents_p if e["content"] == 2]))
+            else:
+                eq_dels.extend(o_add_eq)
             ow_pos_dels.extend(
                 (e, o_id) for e in o_add_dels if e["content"] == 1)
             # inserts: the files it ADDED ride the normal insert scan
@@ -2141,14 +2193,17 @@ class IcebergTable:
             window.extend(e for e in o_added if e["content"] == 0)
         for era_lo, walk_id, era_hi in eras:
             all_data = []
+            all_dels = []
             idx = len(era_data)
             for e in _ents(walk_id):
                 in_win = era_lo < e["sequence_number"] <= era_hi
                 if e["content"] == 2:
+                    all_dels.append(e)
                     if in_win:
                         eq_dels.append(e)
                     continue
                 if e["content"] == 1:
+                    all_dels.append(e)
                     if in_win:
                         pos_dels.append((e, idx))
                     continue
@@ -2156,6 +2211,7 @@ class IcebergTable:
                 if in_win:
                     window.append(e)
             era_data.append(all_data)
+            era_dels.append(all_dels)
         # overwrite-added pos-deletes resolve against the OVERWRITE's
         # live data set (parent-kept + its own added files — position
         # deletes apply inclusively to same-sequence data, r12 review
@@ -2166,6 +2222,8 @@ class IcebergTable:
                 _ow_ref_idx[ref_id] = len(era_data)
                 era_data.append([x for x in _ents(ref_id)
                                  if x["content"] == 0])
+                era_dels.append([x for x in _ents(ref_id)
+                                 if x["content"] != 0])
             pos_dels.append((e, _ow_ref_idx[ref_id]))
         st = self._schema_for(to_id, md)
         if (not window and not pos_dels and not eq_dels
@@ -2218,6 +2276,65 @@ class IcebergTable:
                            else grouped.unionByName(part))
             return grouped
 
+        def _parent_live(entries, p_dels_pos, p_dels_eq,
+                         force_pos=False):
+            """Live rows of *entries* as of some anchor commit: one
+            grouped scan with the given delete residue applied through
+            read()'s shared anti-join helper. Applicability is decided
+            from the manifests first: eq-deletes apply to STRICTLY-
+            earlier data files; pos-deletes only to files they
+            actually reference (a driver-local column read of each
+            small delete file). ``force_pos`` keeps the (file, pos)
+            metadata columns on the output even when no pos residue
+            applies (the pos-retraction path joins on them)."""
+            min_seq = min(e["sequence_number"] for e in entries)
+            paths = ({e["info"].path for e in entries}
+                     | {self._path_uri_form(e["info"].path)
+                        for e in entries})
+            eq_app = [e for e in p_dels_eq
+                      if e["sequence_number"] > min_seq]
+            pos_app = []
+            for d in p_dels_pos:
+                import pyarrow.parquet as _pq
+                refs = set(_pq.read_table(
+                    _open_input_file_any(d["info"].path),
+                    columns=["file_path"])["file_path"].to_pylist())
+                if refs & paths:
+                    pos_app.append(d)
+            out = _scan_grouped(entries,
+                                with_pos=force_pos or bool(pos_app))
+            if eq_app or pos_app:
+                # per-file commit sequence rides a broadcast lookup
+                # so the residue's sequence guards stay exact; the
+                # anti-joins themselves are read()'s shared helper —
+                # ONE copy of the spec's sequence-guard semantics
+                seq_lk = self.spark.createDataFrame(
+                    [(self._path_uri_form(e["info"].path),
+                      e["sequence_number"]) for e in entries],
+                    "_sq_path string, _data_seq long")
+                out = out.join(
+                    F.broadcast(seq_lk),
+                    out["_cl_fp"] == seq_lk["_sq_path"], "left")
+                # every scanned file is in the lookup by construction,
+                # so a NULL _data_seq can only mean a path-form
+                # mismatch _path_uri_form did not normalize — and the
+                # sequence guards downstream would evaluate to NULL and
+                # silently SKIP the anti-joins (already-dead rows would
+                # re-retract). Fail loudly like the insert path's stamp
+                # (advice-r12).
+                out = out.withColumn("_data_seq", F.when(
+                    F.col("_data_seq").isNull(),
+                    F.raise_error(F.concat(
+                        F.lit("changelog: scanned file missing from "
+                              "the sequence lookup (path-form "
+                              "mismatch): "),
+                        F.col("_cl_fp"))).cast("long"),
+                ).otherwise(F.col("_data_seq")))
+                out = self._anti_join_deletes(
+                    out, pos_app, eq_app, st, id_to_name,
+                    fp_col="_cl_fp", pos_col="_cl_pos")
+            return out
+
         ins = None
         if window:
             # file path -> committing snapshot: O(window files) slim
@@ -2245,6 +2362,10 @@ class IcebergTable:
                 .withColumn("_change_type", F.lit("insert"))
                 .select(*[f.name for f in st.fields],
                         "_change_type", "_commit_snapshot_id"))
+
+        ice = self._ice_schema_for(to_id, md)
+        id_to_name = {f["id"]: f["name"] for f in ice["fields"]}
+        cur_id_by_name = {f["name"]: f["id"] for f in ice["fields"]}
 
         dels = None
         # delete files store the URI form _metadata.file_path reports
@@ -2287,8 +2408,28 @@ class IcebergTable:
                 continue
             positions = (self.spark.read.parquet(d["info"].path)
                          .select("file_path", "pos"))
+            # EARLIER residue (audit r13): a position this delete
+            # addresses may already be dead — killed by an earlier
+            # delete (in-window or not), which already retracted it at
+            # ITS commit — so the scan must be the rows live just
+            # BEFORE this delete, or net multiplicities go negative
+            # (a pos-delete re-targeting an eq-killed row, two
+            # pos-deletes addressing one position). Earlier = strictly
+            # lower sequence; within one commit, eq siblings win
+            # (<=, they retract the row through the eq path) and pos
+            # siblings tiebreak on file path so exactly one emits.
+            e_dels = era_dels[era_idx]
+            earlier_eq = [e for e in e_dels if e["content"] == 2
+                          and e["sequence_number"] <= d_seq]
+            earlier_pos = [
+                e for e in e_dels if e["content"] == 1
+                and e["info"].path != d["info"].path
+                and (e["sequence_number"] < d_seq
+                     or (e["sequence_number"] == d_seq
+                         and e["info"].path < d["info"].path))]
             hit = (
-                _scan_grouped(ref_entries, with_pos=True)
+                _parent_live(ref_entries, earlier_pos, earlier_eq,
+                             force_pos=True)
                 .join(F.broadcast(positions),
                       (F.col("_cl_fp") == positions["file_path"])
                       & (F.col("_cl_pos") == positions["pos"]),
@@ -2322,9 +2463,6 @@ class IcebergTable:
         for e in eq_dels:
             eq_by_seq.setdefault(e["sequence_number"], {}).setdefault(
                 tuple(e["equality_ids"] or ()), []).append(e)
-        ice = self._ice_schema_for(to_id, md)
-        id_to_name = {f["id"]: f["name"] for f in ice["fields"]}
-        cur_id_by_name = {f["name"]: f["id"] for f in ice["fields"]}
         # a run extends over commit s only if s added NOTHING but
         # equality-delete files — a data or pos-delete file in the
         # same snapshot changes the state the next commit's parent
@@ -2450,60 +2588,65 @@ class IcebergTable:
         for removed, o_id, p_dels_pos, p_dels_eq in ow_removed:
             if not removed:
                 continue
-            min_seq = min(e["sequence_number"] for e in removed)
-            rem_paths = ({e["info"].path for e in removed}
-                         | {self._path_uri_form(e["info"].path)
-                            for e in removed})
-            # applicability is decided from the manifests first:
-            # eq-deletes apply to STRICTLY-earlier data files;
-            # pos-deletes only to files they actually reference
-            # (a driver-local column read of each small delete file)
-            eq_app = [e for e in p_dels_eq
-                      if e["sequence_number"] > min_seq]
-            pos_app = []
-            for d in p_dels_pos:
-                import pyarrow.parquet as _pq
-                refs = set(_pq.read_table(
-                    _open_input_file_any(d["info"].path),
-                    columns=["file_path"])["file_path"].to_pylist())
-                if refs & rem_paths:
-                    pos_app.append(d)
-            out = _scan_grouped(removed, with_pos=bool(pos_app))
-            if eq_app or pos_app:
-                # per-file commit sequence rides a broadcast lookup
-                # so the residue's sequence guards stay exact; the
-                # anti-joins themselves are read()'s shared helper —
-                # ONE copy of the spec's sequence-guard semantics
-                seq_lk = self.spark.createDataFrame(
-                    [(self._path_uri_form(e["info"].path),
-                      e["sequence_number"]) for e in removed],
-                    "_sq_path string, _data_seq long")
-                out = out.join(
-                    F.broadcast(seq_lk),
-                    out["_cl_fp"] == seq_lk["_sq_path"], "left")
-                # every removed file is in the lookup by construction,
-                # so a NULL _data_seq can only mean a path-form
-                # mismatch _path_uri_form did not normalize — and the
-                # sequence guards downstream would evaluate to NULL and
-                # silently SKIP the anti-joins (already-dead rows would
-                # re-retract). Fail loudly like the insert path's stamp
-                # (advice-r12).
-                out = out.withColumn("_data_seq", F.when(
-                    F.col("_data_seq").isNull(),
-                    F.raise_error(F.concat(
-                        F.lit("changelog: removed file missing from "
-                              "the sequence lookup (path-form "
-                              "mismatch): "),
-                        F.col("_cl_fp"))).cast("long"),
-                ).otherwise(F.col("_data_seq")))
-                out = self._anti_join_deletes(
-                    out, pos_app, eq_app, st, id_to_name,
-                    fp_col="_cl_fp", pos_col="_cl_pos")
-            hit = (out.select(*[f.name for f in st.fields])
+            hit = (_parent_live(removed, p_dels_pos, p_dels_eq)
+                   .select(*[f.name for f in st.fields])
                    .withColumn("_change_type", F.lit("delete"))
                    .withColumn("_commit_snapshot_id",
                                F.lit(o_id).cast("long")))
             dels = hit if dels is None else dels.unionByName(hit)
+
+        # HYBRID overwrite eq-delete retractions (r13): the added
+        # eq-deletes kill rows among the commit's SURVIVING parent
+        # files only — the removed files' rows already retracted above
+        # (file-disjoint by construction), and same-commit added data
+        # files are never eq-targets (strictly-earlier rule). The
+        # anchor is the parent-live scan of the kept files with the
+        # parent's residue applied, semi-joined with each tuple set;
+        # a row matching two ID SETS of one commit retracts once
+        # (anti-join chain, same discipline as the eq-run machinery).
+        for o_add_eq, kept, o_id, p_dels_pos, p_dels_eq in hybrid_eq:
+            if not kept:
+                # the overwrite removed every parent data file: its
+                # eq-deletes have nothing strictly-earlier to kill
+                continue
+            base = _parent_live(kept, p_dels_pos, p_dels_eq).alias("_hb")
+            by_ids: dict[tuple, list[dict]] = {}
+            for e in o_add_eq:
+                by_ids.setdefault(
+                    tuple(e["equality_ids"] or ()), []).append(e)
+            h_earlier: list[tuple[str, tuple, DataFrame]] = []
+            for ids, dfiles in sorted(by_ids.items()):
+                cols = [id_to_name[i] for i in ids]
+                dschema = T.StructType([
+                    f for c in cols for f in st.fields if f.name == c])
+                dd = None
+                for e in dfiles:
+                    one = self.spark.read.schema(dschema).parquet(
+                        e["info"].path)
+                    dd = one if dd is None else dd.unionByName(one)
+                alias = f"_htup{len(h_earlier)}"
+                dd = dd.alias(alias)
+
+                def _h_cond(a, a_ids):
+                    cond = F.lit(True)
+                    for i in a_ids:
+                        cond = cond & F.col(
+                            f"_hb.{id_to_name[i]}").eqNullSafe(
+                                F.col(f"{a}.{id_to_name[i]}"))
+                    return cond
+
+                cur = base
+                for e_alias, e_ids, e_dd in h_earlier:
+                    cur = cur.join(F.broadcast(e_dd),
+                                   _h_cond(e_alias, e_ids), "left_anti")
+                hit = (cur.join(F.broadcast(dd), _h_cond(alias, ids),
+                                "left_semi")
+                       .select(*[f.name for f in st.fields])
+                       .withColumn("_change_type", F.lit("delete"))
+                       .withColumn("_commit_snapshot_id",
+                                   F.lit(o_id).cast("long")))
+                h_earlier.append((alias, ids, dd))
+                dels = hit if dels is None else dels.unionByName(hit)
 
         if ins is None:
             return dels if dels is not None else (

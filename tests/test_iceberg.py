@@ -3600,10 +3600,9 @@ def test_changelog_mor_overwrite_adds_delete_files(spark, tmp_path):
     """r12: a MoR-style overwrite (RowDelta — commits delete files,
     removes nothing, operation='overwrite') replays its added eq/pos
     delete files as ordinary retractions anchored at the parent and
-    stamped with the overwrite snapshot; the hybrid shape (removes
-    data files AND adds delete files in one commit) raises naming
-    itself."""
-    import pytest
+    stamped with the overwrite snapshot; the degenerate hybrid shape
+    (removes EVERY data file and adds a delete file) replays as
+    removed-path retractions alone (r13 — raised through r12)."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -3650,15 +3649,192 @@ def test_changelog_mor_overwrite_adds_delete_files(spark, tmp_path):
         (2, "delete", s_eq), (2, "insert", s1),
         (3, "delete", s_pos), (3, "insert", s1)], rows
 
-    # hybrid COW+MoR: one commit removing data files AND adding a
-    # delete file — the documented raise names the shape
+    # hybrid COW+MoR degenerate shape: one commit removing EVERY data
+    # file and adding an eq-delete file (kept set empty). r13: this
+    # replays — the removed path retracts the parent-live rows; the
+    # added eq-delete has nothing strictly-earlier left to kill
+    # (raised NotImplementedError through r12)
     sub3 = f"{loc}/data/hybrid-eq"
     keys.write.mode("overwrite").parquet(sub3)
-    t._commit_files(t._list_delete_parquet(sub3), content=2,
-                    equality_ids=[by_name["k"]],
-                    operation="overwrite", carry_prior=False)
-    with pytest.raises(NotImplementedError, match="hybrid"):
-        t.changelog(None).collect()
+    s_h = t._commit_files(t._list_delete_parquet(sub3), content=2,
+                          equality_ids=[by_name["k"]],
+                          operation="overwrite", carry_prior=False)
+    assert t.read().count() == 0
+    rows = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                  for r in t.changelog(None).collect())
+    assert rows == [
+        (1, "delete", s_h), (1, "insert", s1),
+        (2, "delete", s_eq), (2, "insert", s1),
+        (3, "delete", s_pos), (3, "insert", s1)], rows
+
+
+def _graft_head_delete_into(t, target_sid):
+    """Manifest surgery: merge the CURRENT HEAD's (a delete commit's)
+    delete manifest into *target_sid*'s snapshot — sequences re-stamped
+    to the target's — and erase the head commit from metadata. Produces
+    the on-disk shape of a single commit that carries the target's
+    files AND the delete files (what RowDelta/hybrid engines would
+    write atomically)."""
+    import uuid as _uuid
+
+    from gobblin_spark.operators import avro_container as ACF
+
+    md = t.metadata()
+    s_del = md["current-snapshot-id"]
+    snapT = next(s for s in md["snapshots"]
+                 if s["snapshot-id"] == target_sid)
+    snapD = next(s for s in md["snapshots"] if s["snapshot-id"] == s_del)
+    t_seq = snapT["sequence-number"]
+    _, d_list = ACF.read_container(t._read_bytes(snapD["manifest-list"]))
+    # the head may carry OLDER delete manifests too — graft only the
+    # one the head commit itself added
+    del_entry = next(m for m in d_list if m.get("content") in (1, 2)
+                     and m.get("added_snapshot_id") == s_del)
+    mschema, ments = ACF.read_container(
+        t._read_bytes(del_entry["manifest_path"]))
+    for e in ments:
+        e["sequence_number"] = t_seq
+        e["file_sequence_number"] = t_seq
+        e["snapshot_id"] = target_sid
+    t._write_bytes(del_entry["manifest_path"],
+                   ACF.write_container_bytes(ments, mschema))
+    del_entry["sequence_number"] = t_seq
+    del_entry["min_sequence_number"] = t_seq
+    del_entry["added_snapshot_id"] = target_sid
+    lschema, t_list = ACF.read_container(
+        t._read_bytes(snapT["manifest-list"]))
+    new_list = (f"{t.location}/metadata/"
+                f"snap-merged-{_uuid.uuid4().hex}.avro")
+    t._write_bytes(new_list, ACF.write_container_bytes(
+        list(t_list) + [del_entry], lschema))
+    snapT["manifest-list"] = new_list
+    md["snapshots"] = [s for s in md["snapshots"]
+                       if s["snapshot-id"] != s_del]
+    md["snapshot-log"] = [e for e in md.get("snapshot-log", [])
+                          if e.get("snapshot-id") != s_del]
+    md["current-snapshot-id"] = target_sid
+    md["last-sequence-number"] = t_seq
+    for r in md.get("refs", {}).values():
+        if r.get("snapshot-id") == s_del:
+            r["snapshot-id"] = target_sid
+    t._commit_metadata(md)
+
+
+def _carry_parent_delete_manifests(t, target_sid):
+    """A genuine partial overwrite carries the parent's still-
+    applicable DELETE manifests forward (they keep their original
+    sequences); ``_commit_files(carry_prior=False)`` drops every prior
+    manifest, which would silently resurrect residue-killed rows in
+    the kept files. Re-attach them to *target_sid*'s manifest list."""
+    import uuid as _uuid
+
+    from gobblin_spark.operators import avro_container as ACF
+
+    md = t.metadata()
+    snapT = next(s for s in md["snapshots"]
+                 if s["snapshot-id"] == target_sid)
+    parent = snapT.get("parent-snapshot-id")
+    snapP = next(s for s in md["snapshots"] if s["snapshot-id"] == parent)
+    lschema, p_list = ACF.read_container(
+        t._read_bytes(snapP["manifest-list"]))
+    dels = [m for m in p_list if m.get("content") in (1, 2)]
+    if not dels:
+        return
+    _, t_list = ACF.read_container(t._read_bytes(snapT["manifest-list"]))
+    new_list = (f"{t.location}/metadata/"
+                f"snap-carried-{_uuid.uuid4().hex}.avro")
+    t._write_bytes(new_list, ACF.write_container_bytes(
+        list(t_list) + dels, lschema))
+    snapT["manifest-list"] = new_list
+    t._commit_metadata(md)
+
+
+def test_changelog_hybrid_overwrite_split_replay(spark, tmp_path):
+    """r13 (verdict-r12 #4): a HYBRID overwrite — ONE commit that
+    removes data files, keeps others, adds a data file AND adds an
+    eq-delete file — replays via the file-disjoint split: removed
+    files' parent-live rows retract wholesale; the eq tuples kill only
+    rows of the KEPT parent files. An eq tuple matching a row inside a
+    REMOVED file must NOT double-retract it, and the parent's earlier
+    delete residue must not re-retract through either path (this exact
+    shape raised NotImplementedError through r12)."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.operators import avro_container as ACF
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "clhybrid")
+    t = IcebergTable.create(
+        spark, loc,
+        spark.createDataFrame([(1, "a")], "k long, s string").schema)
+    t.append_dataframe(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, s string").coalesce(1))   # file A
+    s1 = t.metadata()["current-snapshot-id"]
+    t.append_dataframe(spark.createDataFrame(
+        [(3, "c"), (4, "d")], "k long, s string").coalesce(1))   # file B
+    s2 = t.metadata()["current-snapshot-id"]
+    # parent residue: k=1 already dead before the hybrid commit
+    t.delete_equality(spark.createDataFrame([(1,)], "k long"))
+    s_d = t.metadata()["current-snapshot-id"]
+
+    # hybrid commit H: remove file A, KEEP file B (EXISTING entry with
+    # its original sequence), add data file C (k=10), and carry an
+    # eq-delete for {2, 3} in the SAME snapshot (grafted below):
+    # 2 lives in the REMOVED file (must retract once, via the removed
+    # path); 3 lives in the KEPT file (must retract once, via the eq
+    # path)
+    kept_seq = {e["info"].path: e["sequence_number"]
+                for e in t._entries() if e["content"] == 0}
+    keep_infos = [e["info"] for e in t._entries()
+                  if e["content"] == 0
+                  and sorted(r.k for r in spark.read.parquet(
+                      e["info"].path).collect()) == [3, 4]]
+    assert len(keep_infos) == 1
+    sub = str(tmp_path / "clhybrid_new")
+    spark.createDataFrame([(10, "x")], "k long, s string").coalesce(1) \
+        .write.mode("overwrite").parquet(sub)
+    s_h = t._commit_files(
+        t._list_committed_files(sub) + keep_infos, content=0,
+        equality_ids=None, operation="overwrite", carry_prior=False)
+    md = t.metadata()
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == s_h)
+    _, manifests = ACF.read_container(t._read_bytes(
+        snap["manifest-list"]))
+    mpath = manifests[0]["manifest_path"]
+    schema, entries = ACF.read_container(t._read_bytes(mpath))
+    for e in entries:
+        if e["data_file"]["file_path"] == keep_infos[0].path:
+            e["status"] = 0  # EXISTING
+            e["sequence_number"] = kept_seq[keep_infos[0].path]
+            e["file_sequence_number"] = kept_seq[keep_infos[0].path]
+    t._write_bytes(mpath, ACF.write_container_bytes(entries, schema))
+    _carry_parent_delete_manifests(t, s_h)
+    t.delete_equality(spark.createDataFrame([(2,), (3,)], "k long"))
+    _graft_head_delete_into(t, s_h)
+
+    # state: 4 survives in the kept file, 10 from the added file;
+    # 2's file was removed, 3 eq-killed, 1 dead since s_d
+    assert sorted(r.k for r in t.read().collect()) == [4, 10]
+    rows = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                  for r in t.changelog(None).collect())
+    assert rows == [
+        (1, "delete", s_d), (1, "insert", s1),
+        (2, "delete", s_h), (2, "insert", s1),
+        (3, "delete", s_h), (3, "insert", s2),
+        (4, "insert", s2),
+        (10, "insert", s_h)], rows
+    # net-effect law holds through the hybrid
+    cl = t.changelog(None).collect()
+    net = (Counter((r.k, r.s) for r in cl if r._change_type == "insert")
+           - Counter((r.k, r.s) for r in cl if r._change_type == "delete"))
+    assert net == Counter((r.k, r.s) for r in t.read().collect())
+    # windowed: the hybrid alone retracts exactly {2 (removed-path),
+    # 3 (kept-file eq)} and inserts 10 — 1 must not re-retract
+    assert sorted((r.k, r._change_type)
+                  for r in t.changelog(s_d, s_h).collect()) == \
+        [(2, "delete"), (3, "delete"), (10, "insert")]
 
 
 def test_changelog_mor_overwrite_same_commit_pos_delete(spark, tmp_path):
@@ -3745,6 +3921,129 @@ def test_changelog_mor_overwrite_same_commit_pos_delete(spark, tmp_path):
         (11, "insert", s_ow), (12, "insert", s_ow)], rows
 
 
+def test_changelog_pos_delete_of_dead_position_no_reretract(
+        spark, tmp_path):
+    """audit r13 (REAL pre-existing bug): the pos-delete retraction
+    scan ignored EARLIER delete residue — a position delete addressing
+    an already-dead row (eq-killed earlier, or pos-deleted twice)
+    re-emitted the retraction, driving net multiplicities negative.
+    The scan is now the rows live just BEFORE the delete commit, so
+    the dead position is a no-op — spec semantics and Iceberg's own
+    changelog behavior."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    # flavor 1: pos-delete re-targets an eq-killed row
+    loc = str(tmp_path / "posdead1")
+    t = IcebergTable.create(
+        spark, loc,
+        spark.createDataFrame([(1, "a")], "k long, s string").schema)
+    t.append_dataframe(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, s string").coalesce(1))
+    s1 = t.metadata()["current-snapshot-id"]
+    t.delete_equality(spark.createDataFrame([(1,)], "k long"))
+    s_eq = t.metadata()["current-snapshot-id"]
+    pos = (t.read(apply_deletes=False)
+           .select(F.col("_metadata.file_path").alias("file_path"),
+                   F.col("_metadata.row_index").alias("pos"), "k")
+           .filter(F.col("k") == 1).drop("k"))
+    t.delete_positions(pos)
+    s_pos = t.metadata()["current-snapshot-id"]
+    rows = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                  for r in t.changelog(None).collect())
+    # exactly ONE retraction for k=1, stamped at the EQ commit (the
+    # one that actually killed it); the pos commit is a no-op
+    assert rows == [(1, "delete", s_eq), (1, "insert", s1),
+                    (2, "insert", s1)], rows
+    # windowed: the pos commit alone emits nothing
+    assert t.changelog(s_eq, s_pos).count() == 0
+
+    # flavor 2: the same position pos-deleted twice
+    loc2 = str(tmp_path / "posdead2")
+    t2 = IcebergTable.create(
+        spark, loc2,
+        spark.createDataFrame([(1, "a")], "k long, s string").schema)
+    t2.append_dataframe(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, s string").coalesce(1))
+    s1b = t2.metadata()["current-snapshot-id"]
+    pos2 = (t2.read(apply_deletes=False)
+            .select(F.col("_metadata.file_path").alias("file_path"),
+                    F.col("_metadata.row_index").alias("pos"), "k")
+            .filter(F.col("k") == 1).drop("k"))
+    t2.delete_positions(pos2)
+    s_p1 = t2.metadata()["current-snapshot-id"]
+    t2.delete_positions(pos2)
+    s_p2 = t2.metadata()["current-snapshot-id"]
+    rows2 = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                   for r in t2.changelog(None).collect())
+    assert rows2 == [(1, "delete", s_p1), (1, "insert", s1b),
+                     (2, "insert", s1b)], rows2
+    assert t2.changelog(s_p1, s_p2).count() == 0
+    # net law on both
+    for tt in (t, t2):
+        cl = tt.changelog(None).collect()
+        net = (Counter((r.k, r.s) for r in cl
+                       if r._change_type == "insert")
+               - Counter((r.k, r.s) for r in cl
+                         if r._change_type == "delete"))
+        assert net == Counter((r.k, r.s) for r in tt.read().collect())
+
+
+def test_changelog_from_must_be_ancestor_of_head(spark, tmp_path):
+    """audit r13 (verdict-r12 #1: changelog(ref=)/rollback edges): a
+    window base that is NOT on the head's lineage — a rolled-back
+    main's abandoned commit, a diverged branch head, or an expired
+    snapshot — must raise, naming the cause. The sequence-bounded walk
+    would otherwise silently emit inserts WITHOUT the retractions of
+    the abandoned lineage (s2's rows are in state(from) but never
+    retract)."""
+    import pytest
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "clanc")
+    t = IcebergTable.create(
+        spark, loc,
+        spark.createDataFrame([(1, "a")], "k long, s string").schema)
+    t.append_dataframe(spark.createDataFrame([(1, "a")],
+                                             "k long, s string"))
+    s1 = t.metadata()["current-snapshot-id"]
+    t.append_dataframe(spark.createDataFrame([(2, "b")],
+                                             "k long, s string"))
+    s2 = t.metadata()["current-snapshot-id"]
+    t.rollback_to(s1)
+    t.append_dataframe(spark.createDataFrame([(3, "c")],
+                                             "k long, s string"))
+    s3 = t.metadata()["current-snapshot-id"]
+
+    # s2 is orphaned: time travel still reaches it, but a changelog
+    # window based at it is meaningless against the new lineage
+    assert sorted(r.k for r in t.read(snapshot_id=s2).collect()) == [1, 2]
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.changelog(s2)
+    # the healthy window still replays
+    assert sorted((r.k, r._change_type)
+                  for r in t.changelog(s1, s3).collect()) == \
+        [(3, "insert")]
+
+    # same guard through ref=: a branch forked BEFORE main advanced —
+    # a main head that is not the branch's ancestor must refuse
+    t.create_branch("wap", from_snapshot_id=s1)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        t.changelog(s3, ref="wap")  # s3 is main-only, not on the branch
+    # the documented WAP diff (fork point -> branch head) still works
+    assert t.changelog(s1, ref="wap").count() == 0
+
+    # expired / never-existed snapshot ids name themselves
+    with pytest.raises(ValueError, match="not a retained snapshot"):
+        t.changelog(123456789)
+    with pytest.raises(ValueError, match="not a retained snapshot"):
+        t.changelog(None, 987654321)
+
+
 def test_changelog_net_effect_random_history(spark, tmp_path):
     """Property: for ANY mix of append / position-delete /
     equality-delete / rewrite (replace) commits, the changelog's net
@@ -3771,12 +4070,18 @@ def test_changelog_net_effect_random_history(spark, tmp_path):
             spark.createDataFrame([(1, "x")], "k long, s string").schema)
         next_k = 0
         live = set()
+        # keys whose rows are physically present in live data files
+        # but DEAD (eq/pos-killed): pos-deletes sometimes re-target
+        # them — the retraction must be a no-op (audit r13). Rewrites
+        # and full overwrites drop the dead rows physically; a hybrid
+        # keeps only the ghosts of its kept files.
+        ghost = set()
         # first commit is always an append so deletes have targets
         for step in range(7):
             op = ("append" if step == 0 or not live
                   else rng.choice(
                       ["append", "pos_del", "eq_del", "rewrite",
-                       "overwrite", "mor_del"]))
+                       "overwrite", "mor_del", "hybrid"]))
             if rng.random() < 0.3:
                 # metadata-only schema churn BETWEEN commits: rename
                 # s away and back (two schema versions, same final
@@ -3786,6 +4091,7 @@ def test_changelog_net_effect_random_history(spark, tmp_path):
                 t.rename_column("s_tmp", "s")
             if op == "rewrite":
                 t.rewrite_data_files(target_partitions=1)
+                ghost = set()
             elif op == "overwrite":
                 # INSERT OVERWRITE over whatever residue the history
                 # accumulated (r12: parent-live retraction — deletes
@@ -3810,12 +4116,77 @@ def test_changelog_net_effect_random_history(spark, tmp_path):
                     equality_ids=None, operation="overwrite",
                     carry_prior=False)
                 live = set(ks)
+                ghost = set()
             elif op == "append":
                 ks = [next_k + i for i in range(rng.randint(1, 3))]
                 next_k += len(ks)
                 t.append_dataframe(spark.createDataFrame(
                     [(k, f"v{k}") for k in ks], "k long, s string"))
                 live |= set(ks)
+            elif op == "hybrid":
+                # ONE commit that removes some data files, keeps the
+                # rest (EXISTING entries, original sequences), adds a
+                # data file AND carries an eq-delete — the r13 hybrid
+                # COW+MoR split replay (removed-path + kept-file eq
+                # anchoring must stay disjoint for ANY interleaving)
+                from gobblin_spark.operators import (
+                    avro_container as ACF,
+                )
+                from gobblin_spark.sinks import iceberg as ice
+                data_ents = [e for e in t._entries()
+                             if e["content"] == 0]
+                keys_of = {
+                    e["info"].path: {
+                        r.k for r in spark.read.parquet(
+                            e["info"].path).collect()}
+                    for e in data_ents}
+                keep = [e for e in data_ents if rng.random() < 0.5]
+                victims = rng.sample(sorted(live),
+                                     rng.randint(1, min(2, len(live))))
+                ks = [next_k + i for i in range(rng.randint(1, 2))]
+                next_k += len(ks)
+                md0 = t.metadata()
+                cur0 = next(s for s in md0["schemas"]
+                            if s["schema-id"] == md0["current-schema-id"])
+                sub = str(tmp_path / f"net{trial}_hy{step}")
+                ice._conform_with_ids(
+                    spark.createDataFrame(
+                        [(k, f"v{k}") for k in ks], "k long, s string"),
+                    ice._spark_struct(cur0)).coalesce(1) \
+                    .write.mode("overwrite").parquet(sub)
+                kept_seq = {e["info"].path: e["sequence_number"]
+                            for e in keep}
+                s_h = t._commit_files(
+                    t._list_committed_files(sub)
+                    + [e["info"] for e in keep],
+                    content=0, equality_ids=None,
+                    operation="overwrite", carry_prior=False)
+                md1 = t.metadata()
+                snap = next(s for s in md1["snapshots"]
+                            if s["snapshot-id"] == s_h)
+                _, mans = ACF.read_container(
+                    t._read_bytes(snap["manifest-list"]))
+                mpath = mans[0]["manifest_path"]
+                mschema, ments = ACF.read_container(
+                    t._read_bytes(mpath))
+                for e in ments:
+                    p = e["data_file"]["file_path"]
+                    if p in kept_seq:
+                        e["status"] = 0  # EXISTING
+                        e["sequence_number"] = kept_seq[p]
+                        e["file_sequence_number"] = kept_seq[p]
+                t._write_bytes(mpath,
+                               ACF.write_container_bytes(ments, mschema))
+                _carry_parent_delete_manifests(t, s_h)
+                t.delete_equality(spark.createDataFrame(
+                    [(k,) for k in victims], "k long"))
+                _graft_head_delete_into(t, s_h)
+                kept_keys = set()
+                for e in keep:
+                    kept_keys |= keys_of[e["info"].path]
+                ghost = (ghost & kept_keys) | (live & kept_keys
+                                              & set(victims))
+                live = ((live & kept_keys) - set(victims)) | set(ks)
             elif op == "mor_del":
                 # an eq-delete file committed under operation=
                 # 'overwrite' — the MoR RowDelta snapshot shape (r12):
@@ -3840,23 +4211,31 @@ def test_changelog_net_effect_random_history(spark, tmp_path):
                 t._commit_files(t._list_delete_parquet(sub0), content=2,
                                 equality_ids=[by_name0["k"]],
                                 operation="overwrite")
+                ghost |= set(victims)
                 live -= set(victims)
             elif op == "pos_del":
                 victims = rng.sample(sorted(live),
                                      rng.randint(1, min(2, len(live))))
+                targets = list(victims)
+                if ghost and rng.random() < 0.5:
+                    # re-target an already-dead position: the
+                    # retraction must NOT re-emit (audit r13)
+                    targets.append(rng.choice(sorted(ghost)))
                 pos = (t.read(apply_deletes=False)
                        .select(F.col("_metadata.file_path")
                                .alias("file_path"),
                                F.col("_metadata.row_index").alias("pos"),
                                "k")
-                       .filter(F.col("k").isin(victims)).drop("k"))
+                       .filter(F.col("k").isin(targets)).drop("k"))
                 t.delete_positions(pos)
+                ghost |= set(victims)
                 live -= set(victims)
             else:
                 victims = rng.sample(sorted(live),
                                      rng.randint(1, min(2, len(live))))
                 t.delete_equality(spark.createDataFrame(
                     [(k,) for k in victims], "k long"))
+                ghost |= set(victims)
                 live -= set(victims)
 
         cl = t.changelog(None).collect()
