@@ -2100,6 +2100,21 @@ class IcebergTable:
             if sid not in _ents_cache:
                 _ents_cache[sid] = self._entries(sid, md=md)
             return _ents_cache[sid]
+
+        # delete files are immutable — each one's referenced-file set
+        # is read from its parquet ONCE per changelog() call (review
+        # r13: the residue-aware retraction loop otherwise re-read
+        # every earlier pos-delete once per later delete, O(P^2)
+        # driver round-trips on a delete-heavy window)
+        _refs_cache: dict[str, set] = {}
+
+        def _refs(path: str) -> set:
+            if path not in _refs_cache:
+                import pyarrow.parquet as _pq
+                _refs_cache[path] = set(_pq.read_table(
+                    _open_input_file_any(path),
+                    columns=["file_path"])["file_path"].to_pylist())
+            return _refs_cache[path]
         window = []     # content=0 data files committed in the window
         pos_dels = []   # [(entry, era_idx)] pos-delete files in window
         eq_dels = []    # content=2 equality-delete files in the window
@@ -2293,14 +2308,8 @@ class IcebergTable:
                         for e in entries})
             eq_app = [e for e in p_dels_eq
                       if e["sequence_number"] > min_seq]
-            pos_app = []
-            for d in p_dels_pos:
-                import pyarrow.parquet as _pq
-                refs = set(_pq.read_table(
-                    _open_input_file_any(d["info"].path),
-                    columns=["file_path"])["file_path"].to_pylist())
-                if refs & paths:
-                    pos_app.append(d)
+            pos_app = [d for d in p_dels_pos
+                       if _refs(d["info"].path) & paths]
             out = _scan_grouped(entries,
                                 with_pos=force_pos or bool(pos_app))
             if eq_app or pos_app:
@@ -2391,12 +2400,10 @@ class IcebergTable:
             d_snap = seq_of_snap.get(d_seq)
             # the delete parquet's file_path column names EXACTLY the
             # data files it touches — a driver-local column read of
-            # one small file, so the retraction scan opens only the
-            # referenced data files, never the rest of the table
-            import pyarrow.parquet as _pq
-            refs = set(_pq.read_table(
-                _open_input_file_any(d["info"].path),
-                columns=["file_path"])["file_path"].to_pylist())
+            # one small file (memoized), so the retraction scan opens
+            # only the referenced data files, never the rest of the
+            # table
+            refs = _refs(d["info"].path)
             # spec guard: a position delete applies to data files with
             # sequence <= the delete's. A reference missing from the
             # live set addressed already-dead positions — a no-op.
@@ -2487,7 +2494,59 @@ class IcebergTable:
                 runs[-1].append(s)
             else:
                 runs.append([s])
-        n_dtup = 0
+        _alias_seq = [0]
+
+        def _eq_tuple_hits(base, groups, left_col, sel_cols):
+            """ONE copy of the eq tuple-retraction discipline (review
+            r13 — the hybrid emission had grown a near-duplicate):
+            group delete files by equality-id set, read each group's
+            tuples under to_id's field-id-resolved names, anti-join
+            every EARLIER group out of the base, semi-join the group's
+            own tuples — so a row matching two groups retracts ONCE.
+            ``left_col(field_id)`` supplies the base-side column for
+            the join condition (the run machinery maps through the
+            base snapshot's schema with typed-null fallback; the
+            hybrid path uses to_id's names directly); ``groups`` is
+            [(ids, delete_files, snapshot_id_to_stamp)] in application
+            order. Yields one hit frame per group."""
+            def cond(a, a_ids):
+                c = F.lit(True)
+                for i in a_ids:
+                    c = c & left_col(i).eqNullSafe(
+                        F.col(f"{a}.{id_to_name[i]}"))
+                return c
+
+            earlier: list[tuple[tuple, str, DataFrame]] = []
+            for ids, dfiles, d_snap in groups:
+                # tuple columns resolve by FIELD-ID against to_id's
+                # schema, same rule as read()'s equality-delete block
+                cols = [id_to_name[i] for i in ids]
+                dschema = T.StructType([
+                    f for c in cols for f in st.fields if f.name == c])
+                dd = None
+                for e in dfiles:
+                    one = self.spark.read.schema(dschema).parquet(
+                        e["info"].path)
+                    dd = one if dd is None else dd.unionByName(one)
+                # no dropDuplicates: left_semi is duplicate-
+                # insensitive, and the dedup would cost a shuffle on
+                # the tuple frame the broadcast hash table dedups
+                # anyway
+                alias = f"_dtup{_alias_seq[0]}"
+                _alias_seq[0] += 1
+                dd = dd.alias(alias)
+                cur = base
+                for e_ids, e_alias, e_dd in earlier:
+                    cur = cur.join(F.broadcast(e_dd),
+                                   cond(e_alias, e_ids), "left_anti")
+                yield (cur.join(F.broadcast(dd), cond(alias, ids),
+                                "left_semi")
+                       .select(*sel_cols)
+                       .withColumn("_change_type", F.lit("delete"))
+                       .withColumn("_commit_snapshot_id",
+                                   F.lit(d_snap).cast("long")))
+                earlier.append((ids, alias, dd))
+
         for run in runs:
             first_snap = seq_of_snap.get(run[0])
             base = snaps.get(first_snap, {}).get("parent-snapshot-id")
@@ -2519,64 +2578,23 @@ class IcebergTable:
                     if p_c in prev_cols
                     else F.lit(None).cast(f.dataType).alias(f.name))
 
-            def _tuple_cond(ids, alias):
-                cond = F.lit(True)
-                for i in ids:
-                    p_c = p_name_by_id.get(i)
-                    if p_c is not None and p_c in prev_cols:
-                        left = F.col(f"_prev.{p_c}")
-                    else:
-                        # field-id absent from the BASE snapshot's
-                        # schema (added by a mid-run metadata-only
-                        # change): the column held no data at base, so
-                        # the join side is a typed null — referencing
-                        # _prev.<current-name> would AnalysisException
-                        # (advice r11; null-fill on the SELECT list
-                        # doesn't reach the join condition)
-                        left = F.lit(None).cast(
-                            st[id_to_name[i]].dataType)
-                    cond = cond & left.eqNullSafe(
-                        F.col(f"{alias}.{id_to_name[i]}"))
-                return cond
+            def _run_left_col(i, _p=p_name_by_id, _pc=prev_cols):
+                p_c = _p.get(i)
+                if p_c is not None and p_c in _pc:
+                    return F.col(f"_prev.{p_c}")
+                # field-id absent from the BASE snapshot's schema
+                # (added by a mid-run metadata-only change): the
+                # column held no data at base, so the join side is a
+                # typed null — referencing _prev.<current-name> would
+                # AnalysisException (advice r11; null-fill on the
+                # SELECT list doesn't reach the join condition)
+                return F.lit(None).cast(st[id_to_name[i]].dataType)
 
-            earlier: list[tuple[tuple, str, DataFrame]] = []
-            for d_seq in run:
-                d_snap = seq_of_snap.get(d_seq)
-                for ids, dfiles in sorted(eq_by_seq[d_seq].items()):
-                    # tuple columns resolve by FIELD-ID against
-                    # to_id's schema, same rule as read()'s
-                    # equality-delete block
-                    cols = [id_to_name[i] for i in ids]
-                    dschema = T.StructType([
-                        f for c in cols for f in st.fields
-                        if f.name == c])
-                    dd = None
-                    for e in dfiles:
-                        one = self.spark.read.schema(dschema).parquet(
-                            e["info"].path)
-                        dd = one if dd is None else dd.unionByName(one)
-                    # no dropDuplicates: left_semi is duplicate-
-                    # insensitive, and the dedup would cost a shuffle
-                    # on the tuple frame the broadcast hash table
-                    # dedups anyway
-                    alias = f"_dtup{n_dtup}"
-                    n_dtup += 1
-                    dd = dd.alias(alias)
-                    cur = prev
-                    for e_ids, e_alias, e_dd in earlier:
-                        cur = cur.join(F.broadcast(e_dd),
-                                       _tuple_cond(e_ids, e_alias),
-                                       "left_anti")
-                    hit = (cur.join(F.broadcast(dd),
-                                    _tuple_cond(ids, alias),
-                                    "left_semi")
-                           .select(*sel)
-                           .withColumn("_change_type", F.lit("delete"))
-                           .withColumn("_commit_snapshot_id",
-                                       F.lit(d_snap).cast("long")))
-                    earlier.append((ids, alias, dd))
-                    dels = (hit if dels is None
-                            else dels.unionByName(hit))
+            groups = [(ids, dfiles, seq_of_snap.get(d_seq))
+                      for d_seq in run
+                      for ids, dfiles in sorted(eq_by_seq[d_seq].items())]
+            for hit in _eq_tuple_hits(prev, groups, _run_left_col, sel):
+                dels = hit if dels is None else dels.unionByName(hit)
 
         # OVERWRITE retractions: every PARENT-LIVE row of the files
         # the commit removed — one multi-path scan per partition spec,
@@ -2614,38 +2632,12 @@ class IcebergTable:
             for e in o_add_eq:
                 by_ids.setdefault(
                     tuple(e["equality_ids"] or ()), []).append(e)
-            h_earlier: list[tuple[str, tuple, DataFrame]] = []
-            for ids, dfiles in sorted(by_ids.items()):
-                cols = [id_to_name[i] for i in ids]
-                dschema = T.StructType([
-                    f for c in cols for f in st.fields if f.name == c])
-                dd = None
-                for e in dfiles:
-                    one = self.spark.read.schema(dschema).parquet(
-                        e["info"].path)
-                    dd = one if dd is None else dd.unionByName(one)
-                alias = f"_htup{len(h_earlier)}"
-                dd = dd.alias(alias)
-
-                def _h_cond(a, a_ids):
-                    cond = F.lit(True)
-                    for i in a_ids:
-                        cond = cond & F.col(
-                            f"_hb.{id_to_name[i]}").eqNullSafe(
-                                F.col(f"{a}.{id_to_name[i]}"))
-                    return cond
-
-                cur = base
-                for e_alias, e_ids, e_dd in h_earlier:
-                    cur = cur.join(F.broadcast(e_dd),
-                                   _h_cond(e_alias, e_ids), "left_anti")
-                hit = (cur.join(F.broadcast(dd), _h_cond(alias, ids),
-                                "left_semi")
-                       .select(*[f.name for f in st.fields])
-                       .withColumn("_change_type", F.lit("delete"))
-                       .withColumn("_commit_snapshot_id",
-                                   F.lit(o_id).cast("long")))
-                h_earlier.append((alias, ids, dd))
+            groups = [(ids, dfiles, o_id)
+                      for ids, dfiles in sorted(by_ids.items())]
+            for hit in _eq_tuple_hits(
+                    base, groups,
+                    lambda i: F.col(f"_hb.{id_to_name[i]}"),
+                    [f.name for f in st.fields]):
                 dels = hit if dels is None else dels.unionByName(hit)
 
         if ins is None:

@@ -64,16 +64,35 @@ class FileSchemaRegistry:
             if name.startswith("v") and name.endswith(".json"):
                 out.append((int(name[1:-5].split("-")[0]), os.path.join(d, name)))
         out.sort()
-        # Legacy registries (pre-atomic-claim) can hold TWO files at one
-        # version number; the declared winner of that race was the
-        # lexicographically smallest path. Collapse ties to the winner so
-        # every reader (latest/history/by_id) agrees with the writer rule.
-        collapsed: list[tuple[int, str]] = []
+        # Collapse same-version ties to ONE winner per version. An
+        # atomic-claim canonical name (vNNNNNN.json) wins outright: it
+        # genuinely won a link(2)/O_EXCL race, while a same-version
+        # legacy suffixed file is a rolling-upgrade racer that never
+        # saw the claim (review r13 — '-' sorts before '.', so the old
+        # smallest-path rule would silently shadow a registration that
+        # already returned success). Legacy-only ties (pre-atomic
+        # residue) keep the historical smallest-path rule.
+        by_v: dict[int, list[str]] = {}
         for v, path in out:
-            if collapsed and collapsed[-1][0] == v:
-                continue  # a larger-path loser at the same version
-            collapsed.append((v, path))
+            by_v.setdefault(v, []).append(path)
+        collapsed: list[tuple[int, str]] = []
+        for v in sorted(by_v):
+            paths = by_v[v]
+            canonical = os.path.join(d, f"v{v:06d}.json")
+            collapsed.append(
+                (v, canonical if canonical in paths else min(paths)))
         return collapsed
+
+    @staticmethod
+    def _load(path: str) -> dict | None:
+        """Parse a version file; None when torn (a writer crashed
+        mid-claim on a filesystem without atomic link — the version
+        number is burned, the registration never logically happened)."""
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except (ValueError, OSError):
+            return None
 
     def register(self, subject: str, avro_schema: dict | str,
                  check_compat: bool = True) -> str:
@@ -92,13 +111,16 @@ class FileSchemaRegistry:
             # or advanced latest (the compat check must run against the
             # schema we will actually succeed after).
             versions = self._versions(subject)
+            recs = {path: self._load(path) for _, path in versions}
             for _, path in versions:
-                if json.load(open(path))["id"] == sid:
+                if recs[path] is not None and recs[path]["id"] == sid:
                     return sid  # already registered
-            if check_compat and versions:
+            latest_rec = next(
+                (recs[path] for _, path in reversed(versions)
+                 if recs[path] is not None), None)
+            if check_compat and latest_rec is not None:
                 new_t = _schema.avro_to_struct(avro_schema)
-                old_t = _schema.avro_to_struct(
-                    json.load(open(versions[-1][1]))["schema"])
+                old_t = _schema.avro_to_struct(latest_rec["schema"])
                 if not _schema.is_compatible(new_t, old_t):
                     raise ValueError(
                         f"schema for {subject} is not backward-compatible "
@@ -126,6 +148,21 @@ class FileSchemaRegistry:
                 return sid
             except FileExistsError:
                 continue  # lost this version — retry at the next one
+            except OSError:
+                # link(2) unsupported (object-store FUSE mounts, some
+                # network filesystems — review r13): fall back to an
+                # O_EXCL create of the canonical name. Still single-
+                # winner; the only loss is torn-on-crash payloads,
+                # which every reader tolerates via _load() (the burned
+                # version number keeps allocation moving).
+                try:
+                    fd = os.open(path,
+                                 os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                except FileExistsError:
+                    continue  # lost this version
+                with os.fdopen(fd, "w") as f:
+                    json.dump(payload, f)
+                return sid
             finally:
                 os.remove(tmp)
         raise RuntimeError(
@@ -136,20 +173,24 @@ class FileSchemaRegistry:
         """Exact writer schema for an envelope's schema_id."""
         for subject in (os.listdir(self.root) if os.path.isdir(self.root) else []):
             for _, path in self._versions(subject):
-                rec = json.load(open(path))
-                if rec["id"] == sid:
+                rec = self._load(path)
+                if rec is not None and rec["id"] == sid:
                     return rec["schema"]
         return None
 
     def latest(self, subject: str) -> dict | None:
-        versions = self._versions(subject)
-        if not versions:
-            return None
-        return json.load(open(versions[-1][1]))["schema"]
+        """Newest PARSEABLE version's schema (a torn top entry is a
+        crashed writer's claim that never logically happened)."""
+        for _, path in reversed(self._versions(subject)):
+            rec = self._load(path)
+            if rec is not None:
+                return rec["schema"]
+        return None
 
     def latest_struct(self, subject: str) -> T.DataType | None:
         latest = self.latest(subject)
         return None if latest is None else _schema.avro_to_struct(latest)
 
     def history(self, subject: str) -> list[dict]:
-        return [json.load(open(p))["schema"] for _, p in self._versions(subject)]
+        recs = (self._load(p) for _, p in self._versions(subject))
+        return [r["schema"] for r in recs if r is not None]

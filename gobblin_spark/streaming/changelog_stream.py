@@ -47,20 +47,24 @@ from pyspark.sql import DataFrame
 from gobblin_spark.state import WatermarkStore
 
 _DATASET = "iceberg_changelog_offsets"
+_INTENT = "iceberg_changelog_intent"
 
 
 class IcebergChangelogStream:
     """Checkpointed per-epoch consumption of ``IcebergTable.changelog``.
 
     ``fn(batch_df, to_snapshot_id)`` is invoked once per pending
-    window; ``to_snapshot_id`` is the epoch token — deterministic
-    across restarts (same committed offset + same upstream history ⇒
-    byte-identical window and token), so an idempotent-by-token sink
-    gets exactly-once effects even when a crash lands between delivery
-    and the offset commit. ``max_snapshots_per_batch`` bounds how many
-    upstream commits one epoch covers (None = drain everything pending
-    in one batch); changing it between restarts re-slices only the
-    UNCOMMITTED tail — committed offsets are never revisited.
+    window; ``to_snapshot_id`` is the epoch token. The planned window
+    is persisted as an INTENT record before delivery, so a crash
+    between delivery and the offset commit replays the SAME window
+    under the SAME token after restart — even when new upstream
+    commits arrived in between (they become the next epoch). An
+    idempotent-by-token sink therefore gets exactly-once effects.
+    ``max_snapshots_per_batch`` bounds how many upstream commits one
+    epoch covers (None = drain everything pending in one batch);
+    changing it between restarts re-slices only windows not yet
+    planned — committed offsets and a surviving planned window are
+    never revisited.
     """
 
     def __init__(self, table, checkpoint_dir: str,
@@ -73,16 +77,30 @@ class IcebergChangelogStream:
         self.max_snapshots_per_batch = max_snapshots_per_batch
 
     # -- offsets --------------------------------------------------------
+    def _offset_record(self) -> dict | None:
+        raw = self.store.get(_DATASET)
+        return None if raw is None else json.loads(raw)
+
     def last_committed(self) -> int | None:
         """Snapshot id of the last fully-consumed window head, or None
         when this checkpoint has never committed."""
-        raw = self.store.get(_DATASET)
-        return None if raw is None else json.loads(raw)["snapshot_id"]
+        rec = self._offset_record()
+        return None if rec is None else rec["snapshot_id"]
 
     def _commit_offset(self, snapshot_id: int, epoch: int) -> None:
         self.store.commit(
             _DATASET, json.dumps({"snapshot_id": snapshot_id,
                                   "epoch": epoch}))
+
+    def _read_intent(self) -> dict | None:
+        raw = self.store.get(_INTENT)
+        return None if raw is None else json.loads(raw)
+
+    def _write_intent(self, frm: int | None, to_sid: int,
+                      epoch: int) -> None:
+        self.store.commit(
+            _INTENT, json.dumps({"from": frm, "to": to_sid,
+                                 "epoch": epoch}))
 
     # -- planning ---------------------------------------------------------
     def pending(self) -> list[int]:
@@ -92,13 +110,15 @@ class IcebergChangelogStream:
         consumer, or the snapshot expired before the consumer caught
         up; both need an operator decision (re-seed the checkpoint or
         re-bootstrap the downstream), not a silent full re-emit."""
+        return self._pending_after(self.last_committed())
+
+    def _pending_after(self, last: int | None) -> list[int]:
         md = self.table.metadata()
         head = md.get("current-snapshot-id", -1)
         if head == -1:
             return []
         chain = [s["snapshot-id"]
                  for s in reversed(self.table._main_ancestry(md))]
-        last = self.last_committed()
         if last is None:
             return chain
         if last not in chain:
@@ -119,15 +139,33 @@ class IcebergChangelogStream:
         into exactly-once (the foreachBatch contract)."""
         delivered = 0
         while True:
-            todo = self.pending()
+            rec = self._offset_record()   # ONE checkpoint read per epoch
+            frm = None if rec is None else rec["snapshot_id"]
+            epoch = 0 if rec is None else rec["epoch"] + 1
+            todo = self._pending_after(frm)
             if not todo:
                 return delivered
-            step = (len(todo) if self.max_snapshots_per_batch is None
-                    else self.max_snapshots_per_batch)
-            frm = self.last_committed()
-            to_sid = todo[min(step, len(todo)) - 1]
-            raw = self.store.get(_DATASET)
-            epoch = 0 if raw is None else json.loads(raw)["epoch"] + 1
+            # The planned window is WAL-ed as an INTENT record BEFORE
+            # delivery (review r13): without it, a crash between fn and
+            # the offset commit followed by NEW upstream commits would
+            # re-slice the window on restart — fn would see the
+            # already-applied rows again under a NEVER-SEEN token, and
+            # the idempotent-by-token sink would double-apply them.
+            # A surviving intent whose base matches the committed
+            # offset (and whose head is still pending — a rollback
+            # in the gap invalidates it) is replayed verbatim, token
+            # and all; Structured Streaming WALs its planned offset
+            # ranges for exactly the same reason.
+            intent = self._read_intent()
+            if (intent is not None and intent["from"] == frm
+                    and intent["to"] in todo):
+                to_sid = intent["to"]
+            else:
+                step = (len(todo)
+                        if self.max_snapshots_per_batch is None
+                        else self.max_snapshots_per_batch)
+                to_sid = todo[min(step, len(todo)) - 1]
+                self._write_intent(frm, to_sid, epoch)
             fn(self.table.changelog(frm, to_sid), to_sid)
             self._commit_offset(to_sid, epoch)
             delivered += 1

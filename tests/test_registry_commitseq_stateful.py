@@ -104,6 +104,73 @@ def test_registry_legacy_tied_versions_collapse(tmp_path):
     assert reg.by_id(sid) == loser
 
 
+def test_registry_link_unsupported_fallback(tmp_path, monkeypatch):
+    """review r13: os.link is unsupported on object-store FUSE mounts
+    (a deployment the module docstring explicitly supports) — register
+    must fall back to an O_EXCL create, stay single-winner, and every
+    reader must tolerate the fallback's one risk: a torn payload from
+    a writer that crashed mid-write (the burned version number keeps
+    allocation moving)."""
+    import errno
+
+    from gobblin_spark.sources import registry as reg_mod
+
+    def no_link(src, dst):
+        raise OSError(errno.ENOTSUP, "Operation not supported")
+
+    monkeypatch.setattr(reg_mod.os, "link", no_link)
+    reg = FileSchemaRegistry(str(tmp_path))
+    sid1 = reg.register("events", V1)
+    assert reg.by_id(sid1) == V1 and reg.latest("events") == V1
+    assert reg.register("events", V1) == sid1          # idempotent
+    sid2 = reg.register("events", V2)
+    assert reg.latest("events") == V2
+    assert [v for v, _ in reg._versions("events")] == [1, 2]
+    monkeypatch.undo()
+
+    # torn payload at the top version: readers skip it, register burns
+    # past it
+    d = os.path.join(str(tmp_path), "events")
+    with open(os.path.join(d, "v000003.json"), "w") as f:
+        f.write('{"id": "tor')   # crashed mid-write
+    assert reg.latest("events") == V2
+    assert reg.history("events") == [V1, V2]
+    assert reg.by_id(sid2) == V2
+    rival = {"type": "record", "name": "E", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "v", "type": "long"},
+        {"name": "tag", "type": ["null", "string"]},
+        {"name": "x", "type": ["null", "long"]}]}
+    sid3 = reg.register("events", rival)
+    assert reg.latest("events") == rival
+    assert [v for v, _ in reg._versions("events")] == [1, 2, 3, 4]
+    assert reg.by_id(sid3) == rival
+
+
+def test_registry_rolling_upgrade_tie_prefers_atomic_claim(tmp_path):
+    """review r13: during a mixed old/new rolling upgrade a legacy
+    writer can land v000002-cccc.json while a new writer links
+    v000002.json — '-' sorts before '.', so the old smallest-path
+    collapse would declare the LEGACY file the winner after the new
+    register() already returned success (by_id of the returned sid
+    would find nothing). The atomic-claim canonical name now wins
+    same-version ties outright."""
+    reg = FileSchemaRegistry(str(tmp_path))
+    reg.register("events", V1)
+    sid2 = reg.register("events", V2)      # claims v000002.json
+    # a legacy racer writes its suffixed claim at the same version
+    rival = {"type": "record", "name": "E", "fields": [
+        {"name": "id", "type": "long"}]}
+    d = os.path.join(str(tmp_path), "events")
+    with open(os.path.join(d, "v000002-cccccccc.json"), "w") as f:
+        json.dump({"id": schema_id(rival), "version": 2,
+                   "subject": "events", "schema": rival}, f)
+    assert reg.latest("events") == V2          # not the legacy racer
+    assert reg.by_id(sid2) == V2               # the returned sid resolves
+    assert reg.history("events") == [V1, V2]
+    assert reg.by_id(schema_id(rival)) is None
+
+
 def _register_worker(root, subject, schema, barrier):
     reg = FileSchemaRegistry(root)
     barrier.wait(timeout=30)

@@ -465,6 +465,34 @@ def test_changelog_stream_epochs_retractions_exactly_once(
     # nothing pending; a no-op drain delivers zero epochs
     assert restarted.process_available(fn) == 0
 
+    # review r13: crash between delivery and offset commit, then NEW
+    # upstream commits land BEFORE the restart — the restarted consumer
+    # must replay the SAME planned window under the SAME token (the
+    # WAL-ed intent), not re-slice (s4, s6] and re-deliver s5's rows
+    # under a never-seen token
+    t.append_dataframe(spark.createDataFrame([(20, "p")],
+                                             "k long, s string"))
+    s5 = t.metadata()["current-snapshot-id"]
+    monkeypatch.setattr(IcebergChangelogStream, "_commit_offset", torn)
+    crashed2 = IcebergChangelogStream(t, ckpt)
+    with pytest.raises(OSError, match="simulated crash"):
+        crashed2.process_available(fn)
+    assert calls[-1] == s5
+    monkeypatch.setattr(IcebergChangelogStream, "_commit_offset",
+                        real_commit)
+    t.append_dataframe(spark.createDataFrame([(21, "q")],
+                                             "k long, s string"))
+    s6 = t.metadata()["current-snapshot-id"]
+    restarted2 = IcebergChangelogStream(t, ckpt)
+    assert restarted2.process_available(fn) == 2
+    assert calls[-2:] == [s5, s6]        # intact token s5, THEN s6
+    assert sink[s5] == [(20, "insert", s5)]
+    assert sink[s6] == [(21, "insert", s6)]
+    want2 = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                   for r in t.changelog(None).collect())
+    got2 = sorted(r for rows in sink.values() for r in rows)
+    assert got2 == want2
+
 
 def test_changelog_stream_rollback_breaks_continuity_loudly(
         spark, tmp_path):
