@@ -3992,6 +3992,64 @@ def test_changelog_pos_delete_of_dead_position_no_reretract(
         assert net == Counter((r.k, r.s) for r in tt.read().collect())
 
 
+def test_changelog_same_commit_eq_and_pos_same_row_once(spark, tmp_path):
+    """audit r13: ONE MoR commit carrying BOTH an eq-delete and a
+    pos-delete that target the SAME row (an upsert writer hedging
+    predicate + position) must retract it ONCE — the eq path emits it
+    (anchored at the parent) and the pos path defers to same-commit eq
+    siblings; a row only the pos-delete targets still retracts."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from gobblin_spark.sinks import iceberg as ice
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "clmixed")
+    t = IcebergTable.create(
+        spark, loc,
+        spark.createDataFrame([(1, "a")], "k long, s string").schema)
+    t.append_dataframe(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string").coalesce(1))
+    s1 = t.metadata()["current-snapshot-id"]
+
+    # target commit: a MoR overwrite adding an eq-delete for k=2 ...
+    md = t.metadata()
+    cur = next(s for s in md["schemas"]
+               if s["schema-id"] == md["current-schema-id"])
+    by_name = {f["name"]: f["id"] for f in cur["fields"]}
+    keys = ice._conform_with_ids(
+        spark.createDataFrame([(2,)], "k long"),
+        T.StructType([f for f in ice._spark_struct(cur).fields
+                      if f.name == "k"]))
+    sub = f"{loc}/data/mixed-eq"
+    keys.write.mode("overwrite").parquet(sub)
+    s_m = t._commit_files(t._list_delete_parquet(sub), content=2,
+                          equality_ids=[by_name["k"]],
+                          operation="overwrite")
+    # ... and (grafted into the SAME snapshot) a pos-delete addressing
+    # the POSITIONS of k=2 AND k=3
+    pos = (t.read(apply_deletes=False)
+           .select(F.col("_metadata.file_path").alias("file_path"),
+                   F.col("_metadata.row_index").alias("pos"), "k")
+           .filter(F.col("k").isin([2, 3])).drop("k"))
+    t.delete_positions(pos)
+    _graft_head_delete_into(t, s_m)
+
+    assert sorted(r.k for r in t.read().collect()) == [1]
+    rows = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                  for r in t.changelog(None).collect())
+    assert rows == [
+        (1, "insert", s1),
+        (2, "delete", s_m), (2, "insert", s1),   # ONCE, not twice
+        (3, "delete", s_m), (3, "insert", s1)], rows
+    cl = t.changelog(None).collect()
+    net = (Counter((r.k, r.s) for r in cl if r._change_type == "insert")
+           - Counter((r.k, r.s) for r in cl if r._change_type == "delete"))
+    assert net == Counter((r.k, r.s) for r in t.read().collect())
+
+
 def test_changelog_from_must_be_ancestor_of_head(spark, tmp_path):
     """audit r13 (verdict-r12 #1: changelog(ref=)/rollback edges): a
     window base that is NOT on the head's lineage — a rolled-back

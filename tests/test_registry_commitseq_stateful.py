@@ -171,19 +171,33 @@ def test_registry_rolling_upgrade_tie_prefers_atomic_claim(tmp_path):
     assert reg.by_id(schema_id(rival)) is None
 
 
-def _register_worker(root, subject, schema, barrier):
+def _register_worker(root, subject, schema, barrier, no_link=False):
+    if no_link:
+        import errno
+
+        def _no_link(src, dst):
+            raise OSError(errno.ENOTSUP, "Operation not supported")
+        from gobblin_spark.sources import registry as reg_mod
+        reg_mod.os.link = _no_link   # process-local (forked child)
     reg = FileSchemaRegistry(root)
     barrier.wait(timeout=30)
     return reg.register(subject, schema, check_compat=False)
 
 
-def test_registry_concurrent_register_stress(tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("no_link", [False, True],
+                          ids=["link", "o_excl_fallback"])
+def test_registry_concurrent_register_stress(tmp_path, no_link):
     """verdict-r12 #1: stress the single-winner claim MULTI-PROCESS,
     not just with a planted rival. 8 processes register concurrently —
     6 distinct schemas + 2 duplicating one of them — released by a
     barrier so the latest+1 computations genuinely collide. Versions
     must come out unique and contiguous, each distinct schema exactly
-    once, and the duplicate registrations must dedup to one id."""
+    once, and the duplicate registrations must dedup to one id.
+    Parametrized over BOTH claim paths: link(2) and the O_EXCL
+    fallback for filesystems without hard links (review r13)."""
     import multiprocessing as mp
 
     ctx = mp.get_context("fork")
@@ -195,7 +209,8 @@ def test_registry_concurrent_register_stress(tmp_path):
     barrier = manager.Barrier(len(jobs))
     with ctx.Pool(len(jobs)) as pool:
         results = [pool.apply_async(
-            _register_worker, (str(tmp_path), "events", s, barrier))
+            _register_worker,
+            (str(tmp_path), "events", s, barrier, no_link))
             for s in jobs]
         sids = [r.get(timeout=60) for r in results]
     reg = FileSchemaRegistry(str(tmp_path))
