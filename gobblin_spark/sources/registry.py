@@ -79,6 +79,13 @@ class FileSchemaRegistry:
         for v in sorted(by_v):
             paths = by_v[v]
             canonical = os.path.join(d, f"v{v:06d}.json")
+            # ...but only a PARSEABLE canonical: a torn one is a
+            # crashed O_EXCL-fallback writer whose claim never
+            # logically happened — it must not shadow an intact legacy
+            # record at the same version (review r13 pass 2)
+            if (len(paths) > 1 and canonical in paths
+                    and self._load(canonical) is None):
+                paths = [p for p in paths if p != canonical]
             collapsed.append(
                 (v, canonical if canonical in paths else min(paths)))
         return collapsed
@@ -87,11 +94,15 @@ class FileSchemaRegistry:
     def _load(path: str) -> dict | None:
         """Parse a version file; None when torn (a writer crashed
         mid-claim on a filesystem without atomic link — the version
-        number is burned, the registration never logically happened)."""
+        number is burned, the registration never logically happened)
+        or vanished (a legacy racer removing its lost claim). Real IO
+        failures PROPAGATE — masking EACCES or a network-FS fault as
+        'schema never registered' would fail decodes with the wrong
+        error and silently skip the compat gate (review r13 pass 2)."""
         try:
             with open(path) as f:
                 return json.load(f)
-        except (ValueError, OSError):
+        except (ValueError, FileNotFoundError):
             return None
 
     def register(self, subject: str, avro_schema: dict | str,

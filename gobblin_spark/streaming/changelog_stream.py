@@ -157,8 +157,22 @@ class IcebergChangelogStream:
             # and all; Structured Streaming WALs its planned offset
             # ranges for exactly the same reason.
             intent = self._read_intent()
-            if (intent is not None and intent["from"] == frm
-                    and intent["to"] in todo):
+            if intent is not None and intent["from"] == frm:
+                if intent["to"] not in todo:
+                    # The planned head vanished from main's pending set
+                    # between the crash and the restart — an upstream
+                    # rollback_to past it, or it expired. The window
+                    # may have been DELIVERED already; silently
+                    # re-slicing would re-deliver its rows under a
+                    # never-seen token (review r13 pass 2). Same
+                    # operator-decision policy as the offset guard.
+                    raise RuntimeError(
+                        f"changelog stream planned window head "
+                        f"{intent['to']} is no longer on main's "
+                        "pending ancestry — upstream rollback_to "
+                        "rewrote history past a possibly-delivered "
+                        "window, or the snapshot expired; re-seed the "
+                        "checkpoint deliberately")
                 to_sid = intent["to"]
             else:
                 step = (len(todo)
@@ -168,4 +182,12 @@ class IcebergChangelogStream:
                 self._write_intent(frm, to_sid, epoch)
             fn(self.table.changelog(frm, to_sid), to_sid)
             self._commit_offset(to_sid, epoch)
+            # ledger hygiene (review r13 pass 2, same bug class as
+            # audit r8 in the runner): one file lands per commit —
+            # without pruning a continuous consumer lists an ever-
+            # growing checkpoint directory every epoch. The intent key
+            # only ever needs its latest entry; the offset keeps a
+            # rollback window.
+            self.store.prune(_DATASET, keep_last=200)
+            self.store.prune(_INTENT, keep_last=20)
             delivered += 1

@@ -147,6 +147,50 @@ def test_registry_link_unsupported_fallback(tmp_path, monkeypatch):
     assert reg.by_id(sid3) == rival
 
 
+def test_registry_torn_canonical_does_not_shadow_legacy(tmp_path):
+    """review r13 pass 2: a TORN canonical file (crashed O_EXCL-
+    fallback writer) must not win a same-version tie over an intact
+    legacy record — the legacy registration already returned success
+    and must stay readable."""
+    reg = FileSchemaRegistry(str(tmp_path))
+    reg.register("events", V1)
+    d = os.path.join(str(tmp_path), "events")
+    # intact legacy record at v2...
+    with open(os.path.join(d, "v000002-cccccccc.json"), "w") as f:
+        json.dump({"id": schema_id(V2), "version": 2,
+                   "subject": "events", "schema": V2}, f)
+    # ...and a torn canonical claim at the same version
+    with open(os.path.join(d, "v000002.json"), "w") as f:
+        f.write('{"id": "to')
+    assert reg.latest("events") == V2
+    assert reg.by_id(schema_id(V2)) == V2
+    assert reg.history("events") == [V1, V2]
+
+
+def test_registry_load_propagates_real_io_errors(tmp_path, monkeypatch):
+    """review r13 pass 2: _load must not mask EACCES / network-FS
+    faults as 'schema never registered' — that fails decodes with the
+    wrong error and silently skips the backward-compat gate."""
+    import builtins
+
+    reg = FileSchemaRegistry(str(tmp_path))
+    sid1 = reg.register("events", V1)
+    real_open = builtins.open
+
+    def denied(path, *a, **kw):
+        if str(path).endswith(".json") and "events" in str(path):
+            raise PermissionError(13, "Permission denied", str(path))
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr(builtins, "open", denied)
+    with pytest.raises(PermissionError):
+        reg.by_id(sid1)
+    with pytest.raises(PermissionError):
+        reg.latest("events")
+    with pytest.raises(PermissionError):
+        reg.register("events", BAD)   # compat gate must not be skipped
+
+
 def test_registry_rolling_upgrade_tie_prefers_atomic_claim(tmp_path):
     """review r13: during a mixed old/new rolling upgrade a legacy
     writer can land v000002-cccc.json while a new writer links

@@ -494,6 +494,84 @@ def test_changelog_stream_epochs_retractions_exactly_once(
     assert got2 == want2
 
 
+def test_changelog_stream_intent_head_rollback_raises(spark, tmp_path,
+                                                      monkeypatch):
+    """review r13 pass 2: a delivered-but-uncommitted intent whose
+    head left the pending set (upstream rollback_to past it during
+    the outage) must RAISE on restart, not silently re-slice — the
+    sink may already hold the vanished window's rows under the old
+    token, and a re-sliced window would re-deliver them under a
+    never-seen one."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.streaming import IcebergChangelogStream
+
+    loc = str(tmp_path / "clsintroll")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df.coalesce(1))
+    s1 = t.metadata()["current-snapshot-id"]
+    ckpt = str(tmp_path / "clsintroll_ckpt")
+    cs = IcebergChangelogStream(t, ckpt)
+    assert cs.process_available(lambda d, tok: d.count()) == 1
+
+    t.append_dataframe(spark.createDataFrame([(2, "b")],
+                                             "k long, s string"))
+    s2 = t.metadata()["current-snapshot-id"]
+    # crash after delivery, before the offset commit
+    monkeypatch.setattr(
+        IcebergChangelogStream, "_commit_offset",
+        lambda self, sid, ep: (_ for _ in ()).throw(OSError("crash")))
+    with pytest.raises(OSError, match="crash"):
+        IcebergChangelogStream(t, ckpt).process_available(
+            lambda d, tok: d.count())
+    monkeypatch.undo()
+    # upstream rolls back past the planned head and moves on
+    t.rollback_to(s1)
+    t.append_dataframe(spark.createDataFrame([(3, "c")],
+                                             "k long, s string"))
+    with pytest.raises(RuntimeError, match="planned window head"):
+        IcebergChangelogStream(t, ckpt).process_available(
+            lambda d, tok: None)
+
+
+def test_changelog_stream_checkpoint_pruned(spark, tmp_path):
+    """review r13 pass 2: the checkpoint ledgers must prune (one file
+    lands per commit) — same unbounded-listing bug class audit r8
+    fixed in the runner."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.streaming import IcebergChangelogStream
+    from gobblin_spark.streaming import changelog_stream as CS
+
+    loc = str(tmp_path / "clsprune")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = IcebergTable.create(spark, loc, df.schema)
+    ckpt = str(tmp_path / "clsprune_ckpt")
+    cs = IcebergChangelogStream(t, ckpt, max_snapshots_per_batch=1)
+    for i in range(4):
+        t.append_dataframe(spark.createDataFrame(
+            [(i, "x")], "k long, s string"))
+    pruned = []
+    real_prune = cs.store.prune
+    cs.store.prune = lambda ds, keep_last: (
+        pruned.append(ds), real_prune(ds, keep_last=keep_last))[1]
+    assert cs.process_available(lambda d, tok: None) == 4
+    # the loop prunes BOTH ledgers every epoch
+    assert pruned.count(CS._DATASET) == 4
+    assert pruned.count(CS._INTENT) == 4
+    cs.store.prune = real_prune
+    # intent ledger: pruned to its keep_last (20 >> 4 epochs here, so
+    # just assert both ledgers stay bounded by epochs seen, not 2x)
+    n_off = len(cs.store._entries(CS._DATASET))
+    n_int = len(cs.store._entries(CS._INTENT))
+    assert n_off <= 200 and n_int <= 20
+    # and with tiny keep_last the prune genuinely removes files
+    cs.store.prune(CS._DATASET, keep_last=1)
+    cs.store.prune(CS._INTENT, keep_last=1)
+    assert len(cs.store._entries(CS._DATASET)) == 1
+    assert len(cs.store._entries(CS._INTENT)) == 1
+    assert cs.last_committed() is not None  # still readable after prune
+
+
 def test_changelog_stream_rollback_breaks_continuity_loudly(
         spark, tmp_path):
     """An upstream rollback_to that rewrites history past the
