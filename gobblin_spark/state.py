@@ -81,6 +81,12 @@ def _lit(value) -> Column:
     return F.lit(value)
 
 
+class ConcurrentWriterError(RuntimeError):
+    """A fenced commit found the ledger advanced past the state it was
+    computed from — another writer is sharing this store (see
+    :meth:`WatermarkStore.commit_fenced`)."""
+
+
 class WatermarkStore:
     """Versioned per-dataset watermark store on any Hadoop filesystem.
 
@@ -207,6 +213,57 @@ class WatermarkStore:
         raise RuntimeError(
             f"watermark commit for {dataset} lost 5 sequence races"
         ) from last_err
+
+    def get_with_fence(self, dataset: str, default=None):
+        """``(current watermark or default, fence)``. The fence is the
+        raw top SEQUENCE of the dataset's ledger (0 when empty) —
+        counting torn files, which still hold their sequence — and is
+        the token :meth:`commit_fenced` checks against. Read state with
+        this, compute, then commit with the fence: any writer that
+        advanced the ledger in between makes the fenced commit fail
+        instead of silently interleaving two writers' state machines."""
+        entries = self._entries(dataset)
+        fence = entries[-1][0] if entries else 0
+        if not entries:
+            return default, fence
+        got = self._read_latest(entries)
+        return (default if got is None else got), fence
+
+    def commit_fenced(self, dataset: str, value, fence: int,
+                      run_id: str | None = None) -> int:
+        """Persist *value* at exactly sequence ``fence + 1`` — ONE
+        attempt, no retry. Where :meth:`commit` treats a sequence
+        collision as a race to be retried at the next number (fine for
+        ledgers where any interleaving of valid values is valid, e.g.
+        monotone pull watermarks), a collision here means another
+        writer advanced the ledger past the state THIS commit was
+        computed from — retrying at a later sequence would silently
+        interleave two writers' epoch machines. Raises
+        :class:`ConcurrentWriterError` instead (the same single-writer
+        fencing Structured Streaming gets from its batch-file
+        create-no-overwrite CAS in HDFSMetadataLog)."""
+        fs, jvm = self._fs()
+        dpath = self._dataset_path(jvm, dataset)
+        fs.mkdirs(dpath)
+        seq = fence + 1
+        fname = f"{_WM_PREFIX}{seq:010d}.json"
+        payload = dict(_encode(value), dataset=dataset, seq=seq,
+                       run_id=run_id or uuid.uuid4().hex[:8])
+        target = jvm.org.apache.hadoop.fs.Path(dpath, fname)
+        try:
+            out = fs.create(target, False)
+        except Exception as ex:
+            if fs.exists(target):   # genuine collision, not an IO fault
+                raise ConcurrentWriterError(
+                    f"fenced commit for {dataset} at seq {seq} lost to "
+                    "a concurrent writer — this ledger requires a "
+                    "single writer per checkpoint directory") from ex
+            raise
+        try:
+            out.write(bytearray(json.dumps(payload).encode("utf-8")))
+        finally:
+            out.close()
+        return seq
 
     def history(self, dataset: str) -> list:
         """All committed watermarks, oldest first (FsStateStore

@@ -44,7 +44,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame
 
-from gobblin_spark.state import WatermarkStore
+from gobblin_spark.state import ConcurrentWriterError, WatermarkStore
 
 _DATASET = "iceberg_changelog_offsets"
 _INTENT = "iceberg_changelog_intent"
@@ -65,6 +65,13 @@ class IcebergChangelogStream:
     changing it between restarts re-slices only windows not yet
     planned — committed offsets and a surviving planned window are
     never revisited.
+
+    **One live consumer per checkpoint directory** (the Structured
+    Streaming checkpoint contract). The ledger commits are FENCED, so
+    a second consumer sharing the directory dies with
+    :class:`~gobblin_spark.state.ConcurrentWriterError` before it can
+    deliver a conflicting window — restarts after a crash are fine
+    (the dead consumer holds no lease to expire).
     """
 
     def __init__(self, table, checkpoint_dir: str,
@@ -77,30 +84,40 @@ class IcebergChangelogStream:
         self.max_snapshots_per_batch = max_snapshots_per_batch
 
     # -- offsets --------------------------------------------------------
-    def _offset_record(self) -> dict | None:
-        raw = self.store.get(_DATASET)
-        return None if raw is None else json.loads(raw)
+    # Every ledger access is FENCED (review r13 pass 3): the checkpoint
+    # directory admits exactly ONE live consumer. Two consumers sharing
+    # it genuinely break exactly-once — a consumer whose offset read
+    # went stale while its rival completed whole epochs would plan a
+    # FRESH window from the old base and deliver already-applied rows
+    # under a never-seen token, which an idempotent-by-token sink
+    # cannot dedup. Fencing on the ledger's own atomic-create sequence
+    # (the CAS Structured Streaming's HDFSMetadataLog uses per batch
+    # file) makes the loser die loudly BEFORE delivering instead.
+    def _offset_record(self) -> tuple[dict | None, int]:
+        raw, fence = self.store.get_with_fence(_DATASET)
+        return (None if raw is None else json.loads(raw)), fence
 
     def last_committed(self) -> int | None:
         """Snapshot id of the last fully-consumed window head, or None
         when this checkpoint has never committed."""
-        rec = self._offset_record()
+        rec, _ = self._offset_record()
         return None if rec is None else rec["snapshot_id"]
 
-    def _commit_offset(self, snapshot_id: int, epoch: int) -> None:
-        self.store.commit(
+    def _commit_offset(self, snapshot_id: int, epoch: int,
+                       fence: int) -> None:
+        self.store.commit_fenced(
             _DATASET, json.dumps({"snapshot_id": snapshot_id,
-                                  "epoch": epoch}))
+                                  "epoch": epoch}), fence)
 
-    def _read_intent(self) -> dict | None:
-        raw = self.store.get(_INTENT)
-        return None if raw is None else json.loads(raw)
+    def _read_intent(self) -> tuple[dict | None, int]:
+        raw, fence = self.store.get_with_fence(_INTENT)
+        return (None if raw is None else json.loads(raw)), fence
 
     def _write_intent(self, frm: int | None, to_sid: int,
-                      epoch: int) -> None:
-        self.store.commit(
+                      epoch: int, fence: int) -> None:
+        self.store.commit_fenced(
             _INTENT, json.dumps({"from": frm, "to": to_sid,
-                                 "epoch": epoch}))
+                                 "epoch": epoch}), fence)
 
     # -- planning ---------------------------------------------------------
     def pending(self) -> list[int]:
@@ -139,7 +156,9 @@ class IcebergChangelogStream:
         into exactly-once (the foreachBatch contract)."""
         delivered = 0
         while True:
-            rec = self._offset_record()   # ONE checkpoint read per epoch
+            # ONE checkpoint read per epoch; its fence guards both the
+            # intent write and the offset commit below
+            rec, off_fence = self._offset_record()
             frm = None if rec is None else rec["snapshot_id"]
             epoch = 0 if rec is None else rec["epoch"] + 1
             todo = self._pending_after(frm)
@@ -156,7 +175,7 @@ class IcebergChangelogStream:
             # in the gap invalidates it) is replayed verbatim, token
             # and all; Structured Streaming WALs its planned offset
             # ranges for exactly the same reason.
-            intent = self._read_intent()
+            intent, int_fence = self._read_intent()
             if intent is not None and intent["from"] == frm:
                 if intent["to"] not in todo:
                     # The planned head vanished from main's pending set
@@ -179,9 +198,25 @@ class IcebergChangelogStream:
                         if self.max_snapshots_per_batch is None
                         else self.max_snapshots_per_batch)
                 to_sid = todo[min(step, len(todo)) - 1]
-                self._write_intent(frm, to_sid, epoch)
+                # fenced: if a rival consumer WAL-ed an intent since
+                # our read, this create collides and we die before
+                # delivering a conflicting window
+                self._write_intent(frm, to_sid, epoch, int_fence)
+                # the intent fence can't see a rival that completed
+                # WHOLE epochs (intent + delivery + offset + prune)
+                # between our offset read and our intent write — its
+                # latest intent no longer matches our stale base, so we
+                # just planned a fresh window from it. Its offset
+                # commits moved that ledger's top: recheck before
+                # delivering rows a sink may already hold.
+                if self.store.get_with_fence(_DATASET)[1] != off_fence:
+                    raise ConcurrentWriterError(
+                        "changelog stream offset ledger advanced "
+                        "underneath this consumer — a second consumer "
+                        "is sharing this checkpoint directory; run "
+                        "exactly one consumer per checkpoint")
             fn(self.table.changelog(frm, to_sid), to_sid)
-            self._commit_offset(to_sid, epoch)
+            self._commit_offset(to_sid, epoch, off_fence)
             # ledger hygiene (review r13 pass 2, same bug class as
             # audit r8 in the runner): one file lands per commit —
             # without pruning a continuous consumer lists an ever-

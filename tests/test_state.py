@@ -302,3 +302,45 @@ def test_watermark_prune_keeps_newest(spark, tmp_path):
     assert deleted == 7
     assert store.get("ds") == 11
     assert store.history("ds") == [7, 8, 9, 10, 11]
+
+
+def test_fenced_commit_single_writer(spark, tmp_path):
+    """review r13 pass 3: commit_fenced writes at exactly fence+1 and
+    RAISES on a collision instead of retrying at the next sequence —
+    the single-writer fencing the changelog stream's checkpoint ledger
+    needs (a retried commit would silently interleave two consumers'
+    epoch machines). The fence counts TORN files, so a crashed commit
+    at the top still fences correctly."""
+    import pytest
+
+    from gobblin_spark.state import ConcurrentWriterError, WatermarkStore
+
+    store = WatermarkStore(spark, str(tmp_path / "wmf"))
+    val, fence = store.get_with_fence("ds")
+    assert val is None and fence == 0
+    assert store.commit_fenced("ds", "a", fence) == 1
+    val, fence = store.get_with_fence("ds")
+    assert val == "a" and fence == 1
+
+    # a rival advanced the ledger between our read and our commit
+    store.commit("ds", "rival")
+    with pytest.raises(ConcurrentWriterError, match="single writer"):
+        store.commit_fenced("ds", "b", fence)
+    # the loser wrote nothing; the rival's value stands
+    val2, fence2 = store.get_with_fence("ds")
+    assert val2 == "rival" and fence2 == 2
+
+    # a torn file at the top holds its sequence: the fence sees it and
+    # the next fenced commit allocates past it (values fall back)
+    fs, jvm = store._fs()
+    fs.create(jvm.org.apache.hadoop.fs.Path(
+        f"{store.root}/ds/wm-0000000003.json"), False).close()
+    val3, fence3 = store.get_with_fence("ds")
+    assert val3 == "rival" and fence3 == 3
+    assert store.commit_fenced("ds", "c", fence3) == 4
+    assert store.get("ds") == "c"
+
+    # prune keeps the top sequence, so a pruned ledger still fences
+    store.prune("ds", keep_last=1)
+    val4, fence4 = store.get_with_fence("ds")
+    assert val4 == "c" and fence4 == 4

@@ -434,7 +434,7 @@ def test_changelog_stream_epochs_retractions_exactly_once(
 
     # CRASH between delivery and offset commit on the retraction epoch
     real_commit = IcebergChangelogStream._commit_offset
-    def torn(self, snapshot_id, epoch):
+    def torn(self, snapshot_id, epoch, fence):
         raise OSError("simulated crash before offset commit")
     monkeypatch.setattr(IcebergChangelogStream, "_commit_offset", torn)
     crashed = IcebergChangelogStream(t, ckpt, max_snapshots_per_batch=2)
@@ -520,7 +520,8 @@ def test_changelog_stream_intent_head_rollback_raises(spark, tmp_path,
     # crash after delivery, before the offset commit
     monkeypatch.setattr(
         IcebergChangelogStream, "_commit_offset",
-        lambda self, sid, ep: (_ for _ in ()).throw(OSError("crash")))
+        lambda self, sid, ep, fence: (_ for _ in ()).throw(
+            OSError("crash")))
     with pytest.raises(OSError, match="crash"):
         IcebergChangelogStream(t, ckpt).process_available(
             lambda d, tok: d.count())
@@ -598,6 +599,98 @@ def test_changelog_stream_rollback_breaks_continuity_loudly(
                                              "k long, s string"))
     with pytest.raises(RuntimeError, match="rollback_to"):
         cs.process_available(lambda d, tok: None)
+
+
+def test_changelog_stream_second_consumer_fenced(spark, tmp_path):
+    """review r13 pass 3 (round-14 queue #2): the checkpoint directory
+    admits exactly ONE live consumer. A second consumer whose ledger
+    reads went stale while a rival completed epochs would — without
+    fencing — plan a FRESH window from the old base and deliver
+    already-applied rows under a never-seen token, which an
+    idempotent-by-token sink cannot dedup (double-apply). Every ledger
+    access is fenced on the store's atomic-create sequence, so the
+    stale consumer dies with ConcurrentWriterError BEFORE delivering
+    on the conflicting paths, and on the offset commit in the
+    token-shared (harmless) replay path."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.state import ConcurrentWriterError
+    from gobblin_spark.streaming import IcebergChangelogStream
+
+    loc = str(tmp_path / "cls2c")
+    ckpt = str(tmp_path / "cls2c_ckpt")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df.coalesce(1))
+    s1 = t.metadata()["current-snapshot-id"]
+
+    # consumer B captures its ledger state BEFORE A makes progress —
+    # the widest possible staleness window of the live race
+    b = IcebergChangelogStream(t, ckpt)
+    stale_off = b._offset_record()          # (None, fence 0)
+    stale_int = b._read_intent()
+
+    a = IcebergChangelogStream(t, ckpt)
+    assert a.process_available(lambda d, tok: None) == 1
+    t.append_dataframe(spark.createDataFrame([(2, "b")],
+                                             "k long, s string"))
+    s2 = t.metadata()["current-snapshot-id"]
+    assert a.process_available(lambda d, tok: None) == 1
+    assert a.last_committed() == s2
+
+    delivered: list[int] = []
+
+    def fn(batch_df, token):
+        delivered.append(token)
+
+    # 1) both reads stale: B plans from base None while A's intents
+    #    advanced that ledger — the FENCED intent write collides and B
+    #    dies with NOTHING delivered (pre-fix: B delivered the whole
+    #    table under token s2 with a window A never planned)
+    b._offset_record = lambda: stale_off
+    b._read_intent = lambda: stale_int
+    with pytest.raises(ConcurrentWriterError):
+        b.process_available(fn)
+    assert delivered == []
+
+    # 2) stale offset, LIVE intent: A's latest intent base (s1) no
+    #    longer matches B's stale base (None), so B plans fresh and
+    #    its intent write lands — the offset-fence RECHECK catches the
+    #    rival's committed epochs before delivery
+    b2 = IcebergChangelogStream(t, ckpt)
+    b2._offset_record = lambda: stale_off
+    with pytest.raises(ConcurrentWriterError):
+        b2.process_available(fn)
+    assert delivered == []
+
+    # 3) replay path (stale intent base == stale offset base): the
+    #    token is the one the rival already delivered — the duplicate
+    #    delivery is harmless (idempotent by token) and the fenced
+    #    offset commit then kills the straggler without regressing the
+    #    committed offset
+    mid_off = stale_off                      # base None
+    fs = IcebergChangelogStream(t, ckpt).store
+    raw, f_int = fs.get_with_fence("iceberg_changelog_intent")
+    import json as _json
+    first_intent = next(
+        rec for rec in (_json.loads(x) for x in
+                        fs.history("iceberg_changelog_intent"))
+        if rec["from"] is None)
+    b3 = IcebergChangelogStream(t, ckpt)
+    b3._offset_record = lambda: mid_off
+    b3._read_intent = lambda: (first_intent, f_int)
+    with pytest.raises(ConcurrentWriterError):
+        b3.process_available(fn)
+    assert delivered == [first_intent["to"]] == [s1]  # already-seen token
+    # offset did NOT regress (fresh reader — b3's reads are stale)
+    assert IcebergChangelogStream(t, ckpt).last_committed() == s2
+
+    # the surviving consumer continues unharmed past the junk intent
+    # scenario 2 appended (its base matches no committed offset)
+    t.append_dataframe(spark.createDataFrame([(3, "c")],
+                                             "k long, s string"))
+    s3 = t.metadata()["current-snapshot-id"]
+    assert a.process_available(fn) == 1
+    assert delivered[-1] == s3 and a.last_committed() == s3
 
 
 def test_epoch_stats_bounded_on_replay_too(spark, tmp_path, monkeypatch):
