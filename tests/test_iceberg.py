@@ -3684,6 +3684,14 @@ def _graft_head_delete_into(t, target_sid):
     snapT = next(s for s in md["snapshots"]
                  if s["snapshot-id"] == target_sid)
     snapD = next(s for s in md["snapshots"] if s["snapshot-id"] == s_del)
+    # genuine-shape guard (audit r13): the head being merged must be
+    # the target's DIRECT child. Grafting across intervening commits
+    # would restamp the delete BELOW sequences it was created seeing —
+    # a history no engine can write (deletes apply to data with
+    # seq <= theirs, so the restamped file would stop covering the
+    # intervening commits' files it originally addressed).
+    assert snapD.get("parent-snapshot-id") == target_sid, \
+        "graft target must be the head commit's parent"
     t_seq = snapT["sequence-number"]
     _, d_list = ACF.read_container(t._read_bytes(snapD["manifest-list"]))
     # the head may carry OLDER delete manifests too — graft only the
@@ -3741,6 +3749,11 @@ def _carry_parent_delete_manifests(t, target_sid):
     if not dels:
         return
     _, t_list = ACF.read_container(t._read_bytes(snapT["manifest-list"]))
+    # genuine-shape guard (audit r13): re-attaching a manifest the
+    # target already carries would double-apply its deletes
+    have = {m["manifest_path"] for m in t_list}
+    assert not have & {m["manifest_path"] for m in dels}, \
+        "target already carries one of the parent's delete manifests"
     new_list = (f"{t.location}/metadata/"
                 f"snap-carried-{_uuid.uuid4().hex}.avro")
     t._write_bytes(new_list, ACF.write_container_bytes(
@@ -4045,6 +4058,63 @@ def test_changelog_same_commit_eq_and_pos_same_row_once(spark, tmp_path):
         (2, "delete", s_m), (2, "insert", s1),   # ONCE, not twice
         (3, "delete", s_m), (3, "insert", s1)], rows
     cl = t.changelog(None).collect()
+    net = (Counter((r.k, r.s) for r in cl if r._change_type == "insert")
+           - Counter((r.k, r.s) for r in cl if r._change_type == "delete"))
+    assert net == Counter((r.k, r.s) for r in t.read().collect())
+
+
+def test_changelog_same_commit_multi_file_pos_deletes_once(
+        spark, tmp_path):
+    """round-14 queue #2 (pulled into r13): ONE commit carrying TWO
+    position-delete FILES whose reference sets overlap — the same
+    (data file, pos) addressed by both, plus positions only one of
+    them holds, across TWO data files. The same-seq path tiebreak
+    must emit the shared position exactly once while NOT suppressing
+    either file's exclusive positions, in every data file referenced."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+
+    loc = str(tmp_path / "clmfpos")
+    t = IcebergTable.create(
+        spark, loc,
+        spark.createDataFrame([(1, "a")], "k long, s string").schema)
+    t.append_dataframe(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")],
+        "k long, s string").coalesce(1))                     # data file 1
+    s1 = t.metadata()["current-snapshot-id"]
+    t.append_dataframe(spark.createDataFrame(
+        [(5, "e"), (6, "f")], "k long, s string").coalesce(1))  # file 2
+    s2 = t.metadata()["current-snapshot-id"]
+
+    pos = (t.read(apply_deletes=False)
+           .select(F.col("_metadata.file_path").alias("file_path"),
+                   F.col("_metadata.row_index").alias("pos"), "k"))
+    pos_a = pos.filter(F.col("k").isin([2, 5])).drop("k").coalesce(1)
+    pos_b = pos.filter(F.col("k").isin([2, 3, 6])).drop("k").coalesce(1)
+    s_d = t.delete_positions(pos_a)     # delete file A: {f1:2, f2:5}
+    t.delete_positions(pos_b)           # delete file B: {f1:2,3, f2:6}
+    _graft_head_delete_into(t, s_d)     # ONE commit, TWO pos files
+
+    assert sorted(r.k for r in t.read().collect()) == [1, 4]
+    cl = t.changelog(None).collect()
+    mult = Counter((r.k, r._change_type) for r in cl)
+    # the shared position (k=2) retracts ONCE; each file's exclusive
+    # positions (3 from B; 5 from A; 6 from B) retract once each
+    assert mult == Counter({(1, "insert"): 1, (2, "insert"): 1,
+                            (3, "insert"): 1, (4, "insert"): 1,
+                            (5, "insert"): 1, (6, "insert"): 1,
+                            (2, "delete"): 1, (3, "delete"): 1,
+                            (5, "delete"): 1, (6, "delete"): 1}), mult
+    stamps = {r.k: r._commit_snapshot_id for r in cl
+              if r._change_type == "delete"}
+    assert stamps == {2: s_d, 3: s_d, 5: s_d, 6: s_d}
+    inserts = {r.k: r._commit_snapshot_id for r in cl
+               if r._change_type == "insert"}
+    assert inserts == {1: s1, 2: s1, 3: s1, 4: s1, 5: s2, 6: s2}
+    # windowed net-effect law
     net = (Counter((r.k, r.s) for r in cl if r._change_type == "insert")
            - Counter((r.k, r.s) for r in cl if r._change_type == "delete"))
     assert net == Counter((r.k, r.s) for r in t.read().collect())
