@@ -150,11 +150,7 @@ class WatermarkStore:
     # -- public API ----------------------------------------------------
     def get(self, dataset: str, default=None):
         """Current (highest-sequence) committed watermark, or *default*."""
-        entries = self._entries(dataset)
-        if not entries:
-            return default
-        got = self._read_latest(entries)
-        return default if got is None else got
+        return self.get_with_fence(dataset, default)[0]
 
     def commit(self, dataset: str, value, run_id: str | None = None,
                monotonic: bool = False) -> int:
@@ -196,23 +192,30 @@ class WatermarkStore:
                 except TypeError:
                     pass  # incomparable kinds: let the commit through
             seq = (entries[-1][0] + 1) if entries else 1
-            fname = f"{_WM_PREFIX}{seq:010d}.json"
-            payload = dict(_encode(value), dataset=dataset, seq=seq,
-                           run_id=token)
             try:
-                out = fs.create(jvm.org.apache.hadoop.fs.Path(dpath, fname),
-                                False)
+                self._create_seq_file(fs, jvm, dpath, dataset, seq,
+                                      value, token)
             except Exception as ex:  # seq taken: re-read, retry next
                 last_err = ex
                 continue
-            try:
-                out.write(bytearray(json.dumps(payload).encode("utf-8")))
-            finally:
-                out.close()
             return seq
         raise RuntimeError(
             f"watermark commit for {dataset} lost 5 sequence races"
         ) from last_err
+
+    def _create_seq_file(self, fs, jvm, dpath, dataset: str, seq: int,
+                         value, token: str) -> None:
+        """ONE copy of the ledger file format + atomic create (shared
+        by commit and commit_fenced — a format change applied to one
+        and not the other would silently fork the ledger)."""
+        fname = f"{_WM_PREFIX}{seq:010d}.json"
+        payload = dict(_encode(value), dataset=dataset, seq=seq,
+                       run_id=token)
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(dpath, fname), False)
+        try:
+            out.write(bytearray(json.dumps(payload).encode("utf-8")))
+        finally:
+            out.close()
 
     def get_with_fence(self, dataset: str, default=None):
         """``(current watermark or default, fence)``. The fence is the
@@ -228,6 +231,25 @@ class WatermarkStore:
             return default, fence
         got = self._read_latest(entries)
         return (default if got is None else got), fence
+
+    def fence(self, dataset: str) -> int:
+        """The ledger's raw top sequence alone (0 when empty) — one
+        listing, no file read; for fence REchecks that don't need the
+        value."""
+        entries = self._entries(dataset)
+        return entries[-1][0] if entries else 0
+
+    def iter_newest(self, dataset: str):
+        """Yield ``(seq, value)`` newest-first, lazily (one file read
+        per yielded entry; torn entries skipped). For fenced consumers
+        that must match a record by CONTENT rather than take the top
+        blindly — a fenced-out rival may have appended junk above the
+        live record before dying."""
+        for seq, path in reversed(self._entries(dataset)):
+            try:
+                yield seq, _decode(self._read_json(path))
+            except ValueError:
+                continue
 
     def commit_fenced(self, dataset: str, value, fence: int,
                       run_id: str | None = None) -> int:
@@ -246,23 +268,32 @@ class WatermarkStore:
         dpath = self._dataset_path(jvm, dataset)
         fs.mkdirs(dpath)
         seq = fence + 1
-        fname = f"{_WM_PREFIX}{seq:010d}.json"
-        payload = dict(_encode(value), dataset=dataset, seq=seq,
-                       run_id=run_id or uuid.uuid4().hex[:8])
-        target = jvm.org.apache.hadoop.fs.Path(dpath, fname)
+        # the create-no-overwrite CAS alone goes blind once a PRUNE has
+        # deleted the colliding file (a rival that advanced the ledger
+        # past keep_last while this writer was paused): pre-check the
+        # live top against the fence so a stale writer dies instead of
+        # landing a shadowed low-sequence record (review r13 pass 3).
+        # The residual list->create window needs a rival to complete
+        # > keep_last commits AND a prune inside it — the create CAS
+        # still catches everything smaller.
+        top = self.fence(dataset)
+        if top != fence:
+            raise ConcurrentWriterError(
+                f"fenced commit for {dataset}: ledger top {top} != "
+                f"fence {fence} — a concurrent writer advanced this "
+                "ledger; it requires a single writer per checkpoint "
+                "directory")
         try:
-            out = fs.create(target, False)
+            self._create_seq_file(fs, jvm, dpath, dataset, seq, value,
+                                  run_id or uuid.uuid4().hex[:8])
         except Exception as ex:
-            if fs.exists(target):   # genuine collision, not an IO fault
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                    dpath, f"{_WM_PREFIX}{seq:010d}.json")):
                 raise ConcurrentWriterError(
                     f"fenced commit for {dataset} at seq {seq} lost to "
                     "a concurrent writer — this ledger requires a "
                     "single writer per checkpoint directory") from ex
             raise
-        try:
-            out.write(bytearray(json.dumps(payload).encode("utf-8")))
-        finally:
-            out.close()
         return seq
 
     def history(self, dataset: str) -> list:

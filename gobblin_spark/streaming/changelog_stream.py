@@ -109,9 +109,26 @@ class IcebergChangelogStream:
             _DATASET, json.dumps({"snapshot_id": snapshot_id,
                                   "epoch": epoch}), fence)
 
-    def _read_intent(self) -> tuple[dict | None, int]:
-        raw, fence = self.store.get_with_fence(_INTENT)
-        return (None if raw is None else json.loads(raw)), fence
+    def _find_intent(self, frm: int | None) -> tuple[dict | None, int]:
+        """The newest intent planned FROM *frm*, plus the intent
+        ledger's fence. Matching by base — not taking the top record
+        blindly — matters (review r13 pass 3): a fenced-out straggler
+        can land one junk intent (planned from ITS stale base) above
+        the live record before the offset recheck kills it, and a
+        crashed consumer restarting under the buried live intent would
+        otherwise re-slice a fresh window and double-apply. Offsets
+        only ADVANCE, so a junk record's base is always strictly older
+        than the current offset — it can never match *frm*, and the
+        newest from==frm record is always the live consumer's own WAL.
+        The scan is lazy newest-first: one file read in the no-junk
+        common case. The fence comes from its own listing — iter_newest
+        skips torn entries, whose sequences still count."""
+        fence = self.store.fence(_INTENT)
+        for _, raw in self.store.iter_newest(_INTENT):
+            rec = json.loads(raw)
+            if rec["from"] == frm:
+                return rec, fence
+        return None, fence
 
     def _write_intent(self, frm: int | None, to_sid: int,
                       epoch: int, fence: int) -> None:
@@ -175,8 +192,8 @@ class IcebergChangelogStream:
             # in the gap invalidates it) is replayed verbatim, token
             # and all; Structured Streaming WALs its planned offset
             # ranges for exactly the same reason.
-            intent, int_fence = self._read_intent()
-            if intent is not None and intent["from"] == frm:
+            intent, int_fence = self._find_intent(frm)
+            if intent is not None:
                 if intent["to"] not in todo:
                     # The planned head vanished from main's pending set
                     # between the crash and the restart — an upstream
@@ -202,19 +219,28 @@ class IcebergChangelogStream:
                 # our read, this create collides and we die before
                 # delivering a conflicting window
                 self._write_intent(frm, to_sid, epoch, int_fence)
-                # the intent fence can't see a rival that completed
-                # WHOLE epochs (intent + delivery + offset + prune)
-                # between our offset read and our intent write — its
-                # latest intent no longer matches our stale base, so we
-                # just planned a fresh window from it. Its offset
-                # commits moved that ledger's top: recheck before
-                # delivering rows a sink may already hold.
-                if self.store.get_with_fence(_DATASET)[1] != off_fence:
-                    raise ConcurrentWriterError(
-                        "changelog stream offset ledger advanced "
-                        "underneath this consumer — a second consumer "
-                        "is sharing this checkpoint directory; run "
-                        "exactly one consumer per checkpoint")
+            # ONE offset-fence recheck guards BOTH paths before
+            # delivery. Plan-own path: the intent fence can't see a
+            # rival that completed WHOLE epochs (intent + delivery +
+            # offset + prune) between our offset read and intent write
+            # — its offset commits moved that ledger's top. Replay
+            # path: a straggler at a STALE base can select a junk
+            # intent another fenced-out straggler left at the same
+            # base and deliver its window under a token the live
+            # consumer hasn't used yet — but junk only exists because
+            # its writer failed THIS check, i.e. offsets had advanced,
+            # and offsets never regress, so every later same-base
+            # reader fails here too. A genuine crash-restart replay
+            # passes trivially (it just read the offset). After this
+            # check, any two consumers sharing a base converge on the
+            # identical (window, token) pair — duplicates an
+            # idempotent-by-token sink absorbs.
+            if self.store.fence(_DATASET) != off_fence:
+                raise ConcurrentWriterError(
+                    "changelog stream offset ledger advanced "
+                    "underneath this consumer — a second consumer "
+                    "is sharing this checkpoint directory; run "
+                    "exactly one consumer per checkpoint")
             fn(self.table.changelog(frm, to_sid), to_sid)
             self._commit_offset(to_sid, epoch, off_fence)
             # ledger hygiene (review r13 pass 2, same bug class as

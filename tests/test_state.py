@@ -344,3 +344,13 @@ def test_fenced_commit_single_writer(spark, tmp_path):
     store.prune("ds", keep_last=1)
     val4, fence4 = store.get_with_fence("ds")
     assert val4 == "c" and fence4 == 4
+
+    # review r13 pass 3: once PRUNE has deleted the colliding file, the
+    # create-no-overwrite CAS alone goes blind — a stale writer's
+    # create at its old fence+1 would succeed and land a shadowed
+    # low-sequence record. The pre-check against the live top catches
+    # it (seq-2 file is gone here; fence 1 is ancient).
+    with pytest.raises(ConcurrentWriterError, match="ledger top"):
+        store.commit_fenced("ds", "stale", 1)
+    assert store.get("ds") == "c"
+    assert store.fence("ds") == 4           # nothing landed

@@ -627,7 +627,7 @@ def test_changelog_stream_second_consumer_fenced(spark, tmp_path):
     # the widest possible staleness window of the live race
     b = IcebergChangelogStream(t, ckpt)
     stale_off = b._offset_record()          # (None, fence 0)
-    stale_int = b._read_intent()
+    stale_int = b._find_intent(None)        # (no intent, fence 0)
 
     a = IcebergChangelogStream(t, ckpt)
     assert a.process_available(lambda d, tok: None) == 1
@@ -642,45 +642,42 @@ def test_changelog_stream_second_consumer_fenced(spark, tmp_path):
     def fn(batch_df, token):
         delivered.append(token)
 
-    # 1) both reads stale: B plans from base None while A's intents
-    #    advanced that ledger — the FENCED intent write collides and B
-    #    dies with NOTHING delivered (pre-fix: B delivered the whole
-    #    table under token s2 with a window A never planned)
+    # 1) both reads stale (intent history for the base PRUNED away on
+    #    a long-stale straggler): B plans from base None while A's
+    #    intents advanced that ledger — the FENCED intent write
+    #    collides and B dies with NOTHING delivered (pre-fix: B
+    #    delivered the whole table under token s2 with a window A
+    #    never planned)
     b._offset_record = lambda: stale_off
-    b._read_intent = lambda: stale_int
+    b._find_intent = lambda frm: stale_int
     with pytest.raises(ConcurrentWriterError):
         b.process_available(fn)
     assert delivered == []
 
-    # 2) stale offset, LIVE intent: A's latest intent base (s1) no
-    #    longer matches B's stale base (None), so B plans fresh and
-    #    its intent write lands — the offset-fence RECHECK catches the
-    #    rival's committed epochs before delivery
+    # 2) stale offset, intent-for-base pruned but ledger top LIVE: B
+    #    plans fresh and its intent write lands — the offset-fence
+    #    RECHECK catches the rival's committed epochs before delivery
     b2 = IcebergChangelogStream(t, ckpt)
     b2._offset_record = lambda: stale_off
+    live_int_fence = b2.store.fence("iceberg_changelog_intent")
+    b2._find_intent = lambda frm: (None, live_int_fence)
     with pytest.raises(ConcurrentWriterError):
         b2.process_available(fn)
     assert delivered == []
 
-    # 3) replay path (stale intent base == stale offset base): the
-    #    token is the one the rival already delivered — the duplicate
-    #    delivery is harmless (idempotent by token) and the fenced
-    #    offset commit then kills the straggler without regressing the
-    #    committed offset
-    mid_off = stale_off                      # base None
-    fs = IcebergChangelogStream(t, ckpt).store
-    raw, f_int = fs.get_with_fence("iceberg_changelog_intent")
-    import json as _json
-    first_intent = next(
-        rec for rec in (_json.loads(x) for x in
-                        fs.history("iceberg_changelog_intent"))
-        if rec["from"] is None)
+    # 3) stale offset on the REPLAY path: B's base (None) matches a
+    #    retained intent — including scenario 2's junk (None -> s2),
+    #    which is NEWER than A's live first intent. The recheck covers
+    #    this path too: junk only exists because its writer was fenced
+    #    out, i.e. offsets had advanced, so every later same-base
+    #    reader dies here BEFORE delivering the conflicting window
+    #    (pre-fix: B delivered (None, s2] under token s2 — a token the
+    #    live consumer used for the (s1, s2] window)
     b3 = IcebergChangelogStream(t, ckpt)
-    b3._offset_record = lambda: mid_off
-    b3._read_intent = lambda: (first_intent, f_int)
+    b3._offset_record = lambda: stale_off
     with pytest.raises(ConcurrentWriterError):
         b3.process_available(fn)
-    assert delivered == [first_intent["to"]] == [s1]  # already-seen token
+    assert delivered == []
     # offset did NOT regress (fresh reader — b3's reads are stale)
     assert IcebergChangelogStream(t, ckpt).last_committed() == s2
 
@@ -691,6 +688,76 @@ def test_changelog_stream_second_consumer_fenced(spark, tmp_path):
     s3 = t.metadata()["current-snapshot-id"]
     assert a.process_available(fn) == 1
     assert delivered[-1] == s3 and a.last_committed() == s3
+
+
+def test_changelog_stream_junk_intent_does_not_bury_live(
+        spark, tmp_path, monkeypatch):
+    """review r13 pass 3 (the one interleaving the first fencing cut
+    missed): a fenced-out straggler lands ONE junk intent — planned
+    from ITS stale base — above a crashed consumer's live
+    delivered-but-uncommitted intent before the offset recheck kills
+    it. The restarting consumer must still replay ITS OWN intent
+    (matched by base, newest-first), not take the junk top record,
+    re-slice a wider window, and re-deliver applied rows under a
+    never-seen token. Offsets only advance, so junk bases can never
+    collide with a live base."""
+    import json as _json
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.streaming import IcebergChangelogStream
+    from gobblin_spark.streaming import changelog_stream as CS
+
+    loc = str(tmp_path / "clsjunk")
+    ckpt = str(tmp_path / "clsjunk_ckpt")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df.coalesce(1))
+    s1 = t.metadata()["current-snapshot-id"]
+
+    sink: dict[int, list] = {}
+    calls: list[int] = []
+
+    def fn(batch_df, token):
+        calls.append(token)
+        sink.setdefault(token, sorted(
+            (r.k, r._change_type) for r in batch_df.collect()))
+
+    a = IcebergChangelogStream(t, ckpt)
+    assert a.process_available(fn) == 1      # offset at s1
+
+    # A delivers (s1, s2] under token s2, crashes before the commit
+    t.append_dataframe(spark.createDataFrame([(2, "b")],
+                                             "k long, s string"))
+    s2 = t.metadata()["current-snapshot-id"]
+    real_commit = IcebergChangelogStream._commit_offset
+    monkeypatch.setattr(
+        IcebergChangelogStream, "_commit_offset",
+        lambda self, sid, ep, fence: (_ for _ in ()).throw(
+            OSError("crash")))
+    with pytest.raises(OSError, match="crash"):
+        IcebergChangelogStream(t, ckpt).process_available(fn)
+    assert calls[-1] == s2
+    monkeypatch.setattr(IcebergChangelogStream, "_commit_offset",
+                        real_commit)
+
+    # the straggler's junk record lands ABOVE the live intent (its
+    # base — a long-expired offset — matches nothing current)
+    a.store.commit(CS._INTENT, _json.dumps(
+        {"from": -424242, "to": -424242, "epoch": 0}))
+
+    # new upstream commits make re-slicing tempting: a top-record
+    # reader would plan (s1, s3] and re-deliver s2's rows under the
+    # never-seen token s3
+    t.append_dataframe(spark.createDataFrame([(3, "c")],
+                                             "k long, s string"))
+    s3 = t.metadata()["current-snapshot-id"]
+
+    restarted = IcebergChangelogStream(t, ckpt)
+    assert restarted.process_available(fn) == 2
+    assert calls[-2:] == [s2, s3]            # own intent FIRST, intact
+    assert sink[s2] == [(2, "insert")]       # byte-identical replay
+    assert sink[s3] == [(3, "insert")]       # junk never delivered
+    assert restarted.last_committed() == s3
 
 
 def test_epoch_stats_bounded_on_replay_too(spark, tmp_path, monkeypatch):
