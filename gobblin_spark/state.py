@@ -87,6 +87,13 @@ class ConcurrentWriterError(RuntimeError):
     :meth:`WatermarkStore.commit_fenced`)."""
 
 
+class _SeqTaken(Exception):
+    """Internal: an atomic ledger create lost to an EXISTING file at
+    that sequence — a genuine writer collision, distinguished from raw
+    IO faults so callers never misreport a disk error as a rival (or
+    retry a fault as if it were a race)."""
+
+
 class WatermarkStore:
     """Versioned per-dataset watermark store on any Hadoop filesystem.
 
@@ -195,7 +202,7 @@ class WatermarkStore:
             try:
                 self._create_seq_file(fs, jvm, dpath, dataset, seq,
                                       value, token)
-            except Exception as ex:  # seq taken: re-read, retry next
+            except _SeqTaken as ex:  # seq taken: re-read, retry next
                 last_err = ex
                 continue
             return seq
@@ -207,11 +214,22 @@ class WatermarkStore:
                          value, token: str) -> None:
         """ONE copy of the ledger file format + atomic create (shared
         by commit and commit_fenced — a format change applied to one
-        and not the other would silently fork the ledger)."""
+        and not the other would silently fork the ledger). Raises
+        :class:`_SeqTaken` when the sequence file already EXISTS (a
+        genuine writer collision); raw IO faults in create/write/close
+        propagate untouched — a torn file this crash leaves behind is
+        our own artifact, which readers' torn-entry fallback skips and
+        later commits allocate past."""
         fname = f"{_WM_PREFIX}{seq:010d}.json"
+        target = jvm.org.apache.hadoop.fs.Path(dpath, fname)
         payload = dict(_encode(value), dataset=dataset, seq=seq,
                        run_id=token)
-        out = fs.create(jvm.org.apache.hadoop.fs.Path(dpath, fname), False)
+        try:
+            out = fs.create(target, False)
+        except Exception as ex:
+            if fs.exists(target):
+                raise _SeqTaken(fname) from ex
+            raise
         try:
             out.write(bytearray(json.dumps(payload).encode("utf-8")))
         finally:
@@ -240,16 +258,17 @@ class WatermarkStore:
         return entries[-1][0] if entries else 0
 
     def iter_newest(self, dataset: str):
-        """Yield ``(seq, value)`` newest-first, lazily (one file read
-        per yielded entry; torn entries skipped). For fenced consumers
-        that must match a record by CONTENT rather than take the top
-        blindly — a fenced-out rival may have appended junk above the
-        live record before dying."""
+        """Yield ``(seq, value)`` newest-first, lazily (one listing,
+        one file read per yielded entry; TORN entries yield
+        ``(seq, None)`` — their sequence still counts for fencing).
+        For fenced consumers that must match a record by CONTENT
+        rather than take the top blindly — a fenced-out rival may have
+        appended junk above the live record before dying."""
         for seq, path in reversed(self._entries(dataset)):
             try:
                 yield seq, _decode(self._read_json(path))
             except ValueError:
-                continue
+                yield seq, None
 
     def commit_fenced(self, dataset: str, value, fence: int,
                       run_id: str | None = None) -> int:
@@ -286,14 +305,11 @@ class WatermarkStore:
         try:
             self._create_seq_file(fs, jvm, dpath, dataset, seq, value,
                                   run_id or uuid.uuid4().hex[:8])
-        except Exception as ex:
-            if fs.exists(jvm.org.apache.hadoop.fs.Path(
-                    dpath, f"{_WM_PREFIX}{seq:010d}.json")):
-                raise ConcurrentWriterError(
-                    f"fenced commit for {dataset} at seq {seq} lost to "
-                    "a concurrent writer — this ledger requires a "
-                    "single writer per checkpoint directory") from ex
-            raise
+        except _SeqTaken as ex:
+            raise ConcurrentWriterError(
+                f"fenced commit for {dataset} at seq {seq} lost to "
+                "a concurrent writer — this ledger requires a "
+                "single writer per checkpoint directory") from ex
         return seq
 
     def history(self, dataset: str) -> list:

@@ -120,15 +120,26 @@ class IcebergChangelogStream:
         only ADVANCE, so a junk record's base is always strictly older
         than the current offset — it can never match *frm*, and the
         newest from==frm record is always the live consumer's own WAL.
-        The scan is lazy newest-first: one file read in the no-junk
-        common case. The fence comes from its own listing — iter_newest
-        skips torn entries, whose sequences still count."""
-        fence = self.store.fence(_INTENT)
-        for _, raw in self.store.iter_newest(_INTENT):
+        The scan is lazy newest-first off ONE listing (the first
+        yielded sequence is the fence; torn entries yield None) and
+        stops at the record whose ``to`` == *frm* — the intent of the
+        epoch that COMMITTED this base. Any from==frm record is
+        written only after offset frm landed, hence strictly above
+        that marker in the ledger, so nothing older can match: the
+        steady-state fresh-plan epoch reads one or two files, not the
+        whole retained window."""
+        fence = None
+        for seq, raw in self.store.iter_newest(_INTENT):
+            if fence is None:
+                fence = seq
+            if raw is None:
+                continue
             rec = json.loads(raw)
             if rec["from"] == frm:
                 return rec, fence
-        return None, fence
+            if rec["to"] == frm:
+                break
+        return None, (0 if fence is None else fence)
 
     def _write_intent(self, frm: int | None, to_sid: int,
                       epoch: int, fence: int) -> None:

@@ -354,3 +354,49 @@ def test_fenced_commit_single_writer(spark, tmp_path):
         store.commit_fenced("ds", "stale", 1)
     assert store.get("ds") == "c"
     assert store.fence("ds") == 4           # nothing landed
+
+
+def test_commit_error_categories_honest(spark, tmp_path, monkeypatch):
+    """review r13 pass 4: only a genuine EXISTS-collision is a race.
+    A raw IO fault (disk full, datanode down) must propagate untouched
+    — commit() must not burn its retries on it (each retry would leave
+    a torn file at the next sequence), and commit_fenced() must not
+    misreport it as a phantom concurrent writer."""
+    import pytest
+
+    from gobblin_spark import state as S
+    from gobblin_spark.state import (ConcurrentWriterError,
+                                     WatermarkStore, _SeqTaken)
+
+    store = WatermarkStore(spark, str(tmp_path / "wmerr"))
+    store.commit("ds", 1)
+
+    calls = []
+    real = WatermarkStore._create_seq_file
+
+    def io_fault(self, fs, jvm, dpath, dataset, seq, value, token):
+        calls.append(seq)
+        raise OSError("disk full")
+
+    monkeypatch.setattr(WatermarkStore, "_create_seq_file", io_fault)
+    with pytest.raises(OSError, match="disk full"):
+        store.commit("ds", 2)
+    assert calls == [2]                     # no retry on an IO fault
+    with pytest.raises(OSError, match="disk full"):
+        store.commit_fenced("ds", 2, fence=1)
+    assert calls == [2, 2]                  # and no phantom-rival error
+
+    def collision(self, fs, jvm, dpath, dataset, seq, value, token):
+        calls.append(seq)
+        raise _SeqTaken(f"wm-{seq:010d}.json")
+
+    monkeypatch.setattr(WatermarkStore, "_create_seq_file", collision)
+    calls.clear()
+    with pytest.raises(RuntimeError, match="lost 5 sequence races"):
+        store.commit("ds", 3)
+    assert calls == [2, 2, 2, 2, 2]         # collisions DO retry
+    with pytest.raises(ConcurrentWriterError, match="single writer"):
+        store.commit_fenced("ds", 3, fence=1)
+
+    monkeypatch.setattr(WatermarkStore, "_create_seq_file", real)
+    assert store.commit("ds", 4) == 2 and store.get("ds") == 4

@@ -760,6 +760,40 @@ def test_changelog_stream_junk_intent_does_not_bury_live(
     assert restarted.last_committed() == s3
 
 
+def test_changelog_stream_steady_state_ledger_reads_bounded(
+        spark, tmp_path):
+    """review r13 pass 4: the steady-state epoch must NOT scan every
+    retained intent file (prune keeps 20; a 10s-trigger consumer would
+    pay ~170k extra remote reads/day). _find_intent stops at the
+    record whose to == frm — the epoch that committed this base — so
+    a fresh-plan epoch costs one offset read + at most two intent
+    reads, plus the final no-work offset read."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.state import WatermarkStore
+    from gobblin_spark.streaming import IcebergChangelogStream
+
+    loc = str(tmp_path / "clsreads")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = IcebergTable.create(spark, loc, df.schema)
+    ckpt = str(tmp_path / "clsreads_ckpt")
+    cs = IcebergChangelogStream(t, ckpt, max_snapshots_per_batch=1)
+    for i in range(6):   # build up retained intent history
+        t.append_dataframe(spark.createDataFrame(
+            [(i, "x")], "k long, s string"))
+    assert cs.process_available(lambda d, tok: None) == 6
+    assert len(cs.store._entries("iceberg_changelog_intent")) == 6
+
+    reads = []
+    real = WatermarkStore._read_json
+    cs.store._read_json = lambda path: (reads.append(path),
+                                        real(cs.store, path))[1]
+    t.append_dataframe(spark.createDataFrame([(99, "z")],
+                                             "k long, s string"))
+    assert cs.process_available(lambda d, tok: None) == 1
+    # 2 offset reads (epoch + final no-work check) + <=2 intent reads
+    assert len(reads) <= 4, reads
+
+
 def test_epoch_stats_bounded_on_replay_too(spark, tmp_path, monkeypatch):
     """audit r13: the replay branch appended EpochStats WITHOUT the
     retention bound the main path applies — a long-lived stream that
