@@ -376,6 +376,101 @@ def test_epoch_col_clash_fails_loudly(spark, tmp_path):
         R._epoch_write(df, spec, "t-0", str(tmp_path / "o"))
 
 
+def test_changelog_stream_exactly_once_random_crashes(spark, tmp_path):
+    """Property (review r13 pass 3): for a RANDOM history of appends /
+    equality-deletes / position-deletes consumed through the
+    checkpointed stream with CRASHES injected at random offset
+    commits (including crashes racing NEW upstream commits), an
+    idempotent-by-token sink's net effect equals both read() and the
+    batch changelog — exactly-once across every interleaving, not
+    just the pointwise crash pins. Sweep more seeds with
+    GOBBLIN_STREAM_SEED=n."""
+    import os as _os
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.streaming import IcebergChangelogStream
+
+    rng = random.Random(int(_os.environ.get("GOBBLIN_STREAM_SEED", "7")))
+    loc = str(tmp_path / "clsprop")
+    ckpt = str(tmp_path / "clsprop_ckpt")
+    t = IcebergTable.create(
+        spark, loc,
+        spark.createDataFrame([(1, "x")], "k long, s string").schema)
+
+    sink: dict[int, list] = {}      # token -> rows, idempotent by token
+
+    def fn(batch_df, token):
+        sink.setdefault(token, [
+            (r.k, r._change_type, r._commit_snapshot_id)
+            for r in batch_df.collect()])
+
+    real_commit = IcebergChangelogStream._commit_offset
+
+    def crashy(p):
+        def maybe(self, sid, epoch, fence):
+            if rng.random() < p:
+                raise OSError("injected crash before offset commit")
+            return real_commit(self, sid, epoch, fence)
+        return maybe
+
+    next_k, live = 0, []
+    for step in range(8):
+        # upstream: 1-2 commits per step
+        for _ in range(rng.randint(1, 2)):
+            op = ("append" if not live
+                  else rng.choice(["append", "append", "eq_del", "pos_del"]))
+            if op == "append":
+                ks = [next_k + i for i in range(rng.randint(1, 3))]
+                next_k += len(ks)
+                t.append_dataframe(spark.createDataFrame(
+                    [(k, f"v{k}") for k in ks],
+                    "k long, s string").coalesce(1))
+                live.extend(ks)
+            elif op == "eq_del":
+                k = rng.choice(live)
+                t.delete_equality(spark.createDataFrame([(k,)], "k long"))
+                live.remove(k)
+            else:
+                k = rng.choice(live)
+                pos = (t.read(apply_deletes=False)
+                       .select(F.col("_metadata.file_path")
+                               .alias("file_path"),
+                               F.col("_metadata.row_index").alias("pos"),
+                               "k")
+                       .filter(F.col("k") == k).drop("k"))
+                t.delete_positions(pos)
+                live.remove(k)
+        # consumer: crash ~35% of offset commits, restart fresh each
+        # step (new instance = the recovery path every time)
+        mx = rng.choice([None, 1, 2])
+        IcebergChangelogStream._commit_offset = crashy(0.35)
+        try:
+            cs = IcebergChangelogStream(t, ckpt,
+                                        max_snapshots_per_batch=mx)
+            try:
+                cs.process_available(fn)
+            except OSError:
+                pass                 # crashed mid-drain; restart below
+        finally:
+            IcebergChangelogStream._commit_offset = real_commit
+
+    # final clean drain (the restart after the last crash)
+    IcebergChangelogStream(t, ckpt).process_available(fn)
+
+    got = Counter(r for rows in sink.values() for r in rows)
+    want = Counter((r.k, r._change_type, r._commit_snapshot_id)
+                   for r in t.changelog(None).collect())
+    assert got == want               # union of epochs IS the changelog
+    net = (Counter(k for k, c, _ in got.elements() if c == "insert")
+           - Counter(k for k, c, _ in got.elements() if c == "delete"))
+    assert net == Counter(r.k for r in t.read().collect())
+    assert sorted(net.elements()) == sorted(live)
+
+
 def test_changelog_stream_epochs_retractions_exactly_once(
         spark, tmp_path, monkeypatch):
     """verdict-r12 #3: changelog-mode streaming — append / equality-
