@@ -257,18 +257,27 @@ class WatermarkStore:
         entries = self._entries(dataset)
         return entries[-1][0] if entries else 0
 
-    def iter_newest(self, dataset: str):
-        """Yield ``(seq, value)`` newest-first, lazily (one listing,
-        one file read per yielded entry; TORN entries yield
-        ``(seq, None)`` — their sequence still counts for fencing).
-        For fenced consumers that must match a record by CONTENT
-        rather than take the top blindly — a fenced-out rival may have
-        appended junk above the live record before dying."""
-        for seq, path in reversed(self._entries(dataset)):
-            try:
-                yield seq, _decode(self._read_json(path))
-            except ValueError:
-                yield seq, None
+    def scan_newest(self, dataset: str, min_seq: int = 0):
+        """``(fence, iterator)`` over entries newest-first: one
+        listing; the iterator reads one file per yielded entry and
+        stops BEFORE reading anything at ``seq <= min_seq`` (torn
+        entries yield ``(seq, None)``). For fenced consumers that must
+        match a record by CONTENT rather than take the top blindly — a
+        fenced-out rival may have appended junk above the live record
+        before dying — while paying zero reads for history below a
+        known bound."""
+        entries = self._entries(dataset)
+        fence = entries[-1][0] if entries else 0
+
+        def gen():
+            for seq, path in reversed(entries):
+                if seq <= min_seq:
+                    return
+                try:
+                    yield seq, _decode(self._read_json(path))
+                except ValueError:
+                    yield seq, None
+        return fence, gen()
 
     def commit_fenced(self, dataset: str, value, fence: int,
                       run_id: str | None = None) -> int:

@@ -104,46 +104,51 @@ class IcebergChangelogStream:
         return None if rec is None else rec["snapshot_id"]
 
     def _commit_offset(self, snapshot_id: int, epoch: int,
-                       fence: int) -> None:
+                       fence: int, intent_seq: int) -> None:
+        # intent_seq = the intent-ledger sequence of the record that
+        # planned THIS window: the next epoch's intent lookup scans
+        # only records above it (see _find_intent)
         self.store.commit_fenced(
             _DATASET, json.dumps({"snapshot_id": snapshot_id,
-                                  "epoch": epoch}), fence)
+                                  "epoch": epoch,
+                                  "intent_seq": intent_seq}), fence)
 
-    def _find_intent(self, frm: int | None) -> tuple[dict | None, int]:
-        """The newest intent planned FROM *frm*, plus the intent
-        ledger's fence. Matching by base — not taking the top record
+    def _find_intent(self, frm: int | None, lo_seq: int
+                     ) -> tuple[dict | None, int | None, int]:
+        """The newest intent planned FROM *frm* among intent-ledger
+        records with sequence ABOVE *lo_seq*, returned as
+        ``(record, its_seq, ledger_fence)`` (``(None, None, fence)``
+        when absent). Matching by base — not taking the top record
         blindly — matters (review r13 pass 3): a fenced-out straggler
         can land one junk intent (planned from ITS stale base) above
         the live record before the offset recheck kills it, and a
         crashed consumer restarting under the buried live intent would
-        otherwise re-slice a fresh window and double-apply. Offsets
-        only ADVANCE, so a junk record's base is always strictly older
-        than the current offset — it can never match *frm*, and the
-        newest from==frm record is always the live consumer's own WAL.
-        The scan is lazy newest-first off ONE listing (the first
-        yielded sequence is the fence; torn entries yield None) and
-        stops at the record whose ``to`` == *frm* — the intent of the
-        epoch that COMMITTED this base. Any from==frm record is
-        written only after offset frm landed, hence strictly above
-        that marker in the ledger, so nothing older can match: the
-        steady-state fresh-plan epoch reads one or two files, not the
-        whole retained window."""
-        fence = None
-        for seq, raw in self.store.iter_newest(_INTENT):
-            if fence is None:
-                fence = seq
+        otherwise re-slice a fresh window and double-apply; offsets
+        only ADVANCE, so a junk record's base can never match *frm*.
+        The scan bound is by SEQUENCE, not content: *lo_seq* is the
+        intent that produced the committed offset (recorded in the
+        offset payload), and this base's live intent — written only
+        after that offset landed — always sits strictly above it.
+        A content marker (breaking at ``to == frm``) is UNSOUND here:
+        the exhaustive model check
+        (tests/test_changelog_stream_model.py) found that a junk
+        intent whose head merely COINCIDES with the current base can
+        land above the live record and truncate the scan — the missed
+        live intent then re-slices and double-applies. Steady state
+        reads ZERO intent files (the ledger top IS lo_seq); one
+        listing either way."""
+        fence, it = self.store.scan_newest(_INTENT, min_seq=lo_seq)
+        for seq, raw in it:
             if raw is None:
                 continue
             rec = json.loads(raw)
             if rec["from"] == frm:
-                return rec, fence
-            if rec["to"] == frm:
-                break
-        return None, (0 if fence is None else fence)
+                return rec, seq, fence
+        return None, None, fence
 
     def _write_intent(self, frm: int | None, to_sid: int,
-                      epoch: int, fence: int) -> None:
-        self.store.commit_fenced(
+                      epoch: int, fence: int) -> int:
+        return self.store.commit_fenced(
             _INTENT, json.dumps({"from": frm, "to": to_sid,
                                  "epoch": epoch}), fence)
 
@@ -189,6 +194,10 @@ class IcebergChangelogStream:
             rec, off_fence = self._offset_record()
             frm = None if rec is None else rec["snapshot_id"]
             epoch = 0 if rec is None else rec["epoch"] + 1
+            # intent-ledger scan floor: the intent that committed frm
+            # (0 on a fresh checkpoint or a pre-r13 legacy record —
+            # full scan, sound either way)
+            lo_seq = 0 if rec is None else rec.get("intent_seq", 0)
             todo = self._pending_after(frm)
             if not todo:
                 return delivered
@@ -203,7 +212,8 @@ class IcebergChangelogStream:
             # in the gap invalidates it) is replayed verbatim, token
             # and all; Structured Streaming WALs its planned offset
             # ranges for exactly the same reason.
-            intent, int_fence = self._find_intent(frm)
+            intent, intent_seq, int_fence = self._find_intent(frm,
+                                                              lo_seq)
             if intent is not None:
                 if intent["to"] not in todo:
                     # The planned head vanished from main's pending set
@@ -229,7 +239,8 @@ class IcebergChangelogStream:
                 # fenced: if a rival consumer WAL-ed an intent since
                 # our read, this create collides and we die before
                 # delivering a conflicting window
-                self._write_intent(frm, to_sid, epoch, int_fence)
+                intent_seq = self._write_intent(frm, to_sid, epoch,
+                                                int_fence)
             # ONE offset-fence recheck guards BOTH paths before
             # delivery. Plan-own path: the intent fence can't see a
             # rival that completed WHOLE epochs (intent + delivery +
@@ -253,7 +264,7 @@ class IcebergChangelogStream:
                     "is sharing this checkpoint directory; run "
                     "exactly one consumer per checkpoint")
             fn(self.table.changelog(frm, to_sid), to_sid)
-            self._commit_offset(to_sid, epoch, off_fence)
+            self._commit_offset(to_sid, epoch, off_fence, intent_seq)
             # ledger hygiene (review r13 pass 2, same bug class as
             # audit r8 in the runner): one file lands per commit —
             # without pruning a continuous consumer lists an ever-

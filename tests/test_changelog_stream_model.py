@@ -1,0 +1,287 @@
+"""Exhaustive bounded model-check of the changelog stream's fencing
+protocol (round-14 queue #3, pulled forward: an independent
+adversarial read of the convergence claim in
+``gobblin_spark/streaming/changelog_stream.py`` — "after the offset
+recheck, any two consumers sharing a base converge on an identical
+(window, token) pair").
+
+The model is a faithful pure-Python abstraction of the protocol's
+SHARED-STATE steps (each atomic exactly where the real code's ledger
+operations are atomic creates/listings):
+
+    1. read offset ledger        -> (frm, off_fence)
+    2. read upstream chain       -> todo (halt when empty)
+    3. scan intent ledger        -> (intent-matching-frm | None,
+                                     int_fence); die if a matched
+                                     head left the pending set
+    4. [plan-own only] fenced intent write (pre-check + CAS; die on
+       ConcurrentWriterError)
+    5. offset-fence recheck, then DELIVER (frm, to] under token=to
+    6. fenced offset commit (pre-check + CAS; die on collision)
+    7. prune both ledgers (keep_last)
+
+A scheduler interleaves every step of up to three consumer instances
+(crash = simply never scheduled again; a restart is the next instance)
+with upstream commits, exploring ALL reachable states (BFS with
+memoization). Safety invariants, checked at every delivery/commit:
+
+  I1  one token, one window: all deliveries under a token carry the
+      SAME window (what an idempotent-by-token sink relies on);
+  I2  distinct tokens carry DISJOINT windows (no row is ever
+      delivered under two different tokens — no double-apply);
+  I3  no ledger commit ever lands BELOW the ledger's top (a stale
+      writer must die, not leave a shadowed record).
+
+The checker is CALIBRATED by running known-broken protocol variants
+(each a bug the r13 review passes fixed) and asserting it FINDS their
+violations within the same bounds — so "no violation" for the real
+protocol is evidence, not vacuity:
+
+  no_intent_wal       pre-review r13 pass 1: no WAL — a crash between
+                      delivery and commit re-slices after new
+                      upstream commits (violates I2)
+  no_fencing          plain retrying commits, no rechecks — the naive
+                      multi-consumer (violates I1/I2)
+  top_intent          pre-pass 3: the intent lookup takes the TOP
+                      record instead of matching by base — a
+                      straggler's junk intent buries the live one
+                      (violates I2)
+  no_replay_recheck   pre-pass 3: the offset recheck guards only the
+                      plan-own path — a same-base straggler replays a
+                      junk intent (violates I1/I2)
+  no_prune_precheck   pre-pass 4: commit_fenced trusts the CAS alone
+                      — once prune deleted the colliding file a stale
+                      writer lands a shadowed record (violates I3)
+"""
+
+from collections import deque
+
+import pytest
+
+# consumer phase machine
+READ_OFFSET, READ_TODO, FIND_INTENT, WRITE_INTENT, DELIVER, COMMIT, \
+    PRUNE = range(7)
+
+MAX_SNAP = 3          # upstream commits available to the scheduler
+SLOTS = ((None,), (1,), (None,))   # per-instance max_snapshots_per_batch
+KEEP_OFF = 1          # aggressive prune: stresses the pruned-CAS path
+KEEP_INT = 1
+
+
+def _fence(ledger):
+    return ledger[-1][0] if ledger else 0
+
+
+def _latest(ledger):
+    return ledger[-1][1] if ledger else None
+
+
+def _prune(ledger, keep):
+    return ledger[-keep:] if keep > 0 else ()
+
+
+class Violation(Exception):
+    pass
+
+
+def step_consumer(state, slot, bug):
+    """Advance consumer *slot* one protocol step. Returns a list of
+    successor states (possibly empty when the consumer halts/dies).
+    Raises Violation when a safety invariant breaks."""
+    n, off, intent, cons, tokmap = state
+    c = cons[slot]          # (phase, frm, off_fence, todo, to, int_fence)
+    phase = c[0]
+    batch = SLOTS[slot][0]
+
+    def put(newc, off=off, intent=intent, tokmap=tokmap):
+        cs = list(cons)
+        cs[slot] = newc
+        return [(n, off, intent, tuple(cs), tokmap)]
+
+    dead = put(("DEAD",))
+
+    if phase == READ_OFFSET:
+        rec = _latest(off)            # (snapshot_id, intent_seq) | None
+        frm = None if rec is None else rec[0]
+        lo = 0 if rec is None else rec[1]
+        return put((READ_TODO, frm, _fence(off), lo))
+
+    if phase == READ_TODO:
+        _, frm, off_fence, lo = c
+        todo = tuple(s for s in range(1, n + 1)
+                     if frm is None or s > frm)
+        if not todo:
+            return put(("DONE",))
+        return put((FIND_INTENT, frm, off_fence, lo, todo))
+
+    if phase == FIND_INTENT:
+        _, frm, off_fence, lo, todo = c
+        int_fence = _fence(intent)
+        found = found_seq = None
+        if bug == "no_intent_wal":
+            found = None
+        elif bug == "top_intent":
+            top = _latest(intent)
+            if top is not None and top[0] == frm:
+                found, found_seq = top, _fence(intent)
+        elif bug == "content_break":
+            # the 28e9eff early-stop: break at to==frm — unsound, a
+            # junk intent whose head coincides with frm can sit above
+            # the live record
+            for seq, rec in reversed(intent):
+                if rec[0] == frm:
+                    found, found_seq = rec, seq
+                    break
+                if rec[1] == frm:
+                    break
+        else:
+            # seq-bounded scan: only records written after the commit
+            # that produced frm can be this base's live intent
+            for seq, rec in reversed(intent):
+                if seq <= lo:
+                    break
+                if rec[0] == frm:
+                    found, found_seq = rec, seq
+                    break
+        if found is not None:
+            if found[1] not in todo:
+                return dead      # head vanished: raises in real code
+            return put((DELIVER, frm, off_fence, todo, found[1],
+                        int_fence, True, found_seq))
+        to = todo[min(batch or len(todo), len(todo)) - 1]
+        if bug == "no_intent_wal":
+            return put((DELIVER, frm, off_fence, todo, to,
+                        int_fence, False, 0))
+        return put((WRITE_INTENT, frm, off_fence, todo, to, int_fence))
+
+    if phase == WRITE_INTENT:
+        _, frm, off_fence, todo, to, int_fence = c
+        seq = int_fence + 1
+        if bug == "no_fencing":
+            seq = _fence(intent) + 1          # plain commit: always wins
+        elif bug == "no_prune_precheck":
+            if any(s == seq for s, _ in intent):
+                return dead                   # CAS only
+        else:
+            if _fence(intent) != int_fence:
+                return dead                   # pre-check
+            if any(s == seq for s, _ in intent):
+                return dead                   # CAS
+        if seq <= _fence(intent):
+            raise Violation(f"I3: intent commit at {seq} below top "
+                            f"{_fence(intent)}")
+        new_intent = intent + ((seq, (frm, to)),)
+        return put((DELIVER, frm, off_fence, todo, to, int_fence,
+                    False, seq), intent=new_intent)
+
+    if phase == DELIVER:
+        _, frm, off_fence, todo, to, int_fence, replay, my_iseq = c
+        recheck = bug not in ("no_intent_wal", "no_fencing")
+        if bug == "no_replay_recheck" and replay:
+            recheck = False
+        if recheck and _fence(off) != off_fence:
+            return dead
+        # DELIVERY: token=to, window=(frm, to]
+        start = 0 if frm is None else frm
+        tm = dict(tokmap)
+        if to in tm:
+            if tm[to] != start:
+                raise Violation(
+                    f"I1: token {to} delivered with window start "
+                    f"{start} after start {tm[to]}")
+        else:
+            for tok, st in tm.items():
+                if tok != to and st < to and start < tok:
+                    raise Violation(
+                        f"I2: windows of tokens {tok} (start {st}] and "
+                        f"{to} (start {start}] overlap")
+            tm[to] = start
+        return put((COMMIT, frm, off_fence, to, my_iseq),
+                   tokmap=tuple(sorted(tm.items())))
+
+    if phase == COMMIT:
+        _, frm, off_fence, to, my_iseq = c
+        seq = off_fence + 1
+        if bug == "no_fencing":
+            seq = _fence(off) + 1
+        elif bug == "no_prune_precheck":
+            if any(s == seq for s, _ in off):
+                return dead
+        else:
+            if _fence(off) != off_fence:
+                return dead
+            if any(s == seq for s, _ in off):
+                return dead
+        if seq <= _fence(off):
+            raise Violation(f"I3: offset commit at {seq} below top "
+                            f"{_fence(off)} (shadowed stale record)")
+        new_off = off + ((seq, (to, my_iseq)),)
+        return put((PRUNE,), off=new_off)
+
+    if phase == PRUNE:
+        return put((READ_OFFSET,),
+                   off=_prune(off, KEEP_OFF),
+                   intent=_prune(intent, KEEP_INT))
+
+    return []      # DONE / DEAD: no further steps
+
+
+def explore(bug=None, max_states=600_000):
+    """BFS over every interleaving. Returns (states_visited, violation
+    message or None)."""
+    init = (0, (), (), tuple(("NEW",) for _ in SLOTS), ())
+    seen = {init}
+    q = deque([init])
+    while q:
+        state = q.popleft()
+        n, off, intent, cons, tokmap = state
+        succs = []
+        if n < MAX_SNAP:                      # upstream commit
+            succs.append((n + 1, off, intent, cons, tokmap))
+        for slot, c in enumerate(cons):
+            if c[0] in ("DEAD", "DONE"):
+                continue
+            if c[0] == "NEW":
+                cs = list(cons)
+                cs[slot] = (READ_OFFSET,)
+                succs.append((n, off, intent, tuple(cs), tokmap))
+                continue
+            try:
+                succs.extend(step_consumer(state, slot, bug))
+            except Violation as v:
+                return len(seen), str(v)
+        for s in succs:
+            if s not in seen:
+                seen.add(s)
+                if len(seen) > max_states:
+                    raise RuntimeError(
+                        f"state space exceeded {max_states}")
+                q.append(s)
+    return len(seen), None
+
+
+def test_fencing_protocol_holds_under_all_interleavings():
+    """The REAL protocol: no reachable interleaving of three consumer
+    instances (crashes = abandoned mid-flight), upstream commits, and
+    aggressive ledger pruning violates I1/I2/I3."""
+    states, violation = explore(bug=None)
+    assert violation is None, violation
+    assert states > 10_000        # the search actually explored
+
+
+@pytest.mark.parametrize("bug,inv", [
+    ("no_intent_wal", "I2"),        # crash + new commits re-slices
+    ("no_fencing", "I"),            # naive multi-consumer
+    ("top_intent", "I"),            # junk intent buries the live one
+    ("no_replay_recheck", "I"),     # junk replayed from a stale base
+    ("no_prune_precheck", "I3"),    # CAS blind after prune
+    ("content_break", "I"),         # 28e9eff: junk to==frm above live
+])
+def test_checker_finds_each_known_bug(bug, inv):
+    """Calibration: every protocol variant the r13 review passes fixed
+    violates an invariant WITHIN the same bounds — the clean result
+    above is evidence, not vacuity."""
+    states, violation = explore(bug=bug)
+    assert violation is not None, \
+        f"{bug}: no violation found in {states} states"
+    assert violation.startswith(inv), violation

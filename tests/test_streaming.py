@@ -411,10 +411,10 @@ def test_changelog_stream_exactly_once_random_crashes(spark, tmp_path):
     real_commit = IcebergChangelogStream._commit_offset
 
     def crashy(p):
-        def maybe(self, sid, epoch, fence):
+        def maybe(self, sid, epoch, *a):
             if rng.random() < p:
                 raise OSError("injected crash before offset commit")
-            return real_commit(self, sid, epoch, fence)
+            return real_commit(self, sid, epoch, *a)
         return maybe
 
     next_k, live = 0, []
@@ -529,7 +529,7 @@ def test_changelog_stream_epochs_retractions_exactly_once(
 
     # CRASH between delivery and offset commit on the retraction epoch
     real_commit = IcebergChangelogStream._commit_offset
-    def torn(self, snapshot_id, epoch, fence):
+    def torn(self, snapshot_id, epoch, *a):
         raise OSError("simulated crash before offset commit")
     monkeypatch.setattr(IcebergChangelogStream, "_commit_offset", torn)
     crashed = IcebergChangelogStream(t, ckpt, max_snapshots_per_batch=2)
@@ -615,7 +615,7 @@ def test_changelog_stream_intent_head_rollback_raises(spark, tmp_path,
     # crash after delivery, before the offset commit
     monkeypatch.setattr(
         IcebergChangelogStream, "_commit_offset",
-        lambda self, sid, ep, fence: (_ for _ in ()).throw(
+        lambda self, sid, ep, *a: (_ for _ in ()).throw(
             OSError("crash")))
     with pytest.raises(OSError, match="crash"):
         IcebergChangelogStream(t, ckpt).process_available(
@@ -722,7 +722,7 @@ def test_changelog_stream_second_consumer_fenced(spark, tmp_path):
     # the widest possible staleness window of the live race
     b = IcebergChangelogStream(t, ckpt)
     stale_off = b._offset_record()          # (None, fence 0)
-    stale_int = b._find_intent(None)        # (no intent, fence 0)
+    stale_int = b._find_intent(None, 0)     # (no intent, fence 0)
 
     a = IcebergChangelogStream(t, ckpt)
     assert a.process_available(lambda d, tok: None) == 1
@@ -744,7 +744,7 @@ def test_changelog_stream_second_consumer_fenced(spark, tmp_path):
     #    delivered the whole table under token s2 with a window A
     #    never planned)
     b._offset_record = lambda: stale_off
-    b._find_intent = lambda frm: stale_int
+    b._find_intent = lambda frm, lo: stale_int
     with pytest.raises(ConcurrentWriterError):
         b.process_available(fn)
     assert delivered == []
@@ -755,7 +755,7 @@ def test_changelog_stream_second_consumer_fenced(spark, tmp_path):
     b2 = IcebergChangelogStream(t, ckpt)
     b2._offset_record = lambda: stale_off
     live_int_fence = b2.store.fence("iceberg_changelog_intent")
-    b2._find_intent = lambda frm: (None, live_int_fence)
+    b2._find_intent = lambda frm, lo: (None, None, live_int_fence)
     with pytest.raises(ConcurrentWriterError):
         b2.process_available(fn)
     assert delivered == []
@@ -827,7 +827,7 @@ def test_changelog_stream_junk_intent_does_not_bury_live(
     real_commit = IcebergChangelogStream._commit_offset
     monkeypatch.setattr(
         IcebergChangelogStream, "_commit_offset",
-        lambda self, sid, ep, fence: (_ for _ in ()).throw(
+        lambda self, sid, ep, *a: (_ for _ in ()).throw(
             OSError("crash")))
     with pytest.raises(OSError, match="crash"):
         IcebergChangelogStream(t, ckpt).process_available(fn)
@@ -852,6 +852,71 @@ def test_changelog_stream_junk_intent_does_not_bury_live(
     assert calls[-2:] == [s2, s3]            # own intent FIRST, intact
     assert sink[s2] == [(2, "insert")]       # byte-identical replay
     assert sink[s3] == [(3, "insert")]       # junk never delivered
+    assert restarted.last_committed() == s3
+
+
+def test_changelog_stream_junk_head_coinciding_with_base(
+        spark, tmp_path, monkeypatch):
+    """The model checker's counterexample to the first junk fix
+    (tests/test_changelog_stream_model.py, 'content_break'): junk
+    whose HEAD merely coincides with the current base — here
+    (None -> s1) landing above the live (s1 -> s2) intent while s1 is
+    the committed offset. A content-bounded scan (break at to == frm)
+    misses the live intent below the junk and re-slices; the
+    seq-bounded scan (floor = the intent that committed s1, recorded
+    in the offset payload) skips the junk by base and replays the
+    live intent's token."""
+    import json as _json
+
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.streaming import IcebergChangelogStream
+    from gobblin_spark.streaming import changelog_stream as CS
+
+    loc = str(tmp_path / "clsjunk2")
+    ckpt = str(tmp_path / "clsjunk2_ckpt")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df.coalesce(1))
+    s1 = t.metadata()["current-snapshot-id"]
+
+    sink: dict[int, list] = {}
+    calls: list[int] = []
+
+    def fn(batch_df, token):
+        calls.append(token)
+        sink.setdefault(token, sorted(
+            (r.k, r._change_type) for r in batch_df.collect()))
+
+    a = IcebergChangelogStream(t, ckpt)
+    assert a.process_available(fn) == 1      # offset s1, intent (None->s1)
+
+    t.append_dataframe(spark.createDataFrame([(2, "b")],
+                                             "k long, s string"))
+    s2 = t.metadata()["current-snapshot-id"]
+    real_commit = IcebergChangelogStream._commit_offset
+    monkeypatch.setattr(
+        IcebergChangelogStream, "_commit_offset",
+        lambda self, sid, ep, *rest: (_ for _ in ()).throw(
+            OSError("crash")))
+    with pytest.raises(OSError, match="crash"):
+        IcebergChangelogStream(t, ckpt).process_available(fn)
+    assert calls[-1] == s2                   # (s1,s2] delivered, no commit
+    monkeypatch.setattr(IcebergChangelogStream, "_commit_offset",
+                        real_commit)
+
+    # straggler junk: a (None -> s1) record above the live (s1 -> s2)
+    # intent — its head IS the committed base
+    a.store.commit(CS._INTENT, _json.dumps(
+        {"from": None, "to": s1, "epoch": 0}))
+    t.append_dataframe(spark.createDataFrame([(3, "c")],
+                                             "k long, s string"))
+    s3 = t.metadata()["current-snapshot-id"]
+
+    restarted = IcebergChangelogStream(t, ckpt)
+    assert restarted.process_available(fn) == 2
+    assert calls[-2:] == [s2, s3]            # live intent replayed intact
+    assert sink[s2] == [(2, "insert")]
+    assert sink[s3] == [(3, "insert")]
     assert restarted.last_committed() == s3
 
 
