@@ -332,6 +332,24 @@ class WatermarkStore:
                 continue
         return out
 
+    def prune_below(self, dataset: str, floor_seq: int) -> int:
+        """Delete every entry with sequence < *floor_seq*; entries at
+        or above the floor are untouchable. For ledgers whose writer
+        derives the floor from its OWN just-committed sequence, this
+        can never delete committed state — unlike :meth:`prune`, whose
+        keep-newest-K-FILES window counts torn records, so K torn
+        commits piling above the newest parseable record would let it
+        delete that record and silently reset readers to the ledger's
+        beginning (found by the exhaustive model check,
+        tests/test_changelog_stream_model.py). Returns the number of
+        files deleted."""
+        fs, jvm = self._fs()
+        doomed = [p for seq, p in self._entries(dataset)
+                  if seq < floor_seq]
+        for path in doomed:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(path), False)
+        return len(doomed)
+
     def prune(self, dataset: str, keep_last: int = 100) -> int:
         """Delete all but the newest *keep_last* commits of a dataset
         key. The store grows one file per commit by design (atomic
@@ -339,7 +357,10 @@ class WatermarkStore:
         (~8.6k commits/day at a 10s trigger) need this or every
         get/commit pays an ever-growing listStatus (audit r8). Returns
         the number of files deleted; rollback() reach shrinks to the
-        retained window."""
+        retained window. CAVEAT: the window counts TORN files — a
+        writer pruning a ledger where rivals may crash mid-commit
+        should prefer :meth:`prune_below` with a floor derived from
+        its own committed sequence."""
         fs, jvm = self._fs()
         entries = self._entries(dataset)
         doomed = entries[:-keep_last] if keep_last > 0 else entries

@@ -104,11 +104,11 @@ class IcebergChangelogStream:
         return None if rec is None else rec["snapshot_id"]
 
     def _commit_offset(self, snapshot_id: int, epoch: int,
-                       fence: int, intent_seq: int) -> None:
+                       fence: int, intent_seq: int) -> int:
         # intent_seq = the intent-ledger sequence of the record that
         # planned THIS window: the next epoch's intent lookup scans
         # only records above it (see _find_intent)
-        self.store.commit_fenced(
+        return self.store.commit_fenced(
             _DATASET, json.dumps({"snapshot_id": snapshot_id,
                                   "epoch": epoch,
                                   "intent_seq": intent_seq}), fence)
@@ -264,13 +264,22 @@ class IcebergChangelogStream:
                     "is sharing this checkpoint directory; run "
                     "exactly one consumer per checkpoint")
             fn(self.table.changelog(frm, to_sid), to_sid)
-            self._commit_offset(to_sid, epoch, off_fence, intent_seq)
+            off_seq = self._commit_offset(to_sid, epoch, off_fence,
+                                          intent_seq)
             # ledger hygiene (review r13 pass 2, same bug class as
             # audit r8 in the runner): one file lands per commit —
             # without pruning a continuous consumer lists an ever-
-            # growing checkpoint directory every epoch. The intent key
-            # only ever needs its latest entry; the offset keeps a
-            # rollback window.
-            self.store.prune(_DATASET, keep_last=200)
-            self.store.prune(_INTENT, keep_last=20)
+            # growing checkpoint directory every epoch. Floors derive
+            # from THIS commit's sequences, so pruning can never
+            # delete committed state — a count-based window would
+            # count torn records from crashed rivals, and enough of
+            # them above the newest parseable offset would erase it,
+            # silently resetting the stream to re-deliver everything
+            # under reused tokens (model check: 'count_prune'). The
+            # offset keeps a 200-commit rollback window; intents
+            # strictly below this epoch's own WAL record are history
+            # (junk above the floor dies once a later commit raises
+            # it past them).
+            self.store.prune_below(_DATASET, off_seq - 200)
+            self.store.prune_below(_INTENT, intent_seq)
             delivered += 1

@@ -73,11 +73,25 @@ def _fence(ledger):
 
 
 def _latest(ledger):
-    return ledger[-1][1] if ledger else None
+    """Newest PARSEABLE record — torn records (payload None, a crash
+    inside the real create-then-write) hold their sequence but fall
+    back, mirroring WatermarkStore._read_latest."""
+    for _, rec in reversed(ledger):
+        if rec is not None:
+            return rec
+    return None
 
 
 def _prune(ledger, keep):
+    # legacy keep-newest-K-FILES prune: counts torn records, so a torn
+    # top can push the newest parseable record out of the window
     return ledger[-keep:] if keep > 0 else ()
+
+
+def _prune_below(ledger, floor):
+    # sequence-floor prune: entries at/above the floor are untouchable,
+    # so the just-committed record can never be deleted
+    return tuple(e for e in ledger if e[0] >= floor)
 
 
 class Violation(Exception):
@@ -129,6 +143,8 @@ def step_consumer(state, slot, bug):
             # junk intent whose head coincides with frm can sit above
             # the live record
             for seq, rec in reversed(intent):
+                if rec is None:
+                    continue          # torn: skipped, seq still counts
                 if rec[0] == frm:
                     found, found_seq = rec, seq
                     break
@@ -140,6 +156,8 @@ def step_consumer(state, slot, bug):
             for seq, rec in reversed(intent):
                 if seq <= lo:
                     break
+                if rec is None:
+                    continue          # torn: skipped, seq still counts
                 if rec[0] == frm:
                     found, found_seq = rec, seq
                     break
@@ -170,9 +188,13 @@ def step_consumer(state, slot, bug):
         if seq <= _fence(intent):
             raise Violation(f"I3: intent commit at {seq} below top "
                             f"{_fence(intent)}")
-        new_intent = intent + ((seq, (frm, to)),)
-        return put((DELIVER, frm, off_fence, todo, to, int_fence,
-                    False, seq), intent=new_intent)
+        # two outcomes: the write lands, or the consumer dies INSIDE
+        # create-then-write leaving a TORN record that consumes the
+        # sequence (real _create_seq_file crash window)
+        ok = put((DELIVER, frm, off_fence, todo, to, int_fence,
+                  False, seq), intent=intent + ((seq, (frm, to)),))
+        torn = put(("DEAD",), intent=intent + ((seq, None),))
+        return ok + torn
 
     if phase == DELIVER:
         _, frm, off_fence, todo, to, int_fence, replay, my_iseq = c
@@ -215,13 +237,24 @@ def step_consumer(state, slot, bug):
         if seq <= _fence(off):
             raise Violation(f"I3: offset commit at {seq} below top "
                             f"{_fence(off)} (shadowed stale record)")
-        new_off = off + ((seq, (to, my_iseq)),)
-        return put((PRUNE,), off=new_off)
+        ok = put((PRUNE, seq, my_iseq), off=off + ((seq, (to, my_iseq)),))
+        torn = put(("DEAD",), off=off + ((seq, None),))
+        return ok + torn
 
     if phase == PRUNE:
+        _, off_seq, my_iseq = c
+        if bug in ("count_prune", "content_break"):
+            # pre-fix: keep-newest-K-files — a torn record above the
+            # newest parseable offset makes this delete committed
+            # state. content_break runs it too: that is the 28e9eff
+            # as-shipped combination (its junk counterexample needs
+            # the count-prune to erase the base's historical intent).
+            return put((READ_OFFSET,),
+                       off=_prune(off, KEEP_OFF),
+                       intent=_prune(intent, KEEP_INT))
         return put((READ_OFFSET,),
-                   off=_prune(off, KEEP_OFF),
-                   intent=_prune(intent, KEEP_INT))
+                   off=_prune_below(off, off_seq - KEEP_OFF),
+                   intent=_prune_below(intent, my_iseq))
 
     return []      # DONE / DEAD: no further steps
 
@@ -276,6 +309,7 @@ def test_fencing_protocol_holds_under_all_interleavings():
     ("no_replay_recheck", "I"),     # junk replayed from a stale base
     ("no_prune_precheck", "I3"),    # CAS blind after prune
     ("content_break", "I"),         # 28e9eff: junk to==frm above live
+    ("count_prune", "I"),           # torn top + keep-K prune loses state
 ])
 def test_checker_finds_each_known_bug(bug, inv):
     """Calibration: every protocol variant the r13 review passes fixed

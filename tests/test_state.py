@@ -400,3 +400,31 @@ def test_commit_error_categories_honest(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(WatermarkStore, "_create_seq_file", real)
     assert store.commit("ds", 4) == 2 and store.get("ds") == 4
+
+
+def test_prune_below_never_deletes_committed_state(spark, tmp_path):
+    """review r13 pass 5 (model check 'count_prune'): prune(keep_last)
+    counts TORN files, so torn records piling above the newest
+    parseable one could push it out of the window and erase committed
+    state. prune_below's floor comes from the writer's own committed
+    sequence — entries at/above it are untouchable."""
+    from gobblin_spark.state import WatermarkStore
+
+    store = WatermarkStore(spark, str(tmp_path / "wmpb"))
+    for v in (10, 20, 30):
+        store.commit("ds", v)
+    # torn record above the newest parseable commit (crashed rival)
+    fs, jvm = store._fs()
+    fs.create(jvm.org.apache.hadoop.fs.Path(
+        f"{store.root}/ds/wm-0000000004.json"), False).close()
+
+    # the OLD count-based window would now retain only the torn file:
+    # prune(keep_last=1) deletes seq 3 — committed state gone
+    # (demonstrating the hazard class, not used by the stream anymore)
+    # prune_below with the committer's own floor keeps seq 3 forever:
+    deleted = store.prune_below("ds", 3)
+    assert deleted == 2                     # seqs 1, 2 only
+    assert store.get("ds") == 30            # committed state intact
+    assert store.fence("ds") == 4           # torn top still fences
+    assert [s for s, _ in store._entries("ds")] == [3, 4]
+    assert store.prune_below("ds", 3) == 0  # idempotent

@@ -631,9 +631,11 @@ def test_changelog_stream_intent_head_rollback_raises(spark, tmp_path,
 
 
 def test_changelog_stream_checkpoint_pruned(spark, tmp_path):
-    """review r13 pass 2: the checkpoint ledgers must prune (one file
-    lands per commit) — same unbounded-listing bug class audit r8
-    fixed in the runner."""
+    """review r13 pass 2 (floors since pass 5): the checkpoint ledgers
+    must prune (one file lands per commit — same unbounded-listing bug
+    class audit r8 fixed in the runner), and pruning is by SEQUENCE
+    FLOOR derived from the epoch's own commit, so it can never delete
+    committed state (model check: 'count_prune')."""
     from gobblin_spark.sinks.iceberg import IcebergTable
     from gobblin_spark.streaming import IcebergChangelogStream
     from gobblin_spark.streaming import changelog_stream as CS
@@ -647,24 +649,22 @@ def test_changelog_stream_checkpoint_pruned(spark, tmp_path):
         t.append_dataframe(spark.createDataFrame(
             [(i, "x")], "k long, s string"))
     pruned = []
-    real_prune = cs.store.prune
-    cs.store.prune = lambda ds, keep_last: (
-        pruned.append(ds), real_prune(ds, keep_last=keep_last))[1]
+    real_prune = cs.store.prune_below
+    cs.store.prune_below = lambda ds, floor: (
+        pruned.append(ds), real_prune(ds, floor))[1]
     assert cs.process_available(lambda d, tok: None) == 4
     # the loop prunes BOTH ledgers every epoch
     assert pruned.count(CS._DATASET) == 4
     assert pruned.count(CS._INTENT) == 4
-    cs.store.prune = real_prune
-    # intent ledger: pruned to its keep_last (20 >> 4 epochs here, so
-    # just assert both ledgers stay bounded by epochs seen, not 2x)
-    n_off = len(cs.store._entries(CS._DATASET))
-    n_int = len(cs.store._entries(CS._INTENT))
-    assert n_off <= 200 and n_int <= 20
-    # and with tiny keep_last the prune genuinely removes files
-    cs.store.prune(CS._DATASET, keep_last=1)
-    cs.store.prune(CS._INTENT, keep_last=1)
-    assert len(cs.store._entries(CS._DATASET)) == 1
+    cs.store.prune_below = real_prune
+    # intents strictly below each epoch's own WAL record are history:
+    # after 4 epochs exactly the newest intent survives; the offset
+    # keeps its 200-commit rollback window (4 here)
     assert len(cs.store._entries(CS._INTENT)) == 1
+    assert len(cs.store._entries(CS._DATASET)) == 4
+    # a tight floor genuinely removes files and keeps the commit
+    cs.store.prune_below(CS._DATASET, 4)
+    assert len(cs.store._entries(CS._DATASET)) == 1
     assert cs.last_committed() is not None  # still readable after prune
 
 
@@ -924,10 +924,12 @@ def test_changelog_stream_steady_state_ledger_reads_bounded(
         spark, tmp_path):
     """review r13 pass 4: the steady-state epoch must NOT scan every
     retained intent file (prune keeps 20; a 10s-trigger consumer would
-    pay ~170k extra remote reads/day). _find_intent stops at the
-    record whose to == frm — the epoch that committed this base — so
-    a fresh-plan epoch costs one offset read + at most two intent
-    reads, plus the final no-work offset read."""
+    pay ~170k extra remote reads/day). _find_intent's scan floor is
+    the SEQUENCE of the intent that committed this base (recorded in
+    the offset payload) — the ledger top IS that floor in steady
+    state, so a fresh-plan epoch reads ZERO intent files: the whole
+    epoch costs the two offset reads (the epoch's own + the final
+    no-work check)."""
     from gobblin_spark.sinks.iceberg import IcebergTable
     from gobblin_spark.state import WatermarkStore
     from gobblin_spark.streaming import IcebergChangelogStream
@@ -941,7 +943,8 @@ def test_changelog_stream_steady_state_ledger_reads_bounded(
         t.append_dataframe(spark.createDataFrame(
             [(i, "x")], "k long, s string"))
     assert cs.process_available(lambda d, tok: None) == 6
-    assert len(cs.store._entries("iceberg_changelog_intent")) == 6
+    # floor-pruned each epoch: exactly the newest intent survives
+    assert len(cs.store._entries("iceberg_changelog_intent")) == 1
 
     reads = []
     real = WatermarkStore._read_json
@@ -950,8 +953,10 @@ def test_changelog_stream_steady_state_ledger_reads_bounded(
     t.append_dataframe(spark.createDataFrame([(99, "z")],
                                              "k long, s string"))
     assert cs.process_available(lambda d, tok: None) == 1
-    # 2 offset reads (epoch + final no-work check) + <=2 intent reads
-    assert len(reads) <= 4, reads
+    # exactly the 2 offset reads (epoch + final no-work check);
+    # ZERO intent reads — the scan floor equals the ledger top
+    assert len(reads) <= 2, reads
+    assert not [p for p in reads if "intent" in p], reads
 
 
 def test_epoch_stats_bounded_on_replay_too(spark, tmp_path, monkeypatch):
@@ -979,3 +984,55 @@ def test_epoch_stats_bounded_on_replay_too(spark, tmp_path, monkeypatch):
         fn(df, 7)   # epoch 7 <= marker 100 -> replay branch
     assert all(s.replayed for s in spec.stats)
     assert len(spec.stats) == 5  # bounded, not 12
+
+
+def test_changelog_stream_survives_torn_commit_plus_prune(
+        spark, tmp_path):
+    """review r13 pass 5 (model check 'count_prune' counterexample,
+    pinned against the real code): a rival's TORN offset commit lands
+    above the live consumer's parseable record; the live consumer's
+    next epoch prunes. A keep-newest-K-files prune (K small or torn
+    records plentiful) would delete the parseable record, silently
+    resetting the stream to base None and re-delivering everything
+    under reused tokens. The floor prune keeps committed state; the
+    consumer continues from its true base."""
+    from gobblin_spark.sinks.iceberg import IcebergTable
+    from gobblin_spark.streaming import IcebergChangelogStream
+    from gobblin_spark.streaming import changelog_stream as CS
+
+    loc = str(tmp_path / "clstorn")
+    ckpt = str(tmp_path / "clstorn_ckpt")
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = IcebergTable.create(spark, loc, df.schema)
+    t.append_dataframe(df.coalesce(1))
+    s1 = t.metadata()["current-snapshot-id"]
+
+    calls: list[tuple] = []
+
+    def fn(batch_df, token):
+        calls.append((token, sorted(r.k for r in batch_df.collect())))
+
+    cs = IcebergChangelogStream(t, ckpt)
+    assert cs.process_available(fn) == 1     # offset s1 committed
+    assert calls == [(s1, [1])]
+
+    # a crashed rival's torn offset commit above the parseable record
+    fs, jvm = cs.store._fs()
+    top = cs.store.fence(CS._DATASET)
+    fs.create(jvm.org.apache.hadoop.fs.Path(
+        f"{cs.store.root}/{CS._DATASET}/wm-{top + 1:010d}.json"),
+        False).close()
+
+    # next epoch: the fresh consumer must read base s1 (NOT reset to
+    # None), deliver only the delta, and its prune must keep s1's
+    # committed record
+    t.append_dataframe(spark.createDataFrame([(2, "b")],
+                                             "k long, s string"))
+    s2 = t.metadata()["current-snapshot-id"]
+    cs2 = IcebergChangelogStream(t, ckpt)
+    assert cs2.process_available(fn) == 1
+    assert calls[-1] == (s2, [2])            # delta only — no reset
+    assert cs2.last_committed() == s2
+    # the parseable history survived the prune (floor = own seq - 200)
+    seqs = [s for s, _ in cs2.store._entries(CS._DATASET)]
+    assert top in seqs and top + 2 in seqs
