@@ -30,7 +30,16 @@ memoization). Safety invariants, checked at every delivery/commit:
   I2  distinct tokens carry DISJOINT windows (no row is ever
       delivered under two different tokens — no double-apply);
   I3  no ledger commit ever lands BELOW the ledger's top (a stale
-      writer must die, not leave a shadowed record).
+      writer must die, not leave a shadowed record);
+  I4  every delivered window is WELL-FORMED: its base is on its
+      head's ancestry (changelog() semantics — meaningless windows
+      must die at the changelog call, not deliver garbage).
+
+A second configuration adds upstream ROLLBACK actions (rollback_to:
+truncate the chain to any proper prefix; later appends mint fresh
+ids with recorded parent edges), covering the ancestry guards: the
+offset-not-on-main check in _pending_after, the intent head-vanished
+check, and changelog()'s own window validation at delivery time.
 
 The checker is CALIBRATED by running known-broken protocol variants
 (each a bug the r13 review passes fixed) and asserting it FINDS their
@@ -62,7 +71,7 @@ import pytest
 READ_OFFSET, READ_TODO, FIND_INTENT, WRITE_INTENT, DELIVER, COMMIT, \
     PRUNE = range(7)
 
-MAX_SNAP = 3          # upstream commits available to the scheduler
+MAX_IDS = 3           # upstream snapshots available to the scheduler
 SLOTS = ((None,), (1,), (None,))   # per-instance max_snapshots_per_batch
 KEEP_OFF = 1          # aggressive prune: stresses the pruned-CAS path
 KEEP_INT = 1
@@ -94,6 +103,15 @@ def _prune_below(ledger, floor):
     return tuple(e for e in ledger if e[0] >= floor)
 
 
+def _ancestry(parents, sid):
+    par = dict(parents)
+    out = set()
+    while sid:
+        out.add(sid)
+        sid = par.get(sid, 0)
+    return out
+
+
 class Violation(Exception):
     pass
 
@@ -102,7 +120,8 @@ def step_consumer(state, slot, bug):
     """Advance consumer *slot* one protocol step. Returns a list of
     successor states (possibly empty when the consumer halts/dies).
     Raises Violation when a safety invariant breaks."""
-    n, off, intent, cons, tokmap = state
+    up, off, intent, cons, tokmap = state
+    chain, parents = up
     c = cons[slot]          # (phase, frm, off_fence, todo, to, int_fence)
     phase = c[0]
     batch = SLOTS[slot][0]
@@ -110,7 +129,7 @@ def step_consumer(state, slot, bug):
     def put(newc, off=off, intent=intent, tokmap=tokmap):
         cs = list(cons)
         cs[slot] = newc
-        return [(n, off, intent, tuple(cs), tokmap)]
+        return [(up, off, intent, tuple(cs), tokmap)]
 
     dead = put(("DEAD",))
 
@@ -122,8 +141,10 @@ def step_consumer(state, slot, bug):
 
     if phase == READ_TODO:
         _, frm, off_fence, lo = c
-        todo = tuple(s for s in range(1, n + 1)
-                     if frm is None or s > frm)
+        if frm is not None and frm not in chain \
+                and bug != "no_window_validation":
+            return dead      # offset off main's ancestry: raises
+        todo = tuple(s for s in chain if frm is None or s > frm)
         if not todo:
             return put(("DONE",))
         return put((FIND_INTENT, frm, off_fence, lo, todo))
@@ -203,6 +224,16 @@ def step_consumer(state, slot, bug):
             recheck = False
         if recheck and _fence(off) != off_fence:
             return dead
+        # changelog()'s own window validation at the delivery call:
+        # the base must be on the head's ancestry (rollback between
+        # planning and delivery) — raises in the real code
+        well_formed = frm is None or frm in _ancestry(parents, to)
+        if not well_formed and bug != "no_window_validation":
+            return dead
+        if not well_formed:
+            raise Violation(
+                f"I4: delivered window ({frm}, {to}] is not on the "
+                "head's ancestry — garbage changelog")
         # DELIVERY: token=to, window=(frm, to]
         start = 0 if frm is None else frm
         tm = dict(tokmap)
@@ -259,25 +290,33 @@ def step_consumer(state, slot, bug):
     return []      # DONE / DEAD: no further steps
 
 
-def explore(bug=None, max_states=600_000):
+def explore(bug=None, max_states=2_000_000, allow_rollback=False):
     """BFS over every interleaving. Returns (states_visited, violation
     message or None)."""
-    init = (0, (), (), tuple(("NEW",) for _ in SLOTS), ())
+    init = (((), ()), (), (), tuple(("NEW",) for _ in SLOTS), ())
     seen = {init}
     q = deque([init])
     while q:
         state = q.popleft()
-        n, off, intent, cons, tokmap = state
+        up, off, intent, cons, tokmap = state
+        chain, parents = up
         succs = []
-        if n < MAX_SNAP:                      # upstream commit
-            succs.append((n + 1, off, intent, cons, tokmap))
+        if len(parents) < MAX_IDS:            # upstream commit
+            nid = len(parents) + 1
+            up2 = (chain + (nid,),
+                   parents + ((nid, chain[-1] if chain else 0),))
+            succs.append((up2, off, intent, cons, tokmap))
+        if allow_rollback:                    # rollback_to any ancestor
+            for i in range(1, len(chain)):
+                succs.append(((chain[:i], parents), off, intent,
+                              cons, tokmap))
         for slot, c in enumerate(cons):
             if c[0] in ("DEAD", "DONE"):
                 continue
             if c[0] == "NEW":
                 cs = list(cons)
                 cs[slot] = (READ_OFFSET,)
-                succs.append((n, off, intent, tuple(cs), tokmap))
+                succs.append((up, off, intent, tuple(cs), tokmap))
                 continue
             try:
                 succs.extend(step_consumer(state, slot, bug))
@@ -319,3 +358,26 @@ def test_checker_finds_each_known_bug(bug, inv):
     assert violation is not None, \
         f"{bug}: no violation found in {states} states"
     assert violation.startswith(inv), violation
+
+
+def test_fencing_protocol_holds_under_rollbacks_too():
+    """The REAL protocol with upstream rollback_to interleaved at any
+    point: the ancestry guards (_pending_after's offset check, the
+    intent head-vanished check, changelog()'s window validation) make
+    every garbage-window or conflicting-delivery trace die loudly
+    instead — no reachable violation of I1-I4."""
+    states, violation = explore(bug=None, allow_rollback=True)
+    assert violation is None, violation
+    assert states > 20_000
+
+
+def test_checker_finds_missing_window_validation():
+    """Calibration for the rollback config: with the ancestry guards
+    stripped (offset-off-main + changelog window validation), a
+    rollback between planning and delivery ships a window whose base
+    is not on its head's ancestry — a changelog that does not exist."""
+    states, violation = explore(bug="no_window_validation",
+                                allow_rollback=True)
+    assert violation is not None, \
+        f"no violation found in {states} states"
+    assert violation.startswith("I4"), violation
