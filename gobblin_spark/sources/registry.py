@@ -116,6 +116,7 @@ class FileSchemaRegistry:
             avro_schema = json.loads(avro_schema)
         sid = schema_id(avro_schema)
         os.makedirs(self._subject_dir(subject), exist_ok=True)
+        torn_seen: set[str] = set()
         for _ in range(16):
             # Re-scan EVERY attempt: a racer may have just registered
             # this exact schema (the idempotent fast path must see it)
@@ -123,6 +124,20 @@ class FileSchemaRegistry:
             # schema we will actually succeed after).
             versions = self._versions(subject)
             recs = {path: self._load(path) for _, path in versions}
+            # A TORN TOP entry may be an O_EXCL-fallback racer INSIDE
+            # its create->write window (microseconds) rather than a
+            # crashed claim: treating it as never-happened right away
+            # would skip the compat gate against (or duplicate the sid
+            # of) a registration that completes an instant later.
+            # Grant each distinct torn top ONE extra scan — a mid-write
+            # racer resolves by then; a crashed claim stays torn and is
+            # treated as dead on the next attempt, so progress holds
+            # (review r13 pass 5).
+            if versions:
+                top_path = versions[-1][1]
+                if recs[top_path] is None and top_path not in torn_seen:
+                    torn_seen.add(top_path)
+                    continue
             for _, path in versions:
                 if recs[path] is not None and recs[path]["id"] == sid:
                     return sid  # already registered

@@ -543,3 +543,69 @@ def test_recover_isolates_poisoned_sequence(spark, tmp_path):
     assert P.is_published(spark, final)
     assert os.path.exists(str(tmp_path / "ok.marker"))
     assert [s.job_id for s in store.pending()] == ["bad_job"]
+
+
+def test_registry_torn_top_gets_one_rescan(tmp_path, monkeypatch):
+    """review r13 pass 5: a TORN top version may be an O_EXCL-fallback
+    racer INSIDE its create->write window, not a crashed claim.
+    Treating it as never-happened immediately would skip the compat
+    gate against (or duplicate the sid of) a registration that
+    completes an instant later. register() grants each distinct torn
+    top ONE extra scan; a genuinely crashed claim stays torn and is
+    passed on the next attempt, so progress holds."""
+    sub = tmp_path / "events"
+    sub.mkdir()
+    v1 = sub / "v000001.json"
+    v1.write_text("")                       # racer mid-write (torn)
+
+    # A) the racer completes between the two scans: the retry scan
+    #    sees its payload and the compat gate RUNS (pre-fix: single
+    #    scan treated it as dead, claimed v2 with no compat check)
+    racer_payload = json.dumps({"id": schema_id(V1), "version": 1,
+                                "subject": "events", "schema": V1})
+    scans = []
+    real_versions = FileSchemaRegistry._versions
+
+    def spy(self, subject):
+        scans.append(1)
+        if len(scans) == 2 and v1.read_text() == "":
+            v1.write_text(racer_payload)    # racer's write lands
+        return real_versions(self, subject)
+
+    monkeypatch.setattr(FileSchemaRegistry, "_versions", spy)
+    reg = FileSchemaRegistry(str(tmp_path))
+    with pytest.raises(ValueError, match="not backward-compatible"):
+        reg.register("events", BAD)
+    assert len(scans) == 2                  # exactly one extra scan
+    monkeypatch.undo()
+
+    # B) same shape, racer registering OUR schema: the retry scan hits
+    #    the idempotent fast path — no duplicate sid across versions
+    sub2 = tmp_path / "dup"
+    sub2.mkdir()
+    d1 = sub2 / "v000001.json"
+    d1.write_text("")
+    scans2 = []
+
+    def spy2(self, subject):
+        scans2.append(1)
+        if len(scans2) == 2 and d1.read_text() == "":
+            d1.write_text(json.dumps({"id": schema_id(V1), "version": 1,
+                                      "subject": "dup", "schema": V1}))
+        return real_versions(self, subject)
+
+    monkeypatch.setattr(FileSchemaRegistry, "_versions", spy2)
+    assert FileSchemaRegistry(str(tmp_path)).register("dup", V1) \
+        == schema_id(V1)
+    assert sorted(p.name for p in sub2.iterdir()) == ["v000001.json"]
+    monkeypatch.undo()
+
+    # C) a genuinely CRASHED claim stays torn: one extra scan, then
+    #    the claim proceeds past it (burned version, progress holds)
+    sub3 = tmp_path / "crashed"
+    sub3.mkdir()
+    (sub3 / "v000001.json").write_text("")
+    reg3 = FileSchemaRegistry(str(tmp_path))
+    assert reg3.register("crashed", V1) == schema_id(V1)
+    assert (sub3 / "v000002.json").exists()
+    assert reg3.latest("crashed") == V1
