@@ -178,9 +178,17 @@ class FileSchemaRegistry:
                 # link(2) unsupported (object-store FUSE mounts, some
                 # network filesystems — review r13): fall back to an
                 # O_EXCL create of the canonical name. Still single-
-                # winner; the only loss is torn-on-crash payloads,
+                # winner; the losses are (a) torn-on-crash payloads,
                 # which every reader tolerates via _load() (the burned
-                # version number keeps allocation moving).
+                # version number keeps allocation moving), and (b) a
+                # RESIDUAL race the torn-top rescan above only narrows:
+                # a racer whose create->write gap outlasts one full
+                # scan iteration is treated as crashed, so a
+                # registration racing it can skip the compat check
+                # against (or re-register the sid of) its
+                # eventually-landing schema. Only the atomic link(2)
+                # claim closes this completely — the fallback is a
+                # documented degradation for filesystems without it.
                 try:
                     fd = os.open(path,
                                  os.O_CREAT | os.O_EXCL | os.O_WRONLY)
