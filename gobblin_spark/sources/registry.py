@@ -31,6 +31,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import types as T
@@ -48,6 +49,13 @@ def schema_id(avro_schema: dict | str) -> str:
 
 class FileSchemaRegistry:
     """Filesystem-backed subject → versioned schemas registry."""
+
+    # How long a TORN version file is presumed to be another
+    # O_EXCL-fallback claimant mid-write (grace: rescan) rather than a
+    # crashed claim (treat as never-happened). Wall-time, via the torn
+    # file's mtime — independent of scan speed and of whether newer
+    # claims landed above it (review r13 pass 6).
+    TORN_GRACE_SEC = 1.0
 
     def __init__(self, root: str):
         self.root = root.rstrip("/")
@@ -91,6 +99,15 @@ class FileSchemaRegistry:
         return collapsed
 
     @staticmethod
+    def _age_sec(path: str) -> float:
+        """Age of a version file by mtime; a vanished file (a legacy
+        racer removing its lost claim) counts as infinitely old."""
+        try:
+            return max(0.0, time.time() - os.stat(path).st_mtime)
+        except FileNotFoundError:
+            return float("inf")
+
+    @staticmethod
     def _load(path: str) -> dict | None:
         """Parse a version file; None when torn (a writer crashed
         mid-claim on a filesystem without atomic link — the version
@@ -116,28 +133,32 @@ class FileSchemaRegistry:
             avro_schema = json.loads(avro_schema)
         sid = schema_id(avro_schema)
         os.makedirs(self._subject_dir(subject), exist_ok=True)
-        torn_seen: set[str] = set()
-        for _ in range(16):
+        lost = 0
+        while lost < 16:
             # Re-scan EVERY attempt: a racer may have just registered
             # this exact schema (the idempotent fast path must see it)
             # or advanced latest (the compat check must run against the
             # schema we will actually succeed after).
             versions = self._versions(subject)
             recs = {path: self._load(path) for _, path in versions}
-            # A TORN TOP entry may be an O_EXCL-fallback racer INSIDE
-            # its create->write window (microseconds) rather than a
-            # crashed claim: treating it as never-happened right away
-            # would skip the compat gate against (or duplicate the sid
-            # of) a registration that completes an instant later.
-            # Grant each distinct torn top ONE extra scan — a mid-write
-            # racer resolves by then; a crashed claim stays torn and is
-            # treated as dead on the next attempt, so progress holds
-            # (review r13 pass 5).
-            if versions:
-                top_path = versions[-1][1]
-                if recs[top_path] is None and top_path not in torn_seen:
-                    torn_seen.add(top_path)
-                    continue
+            # A YOUNG torn entry (ANY version, not just the top — a
+            # newer claim may already have landed above a still-mid-
+            # write racer) is presumed to be an O_EXCL-fallback racer
+            # inside its create->write window: treating it as
+            # never-happened right away would skip the compat gate
+            # against (or duplicate the sid of) a registration that
+            # completes an instant later. Grace = wall time on the torn
+            # file's mtime, so it is independent of how fast our scans
+            # run; a crashed claim ages past TORN_GRACE_SEC once and is
+            # then treated as dead forever, so progress holds (reviews
+            # r13 passes 5-6). Grace rescans do not consume claim
+            # attempts — the 16-attempt budget counts genuine lost
+            # version races only.
+            if any(recs[path] is None
+                   and self._age_sec(path) < self.TORN_GRACE_SEC
+                   for _, path in versions):
+                time.sleep(0.05)
+                continue
             for _, path in versions:
                 if recs[path] is not None and recs[path]["id"] == sid:
                     return sid  # already registered
@@ -173,6 +194,7 @@ class FileSchemaRegistry:
                 os.link(tmp, path)
                 return sid
             except FileExistsError:
+                lost += 1
                 continue  # lost this version — retry at the next one
             except OSError:
                 # link(2) unsupported (object-store FUSE mounts, some
@@ -181,9 +203,9 @@ class FileSchemaRegistry:
                 # winner; the losses are (a) torn-on-crash payloads,
                 # which every reader tolerates via _load() (the burned
                 # version number keeps allocation moving), and (b) a
-                # RESIDUAL race the torn-top rescan above only narrows:
-                # a racer whose create->write gap outlasts one full
-                # scan iteration is treated as crashed, so a
+                # RESIDUAL race the young-torn grace above only
+                # narrows: a racer whose create->write gap exceeds
+                # TORN_GRACE_SEC is treated as crashed, so a
                 # registration racing it can skip the compat check
                 # against (or re-register the sid of) its
                 # eventually-landing schema. Only the atomic link(2)
@@ -193,6 +215,7 @@ class FileSchemaRegistry:
                     fd = os.open(path,
                                  os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 except FileExistsError:
+                    lost += 1
                     continue  # lost this version
                 with os.fdopen(fd, "w") as f:
                     json.dump(payload, f)

@@ -545,26 +545,31 @@ def test_recover_isolates_poisoned_sequence(spark, tmp_path):
     assert [s.job_id for s in store.pending()] == ["bad_job"]
 
 
-def test_registry_torn_top_gets_one_rescan(tmp_path, monkeypatch):
-    """review r13 pass 5: a TORN top version may be an O_EXCL-fallback
-    racer INSIDE its create->write window, not a crashed claim.
-    Treating it as never-happened immediately would skip the compat
-    gate against (or duplicate the sid of) a registration that
-    completes an instant later. register() grants each distinct torn
-    top ONE extra scan; a genuinely crashed claim stays torn and is
-    passed on the next attempt, so progress holds."""
+def test_registry_young_torn_claims_get_grace(tmp_path, monkeypatch):
+    """review r13 passes 5-6: a TORN version file may be an O_EXCL-
+    fallback racer INSIDE its create->write window, not a crashed
+    claim. Treating it as never-happened immediately would skip the
+    compat gate against (or duplicate the sid of) a registration that
+    completes an instant later. A torn file younger than
+    TORN_GRACE_SEC gets graced with a rescan — by mtime WALL TIME
+    (independent of scan speed) and at ANY version (a newer claim may
+    land above a still-mid-write racer) — while an aged (crashed)
+    claim is passed without stalling progress. Grace rescans do not
+    consume the 16 claim attempts."""
+    import time as _time
+
+    real_versions = FileSchemaRegistry._versions
+
+    # A) racer completes between the scans: the grace rescan sees its
+    #    payload and the compat gate RUNS (pre-fix: a single scan
+    #    treated it as dead and claimed v2 with no compat check)
     sub = tmp_path / "events"
     sub.mkdir()
     v1 = sub / "v000001.json"
     v1.write_text("")                       # racer mid-write (torn)
-
-    # A) the racer completes between the two scans: the retry scan
-    #    sees its payload and the compat gate RUNS (pre-fix: single
-    #    scan treated it as dead, claimed v2 with no compat check)
     racer_payload = json.dumps({"id": schema_id(V1), "version": 1,
                                 "subject": "events", "schema": V1})
     scans = []
-    real_versions = FileSchemaRegistry._versions
 
     def spy(self, subject):
         scans.append(1)
@@ -576,15 +581,19 @@ def test_registry_torn_top_gets_one_rescan(tmp_path, monkeypatch):
     reg = FileSchemaRegistry(str(tmp_path))
     with pytest.raises(ValueError, match="not backward-compatible"):
         reg.register("events", BAD)
-    assert len(scans) == 2                  # exactly one extra scan
+    assert len(scans) == 2                  # one grace rescan sufficed
     monkeypatch.undo()
 
-    # B) same shape, racer registering OUR schema: the retry scan hits
-    #    the idempotent fast path — no duplicate sid across versions
+    # B) racer registering OUR schema, and its torn claim is NOT the
+    #    top (an intact claim landed above it): grace must still fire
+    #    — the top-only heuristic left this shape a duplicate-sid hole
     sub2 = tmp_path / "dup"
     sub2.mkdir()
     d1 = sub2 / "v000001.json"
-    d1.write_text("")
+    d1.write_text("")                       # racer mid-write at v1
+    d2_payload = {"id": schema_id(V2), "version": 2, "subject": "dup",
+                  "schema": V2}
+    (sub2 / "v000002.json").write_text(json.dumps(d2_payload))
     scans2 = []
 
     def spy2(self, subject):
@@ -596,16 +605,22 @@ def test_registry_torn_top_gets_one_rescan(tmp_path, monkeypatch):
 
     monkeypatch.setattr(FileSchemaRegistry, "_versions", spy2)
     assert FileSchemaRegistry(str(tmp_path)).register("dup", V1) \
-        == schema_id(V1)
-    assert sorted(p.name for p in sub2.iterdir()) == ["v000001.json"]
+        == schema_id(V1)                    # idempotent — no v3 claim
+    assert sorted(p.name for p in sub2.iterdir()) == \
+        ["v000001.json", "v000002.json"]
     monkeypatch.undo()
 
-    # C) a genuinely CRASHED claim stays torn: one extra scan, then
-    #    the claim proceeds past it (burned version, progress holds)
+    # C) a genuinely CRASHED claim (aged past the grace) is passed
+    #    immediately: burned version, progress holds, no stall
     sub3 = tmp_path / "crashed"
     sub3.mkdir()
-    (sub3 / "v000001.json").write_text("")
+    c1 = sub3 / "v000001.json"
+    c1.write_text("")
+    past = _time.time() - 10
+    os.utime(c1, (past, past))              # aged: crashed, not racing
+    t0 = _time.time()
     reg3 = FileSchemaRegistry(str(tmp_path))
     assert reg3.register("crashed", V1) == schema_id(V1)
+    assert _time.time() - t0 < FileSchemaRegistry.TORN_GRACE_SEC
     assert (sub3 / "v000002.json").exists()
     assert reg3.latest("crashed") == V1
