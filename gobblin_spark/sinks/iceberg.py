@@ -1293,7 +1293,11 @@ class IcebergTable:
                 if ("FileNotFoundException" in msg
                         or "does not exist" in msg
                         or isinstance(ex, FileNotFoundError)):
-                    return 0
+                    # a missing hint does not prove an empty location:
+                    # a committer can crash before the very first
+                    # flip — probe from 0 so create() refuses to
+                    # clobber and readers adopt the orphaned commit
+                    return self._fast_forward(0)
                 if "Checksum" in msg or "EOFException" in msg:
                     # the same torn-rewrite window seen through the
                     # Hadoop path: the .crc sidecar lags the data
@@ -1303,13 +1307,55 @@ class IcebergTable:
                     continue
                 raise
             try:
-                return int(raw)
+                v = int(raw)
             except ValueError as ex:
                 last_err = ex
                 time.sleep(0.02)
+                continue
+            return self._fast_forward(v)
         raise RuntimeError(
             f"version hint at {self.location} stayed unparsable "
             "across retries (torn write?)") from last_err
+
+    def _fast_forward(self, v: int) -> int:
+        """Advance past the hint while newer COMPLETE metadata version
+        files exist (HadoopTableOperations.findVersion behavior): the
+        hint flip is the commit's LAST step, so a committer crashing
+        between the version-file claim and the flip leaves a durable,
+        committed snapshot the hint does not point at — without the
+        probe that snapshot is invisible forever and every later
+        commit from the stale base collides at claim time, wedging
+        the table (r13 commit-protocol model check). A stale or
+        transiently REGRESSED hint (two committers' flips landing out
+        of order) is healed the same way: probing from any hint value
+        at or below the top reaches the top, because hints are only
+        ever written after their version file is complete. The probe
+        refuses files that do not parse as table metadata — a crashed
+        O_EXCL-fallback writer's torn prefix or foreign junk must not
+        be adopted as the current table state (readers stay on the
+        last good version; the claim path diagnoses the junk)."""
+        while True:
+            nxt = f"{self.location}/metadata/v{v + 1}.metadata.json"
+            try:
+                if _is_plain_local(nxt) or nxt.startswith("file:"):
+                    with open(self._local(nxt), "rb") as fh:
+                        raw = fh.read()
+                else:
+                    raw = self._read_bytes(nxt)
+            except Exception as ex:
+                msg = str(ex)
+                if ("FileNotFoundException" in msg
+                        or "does not exist" in msg
+                        or isinstance(ex, FileNotFoundError)):
+                    return v
+                raise
+            try:
+                doc = json.loads(raw)
+            except ValueError:
+                return v        # torn claim: not a committed version
+            if not (isinstance(doc, dict) and "format-version" in doc):
+                return v        # parseable junk is still not metadata
+            v += 1
 
     def metadata(self) -> dict:
         v = self._version()
@@ -1350,6 +1396,79 @@ class IcebergTable:
             node = rec["parent-snapshot-id"]
         return out
 
+    def _claim_metadata_local(self, lp: str, data: bytes,
+                              path: str) -> None:
+        """Atomic single-winner claim of a local metadata version
+        file: the payload is fully written to a temp sibling, then
+        hard-linked onto the canonical name — link(2) fails with
+        EEXIST if any racer claimed the version first, and a crash at
+        any point leaves either nothing or a complete, probe-adoptable
+        version file (never a torn final that wedges every later
+        claim). Filesystems without link(2) fall back to an O_EXCL
+        create of the canonical name, which reintroduces the
+        torn-on-crash window — the same documented degradation as the
+        schema registry's fallback; the probe refuses to adopt such a
+        file and the collision diagnosis below names it."""
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        # a previous table generation's JVM write may have left a
+        # checksum sidecar for this name — desynced, it would fail
+        # later JVM reads of the linked payload
+        _drop_crc_sidecar(lp)
+        tmp = f"{lp}.claim-{uuid.uuid4().hex[:12]}.tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            os.link(tmp, lp)
+            return
+        except FileExistsError as ex:
+            # on the link path every collider a COMMITTER produced is
+            # complete — an unparseable collider is a crashed O_EXCL-
+            # fallback writer's torn prefix or a foreign file, and it
+            # never heals, so retrying the CAS against it is pointless:
+            # name the wedge instead of burning the retries on
+            # "concurrent commit"
+            try:
+                with open(lp, "rb") as fh:
+                    doc = json.loads(fh.read())
+                genuine = isinstance(doc, dict) and "format-version" in doc
+            except ValueError:
+                genuine = False
+            except OSError:
+                genuine = True   # vanished/unreadable: treat as a race
+            if not genuine:
+                raise RuntimeError(
+                    f"metadata version file {path} exists but is not "
+                    "parseable table metadata — a crashed claim's torn "
+                    "file or a foreign file is wedging the commit "
+                    "path; verify no committer is mid-write and delete "
+                    "it to unwedge") from ex
+            raise RuntimeError(
+                f"concurrent commit detected: {path} already exists "
+                "(another committer advanced the table from the same "
+                "base version) — re-read metadata and retry") from ex
+        except OSError:
+            # link(2) unsupported (object-store FUSE mounts, some
+            # network filesystems): O_EXCL create of the canonical
+            # name — still single-winner, but a crash inside the
+            # create->write gap leaves a torn final (documented
+            # residual; only link(2) closes it)
+            try:
+                with open(lp, "xb") as fh:
+                    fh.write(data)
+            except FileExistsError as ex:
+                raise RuntimeError(
+                    f"concurrent commit detected: {path} already "
+                    "exists (another committer advanced the table "
+                    "from the same base version) — re-read metadata "
+                    "and retry") from ex
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass  # an aggressive orphan sweep raced the claim;
+                # the linked canonical (or the O_EXCL create) already
+                # carries the payload
+
     def _commit_metadata(self, md: dict) -> int:
         """HadoopTables commit protocol: write the NEW vN file with
         create-fails-if-exists (the optimistic-concurrency guard —
@@ -1365,32 +1484,31 @@ class IcebergTable:
         base = md.pop("_base_version", None)
         v = (base if base is not None else self._version()) + 1
         path = f"{self.location}/metadata/v{v}.metadata.json"
-        if self.spark is None:
-            if not self._sessionless_is_local(path):
-                # sessionless REMOTE: rename-atomic stores (hdfs:)
-                # get a temp-write + single-winner fs.move CAS; object
-                # stores degrade to existence check + write — the SAME
-                # guarantee Hadoop's create(overwrite=false) gives on
-                # S3A (HEAD-then-PUT), i.e. no weaker than the JVM
-                # path on the same store (see
-                # _write_bytes_if_absent_any)
-                _write_bytes_if_absent_any(
-                    path, json.dumps(md, indent=2).encode())
-                _write_bytes_any(
-                    f"{self.location}/metadata/version-hint.text",
-                    str(v).encode())
-                return v
-            os.makedirs(os.path.dirname(self._local(path)),
-                        exist_ok=True)
-            try:
-                with open(self._local(path), "xb") as fh:  # O_EXCL
-                    fh.write(json.dumps(md, indent=2).encode())
-            except FileExistsError as ex:
-                raise RuntimeError(
-                    f"concurrent commit detected: {path} already "
-                    "exists (another committer advanced the table "
-                    "from the same base version) — re-read metadata "
-                    "and retry") from ex
+        if self.spark is None and not self._sessionless_is_local(path):
+            # sessionless REMOTE: rename-atomic stores (hdfs:)
+            # get a temp-write + single-winner fs.move CAS; object
+            # stores degrade to existence check + write — the SAME
+            # guarantee Hadoop's create(overwrite=false) gives on
+            # S3A (HEAD-then-PUT), i.e. no weaker than the JVM
+            # path on the same store (see
+            # _write_bytes_if_absent_any)
+            _write_bytes_if_absent_any(
+                path, json.dumps(md, indent=2).encode())
+            _write_bytes_any(
+                f"{self.location}/metadata/version-hint.text",
+                str(v).encode())
+            return v
+        if _is_plain_local(path) or path.startswith("file:"):
+            # ALL local commits (session or not) claim via hard-link
+            # of a fully-written temp file: atomic single-winner like
+            # the JVM create(overwrite=false), but with NO torn-final
+            # window — a committer crash mid-write used to leave an
+            # unparseable v(N+1) that collided every later claim
+            # forever (r13 commit-protocol model check; the registry's
+            # claim path, applied to table metadata)
+            self._claim_metadata_local(
+                self._local(path), json.dumps(md, indent=2).encode(),
+                path)
             self._write_bytes(
                 f"{self.location}/metadata/version-hint.text",
                 str(v).encode())

@@ -933,10 +933,12 @@ def test_concurrent_commit_detected_not_clobbered(spark, tmp_path):
     t = I.IcebergTable.create(spark, str(tmp_path / "race"), df.schema)
     t.append_dataframe(df)
     md = t.metadata()
-    # simulate a second committer landing v(N+1) first
+    # simulate a second committer landing v(N+1) first (a COMPLETE
+    # metadata payload — a torn/foreign collider gets the distinct
+    # junk-wedge diagnosis instead, pinned separately)
     v_next = t._version() + 1
     t._write_bytes(f"{t.location}/metadata/v{v_next}.metadata.json",
-                   b"{}")
+                   b'{"format-version": 2}')
     with _pt.raises(RuntimeError, match="concurrent commit"):
         t._commit_metadata(md)
 
@@ -1690,10 +1692,14 @@ def test_commit_metadata_reraises_non_exists_failures(spark, tmp_path, monkeypat
                 "AccessControlException: permission denied")
 
     md = t.metadata()
+    # local commits now claim via link(2) without touching _fs — the
+    # exists-vs-transient classification under test lives on the
+    # session REMOTE branch, so point the table at a remote scheme
+    t2 = IcebergTable(spark, "hdfs://nn" + t.location)
     monkeypatch.setattr(
-        t, "_fs", lambda path: (_DenyFs(), None, None))
+        t2, "_fs", lambda path: (_DenyFs(), None, None))
     with _pytest.raises(RuntimeError, match="permission denied"):
-        t._commit_metadata(md)
+        t2._commit_metadata(md)
 
 
 def test_fast_forward_falls_back_when_parent_pointers_missing(spark, tmp_path):
