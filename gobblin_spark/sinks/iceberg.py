@@ -1232,6 +1232,29 @@ class IcebergTable:
         p = jvm.org.apache.hadoop.fs.Path(path)
         return p.getFileSystem(self.spark._jsc.hadoopConfiguration()), p, jvm
 
+    def _session_claims_local(self, path: str) -> bool:
+        """Whether a SESSION-mode commit may claim *path* on the
+        driver's local disk. ``file:`` paths always may; a BARE path
+        is local only when the session's ``fs.defaultFS`` is the
+        local filesystem — Hadoop resolves schemeless paths through
+        defaultFS, so link-claiming them locally under an hdfs:
+        default would split the metadata file and the hint across two
+        filesystems (review r13 pass 5). Sessionless callers resolve
+        bare paths locally by construction (no JVM, no defaultFS)."""
+        if path.startswith("file:"):
+            return True
+        if not _is_plain_local(path):
+            return False
+        if self.spark is None:
+            return True
+        cached = getattr(self, "_dfs_is_local", None)
+        if cached is None:      # one py4j lookup per table handle
+            dfs = self.spark._jsc.hadoopConfiguration().get(
+                "fs.defaultFS", "file:///")
+            cached = dfs.startswith("file:")
+            self._dfs_is_local = cached
+        return cached
+
     def _write_bytes(self, path: str, data: bytes) -> int:
         if self.spark is None:
             if not self._sessionless_is_local(path):
@@ -1295,9 +1318,12 @@ class IcebergTable:
                         or isinstance(ex, FileNotFoundError)):
                     # a missing hint does not prove an empty location:
                     # a committer can crash before the very first
-                    # flip — probe from 0 so create() refuses to
-                    # clobber and readers adopt the orphaned commit
-                    return self._fast_forward(0)
+                    # flip, or a PRUNED table (expire keeps only the
+                    # newest metadata versions) can lose its hint —
+                    # recover from the directory listing so create()
+                    # refuses to clobber and readers adopt the newest
+                    # committed version
+                    return self._recover_version_no_hint()
                 if "Checksum" in msg or "EOFException" in msg:
                     # the same torn-rewrite window seen through the
                     # Hadoop path: the .crc sidecar lags the data
@@ -1337,7 +1363,7 @@ class IcebergTable:
         while True:
             nxt = f"{self.location}/metadata/v{v + 1}.metadata.json"
             try:
-                if _is_plain_local(nxt) or nxt.startswith("file:"):
+                if self._session_claims_local(nxt):
                     with open(self._local(nxt), "rb") as fh:
                         raw = fh.read()
                 else:
@@ -1356,6 +1382,51 @@ class IcebergTable:
             if not (isinstance(doc, dict) and "format-version" in doc):
                 return v        # parseable junk is still not metadata
             v += 1
+
+    def _recover_version_no_hint(self) -> int:
+        """Version recovery when the hint file is MISSING entirely.
+        Walking up from v1 is wrong on pruned tables — expire keeps
+        only the newest metadata versions, so v1 is usually gone and
+        the probe would misread a long-lived table as empty, letting
+        create() clobber it (review r13 pass 5). List the metadata
+        directory instead and adopt the newest version whose file
+        parses as table metadata; fall back to the v1-up probe where
+        listing is unsupported (no worse than before)."""
+        mdir = f"{self.location}/metadata"
+        names: list[str] | None = None
+        try:
+            if self._session_claims_local(mdir):
+                try:
+                    names = os.listdir(self._local(mdir))
+                except FileNotFoundError:
+                    names = []
+            elif self.spark is not None:
+                fs, p, _ = self._fs(mdir)
+                names = ([st.getPath().getName()
+                          for st in fs.listStatus(p)]
+                         if fs.exists(p) else [])
+            else:
+                import pyarrow.fs as _pafs
+                fs, rel = _fs_from_uri(mdir)
+                infos = fs.get_file_info(
+                    _pafs.FileSelector(rel, allow_not_found=True))
+                names = [i.base_name for i in infos]
+        except Exception:
+            names = None        # listing unsupported: probe fallback
+        if names is None:
+            return self._fast_forward(0)
+        vs = sorted(
+            (int(m.group(1)) for m in
+             (_re_mod.fullmatch(r"v(\d+)\.metadata\.json", n)
+              for n in names)
+             if m),
+            reverse=True)
+        for v in vs:
+            # newest PARSEABLE wins: a torn top claim never logically
+            # committed (same rule the fast-forward probe applies)
+            if self._fast_forward(v - 1) >= v:
+                return v
+        return 0
 
     def metadata(self) -> dict:
         v = self._version()
@@ -1415,8 +1486,18 @@ class IcebergTable:
         # later JVM reads of the linked payload
         _drop_crc_sidecar(lp)
         tmp = f"{lp}.claim-{uuid.uuid4().hex[:12]}.tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(data)
+        try:
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+        except BaseException:
+            # a failed temp write (ENOSPC, EIO) must not leak the
+            # .tmp forever — nothing sweeps metadata/ by default
+            # (review r13 pass 5)
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
         try:
             os.link(tmp, lp)
             return
@@ -1452,15 +1533,48 @@ class IcebergTable:
             # name — still single-winner, but a crash inside the
             # create->write gap leaves a torn final (documented
             # residual; only link(2) closes it)
+            created = False
             try:
-                with open(lp, "xb") as fh:
+                fh = open(lp, "xb")
+                created = True
+                with fh:
                     fh.write(data)
             except FileExistsError as ex:
+                # on THIS path a torn collider may be a live racer
+                # mid-gap, so the signal stays retryable — but a
+                # crashed claim's junk never heals, so the message
+                # carries the unwedge action for the persistent case
+                # (review r13 pass 5)
+                try:
+                    with open(lp, "rb") as cfh:
+                        cdoc = json.loads(cfh.read())
+                    cgen = (isinstance(cdoc, dict)
+                            and "format-version" in cdoc)
+                except ValueError:
+                    cgen = False
+                except OSError:
+                    cgen = True
+                note = ("" if cgen else
+                        " (the collider is currently unparseable — a "
+                        "racing committer mid-write, or a crashed "
+                        "claim's torn file; if this persists across "
+                        "retries, delete it to unwedge)")
                 raise RuntimeError(
                     f"concurrent commit detected: {path} already "
                     "exists (another committer advanced the table "
                     "from the same base version) — re-read metadata "
-                    "and retry") from ex
+                    f"and retry{note}") from ex
+            except BaseException:
+                if created:
+                    # the write failed while WE are alive: remove our
+                    # own torn final instead of leaving the permanent
+                    # wedge the link path exists to prevent (review
+                    # r13 pass 5)
+                    try:
+                        os.remove(lp)
+                    except OSError:
+                        pass
+                raise
         finally:
             try:
                 os.remove(tmp)
@@ -1498,7 +1612,7 @@ class IcebergTable:
                 f"{self.location}/metadata/version-hint.text",
                 str(v).encode())
             return v
-        if _is_plain_local(path) or path.startswith("file:"):
+        if self._session_claims_local(path):
             # ALL local commits (session or not) claim via hard-link
             # of a fully-written temp file: atomic single-winner like
             # the JVM create(overwrite=false), but with NO torn-final
@@ -1599,6 +1713,11 @@ class IcebergTable:
             "snapshot-log": [],
             "metadata-log": [],
         }
+        # pin the commit to base 0: two creates racing past the
+        # emptiness precheck must make the loser COLLIDE at v1, not
+        # recompute from the winner's probed version and silently
+        # supersede its table identity at v2 (review r13 pass 5)
+        md["_base_version"] = 0
         t._commit_metadata(md)
         return t
 

@@ -69,6 +69,12 @@ _PAGE_RE = re.compile(r"page-(\d+)\.json$")
 # in-process counter (one process can reclaim the same path twice)
 _LOCK_CLAIM_SEQ = itertools.count().__next__
 
+# Age past which a _DELIVERED.lock holder is presumed dead (the
+# guarded fold-in is milliseconds). Acquisition waits this horizon
+# out plus margin, so an orphaned-but-fresh lock delays a commit
+# instead of wedging it; tests shrink it to keep the wait fast.
+_MANIFEST_LOCK_STALE_S = 60.0
+
 
 def _page_files(path: str) -> list[tuple[int, str]]:
     out = []
@@ -413,9 +419,20 @@ class _RestWriter(DataSourceWriter):
         # the loser's write erases the winner's delta (audit r8) — an
         # O_EXCL lock file serializes just this tiny section
         lock = manifest + ".lock"
-        stale_s = 60.0
+        stale_s = _MANIFEST_LOCK_STALE_S
         fd = None
-        for _ in range(500):
+        # the wait must OUTLAST the staleness horizon: giving up
+        # sooner (the old 500x10ms ~= 5 s bound) made the reclaim
+        # path unreachable for a fresh-looking dead lock — a driver
+        # killed mid-section wedged every commit for 60 s of mtime
+        # age but waiters surrendered at 5 s — and starved waiters
+        # under back-to-back re-acquisition spuriously raised "stuck"
+        # on loaded machines (review r13 pass 5, caught live by the
+        # reclaim fold test under a saturated suite). The budget
+        # accumulates NOMINAL sleep so it is load-independent; an
+        # under-load wall clock only gives the holder longer.
+        waited = 0.0
+        while waited <= stale_s + 15.0:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
@@ -455,6 +472,7 @@ class _RestWriter(DataSourceWriter):
                 except OSError:
                     pass  # lost the rename race / holder finished
                 time.sleep(0.01)
+                waited += 0.01
         if fd is None:
             raise RuntimeError(f"manifest lock stuck at {lock}")
         try:
@@ -1129,11 +1147,56 @@ def _ice_read_md(location: str) -> dict:
         except ValueError as ex:
             last_err = ex
             time.sleep(0.02)
+        except Exception as ex:
+            # hint MISSING: a committer can crash before the very
+            # first flip — probe from zero like the native reader; an
+            # empty location still raises (table-exists validation)
+            msg = str(ex)
+            if (isinstance(ex, FileNotFoundError)
+                    or "FileNotFoundException" in msg
+                    or "does not exist" in msg):
+                doc = _ice_fast_forward_doc(location, 0, None)
+                if doc is None:
+                    raise
+                return doc
+            raise
     else:
         raise RuntimeError(
             f"unreadable version hint at {hint_p}") from last_err
-    return json.loads(_ice_read_bytes(
+    doc = json.loads(_ice_read_bytes(
         location.rstrip("/") + f"/metadata/v{v}.metadata.json"))
+    # Fast-forward past a stale or transiently REGRESSED hint, like
+    # IcebergTable._fast_forward: the hint flip is the commit's last
+    # step, so without the probe this sessionless face (batch reads,
+    # streaming latestOffset, replay sources) serves an older table
+    # than the native reader — and out-of-order flips would REGRESS
+    # the streaming offset, the exact probeless-reader monotonicity
+    # violation tests/test_iceberg_commit_model.py proves (review r13
+    # pass 5). Torn or non-metadata files are refused.
+    return _ice_fast_forward_doc(location, v, doc)
+
+
+def _ice_fast_forward_doc(location: str, v: int, doc: dict | None):
+    """Adopt contiguous COMPLETE metadata versions above *v*; returns
+    the newest adopted document (or *doc* unchanged if none)."""
+    while True:
+        nxt = location.rstrip("/") + f"/metadata/v{v + 1}.metadata.json"
+        try:
+            raw = _ice_read_bytes(nxt)
+        except Exception as ex:
+            msg = str(ex)
+            if (isinstance(ex, FileNotFoundError)
+                    or "FileNotFoundException" in msg
+                    or "does not exist" in msg):
+                return doc
+            raise
+        try:
+            cand = json.loads(raw)
+        except ValueError:
+            return doc          # torn claim: never logically committed
+        if not (isinstance(cand, dict) and "format-version" in cand):
+            return doc          # parseable junk is still not metadata
+        v, doc = v + 1, cand
 
 
 _ICE_TO_SPARK = {

@@ -1124,10 +1124,15 @@ def test_rest_writer_manifest_fold_is_locked(tmp_path):
     assert m["rows"] == 20 * 1 + 20 * 10
 
 
-def test_rest_writer_reclaims_stale_manifest_lock(tmp_path):
+def test_rest_writer_reclaims_stale_manifest_lock(tmp_path,
+                                                  monkeypatch):
     """Advice-r8: a lock left behind by a killed driver (no live
     holder) must be reclaimed after the staleness horizon instead of
-    wedging every later commit; a FRESH lock still blocks."""
+    wedging every later commit. Review r13 pass 5: a FRESH orphan
+    lock now DELAYS the commit until it ages past the horizon and is
+    then reclaimed too — the old 5 s give-up made the reclaim path
+    unreachable for fresh-looking dead locks (and flaked under
+    load)."""
     import json
     import os
     import time
@@ -1148,14 +1153,19 @@ def test_rest_writer_reclaims_stale_manifest_lock(tmp_path):
     assert not os.path.exists(lock)
     with open(os.path.join(path, "_DELIVERED")) as fh:
         assert json.load(fh)["rows"] == 7
-    # a lock with a recent mtime is treated as HELD: commit times out
+    # a lock with a recent mtime is treated as HELD: the commit WAITS
+    # until the lock ages past the (shrunk) horizon, then reclaims it
+    # and folds in — no wedge, no lost delta
+    import gobblin_spark.sources.datasource as dsrc
+    monkeypatch.setattr(dsrc, "_MANIFEST_LOCK_STALE_S", 0.3)
     open(lock, "w").close()
-    with pytest.raises(RuntimeError, match="manifest lock stuck"):
-        _RestWriter(path, StructType([]), 100).commit(
-            [_TaskFilesCommit([], 1)])
-    # ... and did not alter the committed counts
+    t0 = time.time()
+    _RestWriter(path, StructType([]), 100).commit(
+        [_TaskFilesCommit([], 1)])
+    assert time.time() - t0 >= 0.3          # it genuinely waited
+    assert not os.path.exists(lock)
     with open(os.path.join(path, "_DELIVERED")) as fh:
-        assert json.load(fh)["rows"] == 7
+        assert json.load(fh)["rows"] == 8
 
 
 def test_lock_reclaim_never_deletes_fresh_inode(tmp_path, monkeypatch):
@@ -1188,7 +1198,9 @@ def test_lock_reclaim_never_deletes_fresh_inode(tmp_path, monkeypatch):
         return real_getmtime(p)
 
     monkeypatch.setattr(os.path, "getmtime", lying_getmtime)
-    monkeypatch.setattr(time, "sleep", lambda s: None)  # 500 retries, fast
+    # the budget accumulates NOMINAL sleep, so no-op'ing sleep makes
+    # the full horizon+margin wait spin fast
+    monkeypatch.setattr(time, "sleep", lambda s: None)
     with pytest.raises(RuntimeError, match="manifest lock stuck"):
         _RestWriter(path, StructType([]), 100).commit(
             [_TaskFilesCommit([], 1)])

@@ -122,3 +122,208 @@ def test_create_refuses_location_with_orphaned_first_commit(spark,
         IcebergTable.create(spark, t.location, df.schema)
     # and a reader adopts the orphaned commit instead of seeing none
     assert IcebergTable(spark, t.location)._version() == 1
+
+
+# ---- review-pass 5 pins (r13) --------------------------------------
+
+
+def test_session_claims_local_decision_table(spark, tmp_path):
+    """Bare paths are local for a session ONLY under a local
+    fs.defaultFS — link-claiming them locally under an hdfs: default
+    would split the metadata file and the hint across filesystems."""
+    t = IcebergTable(spark, str(tmp_path / "gate"))
+    assert t._session_claims_local("file:/x/v2.metadata.json")
+    assert t._session_claims_local("/x/v2.metadata.json")  # local dfs
+    assert not t._session_claims_local("hdfs://nn/x/v2.metadata.json")
+    ts = IcebergTable(None, str(tmp_path / "gate2"))
+    assert ts._session_claims_local("/x/v2.metadata.json")
+
+    class _HdfsConf:
+        def get(self, k, d=None):
+            return "hdfs://nn:8020" if k == "fs.defaultFS" else d
+
+    class _Jsc:
+        def hadoopConfiguration(self):
+            return _HdfsConf()
+
+    class _FakeSpark:
+        _jsc = _Jsc()
+
+    th = IcebergTable.__new__(IcebergTable)
+    th.spark = _FakeSpark()
+    th.location = "/x"
+    assert not th._session_claims_local("/x/v2.metadata.json")
+    assert th._session_claims_local("file:/x/v2.metadata.json")
+
+
+def test_commit_routes_through_jvm_when_not_claims_local(
+        spark, tmp_path, monkeypatch):
+    """_commit_metadata consults the gate: when a bare path is NOT
+    session-local (hdfs defaultFS), the claim goes through the JVM
+    filesystem, not the driver's disk."""
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = IcebergTable.create(spark, str(tmp_path / "route"), df.schema)
+    md = t.metadata()
+    calls = []
+
+    class _RecFs:
+        def create(self, p, overwrite):
+            calls.append((str(p), overwrite))
+            raise RuntimeError("stop here")
+
+    monkeypatch.setattr(t, "_session_claims_local", lambda p: False)
+    monkeypatch.setattr(t, "_fs", lambda p: (_RecFs(), p, None))
+    with pytest.raises(RuntimeError, match="stop here"):
+        t._commit_metadata(md)
+    assert calls and calls[0][1] is False   # create-fails-if-exists
+
+
+def test_excl_fallback_cleans_its_own_torn_final(spark, tmp_path,
+                                                 monkeypatch):
+    """A write failure while the process is ALIVE on the O_EXCL
+    fallback removes the torn final instead of leaving the permanent
+    wedge the link path exists to prevent; the temp sibling is cleaned
+    too, and a later attempt succeeds."""
+    import builtins
+
+    t, df = _mk(spark, tmp_path, "exclclean")
+    md = t.metadata()
+    mdir = os.path.join(t.location.replace("file:", ""), "metadata")
+    monkeypatch.setattr(os, "link",
+                        lambda s, d: (_ for _ in ()).throw(
+                            OSError("link unsupported")))
+    real_open = builtins.open
+
+    def failing_open(path, mode="r", *a, **k):
+        if str(path).endswith(".metadata.json") and mode == "xb":
+            fh = real_open(path, mode, *a, **k)
+
+            class _W:
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *e):
+                    fh.close()
+                    return False
+
+                def write(self, b):
+                    raise OSError(28, "No space left on device")
+
+            return _W()
+        return real_open(path, mode, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", failing_open)
+    with pytest.raises(OSError, match="No space left"):
+        t._commit_metadata(dict(md))
+    monkeypatch.setattr(builtins, "open", real_open)
+    leftovers = [f for f in os.listdir(mdir)
+                 if f.endswith(".tmp") or f == "v3.metadata.json"]
+    assert leftovers == [], leftovers       # no torn final, no tmp
+    md = t.metadata()
+    t._commit_metadata(md)                  # O_EXCL fallback, clean
+    assert IcebergTable(spark, t.location)._version() == 3
+
+
+def test_excl_collision_with_torn_collider_names_the_unwedge(
+        spark, tmp_path, monkeypatch):
+    """On the O_EXCL fallback a torn collider may be a LIVE racer
+    mid-gap, so the signal stays retryable ('concurrent commit') —
+    but the message carries the unwedge action for the crashed-claim
+    case."""
+    t, df = _mk(spark, tmp_path, "excltorn")
+    md = t.metadata()
+    mdir = os.path.join(t.location.replace("file:", ""), "metadata")
+    with open(os.path.join(mdir, "v3.metadata.json"), "wb") as fh:
+        fh.write(b'{"format-ver')
+    monkeypatch.setattr(os, "link",
+                        lambda s, d: (_ for _ in ()).throw(
+                            OSError("link unsupported")))
+    with pytest.raises(RuntimeError) as ei:
+        t._commit_metadata(md)
+    assert "concurrent commit" in str(ei.value)       # retryable
+    assert "delete it to unwedge" in str(ei.value)    # and named
+
+
+def test_racing_creates_collide_instead_of_superseding(
+        spark, tmp_path, monkeypatch):
+    """Two creates racing past the emptiness precheck: the loser must
+    COLLIDE at v1 (base pinned to 0), not recompute from the winner's
+    probed version and silently replace its table identity at v2."""
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    loc = str(tmp_path / "raced")
+    t = IcebergTable.create(spark, loc, df.schema)
+    winner_uuid = t.metadata()["table-uuid"]
+    # the racer's precheck ran BEFORE the winner landed: force the
+    # first _version() call to see 0, delegate afterwards
+    real_version = IcebergTable._version
+    state = {"first": True}
+
+    def raced_version(self):
+        if state["first"]:
+            state["first"] = False
+            return 0
+        return real_version(self)
+
+    monkeypatch.setattr(IcebergTable, "_version", raced_version)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        IcebergTable.create(spark, loc, df.schema)
+    monkeypatch.setattr(IcebergTable, "_version", real_version)
+    t2 = IcebergTable(spark, loc)
+    assert t2.metadata()["table-uuid"] == winner_uuid
+    assert t2._version() == 1
+
+
+def test_lost_hint_recovers_on_pruned_table(spark, tmp_path):
+    """expire keeps only the newest metadata versions, so v1 is gone
+    on long-lived tables: a lost hint must recover from the directory
+    listing (newest parseable version), not walk up from v1 and
+    misread the table as empty — create() would clobber it."""
+    import time as _time
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = IcebergTable.create(spark, str(tmp_path / "pruned"), df.schema)
+    for _ in range(6):
+        t.append_dataframe(df)              # v2..v7
+    t.expire_snapshots(int(_time.time() * 1000) + 10_000)  # v8, prunes
+    mdir = os.path.join(t.location.replace("file:", ""), "metadata")
+    assert not os.path.exists(os.path.join(mdir, "v1.metadata.json"))
+    top = t._version()
+    os.remove(os.path.join(mdir, "version-hint.text"))
+    crc = os.path.join(mdir, ".version-hint.text.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    t2 = IcebergTable(spark, t.location)
+    assert t2._version() == top
+    with pytest.raises(FileExistsError, match="already at"):
+        IcebergTable.create(spark, t.location, df.schema)
+    # a torn top claim is skipped: newest PARSEABLE wins
+    with open(os.path.join(mdir, f"v{top + 1}.metadata.json"),
+              "wb") as fh:
+        fh.write(b'{"torn')
+    assert IcebergTable(spark, t.location)._version() == top
+
+
+def test_dsv2_reader_probes_past_stale_hint(spark, tmp_path):
+    """The sessionless DSv2 metadata reader fast-forwards like the
+    native one: a crashed hint flip must not leave the stream/batch
+    faces serving an older table than IcebergTable.read() (divergent
+    views), and a regressed hint must not regress the streaming
+    offset."""
+    from gobblin_spark.sources.datasource import _ice_read_md
+
+    t, df = _mk(spark, tmp_path, "dsv2probe")
+    t.append_dataframe(df)                  # v3
+    seq3 = t.metadata()["last-sequence-number"]
+    t._write_bytes(f"{t.location}/metadata/version-hint.text", b"2")
+    md = _ice_read_md(t.location)
+    assert md["last-sequence-number"] == seq3
+    # hint missing entirely: probe from zero (orphaned first commit)
+    mdir = os.path.join(t.location.replace("file:", ""), "metadata")
+    os.remove(os.path.join(mdir, "version-hint.text"))
+    crc = os.path.join(mdir, ".version-hint.text.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert _ice_read_md(t.location)["last-sequence-number"] == seq3
+    # an empty location still raises (table-exists validation)
+    with pytest.raises(Exception):
+        _ice_read_md(str(tmp_path / "nowhere"))
