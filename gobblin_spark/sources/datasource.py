@@ -46,6 +46,11 @@ import re
 import time
 from typing import Iterator, Tuple
 
+try:
+    import fcntl as _fcntl
+except ImportError:  # non-POSIX: the rename-dance reclaim fallback
+    _fcntl = None
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
@@ -442,40 +447,36 @@ class _RestWriter(DataSourceWriter):
                 # every later commit until someone deletes the file by
                 # hand. The guarded section is milliseconds, so a lock
                 # older than the horizon cannot have a live holder —
-                # reclaim it. advice-r9: reclaim must be SINGLE-WINNER
-                # — an unconditional remove after the staleness stat
-                # let waiter B delete a FRESH lock that waiter A had
-                # just reclaimed and re-acquired (two holders). Rename
-                # the stale lock to a unique temp name first: exactly
-                # one renamer succeeds (losers get ENOENT), and the
-                # renamed inode is re-statted so a lock that turned
-                # fresh between stat and rename is restored, never
-                # deleted.
+                # reclaim it. Reclaim must touch ONLY the dead inode:
+                # the advice-r9 rename dance (rename to a unique claim,
+                # re-stat, restore if fresh) still STOLE a live lock
+                # transiently — a waiter whose staleness stat raced a
+                # full reclaim+re-acquire renamed the new holder's
+                # FRESH lock aside, and the rename->restore vacancy let
+                # a third committer in (two holders; found by the r13
+                # exhaustive model check, tests/test_manifest_lock_
+                # model.py). The flock election has no such window:
+                # pin the stale inode with an fd, elect exactly one
+                # reclaimer via LOCK_EX|LOCK_NB on THAT inode (kernel-
+                # owned, crash-released — no staleness recursion),
+                # re-verify age on the pinned fd, and remove only
+                # while the path still resolves to the pinned inode.
+                # The elected reclaimer is the sole agent authorized
+                # to unlink that inode and creators need a vacancy, so
+                # the verify->remove pair cannot hit a fresh lock.
                 try:
                     if time.time() - os.path.getmtime(lock) > stale_s:
-                        claim = "%s.reclaim.%d.%d" % (
-                            lock, os.getpid(), _LOCK_CLAIM_SEQ())
-                        os.rename(lock, claim)
-                        if time.time() - os.path.getmtime(claim) > stale_s:
-                            os.remove(claim)
-                            continue
-                        # the path was reclaimed AND re-acquired in
-                        # our stat->rename window: we hold a LIVE
-                        # holder's lock. Put it back; if yet another
-                        # waiter already filled the path, drop the
-                        # claim (release below tolerates the loss).
-                        try:
-                            os.link(claim, lock)
-                        except OSError:
-                            pass
-                        os.remove(claim)
+                        if _fcntl is not None:
+                            self._reclaim_elected(lock, stale_s)
+                        else:
+                            self._reclaim_rename_dance(lock, stale_s)
                 except OSError:
-                    pass  # lost the rename race / holder finished
+                    pass  # path vanished / lost the election — retry
                 time.sleep(0.01)
                 waited += 0.01
         if fd is None:
             raise RuntimeError(f"manifest lock stuck at {lock}")
-        try:
+        try:  # the guarded fold-in
             if not self.overwrite and os.path.exists(manifest):
                 # Append mode: the manifest covers the WHOLE
                 # directory, so fold in the counts of prior jobs
@@ -510,6 +511,69 @@ class _RestWriter(DataSourceWriter):
                 # a mis-timed reclaimer stole our live lock and could
                 # not restore it — the manifest write already happened
                 pass
+
+    @staticmethod
+    def _reclaim_elected(lock: str, stale_s: float) -> None:
+        """Single-winner stale-lock reclaim with NO live-lock window:
+        pin the inode currently at *lock* with an fd, elect exactly
+        one reclaimer for that inode via a non-blocking flock
+        (kernel-owned and released on crash, so the election needs no
+        staleness horizon of its own), re-check age on the PINNED fd,
+        and unlink only while the path still resolves to the pinned
+        inode. Correctness: the elected reclaimer is the only agent
+        that ever removes this inode's path entry, the dead holder
+        cannot (it is dead — a live fresh holder is left untouched by
+        the fstat check), and creators need a vacancy — so between
+        the identity stat and the remove the path cannot change."""
+        rfd = os.open(lock, os.O_RDONLY)
+        try:
+            try:
+                _fcntl.flock(rfd, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
+            except OSError as ex:
+                import errno
+                if ex.errno in (errno.EACCES, errno.EAGAIN):
+                    return      # another reclaimer won this inode
+                # flock unsupported (some network filesystems):
+                # degrade to the rename dance, documented residual
+                _RestWriter._reclaim_rename_dance(lock, stale_s)
+                return
+            st = os.fstat(rfd)
+            if time.time() - st.st_mtime <= stale_s:
+                return          # pinned inode is fresh: a live holder
+            try:
+                if os.stat(lock).st_ino == st.st_ino:
+                    os.remove(lock)
+            except FileNotFoundError:
+                pass            # already gone
+        finally:
+            os.close(rfd)
+
+    @staticmethod
+    def _reclaim_rename_dance(lock: str, stale_s: float) -> None:
+        """Fallback reclaim for filesystems without flock (advice-r9
+        shape): rename the stale lock to a unique claim — exactly one
+        renamer succeeds — re-stat the renamed inode and restore it
+        if it turned out fresh. RESIDUAL (r13 model check, the reason
+        flock is the primary path): the rename can transiently steal
+        a fresh lock whose holder re-acquired inside our stat->rename
+        window, and the rename->restore vacancy can admit a third
+        committer; tests/test_manifest_lock_model.py reproduces it as
+        the `rename_dance` calibration."""
+        claim = "%s.reclaim.%d.%d" % (
+            lock, os.getpid(), _LOCK_CLAIM_SEQ())
+        os.rename(lock, claim)
+        if time.time() - os.path.getmtime(claim) > stale_s:
+            os.remove(claim)
+            return
+        # the path was reclaimed AND re-acquired in our stat->rename
+        # window: we hold a LIVE holder's lock. Put it back; if yet
+        # another waiter already filled the path, drop the claim
+        # (release tolerates the loss).
+        try:
+            os.link(claim, lock)
+        except OSError:
+            pass
+        os.remove(claim)
 
     def abort(self, messages) -> None:
         # token-scoped: a failed job must not delete a CONCURRENT

@@ -1289,3 +1289,39 @@ def test_lock_reclaim_concurrent_commits_fold(tmp_path):
     with open(os.path.join(path, "_DELIVERED")) as fh:
         assert json.load(fh)["rows"] == 20 * 1 + 20 * 10
     assert not [f for f in os.listdir(path) if ".reclaim." in f]
+
+
+def test_reclaim_elected_unit_behaviors(tmp_path):
+    """r13 flock-elected reclaim (the rename dance steals a live lock
+    transiently — tests/test_manifest_lock_model.py): a stale lock is
+    removed; a fresh lock is left untouched even when the path STAT
+    lied stale (the pinned-fd fstat is authoritative); a reclaimer
+    that loses the election touches nothing."""
+    import fcntl
+    import os
+    import time
+
+    from gobblin_spark.sources.datasource import _RestWriter
+
+    lock = str(tmp_path / "_DELIVERED.lock")
+    # stale: removed
+    open(lock, "w").close()
+    os.utime(lock, (time.time() - 3600,) * 2)
+    _RestWriter._reclaim_elected(lock, 60.0)
+    assert not os.path.exists(lock)
+    # fresh: untouched (fstat on the pinned fd decides, not the
+    # caller's possibly-stale path stat)
+    open(lock, "w").close()
+    _RestWriter._reclaim_elected(lock, 60.0)
+    assert os.path.exists(lock)
+    # lost election: another process' flock is held -> nothing happens
+    os.utime(lock, (time.time() - 3600,) * 2)
+    holder = os.open(lock, os.O_RDONLY)
+    fcntl.flock(holder, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        _RestWriter._reclaim_elected(lock, 60.0)
+        assert os.path.exists(lock)     # loser touched nothing
+    finally:
+        os.close(holder)
+    _RestWriter._reclaim_elected(lock, 60.0)   # now elected: removed
+    assert not os.path.exists(lock)
