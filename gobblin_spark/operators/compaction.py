@@ -125,23 +125,38 @@ def needs_recompaction(
     return count_threshold is not None and late_count >= count_threshold
 
 
-_SPECIAL_PREFIXES = ("_staging-", "_trash-")
+_SPECIAL_PREFIXES = ("_staging-", "_trash-", "_intent-")
 
 
 def _trash_old_files(spark, path: str, token: str) -> int:
     """Phase B of the compaction swap: rename every pre-existing data
     file/dir (and the _SUCCESS marker) into a ``_trash-<token>`` sibling.
     Metadata-only renames — the bytes never move; the old data stays
-    fully recoverable until phase D deletes the trash."""
+    fully recoverable until phase D deletes the trash.
+
+    The _SUCCESS marker moves FIRST, unconditionally (audit r13):
+    ``listStatus`` order is not contractual (``File.list`` on local
+    filesystems is unsorted), and if any data file moved before the
+    marker a crash in that window left ``_SUCCESS`` visible with data
+    already in the trash — recovery then read the marker as "publish
+    completed" and DELETED the trash, losing those files. With the
+    marker moved first, "_SUCCESS present in dst" soundly means
+    either nothing has been swapped yet or phase C completed."""
     from gobblin_spark.sinks import publish as P
 
     fs, dst, jvm = P._fs(spark, path)
     trash = jvm.org.apache.hadoop.fs.Path(dst, f"_trash-{token}")
     fs.mkdirs(trash)
     moved = 0
+    marker = jvm.org.apache.hadoop.fs.Path(dst, P.SUCCESS_MARKER)
+    if fs.exists(marker):
+        if not fs.rename(marker, jvm.org.apache.hadoop.fs.Path(
+                trash, P.SUCCESS_MARKER)):
+            raise IOError(f"trash rename failed: {marker}")
+        moved += 1
     for st in fs.listStatus(dst):
         name = st.getPath().getName()
-        if name.startswith(_SPECIAL_PREFIXES):
+        if name.startswith(_SPECIAL_PREFIXES) or name == P.SUCCESS_MARKER:
             continue
         if not fs.rename(st.getPath(),
                          jvm.org.apache.hadoop.fs.Path(trash, name)):
@@ -150,51 +165,108 @@ def _trash_old_files(spark, path: str, token: str) -> int:
     return moved
 
 
+def _write_publish_intent(spark, path: str, token: str,
+                          staged_names: list[str]) -> None:
+    """Between phases B and C: record WHICH file names the publish is
+    about to move into *path* (audit r13). Without this, a crash
+    mid-publish was unrecoverable in principle: restore found the
+    not-yet-trashed-looking partial NEW files in dst and renamed the
+    old data back beside them — duplicate rows under a restored
+    _SUCCESS. Recovery deletes exactly the intent-listed names before
+    restoring. Underscore prefix keeps the file invisible to Spark
+    readers; _SPECIAL_PREFIXES keeps it out of any later trash pass."""
+    import json as _json
+
+    from gobblin_spark.sinks import publish as P
+
+    fs, dst, jvm = P._fs(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(
+        dst, f"_intent-{token}"), True)
+    try:
+        out.write(bytearray(_json.dumps(
+            {"staged": staged_names}).encode()))
+    finally:
+        out.close()
+
+
 def recover_compaction(spark, path: str) -> str:
     """Make *path* fully readable after a compaction crash at any phase.
 
-    - trash exists + no published data (no ``_SUCCESS``): the crash hit
-      between trash-move and publish → restore every trashed file, drop
-      any partial staging. → "restored"
-    - trash exists + ``_SUCCESS`` present: the publish completed; only
-      the trash cleanup was lost → delete trash. → "cleaned"
-    - no trash: nothing to do (a leftover staging dir alone is inert;
+    - trash/intent exist + ``_SUCCESS`` present in dst: with the
+      marker-first trash rule this soundly means the publish completed
+      (or the swap never started moving anything) → delete trash and
+      intent. → "cleaned"
+    - trash exists + no ``_SUCCESS``: the crash hit between the
+      trash-move and the end of publish → first delete any
+      intent-listed file present in dst (partially PUBLISHED new
+      files; restoring old data beside them would duplicate rows —
+      audit r13), then restore every trashed file (data before the
+      ``_SUCCESS`` marker, so a concurrent reader never sees the
+      marker without the rows), drop any partial staging. →
+      "restored"
+    - neither: nothing to do (a leftover staging dir alone is inert;
       abandoned stagings are cleaned lazily). → "noop"
-    """
+
+    Idempotent: re-running after any outcome is a "noop"/"cleaned"
+    with no further mutation of data files."""
+    import json as _json
+
     from gobblin_spark.sinks import publish as P
 
     fs, dst, jvm = P._fs(spark, path)
     if not fs.exists(dst):
         return "noop"
-    trash_dirs, staging_dirs, published = [], [], False
+    trash_dirs, staging_dirs, intents, published = [], [], [], False
     for st in fs.listStatus(dst):
         name = st.getPath().getName()
         if name.startswith("_trash-"):
             trash_dirs.append(st.getPath())
         elif name.startswith("_staging-"):
             staging_dirs.append(st.getPath())
+        elif name.startswith("_intent-"):
+            intents.append(st.getPath())
         elif name == P.SUCCESS_MARKER:
             published = True
-    if not trash_dirs:
+    if not trash_dirs and not intents:
         return "noop"
     if published:
         for t in trash_dirs:
             fs.delete(t, True)
+        for i in intents:
+            fs.delete(i, True)
         return "cleaned"
+    # un-publish the partial phase-C output named by the intent(s)
+    for i in intents:
+        stream = fs.open(i)
+        try:
+            doc = _json.loads(bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)))
+        except ValueError:
+            doc = {"staged": []}    # torn intent: nothing was
+            # published yet (the intent write precedes phase C)
+        finally:
+            stream.close()
+        for name in doc.get("staged", []):
+            p = jvm.org.apache.hadoop.fs.Path(dst, name)
+            if fs.exists(p):
+                fs.delete(p, True)
     for t in trash_dirs:
-        for st in fs.listStatus(t):
+        entries = [st.getPath() for st in fs.listStatus(t)]
+        # data first, the visibility marker last
+        entries.sort(key=lambda p: p.getName() == P.SUCCESS_MARKER)
+        for p in entries:
             # audit-r7: a silent rename failure here would DROP data
             # from the restore (the trash is deleted right after)
             if not fs.rename(
-                    st.getPath(),
-                    jvm.org.apache.hadoop.fs.Path(
-                        dst, st.getPath().getName())):
+                    p, jvm.org.apache.hadoop.fs.Path(dst, p.getName())):
                 raise IOError(
                     f"compaction recovery: restore rename failed for "
-                    f"{st.getPath()} — trash left in place")
+                    f"{p} — trash left in place")
         fs.delete(t, True)
     for s in staging_dirs:
         fs.delete(s, True)
+    for i in intents:
+        fs.delete(i, True)
     return "restored"
 
 
@@ -301,14 +373,19 @@ def compact_small_files(
     publish is move-into-place, never delete-then-copy):
 
       A. stage the compacted copy under ``_staging-<token>``
-      B. rename the old files into ``_trash-<token>`` (metadata-only)
+      B. rename the old files into ``_trash-<token>`` (metadata-only;
+         the ``_SUCCESS`` marker moves FIRST — see _trash_old_files)
+      B'. write ``_intent-<token>`` naming the staged files
       C. publish staged (rename in + fresh ``_SUCCESS``)
-      D. delete the trash
+      D. delete the trash and the intent
 
-    A crash between B and C leaves the old data intact in the trash;
-    ``recover_compaction`` restores it (or finishes the cleanup if the
-    crash hit between C and D). The ``_SUCCESS`` marker is the reader
-    visibility signal: it is absent only during the B→C metadata window.
+    A crash anywhere leaves the directory recoverable to EXACTLY the
+    old data or EXACTLY the new data: ``recover_compaction`` restores
+    the trash (first un-publishing any intent-listed partial phase-C
+    files) or finishes the cleanup when ``_SUCCESS`` shows the publish
+    completed. The ``_SUCCESS`` marker is the reader visibility
+    signal: it is absent only during the B→C metadata window.
+    tests/test_compaction_crashpoints.py drives every crash point.
 
     The rewrite reads with full parallelism: ``repartition(target_n)``
     when collapsing many files (a ``coalesce`` would cap the SCAN at
@@ -330,10 +407,20 @@ def compact_small_files(
                  else df.coalesce(target_n))
     token = uuid.uuid4().hex[:12]
     staged = P.stage(compacted, path, fmt=fmt, job_id=token)      # A
+    fs, dst, jvm = P._fs(spark, path)
+    staged_names = [
+        st.getPath().getName()
+        for st in fs.listStatus(
+            jvm.org.apache.hadoop.fs.Path(staged.staging_dir))
+        if st.getPath().getName() != P.SUCCESS_MARKER]
     _trash_old_files(spark, path, token)                          # B
+    # intent between B and C: recovery needs the exact new-file names
+    # to un-publish a partial phase C (audit r13)
+    _write_publish_intent(spark, path, token, staged_names)
     P.publish_staged(staged, spark)                               # C
-    fs, dst, jvm = P._fs(spark, path)                             # D
     fs.delete(jvm.org.apache.hadoop.fs.Path(dst, f"_trash-{token}"), True)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(dst, f"_intent-{token}"),
+              False)                                              # D
     files_after, _ = _output_stats(df, path)
     return {"files_before": files_before, "files_after": files_after,
             "bytes": nbytes, "compacted": True}
