@@ -209,8 +209,6 @@ def recover_compaction(spark, path: str) -> str:
 
     Idempotent: re-running after any outcome is a "noop"/"cleaned"
     with no further mutation of data files."""
-    import json as _json
-
     from gobblin_spark.sinks import publish as P
 
     fs, dst, jvm = P._fs(spark, path)
@@ -229,23 +227,40 @@ def recover_compaction(spark, path: str) -> str:
             published = True
     if not trash_dirs and not intents:
         return "noop"
+    if len(trash_dirs) > 1:
+        # two swap GENERATIONS can only coexist if a compaction ran on
+        # an unrecovered directory, which compact_small_files refuses
+        # (it recovers at entry — review r13 pass 6). Restoring both
+        # would interleave rows from different directory states and
+        # no automatic resolution is provably right — stop loudly.
+        raise IOError(
+            f"compaction recovery: {len(trash_dirs)} trash "
+            f"generations under {path} "
+            f"({[t.getName() for t in trash_dirs]}) — a swap ran on "
+            "an unrecovered directory; resolve manually (each trash "
+            "holds one generation's pre-swap files)")
     if published:
         for t in trash_dirs:
             fs.delete(t, True)
         for i in intents:
             fs.delete(i, True)
         return "cleaned"
-    # un-publish the partial phase-C output named by the intent(s)
+    # un-publish the partial phase-C output named by the intent — but
+    # ONLY an intent whose own trash generation is present: an intent
+    # orphaned by a phase-D crash (trash deleted, intent delete lost)
+    # describes files that are now the LIVE published data; acting on
+    # it during a later generation's recovery would delete live rows
+    # (review r13 pass 6)
+    trash_tokens = {t.getName()[len("_trash-"):] for t in trash_dirs}
     for i in intents:
-        stream = fs.open(i)
+        if i.getName()[len("_intent-"):] not in trash_tokens:
+            fs.delete(i, False)     # orphan of a completed swap
+            continue
         try:
-            doc = _json.loads(bytes(
-                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)))
+            doc = P.read_json_file(fs, jvm, i)
         except ValueError:
             doc = {"staged": []}    # torn intent: nothing was
             # published yet (the intent write precedes phase C)
-        finally:
-            stream.close()
         for name in doc.get("staged", []):
             p = jvm.org.apache.hadoop.fs.Path(dst, name)
             if fs.exists(p):
@@ -396,6 +411,18 @@ def compact_small_files(
     returned unchanged) when the dir is already compact."""
     from gobblin_spark.sinks import publish as P
     from gobblin_spark.sinks.writers import _output_stats
+
+    # refuse to swap an UNRECOVERED directory (review r13 pass 6): a
+    # prior crashed swap's trash holds rows the reader below cannot
+    # see — compacting and publishing the visible subset would mint a
+    # fresh _SUCCESS over partial data, and the next recovery's
+    # "cleaned" branch would then delete the trashed rows for good.
+    # Recovery is idempotent and cheap, so just run it first.
+    fs0, dst0, _ = P._fs(spark, path)
+    if fs0.exists(dst0) and any(
+            st.getPath().getName().startswith(("_trash-", "_intent-"))
+            for st in fs0.listStatus(dst0)):
+        recover_compaction(spark, path)
 
     df = spark.read.format(fmt).load(path)
     files_before, nbytes = _output_stats(df, path)

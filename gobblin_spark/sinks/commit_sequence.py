@@ -97,12 +97,7 @@ class CommitSequenceStore:
 
     def _read(self, path: str) -> dict:
         fs, _, jvm = P._fs(self.spark, self.root)
-        stream = fs.open(jvm.org.apache.hadoop.fs.Path(path))
-        try:
-            raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-            return json.loads(bytes(raw).decode("utf-8"))
-        finally:
-            stream.close()
+        return P.read_json_file(fs, jvm, path)
 
     def persist(self, seq: Sequence) -> None:
         payload = {

@@ -115,6 +115,23 @@ class PublishReport:
     committed: bool = False
 
 
+def read_json_file(fs, jvm, path) -> dict:
+    """Small-JSON read through a Hadoop FS handle (one shared copy of
+    the open/IOUtils/close idiom — review r13 pass 6). *path* may be
+    a Path object or string. Raises ValueError on a torn/unparseable
+    payload; IO errors propagate."""
+    import json as _json
+
+    if isinstance(path, str):
+        path = jvm.org.apache.hadoop.fs.Path(path)
+    stream = fs.open(path)
+    try:
+        raw = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return _json.loads(bytes(raw).decode("utf-8"))
+
+
 def staging_dir_for(final_dir: str, job_id: str | None = None) -> str:
     """A unique SIBLING staging dir (FsDataWriter's task-staging idea
     at job scope); sibling so rename stays same-filesystem, and

@@ -531,11 +531,25 @@ class _RestWriter(DataSourceWriter):
                 _fcntl.flock(rfd, _fcntl.LOCK_EX | _fcntl.LOCK_NB)
             except OSError as ex:
                 import errno
-                if ex.errno in (errno.EACCES, errno.EAGAIN):
-                    return      # another reclaimer won this inode
-                # flock unsupported (some network filesystems):
-                # degrade to the rename dance, documented residual
-                _RestWriter._reclaim_rename_dance(lock, stale_s)
+                unsupported = (errno.EINVAL, errno.ENOSYS,
+                               errno.ENOTSUP,
+                               getattr(errno, "EOPNOTSUPP",
+                                       errno.ENOTSUP))
+                if ex.errno in unsupported:
+                    # flock DETERMINISTICALLY unsupported on this
+                    # filesystem — every waiter degrades to the same
+                    # rename dance (homogeneous; documented residual)
+                    _RestWriter._reclaim_rename_dance(lock, stale_s)
+                    return
+                # lost the election (EAGAIN/EACCES) or a TRANSIENT
+                # fault (ENOLCK lock-manager hiccup, EIO): wait and
+                # retry. A transient fault must NOT trigger the dance
+                # — one dancer renaming beside flock-elected waiters
+                # would re-open the stolen-live-lock race the
+                # election closed (review r13 pass 6). A persistently
+                # lockd-less NFS therefore never reclaims and
+                # surfaces the loud "manifest lock stuck" raise
+                # instead of risking two holders.
                 return
             st = os.fstat(rfd)
             if time.time() - st.st_mtime <= stale_s:

@@ -16,34 +16,11 @@ import os
 
 import pytest
 
+from _crash_proxy import Boom as _Boom, CrashingFs as _CrashingFs
+
 from gobblin_spark.sinks import commit_sequence as CS
 from gobblin_spark.sinks import publish as P
 from gobblin_spark import state as ST
-
-
-class _Boom(RuntimeError):
-    pass
-
-
-class _CrashingFs:
-    MUTATORS = ("rename", "delete", "mkdirs", "create")
-
-    def __init__(self, fs, budget):
-        self._fs = fs
-        self._budget = budget
-
-    def __getattr__(self, name):
-        attr = getattr(self._fs, name)
-        if name not in self.MUTATORS:
-            return attr
-
-        def guarded(*a, **k):
-            if self._budget[0] <= 0:
-                raise _Boom(f"injected crash at fs.{name}")
-            self._budget[0] -= 1
-            return attr(*a, **k)
-
-        return guarded
 
 
 def _build(spark, tmp_path, n):

@@ -22,37 +22,10 @@ against the pre-fix protocol shape:
 
 import pytest
 
+from _crash_proxy import Boom as _Boom, CrashingFs as _CrashingFs
+
 from gobblin_spark.operators import compaction as C
 from gobblin_spark.sinks import publish as P
-
-
-class _Boom(RuntimeError):
-    pass
-
-
-class _CrashingFs:
-    """Wraps a py4j Hadoop FileSystem: raises _Boom when the mutation
-    budget runs out. Reads (exists/listStatus/open/getFileStatus...)
-    pass through untouched."""
-
-    MUTATORS = ("rename", "delete", "mkdirs", "create")
-
-    def __init__(self, fs, budget):
-        self._fs = fs
-        self._budget = budget
-
-    def __getattr__(self, name):
-        attr = getattr(self._fs, name)
-        if name not in self.MUTATORS:
-            return attr
-
-        def guarded(*a, **k):
-            if self._budget[0] <= 0:
-                raise _Boom(f"injected crash at fs.{name}")
-            self._budget[0] -= 1
-            return attr(*a, **k)
-
-        return guarded
 
 
 def _read_keys(spark, path):
@@ -190,3 +163,80 @@ def test_prefix_marker_rule_regression(spark, tmp_path):
             C._trash_old_files(spark, path, "tokx")
     assert not os.path.exists(os.path.join(path, "_SUCCESS"))
     assert os.path.exists(os.path.join(path, "_trash-tokx", "_SUCCESS"))
+
+
+# ---- review-pass 6 pins (r13) --------------------------------------
+
+
+def test_compaction_on_unrecovered_dir_recovers_first(spark, tmp_path,
+                                                      monkeypatch):
+    """Review r13 pass 6 #1: a scheduled re-run on an UNRECOVERED
+    directory (prior swap crashed mid-trash) must not compact the
+    visible subset and publish it over the trashed rows — it recovers
+    at entry, then compacts the FULL data."""
+    import os
+
+    path, old_keys = _setup(spark, tmp_path, "unrec")
+    real_fs = P._fs
+    budget = [4]        # crash inside phase B: marker + some moved
+
+    def crashing(spk, p):
+        fs, dst, jvm = real_fs(spk, p)
+        return _CrashingFs(fs, budget), dst, jvm
+
+    monkeypatch.setattr(P, "_fs", crashing)
+    with pytest.raises(_Boom):
+        C.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    monkeypatch.setattr(P, "_fs", real_fs)
+    assert [f for f in os.listdir(path) if f.startswith("_trash-")]
+    # the re-run, with NO manual recovery in between
+    res = C.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert res["compacted"]
+    assert _read_keys(spark, path) == old_keys      # nothing lost
+    assert not [f for f in os.listdir(path)
+                if f.startswith(("_trash-", "_intent-"))]
+
+
+def test_stale_intent_from_completed_swap_is_inert(spark, tmp_path):
+    """Review r13 pass 6 #2: an intent orphaned by a phase-D crash
+    (trash deleted, intent delete lost) names files that are now the
+    LIVE data; a later generation's recovery must delete it as an
+    orphan, never act on it."""
+    import os
+
+    path, old_keys = _setup(spark, tmp_path, "staleint")
+    res = C.compact_small_files(spark, path, target_file_bytes=1 << 30)
+    assert res["compacted"]
+    live = [f for f in os.listdir(path) if not f.startswith(("_", "."))]
+    assert len(live) == 1
+    # resurrect the completed swap's intent (phase-D crash shape)
+    C._write_publish_intent(spark, path, "oldtok", live)
+    # a LATER swap crashes right after moving the marker into trash
+    fs, dst, jvm = P._fs(spark, path)
+    trash = jvm.org.apache.hadoop.fs.Path(dst, "_trash-newtok")
+    fs.mkdirs(trash)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(dst, "_SUCCESS"),
+              jvm.org.apache.hadoop.fs.Path(trash, "_SUCCESS"))
+    assert C.recover_compaction(spark, path) == "restored"
+    assert _read_keys(spark, path) == old_keys      # live file SURVIVED
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    assert not [f for f in os.listdir(path)
+                if f.startswith(("_trash-", "_intent-"))]
+
+
+def test_two_trash_generations_raise_loudly(spark, tmp_path):
+    """Review r13 pass 6 #3: two coexisting trash generations have no
+    provably-right automatic merge — recovery stops with a clear
+    manual-resolution error instead of interleaving rows from two
+    directory states (or dying midway on the second _SUCCESS rename)."""
+    path, _ = _setup(spark, tmp_path, "twogen")
+    fs, dst, jvm = P._fs(spark, path)
+    for tok in ("g1", "g2"):
+        t = jvm.org.apache.hadoop.fs.Path(dst, f"_trash-{tok}")
+        fs.mkdirs(t)
+        fs.create(jvm.org.apache.hadoop.fs.Path(t, f"junk-{tok}"),
+                  True).close()
+    import os
+    os.remove(os.path.join(path, "_SUCCESS"))     # unpublished shape
+    with pytest.raises(IOError, match="trash generations"):
+        C.recover_compaction(spark, path)

@@ -1325,3 +1325,38 @@ def test_reclaim_elected_unit_behaviors(tmp_path):
         os.close(holder)
     _RestWriter._reclaim_elected(lock, 60.0)   # now elected: removed
     assert not os.path.exists(lock)
+
+
+def test_reclaim_flock_errno_classification(tmp_path, monkeypatch):
+    """Review r13 pass 6 #4: only DETERMINISTICALLY-unsupported flock
+    errnos degrade to the rename dance (homogeneous across waiters);
+    a transient fault (ENOLCK hiccup, EIO) is treated as a lost
+    election — one dancer renaming beside flock-elected waiters would
+    re-open the stolen-live-lock race."""
+    import errno
+    import os
+    import time
+
+    import gobblin_spark.sources.datasource as dsrc
+    from gobblin_spark.sources.datasource import _RestWriter
+
+    lock = str(tmp_path / "_DELIVERED.lock")
+
+    def make_stale():
+        open(lock, "w").close()
+        os.utime(lock, (time.time() - 3600,) * 2)
+
+    def raising(err):
+        def fake_flock(fd, op):
+            raise OSError(err, os.strerror(err))
+        return fake_flock
+
+    # transient ENOLCK: lost-election semantics — lock untouched
+    make_stale()
+    monkeypatch.setattr(dsrc._fcntl, "flock", raising(errno.ENOLCK))
+    _RestWriter._reclaim_elected(lock, 60.0)
+    assert os.path.exists(lock)
+    # deterministic EINVAL: the dance runs and reclaims the corpse
+    monkeypatch.setattr(dsrc._fcntl, "flock", raising(errno.EINVAL))
+    _RestWriter._reclaim_elected(lock, 60.0)
+    assert not os.path.exists(lock)
