@@ -1227,13 +1227,16 @@ def _ice_read_md(location: str) -> dict:
             time.sleep(0.02)
         except Exception as ex:
             # hint MISSING: a committer can crash before the very
-            # first flip — probe from zero like the native reader; an
-            # empty location still raises (table-exists validation)
+            # first flip, or a PRUNED table (expire keeps only the
+            # newest metadata versions) can lose its hint — recover
+            # from the metadata-dir listing like the native reader
+            # (IcebergTable._recover_version_no_hint); an empty
+            # location still raises (table-exists validation)
             msg = str(ex)
             if (isinstance(ex, FileNotFoundError)
                     or "FileNotFoundException" in msg
                     or "does not exist" in msg):
-                doc = _ice_fast_forward_doc(location, 0, None)
+                doc = _ice_recover_md_no_hint(location)
                 if doc is None:
                     raise
                 return doc
@@ -1252,6 +1255,45 @@ def _ice_read_md(location: str) -> dict:
     # violation tests/test_iceberg_commit_model.py proves (review r13
     # pass 5). Torn or non-metadata files are refused.
     return _ice_fast_forward_doc(location, v, doc)
+
+
+def _ice_recover_md_no_hint(location: str):
+    """Missing-hint recovery for the sessionless face: list the
+    metadata dir and adopt the newest version file that parses as
+    table metadata (walking up from v1 would misread PRUNED tables —
+    expire keeps only the newest versions — as empty). Returns None
+    when no committed version exists; listing failures fall back to
+    the v1-up probe, no worse than before."""
+    mdir = location.rstrip("/") + "/metadata"
+    names = None
+    try:
+        if _ice_is_local(mdir):
+            try:
+                names = os.listdir(_ice_local(mdir))
+            except FileNotFoundError:
+                names = []
+        else:
+            import pyarrow.fs as _pafs
+
+            from gobblin_spark.sinks.iceberg import _fs_from_uri
+            fs, rel = _fs_from_uri(mdir)
+            infos = fs.get_file_info(
+                _pafs.FileSelector(rel, allow_not_found=True))
+            names = [i.base_name for i in infos]
+    except Exception:
+        names = None
+    if names is None:
+        return _ice_fast_forward_doc(location, 0, None)
+    vs = sorted((int(m.group(1)) for m in
+                 (re.fullmatch(r"v(\d+)\.metadata\.json", n)
+                  for n in names) if m), reverse=True)
+    for v in vs:
+        # newest PARSEABLE wins (a torn top claim never committed);
+        # then fast-forward in case a racer lands mid-recovery
+        doc = _ice_fast_forward_doc(location, v - 1, None)
+        if doc is not None:
+            return doc
+    return None
 
 
 def _ice_fast_forward_doc(location: str, v: int, doc: dict | None):

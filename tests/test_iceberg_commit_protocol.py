@@ -327,3 +327,36 @@ def test_dsv2_reader_probes_past_stale_hint(spark, tmp_path):
     # an empty location still raises (table-exists validation)
     with pytest.raises(Exception):
         _ice_read_md(str(tmp_path / "nowhere"))
+
+
+def test_dsv2_reader_recovers_lost_hint_on_pruned_table(spark,
+                                                        tmp_path):
+    """DSv2 parity for the pruned-table lost-hint recovery: the
+    sessionless reader lists the metadata dir like the native one —
+    walking up from v1 would misread a pruned table as empty and fail
+    every batch/stream read until the hint is restored by hand."""
+    import time as _time
+
+    from gobblin_spark.sources.datasource import _ice_read_md
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = IcebergTable.create(spark, str(tmp_path / "dsv2pruned"),
+                            df.schema)
+    for _ in range(6):
+        t.append_dataframe(df)              # v2..v7
+    t.expire_snapshots(int(_time.time() * 1000) + 10_000)  # v8, prunes
+    mdir = os.path.join(t.location.replace("file:", ""), "metadata")
+    assert not os.path.exists(os.path.join(mdir, "v1.metadata.json"))
+    want_seq = t.metadata()["last-sequence-number"]
+    os.remove(os.path.join(mdir, "version-hint.text"))
+    crc = os.path.join(mdir, ".version-hint.text.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    md = _ice_read_md(t.location)
+    assert md["last-sequence-number"] == want_seq
+    # a torn top claim is skipped during the recovery listing too
+    top = IcebergTable(spark, t.location)._version()
+    with open(os.path.join(mdir, f"v{top + 1}.metadata.json"),
+              "wb") as fh:
+        fh.write(b'{"torn')
+    assert _ice_read_md(t.location)["last-sequence-number"] == want_seq
