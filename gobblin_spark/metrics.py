@@ -191,6 +191,7 @@ class MetricContext:
         self.tags.update(tags or {})
         self.children: dict[str, MetricContext] = {}
         self._metrics: dict[tuple[str, str], Any] = {}
+        self._mlock = threading.Lock()
         if parent is not None:
             parent.children[name] = self
 
@@ -201,8 +202,17 @@ class MetricContext:
         key = (kind, name)
         m = self._metrics.get(key)
         if m is None:
-            m = _METRIC_TYPES[kind]()
-            self._metrics[key] = m
+            # double-checked: concurrent flow threads fan updates up
+            # to the SAME root context (pipeline.py job counters under
+            # the dag engine), and the bare get-then-set let two
+            # threads each construct the metric — one object became
+            # unreachable and its updates were silently lost
+            # (audit r13)
+            with self._mlock:
+                m = self._metrics.get(key)
+                if m is None:
+                    m = _METRIC_TYPES[kind]()
+                    self._metrics[key] = m
         return m
 
     # -- context-aware accessors: updates fan up the ancestor chain ----
@@ -226,13 +236,17 @@ class MetricContext:
         return out
 
     def snapshot(self, recursive: bool = True) -> dict[str, Any]:
+        # iterate COPIES: a reporter tick snapshotting the root while
+        # a flow thread registers a new metric/child would die on
+        # "dict changed size during iteration" (audit r13)
         out: dict[str, Any] = {
             "context": self.name, "tags": self.tags,
             "metrics": {f"{k}:{n}": m.snapshot()
-                        for (k, n), m in sorted(self._metrics.items())},
+                        for (k, n), m in sorted(list(self._metrics.items()))},
         }
         if recursive and self.children:
-            out["children"] = [c.snapshot() for c in self.children.values()]
+            out["children"] = [c.snapshot()
+                               for c in list(self.children.values())]
         return out
 
 

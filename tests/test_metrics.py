@@ -168,3 +168,79 @@ def test_pipeline_run_is_instrumented(spark, tmp_path):
     [ev] = res.events
     assert ev.name == "JobCommit" and ev.metadata["dest.regions"] == out
     assert ev.metadata["rows.regions"] == "5"
+
+
+def test_concurrent_metric_registration_loses_nothing(monkeypatch):
+    """Audit r13: concurrent flow threads fanning updates up to the
+    SAME root context raced _get's get-then-set — two threads each
+    constructed the metric, one object became unreachable, and its
+    updates were silently lost. The constructor is slowed to widen
+    the race window deterministically; with the double-checked lock
+    every increment lands in ONE shared counter."""
+    import threading
+    import time
+
+    from gobblin_spark import metrics as M
+
+    real_init = M.Counter.__init__
+
+    def slow_init(self):
+        real_init(self)
+        time.sleep(0.002)       # widen the construct window
+
+    monkeypatch.setattr(M.Counter, "__init__", slow_init)
+    root = M.MetricContext("race-root")
+    rounds, workers = 25, 8
+    for r in range(rounds):
+        barrier = threading.Barrier(workers)
+
+        def work():
+            barrier.wait(timeout=10)
+            child = root.child(f"t{threading.get_ident()}")
+            child.counter(f"m{r}").inc()    # fans up to root
+
+        ts = [threading.Thread(target=work) for _ in range(workers)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        got = root.counter(f"m{r}").count
+        assert got == workers, f"round {r}: lost {workers - got} increments"
+
+
+def test_snapshot_survives_concurrent_registration():
+    """Audit r13: a reporter tick snapshotting the root while flow
+    threads register new metrics/children used to die on 'dict
+    changed size during iteration'."""
+    import threading
+
+    from gobblin_spark import metrics as M
+
+    root = M.MetricContext("snap-root")
+    done = threading.Event()
+    errs = []
+
+    def register():
+        try:
+            for i in range(1500):
+                c = root.child(f"c{i}")
+                c.counter(f"n{i}").inc()
+        finally:
+            done.set()
+
+    def snap():
+        try:
+            while not done.is_set():
+                root.snapshot(recursive=False)  # the root metric dict
+                root.snapshot()                 # and the child list
+        except Exception as ex:  # pragma: no cover - the failure mode
+            errs.append(ex)
+            done.set()
+
+    ts = [threading.Thread(target=register),
+          threading.Thread(target=snap)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
