@@ -37,11 +37,22 @@ def stateful_dedup_stream(
     keyed state is a single seen-flag, so only the FIRST row per key —
     across all epochs since the checkpoint began — is emitted.
 
+    ``timeout`` accepts only ``"NoTimeout"``: a TTL'd seen-set (state
+    evicted after idleness, keys re-emitted later) is a DIFFERENT
+    dedup contract and the state fn has no timeout branch — silently
+    accepting another value would hand back exact-dedup results the
+    caller believes are TTL'd (audit r13).
+
     Output: (key, n_suppressed) — emitted ONCE, on the epoch that first
     sees the key, with the count of same-key duplicates suppressed in
     that same batch; later epochs only update the suppression tally in
     state. State never grows per key; total state is O(distinct keys),
     partitioned by the shuffle like any aggregation."""
+    if timeout != "NoTimeout":
+        raise NotImplementedError(
+            "stateful_dedup_stream supports timeout='NoTimeout' only — "
+            "a TTL'd dedup needs a timeout branch in the state fn "
+            "(see sessionize_stream_with_timeout for the pattern)")
     out_schema = StructType([
         StructField("key", stream_df.schema[key_col].dataType, True),
         StructField("n_suppressed", LongType(), True),

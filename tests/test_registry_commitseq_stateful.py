@@ -624,3 +624,15 @@ def test_registry_young_torn_claims_get_grace(tmp_path, monkeypatch):
     assert _time.time() - t0 < FileSchemaRegistry.TORN_GRACE_SEC
     assert (sub3 / "v000002.json").exists()
     assert reg3.latest("crashed") == V1
+
+
+def test_stateful_dedup_rejects_unimplemented_timeout():
+    """Audit r13: the timeout parameter was accepted and silently
+    ignored — a caller asking for a TTL'd seen-set got exact-dedup
+    results instead. Unsupported values now raise by name."""
+    import pytest as _pt
+
+    from gobblin_spark.streaming.stateful import stateful_dedup_stream
+
+    with _pt.raises(NotImplementedError, match="NoTimeout"):
+        stateful_dedup_stream(None, "k", timeout="ProcessingTime")
