@@ -196,7 +196,19 @@ class MetricContext:
             parent.children[name] = self
 
     def child(self, name: str, **tags: Any) -> "MetricContext":
-        return MetricContext(name, parent=self, tags=tags)
+        """Get-or-create: a second child() under the same name returns
+        the EXISTING context (tags merged) instead of constructing a
+        replacement that silently orphans the first child's whole
+        metric subtree from snapshots — the same lost-object shape as
+        the _get race, one level up (review r13 pass 7; two pipeline
+        runs sharing a job_id used to shadow each other's per-job
+        counters)."""
+        with self._mlock:
+            c = self.children.get(name)
+            if c is not None:
+                c.tags.update(tags)
+                return c
+            return MetricContext(name, parent=self, tags=tags)
 
     def _get(self, kind: str, name: str):
         key = (kind, name)
@@ -236,15 +248,17 @@ class MetricContext:
         return out
 
     def snapshot(self, recursive: bool = True) -> dict[str, Any]:
-        # iterate COPIES: a reporter tick snapshotting the root while
-        # a flow thread registers a new metric/child would die on
-        # "dict changed size during iteration" (audit r13)
         out: dict[str, Any] = {
             "context": self.name, "tags": self.tags,
             "metrics": {f"{k}:{n}": m.snapshot()
-                        for (k, n), m in sorted(list(self._metrics.items()))},
+                        for (k, n), m in sorted(self._metrics.items())},
         }
         if recursive and self.children:
+            # copy before iterating: a reporter tick snapshotting the
+            # root while a flow thread registers a new CHILD would die
+            # on "dict changed size during iteration" (audit r13; the
+            # metrics dict above is safe — sorted() materializes the
+            # view atomically under the GIL)
             out["children"] = [c.snapshot()
                                for c in list(self.children.values())]
         return out

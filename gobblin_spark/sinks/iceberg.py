@@ -1112,6 +1112,18 @@ def _delete_any(path: str) -> None:
 _EQ_RUN_CAP = 16
 
 
+def _metadata_version_candidates(names) -> list[int]:
+    """Version numbers parsed from metadata file basenames, newest
+    first — ONE copy of the lost-hint recovery's candidate rule,
+    shared by the native reader and the sessionless DSv2 face
+    (review r13 pass 7)."""
+    return sorted(
+        (int(m.group(1)) for m in
+         (_re_mod.fullmatch(r"v(\d+)\.metadata\.json", n)
+          for n in names) if m),
+        reverse=True)
+
+
 def _split_eras(splitters: list[dict], lo: int, hi: int,
                 snaps: dict, chain: list[dict],
                 final_walk, label: str) -> list[tuple]:
@@ -1415,13 +1427,7 @@ class IcebergTable:
             names = None        # listing unsupported: probe fallback
         if names is None:
             return self._fast_forward(0)
-        vs = sorted(
-            (int(m.group(1)) for m in
-             (_re_mod.fullmatch(r"v(\d+)\.metadata\.json", n)
-              for n in names)
-             if m),
-            reverse=True)
-        for v in vs:
+        for v in _metadata_version_candidates(names):
             # newest PARSEABLE wins: a torn top claim never logically
             # committed (same rule the fast-forward probe applies)
             if self._fast_forward(v - 1) >= v:
@@ -1432,8 +1438,26 @@ class IcebergTable:
         v = self._version()
         if v == 0:
             raise FileNotFoundError(f"no iceberg table at {self.location}")
-        md = json.loads(self._read_bytes(
-            f"{self.location}/metadata/v{v}.metadata.json"))
+        try:
+            raw = self._read_bytes(
+                f"{self.location}/metadata/v{v}.metadata.json")
+        except Exception as ex:
+            # a VERY stale hint racing expire's metadata pruning can
+            # point at a version that no longer exists AND has no
+            # contiguous successor (the fast-forward probe stops at
+            # the first gap) — recover from the directory listing
+            # like the missing-hint path (review r13 pass 7)
+            msg = str(ex)
+            if not (isinstance(ex, FileNotFoundError)
+                    or "FileNotFoundException" in msg
+                    or "does not exist" in msg):
+                raise
+            v = self._recover_version_no_hint()
+            if v == 0:
+                raise
+            raw = self._read_bytes(
+                f"{self.location}/metadata/v{v}.metadata.json")
+        md = json.loads(raw)
         # remember which version this dict was READ from: the commit
         # targets base+1 with create-fails-if-exists, making the pair
         # a true compare-and-swap (private key, stripped at write)

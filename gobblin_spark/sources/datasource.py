@@ -1244,8 +1244,22 @@ def _ice_read_md(location: str) -> dict:
     else:
         raise RuntimeError(
             f"unreadable version hint at {hint_p}") from last_err
-    doc = json.loads(_ice_read_bytes(
-        location.rstrip("/") + f"/metadata/v{v}.metadata.json"))
+    try:
+        doc = json.loads(_ice_read_bytes(
+            location.rstrip("/") + f"/metadata/v{v}.metadata.json"))
+    except Exception as ex:
+        # a VERY stale hint racing expire's pruning: the pointed-at
+        # version is gone with no contiguous successor — recover from
+        # the listing like the missing-hint path (review r13 pass 7)
+        msg = str(ex)
+        if not (isinstance(ex, FileNotFoundError)
+                or "FileNotFoundException" in msg
+                or "does not exist" in msg):
+            raise
+        doc = _ice_recover_md_no_hint(location)
+        if doc is None:
+            raise
+        return doc
     # Fast-forward past a stale or transiently REGRESSED hint, like
     # IcebergTable._fast_forward: the hint flip is the commit's last
     # step, so without the probe this sessionless face (batch reads,
@@ -1284,10 +1298,8 @@ def _ice_recover_md_no_hint(location: str):
         names = None
     if names is None:
         return _ice_fast_forward_doc(location, 0, None)
-    vs = sorted((int(m.group(1)) for m in
-                 (re.fullmatch(r"v(\d+)\.metadata\.json", n)
-                  for n in names) if m), reverse=True)
-    for v in vs:
+    from gobblin_spark.sinks.iceberg import _metadata_version_candidates
+    for v in _metadata_version_candidates(names):
         # newest PARSEABLE wins (a torn top claim never committed);
         # then fast-forward in case a racer lands mid-recovery
         doc = _ice_fast_forward_doc(location, v - 1, None)

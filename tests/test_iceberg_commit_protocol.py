@@ -360,3 +360,30 @@ def test_dsv2_reader_recovers_lost_hint_on_pruned_table(spark,
               "wb") as fh:
         fh.write(b'{"torn')
     assert _ice_read_md(t.location)["last-sequence-number"] == want_seq
+
+
+def test_stale_hint_at_pruned_version_recovers(spark, tmp_path):
+    """Review r13 pass 7: a VERY stale hint racing expire's metadata
+    pruning points at a version that no longer exists and has no
+    contiguous successor (the fast-forward probe stops at the gap) —
+    both the native reader and the DSv2 face must recover from the
+    directory listing instead of failing the read."""
+    import time as _time
+
+    from gobblin_spark.sources.datasource import _ice_read_md
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    t = IcebergTable.create(spark, str(tmp_path / "stalehint"),
+                            df.schema)
+    for _ in range(6):
+        t.append_dataframe(df)              # v2..v7
+    t.expire_snapshots(int(_time.time() * 1000) + 10_000)  # v8, prunes
+    mdir = os.path.join(t.location.replace("file:", ""), "metadata")
+    assert not os.path.exists(os.path.join(mdir, "v1.metadata.json"))
+    want = IcebergTable(spark, t.location).metadata()[
+        "last-sequence-number"]
+    t._write_bytes(f"{t.location}/metadata/version-hint.text", b"1")
+    t2 = IcebergTable(spark, t.location)
+    assert t2.metadata()["last-sequence-number"] == want
+    assert t2.read().count() == 6
+    assert _ice_read_md(t.location)["last-sequence-number"] == want

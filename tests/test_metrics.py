@@ -244,3 +244,25 @@ def test_snapshot_survives_concurrent_registration():
     for t in ts:
         t.join()
     assert not errs, errs
+
+
+def test_child_is_get_or_create():
+    """Review r13 pass 7: a second child() under the same name used to
+    construct a REPLACEMENT context, silently orphaning the first
+    child's whole metric subtree from snapshots — the same lost-object
+    shape as the _get race, one level up. child() now returns the
+    existing context with tags merged."""
+    from gobblin_spark import metrics as M
+
+    root = M.MetricContext("goc-root")
+    a = root.child("job", run="r1")
+    a.counter("rows").inc(5)
+    b = root.child("job", attempt="2")
+    assert b is a
+    assert b.tags["run"] == "r1" and b.tags["attempt"] == "2"
+    b.counter("rows").inc(2)
+    snap = root.snapshot()
+    assert len(snap["children"]) == 1
+    assert snap["children"][0]["metrics"]["counter:rows"]["count"] == 7
+    # root aggregate saw every increment exactly once
+    assert root.counter("rows").count == 7
