@@ -387,3 +387,40 @@ def test_stale_hint_at_pruned_version_recovers(spark, tmp_path):
     assert t2.metadata()["last-sequence-number"] == want
     assert t2.read().count() == 6
     assert _ice_read_md(t.location)["last-sequence-number"] == want
+
+
+def test_probe_and_recovery_on_remote_scheme(spark, tmp_path):
+    """The probe's REMOTE branch (sessionless scheme-aware reads via
+    _read_bytes_any) and the sessionless listing recovery, driven
+    through the loop:// loopback scheme — the same code path s3:/gs:
+    take in the DSv2 commit hooks, where the local-claim shortcut
+    does not apply."""
+    import time as _time
+
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    local = str(tmp_path / "remoteprobe")
+    t = IcebergTable.create(spark, local, df.schema)
+    for _ in range(6):
+        t.append_dataframe(df)              # v2..v7
+    t.expire_snapshots(int(_time.time() * 1000) + 10_000)  # v8
+    loop = "loop://host" + local
+    # sessionless handle against the "remote" location
+    tr = IcebergTable(None, loop)
+    top = tr._version()
+    assert top >= 8
+    # crash-between-claim-and-flip shape through the remote reads
+    t._write_bytes(f"{local}/metadata/version-hint.text",
+                   str(top - 1).encode())
+    tr2 = IcebergTable(None, loop)
+    assert tr2._version() == top            # remote fast-forward
+    # stale hint at a pruned version: remote listing recovery
+    t._write_bytes(f"{local}/metadata/version-hint.text", b"1")
+    assert IcebergTable(None, loop).metadata()[
+        "last-sequence-number"] == 6
+    # lost hint entirely: remote listing recovery
+    import os
+    os.remove(os.path.join(local, "metadata", "version-hint.text"))
+    crc = os.path.join(local, "metadata", ".version-hint.text.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert IcebergTable(None, loop)._version() == top
