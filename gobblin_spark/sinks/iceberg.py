@@ -1268,11 +1268,15 @@ class IcebergTable:
         return cached
 
     def _write_bytes(self, path: str, data: bytes) -> int:
-        if self.spark is None:
-            if not self._sessionless_is_local(path):
-                # sessionless REMOTE (s3:/hdfs:/gs:): the DSv2 commit
-                # hook runs with no JVM — pyarrow.fs carries the write
-                return _write_bytes_any(path, data)
+        if self.spark is None and not self._sessionless_is_local(path):
+            # sessionless REMOTE (s3:/hdfs:/gs:): the DSv2 commit
+            # hook runs with no JVM — pyarrow.fs carries the write
+            return _write_bytes_any(path, data)
+        if self.spark is None or self._session_claims_local(path):
+            # LOCAL paths — session or not — take plain file IO: the
+            # Hadoop-FS detour costs 5-10 py4j round trips per small
+            # metadata file, which dominates commit latency (r13
+            # profile: ~1.5 s/query of socket waits on metadata IO)
             lp = self._local(path)
             os.makedirs(os.path.dirname(lp), exist_ok=True)
             # Hadoop LocalFS leaves .<name>.crc sidecars; a plain
@@ -1292,9 +1296,9 @@ class IcebergTable:
         return len(data)
 
     def _read_bytes(self, path: str) -> bytes:
-        if self.spark is None:
-            if not self._sessionless_is_local(path):
-                return _read_bytes_any(path)
+        if self.spark is None and not self._sessionless_is_local(path):
+            return _read_bytes_any(path)
+        if self.spark is None or self._session_claims_local(path):
             with open(self._local(path), "rb") as fh:
                 return fh.read()
         fs, p, jvm = self._fs(path)
@@ -3191,16 +3195,38 @@ class IcebergTable:
                 # field name) — accept both (audit r8)
                 spec_cols[si["source_name"]] = (si["result_type"],
                                                 si["source_id"])
-        fs, base, _ = self._fs(sub)
-        sub_local = base.toUri().getPath().rstrip("/")
+        if self._session_claims_local(sub):
+            # plain local listing: the Hadoop RemoteIterator costs
+            # 4-6 py4j round trips PER FILE (r13 profile) — os.walk
+            # lists the same tree in one syscall pass. Paths are
+            # emitted in the same fully-qualified file: form the
+            # Hadoop listing produced, so manifests stay byte-
+            # compatible with _metadata.file_path joins.
+            sub_local = os.path.abspath(self._local(sub)).rstrip("/")
+            listed = []
+            for root, _dirs, names in os.walk(sub_local):
+                for name in sorted(names):
+                    if (name.startswith(("_", "."))
+                            or not name.endswith(".parquet")):
+                        continue
+                    lp = os.path.join(root, name)
+                    listed.append((lp, f"file:{lp}", os.path.getsize(lp)))
+            listed.sort(key=lambda x: x[0])
+        else:
+            fs, base, _ = self._fs(sub)
+            sub_local = base.toUri().getPath().rstrip("/")
+            it = fs.listFiles(base, True)
+            listed = []
+            while it.hasNext():
+                stt = it.next()
+                name = stt.getPath().getName()
+                if (name.startswith(("_", "."))
+                        or not name.endswith(".parquet")):
+                    continue
+                listed.append((stt.getPath().toUri().getPath(),
+                               stt.getPath().toString(), stt.getLen()))
         files: list[DataFileInfo] = []
-        it = fs.listFiles(base, True)
-        while it.hasNext():
-            stt = it.next()
-            name = stt.getPath().getName()
-            if name.startswith(("_", ".")) or not name.endswith(".parquet"):
-                continue
-            local = stt.getPath().toUri().getPath()
+        for local, full, flen in listed:
             fmd = pq.ParquetFile(local).metadata
             if fmd.num_rows == 0:
                 # never commit 0-row data files: no bounds, manifest
@@ -3227,7 +3253,7 @@ class IcebergTable:
                             partition[str(fid)] = _parse_partition_value(
                                 v, t)
             files.append(DataFileInfo(
-                stt.getPath().toString(), stt.getLen(), fmd.num_rows,
+                full, flen, fmd.num_rows,
                 lower_bounds=lower, upper_bounds=upper,
                 partition=partition or None))
         return files
