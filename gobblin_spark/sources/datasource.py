@@ -53,6 +53,8 @@ except ImportError:  # non-POSIX: the rename-dance reclaim fallback
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     DataSourceReader,
     DataSourceStreamWriter,
     DataSourceWriter,
@@ -67,6 +69,22 @@ from pyspark.sql.datasource import (
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
+
+
+def _batches_to_table(iterator, target_schema):
+    """Arrow RecordBatch iterator → one pyarrow Table in
+    *target_schema* (the declared write schema). Shared by every
+    Arrow-native writer here: batches usually arrive already in the
+    target types (Spark produced them from the same StructType), so
+    the cast is a no-op; when metadata/nullability differ the cast
+    reconciles them. An empty iterator yields an empty table."""
+    import pyarrow as pa
+
+    batches = [b for b in iterator if b.num_rows]
+    if not batches:
+        return target_schema.empty_table()
+    tbl = pa.Table.from_batches(batches)
+    return tbl if tbl.schema == target_schema else tbl.cast(target_schema)
 
 _PAGE_RE = re.compile(r"page-(\d+)\.json$")
 
@@ -895,7 +913,7 @@ class GobblinSqlDataSource(DataSource):
 _SqlCommit = _TaskFilesCommit
 
 
-class _SqlWriter(DataSourceWriter):
+class _SqlWriter(DataSourceArrowWriter):
     """JdbcWriter's staging-swap contract (reference:
     gobblin-modules/gobblin-sql/.../writer/JdbcWriter.java:67 and the
     task/job-level commit of AbstractJobLauncher), executable:
@@ -930,6 +948,9 @@ class _SqlWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator) -> _SqlCommit:
+        # DataSourceArrowWriter: batches arrive as Arrow RecordBatches
+        # (guide §4 — the pickled-Row path converted every value
+        # JVM→Row→python object→pa.array; Arrow skips all three)
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -944,16 +965,11 @@ class _SqlWriter(DataSourceWriter):
         attempt = ctx.taskAttemptId() if ctx else 0
         os.makedirs(self.staging_dir, exist_ok=True)
         arrow_schema = to_arrow_schema(self.schema_)
-        names = [f.name for f in self.schema_.fields]
-        rows = [tuple(r) for r in iterator]
-        cols = [
-            pa.array([r[i] for r in rows], type=arrow_schema.field(n).type)
-            for i, n in enumerate(names)
-        ]
+        tbl = _batches_to_table(iterator, arrow_schema)
         fpath = os.path.join(self.staging_dir,
                              f"task-{task:05d}-{attempt}.parquet")
-        pq.write_table(pa.Table.from_arrays(cols, schema=arrow_schema), fpath)
-        return _SqlCommit([fpath], len(rows))
+        pq.write_table(tbl, fpath)
+        return _SqlCommit([fpath], tbl.num_rows)
 
     def commit(self, messages) -> None:
         import shutil
@@ -1696,7 +1712,7 @@ class GobblinIcebergDataSource(DataSource):
 _IcebergCommit = _TaskFilesCommit
 
 
-class _IcebergWriter(DataSourceWriter):
+class _IcebergWriter(DataSourceArrowWriter):
     """Write face of the connector: each task writes its partition as
     one parquet file DIRECTLY under ``data/dsv2-<job>/`` — in the
     table format, files are invisible until a manifest references
@@ -1738,7 +1754,8 @@ class _IcebergWriter(DataSourceWriter):
                 "add_column first, or drop them before writing")
 
     def write(self, iterator) -> _IcebergCommit:
-        import pyarrow as pa
+        # DataSourceArrowWriter: Arrow batches straight through —
+        # no pickled-Row detour (guide §4)
         import pyarrow.parquet as pq
 
         from pyspark import TaskContext
@@ -1748,15 +1765,11 @@ class _IcebergWriter(DataSourceWriter):
         task = ctx.partitionId() if ctx else 0
         attempt = ctx.taskAttemptId() if ctx else 0
         target = to_arrow_schema(self.schema_)
-        rows = [tuple(r) for r in iterator]
-        if not rows:
+        tbl = _batches_to_table(iterator, target)
+        if tbl.num_rows == 0:
             return _IcebergCommit([], 0)
-        cols = list(zip(*rows))
-        arrays = [pa.array(list(c), type=target.field(i).type)
-                  for i, c in enumerate(cols)]
         # attempt-unique name: a speculative twin never clobbers
         fname = f"task-{task:05d}-{attempt}.parquet"
-        tbl = pa.Table.from_arrays(arrays, schema=target)
         if _ice_is_local(self.location):
             sub = os.path.join(_ice_local(self.location), "data",
                                f"dsv2-{self.job_token}")
@@ -1771,7 +1784,7 @@ class _IcebergWriter(DataSourceWriter):
             path = (self.location.rstrip("/")
                     + f"/data/dsv2-{self.job_token}/{fname}")
             _write_parquet_any(tbl, path)
-        return _IcebergCommit([path], len(rows))
+        return _IcebergCommit([path], tbl.num_rows)
 
     def commit(self, messages):
         # runs in a SESSIONLESS python worker (no JVM): the commit
@@ -2059,7 +2072,7 @@ class _IcebergStreamReader(SimpleDataSourceStreamReader):
         pass  # snapshots are immutable; the checkpoint owns progress
 
 
-class _IcebergStreamWriter(DataSourceStreamWriter):
+class _IcebergStreamWriter(DataSourceStreamArrowWriter):
     """NATIVE exactly-once streaming sink for the table format:
     ``writeStream.format("gobblin_iceberg")``. Each micro-batch's
     tasks write parquet files directly under data/ (invisible until
@@ -2094,9 +2107,9 @@ class _IcebergStreamWriter(DataSourceStreamWriter):
                 f"columns {unknown} are not in the table schema")
 
     def write(self, iterator) -> _IcebergCommit:
+        # DataSourceStreamArrowWriter: Arrow batches straight through
         import uuid as _uuid
 
-        import pyarrow as pa
         import pyarrow.parquet as pq
 
         from pyspark import TaskContext
@@ -2106,15 +2119,11 @@ class _IcebergStreamWriter(DataSourceStreamWriter):
         task = ctx.partitionId() if ctx else 0
         attempt = ctx.taskAttemptId() if ctx else 0
         target = to_arrow_schema(self.schema_)
-        rows = [tuple(r) for r in iterator]
-        if not rows:
+        tbl = _batches_to_table(iterator, target)
+        if tbl.num_rows == 0:
             return _IcebergCommit([], 0)
-        cols = list(zip(*rows))
-        arrays = [pa.array(list(c), type=target.field(i).type)
-                  for i, c in enumerate(cols)]
         fname = (f"task-{task:05d}-{attempt}-{_uuid.uuid4().hex[:8]}"
                  ".parquet")
-        tbl = pa.Table.from_arrays(arrays, schema=target)
         if _ice_is_local(self.location):
             sub = os.path.join(_ice_local(self.location), "data",
                                "dsv2stream")
@@ -2126,7 +2135,7 @@ class _IcebergStreamWriter(DataSourceStreamWriter):
             path = (self.location.rstrip("/")
                     + f"/data/dsv2stream/{fname}")
             _write_parquet_any(tbl, path)
-        return _IcebergCommit([path], len(rows))
+        return _IcebergCommit([path], tbl.num_rows)
 
     def commit(self, messages, batchId: int) -> None:
         import pyarrow.parquet as pq
