@@ -277,44 +277,62 @@ BMP_FEATURE_SCHEMA = StructType(
 )
 
 
+def _wav_samples_np(media_id: int):
+    """Vectorized form of ``_wav_samples`` (guide §4.2 — batch work in
+    native code inside the Python stage): an int64 numpy array with
+    the identical values. The formula stays the single source of
+    truth; list and array forms are pinned equal by the unit tests."""
+    import numpy as np
+
+    n = 100 + media_id % 400
+    return ((media_id * 31 + np.arange(n, dtype=np.int64) * 17)
+            % 2001) - 1000
+
+
 def _wav_samples(media_id: int) -> list[int]:
     """Deterministic PCM16 sample series for a synthetic recording:
     n = 100 + id % 400 samples, amp_i = ((id*31 + i*17) % 2001) - 1000.
     Pure integer arithmetic — a SQL oracle replays it with a
     generate-series sum."""
-    n = 100 + media_id % 400
-    return [((media_id * 31 + i * 17) % 2001) - 1000 for i in range(n)]
+    return [int(v) for v in _wav_samples_np(media_id)]
 
 
-def encode_wav_pcm16(samples: list[int], sample_rate: int = 8000) -> bytes:
-    """Mono PCM16 WAV bytes from integer samples (stdlib wave)."""
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Mono PCM16 WAV bytes from integer samples (stdlib wave
+    container; the frame payload packs vectorized — '<i2' numpy bytes
+    are exactly struct.pack('<Nh') bytes). Accepts a list or an
+    integer numpy array."""
     import io
-    import struct
     import wave
+
+    import numpy as np
 
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        w.writeframes(np.asarray(samples, dtype=np.int64)
+                      .astype("<i2").tobytes())
     return buf.getvalue()
 
 
 def decode_wav_pcm16(payload: bytes) -> tuple[int, int, int, int, int]:
     """(sample_rate, n_channels, n_samples, sum_amp, sum_abs) from real
-    WAV bytes — stdlib wave + struct, no native codec."""
+    WAV bytes — stdlib wave container parse + vectorized frame math,
+    no native codec."""
     import io
-    import struct
     import wave
+
+    import numpy as np
 
     with wave.open(io.BytesIO(payload), "rb") as w:
         rate, nch, nfr = w.getframerate(), w.getnchannels(), w.getnframes()
         if w.getsampwidth() != 2:
             raise NotImplementedError("only PCM16 supported")
         raw = w.readframes(nfr)
-    vals = struct.unpack(f"<{nfr * nch}h", raw)
-    return rate, nch, nfr, sum(vals), sum(abs(v) for v in vals)
+    vals = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+    return (rate, nch, nfr, int(vals.sum()), int(np.abs(vals).sum()))
 
 
 def synth_wav_media(df: DataFrame, id_col: str = "doc_id",
@@ -331,10 +349,10 @@ def synth_wav_media(df: DataFrame, id_col: str = "doc_id",
         # definition of the sample formula and the WAV packing, pinned
         # by the unit tests and replayed by the SQL oracles
         from gobblin_spark.functions.multimodal import (
-            _wav_samples, encode_wav_pcm16)
+            _wav_samples_np, encode_wav_pcm16)
 
         def enc(mid):
-            return encode_wav_pcm16(_wav_samples(mid), sample_rate)
+            return encode_wav_pcm16(_wav_samples_np(mid), sample_rate)
 
         for pdf in batches:
             payloads = [enc(int(m)) for m in pdf["media_id"]]
