@@ -42,6 +42,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as _np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
@@ -739,6 +740,8 @@ _JPEG_ZIGZAG = [
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
 ]
+# numpy index form for the vectorized encoder fast path
+_JPEG_ZIGZAG_IDX = _np.array(_JPEG_ZIGZAG, dtype=_np.intp)
 # fixed-length canonical tables: 12 DC symbols at 4 bits; AC 0..255 at
 # 9 bits except the last at 10 (DHT per-length counts are single
 # bytes, so 256-at-one-length is unrepresentable). Neither table ever
@@ -815,9 +818,14 @@ def _jpeg_put_block(bw, prev_dc, ci, block, C, dc_codes, ac_codes):
     (it was triplicated pre-r8; a category or restart fix must land
     once). ``prev_dc`` is the mutable per-component DC predictor
     list."""
+    import numpy as np
+
     coef = C @ block @ C.T
     flat = coef.reshape(64)
-    q = [int(round(flat[_JPEG_ZIGZAG[i]])) for i in range(64)]
+    # vectorized zigzag + quantize: np.rint rounds half-to-even exactly
+    # like builtins.round on float64 (pinned by the codec tests) — the
+    # per-coefficient round() loop was the encoder's hottest line
+    q = np.rint(flat[_JPEG_ZIGZAG_IDX]).astype(np.int64).tolist()
     cat, bits = _jpeg_category(q[0] - prev_dc[ci])
     prev_dc[ci] = q[0]
     code, ln = dc_codes[cat]
