@@ -113,6 +113,7 @@ def pagerank_undirected(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_every: int = 8,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an UNDIRECTED pair list —
     centrality scoring for entity graphs a curation pipeline builds
@@ -152,22 +153,32 @@ def pagerank_undirected(
     once (A/B at sf0.1, 3 iterations: no per-round checkpoint 3.5 s
     vs 4.9 s with). Total rank mass is conserved at 1.0 every round,
     making drift auditable with a 1-row sum.
+
+    ``dedup_edges=False`` skips the bidirected list's distinct — one
+    full shuffle of the edge table (guide §2.4: remove shuffles
+    outright) — and is ONLY sound when the caller guarantees the
+    bidirected expansion is duplicate-free: the input pair list is
+    distinct, carries no self-loops it cares about double-counting,
+    and never holds both (a,b) and (b,a). A bipartite graph whose two
+    node-id spaces are disjoint (e.g. even part ids / odd supplier
+    ids) satisfies this by construction: (a,b) with a in A, b in B
+    can never equal a reversed pair (whose first element is in B).
+    Duplicates here would inflate degrees AND contributions — results
+    would be silently wrong, hence the safe default.
     """
-    bi = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col(src).cast("long").alias("u"),
-                             F.col(dst).cast("long").alias("v")),
-                    F.struct(F.col(dst).cast("long").alias("u"),
-                             F.col(src).cast("long").alias("v")),
-                )
-            ).alias("_e")
-        )
-        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    bi = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).cast("long").alias("u"),
+                         F.col(dst).cast("long").alias("v")),
+                F.struct(F.col(dst).cast("long").alias("u"),
+                         F.col(src).cast("long").alias("v")),
+            )
+        ).alias("_e")
+    ).select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
+    if dedup_edges:
+        bi = bi.distinct()
+    bi = bi.localCheckpoint()
     # deg feeds TWO plan sites per iteration (the contrib join and the
     # full-node rank rebuild) — checkpoint it once or every use re-runs
     # the degree shuffle over the edge table (audit-r7: 6 redundant

@@ -119,3 +119,20 @@ def test_pagerank_empty_edges_returns_empty(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     out = pagerank_undirected(empty)
     assert out.columns == ["id", "rank"] and out.count() == 0
+
+
+def test_pagerank_dedup_edges_false_equals_default_on_disjoint_ids(spark):
+    """dedup_edges=False (guide §2.4: the caller proves the bidirected
+    expansion duplicate-free, the operator skips one full edge-table
+    shuffle) must be bit-identical to the safe default on a bipartite
+    graph with disjoint id spaces — the exact contract the
+    pagerank_partsupp headline query relies on."""
+    edges = [(2 * p, 2 * s + 1) for p in range(6) for s in range(4)
+             if (p + s) % 3]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    safe = {r.id: r["rank"]
+            for r in G.pagerank_undirected(df, iterations=3).collect()}
+    fast = {r.id: r["rank"]
+            for r in G.pagerank_undirected(
+                df, iterations=3, dedup_edges=False).collect()}
+    assert safe == fast
