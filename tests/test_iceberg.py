@@ -2707,9 +2707,19 @@ def test_dsv2_iceberg_remote_scheme(spark, tmp_path, monkeypatch):
     ice.IcebergTable.create(spark, loc, schema)
     mock_loc = "mock://host" + loc
 
+    # the writers are DataSourceArrowWriters: Spark hands them Arrow
+    # RecordBatches, so the direct-drive harness must too
+    import pyarrow as pa
+
+    def _rb(rows):
+        return iter([pa.RecordBatch.from_arrays(
+            [pa.array([r[0] for r in rows], type=pa.int64()),
+             pa.array([r[1] for r in rows], type=pa.string())],
+            names=["k", "s"])])
+
     # batch write face: task parquet + sessionless commit, all mock://
     w = _IcebergWriter({"path": mock_loc}, schema)
-    msg = w.write(iter([(1, "a"), (2, "b")]))
+    msg = w.write(_rb([(1, "a"), (2, "b")]))
     assert msg.files and msg.files[0].startswith("mock://host")
     w.commit([msg])
 
@@ -2732,7 +2742,7 @@ def test_dsv2_iceberg_remote_scheme(spark, tmp_path, monkeypatch):
 
     # streaming write face: epoch commit + exactly-once replay no-op
     sw = _IcebergStreamWriter({"path": mock_loc}, schema)
-    m2 = sw.write(iter([(3, "c")]))
+    m2 = sw.write(_rb([(3, "c")]))
     sw.commit([m2], 7)
     n_snaps = len(ice.IcebergTable(None, mock_loc).metadata()["snapshots"])
     sw.commit([m2], 7)  # replayed epoch: no new snapshot
@@ -2747,7 +2757,7 @@ def test_dsv2_iceberg_remote_scheme(spark, tmp_path, monkeypatch):
 
     # abort deletes the never-referenced staged file via the hook
     w2 = _IcebergWriter({"path": mock_loc}, schema)
-    m3 = w2.write(iter([(9, "z")]))
+    m3 = w2.write(_rb([(9, "z")]))
     staged_local = m3.files[0][len("mock://host"):]
     import os
     assert os.path.exists(staged_local)
