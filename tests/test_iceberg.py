@@ -1026,6 +1026,29 @@ def test_bucket_int64_vectorized_matches_scalar():
         I._iceberg_bucket(int(v), "long", 16) for v in r]
 
 
+def test_bucket_int64_column_expr_matches_scalar(spark):
+    """r13 optimization: the pure-JVM staged murmur3 bucket (no Python
+    boundary in bucket-partitioned write plans) must be bit-identical
+    to the scalar Appendix-B path over the same shape space as the
+    numpy pin — negatives, zero, extremes, the published vector, a
+    random sweep — and must propagate NULL like the UDF's None."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vals = [0, 1, -1, 34, 7, -7, 2**31 - 1, -(2**31), 2**62, -(2**62),
+            2**63 - 1, -(2**63), 123456789012345, -987654321098765]
+    vals += [int(v) for v in rng.randint(-(2**62), 2**62, size=500,
+                                         dtype=np.int64)]
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "v long")
+    for n in (4, 16, 1024):
+        out = I._with_bucket_int64(df, "v", "b", n)
+        assert out.columns == ["v", "b"], "temp hash columns leaked"
+        got = {r["v"]: r["b"] for r in out.collect()}
+        for v in vals:
+            assert got[v] == I._iceberg_bucket(v, "long", n), (v, n)
+        assert got[None] is None
+
+
 def test_truncate_transform_semantics():
     """truncate[W]: floor multiples for integers (negatives too — the
     spec's own example is truncate[10](-1) = -10), first W CHARACTERS
