@@ -9585,13 +9585,20 @@ def iceberg_datasource_write_roundtrip(spark, sf_dir):
     # post-write assertions stay on the scheme-aware faces (the
     # sessioned JVM reader has no 'loop' filesystem — intentionally:
     # the canary certifies the sessionless/remote path end to end)
-    if len(IcebergTable(None, loop_loc).snapshots()) != 1:
+    snaps = IcebergTable(None, loop_loc).snapshots()
+    if len(snaps) != 1:
         raise RuntimeError("DSv2 write must commit ONE snapshot")
-    out = (spark.read.format("gobblin_iceberg")
-           .option("path", loop_loc).load())
-    if out.count() != sub.count():
-        raise RuntimeError("DSv2 read lost rows")
-    return out
+    # row-conservation assert from the COMMIT's own manifest metadata
+    # (added-records is parsed from the task parquet footers at commit
+    # time) instead of a second full pass through the Python DSv2
+    # reader — the reader's values are certified row-for-row by the
+    # oracle hash on the returned frame anyway (guide §1.2: don't
+    # compute things you throw away; r13 A/B: the count() job was
+    # ~0.5 s of pure re-read)
+    if int(snaps[0]["summary"].get("added-records", -1)) != sub.count():
+        raise RuntimeError("DSv2 write lost rows")
+    return (spark.read.format("gobblin_iceberg")
+            .option("path", loop_loc).load())
 
 
 @q(

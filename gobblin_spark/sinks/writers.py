@@ -31,6 +31,8 @@ skipping on later reads) without a shuffle.
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass, field
 from collections.abc import Sequence
 
@@ -52,9 +54,59 @@ class WriteResult:
     rows: int = -1  # recordsWritten; -1 when the observation was unavailable
 
 
+# per-SparkContext cache of "is fs.defaultFS the local filesystem"
+# (one py4j lookup each; Hadoop resolves schemeless paths through it)
+_DFS_LOCAL_CACHE: dict[int, bool] = {}
+
+
+def _local_fs_path(df: DataFrame, path: str) -> str | None:
+    """The local-filesystem path for *path* when the session resolves
+    it to local disk, else None. ``file:`` paths always resolve
+    locally; a BARE path is local only when ``fs.defaultFS`` is the
+    local filesystem (same rule as the Iceberg sink's
+    ``_session_claims_local``)."""
+    if path.startswith("file:"):
+        p = path[5:]
+        while p.startswith("//"):
+            p = p[1:]
+        return p
+    if "://" in path:
+        return None
+    sc = df.sparkSession.sparkContext
+    key = id(sc)
+    cached = _DFS_LOCAL_CACHE.get(key)
+    if cached is None:
+        dfs = sc._jsc.hadoopConfiguration().get("fs.defaultFS", "file:///")
+        cached = dfs.startswith("file:")
+        _DFS_LOCAL_CACHE[key] = cached
+    return path if cached else None
+
+
 def _list_output_files(df: DataFrame, path: str) -> dict[str, int]:
-    """Data files under *path* as {uri: bytes} via the Hadoop FS client
-    (works for file://, hdfs://, s3a:// alike)."""
+    """Data files under *path* as {uri: bytes}. Local paths list with
+    plain ``os.walk`` — the Hadoop RemoteIterator costs 4-6 py4j round
+    trips PER FILE (r13 profile: ~0.5 s per 80-file partitioned write,
+    the same detour the Iceberg sink's listing paid); keys keep the
+    fully-qualified ``file:`` form Hadoop produced so before/after
+    diffs stay consistent. Remote schemes (hdfs://, s3a://) keep the
+    Hadoop FS client."""
+    lp = _local_fs_path(df, path)
+    if lp is not None:
+        out_l: dict[str, int] = {}
+        if os.path.isfile(lp):
+            name = os.path.basename(lp)
+            if not name.startswith(("_", ".")):
+                out_l[f"file:{os.path.abspath(lp)}"] = os.path.getsize(lp)
+            return out_l
+        for root, _dirs, names in os.walk(lp):
+            for name in names:
+                # mirror the Hadoop branch exactly: filter on the
+                # FILENAME only (listFiles returns files recursively)
+                if name.startswith(("_", ".")):
+                    continue
+                fp = os.path.join(root, name)
+                out_l[f"file:{os.path.abspath(fp)}"] = os.path.getsize(fp)
+        return out_l
     sc = df.sparkSession.sparkContext
     jvm = sc._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
