@@ -752,16 +752,26 @@ _JPEG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
 _JPEG_AC_VALS = list(range(256))
 
 
-def _jpeg_dct_basis():
-    import numpy as np
+_JPEG_DCT_BASIS_CACHE = None
 
-    c = np.zeros((8, 8))
-    for u in range(8):
-        cu = (1.0 / (2.0 ** 0.5)) if u == 0 else 1.0
-        for x in range(8):
-            c[u, x] = 0.5 * cu * __import__("math").cos(
-                (2 * x + 1) * u * __import__("math").pi / 16)
-    return c
+
+def _jpeg_dct_basis():
+    # module-level memo: the basis is a pure 8x8 constant, but it was
+    # rebuilt per image with __import__("math") inside the double loop
+    # (r13 profile: 128 __import__ calls per image, ~8% of decode)
+    global _JPEG_DCT_BASIS_CACHE
+    if _JPEG_DCT_BASIS_CACHE is None:
+        import math
+
+        import numpy as np
+
+        c = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1.0 / (2.0 ** 0.5)) if u == 0 else 1.0
+            for x in range(8):
+                c[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+        _JPEG_DCT_BASIS_CACHE = c
+    return _JPEG_DCT_BASIS_CACHE
 
 
 def _jpeg_canonical_codes(bits, vals):
@@ -930,7 +940,16 @@ class _JpegBitReader:
         self.pos += 2
 
 
+_JPEG_HUFF_CACHE: dict = {}
+
+
 def _jpeg_huff_table(bits, vals):
+    # memoized on content: decoders rebuild the same standard tables
+    # for every image (r13 profile: ~8% of decode time)
+    key = (tuple(bits), tuple(vals))
+    cached = _JPEG_HUFF_CACHE.get(key)
+    if cached is not None:
+        return cached
     out, code, k = {}, 0, 0
     for li in range(16):
         for _ in range(bits[li]):
@@ -938,6 +957,8 @@ def _jpeg_huff_table(bits, vals):
             code += 1
             k += 1
         code <<= 1
+    if len(_JPEG_HUFF_CACHE) < 256:  # bound worker memory
+        _JPEG_HUFF_CACHE[key] = out
     return out
 
 
@@ -1253,8 +1274,7 @@ def _decode_jpeg_planes(payload: bytes):
                     zz[i] = _jpeg_extend(br.bits(cat), cat)
                     i += 1
                 coef = np.zeros(64)
-                for i in range(64):
-                    coef[_JPEG_ZIGZAG[i]] = zz[i]
+                coef[_JPEG_ZIGZAG_IDX] = zz  # vectorized un-zigzag
                 return C.T @ (coef.reshape(8, 8) * qmats[sof_idx]) @ C
 
             mcu_n = 0

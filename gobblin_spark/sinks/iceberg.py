@@ -4191,20 +4191,38 @@ class IcebergTable:
         file that deletes nothing is manifest bloat."""
         import pyarrow.parquet as pq
 
-        fs, base, _ = self._fs(sub)
+        if self._session_claims_local(sub):
+            # plain local listing (r13: same 4-6-py4j-trips-per-file
+            # detour _list_committed_files shed; paths keep the
+            # fully-qualified file: form the Hadoop listing produced)
+            listed = []
+            sub_local = os.path.abspath(self._local(sub)).rstrip("/")
+            for root, _dirs, names in os.walk(sub_local):
+                for nm in sorted(names):
+                    if (nm.startswith(("_", "."))
+                            or not nm.endswith(".parquet")):
+                        continue
+                    lp = os.path.join(root, nm)
+                    listed.append((lp, f"file:{lp}", os.path.getsize(lp)))
+            listed.sort(key=lambda x: x[0])
+        else:
+            fs, base, _ = self._fs(sub)
+            it = fs.listFiles(base, True)
+            listed = []
+            while it.hasNext():
+                stt = it.next()
+                nm = stt.getPath().getName()
+                if (nm.startswith(("_", "."))
+                        or not nm.endswith(".parquet")):
+                    continue
+                listed.append((stt.getPath().toUri().getPath(),
+                               stt.getPath().toString(), stt.getLen()))
         files: list[DataFileInfo] = []
-        it = fs.listFiles(base, True)
-        while it.hasNext():
-            stt = it.next()
-            nm = stt.getPath().getName()
-            if nm.startswith(("_", ".")) or not nm.endswith(".parquet"):
-                continue
-            local = stt.getPath().toUri().getPath()
+        for local, full, flen in listed:
             rows = pq.ParquetFile(local).metadata.num_rows
             if rows == 0:
                 continue
-            files.append(DataFileInfo(stt.getPath().toString(),
-                                      stt.getLen(), rows))
+            files.append(DataFileInfo(full, flen, rows))
         return files
 
     def delete_positions(self, positions: DataFrame) -> int:
