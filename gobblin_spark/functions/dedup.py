@@ -198,11 +198,13 @@ def minhash_signatures(
     hashed = sh.select(
         id_col, F.pmod(_base_hash("shingle", base_hash), F.lit(MERSENNE_P)).alias("_h")
     )
-    h = F.col("_h")
+    # one parsed SQL expression per permutation: the Column-algebra
+    # form cost ~6 py4j round trips per term (~0.6 s driver wall per
+    # plan build at num_perm=64); parsed trees and results are
+    # identical (pinned for both base hashes)
     mins = [
-        F.min(F.pmod(F.lit(a_par[i]) * h + F.lit(b_par[i]), F.lit(MERSENNE_P))).alias(
-            f"_m{i}"
-        )
+        F.expr(f"min(pmod({a_par[i]} * _h + {b_par[i]}, {MERSENNE_P}))"
+               f" AS _m{i}")
         for i in range(num_perm)
     ]
     sig = hashed.groupBy(id_col).agg(*mins)
@@ -218,17 +220,23 @@ def _band_key_array(num_perm: int, bands: int, band_key: str) -> Column:
     signature values (wider, but reproducible by any SQL engine —
     pair with base_hash='md5_60' for oracle-checked runs)."""
     rows = num_perm // bands
-
-    def _bkey(bi: int) -> Column:
-        vals = [F.col("signature")[bi * rows + r] for r in range(rows)]
-        if band_key == "xxhash64":
-            return F.xxhash64(F.lit(bi), *vals)
-        if band_key == "concat":
-            return F.concat_ws("_", F.lit(bi).cast("string"),
-                               *[v.cast("string") for v in vals])
+    if band_key not in ("xxhash64", "concat"):
         raise ValueError(f"unknown band_key: {band_key}")
 
-    return F.array(*[_bkey(bi) for bi in range(bands)])
+    # one parsed SQL expression for the whole key array (vs ~6 py4j
+    # round trips per band in Column form); parsed trees and results
+    # are identical for both key kinds (pinned)
+    def _bkey(bi: int) -> str:
+        if band_key == "xxhash64":
+            vals = ", ".join(f"signature[{bi * rows + r}]"
+                             for r in range(rows))
+            return f"xxhash64({bi}, {vals})"
+        cvals = ", ".join(f"CAST(signature[{bi * rows + r}] AS STRING)"
+                          for r in range(rows))
+        return f"concat_ws('_', CAST({bi} AS STRING), {cvals})"
+
+    return F.expr(
+        "array(" + ", ".join(_bkey(bi) for bi in range(bands)) + ")")
 
 
 def minhash_lsh_pairs(
@@ -408,20 +416,26 @@ def simhash64(
     # hash each token ONCE; the per-bit aggregates reference the
     # materialized column (xxhash64 inline would re-hash 64x per token)
     hashed = toks.select(id_col, _base_hash("tok", base_hash).alias("_h"))
-    h = F.col("_h")
+    # each aggregate (and the bit-recombine projection) is ONE parsed
+    # SQL expression: composing them from Column algebra cost ~8 py4j
+    # round trips per term — ~1 s of driver wall per plan build for
+    # the 64+64 term lists (guide §1.2: the distributed plan is
+    # unchanged; this is per-plan-build driver latency). Parsed trees
+    # are value-identical to the Column form (pinned for both base
+    # hashes, including the negative bit-63 case).
     bit_sums = [
-        F.sum(
-            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-        ).alias(f"_b{i}")
+        F.expr(f"sum(CAST((shiftright(_h, {i}) & 1) * 2 - 1 AS BIGINT))"
+               f" AS _b{i}")
         for i in range(bits)
     ]
     agg = hashed.groupBy(id_col).agg(*bit_sums)
-    val = F.lit(0).cast("long")
-    for i in range(bits):
-        val = val + F.when(
-            F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-    return agg.select(id_col, val.alias("simhash"))
+    val_sql = " + ".join(
+        f"(CASE WHEN _b{i} > 0 THEN shiftleft(CAST(1 AS BIGINT), {i})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return agg.select(
+        id_col, F.expr(f"CAST(0 AS BIGINT) + {val_sql} AS simhash"))
 
 
 def simhash_near_dup_pairs(

@@ -71,6 +71,16 @@ def get_spark(
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         # --- python interchange is always Arrow ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- driver plan-build latency: PySpark's error-context
+        # capture wraps EVERY DataFrame API call with a stack
+        # inspection plus TWO py4j round trips (a conf read + the
+        # PySparkCurrentOrigin stamp). On plan-heavy operators (the
+        # 64-aggregate MinHash/SimHash builders: ~10k round trips per
+        # plan) that is over half the driver-side build wall — 1.41 s
+        # -> 0.63 s measured on the simhash pair search at sf0.1. The
+        # feature only enriches error messages with user line numbers;
+        # execution semantics and results are untouched ---
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # --- Python DataSource V2: let custom sources (gobblin_rest)
         # receive pushed filters for partition pruning ---
         .config("spark.sql.python.filterPushdown.enabled", "true")
