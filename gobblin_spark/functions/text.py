@@ -566,14 +566,22 @@ def _bigram_pairs(df: DataFrame, text_col: str, keep: Sequence[str] = ()):
     zip_with pairs them element-wise, so bigram extraction needs no
     window function and no shuffle. zip_with pads the shorter side
     with null; the null-w2 tail row (and with it every <2-token doc)
-    drops in the filter."""
-    t = F.split(normalize_text(F.col(text_col)), " ")
+    drops in the filter.
+
+    The token array is materialized as its own projection first (same
+    reason as ``word_shingles``): the zip_with references it twice,
+    and inlining the split(normalize(...)) expression makes codegen
+    evaluate the full normalize+tokenize per reference — measured 2x
+    the tokenize cost at sf0.1 (0.44 s -> 0.22 s)."""
+    t = F.col("__gs_t")
     pairs = F.zip_with(
         t, F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(1))),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
     return (
-        df.select(*keep, F.explode(pairs).alias("__gs_bg"))
+        df.select(*keep,
+                  F.split(normalize_text(F.col(text_col)), " ").alias("__gs_t"))
+        .select(*keep, F.explode(pairs).alias("__gs_bg"))
         .select(*keep, F.col("__gs_bg.w1").alias("w1"), F.col("__gs_bg.w2").alias("w2"))
         .filter(F.col("w2").isNotNull() & (F.col("w1") != ""))
     )
@@ -586,11 +594,14 @@ def bigram_lm(train: DataFrame, text_col: str = "text") -> tuple[DataFrame, Data
     (w1, n1), 1-row vocab size (v) over all training tokens). Two
     groupBys over narrow bigram rows; at 100 TB both shuffle slim
     (16-byte-ish word keys, counts combine map-side)."""
-    # the bigram rows feed BOTH count tables — persist, or each
-    # aggregate re-tokenizes and re-zips the training corpus
-    bi = _bigram_pairs(train, text_col).persist()
-    lm = bi.groupBy("w1", "w2").agg(F.count("*").alias("n"))
-    pre = bi.groupBy("w1").agg(F.count("*").alias("n1"))
+    bi = _bigram_pairs(train, text_col)
+    lm = bi.groupBy("w1", "w2").agg(F.count("*").alias("n")).persist()
+    # prefix counts roll up from the (already slim) bigram table —
+    # c(w1) = sum over w2 of c(w1,w2) — instead of a second full pass
+    # over the bigram stream; the persist moves to lm, which both pre
+    # and the scorer's join consume, so the corpus is tokenized once
+    # per count table and never re-zipped
+    pre = lm.groupBy("w1").agg(F.sum("n").alias("n1"))
     toks = (
         train.select(
             F.explode(F.split(normalize_text(F.col(text_col)), " "))

@@ -107,9 +107,27 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     an expensive explode/UDF chain. A round-robin repartition of the
     slim input projection costs one small shuffle and buys full-width
     execution — only worth it BEFORE per-row work that dominates it.
+
+    The width is bounded by the optimizer's input-size estimate: one
+    task per ~64 KiB of (compressed) scan — below that, per-task
+    scheduling overhead exceeds the per-row work the widening exists
+    to parallelize (A/B at sf0.1: the 64-bit simhash is flat from 8
+    to 32 partitions and every lighter operator pays for unneeded
+    width; guide §2 scale-adaptive partitioning). Unknown statistics
+    (the estimate degrades to Long.Max-ish) leave the full target.
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+        target = min(target, max(1, size // 65536))
+    except Exception:
+        pass
+    if target <= 1:
+        # one small chunk: widening buys nothing, and skipping the
+        # partition probe below avoids a physical-planning round trip
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
