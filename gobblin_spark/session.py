@@ -117,17 +117,34 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     (the estimate degrades to Long.Max-ish) leave the full target.
     """
     sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
+    full = min_partitions or sc.defaultParallelism
+    target = full
     try:
         size = int(df._jdf.queryExecution().optimizedPlan()
                    .stats().sizeInBytes())
-        target = min(target, max(1, size // 65536))
+        target = min(full, max(1, size // 65536))
+    except Exception:
+        size = None
+    if target <= 1:
+        # one small chunk: widening buys nothing, and skipping all
+        # probes below avoids driver planning round trips
+        return df
+    try:
+        if "Repartition" in df._jdf.queryExecution().logical().toString():
+            # an upstream ensure_parallelism (or explicit repartition)
+            # already decided the width — analyzed-plan string check
+            # only, because the old df.rdd partition probe forces FULL
+            # physical planning: ~0.3 s per call on expression-heavy
+            # inputs (cProfile: 0.67 s of the corpus-curation build
+            # was two of these probes)
+            return df
     except Exception:
         pass
-    if target <= 1:
-        # one small chunk: widening buys nothing, and skipping the
-        # partition probe below avoids a physical-planning round trip
-        return df
+    if target < full:
+        # the size bound bit, so the input is small — a scan this
+        # size yields fewer splits than target; repartition without
+        # paying the physical-planning probe
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
