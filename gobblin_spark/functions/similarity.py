@@ -498,12 +498,16 @@ def kmeans_fit_predict(
             )
             choices.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
         best = F.array_sort(F.array(*choices))[0]["cid"]
-        return vecs.select(id_col, best.alias("cluster"))
+        return vecs.select(id_col, best.alias("cluster"), "_e")
 
-    assigned = assign(cents)
     for _ in range(iterations - 1):
+        # the update consumes (cluster, vector) straight off the
+        # assignment projection — a narrow map over the persisted
+        # vecs — instead of joining the (id, cluster) table back onto
+        # vecs by id (one broadcast join per iteration removed; guide
+        # §2.1, same values by construction)
         upd = (
-            assigned.join(vecs, id_col)
+            assign(cents)
             .select("cluster", F.posexplode("_e").alias("dim", "val"))
             .groupBy("cluster", "dim")
             .agg(F.round(F.avg("val"), round_decimals).alias("val"))
@@ -516,8 +520,8 @@ def kmeans_fit_predict(
             (cid, [by_cid[cid][i] for i in range(len(by_cid[cid]))])
             for cid in sorted(by_cid)
         ]
-        assigned = assign(cents)
-    return assigned.withColumn("cluster", F.col("cluster").cast("int"))
+    return assign(cents).select(
+        id_col, F.col("cluster").cast("int").alias("cluster"))
 
 
 def semantic_dedup_clustered(
