@@ -178,7 +178,10 @@ def pagerank_undirected(
     ).select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
     if dedup_edges:
         bi = bi.distinct()
-    bi = bi.localCheckpoint()
+    # lazy: the edge blocks materialize inside the degree job below
+    # (one job boundary fewer; the blocks are identical) — eager would
+    # schedule a separate pass just to populate the cache (guide §1.2)
+    bi = bi.localCheckpoint(eager=False)
     # deg feeds TWO plan sites per iteration (the contrib join and the
     # full-node rank rebuild) — checkpoint it once or every use re-runs
     # the degree shuffle over the edge table (audit-r7: 6 redundant

@@ -439,6 +439,7 @@ def kmeans_fit_predict(
     k: int = 8,
     iterations: int = 2,
     round_decimals: int = 9,
+    _with_vectors: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over the FULL corpus (squared-L2),
     returning (id_col, cluster). The corpus-scale clustering step
@@ -520,7 +521,15 @@ def kmeans_fit_predict(
             (cid, [by_cid[cid][i] for i in range(len(by_cid[cid]))])
             for cid in sorted(by_cid)
         ]
-    return assign(cents).select(
+    out = assign(cents)
+    if _with_vectors:
+        # internal face for compositions (semantic_dedup_clustered):
+        # the assignment projection already carries the double-cast
+        # vector, so callers that need (id, cluster, vector) avoid a
+        # corpus re-scan plus an id join (guide §2.4)
+        return out.select(
+            id_col, F.col("cluster").cast("int").alias("cluster"), "_e")
+    return out.select(
         id_col, F.col("cluster").cast("int").alias("cluster"))
 
 
@@ -559,15 +568,18 @@ def semantic_dedup_clustered(
     Both emit identical pairs: the threshold margin (≥1e-4 in tests)
     dwarfs BLAS-vs-fold summation-order noise (~1e-15).
     """
-    clusters = kmeans_fit_predict(corpus, id_col, vec_col, k, iterations)
+    # the assignment projection carries the double-cast vector, so the
+    # normalized table derives straight from it — no raw corpus
+    # re-scan and no (id → cluster) join (guide §2.4; r13: one
+    # broadcast join + one parquet scan removed, values identical —
+    # the join keyed the same rows the projection already holds)
+    assigned = kmeans_fit_predict(
+        corpus, id_col, vec_col, k, iterations, _with_vectors=True)
     # normalize ONCE so the per-pair cosine is a single dot product,
     # and persist: the table feeds both sides of the pair step
-    raw = corpus.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
-    )
     vecs = (
-        raw.select(id_col, "_e", _norm(F.col("_e")).alias("_n"))
+        assigned.select(id_col, "cluster", "_e",
+                        _norm(F.col("_e")).alias("_n"))
         .select(
             id_col,
             # zero-norm guard (audit r8): x/0 under non-ANSI divide
@@ -580,8 +592,8 @@ def semantic_dedup_clustered(
                 F.transform("_e", lambda x: x / F.col("_n")),
             ).otherwise(
                 F.transform("_e", lambda x: F.lit(0.0))).alias("_u"),
+            "cluster",
         )
-        .join(clusters, id_col)
         .persist()
     )
     if pair_engine == "blas":

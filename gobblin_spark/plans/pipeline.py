@@ -137,19 +137,43 @@ def run(pipeline: Pipeline, spark: SparkSession, persist: bool = True) -> Pipeli
             if result.quarantined:
                 quarantined.write.mode("append").parquet(pipeline.quarantine_dir)
 
-        staged: list[P.StagedDataset] = []
-        for b in pipeline.branches:
+        # branch staging writes are INDEPENDENT jobs over the shared
+        # persisted parent: submit them from a small thread pool so a
+        # later branch's tasks back-fill executors freed by an earlier
+        # branch's tail (guide §2.6 — actions are only sequential
+        # because driver code calls them sequentially). Concurrent
+        # first-computation of a cached partition is safe: the
+        # BlockManager's per-partition lock lets one task compute and
+        # the others read the stored block. Results keep branch order.
+        to_write: list[tuple[int, object]] = []  # (branch idx, bdf)
+        staged_by_idx: dict[int, P.StagedDataset] = {}
+        for i, b in enumerate(pipeline.branches):
             bdf = passed.filter(b.mask) if b.mask is not None else passed
             for t in b.transforms:
                 bdf = t(bdf)
             if b.final_dir:
-                s = P.stage(bdf, b.final_dir, name=b.name, fmt=b.fmt,
-                            partition_by=b.partition_by, job_id=pipeline.job_id)
-                if b.task_policies:
-                    P.audit(s, spark, b.task_policies)
-                staged.append(s)
+                to_write.append((i, bdf))
             else:
                 result.dataframes[b.name] = bdf
+
+        def _stage_one(item):
+            i, bdf = item
+            b = pipeline.branches[i]
+            s = P.stage(bdf, b.final_dir, name=b.name, fmt=b.fmt,
+                        partition_by=b.partition_by, job_id=pipeline.job_id)
+            if b.task_policies:
+                P.audit(s, spark, b.task_policies)
+            staged_by_idx[i] = s
+
+        if len(to_write) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(3, len(to_write))) as ex:
+                # list() propagates the first exception, like the loop did
+                list(ex.map(_stage_one, to_write))
+        else:
+            for item in to_write:
+                _stage_one(item)
+        staged = [staged_by_idx[i] for i, _ in to_write]
         if not pipeline.branches:  # sink-less pipeline: expose the main frame
             result.dataframes["main"] = passed
 

@@ -9579,7 +9579,10 @@ def iceberg_datasource_write_roundtrip(spark, sf_dir):
     # driver's certification gate each rotation. Same table, same
     # values: the oracle hash is unchanged.
     loop_loc = "loop://host" + loc
-    (sub.repartition(4).write.format("gobblin_iceberg")
+    from pyspark.sql import Observation
+    obs = Observation()
+    (sub.observe(obs, F.count(F.lit(1)).alias("n")).repartition(4)
+        .write.format("gobblin_iceberg")
         .option("path", loop_loc).mode("append").save())
     # the loop:// commit stamps loop:// URIs into the manifests, so
     # post-write assertions stay on the scheme-aware faces (the
@@ -9590,12 +9593,12 @@ def iceberg_datasource_write_roundtrip(spark, sf_dir):
         raise RuntimeError("DSv2 write must commit ONE snapshot")
     # row-conservation assert from the COMMIT's own manifest metadata
     # (added-records is parsed from the task parquet footers at commit
-    # time) instead of a second full pass through the Python DSv2
-    # reader — the reader's values are certified row-for-row by the
-    # oracle hash on the returned frame anyway (guide §1.2: don't
-    # compute things you throw away; r13 A/B: the count() job was
-    # ~0.5 s of pure re-read)
-    if int(snaps[0]["summary"].get("added-records", -1)) != sub.count():
+    # time) against the write job's OWN in-plan Observation — the rows
+    # that entered the writer, with no separate re-count scan (guide
+    # §1.2: don't compute things you throw away; r13 A/B: the
+    # sub.count() job was 0.15-0.45 s of pure re-read). The reader's
+    # values are certified row-for-row by the oracle hash anyway.
+    if int(snaps[0]["summary"].get("added-records", -1)) != obs.get["n"]:
         raise RuntimeError("DSv2 write lost rows")
     return (spark.read.format("gobblin_iceberg")
             .option("path", loop_loc).load())
