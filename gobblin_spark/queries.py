@@ -8010,13 +8010,23 @@ def lsh_recall_report(spark, sf_dir):
         docs, "doc_id", "text", n=3, num_perm=_MH_PERM, bands=_MH_BANDS,
         threshold=0.5, seed=42, base_hash="md5_60", band_key="concat",
     ).select("id_a", "id_b")
-    truth = truth.persist()
-    pred = pred.persist()
-    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    n_pred = pred.agg(F.count(F.lit(1)).alias("n_predicted"))
-    n_tp = truth.join(pred, ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).alias("n_true_positive"))
-    out = n_truth.crossJoin(n_pred).crossJoin(n_tp)
+    # one full-outer join + one aggregate yields all three confusion
+    # counts in a single pass (truth/pred are DISTINCT pair sets, so
+    # presence-counting is exact): the agg+agg+join+agg / two-crossJoin
+    # scalar assembly ran each pair set into two consumers and needed
+    # both persisted (guide §1.2 — fewer passes beats caching them)
+    out = (
+        truth.withColumn("_t", F.lit(1))
+        .join(pred.withColumn("_p", F.lit(1)), ["id_a", "id_b"],
+              "full_outer")
+        .agg(
+            F.count("_t").alias("n_truth"),
+            F.count("_p").alias("n_predicted"),
+            F.count(F.when(F.col("_t").isNotNull()
+                           & F.col("_p").isNotNull(), 1))
+            .alias("n_true_positive"),
+        )
+    )
     return out.select(
         "n_truth", "n_predicted", "n_true_positive",
         F.floor(F.col("n_true_positive") * F.lit(1000000.0)
@@ -8085,18 +8095,29 @@ def simhash_completeness_report(spark, sf_dir):
         a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
         .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
         .select("id_a", "id_b")
-        .persist()
     )
     # pred reuses the SAME persisted signature table as truth — the
     # 64-aggregate per-bit-sum stage runs once, not twice
     pred = dedup.simhash_pairs_from_signatures(
         sh, "doc_id", max_hamming=3, bits=_SH_BITS,
-    ).select("id_a", "id_b").persist()
-    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    n_pred = pred.agg(F.count(F.lit(1)).alias("n_predicted"))
-    n_tp = truth.join(pred, ["id_a", "id_b"]).agg(
-        F.count(F.lit(1)).alias("n_true_positive"))
-    return n_truth.crossJoin(n_pred).crossJoin(n_tp)
+    ).select("id_a", "id_b")
+    # all three confusion counts from ONE full-outer join + ONE
+    # aggregate (both pair sets are distinct, so presence-counting is
+    # exact): the previous agg+agg+join+agg assembly consumed each
+    # pair set twice and needed both persisted — 20 jobs / 55 stages
+    # for three scalars (guide §1.2: fewer passes)
+    return (
+        truth.withColumn("_t", F.lit(1))
+        .join(pred.withColumn("_p", F.lit(1)), ["id_a", "id_b"],
+              "full_outer")
+        .agg(
+            F.count("_t").alias("n_truth"),
+            F.count("_p").alias("n_predicted"),
+            F.count(F.when(F.col("_t").isNotNull()
+                           & F.col("_p").isNotNull(), 1))
+            .alias("n_true_positive"),
+        )
+    )
 
 
 @q(
