@@ -37,11 +37,22 @@ from gobblin_spark.session import ensure_parallelism
 from gobblin_spark.sources.files import load_table
 
 
+_DOCS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def load_docs(spark, sf_dir):
     """documents table widened to full parallelism: the text operators
     are CPU-bound per row, and the small-SF table is a single file split
-    (ensure_parallelism is a no-op once scans have many splits)."""
-    return ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    (ensure_parallelism is a no-op once scans have many splits).
+    Memoized like load_table (immutable fixture, lazy plan only) —
+    ensure_parallelism's optimizer-stats probe otherwise re-runs on
+    every call."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _DOCS_MEMO.get(key)
+    if df is None:
+        df = _DOCS_MEMO.setdefault(
+            key, ensure_parallelism(load_table(spark, sf_dir, "documents")))
+    return df
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -77,9 +77,28 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+#: lazy-plan memo for the immutable testdata tables, keyed per Spark
+#: application. ``spark.read.parquet`` pays ~90 ms of driver-side
+#: listing + footer schema inference PER CALL (measured warm at sf0.1);
+#: a suite that loads a table hundreds of times re-paid it every time.
+#: Only the unexecuted plan object is reused — no data, no results:
+#: every action on the returned frame still scans the parquet files.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one synthetic table from a scale-factor dir (TESTDATA.md)."""
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+    """Load one synthetic table from a scale-factor dir (TESTDATA.md).
+
+    Memoized per (application, dir, table): the testdata tables are
+    immutable fixtures, so the lazy plan (schema + file listing) never
+    goes stale. Do NOT route mutable paths through this function —
+    use ``read_parquet`` directly for those."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_MEMO.get(key)
+    if df is None:
+        df = _TABLE_MEMO.setdefault(
+            key, read_parquet(spark, f"{sf_dir}/{name}.parquet"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: Sequence[str] = TABLES) -> dict[str, DataFrame]:
