@@ -299,10 +299,26 @@ def register(spark) -> None:
     session built without our factory (e.g. the round driver's) still
     works.
     """
+    # the conf repair runs on EVERY call — it is the pinned contract
+    # (a foreign session may have flipped it back at any time and the
+    # next DSv2 read would hard-fail); only the three source
+    # registrations are skipped on repeat calls, ~15 ms of py4j each
+    # time otherwise, re-paid by every DSv2 query in a suite. Keyed on
+    # the live application id, so a new session re-registers normally.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        if getattr(register, "_done_app", None) == \
+                spark.sparkContext.applicationId:
+            return
+    except Exception:
+        pass
     spark.dataSource.register(GobblinRestDataSource)
     spark.dataSource.register(GobblinSqlDataSource)
     spark.dataSource.register(GobblinIcebergDataSource)
+    try:
+        register._done_app = spark.sparkContext.applicationId
+    except Exception:
+        pass
 
 
 def write_pages(df_rows: list[dict], path: str, page_size: int,
