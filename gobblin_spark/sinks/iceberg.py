@@ -3620,7 +3620,12 @@ class IcebergTable:
             return df
 
         if not data:
-            return _residual(self.spark.createDataFrame([], st))
+            # empty JVM RDD, not an empty python list: createDataFrame
+            # over a list builds a PYTHON RDD whose every action spins
+            # python workers — counting an empty table cost 0.4 s
+            # (A/B: 0.44 -> 0.11 s); the JVM path is 0 tasks
+            return _residual(self.spark.createDataFrame(
+                self.spark.sparkContext.emptyRDD(), st))
         if not spec_src_ids and (not (dels_eq or dels_pos)
                                  or not apply_deletes):
             return _residual(self.spark.read.schema(st).parquet(
