@@ -75,7 +75,13 @@ def sample_mixture(
             "targets must be a non-empty mapping of non-negative "
             "weights with a positive sum")
     total_w = float(sum(targets.values()))
-    tgt = df.sparkSession.createDataFrame(
+    from gobblin_spark.session import local_rows_df
+
+    # LocalRelation (see local_rows_df): this few-row target table is
+    # only ever broadcast-joined — the python-RDD form launched python
+    # workers just to build the broadcast side
+    tgt = local_rows_df(
+        df.sparkSession,
         [(d, w / total_w) for d, w in sorted(targets.items())],
         f"{domain_col} string, _share double",
     )

@@ -2355,7 +2355,8 @@ class IcebergTable:
                  else to_snapshot_id)
         if to_id == -1:
             return self.spark.createDataFrame(
-                [], self._schema_for(None, md)
+                self.spark.sparkContext.emptyRDD(),
+                self._schema_for(None, md)
                 .add("_change_type", T.StringType())
                 .add("_commit_snapshot_id", T.LongType()))
         if to_id not in snaps:
@@ -2569,7 +2570,8 @@ class IcebergTable:
         if (not window and not pos_dels and not eq_dels
                 and not any(r for r, *_ in ow_removed)):
             return self.spark.createDataFrame(
-                [], self._schema_for(to_id, md)
+                self.spark.sparkContext.emptyRDD(),
+                self._schema_for(to_id, md)
                 .add("_change_type", T.StringType())
                 .add("_commit_snapshot_id", T.LongType()))
         # same column-resolution rule as read(): field-ids only when
@@ -2642,7 +2644,9 @@ class IcebergTable:
                 # so the residue's sequence guards stay exact; the
                 # anti-joins themselves are read()'s shared helper —
                 # ONE copy of the spec's sequence-guard semantics
-                seq_lk = self.spark.createDataFrame(
+                from gobblin_spark.session import local_rows_df
+                seq_lk = local_rows_df(
+                    self.spark,
                     [(self._path_uri_form(e["info"].path),
                       e["sequence_number"]) for e in entries],
                     "_sq_path string, _data_seq long")
@@ -2968,7 +2972,8 @@ class IcebergTable:
         if ins is None:
             return dels if dels is not None else (
                 self.spark.createDataFrame(
-                    [], T.StructType(list(st.fields))
+                    self.spark.sparkContext.emptyRDD(),
+                    T.StructType(list(st.fields))
                     .add("_change_type", T.StringType())
                     .add("_commit_snapshot_id", T.LongType())))
         return ins if dels is None else ins.unionByName(dels)
@@ -3007,7 +3012,12 @@ class IcebergTable:
         the URI form ``_metadata.file_path`` reports, while manifests
         store the listing's literal Path.toString() —
         see ``_path_uri_form``."""
-        return self.spark.createDataFrame(
+        from gobblin_spark.session import local_rows_df
+
+        # LocalRelation, not a python-RDD frame: this lookup is built
+        # per changelog read and only ever broadcast (see local_rows_df)
+        return local_rows_df(
+            self.spark,
             [(self._path_uri_form(e["info"].path),
               seq_of_snap.get(e["sequence_number"]))
              for e in window],
