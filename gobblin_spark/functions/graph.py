@@ -196,10 +196,20 @@ def pagerank_undirected(
     teleport = (1.0 - damping) / float(n)
     ranks = deg.select("id", F.lit(1.0 / float(n)).alias("rank"))
     for it in range(iterations):
-        contrib = (
-            ranks.join(deg, "id")
-            .select("id", (F.col("rank") / F.col("deg")).alias("c"))
-        )
+        if it == 0:
+            # rank_0 is the same literal 1/n for every node, so the
+            # first contribution is deg-local: lit(1/n)/deg divides the
+            # identical doubles the rank⟗deg join would produce —
+            # one join (and its exchange under AQE misestimates)
+            # removed per run (guide §3: skip joins whose one side is
+            # a constant projection of the other)
+            contrib = deg.select(
+                "id", (F.lit(1.0 / float(n)) / F.col("deg")).alias("c"))
+        else:
+            contrib = (
+                ranks.join(deg, "id")
+                .select("id", (F.col("rank") / F.col("deg")).alias("c"))
+            )
         inbound = (
             bi.join(contrib, bi["u"] == contrib["id"])
             .groupBy(F.col("v").alias("id"))
