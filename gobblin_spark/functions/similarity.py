@@ -485,20 +485,21 @@ def kmeans_fit_predict(
     cents = [(i, [float(x) for x in r["_e"]]) for i, r in enumerate(init)]
 
     def assign(cent_list):
-        choices = []
+        # ONE SQL string for the whole argmin: the Column-API build of
+        # k fold expressions costs hundreds of py4j round trips (the
+        # lambda plumbing) plus a slow resolution pass — 0.43 s per
+        # assignment plan at k=8, dim=64 vs 0.12 s for a single
+        # F.expr parse (A/B, values identical row-for-row). repr()
+        # literals round-trip doubles exactly and the 'D' suffix pins
+        # the SQL type to double, so the arithmetic is unchanged.
+        terms = []
         for cid, c in cent_list:
-            # ONE array literal per centroid: the per-element F.lit
-            # loop cost k x dim py4j round trips per assignment plan
-            # (~0.3 s at k=8, dim=32); F.lit(list) builds the same
-            # typed array literal in a single call
-            clit = F.lit(c)
-            d = F.aggregate(
-                F.zip_with("_e", clit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            choices.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-        best = F.array_sort(F.array(*choices))[0]["cid"]
+            arr = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+            d = (f"aggregate(zip_with(_e, {arr}, "
+                 f"(a, b) -> (a - b) * (a - b)), "
+                 f"0.0D, (acc, x) -> acc + x)")
+            terms.append(f"struct({d} AS d, {int(cid)} AS cid)")
+        best = F.expr(f"array_sort(array({','.join(terms)}))[0].cid")
         return vecs.select(id_col, best.alias("cluster"), "_e")
 
     for _ in range(iterations - 1):
