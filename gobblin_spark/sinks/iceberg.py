@@ -2124,6 +2124,27 @@ class IcebergTable:
         df = _conform_with_ids(df, _spark_struct(cur))
         sub = f"{self.location}/data/{uuid.uuid4().hex[:12]}"
         df, part_names = self._with_partition_cols(df, md)
+        if part_names:
+            try:
+                explicit = "Repartition" in (
+                    df._jdf.queryExecution().logical().toString())
+            except Exception:
+                explicit = True
+            if not explicit:
+                # hash-cluster rows on the partition tuple before the
+                # dynamic-partition write (Iceberg's
+                # write.distribution-mode=hash): one task per partition
+                # value, instead of every input task writing every
+                # partition's files — sequentially when the input is a
+                # single split (A/B at sf0.1: the 40-partition fixture
+                # append 0.83 -> 0.40 s; same one-file-per-partition
+                # layout). Explicit width pins the exchange against
+                # AQE's small-input coalescing; callers that already
+                # chose a layout (coalesce/repartition in the plan)
+                # are left alone.
+                df = df.repartition(
+                    df.sparkSession.sparkContext.defaultParallelism,
+                    *part_names)
         w = df.write.mode("overwrite")
         if part_names:
             w = w.partitionBy(*part_names)
