@@ -179,7 +179,8 @@ def main() -> int:
     # API. Plans are deterministic so the byte counts transfer to the
     # timed pass; the wall clocks recorded here are NOT the headline.
     details: dict[str, dict] = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_DETAILS", "1") != "0":
+    details_enabled = os.environ.get("SPARK_GRAFT_BENCH_DETAILS", "1") != "0"
+    if details_enabled:
         spark = get_spark("gobblin-spark-bench-telemetry",
                           master=f"local[{cpus}]", shuffle_partitions=cpus,
                           extra_conf={"spark.ui.enabled": "true",
@@ -228,16 +229,19 @@ def main() -> int:
     # compact (metric/value/queries/sf) and park the per-query REST
     # telemetry in a sidecar file (round 3's inline details pushed the
     # line past the buffer and the whole bench was lost as parsed:null).
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAILS.json"), "w") as f:
-        json.dump({"sf": sf, "total_sec": total,
-                   "calib_sec": calib, "calib_par_sec": calib_par,
-                   "calib_sec_pre": calib_pre,
-                   "calib_sec_post": calib_post,
-                   "calib_par_sec_pre": calib_par_pre,
-                   "calib_par_sec_post": calib_par_post,
-                   "query_details": details},
-                  f, indent=1)
+    # a details-disabled run (e.g. the lower-core-count scaling pass)
+    # must not clobber the populated sidecar of the main run
+    if details_enabled:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAILS.json"), "w") as f:
+            json.dump({"sf": sf, "total_sec": total,
+                       "calib_sec": calib, "calib_par_sec": calib_par,
+                       "calib_sec_pre": calib_pre,
+                       "calib_sec_post": calib_post,
+                       "calib_par_sec_pre": calib_par_pre,
+                       "calib_par_sec_post": calib_par_post,
+                       "query_details": details},
+                      f, indent=1)
     # the one machine-independent axis rides IN the headline line
     # (~30 bytes): wall clock drifts up to ±30% with co-tenant load
     # (r6 verdict; two r7 re-runs reproduced it with byte-flat
