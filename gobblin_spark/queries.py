@@ -9558,7 +9558,13 @@ def iceberg_datasource_read(spark, sf_dir):
         spark, loc, cust.schema,
         partition_spec=[("c_custkey", "bucket[8]"),
                         ("c_mktsegment", "truncate[2]")])
-    t.append_dataframe(cust.coalesce(1))
+    # no explicit coalesce: append_dataframe hash-clusters on the
+    # partition tuple, so the 40 partition dirs are written in
+    # parallel instead of sequentially by one task (the old
+    # coalesce(1) predates that and pinned the write to a single
+    # task); layout is unchanged — still exactly one file per
+    # partition, which the pruning assertion below depends on
+    t.append_dataframe(cust)
     # planner-level pruning evidence (the DSv2 path has no last_scan)
     n_all = len(DS._IcebergReader({"path": loc}, cust.schema)._plan())
     pruned = DS._IcebergReader({"path": loc}, cust.schema)

@@ -206,7 +206,35 @@ def ensure_parallelism(df, min_partitions: int | None = None):
         # the size bound bit, so the input is small — a scan this
         # size yields fewer splits than target; repartition without
         # paying the physical-planning probe
-        return df.repartition(target)
+        return _pushdown_barrier(df.repartition(target))
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        return _pushdown_barrier(df.repartition(target))
     return df
+
+
+def _pushdown_barrier(df):
+    """Pin later filters ABOVE a widening exchange.
+
+    Catalyst's PushDownPredicates pushes every deterministic filter
+    through a round-robin ``Repartition`` — so an expensive predicate
+    applied after ``ensure_parallelism`` (the regex quality gates of
+    the curation pipelines) lands back in the narrow pre-exchange scan
+    stage, the exact stage the widening exists to relieve (measured:
+    pipeline_training_data_e2e ran its 3-regex score filter in ONE
+    task, 0.6 s of a 0.8 s query). A ``CollectMetrics`` node (observe)
+    is the barrier: filters are never reordered through it (doing so
+    would change the observed metric), while column pruning still
+    reaches the scan and the per-row cost is one count accumulator.
+    (An always-true ``rand() >= -1`` filter does NOT work: Spark 4.1
+    folds range-trivial comparisons over rand away.) The metric name
+    is uniqued per call — two different barriers in one query plan
+    must not collide; reuse of the SAME memoized frame (self-join,
+    union) is fine. Installed only on the small-input repartition
+    path: at scale the scan is already wide, ensure_parallelism is a
+    no-op, and scan-level pushdown/pruning stay fully intact."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    return df.observe("widen_barrier_" + uuid.uuid4().hex[:12],
+                      F.count(F.lit(1)).alias("rows_widened"))
