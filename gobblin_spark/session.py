@@ -87,6 +87,19 @@ def get_spark(
         # the write-heavy roundtrips run 0.95x total vs snappy
         # (fewer bytes through the scratch FS) ---
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # --- optimizer: constraint propagation re-derives constraint
+        # sets over every operator's expressions on every plan — on
+        # the wide-aggregate/self-join operators (64-term simhash,
+        # TF-IDF pair join) that is pure driver planning cost, paid
+        # identically at any scale (same plans on 100 TB). A/B at
+        # sf0.1 across 33 queries: 0.85x total, simhash 0.73x,
+        # tfidf_cosine_pairs 0.31x, no family regressing beyond noise;
+        # shuffle bytes byte-flat (the bench diff checks). Trade-off:
+        # the optimizer stops inferring IsNotNull filters under inner
+        # joins — deployments joining on NULL-HEAVY keys should flip
+        # this back on to shed null rows before the exchange
+        # (SPARK-19846 made it configurable for exactly this cost) ---
+        .config("spark.sql.constraintPropagation.enabled", "false")
         # --- codegen: the wide-aggregate operators (64-min MinHash,
         # 64-sum SimHash) compile large generated classes; the default
         # 100-entry cache evicts them across a multi-query session and
