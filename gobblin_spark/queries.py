@@ -4931,10 +4931,19 @@ def pipeline_corpus_curation(spark, sf_dir):
     one aggregate shuffle picks survivors, the survivor id set
     re-attaches text by an id join (ids only on the build side), and
     chunking runs scan-speed narrow on the curated corpus."""
+    from gobblin_spark.session import _pushdown_barrier
+
     docs = load_docs(spark, sf_dir)
-    scored = docs.select(
+    # barrier between the score projection and the filter: Catalyst's
+    # predicate pushdown otherwise substitutes the whole 3-regex score
+    # expression into the Filter condition AND keeps it in the Project
+    # output — evaluating the regex suite twice per surviving row. A
+    # CollectMetrics node pins the filter above the projection, so the
+    # score is computed once and the filter reads the column (r13,
+    # guide §1 plan audit; value-identical, plan-only change)
+    scored = _pushdown_barrier(docs.select(
         "doc_id", "text",
-        text.quality_score(F.col("text")).alias("quality_score"))
+        text.quality_score(F.col("text")).alias("quality_score")))
     kept = scored.filter(F.col("quality_score") >= 0.94)
     best = dedup.dedup_keep_best(kept, "doc_id", "text", "quality_score")
     curated = docs.join(best.select("doc_id"), "doc_id")
@@ -9799,6 +9808,12 @@ def curation_lakehouse_roundtrip(spark, sf_dir):
     loc = tempfile.mkdtemp(prefix="gobblin_curlake_") + "/t"
     t = IcebergTable.create(spark, loc, kept.schema,
                             partition_spec=[("lang", "truncate[1]")])
+    # the explicit coalesce(1) is DELIBERATE here (unlike
+    # iceberg_datasource_read's fixture): the deduped frame is tiny
+    # (~7k rows after keep-first), so letting append_dataframe
+    # hash-cluster on lang adds a 32-way exchange that costs more
+    # than the single-task write saves (A/B r13: 0.50 -> 0.58 s);
+    # at scale a caller would simply not coalesce
     t.append_dataframe(kept.coalesce(1))
     out = t.read(prune_filters=[("lang", "=", "en")])
     if not t.last_scan["files_scanned"] < t.last_scan["files_total"]:
