@@ -1575,6 +1575,85 @@ def decode_jpeg_color_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, BMP_FEATURE_SCHEMA)
 
 
+def _codec_width(ids: DataFrame) -> int | None:
+    """Partition width for a ~ms-per-row Python codec stage.
+
+    ``ensure_parallelism``'s 64 KiB-per-task scan bound is calibrated
+    for column-expression work; a pure-Python media codec costs ~1000x
+    more per input byte, so it saturates the cluster at a few hundred
+    bytes of ids per task. Width derives from the optimizer's input
+    size estimate (scale-adaptive, never a local constant), capped at
+    cluster parallelism. When the estimate says the scan already
+    yields >= parallelism file splits (the 100 TB case) no repartition
+    is applied at all — scan pruning/pushdown stay intact and the ids
+    are not shuffled. Returns None when the input should be left as-is.
+    """
+    spark = ids.sparkSession
+    full = spark.sparkContext.defaultParallelism
+    try:
+        size = int(ids._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+        maxpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        return None
+    if maxpb > 0 and size // maxpb >= full:
+        return None
+    target = min(full, max(1, size // 512))
+    return target if target > 1 else None
+
+
+def media_roundtrip_features(df: DataFrame, kind: str,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Fused synth+decode media round trip in ONE Python crossing.
+
+    Computes exactly ``decode_wav_features(synth_wav_media(df))`` /
+    ``decode_jpeg_color_features(synth_jpeg_color_media(df))`` (pinned
+    by a value-identity test), but as a single mapInPandas: the chained
+    two-operator form runs TWO Python operators per task — the encoded
+    payload crosses the Arrow boundary twice (Python -> JVM -> Python)
+    and every core runs two concurrent Python workers (2x
+    oversubscription). Fusing halves the worker count, drops both
+    payload crossings, and lets the codec stage take codec-appropriate
+    width (``_codec_width``). A/B at sf0.1 (guide §4.1/§4.2):
+    jpeg_color 1.01 -> 0.67 s. Only worth it when the CODEC DOMINATES:
+    the cheap numpy WAV codec measured FASTER composed (0.30 s) than
+    fused (0.35 s) — two light workers pipeline across cores — so the
+    wav query keeps the composition. The two-operator composition
+    remains the public API for callers that materialize the media
+    frame.
+    """
+    if kind == "wav":
+        schema = WAV_FEATURE_SCHEMA
+    elif kind == "jpeg_color":
+        schema = BMP_FEATURE_SCHEMA
+    else:
+        raise ValueError(f"unsupported media roundtrip kind: {kind!r}")
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    width = _codec_width(ids)
+    if width:
+        ids = ids.repartition(width)
+    cols = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gobblin_spark.functions import multimodal as mm
+
+        if kind == "wav":
+            def one(mid):
+                payload = mm.encode_wav_pcm16(mm._wav_samples_np(mid), 8000)
+                rate, nch, nfr, s, sa = mm.decode_wav_pcm16(payload)
+                return (mid, rate, nch, nfr, nfr * 1000 // rate, s, sa)
+        else:
+            def one(mid):
+                w, h, sr, sg, sb = mm.decode_jpeg_color(
+                    mm.encode_jpeg_color_pattern(mid))
+                return (mid, w, h, sr, sg, sb)
+        for pdf in batches:
+            out = [one(int(m)) for m in pdf["media_id"]]
+            yield pd.DataFrame(out, columns=cols).astype("int64")
+
+    return ids.mapInPandas(run, schema)
+
+
 def encode_jpeg_color_420(rgb, w: int, h: int) -> bytes:
     """Baseline YCbCr 4:2:0 color JFIF — the subsampled layout
     real-world JPEGs ship: Y at full resolution (sampling 2x2),

@@ -1403,12 +1403,15 @@ def multimodal_frame_plan(spark, sf_dir):
 def multimodal_decode_wav(spark, sf_dir):
     """REAL audio decode, value-checked: every doc id is encoded into
     an actual PCM16 mono WAV file (stdlib wave — a playable RIFF
-    container) in one Arrow-batched stage, then a SECOND mapInPandas
-    stage parses the bytes back (header fields + struct-unpacked
-    frames) into exact integer metrics. The samples are a pure integer
-    function of the id, so the oracle reproduces sum/abs-sum per
-    recording in closed form — the decode path that used to be stubbed
-    is now a value-exact round trip over real media bytes."""
+    container), then the bytes are parsed back (header fields +
+    struct-unpacked frames) into exact integer metrics. The samples
+    are a pure integer function of the id, so the oracle reproduces
+    sum/abs-sum per recording in closed form — the decode path that
+    used to be stubbed is now a value-exact round trip over real media
+    bytes. Deliberately NOT fused (r13): the WAV codec is numpy-cheap,
+    so the two Python operators pipeline across cores — A/B measured
+    composed 0.30 s vs fused 0.35 s at sf0.1; fusion only pays when
+    the codec dominates (see multimodal_decode_jpeg_color)."""
     docs = load_docs(spark, sf_dir)
     media = multimodal.synth_wav_media(docs)
     return multimodal.decode_wav_features(media)
@@ -1553,10 +1556,12 @@ def multimodal_decode_jpeg_color(spark, sf_dir):
     survives within a few counts per pixel (color-transform + DCT
     rounding), pytest-pinned. Chroma subsampling has its own entry
     (multimodal_decode_jpeg420), as does progressive mode
-    (multimodal_decode_jpeg_prog)."""
+    (multimodal_decode_jpeg_prog). Encode+decode run FUSED in one
+    Arrow crossing (media_roundtrip_features, r13: 1.01 -> 0.67 s at
+    sf0.1; value-identity with the two-operator composition is
+    test-pinned)."""
     docs = load_docs(spark, sf_dir)
-    media = multimodal.synth_jpeg_color_media(docs)
-    return multimodal.decode_jpeg_color_features(media)
+    return multimodal.media_roundtrip_features(docs, "jpeg_color")
 
 
 @q(

@@ -1158,6 +1158,26 @@ def test_decode_image_features_real_jpeg_color(spark):
     assert color == gray
 
 
+def test_media_roundtrip_features_fused_identity(spark):
+    """The single-crossing fusion (r13 optimization) computes exactly
+    the two-operator composition, row for row, for both kinds."""
+    ids = spark.range(24).select(F.col("id").alias("doc_id"))
+    for kind, synth, decode in (
+        ("wav", multimodal.synth_wav_media,
+         multimodal.decode_wav_features),
+        ("jpeg_color", multimodal.synth_jpeg_color_media,
+         multimodal.decode_jpeg_color_features),
+    ):
+        fused = multimodal.media_roundtrip_features(ids, kind)
+        composed = decode(synth(ids))
+        assert fused.schema == composed.schema, kind
+        assert fused.exceptAll(composed).count() == 0, kind
+        assert composed.exceptAll(fused).count() == 0, kind
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal.media_roundtrip_features(ids, "mp3")
+
+
 def test_decode_image_features_real_jpeg(spark):
     """The magic sniff routes JPEG payloads to the real baseline
     decoder — dims come from the stream's SOF0, not a stub."""
