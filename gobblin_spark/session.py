@@ -190,9 +190,15 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     to 32 partitions and every lighter operator pays for unneeded
     width; guide §2 scale-adaptive partitioning). Unknown statistics
     (the estimate degrades to Long.Max-ish) leave the full target.
+    RE-CONFIRMED r13 session 5 with an arm-ALTERNATING same-session
+    A/B (sequential-block A/Bs are warming-biased toward the later
+    arm): a 16 KiB bound is 1.25-1.8x SLOWER across the 8-operator
+    text/dedup family (simhash_docs 0.26 -> 0.46, cleaning_dedup_lines
+    0.38 -> 0.69) — the extra width costs more in task launch + shuffle
+    block fan-out than the ~tens of ms of per-task compute it spreads.
     """
-    sc = df.sparkSession.sparkContext
-    full = min_partitions or sc.defaultParallelism
+    spark = df.sparkSession
+    full = min_partitions or spark.sparkContext.defaultParallelism
     target = full
     try:
         size = int(df._jdf.queryExecution().optimizedPlan()
@@ -220,6 +226,18 @@ def ensure_parallelism(df, min_partitions: int | None = None):
         # size yields fewer splits than target; repartition without
         # paying the physical-planning probe
         return _pushdown_barrier(df.repartition(target))
+    if size is not None:
+        try:
+            maxpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+        except Exception:
+            maxpb = 128 * 1024 * 1024
+        if maxpb > 0 and size // maxpb + 1 < full:
+            # the size estimate proves the scan yields fewer splits
+            # than the target — repartition without the probe (the
+            # probe's physical planning costs more than it saves on
+            # provably-narrow inputs); at 100 TB the estimate clears
+            # the bar and execution falls through to the probe path
+            return _pushdown_barrier(df.repartition(target))
     if df.rdd.getNumPartitions() < target:
         return _pushdown_barrier(df.repartition(target))
     return df
