@@ -1,8 +1,9 @@
-"""Dump .explain("formatted") for headline queries to plans/r13/.
+"""Dump .explain("formatted") for headline queries to plans/<round>/.
 
 Usage: python scripts/dump_plans.py <suffix> [name ...]
+(round dir defaults to r14; override with $SPARK_GRAFT_PLANS_DIR)
 
-Writes plans/r13/<query>_<suffix>.txt for each query (default: every
+Writes plans/<round>/<query>_<suffix>.txt for each query (default: every
 HEADLINE entry). Runs at the bench SF (sf0.1) so the plans match what
 bench.py executes. Queries with in-query fixture builds execute their
 builds; only the RETURNED DataFrame's plan is recorded (that is the
@@ -20,8 +21,10 @@ sys.path.insert(0, ".")
 from gobblin_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "..", "plans", "r13")
+OUT_DIR = os.environ.get(
+    "SPARK_GRAFT_PLANS_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "..", "plans", "r14"))
 
 
 def main() -> int:
