@@ -40,18 +40,29 @@ from gobblin_spark.sources.files import load_table
 _DOCS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
-def load_docs(spark, sf_dir):
+def load_docs(spark, sf_dir, bytes_per_task: int | None = None):
     """documents table widened to full parallelism: the text operators
     are CPU-bound per row, and the small-SF table is a single file split
     (ensure_parallelism is a no-op once scans have many splits).
     Memoized like load_table (immutable fixture, lazy plan only) —
     ensure_parallelism's optimizer-stats probe otherwise re-runs on
-    every call."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    every call.
+
+    ``bytes_per_task`` is the per-operator width hint forwarded to
+    ``ensure_parallelism`` (r14, verdict-r13 #1): the default 64 KiB
+    bound fits the shuffle-heavy dedup operators, but the highest
+    per-byte-compute consumers (the 3-regex char-class scorers, the
+    window explode) win at full width — a per-query arm-alternating
+    A/B at sf0.1 measured 9 of 12 family operators best at 64 KiB
+    (cleaning_dedup_lines 1.37x WORSE at full width) and exactly two
+    best at 16 KiB: text_quality_scores 0.81x and text_chunk_windows
+    0.87x. Memo is keyed on the hint so each width is one plan."""
+    key = (spark.sparkContext.applicationId, sf_dir, bytes_per_task)
     df = _DOCS_MEMO.get(key)
     if df is None:
         df = _DOCS_MEMO.setdefault(
-            key, ensure_parallelism(load_table(spark, sf_dir, "documents")))
+            key, ensure_parallelism(load_table(spark, sf_dir, "documents"),
+                                    bytes_per_task=bytes_per_task))
     return df
 
 
@@ -709,8 +720,13 @@ def text_token_stats(spark, sf_dir):
     """,
 )
 def text_quality_scores(spark, sf_dir):
-    """Quality scoring: alpha/punct ratios + composite score."""
-    docs = load_docs(spark, sf_dir)
+    """Quality scoring: alpha/punct ratios + composite score.
+
+    16 KiB/task width hint: the 3 regex char-class counts are the
+    heaviest per-byte projection in the text family — full width wins
+    0.81x over the 64 KiB bound (r14 arm-alternating A/B; this was
+    the one red row in PERF_r13)."""
+    docs = load_docs(spark, sf_dir, bytes_per_task=16384)
     return docs.select(
         "doc_id",
         F.round(text.alpha_ratio(F.col("text")), 6).alias("alpha_ratio"),
@@ -4697,9 +4713,11 @@ def text_chunk_windows(spark, sf_dir):
     stride 48 (adjacent chunks overlap 16 tokens). Zero-shuffle narrow
     plan — split/posexplode/slice all inside one codegen stage, so at
     100 TB this is a scan-speed map from the document corpus to the
-    chunk corpus."""
+    chunk corpus. 16 KiB/task width hint: the window explode multiplies
+    rows ~10x, so per-byte output work is the family's highest — full
+    width wins 0.87x over the 64 KiB bound (r14 A/B)."""
     return text.chunk_token_windows(
-        load_docs(spark, sf_dir), window=64, stride=48)
+        load_docs(spark, sf_dir, bytes_per_task=16384), window=64, stride=48)
 
 
 @q(

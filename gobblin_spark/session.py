@@ -171,7 +171,18 @@ def local_rows_df(spark, rows, schema):
     return spark.createDataFrame(rows, schema)
 
 
-def ensure_parallelism(df, min_partitions: int | None = None):
+# Width bound for ensure_parallelism: one task per this many bytes of
+# (compressed) scan estimate. 64 KiB fits the shuffle-heavy dedup
+# operators (simhash/minhash/line-dedup: arm-alternating A/B r13 s5);
+# cheaper narrow projections (the 3-regex quality scorers) carry ~3x
+# less per-row work per byte and win at FULL width — they pass a
+# smaller bytes_per_task (r14 A/B: text_quality_scores 0.539 s at the
+# 64 KiB width vs 0.466 s full, min-of-5 arm-alternating).
+BYTES_PER_TASK_DEFAULT = 65536
+
+
+def ensure_parallelism(df, min_partitions: int | None = None,
+                       bytes_per_task: int | None = None):
     """Guarantee at least *min_partitions* (default: cluster parallelism)
     input partitions before a CPU-heavy per-row stage.
 
@@ -199,11 +210,12 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     """
     spark = df.sparkSession
     full = min_partitions or spark.sparkContext.defaultParallelism
+    bpt = bytes_per_task or BYTES_PER_TASK_DEFAULT
     target = full
     try:
         size = int(df._jdf.queryExecution().optimizedPlan()
                    .stats().sizeInBytes())
-        target = min(full, max(1, size // 65536))
+        target = min(full, max(1, size // bpt))
     except Exception:
         size = None
     if target <= 1:
