@@ -139,3 +139,32 @@ def test_span_dedup_overlapping_marks_merge(spark):
     assert out[1].n_removed == 0
     assert out[2].clean_text == "pre post"
     assert out[2].n_removed == 5
+
+
+def test_span_dedup_skew_guard_branch_equal_and_prefiltered(spark):
+    """The scale-adaptive skew guard (r14, verdict-r13 #2): forcing the
+    guarded branch must (a) put the duplicate-count hash aggregate
+    BELOW the window so unique digests never reach the sort, and (b)
+    produce exactly the plain branch's output."""
+    span = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [(1, f"intro {span} outro one"),
+         (2, f"other words here {span} trailing bits"),
+         (3, "completely unique text with no repeats at all")],
+        "doc_id int, text string")
+    plain = CL.dedup_spans_global(docs, width=4)
+    guarded = CL.dedup_spans_global(docs, width=4, skew_guard_bytes=0)
+    assert plain.exceptAll(guarded).count() == 0
+    assert guarded.exceptAll(plain).count() == 0
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    iw = plan.find("Window ")
+    ih = plan.find("HashAggregate(keys=[_h")
+    assert 0 < iw < ih, plan[:1500]   # count agg below the window
+    # a provably-small SCAN (known stats, under the guard) keeps the
+    # plain single-window plan — no prefilter stages on small inputs
+    from gobblin_spark.sources.files import load_table
+
+    small = load_table(spark, "/root/testdata/sf0.001", "documents")
+    gplan = CL.dedup_spans_global(small, width=4) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate(keys=[_h" not in gplan, gplan[:1500]
