@@ -131,15 +131,23 @@ def main() -> int:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from gobblin_spark.queries import HEADLINE, QUERIES, TELEMETRY_ONLY
-    from gobblin_spark.session import get_spark
+    from gobblin_spark.session import PLAN_HEAVY_CONF, get_spark
 
     # Timing session runs with the UI OFF: the status listener +
     # web server add 0.05-0.3 s per query (A/B-measured at sf0.1) and
     # polluted round 3's numbers vs round 2. The REST telemetry the
     # details file needs comes from a second, separately-timed pass.
+    # PLAN_HEAVY_CONF (r14): the bench session keeps constraint
+    # propagation off — the r13 rounds timed with it off as a global
+    # engine default; the default moved back to scale-safe ON
+    # (verdict-r13 #3), and carrying the conf HERE keeps the timed
+    # configuration identical to r13's so round-over-round walls stay
+    # comparable. The bench wall it protects is driver plan-build
+    # time, a per-query constant, not an execution-path difference.
     spark = get_spark("gobblin-spark-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus,
-                      extra_conf={"spark.ui.enabled": "false"})
+                      extra_conf={"spark.ui.enabled": "false",
+                                  **PLAN_HEAVY_CONF})
     # Warm the JVM/codegen paths so timings measure the engine, not
     # Janino: each headline plan shape is executed once at the smallest
     # SF (identical generated classes, ~100x less data), so the timed
@@ -184,7 +192,8 @@ def main() -> int:
         spark = get_spark("gobblin-spark-bench-telemetry",
                           master=f"local[{cpus}]", shuffle_partitions=cpus,
                           extra_conf={"spark.ui.enabled": "true",
-                                      "spark.ui.port": "4049"})
+                                      "spark.ui.port": "4049",
+                                      **PLAN_HEAVY_CONF})
         api = _StatusApi(spark)
         api.snapshot()
         # TELEMETRY_ONLY entries ride this pass alone: their walls are

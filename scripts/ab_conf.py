@@ -12,7 +12,7 @@ import time
 
 sys.path.insert(0, ".")
 
-from gobblin_spark.session import get_spark  # noqa: E402
+from gobblin_spark.session import PLAN_HEAVY_CONF, get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.1"
 
@@ -25,7 +25,8 @@ def main():
     if not names:
         names = list(HEADLINE)
     spark = get_spark("ab-conf", shuffle_partitions=32,
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+                      extra_conf={"spark.ui.showConsoleProgress": "false",
+                                  **PLAN_HEAVY_CONF})
     # warm codegen at the smallest SF, like bench.py
     for n in names:
         try:

@@ -18,7 +18,7 @@ import traceback
 
 sys.path.insert(0, ".")
 
-from gobblin_spark.session import get_spark  # noqa: E402
+from gobblin_spark.session import PLAN_HEAVY_CONF, get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.environ.get(
@@ -33,7 +33,8 @@ def main() -> int:
     suffix = sys.argv[1]
     names = sys.argv[2:] or list(HEADLINE)
     os.makedirs(OUT_DIR, exist_ok=True)
-    spark = get_spark("gobblin-plan-dump")
+    # same session conf as bench.py so dumped plans match the timed ones
+    spark = get_spark("gobblin-plan-dump", extra_conf=PLAN_HEAVY_CONF)
     for name in names:
         try:
             df = QUERIES[name](spark, SF_DIR)

@@ -11,7 +11,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from gobblin_spark.queries import QUERIES, TELEMETRY_ONLY  # noqa: E402
-from gobblin_spark.session import get_spark  # noqa: E402
+from gobblin_spark.session import PLAN_HEAVY_CONF, get_spark  # noqa: E402
 
 
 def main(argv):
@@ -24,7 +24,7 @@ def main(argv):
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("gobblin-spark-timeq", master=f"local[{cpus}]",
                       shuffle_partitions=cpus,
-                      extra_conf={"spark.ui.enabled": "false"})
+                      extra_conf={"spark.ui.enabled": "false", **PLAN_HEAVY_CONF})
     warm_dir = "/root/testdata/sf0.001"
     for name in names:
         fn = QUERIES.get(name) or TELEMETRY_ONLY[name]
