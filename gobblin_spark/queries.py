@@ -7101,11 +7101,18 @@ def sql_write_read_roundtrip(spark, sf_dir):
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
     even = sup.filter(F.col("s_suppkey") % 2 == 0)
     odd = sup.filter(F.col("s_suppkey") % 2 == 1)
-    (even.write.format("gobblin_sql").option("database", db)
-     .option("table", "supplier_rt").mode("overwrite").save())
-    (odd.write.format("gobblin_sql").option("database", db)
-     .option("table", "supplier_rt").mode("append").save())
-    hi = sup.agg(F.max("s_suppkey")).first()[0]
+    # the read's partition bound only needs the SOURCE table — overlap
+    # its aggregate with the two (order-dependent) DSv2 write commands
+    # (guide §2.6; r14: the bound job+gap ran serially after the writes)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _ex:
+        _hi = _ex.submit(lambda: sup.agg(F.max("s_suppkey")).first()[0])
+        (even.write.format("gobblin_sql").option("database", db)
+         .option("table", "supplier_rt").mode("overwrite").save())
+        (odd.write.format("gobblin_sql").option("database", db)
+         .option("table", "supplier_rt").mode("append").save())
+    hi = _hi.result()
     back = (
         spark.read.format("gobblin_sql")
         .option("database", db).option("table", "supplier_rt")
@@ -9515,11 +9522,12 @@ def iceberg_changelog_delete_read(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_orderpriority")
     loc = tempfile.mkdtemp(prefix="gobblin_icecld_") + "/t"
     t = IcebergTable.create(spark, loc, orders.schema)
-    snaps = []
-    for m in range(2):
-        t.append_dataframe(orders.filter(F.col("o_orderkey") % 2 == m)
-                           .coalesce(1))
-        snaps.append(t.metadata()["current-snapshot-id"])
+    # both append snapshots' data files come out of ONE write job
+    # (r14, guide §1.2: the r13 shape paid a full Spark write command
+    # per snapshot); the snapshots stay two ordered commits with the
+    # same per-snapshot rows, so the changelog replay is unchanged
+    snaps = t.append_dataframe_groups(
+        orders.withColumn("_m", F.col("o_orderkey") % 2), "_m", [0, 1])
     pos = (t.read(apply_deletes=False)
            .select(F.col("_metadata.file_path").alias("file_path"),
                    F.col("_metadata.row_index").alias("pos"),
@@ -9539,11 +9547,21 @@ def iceberg_changelog_delete_read(spark, sf_dir):
         orders.filter(F.col("o_orderpriority") == "5-LOW")
         .select("o_orderkey"))
     snaps.append(t.metadata()["current-snapshot-id"])
-    if t.read().filter(
-            F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
-    ).count() != 0:
+    # the read-path verify count and the changelog's driver-side
+    # metadata/plan build are independent (both see the final table
+    # state): overlap them (guide §2.6 — actions are only sequential
+    # because driver code calls them sequentially); the assertion
+    # still gates before the changelog is returned
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _ex:
+        _verify = _ex.submit(
+            lambda: t.read().filter(
+                F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+            ).count())
+        cl = t.changelog(None)
+    if _verify.result() != 0:
         raise RuntimeError("deletes not applied by read()")
-    cl = t.changelog(None)
     ordinal = F.when(F.col("_commit_snapshot_id") == snaps[0], 1) \
         .when(F.col("_commit_snapshot_id") == snaps[1], 2) \
         .when(F.col("_commit_snapshot_id") == snaps[2], 3) \

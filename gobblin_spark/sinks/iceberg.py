@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -2152,6 +2153,78 @@ class IcebergTable:
         return self.append_files(self._list_committed_files(sub),
                                  summary_extra=summary_extra,
                                  branch=branch)
+
+    def append_dataframe_groups(self, df: DataFrame, group_col: str,
+                                groups: list) -> list[int]:
+        """ONE Spark write job, one append snapshot PER GROUP, committed
+        in *groups* order — the multi-snapshot backfill/fixture shape
+        (N ordered commits whose data is all known up front). The r13
+        shape ran one full write job per snapshot; each job costs a
+        command round trip + scheduling that this batches away, while
+        the snapshots stay exactly as distinct as sequential appends
+        (own manifests, own summaries, ordered ordinals — changelog
+        replay and time travel see the same history).
+
+        The frame is routed by hash(group_col) so each group's rows
+        land in one task (one file per group, like the sequential
+        ``coalesce(1)`` appends produced); files are staged partitioned
+        by the group, moved under ``data/`` (one rename per group — the
+        same primitive the publish protocol relies on), and committed
+        group by group. Unpartitioned tables only (a partitioned table
+        would need hive layout per group AND per partition); group
+        values must be hive-dir-safe scalars (ints here)."""
+        md = self.metadata()
+        if self._spec_info(md):
+            raise ValueError(
+                "append_dataframe_groups supports unpartitioned tables "
+                "only (partitioned appends need the hive layout per "
+                "partition — use append_dataframe per group)")
+        cur = next(s for s in md["schemas"]
+                   if s["schema-id"] == md["current-schema-id"])
+        target = _spark_struct(cur)
+        from pyspark.sql import functions as F
+        cols = [
+            (F.col(f.name) if f.name in df.columns else F.lit(None))
+            .cast(f.dataType).alias(f.name, metadata=dict(f.metadata))
+            for f in target.fields]
+        d = df.select(*cols, F.col(group_col).cast("string").alias("_grp"))
+        tmp = f"{self.location}/_staged_groups_{uuid.uuid4().hex[:12]}"
+        (d.repartition(max(len(groups), 1), "_grp")
+         .write.mode("overwrite").partitionBy("_grp").parquet(tmp))
+        snap_ids: list[int] = []
+        try:
+            for v in groups:
+                gdir = f"{tmp}/_grp={v}"
+                sub = f"{self.location}/data/{uuid.uuid4().hex[:12]}"
+                self._rename_dir(gdir, sub)
+                snap_ids.append(
+                    self.append_files(self._list_committed_files(sub)))
+        finally:
+            try:
+                if self._session_claims_local(tmp):
+                    shutil.rmtree(self._local(tmp), ignore_errors=True)
+                else:
+                    fs, p, _ = self._fs(tmp)
+                    if fs.exists(p):
+                        fs.delete(p, True)
+            except Exception:
+                pass
+        return snap_ids
+
+    def _rename_dir(self, src: str, dst: str) -> None:
+        """Move *src* to *dst* (local: one rename syscall; remote
+        schemes: Hadoop FS rename). Raises if the move fails — a
+        silently-missing group dir must not commit an empty snapshot."""
+        if self._session_claims_local(src):
+            ldst = self._local(dst)
+            os.makedirs(os.path.dirname(ldst), exist_ok=True)
+            os.rename(self._local(src), ldst)
+            return
+        fs, sp, jvm = self._fs(src)
+        dp = jvm.org.apache.hadoop.fs.Path(dst)
+        fs.mkdirs(dp.getParent())
+        if not fs.rename(sp, dp):
+            raise IOError(f"rename {src} -> {dst} failed")
 
     def append_dataframe_idempotent(self, df: DataFrame,
                                     token: str,

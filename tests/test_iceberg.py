@@ -4675,3 +4675,41 @@ def test_cherry_pick_recovers_orphaned_append(spark, tmp_path):
     # history stays linearizable: unique sequence numbers
     seqs = [s["sequence-number"] for s in t.metadata()["snapshots"]]
     assert len(set(seqs)) == len(seqs)
+
+
+def test_append_dataframe_groups_matches_sequential_appends(
+        spark, sf_dir, tmp_path):
+    """append_dataframe_groups (r14): one write job, one snapshot per
+    group in order — history, per-snapshot visibility, time travel and
+    changelog stamping must be exactly what sequential appends give."""
+    region = files.load_table(spark, sf_dir, "region")
+    grouped = region.withColumn("_g", F.col("r_regionkey") % 2)
+
+    t = I.IcebergTable.create(spark, str(tmp_path / "grp"), region.schema)
+    snaps = t.append_dataframe_groups(grouped, "_g", [0, 1])
+    assert len(snaps) == 2
+    assert [s["snapshot-id"] for s in t.snapshots()] == snaps
+    # per-snapshot visibility: snapshot 1 = group 0 rows only
+    g0 = region.filter(F.col("r_regionkey") % 2 == 0)
+    assert t.read(snapshot_id=snaps[0]).count() == g0.count()
+    assert sorted(map(tuple, t.read(snapshot_id=snaps[0]).collect())) == \
+        sorted(map(tuple, g0.collect()))
+    assert t.read().count() == region.count()
+    # the group column never reaches the table
+    assert t.read().columns == region.columns
+    # changelog stamps each group's rows with its own commit
+    cl = t.changelog(None)
+    by_snap = {r["_commit_snapshot_id"]: r["n"] for r in
+               cl.groupBy("_commit_snapshot_id").agg(
+                   F.count(F.lit(1)).alias("n")).collect()}
+    assert by_snap[snaps[0]] == g0.count()
+    assert by_snap[snaps[1]] == region.count() - g0.count()
+    # partitioned tables refuse (hive layout per partition needed)
+    tp = I.IcebergTable.create(
+        spark, str(tmp_path / "grp_part"), region.schema,
+        partition_spec=[("r_regionkey", "identity")])
+    try:
+        tp.append_dataframe_groups(grouped, "_g", [0, 1])
+        raise AssertionError("partitioned table must refuse groups")
+    except ValueError:
+        pass
