@@ -22,6 +22,8 @@ literals (a few KB) — deterministic across runs and engines.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -492,9 +494,19 @@ def kmeans_fit_predict(
         # F.expr parse (A/B, values identical row-for-row). repr()
         # literals round-trip doubles exactly and the 'D' suffix pins
         # the SQL type to double, so the arithmetic is unchanged.
+        # Non-finite components (a NaN in any input vector propagates
+        # through avg) emit as CAST literals — repr() renders
+        # nanD/infD, which is unparseable SQL (advice-r13).
+        def _dlit(x: float) -> str:
+            if math.isfinite(x):
+                return f"{x!r}D"
+            if math.isnan(x):
+                return "CAST('NaN' AS DOUBLE)"
+            return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+
         terms = []
         for cid, c in cent_list:
-            arr = "array(" + ",".join(f"{x!r}D" for x in c) + ")"
+            arr = "array(" + ",".join(_dlit(x) for x in c) + ")"
             d = (f"aggregate(zip_with(_e, {arr}, "
                  f"(a, b) -> (a - b) * (a - b)), "
                  f"0.0D, (acc, x) -> acc + x)")

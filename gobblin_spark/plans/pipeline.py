@@ -135,7 +135,17 @@ def run(pipeline: Pipeline, spark: SparkSession, persist: bool = True) -> Pipeli
             result.quarantined = quarantined.count()
             ctx.counter("records_quarantined").inc(result.quarantined)
             if result.quarantined:
-                quarantined.write.mode("append").parquet(pipeline.quarantine_dir)
+                # staged write + rename publish, NOT a direct append:
+                # under the v2 output committer a mid-job failure of a
+                # direct append leaves partial task files visible in
+                # the destination, so a retried pipeline would double-
+                # count quarantined rows (advice-r13). The staging-dir
+                # + merge-rename path is atomic per publish; existing
+                # quarantine content is preserved (rename merges).
+                P.publish_staged(
+                    P.stage(quarantined, pipeline.quarantine_dir,
+                            name="quarantine", job_id=pipeline.job_id),
+                    spark)
 
         # branch staging writes are INDEPENDENT jobs over the shared
         # persisted parent: submit them from a small thread pool so a
@@ -165,14 +175,32 @@ def run(pipeline: Pipeline, spark: SparkSession, persist: bool = True) -> Pipeli
                 P.audit(s, spark, b.task_policies)
             staged_by_idx[i] = s
 
-        if len(to_write) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=min(3, len(to_write))) as ex:
-                # list() propagates the first exception, like the loop did
-                list(ex.map(_stage_one, to_write))
-        else:
-            for item in to_write:
-                _stage_one(item)
+        try:
+            if len(to_write) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(
+                        max_workers=min(3, len(to_write))) as ex:
+                    futs = [ex.submit(_stage_one, item)
+                            for item in to_write]
+                    errs = [f.exception() for f in futs]
+                first = next((e for e in errs if e is not None), None)
+                if first is not None:
+                    raise first
+            else:
+                for item in to_write:
+                    _stage_one(item)
+        except BaseException:
+            # one branch failed: the OTHER branches may have finished
+            # (or been mid-) staging — abort their staging dirs before
+            # re-raising, or retried pipelines inherit orphaned
+            # staging trees (advice-r13; the sequential path had the
+            # same leak for already-staged earlier branches)
+            for s in staged_by_idx.values():
+                try:
+                    P.abort_staged(s, spark)
+                except Exception:
+                    pass
+            raise
         staged = [staged_by_idx[i] for i, _ in to_write]
         if not pipeline.branches:  # sink-less pipeline: expose the main frame
             result.dataframes["main"] = passed

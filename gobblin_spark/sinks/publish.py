@@ -182,8 +182,20 @@ def stage(
     if cluster and partition_by:
         df = df.hint("rebalance", *partition_by)
     sdir = staging_dir_for(final_dir, job_id)
-    res = write_data(df, sdir, fmt=fmt, mode="overwrite",
-                     partition_by=partition_by, options=options)
+    try:
+        res = write_data(df, sdir, fmt=fmt, mode="overwrite",
+                         partition_by=partition_by, options=options)
+    except BaseException:
+        # a failed staging write leaves nothing worth keeping — drop
+        # the partial staging dir so retried jobs don't accumulate
+        # orphaned trees (advice-r13; final_dir is never touched)
+        try:
+            fs, src, _ = _fs(df.sparkSession, sdir)
+            if fs.exists(src):
+                fs.delete(src, True)
+        except Exception:
+            pass
+        raise
     return StagedDataset(name or final_dir, sdir, final_dir, write=res,
                          options=dict(options) if options else None)
 

@@ -66,10 +66,20 @@ def _local_fs_path(df: DataFrame, path: str) -> str | None:
     local filesystem (same rule as the Iceberg sink's
     ``_session_claims_local``)."""
     if path.startswith("file:"):
-        p = path[5:]
-        while p.startswith("//"):
-            p = p[1:]
-        return p
+        # parse properly: 'file://HOST/p' carries an authority —
+        # naive slash-stripping turned it into '/HOST/p' (a wrong,
+        # usually-nonexistent local path whose silent empty listing
+        # would zero out WriteResult stats). localhost/empty
+        # authorities resolve locally; anything else goes through the
+        # Hadoop client (advice-r13).
+        from urllib.parse import urlparse
+
+        u = urlparse(path)
+        if u.netloc and u.netloc.lower() != "localhost":
+            return None
+        # no unquote: Spark writes partition dirs with literal %XX
+        # escapes on disk, so decoding would corrupt those paths
+        return u.path or "/"
     if "://" in path:
         return None
     sc = df.sparkSession.sparkContext

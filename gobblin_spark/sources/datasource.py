@@ -44,6 +44,7 @@ import json
 import os
 import re
 import time
+import weakref
 from typing import Iterator, Tuple
 
 try:
@@ -287,6 +288,15 @@ class GobblinRestDataSource(DataSource):
         return _RestStreamWriter(self.options, schema)
 
 
+# sessions whose dataSource registry already holds our sources — a
+# WeakSet so a stopped session's entry is collected with the session
+_REGISTERED_SESSIONS: "weakref.WeakSet" = weakref.WeakSet()
+# JVM-side UserDefinedPythonDataSource builders captured at first
+# successful registration, keyed by source name — the donor for
+# sibling sessions (see register() for the Spark 4.1 inconsistency)
+_BUILDER_STASH: dict = {}
+
+
 def register(spark) -> None:
     """Idempotent registration of both native sources:
     spark.read.format('gobblin_rest') / format('gobblin_sql').
@@ -303,20 +313,47 @@ def register(spark) -> None:
     # (a foreign session may have flipped it back at any time and the
     # next DSv2 read would hard-fail); only the three source
     # registrations are skipped on repeat calls, ~15 ms of py4j each
-    # time otherwise, re-paid by every DSv2 query in a suite. Keyed on
-    # the live application id, so a new session re-registers normally.
+    # time otherwise, re-paid by every DSv2 query in a suite. Memoized
+    # PER SESSION OBJECT (advice-r13): dataSource.register is
+    # per-SparkSession state, and a sibling created with newSession()
+    # shares the applicationId — an app-id key silently skipped its
+    # registrations and every DSv2 read there failed with
+    # DATA_SOURCE_NOT_FOUND. A fresh session re-registers normally.
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
-        if getattr(register, "_done_app", None) == \
-                spark.sparkContext.applicationId:
+        if spark in _REGISTERED_SESSIONS:
             return
     except Exception:
         pass
-    spark.dataSource.register(GobblinRestDataSource)
-    spark.dataSource.register(GobblinSqlDataSource)
-    spark.dataSource.register(GobblinIcebergDataSource)
+    for src in (GobblinRestDataSource, GobblinSqlDataSource,
+                GobblinIcebergDataSource):
+        name = src.name()
+        try:
+            spark.dataSource.register(src)
+            try:
+                _BUILDER_STASH[name] = (
+                    spark._jsparkSession.sessionState()
+                    .dataSourceManager().lookupDataSource(name))
+            except Exception:
+                pass
+        except Exception as ex:
+            if "ALREADY_EXISTS" not in str(ex):
+                raise
+            # Spark 4.1 inconsistency on newSession() siblings
+            # (probed r14): the python-side duplicate check says the
+            # source ALREADY_EXISTS, yet the sibling's own session
+            # dataSourceManager is EMPTY and reads die with
+            # DATA_SOURCE_NOT_FOUND. Repair by installing the JVM
+            # builder captured at the first successful registration
+            # straight into this session's manager.
+            jm = spark._jsparkSession.sessionState().dataSourceManager()
+            if not jm.dataSourceExists(name):
+                donor = _BUILDER_STASH.get(name)
+                if donor is None:
+                    raise
+                jm.registerDataSource(name, donor)
     try:
-        register._done_app = spark.sparkContext.applicationId
+        _REGISTERED_SESSIONS.add(spark)
     except Exception:
         pass
 

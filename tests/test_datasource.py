@@ -1360,3 +1360,19 @@ def test_reclaim_flock_errno_classification(tmp_path, monkeypatch):
     monkeypatch.setattr(dsrc._fcntl, "flock", raising(errno.EINVAL))
     _RestWriter._reclaim_elected(lock, 60.0)
     assert not os.path.exists(lock)
+
+
+def test_register_covers_sibling_sessions(spark, sf_dir, tmp_path):
+    """register() memoizes per SESSION, not per applicationId
+    (advice-r13): a newSession() sibling shares the app id but has its
+    own dataSource registry — it must re-register, or every DSv2 read
+    there dies with DATA_SOURCE_NOT_FOUND."""
+    DS.register(spark)
+    sib = spark.newSession()
+    DS.register(sib)
+    rows = [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]
+    path = str(tmp_path / "pages")
+    DS.write_pages(rows, path, page_size=1)
+    back = (sib.read.format("gobblin_rest").schema("k long, v string")
+            .option("path", path).load())
+    assert back.count() == 2

@@ -1736,3 +1736,17 @@ def test_kmeans_rejects_zero_iterations(spark):
                                "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="ASSIGNMENT"):
         kmeans_fit_predict(df, "vec_id", "embedding", k=1, iterations=0)
+
+
+def test_kmeans_tolerates_nonfinite_vector_components(spark):
+    """A NaN/Inf component in any input vector propagates into a
+    centroid through avg; the SQL-literal argmin must emit parseable
+    CAST literals for it instead of nanD/infD (advice-r13). The run
+    must complete and still assign every row."""
+    rows = [(0, [float("nan"), 1.0]), (1, [float("inf"), 2.0]),
+            (2, [3.0, 3.0]), (3, [3.1, 2.9]), (4, [-3.0, -3.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_fit_predict(
+        df, "vec_id", "embedding", k=2, iterations=2)
+    got = {r.vec_id: r.cluster for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3, 4}

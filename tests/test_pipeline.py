@@ -259,3 +259,37 @@ def test_streaming_partial_marker_replays_only_unmarked(
     assert spark.read.parquet(str(out / "b")).count() == ev.filter(
         F.col("event_id") % 2 == 1).count()
     assert (out / "b" / f"_epoch-{token}-0.done").exists()
+
+
+def test_branch_failure_aborts_sibling_staging(spark, sf_dir, tmp_path):
+    """A failing branch must not leave sibling branches' staging dirs
+    behind (advice-r13): staged-but-uncommitted trees would otherwise
+    accumulate under every retried pipeline run."""
+    import glob
+
+    def boom(df):
+        # fails when the STAGING WRITE executes, not at plan build —
+        # the sibling branches are staging concurrently at that point
+        return df.withColumn(
+            "x", F.expr("assert_true(event_id < 0, 'branch stage boom')"))
+
+    pl = plans.Pipeline(
+        source=events_source(sf_dir),
+        branches=[
+            plans.Branch("ok_a", F.col("event_type") == "click",
+                         final_dir=str(tmp_path / "a")),
+            plans.Branch("ok_b", F.col("event_type") != "click",
+                         final_dir=str(tmp_path / "b")),
+            plans.Branch("bad", None, transforms=[boom],
+                         final_dir=str(tmp_path / "c")),
+        ],
+    )
+    try:
+        plans.run(pl, spark)
+        raise AssertionError("pipeline must propagate the branch error")
+    except Exception as ex:
+        assert "branch stage boom" in str(ex)
+    leftovers = [p for p in glob.glob(str(tmp_path / "*"))
+                 if "staging" in p.lower() or "_staged" in p]
+    leftovers += glob.glob(str(tmp_path / "*" / "_staging*"))
+    assert leftovers == [], leftovers

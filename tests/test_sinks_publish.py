@@ -273,3 +273,14 @@ def test_jdbc_swap_sql_is_dialect_aware():
         assert "DROP TABLE IF EXISTS tbl;" not in sql
     assert "ALTER TABLE IF EXISTS tbl RENAME TO" in pg
     assert "BEGIN;" in pg and "COMMIT;" in pg
+
+
+def test_local_fs_path_authority_parsing(spark, lineitem, tmp_path):
+    """file:// URIs with an authority (advice-r13): empty/localhost
+    authorities resolve locally; a real remote host falls through to
+    the Hadoop branch (None) instead of being mangled to '/host/p'."""
+    assert W._local_fs_path(lineitem, "file:/tmp/x") == "/tmp/x"
+    assert W._local_fs_path(lineitem, "file:///tmp/x") == "/tmp/x"
+    assert W._local_fs_path(lineitem, "file://localhost/tmp/x") == "/tmp/x"
+    assert W._local_fs_path(lineitem, "file://otherhost/tmp/x") is None
+    assert W._local_fs_path(lineitem, "hdfs://nn/tmp/x") is None
