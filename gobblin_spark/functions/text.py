@@ -406,13 +406,23 @@ def unigram_lm(train: DataFrame, text_col: str = "text") -> DataFrame:
     2020 §3.3; the unigram tier keeps the whole computation
     SQL-exact). One explode + one groupBy; the total rides along as a
     window-free cross-joinable 1-row aggregate folded in here so the
-    LM is a single self-contained DataFrame (word, n, total)."""
+    LM is a single self-contained DataFrame (word, n, total).
+
+    The vocab-sized counts table persists (r14): the LM feeds
+    multiple plan sites downstream (the total fold here, the scorer's
+    word join, its vocab/total scalar) and the AQE-final perplexity
+    plan showed 11 distinct shuffle stages with NO runtime exchange
+    reuse — the TRAINING CORPUS was re-tokenized at each site. Same
+    convention as the bigram LM (r13) and the signature/tf-idf
+    tables: slim derived tables persist, corpora never do. A/B at
+    sf0.1 (arm-alternating): see text_perplexity_scores in
+    OPTIMIZATION_r14.md."""
     words = (
         train.select(
             F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"))
         .filter(F.col("word") != "")
     )
-    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    counts = words.groupBy("word").agg(F.count("*").alias("n")).persist()
     total = counts.agg(F.sum("n").alias("total"))
     return counts.crossJoin(F.broadcast(total))
 
