@@ -51,6 +51,14 @@ def connected_components(
         )
         .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
         .distinct()
+        # NOTE (r14, measured): pre-keying this checkpoint by the join
+        # side (repartition("v")) buys nothing — under AQE the
+        # LogicalRDD a localCheckpoint produces reports
+        # UnknownPartitioning (verified in the physical plan, Spark
+        # 4.1), so downstream joins cannot see the layout and the
+        # extra exchange is pure cost. The per-iteration edge shuffle,
+        # when labels outgrow the broadcast threshold, is priced into
+        # the design here.
         .localCheckpoint()
     )
     labels = (
@@ -59,29 +67,38 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    comp_type = dict(labels.dtypes)["component"]
     for _ in range(max_iter):
         # neighbor's current label, folded with my own, min per node
         nbr = (
             bi.join(labels.withColumnRenamed("id", "v"), "v")
             .select(F.col("u").alias("id"), "component")
         )
-        # localCheckpoint cuts the lineage BEFORE the changed-count so
-        # each round plans against a materialized table, not the whole
-        # iteration history
-        new_labels = (
-            labels.unionByName(nbr)
+        # the convergence check rides INSIDE the label fold: each node's
+        # previous label is carried through the aggregate as max(_old)
+        # (exactly one labels row per id contributes non-null), so
+        # "did anything change" is a narrow filter over the table this
+        # round materializes anyway — the old shape paid a second
+        # distributed JOIN of the two label tables per iteration just
+        # to answer a yes/no (guide §1.2: don't compute things you
+        # throw away). localCheckpoint still cuts the lineage BEFORE
+        # the changed-count so each round plans against a materialized
+        # table, not the whole iteration history
+        fused = (
+            labels.withColumn("_old", F.col("component"))
+            .unionByName(nbr.withColumn(
+                "_old", F.lit(None).cast(comp_type)))
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("component"),
+                 F.max("_old").alias("_old"))
             .localCheckpoint()
         )
         changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "_old"), "id")
-            .filter(F.col("component") != F.col("_old"))
+            fused.filter(F.col("component") != F.col("_old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = fused.select("id", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -178,6 +195,16 @@ def pagerank_undirected(
     ).select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
     if dedup_edges:
         bi = bi.distinct()
+    # NOTE (r14, measured): pre-keying bi on u before the checkpoint
+    # (plain or scale-guarded) was built and REJECTED on plan
+    # evidence — under AQE a localCheckpoint's LogicalRDD reports
+    # UnknownPartitioning (Spark 4.1, verified in the forced-branch
+    # physical plan), so the iteration joins cannot reuse the layout
+    # and the repartition is one extra full edge exchange for
+    # nothing. When contributions outgrow the broadcast threshold the
+    # three per-iteration bi exchanges live in ONE query (no
+    # per-iteration checkpoint) and canonicalize identically, so
+    # exchange reuse already collapses them to one physical shuffle.
     # lazy: the edge blocks materialize inside the degree job below
     # (one job boundary fewer; the blocks are identical) — eager would
     # schedule a separate pass just to populate the cache (guide §1.2)

@@ -59,6 +59,19 @@ def test_keep_one_per_component_transitive(spark):
     assert out == [1, 9]
 
 
+def test_components_string_ids_exercise_old_label_carry(spark):
+    """r14: the per-iteration convergence check rides the label fold
+    (each node's previous label carried as max(_old) through the
+    aggregate) instead of a second label⟗label join per round. String
+    ids exercise the typed null literal that pads the neighbor rows
+    and the min/max fold on a non-numeric component type."""
+    edges = [("b", "c"), ("a", "b"), ("x", "y")]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {r.id: r.component
+           for r in G.connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_convergence_guard_raises(spark):
     edges = [(i, i + 1) for i in range(30)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
