@@ -105,7 +105,12 @@ def mixture_report(
     """Achieved vs requested share per domain — the audit artifact a
     mixture job publishes next to the sampled corpus."""
     total_w = float(sum(targets.values()))
-    tgt = sampled.sparkSession.createDataFrame(
+    from gobblin_spark.session import local_rows_df
+
+    # LocalRelation (see local_rows_df): few-row join side, python-RDD
+    # form launched python workers to build it
+    tgt = local_rows_df(
+        sampled.sparkSession,
         [(d, w / total_w) for d, w in sorted(targets.items())],
         f"{domain_col} string, requested_share double",
     )
@@ -380,8 +385,13 @@ def temperature_sample(
         (s, (target_total * weights[s] * scale) // (sum_w * ns[s]))
         for s in sorted(ns)
     ]
-    thr = spark.createDataFrame(
-        thr_rows, f"{source_col} string, _gs_threshold long")
+    # LocalRelation (see local_rows_df): this per-source threshold
+    # table is only ever broadcast-joined — the python-RDD form
+    # launched python workers just to build the broadcast side
+    from gobblin_spark.session import local_rows_df
+
+    thr = local_rows_df(
+        spark, thr_rows, f"{source_col} string, _gs_threshold long")
     bucket = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, split_hex_chars),
         16, 10,

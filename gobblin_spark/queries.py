@@ -33,7 +33,7 @@ from gobblin_spark.operators import (
     retention,
     windows,
 )
-from gobblin_spark.session import ensure_parallelism
+from gobblin_spark.session import ensure_parallelism, local_rows_df
 from gobblin_spark.sources.files import load_table
 
 
@@ -6067,8 +6067,11 @@ def user_value_deciles(spark, sf_dir):
         offsets.append((p, acc))
         acc += counts[p]
     total = acc
-    off_df = spark.createDataFrame(
-        offsets or [(0, 0)], "_pid int, _off long")
+    # LocalRelation (see local_rows_df): the offsets table is only
+    # ever broadcast-joined — the python-RDD form launched python
+    # workers just to build the broadcast side
+    off_df = local_rows_df(
+        spark, offsets or [(0, 0)], "_pid int, _off long")
 
     # exact ntile(10): first N%10 buckets take ceil(N/10) rows
     base, rem = divmod(total, 10)
@@ -6844,11 +6847,16 @@ def _temperature_report(docs, kept):
     sum_w = sum(weights.values())
     rows = [(s, ns[s], (400 * weights[s] * (16 ** 8)) // (sum_w * ns[s]))
             for s in sorted(ns)]
-    full_thr = docs.sparkSession.createDataFrame(
-        rows, "source string, n_docs long, threshold long")
+    # LocalRelation (see local_rows_df): python-RDD form launched
+    # python workers; and the python-RDD's unknown size estimate
+    # pushed the report join to a SortMergeJoin — kc is bounded by
+    # source cardinality (the same bound the driver collect above
+    # relies on), so broadcast it explicitly
+    full_thr = local_rows_df(
+        docs.sparkSession, rows, "source string, n_docs long, threshold long")
     kc = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
     return (
-        full_thr.join(kc, "source", "left")
+        full_thr.join(F.broadcast(kc), "source", "left")
         .select("source", "n_docs", "threshold",
                 F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"))
     )
