@@ -329,8 +329,13 @@ def read_avro(spark, path: str, avro_schema: str | None = None) -> DataFrame:
         list(rec_type.fields)
         + [T.StructField(c, T.StringType(), True) for c in pcols])
 
-    fdf = spark.createDataFrame([(f, r) for f, r in zip(files, rel)],
-                                "file string, rel string")
+    # JVM LocalRelation (session.local_rows_df): the file list is
+    # driver-built; the python-RDD lift added a worker round trip
+    # below the repartition that fans the actual reads out
+    from gobblin_spark.session import local_rows_df
+
+    fdf = local_rows_df(spark, [(f, r) for f, r in zip(files, rel)],
+                        "file string, rel string")
     fdf = fdf.repartition(min(len(files), 64))
     names = [f.name for f in rec_type.fields]
     schema_json = avro_schema

@@ -136,7 +136,12 @@ def list_dataset_versions(spark, base_path: str) -> DataFrame:
                 if not name.startswith("_") and not name.startswith("."):
                     rows.append((st.getPath().toString(), name,
                                  int(st.getModificationTime())))
-    return spark.createDataFrame(rows or [], "path string, name string, mtime long")
+    # JVM LocalRelation (session.local_rows_df) — python-RDD lift
+    # launched workers per action on a driver-built version listing
+    from gobblin_spark.session import local_rows_df
+
+    return local_rows_df(
+        spark, rows or [], "path string, name string, mtime long")
 
 
 def apply_retention(spark, deletable: DataFrame, dry_run: bool = True) -> list[str]:

@@ -4520,16 +4520,25 @@ class IcebergTable:
           tuples. Partition VALUES come out in transform space
           (bucket ordinals, truncated prefixes, epoch days).
 
-        All four are tiny driver-side lists lifted via
-        createDataFrame — metadata scale is manifest scale, bounded
-        by file COUNT, never data scale."""
+        All four are tiny driver-side lists, lifted as JVM
+        LocalRelations (session.local_rows_df, r14: the python-RDD
+        createDataFrame form spins python workers on every downstream
+        action just to read a metadata listing) — metadata scale is
+        manifest scale, bounded by file COUNT, never data scale.
+        ``partitions`` stays on the list path: its partition-value
+        cells are transform-space and per-spec typed (epoch-day dates
+        among them), where the Arrow lift's coercion could diverge
+        from the pickle path's."""
+        from gobblin_spark.session import local_rows_df
+
         if name == "snapshots":
             rows = [(s["snapshot-id"], s["sequence-number"],
                      s["timestamp-ms"], s["summary"].get("operation"),
                      int(s["summary"].get("added-data-files", 0)),
                      int(s["summary"].get("added-records", 0)))
                     for s in self.snapshots()]
-            return self.spark.createDataFrame(
+            return local_rows_df(
+                self.spark,
                 rows, "snapshot_id long, sequence_number long, "
                       "timestamp_ms long, operation string, "
                       "added_data_files long, added_records long")
@@ -4539,7 +4548,8 @@ class IcebergTable:
             rows = [(h["timestamp-ms"], h["snapshot-id"],
                      h["snapshot-id"] == cur)
                     for h in md["snapshot-log"]]
-            return self.spark.createDataFrame(
+            return local_rows_df(
+                self.spark,
                 rows, "timestamp_ms long, snapshot_id long, "
                       "is_current boolean")
         if name == "files":
@@ -4548,13 +4558,15 @@ class IcebergTable:
                      json.dumps(e["info"].partition, default=str)
                      if e["info"].partition else None)
                     for e in self._entries(snapshot_id)]
-            return self.spark.createDataFrame(
+            return local_rows_df(
+                self.spark,
                 rows, "file_path string, content int, record_count long, "
                       "size_bytes long, partition string")
         if name == "refs":
             rows = [(n, r.get("type"), r.get("snapshot-id"))
                     for n, r in self.metadata().get("refs", {}).items()]
-            return self.spark.createDataFrame(
+            return local_rows_df(
+                self.spark,
                 rows, "name string, type string, snapshot_id long")
         if name == "partitions":
             md = self.metadata()

@@ -98,7 +98,13 @@ def list_tree(spark: SparkSession, base_path: str, min_parallel: int = 2) -> Dat
 
     parts = max(min_parallel, len(dirs)) if dirs else 1
     listed = spark.sparkContext.parallelize(dirs, parts).mapPartitions(list_dir)
-    top = spark.createDataFrame(top_files or [], "path string, size long, mtime long")
+    from gobblin_spark.session import local_rows_df
+
+    # the driver-listed top-level files lift as a JVM LocalRelation
+    # (local_rows_df); the deep listing stays a distributed RDD scan
+    # by design (it is the fan-out the operator exists for)
+    top = local_rows_df(
+        spark, top_files or [], "path string, size long, mtime long")
     deep = spark.createDataFrame(listed, "path string, size long, mtime long") \
         if dirs else top.limit(0)
     return top.unionByName(deep)

@@ -184,7 +184,13 @@ def list_files(spark: SparkSession, base_path: str, glob: str = "*") -> DataFram
             rows.append(
                 (st.getPath().toString(), int(st.getLen()), int(st.getModificationTime()))
             )
-    return spark.createDataFrame(rows, "path string, size long, mtime long")
+    # JVM LocalRelation (session.local_rows_df): the python-RDD lift
+    # spins python workers on every downstream action over what is a
+    # driver-built listing, and its unknown size estimate degrades the
+    # snapshot-diff join planning below
+    from gobblin_spark.session import local_rows_df
+
+    return local_rows_df(spark, rows, "path string, size long, mtime long")
 
 
 def new_files_only(current: DataFrame, previous_snapshot: DataFrame) -> DataFrame:
